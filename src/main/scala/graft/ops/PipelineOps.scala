@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Util._
+
+/** The reference pipeline's dataflow semantics re-expressed as declarative
+  * Spark operators (reference: `src/bak_unload.ps1`, the entire executable
+  * surface of civic-health-innovation-labs/mric-bak-etl).
+  *
+  * Each query keeps the reference's semantic while being shuffle-parallel:
+  * no driver-side loops, no collect; top-1 compiles to TakeOrderedAndProject,
+  * the seen-set check to a (broadcastable) left-anti join.
+  */
+object PipelineOps {
+
+  /** Latest snapshot selection — ref `src/bak_unload.ps1:43-52`
+    * (`Sort-Object -Descending` + take-first). The reference picks the
+    * lexicographically-greatest blob name; here the greatest (ts, event_id)
+    * of `events`. Physical plan: TakeOrderedAndProject — no full sort,
+    * per-partition top-1 then merge, which is exactly how this survives
+    * 100 TB (no global shuffle, one tiny reduce). */
+  def latestSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+    e.orderBy(desc("ts"), desc("event_id"))
+      .limit(1)
+      .select(
+        col("event_id"),
+        tsS(col("ts")).as("ts_s"),
+        col("user_id"),
+        col("event_type"),
+        round(col("value"), 4).as("value_r"))
+  }
+
+  /** Substring-predicate filter — ref `src/bak_unload.ps1:31`
+    * (`$file.Contains(".zip")`; NB the comment says `.bak`, the code filters
+    * `.zip` — the code's semantic is the one preserved). Pushed to the
+    * parquet scan by Catalyst as a StringContains filter. */
+  def filterContains(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .filter(col("text").contains("join"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+
+  /** Parse/project — ref `src/bak_unload.ps1:28-36` (`split(";")[0]` +
+    * 6-char prefix strip). Same shape over `events.props`: positional
+    * split, fixed-offset substring, and a structured json extraction
+    * (the engine's upgrade over positional parsing). */
+  def parseProject(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .select(
+        col("event_id"),
+        element_at(split(col("props"), " "), 1).as("first_tok"),
+        substring(col("props"), 7, 5).as("sub7_5"),
+        get_json_object(col("props"), "$.k").as("k_str"))
+      .orderBy("event_id")
+
+  /** Incremental anti-check (seen-set) — ref `src/bak_unload.ps1:57-66`:
+    * skip work at-or-before the committed state mark. State = per-user max
+    * ts of `purchase` events; result = events strictly after the user's
+    * mark (users with no mark keep all events). left_anti with an equi key
+    * plus range residual: the state side is tiny (one row per user) and
+    * broadcastable, so at 100 TB the big side never shuffles. */
+  def incrementalAnti(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+    val state = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("s_uid"))
+      .agg(max("ts").as("s_last_ts"))
+    e.join(
+        broadcast(state),
+        e("user_id") === state("s_uid") && e("ts") <= state("s_last_ts"),
+        "left_anti")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        tsS(col("ts")).as("ts_s"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_latest_snapshot" -> (latestSnapshot _),
+    "pipe_filter_contains" -> (filterContains _),
+    "pipe_parse_project" -> (parseProject _),
+    "pipe_incremental_anti" -> (incrementalAnti _))
+
+  val oracleSql: Map[String, String] = Map(
+    "pipe_latest_snapshot" ->
+      s"""SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+         user_id, event_type, round(value, 4) AS value_r
+         FROM ${evSql()} ORDER BY ts DESC, event_id DESC LIMIT 1""",
+    "pipe_filter_contains" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE text LIKE '%join%' ORDER BY doc_id""",
+    "pipe_parse_project" ->
+      """SELECT event_id, string_split(props, ' ')[1] AS first_tok,
+         substr(props, 7, 5) AS sub7_5,
+         json_extract_string(props, '$.k') AS k_str
+         FROM events ORDER BY event_id""",
+    "pipe_incremental_anti" ->
+      s"""SELECT e.event_id, e.user_id, e.event_type,
+         strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s
+         FROM ${evSql("e")}
+         WHERE NOT EXISTS (
+           SELECT 1 FROM (
+             SELECT user_id, max(ts) AS last_ts FROM ${evSql()}
+             WHERE event_type = 'purchase' GROUP BY user_id) s
+           WHERE s.user_id = e.user_id AND e.ts <= s.last_ts)
+         ORDER BY e.event_id""")
+}

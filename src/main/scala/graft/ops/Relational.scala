@@ -1,0 +1,342 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Util._
+
+/** Relational core: joins, aggregations, windows, sorts, set ops.
+  *
+  * The reference's only relational shapes are existence checks
+  * (`src/bak_unload.ps1:57-66,106-111`) and `Count` guards (`:38,44`);
+  * everything here is the derived full-engine surface (SURVEY.md §2 Part B),
+  * designed Spark-first: declarative plans, broadcast hints only where a side
+  * is provably small, exact decimal sums for oracle-stable float aggregates.
+  */
+object Relational {
+
+  // ---- joins ----------------------------------------------------------
+
+  /** Fact-to-fact equi join; at scale this is a shuffle (sort-merge or
+    * AQE-selected shuffled-hash) on the join key — both sides co-partition
+    * on l_orderkey/o_orderkey, aggregation is partial+final. */
+  def joinInnerHash(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val o = table(spark, dir, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice").cast(Money) * oneMinus(col("l_discount"))).cast("double"), 4).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Star-schema lookup: nation (25 rows) and region (5 rows) are broadcast —
+    * the fact side never shuffles. This is the 100 TB pattern for dimension
+    * enrichment. */
+  def joinBroadcastDim(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+    val n = table(spark, dir, "nation")
+    val r = table(spark, dir, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), dsumR(col("c_acctbal"), Money).as("sum_bal"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Left outer with zero-preserving count: count(col) skips nulls, so
+    * customers with no orders report 0. */
+  def joinLeftOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+    val o = table(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  /** Semi join — customers having ≥1 open ('O') order; the EXISTS idiom the
+    * reference uses for its grant guard (`src/bak_unload.ps1:106-111`). */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+    val o = table(spark, dir, "orders").filter(col("o_orderstatus") === "O")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** Anti join — customers with no orders; the reference's seen-set shape
+    * (`src/bak_unload.ps1:57-66`). */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+    val o = table(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  /** Theta/range join: equi key carries the shuffle, the BETWEEN residual is
+    * evaluated post-match — no nested-loop blowup. */
+  def joinThetaRange(spark: SparkSession, dir: String): DataFrame = {
+    val p = table(spark, dir, "part")
+    val li = table(spark, dir, "lineitem")
+    p.join(li,
+        p("p_partkey") === li("l_partkey") &&
+          li("l_quantity").between(p("p_size") - 5, p("p_size") + 5))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), dsumR(col("l_quantity"), Qty).as("sum_qty"))
+      .orderBy("p_brand")
+  }
+
+  /** As-of join — each event paired with the user's latest order at/before
+    * its ts. Spark has no ASOF JOIN; the scalable formulation is the
+    * union+window one: tag both sides, sort within user by (time, tag) so
+    * orders at the same instant precede events (ties are `<=`, matching
+    * DuckDB ASOF), and carry the last non-null order date forward. One
+    * shuffle on user, no pair explosion — this survives 100 TB where a
+    * range join would not. */
+  def joinAsofEventOrder(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events").select(
+      col("user_id").as("uid"),
+      unix_micros(col("ts")).as("t_us"),
+      lit(1).as("is_event"),
+      col("event_id"),
+      tsS(col("ts")).as("ts_s"),
+      lit(null).cast("string").as("od"))
+    val o = table(spark, dir, "orders").select(
+      col("o_custkey").as("uid"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("t_us"),
+      lit(0).as("is_event"),
+      lit(null).cast("long").as("event_id"),
+      lit(null).cast("string").as("ts_s"),
+      dateS(col("o_orderdate")).as("od"))
+    val w = Window.partitionBy("uid").orderBy(col("t_us"), col("is_event"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.unionByName(o)
+      .withColumn("order_date", last(col("od"), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1)
+      .select(col("event_id"), col("uid").as("user_id"), col("ts_s"), col("order_date"))
+      .orderBy("event_id")
+  }
+
+  // ---- aggregations ---------------------------------------------------
+
+  /** TPC-H Q1 shape — the canonical hash aggregate. Partial (map-side) +
+    * final aggregation come free from Catalyst; sums are exact decimals so
+    * the result is independent of partitioning/summation order. */
+  def aggPricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val price = col("l_extendedprice").cast(Money)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsumR(col("l_quantity"), Qty).as("sum_qty"),
+        dsumR(col("l_extendedprice"), Money).as("sum_base_price"),
+        round(sum(price * oneMinus(col("l_discount"))).cast("double"), 4).as("sum_disc_price"),
+        round(sum(price * oneMinus(col("l_discount")) * onePlus(col("l_tax"))).cast("double"), 4).as("sum_charge"),
+        round(dsum(col("l_quantity"), Qty) / count(lit(1)).cast("double"), 4).as("avg_qty"),
+        round(dsum(col("l_extendedprice"), Money) / count(lit(1)).cast("double"), 4).as("avg_price"),
+        round(dsum(col("l_discount"), Rate) / count(lit(1)).cast("double"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Distinct aggregate — Catalyst plans the two-phase partial-distinct
+    * expansion automatically. */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  /** Grouping sets via ROLLUP + grouping_id; NULL group labels are coalesced
+    * to 'ALL' so ordering never touches engine NULL-order defaults. */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        dsumR(col("o_totalprice"), Money).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("n"), col("sum_price"))
+      .orderBy("gid", "status", "priority")
+
+  /** HLL sketch distinct — approximate, so no SQL oracle (driver records a
+    * rows-only check); exactness bounds are asserted in unit tests. */
+  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("event_type")
+
+  // ---- windows --------------------------------------------------------
+
+  /** Top-N per group via ranking window; tie-break on orderkey makes the
+    * result total-ordered and oracle-stable. */
+  def windowRankTopn(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    table(spark, dir, "orders")
+      .withColumn("rk", rank().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rk", "o_orderkey")
+  }
+
+  /** Running sum over an ordered frame; decimal accumulator keeps the
+    * cumulative value exact (window engines may sum pairwise). */
+  def windowRunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(spark, dir, "events")
+      .withColumn("running", round(sum(col("value").cast(Qty)).over(w).cast("double"), 4))
+      .select(col("event_id"), col("user_id"), tsS(col("ts")).as("ts_s"), col("running"))
+      .orderBy("event_id")
+  }
+
+  /** lag() delta of consecutive per-user event values. */
+  def windowLagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    table(spark, dir, "events")
+      .withColumn("delta", round(col("value") - lag(col("value"), 1).over(w), 4))
+      .select(col("event_id"), col("user_id"), col("delta"))
+      .orderBy("event_id")
+  }
+
+  // ---- sort / set ops -------------------------------------------------
+
+  /** Multi-key sort + limit → TakeOrderedAndProject (per-partition top-k,
+    * single tiny reduce — the ref A6 physical shape at any scale). */
+  def sortMultikeyLimit(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .orderBy(col("o_orderpriority").asc, col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+
+  /** UNION / EXCEPT / INTERSECT (distinct forms; Spark's `union` is UNION ALL
+    * so an explicit distinct follows it). */
+  def setUnionExcept(spark: SparkSession, dir: String): DataFrame = {
+    val a = table(spark, dir, "orders").select(col("o_custkey").as("k"))
+    val ev = table(spark, dir, "events")
+    val b = ev.filter(col("event_type") === "purchase").select(col("user_id").as("k"))
+    val c = ev.filter(col("event_type") === "error").select(col("user_id").as("k"))
+    a.union(b).distinct()
+      .except(c)
+      .union(b.intersect(c))
+      .distinct()
+      .orderBy("k")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_inner_hash" -> (joinInnerHash _),
+    "join_broadcast_dim" -> (joinBroadcastDim _),
+    "join_left_outer" -> (joinLeftOuter _),
+    "join_semi" -> (joinSemi _),
+    "join_anti" -> (joinAnti _),
+    "join_theta_range" -> (joinThetaRange _),
+    "join_asof_event_order" -> (joinAsofEventOrder _),
+    "agg_pricing_summary" -> (aggPricingSummary _),
+    "agg_distinct" -> (aggDistinct _),
+    "agg_rollup" -> (aggRollup _),
+    "agg_approx_distinct" -> (aggApproxDistinct _),
+    "window_rank_topn" -> (windowRankTopn _),
+    "window_running_sum" -> (windowRunningSum _),
+    "window_lag_delta" -> (windowLagDelta _),
+    "sort_multikey_limit" -> (sortMultikeyLimit _),
+    "set_union_except" -> (setUnionExcept _))
+
+  val oracleSql: Map[String, String] = Map(
+    "join_inner_hash" ->
+      """SELECT o_orderstatus, count(*) AS n,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4))) AS DOUBLE), 4) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "join_broadcast_dim" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+         round(CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE), 4) AS sum_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "join_left_outer" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey, c_name ORDER BY c_custkey""",
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+         ORDER BY c_custkey""",
+    "join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "join_theta_range" ->
+      """SELECT p_brand, count(*) AS n,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE), 4) AS sum_qty
+         FROM part JOIN lineitem ON p_partkey = l_partkey
+           AND l_quantity BETWEEN p_size - 5 AND p_size + 5
+         GROUP BY p_brand ORDER BY p_brand""",
+    "join_asof_event_order" ->
+      s"""SELECT e.event_id, e.user_id,
+         strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+         strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
+         FROM ${evSql("e")} ASOF LEFT JOIN orders o
+           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+         ORDER BY e.event_id""",
+    "agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE), 4) AS sum_qty,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE), 4) AS sum_base_price,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4))) AS DOUBLE), 4) AS sum_disc_price,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4)) * CAST(1 + CAST(l_tax AS DECIMAL(8,4)) AS DECIMAL(6,4))) AS DOUBLE), 4) AS sum_charge,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS avg_qty,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS avg_price,
+         round(CAST(sum(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "agg_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "agg_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         coalesce(o_orderpriority, 'ALL') AS priority,
+         CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+         count(*) AS n,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 4) AS sum_price
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         ORDER BY gid, status, priority""",
+    "window_rank_topn" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(rank() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+           FROM orders) WHERE rk <= 3
+         ORDER BY o_custkey, rk, o_orderkey""",
+    "window_running_sum" ->
+      s"""SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+         round(CAST(sum(CAST(value AS DECIMAL(10,2))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS running
+         FROM ${evSql()} ORDER BY event_id""",
+    "window_lag_delta" ->
+      s"""SELECT event_id, user_id,
+         round(value - lag(value, 1) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+         FROM ${evSql()} ORDER BY event_id""",
+    "sort_multikey_limit" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+         ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
+         LIMIT 100""",
+    "set_union_except" ->
+      """WITH a AS (SELECT o_custkey AS k FROM orders),
+         b AS (SELECT user_id AS k FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id AS k FROM events WHERE event_type = 'error'),
+         d AS (SELECT k FROM a UNION SELECT k FROM b),
+         e AS (SELECT k FROM d EXCEPT SELECT k FROM c),
+         f AS (SELECT k FROM b INTERSECT SELECT k FROM c)
+         SELECT k FROM (SELECT k FROM e UNION SELECT k FROM f) ORDER BY k""")
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared helpers for declared queries.
+  *
+  * Oracle-parity policy (see SURVEY.md §2 determinism rules):
+  *   - every output column is StringType, LongType, or DoubleType;
+  *   - float aggregates go through exact decimal sums (deterministic across
+  *     engines and summation orders), then cast to double and round(4);
+  *   - timestamps leave queries as formatted strings (events.ts is ns in
+  *     parquet; Spark truncates to µs — raw values must never be compared);
+  *   - final transform of every query is an orderBy with a unique tie-break.
+  */
+object Util {
+  /** Money-typed columns (l_extendedprice, o_totalprice, c_acctbal …) are
+    * generated as 2-decimal values; DECIMAL(14,2) holds them exactly. */
+  val Money: DecimalType = DecimalType(14, 2)
+  /** Quantities / event values: 2-decimal, small range. */
+  val Qty: DecimalType = DecimalType(10, 2)
+  /** Rates (l_discount, l_tax): 2-decimal in [0,1]. */
+  val Rate: DecimalType = DecimalType(8, 4)
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects
+      // outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos and truncate
+      // to µs (Spark's native precision). Oracle SQL mirrors this with
+      // CAST(ts AS TIMESTAMP) so both engines compare at µs.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** DuckDB FROM-clause for `events` with ts truncated to µs, matching the
+    * Spark-side read in [[table]]. Alias stays `events`/custom. */
+  def evSql(alias: String = "events"): String =
+    s"(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) $alias"
+
+  /** µs-precision timestamp → string; matches DuckDB strftime '%Y-%m-%d %H:%M:%S.%f'. */
+  def tsS(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** date-only string; matches DuckDB strftime '%Y-%m-%d'. */
+  def dateS(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
+  /** (1 - rate) clamped to DECIMAL(6,4): keeps chained decimal products well
+    * under precision 38 in both Spark and DuckDB (unclamped, Spark silently
+    * reduces scale and DuckDB errors out). Exact — rates are 2-decimal. */
+  def oneMinus(c: Column): Column = (lit(1) - c.cast(Rate)).cast(DecimalType(6, 4))
+
+  /** (1 + rate) clamped to DECIMAL(6,4); see [[oneMinus]]. */
+  def onePlus(c: Column): Column = (lit(1) + c.cast(Rate)).cast(DecimalType(6, 4))
+
+  /** Exact decimal sum of a double column, surfaced as double (order-independent). */
+  def dsum(c: Column, t: DecimalType): Column = sum(c.cast(t)).cast("double")
+
+  /** dsum rounded to 4 decimals — the standard float-aggregate output form. */
+  def dsumR(c: Column, t: DecimalType): Column = round(dsum(c, t), 4)
+
+  /** Exact-decimal average surfaced as double/double division (identical in
+    * DuckDB as CAST(sum(CAST(x AS DECIMAL)) AS DOUBLE) / CAST(count(*) AS DOUBLE)). */
+  def davg(c: Column, t: DecimalType): Column =
+    round(dsum(c, t) / count(lit(1)).cast("double"), 4)
+}
