@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Util._
+
+/** Scalar-function surface: string, date, math, json, array projections.
+  *
+  * The reference's scalar vocabulary is strings-only (`split`, positional
+  * index, `Contains`, `Substring`, concat — `src/bak_unload.ps1:29-35,83`);
+  * the engine extends it to the full date/math/json/array families. All are
+  * codegen'd Spark built-ins — no UDFs — so every projection stays inside
+  * WholeStageCodegen and is a pure map (no shuffle) at any scale.
+  */
+object Scalars {
+
+  /** One wide projection exercising string (upper/trim/lpad/substr/concat),
+    * date (year/month/date_trunc/datediff), and math (round/abs/ln)
+    * functions. DuckDB parity notes: `datediff` arg order differs (Spark
+    * (end, start) ≡ DuckDB ('day', start, end)); ints are cast to long so
+    * both engines emit int64. */
+  def strDateMath(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("up_prio"),
+        trim(concat(lit("  "), col("o_orderstatus"), lit(" "))).as("trim_stat"),
+        lpad(col("o_orderkey").cast("string"), 10, "0").as("key_lpad"),
+        substring(col("o_orderpriority"), 3, 6).as("prio_word"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dateS(date_trunc("month", col("o_orderdate"))).as("month_start"),
+        datediff(to_date(lit("2026-01-01")), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_2026"),
+        round(abs(col("o_totalprice") - 150000.0), 2).as("abs_delta"),
+        round(log(col("o_totalprice")), 4).as("ln_price"))
+      .orderBy("o_orderkey")
+
+  /** JSON extraction + grouped stats over `events.props` — the structured
+    * upgrade of the reference's positional manifest parsing
+    * (`src/bak_unload.ps1:29-35`). `get_json_object` is a codegen'd
+    * expression; grouping on the extracted value is a normal hash agg. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"),
+        col("value"))
+      .groupBy((col("k_val") % 10).as("k_mod"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsumR(col("value"), Qty).as("sum_value"),
+        min(col("event_id")).as("min_event"))
+      .orderBy("k_mod")
+
+  /** Array/higher-order-function surface over the embedding column:
+    * size, element access, L2 norm via transform+aggregate. Floats are cast
+    * to double BEFORE any arithmetic (FIXTURES.md) so Spark and DuckDB
+    * accumulate identically, in array order. Higher-order functions keep
+    * this per-row (no explode → no row blowup at 100 TB). */
+  def arrayEmbeddingStats(spark: SparkSession, dir: String): DataFrame = {
+    val asD = transform(col("embedding"), x => x.cast("double"))
+    table(spark, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
+        round(sqrt(aggregate(asD, lit(0.0), (acc, x) => acc + x * x)), 4).as("l2_norm"),
+        col("label").cast("long").as("label"))
+      .orderBy("vec_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_str_date_math" -> (strDateMath _),
+    "scalar_json_extract" -> (jsonExtract _),
+    "array_embedding_stats" -> (arrayEmbeddingStats _))
+
+  val oracleSql: Map[String, String] = Map(
+    "scalar_str_date_math" ->
+      """SELECT o_orderkey,
+         upper(o_orderpriority) AS up_prio,
+         trim(concat('  ', o_orderstatus, ' ')) AS trim_stat,
+         lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS key_lpad,
+         substr(o_orderpriority, 3, 6) AS prio_word,
+         CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(month(o_orderdate) AS BIGINT) AS mo,
+         strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+         CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') AS BIGINT) AS days_to_2026,
+         round(abs(o_totalprice - 150000.0), 2) AS abs_delta,
+         round(ln(o_totalprice), 4) AS ln_price
+         FROM orders ORDER BY o_orderkey""",
+    "scalar_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+         count(*) AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE), 4) AS sum_value,
+         min(event_id) AS min_event
+         FROM events GROUP BY k_mod ORDER BY k_mod""",
+    "array_embedding_stats" ->
+      """SELECT vec_id,
+         CAST(len(embedding) AS BIGINT) AS dim,
+         round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+         round(sqrt(list_sum(list_transform(embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+         CAST(label AS BIGINT) AS label
+         FROM embeddings ORDER BY vec_id""")
+}

@@ -1,0 +1,242 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import Util._
+
+/** Text-analysis + deduplication surface over the `documents` table — the
+  * LLM-training-data-pipeline operators (tokenize, language-ID heuristic,
+  * quality scoring, token counting, fingerprinting, exact + near dedup).
+  *
+  * Scale design: every per-document computation is a codegen'd projection
+  * (no shuffle); dedup shuffles once on the hash/blocking key. Near-dup
+  * pair generation is blocked by `source` so candidate pairs stay bounded
+  * per block instead of O(n²) global — the standard LSH-style blocking
+  * discipline at 100 TB.
+  */
+object Text {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+
+  /** Global top-20 tokens — exercises the Generator (explode) path.
+    * explode → partial count per partition → final count: one shuffle of
+    * (token, partial_n), tiny because the vocabulary is small. */
+  def tokenTopk(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("token"))
+      .limit(20)
+
+  /** Per-language corpus stats. */
+  def langStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"), 4)
+          .as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+
+  /** Language-ID heuristic: vowel-frequency n-gram proxy. Per doc the vowel
+    * ratio is exact integer/integer double math (identical across engines);
+    * the per-group mean goes through a decimal accumulator so summation
+    * order can't perturb it. Output is the (actual lang × predicted class)
+    * confusion matrix. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val nV = length(regexp_replace(col("text"), "[^aeiou]", ""))
+    val vr = nV.cast("double") / length(col("text")).cast("double")
+    docs(spark, dir)
+      .select(col("lang"), vr.as("vr"),
+        when(vr >= 0.35, "high_vowel")
+          .when(vr >= 0.28, "mid_vowel")
+          .otherwise("low_vowel").as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(round(col("vr"), 6).cast(DecimalType(12, 6))).cast("double")
+          / count(lit(1)).cast("double"), 4).as("avg_vowel_ratio"))
+      .orderBy("lang", "predicted")
+  }
+
+  private val StopWords = Seq("join", "filter", "sort", "merge", "window")
+
+  /** Quality scoring: token count, stopword ratio, mean token length, and a
+    * composite score — the standard cheap quality signals for corpus
+    * filtering. Pure per-row projection; at 100 TB this runs as a map with
+    * zero shuffle. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, t => t.isin(StopWords: _*))).cast("long")
+    val stopRatio = nStop.cast("double") / nTok.cast("double")
+    val avgTokLen = (length(col("text")) - (nTok - 1)).cast("double") / nTok.cast("double")
+    val score = lit(0.6) * stopRatio + lit(0.4) * least(avgTokLen / 8.0, lit(1.0))
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        nTok.as("n_tok"),
+        round(stopRatio, 4).as("stop_ratio"),
+        round(avgTokLen, 4).as("avg_tok_len"),
+        round(score, 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting three ways: whitespace split, a BPE-ish regex
+    * (letter runs / digit runs / single punctuation), and the chars/4
+    * LLM-token estimate. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long")
+          .as("n_bpeish"),
+        expr("(n_chars + 3) div 4").as("est_llm_tokens"))
+      .orderBy("doc_id")
+
+  /** Document fingerprinting: 1-permutation MinHash (min over token md5s —
+    * a rolling content signature robust to token order) + distinct-token
+    * cardinality. Per-row only; the fingerprint is the natural shuffle key
+    * for clustering at scale. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        array_min(transform(split(col("text"), " "), t => md5(t.cast("binary"))))
+          .as("fp_minhash"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq_tok"))
+      .orderBy("doc_id")
+
+  /** Exact dedup on md5(lower(trim(text))): one hash-shuffle, keep the min
+    * doc_id per content hash — ref A7's seen-set semantics applied to
+    * content identity. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(lower(trim(col("text")))).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("h"), col("n_copies"))
+      .orderBy("doc_id")
+
+  /** Near-dup detection via token-set Jaccard, blocked by `source`:
+    * explode distinct tokens → self-join inside the block on (source,
+    * token) → per-pair |∩| → Jaccard with |∪| = n1+n2−|∩|. Output is
+    * per-source pair statistics (pair lists are degenerate here — the
+    * 31-token vocabulary makes most pairs similar). The per-pair Jaccard
+    * is exact int/int double math; the per-source mean uses a decimal
+    * accumulator. */
+  def dedupNearJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir).select(
+      col("doc_id"), col("source"),
+      explode(array_distinct(split(col("text"), " "))).as("token"))
+    val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("ntok"))
+    val inter = tok.alias("a")
+      .join(tok.alias("b"),
+        col("a.source") === col("b.source") &&
+          col("a.token") === col("b.token") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.source").as("source"), col("a.doc_id").as("d1"),
+        col("b.doc_id").as("d2"))
+      .groupBy("source", "d1", "d2")
+      .agg(count(lit(1)).as("inter"))
+    val jac = inter
+      .join(cnt.select(col("doc_id").as("d1"), col("ntok").as("n1")), "d1")
+      .join(cnt.select(col("doc_id").as("d2"), col("ntok").as("n2")), "d2")
+      .withColumn("jac",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")).cast("double"))
+    jac.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("jac") >= 0.8, 1L).otherwise(0L)).as("n_near"),
+        round(sum(round(col("jac"), 6).cast(DecimalType(16, 6))).cast("double")
+          / count(lit(1)).cast("double"), 4).as("avg_jac"))
+      .orderBy("source")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_topk" -> (tokenTopk _),
+    "text_lang_stats" -> (langStats _),
+    "text_langid" -> (langId _),
+    "text_quality_score" -> (qualityScore _),
+    "text_token_count" -> (tokenCount _),
+    "text_fingerprint" -> (fingerprint _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_near_jaccard" -> (dedupNearJaccard _))
+
+  val oracleSql: Map[String, String] = Map(
+    "text_token_topk" ->
+      """SELECT token, count(*) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+    "text_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+         round(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS avg_chars,
+         count(DISTINCT source) AS n_sources
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "text_langid" ->
+      """WITH d AS (
+           SELECT lang,
+             CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS vr
+           FROM documents)
+         SELECT lang,
+           CASE WHEN vr >= 0.35 THEN 'high_vowel'
+                WHEN vr >= 0.28 THEN 'mid_vowel'
+                ELSE 'low_vowel' END AS predicted,
+           count(*) AS n,
+           round(CAST(sum(CAST(round(vr, 6) AS DECIMAL(12,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 4) AS avg_vowel_ratio
+         FROM d GROUP BY lang, predicted ORDER BY lang, predicted""",
+    "text_quality_score" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(len(list_filter(string_split(text, ' '),
+               t -> t IN ('join','filter','sort','merge','window'))) AS BIGINT) AS n_stop,
+             length(text) AS n_ch
+           FROM documents)
+         SELECT doc_id, n_tok,
+           round(CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE), 4) AS stop_ratio,
+           round(CAST(n_ch - (n_tok - 1) AS DOUBLE) / CAST(n_tok AS DOUBLE), 4) AS avg_tok_len,
+           round(0.6 * (CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE))
+             + 0.4 * least((CAST(n_ch - (n_tok - 1) AS DOUBLE) / CAST(n_tok AS DOUBLE)) / 8.0, 1.0), 4) AS quality
+         FROM d ORDER BY doc_id""",
+    "text_token_count" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpeish,
+         (n_chars + 3) // 4 AS est_llm_tokens
+         FROM documents ORDER BY doc_id""",
+    "text_fingerprint" ->
+      """SELECT doc_id,
+         list_min(list_transform(string_split(text, ' '), t -> md5(t))) AS fp_minhash,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tok
+         FROM documents ORDER BY doc_id""",
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS h,
+         count(*) AS n_copies
+         FROM documents GROUP BY h ORDER BY doc_id""",
+    "dedup_near_jaccard" ->
+      """WITH tok AS (
+           SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS token
+           FROM documents),
+         cnt AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id),
+         pr AS (
+           SELECT a.source AS source, a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+           FROM tok a JOIN tok b
+             ON a.source = b.source AND a.token = b.token AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3),
+         j AS (
+           SELECT pr.source,
+             CAST(pr.inter AS DOUBLE) / CAST(c1.ntok + c2.ntok - pr.inter AS DOUBLE) AS jac
+           FROM pr JOIN cnt c1 ON pr.d1 = c1.doc_id JOIN cnt c2 ON pr.d2 = c2.doc_id)
+         SELECT source, count(*) AS n_pairs,
+           CAST(sum(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+           round(CAST(sum(CAST(round(jac, 6) AS DECIMAL(16,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 4) AS avg_jac
+         FROM j GROUP BY source ORDER BY source""")
+}
