@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Util._
+
+/** Scale-path near-dup detection: MinHash+LSH banding and SimHash
+  * clustering. Both replace the O(n²) pair space with a candidate
+  * generation that is an equi join on a short signature — the structure
+  * that survives 100 TB. The md5-based "permutations" keep every hash
+  * bit-identical between Spark and the DuckDB oracle (both hash utf8 and
+  * compare hex strings lexicographically), so the whole algorithm is
+  * oracle-gateable end to end.
+  */
+object Dedup {
+
+  private val K = 6        // minhash permutations
+  private val Bands = 3    // bands of r = K/Bands rows each
+
+  private def tokens(spark: SparkSession, dir: String, distinct: Boolean): DataFrame = {
+    val toks = split(col("text"), " ")
+    table(spark, dir, "documents").select(
+      col("doc_id"), col("source"),
+      explode(if (distinct) array_distinct(toks) else toks).as("token"))
+  }
+
+  /** MinHash+LSH: per doc, K min-hashes min_i(md5("s<i>|" ++ token));
+    * signatures are banded (r=2) and hashed; docs sharing any (source,
+    * band, bandsig) bucket become candidate pairs; candidates are verified
+    * with exact token-set Jaccard. Output: per-source candidate/verified
+    * counts. One shuffle per stage, never a cross join. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val tok = tokens(spark, dir, distinct = true)
+    val mins = (0 until K).map(i =>
+      min(md5(concat(lit(s"s$i|"), col("token")).cast("binary"))).as(s"m$i"))
+    val sig = tok.groupBy("doc_id", "source").agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).cast("binary")).as("bsig"))
+    }
+    val bands = sig.select(col("doc_id"), col("source"),
+        explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("source"), col("bs.band"), col("bs.bsig"))
+    val cand = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.source") === col("b.source") && col("a.band") === col("b.band") &&
+          col("a.bsig") === col("b.bsig") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.source").as("source"), col("a.doc_id").as("d1"),
+        col("b.doc_id").as("d2"))
+      .distinct()
+    val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("ntok"))
+    val inter = cand
+      .join(tok.select(col("doc_id").as("d1"), col("token")), "d1")
+      .join(tok.select(col("doc_id").as("dd2"), col("token").as("token2")),
+        col("d2") === col("dd2") && col("token") === col("token2"))
+      .groupBy("source", "d1", "d2")
+      .agg(count(lit(1)).as("inter"))
+    val jac = inter
+      .join(cnt.select(col("doc_id").as("d1"), col("ntok").as("n1")), "d1")
+      .join(cnt.select(col("doc_id").as("d2"), col("ntok").as("n2")), "d2")
+      .withColumn("jac",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")).cast("double"))
+    jac.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when(col("jac") >= 0.9, 1L).otherwise(0L)).as("n_verified"))
+      .orderBy("source")
+  }
+
+  /** SimHash(16): per token, bit j is the high bit of hex digit j of
+    * md5(token); per doc, bit j of the signature is the sign of the
+    * (+1/−1) vote sum over all tokens (frequency-weighted). Docs sharing a
+    * (source, simhash) bucket cluster as near-dups. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val tok = tokens(spark, dir, distinct = false)
+      .withColumn("mh", md5(col("token").cast("binary")))
+    val votes = (0 until 16).map(j =>
+      sum(when(substring(col("mh"), j + 1, 1).isin(highHex: _*), 1L).otherwise(-1L))
+        .as(s"s$j"))
+    val sig = tok.groupBy("doc_id", "source").agg(votes.head, votes.tail: _*)
+    val bits: Seq[Column] = (0 until 16).map(j =>
+      when(col(s"s$j") > 0, "1").otherwise("0"))
+    sig.withColumn("simhash", concat(bits: _*))
+      .groupBy("source", "simhash")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .orderBy("source", "simhash", "min_doc")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_simhash" -> (simhash _))
+
+  private val minhashMinsSql =
+    (0 until K).map(i => s"min(md5('s$i|' || token)) AS m$i").mkString(",\n             ")
+  private val bandSelectsSql = (0 until Bands).map { b =>
+    s"SELECT doc_id, source, $b AS band, md5(m${2 * b} || m${2 * b + 1}) AS bsig FROM sig"
+  }.mkString("\n           UNION ALL ")
+  private val votesSql = (0 until 16).map(j =>
+    s"sum(CASE WHEN substr(mh, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$j")
+    .mkString(",\n             ")
+  private val bitsSql = (0 until 16).map(j =>
+    s"CASE WHEN s$j > 0 THEN '1' ELSE '0' END").mkString("concat(", ", ", ")")
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_minhash_lsh" ->
+      s"""WITH tok AS (
+           SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS token
+           FROM documents),
+         sig AS (
+           SELECT doc_id, source,
+             $minhashMinsSql
+           FROM tok GROUP BY doc_id, source),
+         band AS (
+           $bandSelectsSql),
+         cand AS (
+           SELECT DISTINCT a.source, a.doc_id AS d1, b.doc_id AS d2
+           FROM band a JOIN band b
+             ON a.source = b.source AND a.band = b.band AND a.bsig = b.bsig
+               AND a.doc_id < b.doc_id),
+         cnt AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id),
+         inter AS (
+           SELECT c.source, c.d1, c.d2, count(*) AS inter
+           FROM cand c
+           JOIN tok ta ON ta.doc_id = c.d1
+           JOIN tok tb ON tb.doc_id = c.d2 AND ta.token = tb.token
+           GROUP BY 1, 2, 3),
+         j AS (
+           SELECT i.source,
+             CAST(i.inter AS DOUBLE) / CAST(c1.ntok + c2.ntok - i.inter AS DOUBLE) AS jac
+           FROM inter i JOIN cnt c1 ON i.d1 = c1.doc_id JOIN cnt c2 ON i.d2 = c2.doc_id)
+         SELECT source, count(*) AS n_candidates,
+           CAST(sum(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified
+         FROM j GROUP BY source ORDER BY source""",
+    "dedup_simhash" ->
+      s"""WITH tok AS (
+           SELECT doc_id, source, md5(unnest(string_split(text, ' '))) AS mh
+           FROM documents),
+         s AS (
+           SELECT doc_id, source,
+             $votesSql
+           FROM tok GROUP BY doc_id, source),
+         b AS (SELECT doc_id, source, $bitsSql AS simhash FROM s)
+         SELECT source, simhash, count(*) AS n_docs, min(doc_id) AS min_doc
+         FROM b GROUP BY source, simhash ORDER BY source, simhash, min_doc""")
+}

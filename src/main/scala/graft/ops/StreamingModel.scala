@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Util._
+
+/** Batch-checkable models of the streaming-window semantics. Each query
+  * uses the exact function the streaming runtime uses (`window()`), or the
+  * documented batch equivalent of its state machine (session windows via
+  * lag+cumsum, watermark late-drop via running max), so the DuckDB oracle
+  * can gate them. The real incremental runtime — `readStream`, watermarks,
+  * `session_window`, checkpoints — is exercised in
+  * [[graft.streaming.StreamingDemo]] (not oracle-gateable: Verify writes
+  * batch parquet).
+  *
+  * This family replaces the reference's scheduler-driven re-run model
+  * (`README.md:63-68` — Task Scheduler daily) with event-time semantics.
+  */
+object StreamingModel {
+
+  /** Tumbling 1-hour windows: `window($"ts", "1 hour")` — identical in
+    * batch and streaming. Aligned window start ≡ date_trunc('hour'). */
+  def tumblingCounts(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsumR(col("value"), Qty).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
+  /** Session windows with a 30-minute gap, as the lag+cumsum state machine:
+    * a row opens a new session iff it's the user's first event or the gap
+    * to the previous event exceeds 30 min; session id is the running count
+    * of opens. Streaming equivalent: `session_window(ts, '30 minutes')`. */
+  def sessionGap(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val acc = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(order))
+    table(spark, dir, "events")
+      .withColumn("new_sess", when(gapUs.isNull || gapUs > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(acc))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+      .select(
+        col("user_id"), col("sess_id"), col("n_events"),
+        tsS(col("t0")).as("start_s"),
+        expr("(unix_micros(t1) - unix_micros(t0)) div 1000000").as("duration_s"))
+      .orderBy("user_id", "sess_id")
+  }
+
+  /** Watermark late-drop model: a row is dropped iff its event time is
+    * more than 1 hour behind the max event time already seen (strictly
+    * before it in arrival order). Arrival order is a per-user replay
+    * (user_id, event_id) — the generated stream is time-sorted by
+    * event_id, so replaying user-by-user is what makes lateness real.
+    * This is the `withWatermark("ts", "1 hour")` drop rule made
+    * batch-checkable via a running max over arrival order. */
+  def lateFilter(spark: SparkSession, dir: String): DataFrame = {
+    val arrival = Window.orderBy("user_id", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    table(spark, dir, "events")
+      .withColumn("wm", max(col("ts")).over(arrival))
+      .filter(unix_micros(col("ts")) < unix_micros(col("wm")) - 3600000000L)
+      .select(col("event_id"), col("user_id"),
+        tsS(col("ts")).as("ts_s"), tsS(col("wm")).as("wm_s"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling_counts" -> (tumblingCounts _),
+    "stream_session_gap" -> (sessionGap _),
+    "stream_late_filter" -> (lateFilter _))
+
+  val oracleSql: Map[String, String] = Map(
+    "stream_tumbling_counts" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+         event_type, count(*) AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE), 4) AS sum_value
+         FROM ${evSql()} GROUP BY win_start, event_type
+         ORDER BY win_start, event_type""",
+    "stream_session_gap" ->
+      s"""WITH s AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS new_sess
+           FROM ${evSql()}
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         t AS (
+           SELECT user_id, ts,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+           FROM s)
+         SELECT user_id, sess_id, count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_s,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s
+         FROM t GROUP BY user_id, sess_id ORDER BY user_id, sess_id""",
+    "stream_late_filter" ->
+      s"""WITH m AS (
+           SELECT event_id, user_id, ts,
+             max(ts) OVER (ORDER BY user_id, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+           FROM ${evSql()})
+         SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           strftime(wm, '%Y-%m-%d %H:%M:%S.%f') AS wm_s
+         FROM m WHERE epoch_us(ts) < epoch_us(wm) - 3600000000
+         ORDER BY event_id""")
+}

@@ -1,0 +1,203 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import Util._
+
+/** Similarity search + multimodal surface over the `embeddings` table.
+  *
+  * Cosine math is built from codegen'd higher-order functions
+  * (`zip_with`/`transform`/`aggregate`) — floats cast to double BEFORE any
+  * arithmetic and accumulated sequentially in array order, so Spark and the
+  * DuckDB oracle produce bit-identical doubles (same op order).
+  *
+  * Scale design: brute-force top-k broadcasts the tiny probe side so the
+  * corpus streams map-side with no shuffle; the LSH variant buckets by
+  * sign-random-projection so candidate generation is an equi join on the
+  * bucket key (the 100 TB path); pairwise similarity is blocked by `label`
+  * so pairs stay bounded per block.
+  */
+object Vector {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+
+  private def l2(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double")), lit(0.0), (acc, x) => acc + x * x))
+
+  private def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    dot / (l2(a) * l2(b))
+  }
+
+  /** DuckDB spelling of [[cosine]] with identical op order. */
+  private def cosSql(a: String, b: String): String = {
+    def sq(v: String) =
+      s"sqrt(list_sum(list_transform(range(1, len($v)+1), i -> CAST($v[i] AS DOUBLE) * CAST($v[i] AS DOUBLE))))"
+    s"""(list_sum(list_transform(range(1, len($a)+1),
+        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) / (${sq(a)} * ${sq(b)}))"""
+  }
+
+  /** Brute-force cosine top-5 for the 10 lowest-vec_id probes — the exact
+    * baseline every ANN variant is measured against. Probes are broadcast;
+    * the corpus side is a pure map + per-probe top-k (TakeOrdered shape),
+    * so the plan has no corpus shuffle at any scale. */
+  def simsearchTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val probes = e.orderBy("vec_id").limit(10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    val scored = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(cosine(col("embedding"), col("p_emb")), 4))
+    val w = Window.partitionBy("probe_id").orderBy(desc("cos"), col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("probe_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("probe_id", "rk")
+  }
+
+  /** Sign-random-projection bucket: the sign bits of the first 8 dims.
+    * Vectors with high cosine agree on most signs, so near neighbors
+    * collide; candidate generation becomes an equi join on this key. */
+  private def srpBucket(a: Column): Column =
+    concat_ws("", transform(slice(a, 1, 8), x => when(x >= 0f, "1").otherwise("0")))
+
+  private val srpBucketSql =
+    "array_to_string(list_transform(embedding[1:8], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
+
+  /** LSH-bucketed ANN: probes meet only corpus vectors in their SRP bucket
+    * (equi join on the bucket key — shuffle-parallel, no cross join),
+    * then exact cosine re-ranks the candidates, top-3 per probe. The
+    * approximate counterpart of [[simsearchTopk]]. */
+  def simsearchLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).withColumn("bucket", srpBucket(col("embedding")))
+    val probes = e.orderBy("vec_id").limit(10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("bucket"))
+    val scored = e.select(col("vec_id"), col("embedding"), col("bucket"))
+      .join(broadcast(probes), "bucket")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(cosine(col("embedding"), col("p_emb")), 4))
+    val w = Window.partitionBy("probe_id").orderBy(desc("cos"), col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("probe_id"), col("bucket"), col("rk"),
+        col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("probe_id", "rk")
+  }
+
+  /** Embedding near-dup: top-3 most-similar pairs per label block (the
+    * corpus has no true near-dups — max intra-label cosine ≈ 0.48 — so a
+    * threshold query would be empty; top-k per block exercises the same
+    * blocked-pairwise plan). */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val pairs = e.alias("a")
+      .join(e.alias("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.label").cast("long").as("label"),
+        col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 4).as("cos"))
+    val w = Window.partitionBy("label").orderBy(desc("cos"), col("v1"), col("v2"))
+    pairs.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("label"), col("rk"), col("v1"), col("v2"), col("cos"))
+      .orderBy("label", "rk")
+  }
+
+  /** Multimodal equi join: text table × vector table on doc_id=vec_id,
+    * per (lang, label) stats. Per-row norms are deterministic doubles;
+    * the group mean accumulates through a decimal so row order can't
+    * perturb it. */
+  def multimodalJoinStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    val e = emb(spark, dir)
+    d.join(e, d("doc_id") === e("vec_id"))
+      .select(col("lang"), col("label").cast("long").as("label"),
+        col("n_chars"), l2(col("embedding")).as("norm"))
+      .groupBy("lang", "label")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(round(col("norm"), 6).cast(DecimalType(18, 6))).cast("double")
+          / count(lit(1)).cast("double"), 4).as("avg_norm"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"), 4)
+          .as("avg_chars"))
+      .orderBy("lang", "label")
+  }
+
+  /** Multimodal binary plumbing: treat content as an opaque binary column
+    * with typed metadata — byte length, content hash, a "frame sample"
+    * (first 8 bytes, base64). Text stands in for image/audio payloads (the
+    * decode step proper is stubbed in graft.multimodal); the Spark-side
+    * schema/projection plumbing is the real thing. */
+  def multimodalBinaryMeta(spark: SparkSession, dir: String): DataFrame = {
+    val blob = col("text").cast("binary")
+    table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(blob).cast("long").as("n_bytes"),
+        md5(blob).as("content_md5"),
+        base64(expr("substring(cast(text as binary), 1, 8)")).as("head8_b64"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "simsearch_topk" -> (simsearchTopk _),
+    "simsearch_lsh" -> (simsearchLsh _),
+    "dedup_embedding" -> (dedupEmbedding _),
+    "multimodal_join_stats" -> (multimodalJoinStats _),
+    "multimodal_binary_meta" -> (multimodalBinaryMeta _))
+
+  val oracleSql: Map[String, String] = Map(
+    "simsearch_topk" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
+             FROM embeddings ORDER BY vec_id LIMIT 10),
+         s AS (SELECT p.probe_id, c.vec_id,
+             round(${cosSql("c.embedding", "p.pe")}, 4) AS cos
+           FROM embeddings c, p WHERE c.vec_id != p.probe_id)
+         SELECT probe_id,
+           CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk,
+           vec_id AS neighbor_id, cos
+         FROM s QUALIFY rk <= 5 ORDER BY probe_id, rk""",
+    "simsearch_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $srpBucketSql AS bucket FROM embeddings),
+         p AS (SELECT vec_id AS probe_id, embedding AS pe, bucket
+             FROM e ORDER BY vec_id LIMIT 10),
+         s AS (SELECT p.probe_id, c.bucket, c.vec_id,
+             round(${cosSql("c.embedding", "p.pe")}, 4) AS cos
+           FROM e c JOIN p ON c.bucket = p.bucket AND c.vec_id != p.probe_id)
+         SELECT probe_id, bucket,
+           CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk,
+           vec_id AS neighbor_id, cos
+         FROM s QUALIFY rk <= 3 ORDER BY probe_id, rk""",
+    "dedup_embedding" ->
+      s"""WITH pr AS (SELECT CAST(a.label AS BIGINT) AS label, a.vec_id AS v1, b.vec_id AS v2,
+             round(${cosSql("a.embedding", "b.embedding")}, 4) AS cos
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id)
+         SELECT label,
+           CAST(row_number() OVER (PARTITION BY label ORDER BY cos DESC, v1, v2) AS BIGINT) AS rk,
+           v1, v2, cos
+         FROM pr QUALIFY rk <= 3 ORDER BY label, rk""",
+    "multimodal_join_stats" ->
+      s"""WITH j AS (SELECT d.lang, CAST(e.label AS BIGINT) AS label, d.n_chars,
+             sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS norm
+           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
+         SELECT lang, label, count(*) AS n,
+           round(CAST(sum(CAST(round(norm, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 4) AS avg_norm,
+           round(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS avg_chars
+         FROM j GROUP BY lang, label ORDER BY lang, label""",
+    "multimodal_binary_meta" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         md5(text) AS content_md5,
+         to_base64(encode(substring(text, 1, 8))) AS head8_b64
+         FROM documents ORDER BY doc_id""")
+}
