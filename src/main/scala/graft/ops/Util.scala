@@ -28,10 +28,14 @@ object Util {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects
       // outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos and truncate
       // to µs (Spark's native precision). Oracle SQL mirrors this with
-      // CAST(ts AS TIMESTAMP) so both engines compare at µs.
+      // CAST(ts AS TIMESTAMP) so both engines compare at µs. Integer div —
+      // double division rounds near .5µs. Test fixtures write µs
+      // timestamps, which arrive as TimestampType and pass through.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** DuckDB FROM-clause for `events` with ts truncated to µs, matching the

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{PipelineOps, Relational}
+
+/** Edge cases the DuckDB oracle never exercises: empty input (ref A5),
+  * single-row top-1 (ref A6's 1-element quirk), zero-match outer joins,
+  * and the semi ⊎ anti partition property. */
+class RelationalEdgeSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def events(rows: EventRow*) = spark.createDataset(rows).toDF
+
+  test("latest snapshot: single-element input returns that element (ref A6 quirk)") {
+    val dir = fixtureDir("events" ->
+      events(EventRow(7, ts("2024-01-05 10:00:00"), 1, "click", 2.5, "{}")))
+    val out = PipelineOps.latestSnapshot(spark, dir).collect()
+    assert(out.length == 1 && out(0).getAs[Long]("event_id") == 7)
+  }
+
+  test("latest snapshot: empty input yields empty result (ref A5 guard)") {
+    val dir = fixtureDir("events" -> events())
+    assert(PipelineOps.latestSnapshot(spark, dir).isEmpty)
+  }
+
+  test("latest snapshot: ts tie broken by event_id desc") {
+    val t = ts("2024-01-05 10:00:00")
+    val dir = fixtureDir("events" -> events(
+      EventRow(1, t, 1, "click", 1.0, "{}"),
+      EventRow(2, t, 2, "view", 2.0, "{}")))
+    assert(PipelineOps.latestSnapshot(spark, dir).collect()(0).getAs[Long]("event_id") == 2)
+  }
+
+  test("left outer join counts zero for customers with no orders") {
+    val dir = fixtureDir(
+      "customer" -> Seq(CustRow(1, "a", 0, 10.0, "B"), CustRow(2, "b", 0, 20.0, "B")).toDF,
+      "orders" -> Seq(OrderRow(100, 1, "O", 50.0, ts("2024-01-01 00:00:00"), "1-URGENT")).toDF)
+    val m = Relational.joinLeftOuter(spark, dir).collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r.getAs[Long]("n_orders")).toMap
+    assert(m == Map(1L -> 1L, 2L -> 0L))
+  }
+
+  test("semi and anti joins partition the left side") {
+    val dir = fixtureDir(
+      "customer" -> (1L to 10L).map(i => CustRow(i, s"c$i", 0, 0.0, "B")).toDF,
+      "orders" -> Seq(
+        OrderRow(1, 2, "O", 1.0, ts("2024-01-01 00:00:00"), "1-URGENT"),
+        OrderRow(2, 5, "F", 1.0, ts("2024-01-02 00:00:00"), "1-URGENT")).toDF)
+    val semi = Relational.joinSemi(spark, dir).collect().map(_.getAs[Long]("c_custkey")).toSet
+    val anti = Relational.joinAnti(spark, dir).collect().map(_.getAs[Long]("c_custkey")).toSet
+    assert(semi == Set(2L))                      // only the open ('O') order counts
+    assert(anti == (1L to 10L).toSet -- Set(2L, 5L))
+    assert((semi intersect anti).isEmpty)
+  }
+
+  test("incremental anti keeps all events for users with no purchase mark") {
+    val dir = fixtureDir("events" -> events(
+      EventRow(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0, "{}"),
+      EventRow(2, ts("2024-01-02 00:00:00"), 1, "purchase", 1.0, "{}"),
+      EventRow(3, ts("2024-01-03 00:00:00"), 1, "view", 1.0, "{}"),
+      EventRow(4, ts("2024-01-01 00:00:00"), 2, "view", 1.0, "{}")))
+    val kept = PipelineOps.incrementalAnti(spark, dir).collect().map(_.getAs[Long]("event_id")).toSet
+    assert(kept == Set(3L, 4L)) // 1,2 are at/before user 1's purchase mark
+  }
+
+  test("approx distinct is exact at small cardinality") {
+    val dir = fixtureDir("events" -> events(
+      (1L to 50L).map(i => EventRow(i, ts("2024-01-01 00:00:00"), i % 7, "click", 1.0, "{}")): _*))
+    val n = Relational.aggApproxDistinct(spark, dir).collect()(0).getAs[Long]("approx_users")
+    assert(n == 7L)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{StreamingModel, Udaf}
+
+class StreamingModelSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def ev(id: Long, t: String, uid: Long = 1, typ: String = "click", v: Double = 1.0) =
+    EventRow(id, ts(t), uid, typ, v, "{}")
+
+  test("session gap: 29-minute gap keeps one session, 31-minute gap splits") {
+    val dir = fixtureDir("events" -> Seq(
+      ev(1, "2024-01-01 10:00:00"),
+      ev(2, "2024-01-01 10:29:00"),          // 29 min → same session
+      ev(3, "2024-01-01 11:00:01"),          // 31:01 after → new session
+      ev(4, "2024-01-01 10:00:00", uid = 2)).toDF)
+    val out = StreamingModel.sessionGap(spark, dir).collect()
+    val u1 = out.filter(_.getAs[Long]("user_id") == 1)
+    assert(u1.length == 2)
+    assert(u1(0).getAs[Long]("n_events") == 2 && u1(0).getAs[Long]("duration_s") == 29 * 60)
+    assert(u1(1).getAs[Long]("n_events") == 1 && u1(1).getAs[Long]("duration_s") == 0)
+    assert(out.count(_.getAs[Long]("user_id") == 2) == 1)
+  }
+
+  test("late filter drops exactly the rows >1h behind the running max") {
+    // arrival order = (user_id, event_id): user 2's old event arrives after
+    // user 1 already advanced the watermark to 12:00
+    val dir = fixtureDir("events" -> Seq(
+      ev(1, "2024-01-01 12:00:00", uid = 1),
+      ev(2, "2024-01-01 10:59:00", uid = 2),   // 61 min behind → dropped
+      ev(3, "2024-01-01 11:01:00", uid = 3)).toDF)  // 59 min behind → kept
+    val dropped = StreamingModel.lateFilter(spark, dir).collect().map(_.getAs[Long]("event_id")).toSet
+    assert(dropped == Set(2L))
+  }
+
+  test("tumbling counts group by aligned hour") {
+    val dir = fixtureDir("events" -> Seq(
+      ev(1, "2024-01-01 10:05:00", v = 1.5),
+      ev(2, "2024-01-01 10:55:00", v = 2.5),
+      ev(3, "2024-01-01 11:00:00", v = 4.0)).toDF)
+    val out = StreamingModel.tumblingCounts(spark, dir).collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("win_start") == "2024-01-01 10:00:00")
+    assert(out(0).getAs[Long]("n") == 2 && out(0).getAs[Double]("sum_value") == 4.0)
+  }
+
+  test("weighted-avg UDAF computes sum(p*q)/sum(q) exactly") {
+    val dir = fixtureDir("lineitem" -> Seq(
+      LineRow(1, 2.0, 10.0, 0.0, 0.0, "A", "F"),
+      LineRow(2, 8.0, 20.0, 0.0, 0.0, "A", "F"),
+      LineRow(3, 1.0, 99.99, 0.0, 0.0, "R", "F")).toDF)
+    val out = Udaf.weightedAvg(spark, dir).collect()
+    val m = out.map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("wavg_price")).toMap
+    assert(m("A") == 18.0) // (2*10 + 8*20) / 10
+    assert(m("R") == 99.99)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, Text}
+
+class TextDedupSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def doc(id: Long, text: String, source: String = "s0", lang: String = "en") =
+    DocRow(id, text, lang, source, text.length.toLong)
+
+  test("exact dedup collapses identical content to min doc_id") {
+    val dir = fixtureDir("documents" -> Seq(
+      doc(3, "a b c"), doc(1, "a b c"), doc(2, "x y")).toDF)
+    val out = Text.dedupExact(spark, dir).collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("doc_id") == 1 && out(0).getAs[Long]("n_copies") == 2)
+    assert(out(1).getAs[Long]("doc_id") == 2 && out(1).getAs[Long]("n_copies") == 1)
+  }
+
+  test("exact dedup is idempotent") {
+    val dir = fixtureDir("documents" -> Seq(
+      doc(1, "a b"), doc(2, "a b"), doc(3, "c")).toDF)
+    val once = Text.dedupExact(spark, dir)
+    val dir2 = fixtureDir("documents" ->
+      once.join(Seq(doc(1, "a b"), doc(2, "a b"), doc(3, "c")).toDF, "doc_id")
+        .select("doc_id", "text", "lang", "source", "n_chars"))
+    val twice = Text.dedupExact(spark, dir2).collect()
+    assert(twice.map(_.getAs[Long]("doc_id")).toSeq == once.collect().map(_.getAs[Long]("doc_id")).toSeq)
+    assert(twice.forall(_.getAs[Long]("n_copies") == 1))
+  }
+
+  test("identical docs in one source have Jaccard 1.0") {
+    val dir = fixtureDir("documents" -> Seq(
+      doc(1, "a b c"), doc(2, "a b c"), doc(3, "q r s t", source = "s1")).toDF)
+    val out = Text.dedupNearJaccard(spark, dir).collect()
+    val s0 = out.find(_.getAs[String]("source") == "s0").get
+    assert(s0.getAs[Long]("n_pairs") == 1 && s0.getAs[Long]("n_near") == 1)
+    assert(s0.getAs[Double]("avg_jac") == 1.0)
+  }
+
+  test("quality score handles single-token documents (no div-by-zero)") {
+    val dir = fixtureDir("documents" -> Seq(doc(1, "join")).toDF)
+    val r = Text.qualityScore(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_tok") == 1)
+    assert(r.getAs[Double]("stop_ratio") == 1.0)
+    assert(r.getAs[Double]("avg_tok_len") == 4.0)
+  }
+
+  test("fingerprint is token-order invariant, distinct-count is not fooled by repeats") {
+    val dir = fixtureDir("documents" -> Seq(
+      doc(1, "a b c"), doc(2, "c b a"), doc(3, "a a a")).toDF)
+    val out = Text.fingerprint(spark, dir).collect()
+    assert(out(0).getAs[String]("fp_minhash") == out(1).getAs[String]("fp_minhash"))
+    assert(out(2).getAs[Long]("n_uniq_tok") == 1)
+  }
+
+  test("minhash LSH surfaces identical docs as verified candidates") {
+    val dir = fixtureDir("documents" -> Seq(
+      doc(1, "a b c d e f"), doc(2, "a b c d e f"), doc(3, "z y x w v u")).toDF)
+    val out = Dedup.minhashLsh(spark, dir).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("n_candidates") >= 1 && out(0).getAs[Long]("n_verified") >= 1)
+  }
+
+  test("simhash buckets identical docs together") {
+    val dir = fixtureDir("documents" -> Seq(
+      doc(1, "a b c d"), doc(2, "a b c d")).toDF)
+    val out = Dedup.simhash(spark, dir).collect()
+    assert(out.length == 1 && out(0).getAs[Long]("n_docs") == 2)
+  }
+
+  test("token top-k breaks count ties by token ascending") {
+    val dir = fixtureDir("documents" -> Seq(doc(1, "b a b a c")).toDF)
+    val out = Text.tokenTopk(spark, dir).collect()
+    assert(out.map(_.getAs[String]("token")).toSeq == Seq("a", "b", "c"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Vector
+
+class VectorSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def emb(id: Long, v: Array[Float], label: Int = 0) = EmbRow(id, v, label)
+  private val e1 = Array(1f, 0f, 0f, 0f)
+  private val e2 = Array(0f, 1f, 0f, 0f)
+
+  test("brute-force top-k: cosine hits 1.0 for identical, 0 for orthogonal, -1 for opposite") {
+    val dir = fixtureDir("embeddings" -> Seq(
+      emb(0, e1), emb(1, e1), emb(2, e2), emb(3, e1.map(-_))).toDF)
+    val rows = Vector.simsearchTopk(spark, dir).collect()
+    val forProbe0 = rows.filter(_.getAs[Long]("probe_id") == 0)
+      .map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Double]("cos")).toMap
+    assert(forProbe0(1L) == 1.0 && forProbe0(2L) == 0.0 && forProbe0(3L) == -1.0)
+    assert(rows.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.0))
+  }
+
+  test("top-k ranking is cos desc with vec_id tie-break") {
+    val dir = fixtureDir("embeddings" -> Seq(
+      emb(0, e1), emb(1, e1), emb(2, e1), emb(3, e2)).toDF)
+    val p0 = Vector.simsearchTopk(spark, dir).collect()
+      .filter(_.getAs[Long]("probe_id") == 0).map(_.getAs[Long]("neighbor_id"))
+    assert(p0.take(2).toSeq == Seq(1L, 2L)) // both cos 1.0 → id asc
+  }
+
+  test("LSH bucket excludes opposite-sign vectors, keeps same-bucket ones") {
+    // 8-dim so the SRP bucket consumes real sign structure
+    val a = Array(1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)
+    val dir = fixtureDir("embeddings" -> Seq(
+      emb(0, a), emb(1, a.map(_ * 2)), emb(2, a.map(-_))).toDF)
+    val out = Vector.simsearchLsh(spark, dir).collect()
+    val n0 = out.filter(_.getAs[Long]("probe_id") == 0).map(_.getAs[Long]("neighbor_id")).toSet
+    assert(n0 == Set(1L)) // 2 is in the opposite bucket — never a candidate
+  }
+
+  test("LSH candidates are a subset of brute-force candidates with equal scores") {
+    val dir = fixtureDir("embeddings" ->
+      (0L until 6L).map(i => emb(i, Array.tabulate(8)(j => ((i + j) % 3 - 1).toFloat + 0.5f))).toDF)
+    val brute = Vector.simsearchTopk(spark, dir).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cos")).toMap
+    val lsh = Vector.simsearchLsh(spark, dir).collect()
+    lsh.foreach { r =>
+      val key = (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))
+      brute.get(key).foreach(c => assert(c == r.getAs[Double]("cos")))
+    }
+  }
+
+  test("multimodal binary meta: byte length and md5 match the utf8 payload") {
+    val dir = fixtureDir("documents" -> Seq(DocRow(1, "abc", "en", "s0", 3)).toDF)
+    val r = Vector.multimodalBinaryMeta(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_bytes") == 3)
+    assert(r.getAs[String]("content_md5") == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
+  }
+}
