@@ -1,0 +1,60 @@
+package graft.sources
+
+import java.util.Properties
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** JDBC source/sink for SQL Server–shaped endpoints — the Spark analog of
+  * the reference's `sqlcmd` RESTORE/DROP/GRANT stanzas
+  * (`src/bak_unload.ps1:90-112`). The snapshot-overwrite write preserves
+  * the reference's contract: a re-run after a crash overwrites cleanly
+  * (at-least-once + idempotent overwrite, ref A11/A12/A14).
+  *
+  * Scale notes: reads are range-partitioned so every executor pulls its own
+  * slice; writes batch inserts and parallelize across `numPartitions`
+  * connections. Untestable against a live server in this environment —
+  * covered by construction-level unit tests only.
+  */
+object JdbcSnapshot {
+
+  /** Partitioned read: WHERE <partitionColumn> ranges split across
+    * `numPartitions` executor-side connections. */
+  def readTable(
+      spark: SparkSession, url: String, table: String,
+      partitionColumn: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int, props: Properties = new Properties()): DataFrame =
+    spark.read
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+      .jdbc(url, table, props)
+
+  /** Snapshot-overwrite load (ref A11+A12): truncate-and-reload keeps the
+    * target's DDL/grants (the reference re-grants after every RESTORE
+    * because DROP destroys principals — truncate avoids the problem, but
+    * [[grantReader]] is still provided for parity). */
+  def snapshotOverwrite(
+      df: DataFrame, url: String, table: String,
+      numPartitions: Int = 8, batchSize: Int = 10000,
+      props: Properties = new Properties()): Unit =
+    df.repartition(numPartitions)
+      .write.mode(SaveMode.Overwrite)
+      .option("truncate", value = true)
+      .option("batchsize", batchSize)
+      .jdbc(url, table, props)
+
+  /** Ref A13: idempotent catalog DDL (IF NOT EXISTS guard) as a raw JDBC
+    * side-effect hook — no DataFrame analog exists for DDL. */
+  def grantReader(url: String, props: Properties, user: String, db: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        s"""IF NOT EXISTS (SELECT name FROM sys.database_principals WHERE name = '$user')
+           BEGIN
+             CREATE USER [$user] FOR LOGIN [$user];
+             ALTER ROLE db_datareader ADD MEMBER [$user];
+           END""")
+    } finally conn.close()
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingDemo
+
+/** Drives the real incremental runtime through MemoryStream and asserts the
+  * watermark drop rule matches the batch model in StreamingModel. */
+class StreamingDemoSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("watermark closes windows and drops late rows (real streaming runtime)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val events = ms.toDF.toDF("ts", "event_type", "value")
+    val q = StreamingDemo.windowedCounts(events)
+      .writeStream.format("memory").queryName("wm_test").outputMode("append").start()
+    try {
+      // batch 1: two rows in the 10:00 window, then 12:30 advances the
+      // max event time → watermark 11:30 closes the 10:00 window
+      ms.addData((ts("2024-01-01 10:00:00"), "click", 1.0),
+        (ts("2024-01-01 10:30:00"), "click", 2.0),
+        (ts("2024-01-01 12:30:00"), "click", 4.0))
+      q.processAllAvailable()
+      // batch 2: 10:45 is behind the 11:30 watermark → dropped;
+      // 14:30 advances the watermark to 13:30, closing the 12:00 window
+      ms.addData((ts("2024-01-01 10:45:00"), "click", 100.0),
+        (ts("2024-01-01 14:30:00"), "click", 8.0))
+      q.processAllAvailable()
+      val closed = spark.table("wm_test").collect()
+        .map(r => r.getAs[Timestamp]("win_start").toString -> r.getAs[Long]("n")).toMap
+      assert(closed("2024-01-01 10:00:00.0") == 2)   // late 10:45 row NOT counted
+      assert(closed("2024-01-01 12:00:00.0") == 1)
+    } finally q.stop()
+  }
+}
