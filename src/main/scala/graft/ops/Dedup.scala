@@ -48,16 +48,17 @@ object Dedup {
       .select(col("a.source").as("source"), col("a.doc_id").as("d1"),
         col("b.doc_id").as("d2"))
       .distinct()
-    val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("ntok"))
-    val inter = cand
-      .join(tok.select(col("doc_id").as("d1"), col("token")), "d1")
-      .join(tok.select(col("doc_id").as("dd2"), col("token").as("token2")),
-        col("d2") === col("dd2") && col("token") === col("token2"))
-      .groupBy("source", "d1", "d2")
-      .agg(count(lit(1)).as("inter"))
-    val jac = inter
-      .join(cnt.select(col("doc_id").as("d1"), col("ntok").as("n1")), "d1")
-      .join(cnt.select(col("doc_id").as("d2"), col("ntok").as("n2")), "d2")
+    // Verify candidates against per-doc token SETS (array_intersect per
+    // pair) instead of a candidate×token join — candidates already share a
+    // min-hash, so intersection is never empty.
+    val sets = table(spark, dir, "documents").select(
+      col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    val jac = cand
+      .join(sets.select(col("doc_id").as("d1"), col("toks").as("t1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("toks").as("t2")), "d2")
+      .select(col("source"),
+        size(array_intersect(col("t1"), col("t2"))).as("inter"),
+        size(col("t1")).as("n1"), size(col("t2")).as("n2"))
       .withColumn("jac",
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")).cast("double"))
     jac.groupBy("source")

@@ -15,6 +15,23 @@ import Util._
   */
 object Relational {
 
+  // ---- scan -----------------------------------------------------------
+
+  /** Projection + range filter that must reach the parquet scan: Catalyst
+    * pushes the l_shipdate bounds into PushedFilters and prunes ReadSchema
+    * to the 5 output columns (asserted in PlanSpec). At 100 TB this is the
+    * difference between scanning a year and scanning everything. */
+  def scanProjectFilter(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp_ntz(lit("1996-01-01 00:00:00"))
+    val hi = to_timestamp_ntz(lit("1997-01-01 00:00:00"))
+    table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        dateS(col("l_shipdate")).as("ship_date"),
+        col("l_quantity"), col("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   // ---- joins ----------------------------------------------------------
 
   /** Fact-to-fact equi join; at scale this is a shuffle (sort-merge or
@@ -231,6 +248,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_project_filter" -> (scanProjectFilter _),
     "join_inner_hash" -> (joinInnerHash _),
     "join_broadcast_dim" -> (joinBroadcastDim _),
     "join_left_outer" -> (joinLeftOuter _),
@@ -249,6 +267,14 @@ object Relational {
     "set_union_except" -> (setUnionExcept _))
 
   val oracleSql: Map[String, String] = Map(
+    "scan_project_filter" ->
+      """SELECT l_orderkey, l_linenumber,
+         strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+         l_quantity, l_extendedprice
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         ORDER BY l_orderkey, l_linenumber""",
     "join_inner_hash" ->
       """SELECT o_orderstatus, count(*) AS n,
          round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4))) AS DOUBLE), 4) AS revenue

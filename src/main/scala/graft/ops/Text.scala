@@ -130,22 +130,21 @@ object Text {
     * is exact int/int double math; the per-source mean uses a decimal
     * accumulator. */
   def dedupNearJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val tok = docs(spark, dir).select(
+    // Pair generation carries each doc's distinct-token SET (array) instead
+    // of exploding to token rows: the block self-join emits |block|²/2 rows
+    // once, and |∩| is a per-pair array_intersect — no token-level shuffle,
+    // ~2× less work than the explode+equi-join formulation with identical
+    // set semantics (the oracle still computes it the unnest way).
+    val sets = docs(spark, dir).select(
       col("doc_id"), col("source"),
-      explode(array_distinct(split(col("text"), " "))).as("token"))
-    val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("ntok"))
-    val inter = tok.alias("a")
-      .join(tok.alias("b"),
-        col("a.source") === col("b.source") &&
-          col("a.token") === col("b.token") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.source").as("source"), col("a.doc_id").as("d1"),
-        col("b.doc_id").as("d2"))
-      .groupBy("source", "d1", "d2")
-      .agg(count(lit(1)).as("inter"))
-    val jac = inter
-      .join(cnt.select(col("doc_id").as("d1"), col("ntok").as("n1")), "d1")
-      .join(cnt.select(col("doc_id").as("d2"), col("ntok").as("n2")), "d2")
+      array_distinct(split(col("text"), " ")).as("toks"))
+    val jac = sets.alias("a")
+      .join(sets.alias("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.source").as("source"),
+        size(array_intersect(col("a.toks"), col("b.toks"))).as("inter"),
+        size(col("a.toks")).as("n1"), size(col("b.toks")).as("n2"))
+      .filter(col("inter") >= 1)   // the unnest-join oracle only sees pairs sharing a token
       .withColumn("jac",
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")).cast("double"))
     jac.groupBy("source")

@@ -27,11 +27,16 @@ object Vector {
   private def l2(a: Column): Column =
     sqrt(aggregate(transform(a, x => x.cast("double")), lit(0.0), (acc, x) => acc + x * x))
 
-  private def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
-    dot / (l2(a) * l2(b))
-  }
+
+  /** Cosine with both norms precomputed per row BEFORE pair generation —
+    * O(n·d) norm work instead of O(pairs·d); the doubles are identical to
+    * computing norms per pair, so the oracle (which norms per pair) still
+    * hash-matches. */
+  private def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
 
   /** DuckDB spelling of [[cosine]] with identical op order. */
   private def cosSql(a: String, b: String): String = {
@@ -47,12 +52,14 @@ object Vector {
     * so the plan has no corpus shuffle at any scale. */
   def simsearchTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
+      .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
     val probes = e.orderBy("vec_id").limit(10)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
-    val scored = e.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(probes))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nrm").as("p_nrm"))
+    val scored = e.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cos", round(cosine(col("embedding"), col("p_emb")), 4))
+      .withColumn("cos", round(
+        cosinePre(col("embedding"), col("p_emb"), col("nrm"), col("p_nrm")), 4))
     val w = Window.partitionBy("probe_id").orderBy(desc("cos"), col("vec_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 5)
@@ -75,13 +82,15 @@ object Vector {
     * approximate counterpart of [[simsearchTopk]]. */
   def simsearchLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).withColumn("bucket", srpBucket(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("bucket"),
+        l2(col("embedding")).as("nrm"))
     val probes = e.orderBy("vec_id").limit(10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
-        col("bucket"))
-    val scored = e.select(col("vec_id"), col("embedding"), col("bucket"))
-      .join(broadcast(probes), "bucket")
+        col("bucket"), col("nrm").as("p_nrm"))
+    val scored = e.join(broadcast(probes), "bucket")
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cos", round(cosine(col("embedding"), col("p_emb")), 4))
+      .withColumn("cos", round(
+        cosinePre(col("embedding"), col("p_emb"), col("nrm"), col("p_nrm")), 4))
     val w = Window.partitionBy("probe_id").orderBy(desc("cos"), col("vec_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)
@@ -96,13 +105,16 @@ object Vector {
     * blocked-pairwise plan). */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        l2(col("embedding")).as("nrm"))
     val pairs = e.alias("a")
       .join(e.alias("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.label").cast("long").as("label"),
         col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 4).as("cos"))
+        round(cosinePre(col("a.embedding"), col("b.embedding"),
+          col("a.nrm"), col("b.nrm")), 4).as("cos"))
     val w = Window.partitionBy("label").orderBy(desc("cos"), col("v1"), col("v2"))
     pairs.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{PipelineOps, Relational, Vector}
+
+/** Physical-plan assertions on the real sf0.001 tables: the properties
+  * that decide whether a plan survives a 100×–1000× scale-up. Locking them
+  * in as tests means a refactor that silently de-optimizes (drops a
+  * pushdown, loses a broadcast, full-sorts a top-k) fails CI, not the
+  * cluster. */
+class PlanSpec extends AnyFunSuite with SparkFixture {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("scan_project_filter pushes the range filter into the parquet scan") {
+    val p = plan(Relational.scanProjectFilter(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"range filter not pushed:\n$p")
+  }
+
+  test("scan_project_filter prunes ReadSchema to the referenced columns") {
+    val p = plan(Relational.scanProjectFilter(spark, dir))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_comment") && !read.contains("l_returnflag") &&
+      read.contains("l_shipdate") && read.contains("l_extendedprice"),
+      s"columns not pruned: $read")
+  }
+
+  test("dimension lookups broadcast (fact side never shuffles)") {
+    val p = plan(Relational.joinBroadcastDim(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dimension join degraded to SMJ:\n$p")
+  }
+
+  test("latest-snapshot top-1 is TakeOrderedAndProject, not a global sort") {
+    val p = plan(PipelineOps.latestSnapshot(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"top-1 plans a full sort:\n$p")
+  }
+
+  test("multi-key sort+limit is TakeOrderedAndProject") {
+    val p = plan(Relational.sortMultikeyLimit(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"limit not fused into sort:\n$p")
+  }
+
+  test("incremental anti-check broadcasts the tiny state side") {
+    val p = plan(PipelineOps.incrementalAnti(spark, dir))
+    assert(p.contains("Broadcast") && p.contains("LeftAnti"), s"state join not broadcast:\n$p")
+  }
+
+  test("brute-force simsearch broadcasts the probe side") {
+    val p = plan(Vector.simsearchTopk(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"probes not broadcast:\n$p")
+  }
+
+  test("pricing summary aggregates map-side (partial) before the shuffle") {
+    val p = plan(Relational.aggPricingSummary(spark, dir))
+    assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial+final agg pair:\n$p")
+  }
+
+  test("whole-stage codegen covers the pricing-summary pipeline") {
+    // AQE prints the final plan (with codegen stages) only after execution
+    val df = Relational.aggPricingSummary(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen stages render as "*(n) Operator" in the final plan string
+    assert(p.contains("*(") , s"codegen absent:\n$p")
+  }
+}
