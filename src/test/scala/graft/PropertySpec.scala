@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops.{Relational, Text}
+import graft.multimodal.MultimodalOps
+
+/** Algebraic invariants over generated inputs (SURVEY §5.2): properties
+  * that hold for every input, not just the fixtures. Spark jobs per case
+  * are expensive, so each property runs 5 deterministic ScalaCheck samples
+  * (the scalatest bridge artifact isn't in the offline cache — generators
+  * are driven directly with fixed seeds). */
+class PropertySpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  /** Run `body` over 5 deterministic samples of `gen`. */
+  private def forAll[A](gen: Gen[A])(body: A => Unit): Unit =
+    (1 to 5).foreach { i =>
+      val sample = gen.pureApply(Gen.Parameters.default.withSize(12), Seed(42L + i))
+      withClue(s"[seed=${42 + i}] $sample: ")(body(sample))
+    }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  private val wordGen = Gen.oneOf("join", "scan", "sort", "agg", "merge", "probe")
+  private val textGen = Gen.nonEmptyListOf(wordGen).map(_.mkString(" "))
+  private val docsGen = Gen.nonEmptyListOf(textGen).map(_.zipWithIndex.map {
+    case (t, i) => DocRow(i.toLong, t, "en", s"src${i % 2}", t.length.toLong)
+  })
+
+  test("dedup is idempotent: survivors are unique and re-dedup is identity") {
+    forAll(docsGen) { docs =>
+      val dir = fixtureDir("documents" -> docs.toDF)
+      val out = Text.dedupExact(spark, dir).collect()
+      val hashes = out.map(_.getAs[String]("h"))
+      assert(hashes.distinct.length == hashes.length)
+      assert(out.map(_.getAs[Long]("n_copies")).sum == docs.length)
+      // survivor is the min doc_id of its content group
+      val byText = docs.groupBy(_.text.trim.toLowerCase).values
+        .map(_.map(_.doc_id).min).toSet
+      assert(out.map(_.getAs[Long]("doc_id")).toSet == byText)
+    }
+  }
+
+  test("semi ⊎ anti partitions the left side for any order set") {
+    val ordersGen = Gen.listOf(Gen.chooseNum(1L, 8L)).map(_.zipWithIndex.map {
+      case (ck, i) => OrderRow(i.toLong, ck, "O", 1.0, ts("2024-01-01 00:00:00"), "1-URGENT")
+    })
+    forAll(ordersGen) { orders =>
+      val custs = (1L to 8L).map(i => CustRow(i, s"c$i", 0, 0.0, "B"))
+      val dir = fixtureDir("customer" -> custs.toDF, "orders" -> orders.toDF)
+      val semi = Relational.joinSemi(spark, dir).collect().map(_.getAs[Long]("c_custkey")).toSet
+      val anti = Relational.joinAnti(spark, dir).collect().map(_.getAs[Long]("c_custkey")).toSet
+      assert((semi union anti) == custs.map(_.c_custkey).toSet)
+      assert((semi intersect anti).isEmpty)
+      assert(semi == orders.map(_.o_custkey).toSet) // all generated orders are 'O'
+    }
+  }
+
+  test("running sum's last row per user equals the user's total") {
+    val evGen = Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(1, 9999)))
+      .map(_.zipWithIndex.map { case ((uid, cents), i) =>
+        EventRow(i.toLong, ts(f"2024-01-01 ${i % 24}%02d:00:00"), uid, "click",
+          cents / 100.0, "{}")
+      })
+    forAll(evGen) { evs =>
+      val dir = fixtureDir("events" -> evs.toDF)
+      val out = Relational.windowRunningSum(spark, dir).collect()
+      val lastPerUser = out.groupBy(_.getAs[Long]("user_id"))
+        .map { case (u, rows) => u -> rows.last.getAs[Double]("running") }
+      val expected = evs.groupBy(_.user_id)
+        .map { case (u, rows) => u -> rows.map(e => BigDecimal(e.value)).sum.toDouble }
+      lastPerUser.foreach { case (u, r) => assert(math.abs(r - expected(u)) < 1e-9) }
+    }
+  }
+
+  test("token top-k counts sum to the corpus token count") {
+    forAll(docsGen) { docs =>
+      val dir = fixtureDir("documents" -> docs.toDF)
+      val out = Text.tokenTopk(spark, dir).collect()
+      // vocabulary is 6 words < k=20, so top-k covers every token
+      assert(out.map(_.getAs[Long]("n")).sum == docs.map(_.text.split(" ").length).sum)
+      assert(out.sliding(2).forall {
+        case Array(a, b) =>
+          val (na, nb) = (a.getAs[Long]("n"), b.getAs[Long]("n"))
+          na > nb || (na == nb && a.getAs[String]("token") < b.getAs[String]("token"))
+        case _ => true
+      })
+    }
+  }
+
+  test("stub decoder features are pure in the payload bytes") {
+    forAll(Gen.listOf(Gen.alphaNumStr.suchThat(_.nonEmpty))) { payloads =>
+      whenever(payloads.nonEmpty) {
+        val recs = payloads.zipWithIndex.map { case (p, i) =>
+          graft.multimodal.MediaRecord(i.toLong, "image", p.getBytes("UTF-8"), Map())
+        }
+        val out = MultimodalOps.decodeAndFeaturize(spark.createDataset(recs), 4)
+          .collect().sortBy(_.id)
+        payloads.zipWithIndex.foreach { case (p, i) =>
+          assert(out(i).features.toSeq ==
+            MultimodalOps.FakeDecoder.features(p.getBytes("UTF-8")).toSeq)
+        }
+      }
+    }
+  }
+}
