@@ -24,12 +24,13 @@ object Vector {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "embeddings")
 
-  private def l2(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double")), lit(0.0), (acc, x) => acc + x * x))
-
+  // Fused codegen'd loop (graft.functions.DotProductFloat): bit-identical
+  // to the zip_with+aggregate HOF formulation (same left-to-right double
+  // accumulation) but stays inside whole-stage codegen.
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProductFloat.dotF(a, b)
+
+  private def l2(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine with both norms precomputed per row BEFORE pair generation —
     * O(n·d) norm work instead of O(pairs·d); the doubles are identical to
