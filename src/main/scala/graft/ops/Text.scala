@@ -130,20 +130,41 @@ object Text {
     * is exact int/int double math; the per-source mean uses a decimal
     * accumulator. */
   def dedupNearJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // Pair generation carries each doc's distinct-token SET (array) instead
-    // of exploding to token rows: the block self-join emits |block|²/2 rows
-    // once, and |∩| is a per-pair array_intersect — no token-level shuffle,
-    // ~2× less work than the explode+equi-join formulation with identical
-    // set semantics (the oracle still computes it the unnest way).
-    val sets = docs(spark, dir).select(
-      col("doc_id"), col("source"),
+    // Pair generation carries each doc's distinct-token SET instead of
+    // exploding to token rows: the block self-join emits |block|²/2 rows
+    // once and |∩| is computed per pair — no token-level shuffle. Two
+    // encodings, chosen adaptively (a planning-time scalar, like AQE):
+    //   * vocabulary ≤ 64 → dictionary-encode each set as ONE long bitmask;
+    //     |∩| = bit_count(m1 & m2): the per-pair work collapses to two
+    //     64-bit ops (dictionary encoding, the columnar engine's trick);
+    //   * otherwise → sorted string arrays + array_intersect (general path).
+    // Identical set semantics either way — the oracle still computes it
+    // the unnest-join way.
+    val d = docs(spark, dir)
+    val toks = d.select(col("doc_id"), col("source"),
       array_distinct(split(col("text"), " ")).as("toks"))
+    val vocabSize = d.select(explode(split(col("text"), " ")).as("t"))
+      .agg(countDistinct(col("t"))).collect()(0).getLong(0)
+    val sets =
+      if (vocabSize <= 64) {
+        val dict = d.select(explode(split(col("text"), " ")).as("token")).distinct()
+          .withColumn("bit", (row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy("token")) - 1).cast("long"))
+        toks.select(col("doc_id"), col("source"), explode(col("toks")).as("token"))
+          .join(broadcast(dict), "token")
+          .groupBy("doc_id", "source")
+          .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).as("mask"),
+            count(lit(1)).as("n"))
+      } else toks.select(col("doc_id"), col("source"), col("toks").as("mask"),
+        size(col("toks")).cast("long").as("n"))
+    val interExpr =
+      if (vocabSize <= 64) bit_count(col("a.mask").bitwiseAND(col("b.mask"))).cast("long")
+      else size(array_intersect(col("a.mask"), col("b.mask"))).cast("long")
     val jac = sets.alias("a")
       .join(sets.alias("b"),
         col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.source").as("source"),
-        size(array_intersect(col("a.toks"), col("b.toks"))).as("inter"),
-        size(col("a.toks")).as("n1"), size(col("b.toks")).as("n2"))
+      .select(col("a.source").as("source"), interExpr.as("inter"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
       .filter(col("inter") >= 1)   // the unnest-join oracle only sees pairs sharing a token
       .withColumn("jac",
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")).cast("double"))
