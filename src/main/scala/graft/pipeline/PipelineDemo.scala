@@ -27,6 +27,20 @@ object PipelineDemo {
     println(s"[pipeline-demo] run2 -> ${p.run(spark)}")
     Files.write(Paths.get(dir, "snap_2024-01-05.zip"), "y".getBytes)
     println(s"[pipeline-demo] run3 -> ${p.run(spark)}")
+    // A8–A10: a real zip lands, entries explode executor-side, and the
+    // .bak inside is picked by deterministic max (not the reference's
+    // iteration-order last-wins)
+    val zipDir = Files.createTempDirectory("graft-demo-zip").toString
+    val zout = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(s"$zipDir/snap.zip"))
+    Seq("db_2024-01-02.bak", "db_2024-01-07.bak", "notes.txt").foreach { e =>
+      zout.putNextEntry(new java.util.zip.ZipEntry(e))
+      zout.write("payload".getBytes); zout.closeEntry()
+    }
+    zout.close()
+    val picked = graft.sources.ZipArchives
+      .latestEntryMatching(spark, zipDir, ".bak").collect()(0)
+    println(s"[pipeline-demo] extract-pick -> ${picked.getAs[String]("entry")}")
     spark.stop()
   }
 }

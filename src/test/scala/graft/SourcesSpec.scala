@@ -1,0 +1,59 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, FileOutputStream}
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Skew
+import graft.sources.ZipArchives
+
+class SourcesSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def writeZip(dir: String, name: String, entries: (String, String)*): Unit = {
+    val out = new ZipOutputStream(new FileOutputStream(s"$dir/$name"))
+    entries.foreach { case (en, content) =>
+      out.putNextEntry(new ZipEntry(en))
+      out.write(content.getBytes("UTF-8"))
+      out.closeEntry()
+    }
+    out.close()
+  }
+
+  test("zip source explodes entries across archives with exact contents") {
+    val dir = Files.createTempDirectory("graft-zips").toString
+    writeZip(dir, "a.zip", "db_2024-01-01.bak" -> "payload-a", "readme.txt" -> "meta")
+    writeZip(dir, "b.zip", "db_2024-01-02.bak" -> "payload-bb")
+    Files.write(java.nio.file.Paths.get(dir, "noise.txt"), "x".getBytes) // glob-filtered out
+    val rows = ZipArchives.readEntries(spark, dir).collect().sortBy(r => (r.archive, r.entry))
+    assert(rows.map(r => (r.archive, r.entry, r.n_bytes)).toSeq == Seq(
+      ("a.zip", "db_2024-01-01.bak", 9L), ("a.zip", "readme.txt", 4L),
+      ("b.zip", "db_2024-01-02.bak", 10L)))
+    assert(new String(rows(2).content) == "payload-bb")
+  }
+
+  test("latest matching entry is the deterministic max, not last-wins (ref A10 fix)") {
+    val dir = Files.createTempDirectory("graft-zips2").toString
+    writeZip(dir, "a.zip", "db_2024-01-03.bak" -> "x", "db_2024-01-09.bak" -> "y",
+      "db_2024-01-05.bak" -> "z", "notes.txt" -> "n")
+    val r = ZipArchives.latestEntryMatching(spark, dir, ".bak").collect()
+    assert(r.length == 1 && r(0).getAs[String]("entry") == "db_2024-01-09.bak")
+  }
+
+  test("salted equi join equals the plain join for any salt factor") {
+    val big = (1L to 200L).map(i => (i % 3 + 1, s"v$i")).toDF("k", "v") // skewed: 3 hot keys
+    val small = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "never-matched")).toDF("k", "name")
+    val plain = big.join(small, "k").collect().map(_.toSeq).toSet
+    for (factor <- Seq(1, 4, 16)) {
+      val salted = Skew.saltedEquiJoin(big, small, "k", factor).collect().map(_.toSeq).toSet
+      assert(salted == plain, s"factor=$factor changed the join result")
+    }
+  }
+
+  test("top-key share sketch surfaces the hot keys in order") {
+    val df = (Seq.fill(50)(7L) ++ Seq.fill(20)(3L) ++ (100L to 109L)).toDF("k")
+    val top = Skew.topKeyShare(df, org.apache.spark.sql.functions.col("k"), 2).collect()
+    assert(top.map(r => (r.getAs[Long]("key"), r.getAs[Long]("n"))).toSeq ==
+      Seq((7L, 50L), (3L, 20L)))
+  }
+}
