@@ -100,6 +100,41 @@ object Vector {
       .orderBy("probe_id", "rk")
   }
 
+  /** IVF-style ANN: 16 coarse centroids (deterministic sample — the 16
+    * lowest vec_ids; production would k-means them), every vector assigned
+    * to its max-cosine centroid (argmax over a broadcast 16-row table —
+    * a map-side op), probes search ONLY their own cell. Corpus scan cost
+    * per probe drops from n to n/cells; the inverted-file structure is the
+    * standard billion-vector layout (cells = partitions at 100 TB). */
+  def simsearchIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+      .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
+    val cents = e.orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val rnW = Window.partitionBy("vec_id")
+      .orderBy(desc("cos_c"), col("c_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cos_c",
+        cosinePre(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
+      .withColumn("rn", row_number().over(rnW))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("cell"))
+    val probes = assigned.orderBy("vec_id").limit(10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nrm").as("p_nrm"), col("cell"))
+    val scored = assigned.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(
+        cosinePre(col("embedding"), col("p_emb"), col("nrm"), col("p_nrm")), 4))
+    val w = Window.partitionBy("probe_id").orderBy(desc("cos"), col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("probe_id"), col("cell"), col("rk"),
+        col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("probe_id", "rk")
+  }
+
   /** Embedding near-dup: top-3 most-similar pairs per label block (the
     * corpus has no true near-dups — max intra-label cosine ≈ 0.48 — so a
     * threshold query would be empty; top-k per block exercises the same
@@ -162,6 +197,7 @@ object Vector {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "simsearch_topk" -> (simsearchTopk _),
     "simsearch_lsh" -> (simsearchLsh _),
+    "simsearch_ivf" -> (simsearchIvf _),
     "dedup_embedding" -> (dedupEmbedding _),
     "multimodal_join_stats" -> (multimodalJoinStats _),
     "multimodal_binary_meta" -> (multimodalBinaryMeta _))
@@ -188,6 +224,28 @@ object Vector {
            CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk,
            vec_id AS neighbor_id, cos
          FROM s QUALIFY rk <= 3 ORDER BY probe_id, rk""",
+    "simsearch_ivf" -> {
+      def dot(a: String, b: String) =
+        s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      s"""WITH e AS (SELECT vec_id, embedding,
+             sqrt(${dot("embedding", "embedding")}) AS nrm FROM embeddings),
+         c AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+             FROM e ORDER BY vec_id LIMIT 16),
+         asg AS (SELECT vec_id, embedding, nrm, cell FROM (
+             SELECT e.vec_id, e.embedding, e.nrm, c.c_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${dot("e.embedding", "c.c_emb")} / (e.nrm * c.c_nrm) DESC, c.c_id) AS rn
+             FROM e, c) WHERE rn = 1),
+         p AS (SELECT vec_id AS probe_id, embedding AS p_emb, nrm AS p_nrm, cell
+             FROM asg ORDER BY vec_id LIMIT 10),
+         s AS (SELECT p.probe_id, a.cell, a.vec_id,
+             round(${dot("a.embedding", "p.p_emb")} / (a.nrm * p.p_nrm), 4) AS cos
+           FROM asg a JOIN p ON a.cell = p.cell AND a.vec_id != p.probe_id)
+         SELECT probe_id, cell,
+           CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk,
+           vec_id AS neighbor_id, cos
+         FROM s QUALIFY rk <= 3 ORDER BY probe_id, rk"""
+    },
     "dedup_embedding" ->
       s"""WITH pr AS (SELECT CAST(a.label AS BIGINT) AS label, a.vec_id AS v1, b.vec_id AS v2,
              round(${cosSql("a.embedding", "b.embedding")}, 4) AS cos

@@ -1,7 +1,8 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Column ⇄ catalyst Expression bridge. Spark 4 gates these conversions as
@@ -11,4 +12,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a native expression on a LIVE session's function registry —
+    * the runtime counterpart of builder-time SparkSessionExtensions
+    * (which only applies to sessions built after the config is set). */
+  def registerFunction(
+      spark: SparkSession, name: String, className: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      new FunctionIdentifier(name), new ExpressionInfo(className, name), builder)
 }

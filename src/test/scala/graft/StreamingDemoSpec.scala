@@ -34,4 +34,27 @@ class StreamingDemoSpec extends AnyFunSuite with SparkFixture {
       assert(closed("2024-01-01 12:00:00.0") == 1)
     } finally q.stop()
   }
+
+  test("flatMapGroupsWithState sessionizer emits a session on event-time timeout") {
+    import graft.streaming.Sessionize
+    import graft.streaming.Sessionize.SessEvent
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[SessEvent]
+    val q = Sessionize.sessionize(ms.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_test").outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart → one open session
+      ms.addData(SessEvent(1, ts("2024-01-01 10:00:00")), SessEvent(1, ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      // user 2 advances event time; the NEXT batch runs with watermark
+      // 11:30 > user 1's timeout (10:40) → session times out and emits
+      ms.addData(SessEvent(2, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      ms.addData(SessEvent(2, ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("sess_test").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("n_events"), r.getAs[Long]("duration_s")))
+      assert(out.contains((1L, 2, 600L)), s"user 1 session not emitted: ${out.mkString(",")}")
+    } finally q.stop()
+  }
 }
