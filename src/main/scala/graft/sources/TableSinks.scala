@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table-layout sinks for the 100 TB path. The testdata is one file per
+  * table; at scale layout IS performance: date-partitioned directories
+  * give partition pruning (the `events` case — SURVEY §4.2), in-file
+  * ordering gives min/max-statistics row-group skipping, and bounded file
+  * sizes keep task granularity sane.
+  */
+object TableSinks {
+
+  /** Write `df` date-partitioned by `tsCol`'s day with files sorted on
+    * `sortCols`: `<path>/p_date=YYYY-MM-DD/part-*.parquet`. Readers
+    * filtering on p_date prune whole directories before any IO. */
+  def writeDatePartitioned(
+      df: DataFrame, tsCol: String, path: String,
+      sortCols: Seq[String], maxRecordsPerFile: Long = 5000000L): Unit =
+    df.withColumn("p_date", to_date(col(tsCol)))
+      .repartition(col("p_date"))                       // one shuffle: co-locate days
+      .sortWithinPartitions(sortCols.map(col): _*)      // row-group stats skipping
+      .write
+      .partitionBy("p_date")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+      .parquet(path)
+
+  /** Read back with partition pruning; `dayPredicate` hits only matching
+    * `p_date=` directories (verify via explain: PartitionFilters). */
+  def readDatePartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

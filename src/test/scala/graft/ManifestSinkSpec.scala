@@ -1,0 +1,43 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+import graft.sources.{Manifest, TableSinks}
+
+class ManifestSinkSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("manifest parse: split/substring semantics incl. noise filtering (ref A2/A3)") {
+    val lines = Seq(
+      "INFO: snap_2024-01-03.zip; Content Length: 1234",
+      "INFO: snap_2024-01-09.zip; Content Length: 99",
+      "INFO: notes.txt; Content Length: 5",
+      "Elapsed Time (Minutes): 0.1",      // azcopy noise: the ref would mis-parse this
+      "INFO: snap_2024-01-05.zip; Content Length: 7").toDF("value")
+    val parsed = Manifest.parse(lines).collect()
+    assert(parsed.length == 4)
+    assert(parsed(0).getAs[String]("name") == "snap_2024-01-03.zip")
+    assert(parsed(0).getAs[Long]("content_length") == 1234L)
+    val top = Manifest.latest(Manifest.parse(lines), ".zip").collect()
+    assert(top.length == 1 && top(0).getAs[String]("name") == "snap_2024-01-09.zip")
+  }
+
+  test("date-partitioned sink prunes partitions on read") {
+    val events = (1 to 48).map { i =>
+      EventRow(i.toLong, ts(f"2024-01-${i % 4 + 1}%02d 10:00:00"), 1, "click", 1.0, "{}")
+    }
+    val out = Files.createTempDirectory("graft-sink").toString + "/events"
+    TableSinks.writeDatePartitioned(events.toDF, "ts", out, Seq("event_id"))
+    val back = TableSinks.readDatePartitioned(spark, out)
+      .filter(col("p_date") === "2024-01-02")
+    assert(back.count() == 12)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(p_date"),
+      s"no partition pruning:\n$plan")
+    // directory layout on disk is the pruning unit
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("p_date=2024-01-01", "p_date=2024-01-02",
+      "p_date=2024-01-03", "p_date=2024-01-04"))
+  }
+}
