@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product_float"),
       new ExpressionInfo(classOf[DotProductFloat].getName, "dot_product_float"),
       GraftExtensions.dotBuilder))
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
 

@@ -13,6 +13,13 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataFrame from a (possibly custom) logical plan — Dataset.ofRows is
+    * private[sql] in Spark 4. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a native expression on a LIVE session's function registry —
     * the runtime counterpart of builder-time SparkSessionExtensions
     * (which only applies to sessions built after the config is set). */
