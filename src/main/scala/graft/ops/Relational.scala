@@ -189,6 +189,32 @@ object Relational {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy("event_type")
 
+  /** Collect-to-array aggregate made deterministic: collect_set's order is
+    * partition-dependent, so the array is sorted before it leaves the
+    * query (and string-joined — engines render arrays differently). */
+  def aggCollectSorted(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderpriority"))), ",").as("prios"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`: both linear-interpolate the sorted values). The
+    * approximate path for unbounded cardinality is `agg_approx_distinct`'s
+    * HLL cousin `percentile_approx` — not declared (sketch outputs aren't
+    * oracle-stable). */
+  def aggPercentiles(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("qty_p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("qty_p90"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("price_p50"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   // ---- windows --------------------------------------------------------
 
   /** Top-N per group via ranking window; tie-break on orderkey makes the
@@ -260,6 +286,8 @@ object Relational {
     "agg_distinct" -> (aggDistinct _),
     "agg_rollup" -> (aggRollup _),
     "agg_approx_distinct" -> (aggApproxDistinct _),
+    "agg_collect_sorted" -> (aggCollectSorted _),
+    "agg_percentiles" -> (aggPercentiles _),
     "window_rank_topn" -> (windowRankTopn _),
     "window_running_sum" -> (windowRunningSum _),
     "window_lag_delta" -> (windowLagDelta _),
@@ -335,6 +363,18 @@ object Relational {
          round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 4) AS sum_price
          FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
          ORDER BY gid, status, priority""",
+    "agg_collect_sorted" ->
+      """SELECT o_orderstatus,
+         array_to_string(list_sort(list_distinct(array_agg(o_orderpriority))), ',') AS prios,
+         count(*) AS n
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "agg_percentiles" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50,
+         round(quantile_cont(l_quantity, 0.9), 4) AS qty_p90,
+         round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50,
+         count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "window_rank_topn" ->
       """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
