@@ -57,4 +57,37 @@ class StreamingDemoSpec extends AnyFunSuite with SparkFixture {
       assert(out.contains((1L, 2, 600L)), s"user 1 session not emitted: ${out.mkString(",")}")
     } finally q.stop()
   }
+
+  test("stream-stream join attributes clicks within the window, drops those outside") {
+    import graft.streaming.StreamJoins
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clks = MemoryStream[(Long, Timestamp)]
+    val q = StreamJoins.attributedClicks(
+      imps.toDF.toDF("imp_id", "imp_ts"),
+      clks.toDF.toDF("imp_id", "click_ts"), maxDelayMinutes = 30)
+      .writeStream.format("memory").queryName("attr_test").outputMode("append").start()
+    try {
+      imps.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:05:00")))
+      clks.addData(
+        (1L, ts("2024-01-01 10:20:00")),   // 20 min  → attributed
+        (2L, ts("2024-01-01 11:00:00")),   // 55 min  → outside window
+        (3L, ts("2024-01-01 10:10:00")))   // no impression
+      q.processAllAvailable()
+      val out = spark.table("attr_test").collect()
+        .map(r => (r.getAs[Long]("imp_id"), r.getAs[Long]("delay_s")))
+      assert(out.toSet == Set((1L, 1200L)), s"got: ${out.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("attribution join gives identical results on batch frames") {
+    import graft.streaming.StreamJoins
+    val imps = Seq((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:05:00")))
+      .toDF("imp_id", "imp_ts")
+    val clks = Seq((1L, ts("2024-01-01 10:20:00")), (2L, ts("2024-01-01 11:00:00")))
+      .toDF("imp_id", "click_ts")
+    val out = StreamJoins.attributedClicks(imps, clks, 30).collect()
+      .map(r => (r.getAs[Long]("imp_id"), r.getAs[Long]("delay_s")))
+    assert(out.toSet == Set((1L, 1200L)))
+  }
 }
