@@ -177,6 +177,39 @@ object Text {
       .orderBy("source")
   }
 
+  /** n-gram (3-token shingle) Jaccard near-dup — the order-sensitive
+    * sibling of [[dedupNearJaccard]]: shingles catch reordered/rewritten
+    * passages that token sets miss. Shingle vocabulary is unbounded, so
+    * this always runs the general array-set path (no bitmask); same
+    * source-blocked pair generation. */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val shingles = array_distinct(
+      when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2), i =>
+          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+            element_at(toks, i + 2))))
+        .otherwise(array().cast("array<string>")))
+    val sets = docs(spark, dir).select(
+      col("doc_id"), col("source"), shingles.as("sh"), size(shingles).as("n"))
+    val jac = sets.alias("a")
+      .join(sets.alias("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.source").as("source"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).as("inter"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
+      .filter(col("inter") >= 1)
+      .withColumn("jac",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")).cast("double"))
+    jac.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("jac") >= 0.5, 1L).otherwise(0L)).as("n_near"),
+        round(sum(round(col("jac"), 6).cast(DecimalType(16, 6))).cast("double")
+          / count(lit(1)).cast("double"), 4).as("avg_jac"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_topk" -> (tokenTopk _),
     "text_lang_stats" -> (langStats _),
@@ -185,7 +218,8 @@ object Text {
     "text_token_count" -> (tokenCount _),
     "text_fingerprint" -> (fingerprint _),
     "dedup_exact" -> (dedupExact _),
-    "dedup_near_jaccard" -> (dedupNearJaccard _))
+    "dedup_near_jaccard" -> (dedupNearJaccard _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _))
 
   val oracleSql: Map[String, String] = Map(
     "text_token_topk" ->
@@ -256,6 +290,30 @@ object Text {
            FROM pr JOIN cnt c1 ON pr.d1 = c1.doc_id JOIN cnt c2 ON pr.d2 = c2.doc_id)
          SELECT source, count(*) AS n_pairs,
            CAST(sum(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+           round(CAST(sum(CAST(round(jac, 6) AS DECIMAL(16,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 4) AS avg_jac
+         FROM j GROUP BY source ORDER BY source""",
+    "dedup_ngram_jaccard" ->
+      """WITH s AS (
+           SELECT doc_id, source,
+             list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+               THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2])
+               ELSE CAST([] AS VARCHAR[]) END) AS sh
+           FROM documents),
+         pr AS (
+           SELECT a.source AS source,
+             len(list_intersect(a.sh, b.sh)) AS inter,
+             len(a.sh) AS n1, len(b.sh) AS n2
+           FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id),
+         j AS (
+           SELECT source,
+             CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE) AS jac
+           FROM pr WHERE inter >= 1)
+         SELECT source, count(*) AS n_pairs,
+           CAST(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
            round(CAST(sum(CAST(round(jac, 6) AS DECIMAL(16,6))) AS DOUBLE)
              / CAST(count(*) AS DOUBLE), 4) AS avg_jac
          FROM j GROUP BY source ORDER BY source""")
