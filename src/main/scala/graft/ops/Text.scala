@@ -183,22 +183,37 @@ object Text {
     * this always runs the general array-set path (no bitmask); same
     * source-blocked pair generation. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
+    // `toks` must be a MATERIALIZED column, not an inline expression: an
+    // expression inside the transform lambda is re-evaluated per element
+    // (3 element_at × ~50 shingles ⇒ the text would be re-split ~150×/row
+    // — measured 4.5s of pure split at sf0.1; as an attribute it's once).
+    val toks = col("toks")
     val shingles = array_distinct(
       when(size(toks) >= 3,
         transform(sequence(lit(1), size(toks) - 2), i =>
           concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
             element_at(toks, i + 2))))
         .otherwise(array().cast("array<string>")))
-    val sets = docs(spark, dir).select(
-      col("doc_id"), col("source"), shingles.as("sh"), size(shingles).as("n"))
-    val jac = sets.alias("a")
-      .join(sets.alias("b"),
-        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.source").as("source"),
-        size(array_intersect(col("a.sh"), col("b.sh"))).as("inter"),
-        col("a.n").as("n1"), col("b.n").as("n2"))
-      .filter(col("inter") >= 1)
+    // Shingle overlap is SPARSE (large shingle space), so pairs come from
+    // an equi join on (source, shingle) — only colliding pairs materialize,
+    // versus |block|²/2 array intersections in the dense token-set case.
+    // Pairs with zero common shingles never appear, matching the oracle's
+    // inter >= 1 filter.
+    val sh = docs(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("source"), explode(shingles).as("s"))
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.alias("a")
+      .join(sh.alias("b"),
+        col("a.source") === col("b.source") && col("a.s") === col("b.s") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.source").as("source"), col("a.doc_id").as("d1"),
+        col("b.doc_id").as("d2"))
+      .groupBy("source", "d1", "d2")
+      .agg(count(lit(1)).as("inter"))
+    val jac = inter
+      .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
       .withColumn("jac",
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")).cast("double"))
     jac.groupBy("source")
