@@ -151,9 +151,9 @@ object Relational {
         dsumR(col("l_extendedprice"), Money).as("sum_base_price"),
         round(sum(price * oneMinus(col("l_discount"))).cast("double"), 4).as("sum_disc_price"),
         round(sum(price * oneMinus(col("l_discount")) * onePlus(col("l_tax"))).cast("double"), 4).as("sum_charge"),
-        round(dsum(col("l_quantity"), Qty) / count(lit(1)).cast("double"), 4).as("avg_qty"),
-        round(dsum(col("l_extendedprice"), Money) / count(lit(1)).cast("double"), 4).as("avg_price"),
-        round(dsum(col("l_discount"), Rate) / count(lit(1)).cast("double"), 4).as("avg_disc"),
+        r4(dsum(col("l_quantity"), Qty) / count(lit(1)).cast("double")).as("avg_qty"),
+        r4(dsum(col("l_extendedprice"), Money) / count(lit(1)).cast("double")).as("avg_price"),
+        r4(dsum(col("l_discount"), Rate) / count(lit(1)).cast("double")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -209,9 +209,9 @@ object Relational {
     table(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("qty_p50"),
-        round(expr("percentile(l_quantity, 0.9)"), 4).as("qty_p90"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("price_p50"),
+        r4(expr("percentile(l_quantity, 0.5)")).as("qty_p50"),
+        r4(expr("percentile(l_quantity, 0.9)")).as("qty_p90"),
+        r4(expr("percentile(l_extendedprice, 0.5)")).as("price_p50"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
@@ -346,9 +346,9 @@ object Relational {
          round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE), 4) AS sum_base_price,
          round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4))) AS DOUBLE), 4) AS sum_disc_price,
          round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4)) * CAST(1 + CAST(l_tax AS DECIMAL(8,4)) AS DECIMAL(6,4))) AS DOUBLE), 4) AS sum_charge,
-         round(CAST(sum(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS avg_qty,
-         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS avg_price,
-         round(CAST(sum(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS avg_disc,
+         floor((CAST(sum(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+         floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+         floor((CAST(sum(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
          count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
@@ -370,9 +370,9 @@ object Relational {
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "agg_percentiles" ->
       """SELECT l_returnflag,
-         round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50,
-         round(quantile_cont(l_quantity, 0.9), 4) AS qty_p90,
-         round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50,
+         floor((quantile_cont(l_quantity, 0.5)) * 10000.0 + 0.5) / 10000.0 AS qty_p50,
+         floor((quantile_cont(l_quantity, 0.9)) * 10000.0 + 0.5) / 10000.0 AS qty_p90,
+         floor((quantile_cont(l_extendedprice, 0.5)) * 10000.0 + 0.5) / 10000.0 AS price_p50,
          count(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "window_rank_topn" ->

@@ -33,7 +33,7 @@ object Scalars {
         datediff(to_date(lit("2026-01-01")), col("o_orderdate").cast("date"))
           .cast("long").as("days_to_2026"),
         round(abs(col("o_totalprice") - 150000.0), 2).as("abs_delta"),
-        round(log(col("o_totalprice")), 4).as("ln_price"))
+        r4(log(col("o_totalprice"))).as("ln_price"))
       .orderBy("o_orderkey")
 
   /** JSON extraction + grouped stats over `events.props` — the structured
@@ -64,8 +64,8 @@ object Scalars {
       .select(
         col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
-        round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
-        round(sqrt(aggregate(asD, lit(0.0), (acc, x) => acc + x * x)), 4).as("l2_norm"),
+        r4(element_at(col("embedding"), 1).cast("double")).as("first_val"),
+        r4(sqrt(aggregate(asD, lit(0.0), (acc, x) => acc + x * x))).as("l2_norm"),
         col("label").cast("long").as("label"))
       .orderBy("vec_id")
   }
@@ -87,7 +87,7 @@ object Scalars {
          strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
          CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') AS BIGINT) AS days_to_2026,
          round(abs(o_totalprice - 150000.0), 2) AS abs_delta,
-         round(ln(o_totalprice), 4) AS ln_price
+         floor((ln(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS ln_price
          FROM orders ORDER BY o_orderkey""",
     "scalar_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
@@ -98,9 +98,9 @@ object Scalars {
     "array_embedding_stats" ->
       """SELECT vec_id,
          CAST(len(embedding) AS BIGINT) AS dim,
-         round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
-         round(sqrt(list_sum(list_transform(embedding,
-           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+         floor((CAST(embedding[1] AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS first_val,
+         floor((sqrt(list_sum(list_transform(embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) * 10000.0 + 0.5) / 10000.0 AS l2_norm,
          CAST(label AS BIGINT) AS label
          FROM embeddings ORDER BY vec_id""")
 }

@@ -37,7 +37,7 @@ object Text {
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
-        round(sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"), 4)
+        r4(sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"))
           .as("avg_chars"),
         countDistinct(col("source")).as("n_sources"))
       .orderBy("lang")
@@ -58,8 +58,8 @@ object Text {
       .groupBy("lang", "predicted")
       .agg(
         count(lit(1)).as("n"),
-        round(sum(round(col("vr"), 6).cast(DecimalType(12, 6))).cast("double")
-          / count(lit(1)).cast("double"), 4).as("avg_vowel_ratio"))
+        r4(sum(r6(col("vr")).cast(DecimalType(12, 6))).cast("double")
+          / count(lit(1)).cast("double")).as("avg_vowel_ratio"))
       .orderBy("lang", "predicted")
   }
 
@@ -80,9 +80,9 @@ object Text {
       .select(
         col("doc_id"),
         nTok.as("n_tok"),
-        round(stopRatio, 4).as("stop_ratio"),
-        round(avgTokLen, 4).as("avg_tok_len"),
-        round(score, 4).as("quality"))
+        r4(stopRatio).as("stop_ratio"),
+        r4(avgTokLen).as("avg_tok_len"),
+        r4(score).as("quality"))
       .orderBy("doc_id")
   }
 
@@ -172,8 +172,8 @@ object Text {
       .agg(
         count(lit(1)).as("n_pairs"),
         sum(when(col("jac") >= 0.8, 1L).otherwise(0L)).as("n_near"),
-        round(sum(round(col("jac"), 6).cast(DecimalType(16, 6))).cast("double")
-          / count(lit(1)).cast("double"), 4).as("avg_jac"))
+        r4(sum(r6(col("jac")).cast(DecimalType(16, 6))).cast("double")
+          / count(lit(1)).cast("double")).as("avg_jac"))
       .orderBy("source")
   }
 
@@ -220,8 +220,8 @@ object Text {
       .agg(
         count(lit(1)).as("n_pairs"),
         sum(when(col("jac") >= 0.5, 1L).otherwise(0L)).as("n_near"),
-        round(sum(round(col("jac"), 6).cast(DecimalType(16, 6))).cast("double")
-          / count(lit(1)).cast("double"), 4).as("avg_jac"))
+        r4(sum(r6(col("jac")).cast(DecimalType(16, 6))).cast("double")
+          / count(lit(1)).cast("double")).as("avg_jac"))
       .orderBy("source")
   }
 
@@ -243,7 +243,7 @@ object Text {
          GROUP BY token ORDER BY n DESC, token LIMIT 20""",
     "text_lang_stats" ->
       """SELECT lang, count(*) AS n_docs,
-         round(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS avg_chars,
+         floor((CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avg_chars,
          count(DISTINCT source) AS n_sources
          FROM documents GROUP BY lang ORDER BY lang""",
     "text_langid" ->
@@ -257,8 +257,8 @@ object Text {
                 WHEN vr >= 0.28 THEN 'mid_vowel'
                 ELSE 'low_vowel' END AS predicted,
            count(*) AS n,
-           round(CAST(sum(CAST(round(vr, 6) AS DECIMAL(12,6))) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE), 4) AS avg_vowel_ratio
+           floor((CAST(sum(CAST(floor((vr) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(12,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avg_vowel_ratio
          FROM d GROUP BY lang, predicted ORDER BY lang, predicted""",
     "text_quality_score" ->
       """WITH d AS (
@@ -269,10 +269,10 @@ object Text {
              length(text) AS n_ch
            FROM documents)
          SELECT doc_id, n_tok,
-           round(CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE), 4) AS stop_ratio,
-           round(CAST(n_ch - (n_tok - 1) AS DOUBLE) / CAST(n_tok AS DOUBLE), 4) AS avg_tok_len,
-           round(0.6 * (CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE))
-             + 0.4 * least((CAST(n_ch - (n_tok - 1) AS DOUBLE) / CAST(n_tok AS DOUBLE)) / 8.0, 1.0), 4) AS quality
+           floor((CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+           floor((CAST(n_ch - (n_tok - 1) AS DOUBLE) / CAST(n_tok AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avg_tok_len,
+           floor((0.6 * (CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE))
+             + 0.4 * least((CAST(n_ch - (n_tok - 1) AS DOUBLE) / CAST(n_tok AS DOUBLE)) / 8.0, 1.0)) * 10000.0 + 0.5) / 10000.0 AS quality
          FROM d ORDER BY doc_id""",
     "text_token_count" ->
       """SELECT doc_id,
@@ -305,8 +305,8 @@ object Text {
            FROM pr JOIN cnt c1 ON pr.d1 = c1.doc_id JOIN cnt c2 ON pr.d2 = c2.doc_id)
          SELECT source, count(*) AS n_pairs,
            CAST(sum(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
-           round(CAST(sum(CAST(round(jac, 6) AS DECIMAL(16,6))) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE), 4) AS avg_jac
+           floor((CAST(sum(CAST(floor((jac) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(16,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avg_jac
          FROM j GROUP BY source ORDER BY source""",
     "dedup_ngram_jaccard" ->
       """WITH s AS (
@@ -329,7 +329,7 @@ object Text {
            FROM pr WHERE inter >= 1)
          SELECT source, count(*) AS n_pairs,
            CAST(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
-           round(CAST(sum(CAST(round(jac, 6) AS DECIMAL(16,6))) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE), 4) AS avg_jac
+           floor((CAST(sum(CAST(floor((jac) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(16,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avg_jac
          FROM j GROUP BY source ORDER BY source""")
 }

@@ -41,7 +41,7 @@ object Udaf {
     table(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        round(wavg(col("l_extendedprice"), col("l_quantity")), 4).as("wavg_price"),
+        r4(wavg(col("l_extendedprice"), col("l_quantity"))).as("wavg_price"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
   }
@@ -52,8 +52,8 @@ object Udaf {
   val oracleSql: Map[String, String] = Map(
     "udaf_weighted_avg" ->
       """SELECT l_returnflag,
-         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE)
-           / CAST(sum(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE), 4) AS wavg_price,
+         floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE)
+           / CAST(sum(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS wavg_price,
          count(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
 }

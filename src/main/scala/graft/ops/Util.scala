@@ -66,5 +66,28 @@ object Util {
   /** Exact-decimal average surfaced as double/double division (identical in
     * DuckDB as CAST(sum(CAST(x AS DECIMAL)) AS DOUBLE) / CAST(count(*) AS DOUBLE)). */
   def davg(c: Column, t: DecimalType): Column =
-    round(dsum(c, t) / count(lit(1)).cast("double"), 4)
+    r4(dsum(c, t) / count(lit(1)).cast("double"))
+
+  /** Engine-portable rounding for NON-exact doubles (ratios, sqrt/ln,
+    * cosines): floor(x·10^p + 0.5)/10^p — the same IEEE ops in both
+    * engines, so both land on the same side of every boundary. Spark's
+    * native round() goes through the double's shortest DECIMAL repr
+    * (BigDecimal.valueOf), which rounds 0.25375 (stored 0.2537499…) UP
+    * while DuckDB's binary rounding goes DOWN — a real 1-ulp mismatch
+    * observed at sf0.1. Decimal-exact doubles (2-dec money sums) don't
+    * need this; plain round() stays fine there. */
+  def rp(c: Column, p: Int): Column = {
+    val f = math.pow(10, p)
+    floor(c * lit(f) + lit(0.5)) / lit(f)
+  }
+  def r4(c: Column): Column = rp(c, 4)
+  def r6(c: Column): Column = rp(c, 6)
+
+  /** DuckDB spelling of [[rp]] — textually identical arithmetic. */
+  def rpSql(x: String, p: Int): String = {
+    val f = "1" + ("0" * p) + ".0"
+    s"floor(($x) * $f + 0.5) / $f"
+  }
+  def r4Sql(x: String): String = rpSql(x, 4)
+  def r6Sql(x: String): String = rpSql(x, 6)
 }

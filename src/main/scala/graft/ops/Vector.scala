@@ -59,8 +59,8 @@ object Vector {
         col("nrm").as("p_nrm"))
     val scored = e.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cos", round(
-        cosinePre(col("embedding"), col("p_emb"), col("nrm"), col("p_nrm")), 4))
+      .withColumn("cos", r4(
+        cosinePre(col("embedding"), col("p_emb"), col("nrm"), col("p_nrm"))))
     val w = Window.partitionBy("probe_id").orderBy(desc("cos"), col("vec_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 5)
@@ -90,8 +90,8 @@ object Vector {
         col("bucket"), col("nrm").as("p_nrm"))
     val scored = e.join(broadcast(probes), "bucket")
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cos", round(
-        cosinePre(col("embedding"), col("p_emb"), col("nrm"), col("p_nrm")), 4))
+      .withColumn("cos", r4(
+        cosinePre(col("embedding"), col("p_emb"), col("nrm"), col("p_nrm"))))
     val w = Window.partitionBy("probe_id").orderBy(desc("cos"), col("vec_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)
@@ -125,8 +125,8 @@ object Vector {
         col("nrm").as("p_nrm"), col("cell"))
     val scored = assigned.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cos", round(
-        cosinePre(col("embedding"), col("p_emb"), col("nrm"), col("p_nrm")), 4))
+      .withColumn("cos", r4(
+        cosinePre(col("embedding"), col("p_emb"), col("nrm"), col("p_nrm"))))
     val w = Window.partitionBy("probe_id").orderBy(desc("cos"), col("vec_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)
@@ -149,8 +149,8 @@ object Vector {
       .select(
         col("a.label").cast("long").as("label"),
         col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-        round(cosinePre(col("a.embedding"), col("b.embedding"),
-          col("a.nrm"), col("b.nrm")), 4).as("cos"))
+        r4(cosinePre(col("a.embedding"), col("b.embedding"),
+          col("a.nrm"), col("b.nrm"))).as("cos"))
     val w = Window.partitionBy("label").orderBy(desc("cos"), col("v1"), col("v2"))
     pairs.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)
@@ -171,9 +171,9 @@ object Vector {
       .groupBy("lang", "label")
       .agg(
         count(lit(1)).as("n"),
-        round(sum(round(col("norm"), 6).cast(DecimalType(18, 6))).cast("double")
-          / count(lit(1)).cast("double"), 4).as("avg_norm"),
-        round(sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"), 4)
+        r4(sum(r6(col("norm")).cast(DecimalType(18, 6))).cast("double")
+          / count(lit(1)).cast("double")).as("avg_norm"),
+        r4(sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"))
           .as("avg_chars"))
       .orderBy("lang", "label")
   }
@@ -207,7 +207,7 @@ object Vector {
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
              FROM embeddings ORDER BY vec_id LIMIT 10),
          s AS (SELECT p.probe_id, c.vec_id,
-             round(${cosSql("c.embedding", "p.pe")}, 4) AS cos
+             ${r4Sql(cosSql("c.embedding", "p.pe"))} AS cos
            FROM embeddings c, p WHERE c.vec_id != p.probe_id)
          SELECT probe_id,
            CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk,
@@ -218,7 +218,7 @@ object Vector {
          p AS (SELECT vec_id AS probe_id, embedding AS pe, bucket
              FROM e ORDER BY vec_id LIMIT 10),
          s AS (SELECT p.probe_id, c.bucket, c.vec_id,
-             round(${cosSql("c.embedding", "p.pe")}, 4) AS cos
+             ${r4Sql(cosSql("c.embedding", "p.pe"))} AS cos
            FROM e c JOIN p ON c.bucket = p.bucket AND c.vec_id != p.probe_id)
          SELECT probe_id, bucket,
            CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk,
@@ -239,7 +239,7 @@ object Vector {
          p AS (SELECT vec_id AS probe_id, embedding AS p_emb, nrm AS p_nrm, cell
              FROM asg ORDER BY vec_id LIMIT 10),
          s AS (SELECT p.probe_id, a.cell, a.vec_id,
-             round(${dot("a.embedding", "p.p_emb")} / (a.nrm * p.p_nrm), 4) AS cos
+             ${r4Sql(dot("a.embedding", "p.p_emb") + " / (a.nrm * p.p_nrm)")} AS cos
            FROM asg a JOIN p ON a.cell = p.cell AND a.vec_id != p.probe_id)
          SELECT probe_id, cell,
            CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk,
@@ -248,7 +248,7 @@ object Vector {
     },
     "dedup_embedding" ->
       s"""WITH pr AS (SELECT CAST(a.label AS BIGINT) AS label, a.vec_id AS v1, b.vec_id AS v2,
-             round(${cosSql("a.embedding", "b.embedding")}, 4) AS cos
+             ${r4Sql(cosSql("a.embedding", "b.embedding"))} AS cos
            FROM embeddings a JOIN embeddings b
              ON a.label = b.label AND a.vec_id < b.vec_id)
          SELECT label,
@@ -261,9 +261,9 @@ object Vector {
                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS norm
            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
          SELECT lang, label, count(*) AS n,
-           round(CAST(sum(CAST(round(norm, 6) AS DECIMAL(18,6))) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE), 4) AS avg_norm,
-           round(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS avg_chars
+           floor((CAST(sum(CAST(floor((norm) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avg_norm,
+           floor((CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avg_chars
          FROM j GROUP BY lang, label ORDER BY lang, label""",
     "multimodal_binary_meta" ->
       """SELECT doc_id,
