@@ -215,7 +215,53 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Statistical moments — stddev and correlation — computed from exact
+    * decimal power sums (Σx, Σx², Σxy) instead of the built-in Welford
+    * aggregates: merge-order-dependent floating point can't hash-match an
+    * oracle, power sums in decimals can. Same map-side partial + final
+    * shape as any sum; the double math happens once per GROUP at the end. */
+  def aggStatsMoments(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast(Qty)                       // exact 2-dec
+    val y = col("l_extendedprice").cast(Money)
+    val big = org.apache.spark.sql.types.DecimalType(38, 4)
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("double").as("nd"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum((x * x).cast(big)).cast("double").as("sxx"),
+        sum((y * y).cast(big)).cast("double").as("syy"),
+        sum((x * y).cast(big)).cast("double").as("sxy"))
+      .select(
+        col("l_returnflag"),
+        col("nd").cast("long").as("n"),
+        r4(col("sx") / col("nd")).as("mean_qty"),
+        r4(sqrt((col("sxx") - col("sx") * col("sx") / col("nd")) / (col("nd") - 1.0)))
+          .as("stddev_qty"),
+        r4((col("sxy") - col("sx") * col("sy") / col("nd"))
+          / (sqrt(col("sxx") - col("sx") * col("sx") / col("nd"))
+            * sqrt(col("syy") - col("sy") * col("sy") / col("nd"))))
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   // ---- windows --------------------------------------------------------
+
+  /** Ranking-distribution windows: ntile, percent_rank, cume_dist. With a
+    * unique tie-break the ranks are distinct, so percent_rank/cume_dist
+    * are ratios of exact ints — identical doubles in both engines. */
+  def windowNtileDist(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    table(spark, dir, "orders")
+      .select(
+        col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        r4(percent_rank().over(w)).as("pct_rank"),
+        r4(cume_dist().over(w)).as("cume"))
+      .orderBy("o_orderkey")
+  }
 
   /** Top-N per group via ranking window; tie-break on orderkey makes the
     * result total-ordered and oracle-stable. */
@@ -288,6 +334,8 @@ object Relational {
     "agg_approx_distinct" -> (aggApproxDistinct _),
     "agg_collect_sorted" -> (aggCollectSorted _),
     "agg_percentiles" -> (aggPercentiles _),
+    "agg_stats_moments" -> (aggStatsMoments _),
+    "window_ntile_dist" -> (windowNtileDist _),
     "window_rank_topn" -> (windowRankTopn _),
     "window_running_sum" -> (windowRunningSum _),
     "window_lag_delta" -> (windowLagDelta _),
@@ -375,6 +423,30 @@ object Relational {
          floor((quantile_cont(l_extendedprice, 0.5)) * 10000.0 + 0.5) / 10000.0 AS price_p50,
          count(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_stats_moments" ->
+      """WITH s AS (
+           SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS nd,
+             CAST(sum(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(CAST(l_quantity AS DECIMAL(10,2)) * CAST(l_quantity AS DECIMAL(10,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2)) AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(CAST(l_quantity AS DECIMAL(10,2)) * CAST(l_extendedprice AS DECIMAL(14,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, CAST(nd AS BIGINT) AS n,
+           floor((sx / nd) * 10000.0 + 0.5) / 10000.0 AS mean_qty,
+           floor((sqrt((sxx - sx * sx / nd) / (nd - 1.0))) * 10000.0 + 0.5) / 10000.0 AS stddev_qty,
+           floor(((sxy - sx * sy / nd)
+             / (sqrt(sxx - sx * sx / nd) * sqrt(syy - sy * sy / nd))) * 10000.0 + 0.5) / 10000.0 AS corr_qty_price
+         FROM s ORDER BY l_returnflag""",
+    "window_ntile_dist" ->
+      """SELECT o_orderkey, o_orderstatus,
+         CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         floor((percent_rank() OVER w) * 10000.0 + 0.5) / 10000.0 AS pct_rank,
+         floor((cume_dist() OVER w) * 10000.0 + 0.5) / 10000.0 AS cume
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+         ORDER BY o_orderkey""",
     "window_rank_topn" ->
       """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
