@@ -93,6 +93,20 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Full outer join — customers vs event-active user ids; both unmatched
+    * sides survive with nulls, flagged and coalesced deterministically. */
+  def joinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer").select(col("c_custkey"))
+    val u = table(spark, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    c.join(u, c("c_custkey") === u("user_id"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("user_id")).as("id"),
+        col("c_custkey").isNotNull.cast("long").as("is_customer"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("id")
+  }
+
   /** Theta/range join: equi key carries the shuffle, the BETWEEN residual is
     * evaluated post-match — no nested-loop blowup. */
   def joinThetaRange(spark: SparkSession, dir: String): DataFrame = {
@@ -215,6 +229,20 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** max_by/min_by (argmax) aggregates. Ties are nondeterministic in both
+    * engines, so the ordinal is made unique: exact cents × 10⁷ + orderkey
+    * — pure integer arithmetic, identical cross-engine. */
+  def aggMinMaxBy(spark: SparkSession, dir: String): DataFrame = {
+    val ord = (col("o_totalprice") * 100).cast("long") * 10000000L + col("o_orderkey")
+    table(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        max_by(col("o_orderkey"), ord).as("priciest_order"),
+        min_by(col("o_orderkey"), ord).as("cheapest_order"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Statistical moments — stddev and correlation — computed from exact
     * decimal power sums (Σx, Σx², Σxy) instead of the built-in Welford
     * aggregates: merge-order-dependent floating point can't hash-match an
@@ -327,6 +355,8 @@ object Relational {
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "join_theta_range" -> (joinThetaRange _),
+    "join_full_outer" -> (joinFullOuter _),
+    "agg_min_max_by" -> (aggMinMaxBy _),
     "join_asof_event_order" -> (joinAsofEventOrder _),
     "agg_pricing_summary" -> (aggPricingSummary _),
     "agg_distinct" -> (aggDistinct _),
@@ -381,6 +411,19 @@ object Relational {
          FROM part JOIN lineitem ON p_partkey = l_partkey
            AND l_quantity BETWEEN p_size - 5 AND p_size + 5
          GROUP BY p_brand ORDER BY p_brand""",
+    "join_full_outer" ->
+      s"""WITH u AS (SELECT user_id, count(*) AS n_events FROM ${evSql()} GROUP BY user_id)
+         SELECT coalesce(c.c_custkey, u.user_id) AS id,
+           CAST(c.c_custkey IS NOT NULL AS BIGINT) AS is_customer,
+           coalesce(u.n_events, 0) AS n_events
+         FROM customer c FULL JOIN u ON c.c_custkey = u.user_id
+         ORDER BY id""",
+    "agg_min_max_by" ->
+      """SELECT o_orderstatus,
+         arg_max(o_orderkey, CAST(o_totalprice * 100 AS BIGINT) * 10000000 + o_orderkey) AS priciest_order,
+         arg_min(o_orderkey, CAST(o_totalprice * 100 AS BIGINT) * 10000000 + o_orderkey) AS cheapest_order,
+         count(*) AS n
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "join_asof_event_order" ->
       s"""SELECT e.event_id, e.user_id,
          strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,

@@ -36,6 +36,37 @@ object Scalars {
         r4(log(col("o_totalprice"))).as("ln_price"))
       .orderBy("o_orderkey")
 
+  /** Date-part family: quarter, day, weekday, last_day, add_months.
+    * Cross-engine numbering traps: Spark weekday() is Monday=0 — DuckDB's
+    * dayofweek is Sunday=0, so the oracle derives it from isodow−1;
+    * month arithmetic (add_months) clamps to month end identically. */
+  def dateParts(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        weekday(col("o_orderdate")).cast("long").as("wd_mon0"),
+        dateS(last_day(col("o_orderdate"))).as("month_end"),
+        dateS(add_months(col("o_orderdate"), 2)).as("plus_2m"))
+      .orderBy("o_orderkey")
+
+  /** Extended string family: reverse, repeat, replace, strpos, left/right,
+    * ascii — the rest of the reference's string-only vocabulary
+    * generalized. */
+  def stringExtra(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        reverse(col("o_orderstatus")).as("rev_stat"),
+        repeat(col("o_orderstatus"), 3).as("rep3"),
+        regexp_replace(col("o_orderpriority"), "-", "_").as("prio_und"),
+        instr(col("o_orderpriority"), "-").cast("long").as("dash_pos"),
+        expr("left(o_orderpriority, 1)").as("prio_l1"),
+        expr("right(o_orderpriority, 3)").as("prio_r3"),
+        ascii(col("o_orderstatus")).cast("long").as("stat_ascii"))
+      .orderBy("o_orderkey")
+
   /** JSON extraction + grouped stats over `events.props` — the structured
     * upgrade of the reference's positional manifest parsing
     * (`src/bak_unload.ps1:29-35`). `get_json_object` is a codegen'd
@@ -52,6 +83,23 @@ object Scalars {
         dsumR(col("value"), Qty).as("sum_value"),
         min(col("event_id")).as("min_event"))
       .orderBy("k_mod")
+
+  /** MapType surface: JSON parsed into a map, keys/values extracted with
+    * deterministic key ordering (map iteration order is not a contract in
+    * either engine — sort the keys before joining). */
+  def mapOps(spark: SparkSession, dir: String): DataFrame = {
+    val m = from_json(col("props"),
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+    val sortedKeys = array_sort(map_keys(m))
+    table(spark, dir, "events")
+      .select(
+        col("event_id"),
+        array_join(sortedKeys, ",").as("keys_s"),
+        array_join(transform(sortedKeys, k => element_at(m, k)), ",").as("vals_s"),
+        size(map_keys(m)).cast("long").as("n_keys"))
+      .orderBy("event_id")
+  }
 
   /** Array/higher-order-function surface over the embedding column:
     * size, element access, L2 norm via transform+aggregate. Floats are cast
@@ -72,6 +120,9 @@ object Scalars {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scalar_str_date_math" -> (strDateMath _),
+    "scalar_date_parts" -> (dateParts _),
+    "scalar_string_extra" -> (stringExtra _),
+    "scalar_map_ops" -> (mapOps _),
     "scalar_json_extract" -> (jsonExtract _),
     "array_embedding_stats" -> (arrayEmbeddingStats _))
 
@@ -89,12 +140,37 @@ object Scalars {
          round(abs(o_totalprice - 150000.0), 2) AS abs_delta,
          floor((ln(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS ln_price
          FROM orders ORDER BY o_orderkey""",
+    "scalar_date_parts" ->
+      """SELECT o_orderkey,
+         CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+         CAST(day(o_orderdate) AS BIGINT) AS dom,
+         CAST(isodow(o_orderdate) - 1 AS BIGINT) AS wd_mon0,
+         strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+         strftime(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus_2m
+         FROM orders ORDER BY o_orderkey""",
+    "scalar_string_extra" ->
+      """SELECT o_orderkey,
+         reverse(o_orderstatus) AS rev_stat,
+         repeat(o_orderstatus, 3) AS rep3,
+         replace(o_orderpriority, '-', '_') AS prio_und,
+         CAST(strpos(o_orderpriority, '-') AS BIGINT) AS dash_pos,
+         left(o_orderpriority, 1) AS prio_l1,
+         right(o_orderpriority, 3) AS prio_r3,
+         CAST(ascii(o_orderstatus) AS BIGINT) AS stat_ascii
+         FROM orders ORDER BY o_orderkey""",
     "scalar_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
          count(*) AS n,
          round(CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE), 4) AS sum_value,
          min(event_id) AS min_event
          FROM events GROUP BY k_mod ORDER BY k_mod""",
+    "scalar_map_ops" ->
+      """SELECT event_id,
+         array_to_string(list_sort(json_keys(props)), ',') AS keys_s,
+         array_to_string(list_transform(list_sort(json_keys(props)),
+           k -> json_extract_string(props, '$.' || k)), ',') AS vals_s,
+         CAST(len(json_keys(props)) AS BIGINT) AS n_keys
+         FROM events ORDER BY event_id""",
     "array_embedding_stats" ->
       """SELECT vec_id,
          CAST(len(embedding) AS BIGINT) AS dim,
