@@ -50,12 +50,17 @@ object Dedup {
       .distinct()
     // Verify candidates against per-doc token SETS (array_intersect per
     // pair) instead of a candidate×token join — candidates already share a
-    // min-hash, so intersection is never empty.
+    // min-hash, so intersection is never empty. (The bitmask encoding from
+    // Text.tokenSets was measured NET SLOWER here: its dictionary build
+    // adds a count job + shuffle, and candidate verification isn't this
+    // query's bottleneck.)
     val sets = table(spark, dir, "documents").select(
       col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
     val jac = cand
-      .join(sets.select(col("doc_id").as("d1"), col("toks").as("t1")), "d1")
-      .join(sets.select(col("doc_id").as("d2"), col("toks").as("t2")), "d2")
+      .join(sets.select(col("doc_id").as("dd1"), col("toks").as("t1")),
+        col("d1") === col("dd1"))
+      .join(sets.select(col("doc_id").as("dd2"), col("toks").as("t2")),
+        col("d2") === col("dd2"))
       .select(col("source"),
         size(array_intersect(col("t1"), col("t2"))).as("inter"),
         size(col("t1")).as("n1"), size(col("t2")).as("n2"))

@@ -129,37 +129,43 @@ object Text {
     * 31-token vocabulary makes most pairs similar). The per-pair Jaccard
     * is exact int/int double math; the per-source mean uses a decimal
     * accumulator. */
-  def dedupNearJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // Pair generation carries each doc's distinct-token SET instead of
-    // exploding to token rows: the block self-join emits |block|²/2 rows
-    // once and |∩| is computed per pair — no token-level shuffle. Two
-    // encodings, chosen adaptively (a planning-time scalar, like AQE):
-    //   * vocabulary ≤ 64 → dictionary-encode each set as ONE long bitmask;
-    //     |∩| = bit_count(m1 & m2): the per-pair work collapses to two
-    //     64-bit ops (dictionary encoding, the columnar engine's trick);
-    //   * otherwise → sorted string arrays + array_intersect (general path).
-    // Identical set semantics either way — the oracle still computes it
-    // the unnest-join way.
-    val d = docs(spark, dir)
+  /** Adaptive token-set encoding (a planning-time scalar decision, like
+    * AQE): vocabulary ≤ 64 → dictionary-encode each distinct-token set as
+    * ONE long bitmask via a broadcast dictionary, so |∩| collapses to
+    * bit_count(m1 & m2); otherwise string arrays + array_intersect (the
+    * general path). Returns the encoded frame (doc_id, source, mask, n)
+    * and the |∩| expression over an a/b self-join. Identical set
+    * semantics either way. */
+  private[ops] def tokenSets(d: DataFrame)
+      : (DataFrame, org.apache.spark.sql.Column) = {
     val toks = d.select(col("doc_id"), col("source"),
       array_distinct(split(col("text"), " ")).as("toks"))
     val vocabSize = d.select(explode(split(col("text"), " ")).as("t"))
       .agg(countDistinct(col("t"))).collect()(0).getLong(0)
-    val sets =
-      if (vocabSize <= 64) {
-        val dict = d.select(explode(split(col("text"), " ")).as("token")).distinct()
-          .withColumn("bit", (row_number().over(
-            org.apache.spark.sql.expressions.Window.orderBy("token")) - 1).cast("long"))
-        toks.select(col("doc_id"), col("source"), explode(col("toks")).as("token"))
-          .join(broadcast(dict), "token")
-          .groupBy("doc_id", "source")
-          .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).as("mask"),
-            count(lit(1)).as("n"))
-      } else toks.select(col("doc_id"), col("source"), col("toks").as("mask"),
+    if (vocabSize <= 64) {
+      val dict = d.select(explode(split(col("text"), " ")).as("token")).distinct()
+        .withColumn("bit", (row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("token")) - 1).cast("long"))
+      val sets = toks
+        .select(col("doc_id"), col("source"), explode(col("toks")).as("token"))
+        .join(broadcast(dict), "token")
+        .groupBy("doc_id", "source")
+        .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).as("mask"),
+          count(lit(1)).as("n"))
+      (sets, bit_count(col("a.mask").bitwiseAND(col("b.mask"))).cast("long"))
+    } else {
+      val sets = toks.select(col("doc_id"), col("source"), col("toks").as("mask"),
         size(col("toks")).cast("long").as("n"))
-    val interExpr =
-      if (vocabSize <= 64) bit_count(col("a.mask").bitwiseAND(col("b.mask"))).cast("long")
-      else size(array_intersect(col("a.mask"), col("b.mask"))).cast("long")
+      (sets, size(array_intersect(col("a.mask"), col("b.mask"))).cast("long"))
+    }
+  }
+
+  def dedupNearJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // Pair generation carries each doc's distinct-token SET instead of
+    // exploding to token rows: the block self-join emits |block|²/2 rows
+    // once and |∩| is computed per pair — no token-level shuffle. The
+    // oracle still computes it the unnest-join way.
+    val (sets, interExpr) = tokenSets(docs(spark, dir))
     val jac = sets.alias("a")
       .join(sets.alias("b"),
         col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
