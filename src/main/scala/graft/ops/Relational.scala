@@ -229,6 +229,22 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Pivot: one column per order priority, counts per status. Spark's
+    * pivot() plans a single-pass aggregation with one CASE-filtered
+    * aggregate per pivot value — exactly what the oracle spells out by
+    * hand (DuckDB's PIVOT syntax would work too; the CASE form is
+    * engine-portable). Pivot values are listed explicitly: at 100 TB the
+    * values-discovery pre-query is a full scan you don't want implicit. */
+  def aggPivot(spark: SparkSession, dir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    table(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", prios)
+      .count()
+      .na.fill(0L)
+      .orderBy("o_orderstatus")
+  }
+
   /** max_by/min_by (argmax) aggregates. Ties are nondeterministic in both
     * engines, so the ordinal is made unique: exact cents × 10⁷ + orderkey
     * — pure integer arithmetic, identical cross-engine. */
@@ -357,6 +373,7 @@ object Relational {
     "join_theta_range" -> (joinThetaRange _),
     "join_full_outer" -> (joinFullOuter _),
     "agg_min_max_by" -> (aggMinMaxBy _),
+    "agg_pivot" -> (aggPivot _),
     "join_asof_event_order" -> (joinAsofEventOrder _),
     "agg_pricing_summary" -> (aggPricingSummary _),
     "agg_distinct" -> (aggDistinct _),
@@ -418,6 +435,14 @@ object Relational {
            coalesce(u.n_events, 0) AS n_events
          FROM customer c FULL JOIN u ON c.c_custkey = u.user_id
          ORDER BY id""",
+    "agg_pivot" ->
+      """SELECT o_orderstatus,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS "1-URGENT",
+         CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS "2-HIGH",
+         CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS "3-MEDIUM",
+         CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS "4-NOT SPECIFIED",
+         CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS "5-LOW"
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "agg_min_max_by" ->
       """SELECT o_orderstatus,
          arg_max(o_orderkey, CAST(o_totalprice * 100 AS BIGINT) * 10000000 + o_orderkey) AS priciest_order,
