@@ -330,6 +330,20 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** RANGE frame: per-user trailing-1-hour sum — the value-based frame
+    * (all rows within the interval, including ts peers) as opposed to the
+    * row-counted frames above. Ordering key is epoch micros so the frame
+    * bound is exact integer arithmetic in both engines. */
+  def windowRangeTrailing(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("t_us"))
+      .rangeBetween(-3600000000L, 0L)
+    table(spark, dir, "events")
+      .withColumn("t_us", unix_micros(col("ts")))
+      .withColumn("trailing_1h", round(sum(col("value").cast(Qty)).over(w).cast("double"), 4))
+      .select(col("event_id"), col("user_id"), col("trailing_1h"))
+      .orderBy("event_id")
+  }
+
   /** lag() delta of consecutive per-user event values. */
   def windowLagDelta(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -383,6 +397,7 @@ object Relational {
     "agg_percentiles" -> (aggPercentiles _),
     "agg_stats_moments" -> (aggStatsMoments _),
     "window_ntile_dist" -> (windowNtileDist _),
+    "window_range_trailing" -> (windowRangeTrailing _),
     "window_rank_topn" -> (windowRankTopn _),
     "window_running_sum" -> (windowRunningSum _),
     "window_lag_delta" -> (windowLagDelta _),
@@ -527,6 +542,12 @@ object Relational {
          round(CAST(sum(CAST(value AS DECIMAL(10,2))) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS running
+         FROM ${evSql()} ORDER BY event_id""",
+    "window_range_trailing" ->
+      s"""SELECT event_id, user_id,
+         round(CAST(sum(CAST(value AS DECIMAL(10,2))) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS trailing_1h
          FROM ${evSql()} ORDER BY event_id""",
     "window_lag_delta" ->
       s"""SELECT event_id, user_id,
