@@ -1,0 +1,14 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftSessionSpec extends AnyFunSuite {
+
+  test("recommended configs scale shuffle partitions with cores, floor 8") {
+    val c32 = GraftSession.recommendedConfigs(32)
+    assert(c32("spark.sql.shuffle.partitions") == "64")
+    assert(GraftSession.recommendedConfigs(2)("spark.sql.shuffle.partitions") == "8")
+    assert(c32("spark.sql.extensions") == "graft.functions.GraftExtensions")
+    assert(c32("spark.sql.adaptive.skewJoin.enabled") == "true")
+  }
+}
