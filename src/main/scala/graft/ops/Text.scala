@@ -99,6 +99,19 @@ object Text {
         expr("(n_chars + 3) div 4").as("est_llm_tokens"))
       .orderBy("doc_id")
 
+  /** Positional token stats via posexplode — the ordinal Generator path
+    * (explode with position). Leading positions carry the document-start
+    * distribution. Spark's pos is 0-based; emitted 1-based to match the
+    * oracle's range(). */
+  def posTokens(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .filter(col("pos") <= 2)
+      .select((col("pos") + 1).cast("long").as("pos"), col("token"))
+      .groupBy("pos", "token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("pos", "token")
+
   /** Document fingerprinting: 1-permutation MinHash (min over token md5s —
     * a rolling content signature robust to token order) + distinct-token
     * cardinality. Per-row only; the fingerprint is the natural shuffle key
@@ -238,6 +251,7 @@ object Text {
     "text_quality_score" -> (qualityScore _),
     "text_token_count" -> (tokenCount _),
     "text_fingerprint" -> (fingerprint _),
+    "text_pos_tokens" -> (posTokens _),
     "dedup_exact" -> (dedupExact _),
     "dedup_near_jaccard" -> (dedupNearJaccard _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _))
@@ -291,6 +305,12 @@ object Text {
          list_min(list_transform(string_split(text, ' '), t -> md5(t))) AS fp_minhash,
          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tok
          FROM documents ORDER BY doc_id""",
+    "text_pos_tokens" ->
+      """SELECT u.pos AS pos, u.tok AS token, count(*) AS n
+         FROM (SELECT unnest(list_transform(range(1, least(len(s), 3) + 1),
+                 i -> {'pos': i, 'tok': s[i]})) AS u
+               FROM (SELECT string_split(text, ' ') AS s FROM documents))
+         GROUP BY pos, token ORDER BY pos, token""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS h,
          count(*) AS n_copies
