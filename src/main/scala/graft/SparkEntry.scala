@@ -18,12 +18,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     PipelineOps.queries ++ Relational.queries ++ Scalars.queries ++
       Text.queries ++ Vector.queries ++ Dedup.queries ++
-      StreamingModel.queries ++ Udaf.queries
+      StreamingModel.queries ++ Udaf.queries ++ SqlSurface.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     PipelineOps.oracleSql ++ Relational.oracleSql ++ Scalars.oracleSql ++
       Text.oracleSql ++ Vector.oracleSql ++ Dedup.oracleSql ++
-      StreamingModel.oracleSql ++ Udaf.oracleSql
+      StreamingModel.oracleSql ++ Udaf.oracleSql ++ SqlSurface.oracleSql
 }

@@ -28,12 +28,20 @@ object Dedup {
     * signatures are banded (r=2) and hashed; docs sharing any (source,
     * band, bandsig) bucket become candidate pairs; candidates are verified
     * with exact token-set Jaccard. Output: per-source candidate/verified
-    * counts. One shuffle per stage, never a cross join. */
+    * counts. Never a cross join — and since round 2, ONE tokenization
+    * feeds both stages: signatures are a pure per-row projection
+    * (`array_min` over `transform` of the token array — no explode, no
+    * groupBy shuffle; round 1 split the text twice and shuffled token
+    * rows to build signatures), and verification reuses the same `toks`
+    * column. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val tok = tokens(spark, dir, distinct = true)
+    val base = table(spark, dir, "documents").select(
+      col("doc_id"), col("source"),
+      array_distinct(split(col("text"), " ")).as("toks"))
     val mins = (0 until K).map(i =>
-      min(md5(concat(lit(s"s$i|"), col("token")).cast("binary"))).as(s"m$i"))
-    val sig = tok.groupBy("doc_id", "source").agg(mins.head, mins.tail: _*)
+      array_min(transform(col("toks"), t =>
+        md5(concat(lit(s"s$i|"), t).cast("binary")))).as(s"m$i"))
+    val sig = base.select(col("doc_id") +: col("source") +: mins: _*)
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).cast("binary")).as("bsig"))
@@ -54,8 +62,7 @@ object Dedup {
     // Text.tokenSets was measured NET SLOWER here: its dictionary build
     // adds a count job + shuffle, and candidate verification isn't this
     // query's bottleneck.)
-    val sets = table(spark, dir, "documents").select(
-      col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    val sets = base.select(col("doc_id"), col("toks"))
     val jac = cand
       .join(sets.select(col("doc_id").as("dd1"), col("toks").as("t1")),
         col("d1") === col("dd1"))

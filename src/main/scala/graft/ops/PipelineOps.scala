@@ -75,11 +75,34 @@ object PipelineOps {
       .orderBy("event_id")
   }
 
+  /** Partition-pruned scan, end to end: round-trip `events` through
+    * [[graft.sources.TableSinks.writeDatePartitioned]] into a temp scratch
+    * layout (`p_date=YYYY-MM-DD/` directories), read back with a day
+    * filter, aggregate. The day filter prunes whole directories BEFORE any
+    * IO — `PartitionFilters` in the scan, asserted in PlanSpec — which at
+    * 100 TB is the difference between reading one day and one month. The
+    * write is part of the query on purpose: layout is an operator, and its
+    * cost is honest in the bench. Scratch is keyed by the input dir so
+    * concurrent sfs can't collide; testdata itself is never written. */
+  def partitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_prune_" + java.lang.Integer.toHexString(dir.hashCode)).getPath
+    graft.sources.TableSinks.writeDatePartitioned(
+      table(spark, dir, "events"), "ts", scratch, Seq("event_id"))
+    graft.sources.TableSinks.readDatePartitioned(spark, scratch)
+      .filter(col("p_date") === lit("2024-01-15"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsumR(col("value"), Qty).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_latest_snapshot" -> (latestSnapshot _),
     "pipe_filter_contains" -> (filterContains _),
     "pipe_parse_project" -> (parseProject _),
-    "pipe_incremental_anti" -> (incrementalAnti _))
+    "pipe_incremental_anti" -> (incrementalAnti _),
+    "pipe_partition_prune" -> (partitionPrune _))
 
   val oracleSql: Map[String, String] = Map(
     "pipe_latest_snapshot" ->
@@ -103,5 +126,11 @@ object PipelineOps {
              SELECT user_id, max(ts) AS last_ts FROM ${evSql()}
              WHERE event_type = 'purchase' GROUP BY user_id) s
            WHERE s.user_id = e.user_id AND e.ts <= s.last_ts)
-         ORDER BY e.event_id""")
+         ORDER BY e.event_id""",
+    "pipe_partition_prune" ->
+      s"""SELECT event_type, count(*) AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE), 4) AS sum_value
+         FROM ${evSql()}
+         WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+         GROUP BY event_type ORDER BY event_type""")
 }

@@ -83,11 +83,14 @@ object Relational {
       .orderBy("c_custkey")
   }
 
-  /** Anti join — customers with no orders; the reference's seen-set shape
-    * (`src/bak_unload.ps1:57-66`). */
+  /** Anti join — customers with no finished ('F') order; the reference's
+    * seen-set shape (`src/bak_unload.ps1:57-66`). The right side is
+    * filtered so the result is non-empty at every sf (5/71/511 rows at
+    * sf0.001/0.01/0.1) — the round-1 unfiltered version returned 0 rows
+    * and passed its oracle vacuously. */
   def joinAnti(spark: SparkSession, dir: String): DataFrame = {
     val c = table(spark, dir, "customer")
-    val o = table(spark, dir, "orders")
+    val o = table(spark, dir, "orders").filter(col("o_orderstatus") === "F")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy("c_custkey")
@@ -353,6 +356,23 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Top-3 orders per customer through the CUSTOM TopKPerKey operator
+    * ([[graft.plans.TopKPerKey]]: logical node → planner strategy → heap
+    * exec) — the declared, oracle-gated path for the flagship custom
+    * operator. Result ≡ the `row_number() <= 3` window formulation with
+    * the unique orderkey tie-break, but executes as one hash shuffle on
+    * the key plus O(n log k) bounded per-key heaps instead of a full
+    * per-group sort — the shape that matters for top-3-per-customer over
+    * 100 TB of orders. PlanSpec asserts the TopKPerKeyExec node plans. */
+  def windowTopkCustom(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.TopK
+    val base = table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    TopK.topKPerKey(base, Seq("o_custkey"),
+      Seq(TopK.Ord("o_totalprice", descending = true), TopK.Ord("o_orderkey")), 3)
+      .orderBy(col("o_custkey"), desc("o_totalprice"), col("o_orderkey"))
+  }
+
   // ---- sort / set ops -------------------------------------------------
 
   /** Multi-key sort + limit → TakeOrderedAndProject (per-partition top-k,
@@ -399,6 +419,7 @@ object Relational {
     "window_ntile_dist" -> (windowNtileDist _),
     "window_range_trailing" -> (windowRangeTrailing _),
     "window_rank_topn" -> (windowRankTopn _),
+    "window_topk_custom" -> (windowTopkCustom _),
     "window_running_sum" -> (windowRunningSum _),
     "window_lag_delta" -> (windowLagDelta _),
     "sort_multikey_limit" -> (sortMultikeyLimit _),
@@ -435,7 +456,8 @@ object Relational {
          ORDER BY c_custkey""",
     "join_anti" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
          ORDER BY c_custkey""",
     "join_theta_range" ->
       """SELECT p_brand, count(*) AS n,
@@ -537,6 +559,13 @@ object Relational {
                ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
            FROM orders) WHERE rk <= 3
          ORDER BY o_custkey, rk, o_orderkey""",
+    "window_topk_custom" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3
+         ORDER BY o_custkey, o_totalprice DESC, o_orderkey""",
     "window_running_sum" ->
       s"""SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
          round(CAST(sum(CAST(value AS DECIMAL(10,2))) OVER (

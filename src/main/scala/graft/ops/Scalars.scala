@@ -118,7 +118,45 @@ object Scalars {
       .orderBy("vec_id")
   }
 
+  /** Regexp family: extract-all (array result), rlike predicate, first
+    * capture group, match counting. Cross-engine parity notes: Spark
+    * regexp_extract returns '' on no-match where DuckDB returns NULL —
+    * normalized via nullif+coalesce on BOTH sides; the patterns stay in
+    * the common RE2/Java subset (char classes, bounded repeats, groups). */
+  def regexpFamily(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        array_join(regexp_extract_all(col("text"), lit("[a-z]{6,}"), lit(0)), ",")
+          .as("long_toks"),
+        col("text").rlike("join [a-z]+ filter").cast("long").as("has_pattern"),
+        coalesce(nullif(regexp_extract(col("text"), "(jo[a-z]+)", 1), lit("")),
+          lit("NONE")).as("first_jo"),
+        regexp_count(col("text"), lit("filter")).cast("long").as("n_filter"))
+      .orderBy("doc_id")
+
+  /** Null-handling + interval arithmetic: nullif/nvl2/coalesce chains and
+    * date ± INTERVAL in days/hours. nvl2 has no DuckDB spelling — the
+    * oracle uses the equivalent CASE; interval addition on the NTZ
+    * timestamp is exact calendar math in both engines. */
+  def nullInterval(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("O")).as("stat_or_null"),
+        nvl2(nullif(col("o_orderstatus"), lit("O")), lit("CLOSED"), lit("OPEN"))
+          .as("status_class"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("fallback"))
+          .as("stat_coal"),
+        dateS(col("o_orderdate") + expr("INTERVAL 3 DAY")).as("plus_3d"),
+        date_format(col("o_orderdate") + expr("INTERVAL 36 HOUR"),
+          "yyyy-MM-dd HH:mm:ss").as("plus_36h"),
+        dateS(col("o_orderdate") - expr("INTERVAL 7 DAY")).as("minus_1w"))
+      .orderBy("o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_regexp_family" -> (regexpFamily _),
+    "scalar_null_interval" -> (nullInterval _),
     "scalar_str_date_math" -> (strDateMath _),
     "scalar_date_parts" -> (dateParts _),
     "scalar_string_extra" -> (stringExtra _),
@@ -127,6 +165,23 @@ object Scalars {
     "array_embedding_stats" -> (arrayEmbeddingStats _))
 
   val oracleSql: Map[String, String] = Map(
+    "scalar_regexp_family" ->
+      """SELECT doc_id,
+         coalesce(array_to_string(regexp_extract_all(text, '[a-z]{6,}'), ','), '') AS long_toks,
+         CAST(regexp_matches(text, 'join [a-z]+ filter') AS BIGINT) AS has_pattern,
+         coalesce(nullif(regexp_extract(text, '(jo[a-z]+)', 1), ''), 'NONE') AS first_jo,
+         CAST(len(regexp_extract_all(text, 'filter')) AS BIGINT) AS n_filter
+         FROM documents ORDER BY doc_id""",
+    "scalar_null_interval" ->
+      """SELECT o_orderkey,
+         nullif(o_orderstatus, 'O') AS stat_or_null,
+         CASE WHEN nullif(o_orderstatus, 'O') IS NOT NULL
+              THEN 'CLOSED' ELSE 'OPEN' END AS status_class,
+         coalesce(nullif(o_orderstatus, 'O'), 'fallback') AS stat_coal,
+         strftime(o_orderdate + INTERVAL 3 DAY, '%Y-%m-%d') AS plus_3d,
+         strftime(o_orderdate + INTERVAL 36 HOUR, '%Y-%m-%d %H:%M:%S') AS plus_36h,
+         strftime(o_orderdate - INTERVAL 7 DAY, '%Y-%m-%d') AS minus_1w
+         FROM orders ORDER BY o_orderkey""",
     "scalar_str_date_math" ->
       """SELECT o_orderkey,
          upper(o_orderpriority) AS up_prio,

@@ -58,10 +58,28 @@ object StreamingModel {
     * This is the `withWatermark("ts", "1 hour")` drop rule made
     * batch-checkable via a running max over arrival order. */
   def lateFilter(spark: SparkSession, dir: String): DataFrame = {
-    val arrival = Window.orderBy("user_id", "event_id")
+    // Arrival order is user-major, so the watermark (max ts over all
+    // strictly-earlier arrivals) decomposes into the greatest of
+    //   (a) a per-user running max — a window PARTITIONED by user, and
+    //   (b) the max ts among all EARLIER users — a prefix max over the
+    //       per-user summary (ONE row per user), broadcast-joined back.
+    // Every events-sized operation is partitioned; the only unpartitioned
+    // window runs on the aggregated summary, never on raw events. (Round 1
+    // used one global `Window.orderBy(user_id, event_id)` over all events —
+    // a single-task sort of the whole table at scale.) `greatest` skips
+    // nulls, so a user's first event falls back to the earlier-users max
+    // and the very first arrival keeps a null watermark — identical
+    // semantics, same hash.
+    val ev = table(spark, dir, "events")
+    val withinUser = Window.partitionBy("user_id").orderBy("event_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    table(spark, dir, "events")
-      .withColumn("wm", max(col("ts")).over(arrival))
+    val prevUsers = Window.orderBy("user_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val userMax = ev.groupBy("user_id").agg(max(col("ts")).as("u_max"))
+      .withColumn("prev_max", max(col("u_max")).over(prevUsers))
+      .select(col("user_id"), col("prev_max"))
+    ev.join(broadcast(userMax), "user_id")
+      .withColumn("wm", greatest(max(col("ts")).over(withinUser), col("prev_max")))
       .filter(unix_micros(col("ts")) < unix_micros(col("wm")) - 3600000000L)
       .select(col("event_id"), col("user_id"),
         tsS(col("ts")).as("ts_s"), tsS(col("wm")).as("wm_s"))

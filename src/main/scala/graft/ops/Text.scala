@@ -142,19 +142,26 @@ object Text {
     * 31-token vocabulary makes most pairs similar). The per-pair Jaccard
     * is exact int/int double math; the per-source mean uses a decimal
     * accumulator. */
-  /** Adaptive token-set encoding (a planning-time scalar decision, like
-    * AQE): vocabulary ≤ 64 → dictionary-encode each distinct-token set as
-    * ONE long bitmask via a broadcast dictionary, so |∩| collapses to
+  /** Adaptive token-set encoding, decided by a PLANNING HINT instead of a
+    * data-dependent driver action: when `graft.jaccard.vocabHint` (set by
+    * the caller from catalog/table statistics) says the corpus vocabulary
+    * fits in 64 tokens, each distinct-token set dictionary-encodes to ONE
+    * long bitmask via a broadcast dictionary, so |∩| collapses to
     * bit_count(m1 & m2); otherwise string arrays + array_intersect (the
-    * general path). Returns the encoded frame (doc_id, source, mask, n)
-    * and the |∩| expression over an a/b self-join. Identical set
-    * semantics either way. */
+    * general path, and the default with no hint). Both paths have
+    * identical set semantics — the hint moves the plan, never the result —
+    * so a missing or stale hint costs speed, not correctness. (Round 1
+    * derived the decision from a full-corpus explode+countDistinct with a
+    * driver `.collect()` — an extra scan AND a driver action ahead of the
+    * real job; a statistics hint is the catalog-consistent fix.) Returns
+    * the encoded frame (doc_id, source, mask, n) and the |∩| expression
+    * over an a/b self-join. */
   private[ops] def tokenSets(d: DataFrame)
       : (DataFrame, org.apache.spark.sql.Column) = {
     val toks = d.select(col("doc_id"), col("source"),
       array_distinct(split(col("text"), " ")).as("toks"))
-    val vocabSize = d.select(explode(split(col("text"), " ")).as("t"))
-      .agg(countDistinct(col("t"))).collect()(0).getLong(0)
+    val vocabSize = d.sparkSession.conf
+      .get("graft.jaccard.vocabHint", Long.MaxValue.toString).toLong
     if (vocabSize <= 64) {
       val dict = d.select(explode(split(col("text"), " ")).as("token")).distinct()
         .withColumn("bit", (row_number().over(
@@ -178,6 +185,11 @@ object Text {
     // exploding to token rows: the block self-join emits |block|²/2 rows
     // once and |∩| is computed per pair — no token-level shuffle. The
     // oracle still computes it the unnest-join way.
+    //
+    // This is the EXACT pairwise baseline: O(block²) by construction, kept
+    // as oracle-checkable ground truth. The production path at 100 TB is
+    // [[graft.ops.Dedup.minhashLsh]] — candidate pairs from an equi join on
+    // LSH band signatures, never quadratic.
     val (sets, interExpr) = tokenSets(docs(spark, dir))
     val jac = sets.alias("a")
       .join(sets.alias("b"),

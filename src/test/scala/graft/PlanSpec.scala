@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.{PipelineOps, Relational, Vector}
+import graft.ops.{PipelineOps, Relational, StreamingModel, Vector}
 
 /** Physical-plan assertions on the real sf0.001 tables: the properties
   * that decide whether a plan survives a 100×–1000× scale-up. Locking them
@@ -59,6 +59,36 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val p = plan(Relational.aggPricingSummary(spark, dir))
     assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial+final agg pair:\n$p")
+  }
+
+  test("stream_late_filter: every window over raw events is partitioned") {
+    // The round-1 scale-killer was ONE global Window.orderBy over all
+    // events (single-task sort). The restructured plan may keep an
+    // unpartitioned window ONLY on the per-user summary — i.e. its subtree
+    // must contain the summarizing aggregate; unpartitioned directly over
+    // the scan is a regression.
+    val plan = StreamingModel.lateFilter(spark, dir).queryExecution.sparkPlan
+    val overRaw = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }.filterNot(_.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }.nonEmpty)
+    assert(overRaw.isEmpty,
+      s"unpartitioned window over raw events:\n${overRaw.mkString("\n")}")
+  }
+
+  test("window_topk_custom plans through the custom TopKPerKeyExec") {
+    val plan = Relational.windowTopkCustom(spark, dir).queryExecution.sparkPlan
+    val topk = plan.collect { case t: graft.plans.TopKPerKeyExec => t }
+    assert(topk.nonEmpty, s"TopKPerKeyExec absent:\n$plan")
+  }
+
+  test("pipe_partition_prune: day filter reaches PartitionFilters") {
+    val p = plan(PipelineOps.partitionPrune(spark, dir))
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("p_date") && !pf.replaceAll("\\s", "").contains("PartitionFilters:[]"),
+      s"day filter not in PartitionFilters:\n$p")
   }
 
   test("whole-stage codegen covers the pricing-summary pipeline") {

@@ -43,18 +43,19 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("semi ⊎ anti partitions the left side for any order set") {
-    val ordersGen = Gen.listOf(Gen.chooseNum(1L, 8L)).map(_.zipWithIndex.map {
-      case (ck, i) => OrderRow(i.toLong, ck, "O", 1.0, ts("2024-01-01 00:00:00"), "1-URGENT")
-    })
+  test("semi ('O') and anti ('F') select by order status for any order set") {
+    val ordersGen = Gen.listOf(Gen.zip(Gen.chooseNum(1L, 8L), Gen.oneOf("O", "F", "P")))
+      .map(_.zipWithIndex.map { case ((ck, st), i) =>
+        OrderRow(i.toLong, ck, st, 1.0, ts("2024-01-01 00:00:00"), "1-URGENT")
+      })
     forAll(ordersGen) { orders =>
       val custs = (1L to 8L).map(i => CustRow(i, s"c$i", 0, 0.0, "B"))
       val dir = fixtureDir("customer" -> custs.toDF, "orders" -> orders.toDF)
       val semi = Relational.joinSemi(spark, dir).collect().map(_.getAs[Long]("c_custkey")).toSet
       val anti = Relational.joinAnti(spark, dir).collect().map(_.getAs[Long]("c_custkey")).toSet
-      assert((semi union anti) == custs.map(_.c_custkey).toSet)
-      assert((semi intersect anti).isEmpty)
-      assert(semi == orders.map(_.o_custkey).toSet) // all generated orders are 'O'
+      assert(semi == orders.filter(_.o_orderstatus == "O").map(_.o_custkey).toSet)
+      assert(anti == custs.map(_.c_custkey).toSet --
+        orders.filter(_.o_orderstatus == "F").map(_.o_custkey))
     }
   }
 

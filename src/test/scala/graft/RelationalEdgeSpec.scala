@@ -40,7 +40,7 @@ class RelationalEdgeSpec extends AnyFunSuite with SparkFixture {
     assert(m == Map(1L -> 1L, 2L -> 0L))
   }
 
-  test("semi and anti joins partition the left side") {
+  test("semi selects by 'O' orders, anti excludes by 'F' orders") {
     val dir = fixtureDir(
       "customer" -> (1L to 10L).map(i => CustRow(i, s"c$i", 0, 0.0, "B")).toDF,
       "orders" -> Seq(
@@ -49,8 +49,7 @@ class RelationalEdgeSpec extends AnyFunSuite with SparkFixture {
     val semi = Relational.joinSemi(spark, dir).collect().map(_.getAs[Long]("c_custkey")).toSet
     val anti = Relational.joinAnti(spark, dir).collect().map(_.getAs[Long]("c_custkey")).toSet
     assert(semi == Set(2L))                      // only the open ('O') order counts
-    assert(anti == (1L to 10L).toSet -- Set(2L, 5L))
-    assert((semi intersect anti).isEmpty)
+    assert(anti == (1L to 10L).toSet - 5L)       // only the finished ('F') order excludes
   }
 
   test("incremental anti keeps all events for users with no purchase mark") {

@@ -39,6 +39,18 @@ class TextDedupSpec extends AnyFunSuite with SparkFixture {
     assert(s0.getAs[Double]("avg_jac") == 1.0)
   }
 
+  test("vocab-hint bitmask path and general array path agree exactly") {
+    val dir = fixtureDir("documents" -> Seq(
+      doc(1, "a b c d"), doc(2, "a b c e"), doc(3, "a x"),
+      doc(4, "q r s", source = "s1"), doc(5, "q r t", source = "s1")).toDF)
+    def run() = Text.dedupNearJaccard(spark, dir).collect().toSeq
+    spark.conf.unset("graft.jaccard.vocabHint")
+    val general = run()
+    spark.conf.set("graft.jaccard.vocabHint", "10")
+    val bitmask = try run() finally spark.conf.unset("graft.jaccard.vocabHint")
+    assert(bitmask == general)
+  }
+
   test("quality score handles single-token documents (no div-by-zero)") {
     val dir = fixtureDir("documents" -> Seq(doc(1, "join")).toDF)
     val r = Text.qualityScore(spark, dir).collect()(0)
