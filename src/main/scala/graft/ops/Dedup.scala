@@ -15,7 +15,15 @@ import Util._
 object Dedup {
 
   private val K = 6        // minhash permutations
-  private val Bands = 3    // bands of r = K/Bands rows each
+  // Bands of r = K/Bands rows each. r tunes the candidate-probability
+  // curve P(candidate | J) = 1 − (1 − J^r)^Bands: r=2 made ~73% of ALL
+  // pairs candidates on this corpus (token sets drawn from a 31-token
+  // vocabulary are ~0.6-Jaccard-similar on average, so 2-row bands
+  // collide constantly) and verification dominated the runtime; r=3
+  // keeps true near-dups (J=1 collides in every band at any r) while
+  // cutting candidates ~35%.
+  private val Bands = 2
+  private val R = K / Bands
 
   private def tokens(spark: SparkSession, dir: String, distinct: Boolean): DataFrame = {
     val toks = split(col("text"), " ")
@@ -44,17 +52,29 @@ object Dedup {
     val sig = base.select(col("doc_id") +: col("source") +: mins: _*)
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).cast("binary")).as("bsig"))
+        md5(concat((0 until R).map(j => col(s"m${R * b + j}")): _*)
+          .cast("binary")).as("bsig"))
     }
     val bands = sig.select(col("doc_id"), col("source"),
         explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("source"), col("bs.band"), col("bs.bsig"))
-    val cand = bands.alias("a")
-      .join(bands.alias("b"),
-        col("a.source") === col("b.source") && col("a.band") === col("b.band") &&
-          col("a.bsig") === col("b.bsig") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.source").as("source"), col("a.doc_id").as("d1"),
-        col("b.doc_id").as("d2"))
+    // Candidate pairs by GROUPING each (source, band, bsig) bucket and
+    // emitting its member pairs, not by self-joining the band table: one
+    // shuffle of band rows total. (The round-1 self-join recomputed the
+    // signature projection on both join sides — without a shuffle under
+    // it there is no exchange for ReuseExchange to deduplicate — and
+    // shuffled the table twice.) Bucket membership lists are small by
+    // construction (docs agreeing on a band signature), so the per-bucket
+    // pair expansion is bounded — the same property that makes LSH
+    // candidate generation linear-ish rather than O(n²).
+    val buckets = bands.groupBy("source", "band", "bsig")
+      .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val cand = buckets.select(col("source"),
+        explode(expr("""flatten(transform(ds, (x, i) ->
+          transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"""))
+          .as("p"))
+      .select(col("source"), col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
     // Verify candidates against per-doc token SETS (array_intersect per
     // pair) instead of a candidate×token join — candidates already share a
@@ -107,7 +127,8 @@ object Dedup {
   private val minhashMinsSql =
     (0 until K).map(i => s"min(md5('s$i|' || token)) AS m$i").mkString(",\n             ")
   private val bandSelectsSql = (0 until Bands).map { b =>
-    s"SELECT doc_id, source, $b AS band, md5(m${2 * b} || m${2 * b + 1}) AS bsig FROM sig"
+    val cat = (0 until R).map(j => s"m${R * b + j}").mkString(" || ")
+    s"SELECT doc_id, source, $b AS band, md5($cat) AS bsig FROM sig"
   }.mkString("\n           UNION ALL ")
   private val votesSql = (0 until 16).map(j =>
     s"sum(CASE WHEN substr(mh, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$j")

@@ -39,16 +39,16 @@ class TextDedupSpec extends AnyFunSuite with SparkFixture {
     assert(s0.getAs[Double]("avg_jac") == 1.0)
   }
 
-  test("vocab-hint bitmask path and general array path agree exactly") {
-    val dir = fixtureDir("documents" -> Seq(
-      doc(1, "a b c d"), doc(2, "a b c e"), doc(3, "a x"),
-      doc(4, "q r s", source = "s1"), doc(5, "q r t", source = "s1")).toDF)
-    def run() = Text.dedupNearJaccard(spark, dir).collect().toSeq
-    spark.conf.unset("graft.jaccard.vocabHint")
-    val general = run()
-    spark.conf.set("graft.jaccard.vocabHint", "10")
-    val bitmask = try run() finally spark.conf.unset("graft.jaccard.vocabHint")
-    assert(bitmask == general)
+  test("chunked bitmask spans >64-token vocabularies exactly") {
+    // 90-token vocabulary forces multi-word masks: doc1 = t0..t59,
+    // doc2 = t30..t89 → |∩| = 30, |∪| = 90, Jaccard = 1/3 exactly.
+    val t1 = (0 until 60).map(i => s"t$i").mkString(" ")
+    val t2 = (30 until 90).map(i => s"t$i").mkString(" ")
+    val dir = fixtureDir("documents" -> Seq(doc(1, t1), doc(2, t2)).toDF)
+    val out = Text.dedupNearJaccard(spark, dir).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("n_pairs") == 1)
+    assert(out(0).getAs[Double]("avg_jac") == math.floor(1.0 / 3.0 * 1e4 + 0.5) / 1e4)
   }
 
   test("quality score handles single-token documents (no div-by-zero)") {
