@@ -67,3 +67,55 @@ object DotProductFloat {
   def dotF(a: Column, b: Column): Column =
     Bridge.column(DotProductFloat(Bridge.expression(a), Bridge.expression(b)))
 }
+
+/** Dot product of a float vector with a DOUBLE vector — the k-means hot
+  * loop (trained centroids are double-valued means; the corpus stays
+  * float). Same sequential left-to-right double accumulation as
+  * [[DotProductFloat]] and the `zip_with`+`aggregate` HOF formulation it
+  * replaces (measured ~3 s of interpreted lambda per bench run across the
+  * 4 IVF assignment passes), so swapping it in changes no result bit. */
+case class DotProductFloatDouble(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product_float_double"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductFloatDouble =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProductFloatDouble {
+  /** Column-API entry point. */
+  def dotFD(a: Column, b: Column): Column =
+    Bridge.column(DotProductFloatDouble(Bridge.expression(a), Bridge.expression(b)))
+}

