@@ -25,6 +25,19 @@ object GraftSession {
     "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,
     "spark.sql.session.timeZone" -> "UTC")
 
+  /** Additions for streaming jobs: RocksDB state store keeps large,
+    * long-lived state (sessionization, streaming dedup sets) off-heap
+    * with incremental (changelog) checkpoints — the default HDFS-backed
+    * provider holds every key in executor heap and re-snapshots whole
+    * maps, which fails first when state approaches memory at 100 TB
+    * inputs. Merge over [[recommendedConfigs]] when the job runs
+    * [[graft.streaming]] pipelines. */
+  def streamingConfigs: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
+
   def builder(master: String, totalCores: Int): SparkSession.Builder =
     recommendedConfigs(totalCores).foldLeft(
       SparkSession.builder().master(master)) {

@@ -11,4 +11,10 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(c32("spark.sql.extensions") == "graft.functions.GraftExtensions")
     assert(c32("spark.sql.adaptive.skewJoin.enabled") == "true")
   }
+
+  test("streaming configs select the RocksDB state store with changelog checkpoints") {
+    val s = GraftSession.streamingConfigs
+    assert(s("spark.sql.streaming.stateStore.providerClass").endsWith("RocksDBStateStoreProvider"))
+    assert(s("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled") == "true")
+  }
 }
