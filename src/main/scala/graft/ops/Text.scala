@@ -175,14 +175,13 @@ object Text {
         sum(bit_count(col("m"))).cast("long").as("n"))
   }
 
-  /** |∩| of two chunked bitmasks: AND word-wise (absent word = 0), popcount,
-    * sum. */
+  /** |∩| of two chunked bitmasks: AND word-wise, popcount, sum — the
+    * codegen'd sorted-merge [[graft.functions.MaskIntersectCount]]
+    * (bit-identical to the `map_zip_with` HOF formulation it replaces;
+    * that one evaluated interpreted lambdas per pair). */
   private[ops] def maskIntersect(m1: org.apache.spark.sql.Column,
       m2: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    aggregate(
-      map_values(map_zip_with(m1, m2, (_, x, y) =>
-        bit_count(coalesce(x, lit(0L)).bitwiseAND(coalesce(y, lit(0L)))))),
-      lit(0), (acc, v) => acc + v).cast("long")
+    graft.functions.MaskIntersectCount.maskIntersect(m1, m2)
 
   def dedupNearJaccard(spark: SparkSession, dir: String): DataFrame = {
     // This is the EXACT pairwise baseline, kept as oracle-checkable ground
