@@ -91,6 +91,25 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"day filter not in PartitionFilters:\n$p")
   }
 
+  test("SQL-text path optimizes like the DSL: sql_agg_revenue broadcasts dims") {
+    // Catalyst is API-agnostic — the parser's plan must get the same
+    // physical treatment the DataFrame DSL gets.
+    val p = plan(graft.ops.SqlSurface.sqlAggRevenue(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join via SQL text:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial+final agg:\n$p")
+  }
+
+  test("window_topk_custom needs exactly one hash shuffle for the heap exec") {
+    // ClusteredDistribution on the keys → EnsureRequirements inserts ONE
+    // hash exchange (visible in executedPlan; sparkPlan predates the
+    // preparation rules); the final presentation orderBy contributes the
+    // only other (range) exchange. More hash exchanges = a regression.
+    val p = plan(Relational.windowTopkCustom(spark, dir))
+    assert(p.contains("TopKPerKey"), s"TopKPerKeyExec absent:\n$p")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles == 1, s"expected exactly 1 hash exchange:\n$p")
+  }
+
   test("whole-stage codegen covers the pricing-summary pipeline") {
     // AQE prints the final plan (with codegen stages) only after execution
     val df = Relational.aggPricingSummary(spark, dir)
