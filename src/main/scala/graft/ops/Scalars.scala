@@ -154,7 +154,25 @@ object Scalars {
         dateS(col("o_orderdate") - expr("INTERVAL 7 DAY")).as("minus_1w"))
       .orderBy("o_orderkey")
 
+  /** try_* null-safety family: division that nulls instead of failing on
+    * a zero denominator, casts that null instead of failing on malformed
+    * input, with least/greatest alongside. DuckDB has try_cast but no
+    * try_divide — the oracle guards the denominator with CASE, which is
+    * exactly try_divide's semantic. */
+  def trySafe(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        r4(expr("try_divide(o_totalprice, o_orderkey % 3)")).as("div_or_null"),
+        expr("CAST(try_cast(o_orderstatus AS INT) AS BIGINT)").as("stat_int"),
+        expr("CAST(try_cast(substr(o_orderpriority, 1, 1) AS INT) AS BIGINT)")
+          .as("prio_int"),
+        least(col("o_totalprice"), lit(100000.0)).as("capped_lo"),
+        greatest(col("o_totalprice"), lit(100000.0)).as("capped_hi"))
+      .orderBy("o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_try_safe" -> (trySafe _),
     "scalar_regexp_family" -> (regexpFamily _),
     "scalar_null_interval" -> (nullInterval _),
     "scalar_str_date_math" -> (strDateMath _),
@@ -165,6 +183,16 @@ object Scalars {
     "array_embedding_stats" -> (arrayEmbeddingStats _))
 
   val oracleSql: Map[String, String] = Map(
+    "scalar_try_safe" ->
+      """SELECT o_orderkey,
+         floor((CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                     ELSE o_totalprice / (o_orderkey % 3) END) * 10000.0 + 0.5) / 10000.0
+           AS div_or_null,
+         CAST(try_cast(o_orderstatus AS INTEGER) AS BIGINT) AS stat_int,
+         CAST(try_cast(substr(o_orderpriority, 1, 1) AS INTEGER) AS BIGINT) AS prio_int,
+         least(o_totalprice, 100000.0) AS capped_lo,
+         greatest(o_totalprice, 100000.0) AS capped_hi
+         FROM orders ORDER BY o_orderkey""",
     "scalar_regexp_family" ->
       """SELECT doc_id,
          coalesce(array_to_string(regexp_extract_all(text, '[a-z]{6,}'), ','), '') AS long_toks,

@@ -70,9 +70,29 @@ object SqlSurface {
           ORDER BY vec_id""")
   }
 
+  /** Subqueries through the parser: an uncorrelated scalar subquery (the
+    * corpus-average threshold — exact decimal avg so both engines compute
+    * the same double) and a correlated EXISTS that Catalyst decorrelates
+    * into a semi join. Decorrelation is pure optimizer work — there is no
+    * DSL spelling of this query shape. */
+  def sqlSubqueries(spark: SparkSession, dir: String): DataFrame = {
+    reg(spark, dir, "customer", "orders")
+    spark.sql(
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+         FROM g_orders o
+         WHERE o.o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                                        / CAST(count(*) AS DOUBLE)
+                                 FROM g_orders) * 1.5
+           AND EXISTS (SELECT 1 FROM g_customer c
+                       WHERE c.c_custkey = o.o_custkey
+                         AND c.c_mktsegment = 'BUILDING')
+         ORDER BY o.o_orderkey""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_agg_revenue" -> (sqlAggRevenue _),
     "sql_window_topn" -> (sqlWindowTopn _),
+    "sql_subqueries" -> (sqlSubqueries _),
     "sql_dot_product" -> (sqlDotProduct _))
 
   val oracleSql: Map[String, String] = Map(
@@ -91,6 +111,16 @@ object SqlSurface {
          SELECT o_orderstatus, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
          FROM ranked WHERE rn <= 2
          ORDER BY o_orderstatus, rn""",
+    "sql_subqueries" ->
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+         FROM orders o
+         WHERE o.o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                                        / CAST(count(*) AS DOUBLE)
+                                 FROM orders) * 1.5
+           AND EXISTS (SELECT 1 FROM customer c
+                       WHERE c.c_custkey = o.o_custkey
+                         AND c.c_mktsegment = 'BUILDING')
+         ORDER BY o.o_orderkey""",
     "sql_dot_product" ->
       """SELECT vec_id, CAST(label AS BIGINT) AS label,
          floor(list_sum(list_transform(range(1, len(embedding) + 1),
