@@ -17,6 +17,37 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Double]("d") == 32.0)
   }
 
+  test("DotProductFloatDouble dots a float vector with a double vector") {
+    import graft.functions.DotProductFloatDouble
+    import org.apache.spark.sql.functions._
+    val r = spark.range(1).select(
+      DotProductFloatDouble.dotFD(
+        expr("CAST(array(1.0, 2.0, 3.0) AS ARRAY<FLOAT>)"),
+        expr("CAST(array(0.5, 0.25, 2.0) AS ARRAY<DOUBLE>)")).as("d"),
+      // unequal lengths dot the common prefix
+      DotProductFloatDouble.dotFD(
+        expr("CAST(array(1.0, 2.0) AS ARRAY<FLOAT>)"),
+        expr("CAST(array(3.0, 4.0, 5.0) AS ARRAY<DOUBLE>)")).as("p")).collect()(0)
+    assert(r.getAs[Double]("d") == 1.0 * 0.5 + 2.0 * 0.25 + 3.0 * 2.0)
+    assert(r.getAs[Double]("p") == 11.0)
+  }
+
+  test("MaskIntersectCount merges sorted word maps (AND + popcount)") {
+    import graft.functions.MaskIntersectCount
+    import org.apache.spark.sql.functions._
+    val r = spark.range(1).select(
+      MaskIntersectCount.maskIntersect(
+        // words {0: 0b1011, 2: 0b0110}  vs  {0: 0b0011, 1: anything, 2: 0b0100}
+        expr("map(0L, 11L, 2L, 6L)"),
+        expr("map(0L, 3L, 1L, 99L, 2L, 4L)")).as("n"),
+      MaskIntersectCount.maskIntersect(
+        expr("map(5L, 255L)"), expr("map(7L, 255L)")).as("disjoint")).collect()(0)
+    // word 0: 1011 & 0011 = 0011 (2 bits); word 1 absent left; word 2:
+    // 0110 & 0100 = 0100 (1 bit) → 3
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Long]("disjoint") == 0L)
+  }
+
   test("registration rejects wrong arity with a clear message") {
     GraftExtensions.register(spark)
     val e = intercept[Exception](
