@@ -125,6 +125,31 @@ object Text {
         size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq_tok"))
       .orderBy("doc_id")
 
+  /** Document chunking for training-data prep: fixed 8-token windows with
+    * a 2-token overlap (stride 6), one row per chunk. All per-row array
+    * arithmetic — the chunk count and offsets are integer math on the
+    * token count, the chunk text a slice+join — so at 100 TB this is a
+    * Generator (explode) with zero shuffle, the same scaling shape as
+    * tokenization. Short docs yield one (possibly short) chunk. */
+  def chunkSplit(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(col("toks"))
+    // smallest k with 6k+8 ≥ n, plus 1 → 1 + ceil((n−8)/6) chunks, the
+    // ceil spelled floor((n−3)/6) for n > 8; exact int-valued doubles
+    val nChunks = (lit(1) + when(n > 8, floor((n - 3) / lit(6))).otherwise(lit(0)))
+      .cast("long")
+    docs(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), nChunks - 1)).as("ci"))
+      .select(
+        col("doc_id"),
+        col("ci").as("chunk_idx"),
+        concat_ws(" ", slice(col("toks"), (col("ci") * 6 + 1).cast("int"), lit(8)))
+          .as("chunk_text"),
+        least(lit(8L), size(col("toks")).cast("long") - col("ci") * 6).as("n_tok"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Exact dedup on md5(lower(trim(text))): one hash-shuffle, keep the min
     * doc_id per content hash — ref A7's seen-set semantics applied to
     * content identity. */
@@ -272,6 +297,7 @@ object Text {
     "text_token_count" -> (tokenCount _),
     "text_fingerprint" -> (fingerprint _),
     "text_pos_tokens" -> (posTokens _),
+    "text_chunk_split" -> (chunkSplit _),
     "dedup_exact" -> (dedupExact _),
     "dedup_near_jaccard" -> (dedupNearJaccard _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _))
@@ -331,6 +357,20 @@ object Text {
                  i -> {'pos': i, 'tok': s[i]})) AS u
                FROM (SELECT string_split(text, ' ') AS s FROM documents))
          GROUP BY pos, token ORDER BY pos, token""",
+    "text_chunk_split" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+           FROM documents),
+         c AS (
+           SELECT doc_id, toks, n,
+             unnest(range(0, 1 + CASE WHEN n > 8
+               THEN CAST(floor((n - 3) / 6) AS BIGINT) ELSE 0 END)) AS ci
+           FROM d)
+         SELECT doc_id, ci AS chunk_idx,
+           array_to_string(toks[(ci * 6 + 1):(ci * 6 + 8)], ' ') AS chunk_text,
+           least(8, n - ci * 6) AS n_tok
+         FROM c ORDER BY doc_id, chunk_idx""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS h,
          count(*) AS n_copies

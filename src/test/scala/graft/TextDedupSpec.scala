@@ -51,6 +51,21 @@ class TextDedupSpec extends AnyFunSuite with SparkFixture {
     assert(out(0).getAs[Double]("avg_jac") == math.floor(1.0 / 3.0 * 1e4 + 0.5) / 1e4)
   }
 
+  test("chunk split: overlap, boundary, and short-doc edge cases") {
+    val t14 = (1 to 14).map(i => s"w$i").mkString(" ")   // 2 chunks: 1..8, 7..14
+    val t8 = (1 to 8).map(i => s"w$i").mkString(" ")     // exactly one window
+    val dir = fixtureDir("documents" -> Seq(
+      doc(1, t14), doc(2, t8), doc(3, "a b")).toDF)
+    val out = Text.chunkSplit(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[String]("chunk_text"), r.getAs[Long]("n_tok")))
+    assert(out.toSeq == Seq(
+      (1L, 0L, (1 to 8).map(i => s"w$i").mkString(" "), 8L),
+      (1L, 1L, (7 to 14).map(i => s"w$i").mkString(" "), 8L),
+      (2L, 0L, t8, 8L),
+      (3L, 0L, "a b", 2L)))
+  }
+
   test("quality score handles single-token documents (no div-by-zero)") {
     val dir = fixtureDir("documents" -> Seq(doc(1, "join")).toDF)
     val r = Text.qualityScore(spark, dir).collect()(0)
