@@ -25,12 +25,12 @@ object Dedup {
   private val Bands = 2
   private val R = K / Bands
 
-  private def tokens(spark: SparkSession, dir: String, distinct: Boolean): DataFrame = {
-    val toks = split(col("text"), " ")
+  /** One row per (doc, token occurrence) — frequency-weighted, for the
+    * SimHash vote sums. */
+  private def tokens(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents").select(
       col("doc_id"), col("source"),
-      explode(if (distinct) array_distinct(toks) else toks).as("token"))
-  }
+      explode(split(col("text"), " ")).as("token"))
 
   /** MinHash+LSH: per doc, K min-hashes min_i(md5("s<i>|" ++ token));
     * signatures are banded (r=2) and hashed; docs sharing any (source,
@@ -106,7 +106,7 @@ object Dedup {
     * (source, simhash) bucket cluster as near-dups. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    val tok = tokens(spark, dir, distinct = false)
+    val tok = tokens(spark, dir)
       .withColumn("mh", md5(col("token").cast("binary")))
     val votes = (0 until 16).map(j =>
       sum(when(substring(col("mh"), j + 1, 1).isin(highHex: _*), 1L).otherwise(-1L))

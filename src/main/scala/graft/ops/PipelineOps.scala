@@ -101,7 +101,23 @@ object PipelineOps {
       .orderBy("event_type")
   }
 
+  /** Deterministic, reproducible sampling — the pipeline op an LLM data
+    * run needs where rand()-based TABLESAMPLE can't serve: membership is
+    * a pure function of the key (first md5 hex digit = '0' → a stable
+    * 1/16 sample), so the sample is identical across engines, retries,
+    * and partitionings, and downstream joins against the sample stay
+    * consistent. Pure per-row predicate — at 100 TB it's a map with the
+    * filter pushed at the scan. */
+  def sampleHash(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .filter(substring(md5(col("event_id").cast("string").cast("binary")), 1, 1) === "0")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_event"),
+        max(col("event_id")).as("max_event"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_sample_hash" -> (sampleHash _),
     "pipe_latest_snapshot" -> (latestSnapshot _),
     "pipe_filter_contains" -> (filterContains _),
     "pipe_parse_project" -> (parseProject _),
@@ -109,6 +125,12 @@ object PipelineOps {
     "pipe_partition_prune" -> (partitionPrune _))
 
   val oracleSql: Map[String, String] = Map(
+    "pipe_sample_hash" ->
+      """SELECT event_type, count(*) AS n, min(event_id) AS min_event,
+         max(event_id) AS max_event
+         FROM events
+         WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
+         GROUP BY event_type ORDER BY event_type""",
     "pipe_latest_snapshot" ->
       s"""SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
          user_id, event_type, round(value, 4) AS value_r

@@ -293,6 +293,28 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Fixed-width histogram: quantity bucketed by 10s — the portable
+    * spelling of width_bucket (which DuckDB lacks). Bucket id is
+    * floor(x/10) on the same exact doubles in both engines; one hash agg
+    * over ≤ a handful of buckets, partial+final as usual. */
+  def aggHistogram(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(floor(col("l_quantity") / 10).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), dsumR(col("l_quantity"), Qty).as("sum_qty"))
+      .orderBy("bucket")
+
+  /** Explicit null ordering: engines disagree by DEFAULT (Spark sorts
+    * nulls first ascending, DuckDB last), so any nullable sort key must
+    * spell NULLS FIRST/LAST — this query pins the discipline. The lag()
+    * delta is null on each user's first event. */
+  def sortNullOrder(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    table(spark, dir, "events")
+      .withColumn("delta", round(col("value") - lag(col("value"), 1).over(w), 4))
+      .select(col("event_id"), col("user_id"), col("delta"))
+      .orderBy(col("delta").asc_nulls_last, col("event_id"))
+  }
+
   // ---- windows --------------------------------------------------------
 
   /** Ranking-distribution windows: ntile, percent_rank, cume_dist. With a
@@ -423,6 +445,8 @@ object Relational {
     "window_running_sum" -> (windowRunningSum _),
     "window_lag_delta" -> (windowLagDelta _),
     "sort_multikey_limit" -> (sortMultikeyLimit _),
+    "agg_histogram" -> (aggHistogram _),
+    "sort_null_order" -> (sortNullOrder _),
     "set_union_except" -> (setUnionExcept _))
 
   val oracleSql: Map[String, String] = Map(
@@ -583,6 +607,16 @@ object Relational {
          round(value - lag(value, 1) OVER (
            PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
          FROM ${evSql()} ORDER BY event_id""",
+    "agg_histogram" ->
+      """SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS bucket,
+         count(*) AS n,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE), 4) AS sum_qty
+         FROM lineitem GROUP BY bucket ORDER BY bucket""",
+    "sort_null_order" ->
+      s"""SELECT event_id, user_id,
+         round(value - lag(value, 1) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+         FROM ${evSql()} ORDER BY delta ASC NULLS LAST, event_id""",
     "sort_multikey_limit" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
          ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC

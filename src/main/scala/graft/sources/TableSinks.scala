@@ -30,4 +30,22 @@ object TableSinks {
     * `p_date=` directories (verify via explain: PartitionFilters). */
   def readDatePartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Write `df` as a BUCKETED catalog table: rows hash-distributed into
+    * `buckets` files by `bucketCol`, each sorted on it. Two tables
+    * bucketed the same way on their join key then join with NO exchange
+    * on either side — at 100 TB that deletes the dominant cost of every
+    * recurring fact-to-fact join (the shuffle), which is why warehouse
+    * fact tables are bucketed on their primary join key. Bucketing needs
+    * the catalog (bucket metadata lives there), hence `saveAsTable`
+    * rather than a path write. Shuffle-freeness is asserted in
+    * SourcesSpec. */
+  def writeBucketed(
+      df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
+    df.write
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .mode("overwrite")
+      .saveAsTable(table)
 }

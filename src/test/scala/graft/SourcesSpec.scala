@@ -56,4 +56,30 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(top.map(r => (r.getAs[Long]("key"), r.getAs[Long]("n"))).toSeq ==
       Seq((7L, 50L), (3L, 20L)))
   }
+
+  test("co-bucketed tables join with zero exchanges on either side") {
+    import org.apache.spark.sql.functions.col
+    // Both sides bucketed 4 ways on the join key → bucket layout already
+    // satisfies the join's required distribution; the plan must contain
+    // NO shuffle. At 100 TB this deletes the dominant cost of every
+    // recurring fact-to-fact join.
+    val orders = (1L to 100L).map(i =>
+      OrderRow(i, i % 10, "O", i * 1.0, ts("2024-01-01 00:00:00"), "1-URGENT")).toDF
+    val lines = (1L to 300L).map(i =>
+      LineRow(i % 100 + 1, 1.0, 10.0, 0.0, 0.0, "N", "O")).toDF
+    graft.sources.TableSinks.writeBucketed(orders, "g_bucket_orders", "o_orderkey", 4)
+    graft.sources.TableSinks.writeBucketed(lines, "g_bucket_lines", "l_orderkey", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  // force a non-broadcast join
+    try {
+      val j = spark.table("g_bucket_orders")
+        .join(spark.table("g_bucket_lines"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey")).count()
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning(o_orderkey") &&
+        !p.contains("Exchange hashpartitioning(l_orderkey"),
+        s"bucketed join still shuffles a side:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
 }
