@@ -106,8 +106,9 @@ object PipelineOps {
     * a pure function of the key (first md5 hex digit = '0' → a stable
     * 1/16 sample), so the sample is identical across engines, retries,
     * and partitionings, and downstream joins against the sample stay
-    * consistent. Pure per-row predicate — at 100 TB it's a map with the
-    * filter pushed at the scan. */
+    * consistent. Pure per-row predicate evaluated map-side in the scan
+    * stage (an md5 expression can't push into parquet row-group filters,
+    * but it never shuffles and reads no extra columns). */
   def sampleHash(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
       .filter(substring(md5(col("event_id").cast("string").cast("binary")), 1, 1) === "0")
