@@ -154,6 +154,44 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Interval join — the batch shape of a stream-stream join with an
+    * event-time constraint (`purchases within 1 hour after a click, same
+    * user`): equi key (user) carries the one shuffle, the time-range
+    * residual is evaluated post-match — exactly how Structured Streaming
+    * bounds its join state with a watermark + time-interval condition
+    * ([[graft.streaming]] drives the real runtime; this is the
+    * oracle-gateable semantics). */
+  def joinIntervalEvents(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("c_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_us"))
+    c.join(p, Seq("user_id"))
+      .filter(col("p_us") >= col("c_us") && col("p_us") < col("c_us") + 3600000000L)
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        ((col("p_us") - col("c_us")) / lit(1000000L)).cast("long").as("lag_s"))
+      .orderBy("click_id", "purchase_id")
+  }
+
+  /** The salted skew join, oracle-proven: result must EQUAL the plain
+    * equi join (salting only changes the shuffle distribution — a
+    * deterministic per-row salt on the big side, the small side
+    * replicated `factor` ways). The oracle is the plain join, so a salt
+    * bug that drops or duplicates rows hash-fails. */
+  def joinSaltedSkew(spark: SparkSession, dir: String): DataFrame = {
+    val events = table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val users = table(spark, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    graft.ops.Skew.saltedEquiJoin(events, users, "user_id", 8)
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_event"))
+      .orderBy("c_mktsegment", "event_type")
+  }
+
   // ---- aggregations ---------------------------------------------------
 
   /** TPC-H Q1 shape — the canonical hash aggregate. Partial (map-side) +
@@ -427,6 +465,8 @@ object Relational {
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "join_theta_range" -> (joinThetaRange _),
+    "join_interval_events" -> (joinIntervalEvents _),
+    "join_salted_skew" -> (joinSaltedSkew _),
     "join_full_outer" -> (joinFullOuter _),
     "agg_min_max_by" -> (aggMinMaxBy _),
     "agg_pivot" -> (aggPivot _),
@@ -489,6 +529,22 @@ object Relational {
          FROM part JOIN lineitem ON p_partkey = l_partkey
            AND l_quantity BETWEEN p_size - 5 AND p_size + 5
          GROUP BY p_brand ORDER BY p_brand""",
+    "join_interval_events" ->
+      s"""WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+             FROM ${evSql()} WHERE event_type = 'click'),
+         p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+             FROM ${evSql()} WHERE event_type = 'purchase')
+         SELECT c.click_id, p.purchase_id, c.user_id,
+           (p.p_us - c.c_us) // 1000000 AS lag_s
+         FROM c JOIN p ON c.user_id = p.user_id
+           AND p.p_us >= c.c_us AND p.p_us < c.c_us + 3600000000
+         ORDER BY click_id, purchase_id""",
+    "join_salted_skew" ->
+      s"""SELECT c.c_mktsegment, e.event_type, count(*) AS n,
+         min(e.event_id) AS min_event
+         FROM ${evSql("e")} JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY c.c_mktsegment, e.event_type
+         ORDER BY c.c_mktsegment, e.event_type""",
     "join_full_outer" ->
       s"""WITH u AS (SELECT user_id, count(*) AS n_events FROM ${evSql()} GROUP BY user_id)
          SELECT coalesce(c.c_custkey, u.user_id) AS id,
