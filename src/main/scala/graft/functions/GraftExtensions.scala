@@ -14,24 +14,35 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("dot_product_float"),
-      new ExpressionInfo(classOf[DotProductFloat].getName, "dot_product_float"),
-      GraftExtensions.dotBuilder))
+    GraftExtensions.functions.foreach { case (name, className, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name), new ExpressionInfo(className, name), builder))
+    }
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
 
 object GraftExtensions {
-  private[functions] val dotBuilder: Seq[Expression] => Expression = { args =>
-    require(args.length == 2,
-      s"dot_product_float expects 2 arguments, got ${args.length}")
-    DotProductFloat(args.head, args(1))
+  private def binary(name: String, mk: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = { args =>
+    require(args.length == 2, s"$name expects 2 arguments, got ${args.length}")
+    mk(args.head, args(1))
   }
 
+  /** The engine's native-expression registry: (SQL name, class, builder). */
+  private[functions] val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("dot_product_float", classOf[DotProductFloat].getName,
+      binary("dot_product_float", DotProductFloat.apply)),
+    ("dot_product_float_double", classOf[DotProductFloatDouble].getName,
+      binary("dot_product_float_double", DotProductFloatDouble.apply)),
+    ("mask_intersect_count", classOf[MaskIntersectCount].getName,
+      binary("mask_intersect_count", MaskIntersectCount.apply)))
+
   /** Register on an already-built session (builder-time extensions can't
-    * reach it): same builder, same registry entry. */
+    * reach it): same builders, same registry entries. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    org.apache.spark.sql.graftbridge.Bridge.registerFunction(
-      spark, "dot_product_float", classOf[DotProductFloat].getName, dotBuilder)
+    functions.foreach { case (name, className, builder) =>
+      org.apache.spark.sql.graftbridge.Bridge.registerFunction(
+        spark, name, className, builder)
+    }
 }

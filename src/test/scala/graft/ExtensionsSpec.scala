@@ -48,6 +48,16 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Long]("disjoint") == 0L)
   }
 
+  test("all three native expressions resolve by name through SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT dot_product_float_double(
+           CAST(array(2.0) AS ARRAY<FLOAT>), CAST(array(3.0) AS ARRAY<DOUBLE>)) AS d,
+         mask_intersect_count(map(0L, 7L), map(0L, 3L)) AS m""").collect()(0)
+    assert(r.getAs[Double]("d") == 6.0)
+    assert(r.getAs[Long]("m") == 2L)
+  }
+
   test("registration rejects wrong arity with a clear message") {
     GraftExtensions.register(spark)
     val e = intercept[Exception](
