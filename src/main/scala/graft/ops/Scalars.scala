@@ -171,7 +171,24 @@ object Scalars {
         greatest(col("o_totalprice"), lit(100000.0)).as("capped_hi"))
       .orderBy("o_orderkey")
 
+  /** Bitwise family: AND/OR/XOR, shifts, popcount — the primitives under
+    * the engine's own bitmask dedup, declared as user-facing surface.
+    * Spark spells shifts as functions (shiftleft), DuckDB as operators
+    * (<<); two's-complement semantics on BIGINT agree. */
+  def bitwiseOps(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("k_and"),
+        col("o_orderkey").bitwiseOR(lit(4096L)).as("k_or"),
+        col("o_orderkey").bitwiseXOR(col("o_custkey")).as("k_xor"),
+        expr("shiftleft(o_orderkey, 2)").as("k_shl"),
+        expr("shiftright(o_orderkey, 3)").as("k_shr"),
+        bit_count(col("o_orderkey")).cast("long").as("k_bits"))
+      .orderBy("o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_bitwise" -> (bitwiseOps _),
     "scalar_try_safe" -> (trySafe _),
     "scalar_regexp_family" -> (regexpFamily _),
     "scalar_null_interval" -> (nullInterval _),
@@ -183,6 +200,15 @@ object Scalars {
     "array_embedding_stats" -> (arrayEmbeddingStats _))
 
   val oracleSql: Map[String, String] = Map(
+    "scalar_bitwise" ->
+      """SELECT o_orderkey,
+         o_orderkey & 255 AS k_and,
+         o_orderkey | 4096 AS k_or,
+         xor(o_orderkey, o_custkey) AS k_xor,
+         o_orderkey << 2 AS k_shl,
+         o_orderkey >> 3 AS k_shr,
+         CAST(bit_count(o_orderkey) AS BIGINT) AS k_bits
+         FROM orders ORDER BY o_orderkey""",
     "scalar_try_safe" ->
       """SELECT o_orderkey,
          floor((CASE WHEN o_orderkey % 3 = 0 THEN NULL
