@@ -110,6 +110,30 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(hashShuffles == 1, s"expected exactly 1 hash exchange:\n$p")
   }
 
+  test("sweep: no declared query plans a CartesianProduct or an unpartitioned window over raw input") {
+    // The two 100 TB-killers, checked across the ENTIRE declared surface
+    // so no future query reintroduces them: a true cartesian join
+    // (broadcast nested-loop against a bounded side is fine and excluded
+    // by name), and a Window with no partitioning whose input is not an
+    // aggregated (already tiny) frame — the round-1 stream_late_filter
+    // regression, generalized.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.sparkPlan
+      val cartesian = plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }
+      val rawWindow = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }.filterNot(_.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.nonEmpty)
+      (if (cartesian.nonEmpty) Seq(s"$name: CartesianProduct") else Nil) ++
+        (if (rawWindow.nonEmpty) Seq(s"$name: unpartitioned window over raw input") else Nil)
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("whole-stage codegen covers the pricing-summary pipeline") {
     // AQE prints the final plan (with codegen stages) only after execution
     val df = Relational.aggPricingSummary(spark, dir)

@@ -59,6 +59,25 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("chunking reconstructs the document: full coverage, 2-token overlap") {
+    forAll(Gen.chooseNum(1, 40)) { n =>
+      val toks = (1 to n).map(i => s"t$i")
+      val dir = fixtureDir("documents" -> Seq(
+        DocRow(1, toks.mkString(" "), "en", "s0", n.toLong)).toDF)
+      val chunks = graft.ops.Text.chunkSplit(spark, dir).collect()
+        .sortBy(_.getAs[Long]("chunk_idx"))
+        .map(_.getAs[String]("chunk_text").split(" ").toSeq)
+      // consecutive chunks overlap by exactly 2 tokens; dropping the
+      // overlap reconstructs the original token sequence exactly
+      chunks.sliding(2).foreach {
+        case Array(a, b) => assert(a.takeRight(2) == b.take(2) || b.size < 2)
+        case _ =>
+      }
+      val rebuilt = chunks.head ++ chunks.tail.flatMap(_.drop(2))
+      assert(rebuilt == toks)
+    }
+  }
+
   test("running sum's last row per user equals the user's total") {
     val evGen = Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(1, 9999)))
       .map(_.zipWithIndex.map { case ((uid, cents), i) =>
