@@ -125,6 +125,23 @@ object Text {
         size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq_tok"))
       .orderBy("doc_id")
 
+  /** Vocabulary building: the frequency-ranked token → id dictionary every
+    * tokenizer training run starts from. One explode + hash agg over the
+    * corpus (the heavy, fully parallel part), then the id assignment — a
+    * row_number by (count desc, token) — runs on the AGGREGATED
+    * vocabulary, the same bounded-global-window discipline as
+    * [[bitmaskSets]]' dictionary. */
+  def vocabBuild(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("token_id",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(desc("n"), col("token"))) - 1).cast("long"))
+      .select(col("token_id"), col("token"), col("n"))
+      .orderBy("token_id")
+
   /** Document chunking for training-data prep: fixed 8-token windows with
     * a 2-token overlap (stride 6), one row per chunk. All per-row array
     * arithmetic — the chunk count and offsets are integer math on the
@@ -297,6 +314,7 @@ object Text {
     "text_token_count" -> (tokenCount _),
     "text_fingerprint" -> (fingerprint _),
     "text_pos_tokens" -> (posTokens _),
+    "text_vocab_build" -> (vocabBuild _),
     "text_chunk_split" -> (chunkSplit _),
     "dedup_exact" -> (dedupExact _),
     "dedup_near_jaccard" -> (dedupNearJaccard _),
@@ -357,6 +375,13 @@ object Text {
                  i -> {'pos': i, 'tok': s[i]})) AS u
                FROM (SELECT string_split(text, ' ') AS s FROM documents))
          GROUP BY pos, token ORDER BY pos, token""",
+    "text_vocab_build" ->
+      """SELECT CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS BIGINT) AS token_id,
+         token, n
+         FROM (SELECT token, count(*) AS n
+               FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+               GROUP BY token)
+         ORDER BY token_id""",
     "text_chunk_split" ->
       """WITH d AS (
            SELECT doc_id, string_split(text, ' ') AS toks,

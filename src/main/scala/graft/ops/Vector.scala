@@ -217,6 +217,36 @@ object Vector {
       .orderBy("label", "rk")
   }
 
+  /** Scalar int8 quantization of the embedding column — the storage/
+    * bandwidth workhorse of vector infra (4× smaller, dot products in
+    * int arithmetic). Per vector: scale = 127/max|x|, q_i =
+    * round(x_i·scale) in [−127,127]; reported with the reconstruction
+    * error so quality is part of the contract. Everything is per-row
+    * HOF math over exact doubles with floor-spelling rounding — zero
+    * shuffle, identical in DuckDB. */
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
+    // xd and s are MATERIALIZED columns: an expression referenced inside
+    // a HOF lambda re-evaluates per ELEMENT (the round-1 shingle trap);
+    // as attributes they evaluate once per row.
+    val err = aggregate(
+      zip_with(col("xd"), col("q"), (v, qi) => {
+        val d = v - qi.cast("double") / col("s")
+        d * d
+      }),
+      lit(0.0), (acc, v) => acc + v)
+    emb(spark, dir)
+      .withColumn("xd", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("s", lit(127.0) / array_max(transform(col("xd"), v => abs(v))))
+      .withColumn("q", transform(col("xd"), v => floor(v * col("s") + lit(0.5)).cast("int")))
+      .select(
+        col("vec_id"),
+        r6(col("s")).as("q_scale"),
+        concat_ws(",", slice(col("q"), 1, 8)).as("q_head8"),
+        size(col("q")).cast("long").as("dim"),
+        r6(sqrt(err / size(col("q")).cast("double"))).as("rms_err"))
+      .orderBy("vec_id")
+  }
+
   /** Multimodal equi join: text table × vector table on doc_id=vec_id,
     * per (lang, label) stats. Per-row norms are deterministic doubles;
     * the group mean accumulates through a decimal so row order can't
@@ -254,6 +284,7 @@ object Vector {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_quantize" -> (embeddingQuantize _),
     "simsearch_topk" -> (simsearchTopk _),
     "simsearch_lsh" -> (simsearchLsh _),
     "simsearch_ivf" -> (simsearchIvf _),
@@ -262,6 +293,24 @@ object Vector {
     "multimodal_binary_meta" -> (multimodalBinaryMeta _))
 
   val oracleSql: Map[String, String] = Map(
+    "embedding_quantize" ->
+      """WITH d AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+           FROM embeddings),
+         sc AS (SELECT vec_id, xd,
+             127.0 / list_max(list_transform(xd, v -> abs(v))) AS s
+           FROM d),
+         qq AS (SELECT vec_id, xd, s,
+             list_transform(xd, v -> CAST(floor(v * s + 0.5) AS INTEGER)) AS q
+           FROM sc)
+         SELECT vec_id,
+           floor(s * 1000000.0 + 0.5) / 1000000.0 AS q_scale,
+           array_to_string(q[1:8], ',') AS q_head8,
+           CAST(len(q) AS BIGINT) AS dim,
+           floor(sqrt(list_sum(list_transform(range(1, len(q) + 1),
+               i -> (xd[i] - CAST(q[i] AS DOUBLE) / s) * (xd[i] - CAST(q[i] AS DOUBLE) / s)))
+             / CAST(len(q) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS rms_err
+         FROM qq ORDER BY vec_id""",
     "simsearch_topk" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
              FROM embeddings ORDER BY vec_id LIMIT 10),
