@@ -244,6 +244,20 @@ object Relational {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy("event_type")
 
+  /** Conditional/boolean aggregates: count_if, bool_and/bool_or, and a
+    * conditional sum — the FILTER-clause family. All partial+final like
+    * any aggregate. */
+  def aggFilteredBool(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count_if(col("o_totalprice") > 200000).as("n_big"),
+        bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+        bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
+        dsumR(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice"))
+          .otherwise(lit(0.0)), Money).as("urgent_price"))
+      .orderBy("o_orderstatus")
+
   /** Collect-to-array aggregate made deterministic: collect_set's order is
     * partition-dependent, so the array is sorted before it leaves the
     * query (and string-joined — engines render arrays differently). */
@@ -476,6 +490,7 @@ object Relational {
     "agg_rollup" -> (aggRollup _),
     "agg_approx_distinct" -> (aggApproxDistinct _),
     "agg_collect_sorted" -> (aggCollectSorted _),
+    "agg_filtered_bool" -> (aggFilteredBool _),
     "agg_percentiles" -> (aggPercentiles _),
     "agg_stats_moments" -> (aggStatsMoments _),
     "window_ntile_dist" -> (windowNtileDist _),
@@ -596,6 +611,14 @@ object Relational {
          round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 4) AS sum_price
          FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
          ORDER BY gid, status, priority""",
+    "agg_filtered_bool" ->
+      """SELECT o_orderstatus,
+         count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+         bool_and(o_totalprice > 1000) AS all_over_1k,
+         bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+         round(CAST(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+           THEN o_totalprice ELSE 0.0 END AS DECIMAL(14,2))) AS DOUBLE), 4) AS urgent_price
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "agg_collect_sorted" ->
       """SELECT o_orderstatus,
          array_to_string(list_sort(list_distinct(array_agg(o_orderpriority))), ',') AS prios,

@@ -89,13 +89,33 @@ object SqlSurface {
          ORDER BY o.o_orderkey""")
   }
 
+  /** LATERAL VIEW explode through the parser — the SQL spelling of the
+    * Generator path (`text_token_topk` covers the DSL spelling): top-10
+    * (lang, token) pairs. */
+  def sqlLateralExplode(spark: SparkSession, dir: String): DataFrame = {
+    reg(spark, dir, "documents")
+    spark.sql(
+      """SELECT lang, token, count(*) AS n
+         FROM g_documents LATERAL VIEW explode(split(text, ' ')) t AS token
+         GROUP BY lang, token
+         ORDER BY n DESC, lang, token
+         LIMIT 10""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_lateral_explode" -> (sqlLateralExplode _),
     "sql_agg_revenue" -> (sqlAggRevenue _),
     "sql_window_topn" -> (sqlWindowTopn _),
     "sql_subqueries" -> (sqlSubqueries _),
     "sql_dot_product" -> (sqlDotProduct _))
 
   val oracleSql: Map[String, String] = Map(
+    "sql_lateral_explode" ->
+      """SELECT lang, token, count(*) AS n
+         FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+         GROUP BY lang, token
+         ORDER BY n DESC, lang, token
+         LIMIT 10""",
     "sql_agg_revenue" ->
       """SELECT n_name, count(*) AS n_orders,
          round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 4) AS sum_price
