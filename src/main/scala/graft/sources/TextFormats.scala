@@ -36,4 +36,14 @@ object TextFormats {
 
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** ORC — the other columnar warehouse format Spark ships natively;
+    * zlib by default, with the same predicate-pushdown/statistics story
+    * as parquet. Schema comes from the file footer (self-describing),
+    * so no explicit-schema overload is needed. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
 }

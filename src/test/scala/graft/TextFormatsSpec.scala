@@ -28,6 +28,16 @@ class TextFormatsSpec extends AnyFunSuite with SparkFixture {
     assert(bad.length == 1) // survived as data, didn't kill the read
   }
 
+  test("orc round-trip preserves rows and pushes filters like parquet") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/t.orc"
+    TextFormats.writeOrc((1L to 50L).map(i => (i, s"n$i")).toDF("id", "name"), dir)
+    val back = TextFormats.readOrc(spark, dir).filter(col("id") > 45L)
+    assert(back.count() == 5)
+    val p = back.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(id"),
+      s"ORC filter not pushed:\n$p")
+  }
+
   test("json-lines round-trip with explicit schema (no inference pass)") {
     val dir = Files.createTempDirectory("graft-json").toString + "/t.json"
     TextFormats.writeJsonLines(Seq((7L, "x")).toDF("id", "name"), dir)
