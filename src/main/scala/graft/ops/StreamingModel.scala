@@ -86,12 +86,48 @@ object StreamingModel {
       .orderBy("event_id")
   }
 
+  /** Streaming-dedup model — `dropDuplicatesWithinWatermark`-style
+    * suppression made batch-checkable: within a key (user, event_type),
+    * an event is a suppressed duplicate iff it arrives within 1 hour of
+    * its immediate predecessor (the same lag state machine as
+    * [[sessionGap]] — a session opener is a kept event, a follower is
+    * suppressed). Per-key partitioned windows only. Output:
+    * kept/suppressed counts per event_type. */
+  def dedupWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+    table(spark, dir, "events")
+      .withColumn("kept",
+        when(gapUs.isNull || gapUs > 3600000000L, 1L).otherwise(0L))
+      .groupBy("event_type")
+      .agg(
+        sum(col("kept")).as("n_kept"),
+        sum(lit(1L) - col("kept")).as("n_suppressed"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_dedup_window" -> (dedupWindow _),
     "stream_tumbling_counts" -> (tumblingCounts _),
     "stream_session_gap" -> (sessionGap _),
     "stream_late_filter" -> (lateFilter _))
 
   val oracleSql: Map[String, String] = Map(
+    "stream_dedup_window" ->
+      s"""WITH k AS (
+           SELECT event_type,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                    PARTITION BY user_id, event_type ORDER BY ts, event_id))
+                    > 3600000000
+             THEN 1 ELSE 0 END AS kept
+           FROM ${evSql()})
+         SELECT event_type,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           CAST(sum(1 - kept) AS BIGINT) AS n_suppressed
+         FROM k GROUP BY event_type ORDER BY event_type""",
     "stream_tumbling_counts" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
          event_type, count(*) AS n,
