@@ -51,6 +51,14 @@ class TextDedupSpec extends AnyFunSuite with SparkFixture {
     assert(out(0).getAs[Double]("avg_jac") == math.floor(1.0 / 3.0 * 1e4 + 0.5) / 1e4)
   }
 
+  test("vocab build assigns dense ids by frequency desc, token asc") {
+    val dir = fixtureDir("documents" -> Seq(
+      doc(1, "b a b c a b")).toDF)
+    val out = Text.vocabBuild(spark, dir).collect()
+      .map(r => (r.getAs[Long]("token_id"), r.getAs[String]("token"), r.getAs[Long]("n")))
+    assert(out.toSeq == Seq((0L, "b", 3L), (1L, "a", 2L), (2L, "c", 1L)))
+  }
+
   test("chunk split: overlap, boundary, and short-doc edge cases") {
     val t14 = (1 to 14).map(i => s"w$i").mkString(" ")   // 2 chunks: 1..8, 7..14
     val t8 = (1 to 8).map(i => s"w$i").mkString(" ")     // exactly one window

@@ -50,6 +50,17 @@ class VectorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("int8 quantization: values bounded, max-abs element hits ±127, error small") {
+    val dir = fixtureDir("embeddings" -> Seq(
+      emb(0, Array(0.5f, -1.0f, 0.25f, 0.125f))).toDF)
+    val r = Vector.embeddingQuantize(spark, dir).collect()(0)
+    // scale = 127/1.0; q = [64, -127, 32, 16]
+    assert(r.getAs[String]("q_head8") == "64,-127,32,16")
+    assert(r.getAs[Double]("q_scale") == 127.0)
+    assert(r.getAs[Long]("dim") == 4L)
+    assert(r.getAs[Double]("rms_err") < 0.005)   // within half a quantization step
+  }
+
   test("multimodal binary meta: byte length and md5 match the utf8 payload") {
     val dir = fixtureDir("documents" -> Seq(DocRow(1, "abc", "en", "s0", 3)).toDF)
     val r = Vector.multimodalBinaryMeta(spark, dir).collect()(0)
