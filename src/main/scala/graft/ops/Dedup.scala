@@ -42,13 +42,40 @@ object Dedup {
     * groupBy shuffle; round 1 split the text twice and shuffled token
     * rows to build signatures), and verification reuses the same `toks`
     * column. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val base = table(spark, dir, "documents").select(
-      col("doc_id"), col("source"),
-      array_distinct(split(col("text"), " ")).as("toks"))
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshOver(
+      table(spark, dir, "documents").select(
+        col("doc_id"), col("source"),
+        array_distinct(split(col("text"), " ")).as("toks")),
+      saltPrefix = "s", verifyThreshold = 0.9)
+
+  /** The brief's order-sensitive variant: shingle → minhash → band →
+    * bucket-join. Same LSH machinery over distinct 3-token shingles
+    * (the [[Text.dedupNgramJaccard]] shingling), so reordered passages
+    * that fool token-set MinHash still collide only when genuinely
+    * near-duplicate in sequence. */
+  def minhashShingle(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks")
+    val shingles = array_distinct(
+      when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2), i =>
+          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+            element_at(toks, i + 2))))
+        .otherwise(array().cast("array<string>")))
+    minhashLshOver(
+      table(spark, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), col("source"), shingles.as("toks"))
+        .filter(size(col("toks")) >= 1),   // <3-token docs have no shingles
+      saltPrefix = "g", verifyThreshold = 0.8)
+  }
+
+  /** Shared MinHash+LSH pipeline over any per-doc element set `toks`. */
+  private def minhashLshOver(
+      base: DataFrame, saltPrefix: String, verifyThreshold: Double): DataFrame = {
     val mins = (0 until K).map(i =>
       array_min(transform(col("toks"), t =>
-        md5(concat(lit(s"s$i|"), t).cast("binary")))).as(s"m$i"))
+        md5(concat(lit(s"$saltPrefix$i|"), t).cast("binary")))).as(s"m$i"))
     val sig = base.select(col("doc_id") +: col("source") +: mins: _*)
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
@@ -96,7 +123,7 @@ object Dedup {
     jac.groupBy("source")
       .agg(
         count(lit(1)).as("n_candidates"),
-        sum(when(col("jac") >= 0.9, 1L).otherwise(0L)).as("n_verified"))
+        sum(when(col("jac") >= verifyThreshold, 1L).otherwise(0L)).as("n_verified"))
       .orderBy("source")
   }
 
@@ -122,10 +149,13 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_minhash_shingle" -> (minhashShingle _),
     "dedup_simhash" -> (simhash _))
 
-  private val minhashMinsSql =
-    (0 until K).map(i => s"min(md5('s$i|' || token)) AS m$i").mkString(",\n             ")
+  private def minsSql(prefix: String) =
+    (0 until K).map(i => s"min(md5('$prefix$i|' || token)) AS m$i")
+      .mkString(",\n             ")
+  private val minhashMinsSql = minsSql("s")
   private val bandSelectsSql = (0 until Bands).map { b =>
     val cat = (0 until R).map(j => s"m${R * b + j}").mkString(" || ")
     s"SELECT doc_id, source, $b AS band, md5($cat) AS bsig FROM sig"
@@ -165,6 +195,37 @@ object Dedup {
            FROM inter i JOIN cnt c1 ON i.d1 = c1.doc_id JOIN cnt c2 ON i.d2 = c2.doc_id)
          SELECT source, count(*) AS n_candidates,
            CAST(sum(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified
+         FROM j GROUP BY source ORDER BY source""",
+    "dedup_minhash_shingle" ->
+      s"""WITH sh0 AS (
+           SELECT doc_id, source,
+             list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+               THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2])
+               ELSE CAST([] AS VARCHAR[]) END) AS sh
+           FROM documents),
+         s2 AS (SELECT * FROM sh0 WHERE len(sh) >= 1),
+         tok AS (SELECT doc_id, source, unnest(sh) AS token FROM s2),
+         sig AS (
+           SELECT doc_id, source,
+             ${minsSql("g")}
+           FROM tok GROUP BY doc_id, source),
+         band AS (
+           $bandSelectsSql),
+         cand AS (
+           SELECT DISTINCT a.source, a.doc_id AS d1, b.doc_id AS d2
+           FROM band a JOIN band b
+             ON a.source = b.source AND a.band = b.band AND a.bsig = b.bsig
+               AND a.doc_id < b.doc_id),
+         j AS (
+           SELECT c.source,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jac
+           FROM cand c JOIN s2 a ON a.doc_id = c.d1 JOIN s2 b ON b.doc_id = c.d2)
+         SELECT source, count(*) AS n_candidates,
+           CAST(sum(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified
          FROM j GROUP BY source ORDER BY source""",
     "dedup_simhash" ->
       s"""WITH tok AS (
