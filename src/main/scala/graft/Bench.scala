@@ -15,10 +15,20 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "value" appears BOTH first and (duplicated as "total_sec") last: the
+    // round-2 driver captured only the tail of stdout and the long per-query
+    // map truncated the leading total away. Key order keeps the headline
+    // number in the tail; the full line is also persisted to a file.
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","total_sec":$total}"""
+    try {
+      val w = new java.io.PrintWriter("bench_last.json")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

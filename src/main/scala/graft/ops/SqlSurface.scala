@@ -58,14 +58,20 @@ object SqlSurface {
   /** The registered native expression by NAME through the SQL parser:
     * squared L2 norm via `dot_product_float(embedding, embedding)`. Same
     * left-to-right double accumulation as the DataFrame path, so the
-    * DuckDB `list_sum(list_transform(...))` oracle hash-matches. */
+    * DuckDB `list_sum(list_transform(...))` oracle hash-matches.
+    *
+    * The rounding literals are spelled `1e4` (scientific notation parses
+    * as DOUBLE in Spark SQL text) — a `10000.0` literal parses as
+    * DECIMAL(6,1), `floor()` returns BIGINT, and BIGINT/DECIMAL division
+    * yields a DECIMAL(28,7) column that hash-mismatches the oracle's
+    * double even when the values are bit-equal (the round-2 red row). */
   def sqlDotProduct(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftExtensions.register(spark)
     reg(spark, dir, "embeddings")
     spark.sql(
       s"""SELECT vec_id,
                  CAST(label AS BIGINT) AS label,
-                 floor(dot_product_float(embedding, embedding) * 10000.0 + 0.5) / 10000.0 AS sq_norm
+                 CAST(floor(dot_product_float(embedding, embedding) * 1e4 + 0.5) / 1e4 AS DOUBLE) AS sq_norm
           FROM g_embeddings
           ORDER BY vec_id""")
   }

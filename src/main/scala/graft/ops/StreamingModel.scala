@@ -60,24 +60,38 @@ object StreamingModel {
   def lateFilter(spark: SparkSession, dir: String): DataFrame = {
     // Arrival order is user-major, so the watermark (max ts over all
     // strictly-earlier arrivals) decomposes into the greatest of
-    //   (a) a per-user running max — a window PARTITIONED by user, and
-    //   (b) the max ts among all EARLIER users — a prefix max over the
-    //       per-user summary (ONE row per user), broadcast-joined back.
-    // Every events-sized operation is partitioned; the only unpartitioned
-    // window runs on the aggregated summary, never on raw events. (Round 1
-    // used one global `Window.orderBy(user_id, event_id)` over all events —
-    // a single-task sort of the whole table at scale.) `greatest` skips
-    // nulls, so a user's first event falls back to the earlier-users max
-    // and the very first arrival keeps a null watermark — identical
-    // semantics, same hash.
+    //   (a) a per-user running max — a window PARTITIONED by user,
+    //   (b) the max among EARLIER USERS OF THE SAME BUCKET — a prefix max
+    //       partitioned by bucket (user_id div 4096) over the per-user
+    //       summary, and
+    //   (c) the max among all EARLIER BUCKETS — a prefix max over the
+    //       per-BUCKET summary (#users/4096 rows).
+    // Two-level decomposition: round 2 ran one unpartitioned prefix max
+    // over the whole per-user summary — a single task of #users rows. Now
+    // the only unpartitioned window runs over the twice-aggregated bucket
+    // summary, 4096× smaller; every users- or events-sized operation is
+    // partitioned. Bucketing by id-range keeps the prefix semantics exact:
+    // bucket order ≡ user_id order. `greatest` skips nulls, so a bucket's
+    // first user falls back to the earlier-buckets max, a user's first
+    // event to the earlier-users max, and the very first arrival keeps a
+    // null watermark — identical semantics, same hash as round 2.
     val ev = table(spark, dir, "events")
     val withinUser = Window.partitionBy("user_id").orderBy("event_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val prevUsers = Window.orderBy("user_id")
+    val withinBucket = Window.partitionBy("b").orderBy("user_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val userMax = ev.groupBy("user_id").agg(max(col("ts")).as("u_max"))
-      .withColumn("prev_max", max(col("u_max")).over(prevUsers))
-      .select(col("user_id"), col("prev_max"))
+    val prevBuckets = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val uMax = ev.groupBy("user_id").agg(max(col("ts")).as("u_max"))
+      .withColumn("b", expr("user_id div 4096"))
+    val bucketPrev = uMax.groupBy("b").agg(max(col("u_max")).as("b_max"))
+      .withColumn("b_prev", max(col("b_max")).over(prevBuckets))
+      .select(col("b"), col("b_prev"))
+    val userMax = uMax
+      .withColumn("in_b_prev", max(col("u_max")).over(withinBucket))
+      .join(broadcast(bucketPrev), "b")
+      .select(col("user_id"),
+        greatest(col("in_b_prev"), col("b_prev")).as("prev_max"))
     ev.join(broadcast(userMax), "user_id")
       .withColumn("wm", greatest(max(col("ts")).over(withinUser), col("prev_max")))
       .filter(unix_micros(col("ts")) < unix_micros(col("wm")) - 3600000000L)

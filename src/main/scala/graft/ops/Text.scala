@@ -201,13 +201,25 @@ object Text {
     * vocabulary rows, not corpus rows (the PlanSpec rule). A 100 TB corpus
     * with a giant vocabulary would two-level this (per-prefix dictionaries
     * + offsets); at any realistic vocab it is a single small task. */
+  /** Dictionary rows beyond which [[bitmaskSets]] stops broadcasting the
+    * token dictionary and lets the join shuffle instead — an unconditional
+    * broadcast of an unbounded vocabulary would blow the broadcast ceiling
+    * at extreme corpora. */
+  private[ops] val DictBroadcastCap = 1000000L
+
   private[ops] def bitmaskSets(d: DataFrame): DataFrame = {
     val tok = d.select(col("doc_id"), col("source"),
       explode(array_distinct(split(col("text"), " "))).as("token"))
-    val dict = d.select(explode(split(col("text"), " ")).as("token")).distinct()
+    val distinctTok = d.select(explode(split(col("text"), " ")).as("token")).distinct()
+    val dict = distinctTok
       .withColumn("bit", (row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("token")) - 1).cast("long"))
-    tok.join(broadcast(dict), "token")
+    // Broadcast guard: one cheap bounded job (limit cap+1 → count) decides
+    // whether the dictionary fits the broadcast ceiling; above it, the join
+    // shuffles on token — slower but never OOMs an executor. The extra pass
+    // over the exploded tokens is one LocalLimit-bounded distinct.
+    val dictFits = distinctTok.limit((DictBroadcastCap + 1).toInt).count() <= DictBroadcastCap
+    tok.join(if (dictFits) broadcast(dict) else dict, "token")
       .groupBy(col("doc_id"), col("source"), shiftright(col("bit"), 6).as("word"))
       .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))")).as("m"))
       .groupBy("doc_id", "source")
@@ -258,11 +270,16 @@ object Text {
       .orderBy("source")
   }
 
+  /** Per-source document-frequency cap for [[dedupNgramJaccard]]'s pair
+    * join — shingles in more than this many docs of a source are dropped
+    * before pairing (and from the set sizes). */
+  private[ops] val NgramDfCap = 64
+
   /** n-gram (3-token shingle) Jaccard near-dup — the order-sensitive
     * sibling of [[dedupNearJaccard]]: shingles catch reordered/rewritten
     * passages that token sets miss. Shingle vocabulary is unbounded, so
     * this always runs the general array-set path (no bitmask); same
-    * source-blocked pair generation. */
+    * source-blocked pair generation, skew-bounded by [[NgramDfCap]]. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     // `toks` must be a MATERIALIZED column, not an inline expression: an
     // expression inside the transform lambda is re-evaluated per element
@@ -280,9 +297,21 @@ object Text {
     // versus |block|²/2 array intersections in the dense token-set case.
     // Pairs with zero common shingles never appear, matching the oracle's
     // inter >= 1 filter.
-    val sh = docs(spark, dir)
+    val sh0 = docs(spark, dir)
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), col("source"), explode(shingles).as("s"))
+    // Hot-shingle document-frequency cap (standard near-dup practice): a
+    // shingle present in f docs of a source emits f(f−1)/2 pair rows below,
+    // so ONE boilerplate sentence at 100 TB is a task that never finishes.
+    // Dropping shingles with per-source DF > NgramDfCap bounds any single
+    // shingle's contribution at K²/2 pairs. Capped shingles leave the SETS
+    // too (cnt counts kept shingles), so Jaccard stays a true set ratio of
+    // what was paired — the oracle applies the identical cap. The anti join
+    // is unhinted: the hot set is corpus-size/K at worst, so AQE picks
+    // broadcast when it is small rather than us asserting it always is.
+    val hot = sh0.groupBy("source", "s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > NgramDfCap).select("source", "s")
+    val sh = sh0.join(hot, Seq("source", "s"), "left_anti")
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.alias("a")
       .join(sh.alias("b"),
@@ -422,22 +451,31 @@ object Text {
     "dedup_ngram_jaccard" ->
       """WITH s AS (
            SELECT doc_id, source,
-             list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+             unnest(list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
                THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
                  i -> string_split(text, ' ')[i] || ' ' ||
                       string_split(text, ' ')[i+1] || ' ' ||
                       string_split(text, ' ')[i+2])
-               ELSE CAST([] AS VARCHAR[]) END) AS sh
+               ELSE CAST([] AS VARCHAR[]) END)) AS sh
            FROM documents),
+         hot AS (
+           SELECT source, sh FROM s GROUP BY source, sh HAVING count(*) > 64),
+         k AS (
+           SELECT s.doc_id, s.source, s.sh FROM s
+           WHERE NOT EXISTS (SELECT 1 FROM hot h
+                             WHERE h.source = s.source AND h.sh = s.sh)),
+         cnt AS (SELECT doc_id, count(*) AS n FROM k GROUP BY doc_id),
          pr AS (
-           SELECT a.source AS source,
-             len(list_intersect(a.sh, b.sh)) AS inter,
-             len(a.sh) AS n1, len(b.sh) AS n2
-           FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id),
+           SELECT a.source AS source, a.doc_id AS d1, b.doc_id AS d2,
+             count(*) AS inter
+           FROM k a JOIN k b
+             ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3),
          j AS (
-           SELECT source,
-             CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE) AS jac
-           FROM pr WHERE inter >= 1)
+           SELECT pr.source,
+             CAST(pr.inter AS DOUBLE) / CAST(c1.n + c2.n - pr.inter AS DOUBLE) AS jac
+           FROM pr JOIN cnt c1 ON pr.d1 = c1.doc_id
+                   JOIN cnt c2 ON pr.d2 = c2.doc_id)
          SELECT source, count(*) AS n_pairs,
            CAST(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
            floor((CAST(sum(CAST(floor((jac) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(16,6))) AS DOUBLE)
