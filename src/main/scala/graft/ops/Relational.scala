@@ -271,9 +271,7 @@ object Relational {
 
   /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
     * `quantile_cont`: both linear-interpolate the sorted values). The
-    * approximate path for unbounded cardinality is `agg_approx_distinct`'s
-    * HLL cousin `percentile_approx` — not declared (sketch outputs aren't
-    * oracle-stable). */
+    * 100 TB path is [[aggPercentileApprox]]. */
   def aggPercentiles(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -281,6 +279,31 @@ object Relational {
         r4(expr("percentile(l_quantity, 0.5)")).as("qty_p50"),
         r4(expr("percentile(l_quantity, 0.9)")).as("qty_p90"),
         r4(expr("percentile(l_extendedprice, 0.5)")).as("price_p50"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Accuracy parameter for [[aggPercentileApprox]]: rank error ≤
+    * n/accuracy per the Greenwald–Khanna-style sketch contract. */
+  private[graft] val PctApproxAccuracy = 1000
+
+  /** Approximate percentiles — the workhorse at 100 TB, where exact
+    * `percentile` must materialize every group's full value multiset
+    * (unbounded per-group state) while the quantile sketch is fixed-size
+    * mergeable state with map-side partial aggregation. Declared without
+    * a DuckDB oracle, like `agg_approx_distinct`: sketch outputs are
+    * engine-specific. The error contract — observed value's RANK within
+    * n/accuracy of the target rank — is unit-tested against the exact
+    * percentile in RelationalEdgeSpec; the declared query gets the
+    * driver's rows-only check. Output values are exact corpus values
+    * (the sketch returns members of the input), so the frame is still
+    * deterministic. */
+  def aggPercentileApprox(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr(s"approx_percentile(l_quantity, 0.5, $PctApproxAccuracy)").as("qty_p50"),
+        expr(s"approx_percentile(l_quantity, 0.9, $PctApproxAccuracy)").as("qty_p90"),
+        expr(s"approx_percentile(l_extendedprice, 0.5, $PctApproxAccuracy)").as("price_p50"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
@@ -492,6 +515,7 @@ object Relational {
     "agg_collect_sorted" -> (aggCollectSorted _),
     "agg_filtered_bool" -> (aggFilteredBool _),
     "agg_percentiles" -> (aggPercentiles _),
+    "agg_percentile_approx" -> (aggPercentileApprox _),
     "agg_stats_moments" -> (aggStatsMoments _),
     "window_ntile_dist" -> (windowNtileDist _),
     "window_range_trailing" -> (windowRangeTrailing _),

@@ -114,6 +114,15 @@ object Vector {
   /** Lloyd iterations for the IVF coarse quantizer. */
   private val KmeansIters = 3
 
+  /** Cells each probe searches ([[simsearchIvf]]): standard IVF multi-probe.
+    * nprobe=1 has a recall cliff at cell boundaries — a true neighbor just
+    * across the Voronoi edge is unreachable; searching the nearest 2 cells
+    * (by probe-to-centroid cosine) recovers most of it for 2× the scan
+    * cost, still n·nprobe/cells per probe. Recall vs the exact
+    * [[simsearchTopk]] is asserted to improve over single-probe in
+    * VectorSpec. */
+  private val NProbe = 2
+
   /** IVF ANN with a TRAINED coarse quantizer: 16 seeds (the 16 lowest
     * vec_ids) refined by [[KmeansIters]] deterministic Lloyd iterations —
     * assign every vector to its max-cosine centroid (argmax over a
@@ -127,7 +136,10 @@ object Vector {
     * billion-vector inverted-file layout (cells = partitions at 100 TB).
     * (Round 1 used the raw seeds as cells — flagged as a stand-in; the
     * trained quantizer makes the cell balance honest.) */
-  def simsearchIvf(spark: SparkSession, dir: String): DataFrame = {
+  def simsearchIvf(spark: SparkSession, dir: String): DataFrame =
+    ivfSearch(spark, dir, NProbe)
+
+  private[graft] def ivfSearch(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import scala.jdk.CollectionConverters._
     val e = emb(spark, dir)
       .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
@@ -181,8 +193,25 @@ object Vector {
     val assigned = assign(cents)
     val probes = assigned.orderBy("vec_id").limit(10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
-        col("nrm").as("p_nrm"), col("cell"))
-    val scored = assigned.join(broadcast(probes), "cell")
+        col("nrm").as("p_nrm"))
+    // Multi-probe cell selection: rank the k centroids per probe by
+    // probe-to-centroid cosine (same argmax + (cos desc, c_id) tiebreak as
+    // assign(), so nprobe=1 reproduces the probe's own cell exactly) and
+    // search the top `nprobe` cells. 10 probes × 16 centroids — the window
+    // runs over a bounded broadcast product, never corpus rows. Corpus
+    // vectors live in exactly one cell, so the candidate union is
+    // duplicate-free by construction.
+    val pw = Window.partitionBy("probe_id")
+      .orderBy(desc("cos_c"), col("cell"))
+    val probeCells = probes.crossJoin(broadcast(cents))
+      .withColumn("cos_c",
+        dotFD(col("p_emb"), col("c_emb")) / (col("p_nrm") * col("c_nrm")))
+      .select(col("probe_id"), col("p_emb"), col("p_nrm"),
+        col("c_id").as("cell"), col("cos_c"))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nprobe)
+      .select(col("probe_id"), col("p_emb"), col("p_nrm"), col("cell"))
+    val scored = assigned.join(broadcast(probeCells), "cell")
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos", r4(
         cosinePre(col("embedding"), col("p_emb"), col("nrm"), col("p_nrm"))))
@@ -367,11 +396,16 @@ object Vector {
              FROM e ORDER BY vec_id LIMIT 16)),
          $iterCtes,
          asg AS ${assignSql(s"cn$KmeansIters")},
-         p AS (SELECT vec_id AS probe_id, embedding AS p_emb, nrm AS p_nrm, cell
+         p AS (SELECT vec_id AS probe_id, embedding AS p_emb, nrm AS p_nrm
              FROM asg ORDER BY vec_id LIMIT 10),
-         s AS (SELECT p.probe_id, a.cell, a.vec_id,
-             ${r4Sql(dotFF("a.embedding", "p.p_emb") + " / (a.nrm * p.p_nrm)")} AS cos
-           FROM asg a JOIN p ON a.cell = p.cell AND a.vec_id != p.probe_id)
+         pc AS (SELECT probe_id, p_emb, p_nrm, cell FROM (
+             SELECT p.probe_id, p.p_emb, p.p_nrm, c.c_id AS cell,
+               row_number() OVER (PARTITION BY p.probe_id
+                 ORDER BY ${dotFD("p.p_emb", "c.c_emb")} / (p.p_nrm * c.c_nrm) DESC, c.c_id) AS pr
+             FROM p, cn$KmeansIters c) WHERE pr <= $NProbe),
+         s AS (SELECT pc.probe_id, a.cell, a.vec_id,
+             ${r4Sql(dotFF("a.embedding", "pc.p_emb") + " / (a.nrm * pc.p_nrm)")} AS cos
+           FROM asg a JOIN pc ON a.cell = pc.cell AND a.vec_id != pc.probe_id)
          SELECT probe_id, cell,
            CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk,
            vec_id AS neighbor_id, cos

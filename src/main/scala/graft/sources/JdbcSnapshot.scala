@@ -43,18 +43,26 @@ object JdbcSnapshot {
       .option("batchsize", batchSize)
       .jdbc(url, table, props)
 
-  /** Ref A13: idempotent catalog DDL (IF NOT EXISTS guard) as a raw JDBC
-    * side-effect hook — no DataFrame analog exists for DDL. */
-  def grantReader(url: String, props: Properties, user: String, db: String): Unit = {
+  /** Raw JDBC DDL side-effect hook — no DataFrame analog exists for DDL.
+    * The generic carrier for [[grantReader]] (and anything else the target
+    * catalog needs around a snapshot load); integration-tested against an
+    * embedded Derby in JdbcSnapshotSpec. */
+  def execDdl(url: String, props: Properties, ddl: String): Unit = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val st = conn.createStatement()
-      st.execute(
-        s"""IF NOT EXISTS (SELECT name FROM sys.database_principals WHERE name = '$user')
-           BEGIN
-             CREATE USER [$user] FOR LOGIN [$user];
-             ALTER ROLE db_datareader ADD MEMBER [$user];
-           END""")
+      try st.execute(ddl) finally st.close()
     } finally conn.close()
   }
+
+  /** Ref A13: idempotent catalog DDL (IF NOT EXISTS guard) as a raw JDBC
+    * side-effect hook. T-SQL spelling — SQL Server–shaped targets only,
+    * like the reference's `sqlcmd` GRANT stanza. */
+  def grantReader(url: String, props: Properties, user: String, db: String): Unit =
+    execDdl(url, props,
+      s"""IF NOT EXISTS (SELECT name FROM sys.database_principals WHERE name = '$user')
+         BEGIN
+           CREATE USER [$user] FOR LOGIN [$user];
+           ALTER ROLE db_datareader ADD MEMBER [$user];
+         END""")
 }

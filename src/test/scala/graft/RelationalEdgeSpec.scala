@@ -62,6 +62,37 @@ class RelationalEdgeSpec extends AnyFunSuite with SparkFixture {
     assert(kept == Set(3L, 4L)) // 1,2 are at/before user 1's purchase mark
   }
 
+  test("approx_percentile: observed rank within n/accuracy of the target rank") {
+    // The sketch contract (Greenwald–Khanna-style): for accuracy a, the
+    // returned value's rank is within n/a of ⌈q·n⌉. Checked against the
+    // real sf0.01 lineitem groups — the same data the declared (rows-only)
+    // query runs on — for every (group, quantile) pair.
+    val dir = "/root/testdata/sf0.01"
+    val approx = Relational.aggPercentileApprox(spark, dir).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    val byFlag = graft.ops.Util.table(spark, dir, "lineitem")
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .groupBy(_.getAs[String]("l_returnflag"))
+    for ((flag, rows) <- byFlag) {
+      val n = rows.length
+      val tol = n.toDouble / Relational.PctApproxAccuracy + 1
+      def checkRank(colName: String, outCol: String, q: Double): Unit = {
+        val vals = rows.map(_.getAs[Double](colName)).sorted
+        val got = approx(flag).getAs[Double](outCol)
+        // rank range of `got` in the sorted multiset (handles duplicates)
+        val lo = vals.indexWhere(_ >= got) + 1
+        val hi = vals.lastIndexWhere(_ <= got) + 1
+        val target = q * n
+        assert(lo - tol <= target && target <= hi + tol,
+          s"$flag.$outCol: value $got spans ranks [$lo,$hi], target $target ± $tol of n=$n")
+        assert(vals.contains(got), s"$outCol must be a member of the input")
+      }
+      checkRank("l_quantity", "qty_p50", 0.5)
+      checkRank("l_quantity", "qty_p90", 0.9)
+      checkRank("l_extendedprice", "price_p50", 0.5)
+    }
+  }
+
   test("approx distinct is exact at small cardinality") {
     val dir = fixtureDir("events" -> events(
       (1L to 50L).map(i => EventRow(i, ts("2024-01-01 00:00:00"), i % 7, "click", 1.0, "{}")): _*))

@@ -50,6 +50,30 @@ class VectorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("IVF multi-probe: recall vs exact top-3 strictly improves over single-probe") {
+    // Real sf0.001 corpus: 16 trained cells over the embeddings table.
+    // Recall@3 against the exact brute-force neighbors; searching the
+    // nearest 2 cells must recover neighbors single-probe loses across
+    // Voronoi boundaries.
+    val dir = "/root/testdata/sf0.001"
+    val brute = Vector.simsearchTopk(spark, dir).collect()
+      .filter(_.getAs[Long]("rk") <= 3)
+      .groupBy(_.getAs[Long]("probe_id"))
+      .map { case (p, rs) => p -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    def recall(nprobe: Int): Double = {
+      val got = Vector.ivfSearch(spark, dir, nprobe).collect()
+        .groupBy(_.getAs[Long]("probe_id"))
+        .map { case (p, rs) => p -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+      val hit = brute.map { case (p, b) => (b & got.getOrElse(p, Set.empty[Long])).size }.sum
+      hit.toDouble / brute.map(_._2.size).sum
+    }
+    val single = recall(1)
+    val multi = recall(2)
+    info(s"recall@3 single-probe=$single multi-probe=$multi")
+    assert(multi > single,
+      s"multi-probe recall $multi does not improve on single-probe $single")
+  }
+
   test("int8 quantization: values bounded, max-abs element hits ±127, error small") {
     val dir = fixtureDir("embeddings" -> Seq(
       emb(0, Array(0.5f, -1.0f, 0.25f, 0.125f))).toDF)
