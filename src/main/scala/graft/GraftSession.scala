@@ -38,6 +38,51 @@ object GraftSession {
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
       "true")
 
+  /** Cloud object-store tuning for the 100 TB deployment ("s3a" or
+    * "abfs"). Two failure modes dominate at scale and both are config,
+    * not code:
+    *
+    *  1. **Rename-based commit.** The default FileOutputCommitter
+    *     simulates rename on stores that copy — an O(data) sequential
+    *     copy in the driver-side commit phase. S3A's magic committer and
+    *     ABFS's manifest committer both commit by metadata manifest,
+    *     O(files) not O(bytes).
+    *  2. **Connection starvation.** A 1000-executor scan multiplexes
+    *     thousands of concurrent GETs; the Hadoop defaults (96-connection
+    *     pool) throttle the scan long before the store does. Pool and
+    *     thread sizes below are per-executor.
+    *
+    * Returned as plain config pairs (all public Hadoop/Spark knobs) so
+    * they merge over [[recommendedConfigs]]; the cloud connector jars
+    * themselves (hadoop-aws / hadoop-azure) ship with the cluster image,
+    * not this library. */
+  def cloudStorageConfigs(scheme: String): Map[String, String] = scheme match {
+    case "s3a" => Map(
+      "spark.hadoop.fs.s3a.committer.name" -> "magic",
+      "spark.hadoop.fs.s3a.committer.magic.enabled" -> "true",
+      "spark.sql.sources.commitProtocolClass" ->
+        "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol",
+      "spark.sql.parquet.output.committer.class" ->
+        "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter",
+      "spark.hadoop.fs.s3a.connection.maximum" -> "200",
+      "spark.hadoop.fs.s3a.threads.max" -> "64",
+      // parquet is seek-heavy: random fadvise skips the drain-the-stream
+      // penalty on every column-chunk seek
+      "spark.hadoop.fs.s3a.experimental.input.fadvise" -> "random",
+      "spark.hadoop.fs.s3a.fast.upload.buffer" -> "disk")
+    case "abfs" => Map(
+      "spark.hadoop.mapreduce.outputcommitter.factory.scheme.abfs" ->
+        "org.apache.hadoop.fs.azurebfs.commit.AzureManifestCommitterFactory",
+      "spark.sql.sources.commitProtocolClass" ->
+        "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol",
+      "spark.sql.parquet.output.committer.class" ->
+        "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter",
+      "spark.hadoop.fs.azure.read.request.size" -> "4194304",
+      "spark.hadoop.fs.azure.readaheadqueue.depth" -> "8")
+    case other => throw new IllegalArgumentException(
+      s"unknown object-store scheme '$other' (expected s3a or abfs)")
+  }
+
   def builder(master: String, totalCores: Int): SparkSession.Builder =
     recommendedConfigs(totalCores).foldLeft(
       SparkSession.builder().master(master)) {

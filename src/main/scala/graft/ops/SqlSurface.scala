@@ -108,7 +108,29 @@ object SqlSurface {
          LIMIT 10""")
   }
 
+  /** DDL/DML through the parser: CTAS into a managed parquet table, an
+    * INSERT of literal rows, then a join back out — the write half of the
+    * SQL surface (every other sql_* query is read-only). The CTAS result
+    * is a real parquet table (warehouse dir), so INSERT exercises the
+    * datasource write path, not a temp-view alias. Re-runnable: DROP IF
+    * EXISTS precedes the CTAS, so Verify/Bench re-runs see identical
+    * state. The oracle models the table as base-rows UNION ALL the
+    * inserted literal. */
+  def sqlCtasInsert(spark: SparkSession, dir: String): DataFrame = {
+    reg(spark, dir, "nation", "region")
+    spark.sql("DROP TABLE IF EXISTS g_ctas_nation")
+    spark.sql(
+      """CREATE TABLE g_ctas_nation USING PARQUET AS
+         SELECT n_nationkey, n_name, n_regionkey FROM g_nation""")
+    spark.sql("INSERT INTO g_ctas_nation VALUES (900, 'ATLANTIS', 0)")
+    spark.sql(
+      """SELECT t.n_nationkey, t.n_name, r.r_name
+         FROM g_ctas_nation t LEFT JOIN g_region r ON t.n_regionkey = r.r_regionkey
+         ORDER BY t.n_nationkey""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_ctas_insert" -> (sqlCtasInsert _),
     "sql_lateral_explode" -> (sqlLateralExplode _),
     "sql_agg_revenue" -> (sqlAggRevenue _),
     "sql_window_topn" -> (sqlWindowTopn _),
@@ -116,6 +138,12 @@ object SqlSurface {
     "sql_dot_product" -> (sqlDotProduct _))
 
   val oracleSql: Map[String, String] = Map(
+    "sql_ctas_insert" ->
+      """WITH t AS (SELECT n_nationkey, n_name, n_regionkey FROM nation
+                    UNION ALL SELECT 900, 'ATLANTIS', 0)
+         SELECT t.n_nationkey, t.n_name, r.r_name
+         FROM t LEFT JOIN region r ON t.n_regionkey = r.r_regionkey
+         ORDER BY t.n_nationkey""",
     "sql_lateral_explode" ->
       """SELECT lang, token, count(*) AS n
          FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
