@@ -61,21 +61,27 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial+final agg pair:\n$p")
   }
 
-  test("stream_late_filter: every window over raw events is partitioned") {
-    // The round-1 scale-killer was ONE global Window.orderBy over all
-    // events (single-task sort). The restructured plan may keep an
-    // unpartitioned window ONLY on the per-user summary — i.e. its subtree
-    // must contain the summarizing aggregate; unpartitioned directly over
-    // the scan is a regression.
+  test("stream_late_filter: the only unpartitioned window runs over the bucket summary") {
+    // Round 1's scale-killer was ONE global Window.orderBy over all events
+    // (single-task sort); round 2 still ran an unpartitioned prefix max
+    // over the #users-sized per-user summary. The two-level plan may keep
+    // an unpartitioned window ONLY over the per-BUCKET aggregate
+    // (grouping key `b` = user_id div 4096, #users/4096 rows) — asserted
+    // by grouping key, not just "some aggregate below", so a regression
+    // back to the user-level prefix max fails here.
     val plan = StreamingModel.lateFilter(spark, dir).queryExecution.sparkPlan
-    val overRaw = plan.collect {
+    val unpart = plan.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec
           if w.partitionSpec.isEmpty => w
-    }.filterNot(_.collectFirst {
-      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
-    }.nonEmpty)
-    assert(overRaw.isEmpty,
-      s"unpartitioned window over raw events:\n${overRaw.mkString("\n")}")
+    }
+    assert(unpart.nonEmpty, "expected the bucket-summary prefix max")
+    unpart.foreach { w =>
+      val nearestAgg = w.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      assert(nearestAgg.exists(_.groupingExpressions.map(_.name) == Seq("b")),
+        s"unpartitioned window not over the bucket-level aggregate:\n$w")
+    }
   }
 
   test("window_topk_custom plans through the custom TopKPerKeyExec") {
