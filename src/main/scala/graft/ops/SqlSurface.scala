@@ -113,15 +113,19 @@ object SqlSurface {
     * SQL surface (every other sql_* query is read-only). The CTAS result
     * is a real parquet table (warehouse dir), so INSERT exercises the
     * datasource write path, not a temp-view alias. Re-runnable: DROP IF
-    * EXISTS precedes the CTAS, so Verify/Bench re-runs see identical
-    * state. The oracle models the table as base-rows UNION ALL the
-    * inserted literal. */
+    * EXISTS precedes the CTAS and the table lives at a fresh per-call
+    * LOCATION — a managed table's directory outlives the in-memory
+    * catalog across sessions, so a rerun's CTAS would hit
+    * LOCATION_ALREADY_EXISTS. The oracle models the table as base-rows
+    * UNION ALL the inserted literal. */
   def sqlCtasInsert(spark: SparkSession, dir: String): DataFrame = {
     reg(spark, dir, "nation", "region")
     spark.sql("DROP TABLE IF EXISTS g_ctas_nation")
+    val loc = java.nio.file.Files.createTempDirectory("graft-ctas")
+      .resolve("t").toUri.toString
     spark.sql(
-      """CREATE TABLE g_ctas_nation USING PARQUET AS
-         SELECT n_nationkey, n_name, n_regionkey FROM g_nation""")
+      s"""CREATE TABLE g_ctas_nation USING PARQUET LOCATION '$loc' AS
+          SELECT n_nationkey, n_name, n_regionkey FROM g_nation""")
     spark.sql("INSERT INTO g_ctas_nation VALUES (900, 'ATLANTIS', 0)")
     spark.sql(
       """SELECT t.n_nationkey, t.n_name, r.r_name
@@ -129,7 +133,26 @@ object SqlSurface {
          ORDER BY t.n_nationkey""")
   }
 
+  /** GROUPING SETS through the parser — the general grouping-set shape
+    * (`agg_rollup` covers the DSL rollup special case): an asymmetric set
+    * list that rollup/cube can't express, with grouping_id
+    * disambiguating the all-NULL placeholder rows. One Expand + single
+    * aggregation pass in Catalyst, same as the DSL path. */
+  def sqlGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    reg(spark, dir, "orders")
+    spark.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                coalesce(o_orderpriority, 'ALL') AS priority,
+                CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+                count(*) AS n,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 4) AS sum_price
+         FROM g_orders
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+         ORDER BY gid, status, priority""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_grouping_sets" -> (sqlGroupingSets _),
     "sql_ctas_insert" -> (sqlCtasInsert _),
     "sql_lateral_explode" -> (sqlLateralExplode _),
     "sql_agg_revenue" -> (sqlAggRevenue _),
@@ -138,6 +161,15 @@ object SqlSurface {
     "sql_dot_product" -> (sqlDotProduct _))
 
   val oracleSql: Map[String, String] = Map(
+    "sql_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                coalesce(o_orderpriority, 'ALL') AS priority,
+                CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+                count(*) AS n,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 4) AS sum_price
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+         ORDER BY gid, status, priority""",
     "sql_ctas_insert" ->
       """WITH t AS (SELECT n_nationkey, n_name, n_regionkey FROM nation
                     UNION ALL SELECT 900, 'ATLANTIS', 0)

@@ -127,20 +127,36 @@ object Text {
 
   /** Vocabulary building: the frequency-ranked token → id dictionary every
     * tokenizer training run starts from. One explode + hash agg over the
-    * corpus (the heavy, fully parallel part), then the id assignment — a
-    * row_number by (count desc, token) — runs on the AGGREGATED
-    * vocabulary, the same bounded-global-window discipline as
-    * [[bitmaskSets]]' dictionary. */
-  def vocabBuild(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    * corpus (the heavy, fully parallel part), then TWO-LEVEL id
+    * assignment: the global rank by (count desc, token) decomposes into a
+    * digit-count bucket `d = len(str(n))` — monotone in n, so
+    * (d desc, n desc, token) is the SAME total order — giving a
+    * partitioned per-bucket row_number plus bucket offsets from a prefix
+    * sum over the ≤19-row digit summary (a BIGINT has at most 19 digits —
+    * bounded by construction, independent of vocabulary size). Round 2 ran
+    * one global row_number over the whole aggregated vocabulary — fine at
+    * any realistic vocab, but a single task at an extreme one; now no
+    * vocabulary-sized operation is unpartitioned. Ids are unchanged, so
+    * the global-row_number oracle still hash-matches. */
+  def vocabBuild(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs(spark, dir)
       .select(explode(split(col("text"), " ")).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("n"))
-      .withColumn("token_id",
-        (row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(desc("n"), col("token"))) - 1).cast("long"))
-      .select(col("token_id"), col("token"), col("n"))
+      .withColumn("d", length(col("n").cast("string")))
+    val within = Window.partitionBy("d").orderBy(desc("n"), col("token"))
+    val offW = Window.orderBy(desc("d")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.groupBy("d").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(offW), lit(0L)))
+      .select(col("d"), col("off"))
+    counts
+      .withColumn("rn", row_number().over(within))
+      .join(broadcast(offsets), "d")
+      .select((col("off") + col("rn") - 1).cast("long").as("token_id"),
+        col("token"), col("n"))
       .orderBy("token_id")
+  }
 
   /** Document chunking for training-data prep: fixed 8-token windows with
     * a 2-token overlap (stride 6), one row per chunk. All per-row array
@@ -196,11 +212,13 @@ object Text {
     * encoding makes the choice moot.) Returns (doc_id, source, mask, n)
     * with n = |set| = popcount sum.
     *
-    * Scale note: the dictionary's bit assignment is a row_number over the
-    * DISTINCT token table — an unpartitioned window, but over aggregated
-    * vocabulary rows, not corpus rows (the PlanSpec rule). A 100 TB corpus
-    * with a giant vocabulary would two-level this (per-prefix dictionaries
-    * + offsets); at any realistic vocab it is a single small task. */
+    * Scale note: the dictionary's bit assignment is TWO-LEVEL — the
+    * global token rank decomposes on the token's first character (a
+    * string sorts within its first-char group, so (first-char asc,
+    * token asc) is the same total order): a per-prefix PARTITIONED
+    * row_number plus prefix-sum offsets over the charset-bounded
+    * first-char summary. No vocabulary-sized operation runs as a single
+    * task. */
   /** Dictionary rows beyond which [[bitmaskSets]] stops broadcasting the
     * token dictionary and lets the join shuffle instead — an unconditional
     * broadcast of an unbounded vocabulary would blow the broadcast ceiling
@@ -211,9 +229,19 @@ object Text {
     val tok = d.select(col("doc_id"), col("source"),
       explode(array_distinct(split(col("text"), " "))).as("token"))
     val distinctTok = d.select(explode(split(col("text"), " ")).as("token")).distinct()
-    val dict = distinctTok
-      .withColumn("bit", (row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("token")) - 1).cast("long"))
+    val withinB = org.apache.spark.sql.expressions.Window
+      .partitionBy("b1").orderBy("token")
+    val offW = org.apache.spark.sql.expressions.Window
+      .orderBy("b1").rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val dict0 = distinctTok.withColumn("b1", substring(col("token"), 1, 1))
+    val offs = dict0.groupBy("b1").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(offW), lit(0L)))
+      .select(col("b1"), col("off"))
+    val dict = dict0
+      .withColumn("rn", row_number().over(withinB))
+      .join(broadcast(offs), "b1")
+      .withColumn("bit", (col("off") + col("rn") - 1).cast("long"))
+      .select(col("token"), col("bit"))
     // Broadcast guard: one cheap bounded job (limit cap+1 → count) decides
     // whether the dictionary fits the broadcast ceiling; above it, the join
     // shuffles on token — slower but never OOMs an executor. The extra pass
