@@ -34,6 +34,64 @@ object Udaf {
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  case class MGBuf(m: Map[String, Long])
+
+  /** Misra–Gries heavy-hitters summary as a typed Aggregator — the
+    * bounded-state answer to "top tokens over 100 TB", where an exact
+    * count needs a token-cardinality-sized shuffle. State is ≤ k
+    * (token, count) pairs per group per partition; `merge` follows the
+    * mergeable-summaries construction (sum maps, subtract the (k+1)-th
+    * largest count, keep positives), so partial aggregation composes and
+    * the error stays ≤ n/k total occurrences regardless of partitioning.
+    * Guarantees (unit-tested in UdafSpec): estimates never exceed true
+    * counts, undercount by at most n/k, and every token with true count
+    * > n/k survives. When a group's distinct cardinality ≤ k the sketch
+    * never evicts and is EXACT and order-independent — the regime the
+    * declared `agg_heavy_hitters` query runs in (k=64 ≥ the corpus
+    * vocabulary), which is what makes it DuckDB-oracle-gateable. */
+  class MisraGries(k: Int) extends Aggregator[String, MGBuf, Map[String, Long]] {
+    def zero: MGBuf = MGBuf(Map.empty)
+    def reduce(b: MGBuf, tok: String): MGBuf = b.m.get(tok) match {
+      case Some(c) => MGBuf(b.m.updated(tok, c + 1))
+      case None if b.m.size < k => MGBuf(b.m.updated(tok, 1L))
+      case None => MGBuf(b.m.flatMap { case (t, c) =>
+        if (c > 1) Some(t -> (c - 1)) else None })
+    }
+    def merge(a: MGBuf, b: MGBuf): MGBuf = {
+      val s = (a.m.keySet ++ b.m.keySet).iterator
+        .map(t => t -> (a.m.getOrElse(t, 0L) + b.m.getOrElse(t, 0L))).toMap
+      if (s.size <= k) MGBuf(s)
+      else {
+        val cut = s.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        MGBuf(s.flatMap { case (t, c) =>
+          if (c > cut) Some(t -> (c - cut)) else None })
+      }
+    }
+    def finish(b: MGBuf): Map[String, Long] = b.m
+    def bufferEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
+    def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** Heavy hitters per language: Misra–Gries(64) over the token stream,
+    * top-10 per lang by estimated count. k=64 exceeds the corpus
+    * vocabulary, so the sketch is exact here and the plain-count oracle
+    * hash-matches; the approximate regime's bounds are unit-tested. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val mg = udaf(new MisraGries(64))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(desc("est_n"), col("token"))
+    table(spark, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("lang")
+      .agg(mg(col("token")).as("hh"))
+      .select(col("lang"), explode(col("hh")).as(Seq("token", "est_n")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("rk"), col("token"), col("est_n"))
+      .orderBy("lang", "rk")
+  }
+
   /** Weighted average exercised per returnflag; the oracle re-derives the
     * same math in SQL, proving the Aggregator's arithmetic end to end. */
   def weightedAvg(spark: SparkSession, dir: String): DataFrame = {
@@ -47,9 +105,19 @@ object Udaf {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "udaf_weighted_avg" -> (weightedAvg _))
+    "udaf_weighted_avg" -> (weightedAvg _),
+    "agg_heavy_hitters" -> (heavyHitters _))
 
   val oracleSql: Map[String, String] = Map(
+    "agg_heavy_hitters" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+                    FROM documents),
+         c AS (SELECT lang, token, count(*) AS est_n FROM t GROUP BY lang, token)
+         SELECT lang,
+           CAST(row_number() OVER (PARTITION BY lang ORDER BY est_n DESC, token) AS BIGINT) AS rk,
+           token, est_n
+         FROM c QUALIFY rk <= 10
+         ORDER BY lang, rk""",
     "udaf_weighted_avg" ->
       """SELECT l_returnflag,
          floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE)

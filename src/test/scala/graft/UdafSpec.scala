@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Udaf
+import graft.ops.Udaf.MGBuf
+
+/** Misra–Gries sketch guarantees, checked on the raw Aggregator (no Spark
+  * needed for the state machine) plus one end-to-end exact-regime query.
+  * The declared `agg_heavy_hitters` runs only in the exact regime; these
+  * tests cover the approximate regime the oracle can't. */
+class UdafSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def runStream(mg: Udaf.MisraGries, toks: Seq[String], splits: Int): Map[String, Long] = {
+    // fold each partition independently, then merge — the distributed shape
+    val parts = toks.grouped(math.max(1, toks.size / splits)).toSeq
+    val bufs = parts.map(_.foldLeft(mg.zero)(mg.reduce))
+    mg.finish(bufs.reduce(mg.merge))
+  }
+
+  test("exact regime: distinct <= k reproduces exact counts under any split") {
+    val mg = new Udaf.MisraGries(8)
+    val toks = Seq.fill(50)(Seq("a", "b", "b", "c", "c", "c")).flatten
+    val truth = toks.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    for (splits <- Seq(1, 3, 7)) assert(runStream(mg, toks, splits) == truth)
+  }
+
+  test("approximate regime: undercount bounded by n/k, big hitters always survive") {
+    val k = 4
+    val mg = new Udaf.MisraGries(k)
+    // zipf-ish: token i appears 2^(10-i) times, 20 distinct > k
+    val toks = new scala.util.Random(42).shuffle(
+      (0 until 20).flatMap(i => Seq.fill(math.max(1, 1 << math.max(0, 10 - i)))(s"t$i")))
+    val n = toks.size
+    val truth = toks.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    for (splits <- Seq(1, 5)) {
+      val est = runStream(mg, toks, splits)
+      assert(est.size <= k, "state exceeded k entries")
+      est.foreach { case (t, e) =>
+        assert(e <= truth(t), s"$t overestimated: $e > ${truth(t)}")
+      }
+      truth.foreach { case (t, c) =>
+        val e = est.getOrElse(t, 0L)
+        assert(c - e <= n.toDouble / k, s"$t undercounted past n/k: $c - $e")
+        if (c > n.toDouble / k) assert(est.contains(t), s"heavy hitter $t evicted")
+      }
+    }
+  }
+
+  test("merge truncates to k keeping the largest survivors") {
+    val mg = new Udaf.MisraGries(2)
+    val merged = mg.merge(MGBuf(Map("a" -> 100L, "b" -> 10L)), MGBuf(Map("c" -> 50L, "d" -> 3L)))
+    assert(merged.m.keySet == Set("a", "c"))
+    assert(merged.m("a") == 90L && merged.m("c") == 40L) // cut = 3rd largest (10)
+  }
+
+  test("end-to-end exact regime: declared query equals plain counts") {
+    val dir = fixtureDir("documents" -> Seq(
+      DocRow(1, "x y x z", "en", "s0", 7),
+      DocRow(2, "y x w w", "en", "s0", 7),
+      DocRow(3, "q q q r", "de", "s0", 7)).toDF)
+    val out = Udaf.heavyHitters(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("token")) -> r.getAs[Long]("est_n"))
+      .toMap
+    assert(out == Map(
+      ("en", "x") -> 3L, ("en", "y") -> 2L, ("en", "w") -> 2L, ("en", "z") -> 1L,
+      ("de", "q") -> 3L, ("de", "r") -> 1L))
+  }
+}
