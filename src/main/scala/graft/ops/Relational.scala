@@ -453,6 +453,25 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** first_value / last_value / nth_value over the FULL partition frame —
+    * the boundary-navigation window family (lag/lead cover relative
+    * offsets). The explicit UNBOUNDED FOLLOWING frame matters twice: it
+    * is the only deterministic spelling of last_value (the default frame
+    * ends at CURRENT ROW, where last_value degenerates to the row
+    * itself), and both engines then agree exactly. Partitioned by user —
+    * scales like every other per-key window. */
+  def windowFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val full = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    table(spark, dir, "events")
+      .select(
+        col("event_id"), col("user_id"),
+        first(col("value")).over(full).as("first_v"),
+        last(col("value")).over(full).as("last_v"),
+        nth_value(col("value"), 2).over(full).as("second_v"))
+      .orderBy("event_id")
+  }
+
   /** Top-3 orders per customer through the CUSTOM TopKPerKey operator
     * ([[graft.plans.TopKPerKey]]: logical node → planner strategy → heap
     * exec) — the declared, oracle-gated path for the flagship custom
@@ -523,6 +542,7 @@ object Relational {
     "window_topk_custom" -> (windowTopkCustom _),
     "window_running_sum" -> (windowRunningSum _),
     "window_lag_delta" -> (windowLagDelta _),
+    "window_first_last" -> (windowFirstLast _),
     "sort_multikey_limit" -> (sortMultikeyLimit _),
     "agg_histogram" -> (aggHistogram _),
     "sort_null_order" -> (sortNullOrder _),
@@ -710,6 +730,15 @@ object Relational {
          round(value - lag(value, 1) OVER (
            PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
          FROM ${evSql()} ORDER BY event_id""",
+    "window_first_last" ->
+      s"""SELECT event_id, user_id,
+         first_value(value) OVER w AS first_v,
+         last_value(value) OVER w AS last_v,
+         nth_value(value, 2) OVER w AS second_v
+         FROM ${evSql()}
+         WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY event_id""",
     "agg_histogram" ->
       """SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS bucket,
          count(*) AS n,

@@ -30,6 +30,22 @@ object StreamingModel {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("win_start", "event_type")
 
+  /** Hopping (sliding) 1-hour windows every 30 minutes:
+    * `window($"ts", "1 hour", "30 minutes")` — each event belongs to
+    * exactly 2 overlapping windows (duration/slide), which Spark plans as
+    * a 2-row Expand before the hash agg: input amplification is the
+    * duration/slide ratio, not a self-join. The oracle replays the window
+    * assignment arithmetic (epoch-aligned 30-minute grid, the same
+    * alignment Spark uses). */
+  def hoppingCounts(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsumR(col("value"), Qty).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
   /** Session windows with a 30-minute gap, as the lag+cumsum state machine:
     * a row opens a new session iff it's the user's first event or the gap
     * to the previous event exceeds 30 min; session id is the running count
@@ -124,6 +140,7 @@ object StreamingModel {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_dedup_window" -> (dedupWindow _),
     "stream_tumbling_counts" -> (tumblingCounts _),
+    "stream_hopping_counts" -> (hoppingCounts _),
     "stream_session_gap" -> (sessionGap _),
     "stream_late_filter" -> (lateFilter _))
 
@@ -147,6 +164,20 @@ object StreamingModel {
          event_type, count(*) AS n,
          round(CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE), 4) AS sum_value
          FROM ${evSql()} GROUP BY win_start, event_type
+         ORDER BY win_start, event_type""",
+    "stream_hopping_counts" ->
+      s"""WITH b AS (
+           SELECT event_type, value,
+             make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS s0
+           FROM ${evSql()}),
+         w AS (
+           SELECT event_type, value,
+             unnest([s0, s0 - INTERVAL 30 MINUTE]) AS ws
+           FROM b)
+         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE), 4) AS sum_value
+         FROM w GROUP BY win_start, event_type
          ORDER BY win_start, event_type""",
     "stream_session_gap" ->
       s"""WITH s AS (

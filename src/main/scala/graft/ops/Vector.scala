@@ -100,6 +100,44 @@ object Vector {
       .orderBy("probe_id", "rk")
   }
 
+  /** Multi-probe SRP ANN: each probe also searches the 8 buckets at
+    * Hamming distance 1 (one sign bit flipped) — the standard multi-probe
+    * LSH trick: a near neighbor that disagrees on exactly one projection
+    * lands one flip away, so probing 9 buckets instead of 1 recovers most
+    * boundary misses for 9× the (tiny) bucket scan, with zero extra
+    * passes over the corpus. Candidate union stays duplicate-free: a
+    * corpus vector lives in exactly one bucket and the 9 probe variants
+    * are distinct strings, so each (probe, corpus) pair joins at most
+    * once. Flip i=0 is the identity, so single-probe results are a strict
+    * subset. */
+  def simsearchLshMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).withColumn("bucket", srpBucket(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("bucket"),
+        l2(col("embedding")).as("nrm"))
+    val probes = e.orderBy("vec_id").limit(10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("bucket"), col("nrm").as("p_nrm"))
+      .select(col("probe_id"), col("p_emb"), col("p_nrm"), col("bucket"),
+        explode(sequence(lit(0), lit(8))).as("i"))
+      .select(col("probe_id"), col("p_emb"), col("p_nrm"),
+        when(col("i") === 0, col("bucket"))
+          .otherwise(concat(
+            col("bucket").substr(lit(1), col("i") - 1),
+            when(col("bucket").substr(col("i"), lit(1)) === "1", "0").otherwise("1"),
+            col("bucket").substr(col("i") + 1, lit(8))))
+          .as("bucket"))
+    val scored = e.join(broadcast(probes), "bucket")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", r4(
+        cosinePre(col("embedding"), col("p_emb"), col("nrm"), col("p_nrm"))))
+    val w = Window.partitionBy("probe_id").orderBy(desc("cos"), col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("probe_id"), col("bucket"), col("rk"),
+        col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("probe_id", "rk")
+  }
+
   /** float-corpus × double-centroid dot — codegen'd
     * ([[graft.functions.DotProductFloatDouble]]); accumulates
     * left-to-right, the same op order as the DuckDB
@@ -316,6 +354,7 @@ object Vector {
     "embedding_quantize" -> (embeddingQuantize _),
     "simsearch_topk" -> (simsearchTopk _),
     "simsearch_lsh" -> (simsearchLsh _),
+    "simsearch_lsh_multiprobe" -> (simsearchLshMultiprobe _),
     "simsearch_ivf" -> (simsearchIvf _),
     "dedup_embedding" -> (dedupEmbedding _),
     "multimodal_join_stats" -> (multimodalJoinStats _),
@@ -354,6 +393,24 @@ object Vector {
       s"""WITH e AS (SELECT vec_id, embedding, $srpBucketSql AS bucket FROM embeddings),
          p AS (SELECT vec_id AS probe_id, embedding AS pe, bucket
              FROM e ORDER BY vec_id LIMIT 10),
+         s AS (SELECT p.probe_id, c.bucket, c.vec_id,
+             ${r4Sql(cosSql("c.embedding", "p.pe"))} AS cos
+           FROM e c JOIN p ON c.bucket = p.bucket AND c.vec_id != p.probe_id)
+         SELECT probe_id, bucket,
+           CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk,
+           vec_id AS neighbor_id, cos
+         FROM s QUALIFY rk <= 3 ORDER BY probe_id, rk""",
+    "simsearch_lsh_multiprobe" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $srpBucketSql AS bucket FROM embeddings),
+         p0 AS (SELECT vec_id AS probe_id, embedding AS pe, bucket
+             FROM e ORDER BY vec_id LIMIT 10),
+         p AS (SELECT probe_id, pe,
+             CASE WHEN f.i = 0 THEN bucket
+                  ELSE substr(bucket, 1, CAST(f.i AS INTEGER) - 1) ||
+                       (CASE WHEN substr(bucket, CAST(f.i AS INTEGER), 1) = '1'
+                             THEN '0' ELSE '1' END) ||
+                       substr(bucket, CAST(f.i AS INTEGER) + 1, 8) END AS bucket
+           FROM p0, (SELECT unnest(range(0, 9)) AS i) f),
          s AS (SELECT p.probe_id, c.bucket, c.vec_id,
              ${r4Sql(cosSql("c.embedding", "p.pe"))} AS cos
            FROM e c JOIN p ON c.bucket = p.bucket AND c.vec_id != p.probe_id)

