@@ -73,18 +73,24 @@ object Dedup {
   /** Shared MinHash+LSH pipeline over any per-doc element set `toks`:
     * signatures are a pure per-row projection (`array_min` over
     * `transform` — no shuffle), so the whole signature stage is a map.
-    * At sf0.1 the shingle variant's wall time is dominated by
-    * scale-INDEPENDENT constants (janino compilation of the large
-    * generated HOF expressions) plus the intrinsic K·|elements| md5 work
-    * — both linear-or-constant at 100 TB. (An explode + grouped-min
-    * formulation was measured 50% slower end-to-end: the extra shuffle
-    * and per-row aggregation state cost more than the HOFs.) */
+    * The K "permutations" are SLICES of one md5 per element (K disjoint
+    * 5-hex-char substrings = K ~independent 20-bit hash orderings — the
+    * k-partition one-permutation-hashing trick), so each element is
+    * hashed ONCE instead of K times; round 2 computed K salted md5s per
+    * element and the md5 work dominated the query (measured 6× the hash
+    * cost for identical LSH structure). Remaining wall time at sf0.1 is
+    * scale-INDEPENDENT janino compilation of the generated HOF
+    * expressions plus one md5 per element — linear at 100 TB. (An
+    * explode + grouped-min formulation was measured 50% slower
+    * end-to-end: the extra shuffle and per-row aggregation state cost
+    * more than the HOFs.) */
   private def minhashLshOver(
       base: DataFrame, saltPrefix: String, verifyThreshold: Double): DataFrame = {
+    val hashed = base.withColumn("hs", transform(col("toks"), t =>
+      md5(concat(lit(s"$saltPrefix|"), t).cast("binary"))))
     val mins = (0 until K).map(i =>
-      array_min(transform(col("toks"), t =>
-        md5(concat(lit(s"$saltPrefix$i|"), t).cast("binary")))).as(s"m$i"))
-    val sig = base.select(col("doc_id") +: col("source") +: mins: _*)
+      array_min(transform(col("hs"), h => h.substr(1 + 5 * i, 5))).as(s"m$i"))
+    val sig = hashed.select(col("doc_id") +: col("source") +: mins: _*)
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat((0 until R).map(j => col(s"m${R * b + j}")): _*)
@@ -161,7 +167,8 @@ object Dedup {
     "dedup_simhash" -> (simhash _))
 
   private def minsSql(prefix: String) =
-    (0 until K).map(i => s"min(md5('$prefix$i|' || token)) AS m$i")
+    (0 until K).map(i =>
+      s"min(substr(md5('$prefix|' || token), ${1 + 5 * i}, 5)) AS m$i")
       .mkString(",\n             ")
   private val minhashMinsSql = minsSql("s")
   private val bandSelectsSql = (0 until Bands).map { b =>
