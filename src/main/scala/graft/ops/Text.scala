@@ -65,17 +65,27 @@ object Text {
 
   private val StopWords = Seq("join", "filter", "sort", "merge", "window")
 
-  /** Quality scoring: token count, stopword ratio, mean token length, and a
-    * composite score — the standard cheap quality signals for corpus
-    * filtering. Pure per-row projection; at 100 TB this runs as a map with
-    * zero shuffle. */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  /** The composite quality signal shared by [[qualityScore]] and
+    * [[dedupKeepBest]]: exact per-row double math (int/int divisions,
+    * least), so cross-engine ORDERING on it is reliable un-rounded. */
+  private def compositeQuality: (org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column) = {
     val toks = split(col("text"), " ")
     val nTok = size(toks).cast("long")
     val nStop = size(filter(toks, t => t.isin(StopWords: _*))).cast("long")
     val stopRatio = nStop.cast("double") / nTok.cast("double")
     val avgTokLen = (length(col("text")) - (nTok - 1)).cast("double") / nTok.cast("double")
     val score = lit(0.6) * stopRatio + lit(0.4) * least(avgTokLen / 8.0, lit(1.0))
+    (nTok, stopRatio, avgTokLen, score)
+  }
+
+  /** Quality scoring: token count, stopword ratio, mean token length, and a
+    * composite score — the standard cheap quality signals for corpus
+    * filtering. Pure per-row projection; at 100 TB this runs as a map with
+    * zero shuffle. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val (nTok, stopRatio, avgTokLen, score) = compositeQuality
     docs(spark, dir)
       .select(
         col("doc_id"),
@@ -192,6 +202,25 @@ object Text {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("h"), col("n_copies"))
       .orderBy("doc_id")
+
+  /** Dedup keeping the BEST copy, not the first: per content hash, keep
+    * the doc with the highest composite quality (ties to the lower
+    * doc_id) — what a real corpus dedup does, since near-identical crawls
+    * differ in boilerplate. argmax as a `max_by` aggregate (map-side
+    * partial, no ranking window); the quality key is exact per-row double
+    * math so both engines order identically before any rounding. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val (_, _, _, score) = compositeQuality
+    docs(spark, dir)
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("h"), score.as("q"))
+      .groupBy("h")
+      .agg(
+        max_by(col("doc_id"), struct(col("q"), -col("doc_id"))).as("doc_id"),
+        r4(max(col("q"))).as("quality"),
+        count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("h"), col("quality"), col("n_copies"))
+      .orderBy("doc_id")
+  }
 
   /** Near-dup detection via token-set Jaccard, blocked by `source`:
     * explode distinct tokens → self-join inside the block on (source,
@@ -374,6 +403,7 @@ object Text {
     "text_vocab_build" -> (vocabBuild _),
     "text_chunk_split" -> (chunkSplit _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_near_jaccard" -> (dedupNearJaccard _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _))
 
@@ -457,6 +487,23 @@ object Text {
       """SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS h,
          count(*) AS n_copies
          FROM documents GROUP BY h ORDER BY doc_id""",
+    "dedup_keep_best" ->
+      """WITH d AS (
+           SELECT doc_id, md5(lower(trim(text))) AS h,
+             0.6 * (CAST(len(list_filter(string_split(text, ' '),
+                 t -> t IN ('join','filter','sort','merge','window'))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE))
+             + 0.4 * least((CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0) AS q
+           FROM documents),
+         g AS (SELECT h, count(*) AS n_copies FROM d GROUP BY h),
+         k AS (SELECT h, doc_id, q,
+             row_number() OVER (PARTITION BY h ORDER BY q DESC, doc_id) AS rn
+           FROM d)
+         SELECT k.doc_id, k.h,
+           floor(k.q * 10000.0 + 0.5) / 10000.0 AS quality,
+           g.n_copies
+         FROM k JOIN g ON k.h = g.h WHERE rn = 1 ORDER BY k.doc_id""",
     "dedup_near_jaccard" ->
       """WITH tok AS (
            SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS token

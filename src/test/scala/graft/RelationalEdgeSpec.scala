@@ -62,6 +62,19 @@ class RelationalEdgeSpec extends AnyFunSuite with SparkFixture {
     assert(kept == Set(3L, 4L)) // 1,2 are at/before user 1's purchase mark
   }
 
+  test("window_first_last: single-row partition has null nth_value(2), first==last") {
+    val dir = fixtureDir("events" -> events(
+      EventRow(1, ts("2024-01-01 10:00:00"), 1, "click", 5.5, "{}"),
+      EventRow(2, ts("2024-01-01 11:00:00"), 2, "click", 1.0, "{}"),
+      EventRow(3, ts("2024-01-01 12:00:00"), 2, "click", 2.0, "{}")))
+    val out = Relational.windowFirstLast(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") -> r).toMap
+    assert(out(1).getAs[Double]("first_v") == 5.5 && out(1).getAs[Double]("last_v") == 5.5)
+    assert(out(1).isNullAt(out(1).fieldIndex("second_v")))
+    assert(out(2).getAs[Double]("last_v") == 2.0)   // full frame, not current-row
+    assert(out(3).getAs[Double]("second_v") == 2.0)
+  }
+
   test("approx_percentile: observed rank within n/accuracy of the target rank") {
     // The sketch contract (Greenwald–Khanna-style): for accuracy a, the
     // returned value's rank is within n/a of ⌈q·n⌉. Checked against the

@@ -45,6 +45,21 @@ class StreamingModelSpec extends AnyFunSuite with SparkFixture {
     assert(out(0).getAs[Long]("n") == 2 && out(0).getAs[Double]("sum_value") == 4.0)
   }
 
+  test("hopping counts: every event lands in exactly 2 overlapping windows") {
+    val dir = fixtureDir("events" -> Seq(
+      ev(1, "2024-01-01 10:00:00"),   // on the slide boundary
+      ev(2, "2024-01-01 10:29:59"),   // just inside the same slide
+      ev(3, "2024-01-01 10:30:00")).toDF)
+    val out = StreamingModel.hoppingCounts(spark, dir).collect()
+      .map(r => r.getAs[String]("win_start") -> r.getAs[Long]("n")).toMap
+    // windows: [09:30,10:30) gets e1,e2; [10:00,11:00) all 3; [10:30,11:30) e3
+    assert(out == Map(
+      "2024-01-01 09:30:00" -> 2L,
+      "2024-01-01 10:00:00" -> 3L,
+      "2024-01-01 10:30:00" -> 1L))
+    assert(out.values.sum == 3L * 2)   // duration/slide = 2 windows per event
+  }
+
   test("weighted-avg UDAF computes sum(p*q)/sum(q) exactly") {
     val dir = fixtureDir("lineitem" -> Seq(
       LineRow(1, 2.0, 10.0, 0.0, 0.0, "A", "F"),
