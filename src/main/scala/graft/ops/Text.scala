@@ -203,6 +203,33 @@ object Text {
       .select(col("doc_id"), col("h"), col("n_copies"))
       .orderBy("doc_id")
 
+  /** TF-IDF: top-3 most characteristic tokens per document. tf and df
+    * come from two hash aggs over the exploded token stream; N enters as
+    * a broadcast scalar aggregate (no driver collect). Ranking happens on
+    * the r6-ROUNDED score with a token tie-break: tf·ln(N/df) can be
+    * mathematically equal for different (tf, df) pairs (e.g. 2·ln2 vs
+    * ln4), where the two engines' libm could disagree in the last ulp —
+    * rounding first makes such pairs exact ties and the tie-break
+    * deterministic. The df join is unhinted: vocabulary is unbounded at
+    * 100 TB (AQE broadcasts it while it is small). */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+    val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfx = tok.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+    val nDf = d.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("token"))
+    tf.join(dfx, "token")
+      .crossJoin(broadcast(nDf))
+      .withColumn("score", r6(col("tf").cast("double")
+        * log(col("n").cast("double") / col("df").cast("double"))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("token"), col("tf"), col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
   /** Dedup keeping the BEST copy, not the first: per content hash, keep
     * the doc with the highest composite quality (ties to the lower
     * doc_id) — what a real corpus dedup does, since near-identical crawls
@@ -402,6 +429,7 @@ object Text {
     "text_pos_tokens" -> (posTokens _),
     "text_vocab_build" -> (vocabBuild _),
     "text_chunk_split" -> (chunkSplit _),
+    "text_tfidf" -> (tfidf _),
     "dedup_exact" -> (dedupExact _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_near_jaccard" -> (dedupNearJaccard _),
@@ -487,6 +515,24 @@ object Text {
       """SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS h,
          count(*) AS n_copies
          FROM documents GROUP BY h ORDER BY doc_id""",
+    "text_tfidf" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+         dfx AS (SELECT token, count(*) AS df
+                 FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
+         nn AS (SELECT count(*) AS n FROM documents),
+         s AS (
+           SELECT tf.doc_id, tf.token, tf.tf,
+             floor((CAST(tf.tf AS DOUBLE)
+               * ln(CAST(nn.n AS DOUBLE) / CAST(dfx.df AS DOUBLE))) * 1000000.0 + 0.5)
+               / 1000000.0 AS score
+           FROM tf JOIN dfx ON tf.token = dfx.token, nn)
+         SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS rk,
+           token, tf, score
+         FROM s QUALIFY rk <= 3
+         ORDER BY doc_id, rk""",
     "dedup_keep_best" ->
       """WITH d AS (
            SELECT doc_id, md5(lower(trim(text))) AS h,
