@@ -29,6 +29,17 @@ object StreamingDemo {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming dedup — the real runtime behind
+    * [[graft.ops.StreamingModel.dedupWindow]]'s batch model: keep the
+    * first event per (user, event_type), suppress re-occurrences arriving
+    * within the 1-hour watermark delay. State is one entry per key with
+    * watermark-driven eviction (O(keys in the horizon), not O(history)) —
+    * Spark's `dropDuplicatesWithinWatermark`, exactly. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
   /** File-source variant: treats the events parquet as an append-only
     * stream (Trigger.AvailableNow = the reference's "run until caught up,
     * then exit" daily batch, minus the scheduler). The file-source

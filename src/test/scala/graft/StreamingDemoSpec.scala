@@ -35,6 +35,31 @@ class StreamingDemoSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark suppresses in-horizon repeats, readmits after eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long, String)]
+    val events = ms.toDF.toDF("ts", "user_id", "event_type")
+    val q = StreamingDemo.dedupStream(events)
+      .writeStream.format("memory").queryName("dedup_test").outputMode("append").start()
+    try {
+      // batch 1: first (u1, click) kept; repeat 30 min later suppressed;
+      // u2 at 13:00 advances the max event time → watermark 12:00
+      ms.addData((ts("2024-01-01 10:00:00"), 1L, "click"),
+        (ts("2024-01-01 10:30:00"), 1L, "click"),
+        (ts("2024-01-01 13:00:00"), 2L, "click"))
+      q.processAllAvailable()
+      // batch 2: (u1, click) state was evicted once the watermark passed
+      // 11:00 (first-seen + delay), so a 12:30 re-occurrence is KEPT —
+      // the within-watermark semantics, not global dedup
+      ms.addData((ts("2024-01-01 12:30:00"), 1L, "click"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_test").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("ts").toString))
+      assert(kept.count(_._1 == 1L) == 2, s"expected 10:00 and 12:30 kept: ${kept.mkString(",")}")
+      assert(!kept.exists(_._2.startsWith("2024-01-01 10:30")), "in-horizon duplicate not suppressed")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer emits a session on event-time timeout") {
     import graft.streaming.Sessionize
     import graft.streaming.Sessionize.SessEvent
