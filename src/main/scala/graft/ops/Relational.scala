@@ -123,6 +123,41 @@ object Relational {
       .orderBy("p_brand")
   }
 
+  /** Binned pure-interval join — the scalable spelling of a date-range
+    * (SCD-2 style) lookup with NO equi key: orders against a table of
+    * 45-day epochs, matched by BETWEEN containment. Without an equi key
+    * Spark would plan a nested-loop; bucketing both sides onto a 30-day
+    * bin grid turns containment into an equi join on `bin` (each epoch
+    * explodes into the ≤⌈45/30⌉+1 bins it overlaps, each order into its
+    * single bin), with the exact BETWEEN kept as a post-join filter.
+    * Candidates per order are the ~2 epochs sharing its bin, not all
+    * epochs — at 10⁹ ranges this shuffles on bin instead of replicating
+    * either side. The bin convention itself is correctness-irrelevant
+    * (the residual filter decides), so the oracle is the plain BETWEEN
+    * join. Non-overlapping epochs + one bin per order ⇒ no dedup needed. */
+  def joinRangeBinned(spark: SparkSession, dir: String): DataFrame = {
+    val anchor = lit("1995-01-01").cast("date")
+    val epochs = spark.range(8).select(
+      col("id").cast("long").as("epoch_id"),
+      date_add(anchor, (col("id") * 45).cast("int")).as("e_start"),
+      date_add(anchor, (col("id") * 45 + 44).cast("int")).as("e_end"))
+    val eb = epochs.select(col("epoch_id"), col("e_start"), col("e_end"),
+      explode(sequence(
+        floor(datediff(col("e_start"), anchor) / 30.0).cast("long"),
+        floor(datediff(col("e_end"), anchor) / 30.0).cast("long"))).as("bin"))
+    val o = table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate").cast("date").as("od"))
+      .withColumn("bin", floor(datediff(col("od"), anchor) / 30.0).cast("long"))
+    o.join(eb, Seq("bin"))
+      .filter(col("od") >= col("e_start") && col("od") <= col("e_end"))
+      .groupBy("epoch_id")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast(Money)).cast("double"), 4).as("sum_price"))
+      .orderBy("epoch_id")
+  }
+
   /** As-of join — each event paired with the user's latest order at/before
     * its ts. Spark has no ASOF JOIN; the scalable formulation is the
     * union+window one: tag both sides, sort within user by (time, tag) so
@@ -521,6 +556,7 @@ object Relational {
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "join_theta_range" -> (joinThetaRange _),
+    "join_range_binned" -> (joinRangeBinned _),
     "join_interval_events" -> (joinIntervalEvents _),
     "join_salted_skew" -> (joinSaltedSkew _),
     "join_full_outer" -> (joinFullOuter _),
@@ -582,6 +618,16 @@ object Relational {
          WHERE NOT EXISTS (SELECT 1 FROM orders
            WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
          ORDER BY c_custkey""",
+    "join_range_binned" ->
+      """WITH e AS (SELECT CAST(f.i AS BIGINT) AS epoch_id,
+             DATE '1995-01-01' + CAST(f.i * 45 AS INTEGER) AS e_start,
+             DATE '1995-01-01' + CAST(f.i * 45 + 44 AS INTEGER) AS e_end
+           FROM (SELECT unnest(range(0, 8)) AS i) f)
+         SELECT e.epoch_id, count(*) AS n_orders,
+           round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 4) AS sum_price
+         FROM orders o JOIN e
+           ON CAST(o.o_orderdate AS DATE) BETWEEN e.e_start AND e.e_end
+         GROUP BY e.epoch_id ORDER BY e.epoch_id""",
     "join_theta_range" ->
       """SELECT p_brand, count(*) AS n,
          round(CAST(sum(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE), 4) AS sum_qty

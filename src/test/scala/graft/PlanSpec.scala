@@ -84,6 +84,17 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("join_range_binned: BETWEEN containment plans as a hash join on bin, no nested loop") {
+    // The whole point of the bin bucketing: a pure-interval join with no
+    // equi key would plan BroadcastNestedLoopJoin (every order against
+    // every epoch); the bin column gives the planner an equi key.
+    val p = plan(Relational.joinRangeBinned(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join degraded to a loop join:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"no equi join on bin:\n$p")
+  }
+
   test("window_topk_custom plans through the custom TopKPerKeyExec") {
     val plan = Relational.windowTopkCustom(spark, dir).queryExecution.sparkPlan
     val topk = plan.collect { case t: graft.plans.TopKPerKeyExec => t }
