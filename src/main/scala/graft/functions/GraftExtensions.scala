@@ -39,10 +39,17 @@ object GraftExtensions {
       binary("mask_intersect_count", MaskIntersectCount.apply)))
 
   /** Register on an already-built session (builder-time extensions can't
-    * reach it): same builders, same registry entries. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    * reach it): same builders, same registry entries. Also exposes the
+    * Misra–Gries heavy-hitters Aggregator as the SQL UDAF
+    * `misra_gries_topk(col)` (k=64, the declared-query configuration) —
+    * typed Aggregators register through the udf registry, not the
+    * expression registry. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (name, className, builder) =>
       org.apache.spark.sql.graftbridge.Bridge.registerFunction(
         spark, name, className, builder)
     }
+    spark.udf.register("misra_gries_topk",
+      org.apache.spark.sql.functions.udaf(new graft.ops.Udaf.MisraGries(64)))
+  }
 }

@@ -7,6 +7,7 @@ import graft.functions.GraftExtensions
   * SparkSessionExtensions can't attach to an existing session, so the test
   * uses the runtime register hook — same builder, same registry entry). */
 class ExtensionsSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
 
   test("dot_product_float is callable from SQL after registration") {
     GraftExtensions.register(spark)
@@ -56,6 +57,14 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
          mask_intersect_count(map(0L, 7L), map(0L, 3L)) AS m""").collect()(0)
     assert(r.getAs[Double]("d") == 6.0)
     assert(r.getAs[Long]("m") == 2L)
+  }
+
+  test("misra_gries_topk UDAF is callable from SQL and exact under k") {
+    graft.functions.GraftExtensions.register(spark)
+    Seq("a", "a", "b").toDF("t").createOrReplaceTempView("g_mg_test")
+    val m = spark.sql("SELECT misra_gries_topk(t) AS hh FROM g_mg_test")
+      .collect()(0).getAs[Map[String, Long]]("hh")
+    assert(m == Map("a" -> 2L, "b" -> 1L))
   }
 
   test("registration rejects wrong arity with a clear message") {
