@@ -31,6 +31,28 @@ object TableSinks {
   def readDatePartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Compact a parquet directory's small files into ~`targetBytes` files.
+    * The operational fix for the 100 TB small-files problem: streaming
+    * sinks and fine-grained partitions accrete thousands of KB-scale
+    * files per directory, and scan-task scheduling overhead (one task per
+    * file below `maxPartitionBytes`) comes to dominate the read. File
+    * count = ceil(on-disk bytes / target) from the filesystem's own
+    * accounting (no data pass); the rewrite is one job with no shuffle
+    * wider than a coalesce-style repartition. Writes to `outPath` and
+    * leaves the source intact — at scale the atomic swap is a metastore
+    * location flip, not an in-place overwrite. */
+  def compact(
+      spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+  }
+
   /** Write `df` as a BUCKETED catalog table: rows hash-distributed into
     * `buckets` files by `bucketCol`, each sorted on it. Two tables
     * bucketed the same way on their join key then join with NO exchange

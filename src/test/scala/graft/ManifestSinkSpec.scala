@@ -23,6 +23,22 @@ class ManifestSinkSpec extends AnyFunSuite with SparkFixture {
     assert(top.length == 1 && top(0).getAs[String]("name") == "snap_2024-01-09.zip")
   }
 
+  test("compaction collapses a many-small-files directory, content intact") {
+    val base = Files.createTempDirectory("graft-compact").toString
+    val in = s"$base/in"; val out = s"$base/out"
+    // 24 rows scattered across 24 files — the streaming-sink accretion shape
+    (1 to 24).map(i => EventRow(i.toLong, ts("2024-01-01 10:00:00"), 1, "click", i.toDouble, "{}"))
+      .toDF.repartition(24).write.parquet(in)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(in) > 10, "fixture should start fragmented")
+    TableSinks.compact(spark, in, out)   // total bytes << 128 MB target → 1 file
+    assert(parquetFiles(out) == 1, "small files not collapsed")
+    val back = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("value")).sorted.toSeq
+    assert(back == (1 to 24).map(i => i.toLong -> i.toDouble))
+  }
+
   test("date-partitioned sink prunes partitions on read") {
     val events = (1 to 48).map { i =>
       EventRow(i.toLong, ts(f"2024-01-${i % 4 + 1}%02d 10:00:00"), 1, "click", 1.0, "{}")
