@@ -37,11 +37,10 @@ object Dedup {
     * band, bandsig) bucket become candidate pairs; candidates are verified
     * with exact token-set Jaccard. Output: per-source candidate/verified
     * counts. Never a cross join — and since round 2, ONE tokenization
-    * feeds both stages: signatures are a pure per-row projection
-    * (`array_min` over `transform` of the token array — no explode, no
-    * groupBy shuffle; round 1 split the text twice and shuffled token
-    * rows to build signatures), and verification reuses the same `toks`
-    * column. */
+    * feeds both stages: signatures are a pure per-row projection (no
+    * explode, no groupBy shuffle; round 1 split the text twice and
+    * shuffled token rows to build signatures), and verification reuses
+    * the same `toks` column. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashLshOver(
       table(spark, dir, "documents").select(
@@ -54,50 +53,54 @@ object Dedup {
     * (the [[Text.dedupNgramJaccard]] shingling), so reordered passages
     * that fool token-set MinHash still collide only when genuinely
     * near-duplicate in sequence. */
-  def minhashShingle(spark: SparkSession, dir: String): DataFrame = {
-    val toks = col("toks")
-    val shingles = array_distinct(
-      when(size(toks) >= 3,
-        transform(sequence(lit(1), size(toks) - 2), i =>
-          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-            element_at(toks, i + 2))))
-        .otherwise(array().cast("array<string>")))
+  def minhashShingle(spark: SparkSession, dir: String): DataFrame =
     minhashLshOver(
       table(spark, dir, "documents")
-        .withColumn("toks", split(col("text"), " "))
-        .select(col("doc_id"), col("source"), shingles.as("toks"))
-        .filter(size(col("toks")) >= 1),   // <3-token docs have no shingles
+        // cheap equivalent of size(shingles) >= 1, applied BEFORE the
+        // shingle projection so predicate pushdown can't substitute the
+        // full shingle expression into the filter
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), col("source"), shingle3(col("text")).as("toks")),
       saltPrefix = "g", verifyThreshold = 0.8)
-  }
 
   /** Shared MinHash+LSH pipeline over any per-doc element set `toks`:
-    * signatures are a pure per-row projection (`array_min` over
-    * `transform` — no shuffle), so the whole signature stage is a map.
-    * The K "permutations" are SLICES of one md5 per element (K disjoint
-    * 5-hex-char substrings = K ~independent 20-bit hash orderings — the
-    * k-partition one-permutation-hashing trick), so each element is
-    * hashed ONCE instead of K times; round 2 computed K salted md5s per
-    * element and the md5 work dominated the query (measured 6× the hash
-    * cost for identical LSH structure). Remaining wall time at sf0.1 is
-    * scale-INDEPENDENT janino compilation of the generated HOF
-    * expressions plus one md5 per element — linear at 100 TB. (An
-    * explode + grouped-min formulation was measured 50% slower
-    * end-to-end: the extra shuffle and per-row aggregation state cost
-    * more than the HOFs.) */
+    * the whole signature stage is one per-row expression — no shuffle,
+    * no explode until the Bands-way band fan-out. The K "permutations"
+    * are SLICES of one md5 per element (K disjoint 5-hex-char substrings
+    * = K ~independent 20-bit hash orderings — the k-partition
+    * one-permutation-hashing trick), so each element is hashed ONCE
+    * instead of K times; round 2 computed K salted md5s per element and
+    * the md5 work dominated the query (measured 6× the hash cost for
+    * identical LSH structure). (An explode + grouped-min formulation was
+    * measured 50% slower end-to-end: the extra shuffle and per-row
+    * aggregation state cost more than the HOFs.) */
   private def minhashLshOver(
       base: DataFrame, saltPrefix: String, verifyThreshold: Double): DataFrame = {
-    val hashed = base.withColumn("hs", transform(col("toks"), t =>
-      md5(concat(lit(s"$saltPrefix|"), t).cast("binary"))))
-    val mins = (0 until K).map(i =>
-      array_min(transform(col("hs"), h => h.substr(1 + 5 * i, 5))).as(s"m$i"))
-    val sig = hashed.select(col("doc_id") +: col("source") +: mins: _*)
-    val bandCols = (0 until Bands).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat((0 until R).map(j => col(s"m${R * b + j}")): _*)
-          .cast("binary")).as("bsig"))
+    // The whole signature stage is ONE evaluate-once-per-row expression:
+    // toks → md5 array → K slice-mins (single aggregate pass over a struct
+    // accumulator) → array of (band, bsig) structs. Every intermediate is
+    // lambda-bound via boundCol: spelling these as stacked projections lets
+    // CollapseProject substitute each definition into every reference, and
+    // the K separate array_min(transform(hs, …)) columns of rounds 1-2 were
+    // re-evaluating the full md5 array K times (measured: the aggregate
+    // spelling also compiles ~2 s faster, one generated expression instead
+    // of K+1). "g" > every hex digit, so it is a safe min-sentinel; toks is
+    // non-empty by construction in both callers.
+    val bandArr = boundCol(transform(col("toks"), t =>
+        md5(concat(lit(s"$saltPrefix|"), t).cast("binary")))) { hs =>
+      boundCol(aggregate(hs,
+          struct((0 until K).map(i => lit("g").as(s"m$i")): _*),
+          (acc, h) => struct((0 until K).map(i =>
+            least(acc.getField(s"m$i"), h.substr(1 + 5 * i, 5)).as(s"m$i")): _*))) { sg =>
+        array((0 until Bands).map { b =>
+          struct(lit(b).as("band"),
+            md5(concat((0 until R).map(j => sg.getField(s"m${R * b + j}")): _*)
+              .cast("binary")).as("bsig"))
+        }: _*)
+      }
     }
-    val bands = sig.select(col("doc_id"), col("source"),
-        explode(array(bandCols: _*)).as("bs"))
+    val bands = base.select(col("doc_id"), col("source"),
+        explode(bandArr).as("bs"))
       .select(col("doc_id"), col("source"), col("bs.band"), col("bs.bsig"))
     // Candidate pairs by GROUPING each (source, band, bsig) bucket and
     // emitting its member pairs, not by self-joining the band table: one

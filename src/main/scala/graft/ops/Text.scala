@@ -365,25 +365,17 @@ object Text {
     * this always runs the general array-set path (no bitmask); same
     * source-blocked pair generation, skew-bounded by [[NgramDfCap]]. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // `toks` must be a MATERIALIZED column, not an inline expression: an
-    // expression inside the transform lambda is re-evaluated per element
-    // (3 element_at × ~50 shingles ⇒ the text would be re-split ~150×/row
-    // — measured 4.5s of pure split at sf0.1; as an attribute it's once).
-    val toks = col("toks")
-    val shingles = array_distinct(
-      when(size(toks) >= 3,
-        transform(sequence(lit(1), size(toks) - 2), i =>
-          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-            element_at(toks, i + 2))))
-        .otherwise(array().cast("array<string>")))
     // Shingle overlap is SPARSE (large shingle space), so pairs come from
     // an equi join on (source, shingle) — only colliding pairs materialize,
     // versus |block|²/2 array intersections in the dense token-set case.
     // Pairs with zero common shingles never appear, matching the oracle's
-    // inter >= 1 filter.
+    // inter >= 1 filter. Util.shingle3 is evaluate-once-per-row (an
+    // attribute reference is NOT enough — CollapseProject inlines the
+    // split into the shingle lambda, re-splitting the text per element;
+    // see Util.boundCol).
     val sh0 = docs(spark, dir)
-      .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), col("source"), explode(shingles).as("s"))
+      .select(col("doc_id"), col("source"),
+        explode(Util.shingle3(col("text"))).as("s"))
     // Hot-shingle document-frequency cap (standard near-dup practice): a
     // shingle present in f docs of a source emits f(f−1)/2 pair rows below,
     // so ONE boilerplate sentence at 100 TB is a task that never finishes.
