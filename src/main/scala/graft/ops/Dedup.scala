@@ -76,6 +76,35 @@ object Dedup {
     * aggregation state cost more than the HOFs.) */
   private def minhashLshOver(
       base: DataFrame, saltPrefix: String, verifyThreshold: Double): DataFrame = {
+    val cand = candidatePairs(base, saltPrefix)
+    // Verify candidates against per-doc token SETS (array_intersect per
+    // pair) instead of a candidate×token join — candidates already share a
+    // min-hash, so intersection is never empty. (The bitmask encoding from
+    // Text.tokenSets was measured NET SLOWER here: its dictionary build
+    // adds a count job + shuffle, and candidate verification isn't this
+    // query's bottleneck.)
+    val sets = base.select(col("doc_id"), col("toks"))
+    val jac = cand
+      .join(sets.select(col("doc_id").as("dd1"), col("toks").as("t1")),
+        col("d1") === col("dd1"))
+      .join(sets.select(col("doc_id").as("dd2"), col("toks").as("t2")),
+        col("d2") === col("dd2"))
+      .select(col("source"),
+        size(array_intersect(col("t1"), col("t2"))).as("inter"),
+        size(col("t1")).as("n1"), size(col("t2")).as("n2"))
+      .withColumn("jac",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")).cast("double"))
+    jac.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when(col("jac") >= verifyThreshold, 1L).otherwise(0L)).as("n_verified"))
+      .orderBy("source")
+  }
+
+  /** LSH candidate pairs (source, d1 < d2) over any per-doc element set
+    * `toks` — the shared front half of the MinHash family, also the edge
+    * set of [[ccGroups]]' near-dup graph. */
+  private[ops] def candidatePairs(base: DataFrame, saltPrefix: String): DataFrame = {
     // The whole signature stage is ONE evaluate-once-per-row expression:
     // toks → md5 array → K slice-mins (single aggregate pass over a struct
     // accumulator) → array of (band, bsig) structs. Every intermediate is
@@ -114,34 +143,57 @@ object Dedup {
     val buckets = bands.groupBy("source", "band", "bsig")
       .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
-    val cand = buckets.select(col("source"),
+    buckets.select(col("source"),
         explode(expr("""flatten(transform(ds, (x, i) ->
           transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"""))
           .as("p"))
       .select(col("source"), col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
-    // Verify candidates against per-doc token SETS (array_intersect per
-    // pair) instead of a candidate×token join — candidates already share a
-    // min-hash, so intersection is never empty. (The bitmask encoding from
-    // Text.tokenSets was measured NET SLOWER here: its dictionary build
-    // adds a count job + shuffle, and candidate verification isn't this
-    // query's bottleneck.)
-    val sets = base.select(col("doc_id"), col("toks"))
-    val jac = cand
-      .join(sets.select(col("doc_id").as("dd1"), col("toks").as("t1")),
-        col("d1") === col("dd1"))
-      .join(sets.select(col("doc_id").as("dd2"), col("toks").as("t2")),
-        col("d2") === col("dd2"))
-      .select(col("source"),
-        size(array_intersect(col("t1"), col("t2"))).as("inter"),
-        size(col("t1")).as("n1"), size(col("t2")).as("n2"))
-      .withColumn("jac",
-        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")).cast("double"))
-    jac.groupBy("source")
-      .agg(
-        count(lit(1)).as("n_candidates"),
-        sum(when(col("jac") >= verifyThreshold, 1L).otherwise(0L)).as("n_verified"))
-      .orderBy("source")
+  }
+
+  /** Near-dup CLUSTERS, not just pairs: connected components over the
+    * word-level LSH candidate graph by min-label propagation — the step a
+    * real corpus dedup needs between pair detection and "keep one per
+    * group" (pairs chain: a~b and b~c put a,c in one group even when a,c
+    * never collide directly). Each iteration is two shuffles (edge join +
+    * per-node min) with the lineage cut by localCheckpoint — the MLlib
+    * iteration pattern: bounded driver loop, converged when no label
+    * changes, never a driver-side collect of graph data. Rounds needed =
+    * component diameter; LSH components are shallow (band signatures are
+    * transitive-ish), and at extreme scale the standard fix is
+    * large-star/small-star (O(log n) rounds) — documented, not needed at
+    * any tested SF (≤4 rounds observed). Output: every doc that appears
+    * in a candidate pair, its component root (min doc_id), and the
+    * component size. */
+  def ccGroups(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "documents").select(
+      col("doc_id"), col("source"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+    val pairs = candidatePairs(base, "s")
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .localCheckpoint()   // evaluated once; every iteration re-joins it
+    var lbl = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val nbrMin = edges.join(lbl, edges("src") === lbl("doc_id"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nbl"))
+      val next = lbl.join(nbrMin, lbl("doc_id") === nbrMin("dst"), "left")
+        .select(lbl("doc_id"),
+          least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"),
+          (col("nbl") < col("lbl")).as("chg"))
+        .localCheckpoint()
+      changed = next.filter(col("chg")).count()
+      lbl = next.select("doc_id", "lbl")
+      rounds += 1
+    }
+    val sz = lbl.groupBy(col("lbl").as("root")).agg(count(lit(1)).as("n_members"))
+    lbl.select(col("doc_id"), col("lbl").as("root"))
+      .join(sz, "root")
+      .select(col("doc_id"), col("root"), col("n_members"))
+      .orderBy("doc_id")
   }
 
   /** SimHash(16): per token, bit j is the high bit of hex digit j of
@@ -167,7 +219,8 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_minhash_shingle" -> (minhashShingle _),
-    "dedup_simhash" -> (simhash _))
+    "dedup_simhash" -> (simhash _),
+    "dedup_cc_groups" -> (ccGroups _))
 
   private def minsSql(prefix: String) =
     (0 until K).map(i =>
@@ -245,6 +298,37 @@ object Dedup {
          SELECT source, count(*) AS n_candidates,
            CAST(sum(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified
          FROM j GROUP BY source ORDER BY source""",
+    // The oracle's transitive closure (recursive CTE) is exact regardless
+    // of round count, so it gates that the Spark loop truly reached the
+    // fixpoint — not just "ran some iterations".
+    "dedup_cc_groups" ->
+      s"""WITH RECURSIVE tok AS (
+           SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS token
+           FROM documents),
+         sig AS (
+           SELECT doc_id, source,
+             $minhashMinsSql
+           FROM tok GROUP BY doc_id, source),
+         band AS (
+           $bandSelectsSql),
+         cand AS (
+           SELECT DISTINCT a.source, a.doc_id AS d1, b.doc_id AS d2
+           FROM band a JOIN band b
+             ON a.source = b.source AND a.band = b.band AND a.bsig = b.bsig
+               AND a.doc_id < b.doc_id),
+         e AS (SELECT d1 AS src, d2 AS dst FROM cand
+               UNION SELECT d2, d1 FROM cand),
+         reach AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+         rt AS (
+           SELECT src AS doc_id, least(src, min(dst)) AS root
+           FROM reach GROUP BY src),
+         sz AS (SELECT root, count(*) AS n_members FROM rt GROUP BY root)
+         SELECT rt.doc_id, rt.root, sz.n_members
+         FROM rt JOIN sz ON rt.root = sz.root
+         ORDER BY rt.doc_id""",
     "dedup_simhash" ->
       s"""WITH tok AS (
            SELECT doc_id, source, md5(unnest(string_split(text, ' '))) AS mh

@@ -117,8 +117,29 @@ object PipelineOps {
         max(col("event_id")).as("max_event"))
       .orderBy("event_type")
 
+  /** Stratified deterministic sampling — training-mix construction: each
+    * source stratum keeps a different fraction (75/50/25% by suffix mod 3)
+    * of its documents, membership decided by comparing a fixed md5-prefix
+    * of the row key against the stratum's hex threshold. Like
+    * [[sampleHash]], reproducible across engines, retries, and partitions
+    * (no rand()); per-row projection + one hash agg, so the sample
+    * decision never shuffles the corpus. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val m3 = substring(col("source"), 4, 10).cast("int") % 3
+    val thr = when(m3 === 0, "c0").when(m3 === 1, "80").otherwise("40")
+    val keep = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < thr
+    table(spark, dir, "documents")
+      .withColumn("keep", keep)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        min(when(col("keep"), col("doc_id"))).as("min_kept"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_sample_hash" -> (sampleHash _),
+    "pipe_sample_stratified" -> (sampleStratified _),
     "pipe_latest_snapshot" -> (latestSnapshot _),
     "pipe_filter_contains" -> (filterContains _),
     "pipe_parse_project" -> (parseProject _),
@@ -132,6 +153,17 @@ object PipelineOps {
          FROM events
          WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
          GROUP BY event_type ORDER BY event_type""",
+    "pipe_sample_stratified" ->
+      """WITH d AS (
+           SELECT source, doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+               (CASE (CAST(substr(source, 4) AS INT) % 3)
+                 WHEN 0 THEN 'c0' WHEN 1 THEN '80' ELSE '40' END) AS keep
+           FROM documents)
+         SELECT source, count(*) AS n_total,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           min(CASE WHEN keep THEN doc_id END) AS min_kept
+         FROM d GROUP BY source ORDER BY source""",
     "pipe_latest_snapshot" ->
       s"""SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
          user_id, event_type, round(value, 4) AS value_r

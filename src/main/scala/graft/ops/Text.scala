@@ -230,6 +230,69 @@ object Text {
       .orderBy("doc_id", "rk")
   }
 
+  /** BM25 relevance of every document against a fixed query-term set —
+    * the retrieval-side companion of [[tfidf]], and the scoring half of a
+    * training-data quality/retrieval loop. Corpus stats (N, avgdl) enter
+    * as a broadcast one-row aggregate, document frequency per term as a
+    * broadcast five-row aggregate; the per-(doc, term) score is then pure
+    * map-side math — the whole query is two tiny broadcasts plus one hash
+    * agg over the exploded matching tokens, so it scales like tokenize.
+    * Ranking happens on the r6-ROUNDED score (ln enters the formula; see
+    * [[tfidf]] for why raw libm doubles must not be ordered cross-engine)
+    * with doc_id as tie-break. k1 = 1.2, b = 0.75 (the standard Robertson
+    * parameters), pre-simplified to the 2.2/0.25/0.75 constants so both
+    * engines evaluate the identical expression tree. */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+    val dl = d.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+    val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token").isin(StopWords: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val tfd = col("tf").cast("double")
+    val scored = tf.join(dl, "doc_id")
+      .join(broadcast(dfx), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n").cast("double"))
+      .withColumn("idf", log(
+        (col("n").cast("double") - col("df").cast("double") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+      .withColumn("score", r6(
+        col("idf") * (tfd * lit(2.2))
+          / (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
+    val w = Window.partitionBy("token").orderBy(desc("score"), col("doc_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("token"), col("rk"), col("doc_id"), col("tf"), col("dl"), col("score"))
+      .orderBy("token", "rk")
+  }
+
+  /** Training-corpus text normalization: trim → lowercase → strip
+    * non-alphanumerics → whitespace-collapse (free via split+join) →
+    * stopword removal. Pure per-row projection, zero shuffle — the
+    * canonical first map of a 100 TB text pipeline. On this corpus the
+    * case/punctuation steps are idempotent (the fixture is already clean);
+    * the stopword step does real work, so `changed` is exercised in both
+    * directions. Output text is string-exact, no float parity concerns. */
+  def normalize(spark: SparkSession, dir: String): DataFrame = {
+    val norm = array_join(
+      filter(
+        split(regexp_replace(lower(trim(col("text"))), "[^a-z0-9 ]", ""), " +"),
+        t => !t.isin(StopWords: _*)),
+      " ")
+    docs(spark, dir)
+      .select(col("doc_id"), col("text"), norm.as("norm_text"))
+      .select(
+        col("doc_id"),
+        col("norm_text"),
+        size(split(col("text"), " ")).cast("long").as("n_tok_raw"),
+        size(split(col("norm_text"), " ")).cast("long").as("n_tok_norm"),
+        (col("norm_text") =!= col("text")).as("changed"))
+      .orderBy("doc_id")
+  }
+
   /** Dedup keeping the BEST copy, not the first: per content hash, keep
     * the doc with the highest composite quality (ties to the lower
     * doc_id) — what a real corpus dedup does, since near-identical crawls
@@ -422,6 +485,8 @@ object Text {
     "text_vocab_build" -> (vocabBuild _),
     "text_chunk_split" -> (chunkSplit _),
     "text_tfidf" -> (tfidf _),
+    "text_bm25" -> (bm25 _),
+    "text_normalize" -> (normalize _),
     "dedup_exact" -> (dedupExact _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_near_jaccard" -> (dedupNearJaccard _),
@@ -525,6 +590,44 @@ object Text {
            token, tf, score
          FROM s QUALIFY rk <= 3
          ORDER BY doc_id, rk""",
+    "text_bm25" ->
+      """WITH dl AS (
+           SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+           FROM documents),
+         st AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM dl),
+         tf AS (
+           SELECT doc_id, token, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+           WHERE token IN ('join','filter','sort','merge','window')
+           GROUP BY doc_id, token),
+         dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         s AS (
+           SELECT tf.token, tf.doc_id, tf.tf, dl.dl,
+             floor((ln((CAST(st.n AS DOUBLE) - CAST(dfx.df AS DOUBLE) + 0.5)
+                 / (CAST(dfx.df AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(tf.tf AS DOUBLE) * 2.2)
+               / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+                 * (CAST(dl.dl AS DOUBLE) / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n AS DOUBLE))))))
+               * 1000000.0 + 0.5) / 1000000.0 AS score
+           FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+                   JOIN dfx ON tf.token = dfx.token, st)
+         SELECT token,
+           CAST(row_number() OVER (PARTITION BY token ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
+           doc_id, tf, dl, score
+         FROM s QUALIFY rk <= 5
+         ORDER BY token, rk""",
+    "text_normalize" ->
+      """WITH n AS (
+           SELECT doc_id, text,
+             array_to_string(list_filter(
+               string_split_regex(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +'),
+               t -> t NOT IN ('join','filter','sort','merge','window')), ' ') AS norm_text
+           FROM documents)
+         SELECT doc_id, norm_text,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok_raw,
+           CAST(len(string_split(norm_text, ' ')) AS BIGINT) AS n_tok_norm,
+           (norm_text <> text) AS changed
+         FROM n ORDER BY doc_id""",
     "dedup_keep_best" ->
       """WITH d AS (
            SELECT doc_id, md5(lower(trim(text))) AS h,

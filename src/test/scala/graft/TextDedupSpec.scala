@@ -110,4 +110,44 @@ class TextDedupSpec extends AnyFunSuite with SparkFixture {
     val out = Text.tokenTopk(spark, dir).collect()
     assert(out.map(_.getAs[String]("token")).toSeq == Seq("a", "b", "c"))
   }
+
+  test("cc groups: identical docs form one component rooted at min doc_id") {
+    val dir = fixtureDir("documents" -> Seq(
+      doc(5, "a b c d e f"), doc(2, "a b c d e f"), doc(9, "a b c d e f"),
+      doc(3, "z y x w v u"), doc(7, "z y x w v u"),
+      doc(11, "lone wolf doc q")).toDF)
+    val out = Dedup.ccGroups(spark, dir).collect()
+    val byDoc = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("root"), r.getAs[Long]("n_members"))).toMap
+    assert(byDoc(2L) == (2L, 3L) && byDoc(5L) == (2L, 3L) && byDoc(9L) == (2L, 3L))
+    assert(byDoc(3L) == (3L, 2L) && byDoc(7L) == (3L, 2L))
+    assert(!byDoc.contains(11L)) // no candidate pair -> not in the graph
+  }
+
+  test("bm25: higher tf wins within a term; rarer term carries higher idf") {
+    val dir = fixtureDir("documents" -> Seq(
+      doc(1, "join join join a b"),
+      doc(2, "join a b c d"),
+      doc(3, "filter a b c d")).toDF)
+    val out = Text.bm25(spark, dir).collect()
+    val join1 = out.filter(_.getAs[String]("token") == "join")
+    assert(join1.map(r => (r.getAs[Long]("rk"), r.getAs[Long]("doc_id"))).toSeq
+      == Seq((1L, 1L), (2L, 2L)))
+    // df(filter)=1 < df(join)=2 ⇒ idf larger; tf and dl equal across docs 2/3
+    val fJoin = out.find(r => r.getAs[String]("token") == "join" && r.getAs[Long]("doc_id") == 2L).get
+    val fFil = out.find(_.getAs[String]("token") == "filter").get
+    assert(fFil.getAs[Double]("score") > fJoin.getAs[Double]("score"))
+  }
+
+  test("normalize strips case/punctuation, collapses whitespace, drops stopwords") {
+    val dir = fixtureDir("documents" -> Seq(
+      doc(1, "Make it, JOIN fast"),
+      doc(2, "clean text stays")).toDF)
+    val out = Text.normalize(spark, dir).collect()
+    assert(out(0).getAs[String]("norm_text") == "make it fast")
+    assert(out(0).getAs[Long]("n_tok_raw") == 4L && out(0).getAs[Long]("n_tok_norm") == 3L)
+    assert(out(0).getAs[Boolean]("changed"))
+    assert(out(1).getAs[String]("norm_text") == "clean text stays")
+    assert(!out(1).getAs[Boolean]("changed"))
+  }
 }
