@@ -158,13 +158,13 @@ object Dedup {
     * never collide directly). Each iteration is two shuffles (edge join +
     * per-node min) with the lineage cut by localCheckpoint — the MLlib
     * iteration pattern: bounded driver loop, converged when no label
-    * changes, never a driver-side collect of graph data. Rounds needed =
-    * component diameter; LSH components are shallow (band signatures are
-    * transitive-ish), and at extreme scale the standard fix is
-    * large-star/small-star (O(log n) rounds) — documented, not needed at
-    * any tested SF (≤4 rounds observed). Output: every doc that appears
-    * in a candidate pair, its component root (min doc_id), and the
-    * component size. */
+    * changes, never a driver-side collect of graph data. Each round
+    * combines neighbor propagation with a pointer jump (adopt the label
+    * of your label's node), so rounds grow with log(diameter), not
+    * diameter — the compounding idea behind large-star/small-star;
+    * measured 9 → 4 rounds at sf0.1 for the identical fixpoint. Output:
+    * every doc that appears in a candidate pair, its component root
+    * (min doc_id), and the component size. */
   def ccGroups(spark: SparkSession, dir: String): DataFrame = {
     val base = table(spark, dir, "documents").select(
       col("doc_id"), col("source"),
@@ -180,10 +180,22 @@ object Dedup {
     while (changed > 0 && rounds < 25) {
       val nbrMin = edges.join(lbl, edges("src") === lbl("doc_id"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nbl"))
-      val next = lbl.join(nbrMin, lbl("doc_id") === nbrMin("dst"), "left")
+      // checkpointed so the self-join below doesn't recompute the edge join
+      val half = lbl.join(nbrMin, lbl("doc_id") === nbrMin("dst"), "left")
         .select(lbl("doc_id"),
-          least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"),
-          (col("nbl") < col("lbl")).as("chg"))
+          col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("m"))
+        .localCheckpoint()
+      // Pointer jump: also adopt the label OF my label's node (labels are
+      // always node ids, so m is a valid lookup key). Plain neighbor
+      // propagation needs diameter rounds — measured 9 at sf0.1 on the
+      // dense LSH clusters; the jump compounds hops and converges in
+      // O(log d) (4 rounds on the same graph for the same fixpoint).
+      val par = half.select(col("doc_id").as("p_id"), col("m").as("p_m"))
+      val next = half.join(par, half("m") === par("p_id"), "left")
+        .select(half("doc_id"),
+          least(col("m"), coalesce(col("p_m"), col("m"))).as("lbl"),
+          (least(col("m"), coalesce(col("p_m"), col("m"))) < col("old")).as("chg"))
         .localCheckpoint()
       changed = next.filter(col("chg")).count()
       lbl = next.select("doc_id", "lbl")
@@ -194,6 +206,30 @@ object Dedup {
       .join(sz, "root")
       .select(col("doc_id"), col("root"), col("n_members"))
       .orderBy("doc_id")
+  }
+
+  /** Fuzzy-match verification over the LSH candidate pairs: Levenshtein
+    * distance on the raw pair texts plus a length-normalized similarity —
+    * the character-level check that catches small in-place edits token-set
+    * Jaccard is blind to. Edit distance is integer-exact, so cross-engine
+    * parity is unconditional; the similarity is one exact int/int division
+    * (deterministic IEEE, no rounding needed). Cost is O(len²) per PAIR
+    * but bounded by the candidate count, never the corpus — the LSH
+    * filter already did the quadratic-avoidance part, which is exactly
+    * why edit distance must run post-LSH and never as a pair generator. */
+  def editDistance(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    val base = d.select(col("doc_id"), col("source"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+    val txt = d.select(col("doc_id"), col("text"))
+    candidatePairs(base, "s")
+      .join(txt.select(col("doc_id").as("d1"), col("text").as("x1")), "d1")
+      .join(txt.select(col("doc_id").as("d2"), col("text").as("x2")), "d2")
+      .select(col("source"), col("d1"), col("d2"),
+        levenshtein(col("x1"), col("x2")).cast("long").as("lev"),
+        (lit(1.0) - levenshtein(col("x1"), col("x2")).cast("double")
+          / greatest(length(col("x1")), length(col("x2"))).cast("double")).as("sim"))
+      .orderBy("source", "d1", "d2")
   }
 
   /** SimHash(16): per token, bit j is the high bit of hex digit j of
@@ -220,7 +256,8 @@ object Dedup {
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_minhash_shingle" -> (minhashShingle _),
     "dedup_simhash" -> (simhash _),
-    "dedup_cc_groups" -> (ccGroups _))
+    "dedup_cc_groups" -> (ccGroups _),
+    "dedup_edit_distance" -> (editDistance _))
 
   private def minsSql(prefix: String) =
     (0 until K).map(i =>
@@ -298,6 +335,28 @@ object Dedup {
          SELECT source, count(*) AS n_candidates,
            CAST(sum(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified
          FROM j GROUP BY source ORDER BY source""",
+    "dedup_edit_distance" ->
+      s"""WITH tok AS (
+           SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS token
+           FROM documents),
+         sig AS (
+           SELECT doc_id, source,
+             $minhashMinsSql
+           FROM tok GROUP BY doc_id, source),
+         band AS (
+           $bandSelectsSql),
+         cand AS (
+           SELECT DISTINCT a.source, a.doc_id AS d1, b.doc_id AS d2
+           FROM band a JOIN band b
+             ON a.source = b.source AND a.band = b.band AND a.bsig = b.bsig
+               AND a.doc_id < b.doc_id)
+         SELECT c.source, c.d1, c.d2,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+           1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+             / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE) AS sim
+         FROM cand c JOIN documents a ON a.doc_id = c.d1
+                     JOIN documents b ON b.doc_id = c.d2
+         ORDER BY c.source, c.d1, c.d2""",
     // The oracle's transitive closure (recursive CTE) is exact regardless
     // of round count, so it gates that the Spark loop truly reached the
     // fixpoint — not just "ran some iterations".

@@ -548,7 +548,41 @@ object Relational {
       .orderBy("k")
   }
 
+  /** Ordered funnel over the event stream — view → click → purchase per
+    * user, each step's timestamp the EARLIEST occurrence strictly after
+    * the previous step (sequence analytics, not just per-type counts: the
+    * order constraint is what FILTER-clause aggregates can't express).
+    * Three filtered passes, each aggregated per user BEFORE its join, and
+    * every join key is user_id — co-partitioned end to end, so at scale
+    * the exchanges reuse one hash partitioning. A user with no 'view'
+    * never enters the funnel; later steps left-join so depth counts
+    * partial funnels. */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events").select(
+      col("user_id"), col("event_type"), col("ts"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        tsS(col("t1")).as("t1_s"),
+        tsS(col("t2")).as("t2_s"),
+        tsS(col("t3")).as("t3_s"),
+        (lit(1)
+          + when(col("t2").isNotNull, 1).otherwise(0)
+          + when(col("t3").isNotNull, 1).otherwise(0)).cast("long").as("depth"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel" -> (eventsFunnel _),
     "scan_project_filter" -> (scanProjectFilter _),
     "join_inner_hash" -> (joinInnerHash _),
     "join_broadcast_dim" -> (joinBroadcastDim _),
@@ -585,6 +619,25 @@ object Relational {
     "set_union_except" -> (setUnionExcept _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type, ts FROM ${evSql()}),
+         s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e
+                JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e
+                JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+         SELECT s1.user_id,
+           strftime(s1.t1, '%Y-%m-%d %H:%M:%S.%f') AS t1_s,
+           strftime(s2.t2, '%Y-%m-%d %H:%M:%S.%f') AS t2_s,
+           strftime(s3.t3, '%Y-%m-%d %H:%M:%S.%f') AS t3_s,
+           CAST(1 + (CASE WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS depth
+         FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+                 LEFT JOIN s3 ON s1.user_id = s3.user_id
+         ORDER BY s1.user_id""",
     "scan_project_filter" ->
       """SELECT l_orderkey, l_linenumber,
          strftime(l_shipdate, '%Y-%m-%d') AS ship_date,

@@ -112,4 +112,28 @@ class RelationalEdgeSpec extends AnyFunSuite with SparkFixture {
     val n = Relational.aggApproxDistinct(spark, dir).collect()(0).getAs[Long]("approx_users")
     assert(n == 7L)
   }
+
+  test("funnel: steps count only when strictly after the previous step") {
+    def e(id: Long, t: String, uid: Long, typ: String) =
+      EventRow(id, ts(t), uid, typ, 1.0, "{}")
+    val dir = fixtureDir("events" -> events(
+      // user 1 completes the funnel in order
+      e(1, "2024-01-01 10:00:00", 1, "view"),
+      e(2, "2024-01-01 11:00:00", 1, "click"),
+      e(3, "2024-01-01 12:00:00", 1, "purchase"),
+      // user 2's click PRECEDES the first view: no step 2, and the later
+      // purchase can't attach either (its gate is t2)
+      e(4, "2024-01-01 09:00:00", 2, "click"),
+      e(5, "2024-01-01 10:00:00", 2, "view"),
+      e(6, "2024-01-01 11:00:00", 2, "purchase"),
+      // user 3 never views: not in the funnel at all
+      e(7, "2024-01-01 10:00:00", 3, "purchase")))
+    val out = Relational.eventsFunnel(spark, dir).collect()
+    val depth = out.map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("depth")).toMap
+    assert(depth == Map(1L -> 3L, 2L -> 1L))
+    val u1 = out.find(_.getAs[Long]("user_id") == 1L).get
+    assert(u1.getAs[String]("t3_s").startsWith("2024-01-01 12:00:00"))
+    val u2 = out.find(_.getAs[Long]("user_id") == 2L).get
+    assert(u2.getAs[String]("t2_s") == null && u2.getAs[String]("t3_s") == null)
+  }
 }

@@ -124,6 +124,18 @@ class TextDedupSpec extends AnyFunSuite with SparkFixture {
     assert(!byDoc.contains(11L)) // no candidate pair -> not in the graph
   }
 
+  test("edit distance: zero for identical candidate texts, sim in [0,1]") {
+    val dir = fixtureDir("documents" -> Seq(
+      doc(1, "a b c d e f"), doc(2, "a b c d e f"), doc(3, "a b c d e g")).toDF)
+    val out = Dedup.editDistance(spark, dir).collect()
+    assert(out.nonEmpty)
+    val p12 = out.find(r => r.getAs[Long]("d1") == 1L && r.getAs[Long]("d2") == 2L).get
+    assert(p12.getAs[Long]("lev") == 0L && p12.getAs[Double]("sim") == 1.0)
+    out.foreach { r =>
+      val s = r.getAs[Double]("sim"); assert(s >= 0.0 && s <= 1.0)
+    }
+  }
+
   test("bm25: higher tf wins within a term; rarer term carries higher idf") {
     val dir = fixtureDir("documents" -> Seq(
       doc(1, "join join join a b"),
