@@ -216,13 +216,25 @@ object Dedup {
     * (deterministic IEEE, no rounding needed). Cost is O(len²) per PAIR
     * but bounded by the candidate count, never the corpus — the LSH
     * filter already did the quadratic-avoidance part, which is exactly
-    * why edit distance must run post-LSH and never as a pair generator. */
+    * why edit distance must run post-LSH and never as a pair generator.
+    * Even post-LSH the pair count is corpus-dependent (251k candidates at
+    * sf0.1 on this self-similar fixture — levenshtein on all of them took
+    * the whole verify run from ~2 to ~11 minutes), so verification is
+    * BUDGETED: a deterministic [[LevBudgetPerSource]]-pair cap per source
+    * block, the same bounded-verification discipline production fuzzy
+    * matchers use. The cap is inactive at sf0.01 (≈126 pairs/source) and
+    * binding at sf0.1; the oracle applies the identical cap. */
   def editDistance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val d = table(spark, dir, "documents")
     val base = d.select(col("doc_id"), col("source"),
       array_distinct(split(col("text"), " ")).as("toks"))
     val txt = d.select(col("doc_id"), col("text"))
+    val w = Window.partitionBy("source").orderBy("d1", "d2")
     candidatePairs(base, "s")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= LevBudgetPerSource)
+      .drop("rn")
       .join(txt.select(col("doc_id").as("d1"), col("text").as("x1")), "d1")
       .join(txt.select(col("doc_id").as("d2"), col("text").as("x2")), "d2")
       .select(col("source"), col("d1"), col("d2"),
@@ -231,6 +243,8 @@ object Dedup {
           / greatest(length(col("x1")), length(col("x2"))).cast("double")).as("sim"))
       .orderBy("source", "d1", "d2")
   }
+
+  private[ops] val LevBudgetPerSource = 200
 
   /** SimHash(16): per token, bit j is the high bit of hex digit j of
     * md5(token); per doc, bit j of the signature is the sign of the
@@ -349,13 +363,19 @@ object Dedup {
            SELECT DISTINCT a.source, a.doc_id AS d1, b.doc_id AS d2
            FROM band a JOIN band b
              ON a.source = b.source AND a.band = b.band AND a.bsig = b.bsig
-               AND a.doc_id < b.doc_id)
+               AND a.doc_id < b.doc_id),
+         capped AS (
+           SELECT source, d1, d2 FROM (
+             SELECT source, d1, d2,
+               row_number() OVER (PARTITION BY source ORDER BY d1, d2) AS rn
+             FROM cand)
+           WHERE rn <= 200)
          SELECT c.source, c.d1, c.d2,
            CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
            1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
              / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE) AS sim
-         FROM cand c JOIN documents a ON a.doc_id = c.d1
-                     JOIN documents b ON b.doc_id = c.d2
+         FROM capped c JOIN documents a ON a.doc_id = c.d1
+                       JOIN documents b ON b.doc_id = c.d2
          ORDER BY c.source, c.d1, c.d2""",
     // The oracle's transitive closure (recursive CTE) is exact regardless
     // of round count, so it gates that the Spark loop truly reached the

@@ -271,6 +271,25 @@ object Relational {
         col("gid"), col("n"), col("sum_price"))
       .orderBy("gid", "status", "priority")
 
+  /** CUBE — all 2^k grouping combinations in one pass (the other half of
+    * the GROUPING-SETS family next to [[aggRollup]] and the SQL-text
+    * GROUPING SETS query). Same Expand-based plan: k grouping columns
+    * multiply the input 2^k-fold BEFORE the hash agg, which is the real
+    * 100 TB consideration — cube on high-cardinality keys is an input
+    * amplifier, so keep k small and the dimensions low-cardinality. */
+  def aggCube(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        dsumR(col("o_totalprice"), Money).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("n"), col("sum_price"))
+      .orderBy("gid", "status", "priority")
+
   /** HLL sketch distinct — approximate, so no SQL oracle (driver records a
     * rows-only check); exactness bounds are asserted in unit tests. */
   def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
@@ -581,8 +600,42 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Time-series resample + forward fill: a daily grid per user (gap
+    * filling via `sequence` + explode — rows that never existed) with the
+    * last-seen event value carried forward (`last(..., ignoreNulls)` over
+    * grid∪events, events sorting before grid points at equal instants).
+    * Grid rows per user = span/step — bounded by the CHOSEN resolution,
+    * not the event volume, which is what makes resampling safe at 100 TB;
+    * the window is per-user partitioned. Events are pre-aggregated per
+    * (user, instant) with an event_id argmax so simultaneous events can't
+    * make the fill nondeterministic. */
+  def eventsResampleFfill(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("value"))
+    val grid = e.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+      .select(col("user_id"),
+        explode(sequence(date_trunc("day", col("t0")), date_trunc("day", col("t1")),
+          expr("interval 1 day"))).as("t"))
+    val unioned = e.select(col("user_id"), col("ts").as("t"),
+        lit(0).as("mk"), col("value"))
+      .unionByName(grid.select(col("user_id"), col("t"),
+        lit(1).as("mk"), lit(null).cast("double").as("value")))
+    val w = Window.partitionBy("user_id").orderBy(col("t"), col("mk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("v", last(col("value"), ignoreNulls = true).over(w))
+      .withColumn("n_seen", count(col("value")).over(w))
+      .filter(col("mk") === 1)
+      .select(col("user_id"), dateS(col("t")).as("grid_date"), col("v"), col("n_seen"))
+      .orderBy("user_id", "grid_date")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_funnel" -> (eventsFunnel _),
+    "events_resample_ffill" -> (eventsResampleFfill _),
+    "agg_cube" -> (aggCube _),
     "scan_project_filter" -> (scanProjectFilter _),
     "join_inner_hash" -> (joinInnerHash _),
     "join_broadcast_dim" -> (joinBroadcastDim _),
@@ -754,6 +807,35 @@ object Relational {
          round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 4) AS sum_price
          FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
          ORDER BY gid, status, priority""",
+    "agg_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         coalesce(o_orderpriority, 'ALL') AS priority,
+         CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+         count(*) AS n,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 4) AS sum_price
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY gid, status, priority""",
+    "events_resample_ffill" ->
+      s"""WITH e AS (
+           SELECT user_id, ts, arg_max(value, event_id) AS value
+           FROM ${evSql()} GROUP BY user_id, ts),
+         b AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1
+               FROM e GROUP BY user_id),
+         g AS (SELECT user_id,
+                 unnest(generate_series(date_trunc('day', t0), date_trunc('day', t1),
+                   INTERVAL 1 DAY)) AS t
+               FROM b),
+         u AS (SELECT user_id, ts AS t, 0 AS mk, value FROM e
+               UNION ALL SELECT user_id, t, 1, NULL FROM g),
+         f AS (SELECT user_id, t, mk,
+             last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, mk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+             count(value) OVER (PARTITION BY user_id ORDER BY t, mk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_seen
+           FROM u)
+         SELECT user_id, strftime(t, '%Y-%m-%d') AS grid_date, v,
+           CAST(n_seen AS BIGINT) AS n_seen
+         FROM f WHERE mk = 1 ORDER BY user_id, grid_date""",
     "agg_filtered_bool" ->
       """SELECT o_orderstatus,
          count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,

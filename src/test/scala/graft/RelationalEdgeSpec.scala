@@ -113,6 +113,26 @@ class RelationalEdgeSpec extends AnyFunSuite with SparkFixture {
     assert(n == 7L)
   }
 
+  test("resample ffill: grid carries last value forward, leading grid is null") {
+    def e(id: Long, t: String, uid: Long, v: Double) =
+      EventRow(id, ts(t), uid, "click", v, "{}")
+    val dir = fixtureDir("events" -> events(
+      e(1, "2024-01-01 00:00:00", 1, 5.0),
+      e(2, "2024-01-03 00:00:00", 1, 7.0),
+      e(3, "2024-01-02 13:00:00", 2, 9.0)))
+    val out = Relational.eventsResampleFfill(spark, dir).collect()
+    val u1 = out.filter(_.getAs[Long]("user_id") == 1L)
+      .map(r => (r.getAs[String]("grid_date"), r.getAs[java.lang.Double]("v"), r.getAs[Long]("n_seen")))
+    assert(u1.toSeq == Seq(
+      ("2024-01-01", 5.0: java.lang.Double, 1L),
+      ("2024-01-02", 5.0: java.lang.Double, 1L),
+      ("2024-01-03", 7.0: java.lang.Double, 2L)))
+    // user 2's only grid point (day start) precedes the event: null fill
+    val u2 = out.filter(_.getAs[Long]("user_id") == 2L)
+    assert(u2.length == 1 && u2(0).getAs[java.lang.Double]("v") == null
+      && u2(0).getAs[Long]("n_seen") == 0L)
+  }
+
   test("funnel: steps count only when strictly after the previous step") {
     def e(id: Long, t: String, uid: Long, typ: String) =
       EventRow(id, ts(t), uid, typ, 1.0, "{}")
