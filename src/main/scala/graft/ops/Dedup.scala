@@ -173,8 +173,13 @@ object Dedup {
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .localCheckpoint()   // evaluated once; every iteration re-joins it
-    var lbl = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("lbl", col("doc_id")).localCheckpoint()
+    // Init already carries the first propagation round: label = min(self,
+    // direct neighbors) straight off the edge aggregate — same price as a
+    // plain distinct-nodes init, one fewer loop round.
+    var lbl = edges.groupBy(col("dst"))
+      .agg(min(col("src")).as("nb"))
+      .select(col("dst").as("doc_id"), least(col("dst"), col("nb")).as("lbl"))
+      .localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 25) {
