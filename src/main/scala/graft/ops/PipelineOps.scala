@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import Util._
 
 /** The reference pipeline's dataflow semantics re-expressed as declarative
@@ -137,9 +138,50 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** Column profiling — the data-quality pass a pipeline runs before
+    * trusting a new snapshot: per column, row/null/distinct counts and
+    * min/max. ONE scan: the multi-column distinct counts plan through
+    * Expand (input ×k before the agg — the documented cost of k exact
+    * distincts; at 100 TB swap in approx_count_distinct per column to
+    * make this a plain single-pass partial agg), then the single stats
+    * row explodes into one row per column. min/max stringify through
+    * DECIMAL for the money column so both engines format identically
+    * (raw DOUBLE→VARCHAR differs between engines). */
+  def profileColumns(spark: SparkSession, dir: String): DataFrame = {
+    def decS(c: Column) = c.cast(DecimalType(14, 2)).cast("string")
+    val a = table(spark, dir, "orders").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("null_st"),
+      countDistinct(col("o_orderstatus")).as("nd_st"),
+      min(col("o_orderstatus")).as("min_st"),
+      max(col("o_orderstatus")).as("max_st"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_ck"),
+      countDistinct(col("o_custkey")).as("nd_ck"),
+      min(col("o_custkey")).cast("string").as("min_ck"),
+      max(col("o_custkey")).cast("string").as("max_ck"),
+      sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("null_tp"),
+      countDistinct(col("o_totalprice")).as("nd_tp"),
+      decS(min(col("o_totalprice"))).as("min_tp"),
+      decS(max(col("o_totalprice"))).as("max_tp"))
+    a.select(explode(array(
+        struct(lit("o_custkey").as("col_name"), col("n"),
+          col("null_ck").as("n_null"), col("nd_ck").as("n_distinct"),
+          col("min_ck").as("min_s"), col("max_ck").as("max_s")),
+        struct(lit("o_orderstatus").as("col_name"), col("n"),
+          col("null_st").as("n_null"), col("nd_st").as("n_distinct"),
+          col("min_st").as("min_s"), col("max_st").as("max_s")),
+        struct(lit("o_totalprice").as("col_name"), col("n"),
+          col("null_tp").as("n_null"), col("nd_tp").as("n_distinct"),
+          col("min_tp").as("min_s"), col("max_tp").as("max_s")))).as("p"))
+      .select(col("p.col_name"), col("p.n"), col("p.n_null"),
+        col("p.n_distinct"), col("p.min_s"), col("p.max_s"))
+      .orderBy("col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_sample_hash" -> (sampleHash _),
     "pipe_sample_stratified" -> (sampleStratified _),
+    "pipe_profile_columns" -> (profileColumns _),
     "pipe_latest_snapshot" -> (latestSnapshot _),
     "pipe_filter_contains" -> (filterContains _),
     "pipe_parse_project" -> (parseProject _),
@@ -153,6 +195,27 @@ object PipelineOps {
          FROM events
          WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
          GROUP BY event_type ORDER BY event_type""",
+    "pipe_profile_columns" ->
+      """SELECT 'o_custkey' AS col_name, count(*) AS n,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           count(DISTINCT o_custkey) AS n_distinct,
+           CAST(min(o_custkey) AS VARCHAR) AS min_s,
+           CAST(max(o_custkey) AS VARCHAR) AS max_s
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderstatus', count(*),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus)
+         FROM orders
+         UNION ALL
+         SELECT 'o_totalprice', count(*),
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_totalprice),
+           CAST(CAST(min(o_totalprice) AS DECIMAL(14,2)) AS VARCHAR),
+           CAST(CAST(max(o_totalprice) AS DECIMAL(14,2)) AS VARCHAR)
+         FROM orders
+         ORDER BY col_name""",
     "pipe_sample_stratified" ->
       """WITH d AS (
            SELECT source, doc_id,
