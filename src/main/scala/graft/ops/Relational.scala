@@ -632,7 +632,63 @@ object Relational {
       .orderBy("user_id", "grid_date")
   }
 
+  /** Cohort retention matrix — the standard product-analytics rollup:
+    * users are cohorted by first-seen day, then counted per (cohort,
+    * day-offset). Two hash aggregations and one equi join, all keyed on
+    * user_id / (user_id, day) — no window, no per-user state, so the
+    * whole thing is shuffle-parallel at any user count; the output is
+    * bounded by cohorts × horizon regardless of event volume. */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val active = ev.distinct()
+    val cohort = active.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    active.join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day").cast("date"), col("cohort_day").cast("date"))
+          .cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(dateS(col("cohort_day")).as("cohort_date"), col("day_offset"),
+        col("n_users"))
+      .orderBy("cohort_date", "day_offset")
+  }
+
+  /** Correlation / covariance / regression slope per group, computed from
+    * EXACT decimal power sums (n, Σx, Σy, Σxy, Σx², Σy² — the inputs are
+    * 2-decimal, so every product is an exact 4-decimal value and the sums
+    * are order-independent), with the closed-form formulas evaluated in
+    * double at the end. Built-in `corr()` accumulates doubles in shuffle
+    * order — nondeterministic across engines AND across retries; this
+    * spelling is one hash agg with the same cost and a deterministic
+    * answer, which is how a 100 TB engine should do second-moment stats. */
+  def aggCorrRegression(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast(Qty)
+    val y = col("l_extendedprice").cast(Money)
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("double").as("nd"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"))
+      .select(
+        col("l_returnflag"), col("nd").cast("long").as("n"),
+        r4((col("nd") * col("sxy") - col("sx") * col("sy"))
+          / (sqrt(col("nd") * col("sxx") - col("sx") * col("sx"))
+            * sqrt(col("nd") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_qty_price"),
+        r4((col("sxy") - col("sx") * col("sy") / col("nd")) / col("nd"))
+          .as("covar_pop"),
+        r4((col("nd") * col("sxy") - col("sx") * col("sy"))
+          / (col("nd") * col("sxx") - col("sx") * col("sx")))
+          .as("regr_slope"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_retention" -> (eventsRetention _),
+    "agg_corr_regression" -> (aggCorrRegression _),
     "events_funnel" -> (eventsFunnel _),
     "events_resample_ffill" -> (eventsResampleFfill _),
     "agg_cube" -> (aggCube _),
@@ -672,6 +728,32 @@ object Relational {
     "set_union_except" -> (setUnionExcept _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_retention" ->
+      s"""WITH active AS (
+           SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM ${evSql()}),
+         cohort AS (
+           SELECT user_id, min(day) AS cohort_day FROM active GROUP BY user_id)
+         SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_date,
+           CAST(datediff('day', CAST(c.cohort_day AS DATE), CAST(a.day AS DATE)) AS BIGINT) AS day_offset,
+           count(*) AS n_users
+         FROM active a JOIN cohort c ON a.user_id = c.user_id
+         GROUP BY 1, 2
+         ORDER BY cohort_date, day_offset""",
+    "agg_corr_regression" ->
+      s"""WITH s AS (
+           SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS nd,
+             CAST(sum(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(10,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(10,2)) * CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS syy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, CAST(nd AS BIGINT) AS n,
+           ${r4Sql("(nd*sxy - sx*sy) / (sqrt(nd*sxx - sx*sx) * sqrt(nd*syy - sy*sy))")} AS corr_qty_price,
+           ${r4Sql("(sxy - sx*sy/nd) / nd")} AS covar_pop,
+           ${r4Sql("(nd*sxy - sx*sy) / (nd*sxx - sx*sx)")} AS regr_slope
+         FROM s ORDER BY l_returnflag""",
     "events_funnel" ->
       s"""WITH e AS (SELECT user_id, event_type, ts FROM ${evSql()}),
          s1 AS (SELECT user_id, min(ts) AS t1 FROM e

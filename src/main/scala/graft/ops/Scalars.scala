@@ -187,7 +187,32 @@ object Scalars {
         bit_count(col("o_orderkey")).cast("long").as("k_bits"))
       .orderBy("o_orderkey")
 
+  /** Array-manipulation family beyond the HOF stats of
+    * [[arrayEmbeddingStats]]: min/max, full sort + positional access,
+    * slice, reverse, predicate filter/count. All per-row codegen'd
+    * builtins — zero shuffle, no explode (the row count never blows up,
+    * which is the point at 100 TB: array ops stay O(row · dim), not
+    * O(row × dim) rows). Floats cast to double before any compare/sum so
+    * both engines order and accumulate identical doubles; slice sum uses
+    * the same sequential-fold spelling [[arrayEmbeddingStats]]'s l2_norm
+    * already proved cross-engine. */
+  def arrayOps(spark: SparkSession, dir: String): DataFrame = {
+    val asD = transform(col("embedding"), x => x.cast("double"))
+    table(spark, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        r4(array_min(asD)).as("arr_min"),
+        r4(array_max(asD)).as("arr_max"),
+        r4(element_at(array_sort(asD), 32)).as("sorted_32"),
+        size(filter(asD, x => x > 0)).cast("long").as("n_pos"),
+        r4(aggregate(slice(asD, 1, 8), lit(0.0), (acc, x) => acc + x))
+          .as("head8_sum"),
+        r4(element_at(reverse(asD), 1)).as("last_val"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_array_ops" -> (arrayOps _),
     "scalar_bitwise" -> (bitwiseOps _),
     "scalar_try_safe" -> (trySafe _),
     "scalar_regexp_family" -> (regexpFamily _),
@@ -200,6 +225,15 @@ object Scalars {
     "array_embedding_stats" -> (arrayEmbeddingStats _))
 
   val oracleSql: Map[String, String] = Map(
+    "scalar_array_ops" ->
+      """SELECT vec_id,
+         floor((list_min(list_transform(embedding, x -> CAST(x AS DOUBLE)))) * 10000.0 + 0.5) / 10000.0 AS arr_min,
+         floor((list_max(list_transform(embedding, x -> CAST(x AS DOUBLE)))) * 10000.0 + 0.5) / 10000.0 AS arr_max,
+         floor((list_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)))[32]) * 10000.0 + 0.5) / 10000.0 AS sorted_32,
+         CAST(len(list_filter(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x > 0)) AS BIGINT) AS n_pos,
+         floor((list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)))) * 10000.0 + 0.5) / 10000.0 AS head8_sum,
+         floor((list_reverse(list_transform(embedding, x -> CAST(x AS DOUBLE)))[1]) * 10000.0 + 0.5) / 10000.0 AS last_val
+         FROM embeddings ORDER BY vec_id""",
     "scalar_bitwise" ->
       """SELECT o_orderkey,
          o_orderkey & 255 AS k_and,

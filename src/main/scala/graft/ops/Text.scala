@@ -474,7 +474,38 @@ object Text {
       .orderBy("source")
   }
 
+  /** Unigram language-model scoring — the classic perplexity-style quality
+    * filter for training corpora: score every document by the mean log
+    * probability of its tokens under the corpus's own unigram model. Shape
+    * at scale: one token hash agg builds the model (vocab-sized, shuffled
+    * — never collected), the corpus total rides in as a one-row broadcast,
+    * and documents join the model on token at (doc, distinct-token)
+    * granularity — tf is aggregated per doc BEFORE the join so the join
+    * input is bounded by distinct pairs, not token occurrences. Per-token
+    * log-probs are r6-quantized to exact decimals before the per-doc sum,
+    * making the mean order-independent (raw libm doubles summed in shuffle
+    * order would differ between engines AND between retries). */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val model = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = model.agg(sum(col("cnt")).as("tot"))
+    val lp = r6(log(col("cnt").cast("double") / col("tot").cast("double")))
+      .cast(DecimalType(16, 6))
+    tf.join(model, "token")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("tf")).as("n_tok"),
+        r4(sum(lp * col("tf")).cast("double")
+          / sum(col("tf")).cast("double")).as("avg_logprob"),
+        r4(min(lp).cast("double")).as("rarest_logprob"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_unigram_logprob" -> (unigramLogprob _),
     "text_token_topk" -> (tokenTopk _),
     "text_lang_stats" -> (langStats _),
     "text_langid" -> (langId _),
@@ -493,6 +524,21 @@ object Text {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _))
 
   val oracleSql: Map[String, String] = Map(
+    "text_unigram_logprob" ->
+      s"""WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+         model AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM model),
+         j AS (
+           SELECT tf.doc_id, tf.tf,
+             CAST(${r6Sql("ln(CAST(model.cnt AS DOUBLE) / CAST(tot.tot AS DOUBLE))")} AS DECIMAL(16,6)) AS lp
+           FROM tf JOIN model ON tf.token = model.token, tot)
+         SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tok,
+           ${r4Sql("CAST(sum(lp * tf) AS DOUBLE) / CAST(sum(tf) AS DOUBLE)")} AS avg_logprob,
+           ${r4Sql("CAST(min(lp) AS DOUBLE)")} AS rarest_logprob
+         FROM j GROUP BY doc_id ORDER BY doc_id""",
     "text_token_topk" ->
       """SELECT token, count(*) AS n
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

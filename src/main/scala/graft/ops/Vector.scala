@@ -350,7 +350,31 @@ object Vector {
       .orderBy("doc_id")
   }
 
+  /** Threshold range search — the fixed-radius companion of
+    * [[simsearchTopk]]: every corpus vector whose cosine with a probe
+    * meets the threshold, not a fixed k. Same scale shape as top-k
+    * (probes broadcast, corpus streams map-side, zero corpus shuffle)
+    * but with no per-probe window at all — the filter IS the operator,
+    * so the plan is one codegen'd map+filter. The threshold applies to
+    * the r4-ROUNDED cosine so both engines cut on the identical value
+    * (a raw-double cut can land on opposite sides of the boundary). */
+  def simsearchRange(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+      .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
+    val probes = e.orderBy("vec_id").limit(5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nrm").as("p_nrm"))
+    e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", r4(
+        cosinePre(col("embedding"), col("p_emb"), col("nrm"), col("p_nrm"))))
+      .filter(col("cos") >= 0.3)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("probe_id"), desc("cos"), col("neighbor_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "simsearch_range" -> (simsearchRange _),
     "embedding_quantize" -> (embeddingQuantize _),
     "simsearch_topk" -> (simsearchTopk _),
     "simsearch_lsh" -> (simsearchLsh _),
@@ -361,6 +385,15 @@ object Vector {
     "multimodal_binary_meta" -> (multimodalBinaryMeta _))
 
   val oracleSql: Map[String, String] = Map(
+    "simsearch_range" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
+             FROM embeddings ORDER BY vec_id LIMIT 5),
+         s AS (SELECT p.probe_id, c.vec_id AS neighbor_id,
+             ${r4Sql(cosSql("c.embedding", "p.pe"))} AS cos
+           FROM embeddings c, p WHERE c.vec_id != p.probe_id)
+         SELECT probe_id, neighbor_id, cos
+         FROM s WHERE cos >= 0.3
+         ORDER BY probe_id, cos DESC, neighbor_id""",
     "embedding_quantize" ->
       """WITH d AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd

@@ -156,4 +156,39 @@ class RelationalEdgeSpec extends AnyFunSuite with SparkFixture {
     val u2 = out.find(_.getAs[Long]("user_id") == 2L).get
     assert(u2.getAs[String]("t2_s") == null && u2.getAs[String]("t3_s") == null)
   }
+
+  test("retention cohorts users by first day and counts at each offset") {
+    def e(id: Long, t: String, uid: Long) =
+      EventRow(id, ts(t), uid, "view", 1.0, "{}")
+    val dir = fixtureDir("events" -> events(
+      // user 1: cohort day 1, active days 1 and 3 (two events on day 3
+      // must still count once — activity is distinct per (user, day))
+      e(1, "2024-01-01 10:00:00", 1),
+      e(2, "2024-01-03 09:00:00", 1),
+      e(3, "2024-01-03 15:00:00", 1),
+      // user 2: cohort day 2 only
+      e(4, "2024-01-02 12:00:00", 2)))
+    val out = Relational.eventsRetention(spark, dir).collect()
+      .map(r => (r.getAs[String]("cohort_date"), r.getAs[Long]("day_offset"))
+        -> r.getAs[Long]("n_users")).toMap
+    assert(out == Map(
+      ("2024-01-01", 0L) -> 1L,
+      ("2024-01-01", 2L) -> 1L,
+      ("2024-01-02", 0L) -> 1L))
+  }
+
+  test("corr/slope from exact power sums: perfectly linear data gives 1.0 / 2.0") {
+    // y = 2x exactly: corr must be exactly 1.0 and the slope exactly 2.0 —
+    // the exact-decimal sums make this bit-precise, where a double
+    // accumulator could land at 0.9999999….
+    val rows = (1 to 10).map(i =>
+      LineRow(i.toLong, i.toDouble, 2.0 * i, 0.0, 0.0, "A", "O"))
+    val dir = fixtureDir("lineitem" -> rows.toDF)
+    val r = Relational.aggCorrRegression(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Double]("corr_qty_price") == 1.0)
+    assert(r.getAs[Double]("regr_slope") == 2.0)
+    // covar_pop of x=1..10, y=2x: E[xy]-E[x]E[y] = 2·Var(x) = 2·8.25 = 16.5
+    assert(r.getAs[Double]("covar_pop") == 16.5)
+  }
 }

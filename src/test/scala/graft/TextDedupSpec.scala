@@ -162,4 +162,26 @@ class TextDedupSpec extends AnyFunSuite with SparkFixture {
     assert(out(1).getAs[String]("norm_text") == "clean text stays")
     assert(!out(1).getAs[Boolean]("changed"))
   }
+
+  test("unigram logprob: uniform model scores every token ln(1/2)") {
+    // corpus "a a b" + "b": counts a=2, b=2, total=4 → every token's
+    // log-prob is ln(0.5); both docs average to r4(ln 0.5) = -0.6931.
+    val dir = fixtureDir("documents" -> Seq(
+      doc(1, "a a b"), doc(2, "b")).toDF)
+    val out = Text.unigramLogprob(spark, dir).collect()
+    val byDoc = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_tok"), r.getAs[Double]("avg_logprob"))).toMap
+    assert(byDoc == Map(1L -> ((3L, -0.6931)), 2L -> ((1L, -0.6931))))
+    assert(out.forall(_.getAs[Double]("rarest_logprob") == -0.6931))
+  }
+
+  test("unigram logprob: rarer tokens score lower than common ones") {
+    // "x" appears once in 8 tokens, "c" six times: lp(x) < lp(c), so the
+    // doc holding the rare tokens has the lower (more negative) average.
+    val dir = fixtureDir("documents" -> Seq(
+      doc(1, "c c c c c"), doc(2, "c x d")).toDF)
+    val out = Text.unigramLogprob(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_logprob")).toMap
+    assert(out(2L) < out(1L))
+  }
 }

@@ -103,6 +103,22 @@ class VectorSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Double]("rms_err") < 0.005)   // within half a quantization step
   }
 
+  test("range search keeps only pairs at or above the cosine threshold") {
+    def basis(i: Int, scale: Float = 1f): Array[Float] = {
+      val a = Array.fill(8)(0f); a(i) = scale; a
+    }
+    // vecs 1–5 are orthogonal unit basis vectors (all five become probes,
+    // pairwise cosine 0 — below threshold); vec 100 is a scaled copy of
+    // vec 1 (cosine exactly 1.0). Exactly one qualifying pair must remain.
+    val dir = fixtureDir("embeddings" -> (
+      (1 to 5).map(i => emb(i.toLong, basis(i - 1))) :+ emb(100L, basis(0, 2f))).toDF)
+    val out = Vector.simsearchRange(spark, dir).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("probe_id") == 1L)
+    assert(out(0).getAs[Long]("neighbor_id") == 100L)
+    assert(out(0).getAs[Double]("cos") == 1.0)
+  }
+
   test("multimodal binary meta: byte length and md5 match the utf8 payload") {
     val dir = fixtureDir("documents" -> Seq(DocRow(1, "abc", "en", "s0", 3)).toDF)
     val r = Vector.multimodalBinaryMeta(spark, dir).collect()(0)
