@@ -686,7 +686,60 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Mode (most frequent value) per group with a deterministic tie-break
+    * — highest count first, lexicographically smallest value on ties.
+    * Two-level shape: the count agg collapses the input to (group, value)
+    * cardinality BEFORE the ranking window, so the window's input is
+    * bounded by distinct combinations, never by row count — the same
+    * bounded-aggregate-then-window rule PlanSpec enforces engine-wide. */
+  def aggMode(spark: SparkSession, dir: String): DataFrame = {
+    val counts = table(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(desc("n"), col("o_orderpriority"))
+    counts
+      .withColumn("share", r4(col("n").cast("double")
+        / sum(col("n")).over(Window.partitionBy("o_orderstatus")).cast("double")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+        col("n"), col("share"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Per-user z-score anomaly detection over the event stream — the
+    * monitoring-side filter of a data pipeline (flag events far from the
+    * emitter's own baseline). Per-user mean/variance come from EXACT
+    * decimal power sums (same determinism argument as
+    * [[aggCorrRegression]]), events join their user's stats on user_id
+    * (one co-partitioned equi join, no window over raw events), and the
+    * cut applies to the r4-ROUNDED |z| so both engines keep the same
+    * rows. Constant-valued users (σ² = 0) are excluded by an explicit
+    * variance guard — their z is NULL, which fails the |z| predicate in
+    * both engines (and ANSI Spark would otherwise raise on the zero
+    * divisor rather than produce a NaN). */
+  def eventsZscoreOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val stats = e.groupBy("user_id").agg(
+        count(lit(1)).cast("double").as("nd"),
+        sum(col("value").cast(Qty)).cast("double").as("s"),
+        sum(col("value").cast(Qty) * col("value").cast(Qty)).cast("double").as("ss"))
+      .select(col("user_id"), (col("s") / col("nd")).as("mean"),
+        (col("ss") / col("nd") - (col("s") / col("nd")) * (col("s") / col("nd")))
+          .as("vr"))
+    e.join(stats, "user_id")
+      .withColumn("z", when(col("vr") > 0,
+        r4((col("value") - col("mean")) / sqrt(col("vr")))))
+      .filter(abs(col("z")) >= 2.0)
+      .select(col("event_id"), col("user_id"), col("value"), col("z"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mode" -> (aggMode _),
+    "events_zscore_outliers" -> (eventsZscoreOutliers _),
     "events_retention" -> (eventsRetention _),
     "agg_corr_regression" -> (aggCorrRegression _),
     "events_funnel" -> (eventsFunnel _),
@@ -728,6 +781,30 @@ object Relational {
     "set_union_except" -> (setUnionExcept _))
 
   val oracleSql: Map[String, String] = Map(
+    "agg_mode" ->
+      s"""WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+           FROM orders GROUP BY 1, 2)
+         SELECT o_orderstatus, o_orderpriority AS mode_priority, n,
+           ${r4Sql("CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY o_orderstatus) AS DOUBLE)")} AS share
+         FROM c
+         QUALIFY row_number() OVER (PARTITION BY o_orderstatus ORDER BY n DESC, o_orderpriority) = 1
+         ORDER BY o_orderstatus""",
+    "events_zscore_outliers" ->
+      s"""WITH raw AS (
+           SELECT user_id,
+             CAST(count(*) AS DOUBLE) AS nd,
+             CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS s,
+             CAST(sum(CAST(value AS DECIMAL(10,2)) * CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS ss
+           FROM events GROUP BY user_id),
+         stats AS (
+           SELECT user_id, s/nd AS mean, ss/nd - (s/nd)*(s/nd) AS vr FROM raw),
+         z AS (
+           SELECT e.event_id, e.user_id, e.value,
+             CASE WHEN s.vr > 0
+               THEN ${r4Sql("(e.value - s.mean) / sqrt(s.vr)")} END AS z
+           FROM events e JOIN stats s USING (user_id))
+         SELECT event_id, user_id, value, z
+         FROM z WHERE abs(z) >= 2.0 ORDER BY event_id""",
     "events_retention" ->
       s"""WITH active AS (
            SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM ${evSql()}),

@@ -53,6 +53,45 @@ object TableSinks {
       .write.mode("overwrite").parquet(outPath)
   }
 
+  /** Overwrite ONLY the date partitions present in `df`, leaving every
+    * other partition untouched — the incremental-load primitive for a
+    * partitioned fact table: a daily job re-lands its own day (or a
+    * late-data backfill re-lands an old one) without clobbering the rest
+    * of history, and without the read-modify-write cycle a whole-table
+    * overwrite would need at 100 TB. Spark's static overwrite mode (the
+    * default) truncates the ENTIRE root path first; the dynamic mode
+    * scopes the delete to partitions the incoming frame actually writes,
+    * which is what makes the operation idempotent per day — safe to
+    * retry, safe to schedule. The conf is set per-write and restored so
+    * a shared session keeps its global default. */
+  def overwriteDatePartitions(
+      df: DataFrame, tsCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try {
+      df.withColumn("p_date", to_date(col(tsCol)))
+        .repartition(col("p_date"))
+        .write
+        .partitionBy("p_date")
+        .mode("overwrite")
+        .parquet(path)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** Read a parquet directory whose files were written over time with
+    * EVOLVING schemas (columns added later): `mergeSchema` unions the
+    * per-file schemas, older files surface NULL for columns they predate.
+    * Schema drift is the norm in a long-lived 100 TB table — enabling the
+    * merge only here (not globally) keeps the common fast path on the
+    * single-footer read, because merging touches every file's footer. */
+  def readMergedSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Write `df` as a BUCKETED catalog table: rows hash-distributed into
     * `buckets` files by `bucketCol`, each sorted on it. Two tables
     * bucketed the same way on their join key then join with NO exchange

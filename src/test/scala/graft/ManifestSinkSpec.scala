@@ -56,4 +56,38 @@ class ManifestSinkSpec extends AnyFunSuite with SparkFixture {
     assert(dirs.toSeq == Seq("p_date=2024-01-01", "p_date=2024-01-02",
       "p_date=2024-01-03", "p_date=2024-01-04"))
   }
+
+  test("dynamic partition overwrite replaces only the incoming day") {
+    def ev(id: Long, day: Int, v: Double) =
+      EventRow(id, ts(f"2024-01-$day%02d 10:00:00"), 1, "click", v, "{}")
+    val out = Files.createTempDirectory("graft-dyn").toString + "/events"
+    // initial load: days 1, 2, 3
+    TableSinks.overwriteDatePartitions(
+      Seq(ev(1, 1, 1.0), ev(2, 2, 2.0), ev(3, 3, 3.0)).toDF, "ts", out)
+    // backfill re-lands ONLY day 2 with different content
+    TableSinks.overwriteDatePartitions(Seq(ev(20, 2, 20.0)).toDF, "ts", out)
+    val back = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("value")).sorted.toSeq
+    // days 1 and 3 intact, day 2's old row gone, new row present
+    assert(back == Seq(1L -> 1.0, 3L -> 3.0, 20L -> 20.0))
+    // the conf is restored after the write (session default is static)
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .forall(_ != "dynamic"))
+  }
+
+  test("mergeSchema read unions evolved schemas, old files read NULL for new columns") {
+    val base = Files.createTempDirectory("graft-evolve").toString + "/t"
+    // v1 files: (id, a)
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a")
+      .write.mode("append").parquet(base)
+    // schema evolves: later files add column b
+    Seq((3L, "z", 30L)).toDF("id", "a", "b")
+      .write.mode("append").parquet(base)
+    val merged = TableSinks.readMergedSchema(spark, base)
+    assert(merged.columns.sorted.toSeq == Seq("a", "b", "id"))
+    val rows = merged.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("a"),
+        Option(r.getAs[java.lang.Long]("b")))).sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "x", None), (2L, "y", None), (3L, "z", Some(30L))))
+  }
 }

@@ -191,4 +191,33 @@ class RelationalEdgeSpec extends AnyFunSuite with SparkFixture {
     // covar_pop of x=1..10, y=2x: E[xy]-E[x]E[y] = 2·Var(x) = 2·8.25 = 16.5
     assert(r.getAs[Double]("covar_pop") == 16.5)
   }
+
+  test("mode breaks count ties by lexicographically smallest value") {
+    def o(id: Long, status: String, prio: String) =
+      OrderRow(id, 1, status, 1.0, ts("2024-01-01 00:00:00"), prio)
+    val dir = fixtureDir("orders" -> Seq(
+      // status O: 2-HIGH × 2 beats 1-URGENT × 1
+      o(1, "O", "1-URGENT"), o(2, "O", "2-HIGH"), o(3, "O", "2-HIGH"),
+      // status F: tie 1 vs 1 → '1-URGENT' < '5-LOW' wins
+      o(4, "F", "5-LOW"), o(5, "F", "1-URGENT")).toDF)
+    val out = Relational.aggMode(spark, dir).collect()
+      .map(r => r.getAs[String]("o_orderstatus") ->
+        (r.getAs[String]("mode_priority"), r.getAs[Long]("n"))).toMap
+    assert(out == Map("F" -> (("1-URGENT", 1L)), "O" -> (("2-HIGH", 2L))))
+  }
+
+  test("z-score flags the lone outlier; constant-valued users flag nothing") {
+    def e(id: Long, uid: Long, v: Double) =
+      EventRow(id, ts("2024-01-01 10:00:00"), uid, "click", v, "{}")
+    val dir = fixtureDir("events" -> events(
+      // user 1: five zeros and a 12 → z(12) = 10/√20 = √5 ≈ 2.2361
+      e(1, 1, 0.0), e(2, 1, 0.0), e(3, 1, 0.0),
+      e(4, 1, 0.0), e(5, 1, 0.0), e(6, 1, 12.0),
+      // user 2: constant → σ = 0 → NaN z → never flagged
+      e(7, 2, 5.0), e(8, 2, 5.0), e(9, 2, 5.0)))
+    val out = Relational.eventsZscoreOutliers(spark, dir).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("event_id") == 6L)
+    assert(out(0).getAs[Double]("z") == 2.2361)
+  }
 }
