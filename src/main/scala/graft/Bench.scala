@@ -19,7 +19,11 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale would turn the line into invalid JSON.
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // "value" appears BOTH first and (duplicated as "total_sec") last: the
@@ -27,7 +31,7 @@ object Bench {
     // map truncated the leading total away. Key order keeps the headline
     // number in the tail; the full line is also persisted to a file.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","total_sec":$total}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","total_sec":${num(total)}}"""
     try {
       val w = new java.io.PrintWriter("bench_last.json")
       try w.println(line) finally w.close()

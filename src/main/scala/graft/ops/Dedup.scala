@@ -374,7 +374,7 @@ object Dedup {
              SELECT source, d1, d2,
                row_number() OVER (PARTITION BY source ORDER BY d1, d2) AS rn
              FROM cand)
-           WHERE rn <= 200)
+           WHERE rn <= $LevBudgetPerSource)
          SELECT c.source, c.d1, c.d2,
            CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
            1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)

@@ -567,6 +567,65 @@ object Relational {
       .orderBy("k")
   }
 
+  /** UNPIVOT / melt — the inverse reshape of [[aggPivot]]: a wide
+    * per-priority status-count frame back to long (priority, metric, n)
+    * rows. Spark's native `unpivot` plans as a single Expand over the
+    * already-aggregated (5-row) frame — the reshape itself never touches
+    * the fact table, so at 100 TB the cost is the one groupBy that built
+    * the wide frame. DuckDB gates through its own UNPIVOT clause. */
+  def reshapeUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = table(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_pending"))
+    wide.unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("n_open"), col("n_finished"), col("n_pending")),
+        "status_metric", "n")
+      .orderBy("o_orderpriority", "status_metric")
+  }
+
+  /** Null-safe equality join (`<=>`) — the join variant users need the
+    * first time a key column is nullable: plain equality silently drops
+    * every null-keyed row, `<=>` matches null to null. The nullable key
+    * is derived ('P' → null) and the 3-row dim (including its null-keyed
+    * bucket) broadcasts; Spark hashes EqualNullSafe keys like any other,
+    * so the plan is a normal broadcast hash join, not a cartesian.
+    * DuckDB spells the same predicate IS NOT DISTINCT FROM. */
+  def joinNullSafe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = Seq(
+      (Option("O"), "open"), (Option("F"), "finished"),
+      (Option.empty[String], "pending_null")).toDF("k", "bucket")
+    val o = table(spark, dir, "orders").select(
+      when(col("o_orderstatus") === "P", lit(null).cast("string"))
+        .otherwise(col("o_orderstatus")).as("ok"),
+      col("o_totalprice"))
+    o.join(broadcast(dim), o("ok") <=> dim("k"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), dsumR(col("o_totalprice"), Money).as("sum_price"))
+      .orderBy("bucket")
+  }
+
+  /** lead() — lag's forward twin ([[windowLagDelta]] covers the backward
+    * offset): next event's type, value delta, and exact µs gap per user.
+    * Same single per-user window sort serves all three lead expressions;
+    * the gap stays in integer µs (`unix_micros`) so both engines compare
+    * exact longs instead of boundary-crossing date_diff semantics. */
+  def windowLead(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    table(spark, dir, "events")
+      .select(
+        col("event_id"), col("user_id"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        round(lead(col("value"), 1).over(w) - col("value"), 4).as("next_delta"),
+        (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+          .as("gap_us"))
+      .orderBy("event_id")
+  }
+
   /** Ordered funnel over the event stream — view → click → purchase per
     * user, each step's timestamp the EARLIEST occurrence strictly after
     * the previous step (sequence analytics, not just per-type counts: the
@@ -778,9 +837,38 @@ object Relational {
     "sort_multikey_limit" -> (sortMultikeyLimit _),
     "agg_histogram" -> (aggHistogram _),
     "sort_null_order" -> (sortNullOrder _),
-    "set_union_except" -> (setUnionExcept _))
+    "set_union_except" -> (setUnionExcept _),
+    "reshape_unpivot" -> (reshapeUnpivot _),
+    "join_null_safe" -> (joinNullSafe _),
+    "window_lead" -> (windowLead _))
 
   val oracleSql: Map[String, String] = Map(
+    "reshape_unpivot" ->
+      """WITH w AS (
+           SELECT o_orderpriority,
+             CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+             CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+           FROM orders GROUP BY o_orderpriority)
+         SELECT o_orderpriority, status_metric, n
+         FROM w UNPIVOT (n FOR status_metric IN (n_open, n_finished, n_pending))
+         ORDER BY o_orderpriority, status_metric""",
+    "join_null_safe" ->
+      """WITH dim(k, bucket) AS (
+           VALUES ('O', 'open'), ('F', 'finished'), (NULL, 'pending_null')),
+         o AS (SELECT nullif(o_orderstatus, 'P') AS ok, o_totalprice FROM orders)
+         SELECT dim.bucket, count(*) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 4) AS sum_price
+         FROM o JOIN dim ON o.ok IS NOT DISTINCT FROM dim.k
+         GROUP BY dim.bucket ORDER BY dim.bucket""",
+    "window_lead" ->
+      s"""SELECT event_id, user_id,
+         lead(event_type, 1) OVER w AS next_type,
+         round(lead(value, 1) OVER w - value, 4) AS next_delta,
+         epoch_us(lead(ts, 1) OVER w) - epoch_us(ts) AS gap_us
+         FROM ${evSql()}
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY event_id""",
     "agg_mode" ->
       s"""WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
            FROM orders GROUP BY 1, 2)

@@ -211,7 +211,23 @@ object Scalars {
       .orderBy("vec_id")
   }
 
+  /** explode_outer — explode's row-preserving mirror, and a real pipeline
+    * footgun: an inner explode SILENTLY DROPS every row whose array is
+    * empty (106 of 500 docs here), so a downstream per-doc join loses
+    * documents with no qualifying tokens. explode_outer keeps them as one
+    * null-token row. The filtered array (tokens of length ≥ 8) is empty
+    * for ~21% of docs and non-empty for the rest, so both branches are
+    * exercised. Null ordering is pinned explicitly — Spark defaults ASC
+    * NULLS FIRST, DuckDB NULLS LAST. */
+  def explodeOuter(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode_outer(filter(split(col("text"), " "), t => length(t) >= 8))
+          .as("tok"))
+      .orderBy(col("doc_id"), col("tok").asc_nulls_first)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_explode_outer" -> (explodeOuter _),
     "scalar_array_ops" -> (arrayOps _),
     "scalar_bitwise" -> (bitwiseOps _),
     "scalar_try_safe" -> (trySafe _),
@@ -225,6 +241,14 @@ object Scalars {
     "array_embedding_stats" -> (arrayEmbeddingStats _))
 
   val oracleSql: Map[String, String] = Map(
+    "scalar_explode_outer" ->
+      """WITH a AS (
+           SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> length(t) >= 8) AS arr
+           FROM documents)
+         SELECT doc_id,
+           unnest(CASE WHEN len(arr) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE arr END) AS tok
+         FROM a ORDER BY doc_id, tok NULLS FIRST""",
     "scalar_array_ops" ->
       """SELECT vec_id,
          floor((list_min(list_transform(embedding, x -> CAST(x AS DOUBLE)))) * 10000.0 + 0.5) / 10000.0 AS arr_min,

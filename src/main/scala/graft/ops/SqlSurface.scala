@@ -121,8 +121,16 @@ object SqlSurface {
   def sqlCtasInsert(spark: SparkSession, dir: String): DataFrame = {
     reg(spark, dir, "nation", "region")
     spark.sql("DROP TABLE IF EXISTS g_ctas_nation")
-    val loc = java.nio.file.Files.createTempDirectory("graft-ctas")
-      .resolve("t").toUri.toString
+    // One fixed LOCATION per JVM, wiped before each CTAS: DROP TABLE only
+    // removes catalog metadata for an external LOCATION table, so a fresh
+    // temp dir per call would orphan the previous run's parquet data.
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft-ctas-nation")
+    if (base.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(base).deleteRecursively()
+    }
+    val loc = new java.io.File(base, "t").toURI.toString
     spark.sql(
       s"""CREATE TABLE g_ctas_nation USING PARQUET LOCATION '$loc' AS
           SELECT n_nationkey, n_name, n_regionkey FROM g_nation""")

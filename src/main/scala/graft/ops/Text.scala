@@ -384,21 +384,42 @@ object Text {
       m2: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.MaskIntersectCount.maskIntersect(m1, m2)
 
+  /** Deterministic per-source block-size cap for [[dedupNearJaccard]]'s
+    * exact pairwise baseline: only the first `NearJacBlockCap` docs of a
+    * source (by doc_id) enter the pair join, bounding pair generation at
+    * cap²/2 per source REGARDLESS of corpus size — the same bounded-
+    * verification discipline as [[NgramDfCap]] and
+    * [[Dedup.LevBudgetPerSource]]. Inactive at the sf0.01 correctness
+    * gate (25 docs/source), binding at sf0.1 (250/source). The oracle
+    * applies the identical cap. */
+  private[ops] val NearJacBlockCap = 128
+
   def dedupNearJaccard(spark: SparkSession, dir: String): DataFrame = {
     // This is the EXACT pairwise baseline, kept as oracle-checkable ground
-    // truth. The production path at 100 TB is
-    // [[graft.ops.Dedup.minhashLsh]] — candidate pairs from an equi join
-    // on LSH band signatures, never quadratic.
+    // truth — but BOUNDED: the block self-join is capped at
+    // [[NearJacBlockCap]] docs per source, so the pair count per source
+    // block is a constant (cap²/2), not |block|²/2 — an uncapped block
+    // self-join at a 100 TB source block is a task that never finishes.
+    // The production path at 100 TB is [[graft.ops.Dedup.minhashLsh]] —
+    // candidate pairs from an equi join on LSH band signatures, never
+    // quadratic.
     //
     // Pair generation carries each doc's CHUNKED BITMASK (sparse map of
-    // 64-bit words) instead of its token array: the block self-join emits
-    // |block|²/2 rows once and |∩| is a handful of AND+popcounts per pair.
-    // Measured against the alternatives at sf0.1 (5000 docs, dense
-    // 31-token vocab, ~625k pairs): string-array intersection 6.5 s,
-    // sparse (source, token) equi join 7.9 s (11M pair-token rows),
-    // chunked bitmask ~2 s — and unlike round 1's one-long bitmask it
-    // needs no vocabulary-size planning decision.
-    val sets = bitmaskSets(docs(spark, dir))
+    // 64-bit words) instead of its token array: the capped block self-join
+    // emits ≤cap²/2 rows per source once and |∩| is a handful of
+    // AND+popcounts per pair. Measured against the alternatives at sf0.1
+    // (5000 docs, dense 31-token vocab, ~625k uncapped pairs):
+    // string-array intersection 6.5 s, sparse (source, token) equi join
+    // 7.9 s (11M pair-token rows), chunked bitmask ~2 s — and unlike
+    // round 1's one-long bitmask it needs no vocabulary-size planning
+    // decision.
+    val wCap = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val capped = docs(spark, dir)
+      .withColumn("rn", row_number().over(wCap))
+      .filter(col("rn") <= NearJacBlockCap)
+      .drop("rn")
+    val sets = bitmaskSets(capped)
     val jac = sets.alias("a")
       .join(sets.alias("b"),
         col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
@@ -474,6 +495,61 @@ object Text {
       .orderBy("source")
   }
 
+  /** One BPE-style pair-merge iteration — the step that upgrades
+    * [[vocabBuild]]'s unigram dictionary toward real tokenizer training:
+    * count every adjacent token pair corpus-wide, pick the most frequent
+    * (ties broken lexicographically), and merge its occurrences in every
+    * document left-to-right non-overlapping, exactly as BPE training
+    * does. The sequential "left-to-right non-overlapping" semantics is
+    * the hard part to declare relationally: overlap is only possible
+    * when the winning pair is (x, x), where a run x^L merges ⌊L/2⌋
+    * pairs anchored at even offsets — so the scan order is replaced by
+    * run-detection (gaps-and-islands: pos − row_number per (doc, token))
+    * plus an offset-parity test, all plain windows over the per-doc sort.
+    * Shape at scale: one tokenize pass, one pair-count shuffle (hash agg),
+    * a one-row broadcast of the winner, then per-doc windows over the
+    * same (doc_id, pos) sort — no joins wider than the token stream.
+    * Output per doc: the merged text, merge count, and resulting length;
+    * the oracle replays the identical deterministic merge. */
+  def bpeMerge(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "tok")
+      .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+    val best = tok.filter(col("nxt").isNotNull)
+      .groupBy(col("tok").as("t1"), col("nxt").as("t2"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("t1"), col("t2"))
+      .limit(1)
+    val wTok = Window.partitionBy("doc_id", "tok").orderBy("pos")
+    val wRun = Window.partitionBy("doc_id", "tok", "grp")
+    val marked = tok.crossJoin(broadcast(best))
+      .withColumn("grp", col("pos") - row_number().over(wTok))
+      .withColumn("run_min", min(col("pos")).over(wRun))
+      .withColumn("cand",
+        coalesce(col("tok") === col("t1") && col("nxt") === col("t2"), lit(false)))
+      .withColumn("start",
+        col("cand") &&
+          (col("t1") =!= col("t2") || (col("pos") - col("run_min")) % 2 === 0))
+      .withColumn("consumed", coalesce(lag(col("start"), 1).over(wDoc), lit(false)))
+    marked.filter(!col("consumed"))
+      .withColumn("out_tok",
+        when(col("start"), concat(col("t1"), lit("_"), col("t2")))
+          .otherwise(col("tok")))
+      .groupBy("doc_id")
+      .agg(
+        min(concat_ws(" ", col("t1"), col("t2"))).as("pair"),
+        sum(when(col("start"), 1L).otherwise(0L)).as("n_merges"),
+        count(lit(1)).as("n_tok_after"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("out_tok")))),
+            s => s.getField("out_tok")),
+          " ").as("merged_text"))
+      .orderBy("doc_id")
+  }
+
   /** Unigram language-model scoring — the classic perplexity-style quality
     * filter for training corpora: score every document by the mean log
     * probability of its tokens under the corpus's own unigram model. Shape
@@ -505,6 +581,7 @@ object Text {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_merge" -> (bpeMerge _),
     "text_unigram_logprob" -> (unigramLogprob _),
     "text_token_topk" -> (tokenTopk _),
     "text_lang_stats" -> (langStats _),
@@ -524,6 +601,43 @@ object Text {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _))
 
   val oracleSql: Map[String, String] = Map(
+    "text_bpe_merge" ->
+      """WITH tok0 AS (
+           SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             unnest(range(len(string_split(text, ' ')))) AS pos
+           FROM documents),
+         tok AS (
+           SELECT doc_id, pos, tok,
+             lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+           FROM tok0),
+         best AS (
+           SELECT tok AS t1, nxt AS t2, count(*) AS cnt
+           FROM tok WHERE nxt IS NOT NULL
+           GROUP BY 1, 2 ORDER BY cnt DESC, t1, t2 LIMIT 1),
+         m1 AS (
+           SELECT t.doc_id, t.pos, t.tok, t.nxt, b.t1, b.t2,
+             t.pos - row_number() OVER (PARTITION BY t.doc_id, t.tok ORDER BY t.pos) AS grp
+           FROM tok t, best b),
+         m2 AS (
+           SELECT *, min(pos) OVER (PARTITION BY doc_id, tok, grp) AS run_min
+           FROM m1),
+         m3 AS (
+           SELECT *,
+             (coalesce(tok = t1 AND nxt = t2, false) AND
+               (t1 <> t2 OR (pos - run_min) % 2 = 0)) AS st
+           FROM m2),
+         m4 AS (
+           SELECT *,
+             coalesce(lag(st, 1) OVER (PARTITION BY doc_id ORDER BY pos), false) AS consumed
+           FROM m3)
+         SELECT doc_id,
+           min(t1 || ' ' || t2) AS pair,
+           CAST(sum(CASE WHEN st THEN 1 ELSE 0 END) AS BIGINT) AS n_merges,
+           count(*) AS n_tok_after,
+           string_agg(CASE WHEN st THEN t1 || '_' || t2 ELSE tok END, ' ' ORDER BY pos) AS merged_text
+         FROM m4 WHERE NOT consumed
+         GROUP BY doc_id ORDER BY doc_id""",
     "text_unigram_logprob" ->
       s"""WITH tok AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
@@ -692,9 +806,15 @@ object Text {
            g.n_copies
          FROM k JOIN g ON k.h = g.h WHERE rn = 1 ORDER BY k.doc_id""",
     "dedup_near_jaccard" ->
-      """WITH tok AS (
+      s"""WITH keep AS (
+           SELECT doc_id, source, text FROM (
+             SELECT doc_id, source, text,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+             FROM documents)
+           WHERE rn <= $NearJacBlockCap),
+         tok AS (
            SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS token
-           FROM documents),
+           FROM keep),
          cnt AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id),
          pr AS (
            SELECT a.source AS source, a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter

@@ -110,6 +110,16 @@ object Vector {
     * are distinct strings, so each (probe, corpus) pair joins at most
     * once. Flip i=0 is the identity, so single-probe results are a strict
     * subset. */
+  /** The 9 Hamming-≤1 probe variants of an 8-bit SRP bucket: i=0 is the
+    * identity, i=1..8 flips bit i. Shared by multi-probe ANN and the
+    * bucketed embedding-dedup candidate generation. */
+  private def hamming1Variant(bucket: Column, i: Column): Column =
+    when(i === 0, bucket)
+      .otherwise(concat(
+        bucket.substr(lit(1), i - 1),
+        when(bucket.substr(i, lit(1)) === "1", "0").otherwise("1"),
+        bucket.substr(i + 1, lit(8))))
+
   def simsearchLshMultiprobe(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).withColumn("bucket", srpBucket(col("embedding")))
       .select(col("vec_id"), col("embedding"), col("bucket"),
@@ -120,12 +130,7 @@ object Vector {
       .select(col("probe_id"), col("p_emb"), col("p_nrm"), col("bucket"),
         explode(sequence(lit(0), lit(8))).as("i"))
       .select(col("probe_id"), col("p_emb"), col("p_nrm"),
-        when(col("i") === 0, col("bucket"))
-          .otherwise(concat(
-            col("bucket").substr(lit(1), col("i") - 1),
-            when(col("bucket").substr(col("i"), lit(1)) === "1", "0").otherwise("1"),
-            col("bucket").substr(col("i") + 1, lit(8))))
-          .as("bucket"))
+        hamming1Variant(col("bucket"), col("i")).as("bucket"))
     val scored = e.join(broadcast(probes), "bucket")
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos", r4(
@@ -261,22 +266,43 @@ object Vector {
       .orderBy("probe_id", "rk")
   }
 
-  /** Embedding near-dup: top-3 most-similar pairs per label block (the
-    * corpus has no true near-dups — max intra-label cosine ≈ 0.48 — so a
-    * threshold query would be empty; top-k per block exercises the same
-    * blocked-pairwise plan). */
+  /** Embedding near-dup, BUCKETED: top-3 most-similar candidate pairs per
+    * label, where candidates are same-label pairs whose 8-bit SRP buckets
+    * are within Hamming distance 1. Candidate generation is an equi join
+    * on (label, bucket): the left side fans out to its 9 Hamming-≤1 probe
+    * variants ([[hamming1Variant]] — i=0 identity, so a d=0 pair matches
+    * at i=0 and a d=1 pair at exactly its differing bit: each unordered
+    * pair joins ONCE), the right side stays in its single true bucket.
+    * Pair volume is Σ_bucket |b|·|b∪neighbors| instead of |label-block|²
+    * — the structure that survives a 100 TB corpus. Exact cosine re-ranks
+    * the candidates. The oracle replays the identical candidate rule
+    * (hamming(bucket_a, bucket_b) ≤ 1 — SRP sign bits are deterministic
+    * in both engines), the same replayed-generation gating as
+    * dedup_minhash_lsh: an all-pairs oracle cannot gate an ANN path on
+    * this corpus (max intra-label cosine ≈ 0.48 → per-bit sign-agreement
+    * ≈ 0.66 → P(Hamming ≤ 1 over 8 bits) ≈ 0.18 even for the BEST pair),
+    * while the uncapped all-pairs formulation lives on as the
+    * VectorSpec ground-truth check on a synthetic fixture with real
+    * near-dups, where SRP recall at cos ≥ 0.95 is ~1. */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding"),
+      .withColumn("bucket", srpBucket(col("embedding")))
+      .select(col("vec_id"), col("label"), col("embedding"), col("bucket"),
         l2(col("embedding")).as("nrm"))
-    val pairs = e.alias("a")
-      .join(e.alias("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    val lhs = e
+      .select(col("vec_id").as("v1"), col("label"),
+        col("embedding").as("e1"), col("nrm").as("n1"),
+        col("bucket"), explode(sequence(lit(0), lit(8))).as("i"))
+      .select(col("v1"), col("label"), col("e1"), col("n1"),
+        hamming1Variant(col("bucket"), col("i")).as("bucket"))
+    val rhs = e.select(col("vec_id").as("v2"), col("label"),
+      col("embedding").as("e2"), col("nrm").as("n2"), col("bucket"))
+    val pairs = lhs.join(rhs, Seq("label", "bucket"))
+      .filter(col("v1") < col("v2"))
       .select(
-        col("a.label").cast("long").as("label"),
-        col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-        r4(cosinePre(col("a.embedding"), col("b.embedding"),
-          col("a.nrm"), col("b.nrm"))).as("cos"))
+        col("label").cast("long").as("label"),
+        col("v1"), col("v2"),
+        r4(cosinePre(col("e1"), col("e2"), col("n1"), col("n2"))).as("cos"))
     val w = Window.partitionBy("label").orderBy(desc("cos"), col("v1"), col("v2"))
     pairs.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)
@@ -502,10 +528,13 @@ object Vector {
          FROM s QUALIFY rk <= 3 ORDER BY probe_id, rk"""
     },
     "dedup_embedding" ->
-      s"""WITH pr AS (SELECT CAST(a.label AS BIGINT) AS label, a.vec_id AS v1, b.vec_id AS v2,
+      s"""WITH bk AS (SELECT vec_id, label, embedding, $srpBucketSql AS bucket
+             FROM embeddings),
+         pr AS (SELECT CAST(a.label AS BIGINT) AS label, a.vec_id AS v1, b.vec_id AS v2,
              ${r4Sql(cosSql("a.embedding", "b.embedding"))} AS cos
-           FROM embeddings a JOIN embeddings b
-             ON a.label = b.label AND a.vec_id < b.vec_id)
+           FROM bk a JOIN bk b
+             ON a.label = b.label AND a.vec_id < b.vec_id
+             AND len(list_filter(range(1, 9), i -> a.bucket[i] != b.bucket[i])) <= 1)
          SELECT label,
            CAST(row_number() OVER (PARTITION BY label ORDER BY cos DESC, v1, v2) AS BIGINT) AS rk,
            v1, v2, cos

@@ -3,7 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Throwaway timing harness (not a spec). Run: sbt "Test/runMain graft.PerfScratch" */
+/** Throwaway timing harness (not a spec).
+  * Run: sbt "Test/runMain graft.ops.PerfScratch [dataDir]" (default sf0.1). */
 object PerfScratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -12,7 +13,7 @@ object PerfScratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
 
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
