@@ -151,27 +151,20 @@ object Dedup {
       .distinct()
   }
 
-  /** Near-dup CLUSTERS, not just pairs: connected components over the
-    * word-level LSH candidate graph by min-label propagation — the step a
-    * real corpus dedup needs between pair detection and "keep one per
-    * group" (pairs chain: a~b and b~c put a,c in one group even when a,c
-    * never collide directly). Each iteration is two shuffles (edge join +
-    * per-node min) with the lineage cut by localCheckpoint — the MLlib
-    * iteration pattern: bounded driver loop, converged when no label
-    * changes, never a driver-side collect of graph data. Each round
-    * combines neighbor propagation with a pointer jump (adopt the label
-    * of your label's node), so rounds grow with log(diameter), not
-    * diameter — the compounding idea behind large-star/small-star;
-    * measured 9 → 4 rounds at sf0.1 for the identical fixpoint. Output:
-    * every doc that appears in a candidate pair, its component root
-    * (min doc_id), and the component size. */
-  def ccGroups(spark: SparkSession, dir: String): DataFrame = {
-    val base = table(spark, dir, "documents").select(
-      col("doc_id"), col("source"),
-      array_distinct(split(col("text"), " ")).as("toks"))
-    val pairs = candidatePairs(base, "s")
-    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+  /** Min-label propagation + pointer jumping: per round, adopt the min
+    * label over direct neighbors, then the label OF your label's node —
+    * the hop-compounding that converges in O(log diameter) rounds
+    * (measured 9 → 4 at sf0.1 for the identical fixpoint). Input: ONE
+    * canonical orientation per undirected edge (d1 < d2); output
+    * (doc_id, root) for every node incident to an edge. Convergence is
+    * observed INSIDE the round's checkpoint materialization
+    * ([[org.apache.spark.sql.Observation]] metrics ride the same job —
+    * Dataset.checkpoint is a tracked action, so the listener fires), not
+    * by a second `count()` action over the checkpointed frame: one action
+    * per round instead of two. */
+  private[ops] def ccMinLabel(pairs1: DataFrame): DataFrame = {
+    val edges = pairs1.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs1.select(col("d2").as("src"), col("d1").as("dst")))
       .localCheckpoint()   // evaluated once; every iteration re-joins it
     // Init already carries the first propagation round: label = min(self,
     // direct neighbors) straight off the edge aggregate — same price as a
@@ -193,24 +186,169 @@ object Dedup {
         .localCheckpoint()
       // Pointer jump: also adopt the label OF my label's node (labels are
       // always node ids, so m is a valid lookup key). Plain neighbor
-      // propagation needs diameter rounds — measured 9 at sf0.1 on the
-      // dense LSH clusters; the jump compounds hops and converges in
-      // O(log d) (4 rounds on the same graph for the same fixpoint).
+      // propagation needs diameter rounds; the jump compounds hops and
+      // converges in O(log d) for the same fixpoint.
       val par = half.select(col("doc_id").as("p_id"), col("m").as("p_m"))
+      val obs = org.apache.spark.sql.Observation()
       val next = half.join(par, half("m") === par("p_id"), "left")
         .select(half("doc_id"),
           least(col("m"), coalesce(col("p_m"), col("m"))).as("lbl"),
           (least(col("m"), coalesce(col("p_m"), col("m"))) < col("old")).as("chg"))
+        .observe(obs, coalesce(
+          sum(when(col("chg"), 1L).otherwise(0L)), lit(0L)).as("changed"))
         .localCheckpoint()
-      changed = next.filter(col("chg")).count()
+      changed = obs.get("changed").asInstanceOf[Long]
       lbl = next.select("doc_id", "lbl")
       rounds += 1
     }
-    val sz = lbl.groupBy(col("lbl").as("root")).agg(count(lit(1)).as("n_members"))
     lbl.select(col("doc_id"), col("lbl").as("root"))
-      .join(sz, "root")
+  }
+
+  /** Alternating large-star / small-star connected components — the
+    * published MapReduce CC algorithm whose round count is provably
+    * O(log n) on ANY graph, including the extreme-diameter chains where
+    * plain propagation needs diameter rounds. Per round over the edge
+    * set: large-star connects every neighbor LARGER than a node to the
+    * node's minimum neighborhood member; small-star (over the
+    * larger→smaller orientation) connects every smaller neighbor, and
+    * the node itself, to that minimum. Both are one groupBy + one equi
+    * join — never a driver-side graph. At the fixpoint the edge set is a
+    * star forest (child > root per edge), from which the (doc_id, root)
+    * mapping reads off directly. Convergence = the edge multiset stopped
+    * changing, detected by an [[org.apache.spark.sql.Observation]]
+    * signature (count + two modular id sums + a modular xxhash64 sum)
+    * collected DURING the round's checkpoint job — no extra action, no
+    * set-difference join. A signature collision passing for convergence
+    * would need four simultaneous mod-1e9+7 coincidences on a
+    * monotonically shrinking edge set (and the declared query behind
+    * this is gated by an exact recursive-CTE oracle); the round cap
+    * backstops pathology. Mods keep the sums far from Long overflow
+    * (ANSI mode throws on overflow) at any edge count. */
+  private[ops] def ccLargeSmallStar(pairs1: DataFrame): DataFrame = {
+    var e = pairs1
+      .select(greatest(col("d1"), col("d2")).as("src"),
+        least(col("d1"), col("d2")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val M = 1000000007L
+    var prevSig: Seq[Long] = null
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < 30) {
+      // large-star over the symmetric view: for node u with neighbors
+      // N(u), m = min(N(u) ∪ {u}); emit (v, m) for v in N(u), v > u.
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val lsMin = sym.groupBy("src")
+        .agg(least(min(col("dst")), col("src")).as("m"))
+      val ls = sym.join(lsMin, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      // small-star over larger→smaller edges: for node u, all recorded
+      // neighbors v are < u; m = min(N(u)); emit (v, m) for each v and
+      // (u, m) for u itself.
+      val dirE = ls.select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      val ssMin = dirE.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = dirE.join(ssMin, "u")
+        .select(col("v").as("src"), col("m").as("dst"))
+        .union(ssMin.select(col("u").as("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+      val obs = org.apache.spark.sql.Observation()
+      val next = ss.observe(obs,
+          count(lit(1)).as("cnt"),
+          coalesce(sum(pmod(col("src"), lit(M))), lit(0L)).as("s1"),
+          coalesce(sum(pmod(col("dst"), lit(M))), lit(0L)).as("s2"),
+          coalesce(sum(pmod(xxhash64(col("src"), col("dst")), lit(M))), lit(0L))
+            .as("s3"))
+        .localCheckpoint()
+      val m = obs.get
+      val sig = Seq("cnt", "s1", "s2", "s3").map(k => m(k).asInstanceOf[Long])
+      converged = prevSig != null && sig == prevSig
+      prevSig = sig
+      e = next
+      rounds += 1
+    }
+    e.select(col("src").as("doc_id"), col("dst").as("root"))
+      .union(e.select(col("dst").as("doc_id"), col("dst").as("root")))
+      .distinct()
+  }
+
+  /** Near-dup CLUSTERS, not just pairs: connected components over the
+    * word-level LSH candidate graph — the step a real corpus dedup needs
+    * between pair detection and "keep one per group" (pairs chain: a~b
+    * and b~c put a,c in one group even when a,c never collide directly).
+    * Fixpoint engine: [[ccLargeSmallStar]] (O(log n) rounds on any
+    * graph shape — the production choice at 100 TB, where one
+    * pathological chain component would stall propagation);
+    * [[ccMinLabel]] remains as the independent implementation the
+    * property suite cross-checks it against, and the recursive-CTE
+    * oracle gates that the loop truly reached the transitive-closure
+    * fixpoint either way. Component sizes come from one partitioned
+    * window over the final labels — no second aggregate-and-join pass
+    * over the checkpoint. Output: every doc in a candidate pair, its
+    * component root (min doc_id), and the component size. */
+  def ccGroups(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "documents").select(
+      col("doc_id"), col("source"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+    val lbl = ccLargeSmallStar(candidatePairs(base, "s"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("root")
+    lbl.withColumn("n_members", count(lit(1)).over(w))
       .select(col("doc_id"), col("root"), col("n_members"))
       .orderBy("doc_id")
+  }
+
+  /** The composed end-to-end dedup pipeline — the artifact a training-data
+    * run actually ships, proving the stages COMPOSE rather than only pass
+    * individually (the reference's whole point is likewise a composed
+    * dataflow, `src/bak_unload.ps1:22-116`):
+    *
+    *   normalize ([[Text.normTextExpr]]: case/punct/stopword cleanup)
+    *   → MinHash-LSH candidate pairs over the normalized token sets
+    *     ([[candidatePairs]] — equi join on band signatures, never O(n²))
+    *   → connected components ([[ccLargeSmallStar]], O(log n) rounds)
+    *   → keep best doc per cluster (max composite quality, ties to the
+    *     lower doc_id — [[Text.compositeQuality]], the dedup_keep_best
+    *     discipline generalized from exact-hash groups to near-dup
+    *     clusters; docs in no candidate pair are singleton clusters and
+    *     survive)
+    *   → per-source kept/dropped counts + an md5 fingerprint of the
+    *     sorted surviving doc_ids (the full survivor list at corpus
+    *     scale is a table, not a query result; the fingerprint pins it
+    *     exactly).
+    *
+    * Clusters never span sources (candidate pairs are source-blocked), so
+    * the final rollup needs no global reshuffle of doc rows — one agg by
+    * (source, root), one by source. The oracle chains the identical CTEs
+    * with a recursive-CTE transitive closure for the cluster step. */
+  def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    val base = d.select(col("doc_id"), col("source"),
+      array_distinct(split(Text.normTextExpr, " ")).as("toks"))
+    val lbl = ccLargeSmallStar(candidatePairs(base, "s"))
+    val (_, _, _, score) = Text.compositeQuality
+    val dq = d.select(col("doc_id"), col("source"), score.as("q"))
+    val withRoot = dq.join(lbl, Seq("doc_id"), "left")
+      .withColumn("root", coalesce(col("root"), col("doc_id")))
+    val clusters = withRoot.groupBy("source", "root")
+      .agg(
+        max_by(col("doc_id"), struct(col("q"), -col("doc_id"))).as("keep_id"),
+        count(lit(1)).as("csize"))
+    clusters.groupBy("source")
+      .agg(
+        sum(col("csize")).as("n_docs"),
+        count(lit(1)).as("n_kept"),
+        (sum(col("csize")) - count(lit(1))).as("n_dropped"),
+        md5(concat_ws(",",
+          transform(array_sort(collect_list(col("keep_id"))), x => x.cast("string")))
+          .cast("binary")).as("survivors_md5"))
+      .orderBy("source")
   }
 
   /** Fuzzy-match verification over the LSH candidate pairs: Levenshtein
@@ -272,6 +410,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_pipeline_e2e" -> (pipelineE2e _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_minhash_shingle" -> (minhashShingle _),
     "dedup_simhash" -> (simhash _),
@@ -294,6 +433,62 @@ object Dedup {
     s"CASE WHEN s$j > 0 THEN '1' ELSE '0' END").mkString("concat(", ", ", ")")
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_pipeline_e2e" ->
+      s"""WITH RECURSIVE nd AS (
+           SELECT doc_id, source,
+             array_to_string(list_filter(
+               string_split_regex(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +'),
+               t -> t NOT IN ('join','filter','sort','merge','window')), ' ') AS ntext
+           FROM documents),
+         tok AS (
+           SELECT doc_id, source, unnest(list_distinct(string_split(ntext, ' '))) AS token
+           FROM nd),
+         sig AS (
+           SELECT doc_id, source,
+             $minhashMinsSql
+           FROM tok GROUP BY doc_id, source),
+         band AS (
+           $bandSelectsSql),
+         cand AS (
+           SELECT DISTINCT a.source, a.doc_id AS d1, b.doc_id AS d2
+           FROM band a JOIN band b
+             ON a.source = b.source AND a.band = b.band AND a.bsig = b.bsig
+               AND a.doc_id < b.doc_id),
+         e AS (SELECT d1 AS src, d2 AS dst FROM cand
+               UNION SELECT d2, d1 FROM cand),
+         reach AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+         rt AS (
+           SELECT src AS doc_id, least(src, min(dst)) AS root
+           FROM reach GROUP BY src),
+         dq AS (
+           SELECT doc_id, source,
+             0.6 * (CAST(len(list_filter(string_split(text, ' '),
+                 t -> t IN ('join','filter','sort','merge','window'))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE))
+             + 0.4 * least((CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0) AS q
+           FROM documents),
+         withroot AS (
+           SELECT dq.doc_id, dq.source, dq.q, coalesce(rt.root, dq.doc_id) AS root
+           FROM dq LEFT JOIN rt ON dq.doc_id = rt.doc_id),
+         rk AS (
+           SELECT source, root, doc_id,
+             row_number() OVER (PARTITION BY source, root ORDER BY q DESC, doc_id) AS rn
+           FROM withroot),
+         cl AS (
+           SELECT source, root,
+             min(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+             count(*) AS csize
+           FROM rk GROUP BY source, root)
+         SELECT source,
+           CAST(sum(csize) AS BIGINT) AS n_docs,
+           count(*) AS n_kept,
+           CAST(sum(csize) - count(*) AS BIGINT) AS n_dropped,
+           md5(array_to_string(list_sort(list(keep_id)), ',')) AS survivors_md5
+         FROM cl GROUP BY source ORDER BY source""",
     "dedup_minhash_lsh" ->
       s"""WITH tok AS (
            SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS token

@@ -68,7 +68,7 @@ object Text {
   /** The composite quality signal shared by [[qualityScore]] and
     * [[dedupKeepBest]]: exact per-row double math (int/int divisions,
     * least), so cross-engine ORDERING on it is reliable un-rounded. */
-  private def compositeQuality: (org.apache.spark.sql.Column,
+  private[ops] def compositeQuality: (org.apache.spark.sql.Column,
       org.apache.spark.sql.Column, org.apache.spark.sql.Column,
       org.apache.spark.sql.Column) = {
     val toks = split(col("text"), " ")
@@ -276,12 +276,16 @@ object Text {
     * case/punctuation steps are idempotent (the fixture is already clean);
     * the stopword step does real work, so `changed` is exercised in both
     * directions. Output text is string-exact, no float parity concerns. */
+  /** The normalization projection of [[normalize]], shared with the
+    * composed dedup pipeline ([[Dedup.pipelineE2e]]). */
+  private[ops] def normTextExpr: org.apache.spark.sql.Column = array_join(
+    filter(
+      split(regexp_replace(lower(trim(col("text"))), "[^a-z0-9 ]", ""), " +"),
+      t => !t.isin(StopWords: _*)),
+    " ")
+
   def normalize(spark: SparkSession, dir: String): DataFrame = {
-    val norm = array_join(
-      filter(
-        split(regexp_replace(lower(trim(col("text"))), "[^a-z0-9 ]", ""), " +"),
-        t => !t.isin(StopWords: _*)),
-      " ")
+    val norm = normTextExpr
     docs(spark, dir)
       .select(col("doc_id"), col("text"), norm.as("norm_text"))
       .select(

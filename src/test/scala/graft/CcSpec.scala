@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** Cross-checks the two connected-components fixpoint engines against a
+  * driver-side union-find oracle on adversarial graph shapes — path
+  * graphs (maximum diameter, the shape where naive propagation needs
+  * diameter rounds), descending/shuffled id labelings (worst case for
+  * min-label direction), forests, and duplicate/bidirectional edge
+  * lists. Both engines must produce the identical (node → min-id root)
+  * mapping. */
+class CcSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def check(edges: Seq[(Long, Long)], clue: String): Unit = {
+    val df = edges.toDF("d1", "d2")
+    val expected = unionFind(edges)
+    val lss = Dedup.ccLargeSmallStar(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mlp = Dedup.ccMinLabel(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lss == expected, s"$clue: large-small-star != union-find")
+    assert(mlp == expected, s"$clue: min-label != union-find")
+  }
+
+  test("path graph, ascending ids") {
+    check((0L until 20L).sliding(2).map(s => (s(0), s(1))).toSeq, "asc path")
+  }
+
+  test("path graph, descending ids (root at the far end)") {
+    check((0L until 20L).sliding(2).map(s => (19L - s(0), 19L - s(1))).toSeq,
+      "desc path")
+  }
+
+  test("path graph, shuffled sparse ids") {
+    val rnd = new scala.util.Random(7)
+    val perm = rnd.shuffle((0L until 200L).toList).take(33).toArray
+    check((0 until 32).map(i => (perm(i), perm(i + 1))), "shuffled path")
+  }
+
+  test("random forests with multiple components") {
+    (1 to 3).foreach { s =>
+      val rnd = new scala.util.Random(s)
+      val ids = rnd.shuffle((0L until 500L).toList).take(40).toArray
+      val edges = (1 until 20).map(i => (ids(rnd.nextInt(i)), ids(i))) ++
+        (21 until 40).map(i => (ids(20 + rnd.nextInt(i - 20)), ids(i)))
+      check(edges, s"random forest seed=$s")
+    }
+  }
+
+  test("duplicate edges and both orientations collapse") {
+    check(Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 2L), (5L, 4L)), "dups")
+  }
+}

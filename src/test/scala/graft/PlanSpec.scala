@@ -151,6 +151,37 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("sweep: every join keyed solely on a low-cardinality blocking key is block-size-capped") {
+    // The third 100 TB-killer, generalized from round 3's two `weak`
+    // marks: a pair join whose ONLY equi keys are designated blocking
+    // columns (`source` ~20 values, `label` 10 values) emits |block|²
+    // rows per block — fine at sf0.1, a never-finishing task at a 100 TB
+    // block. Such a join is allowed only when BOTH inputs pass through
+    // the deterministic block-size-cap discipline, which materializes as
+    // a Filter on a row_number attribute named `rn` below the join
+    // (NearJacBlockCap / LevBudgetPerSource). Joins with any
+    // high-cardinality key (bucket, bsig, shingle, doc_id…) are exempt —
+    // their output is bounded by the signature collision structure.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.sparkPlan
+      plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.leftKeys.nonEmpty =>
+          val keys = j.leftKeys.flatMap(_.references.map(_.name.toLowerCase)).toSet
+          def capped(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+            p.collectFirst {
+              case f: org.apache.spark.sql.execution.FilterExec
+                  if f.condition.references.exists(_.name == "rn") => f
+            }.nonEmpty
+          if (keys.subsetOf(Set("source", "label")) &&
+              !(capped(j.left) && capped(j.right)))
+            Some(s"$name: uncapped join keyed only on ${keys.mkString(",")}")
+          else None
+      }.flatten
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("whole-stage codegen covers the pricing-summary pipeline") {
     // AQE prints the final plan (with codegen stages) only after execution
     val df = Relational.aggPricingSummary(spark, dir)

@@ -119,6 +119,32 @@ class VectorSpec extends AnyFunSuite with SparkFixture {
     assert(out(0).getAs[Double]("cos") == 1.0)
   }
 
+  test("bucketed embedding dedup: on a fixture WITH true near-dups, bucketed top-3 == all-pairs top-3") {
+    // The production fixture has no real near-dups (max intra-label cos
+    // ≈ 0.48), where SRP bucketing legitimately prunes low-cos pairs; on
+    // a corpus with ACTUAL duplicates (cos ≈ 1) the perturbed twin lands
+    // in the same or a Hamming-1 bucket with overwhelming probability,
+    // so the bucketed candidate generation must recover exactly the
+    // all-pairs answer. This is the ground-truth check the declared
+    // replayed-generation oracle can't express.
+    val rnd = new scala.util.Random(3)
+    def randv(d: Int): Array[Float] = Array.fill(d)(rnd.nextGaussian().toFloat)
+    def perturb(v: Array[Float]): Array[Float] =
+      v.map(x => x + (rnd.nextGaussian() * 0.01).toFloat)
+    val bases = (0 until 5).map(_ => randv(16))
+    val rows = bases.zipWithIndex.flatMap { case (b, i) =>
+      Seq(emb(i * 2L, b), emb(i * 2L + 1, perturb(b)))
+    } ++ (0 until 10).map(i => emb(100L + i, randv(16)))
+    val dir = fixtureDir("embeddings" -> rows.toDF)
+    val out = Vector.dedupEmbedding(spark, dir).collect()
+    val got = out.map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2"))).toSet
+    val truePairs = (0 until 5).map(i => (i * 2L, i * 2L + 1L)).toSet
+    assert(out.length == 3, s"expected top-3 rows, got ${out.length}")
+    assert(got.subsetOf(truePairs),
+      s"bucketed top-3 includes a non-duplicate pair: $got")
+    out.foreach(r => assert(r.getAs[Double]("cos") > 0.95))
+  }
+
   test("multimodal binary meta: byte length and md5 match the utf8 payload") {
     val dir = fixtureDir("documents" -> Seq(DocRow(1, "abc", "en", "s0", 3)).toDF)
     val r = Vector.multimodalBinaryMeta(spark, dir).collect()(0)
