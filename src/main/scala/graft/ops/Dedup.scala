@@ -241,11 +241,13 @@ object Dedup {
       val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       val lsMin = sym.groupBy("src")
         .agg(least(min(col("dst")), col("src")).as("m"))
+      // No distinct here: duplicate (v, m) rows don't affect small-star's
+      // min aggregate, and the round's single distinct (below) dedups the
+      // final edge set — one fewer full shuffle per round.
       val ls = sym.join(lsMin, "src")
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct()
       // small-star over larger→smaller edges: for node u, all recorded
       // neighbors v are < u; m = min(N(u)); emit (v, m) for each v and
       // (u, m) for u itself.

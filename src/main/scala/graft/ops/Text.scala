@@ -452,32 +452,39 @@ object Text {
     * passages that token sets miss. Shingle vocabulary is unbounded, so
     * this always runs the general array-set path (no bitmask); same
     * source-blocked pair generation, skew-bounded by [[NgramDfCap]]. */
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // Shingle overlap is SPARSE (large shingle space), so pairs come from
-    // an equi join on (source, shingle) — only colliding pairs materialize,
-    // versus |block|²/2 array intersections in the dense token-set case.
-    // Pairs with zero common shingles never appear, matching the oracle's
-    // inter >= 1 filter. Util.shingle3 is evaluate-once-per-row (an
-    // attribute reference is NOT enough — CollapseProject inlines the
-    // split into the shingle lambda, re-splitting the text per element;
-    // see Util.boundCol).
+  /** Shared sparse shingle-pair statistics: per source-blocked candidate
+    * pair with ≥1 common 3-shingle, (source, d1, d2, inter, n1, n2) —
+    * the front half of both [[dedupNgramJaccard]] (symmetric Jaccard)
+    * and [[shingleContainment]] (asymmetric containment).
+    *
+    * Shingle overlap is SPARSE (large shingle space), so pairs come from
+    * an equi join on (source, shingle) — only colliding pairs
+    * materialize, versus |block|²/2 array intersections in the dense
+    * token-set case. Pairs with zero common shingles never appear,
+    * matching the oracles' inter >= 1 semantics. Util.shingle3 is
+    * evaluate-once-per-row (an attribute reference is NOT enough —
+    * CollapseProject inlines the split into the shingle lambda,
+    * re-splitting the text per element; see Util.boundCol).
+    *
+    * Hot-shingle document-frequency cap (standard near-dup practice): a
+    * shingle present in f docs of a source emits f(f−1)/2 pair rows, so
+    * ONE boilerplate sentence at 100 TB is a task that never finishes.
+    * Dropping shingles with per-source DF > NgramDfCap bounds any single
+    * shingle's contribution at K²/2 pairs. Capped shingles leave the
+    * SETS too (n counts kept shingles), so ratios stay true set ratios
+    * of what was paired — the oracles apply the identical cap. The anti
+    * join is unhinted: the hot set is corpus-size/K at worst, so AQE
+    * picks broadcast when it is small rather than us asserting it
+    * always is. */
+  private def shinglePairCounts(spark: SparkSession, dir: String): DataFrame = {
     val sh0 = docs(spark, dir)
       .select(col("doc_id"), col("source"),
         explode(Util.shingle3(col("text"))).as("s"))
-    // Hot-shingle document-frequency cap (standard near-dup practice): a
-    // shingle present in f docs of a source emits f(f−1)/2 pair rows below,
-    // so ONE boilerplate sentence at 100 TB is a task that never finishes.
-    // Dropping shingles with per-source DF > NgramDfCap bounds any single
-    // shingle's contribution at K²/2 pairs. Capped shingles leave the SETS
-    // too (cnt counts kept shingles), so Jaccard stays a true set ratio of
-    // what was paired — the oracle applies the identical cap. The anti join
-    // is unhinted: the hot set is corpus-size/K at worst, so AQE picks
-    // broadcast when it is small rather than us asserting it always is.
     val hot = sh0.groupBy("source", "s").agg(count(lit(1)).as("df"))
       .filter(col("df") > NgramDfCap).select("source", "s")
     val sh = sh0.join(hot, Seq("source", "s"), "left_anti")
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.alias("a")
+    sh.alias("a")
       .join(sh.alias("b"),
         col("a.source") === col("b.source") && col("a.s") === col("b.s") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -485,9 +492,12 @@ object Text {
         col("b.doc_id").as("d2"))
       .groupBy("source", "d1", "d2")
       .agg(count(lit(1)).as("inter"))
-    val jac = inter
       .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
       .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+  }
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val jac = shinglePairCounts(spark, dir)
       .withColumn("jac",
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")).cast("double"))
     jac.groupBy("source")
@@ -496,6 +506,30 @@ object Text {
         sum(when(col("jac") >= 0.5, 1L).otherwise(0L)).as("n_near"),
         r4(sum(r6(col("jac")).cast(DecimalType(16, 6))).cast("double")
           / count(lit(1)).cast("double")).as("avg_jac"))
+      .orderBy("source")
+  }
+
+  /** Shingle CONTAINMENT — the asymmetric companion of
+    * [[dedupNgramJaccard]] and the doc-inside-doc detector a real corpus
+    * dedup needs (a page quoting another wholesale has low Jaccard —
+    * the union is large — but containment |∩|/|A| ≈ 1 for the quoted
+    * side; symmetric measures are blind to it). Same sparse
+    * (source, shingle) candidate join and DF cap via
+    * [[shinglePairCounts]]; per pair the score is max(|∩|/n1, |∩|/n2).
+    * Output: per-source pair counts, containment-flagged count, and the
+    * flagged pairs' min ids for spot checks. */
+  def shingleContainment(spark: SparkSession, dir: String): DataFrame = {
+    val c = shinglePairCounts(spark, dir)
+      .withColumn("cmax",
+        greatest(col("inter").cast("double") / col("n1").cast("double"),
+          col("inter").cast("double") / col("n2").cast("double")))
+    c.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("cmax") >= 0.8, 1L).otherwise(0L)).as("n_contained"),
+        min(when(col("cmax") >= 0.8, col("d1"))).as("first_d1"),
+        r4(sum(r6(col("cmax")).cast(DecimalType(16, 6))).cast("double")
+          / count(lit(1)).cast("double")).as("avg_cmax"))
       .orderBy("source")
   }
 
@@ -508,16 +542,21 @@ object Text {
     * the hard part to declare relationally: overlap is only possible
     * when the winning pair is (x, x), where a run x^L merges ⌊L/2⌋
     * pairs anchored at even offsets — so the scan order is replaced by
-    * run-detection (gaps-and-islands: pos − row_number per (doc, token))
-    * plus an offset-parity test, all plain windows over the per-doc sort.
-    * Shape at scale: one tokenize pass, one pair-count shuffle (hash agg),
-    * a one-row broadcast of the winner, then per-doc windows over the
-    * same (doc_id, pos) sort — no joins wider than the token stream.
-    * Output per doc: the merged text, merge count, and resulting length;
-    * the oracle replays the identical deterministic merge. */
+    * candidate-run detection and an offset-parity test (a candidate at
+    * position p merges iff p − start-of-its-candidate-run is even; for
+    * t1 ≠ t2 adjacent candidates are impossible, every candidate is its
+    * own run start, and the test degenerates to true).
+    * Shape at scale: one tokenize pass, one pair-count shuffle (hash
+    * agg), a one-row broadcast of the winner, then EVERY window —
+    * lead, run detection, running max, consumed-lag — over the single
+    * (doc_id, pos) sort: one shuffle+sort serves all five, no joins
+    * wider than the token stream. Output per doc: the merged text,
+    * merge count, and resulting length; the oracle replays the
+    * identical deterministic merge. */
   def bpeMerge(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val wRun = wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tok = docs(spark, dir)
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .withColumnRenamed("col", "tok")
@@ -527,16 +566,15 @@ object Text {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col("t1"), col("t2"))
       .limit(1)
-    val wTok = Window.partitionBy("doc_id", "tok").orderBy("pos")
-    val wRun = Window.partitionBy("doc_id", "tok", "grp")
     val marked = tok.crossJoin(broadcast(best))
-      .withColumn("grp", col("pos") - row_number().over(wTok))
-      .withColumn("run_min", min(col("pos")).over(wRun))
       .withColumn("cand",
         coalesce(col("tok") === col("t1") && col("nxt") === col("t2"), lit(false)))
+      .withColumn("cand_start",
+        col("cand") && !coalesce(lag(col("cand"), 1).over(wDoc), lit(false)))
+      .withColumn("run_start",
+        max(when(col("cand_start"), col("pos"))).over(wRun))
       .withColumn("start",
-        col("cand") &&
-          (col("t1") =!= col("t2") || (col("pos") - col("run_min")) % 2 === 0))
+        col("cand") && (col("pos") - col("run_start")) % 2 === 0)
       .withColumn("consumed", coalesce(lag(col("start"), 1).over(wDoc), lit(false)))
     marked.filter(!col("consumed"))
       .withColumn("out_tok",
@@ -602,7 +640,8 @@ object Text {
     "dedup_exact" -> (dedupExact _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_near_jaccard" -> (dedupNearJaccard _),
-    "dedup_ngram_jaccard" -> (dedupNgramJaccard _))
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "text_shingle_containment" -> (shingleContainment _))
 
   val oracleSql: Map[String, String] = Map(
     "text_bpe_merge" ->
@@ -621,26 +660,30 @@ object Text {
            GROUP BY 1, 2 ORDER BY cnt DESC, t1, t2 LIMIT 1),
          m1 AS (
            SELECT t.doc_id, t.pos, t.tok, t.nxt, b.t1, b.t2,
-             t.pos - row_number() OVER (PARTITION BY t.doc_id, t.tok ORDER BY t.pos) AS grp
+             coalesce(t.tok = b.t1 AND t.nxt = b.t2, false) AS cand
            FROM tok t, best b),
          m2 AS (
-           SELECT *, min(pos) OVER (PARTITION BY doc_id, tok, grp) AS run_min
+           SELECT *,
+             (cand AND NOT coalesce(lag(cand, 1) OVER (PARTITION BY doc_id ORDER BY pos), false)) AS cand_start
            FROM m1),
          m3 AS (
            SELECT *,
-             (coalesce(tok = t1 AND nxt = t2, false) AND
-               (t1 <> t2 OR (pos - run_min) % 2 = 0)) AS st
+             max(CASE WHEN cand_start THEN pos END) OVER
+               (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run_start
            FROM m2),
          m4 AS (
+           SELECT *, (cand AND (pos - run_start) % 2 = 0) AS st
+           FROM m3),
+         m5 AS (
            SELECT *,
              coalesce(lag(st, 1) OVER (PARTITION BY doc_id ORDER BY pos), false) AS consumed
-           FROM m3)
+           FROM m4)
          SELECT doc_id,
            min(t1 || ' ' || t2) AS pair,
            CAST(sum(CASE WHEN st THEN 1 ELSE 0 END) AS BIGINT) AS n_merges,
            count(*) AS n_tok_after,
            string_agg(CASE WHEN st THEN t1 || '_' || t2 ELSE tok END, ' ' ORDER BY pos) AS merged_text
-         FROM m4 WHERE NOT consumed
+         FROM m5 WHERE NOT consumed
          GROUP BY doc_id ORDER BY doc_id""",
     "text_unigram_logprob" ->
       s"""WITH tok AS (
@@ -835,7 +878,7 @@ object Text {
              / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avg_jac
          FROM j GROUP BY source ORDER BY source""",
     "dedup_ngram_jaccard" ->
-      """WITH s AS (
+      s"""WITH s AS (
            SELECT doc_id, source,
              unnest(list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
                THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
@@ -845,7 +888,7 @@ object Text {
                ELSE CAST([] AS VARCHAR[]) END)) AS sh
            FROM documents),
          hot AS (
-           SELECT source, sh FROM s GROUP BY source, sh HAVING count(*) > 64),
+           SELECT source, sh FROM s GROUP BY source, sh HAVING count(*) > $NgramDfCap),
          k AS (
            SELECT s.doc_id, s.source, s.sh FROM s
            WHERE NOT EXISTS (SELECT 1 FROM hot h
@@ -866,5 +909,40 @@ object Text {
            CAST(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
            floor((CAST(sum(CAST(floor((jac) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(16,6))) AS DOUBLE)
              / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avg_jac
+         FROM j GROUP BY source ORDER BY source""",
+    "text_shingle_containment" ->
+      s"""WITH s AS (
+           SELECT doc_id, source,
+             unnest(list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+               THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2])
+               ELSE CAST([] AS VARCHAR[]) END)) AS sh
+           FROM documents),
+         hot AS (
+           SELECT source, sh FROM s GROUP BY source, sh HAVING count(*) > $NgramDfCap),
+         k AS (
+           SELECT s.doc_id, s.source, s.sh FROM s
+           WHERE NOT EXISTS (SELECT 1 FROM hot h
+                             WHERE h.source = s.source AND h.sh = s.sh)),
+         cnt AS (SELECT doc_id, count(*) AS n FROM k GROUP BY doc_id),
+         pr AS (
+           SELECT a.source AS source, a.doc_id AS d1, b.doc_id AS d2,
+             count(*) AS inter
+           FROM k a JOIN k b
+             ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3),
+         j AS (
+           SELECT pr.source, pr.d1, pr.d2,
+             greatest(CAST(pr.inter AS DOUBLE) / CAST(c1.n AS DOUBLE),
+               CAST(pr.inter AS DOUBLE) / CAST(c2.n AS DOUBLE)) AS cmax
+           FROM pr JOIN cnt c1 ON pr.d1 = c1.doc_id
+                   JOIN cnt c2 ON pr.d2 = c2.doc_id)
+         SELECT source, count(*) AS n_pairs,
+           CAST(sum(CASE WHEN cmax >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_contained,
+           min(CASE WHEN cmax >= 0.8 THEN d1 END) AS first_d1,
+           floor((CAST(sum(CAST(floor((cmax) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(16,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avg_cmax
          FROM j GROUP BY source ORDER BY source""")
 }

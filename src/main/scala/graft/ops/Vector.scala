@@ -376,6 +376,143 @@ object Vector {
       .orderBy("doc_id")
   }
 
+  private val PqM = 8       // subspaces (64-dim embedding → 8 dims each)
+  private val PqK = 16      // centroids per subspace codebook
+  private val PqIters = 2   // Lloyd iterations per codebook
+
+  /** Squared L2 distance between two double arrays — the PQ training and
+    * lookup-table metric. Same sequential fold spelling as [[dot]] so the
+    * oracle's list_sum(list_transform(...)) is bit-identical. */
+  private def sqdist(a: Column, c: Column): Column =
+    aggregate(zip_with(a, c, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Product-quantization ANN with an ADC (asymmetric distance
+    * computation) scan — the compressed-domain search that makes
+    * billion-vector corpora tractable: each vector is stored as [[PqM]]
+    * one-byte codes (its nearest centroid per 8-dim subspace, codebooks
+    * Lloyd-trained like [[simsearchIvf]]'s coarse quantizer), and a probe
+    * scans the corpus by summing [[PqM]] precomputed table lookups
+    * instead of touching raw floats — at 100 TB the scan reads 8 bytes
+    * per vector instead of 256. Structure:
+    *
+    *   1. codebooks: per subspace, [[PqK]] centroids from the corpus's
+    *      16 lowest-vec_id subvectors, refined by [[PqIters]]
+    *      deterministic Lloyd iterations (driver holds 8×16×8 doubles —
+    *      the MLlib collect-and-broadcast pattern, never corpus data);
+    *   2. encode: per (vector, subspace) the argmin-distance centroid
+    *      (ties to the lower centroid id) — one broadcast join + map-side
+    *      max_by aggregate;
+    *   3. ADC: per probe a 8×16 distance table (broadcast, 1280 rows for
+    *      10 probes) joined to the code table on (sub, code), summed per
+    *      (probe, vector) through r6-quantized decimals (order-exact);
+    *   4. top-5 candidates per probe by approximate distance through the
+    *      custom heap exec [[graft.plans.TopK]] (per-partition heaps +
+    *      one hash shuffle — never a full per-probe sort);
+    *   5. exact cosine re-rank of the 5.
+    *
+    * The oracle replays the identical training, encoding, and ADC math —
+    * generated by the same loop so the two cannot drift (the
+    * simsearch_ivf discipline). */
+  def simsearchPq(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val e = emb(spark, dir)
+      .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
+    def subVecs(df: DataFrame, idCol: String, embCol: String, out: String) =
+      df.select(col(idCol), explode(sequence(lit(0), lit(PqM - 1))).as("sub"),
+          col(embCol))
+        .select(col(idCol), col("sub"),
+          transform(slice(col(embCol), col("sub") * 8 + 1, lit(8)),
+            x => x.cast("double")).as(out))
+    val sv = subVecs(e, "vec_id", "embedding", "subv")
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sub",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("c_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("c_emb",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    def centsDf(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(rows.asJava, centSchema)
+    // assignment: per (vector, subspace) the nearest centroid of that
+    // subspace — argmin as a map-side max_by aggregate (no window).
+    def assignCodes(cs: DataFrame): DataFrame =
+      sv.join(broadcast(cs), "sub")
+        .withColumn("d2s", sqdist(col("subv"), col("c_emb")))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(
+          first(col("subv")).as("subv"),   // functionally dependent
+          max_by(col("c_id"), struct(-col("d2s"), -col("c_id"))).as("code"))
+    var cents = centsDf(
+      subVecs(e.orderBy("vec_id").limit(PqK), "vec_id", "embedding", "c_emb")
+        .select(col("sub"), col("vec_id").as("c_id"), col("c_emb"))
+        .collect().toSeq)
+    for (_ <- 1 to PqIters) {
+      cents = centsDf(assignCodes(cents)
+        .select(col("sub"), col("code"), posexplode(col("subv")).as(Seq("i", "x")))
+        .groupBy("sub", "code", "i")
+        .agg((sum(r6(col("x")).cast(DecimalType(28, 6))).cast("double")
+          / count(lit(1)).cast("double")).as("mu"))
+        .groupBy("sub", "code")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("mu")))),
+          s => s.getField("mu")).as("c_emb"))
+        .select(col("sub"), col("code").as("c_id"), col("c_emb"))
+        .collect().toSeq)
+    }
+    val codes = assignCodes(cents).select("vec_id", "sub", "code")
+    val probes = e.orderBy("vec_id").limit(10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nrm").as("p_nrm"))
+    val dtab = subVecs(probes, "probe_id", "p_emb", "psv")
+      .join(cents, "sub")
+      .select(col("probe_id"), col("sub"), col("c_id").as("code"),
+        sqdist(col("psv"), col("c_emb")).as("pd"))
+    val adist = codes.join(broadcast(dtab), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(r6(col("pd")).cast(DecimalType(28, 6))).cast("double").as("adist"))
+    val top5 = graft.plans.TopK.topKPerKey(adist, Seq("probe_id"),
+      Seq(graft.plans.TopK.Ord("adist"), graft.plans.TopK.Ord("vec_id")), 5)
+    val rr = e.join(broadcast(top5), "vec_id")
+      .join(broadcast(probes), "probe_id")
+      .withColumn("cos", r4(
+        cosinePre(col("embedding"), col("p_emb"), col("nrm"), col("p_nrm"))))
+    val w = Window.partitionBy("probe_id").orderBy(desc("cos"), col("vec_id"))
+    rr.withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("probe_id"), col("rk"), col("vec_id").as("neighbor_id"),
+        col("cos"), r6(col("adist")).as("adist_r"))
+      .orderBy("probe_id", "rk")
+  }
+
+  /** Multimodal frame sampling — the video/audio access pattern over an
+    * opaque binary payload: k evenly-spaced fixed-length "frames" per
+    * blob, each emitted with its offset, content hash, and base64 bytes
+    * (the real decode is the stubbed step in graft.multimodal; offsets,
+    * slicing, hashing, and the one-row-per-frame fan-out are the real
+    * Spark-side plumbing). Pure per-row projection + a bounded 4-way
+    * explode — zero shuffle at any corpus size. Frame stride is
+    * ⌊n/4⌋ bytes; payloads shorter than 4 bytes yield only frame 0.
+    * The fixture payload is ASCII text, so char offsets = byte offsets
+    * in both engines. */
+  def multimodalFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("n"))
+    d.select(col("doc_id"), col("text"), col("n"),
+        explode(sequence(lit(0L), lit(3L))).as("frame_no"))
+      .withColumn("step", floor(col("n") / 4).cast("long"))
+      .filter(col("frame_no") === 0 || col("step") > 0)
+      .withColumn("off", col("frame_no") * col("step") + 1)
+      .filter(col("off") <= col("n"))
+      .withColumn("frame", col("text").substr(col("off").cast("int"), lit(8)))
+      .select(
+        col("doc_id"), col("frame_no"), col("off"),
+        length(col("frame")).cast("long").as("frame_len"),
+        md5(col("frame").cast("binary")).as("frame_md5"),
+        base64(col("frame").cast("binary")).as("frame_b64"))
+      .orderBy("doc_id", "frame_no")
+  }
+
   /** Threshold range search — the fixed-radius companion of
     * [[simsearchTopk]]: every corpus vector whose cosine with a probe
     * meets the threshold, not a fixed k. Same scale shape as top-k
@@ -406,9 +543,11 @@ object Vector {
     "simsearch_lsh" -> (simsearchLsh _),
     "simsearch_lsh_multiprobe" -> (simsearchLshMultiprobe _),
     "simsearch_ivf" -> (simsearchIvf _),
+    "simsearch_pq" -> (simsearchPq _),
     "dedup_embedding" -> (dedupEmbedding _),
     "multimodal_join_stats" -> (multimodalJoinStats _),
-    "multimodal_binary_meta" -> (multimodalBinaryMeta _))
+    "multimodal_binary_meta" -> (multimodalBinaryMeta _),
+    "multimodal_frame_sample" -> (multimodalFrameSample _))
 
   val oracleSql: Map[String, String] = Map(
     "simsearch_range" ->
@@ -477,6 +616,65 @@ object Vector {
            CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk,
            vec_id AS neighbor_id, cos
          FROM s QUALIFY rk <= 3 ORDER BY probe_id, rk""",
+    "simsearch_pq" -> {
+      // Mirrors the Spark-side PQ exactly: same seeds, same PqIters Lloyd
+      // iterations per subspace, same r6-decimal means and ADC sums —
+      // generated by the same loop so the two can't drift.
+      def dotFF(a: String, b: String) =
+        s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      def sqd(a: String, b: String) =
+        s"list_sum(list_transform(range(1, len($a)+1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+      def assignSql(cb: String, out: String) =
+        s"""$out AS (SELECT vec_id, sub, subv, code FROM (
+             SELECT s.vec_id, s.sub, s.subv, c.c_id AS code,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY ${sqd("s.subv", "c.c_emb")} ASC, c.c_id) AS rn
+             FROM sv s JOIN $cb c ON c.sub = s.sub) WHERE rn = 1)"""
+      val iterCtes = (0 until PqIters).map { k =>
+        s"""${assignSql(s"cb$k", s"a$k")},
+         x$k AS (SELECT sub, code, generate_subscripts(subv, 1) AS i,
+             unnest(subv) AS x FROM a$k),
+         m$k AS (SELECT sub, code, i,
+             CAST(sum(CAST(floor(x * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS mu
+           FROM x$k GROUP BY sub, code, i),
+         cb${k + 1} AS (SELECT sub, code AS c_id, list(mu ORDER BY i) AS c_emb
+           FROM m$k GROUP BY sub, code)"""
+      }.mkString(",\n         ")
+      s"""WITH e AS (SELECT vec_id, embedding,
+             sqrt(${dotFF("embedding", "embedding")}) AS nrm FROM embeddings),
+         sv AS (SELECT e.vec_id, CAST(f.sub AS INTEGER) AS sub,
+             list_transform(e.embedding[(f.sub*8+1):(f.sub*8+8)], x -> CAST(x AS DOUBLE)) AS subv
+           FROM e, (SELECT unnest(range($PqM)) AS sub) f),
+         cb0 AS (SELECT sub, vec_id AS c_id, subv AS c_emb FROM sv
+           WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT $PqK)),
+         $iterCtes,
+         ${assignSql(s"cb$PqIters", "codes")},
+         p AS (SELECT vec_id AS probe_id, embedding AS p_emb, nrm AS p_nrm
+             FROM e ORDER BY vec_id LIMIT 10),
+         psv AS (SELECT p.probe_id, CAST(f.sub AS INTEGER) AS sub,
+             list_transform(p.p_emb[(f.sub*8+1):(f.sub*8+8)], x -> CAST(x AS DOUBLE)) AS psv
+           FROM p, (SELECT unnest(range($PqM)) AS sub) f),
+         dtab AS (SELECT ps.probe_id, ps.sub, c.c_id AS code,
+             ${sqd("ps.psv", "c.c_emb")} AS pd
+           FROM psv ps JOIN cb$PqIters c ON c.sub = ps.sub),
+         ad AS (SELECT dt.probe_id, cd.vec_id,
+             CAST(sum(CAST(floor(dt.pd * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE) AS adist
+           FROM codes cd JOIN dtab dt ON dt.sub = cd.sub AND dt.code = cd.code
+           WHERE cd.vec_id != dt.probe_id
+           GROUP BY 1, 2),
+         t5 AS (SELECT probe_id, vec_id, adist,
+             row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS ra
+           FROM ad QUALIFY ra <= 5),
+         rr AS (SELECT t.probe_id, t.vec_id, t.adist,
+             ${r4Sql(dotFF("e.embedding", "p.p_emb") + " / (e.nrm * p.p_nrm)")} AS cos
+           FROM t5 t JOIN e ON e.vec_id = t.vec_id JOIN p ON p.probe_id = t.probe_id)
+         SELECT probe_id,
+           CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk,
+           vec_id AS neighbor_id, cos,
+           floor(adist * 1000000.0 + 0.5) / 1000000.0 AS adist_r
+         FROM rr ORDER BY probe_id, rk"""
+    },
     "simsearch_ivf" -> {
       // Mirrors the Spark-side k-means exactly: same seeds, same
       // KmeansIters Lloyd iterations, same r6-decimal means — generated
@@ -554,5 +752,24 @@ object Vector {
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          md5(text) AS content_md5,
          to_base64(encode(substring(text, 1, 8))) AS head8_b64
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+    "multimodal_frame_sample" ->
+      """WITH d AS (
+           SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
+         f AS (
+           SELECT doc_id, text, n, CAST(unnest(range(4)) AS BIGINT) AS frame_no
+           FROM d),
+         g AS (
+           SELECT doc_id, text, n, frame_no, n // 4 AS step,
+             frame_no * (n // 4) + 1 AS off
+           FROM f
+           WHERE frame_no = 0 OR n // 4 > 0),
+         h AS (
+           SELECT doc_id, frame_no, off, substring(text, off, 8) AS frame
+           FROM g WHERE off <= n)
+         SELECT doc_id, frame_no, off,
+           CAST(length(frame) AS BIGINT) AS frame_len,
+           md5(frame) AS frame_md5,
+           to_base64(encode(frame)) AS frame_b64
+         FROM h ORDER BY doc_id, frame_no""")
 }

@@ -9,6 +9,23 @@ class TextDedupSpec extends AnyFunSuite with SparkFixture {
   private def doc(id: Long, text: String, source: String = "s0", lang: String = "en") =
     DocRow(id, text, lang, source, text.length.toLong)
 
+  test("bpe merge: same-token runs merge left-to-right non-overlapping") {
+    // winning pair is (a, a) — the only case where occurrences can
+    // overlap; a run a^L must merge ⌊L/2⌋ pairs anchored left.
+    val dir = fixtureDir("documents" -> Seq(
+      doc(1, "a a a a a"), doc(2, "a a a"), doc(3, "a a b a a a a"),
+      doc(4, "b a a"), doc(5, "a")).toDF)
+    val out = Text.bpeMerge(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1).getAs[String]("merged_text") == "a_a a_a a")
+    assert(out(1).getAs[Long]("n_merges") == 2)
+    assert(out(2).getAs[String]("merged_text") == "a_a a")
+    assert(out(3).getAs[String]("merged_text") == "a_a b a_a a_a")
+    assert(out(4).getAs[String]("merged_text") == "b a_a")
+    assert(out(5).getAs[String]("merged_text") == "a")
+    assert(out(5).getAs[Long]("n_merges") == 0)
+  }
+
   test("exact dedup collapses identical content to min doc_id") {
     val dir = fixtureDir("documents" -> Seq(
       doc(3, "a b c"), doc(1, "a b c"), doc(2, "x y")).toDF)
