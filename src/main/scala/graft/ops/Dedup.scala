@@ -275,6 +275,8 @@ object Dedup {
       prevSig = sig
       e = next
       rounds += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[lss] round $rounds sig=$sig converged=$converged")
     }
     e.select(col("src").as("doc_id"), col("dst").as("root"))
       .union(e.select(col("dst").as("doc_id"), col("dst").as("root")))

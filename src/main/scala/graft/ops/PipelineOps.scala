@@ -194,7 +194,85 @@ object PipelineOps {
       .orderBy("col_name")
   }
 
+  /** CDC upsert — the MERGE INTO shape every incremental pipeline ships:
+    * apply a change batch (inserts / updates / deletes) to a base
+    * snapshot in one pass. The reference's A11+A12 is the degenerate
+    * whole-DB version of this (destructive overwrite); real pipelines
+    * merge row-level. The change batch here is derived deterministically
+    * from the base so the query is self-contained: orderkey % 17 == 0 →
+    * delete, else % 10 == 0 → update (price + 100), and a disjoint
+    * synthetic key range → insert. Plan shape: ONE full-outer equi join
+    * base ⟗ changes on the key, then per-row resolution (coalesce + op
+    * dispatch) — at 100 TB the change batch is typically small enough
+    * that AQE broadcasts it (unhinted on purpose), and the base is never
+    * read twice. Output: per-status row counts + exact price sums of the
+    * merged snapshot, plus applied-op counts. */
+  def upsertCdc(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        col("o_totalprice").as("price"))
+    val existing = base.select(col("k"),
+        when(col("k") % 17 === 0, "D")
+          .when(col("k") % 10 === 0, "U")
+          .as("op"),
+        (col("price") + 100.0).as("new_price"), col("st").as("new_st"))
+      .filter(col("op").isNotNull)
+    val inserts = base.filter(col("k") % 23 === 0)
+      .select((col("k") + 1000000L).as("k"), lit("I").as("op"),
+        lit(42.5).as("new_price"), lit("N").as("new_st"))
+    val changes = existing.union(inserts)
+    val merged = base.join(changes, Seq("k"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "D")
+      .select(col("k"),
+        coalesce(col("op"), lit("keep")).as("op"),
+        when(col("op").isin("U", "I"), col("new_st")).otherwise(col("st")).as("st"),
+        when(col("op").isin("U", "I"), col("new_price")).otherwise(col("price"))
+          .as("price"))
+    merged.groupBy("st")
+      .agg(count(lit(1)).as("n_rows"),
+        dsumR(col("price"), Money).as("sum_price"),
+        sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_updated"),
+        sum(when(col("op") === "I", 1L).otherwise(0L)).as("n_inserted"))
+      .orderBy("st")
+  }
+
+  /** SCD2 history building — turn an event stream into
+    * slowly-changing-dimension type-2 intervals: per user, one row per
+    * run of consecutive equal event_types, with valid_from/valid_to
+    * (null = still current) and a version number. The standard
+    * warehouse transform for "what was the state at time T" queries.
+    * All four window expressions (change detection, version numbering,
+    * interval close) share ONE (user_id, ts) sort; segment count is
+    * bounded by event count and typically far smaller. */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val e = table(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("ver", sum(col("chg")).over(
+        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val seg = e.groupBy("user_id", "ver")
+      .agg(min(col("event_type")).as("event_type"),   // constant within segment
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val w2 = Window.partitionBy("user_id").orderBy("ver")
+    seg
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+      .select(col("user_id"), col("ver"), col("event_type"),
+        tsS(col("valid_from")).as("valid_from_s"),
+        coalesce(tsS(col("valid_to")), lit("current")).as("valid_to_s"),
+        col("n_events"))
+      .orderBy("user_id", "ver")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_upsert_cdc" -> (upsertCdc _),
+    "pipe_scd2_intervals" -> (scd2Intervals _),
     "pipe_sample_hash" -> (sampleHash _),
     "pipe_sample_stratified" -> (sampleStratified _),
     "pipe_profile_columns" -> (profileColumns _),
@@ -205,6 +283,55 @@ object PipelineOps {
     "pipe_partition_prune" -> (partitionPrune _))
 
   val oracleSql: Map[String, String] = Map(
+    "pipe_upsert_cdc" ->
+      """WITH base AS (
+           SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS price
+           FROM orders),
+         existing AS (
+           SELECT k,
+             CASE WHEN k % 17 = 0 THEN 'D' WHEN k % 10 = 0 THEN 'U' END AS op,
+             price + 100.0 AS new_price, st AS new_st
+           FROM base WHERE k % 17 = 0 OR k % 10 = 0),
+         inserts AS (
+           SELECT k + 1000000 AS k, 'I' AS op, 42.5 AS new_price, 'N' AS new_st
+           FROM base WHERE k % 23 = 0),
+         changes AS (SELECT * FROM existing UNION ALL SELECT * FROM inserts),
+         m AS (
+           SELECT coalesce(b.k, c.k) AS k,
+             coalesce(c.op, 'keep') AS op,
+             CASE WHEN c.op IN ('U', 'I') THEN c.new_st ELSE b.st END AS st,
+             CASE WHEN c.op IN ('U', 'I') THEN c.new_price ELSE b.price END AS price
+           FROM base b FULL OUTER JOIN changes c ON b.k = c.k
+           WHERE coalesce(c.op, '') <> 'D')
+         SELECT st, count(*) AS n_rows,
+           round(CAST(sum(CAST(price AS DECIMAL(14,2))) AS DOUBLE), 4) AS sum_price,
+           CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+           CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
+         FROM m GROUP BY st ORDER BY st""",
+    "pipe_scd2_intervals" ->
+      s"""WITH e AS (
+           SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type, 1) OVER w IS NULL
+                    OR lag(event_type, 1) OVER w <> event_type
+               THEN 1 ELSE 0 END AS chg
+           FROM ${evSql()}
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         v AS (
+           SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS ver
+           FROM e),
+         seg AS (
+           SELECT user_id, ver, min(event_type) AS event_type,
+             min(ts) AS valid_from, count(*) AS n_events
+           FROM v GROUP BY user_id, ver),
+         s2 AS (
+           SELECT *, lead(valid_from, 1) OVER (PARTITION BY user_id ORDER BY ver) AS valid_to
+           FROM seg)
+         SELECT user_id, CAST(ver AS BIGINT) AS ver, event_type,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from_s,
+           coalesce(strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f'), 'current') AS valid_to_s,
+           CAST(n_events AS BIGINT) AS n_events
+         FROM s2 ORDER BY user_id, ver""",
     "pipe_sample_hash" ->
       """SELECT event_type, count(*) AS n, min(event_id) AS min_event,
          max(event_id) AS max_event

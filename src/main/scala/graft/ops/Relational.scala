@@ -609,6 +609,43 @@ object Relational {
       .orderBy("bucket")
   }
 
+  /** Co-located join through BUCKETED table layout — the recurring
+    * fact-to-fact join's 100 TB fast path: both sides written
+    * `bucketBy(join key)` ([[graft.sources.TableSinks.writeBucketed]]),
+    * so the bucket layout already satisfies the join's required
+    * distribution and the join runs with NO exchange on either side
+    * (asserted with broadcast disabled in SourcesSpec; at warehouse
+    * scale this deletes the dominant cost — the shuffle — of every
+    * repeat join on the same key). The bucketed write is part of the
+    * query (layout is an operator, the `pipe_partition_prune`
+    * discipline), write-once per input dir per JVM; table names carry
+    * the input-dir hash so concurrent scale factors can't collide.
+    * Result gated against the plain-join oracle — bucketing must be
+    * invisible to semantics. */
+  def joinBucketedColocated(spark: SparkSession, dir: String): DataFrame = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val (ot, lt) = (s"g_bk_orders_$key", s"g_bk_lines_$key")
+    if (!spark.catalog.tableExists(ot) || !spark.catalog.tableExists(lt)) {
+      graft.sources.TableSinks.writeBucketed(
+        table(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus")), ot, "o_orderkey", 8)
+      graft.sources.TableSinks.writeBucketed(
+        table(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        lt, "l_orderkey", 8)
+    }
+    spark.table(ot)
+      .join(spark.table(lt),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum((col("l_extendedprice").cast(Money) * oneMinus(col("l_discount"))))
+          .cast("double"), 4).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
   /** lead() — lag's forward twin ([[windowLagDelta]] covers the backward
     * offset): next event's type, value delta, and exact µs gap per user.
     * Same single per-user window sort serves all three lead expressions;
@@ -840,9 +877,16 @@ object Relational {
     "set_union_except" -> (setUnionExcept _),
     "reshape_unpivot" -> (reshapeUnpivot _),
     "join_null_safe" -> (joinNullSafe _),
+    "join_bucketed_colocated" -> (joinBucketedColocated _),
     "window_lead" -> (windowLead _))
 
   val oracleSql: Map[String, String] = Map(
+    "join_bucketed_colocated" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+           * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4))) AS DOUBLE), 4) AS revenue
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "reshape_unpivot" ->
       """WITH w AS (
            SELECT o_orderpriority,

@@ -424,7 +424,10 @@ object Vector {
         .select(col(idCol), col("sub"),
           transform(slice(col(embCol), col("sub") * 8 + 1, lit(8)),
             x => x.cast("double")).as(out))
-    val sv = subVecs(e, "vec_id", "embedding", "subv")
+    // Materialized once: the subvector table feeds PqIters+1 assignment
+    // jobs plus the encode pass — without the checkpoint each job would
+    // re-scan and re-slice the corpus (plans compose, results don't).
+    val sv = subVecs(e, "vec_id", "embedding", "subv").localCheckpoint()
     val centSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("sub",
         org.apache.spark.sql.types.IntegerType),
