@@ -627,6 +627,16 @@ object Relational {
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val (ot, lt) = (s"g_bk_orders_$key", s"g_bk_lines_$key")
     if (!spark.catalog.tableExists(ot) || !spark.catalog.tableExists(lt)) {
+      // A previous JVM's managed-table directory outlives the in-memory
+      // catalog; saveAsTable would then die with LOCATION_ALREADY_EXISTS.
+      // Remove orphaned locations before recreating (same discipline as
+      // sql_ctas_insert's fixed LOCATION).
+      val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+      Seq(ot, lt).foreach { t =>
+        val d = new java.io.File(wh, t)
+        if (d.exists() && !spark.catalog.tableExists(t))
+          new scala.reflect.io.Directory(d).deleteRecursively()
+      }
       graft.sources.TableSinks.writeBucketed(
         table(spark, dir, "orders")
           .select(col("o_orderkey"), col("o_orderstatus")), ot, "o_orderkey", 8)

@@ -193,6 +193,35 @@ object Text {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Sub-document (paragraph-level) exact dedup — boilerplate detection
+    * BELOW document granularity: the [[chunkSplit]] chunking hashed and
+    * aggregated corpus-wide, reporting every chunk that recurs across
+    * multiple documents (the repeated header/footer/navigation text a
+    * whole-document hash can never catch, and the second-most-common
+    * dedup pass in a real training pipeline after whole-doc). One
+    * Generator pass + one hash shuffle on the chunk hash; output bounded
+    * to chunks appearing in ≥ 3 docs, top-20 by spread. */
+  def dedupChunkExact(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(col("toks"))
+    val nChunks = (lit(1) + when(n > 8, floor((n - 3) / lit(6))).otherwise(lit(0)))
+      .cast("long")
+    docs(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), nChunks - 1)).as("ci"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("toks"), (col("ci") * 6 + 1).cast("int"), lit(8)))
+          .cast("binary")).as("h"))
+      .groupBy("h")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 3)
+      .orderBy(desc("n_docs"), desc("n_occurrences"), col("h"))
+      .limit(20)
+  }
+
   /** Exact dedup on md5(lower(trim(text))): one hash-shuffle, keep the min
     * doc_id per content hash — ref A7's seen-set semantics applied to
     * content identity. */
@@ -641,6 +670,7 @@ object Text {
     "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_near_jaccard" -> (dedupNearJaccard _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_chunk_exact" -> (dedupChunkExact _),
     "text_shingle_containment" -> (shingleContainment _))
 
   val oracleSql: Map[String, String] = Map(
@@ -775,6 +805,27 @@ object Text {
            array_to_string(toks[(ci * 6 + 1):(ci * 6 + 8)], ' ') AS chunk_text,
            least(8, n - ci * 6) AS n_tok
          FROM c ORDER BY doc_id, chunk_idx""",
+    "dedup_chunk_exact" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+           FROM documents),
+         c AS (
+           SELECT doc_id, toks, n,
+             unnest(range(0, 1 + CASE WHEN n > 8
+               THEN CAST(floor((n - 3) / 6) AS BIGINT) ELSE 0 END)) AS ci
+           FROM d),
+         hh AS (
+           SELECT doc_id,
+             md5(array_to_string(toks[(ci * 6 + 1):(ci * 6 + 8)], ' ')) AS h
+           FROM c),
+         g AS (
+           SELECT h, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences,
+             min(doc_id) AS first_doc
+           FROM hh GROUP BY h)
+         SELECT h, n_docs, n_occurrences, first_doc
+         FROM g WHERE n_docs >= 3
+         ORDER BY n_docs DESC, n_occurrences DESC, h LIMIT 20""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS h,
          count(*) AS n_copies

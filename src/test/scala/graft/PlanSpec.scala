@@ -151,6 +151,21 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("join_bucketed_colocated: neither side shuffles (bucket layout satisfies the join)") {
+    // With broadcast disabled the join must still plan with NO exchange
+    // on either key — the bucket metadata provides the distribution.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Relational.joinBucketedColocated(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning(o_orderkey") &&
+        !p.contains("Exchange hashpartitioning(l_orderkey"),
+        s"bucketed join still shuffles a join side:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("sweep: every join keyed solely on a low-cardinality blocking key is block-size-capped") {
     // The third 100 TB-killer, generalized from round 3's two `weak`
     // marks: a pair join whose ONLY equi keys are designated blocking

@@ -11,6 +11,43 @@ class RelationalEdgeSpec extends AnyFunSuite with SparkFixture {
 
   private def events(rows: EventRow*) = spark.createDataset(rows).toDF
 
+  test("CDC upsert: update/delete/insert/keep each resolve correctly") {
+    val d = ts("2024-01-01 00:00:00")
+    val dir = fixtureDir("orders" -> Seq(
+      OrderRow(5, 1, "O", 50.0, d, "1-URGENT"),    // keep
+      OrderRow(10, 1, "O", 100.0, d, "1-URGENT"),  // update (+100)
+      OrderRow(17, 1, "F", 70.0, d, "1-URGENT"),   // delete
+      OrderRow(23, 1, "P", 30.0, d, "1-URGENT")    // keep; spawns insert 1000023
+    ).toDF)
+    val out = PipelineOps.upsertCdc(spark, dir).collect()
+      .map(r => r.getAs[String]("st") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Double]("sum_price"),
+          r.getAs[Long]("n_updated"), r.getAs[Long]("n_inserted")))).toMap
+    assert(out("N") == ((1L, 42.5, 0L, 1L)))       // the synthetic insert
+    assert(out("O") == ((2L, 250.0, 1L, 0L)))      // keep 50 + updated 200
+    assert(out("P") == ((1L, 30.0, 0L, 0L)))       // untouched
+    assert(!out.contains("F"))                     // deleted row's group gone
+  }
+
+  test("SCD2 intervals: runs of equal types become versioned validity ranges") {
+    val dir = fixtureDir("events" -> events(
+      EventRow(1, ts("2024-01-01 00:00:00"), 1, "view", 0.0, "{}"),
+      EventRow(2, ts("2024-01-02 00:00:00"), 1, "view", 0.0, "{}"),
+      EventRow(3, ts("2024-01-03 00:00:00"), 1, "click", 0.0, "{}"),
+      EventRow(4, ts("2024-01-04 00:00:00"), 1, "view", 0.0, "{}")))
+    val out = PipelineOps.scd2Intervals(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("ver")).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_.getAs[String]("event_type")).toSeq ==
+      Seq("view", "click", "view"))
+    assert(out.map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 1L, 1L))
+    // each segment closes exactly where the next one opens; last is open
+    assert(out(0).getAs[String]("valid_to_s") ==
+      out(1).getAs[String]("valid_from_s"))
+    assert(out(1).getAs[String]("valid_to_s") ==
+      out(2).getAs[String]("valid_from_s"))
+    assert(out(2).getAs[String]("valid_to_s") == "current")
+  }
+
   test("latest snapshot: single-element input returns that element (ref A6 quirk)") {
     val dir = fixtureDir("events" ->
       events(EventRow(7, ts("2024-01-05 10:00:00"), 1, "click", 2.5, "{}")))
