@@ -36,7 +36,9 @@ object GraftExtensions {
     ("dot_product_float_double", classOf[DotProductFloatDouble].getName,
       binary("dot_product_float_double", DotProductFloatDouble.apply)),
     ("mask_intersect_count", classOf[MaskIntersectCount].getName,
-      binary("mask_intersect_count", MaskIntersectCount.apply)))
+      binary("mask_intersect_count", MaskIntersectCount.apply)),
+    ("sq_dist_double", classOf[SqDistDouble].getName,
+      binary("sq_dist_double", SqDistDouble.apply)))
 
   /** Register on an already-built session (builder-time extensions can't
     * reach it): same builders, same registry entries. Also exposes the

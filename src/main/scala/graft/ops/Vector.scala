@@ -381,11 +381,12 @@ object Vector {
   private val PqIters = 2   // Lloyd iterations per codebook
 
   /** Squared L2 distance between two double arrays — the PQ training and
-    * lookup-table metric. Same sequential fold spelling as [[dot]] so the
-    * oracle's list_sum(list_transform(...)) is bit-identical. */
+    * lookup-table metric. Codegen'd fused loop
+    * ([[graft.functions.SqDistDouble]]), bit-identical to the
+    * `zip_with`+`aggregate` HOF spelling it replaces and to the oracle's
+    * list_sum(list_transform(...)) (same left-to-right IEEE op order). */
   private def sqdist(a: Column, c: Column): Column =
-    aggregate(zip_with(a, c, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.SqDistDouble.sqDist(a, c)
 
   /** Product-quantization ANN with an ADC (asymmetric distance
     * computation) scan — the compressed-domain search that makes

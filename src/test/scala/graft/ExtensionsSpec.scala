@@ -33,6 +33,24 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Double]("p") == 11.0)
   }
 
+  test("SqDistDouble matches the zip_with+aggregate HOF spelling bit for bit") {
+    import graft.functions.SqDistDouble
+    import org.apache.spark.sql.functions._
+    val a = expr("CAST(array(1.5, -2.25, 3.125, 0.1) AS ARRAY<DOUBLE>)")
+    val b = expr("CAST(array(0.5, 2.75, -1.0, 0.1) AS ARRAY<DOUBLE>)")
+    val hof = aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+    val r = spark.range(1).select(
+      SqDistDouble.sqDist(a, b).as("native"), hof.as("hof"),
+      // unequal lengths fold the common prefix
+      SqDistDouble.sqDist(
+        expr("CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>)"),
+        expr("CAST(array(0.0, 0.0, 9.0) AS ARRAY<DOUBLE>)")).as("p")).collect()(0)
+    assert(java.lang.Double.doubleToLongBits(r.getAs[Double]("native")) ==
+      java.lang.Double.doubleToLongBits(r.getAs[Double]("hof")))
+    assert(r.getAs[Double]("p") == 5.0)
+  }
+
   test("MaskIntersectCount merges sorted word maps (AND + popcount)") {
     import graft.functions.MaskIntersectCount
     import org.apache.spark.sql.functions._
@@ -49,14 +67,17 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Long]("disjoint") == 0L)
   }
 
-  test("all three native expressions resolve by name through SQL") {
+  test("all four native expressions resolve by name through SQL") {
     GraftExtensions.register(spark)
     val r = spark.sql(
       """SELECT dot_product_float_double(
            CAST(array(2.0) AS ARRAY<FLOAT>), CAST(array(3.0) AS ARRAY<DOUBLE>)) AS d,
-         mask_intersect_count(map(0L, 7L), map(0L, 3L)) AS m""").collect()(0)
+         mask_intersect_count(map(0L, 7L), map(0L, 3L)) AS m,
+         sq_dist_double(CAST(array(3.0, 1.0) AS ARRAY<DOUBLE>),
+           CAST(array(1.0, 1.0) AS ARRAY<DOUBLE>)) AS s""").collect()(0)
     assert(r.getAs[Double]("d") == 6.0)
     assert(r.getAs[Long]("m") == 2L)
+    assert(r.getAs[Double]("s") == 4.0)
   }
 
   test("misra_gries_topk UDAF is callable from SQL and exact under k") {
