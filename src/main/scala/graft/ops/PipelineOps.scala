@@ -236,6 +236,41 @@ object PipelineOps {
       .orderBy("st")
   }
 
+  /** Snapshot diff — the inverse of [[upsertCdc]]: given two snapshots,
+    * PRODUCE the change batch (added / removed / changed / unchanged),
+    * the comparison a pipeline runs when a source can't emit its own CDC
+    * feed (the reference re-imports whole snapshots daily — this is
+    * exactly the "what changed since yesterday" question its consumers
+    * would ask). The "next" snapshot derives deterministically from the
+    * base: keys % 13 == 0 dropped, % 7 == 0 repriced (+50), and a
+    * disjoint synthetic range added. One full-outer equi join on the
+    * key; per-row classification is a codegen'd projection. Output:
+    * per diff status, row count, exact price delta, and key fences. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+    val next = base.filter(col("k") % 13 =!= 0)
+      .select(col("k"),
+        when(col("k") % 7 === 0, col("price") + 50.0).otherwise(col("price"))
+          .as("price"))
+      .union(base.filter(col("k") % 19 === 0)
+        .select((col("k") + 2000000L).as("k"), lit(99.99).as("price")))
+    val d = base.select(col("k"), col("price").as("p0"))
+      .join(next.select(col("k"), col("price").as("p1")), Seq("k"), "full_outer")
+      .select(col("k"),
+        when(col("p0").isNull, "added")
+          .when(col("p1").isNull, "removed")
+          .when(col("p0") =!= col("p1"), "changed")
+          .otherwise("unchanged").as("status"),
+        (coalesce(col("p1"), lit(0.0)) - coalesce(col("p0"), lit(0.0))).as("delta"))
+    d.groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        dsumR(col("delta"), Money).as("price_delta"),
+        min(col("k")).as("min_key"),
+        max(col("k")).as("max_key"))
+      .orderBy("status")
+  }
+
   /** SCD2 history building — turn an event stream into
     * slowly-changing-dimension type-2 intervals: per user, one row per
     * run of consecutive equal event_types, with valid_from/valid_to
@@ -272,6 +307,7 @@ object PipelineOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_upsert_cdc" -> (upsertCdc _),
+    "pipe_snapshot_diff" -> (snapshotDiff _),
     "pipe_scd2_intervals" -> (scd2Intervals _),
     "pipe_sample_hash" -> (sampleHash _),
     "pipe_sample_stratified" -> (sampleStratified _),
@@ -283,6 +319,26 @@ object PipelineOps {
     "pipe_partition_prune" -> (partitionPrune _))
 
   val oracleSql: Map[String, String] = Map(
+    "pipe_snapshot_diff" ->
+      """WITH base AS (
+           SELECT o_orderkey AS k, o_totalprice AS price FROM orders),
+         next0 AS (
+           SELECT k, CASE WHEN k % 7 = 0 THEN price + 50.0 ELSE price END AS price
+           FROM base WHERE k % 13 <> 0
+           UNION ALL
+           SELECT k + 2000000 AS k, 99.99 AS price FROM base WHERE k % 19 = 0),
+         d AS (
+           SELECT coalesce(b.k, n.k) AS k,
+             CASE WHEN b.k IS NULL THEN 'added'
+                  WHEN n.k IS NULL THEN 'removed'
+                  WHEN b.price <> n.price THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             coalesce(n.price, 0.0) - coalesce(b.price, 0.0) AS delta
+           FROM base b FULL OUTER JOIN next0 n ON b.k = n.k)
+         SELECT status, count(*) AS n,
+           round(CAST(sum(CAST(delta AS DECIMAL(14,2))) AS DOUBLE), 4) AS price_delta,
+           min(k) AS min_key, max(k) AS max_key
+         FROM d GROUP BY status ORDER BY status""",
     "pipe_upsert_cdc" ->
       """WITH base AS (
            SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS price

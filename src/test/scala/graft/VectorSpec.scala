@@ -145,6 +145,24 @@ class VectorSpec extends AnyFunSuite with SparkFixture {
     out.foreach(r => assert(r.getAs[Double]("cos") > 0.95))
   }
 
+  test("PQ ADC: a near-identical twin survives compressed-domain search and re-ranks first") {
+    // The twin's codes are the nearest centroids to the probe's own
+    // subvectors, so its ADC distance is just quantization error — far
+    // below any random vector's true distance. It must make the ADC
+    // top-5 and take rank 1 after exact re-rank.
+    val rnd = new scala.util.Random(11)
+    def randv() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val vs = (0 until 30).map(i => emb(i.toLong, randv()))
+    val twin = emb(100L,
+      vs(0).embedding.map(x => x + (rnd.nextGaussian() * 0.005).toFloat))
+    val dir = fixtureDir("embeddings" -> (vs :+ twin).toDF)
+    val out = Vector.simsearchPq(spark, dir).collect()
+    val p0 = out.filter(_.getAs[Long]("probe_id") == 0L)
+    assert(p0.nonEmpty && p0.head.getAs[Long]("neighbor_id") == 100L,
+      s"twin not rank-1 for probe 0: ${p0.map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toSeq}")
+    assert(p0.head.getAs[Double]("cos") > 0.99)
+  }
+
   test("multimodal binary meta: byte length and md5 match the utf8 payload") {
     val dir = fixtureDir("documents" -> Seq(DocRow(1, "abc", "en", "s0", 3)).toDF)
     val r = Vector.multimodalBinaryMeta(spark, dir).collect()(0)
