@@ -106,31 +106,23 @@ object Dedup {
     * set of [[ccGroups]]' near-dup graph. */
   private[ops] def candidatePairs(base: DataFrame, saltPrefix: String): DataFrame = {
     // The whole signature stage is ONE evaluate-once-per-row expression:
-    // toks → md5 array → K slice-mins (single aggregate pass over a struct
-    // accumulator) → array of (band, bsig) structs. Every intermediate is
-    // lambda-bound via boundCol: spelling these as stacked projections lets
-    // CollapseProject substitute each definition into every reference, and
-    // the K separate array_min(transform(hs, …)) columns of rounds 1-2 were
-    // re-evaluating the full md5 array K times (measured: the aggregate
-    // spelling also compiles ~2 s faster, one generated expression instead
-    // of K+1). "g" > every hex digit, so it is a safe min-sentinel; toks is
-    // non-empty by construction in both callers.
-    val bandArr = boundCol(transform(col("toks"), t =>
-        md5(concat(lit(s"$saltPrefix|"), t).cast("binary")))) { hs =>
-      boundCol(aggregate(hs,
-          struct((0 until K).map(i => lit("g").as(s"m$i")): _*),
-          (acc, h) => struct((0 until K).map(i =>
-            least(acc.getField(s"m$i"), h.substr(1 + 5 * i, 5)).as(s"m$i")): _*))) { sg =>
-        array((0 until Bands).map { b =>
-          struct(lit(b).as("band"),
-            md5(concat((0 until R).map(j => sg.getField(s"m${R * b + j}")): _*)
-              .cast("binary")).as("bsig"))
-        }: _*)
-      }
-    }
+    // toks → md5 array (codegen'd Md5 per element) → the fused native
+    // [[graft.functions.MinhashBandSigs]] (K slice-mins + per-band md5 in
+    // one JVM eval). Rounds 1-3 history: K separate
+    // array_min(transform(hs, …)) columns re-evaluated the md5 array K
+    // times under CollapseProject; the round-3 `aggregate` fold fixed
+    // that but still ran interpreted lambdas and allocated a K-field
+    // struct per element — the native expression removes both, and the
+    // oracle's replayed arithmetic gates that it is bit-identical.
+    // The md5 transform has exactly ONE reference, so CollapseProject
+    // inlining evaluates it once (no boundCol needed). "g" > every hex
+    // digit, so it is a safe min-sentinel; toks is non-empty by
+    // construction in both callers.
+    val bandArr = graft.functions.MinhashBandSigs.bandSigs(
+      transform(col("toks"), t =>
+        md5(concat(lit(s"$saltPrefix|"), t).cast("binary"))), K, R)
     val bands = base.select(col("doc_id"), col("source"),
-        explode(bandArr).as("bs"))
-      .select(col("doc_id"), col("source"), col("bs.band"), col("bs.bsig"))
+        posexplode(bandArr).as(Seq("band", "bsig")))
     // Candidate pairs by GROUPING each (source, band, bsig) bucket and
     // emitting its member pairs, not by self-joining the band table: one
     // shuffle of band rows total. (The round-1 self-join recomputed the
