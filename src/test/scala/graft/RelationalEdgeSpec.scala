@@ -29,6 +29,23 @@ class RelationalEdgeSpec extends AnyFunSuite with SparkFixture {
     assert(!out.contains("F"))                     // deleted row's group gone
   }
 
+  test("snapshot diff: added/removed/changed/unchanged classified with exact deltas") {
+    val d = ts("2024-01-01 00:00:00")
+    val dir = fixtureDir("orders" -> Seq(
+      OrderRow(1, 1, "O", 10.0, d, "1-URGENT"),   // unchanged
+      OrderRow(7, 1, "O", 20.0, d, "1-URGENT"),   // repriced +50
+      OrderRow(13, 1, "F", 30.0, d, "1-URGENT"),  // dropped in next
+      OrderRow(19, 1, "P", 40.0, d, "1-URGENT")   // unchanged; spawns 2000019
+    ).toDF)
+    val out = PipelineOps.snapshotDiff(spark, dir).collect()
+      .map(r => r.getAs[String]("status") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("price_delta")))).toMap
+    assert(out("added") == ((1L, 99.99)))
+    assert(out("removed") == ((1L, -30.0)))
+    assert(out("changed") == ((1L, 50.0)))
+    assert(out("unchanged") == ((2L, 0.0)))
+  }
+
   test("SCD2 intervals: runs of equal types become versioned validity ranges") {
     val dir = fixtureDir("events" -> events(
       EventRow(1, ts("2024-01-01 00:00:00"), 1, "view", 0.0, "{}"),
