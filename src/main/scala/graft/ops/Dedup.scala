@@ -216,12 +216,17 @@ object Dedup {
     * this is gated by an exact recursive-CTE oracle); the round cap
     * backstops pathology. Mods keep the sums far from Long overflow
     * (ANSI mode throws on overflow) at any edge count. */
-  private[ops] def ccLargeSmallStar(pairs1: DataFrame): DataFrame = {
-    var e = pairs1
+  private[ops] def ccLargeSmallStar(pairs1: DataFrame,
+      inputCanonical: Boolean = false): DataFrame = {
+    // inputCanonical: the caller guarantees distinct pairs with d1 < d2
+    // (true for candidatePairs output), so the defensive dedup shuffle —
+    // needed only for arbitrary edge lists like the CcSpec fixtures —
+    // can be skipped: one fewer full shuffle of the edge set.
+    val canon = pairs1
       .select(greatest(col("d1"), col("d2")).as("src"),
         least(col("d1"), col("d2")).as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
+    var e = (if (inputCanonical) canon
+             else canon.filter(col("src") =!= col("dst")).distinct())
       .localCheckpoint()
     val M = 1000000007L
     var prevSig: Seq[Long] = null
@@ -293,7 +298,7 @@ object Dedup {
     val base = table(spark, dir, "documents").select(
       col("doc_id"), col("source"),
       array_distinct(split(col("text"), " ")).as("toks"))
-    val lbl = ccLargeSmallStar(candidatePairs(base, "s"))
+    val lbl = ccLargeSmallStar(candidatePairs(base, "s"), inputCanonical = true)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("root")
     lbl.withColumn("n_members", count(lit(1)).over(w))
       .select(col("doc_id"), col("root"), col("n_members"))
@@ -327,7 +332,7 @@ object Dedup {
     val d = table(spark, dir, "documents")
     val base = d.select(col("doc_id"), col("source"),
       array_distinct(split(Text.normTextExpr, " ")).as("toks"))
-    val lbl = ccLargeSmallStar(candidatePairs(base, "s"))
+    val lbl = ccLargeSmallStar(candidatePairs(base, "s"), inputCanonical = true)
     val (_, _, _, score) = Text.compositeQuality
     val dq = d.select(col("doc_id"), col("source"), score.as("q"))
     val withRoot = dq.join(lbl, Seq("doc_id"), "left")

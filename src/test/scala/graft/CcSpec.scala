@@ -67,4 +67,13 @@ class CcSpec extends AnyFunSuite with SparkFixture {
   test("duplicate edges and both orientations collapse") {
     check(Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 2L), (5L, 4L)), "dups")
   }
+
+  test("canonical-input fast path matches the defensive path") {
+    // distinct d1 < d2 pairs — the candidatePairs output contract
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 9L), (9L, 11L), (20L, 21L))
+    val df = edges.toDF("d1", "d2")
+    val fast = Dedup.ccLargeSmallStar(df, inputCanonical = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == unionFind(edges), "fast path diverged from union-find")
+  }
 }
