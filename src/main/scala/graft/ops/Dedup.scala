@@ -102,8 +102,9 @@ object Dedup {
   }
 
   /** LSH candidate pairs (source, d1 < d2) over any per-doc element set
-    * `toks` — the shared front half of the MinHash family, also the edge
-    * set of [[ccGroups]]' near-dup graph. */
+    * `toks` — the shared front half of the MinHash family, for consumers
+    * that score each pair ([[minhashLshOver]], [[editDistance]]).
+    * Connectivity-only consumers use [[candidateStarEdges]] instead. */
   private[ops] def candidatePairs(base: DataFrame, saltPrefix: String): DataFrame = {
     // The whole signature stage is ONE evaluate-once-per-row expression:
     // toks → md5 array (codegen'd Md5 per element) → the fused native
@@ -141,6 +142,35 @@ object Dedup {
           .as("p"))
       .select(col("source"), col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
+  }
+
+  /** LSH candidate STAR edges (d1 = bucket min < d2) — the
+    * connectivity-preserving subset of [[candidatePairs]] for consumers
+    * that only need the component structure ([[ccGroups]],
+    * [[pipelineE2e]]): connecting every bucket member to the bucket's
+    * minimum doc_id spans exactly the same components as the full
+    * per-bucket clique (any two members are 2 hops apart through the
+    * min), but emits |bucket|−1 edges instead of |bucket|²/2 pairs and
+    * skips the pair-distinct shuffle entirely — the difference between
+    * linear and quadratic cost in the bucket size, which is what a hot
+    * bucket at 100 TB turns into. Duplicate edges across bands survive
+    * (they are absorbed by the first CC round's min aggregate);
+    * correctness of the downstream fixpoint is still gated by the
+    * recursive-CTE oracle over the FULL pair set, which proves the
+    * component equivalence rather than assuming it. */
+  private[ops] def candidateStarEdges(base: DataFrame, saltPrefix: String): DataFrame = {
+    val bandArr = graft.functions.MinhashBandSigs.bandSigs(
+      transform(col("toks"), t =>
+        md5(concat(lit(s"$saltPrefix|"), t).cast("binary"))), K, R)
+    val bands = base.select(col("doc_id"), col("source"),
+      posexplode(bandArr).as(Seq("band", "bsig")))
+    bands.groupBy("source", "band", "bsig")
+      .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        """transform(slice(ds, 2, size(ds) - 1),
+           x -> struct(element_at(ds, 1) AS d1, x AS d2))""")).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
   }
 
   /** Min-label propagation + pointer jumping: per round, adopt the min
@@ -298,7 +328,7 @@ object Dedup {
     val base = table(spark, dir, "documents").select(
       col("doc_id"), col("source"),
       array_distinct(split(col("text"), " ")).as("toks"))
-    val lbl = ccLargeSmallStar(candidatePairs(base, "s"), inputCanonical = true)
+    val lbl = ccLargeSmallStar(candidateStarEdges(base, "s"), inputCanonical = true)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("root")
     lbl.withColumn("n_members", count(lit(1)).over(w))
       .select(col("doc_id"), col("root"), col("n_members"))
@@ -332,7 +362,7 @@ object Dedup {
     val d = table(spark, dir, "documents")
     val base = d.select(col("doc_id"), col("source"),
       array_distinct(split(Text.normTextExpr, " ")).as("toks"))
-    val lbl = ccLargeSmallStar(candidatePairs(base, "s"), inputCanonical = true)
+    val lbl = ccLargeSmallStar(candidateStarEdges(base, "s"), inputCanonical = true)
     val (_, _, _, score) = Text.compositeQuality
     val dq = d.select(col("doc_id"), col("source"), score.as("q"))
     val withRoot = dq.join(lbl, Seq("doc_id"), "left")

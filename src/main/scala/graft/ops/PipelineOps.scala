@@ -305,7 +305,105 @@ object PipelineOps {
       .orderBy("user_id", "ver")
   }
 
+  /** Data-quality constraint sweep — the acceptance gate a pipeline runs
+    * before trusting a new snapshot (the reference trusts its snapshot
+    * blindly at `src/bak_unload.ps1:98-103`; this is the check its
+    * consumers would want): one report row per declared constraint with
+    * checked/violation counts, violation rate, and the smallest offending
+    * key for spot debugging. Covers the four standard constraint classes —
+    * null keys, value ranges, key uniqueness, referential integrity.
+    * Shape at scale: ONE scan per table evaluates all of that table's
+    * row-level predicates as conditional aggregates (map-side partial,
+    * 1-row result each); uniqueness is one hash agg on the key;
+    * referential integrity is one left join against the distinct parent
+    * keys (AQE broadcasts the parent side while it fits — unhinted on
+    * purpose). Nothing here is ever wider than a 1-row aggregate, so the
+    * report stays cheap at any corpus size. */
+  def qualityChecks(spark: SparkSession, dir: String): DataFrame = {
+    def rowChecks(df: DataFrame, key: Column,
+        checks: Seq[(String, Column)]): DataFrame = {
+      val aggs = checks.zipWithIndex.flatMap { case ((_, pred), i) =>
+        Seq(
+          sum(when(pred, 1L).otherwise(0L)).as(s"v$i"),
+          min(when(pred, key)).cast("string").as(s"k$i"))
+      }
+      val a = df.agg(count(lit(1)).as("n"), aggs: _*)
+      a.select(explode(array(checks.zipWithIndex.map { case ((nm, _), i) =>
+          struct(lit(nm).as("check_name"), col("n").as("n_checked"),
+            col(s"v$i").as("n_violations"), col(s"k$i").as("sample_key"))
+        }: _*)).as("c"))
+        .select(col("c.check_name"), col("c.n_checked"),
+          col("c.n_violations"), col("c.sample_key"))
+    }
+    val o = table(spark, dir, "orders")
+    val ordersChecks = rowChecks(o, col("o_orderkey"), Seq(
+      "orders_null_custkey" -> col("o_custkey").isNull,
+      "orders_price_range" ->
+        (col("o_totalprice") <= 0.0 || col("o_totalprice") > 450000.0)))
+    val dup = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_violations"),
+        min(when(col("cnt") > 1, col("o_orderkey"))).cast("string")
+          .as("sample_key"))
+      .select(lit("orders_dup_orderkey").as("check_name"), col("n_checked"),
+        col("n_violations"), col("sample_key"))
+    val orphan = o.select(col("o_orderkey"), col("o_custkey"))
+      .join(
+        table(spark, dir, "customer").select(col("c_custkey")).distinct(),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_violations"),
+        min(when(col("c_custkey").isNull, col("o_orderkey"))).cast("string")
+          .as("sample_key"))
+      .select(lit("orders_orphan_custkey").as("check_name"), col("n_checked"),
+        col("n_violations"), col("sample_key"))
+    val eventsChecks = rowChecks(table(spark, dir, "events"), col("event_id"),
+      Seq(
+        "events_value_range" -> (col("value") < 0.0 || col("value") > 400.0),
+        "events_ts_window" ->
+          (col("ts") < lit("2024-01-01").cast("timestamp") ||
+            col("ts") >= lit("2024-02-01").cast("timestamp"))))
+    val docChecks = rowChecks(table(spark, dir, "documents"), col("doc_id"),
+      Seq(
+        "documents_lang_allowed" -> !col("lang").isin("en", "de", "fr", "es"),
+        "documents_len_mismatch" -> (col("n_chars") =!= length(col("text")))))
+    ordersChecks.union(dup).union(orphan).union(eventsChecks).union(docChecks)
+      .withColumn("viol_rate",
+        r6(col("n_violations").cast("double") / col("n_checked").cast("double")))
+      .select(col("check_name"), col("n_checked"), col("n_violations"),
+        col("viol_rate"), col("sample_key"))
+      .orderBy("check_name")
+  }
+
+  /** Completeness gap detection — find the MISSING (event_type, hour)
+    * slots inside each type's observed time span: the monitoring query
+    * that tells an ingest pipeline "source X stopped emitting between 3
+    * and 5am" (the reference's daily snapshot model would silently serve
+    * stale data through such a gap — its scheduler `README.md:63-68` has
+    * no completeness check at all). Shape at scale: the corpus collapses
+    * map-side to distinct (type, hour) — bounded by types × span hours,
+    * tiny regardless of event volume — then the expected grid is a
+    * per-type `sequence()` explode over the span bounds and the gaps fall
+    * out of a left-anti join of grid against observed. The corpus is
+    * scanned exactly once and everything after the first aggregate is
+    * proportional to the calendar, not the data. */
+  def gapDetect(spark: SparkSession, dir: String): DataFrame = {
+    val observed = table(spark, dir, "events")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .distinct()
+    val grid = observed.groupBy("event_type")
+      .agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"), expr("interval 1 hour")))
+          .as("hr"))
+    grid.join(observed, Seq("event_type", "hr"), "left_anti")
+      .select(col("event_type"), tsS(col("hr")).as("missing_hour"))
+      .orderBy("event_type", "missing_hour")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_quality_checks" -> (qualityChecks _),
+    "pipe_gap_detect" -> (gapDetect _),
     "pipe_upsert_cdc" -> (upsertCdc _),
     "pipe_snapshot_diff" -> (snapshotDiff _),
     "pipe_scd2_intervals" -> (scd2Intervals _),
@@ -319,6 +417,82 @@ object PipelineOps {
     "pipe_partition_prune" -> (partitionPrune _))
 
   val oracleSql: Map[String, String] = Map(
+    "pipe_quality_checks" ->
+      s"""WITH oc AS (
+           SELECT 'orders_null_custkey' AS check_name, count(*) AS n_checked,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations,
+             CAST(min(CASE WHEN o_custkey IS NULL THEN o_orderkey END) AS VARCHAR)
+               AS sample_key
+           FROM orders
+           UNION ALL
+           SELECT 'orders_price_range', count(*),
+             CAST(sum(CASE WHEN o_totalprice <= 0.0 OR o_totalprice > 450000.0
+               THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(min(CASE WHEN o_totalprice <= 0.0 OR o_totalprice > 450000.0
+               THEN o_orderkey END) AS VARCHAR)
+           FROM orders
+           UNION ALL
+           SELECT 'orders_dup_orderkey', count(*),
+             CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(min(CASE WHEN cnt > 1 THEN o_orderkey END) AS VARCHAR)
+           FROM (SELECT o_orderkey, count(*) AS cnt FROM orders GROUP BY 1)
+           UNION ALL
+           SELECT 'orders_orphan_custkey', count(*),
+             CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(min(CASE WHEN c.c_custkey IS NULL THEN o_orderkey END) AS VARCHAR)
+           FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             ON o_custkey = c.c_custkey
+           UNION ALL
+           SELECT 'events_value_range', count(*),
+             CAST(sum(CASE WHEN value < 0.0 OR value > 400.0 THEN 1 ELSE 0 END)
+               AS BIGINT),
+             CAST(min(CASE WHEN value < 0.0 OR value > 400.0 THEN event_id END)
+               AS VARCHAR)
+           FROM ${evSql()}
+           UNION ALL
+           SELECT 'events_ts_window', count(*),
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-01'
+               OR ts >= TIMESTAMP '2024-02-01' THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(min(CASE WHEN ts < TIMESTAMP '2024-01-01'
+               OR ts >= TIMESTAMP '2024-02-01' THEN event_id END) AS VARCHAR)
+           FROM ${evSql()}
+           UNION ALL
+           SELECT 'documents_lang_allowed', count(*),
+             CAST(sum(CASE WHEN lang NOT IN ('en','de','fr','es')
+               THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(min(CASE WHEN lang NOT IN ('en','de','fr','es')
+               THEN doc_id END) AS VARCHAR)
+           FROM documents
+           UNION ALL
+           SELECT 'documents_len_mismatch', count(*),
+             CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+               AS BIGINT),
+             CAST(min(CASE WHEN n_chars <> length(text) THEN doc_id END)
+               AS VARCHAR)
+           FROM documents)
+         SELECT check_name, n_checked, n_violations,
+           ${r6Sql("CAST(n_violations AS DOUBLE) / CAST(n_checked AS DOUBLE)")}
+             AS viol_rate,
+           sample_key
+         FROM oc ORDER BY check_name""",
+    "pipe_gap_detect" ->
+      s"""WITH h AS (
+           SELECT DISTINCT event_type, date_trunc('hour', ts) AS hr
+           FROM ${evSql()}),
+         b AS (
+           SELECT event_type, min(hr) AS mn, max(hr) AS mx
+           FROM h GROUP BY event_type),
+         grid AS (
+           SELECT event_type,
+             unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+           FROM b)
+         SELECT g.event_type,
+           strftime(g.hr, '%Y-%m-%d %H:%M:%S.%f') AS missing_hour
+         FROM grid g
+         WHERE NOT EXISTS (
+           SELECT 1 FROM h WHERE h.event_type = g.event_type AND h.hr = g.hr)
+         ORDER BY g.event_type, missing_hour""",
     "pipe_snapshot_diff" ->
       """WITH base AS (
            SELECT o_orderkey AS k, o_totalprice AS price FROM orders),

@@ -856,7 +856,39 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Last-touch attribution — for every `purchase`, the most recent prior
+    * `click` by the same user, attributed only within a 24 h lookback:
+    * the standard marketing/events transform (and the windowed sibling of
+    * [[joinAsofEventOrder]] — same "latest prior" semantics, but within
+    * one stream instead of across two tables). Shape at scale: ONE
+    * (user_id, ts) sort serves both running `last(…, ignoreNulls)`
+    * windows — no self-join, no per-purchase scan-back, cost independent
+    * of the lookback width. The gap is computed in exact integer
+    * MICROSECONDS on both engines (µs since epoch, integer-divided to
+    * seconds) — engine-native second-diff functions disagree on
+    * boundary-crossing vs truncation semantics. */
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    table(spark, dir, "events")
+      .withColumn("click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true)
+          .over(w))
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("gap_s",
+        expr("(unix_micros(ts) - unix_micros(click_ts)) div 1000000"))
+      .select(col("event_id"), col("user_id"), tsS(col("ts")).as("ts_s"),
+        when(col("gap_s") <= 86400L, col("click_id")).as("attrib_click_id"),
+        when(col("gap_s") <= 86400L, col("gap_s")).as("gap_s"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_attribution" -> (eventsAttribution _),
     "agg_mode" -> (aggMode _),
     "events_zscore_outliers" -> (eventsZscoreOutliers _),
     "events_retention" -> (eventsRetention _),
@@ -904,6 +936,24 @@ object Relational {
     "window_lead" -> (windowLead _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_attribution" ->
+      s"""WITH w AS (
+           SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+               OVER win AS click_ts,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+               OVER win AS click_id
+           FROM ${evSql()}
+           WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         g AS (
+           SELECT *, (epoch_us(ts) - epoch_us(click_ts)) // 1000000 AS gap0
+           FROM w WHERE event_type = 'purchase')
+         SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           CASE WHEN gap0 <= 86400 THEN click_id END AS attrib_click_id,
+           CASE WHEN gap0 <= 86400 THEN gap0 END AS gap_s
+         FROM g ORDER BY event_id""",
     "join_bucketed_colocated" ->
       """SELECT o_orderstatus, count(*) AS n_items,
          round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))

@@ -562,6 +562,41 @@ object Text {
       .orderBy("source")
   }
 
+  /** Benchmark DECONTAMINATION — the n-gram collision sweep a serious LLM
+    * training run ships before training: find corpus documents that
+    * overlap the evaluation/benchmark set (stand-in here: the
+    * deterministic 1/97 doc_id sample) so they can be dropped and eval
+    * scores stay honest. Overlap = shared distinct 3-token shingles
+    * ([[Util.shingle3]] — the 8-to-13-gram discipline scaled to this
+    * fixture's short docs); a doc is flagged when ≥ half its shingles
+    * appear in the eval set. Shape at scale: the eval side is tiny by
+    * construction (benchmarks are thousands of docs, the corpus
+    * billions), so its distinct-shingle set BROADCASTS; the corpus side
+    * is one shingle explode + broadcast-hash left join + per-doc hash
+    * agg — the corpus never shuffles, there is no pair space, and hot
+    * shingles cost nothing because the probe side is a hash table, not
+    * a shuffle key. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val evalSh = d.filter(col("doc_id") % 97 === 0)
+      .select(explode(shingle3(col("text"))).as("shingle"))
+      .distinct()
+    val corp = d.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("source"),
+        explode(shingle3(col("text"))).as("shingle"))
+    corp.join(broadcast(evalSh.withColumn("hit", lit(1))), Seq("shingle"), "left")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .filter(col("n_hit") >= 1)
+      .withColumn("containment",
+        r6(col("n_hit").cast("double") / col("n_shingles").cast("double")))
+      .select(col("doc_id"), col("source"), col("n_shingles"), col("n_hit"),
+        col("containment"),
+        when(col("containment") >= 0.5, 1L).otherwise(0L).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** One BPE-style pair-merge iteration — the step that upgrades
     * [[vocabBuild]]'s unigram dictionary toward real tokenizer training:
     * count every adjacent token pair corpus-wide, pick the most frequent
@@ -671,9 +706,40 @@ object Text {
     "dedup_near_jaccard" -> (dedupNearJaccard _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_chunk_exact" -> (dedupChunkExact _),
-    "text_shingle_containment" -> (shingleContainment _))
+    "text_shingle_containment" -> (shingleContainment _),
+    "text_decontaminate" -> (decontaminate _))
 
   val oracleSql: Map[String, String] = Map(
+    "text_decontaminate" ->
+      s"""WITH sh0 AS (
+           SELECT doc_id, source,
+             list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+               THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2])
+               ELSE CAST([] AS VARCHAR[]) END) AS sh
+           FROM documents),
+         ev AS (
+           SELECT DISTINCT unnest(sh) AS shingle FROM sh0 WHERE doc_id % 97 = 0),
+         corp AS (
+           SELECT doc_id, source, unnest(sh) AS shingle
+           FROM sh0 WHERE doc_id % 97 <> 0),
+         agg AS (
+           SELECT c.doc_id, c.source, count(*) AS n_shingles,
+             CAST(sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hit
+           FROM corp c LEFT JOIN ev ON c.shingle = ev.shingle
+           GROUP BY c.doc_id, c.source),
+         sc AS (
+           SELECT doc_id, source, n_shingles, n_hit,
+             ${r6Sql("CAST(n_hit AS DOUBLE) / CAST(n_shingles AS DOUBLE)")}
+               AS containment
+           FROM agg WHERE n_hit >= 1)
+         SELECT doc_id, source, n_shingles, n_hit, containment,
+           CAST(CASE WHEN containment >= 0.5 THEN 1 ELSE 0 END AS BIGINT)
+             AS contaminated
+         FROM sc ORDER BY doc_id""",
     "text_bpe_merge" ->
       """WITH tok0 AS (
            SELECT doc_id,

@@ -68,6 +68,27 @@ class CcSpec extends AnyFunSuite with SparkFixture {
     check(Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 2L), (5L, 4L)), "dups")
   }
 
+  test("star edges span the same components as the full pair expansion") {
+    // candidateStarEdges replaces each bucket clique with member→min star
+    // edges; over any shared token base the resulting components (and
+    // min-id roots) must be identical to CC over the full pair set.
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "a b c e"), (4L, "x y z w"),
+      (5L, "x y z w"), (6L, "p q r s"), (7L, "a b c d e"), (8L, "x y z v"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), lit("s0").as("source"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+    val viaPairs = Dedup.ccLargeSmallStar(
+        Dedup.candidatePairs(docs, "s"), inputCanonical = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStars = Dedup.ccLargeSmallStar(
+        Dedup.candidateStarEdges(docs, "s"), inputCanonical = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStars == viaPairs, "star-edge CC diverged from pair-edge CC")
+    assert(viaStars.nonEmpty, "fixture produced no candidate buckets")
+  }
+
   test("canonical-input fast path matches the defensive path") {
     // distinct d1 < d2 pairs — the candidatePairs output contract
     val edges = Seq((1L, 2L), (2L, 3L), (4L, 9L), (9L, 11L), (20L, 21L))
