@@ -24,47 +24,10 @@ object PerfScratch {
 
     for (round <- 1 to 2) {
       println(s"--- round $round")
-      time("ccGroups (current)") { Dedup.ccGroups(spark, dir).count() }
-      time("ccGroups (instrumented)") { ccInstrumented(spark, dir).count() }
+      time("ccGroups (star)") { Dedup.ccGroups(spark, dir).count() }
+      time("pipelineE2e (star)") { Dedup.pipelineE2e(spark, dir).count() }
+      time("bpeMerge") { Text.bpeMerge(spark, dir).count() }
     }
     spark.stop()
-  }
-
-  private def ccInstrumented(spark: SparkSession, dir: String): DataFrame = {
-    import Util.table
-    val t00 = System.nanoTime()
-    val base = table(spark, dir, "documents").select(
-      col("doc_id"), col("source"),
-      array_distinct(split(col("text"), " ")).as("toks"))
-    val pairs = Dedup.candidatePairs(base, "s")
-    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .localCheckpoint()
-    println(f"[perf]   edges checkpoint       ${(System.nanoTime() - t00) / 1e9}%6.2f s (${edges.count()} edges)")
-    var t0 = System.nanoTime()
-    var lbl = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("lbl", col("doc_id")).localCheckpoint()
-    println(f"[perf]   init                   ${(System.nanoTime() - t0) / 1e9}%6.2f s (${lbl.count()} nodes)")
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 25) {
-      t0 = System.nanoTime()
-      val nbrMin = edges.join(lbl, edges("src") === lbl("doc_id"))
-        .groupBy(col("dst")).agg(min(col("lbl")).as("nbl"))
-      val next = lbl.join(nbrMin, lbl("doc_id") === nbrMin("dst"), "left")
-        .select(lbl("doc_id"),
-          least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"),
-          (col("nbl") < col("lbl")).as("chg"))
-        .localCheckpoint()
-      changed = next.filter(col("chg")).count()
-      lbl = next.select("doc_id", "lbl")
-      rounds += 1
-      println(f"[perf]   round $rounds%2d changed=$changed%-6d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
-    }
-    val sz = lbl.groupBy(col("lbl").as("root")).agg(count(lit(1)).as("n_members"))
-    lbl.select(col("doc_id"), col("lbl").as("root"))
-      .join(sz, "root")
-      .select(col("doc_id"), col("root"), col("n_members"))
-      .orderBy("doc_id")
   }
 }
