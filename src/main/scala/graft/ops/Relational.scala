@@ -872,12 +872,13 @@ object Relational {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     table(spark, dir, "events")
-      .withColumn("click_ts",
+      // both window expressions in ONE projection so they fuse into a
+      // single Window exec over the shared (user_id, ts) sort
+      .select(col("*"),
         last(when(col("event_type") === "click", col("ts")), ignoreNulls = true)
-          .over(w))
-      .withColumn("click_id",
+          .over(w).as("click_ts"),
         last(when(col("event_type") === "click", col("event_id")),
-          ignoreNulls = true).over(w))
+          ignoreNulls = true).over(w).as("click_id"))
       .filter(col("event_type") === "purchase")
       .withColumn("gap_s",
         expr("(unix_micros(ts) - unix_micros(click_ts)) div 1000000"))

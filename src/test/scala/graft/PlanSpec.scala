@@ -127,6 +127,32 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(hashShuffles == 1, s"expected exactly 1 hash exchange:\n$p")
   }
 
+  test("text_decontaminate broadcasts the eval shingle set (corpus never shuffles)") {
+    val p = plan(graft.ops.Text.decontaminate(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the eval join:\n$p")
+  }
+
+  test("pipe_gap_detect: the expected-grid check is a left-anti join") {
+    val p = plan(PipelineOps.gapDetect(spark, dir))
+    assert(p.contains("LeftAnti"), s"gap check not an anti join:\n$p")
+  }
+
+  test("events_attribution: both attribution windows fuse into one partitioned exec") {
+    val p = plan(Relational.eventsAttribution(spark, dir))
+    assert("Window \\[".r.findAllIn(p).size == 1,
+      s"the two last() windows did not fuse into one Window exec:\n$p")
+    assert(p.contains("user_id"), s"window not partitioned by user:\n$p")
+  }
+
+  test("pipe_quality_checks: referential check joins against distinct parent keys without shuffling orders twice") {
+    val p = plan(PipelineOps.qualityChecks(spark, dir))
+    // all four table scans appear exactly once per check family: 2 orders row-check
+    // scans would show as >3 orders scans total (row checks + dup + orphan)
+    val ordersScans = "orders\\.parquet".r.findAllIn(p).size
+    assert(ordersScans <= 3, s"orders scanned more than 3 times ($ordersScans):\n$p")
+  }
+
   test("sweep: no declared query plans a CartesianProduct or an unpartitioned window over raw input") {
     // The two 100 TB-killers, checked across the ENTIRE declared surface
     // so no future query reintroduces them: a true cartesian join
