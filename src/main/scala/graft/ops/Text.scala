@@ -506,19 +506,31 @@ object Text {
     * picks broadcast when it is small rather than us asserting it
     * always is. */
   private def shinglePairCounts(spark: SparkSession, dir: String): DataFrame = {
+    // ONE shuffle of the shingle table: group each (source, shingle) into
+    // its member list, where the DF cap is simply a bucket-size filter
+    // (shingle3 emits distinct shingles per doc, so |members| = document
+    // frequency) and pair expansion happens per bucket exactly as in
+    // Dedup.candidatePairs — bounded at cap²/2 per shingle. The previous
+    // formulation materialized the hot-shingle set with its own groupBy,
+    // anti-joined it back, and self-joined the kept rows: two additional
+    // full shuffles of the shingle table plus a join probe, all replaced
+    // by the single grouped pass (same pair multiset, same oracle).
+    // Size-1 buckets survive the cap filter so per-doc kept-shingle
+    // counts (the Jaccard denominators) still include unshared shingles.
     val sh0 = docs(spark, dir)
       .select(col("doc_id"), col("source"),
         explode(Util.shingle3(col("text"))).as("s"))
-    val hot = sh0.groupBy("source", "s").agg(count(lit(1)).as("df"))
-      .filter(col("df") > NgramDfCap).select("source", "s")
-    val sh = sh0.join(hot, Seq("source", "s"), "left_anti")
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    sh.alias("a")
-      .join(sh.alias("b"),
-        col("a.source") === col("b.source") && col("a.s") === col("b.s") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.source").as("source"), col("a.doc_id").as("d1"),
-        col("b.doc_id").as("d2"))
+    val buckets = sh0.groupBy("source", "s")
+      .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= NgramDfCap)
+    val cnt = buckets.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    buckets.filter(size(col("ds")) >= 2)
+      .select(col("source"),
+        explode(expr("""flatten(transform(ds, (x, i) ->
+          transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"""))
+          .as("p"))
+      .select(col("source"), col("p.d1").as("d1"), col("p.d2").as("d2"))
       .groupBy("source", "d1", "d2")
       .agg(count(lit(1)).as("inter"))
       .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")

@@ -24,9 +24,8 @@ object PerfScratch {
 
     for (round <- 1 to 2) {
       println(s"--- round $round")
-      time("ccGroups (star)") { Dedup.ccGroups(spark, dir).count() }
-      time("pipelineE2e (star)") { Dedup.pipelineE2e(spark, dir).count() }
-      time("bpeMerge") { Text.bpeMerge(spark, dir).count() }
+      time("ngramJaccard") { Text.dedupNgramJaccard(spark, dir).count() }
+      time("shingleContainment") { Text.shingleContainment(spark, dir).count() }
     }
     spark.stop()
   }
