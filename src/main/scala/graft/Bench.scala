@@ -12,8 +12,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen warmup outside the timed loop: without it, whichever
     // query happens to iterate first in the map absorbs ~4s of JVM warmup
-    // (measured r1-r3) and its per-query number is meaningless.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // (measured r1-r3) and its per-query number is meaningless. The set
+    // covers the main physical-operator families (hash agg, window sort,
+    // shuffle join, generator/explode) at sf0.001 so each family's
+    // codegen/JIT paths are hot before any timed query — warmup compiles
+    // operator code, it does not precompute any timed query's data.
+    val warm = Seq(
+      (s: SparkSession) => SparkEntry.entry(s),
+      (s: SparkSession) => graft.ops.Relational.windowLagDelta(s, "/root/testdata/sf0.001"),
+      (s: SparkSession) => graft.ops.Relational.joinInnerHash(s, "/root/testdata/sf0.001"),
+      (s: SparkSession) => graft.ops.Text.tokenTopk(s, "/root/testdata/sf0.001"))
+    warm.foreach(f => try f(spark).count() catch { case _: Throwable => () })
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -274,4 +274,43 @@ class RelationalEdgeSpec extends AnyFunSuite with SparkFixture {
     assert(out(0).getAs[Long]("event_id") == 6L)
     assert(out(0).getAs[Double]("z") == 2.2361)
   }
+
+  test("gap detect: missing hour inside a span; single-hour spans have no gaps") {
+    val dir = fixtureDir("events" -> events(
+      // 'view' observed at 00, 01, 03 → hour 02 is the one gap
+      EventRow(1, ts("2024-01-01 00:10:00"), 1, "view", 0.0, "{}"),
+      EventRow(2, ts("2024-01-01 01:20:00"), 1, "view", 0.0, "{}"),
+      EventRow(3, ts("2024-01-01 03:30:00"), 1, "view", 0.0, "{}"),
+      // 'click' has a single observed hour → span is one slot, no gap
+      EventRow(4, ts("2024-01-01 05:00:00"), 1, "click", 0.0, "{}")))
+    val out = PipelineOps.gapDetect(spark, dir).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("event_type") == "view")
+    assert(out(0).getAs[String]("missing_hour") == "2024-01-01 02:00:00.000000")
+  }
+
+  test("attribution: latest prior click wins, 24h boundary inclusive, no-click and later-click purchases unattributed") {
+    val dir = fixtureDir("events" -> events(
+      // user 1: two clicks before the purchase → the LATER click attributes
+      EventRow(1, ts("2024-01-01 00:00:00"), 1, "click", 0.0, "{}"),
+      EventRow(2, ts("2024-01-01 00:10:00"), 1, "click", 0.0, "{}"),
+      EventRow(3, ts("2024-01-01 00:40:00"), 1, "purchase", 1.0, "{}"),
+      // user 2: click only AFTER the purchase → unattributed
+      EventRow(4, ts("2024-01-01 02:00:00"), 2, "purchase", 1.0, "{}"),
+      EventRow(5, ts("2024-01-01 03:00:00"), 2, "click", 0.0, "{}"),
+      // user 3: click exactly 86400s before → inclusive boundary attributes
+      EventRow(6, ts("2024-01-01 00:00:00"), 3, "click", 0.0, "{}"),
+      EventRow(7, ts("2024-01-02 00:00:00"), 3, "purchase", 1.0, "{}"),
+      // user 4: click 86401s before → outside the lookback
+      EventRow(8, ts("2024-01-01 00:00:00"), 4, "click", 0.0, "{}"),
+      EventRow(9, ts("2024-01-02 00:00:01"), 4, "purchase", 1.0, "{}")))
+    val out = Relational.eventsAttribution(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((Option(r.getAs[java.lang.Long]("attrib_click_id")),
+          Option(r.getAs[java.lang.Long]("gap_s"))))).toMap
+    assert(out(3L) == ((Some(2L), Some(1800L))), "latest prior click must win")
+    assert(out(4L) == ((None, None)), "later click must not attribute")
+    assert(out(7L) == ((Some(6L), Some(86400L))), "24h boundary is inclusive")
+    assert(out(9L) == ((None, None)), "86401s is outside the lookback")
+  }
 }
