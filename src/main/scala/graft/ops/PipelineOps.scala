@@ -401,7 +401,41 @@ object PipelineOps {
       .orderBy("event_type", "missing_hour")
   }
 
+  /** Incremental aggregate maintenance — merge a new day's PARTIAL
+    * aggregates into a standing summary instead of rescanning history:
+    * the transform that turns the reference's daily full-snapshot reload
+    * (`src/bak_unload.ps1:90-103`) into an incremental rollup. The
+    * standing summary (events before the cutover, pre-aggregated per
+    * (event_type, day)) and the new batch's partial aggregate union and
+    * re-aggregate on the group key — counts and sums ADD, mins/maxes
+    * COMBINE, so the merge touches only summary-sized data. The oracle
+    * aggregates the WHOLE table from scratch, proving the incremental
+    * path equals the full recompute (the algebraic mergeability this
+    * depends on is exactly why the per-day partials can also live as a
+    * table and absorb batch N+1 tomorrow). At 100 TB: the standing
+    * summary is days × types rows; only the new batch is scanned. */
+  def rollupMerge(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-25").cast("timestamp")
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type"), dateS(date_trunc("DAY", col("ts"))).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(Qty)).as("sv"),
+          min(col("value")).as("mn"),
+          max(col("value")).as("mx"))
+    val e = table(spark, dir, "events")
+    val standing = partial(e.filter(col("ts") < cut))
+    val delta = partial(e.filter(col("ts") >= cut))
+    standing.union(delta)
+      .groupBy("event_type", "day")
+      .agg(sum(col("n")).as("n_events"),
+        round(sum(col("sv")).cast("double"), 4).as("sum_value"),
+        min(col("mn")).as("min_value"),
+        max(col("mx")).as("max_value"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_rollup_merge" -> (rollupMerge _),
     "pipe_quality_checks" -> (qualityChecks _),
     "pipe_gap_detect" -> (gapDetect _),
     "pipe_upsert_cdc" -> (upsertCdc _),
@@ -417,6 +451,17 @@ object PipelineOps {
     "pipe_partition_prune" -> (partitionPrune _))
 
   val oracleSql: Map[String, String] = Map(
+    // full recompute from raw events — gates that the incremental
+    // union-of-partials merge equals the from-scratch aggregate
+    "pipe_rollup_merge" ->
+      s"""SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE), 4)
+             AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+         FROM ${evSql()}
+         GROUP BY event_type, day ORDER BY event_type, day""",
     "pipe_quality_checks" ->
       s"""WITH oc AS (
            SELECT 'orders_null_custkey' AS check_name, count(*) AS n_checked,
