@@ -38,7 +38,20 @@ object GraftExtensions {
     ("mask_intersect_count", classOf[MaskIntersectCount].getName,
       binary("mask_intersect_count", MaskIntersectCount.apply)),
     ("sq_dist_double", classOf[SqDistDouble].getName,
-      binary("sq_dist_double", SqDistDouble.apply)))
+      binary("sq_dist_double", SqDistDouble.apply)),
+    // minhash_band_sigs(hashes, k, r): k and r must be foldable ints —
+    // the expression is planned with literal slice geometry, mirroring
+    // the DataFrame-side MinhashBandSigs.bandSigs(col, K, R) helper.
+    ("minhash_band_sigs", classOf[MinhashBandSigs].getName, { args =>
+      require(args.length == 3,
+        s"minhash_band_sigs expects 3 arguments, got ${args.length}")
+      def intLit(e: Expression, which: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"minhash_band_sigs $which must be an integer literal, got $other")
+      }
+      MinhashBandSigs(args.head, intLit(args(1), "k"), intLit(args(2), "r"))
+    }))
 
   /** Register on an already-built session (builder-time extensions can't
     * reach it): same builders, same registry entries. Also exposes the

@@ -67,7 +67,7 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Long]("disjoint") == 0L)
   }
 
-  test("all four native expressions resolve by name through SQL") {
+  test("all native expressions resolve by name through SQL") {
     GraftExtensions.register(spark)
     val r = spark.sql(
       """SELECT dot_product_float_double(
@@ -78,6 +78,26 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Double]("d") == 6.0)
     assert(r.getAs[Long]("m") == 2L)
     assert(r.getAs[Double]("s") == 4.0)
+  }
+
+  test("minhash_band_sigs from SQL matches the DataFrame-side expression") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(Seq("ab", "cd", "ef")).toDF("toks")
+      .select(transform(col("toks"), t => md5(t.cast("binary"))).as("hs"))
+    val viaSql = df.selectExpr("minhash_band_sigs(hs, 6, 3) AS b")
+      .collect()(0).getSeq[String](0)
+    val viaDf = df.select(
+        graft.functions.MinhashBandSigs.bandSigs(col("hs"), 6, 3).as("b"))
+      .collect()(0).getSeq[String](0)
+    assert(viaSql == viaDf && viaSql.length == 2)
+    // non-literal k must be rejected, not silently misplanned
+    val err = intercept[Exception] {
+      df.selectExpr("minhash_band_sigs(hs, 1 + 1, 1) AS b").collect()
+    }
+    assert(err.getMessage.contains("integer literal")
+      || Option(err.getCause).exists(_.getMessage.contains("integer literal")))
   }
 
   test("misra_gries_topk UDAF is callable from SQL and exact under k") {
