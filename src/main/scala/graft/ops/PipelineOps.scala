@@ -434,7 +434,45 @@ object PipelineOps {
       .orderBy("event_type", "day")
   }
 
+  /** Z-ORDER clustering stats — the multi-dimensional layout technique
+    * (Delta/Iceberg OPTIMIZE ZORDER) that makes min/max data skipping
+    * work on BOTH filter columns at once: interleave the bits of the two
+    * sort keys into one z-value, cluster by z-ranges, and every file's
+    * (min, max) fence stays tight on each dimension — a plain
+    * single-key sort gives perfect fences on one column and useless
+    * ones on the other. Keys here: 8-bit customer × 8-bit order-key
+    * hashes over `orders`, interleaved to a 16-bit z; buckets are the
+    * top 8 z-bits, i.e. the 16×16 coarse grid. The output is the layout
+    * DIAGNOSTIC a table optimizer ships: per z-bucket, row count and
+    * both dimensions' fences, whose spans (≤ 1/16 of each domain) prove
+    * two-dimensional locality. Everything is exact integer arithmetic —
+    * one codegen'd projection + one hash agg, no shuffle beyond the
+    * bucket agg — and the oracle replays the identical bit interleave
+    * (generated from the same loop, so the spellings cannot drift). */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val x = pmod(col("o_custkey"), lit(256L))
+    val y = pmod(col("o_orderkey"), lit(256L))
+    // z = Σ_i ((x>>i & 1) << 2i) | ((y>>i & 1) << (2i+1)) — x in even bits
+    val z = (0 until 8).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+    table(spark, dir, "orders")
+      .select(x.as("xv"), y.as("yv"), z.as("zv"))
+      .groupBy(shiftright(col("zv"), 8).as("z_bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("xv")).as("min_x"), max(col("xv")).as("max_x"),
+        min(col("yv")).as("min_y"), max(col("yv")).as("max_y"))
+      .orderBy("z_bucket")
+  }
+
+  private def zorderTermSql(xe: String, ye: String): String =
+    (0 until 8).map { i =>
+      s"(((($xe >> $i) & 1) << ${2 * i}) | ((($ye >> $i) & 1) << ${2 * i + 1}))"
+    }.mkString(" | ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_zorder_layout" -> (zorderLayout _),
     "pipe_rollup_merge" -> (rollupMerge _),
     "pipe_quality_checks" -> (qualityChecks _),
     "pipe_gap_detect" -> (gapDetect _),
@@ -451,6 +489,17 @@ object PipelineOps {
     "pipe_partition_prune" -> (partitionPrune _))
 
   val oracleSql: Map[String, String] = Map(
+    "pipe_zorder_layout" ->
+      s"""WITH k AS (
+           SELECT o_orderkey % 256 AS yv, o_custkey % 256 AS xv
+           FROM orders),
+         z AS (
+           SELECT xv, yv, ${zorderTermSql("xv", "yv")} AS zv
+           FROM k)
+         SELECT zv >> 8 AS z_bucket, count(*) AS n_rows,
+           min(xv) AS min_x, max(xv) AS max_x,
+           min(yv) AS min_y, max(yv) AS max_y
+         FROM z GROUP BY z_bucket ORDER BY z_bucket""",
     // full recompute from raw events — gates that the incremental
     // union-of-partials merge equals the from-scratch aggregate
     "pipe_rollup_merge" ->
