@@ -110,6 +110,74 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("z-order interleave is a bijection: de-interleaving recovers (x, y)") {
+    // the fence-tightness claim of pipe_zorder_layout rests on the
+    // interleave being information-preserving — check it per-bit over
+    // random 8-bit key pairs, and that the bucket prefix is exactly the
+    // interleave of the two keys' high nibbles (the 16×16 grid claim)
+    forAll(Gen.listOfN(20, Gen.zip(Gen.chooseNum(0L, 255L), Gen.chooseNum(0L, 255L)))) { xs =>
+      import org.apache.spark.sql.functions._
+      val df = xs.toDF("x", "y")
+      val z = (0 until 8).map { i =>
+        shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1L)), 2 * i)
+          .bitwiseOR(shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+      }.reduce(_ bitwiseOR _)
+      val back = df.withColumn("z", z)
+        .withColumn("x2", (0 until 8).map(i =>
+          shiftleft(shiftright(col("z"), 2 * i).bitwiseAND(lit(1L)), i))
+          .reduce(_ bitwiseOR _))
+        .withColumn("y2", (0 until 8).map(i =>
+          shiftleft(shiftright(col("z"), 2 * i + 1).bitwiseAND(lit(1L)), i))
+          .reduce(_ bitwiseOR _))
+        .collect()
+      back.foreach { r =>
+        assert(r.getAs[Long]("x2") == r.getAs[Long]("x"), "x lost in interleave")
+        assert(r.getAs[Long]("y2") == r.getAs[Long]("y"), "y lost in interleave")
+        // bucket prefix = interleave of the two high nibbles: the driver-side
+        // reference interleave over (x>>4, y>>4) must equal z>>8
+        val (xv, yv, zv) =
+          (r.getAs[Long]("x"), r.getAs[Long]("y"), r.getAs[Long]("z"))
+        val refBucket = (0 until 4).map { i =>
+          ((((xv >> 4) >> i) & 1L) << (2 * i)) | ((((yv >> 4) >> i) & 1L) << (2 * i + 1))
+        }.reduce(_ | _)
+        assert((zv >> 8) == refBucket, "bucket is not the high-nibble grid cell")
+      }
+    }
+  }
+
+  test("rollup merge equals the full recompute at EVERY cutover day") {
+    // pipe_rollup_merge fixes one cutover; mergeability must hold for any
+    // split — partial aggregates re-aggregated == aggregate of the whole.
+    import org.apache.spark.sql.functions._
+    val evGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(1, 28), Gen.chooseNum(0, 4), Gen.chooseNum(0.0, 99.0)))
+      .map(_.zipWithIndex.map { case ((day, t, v), i) =>
+        EventRow(i.toLong, ts(f"2024-01-$day%02d 12:00:00"), 1L,
+          s"type$t", math.round(v * 100.0) / 100.0, "{}")
+      })
+    forAll(Gen.zip(evGen, Gen.chooseNum(1, 28))) { case (evs, cutDay) =>
+      val dir = fixtureDir("events" -> spark.createDataset(evs).toDF)
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("event_type"),
+            graft.ops.Util.dateS(date_trunc("DAY", col("ts"))).cast("string").as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(graft.ops.Util.Qty)).as("sv"))
+      val e = graft.ops.Util.table(spark, dir, "events")
+      val cut = lit(f"2024-01-$cutDay%02d").cast("timestamp")
+      val merged = agg(e.filter(col("ts") < cut)).union(agg(e.filter(col("ts") >= cut)))
+        .groupBy("event_type", "day")
+        .agg(sum(col("n")).as("n"), sum(col("sv")).cast("double").as("sv"))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      val full = agg(e)
+        .select(col("event_type"), col("day"), col("n"),
+          col("sv").cast("double").as("sv"))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      assert(merged == full, s"cutover day $cutDay broke mergeability")
+    }
+  }
+
   test("stub decoder features are pure in the payload bytes") {
     forAll(Gen.listOf(Gen.alphaNumStr.suchThat(_.nonEmpty))) { payloads =>
       whenever(payloads.nonEmpty) {
