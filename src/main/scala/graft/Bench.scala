@@ -17,12 +17,20 @@ object Bench {
     // shuffle join, generator/explode) at sf0.001 so each family's
     // codegen/JIT paths are hot before any timed query — warmup compiles
     // operator code, it does not precompute any timed query's data.
+    // Warm on the small sibling SF when present, else on the bench dir
+    // itself — a hardcoded path would silently no-op on a relocated data
+    // tree and push the JIT cost back into the first timed query.
+    val warmDir = {
+      val sibling = new java.io.File(new java.io.File(sfDir).getParent, "sf0.001")
+      if (sibling.isDirectory) sibling.getPath else sfDir
+    }
     val warm = Seq(
       (s: SparkSession) => SparkEntry.entry(s),
-      (s: SparkSession) => graft.ops.Relational.windowLagDelta(s, "/root/testdata/sf0.001"),
-      (s: SparkSession) => graft.ops.Relational.joinInnerHash(s, "/root/testdata/sf0.001"),
-      (s: SparkSession) => graft.ops.Text.tokenTopk(s, "/root/testdata/sf0.001"))
-    warm.foreach(f => try f(spark).count() catch { case _: Throwable => () })
+      (s: SparkSession) => graft.ops.Relational.windowLagDelta(s, warmDir),
+      (s: SparkSession) => graft.ops.Relational.joinInnerHash(s, warmDir),
+      (s: SparkSession) => graft.ops.Text.tokenTopk(s, warmDir))
+    warm.foreach(f => try f(spark).count() catch { case t: Throwable =>
+      System.err.println(s"[bench] warmup query failed: ${t.getMessage}") })
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

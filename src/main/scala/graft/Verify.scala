@@ -9,7 +9,9 @@ object Verify {
     // Optional 3rd arg: comma-separated query-name subset, for focused
     // local re-verification of just-changed operators (driver passes 2).
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
+    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
+      System.err.println(s"[verify] WARNING: unknown query name '$n' in subset")))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

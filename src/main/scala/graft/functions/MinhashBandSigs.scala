@@ -64,16 +64,21 @@ case class MinhashBandSigs(child: Expression, k: Int, r: Int)
     val mins = Array.fill(k)("g")   // sorts above every hex digit — same sentinel as the fold
     var j = 0
     while (j < n) {
-      val h = arr.getUTF8String(j).toString
-      var i = 0
-      while (i < k) {
-        val s = h.substring(5 * i, 5 * i + 5)
-        if (s.compareTo(mins(i)) < 0) mins(i) = s
-        i += 1
+      // null elements are skipped — the `least`-based fold this replaces
+      // ignored nulls (least ignores null operands), and md5(null) = null
+      // is exactly what a nullable input column produces
+      if (!arr.isNullAt(j)) {
+        val h = arr.getUTF8String(j).toString
+        var i = 0
+        while (i < k) {
+          val s = h.substring(5 * i, 5 * i + 5)
+          if (s.compareTo(mins(i)) < 0) mins(i) = s
+          i += 1
+        }
       }
       j += 1
     }
-    val md = MessageDigest.getInstance("MD5")
+    val md = MinhashBandSigs.localDigest.get()
     val res = new Array[Any](bands)
     var b = 0
     while (b < bands) {
@@ -93,6 +98,13 @@ case class MinhashBandSigs(child: Expression, k: Int, r: Int)
 }
 
 object MinhashBandSigs {
+  /** One MessageDigest per task thread: `getInstance` per row is a JCA
+    * provider lookup + allocation on the hottest path of five declared
+    * queries; MessageDigest is not thread-safe, so the cache is a
+    * ThreadLocal (reset() before each use). */
+  private[functions] val localDigest: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   /** Column-API entry point: `hashes` is the array of per-element md5 hex
     * strings; returns the `k/r` band-signature hex strings in band order. */
   def bandSigs(hashes: Column, k: Int, r: Int): Column =

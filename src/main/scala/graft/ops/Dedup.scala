@@ -105,25 +105,33 @@ object Dedup {
     * `toks` — the shared front half of the MinHash family, for consumers
     * that score each pair ([[minhashLshOver]], [[editDistance]]).
     * Connectivity-only consumers use [[candidateStarEdges]] instead. */
-  private[ops] def candidatePairs(base: DataFrame, saltPrefix: String): DataFrame = {
-    // The whole signature stage is ONE evaluate-once-per-row expression:
-    // toks → md5 array (codegen'd Md5 per element) → the fused native
-    // [[graft.functions.MinhashBandSigs]] (K slice-mins + per-band md5 in
-    // one JVM eval). Rounds 1-3 history: K separate
-    // array_min(transform(hs, …)) columns re-evaluated the md5 array K
-    // times under CollapseProject; the round-3 `aggregate` fold fixed
-    // that but still ran interpreted lambdas and allocated a K-field
-    // struct per element — the native expression removes both, and the
-    // oracle's replayed arithmetic gates that it is bit-identical.
-    // The md5 transform has exactly ONE reference, so CollapseProject
-    // inlining evaluates it once (no boundCol needed). "g" > every hex
-    // digit, so it is a safe min-sentinel; toks is non-empty by
-    // construction in both callers.
+  /** The shared LSH signature/band stage: one (doc_id, source, band,
+    * bsig) row per document per band. The whole signature computation is
+    * ONE evaluate-once-per-row expression: toks → md5 array (codegen'd
+    * Md5 per element) → the fused native
+    * [[graft.functions.MinhashBandSigs]] (K slice-mins + per-band md5 in
+    * one JVM eval). Rounds 1-3 history: K separate
+    * array_min(transform(hs, …)) columns re-evaluated the md5 array K
+    * times under CollapseProject; the round-3 `aggregate` fold fixed
+    * that but still ran interpreted lambdas and allocated a K-field
+    * struct per element — the native expression removes both, and the
+    * oracle's replayed arithmetic gates that it is bit-identical.
+    * The md5 transform has exactly ONE reference, so CollapseProject
+    * inlining evaluates it once (no boundCol needed). "g" > every hex
+    * digit, so it is a safe min-sentinel; toks is non-empty by
+    * construction in all callers. Shared by [[candidatePairs]] and
+    * [[candidateStarEdges]] so the salt spelling and K/R geometry
+    * cannot drift between the pair-based and star-edge consumers. */
+  private def bandRows(base: DataFrame, saltPrefix: String): DataFrame = {
     val bandArr = graft.functions.MinhashBandSigs.bandSigs(
       transform(col("toks"), t =>
         md5(concat(lit(s"$saltPrefix|"), t).cast("binary"))), K, R)
-    val bands = base.select(col("doc_id"), col("source"),
-        posexplode(bandArr).as(Seq("band", "bsig")))
+    base.select(col("doc_id"), col("source"),
+      posexplode(bandArr).as(Seq("band", "bsig")))
+  }
+
+  private[ops] def candidatePairs(base: DataFrame, saltPrefix: String): DataFrame = {
+    val bands = bandRows(base, saltPrefix)
     // Candidate pairs by GROUPING each (source, band, bsig) bucket and
     // emitting its member pairs, not by self-joining the band table: one
     // shuffle of band rows total. (The round-1 self-join recomputed the
@@ -158,20 +166,14 @@ object Dedup {
     * correctness of the downstream fixpoint is still gated by the
     * recursive-CTE oracle over the FULL pair set, which proves the
     * component equivalence rather than assuming it. */
-  private[ops] def candidateStarEdges(base: DataFrame, saltPrefix: String): DataFrame = {
-    val bandArr = graft.functions.MinhashBandSigs.bandSigs(
-      transform(col("toks"), t =>
-        md5(concat(lit(s"$saltPrefix|"), t).cast("binary"))), K, R)
-    val bands = base.select(col("doc_id"), col("source"),
-      posexplode(bandArr).as(Seq("band", "bsig")))
-    bands.groupBy("source", "band", "bsig")
+  private[ops] def candidateStarEdges(base: DataFrame, saltPrefix: String): DataFrame =
+    bandRows(base, saltPrefix).groupBy("source", "band", "bsig")
       .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
       .select(explode(expr(
         """transform(slice(ds, 2, size(ds) - 1),
            x -> struct(element_at(ds, 1) AS d1, x AS d2))""")).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
-  }
 
   /** Min-label propagation + pointer jumping: per round, adopt the min
     * label over direct neighbors, then the label OF your label's node —
@@ -305,6 +307,13 @@ object Dedup {
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"[lss] round $rounds sig=$sig converged=$converged")
     }
+    // A non-star edge set here would silently emit multiple roots per
+    // node downstream; failing loudly is the only safe behavior. The
+    // bound is generous: LSS converges in O(log n) rounds, so 30 rounds
+    // covers any graph this engine could be pointed at.
+    if (!converged) throw new IllegalStateException(
+      s"connected-components did not converge within $rounds rounds — " +
+        "edge set is still changing; output would not be a star forest")
     e.select(col("src").as("doc_id"), col("dst").as("root"))
       .union(e.select(col("dst").as("doc_id"), col("dst").as("root")))
       .distinct()

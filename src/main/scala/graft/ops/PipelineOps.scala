@@ -200,8 +200,10 @@ object PipelineOps {
     * whole-DB version of this (destructive overwrite); real pipelines
     * merge row-level. The change batch here is derived deterministically
     * from the base so the query is self-contained: orderkey % 17 == 0 →
-    * delete, else % 10 == 0 → update (price + 100), and a disjoint
-    * synthetic key range → insert. Plan shape: ONE full-outer equi join
+    * delete, else % 10 == 0 → update (price + 100), and inserts in the
+    * NEGATED key space (-k is disjoint from every positive live key at
+    * any scale factor — an offset like k + 10^6 collides with real keys
+    * once the table outgrows the offset). Plan shape: ONE full-outer equi join
     * base ⟗ changes on the key, then per-row resolution (coalesce + op
     * dispatch) — at 100 TB the change batch is typically small enough
     * that AQE broadcasts it (unhinted on purpose), and the base is never
@@ -218,7 +220,7 @@ object PipelineOps {
         (col("price") + 100.0).as("new_price"), col("st").as("new_st"))
       .filter(col("op").isNotNull)
     val inserts = base.filter(col("k") % 23 === 0)
-      .select((col("k") + 1000000L).as("k"), lit("I").as("op"),
+      .select((-col("k")).as("k"), lit("I").as("op"),
         lit(42.5).as("new_price"), lit("N").as("new_st"))
     val changes = existing.union(inserts)
     val merged = base.join(changes, Seq("k"), "full_outer")
@@ -242,8 +244,9 @@ object PipelineOps {
     * feed (the reference re-imports whole snapshots daily — this is
     * exactly the "what changed since yesterday" question its consumers
     * would ask). The "next" snapshot derives deterministically from the
-    * base: keys % 13 == 0 dropped, % 7 == 0 repriced (+50), and a
-    * disjoint synthetic range added. One full-outer equi join on the
+    * base: keys % 13 == 0 dropped, % 7 == 0 repriced (+50), and rows
+    * added in the NEGATED key space (disjoint from any positive key at
+    * any scale factor). One full-outer equi join on the
     * key; per-row classification is a codegen'd projection. Output:
     * per diff status, row count, exact price delta, and key fences. */
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
@@ -254,7 +257,7 @@ object PipelineOps {
         when(col("k") % 7 === 0, col("price") + 50.0).otherwise(col("price"))
           .as("price"))
       .union(base.filter(col("k") % 19 === 0)
-        .select((col("k") + 2000000L).as("k"), lit(99.99).as("price")))
+        .select((-col("k")).as("k"), lit(99.99).as("price")))
     val d = base.select(col("k"), col("price").as("p0"))
       .join(next.select(col("k"), col("price").as("p1")), Seq("k"), "full_outer")
       .select(col("k"),
@@ -447,16 +450,23 @@ object PipelineOps {
     * both dimensions' fences, whose spans (≤ 1/16 of each domain) prove
     * two-dimensional locality. Everything is exact integer arithmetic —
     * one codegen'd projection + one hash agg, no shuffle beyond the
-    * bucket agg — and the oracle replays the identical bit interleave
-    * (generated from the same loop, so the spellings cannot drift). */
-  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
-    val x = pmod(col("o_custkey"), lit(256L))
-    val y = pmod(col("o_orderkey"), lit(256L))
-    // z = Σ_i ((x>>i & 1) << 2i) | ((y>>i & 1) << (2i+1)) — x in even bits
-    val z = (0 until 8).map { i =>
+    * bucket agg — and the oracle replays the same bit interleave (its
+    * SQL terms generated by [[zorderTermSql]]'s loop; the CORRECTNESS
+    * gate plus the bijectivity property over [[zorderCol]] hold the two
+    * spellings together). */
+  /** z = Σ_i ((x>>i & 1) << 2i) | ((y>>i & 1) << (2i+1)) — x in even
+    * bits. Exposed so the bijectivity property test exercises THIS
+    * expression, not its own re-spelling. */
+  private[graft] def zorderCol(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).map { i =>
       shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
         .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
+
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val x = pmod(col("o_custkey"), lit(256L))
+    val y = pmod(col("o_orderkey"), lit(256L))
+    val z = zorderCol(x, y, 8)
     table(spark, dir, "orders")
       .select(x.as("xv"), y.as("yv"), z.as("zv"))
       .groupBy(shiftright(col("zv"), 8).as("z_bucket"))
@@ -594,7 +604,7 @@ object PipelineOps {
            SELECT k, CASE WHEN k % 7 = 0 THEN price + 50.0 ELSE price END AS price
            FROM base WHERE k % 13 <> 0
            UNION ALL
-           SELECT k + 2000000 AS k, 99.99 AS price FROM base WHERE k % 19 = 0),
+           SELECT -k AS k, 99.99 AS price FROM base WHERE k % 19 = 0),
          d AS (
            SELECT coalesce(b.k, n.k) AS k,
              CASE WHEN b.k IS NULL THEN 'added'
@@ -617,7 +627,7 @@ object PipelineOps {
              price + 100.0 AS new_price, st AS new_st
            FROM base WHERE k % 17 = 0 OR k % 10 = 0),
          inserts AS (
-           SELECT k + 1000000 AS k, 'I' AS op, 42.5 AS new_price, 'N' AS new_st
+           SELECT -k AS k, 'I' AS op, 42.5 AS new_price, 'N' AS new_st
            FROM base WHERE k % 23 = 0),
          changes AS (SELECT * FROM existing UNION ALL SELECT * FROM inserts),
          m AS (

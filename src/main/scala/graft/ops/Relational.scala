@@ -646,10 +646,16 @@ object Relational {
       // The two table writes are independent jobs — run them from two
       // driver threads so their stages overlap (the standard concurrent-
       // jobs idiom; each write is still a normal distributed job).
+      // Capture the side thread's failure and rethrow after join() — a
+      // bare Thread swallows exceptions, and a silently-failed write
+      // would surface later as a confusing TABLE_OR_VIEW_NOT_FOUND.
+      val ordersFailure =
+        new java.util.concurrent.atomic.AtomicReference[Throwable](null)
       val ordersWrite = new Thread(() =>
-        graft.sources.TableSinks.writeBucketed(
+        try graft.sources.TableSinks.writeBucketed(
           table(spark, dir, "orders")
-            .select(col("o_orderkey"), col("o_orderstatus")), ot, "o_orderkey", 8))
+            .select(col("o_orderkey"), col("o_orderstatus")), ot, "o_orderkey", 8)
+        catch { case t: Throwable => ordersFailure.set(t) })
       ordersWrite.start()
       graft.sources.TableSinks.writeBucketed(
         table(spark, dir, "lineitem")
@@ -657,6 +663,7 @@ object Relational {
           .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
         lt, "l_orderkey", 8)
       ordersWrite.join()
+      if (ordersFailure.get() != null) throw ordersFailure.get()
     }
     spark.table(ot)
       .join(spark.table(lt),

@@ -118,18 +118,29 @@ object SqlSurface {
     * catalog across sessions, so a rerun's CTAS would hit
     * LOCATION_ALREADY_EXISTS. The oracle models the table as base-rows
     * UNION ALL the inserted literal. */
+  private lazy val ctasRoot: java.io.File = {
+    val f = java.nio.file.Files.createTempDirectory("graft_ctas_").toFile
+    sys.addShutdownHook {
+      try new scala.reflect.io.Directory(f).deleteRecursively()
+      catch { case _: Throwable => () }
+    }
+    f
+  }
+
   def sqlCtasInsert(spark: SparkSession, dir: String): DataFrame = {
     reg(spark, dir, "nation", "region")
     spark.sql("DROP TABLE IF EXISTS g_ctas_nation")
-    // One fixed LOCATION per JVM, wiped before each CTAS: DROP TABLE only
-    // removes catalog metadata for an external LOCATION table, so a fresh
-    // temp dir per call would orphan the previous run's parquet data.
-    val base = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft-ctas-nation")
-    if (base.exists()) {
+    // One PER-PROCESS LOCATION, wiped before each CTAS and removed on JVM
+    // exit: DROP TABLE only removes catalog metadata for an external
+    // LOCATION table, so a fresh temp dir per call would orphan the
+    // previous run's parquet data — while a path shared ACROSS processes
+    // (one fixed /tmp name) would let a concurrent harness JVM delete the
+    // files backing this session's live table mid-query.
+    if (ctasRoot.exists()) {
       import scala.reflect.io.Directory
-      new Directory(base).deleteRecursively()
+      new Directory(ctasRoot).deleteRecursively()
     }
+    val base = ctasRoot
     val loc = new java.io.File(base, "t").toURI.toString
     spark.sql(
       s"""CREATE TABLE g_ctas_nation USING PARQUET LOCATION '$loc' AS

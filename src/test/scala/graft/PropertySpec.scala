@@ -118,10 +118,8 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     forAll(Gen.listOfN(20, Gen.zip(Gen.chooseNum(0L, 255L), Gen.chooseNum(0L, 255L)))) { xs =>
       import org.apache.spark.sql.functions._
       val df = xs.toDF("x", "y")
-      val z = (0 until 8).map { i =>
-        shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1L)), 2 * i)
-          .bitwiseOR(shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1L)), 2 * i + 1))
-      }.reduce(_ bitwiseOR _)
+      // the PRODUCTION interleave expression, not a test-local re-spelling
+      val z = graft.ops.PipelineOps.zorderCol(col("x"), col("y"), 8)
       val back = df.withColumn("z", z)
         .withColumn("x2", (0 until 8).map(i =>
           shiftleft(shiftright(col("z"), 2 * i).bitwiseAND(lit(1L)), i))
