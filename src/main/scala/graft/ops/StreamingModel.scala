@@ -108,7 +108,11 @@ object StreamingModel {
       .join(broadcast(bucketPrev), "b")
       .select(col("user_id"),
         greatest(col("in_b_prev"), col("b_prev")).as("prev_max"))
-    ev.join(broadcast(userMax), "user_id")
+    // userMax is users-sized — unhinted on purpose so AQE broadcasts it
+    // while small but falls back to a partitioned shuffle join at scale
+    // (a broadcast HINT here would force a driver-side collect of one row
+    // per user, the exact single-point cost this decomposition avoids)
+    ev.join(userMax, "user_id")
       .withColumn("wm", greatest(max(col("ts")).over(withinUser), col("prev_max")))
       .filter(unix_micros(col("ts")) < unix_micros(col("wm")) - 3600000000L)
       .select(col("event_id"), col("user_id"),
@@ -116,13 +120,23 @@ object StreamingModel {
       .orderBy("event_id")
   }
 
-  /** Streaming-dedup model — `dropDuplicatesWithinWatermark`-style
-    * suppression made batch-checkable: within a key (user, event_type),
-    * an event is a suppressed duplicate iff it arrives within 1 hour of
-    * its immediate predecessor (the same lag state machine as
-    * [[sessionGap]] — a session opener is a kept event, a follower is
-    * suppressed). Per-key partitioned windows only. Output:
-    * kept/suppressed counts per event_type. */
+  /** Streaming-dedup model — CHAINED-GAP suppression made
+    * batch-checkable: within a key (user, event_type), an event is a
+    * suppressed duplicate iff it arrives within 1 hour of its immediate
+    * predecessor (the same lag state machine as [[sessionGap]] — a
+    * session opener is a kept event, a follower is suppressed).
+    *
+    * Deliberately NOT identical to `dropDuplicatesWithinWatermark`: that
+    * operator anchors suppression at the last KEPT event (its state row
+    * expires one delay after the anchor, so a burst t0, t0+50min,
+    * t0+100min keeps t0 and t0+100min), while the chained rule lets a
+    * burst extend its own suppression window indefinitely (keeps only
+    * t0) — a stricter policy, and the anchored recurrence is not
+    * window-expressible in one pass (each kept decision depends on the
+    * previous kept decision, not the previous row). The divergence is
+    * pinned by a StreamingModelSpec fixture asserting both behaviors.
+    * Per-key partitioned windows only. Output: kept/suppressed counts
+    * per event_type. */
   def dedupWindow(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id", "event_type")
       .orderBy(col("ts"), col("event_id"))

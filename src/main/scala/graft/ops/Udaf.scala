@@ -84,7 +84,15 @@ object Udaf {
     table(spark, dir, "documents")
       .select(col("lang"), explode(split(col("text"), " ")).as("token"))
       .groupBy("lang")
-      .agg(mg(col("token")).as("hh"))
+      .agg(mg(col("token")).as("hh"), countDistinct(col("token")).as("nd"))
+      // Exact-regime guard, enforced at runtime rather than asserted in
+      // prose: the sketch is exact (and therefore oracle-gateable) only
+      // while k=64 ≥ the group's vocabulary — past that it evicts and the
+      // output becomes partition-order-dependent. Fail loudly instead of
+      // nondeterministically mismatching the exact-count oracle.
+      .withColumn("_guard", assert_true(col("nd") <= 64,
+        lit("agg_heavy_hitters exact regime violated: per-lang vocabulary > k=64")))
+      .filter(col("_guard").isNull)
       .select(col("lang"), explode(col("hh")).as(Seq("token", "est_n")))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 10)

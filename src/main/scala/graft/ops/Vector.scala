@@ -39,7 +39,13 @@ object Vector {
   private def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (na * nb)
 
-  /** DuckDB spelling of [[cosine]] with identical op order. */
+  /** DuckDB spelling of a float×float dot product — shared by the PQ and
+    * IVF oracle blocks (one definition, not one per block, so the
+    * spelling cannot drift between them). */
+  private def dotFFSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  /** DuckDB spelling of [[cosinePre]]'s cosine with identical op order. */
   private def cosSql(a: String, b: String): String = {
     def sq(v: String) =
       s"sqrt(list_sum(list_transform(range(1, len($v)+1), i -> CAST($v[i] AS DOUBLE) * CAST($v[i] AS DOUBLE))))"
@@ -184,8 +190,13 @@ object Vector {
 
   private[graft] def ivfSearch(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import scala.jdk.CollectionConverters._
+    // Materialized once: the normalized corpus feeds KmeansIters+1
+    // assignment jobs — without the checkpoint every Lloyd job re-scans
+    // the parquet and re-computes the norms (the simsearchPq `sv`
+    // discipline: plans compose, results don't).
     val e = emb(spark, dir)
       .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
+      .localCheckpoint()
     // Centroids live on the DRIVER between iterations — k·d doubles
     // (16×64), bounded and scale-independent — exactly how Spark MLlib's
     // KMeans iterates (collect centers, broadcast back). This is NOT the
@@ -233,7 +244,10 @@ object Vector {
         .select(col("cell").as("c_id"), col("c_emb"))
         .collect().toSeq)
     }
-    val assigned = assign(cents)
+    // assigned appears TWICE in the final plan (under the broadcast
+    // probeCells subtree via probes, and as the left side of scored) —
+    // checkpointing stops the corpus×16 assignment aggregate running twice.
+    val assigned = assign(cents).localCheckpoint()
     val probes = assigned.orderBy("vec_id").limit(10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         col("nrm").as("p_nrm"))
@@ -372,7 +386,12 @@ object Vector {
         col("doc_id"),
         length(blob).cast("long").as("n_bytes"),
         md5(blob).as("content_md5"),
-        base64(expr("substring(cast(text as binary), 1, 8)")).as("head8_b64"))
+        // head sample sliced at CHARACTER granularity before encoding:
+        // DuckDB has no BLOB substring, so a byte slice would diverge from
+        // the oracle on any multi-byte UTF-8 text (char-slice-then-encode
+        // is well-defined cross-engine for all valid UTF-8, not just the
+        // ASCII fixture)
+        base64(substring(col("text"), 1, 8).cast("binary")).as("head8_b64"))
       .orderBy("doc_id")
   }
 
@@ -624,8 +643,7 @@ object Vector {
       // Mirrors the Spark-side PQ exactly: same seeds, same PqIters Lloyd
       // iterations per subspace, same r6-decimal means and ADC sums —
       // generated by the same loop so the two can't drift.
-      def dotFF(a: String, b: String) =
-        s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      def dotFF(a: String, b: String) = dotFFSql(a, b)
       def sqd(a: String, b: String) =
         s"list_sum(list_transform(range(1, len($a)+1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
       def assignSql(cb: String, out: String) =
@@ -683,8 +701,7 @@ object Vector {
       // Mirrors the Spark-side k-means exactly: same seeds, same
       // KmeansIters Lloyd iterations, same r6-decimal means — generated
       // by the same loop so the two can't drift.
-      def dotFF(a: String, b: String) =
-        s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      def dotFF(a: String, b: String) = dotFFSql(a, b)
       def dotFD(a: String, b: String) =
         s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
       def normD(b: String) = s"sqrt(list_sum(list_transform($b, y -> y * y)))"

@@ -60,6 +60,50 @@ class StreamingModelSpec extends AnyFunSuite with SparkFixture {
     assert(out.values.sum == 3L * 2)   // duration/slide = 2 windows per event
   }
 
+  test("dedup model is chained-gap — stricter than dropDuplicatesWithinWatermark on a spanning burst") {
+    // burst at t0, t0+50min, t0+100min: the chained rule suppresses both
+    // followers (each within 1h of its predecessor); the real streaming
+    // operator anchors at the last KEPT event, so t0+100min (≥1h after
+    // t0) is kept. This fixture pins the documented divergence from both
+    // sides.
+    val rows = Seq(
+      ev(1, "2024-01-01 10:00:00"),
+      ev(2, "2024-01-01 10:50:00"),
+      ev(3, "2024-01-01 11:40:00"))
+    val dir = fixtureDir("events" -> rows.toDF)
+    val model = StreamingModel.dedupWindow(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_kept"), r.getAs[Long]("n_suppressed")))).toMap
+    assert(model("click") == ((1L, 2L)), "chained rule must suppress the whole burst")
+    // The true streaming operator keeps the burst's tail once the
+    // watermark has expired the anchor's state. Batch sequencing matters:
+    // batch 1 delivers the burst head (state anchored at t0, expiry
+    // t0+1h); batch 2 advances the watermark past the expiry via another
+    // key; batch 3 delivers the tail event, which finds no state and is
+    // KEPT — where the chained model suppressed it.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val kept = mem.toDF.toDF("event_id", "ts", "user_id", "event_type")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    val q = kept.writeStream.format("memory").queryName("dedup_wm_probe")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq((1L, ts("2024-01-01 10:00:00"), 1L, "click"),
+        (2L, ts("2024-01-01 10:50:00"), 1L, "click")))
+      q.processAllAvailable()   // watermark → 09:50; state (1,click) expiry 11:00
+      mem.addData(Seq((4L, ts("2024-01-01 12:30:00"), 2L, "click")))
+      q.processAllAvailable()   // watermark → 11:30 > 11:00: state evicted
+      mem.addData(Seq((3L, ts("2024-01-01 11:40:00"), 1L, "click")))
+      q.processAllAvailable()   // no state for (1,click) → kept
+    } finally q.stop()
+    val streamed = spark.table("dedup_wm_probe").collect()
+      .map(_.getAs[Long]("event_id")).sorted
+    assert(streamed.toSeq == Seq(1L, 3L, 4L),
+      s"dropDuplicatesWithinWatermark kept [${streamed.mkString(",")}] — expected 1,3,4")
+  }
+
   test("weighted-avg UDAF computes sum(p*q)/sum(q) exactly") {
     val dir = fixtureDir("lineitem" -> Seq(
       LineRow(1, 2.0, 10.0, 0.0, 0.0, "A", "F"),
