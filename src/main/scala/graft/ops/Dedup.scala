@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import Util._
 
 /** Scale-path near-dup detection: MinHash+LSH banding and SimHash
@@ -78,8 +79,11 @@ object Dedup {
       base: DataFrame, saltPrefix: String, verifyThreshold: Double): DataFrame = {
     val cand = candidatePairs(base, saltPrefix)
     // Verify candidates against per-doc token SETS (array_intersect per
-    // pair) instead of a candidate×token join — candidates already share a
-    // min-hash, so intersection is never empty. (The bitmask encoding from
+    // pair) instead of a candidate×token join. (Band-signature equality
+    // does NOT guarantee a shared token — 20-bit slice minima can agree
+    // across disjoint sets — so a zero-intersection candidate is legal:
+    // it scores jac = 0 here and the oracle's LEFT-joined intersection
+    // count keeps the same pair.) (The bitmask encoding from
     // Text.tokenSets was measured NET SLOWER here: its dictionary build
     // adds a count job + shuffle, and candidate verification isn't this
     // query's bottleneck.)
@@ -101,10 +105,6 @@ object Dedup {
       .orderBy("source")
   }
 
-  /** LSH candidate pairs (source, d1 < d2) over any per-doc element set
-    * `toks` — the shared front half of the MinHash family, for consumers
-    * that score each pair ([[minhashLshOver]], [[editDistance]]).
-    * Connectivity-only consumers use [[candidateStarEdges]] instead. */
   /** The shared LSH signature/band stage: one (doc_id, source, band,
     * bsig) row per document per band. The whole signature computation is
     * ONE evaluate-once-per-row expression: toks → md5 array (codegen'd
@@ -130,20 +130,48 @@ object Dedup {
       posexplode(bandArr).as(Seq("band", "bsig")))
   }
 
+  /** Deterministic per-bucket membership cap: buckets are usually small
+    * (docs agreeing on a band signature), but an EXACT-duplicate cluster
+    * shares every band signature, so one 10^6-copy boilerplate page puts
+    * its whole cluster into each of its buckets — an unbounded
+    * collect_set buffer and a quadratic clique expansion. The cap keeps
+    * the `LshBucketCap` lowest doc_ids per bucket (a sort-based window —
+    * spill-safe — so no aggregation buffer ever exceeds the cap), the
+    * same bounded-work discipline as [[Text.NgramDfCap]] /
+    * [[LevBudgetPerSource]]; every oracle applies the identical QUALIFY.
+    * Semantics at the cap: a mega-cluster still produces the candidate
+    * edges that connect its `cap` lowest members — plenty for CC and for
+    * the pair-count reports — instead of a job that never finishes.
+    * Inactive on the fixtures (≤ 250 docs/source ≤ cap). */
+  private[ops] val LshBucketCap = 256
+
+  /** Shared capped (source, band, bsig) buckets with sorted member lists
+    * of size ∈ [2, LshBucketCap] — the common front half of
+    * [[candidatePairs]] and [[candidateStarEdges]]. */
+  private def cappedBuckets(base: DataFrame, saltPrefix: String): DataFrame = {
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "band", "bsig").orderBy("doc_id")
+    bandRows(base, saltPrefix)
+      .withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= LshBucketCap)
+      .groupBy("source", "band", "bsig")
+      .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+  }
+
+  /** LSH candidate pairs (source, d1 < d2) over any per-doc element set
+    * `toks` — the shared front half of the MinHash family, for consumers
+    * that score each pair ([[minhashLshOver]], [[editDistance]]).
+    * Connectivity-only consumers use [[candidateStarEdges]] instead. */
   private[ops] def candidatePairs(base: DataFrame, saltPrefix: String): DataFrame = {
-    val bands = bandRows(base, saltPrefix)
     // Candidate pairs by GROUPING each (source, band, bsig) bucket and
     // emitting its member pairs, not by self-joining the band table: one
     // shuffle of band rows total. (The round-1 self-join recomputed the
     // signature projection on both join sides — without a shuffle under
     // it there is no exchange for ReuseExchange to deduplicate — and
-    // shuffled the table twice.) Bucket membership lists are small by
-    // construction (docs agreeing on a band signature), so the per-bucket
-    // pair expansion is bounded — the same property that makes LSH
-    // candidate generation linear-ish rather than O(n²).
-    val buckets = bands.groupBy("source", "band", "bsig")
-      .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
+    // shuffled the table twice.) Per-bucket expansion is bounded at
+    // LshBucketCap²/2 pairs by [[cappedBuckets]].
+    val buckets = cappedBuckets(base, saltPrefix)
     buckets.select(col("source"),
         explode(expr("""flatten(transform(ds, (x, i) ->
           transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"""))
@@ -167,9 +195,7 @@ object Dedup {
     * recursive-CTE oracle over the FULL pair set, which proves the
     * component equivalence rather than assuming it. */
   private[ops] def candidateStarEdges(base: DataFrame, saltPrefix: String): DataFrame =
-    bandRows(base, saltPrefix).groupBy("source", "band", "bsig")
-      .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
+    cappedBuckets(base, saltPrefix)
       .select(explode(expr(
         """transform(slice(ds, 2, size(ds) - 1),
            x -> struct(element_at(ds, 1) AS d1, x AS d2))""")).as("p"))
@@ -225,6 +251,11 @@ object Dedup {
       lbl = next.select("doc_id", "lbl")
       rounds += 1
     }
+    // Same loud-failure discipline as [[ccLargeSmallStar]]: an
+    // unconverged label map silently carries multiple labels inside one
+    // component, which no downstream consumer can detect.
+    if (changed > 0) throw new IllegalStateException(
+      s"min-label propagation did not converge within $rounds rounds")
     lbl.select(col("doc_id"), col("lbl").as("root"))
   }
 
@@ -246,14 +277,20 @@ object Dedup {
     * would need four simultaneous mod-1e9+7 coincidences on a
     * monotonically shrinking edge set (and the declared query behind
     * this is gated by an exact recursive-CTE oracle); the round cap
-    * backstops pathology. Mods keep the sums far from Long overflow
-    * (ANSI mode throws on overflow) at any edge count. */
+    * backstops pathology, and hitting it without convergence THROWS.
+    * The mod-M terms sum through DECIMAL(38,0), so the signature cannot
+    * overflow at any edge count (a Long sum would past ~1.8e10 edges). */
   private[ops] def ccLargeSmallStar(pairs1: DataFrame,
       inputCanonical: Boolean = false): DataFrame = {
-    // inputCanonical: the caller guarantees distinct pairs with d1 < d2
-    // (true for candidatePairs output), so the defensive dedup shuffle —
-    // needed only for arbitrary edge lists like the CcSpec fixtures —
-    // can be skipped: one fewer full shuffle of the edge set.
+    // inputCanonical: the caller guarantees d1 < d2 on every row (no
+    // self-loops) — true for candidatePairs and candidateStarEdges
+    // output — so the defensive self-loop filter + dedup shuffle, needed
+    // only for arbitrary edge lists like the CcSpec fixtures, can be
+    // skipped: one fewer full shuffle of the edge set. DUPLICATE rows are
+    // tolerated on this path (candidateStarEdges deliberately keeps
+    // cross-band duplicates): round 1's min aggregates are duplicate-
+    // insensitive and the round-end distinct removes them — but nothing
+    // downstream may assume the input edge MULTISET is duplicate-free.
     val canon = pairs1
       .select(greatest(col("d1"), col("d2")).as("src"),
         least(col("d1"), col("d2")).as("dst"))
@@ -261,7 +298,7 @@ object Dedup {
              else canon.filter(col("src") =!= col("dst")).distinct())
       .localCheckpoint()
     val M = 1000000007L
-    var prevSig: Seq[Long] = null
+    var prevSig: Seq[String] = null
     var rounds = 0
     var converged = false
     while (!converged && rounds < 30) {
@@ -290,16 +327,23 @@ object Dedup {
         .distinct()
         .select(greatest(col("src"), col("dst")).as("src"),
           least(col("src"), col("dst")).as("dst"))
+      // The per-row terms are mod-M (< 1e9+7) but the SUMS run through
+      // DECIMAL(38,0): a Long sum overflows past ~1.8e10 edges (avg term
+      // ~M/2), which a 100 TB corpus can reach — and ANSI mode would turn
+      // that overflow into a thrown exception mid-round.
+      val dec38 = DecimalType(38, 0)
       val obs = org.apache.spark.sql.Observation()
       val next = ss.observe(obs,
           count(lit(1)).as("cnt"),
-          coalesce(sum(pmod(col("src"), lit(M))), lit(0L)).as("s1"),
-          coalesce(sum(pmod(col("dst"), lit(M))), lit(0L)).as("s2"),
-          coalesce(sum(pmod(xxhash64(col("src"), col("dst")), lit(M))), lit(0L))
-            .as("s3"))
+          coalesce(sum(pmod(col("src"), lit(M)).cast(dec38)), lit(0L).cast(dec38))
+            .as("s1"),
+          coalesce(sum(pmod(col("dst"), lit(M)).cast(dec38)), lit(0L).cast(dec38))
+            .as("s2"),
+          coalesce(sum(pmod(xxhash64(col("src"), col("dst")), lit(M)).cast(dec38)),
+            lit(0L).cast(dec38)).as("s3"))
         .localCheckpoint()
       val m = obs.get
-      val sig = Seq("cnt", "s1", "s2", "s3").map(k => m(k).asInstanceOf[Long])
+      val sig = Seq("cnt", "s1", "s2", "s3").map(k => String.valueOf(m(k)))
       converged = prevSig != null && sig == prevSig
       prevSig = sig
       e = next
@@ -466,6 +510,15 @@ object Dedup {
     val cat = (0 until R).map(j => s"m${R * b + j}").mkString(" || ")
     s"SELECT doc_id, source, $b AS band, md5($cat) AS bsig FROM sig"
   }.mkString("\n           UNION ALL ")
+  // band CTE with the identical per-bucket membership cap as
+  // [[cappedBuckets]] (QUALIFY mirrors the Spark-side row_number window)
+  private val bandCteSql =
+    s"""band0 AS (
+           $bandSelectsSql),
+         band AS (
+           SELECT doc_id, source, band, bsig FROM band0
+           QUALIFY row_number() OVER (
+             PARTITION BY source, band, bsig ORDER BY doc_id) <= $LshBucketCap)"""
   private val votesSql = (0 until 16).map(j =>
     s"sum(CASE WHEN substr(mh, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$j")
     .mkString(",\n             ")
@@ -487,8 +540,7 @@ object Dedup {
            SELECT doc_id, source,
              $minhashMinsSql
            FROM tok GROUP BY doc_id, source),
-         band AS (
-           $bandSelectsSql),
+         $bandCteSql,
          cand AS (
            SELECT DISTINCT a.source, a.doc_id AS d1, b.doc_id AS d2
            FROM band a JOIN band b
@@ -537,8 +589,7 @@ object Dedup {
            SELECT doc_id, source,
              $minhashMinsSql
            FROM tok GROUP BY doc_id, source),
-         band AS (
-           $bandSelectsSql),
+         $bandCteSql,
          cand AS (
            SELECT DISTINCT a.source, a.doc_id AS d1, b.doc_id AS d2
            FROM band a JOIN band b
@@ -546,10 +597,15 @@ object Dedup {
                AND a.doc_id < b.doc_id),
          cnt AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id),
          inter AS (
-           SELECT c.source, c.d1, c.d2, count(*) AS inter
+           -- LEFT join so a candidate pair with ZERO shared tokens still
+           -- yields a row (inter = 0): band-signature equality does not
+           -- imply a shared token, and the Spark side counts such pairs
+           -- in n_candidates (an inner join here would silently drop them
+           -- and desynchronize the per-source candidate counts)
+           SELECT c.source, c.d1, c.d2, count(tb.token) AS inter
            FROM cand c
            JOIN tok ta ON ta.doc_id = c.d1
-           JOIN tok tb ON tb.doc_id = c.d2 AND ta.token = tb.token
+           LEFT JOIN tok tb ON tb.doc_id = c.d2 AND ta.token = tb.token
            GROUP BY 1, 2, 3),
          j AS (
            SELECT i.source,
@@ -574,8 +630,7 @@ object Dedup {
            SELECT doc_id, source,
              ${minsSql("g")}
            FROM tok GROUP BY doc_id, source),
-         band AS (
-           $bandSelectsSql),
+         $bandCteSql,
          cand AS (
            SELECT DISTINCT a.source, a.doc_id AS d1, b.doc_id AS d2
            FROM band a JOIN band b
@@ -597,8 +652,7 @@ object Dedup {
            SELECT doc_id, source,
              $minhashMinsSql
            FROM tok GROUP BY doc_id, source),
-         band AS (
-           $bandSelectsSql),
+         $bandCteSql,
          cand AS (
            SELECT DISTINCT a.source, a.doc_id AS d1, b.doc_id AS d2
            FROM band a JOIN band b
@@ -628,8 +682,7 @@ object Dedup {
            SELECT doc_id, source,
              $minhashMinsSql
            FROM tok GROUP BY doc_id, source),
-         band AS (
-           $bandSelectsSql),
+         $bandCteSql,
          cand AS (
            SELECT DISTINCT a.source, a.doc_id AS d1, b.doc_id AS d2
            FROM band a JOIN band b

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import Util._
@@ -145,9 +145,15 @@ object Text {
     * sum over the ≤19-row digit summary (a BIGINT has at most 19 digits —
     * bounded by construction, independent of vocabulary size). Round 2 ran
     * one global row_number over the whole aggregated vocabulary — fine at
-    * any realistic vocab, but a single task at an extreme one; now no
-    * vocabulary-sized operation is unpartitioned. Ids are unchanged, so
-    * the global-row_number oracle still hash-matches. */
+    * any realistic vocab, but a single task at an extreme one. The
+    * digit-count buckets REDUCE the largest unpartitioned span rather
+    * than bound it (a Zipfian vocabulary keeps ~half its types at counts
+    * 1-9, all in the d=1 bucket); the truly bounded exact-rank path at an
+    * extreme vocabulary is a range-partitioned sort with per-partition
+    * index + offsets (sortBy + zipWithIndex), swapped in behind the same
+    * output contract if a profile ever shows the d=1 bucket dominating.
+    * Ids are unchanged, so the global-row_number oracle still
+    * hash-matches. */
   def vocabBuild(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = docs(spark, dir)
@@ -174,7 +180,12 @@ object Text {
     * token count, the chunk text a slice+join — so at 100 TB this is a
     * Generator (explode) with zero shuffle, the same scaling shape as
     * tokenization. Short docs yield one (possibly short) chunk. */
-  def chunkSplit(spark: SparkSession, dir: String): DataFrame = {
+  /** The 8-token / stride-6 chunk geometry, shared by [[chunkSplit]] and
+    * [[dedupChunkExact]] so the sub-document dedup always hashes exactly
+    * the chunks the chunker emits (one definition, two consumers).
+    * Output: one (doc_id, toks, ci) row per chunk, plus the chunk-text
+    * expression over those columns. */
+  private def chunkRows(spark: SparkSession, dir: String): DataFrame = {
     val n = size(col("toks"))
     // smallest k with 6k+8 ≥ n, plus 1 → 1 + ceil((n−8)/6) chunks, the
     // ceil spelled floor((n−3)/6) for n > 8; exact int-valued doubles
@@ -184,14 +195,19 @@ object Text {
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0L), nChunks - 1)).as("ci"))
+  }
+
+  private def chunkTextCol: Column =
+    concat_ws(" ", slice(col("toks"), (col("ci") * 6 + 1).cast("int"), lit(8)))
+
+  def chunkSplit(spark: SparkSession, dir: String): DataFrame =
+    chunkRows(spark, dir)
       .select(
         col("doc_id"),
         col("ci").as("chunk_idx"),
-        concat_ws(" ", slice(col("toks"), (col("ci") * 6 + 1).cast("int"), lit(8)))
-          .as("chunk_text"),
+        chunkTextCol.as("chunk_text"),
         least(lit(8L), size(col("toks")).cast("long") - col("ci") * 6).as("n_tok"))
       .orderBy("doc_id", "chunk_idx")
-  }
 
   /** Sub-document (paragraph-level) exact dedup — boilerplate detection
     * BELOW document granularity: the [[chunkSplit]] chunking hashed and
@@ -202,16 +218,8 @@ object Text {
     * Generator pass + one hash shuffle on the chunk hash; output bounded
     * to chunks appearing in ≥ 3 docs, top-20 by spread. */
   def dedupChunkExact(spark: SparkSession, dir: String): DataFrame = {
-    val n = size(col("toks"))
-    val nChunks = (lit(1) + when(n > 8, floor((n - 3) / lit(6))).otherwise(lit(0)))
-      .cast("long")
-    docs(spark, dir)
-      .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0L), nChunks - 1)).as("ci"))
-      .select(col("doc_id"),
-        md5(concat_ws(" ", slice(col("toks"), (col("ci") * 6 + 1).cast("int"), lit(8)))
-          .cast("binary")).as("h"))
+    chunkRows(spark, dir)
+      .select(col("doc_id"), md5(chunkTextCol.cast("binary")).as("h"))
       .groupBy("h")
       .agg(
         countDistinct(col("doc_id")).as("n_docs"),
@@ -322,7 +330,9 @@ object Text {
         col("norm_text"),
         size(split(col("text"), " ")).cast("long").as("n_tok_raw"),
         size(split(col("norm_text"), " ")).cast("long").as("n_tok_norm"),
-        (col("norm_text") =!= col("text")).as("changed"))
+        // long 0/1, not boolean — the output-type policy (Util.scala)
+        // admits only String/Long/Double columns
+        when(col("norm_text") =!= col("text"), 1L).otherwise(0L).as("changed"))
       .orderBy("doc_id")
   }
 
@@ -369,8 +379,11 @@ object Text {
     * string sorts within its first-char group, so (first-char asc,
     * token asc) is the same total order): a per-prefix PARTITIONED
     * row_number plus prefix-sum offsets over the charset-bounded
-    * first-char summary. No vocabulary-sized operation runs as a single
-    * task. */
+    * first-char summary. This bounds the largest single task at the
+    * LARGEST FIRST-CHAR GROUP — adequate for natural-language tokens,
+    * data-dependent for adversarial vocabularies (e.g. all-URL tokens
+    * sharing 'h'); the bounded fallback is the same range-partitioned
+    * sort + per-partition index noted in [[vocabBuild]]. */
   /** Dictionary rows beyond which [[bitmaskSets]] stops broadcasting the
     * token dictionary and lets the join shuffle instead — an unconditional
     * broadcast of an unbounded vocabulary would blow the broadcast ceiling
@@ -506,23 +519,26 @@ object Text {
     * picks broadcast when it is small rather than us asserting it
     * always is. */
   private def shinglePairCounts(spark: SparkSession, dir: String): DataFrame = {
-    // ONE shuffle of the shingle table: group each (source, shingle) into
-    // its member list, where the DF cap is simply a bucket-size filter
-    // (shingle3 emits distinct shingles per doc, so |members| = document
-    // frequency) and pair expansion happens per bucket exactly as in
-    // Dedup.candidatePairs — bounded at cap²/2 per shingle. The previous
-    // formulation materialized the hot-shingle set with its own groupBy,
-    // anti-joined it back, and self-joined the kept rows: two additional
-    // full shuffles of the shingle table plus a join probe, all replaced
-    // by the single grouped pass (same pair multiset, same oracle).
-    // Size-1 buckets survive the cap filter so per-doc kept-shingle
-    // counts (the Jaccard denominators) still include unshared shingles.
+    // Pair expansion happens per GROUPED bucket exactly as in
+    // Dedup.candidatePairs — bounded at cap²/2 per shingle, no self-join
+    // probe — but the hot-shingle DF cap is applied BEFORE the member
+    // lists are collected, via a constant-state count aggregate + anti
+    // join: a collect_set that only gets size-filtered afterwards would
+    // have to materialize the full member list of a 10^8-doc boilerplate
+    // shingle in one aggregation buffer first, which is precisely the
+    // blowup the cap exists to prevent. After the anti join every bucket
+    // is ≤ NgramDfCap members, so the grouped pass has bounded state.
+    // (The hot join side is unhinted: AQE broadcasts it while small.)
+    // Size-1 buckets survive so per-doc kept-shingle counts (the Jaccard
+    // denominators) still include unshared shingles.
     val sh0 = docs(spark, dir)
       .select(col("doc_id"), col("source"),
         explode(Util.shingle3(col("text"))).as("s"))
-    val buckets = sh0.groupBy("source", "s")
+    val hot = sh0.groupBy("source", "s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > NgramDfCap).select("source", "s")
+    val buckets = sh0.join(hot, Seq("source", "s"), "left_anti")
+      .groupBy("source", "s")
       .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) <= NgramDfCap)
     val cnt = buckets.select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
     buckets.filter(size(col("ds")) >= 2)
@@ -962,7 +978,7 @@ object Text {
          SELECT doc_id, norm_text,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok_raw,
            CAST(len(string_split(norm_text, ' ')) AS BIGINT) AS n_tok_norm,
-           (norm_text <> text) AS changed
+           CAST(CASE WHEN norm_text <> text THEN 1 ELSE 0 END AS BIGINT) AS changed
          FROM n ORDER BY doc_id""",
     "dedup_keep_best" ->
       """WITH d AS (

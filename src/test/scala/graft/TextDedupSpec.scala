@@ -175,9 +175,9 @@ class TextDedupSpec extends AnyFunSuite with SparkFixture {
     val out = Text.normalize(spark, dir).collect()
     assert(out(0).getAs[String]("norm_text") == "make it fast")
     assert(out(0).getAs[Long]("n_tok_raw") == 4L && out(0).getAs[Long]("n_tok_norm") == 3L)
-    assert(out(0).getAs[Boolean]("changed"))
+    assert(out(0).getAs[Long]("changed") == 1L)
     assert(out(1).getAs[String]("norm_text") == "clean text stays")
-    assert(!out(1).getAs[Boolean]("changed"))
+    assert(out(1).getAs[Long]("changed") == 0L)
   }
 
   test("unigram logprob: uniform model scores every token ln(1/2)") {
