@@ -147,15 +147,14 @@ object Dedup {
 
   /** Shared capped (source, band, bsig) buckets with sorted member lists
     * of size ∈ [2, LshBucketCap] — the common front half of
-    * [[candidatePairs]] and [[candidateStarEdges]]. */
+    * [[candidatePairs]] and [[candidateStarEdges]]. The bounded
+    * [[Udaf.MinKLongs]] aggregate keeps the one-hash-shuffle shape
+    * (map-side partials, no sort window, no unbounded collect buffer). */
   private def cappedBuckets(base: DataFrame, saltPrefix: String): DataFrame = {
-    val wB = org.apache.spark.sql.expressions.Window
-      .partitionBy("source", "band", "bsig").orderBy("doc_id")
+    val minK = udaf(new Udaf.MinKLongs(LshBucketCap))
     bandRows(base, saltPrefix)
-      .withColumn("rn", row_number().over(wB))
-      .filter(col("rn") <= LshBucketCap)
       .groupBy("source", "band", "bsig")
-      .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
+      .agg(minK(col("doc_id")).as("ds"))
       .filter(size(col("ds")) >= 2)
   }
 

@@ -519,26 +519,25 @@ object Text {
     * picks broadcast when it is small rather than us asserting it
     * always is. */
   private def shinglePairCounts(spark: SparkSession, dir: String): DataFrame = {
-    // Pair expansion happens per GROUPED bucket exactly as in
-    // Dedup.candidatePairs — bounded at cap²/2 per shingle, no self-join
-    // probe — but the hot-shingle DF cap is applied BEFORE the member
-    // lists are collected, via a constant-state count aggregate + anti
-    // join: a collect_set that only gets size-filtered afterwards would
-    // have to materialize the full member list of a 10^8-doc boilerplate
-    // shingle in one aggregation buffer first, which is precisely the
-    // blowup the cap exists to prevent. After the anti join every bucket
-    // is ≤ NgramDfCap members, so the grouped pass has bounded state.
-    // (The hot join side is unhinted: AQE broadcasts it while small.)
+    // ONE hash shuffle of the shingle table: pair expansion happens per
+    // GROUPED bucket exactly as in Dedup.candidatePairs — bounded at
+    // cap²/2 per shingle, no self-join probe — and the hot-shingle DF cap
+    // is enforced WITH BOUNDED STATE by the [[Udaf.MinKLongs]] aggregate
+    // at k = cap+1: a final member list of cap+1 ids proves the true
+    // document frequency exceeded the cap, so the bucket is dropped
+    // (identical semantics to the count+anti-join formulation, which cost
+    // two extra passes over the shingle table; a plain collect_set would
+    // instead materialize a 10^8-doc boilerplate shingle's full member
+    // list in one aggregation buffer before any size filter could apply).
     // Size-1 buckets survive so per-doc kept-shingle counts (the Jaccard
     // denominators) still include unshared shingles.
+    val minK = udaf(new Udaf.MinKLongs(NgramDfCap + 1))
     val sh0 = docs(spark, dir)
       .select(col("doc_id"), col("source"),
         explode(Util.shingle3(col("text"))).as("s"))
-    val hot = sh0.groupBy("source", "s").agg(count(lit(1)).as("df"))
-      .filter(col("df") > NgramDfCap).select("source", "s")
-    val buckets = sh0.join(hot, Seq("source", "s"), "left_anti")
-      .groupBy("source", "s")
-      .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
+    val buckets = sh0.groupBy("source", "s")
+      .agg(minK(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) <= NgramDfCap)
     val cnt = buckets.select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
     buckets.filter(size(col("ds")) >= 2)

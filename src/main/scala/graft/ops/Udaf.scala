@@ -34,6 +34,50 @@ object Udaf {
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  case class MinKBuf(xs: Seq[Long])
+
+  /** Bounded "k smallest distinct longs" summary — the constant-state
+    * replacement for `array_sort(collect_set(id))` + truncation wherever
+    * bucket membership must be capped: collect_set's buffer grows with
+    * the true bucket size BEFORE any size filter can apply (an
+    * exact-duplicate mega-cluster means an unbounded aggregation buffer),
+    * while this Aggregator's state is ≤ k+? ids regardless of input size
+    * and reduce/merge are associative+commutative, so map-side partials
+    * compose and the result is partitioning-independent. Callers use
+    * k = cap for deterministic truncation (the [[Dedup.LshBucketCap]]
+    * discipline) or k = cap+1 for drop-if-overflow semantics (a final
+    * size of cap+1 proves the true membership exceeded cap — the
+    * [[Text.NgramDfCap]] hot-bucket exclusion — without ever
+    * materializing the full membership). Output is sorted ascending,
+    * identical to the capped collect_set spelling and to the oracles'
+    * QUALIFY row_number() ≤ k. */
+  class MinKLongs(k: Int) extends Aggregator[Long, MinKBuf, Seq[Long]] {
+    def zero: MinKBuf = MinKBuf(scala.collection.immutable.Vector.empty)
+    def reduce(b: MinKBuf, x: Long): MinKBuf = {
+      val xs = b.xs
+      if (xs.length >= k && x >= xs.last) b
+      else {
+        val i = {
+          // binary search for the insertion point in the sorted buffer
+          var lo = 0; var hi = xs.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (xs(mid) < x) lo = mid + 1 else hi = mid
+          }
+          lo
+        }
+        if (i < xs.length && xs(i) == x) b   // set semantics: ids collect once
+        else MinKBuf(((xs.take(i) :+ x) ++ xs.drop(i)).take(k))
+      }
+    }
+    def merge(a: MinKBuf, b: MinKBuf): MinKBuf =
+      MinKBuf((a.xs ++ b.xs).distinct.sorted.take(k))
+    def finish(b: MinKBuf): Seq[Long] = b.xs
+    def bufferEncoder: Encoder[MinKBuf] = Encoders.product[MinKBuf]
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   case class MGBuf(m: Map[String, Long])
 
   /** Misra–Gries heavy-hitters summary as a typed Aggregator — the

@@ -26,6 +26,8 @@ object PerfScratch {
       println(s"--- round $round")
       time("ngramJaccard") { Text.dedupNgramJaccard(spark, dir).count() }
       time("shingleContainment") { Text.shingleContainment(spark, dir).count() }
+      time("ccGroups") { Dedup.ccGroups(spark, dir).count() }
+      time("minhashLsh") { Dedup.minhashLsh(spark, dir).count() }
     }
     spark.stop()
   }

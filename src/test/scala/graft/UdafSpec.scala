@@ -66,4 +66,35 @@ class UdafSpec extends AnyFunSuite with SparkFixture {
       ("en", "x") -> 3L, ("en", "y") -> 2L, ("en", "w") -> 2L, ("en", "z") -> 1L,
       ("de", "q") -> 3L, ("de", "r") -> 1L))
   }
+
+  test("MinKLongs equals sorted-distinct-take(k) on random inputs, any partitioning") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 4) {
+      val k = Seq(1, 3, 8, 64)(trial - 1)
+      val xs = Seq.fill(300)(rnd.nextInt(80).toLong)
+      val expected = xs.distinct.sorted.take(k)
+      // raw state machine across an arbitrary partition split
+      val agg = new Udaf.MinKLongs(k)
+      val (l, r) = xs.splitAt(rnd.nextInt(xs.length))
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(merged) == expected, s"trial=$trial k=$k")
+      // overflow marker: k = cap+1 proves membership exceeded cap
+      val cap = 5
+      val agg2 = new Udaf.MinKLongs(cap + 1)
+      val out = agg2.finish(xs.foldLeft(agg2.zero)(agg2.reduce))
+      assert((out.length == cap + 1) == (xs.distinct.length > cap))
+    }
+  }
+
+  test("MinKLongs through the Spark UDAF path matches collect_set truncation") {
+    import org.apache.spark.sql.functions._
+    val minK = udaf(new Udaf.MinKLongs(3))
+    val df = Seq((1L, 5L), (1L, 2L), (1L, 9L), (1L, 2L), (1L, 1L), (2L, 7L))
+      .toDF("g", "x")
+    val out = df.groupBy("g").agg(minK(col("x")).as("ks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(out(1L) == List(1L, 2L, 5L))
+    assert(out(2L) == List(7L))
+  }
 }
