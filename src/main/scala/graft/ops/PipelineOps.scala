@@ -89,14 +89,7 @@ object PipelineOps {
     * `dir.hashCode` collisions can never be silently read; within a run
     * the input parquet is immutable, so write-once is sound. The root is
     * removed on JVM exit. */
-  private lazy val pruneRoot: java.io.File = {
-    val f = java.nio.file.Files.createTempDirectory("graft_prune_").toFile
-    sys.addShutdownHook {
-      try new scala.reflect.io.Directory(f).deleteRecursively()
-      catch { case _: Throwable => () }
-    }
-    f
-  }
+  private lazy val pruneRoot: java.io.File = processTempRoot("graft_prune_")
   private val pruneScratch =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -104,9 +97,7 @@ object PipelineOps {
     // computeIfAbsent makes write-once atomic per input dir even under
     // concurrent callers within this JVM.
     val scratch = pruneScratch.computeIfAbsent(dir, { d =>
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val out = new java.io.File(pruneRoot, "d" + key)
+      val out = new java.io.File(pruneRoot, "d" + dirKey(d))
       graft.sources.TableSinks.writeDatePartitioned(
         table(spark, d, "events"), "ts", out.getPath, Seq("event_id"))
       out.getPath
@@ -142,7 +133,10 @@ object PipelineOps {
     * (no rand()); per-row projection + one hash agg, so the sample
     * decision never shuffles the corpus. */
   def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
-    val m3 = substring(col("source"), 4, 10).cast("int") % 3
+    // try_cast mirrors the oracle's TRY_CAST: a non-numeric source suffix
+    // yields NULL (falling into the ELSE stratum) on BOTH engines, where a
+    // plain ANSI cast would crash only the Spark side
+    val m3 = expr("try_cast(substring(source, 4, 10) AS int)") % 3
     val thr = when(m3 === 0, "c0").when(m3 === 1, "80").otherwise("40")
     val keep = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < thr
     table(spark, dir, "documents")

@@ -378,10 +378,16 @@ object Relational {
   }
 
   /** max_by/min_by (argmax) aggregates. Ties are nondeterministic in both
-    * engines, so the ordinal is made unique: exact cents × 10⁷ + orderkey
-    * — pure integer arithmetic, identical cross-engine. */
+    * engines, so the ordinal is made unique: a (cents, orderkey) STRUCT
+    * ordering, with cents derived through an exact DECIMAL — a double
+    * CAST would truncate in Spark but round in DuckDB (28.99·100 =
+    * 2898.999…), and the previous packed cents·10⁷+key BIGINT both
+    * inherited that divergence and overflowed its key field past
+    * orderkey 10⁷. The oracle expresses the same argmax as ranked
+    * windows (DuckDB's arg_max cannot take a struct ordinal). */
   def aggMinMaxBy(spark: SparkSession, dir: String): DataFrame = {
-    val ord = (col("o_totalprice") * 100).cast("long") * 10000000L + col("o_orderkey")
+    val cents = (col("o_totalprice").cast(Money) * 100).cast("long")
+    val ord = struct(cents.as("c"), col("o_orderkey").as("k"))
     table(spark, dir, "orders")
       .groupBy(col("o_orderstatus"))
       .agg(
@@ -436,13 +442,9 @@ object Relational {
     * nulls first ascending, DuckDB last), so any nullable sort key must
     * spell NULLS FIRST/LAST — this query pins the discipline. The lag()
     * delta is null on each user's first event. */
-  def sortNullOrder(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    table(spark, dir, "events")
-      .withColumn("delta", round(col("value") - lag(col("value"), 1).over(w), 4))
-      .select(col("event_id"), col("user_id"), col("delta"))
+  def sortNullOrder(spark: SparkSession, dir: String): DataFrame =
+    lagDeltaFrame(spark, dir)
       .orderBy(col("delta").asc_nulls_last, col("event_id"))
-  }
 
   // ---- windows --------------------------------------------------------
 
@@ -499,13 +501,18 @@ object Relational {
   }
 
   /** lag() delta of consecutive per-user event values. */
-  def windowLagDelta(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared per-user lag-delta projection behind [[windowLagDelta]]
+    * and [[sortNullOrder]] (one definition — the two declared queries
+    * differ only in their final sort). */
+  private def lagDeltaFrame(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     table(spark, dir, "events")
       .withColumn("delta", round(col("value") - lag(col("value"), 1).over(w), 4))
       .select(col("event_id"), col("user_id"), col("delta"))
-      .orderBy("event_id")
   }
+
+  def windowLagDelta(spark: SparkSession, dir: String): DataFrame =
+    lagDeltaFrame(spark, dir).orderBy("event_id")
 
   /** first_value / last_value / nth_value over the FULL partition frame —
     * the boundary-navigation window family (lag/lead cover relative
@@ -627,8 +634,7 @@ object Relational {
     * plain-join oracle with the identical filter — bucketing must be
     * invisible to semantics. */
   def joinBucketedColocated(spark: SparkSession, dir: String): DataFrame = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val key = dirKey(dir).take(12)
     val (ot, lt) = (s"g_bk_orders_$key", s"g_bk_lines_$key")
     if (!spark.catalog.tableExists(ot) || !spark.catalog.tableExists(lt)) {
       // A previous JVM's managed-table directory outlives the in-memory
@@ -657,12 +663,15 @@ object Relational {
             .select(col("o_orderkey"), col("o_orderstatus")), ot, "o_orderkey", 8)
         catch { case t: Throwable => ordersFailure.set(t) })
       ordersWrite.start()
-      graft.sources.TableSinks.writeBucketed(
+      // try/finally: if THIS write throws, the side thread must still be
+      // joined before propagating — otherwise a retry's orphan-dir cleanup
+      // could delete the directory the still-running thread writes into
+      try graft.sources.TableSinks.writeBucketed(
         table(spark, dir, "lineitem")
           .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
           .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
         lt, "l_orderkey", 8)
-      ordersWrite.join()
+      finally ordersWrite.join()
       if (ordersFailure.get() != null) throw ordersFailure.get()
     }
     spark.table(ot)
@@ -1146,11 +1155,22 @@ object Relational {
          CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS "5-LOW"
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "agg_min_max_by" ->
-      """SELECT o_orderstatus,
-         arg_max(o_orderkey, CAST(o_totalprice * 100 AS BIGINT) * 10000000 + o_orderkey) AS priciest_order,
-         arg_min(o_orderkey, CAST(o_totalprice * 100 AS BIGINT) * 10000000 + o_orderkey) AS cheapest_order,
-         count(*) AS n
-         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+      """WITH c AS (
+           SELECT o_orderstatus, o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+           FROM orders),
+         r AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY o_orderstatus
+               ORDER BY cents DESC, o_orderkey DESC) AS rn_hi,
+             row_number() OVER (PARTITION BY o_orderstatus
+               ORDER BY cents ASC, o_orderkey ASC) AS rn_lo
+           FROM c)
+         SELECT o_orderstatus,
+           max(CASE WHEN rn_hi = 1 THEN o_orderkey END) AS priciest_order,
+           max(CASE WHEN rn_lo = 1 THEN o_orderkey END) AS cheapest_order,
+           count(*) AS n
+         FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "join_asof_event_order" ->
       s"""SELECT e.event_id, e.user_id,
          strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,

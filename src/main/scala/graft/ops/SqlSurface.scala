@@ -118,14 +118,7 @@ object SqlSurface {
     * catalog across sessions, so a rerun's CTAS would hit
     * LOCATION_ALREADY_EXISTS. The oracle models the table as base-rows
     * UNION ALL the inserted literal. */
-  private lazy val ctasRoot: java.io.File = {
-    val f = java.nio.file.Files.createTempDirectory("graft_ctas_").toFile
-    sys.addShutdownHook {
-      try new scala.reflect.io.Directory(f).deleteRecursively()
-      catch { case _: Throwable => () }
-    }
-    f
-  }
+  private lazy val ctasRoot: java.io.File = Util.processTempRoot("graft_ctas_")
 
   def sqlCtasInsert(spark: SparkSession, dir: String): DataFrame = {
     reg(spark, dir, "nation", "region")

@@ -91,6 +91,27 @@ object Util {
   def r4Sql(x: String): String = rpSql(x, 4)
   def r6Sql(x: String): String = rpSql(x, 6)
 
+  /** MD5 hex of a path string — the scratch-layout cache key shared by
+    * every per-input-dir write-once layout (partition-prune scratch,
+    * bucketed-table names). One definition so key derivation cannot
+    * drift between the caches. */
+  def dirKey(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** A per-process temp directory removed on JVM exit — the scratch root
+    * shape every layout-producing query needs: process-unique (a fixed
+    * /tmp name lets a concurrent harness JVM delete files backing this
+    * session's live tables) and self-cleaning. */
+  def processTempRoot(prefix: String): java.io.File = {
+    val f = java.nio.file.Files.createTempDirectory(prefix).toFile
+    sys.addShutdownHook {
+      try new scala.reflect.io.Directory(f).deleteRecursively()
+      catch { case _: Throwable => () }
+    }
+    f
+  }
+
   /** Expression-level `let`: evaluate `e` ONCE per row and pass the result
     * to `f` as a bound lambda variable.
     *
