@@ -135,28 +135,41 @@ object Dedup {
     * shares every band signature, so one 10^6-copy boilerplate page puts
     * its whole cluster into each of its buckets — an unbounded
     * collect_set buffer and a quadratic clique expansion. The cap keeps
-    * the `LshBucketCap` lowest doc_ids per bucket (a sort-based window —
-    * spill-safe — so no aggregation buffer ever exceeds the cap), the
-    * same bounded-work discipline as [[Text.NgramDfCap]] /
+    * the `LshBucketCap` lowest doc_ids per bucket (bounded
+    * [[Udaf.MinKLongs]] state — no aggregation buffer ever exceeds the
+    * cap), the same bounded-work discipline as [[Text.NgramDfCap]] /
     * [[LevBudgetPerSource]]; every oracle applies the identical QUALIFY.
-    * Semantics at the cap: a mega-cluster still produces the candidate
+    * Semantics at the cap — stated precisely, because downstream
+    * consumers inherit it: a mega-cluster still produces the candidate
     * edges that connect its `cap` lowest members — plenty for CC and for
-    * the pair-count reports — instead of a job that never finishes.
-    * Inactive on the fixtures (≤ 250 docs/source ≤ cap). */
+    * the pair-count reports — instead of a job that never finishes; but a
+    * member ranked beyond the cap in EVERY one of its buckets gets no
+    * candidate edges at all, so quality-dedup consumers
+    * ([[pipelineE2e]]'s keep-best, [[ccGroups]]) classify it as a
+    * singleton/non-duplicate rather than a truncated cluster member —
+    * out-of-cap duplicates ESCAPE dedup, they are not merely unlisted.
+    * That is the deliberate trade (bounded work over exhaustive recall on
+    * pathological clusters); raise the cap if escape volume matters more
+    * than the bound. Inactive on the fixtures (≤ 250 docs/source ≤ cap
+    * per-source; global buckets cap only exact-signature mega-groups). */
   private[ops] val LshBucketCap = 256
 
-  /** Shared capped (source, band, bsig) buckets with sorted member lists
-    * of size ∈ [2, LshBucketCap] — the common front half of
-    * [[candidatePairs]] and [[candidateStarEdges]]. The bounded
-    * [[Udaf.MinKLongs]] aggregate keeps the one-hash-shuffle shape
+  /** Shared capped LSH buckets with sorted member lists of size
+    * ∈ [2, LshBucketCap], grouped by `keys` — (source, band, bsig) for the
+    * source-blocked family, (band, bsig) for the cross-source family. The
+    * bounded [[Udaf.MinKLongs]] aggregate keeps the one-hash-shuffle shape
     * (map-side partials, no sort window, no unbounded collect buffer). */
-  private def cappedBuckets(base: DataFrame, saltPrefix: String): DataFrame = {
+  private def cappedBucketsBy(
+      base: DataFrame, saltPrefix: String, keys: Seq[String]): DataFrame = {
     val minK = udaf(new Udaf.MinKLongs(LshBucketCap))
     bandRows(base, saltPrefix)
-      .groupBy("source", "band", "bsig")
+      .groupBy(keys.map(col): _*)
       .agg(minK(col("doc_id")).as("ds"))
       .filter(size(col("ds")) >= 2)
   }
+
+  private def cappedBuckets(base: DataFrame, saltPrefix: String): DataFrame =
+    cappedBucketsBy(base, saltPrefix, Seq("source", "band", "bsig"))
 
   /** LSH candidate pairs (source, d1 < d2) over any per-doc element set
     * `toks` — the shared front half of the MinHash family, for consumers
@@ -194,7 +207,21 @@ object Dedup {
     * recursive-CTE oracle over the FULL pair set, which proves the
     * component equivalence rather than assuming it. */
   private[ops] def candidateStarEdges(base: DataFrame, saltPrefix: String): DataFrame =
-    cappedBuckets(base, saltPrefix)
+    starEdgesOf(cappedBuckets(base, saltPrefix))
+
+  /** Cross-source variant of [[candidateStarEdges]]: buckets keyed on
+    * (band, bsig) ONLY, so the same article syndicated across two crawl
+    * sources collides — the single most common real dedup case, invisible
+    * to every source-blocked generator. Identical state bound
+    * ([[LshBucketCap]] via MinKLongs) and star-edge output shape; the
+    * only cost delta at scale is hotter buckets (the cap bounds them)
+    * and a shuffle keyed on fewer columns. */
+  private[ops] def candidateStarEdgesGlobal(
+      base: DataFrame, saltPrefix: String): DataFrame =
+    starEdgesOf(cappedBucketsBy(base, saltPrefix, Seq("band", "bsig")))
+
+  private def starEdgesOf(buckets: DataFrame): DataFrame =
+    buckets
       .select(explode(expr(
         """transform(slice(ds, 2, size(ds) - 1),
            x -> struct(element_at(ds, 1) AS d1, x AS d2))""")).as("p"))
@@ -214,14 +241,14 @@ object Dedup {
   private[ops] def ccMinLabel(pairs1: DataFrame): DataFrame = {
     val edges = pairs1.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs1.select(col("d2").as("src"), col("d1").as("dst")))
-      .localCheckpoint()   // evaluated once; every iteration re-joins it
+      .transform(iterCheckpoint)   // evaluated once; every iteration re-joins it
     // Init already carries the first propagation round: label = min(self,
     // direct neighbors) straight off the edge aggregate — same price as a
     // plain distinct-nodes init, one fewer loop round.
     var lbl = edges.groupBy(col("dst"))
       .agg(min(col("src")).as("nb"))
       .select(col("dst").as("doc_id"), least(col("dst"), col("nb")).as("lbl"))
-      .localCheckpoint()
+      .transform(iterCheckpoint)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 25) {
@@ -232,7 +259,7 @@ object Dedup {
         .select(lbl("doc_id"),
           col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("m"))
-        .localCheckpoint()
+        .transform(iterCheckpoint)
       // Pointer jump: also adopt the label OF my label's node (labels are
       // always node ids, so m is a valid lookup key). Plain neighbor
       // propagation needs diameter rounds; the jump compounds hops and
@@ -245,7 +272,7 @@ object Dedup {
           (least(col("m"), coalesce(col("p_m"), col("m"))) < col("old")).as("chg"))
         .observe(obs, coalesce(
           sum(when(col("chg"), 1L).otherwise(0L)), lit(0L)).as("changed"))
-        .localCheckpoint()
+        .transform(iterCheckpoint)
       changed = obs.get("changed").asInstanceOf[Long]
       lbl = next.select("doc_id", "lbl")
       rounds += 1
@@ -295,7 +322,7 @@ object Dedup {
         least(col("d1"), col("d2")).as("dst"))
     var e = (if (inputCanonical) canon
              else canon.filter(col("src") =!= col("dst")).distinct())
-      .localCheckpoint()
+      .transform(iterCheckpoint)
     val M = 1000000007L
     var prevSig: Seq[String] = null
     var rounds = 0
@@ -340,7 +367,7 @@ object Dedup {
             .as("s2"),
           coalesce(sum(pmod(xxhash64(col("src"), col("dst")), lit(M)).cast(dec38)),
             lit(0L).cast(dec38)).as("s3"))
-        .localCheckpoint()
+        .transform(iterCheckpoint)
       val m = obs.get
       val sig = Seq("cnt", "s1", "s2", "s3").map(k => String.valueOf(m(k)))
       converged = prevSig != null && sig == prevSig
@@ -434,6 +461,128 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** CROSS-SOURCE near-dup dedup — [[pipelineE2e]] with the per-source
+    * blocking removed from candidate generation: buckets key on
+    * (band, bsig) alone ([[candidateStarEdgesGlobal]]), so the same
+    * article syndicated across two crawl sources — the most common real
+    * dedup case, invisible to every source-blocked operator — lands in
+    * one cluster. Same state bounds (MinKLongs cap) and star-edge CC
+    * feed; what changes downstream is the rollup: clusters MAY span
+    * sources now, so the keep-best aggregation keys on the cluster root
+    * alone (one global re-aggregation by root — the no-global-reshuffle
+    * shortcut pipelineE2e exploits no longer applies, by design), and the
+    * per-source report joins each doc back to its cluster's keeper.
+    * Output per source: doc/kept/dropped counts, how many of its docs sit
+    * in a cluster that spans >1 source, and the md5 fingerprint of its
+    * surviving doc_ids. The oracle replays the identical global banding
+    * (QUALIFY capped on (band, bsig)) with a recursive-CTE closure. */
+  def minhashGlobal(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    val base = d.select(col("doc_id"), col("source"),
+      array_distinct(split(Text.normTextExpr, " ")).as("toks"))
+    val lbl = ccLargeSmallStar(
+      candidateStarEdgesGlobal(base, "s"), inputCanonical = true)
+    val (_, _, _, score) = Text.compositeQuality
+    val dq = d.select(col("doc_id"), col("source"), score.as("q"))
+    val withRoot = dq.join(lbl, Seq("doc_id"), "left")
+      .withColumn("root", coalesce(col("root"), col("doc_id")))
+    // Keep-best per GLOBAL cluster: one aggregate keyed on root, then each
+    // doc rejoins its cluster's keeper. Both are root-keyed hash shuffles
+    // of doc-count rows — the honest cost of cross-source clustering.
+    val clusters = withRoot.groupBy("root")
+      .agg(
+        max_by(col("doc_id"), struct(col("q"), -col("doc_id"))).as("keep_id"),
+        countDistinct(col("source")).as("n_src"))
+    withRoot.join(clusters, "root")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("keep_id"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("n_src") > 1, 1L).otherwise(0L)).as("n_xsource"),
+        // collect_list skips nulls, so only this source's keepers land in
+        // the fingerprint; the oracle mirrors with FILTER (WHERE …).
+        md5(concat_ws(",",
+          transform(
+            array_sort(collect_list(
+              when(col("doc_id") === col("keep_id"), col("doc_id")))),
+            x => x.cast("string"))).cast("binary")).as("survivors_md5"))
+      .orderBy("source")
+  }
+
+  /** Incremental dedup of a NEW BATCH against a STANDING corpus — the
+    * reference's A7 seen-set check (`src/bak_unload.ps1:57-66`) at
+    * document granularity, and the shape every recurring ingest needs:
+    * yesterday's corpus must not be re-deduped against itself each run.
+    * The batch is the deterministic doc_id % 7 == 0 slice (~14%); the
+    * standing side contributes ONLY its signatures — a content-hash map
+    * (exact tier) and capped cross-source LSH band buckets (near tier) —
+    * never a standing×standing pair. Tiers per batch doc:
+    *
+    *   exact  — content md5 equality against the standing hash map
+    *            (broadcast/hash anti-join shape; at 100 TB the standing
+    *            hash table is the persisted seen-set, not a rescan);
+    *   near   — LSH band-bucket probe into the standing index
+    *            ([[LshBucketCap]]-capped via MinKLongs), candidates
+    *            verified by exact token-set Jaccard, best match kept
+    *            (max jac, ties to the lower standing id), near iff
+    *            jac ≥ 0.9 (the [[minhashLsh]] threshold);
+    *   unique — neither tier fired.
+    *
+    * Output one row per batch doc with its status, matched standing doc
+    * (−1 when none), and best Jaccard. The oracle replays both tiers,
+    * including the QUALIFY-capped standing buckets. */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    def withToks(df: DataFrame): DataFrame = df.select(
+      col("doc_id"), col("source"),
+      md5(col("text").cast("binary")).as("h"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+    val sBase = withToks(d.filter(col("doc_id") % 7 =!= 0))
+    val bBase = withToks(d.filter(col("doc_id") % 7 === 0))
+    // exact tier: min standing doc_id per content hash
+    val sHash = sBase.groupBy("h").agg(min(col("doc_id")).as("exact_id"))
+    // near tier: standing buckets are state-bounded (MinKLongs), keyed
+    // cross-source (band, bsig); batch band rows probe them — an equi
+    // join, never a batch×standing pair space. No size≥2 filter here:
+    // a SINGLETON standing bucket is a perfectly good match candidate
+    // (cappedBucketsBy's ≥2 filter exists for intra-corpus pairing).
+    val minK = udaf(new Udaf.MinKLongs(LshBucketCap))
+    val sBuckets = bandRows(sBase.select("doc_id", "source", "toks"), "s")
+      .groupBy("band", "bsig")
+      .agg(minK(col("doc_id")).as("ds"))
+    val bBands = bandRows(bBase.select("doc_id", "source", "toks"), "s")
+      .select(col("doc_id").as("b_id"), col("band"), col("bsig"))
+    val cand = bBands.join(sBuckets, Seq("band", "bsig"))
+      .select(col("b_id"), explode(col("ds")).as("s_id"))
+      .distinct()
+    val bSets = bBase.select(col("doc_id").as("b_id"), col("toks").as("b_toks"))
+    val sSets = sBase.select(col("doc_id").as("s_id"), col("toks").as("s_toks"))
+    val scored = cand.join(bSets, "b_id").join(sSets, "s_id")
+      .select(col("b_id"), col("s_id"),
+        size(array_intersect(col("b_toks"), col("s_toks"))).as("inter"),
+        size(col("b_toks")).as("nb"), size(col("s_toks")).as("ns"))
+      .withColumn("jac", col("inter").cast("double")
+        / (col("nb") + col("ns") - col("inter")).cast("double"))
+    val best = scored.groupBy(col("b_id").as("doc_id"))
+      .agg(
+        max_by(col("s_id"), struct(col("jac"), -col("s_id"))).as("near_id"),
+        max(col("jac")).as("bj"))
+    bBase.select(col("doc_id"), col("source"), col("h"))
+      .join(sHash, Seq("h"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("exact_id").isNotNull, "exact")
+          .when(col("bj") >= 0.9, "near")
+          .otherwise("unique").as("status"),
+        when(col("exact_id").isNotNull, col("exact_id"))
+          .when(col("bj") >= 0.9, col("near_id"))
+          .otherwise(lit(-1L)).as("match_id"),
+        r6(when(col("exact_id").isNotNull, lit(1.0))
+          .otherwise(coalesce(col("bj"), lit(0.0)))).as("best_jac"))
+      .orderBy("doc_id")
+  }
+
   /** Fuzzy-match verification over the LSH candidate pairs: Levenshtein
     * distance on the raw pair texts plus a length-normalized similarity —
     * the character-level check that catches small in-place edits token-set
@@ -494,6 +643,8 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_pipeline_e2e" -> (pipelineE2e _),
+    "dedup_minhash_global" -> (minhashGlobal _),
+    "dedup_incremental" -> (incremental _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_minhash_shingle" -> (minhashShingle _),
     "dedup_simhash" -> (simhash _),
@@ -518,6 +669,15 @@ object Dedup {
            SELECT doc_id, source, band, bsig FROM band0
            QUALIFY row_number() OVER (
              PARTITION BY source, band, bsig ORDER BY doc_id) <= $LshBucketCap)"""
+  // the CROSS-SOURCE variant: cap partitions on (band, bsig) only,
+  // mirroring [[cappedBucketsBy]]'s global key
+  private val bandCteGlobalSql =
+    s"""band0 AS (
+           $bandSelectsSql),
+         band AS (
+           SELECT doc_id, source, band, bsig FROM band0
+           QUALIFY row_number() OVER (
+             PARTITION BY band, bsig ORDER BY doc_id) <= $LshBucketCap)"""
   private val votesSql = (0 until 16).map(j =>
     s"sum(CASE WHEN substr(mh, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$j")
     .mkString(",\n             ")
@@ -580,6 +740,117 @@ object Dedup {
            CAST(sum(csize) - count(*) AS BIGINT) AS n_dropped,
            md5(array_to_string(list_sort(list(keep_id)), ',')) AS survivors_md5
          FROM cl GROUP BY source ORDER BY source""",
+    "dedup_minhash_global" ->
+      s"""WITH RECURSIVE nd AS (
+           SELECT doc_id, source,
+             array_to_string(list_filter(
+               string_split_regex(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +'),
+               t -> t NOT IN ('join','filter','sort','merge','window')), ' ') AS ntext
+           FROM documents),
+         tok AS (
+           SELECT doc_id, source, unnest(list_distinct(string_split(ntext, ' '))) AS token
+           FROM nd),
+         sig AS (
+           SELECT doc_id, source,
+             $minhashMinsSql
+           FROM tok GROUP BY doc_id, source),
+         $bandCteGlobalSql,
+         cand AS (
+           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           FROM band a JOIN band b
+             ON a.band = b.band AND a.bsig = b.bsig
+               AND a.doc_id < b.doc_id),
+         e AS (SELECT d1 AS src, d2 AS dst FROM cand
+               UNION SELECT d2, d1 FROM cand),
+         reach AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+         rt AS (
+           SELECT src AS doc_id, least(src, min(dst)) AS root
+           FROM reach GROUP BY src),
+         dq AS (
+           SELECT doc_id, source,
+             0.6 * (CAST(len(list_filter(string_split(text, ' '),
+                 t -> t IN ('join','filter','sort','merge','window'))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE))
+             + 0.4 * least((CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0) AS q
+           FROM documents),
+         withroot AS (
+           SELECT dq.doc_id, dq.source, dq.q, coalesce(rt.root, dq.doc_id) AS root
+           FROM dq LEFT JOIN rt ON dq.doc_id = rt.doc_id),
+         rk AS (
+           SELECT root, doc_id, source,
+             row_number() OVER (PARTITION BY root ORDER BY q DESC, doc_id) AS rn
+           FROM withroot),
+         cl AS (
+           SELECT root,
+             min(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+             count(DISTINCT source) AS n_src
+           FROM rk GROUP BY root),
+         per AS (
+           SELECT w.source, w.doc_id, c.keep_id, c.n_src
+           FROM withroot w JOIN cl c ON w.root = c.root)
+         SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN n_src > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_xsource,
+           md5(coalesce(array_to_string(list_sort(
+             list(doc_id) FILTER (WHERE doc_id = keep_id)), ','), '')) AS survivors_md5
+         FROM per GROUP BY source ORDER BY source""",
+    "dedup_incremental" ->
+      s"""WITH dd AS (
+           SELECT doc_id, source, text, md5(text) AS h,
+             list_distinct(string_split(text, ' ')) AS toks
+           FROM documents),
+         tok AS (SELECT doc_id, source, unnest(toks) AS token FROM dd),
+         sig AS (
+           SELECT doc_id, source,
+             $minhashMinsSql
+           FROM tok GROUP BY doc_id, source),
+         band0 AS (
+           $bandSelectsSql),
+         sband AS (
+           SELECT doc_id, band, bsig FROM band0 WHERE doc_id % 7 <> 0
+           QUALIFY row_number() OVER (
+             PARTITION BY band, bsig ORDER BY doc_id) <= $LshBucketCap),
+         bband AS (
+           SELECT doc_id, band, bsig FROM band0 WHERE doc_id % 7 = 0),
+         sh AS (
+           SELECT h, min(doc_id) AS exact_id FROM dd WHERE doc_id % 7 <> 0 GROUP BY h),
+         cand AS (
+           SELECT DISTINCT b.doc_id AS b_id, s.doc_id AS s_id
+           FROM bband b JOIN sband s ON b.band = s.band AND b.bsig = s.bsig),
+         sc AS (
+           SELECT c.b_id, c.s_id,
+             len(list_intersect(bb.toks, sb.toks)) AS inter,
+             len(bb.toks) AS nb, len(sb.toks) AS ns
+           FROM cand c JOIN dd bb ON bb.doc_id = c.b_id
+                       JOIN dd sb ON sb.doc_id = c.s_id),
+         j AS (
+           SELECT b_id, s_id,
+             CAST(inter AS DOUBLE) / CAST(nb + ns - inter AS DOUBLE) AS jac
+           FROM sc),
+         best AS (
+           SELECT b_id, s_id AS near_id, jac AS bj FROM (
+             SELECT *, row_number() OVER (PARTITION BY b_id ORDER BY jac DESC, s_id) AS rn
+             FROM j)
+           WHERE rn = 1)
+         SELECT bb.doc_id, bb.source,
+           CASE WHEN sh.exact_id IS NOT NULL THEN 'exact'
+                WHEN best.bj >= 0.9 THEN 'near'
+                ELSE 'unique' END AS status,
+           CAST(CASE WHEN sh.exact_id IS NOT NULL THEN sh.exact_id
+                WHEN best.bj >= 0.9 THEN best.near_id
+                ELSE -1 END AS BIGINT) AS match_id,
+           ${r6Sql("CASE WHEN sh.exact_id IS NOT NULL THEN 1.0 ELSE coalesce(best.bj, 0.0) END")} AS best_jac
+         FROM dd bb
+         LEFT JOIN sh ON bb.h = sh.h
+         LEFT JOIN best ON best.b_id = bb.doc_id
+         WHERE bb.doc_id % 7 = 0
+         ORDER BY bb.doc_id""",
     "dedup_minhash_lsh" ->
       s"""WITH tok AS (
            SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS token

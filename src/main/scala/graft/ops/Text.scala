@@ -683,6 +683,89 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Rounds the BPE training loop runs ([[bpeTrain]]); each round's winner
+    * and merge count are oracle-replayed, so any divergence in ANY round
+    * changes every later round's counts and fails the gate. */
+  private[ops] val BpeTrainRounds = 8
+
+  /** BPE TRAINING LOOP — [[bpeMerge]]'s single gated iteration run to a
+    * mini-vocabulary: [[BpeTrainRounds]] deterministic rounds, each
+    * picking the corpus-wide most-frequent adjacent pair (ties
+    * lexicographic) and merging its occurrences left-to-right
+    * non-overlapping in every document, exactly how a tokenizer trainer
+    * builds its merge table. Structure per round (the MLlib iterate
+    * pattern, like [[Vector.simsearchIvf]]'s Lloyd loop): the winner is a
+    * ONE-ROW collect (TakeOrdered over the pair counts — bounded,
+    * scale-independent driver state, the merge-table entry itself); the
+    * merge + position renumber ride ONE (doc_id, pos) sort (lag/max/
+    * row_number windows fuse into a single Window exec) with the merge
+    * count observed inside the round's checkpoint job
+    * ([[org.apache.spark.sql.Observation]] — no second action); the token
+    * stream is checkpointed between rounds so round k never replays
+    * rounds 1..k−1 ([[Util.iterCheckpoint]] — conf-switchable to reliable
+    * checkpoints for cluster-grade fault tolerance). The winner is bound
+    * as a LITERAL (no 1-row crossJoin needed). Output: one row per round
+    * — the learned merge-table prefix — with the pair, its count at
+    * selection time, and the merges applied; the oracle replays all
+    * [[BpeTrainRounds]] rounds CTE-by-CTE. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val wRun = wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var tok = iterCheckpoint(
+      docs(spark, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumnRenamed("col", "tok"))
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long, Long)]()
+    var r = 1
+    var done = false
+    while (r <= BpeTrainRounds && !done) {
+      val withNxt = tok.withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+      val bestRows = withNxt.filter(col("nxt").isNotNull)
+        .groupBy(col("tok").as("t1"), col("nxt").as("t2"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("t1"), col("t2"))
+        .limit(1).collect()
+      if (bestRows.isEmpty) done = true // corpus merged down to 1-token docs
+      else {
+        val (t1, t2, cnt) =
+          (bestRows(0).getString(0), bestRows(0).getString(1), bestRows(0).getLong(2))
+        // identical candidate-run/parity machinery as [[bpeMerge]] — see
+        // its scaladoc for why offset parity replaces the sequential scan
+        val marked = withNxt
+          .withColumn("cand",
+            coalesce(col("tok") === lit(t1) && col("nxt") === lit(t2), lit(false)))
+          .withColumn("cand_start",
+            col("cand") && !coalesce(lag(col("cand"), 1).over(wDoc), lit(false)))
+          .withColumn("run_start",
+            max(when(col("cand_start"), col("pos"))).over(wRun))
+          .withColumn("start",
+            col("cand") && (col("pos") - col("run_start")) % 2 === 0)
+          .withColumn("consumed",
+            coalesce(lag(col("start"), 1).over(wDoc), lit(false)))
+        val obs = org.apache.spark.sql.Observation()
+        val next = iterCheckpoint(
+          marked.filter(!col("consumed"))
+            .select(col("doc_id"), col("pos").as("opos"),
+              when(col("start"), lit(s"${t1}_$t2")).otherwise(col("tok")).as("tok"),
+              col("start"))
+            // positions must be CONTIGUOUS again for the next round's
+            // run-parity test — renumber over the surviving order
+            .withColumn("pos",
+              row_number().over(Window.partitionBy("doc_id").orderBy("opos")) - 1)
+            .observe(obs, coalesce(
+              sum(when(col("start"), 1L).otherwise(0L)), lit(0L)).as("nm"))
+            .select("doc_id", "pos", "tok"))
+        val nm = obs.get("nm").asInstanceOf[Long]
+        out += ((r.toLong, t1, t2, cnt, nm))
+        tok = next
+        r += 1
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("round", "t1", "t2", "cnt", "n_merges").orderBy("round")
+  }
+
   /** Unigram language-model scoring — the classic perplexity-style quality
     * filter for training corpora: score every document by the mean log
     * probability of its tokens under the corpus's own unigram model. Shape
@@ -715,6 +798,7 @@ object Text {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_merge" -> (bpeMerge _),
+    "text_bpe_train" -> (bpeTrain _),
     "text_unigram_logprob" -> (unigramLogprob _),
     "text_token_topk" -> (tokenTopk _),
     "text_lang_stats" -> (langStats _),
@@ -808,6 +892,59 @@ object Text {
            string_agg(CASE WHEN st THEN t1 || '_' || t2 ELSE tok END, ' ' ORDER BY pos) AS merged_text
          FROM m5 WHERE NOT consumed
          GROUP BY doc_id ORDER BY doc_id""",
+    // Replays the training loop round by round — the same CTE machinery as
+    // text_bpe_merge's oracle, chained [[BpeTrainRounds]] times by a Scala
+    // loop (generated, so Spark loop and oracle cannot drift in round
+    // count or per-round arithmetic). tok{k+1} renumbers positions
+    // contiguously, mirroring the Spark side's row_number re-index.
+    "text_bpe_train" -> {
+      val rounds = (1 to BpeTrainRounds).map { k =>
+        s"""ld$k AS (
+           SELECT doc_id, pos, tok,
+             lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+           FROM tok$k),
+         best$k AS (
+           SELECT tok AS t1, nxt AS t2, count(*) AS cnt
+           FROM ld$k WHERE nxt IS NOT NULL
+           GROUP BY 1, 2 ORDER BY cnt DESC, t1, t2 LIMIT 1),
+         ma$k AS (
+           SELECT l.doc_id, l.pos, l.tok, b.t1, b.t2, b.cnt,
+             coalesce(l.tok = b.t1 AND l.nxt = b.t2, false) AS cand
+           FROM ld$k l, best$k b),
+         mb$k AS (
+           SELECT *, (cand AND NOT coalesce(
+             lag(cand, 1) OVER (PARTITION BY doc_id ORDER BY pos), false)) AS cand_start
+           FROM ma$k),
+         mc$k AS (
+           SELECT *, max(CASE WHEN cand_start THEN pos END) OVER
+               (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run_start
+           FROM mb$k),
+         md$k AS (SELECT *, (cand AND (pos - run_start) % 2 = 0) AS st FROM mc$k),
+         me$k AS (
+           SELECT *, coalesce(
+             lag(st, 1) OVER (PARTITION BY doc_id ORDER BY pos), false) AS consumed
+           FROM md$k),
+         tok${k + 1} AS (
+           SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+             CASE WHEN st THEN t1 || '_' || t2 ELSE tok END AS tok
+           FROM me$k WHERE NOT consumed),
+         sum$k AS (
+           SELECT CAST($k AS BIGINT) AS round, t1, t2, cnt,
+             (SELECT CAST(sum(CASE WHEN st THEN 1 ELSE 0 END) AS BIGINT)
+              FROM me$k) AS n_merges
+           FROM best$k)"""
+      }.mkString(",\n         ")
+      val union = (1 to BpeTrainRounds)
+        .map(k => s"SELECT * FROM sum$k").mkString("\n           UNION ALL ")
+      s"""WITH tok1 AS (
+           SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             unnest(range(len(string_split(text, ' ')))) AS pos
+           FROM documents),
+         $rounds
+         SELECT round, t1, t2, cnt, n_merges FROM ($union) ORDER BY round"""
+    },
     "text_unigram_logprob" ->
       s"""WITH tok AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

@@ -112,6 +112,32 @@ object Util {
     f
   }
 
+  /** Iteration checkpoint for driver-side fixpoints (CC label propagation,
+    * Lloyd training, BPE rounds): cut lineage so iteration k doesn't
+    * re-execute 1..k−1 (plans compose, results don't). Mode is conf-gated:
+    *
+    *   - `local` (default): `localCheckpoint()` — executor-memory-resident,
+    *     the fast in-process choice, but an executor loss on a real cluster
+    *     kills the lineage mid-fixpoint;
+    *   - `reliable`: `checkpoint()` to `spark.sql.checkpointLocation`-style
+    *     storage (here a per-process temp dir unless the caller already set
+    *     `sparkContext.setCheckpointDir` to durable storage) — survives
+    *     executor loss, the cluster-grade choice at 100 TB.
+    *
+    * Set `spark.graft.checkpointMode=reliable` (runtime conf) to switch;
+    * the fixpoints are asserted checkpoint-mode agnostic in CcSpec. */
+  def iterCheckpoint(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val mode = spark.conf.getOption("spark.graft.checkpointMode")
+      .getOrElse(sys.env.getOrElse("GRAFT_CHECKPOINT_MODE", "local"))
+    if (mode == "reliable") {
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.sparkContext.setCheckpointDir(
+          processTempRoot("graft_ckpt_").getAbsolutePath)
+      df.checkpoint()
+    } else df.localCheckpoint()
+  }
+
   /** Expression-level `let`: evaluate `e` ONCE per row and pass the result
     * to `f` as a bound lambda variable.
     *

@@ -196,7 +196,7 @@ object Vector {
     // discipline: plans compose, results don't).
     val e = emb(spark, dir)
       .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
-      .localCheckpoint()
+      .transform(iterCheckpoint)
     // Centroids live on the DRIVER between iterations — k·d doubles
     // (16×64), bounded and scale-independent — exactly how Spark MLlib's
     // KMeans iterates (collect centers, broadcast back). This is NOT the
@@ -247,7 +247,7 @@ object Vector {
     // assigned appears TWICE in the final plan (under the broadcast
     // probeCells subtree via probes, and as the left side of scored) —
     // checkpointing stops the corpus×16 assignment aggregate running twice.
-    val assigned = assign(cents).localCheckpoint()
+    val assigned = iterCheckpoint(assign(cents))
     val probes = assigned.orderBy("vec_id").limit(10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         col("nrm").as("p_nrm"))
@@ -447,7 +447,7 @@ object Vector {
     // Materialized once: the subvector table feeds PqIters+1 assignment
     // jobs plus the encode pass — without the checkpoint each job would
     // re-scan and re-slice the corpus (plans compose, results don't).
-    val sv = subVecs(e, "vec_id", "embedding", "subv").localCheckpoint()
+    val sv = iterCheckpoint(subVecs(e, "vec_id", "embedding", "subv"))
     val centSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("sub",
         org.apache.spark.sql.types.IntegerType),
