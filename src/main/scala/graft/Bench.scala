@@ -47,8 +47,12 @@ object Bench {
     // round-2 driver captured only the tail of stdout and the long per-query
     // map truncated the leading total away. Key order keeps the headline
     // number in the tail; the full line is also persisted to a file.
+    // warm_dir records WHICH dir warmed the JVM: when the sf0.001 sibling
+    // is missing, warmup falls back to the timed dataset itself, which
+    // pre-warms its OS page cache / parquet footers — runs with different
+    // warm_dir values are not comparable, and the record makes that visible.
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","total_sec":${num(total)}}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","total_sec":${num(total)}}"""
     try {
       val w = new java.io.PrintWriter("bench_last.json")
       try w.println(line) finally w.close()

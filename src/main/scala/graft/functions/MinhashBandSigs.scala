@@ -43,6 +43,9 @@ case class MinhashBandSigs(child: Expression, k: Int, r: Int)
   override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "minhash_band_sigs"
+  // nullable even over a non-null child: empty/all-null element sets
+  // return NULL (see nullSafeEval) rather than a sentinel-only signature
+  override def nullable: Boolean = true
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
@@ -63,11 +66,13 @@ case class MinhashBandSigs(child: Expression, k: Int, r: Int)
     val n = arr.numElements()
     val mins = Array.fill(k)("g")   // sorts above every hex digit — same sentinel as the fold
     var j = 0
+    var seen = 0
     while (j < n) {
       // null elements are skipped — the `least`-based fold this replaces
       // ignored nulls (least ignores null operands), and md5(null) = null
       // is exactly what a nullable input column produces
       if (!arr.isNullAt(j)) {
+        seen += 1
         val h = arr.getUTF8String(j).toString
         var i = 0
         while (i < k) {
@@ -78,6 +83,12 @@ case class MinhashBandSigs(child: Expression, k: Int, r: Int)
       }
       j += 1
     }
+    // Empty/all-null element set → NULL, not the sentinel-only signature:
+    // all callers guarantee non-empty toks, but a future caller violating
+    // that contract would otherwise silently hash EVERY empty doc into one
+    // identical bucket per band — a degenerate mega-bucket. NULL makes the
+    // violation drop out of banding (posexplode skips null arrays) instead.
+    if (seen == 0) return null
     val md = MinhashBandSigs.localDigest.get()
     val res = new Array[Any](bands)
     var b = 0

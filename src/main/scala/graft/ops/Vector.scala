@@ -435,15 +435,33 @@ object Vector {
     * generated by the same loop so the two cannot drift (the
     * simsearch_ivf discipline). */
   def simsearchPq(spark: SparkSession, dir: String): DataFrame = {
+    val (codes, cents) = pqTrainEncode(spark, dir)
+    pqSearch(spark, dir, codes, cents)
+  }
+
+  /** Per-(id, subspace) 8-dim double subvectors of an embedding column —
+    * the PQ slicing, shared by training, encoding, and the probe
+    * distance-table build. */
+  private def subVecs(
+      df: DataFrame, idCol: String, embCol: String, out: String): DataFrame =
+    df.select(col(idCol), explode(sequence(lit(0), lit(PqM - 1))).as("sub"),
+        col(embCol))
+      .select(col(idCol), col("sub"),
+        transform(slice(col(embCol), col("sub") * 8 + 1, lit(8)),
+          x => x.cast("double")).as(out))
+
+  /** PQ training + encoding (steps 1–2 of [[simsearchPq]]'s structure):
+    * Lloyd-train the [[PqM]]×[[PqK]] codebooks, encode every corpus
+    * vector to its per-subspace nearest-centroid code. Returns
+    * (codes: one (vec_id, sub, code) row per vector per subspace,
+    * codebooks: (sub, c_id, c_emb)). Deterministic end to end, so a
+    * persisted replay ([[simsearchPqIndex]]) is bit-identical to an
+    * in-memory run. */
+  private def pqTrainEncode(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import scala.jdk.CollectionConverters._
     val e = emb(spark, dir)
       .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
-    def subVecs(df: DataFrame, idCol: String, embCol: String, out: String) =
-      df.select(col(idCol), explode(sequence(lit(0), lit(PqM - 1))).as("sub"),
-          col(embCol))
-        .select(col(idCol), col("sub"),
-          transform(slice(col(embCol), col("sub") * 8 + 1, lit(8)),
-            x => x.cast("double")).as(out))
     // Materialized once: the subvector table feeds PqIters+1 assignment
     // jobs plus the encode pass — without the checkpoint each job would
     // re-scan and re-slice the corpus (plans compose, results don't).
@@ -483,7 +501,17 @@ object Vector {
         .select(col("sub"), col("code").as("c_id"), col("c_emb"))
         .collect().toSeq)
     }
-    val codes = assignCodes(cents).select("vec_id", "sub", "code")
+    (assignCodes(cents).select("vec_id", "sub", "code"), cents)
+  }
+
+  /** The PQ ADC search (steps 3–5 of [[simsearchPq]]'s structure) over any
+    * code/codebook source — in-memory training output or the persisted
+    * index — so the two declared variants share one expression tree and
+    * cannot drift. */
+  private def pqSearch(spark: SparkSession, dir: String,
+      codes: DataFrame, cents: DataFrame): DataFrame = {
+    val e = emb(spark, dir)
+      .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
     val probes = e.orderBy("vec_id").limit(10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         col("nrm").as("p_nrm"))
@@ -506,6 +534,55 @@ object Vector {
       .select(col("probe_id"), col("rk"), col("vec_id").as("neighbor_id"),
         col("cos"), r6(col("adist")).as("adist_r"))
       .orderBy("probe_id", "rk")
+  }
+
+  /** Build-count diagnostic for the persisted-index cache — lets the spec
+    * assert the search side retrains NOTHING once the index exists. */
+  private[graft] val pqIndexBuilds = new java.util.concurrent.atomic.AtomicInteger
+
+  private val pqIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private lazy val pqIndexRoot: java.io.File = processTempRoot("graft_pqidx_")
+
+  /** Ensure the persisted PQ index for `dir` exists; returns
+    * (codes table name, codebook parquet path). Write-once per input dir
+    * per JVM (the `pipe_partition_prune` scratch discipline): codes land
+    * as a BUCKETED catalog table on vec_id via
+    * [[graft.sources.TableSinks.writeBucketed]] — at serving scale the
+    * ADC aggregate groups on (probe_id, vec_id), and a vec_id-hash layout
+    * already satisfies that clustering, so the scan-side aggregation runs
+    * with NO exchange; codebooks (128 rows) land as plain parquet. */
+  private def ensurePqIndex(spark: SparkSession, dir: String): (String, String) =
+    pqIndexCache.computeIfAbsent(dir, { d =>
+      pqIndexBuilds.incrementAndGet()
+      val key = dirKey(d).take(12)
+      val codesTable = s"g_pq_codes_$key"
+      val cbPath = new java.io.File(pqIndexRoot, s"cb_$key").getPath
+      // orphaned managed-table location from a previous JVM — same
+      // discipline as join_bucketed_colocated
+      val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+      val tdir = new java.io.File(wh, codesTable)
+      if (tdir.exists() && !spark.catalog.tableExists(codesTable))
+        new scala.reflect.io.Directory(tdir).deleteRecursively()
+      val (codes, cents) = pqTrainEncode(spark, d)
+      graft.sources.TableSinks.writeBucketed(codes, codesTable, "vec_id", 8)
+      cents.write.mode("overwrite").parquet(cbPath)
+      (codesTable, cbPath)
+    })
+
+  /** PQ ANN with BUILD/SEARCH SEPARATION — the missing piece between
+    * [[simsearchPq]] and a production vector-serving path: at 100 TB the
+    * index is built once and served many times, never retrained inside a
+    * query. The build ([[ensurePqIndex]], write-once per input dir)
+    * persists the 8-byte-per-vector code table to a vec_id-bucketed
+    * parquet layout and the codebooks beside it; the SEARCH side reads
+    * only the persisted tables — zero Lloyd jobs, zero raw-embedding
+    * scans except the 10-probe lookup and the final 50-row exact re-rank.
+    * Training is deterministic, so the persisted replay matches
+    * [[simsearchPq]] exactly and the SAME oracle gates both. */
+  def simsearchPqIndex(spark: SparkSession, dir: String): DataFrame = {
+    val (codesTable, cbPath) = ensurePqIndex(spark, dir)
+    pqSearch(spark, dir, spark.table(codesTable), spark.read.parquet(cbPath))
   }
 
   /** Multimodal frame sampling — the video/audio access pattern over an
@@ -567,10 +644,72 @@ object Vector {
     "simsearch_lsh_multiprobe" -> (simsearchLshMultiprobe _),
     "simsearch_ivf" -> (simsearchIvf _),
     "simsearch_pq" -> (simsearchPq _),
+    "simsearch_pq_index" -> (simsearchPqIndex _),
     "dedup_embedding" -> (dedupEmbedding _),
     "multimodal_join_stats" -> (multimodalJoinStats _),
     "multimodal_binary_meta" -> (multimodalBinaryMeta _),
     "multimodal_frame_sample" -> (multimodalFrameSample _))
+
+  // Mirrors the Spark-side PQ exactly: same seeds, same PqIters Lloyd
+  // iterations per subspace, same r6-decimal means and ADC sums —
+  // generated by the same loop so the two can't drift. Shared verbatim
+  // by simsearch_pq and simsearch_pq_index (deterministic training ⇒
+  // the persisted index replays to the identical result).
+  private lazy val pqOracleSqlStr: String = {
+      def dotFF(a: String, b: String) = dotFFSql(a, b)
+      def sqd(a: String, b: String) =
+        s"list_sum(list_transform(range(1, len($a)+1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+      def assignSql(cb: String, out: String) =
+        s"""$out AS (SELECT vec_id, sub, subv, code FROM (
+             SELECT s.vec_id, s.sub, s.subv, c.c_id AS code,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY ${sqd("s.subv", "c.c_emb")} ASC, c.c_id) AS rn
+             FROM sv s JOIN $cb c ON c.sub = s.sub) WHERE rn = 1)"""
+      val iterCtes = (0 until PqIters).map { k =>
+        s"""${assignSql(s"cb$k", s"a$k")},
+         x$k AS (SELECT sub, code, generate_subscripts(subv, 1) AS i,
+             unnest(subv) AS x FROM a$k),
+         m$k AS (SELECT sub, code, i,
+             CAST(sum(CAST(floor(x * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS mu
+           FROM x$k GROUP BY sub, code, i),
+         cb${k + 1} AS (SELECT sub, code AS c_id, list(mu ORDER BY i) AS c_emb
+           FROM m$k GROUP BY sub, code)"""
+      }.mkString(",\n         ")
+      s"""WITH e AS (SELECT vec_id, embedding,
+             sqrt(${dotFF("embedding", "embedding")}) AS nrm FROM embeddings),
+         sv AS (SELECT e.vec_id, CAST(f.sub AS INTEGER) AS sub,
+             list_transform(e.embedding[(f.sub*8+1):(f.sub*8+8)], x -> CAST(x AS DOUBLE)) AS subv
+           FROM e, (SELECT unnest(range($PqM)) AS sub) f),
+         cb0 AS (SELECT sub, vec_id AS c_id, subv AS c_emb FROM sv
+           WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT $PqK)),
+         $iterCtes,
+         ${assignSql(s"cb$PqIters", "codes")},
+         p AS (SELECT vec_id AS probe_id, embedding AS p_emb, nrm AS p_nrm
+             FROM e ORDER BY vec_id LIMIT 10),
+         psv AS (SELECT p.probe_id, CAST(f.sub AS INTEGER) AS sub,
+             list_transform(p.p_emb[(f.sub*8+1):(f.sub*8+8)], x -> CAST(x AS DOUBLE)) AS psv
+           FROM p, (SELECT unnest(range($PqM)) AS sub) f),
+         dtab AS (SELECT ps.probe_id, ps.sub, c.c_id AS code,
+             ${sqd("ps.psv", "c.c_emb")} AS pd
+           FROM psv ps JOIN cb$PqIters c ON c.sub = ps.sub),
+         ad AS (SELECT dt.probe_id, cd.vec_id,
+             CAST(sum(CAST(floor(dt.pd * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE) AS adist
+           FROM codes cd JOIN dtab dt ON dt.sub = cd.sub AND dt.code = cd.code
+           WHERE cd.vec_id != dt.probe_id
+           GROUP BY 1, 2),
+         t5 AS (SELECT probe_id, vec_id, adist,
+             row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS ra
+           FROM ad QUALIFY ra <= 5),
+         rr AS (SELECT t.probe_id, t.vec_id, t.adist,
+             ${r4Sql(dotFF("e.embedding", "p.p_emb") + " / (e.nrm * p.p_nrm)")} AS cos
+           FROM t5 t JOIN e ON e.vec_id = t.vec_id JOIN p ON p.probe_id = t.probe_id)
+         SELECT probe_id,
+           CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk,
+           vec_id AS neighbor_id, cos,
+           floor(adist * 1000000.0 + 0.5) / 1000000.0 AS adist_r
+         FROM rr ORDER BY probe_id, rk"""
+  }
 
   val oracleSql: Map[String, String] = Map(
     "simsearch_range" ->
@@ -639,64 +778,11 @@ object Vector {
            CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk,
            vec_id AS neighbor_id, cos
          FROM s QUALIFY rk <= 3 ORDER BY probe_id, rk""",
-    "simsearch_pq" -> {
-      // Mirrors the Spark-side PQ exactly: same seeds, same PqIters Lloyd
-      // iterations per subspace, same r6-decimal means and ADC sums —
-      // generated by the same loop so the two can't drift.
-      def dotFF(a: String, b: String) = dotFFSql(a, b)
-      def sqd(a: String, b: String) =
-        s"list_sum(list_transform(range(1, len($a)+1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
-      def assignSql(cb: String, out: String) =
-        s"""$out AS (SELECT vec_id, sub, subv, code FROM (
-             SELECT s.vec_id, s.sub, s.subv, c.c_id AS code,
-               row_number() OVER (PARTITION BY s.vec_id, s.sub
-                 ORDER BY ${sqd("s.subv", "c.c_emb")} ASC, c.c_id) AS rn
-             FROM sv s JOIN $cb c ON c.sub = s.sub) WHERE rn = 1)"""
-      val iterCtes = (0 until PqIters).map { k =>
-        s"""${assignSql(s"cb$k", s"a$k")},
-         x$k AS (SELECT sub, code, generate_subscripts(subv, 1) AS i,
-             unnest(subv) AS x FROM a$k),
-         m$k AS (SELECT sub, code, i,
-             CAST(sum(CAST(floor(x * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE)
-               / CAST(count(*) AS DOUBLE) AS mu
-           FROM x$k GROUP BY sub, code, i),
-         cb${k + 1} AS (SELECT sub, code AS c_id, list(mu ORDER BY i) AS c_emb
-           FROM m$k GROUP BY sub, code)"""
-      }.mkString(",\n         ")
-      s"""WITH e AS (SELECT vec_id, embedding,
-             sqrt(${dotFF("embedding", "embedding")}) AS nrm FROM embeddings),
-         sv AS (SELECT e.vec_id, CAST(f.sub AS INTEGER) AS sub,
-             list_transform(e.embedding[(f.sub*8+1):(f.sub*8+8)], x -> CAST(x AS DOUBLE)) AS subv
-           FROM e, (SELECT unnest(range($PqM)) AS sub) f),
-         cb0 AS (SELECT sub, vec_id AS c_id, subv AS c_emb FROM sv
-           WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT $PqK)),
-         $iterCtes,
-         ${assignSql(s"cb$PqIters", "codes")},
-         p AS (SELECT vec_id AS probe_id, embedding AS p_emb, nrm AS p_nrm
-             FROM e ORDER BY vec_id LIMIT 10),
-         psv AS (SELECT p.probe_id, CAST(f.sub AS INTEGER) AS sub,
-             list_transform(p.p_emb[(f.sub*8+1):(f.sub*8+8)], x -> CAST(x AS DOUBLE)) AS psv
-           FROM p, (SELECT unnest(range($PqM)) AS sub) f),
-         dtab AS (SELECT ps.probe_id, ps.sub, c.c_id AS code,
-             ${sqd("ps.psv", "c.c_emb")} AS pd
-           FROM psv ps JOIN cb$PqIters c ON c.sub = ps.sub),
-         ad AS (SELECT dt.probe_id, cd.vec_id,
-             CAST(sum(CAST(floor(dt.pd * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE) AS adist
-           FROM codes cd JOIN dtab dt ON dt.sub = cd.sub AND dt.code = cd.code
-           WHERE cd.vec_id != dt.probe_id
-           GROUP BY 1, 2),
-         t5 AS (SELECT probe_id, vec_id, adist,
-             row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS ra
-           FROM ad QUALIFY ra <= 5),
-         rr AS (SELECT t.probe_id, t.vec_id, t.adist,
-             ${r4Sql(dotFF("e.embedding", "p.p_emb") + " / (e.nrm * p.p_nrm)")} AS cos
-           FROM t5 t JOIN e ON e.vec_id = t.vec_id JOIN p ON p.probe_id = t.probe_id)
-         SELECT probe_id,
-           CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk,
-           vec_id AS neighbor_id, cos,
-           floor(adist * 1000000.0 + 0.5) / 1000000.0 AS adist_r
-         FROM rr ORDER BY probe_id, rk"""
-    },
+    "simsearch_pq" -> pqOracleSqlStr,
+    // The persisted-index variant replays the identical deterministic
+    // training, so the SAME oracle gates that persistence round-trips
+    // bit-identically (doubles and codes are exact through parquet).
+    "simsearch_pq_index" -> pqOracleSqlStr,
     "simsearch_ivf" -> {
       // Mirrors the Spark-side k-means exactly: same seeds, same
       // KmeansIters Lloyd iterations, same r6-decimal means — generated

@@ -89,6 +89,29 @@ class CcSpec extends AnyFunSuite with SparkFixture {
     assert(viaStars.nonEmpty, "fixture produced no candidate buckets")
   }
 
+  test("fixpoints are checkpoint-mode agnostic (reliable == local)") {
+    // Util.iterCheckpoint switches every iterative fixpoint between
+    // executor-memory localCheckpoint (default) and reliable checkpoint()
+    // (cluster-grade fault tolerance). The switch must be invisible to
+    // results AND to the Observation-based convergence detection that
+    // rides the checkpoint jobs.
+    val rnd = new scala.util.Random(11)
+    val ids = rnd.shuffle((0L until 300L).toList).take(30).toArray
+    val edges = (1 until 30).map(i => (ids(rnd.nextInt(i)), ids(i))) ++
+      Seq((ids(0), ids(29)))   // extra cycle edge
+    val df = edges.toDF("d1", "d2")
+    val expected = unionFind(edges)
+    spark.conf.set("spark.graft.checkpointMode", "reliable")
+    try {
+      val lss = Dedup.ccLargeSmallStar(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val mlp = Dedup.ccMinLabel(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lss == expected, "reliable-mode large-small-star != union-find")
+      assert(mlp == expected, "reliable-mode min-label != union-find")
+    } finally spark.conf.unset("spark.graft.checkpointMode")
+  }
+
   test("canonical-input fast path matches the defensive path") {
     // distinct d1 < d2 pairs — the candidatePairs output contract
     val edges = Seq((1L, 2L), (2L, 3L), (4L, 9L), (9L, 11L), (20L, 21L))

@@ -43,6 +43,22 @@ class JdbcSnapshotSpec extends AnyFunSuite with SparkFixture {
     assert(r7.getAs[String]("NAME") == "row_7" && r7.getAs[Double]("VAL") == 10.5)
   }
 
+  test("JDBC scan pushes filters into the database query (PushedFilters)") {
+    // The one pushdown path not plan-asserted elsewhere: a filter over a
+    // JDBC relation must reach the remote WHERE clause — at a real SQL
+    // Server endpoint the difference between shipping the table and
+    // shipping the rows.
+    seed()
+    val df = JdbcSnapshot.readTable(spark, url, "SEED_TBL",
+      partitionColumn = "id", lowerBound = 0L, upperBound = 100L,
+      numPartitions = 4, props)
+      .filter(org.apache.spark.sql.functions.col("ID") > 50L)
+    val p = df.queryExecution.executedPlan.toString
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("GreaterThan(ID,50"),
+      s"id filter not pushed to the JDBC source:\n$p")
+  }
+
   test("snapshot overwrite round-trips and re-runs idempotently (ref A11/A12/A14)") {
     seed()
     val in = JdbcSnapshot.readTable(spark, url, "SEED_TBL",

@@ -223,6 +223,26 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("simsearch_pq_index: search side retrains nothing and reads the persisted bucketed codes") {
+    // First call may build (train + persist). After that, constructing the
+    // search frame must touch the build path zero times — the build/search
+    // separation that makes the index servable at 100 TB — and the plan
+    // must scan the persisted bucketed code table, not raw embeddings,
+    // for the ADC stage.
+    Vector.simsearchPqIndex(spark, dir).collect()
+    val builds = Vector.pqIndexBuilds.get
+    val df = Vector.simsearchPqIndex(spark, dir)
+    assert(Vector.pqIndexBuilds.get == builds,
+      "second construction re-entered the index build (retraining)")
+    val p = plan(df)
+    assert(p.contains("g_pq_codes_"),
+      s"search does not scan the persisted code table:\n$p")
+    // persisted replay must be bit-identical to the in-memory training run
+    val fromIndex = df.collect().toSeq
+    val inMemory = Vector.simsearchPq(spark, dir).collect().toSeq
+    assert(fromIndex == inMemory, "persisted-index result drifted from in-memory PQ")
+  }
+
   test("whole-stage codegen covers the pricing-summary pipeline") {
     // AQE prints the final plan (with codegen stages) only after execution
     val df = Relational.aggPricingSummary(spark, dir)
