@@ -31,10 +31,19 @@ object Bench {
       (s: SparkSession) => graft.ops.Text.tokenTopk(s, warmDir))
     warm.foreach(f => try f(spark).count() catch { case t: Throwable =>
       System.err.println(s"[bench] warmup query failed: ${t.getMessage}") })
+    // Min-of-N per query (default 2): BENCH_r04 recorded a ~3.7× uniform
+    // inflation from CPU contention on the driver VM — a transient the
+    // engine can't control but the min over independent repeats filters
+    // out, because contention only ever ADDS time. N is env-tunable
+    // (SPARK_GRAFT_BENCH_ITERS=1 restores the old single-pass behavior).
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val best = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      name -> best
     }
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
     // comma-decimal locale would turn the line into invalid JSON.
@@ -52,7 +61,7 @@ object Bench {
     // pre-warms its OS page cache / parquet footers — runs with different
     // warm_dir values are not comparable, and the record makes that visible.
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","total_sec":${num(total)}}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","iters":$iters,"total_sec":${num(total)}}"""
     try {
       val w = new java.io.PrintWriter("bench_last.json")
       try w.println(line) finally w.close()

@@ -475,7 +475,34 @@ object PipelineOps {
       s"(((($xe >> $i) & 1) << ${2 * i}) | ((($ye >> $i) & 1) << ${2 * i + 1}))"
     }.mkString(" | ")
 
+  /** Small-file COMPACTION plan — the table-maintenance pass every
+    * petabyte lakehouse runs on a cadence: pack each partition's files
+    * (stand-in: per-source documents, sized by n_chars) into target-size
+    * output bins by cumulative size, so a million tiny files become
+    * ceil(bytes/target) right-sized ones. The plan is the deterministic
+    * prefix-sum formulation (bin = floor(cum-bytes-before / target)):
+    * one window per source partition, no driver-side loop — at 100 TB
+    * the manifest itself is big data and this IS how you plan over it.
+    * Greedy first-fit would need sequential state; prefix-sum binning is
+    * its order-preserving, shuffle-parallel equivalent (bins may
+    * slightly overflow target by one file — the standard trade). */
+  def compactionBins(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val target = 2048L
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("cum_before", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $target"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_files"), sum(col("n_chars")).as("bytes"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_compaction_bins" -> (compactionBins _),
     "pipe_zorder_layout" -> (zorderLayout _),
     "pipe_rollup_merge" -> (rollupMerge _),
     "pipe_quality_checks" -> (qualityChecks _),
@@ -493,6 +520,17 @@ object PipelineOps {
     "pipe_partition_prune" -> (partitionPrune _))
 
   val oracleSql: Map[String, String] = Map(
+    "pipe_compaction_bins" ->
+      """WITH f AS (
+           SELECT doc_id, source, n_chars,
+             COALESCE(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           FROM documents),
+         b AS (SELECT *, CAST(cum_before // 2048 AS BIGINT) AS bin FROM f)
+         SELECT source, bin, count(*) AS n_files,
+           CAST(sum(n_chars) AS BIGINT) AS bytes,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM b GROUP BY source, bin ORDER BY source, bin""",
     "pipe_zorder_layout" ->
       s"""WITH k AS (
            SELECT o_orderkey % 256 AS yv, o_custkey % 256 AS xv

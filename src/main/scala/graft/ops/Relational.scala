@@ -189,6 +189,47 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** As-of join WITH TOLERANCE — [[joinAsofEventOrder]]'s latest-at-or-
+    * before match, but a match only counts when it is at most 30 days
+    * old (the `merge_asof(tolerance=...)` semantics: a user's years-old
+    * last order should not attribute today's event). Same union+window
+    * shape — ONE shuffle on user, no pair space: the window carries the
+    * matched order's TIME forward alongside its date, and the tolerance
+    * is a post-window filter on the gap, so adding tolerance costs zero
+    * extra shuffles over the plain as-of. Out-of-tolerance matches
+    * surface as NULL date + NULL gap (the row is kept — left semantics). */
+  def joinAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val tolUs = 30L * 86400000000L
+    val e = table(spark, dir, "events").select(
+      col("user_id").as("uid"),
+      unix_micros(col("ts")).as("t_us"),
+      lit(1).as("is_event"),
+      col("event_id"),
+      lit(null).cast("long").as("o_us"),
+      lit(null).cast("string").as("od"))
+    val o = table(spark, dir, "orders").select(
+      col("o_custkey").as("uid"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("t_us"),
+      lit(0).as("is_event"),
+      lit(null).cast("long").as("event_id"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"),
+      dateS(col("o_orderdate")).as("od"))
+    val w = Window.partitionBy("uid").orderBy(col("t_us"), col("is_event"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.unionByName(o)
+      .withColumn("m_us", last(col("o_us"), ignoreNulls = true).over(w))
+      .withColumn("m_od", last(col("od"), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1)
+      .withColumn("in_tol",
+        col("m_us").isNotNull && (col("t_us") - col("m_us")) <= tolUs)
+      .select(
+        col("event_id"), col("uid").as("user_id"),
+        when(col("in_tol"), col("m_od")).as("order_date"),
+        when(col("in_tol"), expr("(t_us - m_us) div 86400000000"))
+          .cast("long").as("gap_days"))
+      .orderBy("event_id")
+  }
+
   /** Interval join — the batch shape of a stream-stream join with an
     * event-time constraint (`purchases within 1 hour after a click, same
     * user`): equi key (user) carries the one shuffle, the time-range
@@ -920,6 +961,7 @@ object Relational {
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "join_theta_range" -> (joinThetaRange _),
+    "join_asof_tolerance" -> (joinAsofTolerance _),
     "join_range_binned" -> (joinRangeBinned _),
     "join_interval_events" -> (joinIntervalEvents _),
     "join_salted_skew" -> (joinSaltedSkew _),
@@ -1175,6 +1217,17 @@ object Relational {
       s"""SELECT e.event_id, e.user_id,
          strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
          strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
+         FROM ${evSql("e")} ASOF LEFT JOIN orders o
+           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+         ORDER BY e.event_id""",
+    "join_asof_tolerance" ->
+      s"""SELECT e.event_id, e.user_id,
+         CASE WHEN o.o_orderdate IS NOT NULL
+                   AND epoch_us(e.ts) - epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) <= 2592000000000
+              THEN strftime(o.o_orderdate, '%Y-%m-%d') END AS order_date,
+         CASE WHEN o.o_orderdate IS NOT NULL
+                   AND epoch_us(e.ts) - epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) <= 2592000000000
+              THEN (epoch_us(e.ts) - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))) // 86400000000 END AS gap_days
          FROM ${evSql("e")} ASOF LEFT JOIN orders o
            ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
          ORDER BY e.event_id""",

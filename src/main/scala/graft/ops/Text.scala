@@ -518,7 +518,21 @@ object Text {
     * join is unhinted: the hot set is corpus-size/K at worst, so AQE
     * picks broadcast when it is small rather than us asserting it
     * always is. */
-  private def shinglePairCounts(spark: SparkSession, dir: String): DataFrame = {
+  private def shinglePairCounts(spark: SparkSession, dir: String): DataFrame =
+    shinglePairCountsKeyed(spark, dir, bySource = true)
+
+  /** [[shinglePairCounts]] with the blocking key as a parameter:
+    * `bySource = true` is the per-source discipline the three original
+    * n-gram queries gate; `false` buckets on the shingle alone so
+    * candidate pairs may SPAN sources — the syndicated-article case
+    * (same text republished by two crawl sources) that per-source
+    * blocking is structurally blind to. The hot-shingle DF cap and its
+    * [[Udaf.MinKLongs]] bounded-state enforcement are unchanged; global
+    * buckets only make the cap bite sooner (a shingle's document
+    * frequency now counts all sources), which is exactly the intended
+    * cost bound. */
+  private def shinglePairCountsKeyed(
+      spark: SparkSession, dir: String, bySource: Boolean): DataFrame = {
     // ONE hash shuffle of the shingle table: pair expansion happens per
     // GROUPED bucket exactly as in Dedup.candidatePairs — bounded at
     // cap²/2 per shingle, no self-join probe — and the hot-shingle DF cap
@@ -532,21 +546,24 @@ object Text {
     // Size-1 buckets survive so per-doc kept-shingle counts (the Jaccard
     // denominators) still include unshared shingles.
     val minK = udaf(new Udaf.MinKLongs(NgramDfCap + 1))
+    val keyCols = if (bySource) Seq("source", "s") else Seq("s")
     val sh0 = docs(spark, dir)
       .select(col("doc_id"), col("source"),
         explode(Util.shingle3(col("text"))).as("s"))
-    val buckets = sh0.groupBy("source", "s")
+    val buckets = sh0.groupBy(keyCols.map(col): _*)
       .agg(minK(col("doc_id")).as("ds"))
       .filter(size(col("ds")) <= NgramDfCap)
     val cnt = buckets.select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val carry = if (bySource) Seq(col("source")) else Seq.empty[Column]
+    val pairKeys = if (bySource) Seq("source", "d1", "d2") else Seq("d1", "d2")
     buckets.filter(size(col("ds")) >= 2)
-      .select(col("source"),
+      .select(carry :+
         explode(expr("""flatten(transform(ds, (x, i) ->
           transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"""))
-          .as("p"))
-      .select(col("source"), col("p.d1").as("d1"), col("p.d2").as("d2"))
-      .groupBy("source", "d1", "d2")
+          .as("p"): _*)
+      .select(carry ++ Seq(col("p.d1").as("d1"), col("p.d2").as("d2")): _*)
+      .groupBy(pairKeys.map(col): _*)
       .agg(count(lit(1)).as("inter"))
       .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
       .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
@@ -587,6 +604,115 @@ object Text {
         r4(sum(r6(col("cmax")).cast(DecimalType(16, 6))).cast("double")
           / count(lit(1)).cast("double")).as("avg_cmax"))
       .orderBy("source")
+  }
+
+  /** CROSS-SOURCE n-gram near-dup — [[dedupNgramJaccard]] with the
+    * `source` blocking key dropped ([[shinglePairCountsKeyed]] global
+    * mode), closing the per-source blindness for this family the same
+    * way `dedup_minhash_global` closed it for MinHash-LSH: a syndicated
+    * article republished under two sources now pairs. Pairs are tagged
+    * cross-source by joining each side back to its source — two equi
+    * joins on doc_id (shuffle-parallel at any scale; the candidate set,
+    * not the corpus, is what flows through them). Output: pair counts,
+    * near-dup counts, and mean Jaccard split by whether the pair spans
+    * sources — the number a crawl operator actually wants first ("how
+    * much of my near-dup mass is cross-source?"). */
+  def dedupNgramGlobal(spark: SparkSession, dir: String): DataFrame = {
+    val src = docs(spark, dir).select(col("doc_id"), col("source"))
+    val pairs = shinglePairCountsKeyed(spark, dir, bySource = false)
+      .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
+      .withColumn("cross_source", when(col("s1") =!= col("s2"), 1L).otherwise(0L))
+      .withColumn("jac",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")).cast("double"))
+    pairs.groupBy("cross_source")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("jac") >= 0.5, 1L).otherwise(0L)).as("n_near"),
+        min(when(col("jac") >= 0.5, col("d1"))).as("first_d1"),
+        r4(sum(r6(col("jac")).cast(DecimalType(16, 6))).cast("double")
+          / count(lit(1)).cast("double")).as("avg_jac"))
+      .orderBy("cross_source")
+  }
+
+  /** DOMAIN-MIXTURE weights — temperature-based re-balancing of a
+    * multi-source corpus (the multilingual-sampling recipe: raw share
+    * p_i = n_i/N, sampling weight w_i ∝ p_i^α with α=0.5, so
+    * over-represented sources are damped and the tail is boosted). This
+    * is the step between corpus stats and the training sampler: the
+    * output IS the sampler's per-source quota table. Shape at scale: one
+    * per-source count (map-side partial agg), then all arithmetic runs
+    * on the #sources-row aggregate — the corpus is touched exactly once.
+    * Normalization sums r6-rounded weights through an exact decimal so
+    * the denominator is summation-order-independent. */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val s = docs(spark, dir).groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val t = s.agg(sum(col("n_docs")).as("total"))
+    val r = s.crossJoin(broadcast(t))
+      .withColumn("p", col("n_docs").cast("double") / col("total").cast("double"))
+      .withColumn("w6", r6(sqrt(col("p"))))
+    val d = r.agg(sum(col("w6").cast(DecimalType(16, 6))).as("denom"))
+    r.crossJoin(broadcast(d))
+      .withColumn("w", col("w6") / col("denom").cast("double"))
+      .select(col("source"), col("n_docs"), r6(col("p")).as("p"),
+        r6(col("w")).as("weight"),
+        floor(col("w") * 100000).cast("long").as("budget_per_100k"))
+      .orderBy("source")
+  }
+
+  /** PII masking — the redaction pass a training corpus gets before any
+    * model sees it: emails, IPv4s, and phone-shaped strings replaced by
+    * typed placeholder tokens, with per-doc match counts kept as the
+    * audit trail. The PII itself is synthesized deterministically from
+    * doc_id (this sandbox's documents are clean synthetic prose), so the
+    * masking logic — three ordered regex families and their counts — is
+    * exercised on every row and the oracle replays the same
+    * construction. Patterns avoid regex-dialect divergence (no \\d, \\b:
+    * character classes only — identical semantics in Java regex and
+    * RE2). Pure per-row projection: zero shuffle at any scale. */
+  def piiMask(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9._%-]+@[a-z0-9.-]+"
+    val ipRe = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+    val phoneRe = "[+]1-[0-9]{3}-[0-9]{4}"
+    val pii = concat(
+      col("text"), lit(" contact user"), col("doc_id"), lit("@mail.example ip 10."),
+      col("doc_id") % 256, lit(".0."), col("doc_id") % 7,
+      lit(" phone +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    docs(spark, dir)
+      .withColumn("pii_text", pii)
+      .select(
+        col("doc_id"),
+        regexp_count(col("pii_text"), lit(emailRe)).cast("long").as("n_email"),
+        regexp_count(col("pii_text"), lit(ipRe)).cast("long").as("n_ip"),
+        regexp_count(col("pii_text"), lit(phoneRe)).cast("long").as("n_phone"),
+        regexp_replace(regexp_replace(regexp_replace(
+          col("pii_text"), emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>")
+          .as("masked"))
+      .withColumn("masked_len", length(col("masked")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** QUALITY QUARTILES — per-language ntile(4) bucketing of the
+    * [[qualityScore]] composite, the decision table behind "train on the
+    * top quartile, downsample the bottom": per (lang, quartile) doc
+    * counts and the score range each bucket spans. Buckets are assigned
+    * on the r4-ROUNDED score (proven hash-identical cross-engine by
+    * `text_quality_score`) with doc_id tie-break, so bucket membership
+    * is deterministic even where raw scores tie. One window per lang
+    * partition + one hash agg — scales like every per-key window. */
+  def qualityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (nTok, _, _, score) = compositeQuality
+    val base = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), nTok.as("n_tok"), r4(score).as("q"))
+    val w = Window.partitionBy("lang").orderBy(col("q"), col("doc_id"))
+    base.withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy("lang", "quartile")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("q")).as("min_q"), max(col("q")).as("max_q"),
+        r4(sum(col("n_tok")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_tok"))
+      .orderBy("lang", "quartile")
   }
 
   /** Benchmark DECONTAMINATION — the n-gram collision sweep a serious LLM
@@ -818,9 +944,98 @@ object Text {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_chunk_exact" -> (dedupChunkExact _),
     "text_shingle_containment" -> (shingleContainment _),
-    "text_decontaminate" -> (decontaminate _))
+    "text_decontaminate" -> (decontaminate _),
+    "dedup_ngram_global" -> (dedupNgramGlobal _),
+    "docs_domain_mix" -> (domainMix _),
+    "text_pii_mask" -> (piiMask _),
+    "text_quality_buckets" -> (qualityBuckets _))
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_ngram_global" ->
+      s"""WITH s AS (
+           SELECT doc_id, source,
+             unnest(list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+               THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2])
+               ELSE CAST([] AS VARCHAR[]) END)) AS sh
+           FROM documents),
+         hot AS (
+           SELECT sh FROM s GROUP BY sh HAVING count(*) > $NgramDfCap),
+         k AS (
+           SELECT s.doc_id, s.source, s.sh FROM s
+           WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.sh = s.sh)),
+         cnt AS (SELECT doc_id, count(*) AS n FROM k GROUP BY doc_id),
+         pr AS (
+           SELECT a.doc_id AS d1, a.source AS s1, b.doc_id AS d2, b.source AS s2,
+             count(*) AS inter
+           FROM k a JOIN k b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         j AS (
+           SELECT pr.d1,
+             CASE WHEN pr.s1 != pr.s2 THEN 1 ELSE 0 END AS cross_source,
+             CAST(pr.inter AS DOUBLE) / CAST(c1.n + c2.n - pr.inter AS DOUBLE) AS jac
+           FROM pr JOIN cnt c1 ON pr.d1 = c1.doc_id
+                   JOIN cnt c2 ON pr.d2 = c2.doc_id)
+         SELECT CAST(cross_source AS BIGINT) AS cross_source, count(*) AS n_pairs,
+           CAST(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+           min(CASE WHEN jac >= 0.5 THEN d1 END) AS first_d1,
+           floor((CAST(sum(CAST(floor((jac) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(16,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avg_jac
+         FROM j GROUP BY cross_source ORDER BY cross_source""",
+    "docs_domain_mix" ->
+      s"""WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+         t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM s),
+         r AS (
+           SELECT source, n_docs,
+             CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS p,
+             ${r6Sql("sqrt(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE))")} AS w6
+           FROM s, t),
+         d AS (SELECT CAST(sum(CAST(w6 AS DECIMAL(16,6))) AS DOUBLE) AS denom FROM r)
+         SELECT source, n_docs, ${r6Sql("p")} AS p,
+           ${r6Sql("w6 / denom")} AS weight,
+           CAST(floor((w6 / denom) * 100000) AS BIGINT) AS budget_per_100k
+         FROM r, d ORDER BY source""",
+    "text_pii_mask" ->
+      """WITH p AS (
+           SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.0.' || CAST(doc_id % 7 AS VARCHAR)
+                  || ' phone +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS pii_text
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(pii_text, '[a-z0-9._%-]+@[a-z0-9.-]+')) AS BIGINT) AS n_email,
+             CAST(len(regexp_extract_all(pii_text, '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}')) AS BIGINT) AS n_ip,
+             CAST(len(regexp_extract_all(pii_text, '[+]1-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+             regexp_replace(regexp_replace(regexp_replace(pii_text,
+               '[a-z0-9._%-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+               '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g'),
+               '[+]1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS masked
+           FROM p)
+         SELECT doc_id, n_email, n_ip, n_phone, masked,
+           CAST(length(masked) AS BIGINT) AS masked_len
+         FROM m ORDER BY doc_id""",
+    "text_quality_buckets" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             floor((0.6 * (CAST(len(list_filter(string_split(text, ' '),
+                 t -> t IN ('join','filter','sort','merge','window'))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE))
+               + 0.4 * least((CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0)) * 10000.0 + 0.5) / 10000.0 AS q
+           FROM documents),
+         b AS (
+           SELECT *, CAST(ntile(4) OVER (PARTITION BY lang ORDER BY q, doc_id) AS BIGINT) AS quartile
+           FROM d)
+         SELECT lang, quartile, count(*) AS n_docs,
+           min(q) AS min_q, max(q) AS max_q,
+           floor((CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avg_tok
+         FROM b GROUP BY lang, quartile ORDER BY lang, quartile""",
     "text_decontaminate" ->
       s"""WITH sh0 AS (
            SELECT doc_id, source,

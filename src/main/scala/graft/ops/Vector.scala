@@ -636,7 +636,38 @@ object Vector {
       .orderBy(col("probe_id"), desc("cos"), col("neighbor_id"))
   }
 
+  /** K-means ASSIGNMENT step — every vector labeled with its nearest of 8
+    * fixed centroids (the 8 lowest vec_ids: deterministic seeding, same
+    * convention as IVF/PQ training). This is the semantic-clustering
+    * primitive a corpus pipeline runs between embedding and mixture
+    * decisions (cluster-balanced sampling, per-cluster quality cuts), and
+    * the inner step [[simsearchIvf]]'s Lloyd loop iterates. Shape at
+    * scale: the centroid side is k·d values and BROADCASTS; the corpus
+    * streams map-side through a codegen'd fused distance loop
+    * ([[sqdist]]) + per-vector argmin — no corpus shuffle at any size,
+    * the textbook k-means assignment plan. Tie-break: lowest centroid id
+    * on equal (bit-identical) distances. */
+  def clusterKmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("xd"))
+    val cents = e.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("centroid_id"), col("xd").as("cd"))
+    val scored = e.crossJoin(broadcast(cents))
+      .withColumn("sqd", sqdist(col("xd"), col("cd")))
+    // argmin as min(struct(dist, id)) — a hash agg with map-side partials
+    // (each vector's k candidate rows are born colocated, so the partial
+    // agg collapses them before any shuffle), instead of a window that
+    // would shuffle AND sort the k-times-expanded corpus. Struct ordering
+    // = (sqd, centroid_id): lowest distance, lowest id on exact ties.
+    scored.groupBy("vec_id")
+      .agg(min(struct(col("sqd"), col("centroid_id"))).as("b"))
+      .select(col("vec_id"), col("b.centroid_id").cast("long").as("centroid_id"),
+        r6(col("b.sqd")).as("sqd"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cluster_kmeans_assign" -> (clusterKmeansAssign _),
     "simsearch_range" -> (simsearchRange _),
     "embedding_quantize" -> (embeddingQuantize _),
     "simsearch_topk" -> (simsearchTopk _),
@@ -712,6 +743,19 @@ object Vector {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "cluster_kmeans_assign" ->
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce
+             FROM embeddings ORDER BY vec_id LIMIT 8),
+         s AS (SELECT e.vec_id, c.centroid_id,
+             list_sum(list_transform(range(1, len(e.embedding)+1),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                  * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)))) AS sqd0
+           FROM embeddings e, c)
+         SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id,
+           ${r6Sql("sqd0")} AS sqd
+         FROM s
+         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sqd0, centroid_id) = 1
+         ORDER BY vec_id""",
     "simsearch_range" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
              FROM embeddings ORDER BY vec_id LIMIT 5),

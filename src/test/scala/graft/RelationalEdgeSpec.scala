@@ -116,6 +116,42 @@ class RelationalEdgeSpec extends AnyFunSuite with SparkFixture {
     assert(kept == Set(3L, 4L)) // 1,2 are at/before user 1's purchase mark
   }
 
+  test("asof tolerance: fresh match carries gap, stale and missing matches null out") {
+    val dir = fixtureDir(
+      "events" -> events(
+        EventRow(1, ts("2024-01-05 00:00:00"), 1, "view", 1.0, "{}"),  // 4 days after
+        EventRow(2, ts("2024-01-31 00:00:00"), 1, "view", 1.0, "{}"),  // exactly 30 days
+        EventRow(3, ts("2024-03-01 12:00:00"), 1, "click", 1.0, "{}"), // 60.5 days — stale
+        EventRow(4, ts("2024-01-01 00:00:00"), 2, "view", 1.0, "{}")), // no order at all
+      "orders" -> Seq(
+        OrderRow(100, 1, "O", 10.0, ts("2024-01-01 00:00:00"), "1-URGENT")).toDF)
+    val out = Relational.joinAsofTolerance(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") -> r).toMap
+    assert(out(1).getAs[String]("order_date") == "2024-01-01" &&
+      out(1).getAs[Long]("gap_days") == 4L)
+    assert(out(2).getAs[String]("order_date") == "2024-01-01" &&
+      out(2).getAs[Long]("gap_days") == 30L)          // boundary is inclusive
+    assert(out(3).isNullAt(out(3).fieldIndex("order_date")) &&
+      out(3).isNullAt(out(3).fieldIndex("gap_days"))) // match exists but stale
+    assert(out(4).isNullAt(out(4).fieldIndex("order_date"))) // left row kept
+    assert(out.size == 4)
+  }
+
+  test("compaction bins: prefix-sum binning packs whole files to the size target") {
+    // 7 equal 1000-char files, target 2048: cum-before 0..6000 → bins
+    // {0,0,0},{1,1},{2,2} — a bin closes once it holds ≥ target bytes,
+    // files are never split, and coverage is exact.
+    val docs = (1L to 7L).map(i => DocRow(i, "x", "en", "s0", 1000L))
+    val dir = fixtureDir("documents" -> docs.toDF)
+    val out = PipelineOps.compactionBins(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("bin")).toSeq == Seq(0L, 1L, 2L))
+    assert(out.map(_.getAs[Long]("n_files")).toSeq == Seq(3L, 2L, 2L))
+    assert(out.map(_.getAs[Long]("bytes")).sum == 7000L)
+    // bins tile the doc_id order: last_doc of bin b + 1 == first_doc of b+1
+    assert(out(0).getAs[Long]("last_doc") + 1 == out(1).getAs[Long]("first_doc"))
+    assert(out(1).getAs[Long]("last_doc") + 1 == out(2).getAs[Long]("first_doc"))
+  }
+
   test("window_first_last: single-row partition has null nth_value(2), first==last") {
     val dir = fixtureDir("events" -> events(
       EventRow(1, ts("2024-01-01 10:00:00"), 1, "click", 5.5, "{}"),

@@ -201,4 +201,65 @@ class TextDedupSpec extends AnyFunSuite with SparkFixture {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_logprob")).toMap
     assert(out(2L) < out(1L))
   }
+
+  test("global ngram dedup pairs a cross-source duplicate that per-source blocking misses") {
+    val t = "alpha beta gamma delta epsilon zeta"
+    val dir = fixtureDir("documents" -> Seq(
+      doc(1, t, source = "s0"), doc(2, t, source = "s1"),
+      doc(3, "unrelated words only here now", source = "s0")).toDF)
+    // per-source: docs 1 and 2 never meet (different blocks), doc 3 shares
+    // nothing — the per-source query sees zero candidate pairs at all.
+    assert(Text.dedupNgramJaccard(spark, dir).collect().isEmpty)
+    val g = Text.dedupNgramGlobal(spark, dir).collect()
+    assert(g.length == 1)
+    val r = g(0)
+    assert(r.getAs[Long]("cross_source") == 1L)
+    assert(r.getAs[Long]("n_pairs") == 1L && r.getAs[Long]("n_near") == 1L)
+    assert(r.getAs[Long]("first_d1") == 1L)
+    assert(r.getAs[Double]("avg_jac") == 1.0) // identical shingle sets
+  }
+
+  test("pii mask: emails, ipv4s, and phones are masked and counted") {
+    val dir = fixtureDir("documents" -> Seq(doc(12, "hello plain words")).toDF)
+    val r = Text.piiMask(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_email") == 1L)
+    assert(r.getAs[Long]("n_ip") == 1L)
+    assert(r.getAs[Long]("n_phone") == 1L)
+    val m = r.getAs[String]("masked")
+    assert(m.contains("<EMAIL>") && m.contains("<IP>") && m.contains("<PHONE>"))
+    assert(!m.contains("@") && !m.contains("+1-555"))
+    assert(!m.matches(".*[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+.*")) // 10.12.0.5 gone
+    assert(r.getAs[Long]("masked_len") == m.length.toLong)
+  }
+
+  test("quality buckets: quartiles tile each lang with non-overlapping score ranges") {
+    // 8 docs, one lang: doc i holds i stopwords out of 8 equal-length
+    // tokens, so the composite score is strictly increasing in i.
+    val dir = fixtureDir("documents" -> (1L to 8L).map { i =>
+      val t = (Seq.fill(i.toInt)("join") ++ Seq.fill(8 - i.toInt)("aaaa")).mkString(" ")
+      doc(i, t)
+    }.toDF)
+    val out = Text.qualityBuckets(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("quartile")).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out.map(_.getAs[Long]("n_docs")).toSeq == Seq(2L, 2L, 2L, 2L))
+    // strictly increasing score ⇒ adjacent quartile ranges cannot overlap
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("max_q") <= b.getAs[Double]("min_q"))
+    }
+  }
+
+  test("domain mix: weights normalize to 1 and temperature flattens the shares") {
+    val dir = fixtureDir("documents" ->
+      ((1L to 9L).map(i => doc(i, "a b", source = "big")) :+
+        doc(10, "a b", source = "small")).toDF)
+    val out = Text.domainMix(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Double]("p"), r.getAs[Double]("weight"),
+          r.getAs[Long]("budget_per_100k")))).toMap
+    val (pB, wB, qB) = out("big"); val (pS, wS, qS) = out("small")
+    assert(math.abs(pB - 0.9) < 1e-9 && math.abs(pS - 0.1) < 1e-9)
+    assert(math.abs(wB + wS - 1.0) < 1e-5)
+    assert(wB < pB && wS > pS) // α=0.5 damps the head, boosts the tail
+    assert(qB + qS <= 100000L && qB + qS >= 99998L)
+  }
 }

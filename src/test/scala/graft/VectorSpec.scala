@@ -163,6 +163,27 @@ class VectorSpec extends AnyFunSuite with SparkFixture {
     assert(p0.head.getAs[Double]("cos") > 0.99)
   }
 
+  test("kmeans assign: every vector lands on its true nearest centroid, ties to lowest id") {
+    // 12 vectors, centroids = ids 0..7; vec 11's values repeat vec 0's
+    // exactly ((i*7+3j) mod 11 has period 11 in i), so it must assign to
+    // centroid 0 at distance 0 — the duplicate-row tie case.
+    val vecs = (0L to 11L).map(i =>
+      emb(i, Array.tabulate(4)(j => ((i * 7 + j * 3) % 11).toFloat - 5f)))
+    val dir = fixtureDir("embeddings" -> vecs.toDF)
+    val out = Vector.clusterKmeansAssign(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("centroid_id"), r.getAs[Double]("sqd")))).toMap
+    def sq(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => val d = x.toDouble - y.toDouble; d * d }.sum
+    vecs.foreach { v =>
+      val exp = (0 until 8).map(c => (sq(v.embedding, vecs(c).embedding), c.toLong)).min
+      assert(out(v.vec_id)._1 == exp._2,
+        s"vec ${v.vec_id}: got centroid ${out(v.vec_id)._1}, want ${exp._2}")
+    }
+    (0L until 8L).foreach(c => assert(out(c) == ((c, 0.0)), s"centroid $c self-assign"))
+    assert(out(11L) == ((0L, 0.0)))
+  }
+
   test("multimodal binary meta: byte length and md5 match the utf8 payload") {
     val dir = fixtureDir("documents" -> Seq(DocRow(1, "abc", "en", "s0", 3)).toDF)
     val r = Vector.multimodalBinaryMeta(spark, dir).collect()(0)
