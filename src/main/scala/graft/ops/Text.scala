@@ -750,62 +750,55 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Adjacent-pair counts over the per-doc token-ARRAY corpus — the
+    * pair-statistics half of BPE shared by [[bpeMerge]] and [[bpeTrain]].
+    * zip_with(toks, tail) builds each document's adjacency list as a
+    * per-row projection (the short zip side pads with null = the "no
+    * next token" sentinel lead() produced in the window spelling), so
+    * pair counting is explode + map-side-combined hash agg of (t1, t2)
+    * — the ONLY shuffle is the tiny pair-count one; the corpus itself
+    * never shuffles. */
+  private def adjacentPairCounts(corpus: DataFrame): DataFrame =
+    corpus.select(explode(expr(
+      """zip_with(toks, slice(toks, 2, greatest(size(toks) - 1, 0)),
+         (a, b) -> struct(a AS t1, b AS t2))""")).as("p"))
+      .filter(col("p.t2").isNotNull)
+      .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** One BPE-style pair-merge iteration — the step that upgrades
     * [[vocabBuild]]'s unigram dictionary toward real tokenizer training:
     * count every adjacent token pair corpus-wide, pick the most frequent
     * (ties broken lexicographically), and merge its occurrences in every
     * document left-to-right non-overlapping, exactly as BPE training
-    * does. The sequential "left-to-right non-overlapping" semantics is
-    * the hard part to declare relationally: overlap is only possible
-    * when the winning pair is (x, x), where a run x^L merges ⌊L/2⌋
-    * pairs anchored at even offsets — so the scan order is replaced by
-    * candidate-run detection and an offset-parity test (a candidate at
-    * position p merges iff p − start-of-its-candidate-run is even; for
-    * t1 ≠ t2 adjacent candidates are impossible, every candidate is its
-    * own run start, and the test degenerates to true).
-    * Shape at scale: one tokenize pass, one pair-count shuffle (hash
-    * agg), a one-row broadcast of the winner, then EVERY window —
-    * lead, run detection, running max, consumed-lag — over the single
-    * (doc_id, pos) sort: one shuffle+sort serves all five, no joins
-    * wider than the token stream. Output per doc: the merged text,
-    * merge count, and resulting length; the oracle replays the
-    * identical deterministic merge. */
+    * does. Shape at scale: documents stay per-doc token ARRAYS, so pair
+    * counting is [[adjacentPairCounts]] (zero corpus shuffle), the
+    * winner is a one-row broadcast, and the scan-order merge — the
+    * inherently sequential part — runs as the codegen'd per-row loop
+    * [[graft.functions.BpeMergeOnce]]: sequential state lives inside a
+    * row, never in a shuffle. (The window formulation this replaces paid
+    * a full (doc_id, pos) shuffle+sort for lead() and another for the
+    * candidate-run/offset-parity merge; the ORACLE still replays that
+    * parity spelling in SQL — a candidate at position p merges iff
+    * p − start-of-its-candidate-run is even — so the gate proves the
+    * fused loop bit-equal to the declared relational semantics.)
+    * Output per doc: the merged text, merge count, and resulting
+    * length. */
   def bpeMerge(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val wRun = wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tok = docs(spark, dir)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .withColumnRenamed("col", "tok")
-      .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
-    val best = tok.filter(col("nxt").isNotNull)
-      .groupBy(col("tok").as("t1"), col("nxt").as("t2"))
-      .agg(count(lit(1)).as("cnt"))
+    val base = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val best = adjacentPairCounts(base)
       .orderBy(desc("cnt"), col("t1"), col("t2"))
       .limit(1)
-    val marked = tok.crossJoin(broadcast(best))
-      .withColumn("cand",
-        coalesce(col("tok") === col("t1") && col("nxt") === col("t2"), lit(false)))
-      .withColumn("cand_start",
-        col("cand") && !coalesce(lag(col("cand"), 1).over(wDoc), lit(false)))
-      .withColumn("run_start",
-        max(when(col("cand_start"), col("pos"))).over(wRun))
-      .withColumn("start",
-        col("cand") && (col("pos") - col("run_start")) % 2 === 0)
-      .withColumn("consumed", coalesce(lag(col("start"), 1).over(wDoc), lit(false)))
-    marked.filter(!col("consumed"))
-      .withColumn("out_tok",
-        when(col("start"), concat(col("t1"), lit("_"), col("t2")))
-          .otherwise(col("tok")))
-      .groupBy("doc_id")
-      .agg(
-        min(concat_ws(" ", col("t1"), col("t2"))).as("pair"),
-        sum(when(col("start"), 1L).otherwise(0L)).as("n_merges"),
-        count(lit(1)).as("n_tok_after"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("out_tok")))),
-            s => s.getField("out_tok")),
-          " ").as("merged_text"))
+    base.crossJoin(broadcast(best))
+      .withColumn("m",
+        graft.functions.BpeMergeOnce.mergeOnce(col("toks"), col("t1"), col("t2")))
+      .select(
+        col("doc_id"),
+        concat_ws(" ", col("t1"), col("t2")).as("pair"),
+        col("m.nm").as("n_merges"),
+        size(col("m.toks")).cast("long").as("n_tok_after"),
+        array_join(col("m.toks"), " ").as("merged_text"))
       .orderBy("doc_id")
   }
 
@@ -821,13 +814,16 @@ object Text {
     * non-overlapping in every document, exactly how a tokenizer trainer
     * builds its merge table. Structure per round (the MLlib iterate
     * pattern, like [[Vector.simsearchIvf]]'s Lloyd loop): the winner is a
-    * ONE-ROW collect (TakeOrdered over the pair counts — bounded,
+    * ONE-ROW collect (TakeOrdered over [[adjacentPairCounts]] — bounded,
     * scale-independent driver state, the merge-table entry itself); the
-    * merge + position renumber ride ONE (doc_id, pos) sort (lag/max/
-    * row_number windows fuse into a single Window exec) with the merge
-    * count observed inside the round's checkpoint job
-    * ([[org.apache.spark.sql.Observation]] — no second action); the token
-    * stream is checkpointed between rounds so round k never replays
+    * merge is the codegen'd per-row loop
+    * [[graft.functions.BpeMergeOnce]] over the per-doc token arrays with
+    * the merge count observed inside the round's checkpoint job
+    * ([[org.apache.spark.sql.Observation]] — no second action). A round
+    * therefore shuffles NOTHING document-sized — only the pair counts
+    * (the window spelling this replaces paid two full (doc_id, pos)
+    * shuffle+sorts per round, 16 across the loop). The token-array
+    * corpus is checkpointed between rounds so round k never replays
     * rounds 1..k−1 ([[Util.iterCheckpoint]] — conf-switchable to reliable
     * checkpoints for cluster-grade fault tolerance). The winner is bound
     * as a LITERAL (no 1-row crossJoin needed). Output: one row per round
@@ -835,56 +831,28 @@ object Text {
     * selection time, and the merges applied; the oracle replays all
     * [[BpeTrainRounds]] rounds CTE-by-CTE. */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val wRun = wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    var tok = iterCheckpoint(
-      docs(spark, dir)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")))
-        .withColumnRenamed("col", "tok"))
+    var corpus = iterCheckpoint(
+      docs(spark, dir).select(col("doc_id"), split(col("text"), " ").as("toks")))
     val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long, Long)]()
     var r = 1
     var done = false
     while (r <= BpeTrainRounds && !done) {
-      val withNxt = tok.withColumn("nxt", lead(col("tok"), 1).over(wDoc))
-      val bestRows = withNxt.filter(col("nxt").isNotNull)
-        .groupBy(col("tok").as("t1"), col("nxt").as("t2"))
-        .agg(count(lit(1)).as("cnt"))
+      val bestRows = adjacentPairCounts(corpus)
         .orderBy(desc("cnt"), col("t1"), col("t2"))
         .limit(1).collect()
       if (bestRows.isEmpty) done = true // corpus merged down to 1-token docs
       else {
         val (t1, t2, cnt) =
           (bestRows(0).getString(0), bestRows(0).getString(1), bestRows(0).getLong(2))
-        // identical candidate-run/parity machinery as [[bpeMerge]] — see
-        // its scaladoc for why offset parity replaces the sequential scan
-        val marked = withNxt
-          .withColumn("cand",
-            coalesce(col("tok") === lit(t1) && col("nxt") === lit(t2), lit(false)))
-          .withColumn("cand_start",
-            col("cand") && !coalesce(lag(col("cand"), 1).over(wDoc), lit(false)))
-          .withColumn("run_start",
-            max(when(col("cand_start"), col("pos"))).over(wRun))
-          .withColumn("start",
-            col("cand") && (col("pos") - col("run_start")) % 2 === 0)
-          .withColumn("consumed",
-            coalesce(lag(col("start"), 1).over(wDoc), lit(false)))
         val obs = org.apache.spark.sql.Observation()
         val next = iterCheckpoint(
-          marked.filter(!col("consumed"))
-            .select(col("doc_id"), col("pos").as("opos"),
-              when(col("start"), lit(s"${t1}_$t2")).otherwise(col("tok")).as("tok"),
-              col("start"))
-            // positions must be CONTIGUOUS again for the next round's
-            // run-parity test — renumber over the surviving order
-            .withColumn("pos",
-              row_number().over(Window.partitionBy("doc_id").orderBy("opos")) - 1)
-            .observe(obs, coalesce(
-              sum(when(col("start"), 1L).otherwise(0L)), lit(0L)).as("nm"))
-            .select("doc_id", "pos", "tok"))
+          corpus.select(col("doc_id"),
+            graft.functions.BpeMergeOnce.mergeOnce(col("toks"), lit(t1), lit(t2)).as("m"))
+            .observe(obs, coalesce(sum(col("m.nm")), lit(0L)).as("nm"))
+            .select(col("doc_id"), col("m.toks").as("toks")))
         val nm = obs.get("nm").asInstanceOf[Long]
         out += ((r.toLong, t1, t2, cnt, nm))
-        tok = next
+        corpus = next
         r += 1
       }
     }

@@ -243,6 +243,35 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(fromIndex == inMemory, "persisted-index result drifted from in-memory PQ")
   }
 
+  test("cluster_kmeans_assign: centroids broadcast, argmin is a partial agg, no window") {
+    // The textbook k-means assignment plan: tiny centroid side broadcasts
+    // (nested-loop against a bounded side), the corpus streams map-side,
+    // and the per-vector argmin is min(struct) with map-side partials —
+    // a window formulation would shuffle AND sort the k-times-expanded
+    // corpus instead.
+    val df = Vector.clusterKmeansAssign(spark, dir)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin"), s"centroids not broadcast:\n$p")
+    assert(p.contains("partial_min"), s"argmin lost its map-side partial:\n$p")
+    assert(df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"argmin planned as a window:\n$p")
+  }
+
+  test("bpe merge: the corpus never hash-shuffles and no window remains") {
+    // The BpeMergeOnce rewrite's contract: pair counting shuffles only
+    // (t1, t2) partial counts, the winner broadcasts, the merge is
+    // per-row — nothing repartitions the corpus by doc_id and the
+    // candidate-run parity windows are gone from the physical plan.
+    val df = graft.ops.Text.bpeMerge(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("Exchange hashpartitioning(doc_id"),
+      s"corpus hash-shuffled by doc_id:\n$p")
+    assert(df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"window formulation still planned:\n$p")
+  }
+
   test("whole-stage codegen covers the pricing-summary pipeline") {
     // AQE prints the final plan (with codegen stages) only after execution
     val df = Relational.aggPricingSummary(spark, dir)

@@ -176,6 +176,34 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("BpeMergeOnce equals the sequential scan for any token array and pair") {
+    // The native loop is load-bearing for text_bpe_merge/_train; the
+    // reference below IS the definition (left-to-right, non-overlapping).
+    // Two-letter alphabet makes (x, x) overlap runs common.
+    def ref(toks: List[String], t1: String, t2: String): (List[String], Long) = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var nm = 0L
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == t1 && toks(i + 1) == t2) {
+          out += s"${t1}_$t2"; nm += 1; i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      (out.toList, nm)
+    }
+    val gen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.oneOf("a", "b")),
+      Gen.oneOf("a", "b"), Gen.oneOf("a", "b"))
+    forAll(gen) { case (toks, t1, t2) =>
+      import org.apache.spark.sql.functions._
+      val got = Seq(Tuple1(toks)).toDF("toks")
+        .select(graft.functions.BpeMergeOnce.mergeOnce(
+          col("toks"), lit(t1), lit(t2)).as("m"))
+        .select(col("m.toks"), col("m.nm")).collect()(0)
+      assert((got.getSeq[String](0).toList, got.getLong(1)) == ref(toks, t1, t2))
+    }
+  }
+
   test("stub decoder features are pure in the payload bytes") {
     forAll(Gen.listOf(Gen.alphaNumStr.suchThat(_.nonEmpty))) { payloads =>
       whenever(payloads.nonEmpty) {
