@@ -1081,12 +1081,18 @@ object Text {
     // count or per-round arithmetic). tok{k+1} renumbers positions
     // contiguously, mirroring the Spark side's row_number re-index.
     "text_bpe_train" -> {
+      // Multiply-referenced CTEs are MATERIALIZED: DuckDB inlines plain
+      // CTEs per reference, and each round references ld/best/me/tok
+      // 2-3×, so 8 chained rounds otherwise expand the scan DAG
+      // exponentially — found as an oracle-side OOM at sf0.1 (the Spark
+      // side was fine). Materialization bounds the replay at one token
+      // stream per round.
       val rounds = (1 to BpeTrainRounds).map { k =>
-        s"""ld$k AS (
+        s"""ld$k AS MATERIALIZED (
            SELECT doc_id, pos, tok,
              lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
            FROM tok$k),
-         best$k AS (
+         best$k AS MATERIALIZED (
            SELECT tok AS t1, nxt AS t2, count(*) AS cnt
            FROM ld$k WHERE nxt IS NOT NULL
            GROUP BY 1, 2 ORDER BY cnt DESC, t1, t2 LIMIT 1),
@@ -1103,11 +1109,11 @@ object Text {
                (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run_start
            FROM mb$k),
          md$k AS (SELECT *, (cand AND (pos - run_start) % 2 = 0) AS st FROM mc$k),
-         me$k AS (
+         me$k AS MATERIALIZED (
            SELECT *, coalesce(
              lag(st, 1) OVER (PARTITION BY doc_id ORDER BY pos), false) AS consumed
            FROM md$k),
-         tok${k + 1} AS (
+         tok${k + 1} AS MATERIALIZED (
            SELECT doc_id,
              row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
              CASE WHEN st THEN t1 || '_' || t2 ELSE tok END AS tok
