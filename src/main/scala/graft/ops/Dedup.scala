@@ -663,18 +663,18 @@ object Dedup {
   // band CTE with the identical per-bucket membership cap as
   // [[cappedBuckets]] (QUALIFY mirrors the Spark-side row_number window)
   private val bandCteSql =
-    s"""band0 AS (
+    s"""band0 AS MATERIALIZED (
            $bandSelectsSql),
-         band AS (
+         band AS MATERIALIZED (
            SELECT doc_id, source, band, bsig FROM band0
            QUALIFY row_number() OVER (
              PARTITION BY source, band, bsig ORDER BY doc_id) <= $LshBucketCap)"""
   // the CROSS-SOURCE variant: cap partitions on (band, bsig) only,
   // mirroring [[cappedBucketsBy]]'s global key
   private val bandCteGlobalSql =
-    s"""band0 AS (
+    s"""band0 AS MATERIALIZED (
            $bandSelectsSql),
-         band AS (
+         band AS MATERIALIZED (
            SELECT doc_id, source, band, bsig FROM band0
            QUALIFY row_number() OVER (
              PARTITION BY band, bsig ORDER BY doc_id) <= $LshBucketCap)"""
@@ -686,27 +686,30 @@ object Dedup {
 
   val oracleSql: Map[String, String] = Map(
     "dedup_pipeline_e2e" ->
-      s"""WITH RECURSIVE nd AS (
+      s"""WITH RECURSIVE nd AS MATERIALIZED (
            SELECT doc_id, source,
              array_to_string(list_filter(
                string_split_regex(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +'),
                t -> t NOT IN ('join','filter','sort','merge','window')), ' ') AS ntext
            FROM documents),
-         tok AS (
+         tok AS MATERIALIZED (
            SELECT doc_id, source, unnest(list_distinct(string_split(ntext, ' '))) AS token
            FROM nd),
-         sig AS (
+         sig AS MATERIALIZED (
            SELECT doc_id, source,
              $minhashMinsSql
            FROM tok GROUP BY doc_id, source),
          $bandCteSql,
-         cand AS (
-           SELECT DISTINCT a.source, a.doc_id AS d1, b.doc_id AS d2
-           FROM band a JOIN band b
-             ON a.source = b.source AND a.band = b.band AND a.bsig = b.bsig
-               AND a.doc_id < b.doc_id),
-         e AS (SELECT d1 AS src, d2 AS dst FROM cand
-               UNION SELECT d2, d1 FROM cand),
+         broot AS MATERIALIZED (
+           SELECT source, band, bsig, min(doc_id) AS mn
+           FROM band GROUP BY source, band, bsig),
+         star AS MATERIALIZED (
+           SELECT DISTINCT b.doc_id AS d1, br.mn AS d2
+           FROM band b JOIN broot br
+             ON b.source = br.source AND b.band = br.band AND b.bsig = br.bsig
+           WHERE b.doc_id <> br.mn),
+         e AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM star
+               UNION SELECT d2, d1 FROM star),
          reach AS (
            SELECT src, dst FROM e
            UNION
@@ -722,7 +725,7 @@ object Dedup {
              + 0.4 * least((CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
                / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0) AS q
            FROM documents),
-         withroot AS (
+         withroot AS MATERIALIZED (
            SELECT dq.doc_id, dq.source, dq.q, coalesce(rt.root, dq.doc_id) AS root
            FROM dq LEFT JOIN rt ON dq.doc_id = rt.doc_id),
          rk AS (
@@ -741,27 +744,30 @@ object Dedup {
            md5(array_to_string(list_sort(list(keep_id)), ',')) AS survivors_md5
          FROM cl GROUP BY source ORDER BY source""",
     "dedup_minhash_global" ->
-      s"""WITH RECURSIVE nd AS (
+      s"""WITH RECURSIVE nd AS MATERIALIZED (
            SELECT doc_id, source,
              array_to_string(list_filter(
                string_split_regex(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +'),
                t -> t NOT IN ('join','filter','sort','merge','window')), ' ') AS ntext
            FROM documents),
-         tok AS (
+         tok AS MATERIALIZED (
            SELECT doc_id, source, unnest(list_distinct(string_split(ntext, ' '))) AS token
            FROM nd),
-         sig AS (
+         sig AS MATERIALIZED (
            SELECT doc_id, source,
              $minhashMinsSql
            FROM tok GROUP BY doc_id, source),
          $bandCteGlobalSql,
-         cand AS (
-           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-           FROM band a JOIN band b
-             ON a.band = b.band AND a.bsig = b.bsig
-               AND a.doc_id < b.doc_id),
-         e AS (SELECT d1 AS src, d2 AS dst FROM cand
-               UNION SELECT d2, d1 FROM cand),
+         broot AS MATERIALIZED (
+           SELECT band, bsig, min(doc_id) AS mn
+           FROM band GROUP BY band, bsig),
+         star AS MATERIALIZED (
+           SELECT DISTINCT b.doc_id AS d1, br.mn AS d2
+           FROM band b JOIN broot br
+             ON b.band = br.band AND b.bsig = br.bsig
+           WHERE b.doc_id <> br.mn),
+         e AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM star
+               UNION SELECT d2, d1 FROM star),
          reach AS (
            SELECT src, dst FROM e
            UNION
@@ -777,7 +783,7 @@ object Dedup {
              + 0.4 * least((CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
                / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0) AS q
            FROM documents),
-         withroot AS (
+         withroot AS MATERIALIZED (
            SELECT dq.doc_id, dq.source, dq.q, coalesce(rt.root, dq.doc_id) AS root
            FROM dq LEFT JOIN rt ON dq.doc_id = rt.doc_id),
          rk AS (
@@ -805,22 +811,22 @@ object Dedup {
            SELECT doc_id, source, text, md5(text) AS h,
              list_distinct(string_split(text, ' ')) AS toks
            FROM documents),
-         tok AS (SELECT doc_id, source, unnest(toks) AS token FROM dd),
-         sig AS (
+         tok AS MATERIALIZED (SELECT doc_id, source, unnest(toks) AS token FROM dd),
+         sig AS MATERIALIZED (
            SELECT doc_id, source,
              $minhashMinsSql
            FROM tok GROUP BY doc_id, source),
-         band0 AS (
+         band0 AS MATERIALIZED (
            $bandSelectsSql),
-         sband AS (
+         sband AS MATERIALIZED (
            SELECT doc_id, band, bsig FROM band0 WHERE doc_id % 7 <> 0
            QUALIFY row_number() OVER (
              PARTITION BY band, bsig ORDER BY doc_id) <= $LshBucketCap),
-         bband AS (
+         bband AS MATERIALIZED (
            SELECT doc_id, band, bsig FROM band0 WHERE doc_id % 7 = 0),
          sh AS (
            SELECT h, min(doc_id) AS exact_id FROM dd WHERE doc_id % 7 <> 0 GROUP BY h),
-         cand AS (
+         cand AS MATERIALIZED (
            SELECT DISTINCT b.doc_id AS b_id, s.doc_id AS s_id
            FROM bband b JOIN sband s ON b.band = s.band AND b.bsig = s.bsig),
          sc AS (
@@ -852,15 +858,15 @@ object Dedup {
          WHERE bb.doc_id % 7 = 0
          ORDER BY bb.doc_id""",
     "dedup_minhash_lsh" ->
-      s"""WITH tok AS (
+      s"""WITH tok AS MATERIALIZED (
            SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS token
            FROM documents),
-         sig AS (
+         sig AS MATERIALIZED (
            SELECT doc_id, source,
              $minhashMinsSql
            FROM tok GROUP BY doc_id, source),
          $bandCteSql,
-         cand AS (
+         cand AS MATERIALIZED (
            SELECT DISTINCT a.source, a.doc_id AS d1, b.doc_id AS d2
            FROM band a JOIN band b
              ON a.source = b.source AND a.band = b.band AND a.bsig = b.bsig
@@ -895,13 +901,13 @@ object Dedup {
                ELSE CAST([] AS VARCHAR[]) END) AS sh
            FROM documents),
          s2 AS (SELECT * FROM sh0 WHERE len(sh) >= 1),
-         tok AS (SELECT doc_id, source, unnest(sh) AS token FROM s2),
-         sig AS (
+         tok AS MATERIALIZED (SELECT doc_id, source, unnest(sh) AS token FROM s2),
+         sig AS MATERIALIZED (
            SELECT doc_id, source,
              ${minsSql("g")}
            FROM tok GROUP BY doc_id, source),
          $bandCteSql,
-         cand AS (
+         cand AS MATERIALIZED (
            SELECT DISTINCT a.source, a.doc_id AS d1, b.doc_id AS d2
            FROM band a JOIN band b
              ON a.source = b.source AND a.band = b.band AND a.bsig = b.bsig
@@ -915,15 +921,15 @@ object Dedup {
            CAST(sum(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified
          FROM j GROUP BY source ORDER BY source""",
     "dedup_edit_distance" ->
-      s"""WITH tok AS (
+      s"""WITH tok AS MATERIALIZED (
            SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS token
            FROM documents),
-         sig AS (
+         sig AS MATERIALIZED (
            SELECT doc_id, source,
              $minhashMinsSql
            FROM tok GROUP BY doc_id, source),
          $bandCteSql,
-         cand AS (
+         cand AS MATERIALIZED (
            SELECT DISTINCT a.source, a.doc_id AS d1, b.doc_id AS d2
            FROM band a JOIN band b
              ON a.source = b.source AND a.band = b.band AND a.bsig = b.bsig
@@ -945,21 +951,24 @@ object Dedup {
     // of round count, so it gates that the Spark loop truly reached the
     // fixpoint — not just "ran some iterations".
     "dedup_cc_groups" ->
-      s"""WITH RECURSIVE tok AS (
+      s"""WITH RECURSIVE tok AS MATERIALIZED (
            SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS token
            FROM documents),
-         sig AS (
+         sig AS MATERIALIZED (
            SELECT doc_id, source,
              $minhashMinsSql
            FROM tok GROUP BY doc_id, source),
          $bandCteSql,
-         cand AS (
-           SELECT DISTINCT a.source, a.doc_id AS d1, b.doc_id AS d2
-           FROM band a JOIN band b
-             ON a.source = b.source AND a.band = b.band AND a.bsig = b.bsig
-               AND a.doc_id < b.doc_id),
-         e AS (SELECT d1 AS src, d2 AS dst FROM cand
-               UNION SELECT d2, d1 FROM cand),
+         broot AS MATERIALIZED (
+           SELECT source, band, bsig, min(doc_id) AS mn
+           FROM band GROUP BY source, band, bsig),
+         star AS MATERIALIZED (
+           SELECT DISTINCT b.doc_id AS d1, br.mn AS d2
+           FROM band b JOIN broot br
+             ON b.source = br.source AND b.band = br.band AND b.bsig = br.bsig
+           WHERE b.doc_id <> br.mn),
+         e AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM star
+               UNION SELECT d2, d1 FROM star),
          reach AS (
            SELECT src, dst FROM e
            UNION
@@ -972,7 +981,7 @@ object Dedup {
          FROM rt JOIN sz ON rt.root = sz.root
          ORDER BY rt.doc_id""",
     "dedup_simhash" ->
-      s"""WITH tok AS (
+      s"""WITH tok AS MATERIALIZED (
            SELECT doc_id, source, md5(unnest(string_split(text, ' '))) AS mh
            FROM documents),
          s AS (
