@@ -36,7 +36,8 @@ object Bench {
     // engine can't control but the min over independent repeats filters
     // out, because contention only ever ADDS time. N is env-tunable
     // (SPARK_GRAFT_BENCH_ITERS=1 restores the old single-pass behavior).
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)
+    val iters = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt).getOrElse(2).max(1)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val best = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
