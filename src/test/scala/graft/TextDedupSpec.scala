@@ -202,6 +202,60 @@ class TextDedupSpec extends AnyFunSuite with SparkFixture {
     assert(out(2L) < out(1L))
   }
 
+  test("minhash global: a cross-source duplicate forms one cluster, lowest id keeps") {
+    val t = "alpha beta gamma delta epsilon"
+    val dir = fixtureDir("documents" -> Seq(
+      doc(1, t, source = "s0"), doc(2, t, source = "s1"),
+      doc(3, "totally different content here", source = "s0")).toDF)
+    val g = Dedup.minhashGlobal(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_dropped"), r.getAs[Long]("n_xsource")))).toMap
+    // cluster {1, 2} spans both sources; equal quality ties to doc 1
+    assert(g("s0") == ((2L, 2L, 0L, 1L)))   // doc 1 keeps, doc 3 singleton
+    assert(g("s1") == ((1L, 0L, 1L, 1L)))   // doc 2 dropped cross-source
+    // contrast: the per-source pipeline cannot see the pair — everything survives
+    val per = Dedup.pipelineE2e(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_kept")).toMap
+    assert(per("s0") == 2L && per("s1") == 1L)
+  }
+
+  test("incremental dedup tiers: exact by hash, near by standing LSH probe, else unique") {
+    // batch = doc_id % 7 == 0 → docs 7, 14, 21; standing → docs 1, 2, 3
+    val dir = fixtureDir("documents" -> Seq(
+      doc(1, "alpha beta gamma delta epsilon"),
+      doc(2, "one two three four five six"),
+      doc(3, "noise words nothing shared anywhere"),
+      doc(7, "alpha beta gamma delta epsilon"),          // byte-identical to 1
+      doc(14, "two one three four five six"),            // same token SET as 2
+      doc(21, "entirely fresh material never seen")).toDF)
+    val out = Dedup.incremental(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("status"), r.getAs[Long]("match_id"),
+          r.getAs[Double]("best_jac")))).toMap
+    assert(out(7L) == (("exact", 1L, 1.0)))
+    assert(out(14L) == (("near", 2L, 1.0)))  // reordered text: hash differs, set identical
+    assert(out(21L)._1 == "unique" && out(21L)._2 == -1L)
+    assert(out.size == 3)                    // standing docs never re-deduped
+  }
+
+  test("bpe train: merge table over three rounds matches the hand computation") {
+    // doc1 "a a a a", doc2 "a a b":
+    //   r1: (a,a)=4 wins; doc1→[a_a a_a] (2 merges), doc2→[a_a b] (1)
+    //   r2: (a_a,a_a) and (a_a,b) both 1 — tie breaks to t2='a_a'; 1 merge
+    //   r3: (a_a,b)=1 wins; 1 merge; then no pairs remain → loop ends early
+    val dir = fixtureDir("documents" -> Seq(
+      doc(1, "a a a a"), doc(2, "a a b")).toDF)
+    val rows = Text.bpeTrain(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("round")).toSeq == Seq(1L, 2L, 3L))
+    val byRound = rows.map(r => r.getAs[Long]("round") ->
+      ((r.getAs[String]("t1"), r.getAs[String]("t2"),
+        r.getAs[Long]("cnt"), r.getAs[Long]("n_merges")))).toMap
+    assert(byRound(1L) == (("a", "a", 4L, 3L)))
+    assert(byRound(2L) == (("a_a", "a_a", 1L, 1L)))
+    assert(byRound(3L) == (("a_a", "b", 1L, 1L)))
+  }
+
   test("global ngram dedup pairs a cross-source duplicate that per-source blocking misses") {
     val t = "alpha beta gamma delta epsilon zeta"
     val dir = fixtureDir("documents" -> Seq(
