@@ -124,7 +124,9 @@ object Vector {
       .otherwise(concat(
         bucket.substr(lit(1), i - 1),
         when(bucket.substr(i, lit(1)) === "1", "0").otherwise("1"),
-        bucket.substr(i + 1, lit(8))))
+        // tail length 64 clamps to the remaining chars — works for the
+        // 8-bit buckets here and the 16-bit global-dedup buckets alike
+        bucket.substr(i + 1, lit(64))))
 
   def simsearchLshMultiprobe(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).withColumn("bucket", srpBucket(col("embedding")))
@@ -636,6 +638,50 @@ object Vector {
       .orderBy(col("probe_id"), desc("cos"), col("neighbor_id"))
   }
 
+  /** GLOBAL embedding near-dup — [[dedupEmbedding]] with the `label`
+    * blocking key dropped, closing the embedding family's cross-block
+    * blindness the way `dedup_minhash_global`/`dedup_ngram_global` close
+    * it for text: a near-identical vector pair split across labels now
+    * pairs. Blocking without labels must come from the SIGNATURE alone,
+    * so the SRP bucket WIDENS from 8 to 16 sign bits — the general rule
+    * that global LSH blocking scales its key with corpus size (bucket
+    * population ~ n/2^bits; at 10^9 vectors you'd widen again and/or
+    * multi-table) — with the same Hamming-1 multiprobe for recall at the
+    * wider key. The matchable side is additionally capped at the 256
+    * lowest vec_ids per bucket (row_number, oracle-mirrored QUALIFY) —
+    * the [[graft.ops.Dedup.LshBucketCap]] discipline, inactive at
+    * fixture scale. Output: global top-10 most-similar candidate pairs
+    * with their labels and a cross-label flag; a (cos, v1, v2) total
+    * order + LIMIT plans as TakeOrderedAndProject — no global sort, no
+    * unpartitioned window. */
+  def dedupEmbeddingGlobal(spark: SparkSession, dir: String): DataFrame = {
+    val srp16 = concat_ws("",
+      transform(slice(col("embedding"), 1, 16), x => when(x >= 0f, "1").otherwise("0")))
+    val e = emb(spark, dir)
+      .withColumn("bucket", srp16)
+      .withColumn("nrm", l2(col("embedding")))
+    val capW = Window.partitionBy("bucket").orderBy("v2")
+    val rhs = e.select(col("vec_id").as("v2"), col("label").as("lab2"),
+        col("embedding").as("e2"), col("nrm").as("n2"), col("bucket"))
+      .withColumn("rn", row_number().over(capW))
+      .filter(col("rn") <= 256).drop("rn")
+    val lhs = e.select(col("vec_id").as("v1"), col("label").as("lab1"),
+        col("embedding").as("e1"), col("nrm").as("n1"), col("bucket"),
+        explode(sequence(lit(0), lit(16))).as("i"))
+      .select(col("v1"), col("lab1"), col("e1"), col("n1"),
+        hamming1Variant(col("bucket"), col("i")).as("bucket"))
+    // a pair collides through at most ONE probe variant (i=0 iff buckets
+    // equal, else the single flipped position) — no distinct needed
+    lhs.join(rhs, "bucket")
+      .filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        col("lab1").cast("long").as("label1"), col("lab2").cast("long").as("label2"),
+        when(col("lab1") =!= col("lab2"), 1L).otherwise(0L).as("cross_label"),
+        r4(cosinePre(col("e1"), col("e2"), col("n1"), col("n2"))).as("cos"))
+      .orderBy(desc("cos"), col("v1"), col("v2"))
+      .limit(10)
+  }
+
   /** K-means ASSIGNMENT step — every vector labeled with its nearest of 8
     * fixed centroids (the 8 lowest vec_ids: deterministic seeding, same
     * convention as IVF/PQ training). This is the semantic-clustering
@@ -667,6 +713,7 @@ object Vector {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_embedding_global" -> (dedupEmbeddingGlobal _),
     "cluster_kmeans_assign" -> (clusterKmeansAssign _),
     "simsearch_range" -> (simsearchRange _),
     "embedding_quantize" -> (embeddingQuantize _),
@@ -743,6 +790,32 @@ object Vector {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_embedding_global" ->
+      s"""WITH e AS (
+           SELECT vec_id, label, embedding,
+             array_to_string(list_transform(embedding[1:16],
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+           FROM embeddings),
+         rhs AS (
+           SELECT vec_id AS v2, label AS lab2, embedding AS e2, bucket
+           FROM e
+           QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id) <= 256),
+         lhs AS (
+           SELECT e.vec_id AS v1, e.label AS lab1, e.embedding AS e1,
+             CASE WHEN f.i = 0 THEN bucket
+                  ELSE substr(bucket, 1, CAST(f.i AS INTEGER) - 1) ||
+                       (CASE WHEN substr(bucket, CAST(f.i AS INTEGER), 1) = '1'
+                             THEN '0' ELSE '1' END) ||
+                       substr(bucket, CAST(f.i AS INTEGER) + 1, 16) END AS bucket
+           FROM e, (SELECT unnest(range(0, 17)) AS i) f),
+         pr AS (
+           SELECT lhs.v1, rhs.v2, lhs.lab1, rhs.lab2,
+             ${r4Sql(cosSql("lhs.e1", "rhs.e2"))} AS cos
+           FROM lhs JOIN rhs ON lhs.bucket = rhs.bucket AND lhs.v1 < rhs.v2)
+         SELECT v1, v2, CAST(lab1 AS BIGINT) AS label1, CAST(lab2 AS BIGINT) AS label2,
+           CAST(CASE WHEN lab1 != lab2 THEN 1 ELSE 0 END AS BIGINT) AS cross_label,
+           cos
+         FROM pr ORDER BY cos DESC, v1, v2 LIMIT 10""",
     "cluster_kmeans_assign" ->
       s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce
              FROM embeddings ORDER BY vec_id LIMIT 8),

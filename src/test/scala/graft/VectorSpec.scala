@@ -163,6 +163,24 @@ class VectorSpec extends AnyFunSuite with SparkFixture {
     assert(p0.head.getAs[Double]("cos") > 0.99)
   }
 
+  test("global embedding dedup pairs a cross-label twin that label blocking misses") {
+    // 16-dim so the 16-bit SRP bucket consumes every sign; vec 1 is a
+    // scaled copy of vec 0 under a DIFFERENT label (cos = 1.0, same
+    // bucket); vec 2 is sign-opposite (never a candidate).
+    val base = Array.tabulate(16)(j => if (j % 3 == 0) 1f else -1f)
+    val dir = fixtureDir("embeddings" -> Seq(
+      emb(0, base, label = 0), emb(1, base.map(_ * 2f), label = 1),
+      emb(2, base.map(-_), label = 0)).toDF)
+    val g = Vector.dedupEmbeddingGlobal(spark, dir).collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("v1") == 0L && g(0).getAs[Long]("v2") == 1L)
+    assert(g(0).getAs[Long]("cross_label") == 1L)
+    assert(g(0).getAs[Double]("cos") == 1.0)
+    // the label-blocked operator cannot see the pair
+    val per = Vector.dedupEmbedding(spark, dir).collect()
+    assert(!per.exists(r => r.getAs[Long]("v1") == 0L && r.getAs[Long]("v2") == 1L))
+  }
+
   test("kmeans assign: every vector lands on its true nearest centroid, ties to lowest id") {
     // 12 vectors, centroids = ids 0..7; vec 11's values repeat vec 0's
     // exactly ((i*7+3j) mod 11 has period 11 in i), so it must assign to
