@@ -501,7 +501,47 @@ object PipelineOps {
       .orderBy("source", "bin")
   }
 
+  private lazy val evoRoot: java.io.File = processTempRoot("graft_evo_")
+  private val evoScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** SCHEMA EVOLUTION read — the lakehouse reality that a long-lived
+    * table's old files lack columns added later: the even-event_id half
+    * of `events` is written WITHOUT user_id (the v1 schema), the odd
+    * half WITH it (v2), and one `mergeSchema` read unions both vintages,
+    * nulling the missing column in old files. The aggregate proves the
+    * semantics end to end: per type, rows from both vintages, non-null
+    * user counts only from v2 files, value sums spanning both. Shape at
+    * scale: schema merge is a FOOTER operation (one pass over file
+    * metadata, not data) and the scan stays a plain parquet scan with
+    * pushdown intact — evolution costs nothing per row. Scratch layout
+    * is written once per input dir (process-temp, crash-cleaned), the
+    * [[partitionPrune]] discipline. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = evoScratch.computeIfAbsent(dir, { d =>
+      val out = new java.io.File(evoRoot, "d" + dirKey(d))
+      val e = table(spark, d, "events")
+      e.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").parquet(s"$out/v1")
+      e.filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("event_type"), col("value"), col("user_id"))
+        .write.mode("overwrite").parquet(s"$out/v2")
+      out.getPath
+    })
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$scratch/v1", s"$scratch/v2")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("user_id").isNotNull, 1L).otherwise(0L)).as("n_with_user"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsumR(col("value"), Qty).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_schema_evolution" -> (schemaEvolution _),
     "pipe_compaction_bins" -> (compactionBins _),
     "pipe_zorder_layout" -> (zorderLayout _),
     "pipe_rollup_merge" -> (rollupMerge _),
@@ -520,6 +560,15 @@ object PipelineOps {
     "pipe_partition_prune" -> (partitionPrune _))
 
   val oracleSql: Map[String, String] = Map(
+    // models the merged read directly over events: even event_ids are the
+    // v1 files where user_id did not exist yet (NULL after the merge)
+    "pipe_schema_evolution" ->
+      s"""SELECT event_type, count(*) AS n,
+           CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_user,
+           count(DISTINCT CASE WHEN event_id % 2 = 1 THEN user_id END) AS n_users,
+           round(CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE), 4) AS sum_value
+         FROM ${evSql()}
+         GROUP BY event_type ORDER BY event_type""",
     "pipe_compaction_bins" ->
       """WITH f AS (
            SELECT doc_id, source, n_chars,

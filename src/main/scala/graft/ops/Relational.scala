@@ -743,6 +743,28 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** PATH MINING — the corpus-wide top-10 per-user event-type trigrams
+    * (behavioral sequences, the n-gram idea applied to event streams:
+    * "view→view→click happens 12k times across 900 users"). Both leads
+    * ride ONE (user, ts, event_id) window sort; trigram counting is a
+    * map-side-combined hash agg over the tiny (type³) key space; the
+    * top-10 is a (count, path) total order + LIMIT — at any scale the
+    * only full-data costs are one per-user sort and one partial-agg
+    * shuffle of trigram keys. */
+  def eventsPathTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    table(spark, dir, "events")
+      .select(col("user_id"),
+        col("event_type").as("t1"),
+        lead(col("event_type"), 1).over(w).as("t2"),
+        lead(col("event_type"), 2).over(w).as("t3"))
+      .filter(col("t3").isNotNull)
+      .groupBy("t1", "t2", "t3")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(desc("n"), col("t1"), col("t2"), col("t3"))
+      .limit(10)
+  }
+
   /** Ordered funnel over the event stream — view → click → purchase per
     * user, each step's timestamp the EARLIEST occurrence strictly after
     * the previous step (sequence analytics, not just per-type counts: the
@@ -962,6 +984,7 @@ object Relational {
     "join_anti" -> (joinAnti _),
     "join_theta_range" -> (joinThetaRange _),
     "join_asof_tolerance" -> (joinAsofTolerance _),
+    "events_path_trigrams" -> (eventsPathTrigrams _),
     "join_range_binned" -> (joinRangeBinned _),
     "join_interval_events" -> (joinIntervalEvents _),
     "join_salted_skew" -> (joinSaltedSkew _),
@@ -1220,6 +1243,17 @@ object Relational {
          FROM ${evSql("e")} ASOF LEFT JOIN orders o
            ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
          ORDER BY e.event_id""",
+    "events_path_trigrams" ->
+      s"""WITH t AS (
+           SELECT user_id, event_type AS t1,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+           FROM ${evSql()}
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT t1, t2, t3, count(*) AS n, count(DISTINCT user_id) AS n_users
+         FROM t WHERE t3 IS NOT NULL
+         GROUP BY t1, t2, t3
+         ORDER BY n DESC, t1, t2, t3 LIMIT 10""",
     "join_asof_tolerance" ->
       s"""SELECT e.event_id, e.user_id,
          CASE WHEN o.o_orderdate IS NOT NULL

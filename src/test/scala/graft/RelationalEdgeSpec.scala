@@ -152,6 +152,37 @@ class RelationalEdgeSpec extends AnyFunSuite with SparkFixture {
     assert(out(1).getAs[Long]("last_doc") + 1 == out(2).getAs[Long]("first_doc"))
   }
 
+  test("path trigrams count sliding per-user sequences, never crossing users") {
+    val dir = fixtureDir("events" -> events(
+      EventRow(1, ts("2024-01-01 10:00:00"), 1, "view", 0.0, "{}"),
+      EventRow(2, ts("2024-01-01 10:01:00"), 1, "view", 0.0, "{}"),
+      EventRow(3, ts("2024-01-01 10:02:00"), 1, "click", 0.0, "{}"),
+      EventRow(4, ts("2024-01-01 10:03:00"), 1, "view", 0.0, "{}"),
+      EventRow(5, ts("2024-01-01 10:00:00"), 2, "view", 0.0, "{}"),
+      EventRow(6, ts("2024-01-01 10:01:00"), 2, "click", 0.0, "{}")))
+    // user 1 trigrams: (view,view,click), (view,click,view); user 2: none
+    val out = Relational.eventsPathTrigrams(spark, dir).collect()
+      .map(r => (r.getAs[String]("t1"), r.getAs[String]("t2"), r.getAs[String]("t3")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_users")))).toMap
+    assert(out == Map(
+      ("view", "view", "click") -> ((1L, 1L)),
+      ("view", "click", "view") -> ((1L, 1L))))
+  }
+
+  test("schema evolution: merged read nulls the column missing from v1 files") {
+    val dir = fixtureDir("events" -> events(
+      EventRow(2, ts("2024-01-01 10:00:00"), 7, "view", 1.5, "{}"),   // v1: no user col
+      EventRow(4, ts("2024-01-01 11:00:00"), 7, "view", 2.0, "{}"),   // v1
+      EventRow(3, ts("2024-01-01 12:00:00"), 8, "view", 0.5, "{}"),   // v2: user kept
+      EventRow(5, ts("2024-01-01 13:00:00"), 8, "click", 1.0, "{}"))) // v2
+    val m = PipelineOps.schemaEvolution(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_with_user"),
+          r.getAs[Long]("n_users"), r.getAs[Double]("sum_value")))).toMap
+    assert(m("view") == ((3L, 1L, 1L, 4.0)))  // two v1 rows lost user_id
+    assert(m("click") == ((1L, 1L, 1L, 1.0)))
+  }
+
   test("window_first_last: single-row partition has null nth_value(2), first==last") {
     val dir = fixtureDir("events" -> events(
       EventRow(1, ts("2024-01-01 10:00:00"), 1, "click", 5.5, "{}"),
