@@ -34,10 +34,18 @@ object Bench {
     // Min-of-N per query (default 2): BENCH_r04 recorded a ~3.7× uniform
     // inflation from CPU contention on the driver VM — a transient the
     // engine can't control but the min over independent repeats filters
-    // out, because contention only ever ADDS time. N is env-tunable
-    // (SPARK_GRAFT_BENCH_ITERS=1 restores the old single-pass behavior).
+    // out. Caveat, recorded in the output as "build_once": four queries
+    // carry write-once JVM state (persisted PQ index, partition-pruned /
+    // schema-evolution scratch layouts, bucketed join tables), so their
+    // min measures the SERVE path — iteration 1 pays the build, later
+    // ones reuse it. That is the number their build/serve separation is
+    // designed around, but it is not comparable to a single-pass cold
+    // run; the field makes the distinction visible instead of silent.
+    // N is env-tunable (SPARK_GRAFT_BENCH_ITERS=1 restores single-pass).
     val iters = scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt).getOrElse(2).max(1)
+    val buildOnce = Seq("simsearch_pq_index", "pipe_partition_prune",
+      "pipe_schema_evolution", "join_bucketed_colocated")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val best = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
@@ -62,7 +70,7 @@ object Bench {
     // pre-warms its OS page cache / parquet footers — runs with different
     // warm_dir values are not comparable, and the record makes that visible.
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","iters":$iters,"total_sec":${num(total)}}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","iters":$iters,"build_once":${buildOnce.map("\"" + _ + "\"").mkString("[", ",", "]")},"total_sec":${num(total)}}"""
     try {
       val w = new java.io.PrintWriter("bench_last.json")
       try w.println(line) finally w.close()

@@ -202,10 +202,13 @@ object Dedup {
     * skips the pair-distinct shuffle entirely — the difference between
     * linear and quadratic cost in the bucket size, which is what a hot
     * bucket at 100 TB turns into. Duplicate edges across bands survive
-    * (they are absorbed by the first CC round's min aggregate);
-    * correctness of the downstream fixpoint is still gated by the
-    * recursive-CTE oracle over the FULL pair set, which proves the
-    * component equivalence rather than assuming it. */
+    * (they are absorbed by the first CC round's min aggregate). The
+    * star≡clique component equivalence is PROVEN, not assumed, by two
+    * independent gates: the `dedup_cc_groups` oracle keeps the full
+    * per-bucket pair-clique closure (deliberately NOT the star replay
+    * the other closure oracles use for speed — a star-generation bug
+    * would be shared there and invisible), and CcSpec cross-checks the
+    * star path against the pair path on fixtures. */
   private[ops] def candidateStarEdges(base: DataFrame, saltPrefix: String): DataFrame =
     starEdgesOf(cappedBuckets(base, saltPrefix))
 
@@ -245,10 +248,13 @@ object Dedup {
     // Init already carries the first propagation round: label = min(self,
     // direct neighbors) straight off the edge aggregate — same price as a
     // plain distinct-nodes init, one fewer loop round.
+    // superseded-round checkpoints reclaimed as the chain advances;
+    // `edges` above stays OUT of the chain — every round re-reads it
+    val chain = new Util.ChainCheckpoint
     var lbl = edges.groupBy(col("dst"))
       .agg(min(col("src")).as("nb"))
       .select(col("dst").as("doc_id"), least(col("dst"), col("nb")).as("lbl"))
-      .transform(iterCheckpoint)
+      .transform(chain(_))
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 25) {
@@ -259,7 +265,7 @@ object Dedup {
         .select(lbl("doc_id"),
           col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("m"))
-        .transform(iterCheckpoint)
+        .transform(chain(_))   // lbl's round is dead once half materializes
       // Pointer jump: also adopt the label OF my label's node (labels are
       // always node ids, so m is a valid lookup key). Plain neighbor
       // propagation needs diameter rounds; the jump compounds hops and
@@ -272,7 +278,7 @@ object Dedup {
           (least(col("m"), coalesce(col("p_m"), col("m"))) < col("old")).as("chg"))
         .observe(obs, coalesce(
           sum(when(col("chg"), 1L).otherwise(0L)), lit(0L)).as("changed"))
-        .transform(iterCheckpoint)
+        .transform(chain(_))   // half's files are dead once next materializes
       changed = obs.get("changed").asInstanceOf[Long]
       lbl = next.select("doc_id", "lbl")
       rounds += 1
@@ -320,9 +326,10 @@ object Dedup {
     val canon = pairs1
       .select(greatest(col("d1"), col("d2")).as("src"),
         least(col("d1"), col("d2")).as("dst"))
+    val chain = new Util.ChainCheckpoint
     var e = (if (inputCanonical) canon
              else canon.filter(col("src") =!= col("dst")).distinct())
-      .transform(iterCheckpoint)
+      .transform(chain(_))
     val M = 1000000007L
     var prevSig: Seq[String] = null
     var rounds = 0
@@ -367,7 +374,7 @@ object Dedup {
             .as("s2"),
           coalesce(sum(pmod(xxhash64(col("src"), col("dst")), lit(M)).cast(dec38)),
             lit(0L).cast(dec38)).as("s3"))
-        .transform(iterCheckpoint)
+        .transform(chain(_))   // round k−1's edge files die here
       val m = obs.get
       val sig = Seq("cnt", "s1", "s2", "s3").map(k => String.valueOf(m(k)))
       converged = prevSig != null && sig == prevSig
@@ -949,7 +956,12 @@ object Dedup {
          ORDER BY c.source, c.d1, c.d2""",
     // The oracle's transitive closure (recursive CTE) is exact regardless
     // of round count, so it gates that the Spark loop truly reached the
-    // fixpoint — not just "ran some iterations".
+    // fixpoint — not just "ran some iterations". This one DELIBERATELY
+    // derives candidates as the full per-bucket pair clique (not the
+    // star edges the engine — and the other, heavier closure oracles —
+    // use): it is the independent gate proving star edges span the same
+    // components, so a starEdgesOf bug cannot hide by being replayed on
+    // both sides.
     "dedup_cc_groups" ->
       s"""WITH RECURSIVE tok AS MATERIALIZED (
            SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS token
@@ -959,16 +971,13 @@ object Dedup {
              $minhashMinsSql
            FROM tok GROUP BY doc_id, source),
          $bandCteSql,
-         broot AS MATERIALIZED (
-           SELECT source, band, bsig, min(doc_id) AS mn
-           FROM band GROUP BY source, band, bsig),
-         star AS MATERIALIZED (
-           SELECT DISTINCT b.doc_id AS d1, br.mn AS d2
-           FROM band b JOIN broot br
-             ON b.source = br.source AND b.band = br.band AND b.bsig = br.bsig
-           WHERE b.doc_id <> br.mn),
-         e AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM star
-               UNION SELECT d2, d1 FROM star),
+         cand AS MATERIALIZED (
+           SELECT DISTINCT a.source, a.doc_id AS d1, b.doc_id AS d2
+           FROM band a JOIN band b
+             ON a.source = b.source AND a.band = b.band AND a.bsig = b.bsig
+               AND a.doc_id < b.doc_id),
+         e AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM cand
+               UNION SELECT d2, d1 FROM cand),
          reach AS (
            SELECT src, dst FROM e
            UNION

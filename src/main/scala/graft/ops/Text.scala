@@ -831,7 +831,8 @@ object Text {
     * selection time, and the merges applied; the oracle replays all
     * [[BpeTrainRounds]] rounds CTE-by-CTE. */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    var corpus = iterCheckpoint(
+    val chain = new Util.ChainCheckpoint
+    var corpus = chain(
       docs(spark, dir).select(col("doc_id"), split(col("text"), " ").as("toks")))
     val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long, Long)]()
     var r = 1
@@ -845,7 +846,7 @@ object Text {
         val (t1, t2, cnt) =
           (bestRows(0).getString(0), bestRows(0).getString(1), bestRows(0).getLong(2))
         val obs = org.apache.spark.sql.Observation()
-        val next = iterCheckpoint(
+        val next = chain(
           corpus.select(col("doc_id"),
             graft.functions.BpeMergeOnce.mergeOnce(col("toks"), lit(t1), lit(t2)).as("m"))
             .observe(obs, coalesce(sum(col("m.nm")), lit(0L)).as("nm"))

@@ -138,8 +138,11 @@ object Udaf {
     // approximation is the sketch's whole point and the guard's exact
     // countDistinct (a vocabulary-sized aggregate alongside the bounded
     // sketch) would defeat the sketch's reason to exist.
+    // guard stays ON unless the conf is explicitly "false" — any other
+    // spelling (off/0/typo) keeps the safe default instead of throwing
+    // String.toBoolean's raw IllegalArgumentException at plan time
     val guarded = spark.conf.getOption("spark.graft.hhExactGuard")
-      .forall(_.toBoolean)
+      .forall(v => !v.trim.equalsIgnoreCase("false"))
     val agg =
       if (guarded)
         tok.groupBy("lang")

@@ -138,6 +138,37 @@ object Util {
     } else df.localCheckpoint()
   }
 
+  /** Fixpoint-CHAIN checkpointing: [[iterCheckpoint]] plus storage
+    * reclamation for iterative algorithms. In reliable mode every round's
+    * `checkpoint()` writes a full copy of the iterated dataset to the
+    * checkpoint dir, and Spark never deletes superseded ones
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints` defaults off and
+    * is GC-dependent anyway) — a 30-round CC fixpoint over a 100 TB edge
+    * set would hold 30 dataset copies on disk mid-job. Each `apply`
+    * checkpoints eagerly and THEN deletes the previous chain element's
+    * files: safe because the new checkpoint is fully materialized before
+    * the delete, and loop bodies only ever read the latest element
+    * (frames that live across rounds — edge sets, corpora — go through
+    * plain [[iterCheckpoint]], never a chain). Local mode has no files
+    * (block-backed) and the chain degrades to plain iterCheckpoint. */
+  final class ChainCheckpoint {
+    private var prev: Option[String] = None
+    def apply(df: DataFrame): DataFrame = {
+      val cp = iterCheckpoint(df) // eager: materialized on return
+      org.apache.spark.sql.graftbridge.Bridge.checkpointFile(cp).foreach { f =>
+        prev.foreach { p =>
+          try {
+            val hp = new org.apache.hadoop.fs.Path(p)
+            hp.getFileSystem(cp.sparkSession.sparkContext.hadoopConfiguration)
+              .delete(hp, true)
+          } catch { case _: Throwable => () } // best-effort; shutdown hook sweeps
+        }
+        prev = Some(f)
+      }
+      cp
+    }
+  }
+
   /** Expression-level `let`: evaluate `e` ONCE per row and pass the result
     * to `f` as a bound lambda variable.
     *

@@ -512,6 +512,11 @@ object Vector {
     * cannot drift. */
   private def pqSearch(spark: SparkSession, dir: String,
       codes: DataFrame, cents: DataFrame): DataFrame = {
+    // Re-deriving `e` here is free: it is an unmaterialized plan, and the
+    // two jobs that use it (the 10-probe TakeOrdered and the 50-row exact
+    // re-rank scan) each scan the parquet once regardless of whether the
+    // frame object is shared with the training side — training's repeated
+    // reads go through the checkpointed subvector table, never this plan.
     val e = emb(spark, dir)
       .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
     val probes = e.orderBy("vec_id").limit(10)

@@ -20,6 +20,17 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Reliable-checkpoint path backing a checkpointed frame, if any: a
+    * `Dataset.checkpoint()` result analyzes to a LogicalRDD over the
+    * checkpointed internal RDD, whose getCheckpointFile is the on-disk
+    * directory. Local checkpoints (block-backed) and ordinary frames
+    * return None. LogicalRDD is private[sql] — hence this lives in the
+    * bridge. */
+  def checkpointFile(df: org.apache.spark.sql.DataFrame): Option[String] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
+    }.flatMap(_.rdd.getCheckpointFile)
+
   /** Register a native expression on a LIVE session's function registry —
     * the runtime counterpart of builder-time SparkSessionExtensions
     * (which only applies to sessions built after the config is set). */

@@ -109,6 +109,21 @@ class CcSpec extends AnyFunSuite with SparkFixture {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(lss == expected, "reliable-mode large-small-star != union-find")
       assert(mlp == expected, "reliable-mode min-label != union-find")
+      // Storage reclamation: ChainCheckpoint deletes each superseded
+      // round's files, so after both fixpoints the checkpoint dir holds
+      // only the surviving chain tails + the persistent edge frame —
+      // NOT one rdd dir per round (~10+ rounds ran above).
+      val ckptDir = spark.sparkContext.getCheckpointDir.get
+      val root = new java.io.File(new java.net.URI(
+        if (ckptDir.contains(":")) ckptDir else "file:" + ckptDir))
+      def rddDirs(f: java.io.File): Int =
+        if (f.isDirectory)
+          (if (f.getName.startsWith("rdd-")) 1 else 0) +
+            Option(f.listFiles()).toSeq.flatten.map(rddDirs).sum
+        else 0
+      val survivors = rddDirs(root)
+      assert(survivors <= 3,
+        s"$survivors rdd checkpoint dirs survive — superseded rounds not reclaimed")
     } finally spark.conf.unset("spark.graft.checkpointMode")
   }
 
