@@ -743,6 +743,35 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Robust outliers via MEDIAN ABSOLUTE DEVIATION — the
+    * outlier-resistant complement to `events_zscore_outliers`: mean/σ
+    * are themselves dragged by the outliers they hunt, while
+    * median/MAD are breakdown-point-0.5 robust (the standard 3·1.4826·MAD
+    * fence, 1.4826 = consistency constant for normal data). Two exact
+    * per-type medians (value, then |value − med|), each a tiny per-type
+    * aggregate that BROADCASTS back over the stream; classification is
+    * per-row math. Exact `percentile` holds a per-group multiset — the
+    * gateable semantics here; at 100 TB swap the same shape onto
+    * `approx_percentile` (the `agg_percentile_approx` path). */
+  def eventsMadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events").select(col("event_type"), col("value"))
+    val med = e.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        r4(min(col("med"))).as("med"),
+        r4(min(col("mad"))).as("mad"),
+        sum(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   /** PATH MINING — the corpus-wide top-10 per-user event-type trigrams
     * (behavioral sequences, the n-gram idea applied to event streams:
     * "view→view→click happens 12k times across 900 users"). Both leads
@@ -985,6 +1014,7 @@ object Relational {
     "join_theta_range" -> (joinThetaRange _),
     "join_asof_tolerance" -> (joinAsofTolerance _),
     "events_path_trigrams" -> (eventsPathTrigrams _),
+    "events_mad_outliers" -> (eventsMadOutliers _),
     "join_range_binned" -> (joinRangeBinned _),
     "join_interval_events" -> (joinIntervalEvents _),
     "join_salted_skew" -> (joinSaltedSkew _),
@@ -1243,6 +1273,23 @@ object Relational {
          FROM ${evSql("e")} ASOF LEFT JOIN orders o
            ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
          ORDER BY e.event_id""",
+    "events_mad_outliers" ->
+      """WITH med AS (
+           SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY event_type),
+         dev AS (
+           SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+           FROM events e JOIN med m USING (event_type)),
+         mad AS (
+           SELECT event_type, quantile_cont(adev, 0.5) AS mad
+           FROM dev GROUP BY event_type)
+         SELECT d.event_type, count(*) AS n,
+           floor(min(d.med) * 10000.0 + 0.5) / 10000.0 AS med,
+           floor(min(a.mad) * 10000.0 + 0.5) / 10000.0 AS mad,
+           CAST(sum(CASE WHEN d.adev > 3.0 * 1.4826 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+         FROM dev d JOIN mad a USING (event_type)
+         GROUP BY d.event_type ORDER BY d.event_type""",
     "events_path_trigrams" ->
       s"""WITH t AS (
            SELECT user_id, event_type AS t1,

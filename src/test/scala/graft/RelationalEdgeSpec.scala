@@ -169,6 +169,24 @@ class RelationalEdgeSpec extends AnyFunSuite with SparkFixture {
       ("view", "click", "view") -> ((1L, 1L))))
   }
 
+  test("MAD outliers: robust fence flags the spike; constant values flag nothing") {
+    val t0 = ts("2024-01-01 10:00:00")
+    val dir = fixtureDir("events" -> events(
+      EventRow(1, t0, 1, "view", 1.0, "{}"),
+      EventRow(2, t0, 2, "view", 1.0, "{}"),
+      EventRow(3, t0, 3, "view", 1.0, "{}"),
+      EventRow(4, t0, 4, "view", 1.0, "{}"),
+      EventRow(5, t0, 5, "view", 100.0, "{}"),   // spike: adev 99 > fence 0
+      EventRow(6, t0, 1, "click", 7.0, "{}"),
+      EventRow(7, t0, 2, "click", 7.0, "{}")))   // constant: adev 0, never > 0
+    val out = Relational.eventsMadOutliers(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("med"),
+          r.getAs[Double]("mad"), r.getAs[Long]("n_outliers")))).toMap
+    assert(out("view") == ((5L, 1.0, 0.0, 1L)))  // MAD 0: majority constant
+    assert(out("click") == ((2L, 7.0, 0.0, 0L)))
+  }
+
   test("schema evolution: merged read nulls the column missing from v1 files") {
     val dir = fixtureDir("events" -> events(
       EventRow(2, ts("2024-01-01 10:00:00"), 7, "view", 1.5, "{}"),   // v1: no user col
