@@ -794,6 +794,43 @@ object Relational {
       .limit(10)
   }
 
+  /** Batch sessionization — the gap-rule session assignment every
+    * product-analytics pipeline starts from (the batch twin of
+    * [[graft.ops.StreamingModel]]'s `stream_session_gap`): a >30-minute
+    * silence starts a new session. Session ids come from the standard
+    * two-window composition — lag to flag session starts, running sum to
+    * number them — both over the SAME (user_id, ts, event_id) window, so
+    * the plan sorts each user's slice once and evaluates both functions
+    * in one Window exec; the two follow-up aggregations reuse the
+    * window's hash partitioning on user_id (zero extra exchanges).
+    * Per-user state is bounded by that user's event count, never by the
+    * stream length — the shape that scales to any user population.
+    * Timestamps compare as exact epoch-µs longs (no double rounding on
+    * the gap boundary); output is one bounded rollup row per user. */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    val prev = lag(col("us"), 1).over(w)
+    val sess = table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("new_s",
+        when(prev.isNull || (col("us") - prev) > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_idx", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy("user_id", "sess_idx")
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("dur_us"),
+        sum(col("value").cast(Qty)).as("val_d"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_sess_events"),
+        sum(col("dur_us")).as("total_dur_us"),
+        round(sum(col("val_d")).cast("double"), 4).as("sum_value"))
+      .orderBy("user_id")
+  }
+
   /** Ordered funnel over the event stream — view → click → purchase per
     * user, each step's timestamp the EARLIEST occurrence strictly after
     * the previous step (sequence analytics, not just per-type counts: the
@@ -1015,6 +1052,7 @@ object Relational {
     "join_asof_tolerance" -> (joinAsofTolerance _),
     "events_path_trigrams" -> (eventsPathTrigrams _),
     "events_mad_outliers" -> (eventsMadOutliers _),
+    "events_sessionize" -> (eventsSessionize _),
     "join_range_binned" -> (joinRangeBinned _),
     "join_interval_events" -> (joinIntervalEvents _),
     "join_salted_skew" -> (joinSaltedSkew _),
@@ -1273,6 +1311,30 @@ object Relational {
          FROM ${evSql("e")} ASOF LEFT JOIN orders o
            ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
          ORDER BY e.event_id""",
+    "events_sessionize" ->
+      s"""WITH e AS (
+           SELECT user_id, event_id, value, epoch_us(ts) AS us FROM ${evSql()}),
+         g AS (
+           SELECT user_id, event_id, value, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         s AS (
+           SELECT user_id, value, us, new_s,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING) AS sess_idx
+           FROM g),
+         per AS (
+           SELECT user_id, sess_idx, count(*) AS n_events,
+             max(us) - min(us) AS dur_us,
+             sum(CAST(value AS DECIMAL(10,2))) AS val_d
+           FROM s GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(max(n_events) AS BIGINT) AS max_sess_events,
+           CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
+           round(CAST(sum(val_d) AS DOUBLE), 4) AS sum_value
+         FROM per GROUP BY user_id ORDER BY user_id""",
     "events_mad_outliers" ->
       """WITH med AS (
            SELECT event_type, quantile_cont(value, 0.5) AS med

@@ -891,6 +891,124 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style REPETITION quality signals — the two duplicate-content
+    * fractions the Gopher/MassiveText filtering rules cut on (Rae et al.
+    * 2021, public): the duplicate-token fraction (1 − distinct/total) and
+    * the top-bigram token fraction (share of the doc's tokens covered by
+    * its single most-repeated adjacent bigram). Per-doc token stats are
+    * codegen'd array projections; the per-doc max-bigram count is an
+    * explode → (doc_id, bigram) partial-agg → per-doc max — both
+    * aggregations are keyed BY doc_id, so no bigram, however hot
+    * globally, ever concentrates on one task (contrast a global bigram
+    * count, which needs the [[NgramDfCap]]-style discipline). Flag
+    * thresholds apply to doubles computed by the identical IEEE
+    * expression in both engines; per-source averages go through r6
+    * decimals so summation order can't perturb them. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_dist", size(array_distinct(col("toks"))).cast("long"))
+    val mx = d.filter(col("n_toks") >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
+        .as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("max_bg"))
+    val fracs = d.join(mx, Seq("doc_id"), "left")
+      .withColumn("dup_frac",
+        lit(1.0) - col("n_dist").cast("double") / col("n_toks").cast("double"))
+      .withColumn("bg_frac",
+        when(col("n_toks") >= 2,
+          coalesce(col("max_bg"), lit(0L)).cast("double") * 2.0
+            / col("n_toks").cast("double")).otherwise(lit(0.0)))
+      .withColumn("flagged", col("dup_frac") > 0.2 || col("bg_frac") > 0.2)
+    val dec = DecimalType(16, 6)
+    fracs.groupBy("source", "flagged")
+      .agg(count(lit(1)).as("n_docs"),
+        r4(sum(r6(col("dup_frac")).cast(dec)).cast("double")
+          / count(lit(1)).cast("double")).as("avg_dup_frac"),
+        r4(sum(r6(col("bg_frac")).cast(dec)).cast("double")
+          / count(lit(1)).cast("double")).as("avg_bg_frac"),
+        r6(max(col("bg_frac"))).as("max_bg_frac"))
+      .orderBy("source", "flagged")
+  }
+
+  /** Adjacent-bigram PMI — the collocation mining pass (pointwise mutual
+    * information, Church & Hanks 1990) that surfaces multi-word units
+    * worth protecting from tokenizer splits. Three corpus-wide counts —
+    * bigram occurrences, unigram occurrences, total tokens — then
+    * PMI = ln(c_ab·N / (c_a·c_b)) on the distinct-bigram table. Scale
+    * shape: both count aggregations are map-side-partial hash aggs (hot
+    * tokens collapse before the shuffle); the two count joins key on a
+    * single token against the VOCABULARY-sized count table — bigram
+    * TYPES join, never token occurrences, so the join input is the
+    * distinct-bigram table, orders of magnitude below the corpus. The
+    * one-row total broadcasts. Output is min-support top-20 by PMI via
+    * a (pmi, a, b) total order + LIMIT → TakeOrderedAndProject. */
+  def pmiBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(split(col("text"), " ").as("toks"))
+    val uni = d.select(explode(col("toks")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum(col("cu")).as("n_total"))
+    val bi = d.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS a, toks[i+1] AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 3)
+    bi.join(uni.select(col("t").as("a"), col("cu").as("ca")), "a")
+      .join(uni.select(col("t").as("b"), col("cu").as("cb")), "b")
+      .crossJoin(broadcast(total))
+      .withColumn("pmi", r4(log(
+        col("cab").cast("double") * col("n_total").cast("double")
+          / (col("ca").cast("double") * col("cb").cast("double")))))
+      .select(col("a"), col("b"), col("cab"), col("ca"), col("cb"), col("pmi"))
+      .orderBy(desc("pmi"), col("a"), col("b"))
+      .limit(20)
+  }
+
+  /** Sequence PACKING layout — the concat-and-chunk packing a training
+    * run uses to fill fixed context windows (here C = 256 tokens):
+    * documents are concatenated in doc_id order and cut every C tokens,
+    * so a doc whose token span crosses a cut boundary is split across
+    * windows. Packing needs a serial prefix sum, which would serialize
+    * on a per-SOURCE window at corpus scale, so the layout packs within
+    * (source, shard) — shard = doc_id div 64 — the way real pipelines
+    * pack per output file: each shard's prefix sum is an independent
+    * bounded-partition window task, at the cost of one possibly-unfilled
+    * final window per shard (the fill_frac column prices that loss).
+    * All arithmetic is exact integer division; the only double is the
+    * final fill ratio. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = 256L
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .withColumn("shard", expr("doc_id div 64"))
+    val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val packed = d
+      .withColumn("off", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .withColumn("w0", expr(s"off div $c"))
+      .withColumn("w1", expr(s"(off + n_toks - 1) div $c"))
+    packed.groupBy("source", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_toks"),
+        (max(col("w1")) + 1).as("n_windows"),
+        sum(when(col("w0") =!= col("w1"), 1L).otherwise(0L)).as("n_split"))
+      .groupBy("source")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        count(lit(1)).as("n_shards"),
+        sum(col("n_windows")).as("n_windows"),
+        sum(col("n_split")).as("n_split_docs"),
+        r4(sum(col("n_toks")).cast("double")
+          / (sum(col("n_windows")) * lit(c)).cast("double")).as("fill_frac"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_merge" -> (bpeMerge _),
     "text_bpe_train" -> (bpeTrain _),
@@ -917,9 +1035,84 @@ object Text {
     "dedup_ngram_global" -> (dedupNgramGlobal _),
     "docs_domain_mix" -> (domainMix _),
     "text_pii_mask" -> (piiMask _),
-    "text_quality_buckets" -> (qualityBuckets _))
+    "text_quality_buckets" -> (qualityBuckets _),
+    "text_repetition_stats" -> (repetitionStats _),
+    "text_pmi_bigrams" -> (pmiBigrams _),
+    "text_pack_sequences" -> (packSequences _))
 
   val oracleSql: Map[String, String] = Map(
+    "text_repetition_stats" ->
+      s"""WITH d AS (
+           SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+         s AS (
+           SELECT doc_id, source, len(toks) AS n_toks,
+             len(list_distinct(toks)) AS n_dist FROM d),
+         bg AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i+1])) AS bg
+           FROM d WHERE len(toks) >= 2),
+         mx AS (
+           SELECT doc_id, max(c) AS max_bg FROM (
+             SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1),
+         f AS (
+           SELECT s.source,
+             1.0 - CAST(n_dist AS DOUBLE) / CAST(n_toks AS DOUBLE) AS dup_frac,
+             CASE WHEN n_toks >= 2
+               THEN CAST(coalesce(max_bg, 0) * 2 AS DOUBLE) / CAST(n_toks AS DOUBLE)
+               ELSE 0.0 END AS bg_frac
+           FROM s LEFT JOIN mx USING (doc_id))
+         SELECT source, (dup_frac > 0.2 OR bg_frac > 0.2) AS flagged,
+           count(*) AS n_docs,
+           ${r4Sql("CAST(sum(CAST(" + r6Sql("dup_frac") +
+             " AS DECIMAL(16,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS avg_dup_frac,
+           ${r4Sql("CAST(sum(CAST(" + r6Sql("bg_frac") +
+             " AS DECIMAL(16,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS avg_bg_frac,
+           ${r6Sql("max(bg_frac)")} AS max_bg_frac
+         FROM f GROUP BY 1, 2 ORDER BY 1, 2""",
+    "text_pmi_bigrams" ->
+      s"""WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         uni AS (SELECT t, count(*) AS cu
+           FROM (SELECT unnest(toks) AS t FROM d) GROUP BY t),
+         tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_total FROM uni),
+         bi AS (
+           SELECT a, b, count(*) AS cab FROM (
+             SELECT unnest(list_transform(range(1, len(toks)),
+               i -> {'a': toks[i], 'b': toks[i+1]}), recursive := true)
+             FROM d WHERE len(toks) >= 2)
+           GROUP BY a, b HAVING count(*) >= 3)
+         SELECT a, b, cab, ca, cb,
+           ${r4Sql("ln(CAST(cab AS DOUBLE) * CAST(n_total AS DOUBLE)" +
+             " / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)))")} AS pmi
+         FROM bi
+           JOIN (SELECT t AS a, cu AS ca FROM uni) USING (a)
+           JOIN (SELECT t AS b, cu AS cb FROM uni) USING (b), tot
+         ORDER BY pmi DESC, a, b LIMIT 20""",
+    "text_pack_sequences" ->
+      """WITH d AS (
+           SELECT doc_id, source, doc_id // 64 AS shard,
+             len(string_split(text, ' ')) AS n_toks
+           FROM documents),
+         p AS (
+           SELECT source, shard, n_toks,
+             coalesce(sum(n_toks) OVER (PARTITION BY source, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           FROM d),
+         q AS (
+           SELECT source, shard, n_toks,
+             off // 256 AS w0, (off + n_toks - 1) // 256 AS w1 FROM p),
+         g AS (
+           SELECT source, shard, count(*) AS n_docs, sum(n_toks) AS n_toks,
+             max(w1) + 1 AS n_windows,
+             sum(CASE WHEN w0 != w1 THEN 1 ELSE 0 END) AS n_split
+           FROM q GROUP BY 1, 2)
+         SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           count(*) AS n_shards,
+           CAST(sum(n_windows) AS BIGINT) AS n_windows,
+           CAST(sum(n_split) AS BIGINT) AS n_split_docs,
+           floor((CAST(sum(n_toks) AS DOUBLE) / CAST(sum(n_windows) * 256 AS DOUBLE))
+             * 10000.0 + 0.5) / 10000.0 AS fill_frac
+         FROM g GROUP BY source ORDER BY source""",
     "dedup_ngram_global" ->
       s"""WITH s AS (
            SELECT doc_id, source,

@@ -398,4 +398,22 @@ class RelationalEdgeSpec extends AnyFunSuite with SparkFixture {
     assert(out(7L) == ((Some(6L), Some(86400L))), "24h boundary is inclusive")
     assert(out(9L) == ((None, None)), "86401s is outside the lookback")
   }
+
+  test("sessionize: the 30-min gap rule splits sessions on strictly-greater only") {
+    val dir = fixtureDir("events" -> events(
+      // user 1: gaps of exactly 30min (no split) then 30min+1s (split)
+      EventRow(1, ts("2024-01-01 00:00:00"), 1, "view", 1.0, "{}"),
+      EventRow(2, ts("2024-01-01 00:30:00"), 1, "view", 2.0, "{}"),
+      EventRow(3, ts("2024-01-01 01:00:01"), 1, "view", 4.0, "{}"),
+      // user 2: single event → one zero-duration session
+      EventRow(4, ts("2024-01-01 05:00:00"), 2, "view", 8.0, "{}")))
+    val out = Relational.eventsSessionize(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("max_sess_events"), r.getAs[Long]("total_dur_us"),
+          r.getAs[Double]("sum_value")))).toMap
+    assert(out(1L) == ((2L, 3L, 2L, 1800000000L, 7.0)),
+      "exactly-30min stays in session; 30min+1s starts a new one")
+    assert(out(2L) == ((1L, 1L, 1L, 0L, 8.0)))
+  }
 }

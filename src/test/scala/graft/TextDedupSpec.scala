@@ -316,4 +316,47 @@ class TextDedupSpec extends AnyFunSuite with SparkFixture {
     assert(wB < pB && wS > pS) // α=0.5 damps the head, boosts the tail
     assert(qB + qS <= 100000L && qB + qS >= 99998L)
   }
+
+  test("repetition stats: duplicate-token and top-bigram fractions flag the loopy doc") {
+    val dir = fixtureDir("documents" -> Seq(
+      doc(1, "spam spam spam spam"),       // dup_frac 0.75, bg 'spam spam' ×3 → 1.5
+      doc(2, "all tokens here differ ok"), // dup 0, bigrams unique → 0.4
+      doc(3, "x")                          // 1 token: both fracs 0, unflagged
+    ).toDF)
+    val out = Text.repetitionStats(spark, dir).collect()
+      .map(r => r.getAs[Boolean]("flagged") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("avg_dup_frac"),
+          r.getAs[Double]("max_bg_frac")))).toMap
+    assert(out(true) == ((2L, 0.375, 1.5)),
+      "doc1 flagged by dup_frac; doc2 by bg_frac 0.4 > 0.2")
+    assert(out(false) == ((1L, 0.0, 0.0)))
+  }
+
+  test("pmi bigrams: a always-paired bigram outranks one with promiscuous parts") {
+    // 'new york' occurs 3×, and those are the only uses of either token
+    // → PMI = ln(3N/9); 'the end' occurs 3× but 'the' appears 9× total.
+    val dir = fixtureDir("documents" -> Seq(
+      doc(1, "new york the end"), doc(2, "new york the end"),
+      doc(3, "new york the end"), doc(4, "the cat the dog the fish")).toDF)
+    val out = Text.pmiBigrams(spark, dir).collect()
+    val pmi = out.map(r => (r.getAs[String]("a"), r.getAs[String]("b")) ->
+      r.getAs[Double]("pmi")).toMap
+    assert(pmi.contains(("new", "york")) && pmi.contains(("the", "end")))
+    assert(pmi(("new", "york")) > pmi(("the", "end")))
+    val n = 18.0 // total tokens
+    assert(math.abs(pmi(("new", "york")) - math.floor(math.log(3 * n / 9) * 1e4 + 0.5) / 1e4) < 1e-9)
+  }
+
+  test("pack sequences: window count, boundary splits, and fill fraction are exact") {
+    // one source, one shard; 100+100+100 tokens, C=256 → 2 windows;
+    // doc2 spans the 256 cut (200..299), doc3 starts past it.
+    val t100 = Seq.fill(100)("w").mkString(" ")
+    val dir = fixtureDir("documents" -> Seq(
+      doc(1, t100), doc(2, t100), doc(3, t100)).toDF)
+    val r = Text.packSequences(spark, dir).collect().head
+    assert(r.getAs[Long]("n_docs") == 3L && r.getAs[Long]("n_tokens") == 300L)
+    assert(r.getAs[Long]("n_shards") == 1L && r.getAs[Long]("n_windows") == 2L)
+    assert(r.getAs[Long]("n_split_docs") == 1L, "only doc2 crosses the cut")
+    assert(r.getAs[Double]("fill_frac") == math.floor(300.0 / 512.0 * 1e4 + 0.5) / 1e4)
+  }
 }
