@@ -191,6 +191,16 @@ object Vector {
     ivfSearch(spark, dir, NProbe)
 
   private[graft] def ivfSearch(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val (assigned, cents) = ivfTrainAssign(spark, dir)
+    ivfServe(assigned, cents, nprobe, prune = false)
+  }
+
+  /** IVF BUILD: deterministic Lloyd training + corpus cell assignment.
+    * Returns (assigned corpus (vec_id, embedding, nrm, cell), centroid
+    * table (c_id, c_emb, c_nrm)) — the two artifacts a persisted index
+    * stores ([[ensureIvfIndex]]) and the in-memory path consumes
+    * directly. */
+  private def ivfTrainAssign(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import scala.jdk.CollectionConverters._
     // Materialized once: the normalized corpus feeds KmeansIters+1
     // assignment jobs — without the checkpoint every Lloyd job re-scans
@@ -249,7 +259,20 @@ object Vector {
     // assigned appears TWICE in the final plan (under the broadcast
     // probeCells subtree via probes, and as the left side of scored) —
     // checkpointing stops the corpus×16 assignment aggregate running twice.
-    val assigned = iterCheckpoint(assign(cents))
+    (iterCheckpoint(assign(cents)), cents)
+  }
+
+  /** IVF SERVE: the probe → multi-probe cell selection → scan → re-rank
+    * half, shared verbatim by the in-memory path ([[ivfSearch]]) and the
+    * persisted-index path ([[simsearchIvfIndex]]) so the two cannot
+    * drift. With `prune=true` the probed cell ids (≤ probes × nprobe
+    * longs — a bounded driver-side list, same discipline as the centroid
+    * collects) become a static `cell IN (...)` predicate: against the
+    * cell-partitioned persisted layout that is a PartitionFilter, so a
+    * serve touches only the probed cells' files — the inverted-file
+    * promise made physical. */
+  private def ivfServe(assigned: DataFrame, cents: DataFrame, nprobe: Int,
+      prune: Boolean): DataFrame = {
     val probes = assigned.orderBy("vec_id").limit(10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         col("nrm").as("p_nrm"))
@@ -270,7 +293,13 @@ object Vector {
       .withColumn("pr", row_number().over(pw))
       .filter(col("pr") <= nprobe)
       .select(col("probe_id"), col("p_emb"), col("p_nrm"), col("cell"))
-    val scored = assigned.join(broadcast(probeCells), "cell")
+    val base =
+      if (prune) {
+        val cells = probeCells.select("cell").distinct()
+          .collect().map(_.getLong(0)).sorted
+        assigned.filter(col("cell").isin(cells: _*))
+      } else assigned
+    val scored = base.join(broadcast(probeCells), "cell")
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos", r4(
         cosinePre(col("embedding"), col("p_emb"), col("nrm"), col("p_nrm"))))
@@ -592,6 +621,49 @@ object Vector {
     pqSearch(spark, dir, spark.table(codesTable), spark.read.parquet(cbPath))
   }
 
+  /** Build-count diagnostic for the persisted IVF index — spec-asserted
+    * zero rebuilds on the serve path, as with [[pqIndexBuilds]]. */
+  private[graft] val ivfIndexBuilds = new java.util.concurrent.atomic.AtomicInteger
+
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private lazy val ivfIndexRoot: java.io.File = processTempRoot("graft_ivfidx_")
+
+  /** Ensure the persisted IVF index for `dir`: the Lloyd-trained corpus
+    * assignment written as a parquet layout PARTITIONED BY cell (the
+    * inverted file — each cell is a directory, so a probe's `cell IN`
+    * predicate prunes at the file listing), centroids beside it.
+    * Write-once per input dir per JVM. */
+  private def ensureIvfIndex(spark: SparkSession, dir: String): (String, String) =
+    ivfIndexCache.computeIfAbsent(dir, { d =>
+      ivfIndexBuilds.incrementAndGet()
+      val key = dirKey(d).take(12)
+      val corpusPath = new java.io.File(ivfIndexRoot, s"cells_$key").getPath
+      val centPath = new java.io.File(ivfIndexRoot, s"cent_$key").getPath
+      val (assigned, cents) = ivfTrainAssign(spark, d)
+      assigned.write.mode("overwrite").partitionBy("cell").parquet(corpusPath)
+      cents.write.mode("overwrite").parquet(centPath)
+      (corpusPath, centPath)
+    })
+
+  /** IVF ANN with BUILD/SEARCH SEPARATION — [[simsearchIvf]]'s quantizer
+    * trained ONCE and persisted ([[ensureIvfIndex]]), then served from
+    * the cell-partitioned layout: the serve plan runs zero Lloyd jobs and
+    * scans only the probed cells' partitions (prune=true turns the probe
+    * list into a PartitionFilter — at a billion vectors a 10-probe serve
+    * reads nprobe·10/16 of the corpus files, nothing else). Floats,
+    * norms, and cell ids round-trip parquet exactly, so the serve result
+    * is bit-identical to the in-memory path and the SAME oracle gates
+    * both. The partition column comes back as its directory string — cast
+    * to long restores the schema contract. */
+  def simsearchIvfIndex(spark: SparkSession, dir: String): DataFrame = {
+    val (corpusPath, centPath) = ensureIvfIndex(spark, dir)
+    val corpus = spark.read.parquet(corpusPath)
+      .withColumn("cell", col("cell").cast("long"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    ivfServe(corpus, spark.read.parquet(centPath), NProbe, prune = true)
+  }
+
   /** Multimodal frame sampling — the video/audio access pattern over an
     * opaque binary payload: k evenly-spaced fixed-length "frames" per
     * blob, each emitted with its offset, content hash, and base64 bytes
@@ -717,7 +789,71 @@ object Vector {
       .orderBy("vec_id")
   }
 
+  /** Per-cluster matchable-member cap for [[clusterSemdedup]] — the
+    * [[graft.ops.Dedup.LshBucketCap]] discipline applied to cluster
+    * blocks: pairs are generated only among the cap lowest vec_ids of
+    * each cluster, so per-cluster pair work is ≤ cap²/2 however large
+    * the cluster. Members beyond the cap are counted but never paired —
+    * they are always KEPT (semantic dedup trades exhaustive recall on
+    * oversized clusters for bounded work; at corpus scale you raise k so
+    * clusters stay near the cap, the SemDedup paper's own regime). */
+  private[ops] val SemdedupCap = 256
+
+  /** SemDedup — cluster-then-prune semantic deduplication (Abbas et al.
+    * 2023, public): k-means clusters the corpus, then near-duplicate
+    * PAIRS are sought only within a cluster (cross-cluster pairs are by
+    * construction far). Assignment reuses [[clusterKmeansAssign]]'s
+    * broadcast-argmin (map-side partial agg, no window over the corpus);
+    * within each cluster the pair join keys on the cluster id with BOTH
+    * sides capped ([[SemdedupCap]]) — bounded work per cluster, the
+    * sweep-asserted block-cap discipline. A member is REMOVED when it
+    * has a ≥ τ cosine pair with a lower vec_id (keep-lowest, the
+    * deterministic representative rule); τ = 0.30 sits at the fixture's
+    * p99 intra-cluster cosine so the prune is selective, and applies to
+    * the r4-ROUNDED cosine so both engines cut identically. Output is
+    * one bounded accounting row per cluster. */
+  def clusterSemdedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"),
+      col("embedding").cast("array<double>").as("xd"))
+    val cents = e.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("centroid_id"), col("xd").as("cd"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("sqd", sqdist(col("xd"), col("cd")))
+      .groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"),
+        min(struct(col("sqd"), col("centroid_id"))).as("b"))
+      .select(col("vec_id"), col("embedding"),
+        col("b.centroid_id").cast("long").as("cl"))
+    val memb = assigned.groupBy("cl").agg(count(lit(1)).as("n_members"))
+    val w = Window.partitionBy("cl").orderBy("vec_id")
+    val capped = assigned.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= SemdedupCap)
+      .withColumn("nrm", l2(col("embedding")))
+    val pairs = capped.select(col("cl"), col("vec_id").as("v1"),
+        col("embedding").as("e1"), col("nrm").as("n1"))
+      .join(capped.select(col("cl"), col("vec_id").as("v2"),
+        col("embedding").as("e2"), col("nrm").as("n2")), Seq("cl"))
+      .filter(col("v1") < col("v2"))
+      .withColumn("cos", r4(cosinePre(col("e1"), col("e2"), col("n1"), col("n2"))))
+      .withColumn("dup", col("cos") >= 0.30)
+    val stats = pairs.groupBy("cl").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_pairs"),
+      countDistinct(when(col("dup"), col("v2"))).as("n_removed"),
+      min(when(col("dup"), col("v2"))).as("first_removed"),
+      max(col("cos")).as("max_cos"))
+    memb.join(stats, Seq("cl"), "left")
+      .select(col("cl"), col("n_members"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        (col("n_members") - coalesce(col("n_removed"), lit(0L))).as("n_kept"),
+        col("first_removed"), col("max_cos"))
+      .orderBy("cl")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cluster_semdedup" -> (clusterSemdedup _),
     "dedup_embedding_global" -> (dedupEmbeddingGlobal _),
     "cluster_kmeans_assign" -> (clusterKmeansAssign _),
     "simsearch_range" -> (simsearchRange _),
@@ -726,6 +862,7 @@ object Vector {
     "simsearch_lsh" -> (simsearchLsh _),
     "simsearch_lsh_multiprobe" -> (simsearchLshMultiprobe _),
     "simsearch_ivf" -> (simsearchIvf _),
+    "simsearch_ivf_index" -> (simsearchIvfIndex _),
     "simsearch_pq" -> (simsearchPq _),
     "simsearch_pq_index" -> (simsearchPqIndex _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -738,6 +875,58 @@ object Vector {
   // generated by the same loop so the two can't drift. Shared verbatim
   // by simsearch_pq and simsearch_pq_index (deterministic training ⇒
   // the persisted index replays to the identical result).
+  // Mirrors the Spark-side k-means exactly: same seeds, same KmeansIters
+  // Lloyd iterations, same r6-decimal means — generated by the same loop
+  // so the two can't drift. Shared verbatim by simsearch_ivf and
+  // simsearch_ivf_index (deterministic training + exact parquet
+  // round-trip ⇒ the persisted serve replays to the identical result).
+  private lazy val ivfOracleSqlStr: String = {
+    def dotFF(a: String, b: String) = dotFFSql(a, b)
+    def dotFD(a: String, b: String) =
+      s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
+    def normD(b: String) = s"sqrt(list_sum(list_transform($b, y -> y * y)))"
+    def assignSql(cn: String) =
+      s"""(SELECT vec_id, embedding, nrm, cell FROM (
+           SELECT e.vec_id, e.embedding, e.nrm, c.c_id AS cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${dotFD("e.embedding", "c.c_emb")} / (e.nrm * c.c_nrm) DESC, c.c_id) AS rn
+           FROM e, $cn c) WHERE rn = 1)"""
+    val iterCtes = (0 until KmeansIters).map { k =>
+      s"""a$k AS ${assignSql(s"cn$k")},
+         x$k AS (SELECT cell, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding) AS x FROM a$k),
+         m$k AS (SELECT cell, i,
+             CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+               AS DECIMAL(28,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu
+           FROM x$k GROUP BY cell, i),
+         cn${k + 1} AS (SELECT c_id, c_emb, ${normD("c_emb")} AS c_nrm FROM (
+             SELECT cell AS c_id, list(mu ORDER BY i) AS c_emb
+             FROM m$k GROUP BY cell))"""
+    }.mkString(",\n         ")
+    s"""WITH e AS (SELECT vec_id, embedding,
+             sqrt(${dotFF("embedding", "embedding")}) AS nrm FROM embeddings),
+         cn0 AS (SELECT c_id, c_emb, ${normD("c_emb")} AS c_nrm FROM (
+             SELECT vec_id AS c_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb
+             FROM e ORDER BY vec_id LIMIT 16)),
+         $iterCtes,
+         asg AS ${assignSql(s"cn$KmeansIters")},
+         p AS (SELECT vec_id AS probe_id, embedding AS p_emb, nrm AS p_nrm
+             FROM asg ORDER BY vec_id LIMIT 10),
+         pc AS (SELECT probe_id, p_emb, p_nrm, cell FROM (
+             SELECT p.probe_id, p.p_emb, p.p_nrm, c.c_id AS cell,
+               row_number() OVER (PARTITION BY p.probe_id
+                 ORDER BY ${dotFD("p.p_emb", "c.c_emb")} / (p.p_nrm * c.c_nrm) DESC, c.c_id) AS pr
+             FROM p, cn$KmeansIters c) WHERE pr <= $NProbe),
+         s AS (SELECT pc.probe_id, a.cell, a.vec_id,
+             ${r4Sql(dotFF("a.embedding", "pc.p_emb") + " / (a.nrm * pc.p_nrm)")} AS cos
+           FROM asg a JOIN pc ON a.cell = pc.cell AND a.vec_id != pc.probe_id)
+         SELECT probe_id, cell,
+           CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk,
+           vec_id AS neighbor_id, cos
+         FROM s QUALIFY rk <= 3 ORDER BY probe_id, rk"""
+  }
+
   private lazy val pqOracleSqlStr: String = {
       def dotFF(a: String, b: String) = dotFFSql(a, b)
       def sqd(a: String, b: String) =
@@ -821,6 +1010,38 @@ object Vector {
            CAST(CASE WHEN lab1 != lab2 THEN 1 ELSE 0 END AS BIGINT) AS cross_label,
            cos
          FROM pr ORDER BY cos DESC, v1, v2 LIMIT 10""",
+    "cluster_semdedup" ->
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce
+             FROM embeddings ORDER BY vec_id LIMIT 8),
+         a AS (SELECT vec_id, embedding, cl FROM (
+             SELECT e.vec_id, e.embedding, c.centroid_id AS cl,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding)+1),
+                   i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                      * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)))),
+                 c.centroid_id) AS rn
+             FROM embeddings e, c) WHERE rn = 1),
+         m AS (SELECT cl, count(*) AS n_members FROM a GROUP BY 1),
+         k AS (SELECT cl, vec_id, embedding FROM (
+             SELECT cl, vec_id, embedding,
+               row_number() OVER (PARTITION BY cl ORDER BY vec_id) AS rn
+             FROM a) WHERE rn <= $SemdedupCap),
+         p AS (SELECT a1.cl, a1.vec_id AS v1, a2.vec_id AS v2,
+             ${r4Sql(cosSql("a1.embedding", "a2.embedding"))} AS cos
+           FROM k a1 JOIN k a2 ON a1.cl = a2.cl AND a1.vec_id < a2.vec_id),
+         g AS (SELECT cl, count(*) AS n_pairs,
+             CAST(sum(CASE WHEN cos >= 0.30 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pairs,
+             count(DISTINCT CASE WHEN cos >= 0.30 THEN v2 END) AS n_removed,
+             min(CASE WHEN cos >= 0.30 THEN v2 END) AS first_removed,
+             max(cos) AS max_cos
+           FROM p GROUP BY cl)
+         SELECT m.cl, m.n_members,
+           coalesce(g.n_pairs, 0) AS n_pairs,
+           coalesce(g.n_dup_pairs, 0) AS n_dup_pairs,
+           coalesce(g.n_removed, 0) AS n_removed,
+           m.n_members - coalesce(g.n_removed, 0) AS n_kept,
+           g.first_removed, g.max_cos
+         FROM m LEFT JOIN g USING (cl) ORDER BY cl""",
     "cluster_kmeans_assign" ->
       s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce
              FROM embeddings ORDER BY vec_id LIMIT 8),
@@ -905,55 +1126,10 @@ object Vector {
     // training, so the SAME oracle gates that persistence round-trips
     // bit-identically (doubles and codes are exact through parquet).
     "simsearch_pq_index" -> pqOracleSqlStr,
-    "simsearch_ivf" -> {
-      // Mirrors the Spark-side k-means exactly: same seeds, same
-      // KmeansIters Lloyd iterations, same r6-decimal means — generated
-      // by the same loop so the two can't drift.
-      def dotFF(a: String, b: String) = dotFFSql(a, b)
-      def dotFD(a: String, b: String) =
-        s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
-      def normD(b: String) = s"sqrt(list_sum(list_transform($b, y -> y * y)))"
-      def assignSql(cn: String) =
-        s"""(SELECT vec_id, embedding, nrm, cell FROM (
-             SELECT e.vec_id, e.embedding, e.nrm, c.c_id AS cell,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY ${dotFD("e.embedding", "c.c_emb")} / (e.nrm * c.c_nrm) DESC, c.c_id) AS rn
-             FROM e, $cn c) WHERE rn = 1)"""
-      val iterCtes = (0 until KmeansIters).map { k =>
-        s"""a$k AS ${assignSql(s"cn$k")},
-         x$k AS (SELECT cell, generate_subscripts(embedding, 1) AS i,
-             unnest(embedding) AS x FROM a$k),
-         m$k AS (SELECT cell, i,
-             CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
-               AS DECIMAL(28,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu
-           FROM x$k GROUP BY cell, i),
-         cn${k + 1} AS (SELECT c_id, c_emb, ${normD("c_emb")} AS c_nrm FROM (
-             SELECT cell AS c_id, list(mu ORDER BY i) AS c_emb
-             FROM m$k GROUP BY cell))"""
-      }.mkString(",\n         ")
-      s"""WITH e AS (SELECT vec_id, embedding,
-             sqrt(${dotFF("embedding", "embedding")}) AS nrm FROM embeddings),
-         cn0 AS (SELECT c_id, c_emb, ${normD("c_emb")} AS c_nrm FROM (
-             SELECT vec_id AS c_id,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb
-             FROM e ORDER BY vec_id LIMIT 16)),
-         $iterCtes,
-         asg AS ${assignSql(s"cn$KmeansIters")},
-         p AS (SELECT vec_id AS probe_id, embedding AS p_emb, nrm AS p_nrm
-             FROM asg ORDER BY vec_id LIMIT 10),
-         pc AS (SELECT probe_id, p_emb, p_nrm, cell FROM (
-             SELECT p.probe_id, p.p_emb, p.p_nrm, c.c_id AS cell,
-               row_number() OVER (PARTITION BY p.probe_id
-                 ORDER BY ${dotFD("p.p_emb", "c.c_emb")} / (p.p_nrm * c.c_nrm) DESC, c.c_id) AS pr
-             FROM p, cn$KmeansIters c) WHERE pr <= $NProbe),
-         s AS (SELECT pc.probe_id, a.cell, a.vec_id,
-             ${r4Sql(dotFF("a.embedding", "pc.p_emb") + " / (a.nrm * pc.p_nrm)")} AS cos
-           FROM asg a JOIN pc ON a.cell = pc.cell AND a.vec_id != pc.probe_id)
-         SELECT probe_id, cell,
-           CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk,
-           vec_id AS neighbor_id, cos
-         FROM s QUALIFY rk <= 3 ORDER BY probe_id, rk"""
-    },
+    "simsearch_ivf" -> ivfOracleSqlStr,
+    // Same serve math off the persisted cell layout; parquet round-trips
+    // floats/norms/cells exactly, so one oracle gates both paths.
+    "simsearch_ivf_index" -> ivfOracleSqlStr,
     "dedup_embedding" ->
       s"""WITH bk AS (SELECT vec_id, label, embedding, $srpBucketSql AS bucket
              FROM embeddings),

@@ -195,7 +195,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
   test("sweep: every join keyed solely on a low-cardinality blocking key is block-size-capped") {
     // The third 100 TB-killer, generalized from round 3's two `weak`
     // marks: a pair join whose ONLY equi keys are designated blocking
-    // columns (`source` ~20 values, `label` 10 values) emits |block|²
+    // columns (`source` ~20 values, `label` 10 values, semdedup's
+    // cluster id `cl` 8 values) emits |block|²
     // rows per block — fine at sf0.1, a never-finishing task at a 100 TB
     // block. Such a join is allowed only when BOTH inputs pass through
     // the deterministic block-size-cap discipline, which materializes as
@@ -214,7 +215,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
               case f: org.apache.spark.sql.execution.FilterExec
                   if f.condition.references.exists(_.name == "rn") => f
             }.nonEmpty
-          if (keys.subsetOf(Set("source", "label")) &&
+          if (keys.subsetOf(Set("source", "label", "cl")) &&
               !(capped(j.left) && capped(j.right)))
             Some(s"$name: uncapped join keyed only on ${keys.mkString(",")}")
           else None
@@ -241,6 +242,27 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val fromIndex = df.collect().toSeq
     val inMemory = Vector.simsearchPq(spark, dir).collect().toSeq
     assert(fromIndex == inMemory, "persisted-index result drifted from in-memory PQ")
+  }
+
+  test("simsearch_ivf_index: serve retrains nothing and partition-prunes to the probed cells") {
+    Vector.simsearchIvfIndex(spark, dir).collect()
+    val builds = Vector.ivfIndexBuilds.get
+    val df = Vector.simsearchIvfIndex(spark, dir)
+    assert(Vector.ivfIndexBuilds.get == builds,
+      "second construction re-entered the index build (retraining)")
+    val p = plan(df)
+    assert(p.contains("cells_"),
+      s"serve does not scan the persisted cell-partitioned corpus:\n$p")
+    // The probed-cell IN list must reach the scan as a PartitionFilter —
+    // the inverted-file promise: a serve lists only the probed cells'
+    // directories, so serve cost scales with nprobe/cells, not corpus size.
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters"))
+      .find(_.contains("cell")).getOrElse("")
+    assert(pf.contains("cell IN") || pf.contains("cell#"),
+      s"probed cells not pushed as PartitionFilters:\n$p")
+    val fromIndex = df.collect().toSeq
+    val inMemory = Vector.simsearchIvf(spark, dir).collect().toSeq
+    assert(fromIndex == inMemory, "persisted-index serve drifted from in-memory IVF")
   }
 
   test("cluster_kmeans_assign: centroids broadcast, argmin is a partial agg, no window") {

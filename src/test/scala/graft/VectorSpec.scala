@@ -208,4 +208,28 @@ class VectorSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Long]("n_bytes") == 3)
     assert(r.getAs[String]("content_md5") == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
   }
+
+  test("semdedup: a near-copy lands in its original's cluster and only it is removed") {
+    // ids 1–8 seed the centroids (each its own singleton cluster);
+    // id 9 ≈ id 1 (cos ≈ 0.9939 ≥ τ) joins cluster 1 and is pruned as
+    // the higher-id member; every other cluster stays an untouched
+    // singleton with zero pairs and a null first_removed.
+    val dir = fixtureDir("embeddings" -> Seq(
+      EmbRow(1, Array(1f, 0f, 0f, 0f), 0), EmbRow(2, Array(0f, 1f, 0f, 0f), 0),
+      EmbRow(3, Array(0f, 0f, 1f, 0f), 0), EmbRow(4, Array(0f, 0f, 0f, 1f), 0),
+      EmbRow(5, Array(1f, 1f, 0f, 0f), 0), EmbRow(6, Array(0f, 1f, 1f, 0f), 0),
+      EmbRow(7, Array(0f, 0f, 1f, 1f), 0), EmbRow(8, Array(1f, 0f, 0f, 1f), 0),
+      EmbRow(9, Array(0.9f, 0.1f, 0f, 0f), 0)).toDF)
+    val out = Vector.clusterSemdedup(spark, dir).collect()
+      .map(r => r.getAs[Long]("cl") -> r).toMap
+    val c1 = out(1L)
+    assert(c1.getAs[Long]("n_members") == 2 && c1.getAs[Long]("n_pairs") == 1)
+    assert(c1.getAs[Long]("n_dup_pairs") == 1 && c1.getAs[Long]("n_removed") == 1)
+    assert(c1.getAs[Long]("n_kept") == 1 && c1.getAs[Long]("first_removed") == 9L)
+    assert(math.abs(c1.getAs[Double]("max_cos") - 0.9939) < 1e-9)
+    (2L to 8L).foreach { c =>
+      assert(out(c).getAs[Long]("n_members") == 1 && out(c).getAs[Long]("n_pairs") == 0)
+      assert(out(c).getAs[Long]("n_kept") == 1 && out(c).isNullAt(out(c).fieldIndex("first_removed")))
+    }
+  }
 }
