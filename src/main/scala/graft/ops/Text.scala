@@ -894,8 +894,11 @@ object Text {
   /** Gopher-style REPETITION quality signals — the two duplicate-content
     * fractions the Gopher/MassiveText filtering rules cut on (Rae et al.
     * 2021, public): the duplicate-token fraction (1 − distinct/total) and
-    * the top-bigram token fraction (share of the doc's tokens covered by
-    * its single most-repeated adjacent bigram). Per-doc token stats are
+    * the top-bigram token fraction — 2·max_count/n_toks clamped to 1.0,
+    * since overlapping occurrences of a self-repeating bigram ("spam
+    * spam" in "spam spam spam") double-count tokens; the clamp keeps it
+    * a true ≤1 coverage fraction like Gopher's duplicate-2-gram rule.
+    * Per-doc token stats are
     * codegen'd array projections; the per-doc max-bigram count is an
     * explode → (doc_id, bigram) partial-agg → per-doc max — both
     * aggregations are keyed BY doc_id, so no bigram, however hot
@@ -920,8 +923,8 @@ object Text {
         lit(1.0) - col("n_dist").cast("double") / col("n_toks").cast("double"))
       .withColumn("bg_frac",
         when(col("n_toks") >= 2,
-          coalesce(col("max_bg"), lit(0L)).cast("double") * 2.0
-            / col("n_toks").cast("double")).otherwise(lit(0.0)))
+          least(lit(1.0), coalesce(col("max_bg"), lit(0L)).cast("double") * 2.0
+            / col("n_toks").cast("double"))).otherwise(lit(0.0)))
       .withColumn("flagged", col("dup_frac") > 0.2 || col("bg_frac") > 0.2)
     val dec = DecimalType(16, 6)
     fracs.groupBy("source", "flagged")
@@ -1058,7 +1061,8 @@ object Text {
            SELECT s.source,
              1.0 - CAST(n_dist AS DOUBLE) / CAST(n_toks AS DOUBLE) AS dup_frac,
              CASE WHEN n_toks >= 2
-               THEN CAST(coalesce(max_bg, 0) * 2 AS DOUBLE) / CAST(n_toks AS DOUBLE)
+               THEN LEAST(1.0,
+                 CAST(coalesce(max_bg, 0) * 2 AS DOUBLE) / CAST(n_toks AS DOUBLE))
                ELSE 0.0 END AS bg_frac
            FROM s LEFT JOIN mx USING (doc_id))
          SELECT source, (dup_frac > 0.2 OR bg_frac > 0.2) AS flagged,

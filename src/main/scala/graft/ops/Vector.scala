@@ -192,7 +192,7 @@ object Vector {
 
   private[graft] def ivfSearch(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val (assigned, cents) = ivfTrainAssign(spark, dir)
-    ivfServe(assigned, cents, nprobe, prune = false)
+    ivfServe(assigned, ivfProbes(assigned), cents, nprobe, prune = false)
   }
 
   /** IVF BUILD: deterministic Lloyd training + corpus cell assignment.
@@ -262,20 +262,29 @@ object Vector {
     (iterCheckpoint(assign(cents)), cents)
   }
 
+  /** The fixture's probe set: the 10 lowest-vec_id corpus rows (already
+    * normalized). Derived from the assignment ONCE — the in-memory path
+    * computes it inline; the persisted-index path writes it beside the
+    * index at build time ([[ensureIvfIndex]]) so a serve never scans the
+    * corpus to find its probes. */
+  private def ivfProbes(assigned: DataFrame): DataFrame =
+    assigned.orderBy("vec_id").limit(10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nrm").as("p_nrm"))
+
   /** IVF SERVE: the probe → multi-probe cell selection → scan → re-rank
     * half, shared verbatim by the in-memory path ([[ivfSearch]]) and the
     * persisted-index path ([[simsearchIvfIndex]]) so the two cannot
-    * drift. With `prune=true` the probed cell ids (≤ probes × nprobe
-    * longs — a bounded driver-side list, same discipline as the centroid
-    * collects) become a static `cell IN (...)` predicate: against the
-    * cell-partitioned persisted layout that is a PartitionFilter, so a
-    * serve touches only the probed cells' files — the inverted-file
-    * promise made physical. */
-  private def ivfServe(assigned: DataFrame, cents: DataFrame, nprobe: Int,
-      prune: Boolean): DataFrame = {
-    val probes = assigned.orderBy("vec_id").limit(10)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
-        col("nrm").as("p_nrm"))
+    * drift. `probes` arrives as its own bounded frame (inline for the
+    * in-memory path, the persisted probe table for the index path — so
+    * probe selection never scans the corpus). With `prune=true` the
+    * probed cell ids (≤ probes × nprobe longs — a bounded driver-side
+    * list, same discipline as the centroid collects) become a static
+    * `cell IN (...)` predicate: against the cell-partitioned persisted
+    * layout that is a PartitionFilter, so a serve touches only the
+    * probed cells' files — the inverted-file promise made physical. */
+  private def ivfServe(assigned: DataFrame, probes: DataFrame, cents: DataFrame,
+      nprobe: Int, prune: Boolean): DataFrame = {
     // Multi-probe cell selection: rank the k centroids per probe by
     // probe-to-centroid cosine (same argmax + (cos desc, c_id) tiebreak as
     // assign(), so nprobe=1 reproduces the probe's own cell exactly) and
@@ -626,42 +635,49 @@ object Vector {
   private[graft] val ivfIndexBuilds = new java.util.concurrent.atomic.AtomicInteger
 
   private val ivfIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
   private lazy val ivfIndexRoot: java.io.File = processTempRoot("graft_ivfidx_")
 
   /** Ensure the persisted IVF index for `dir`: the Lloyd-trained corpus
     * assignment written as a parquet layout PARTITIONED BY cell (the
     * inverted file — each cell is a directory, so a probe's `cell IN`
-    * predicate prunes at the file listing), centroids beside it.
+    * predicate prunes at the file listing), centroids beside it, and the
+    * probe set beside those — probe selection at serve time reads this
+    * 10-row table, NOT the corpus, so the only corpus scan in a serve
+    * plan is the partition-pruned scoring scan.
     * Write-once per input dir per JVM. */
-  private def ensureIvfIndex(spark: SparkSession, dir: String): (String, String) =
+  private def ensureIvfIndex(spark: SparkSession, dir: String): (String, String, String) =
     ivfIndexCache.computeIfAbsent(dir, { d =>
       ivfIndexBuilds.incrementAndGet()
       val key = dirKey(d).take(12)
       val corpusPath = new java.io.File(ivfIndexRoot, s"cells_$key").getPath
       val centPath = new java.io.File(ivfIndexRoot, s"cent_$key").getPath
+      val probePath = new java.io.File(ivfIndexRoot, s"probes_$key").getPath
       val (assigned, cents) = ivfTrainAssign(spark, d)
       assigned.write.mode("overwrite").partitionBy("cell").parquet(corpusPath)
       cents.write.mode("overwrite").parquet(centPath)
-      (corpusPath, centPath)
+      ivfProbes(assigned).write.mode("overwrite").parquet(probePath)
+      (corpusPath, centPath, probePath)
     })
 
   /** IVF ANN with BUILD/SEARCH SEPARATION — [[simsearchIvf]]'s quantizer
     * trained ONCE and persisted ([[ensureIvfIndex]]), then served from
-    * the cell-partitioned layout: the serve plan runs zero Lloyd jobs and
-    * scans only the probed cells' partitions (prune=true turns the probe
-    * list into a PartitionFilter — at a billion vectors a 10-probe serve
-    * reads nprobe·10/16 of the corpus files, nothing else). Floats,
-    * norms, and cell ids round-trip parquet exactly, so the serve result
-    * is bit-identical to the in-memory path and the SAME oracle gates
-    * both. The partition column comes back as its directory string — cast
-    * to long restores the schema contract. */
+    * the cell-partitioned layout: the serve plan runs zero Lloyd jobs,
+    * reads its probes from the 10-row persisted probe table (never the
+    * corpus), and scans only the probed cells' partitions (prune=true
+    * turns the probe list into a PartitionFilter — at a billion vectors
+    * a 10-probe serve reads nprobe·10/16 of the corpus files, nothing
+    * else). Floats, norms, and cell ids round-trip parquet exactly, so
+    * the serve result is bit-identical to the in-memory path and the
+    * SAME oracle gates both. The partition column comes back as its
+    * directory string — cast to long restores the schema contract. */
   def simsearchIvfIndex(spark: SparkSession, dir: String): DataFrame = {
-    val (corpusPath, centPath) = ensureIvfIndex(spark, dir)
+    val (corpusPath, centPath, probePath) = ensureIvfIndex(spark, dir)
     val corpus = spark.read.parquet(corpusPath)
       .withColumn("cell", col("cell").cast("long"))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
-    ivfServe(corpus, spark.read.parquet(centPath), NProbe, prune = true)
+    ivfServe(corpus, spark.read.parquet(probePath),
+      spark.read.parquet(centPath), NProbe, prune = true)
   }
 
   /** Multimodal frame sampling — the video/audio access pattern over an

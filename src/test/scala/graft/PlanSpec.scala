@@ -198,10 +198,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // columns (`source` ~20 values, `label` 10 values, semdedup's
     // cluster id `cl` 8 values) emits |block|²
     // rows per block — fine at sf0.1, a never-finishing task at a 100 TB
-    // block. Such a join is allowed only when BOTH inputs pass through
-    // the deterministic block-size-cap discipline, which materializes as
-    // a Filter on a row_number attribute named `rn` below the join
-    // (NearJacBlockCap / LevBudgetPerSource). Joins with any
+    // block. Such a join is allowed only when BOTH inputs are bounded:
+    // either through the deterministic block-size-cap discipline, which
+    // materializes as a Filter on a row_number attribute named `rn`
+    // below the join (NearJacBlockCap / LevBudgetPerSource), or as an
+    // AGGREGATE grouped on the join keys — an aggregated side carries at
+    // most one row per key value, so the join output is bounded by the
+    // key's cardinality, not |block|² (semdedup's per-cluster accounting
+    // join of two per-cl aggregates is this shape). Joins with any
     // high-cardinality key (bucket, bsig, shingle, doc_id…) are exempt —
     // their output is bounded by the signature collision structure.
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -210,13 +214,17 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         case j: org.apache.spark.sql.execution.joins.BaseJoinExec
             if j.leftKeys.nonEmpty =>
           val keys = j.leftKeys.flatMap(_.references.map(_.name.toLowerCase)).toSet
-          def capped(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+          def bounded(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
             p.collectFirst {
               case f: org.apache.spark.sql.execution.FilterExec
                   if f.condition.references.exists(_.name == "rn") => f
+              case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+                  if a.groupingExpressions.nonEmpty && keys.subsetOf(
+                    a.groupingExpressions
+                      .flatMap(_.references.map(_.name.toLowerCase)).toSet) => a
             }.nonEmpty
           if (keys.subsetOf(Set("source", "label", "cl")) &&
-              !(capped(j.left) && capped(j.right)))
+              !(bounded(j.left) && bounded(j.right)))
             Some(s"$name: uncapped join keyed only on ${keys.mkString(",")}")
           else None
       }.flatten
@@ -260,6 +268,11 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       .find(_.contains("cell")).getOrElse("")
     assert(pf.contains("cell IN") || pf.contains("cell#"),
       s"probed cells not pushed as PartitionFilters:\n$p")
+    // Probe selection must read the 10-row persisted probe table, not
+    // rescan the corpus: the only cells_ scan in a serve plan is the
+    // partition-pruned scoring scan.
+    assert(p.contains("probes_"),
+      s"probe selection does not read the persisted probe table:\n$p")
     val fromIndex = df.collect().toSeq
     val inMemory = Vector.simsearchIvf(spark, dir).collect().toSeq
     assert(fromIndex == inMemory, "persisted-index serve drifted from in-memory IVF")

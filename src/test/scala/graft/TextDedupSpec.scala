@@ -319,7 +319,7 @@ class TextDedupSpec extends AnyFunSuite with SparkFixture {
 
   test("repetition stats: duplicate-token and top-bigram fractions flag the loopy doc") {
     val dir = fixtureDir("documents" -> Seq(
-      doc(1, "spam spam spam spam"),       // dup_frac 0.75, bg 'spam spam' ×3 → 1.5
+      doc(1, "spam spam spam spam"),       // dup_frac 0.75, bg 'spam spam' ×3 → 6/4 clamped to 1.0
       doc(2, "all tokens here differ ok"), // dup 0, bigrams unique → 0.4
       doc(3, "x")                          // 1 token: both fracs 0, unflagged
     ).toDF)
@@ -327,7 +327,7 @@ class TextDedupSpec extends AnyFunSuite with SparkFixture {
       .map(r => r.getAs[Boolean]("flagged") ->
         ((r.getAs[Long]("n_docs"), r.getAs[Double]("avg_dup_frac"),
           r.getAs[Double]("max_bg_frac")))).toMap
-    assert(out(true) == ((2L, 0.375, 1.5)),
+    assert(out(true) == ((2L, 0.375, 1.0)),
       "doc1 flagged by dup_frac; doc2 by bg_frac 0.4 > 0.2")
     assert(out(false) == ((1L, 0.0, 0.0)))
   }
