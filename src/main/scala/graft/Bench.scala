@@ -76,6 +76,27 @@ object Bench {
       try w.println(line) finally w.close()
     } catch { case _: Throwable => () }
     println(line)
+    // The consumer of this output captures only the LAST ~2000 chars of
+    // stdout. The full line above is ~3.7 KB at 140+ queries, so its head
+    // (the {"metric" opener) falls outside the capture window and the line
+    // never parses. Print a SECOND, compact line LAST: same headline keys,
+    // but "queries" holds only the slowest entries that fit a ~1400-char
+    // budget (the sub-0.2 s entries carry no signal; the complete map is
+    // in bench_last.json, named in "queries_full"). Anything parsing the
+    // tail line-by-line finds this one intact.
+    val slowestFirst = results.toSeq.sortBy(-_._2)
+    val budget = 1400
+    val kept = new scala.collection.mutable.ArrayBuffer[(String, Double)]
+    var used = 0
+    slowestFirst.foreach { case (k, v) =>
+      val cost = k.length + 10
+      if (used + cost <= budget) { kept += ((k, v)); used += cost }
+    }
+    val qsCompact = kept.map { case (k, v) => "\"" + k + "\":" + num(v) }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","iters":$iters,"n_queries":${results.size},"n_reported":${kept.size},"queries_full":"bench_last.json","total_sec":${num(total)}}"""
+    println(compact)
     spark.stop()
   }
 }

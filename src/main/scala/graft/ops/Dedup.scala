@@ -517,6 +517,60 @@ object Dedup {
       .orderBy("source")
   }
 
+  private[ops] val PrIters = 4
+
+  /** PageRank over the cross-source LSH candidate graph — graph-analytic
+    * centrality beyond [[ccGroups]]' connectivity: within a near-dup
+    * component, high-rank docs are the "canonical" copies many templates
+    * point at (useful as a keep-best signal that sees STRUCTURE, not
+    * just per-doc quality). Edges are the [[candidateStarEdgesGlobal]]
+    * star set (deduped, then symmetrized), so every node has in- and
+    * out-degree ≥ 1 — no dangling-mass term needed. [[PrIters]] power
+    * iterations at d = 0.85, each: rank/degree contributions r6-quantized
+    * per edge, summed through exact DECIMAL (order-independent), damped,
+    * r6 again — so the oracle's replay is bit-identical. Per round: one
+    * hash shuffle of the edge set (join on src) + one on dst (the agg) —
+    * the textbook distributed PageRank cost, O(log-ish) memory per node;
+    * rounds chain through [[Util.ChainCheckpoint]] (superseded round
+    * files reclaimed, the CC discipline). Output: top 20 by final rank. */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    val base = d.select(col("doc_id"), col("source"),
+      array_distinct(split(Text.normTextExpr, " ")).as("toks"))
+    val star = candidateStarEdgesGlobal(base, "s").distinct()
+    val chain = new Util.ChainCheckpoint
+    // edges is reused by deg, nodes, and EVERY round — plain
+    // iterCheckpoint (reclaimed by the shutdown sweep), NOT the chain,
+    // whose supersede-delete would drop the files round 1 still reads.
+    val edges = star.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(star.select(col("d2").as("src"), col("d1").as("dst")))
+      .transform(iterCheckpoint)
+    val deg = edges.groupBy("src")
+      .agg(count(lit(1)).cast("double").as("deg"))
+    val nodes = edges.select(col("src").as("doc_id")).distinct()
+    val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
+    var ranks = nodes.crossJoin(broadcast(nn))
+      .select(col("doc_id"), r6(lit(1.0) / col("n")).as("r"))
+      .transform(chain(_))
+    for (_ <- 1 to PrIters) {
+      ranks = edges
+        .join(deg, "src")
+        .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst"),
+          r6(col("r") / col("deg")).cast(DecimalType(28, 6)).as("c"))
+        .groupBy("dst")
+        .agg(sum(col("c")).cast("double").as("s"))
+        .crossJoin(broadcast(nn))
+        .select(col("dst").as("doc_id"),
+          r6(lit(0.15) / col("n") + lit(0.85) * col("s")).as("r"))
+        .transform(chain(_))
+    }
+    ranks.join(deg.withColumnRenamed("src", "doc_id"), "doc_id")
+      .select(col("doc_id"), col("deg").cast("long").as("degree"),
+        col("r").as("pr"))
+      .orderBy(desc("pr"), col("doc_id")).limit(20)
+  }
+
   /** Incremental dedup of a NEW BATCH against a STANDING corpus — the
     * reference's A7 seen-set check (`src/bak_unload.ps1:57-66`) at
     * document granularity, and the shape every recurring ingest needs:
@@ -541,12 +595,24 @@ object Dedup {
     * including the QUALIFY-capped standing buckets. */
   def incremental(spark: SparkSession, dir: String): DataFrame = {
     val d = table(spark, dir, "documents")
-    def withToks(df: DataFrame): DataFrame = df.select(
-      col("doc_id"), col("source"),
-      md5(col("text").cast("binary")).as("h"),
-      array_distinct(split(col("text"), " ")).as("toks"))
-    val sBase = withToks(d.filter(col("doc_id") % 7 =!= 0))
-    val bBase = withToks(d.filter(col("doc_id") % 7 === 0))
+    val sBase = withHashToks(d.filter(col("doc_id") % 7 =!= 0))
+    val bBase = withHashToks(d.filter(col("doc_id") % 7 === 0))
+    val (sHash, sBuckets, sSets) = standingSignatures(sBase)
+    probeStanding(bBase, sHash, sBuckets, sSets)
+  }
+
+  private def withHashToks(df: DataFrame): DataFrame = df.select(
+    col("doc_id"), col("source"),
+    md5(col("text").cast("binary")).as("h"),
+    array_distinct(split(col("text"), " ")).as("toks"))
+
+  /** The standing corpus's THREE signature artifacts — everything a
+    * batch probe ever touches (the standing docs themselves are never
+    * rescanned): the content-hash seen-set (exact tier), the
+    * [[LshBucketCap]]-capped cross-source LSH band buckets (near-tier
+    * candidates), and the per-doc token sets (near-tier verification). */
+  private def standingSignatures(
+      sBase: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     // exact tier: min standing doc_id per content hash
     val sHash = sBase.groupBy("h").agg(min(col("doc_id")).as("exact_id"))
     // near tier: standing buckets are state-bounded (MinKLongs), keyed
@@ -558,13 +624,21 @@ object Dedup {
     val sBuckets = bandRows(sBase.select("doc_id", "source", "toks"), "s")
       .groupBy("band", "bsig")
       .agg(minK(col("doc_id")).as("ds"))
+    val sSets = sBase.select(col("doc_id").as("s_id"), col("toks").as("s_toks"))
+    (sHash, sBuckets, sSets)
+  }
+
+  /** The probe half shared verbatim by [[incremental]] (signatures
+    * inline) and [[indexProbe]] (signatures read from the persisted
+    * index) — the two cannot drift, so the one oracle gates both. */
+  private def probeStanding(bBase: DataFrame, sHash: DataFrame,
+      sBuckets: DataFrame, sSets: DataFrame): DataFrame = {
     val bBands = bandRows(bBase.select("doc_id", "source", "toks"), "s")
       .select(col("doc_id").as("b_id"), col("band"), col("bsig"))
     val cand = bBands.join(sBuckets, Seq("band", "bsig"))
       .select(col("b_id"), explode(col("ds")).as("s_id"))
       .distinct()
     val bSets = bBase.select(col("doc_id").as("b_id"), col("toks").as("b_toks"))
-    val sSets = sBase.select(col("doc_id").as("s_id"), col("toks").as("s_toks"))
     val scored = cand.join(bSets, "b_id").join(sSets, "s_id")
       .select(col("b_id"), col("s_id"),
         size(array_intersect(col("b_toks"), col("s_toks"))).as("inter"),
@@ -588,6 +662,55 @@ object Dedup {
         r6(when(col("exact_id").isNotNull, lit(1.0))
           .otherwise(coalesce(col("bj"), lit(0.0)))).as("best_jac"))
       .orderBy("doc_id")
+  }
+
+  /** Build-count diagnostic for the persisted dedup index — spec-asserted
+    * zero rebuilds on the probe path (the PQ/IVF index discipline). */
+  private[graft] val dedupIndexBuilds = new java.util.concurrent.atomic.AtomicInteger
+
+  private val dedupIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+  private lazy val dedupIndexRoot: java.io.File = processTempRoot("graft_dedupidx_")
+
+  /** Ensure the persisted standing-corpus dedup index for `dir`: the
+    * three signature artifacts of [[standingSignatures]] written once as
+    * parquet. At 100 TB this is the seen-set the reference's A7 check
+    * keeps in its state file (`src/bak_unload.ps1:57-66`), promoted to a
+    * persisted document-granularity index: each day's batch probes it
+    * without touching standing documents, and the engine never re-signs
+    * the standing corpus. Write-once per input dir per JVM. */
+  private def ensureDedupIndex(spark: SparkSession, dir: String): (String, String, String) =
+    dedupIndexCache.computeIfAbsent(dir, { d =>
+      dedupIndexBuilds.incrementAndGet()
+      val key = dirKey(d).take(12)
+      val hashPath = new java.io.File(dedupIndexRoot, s"shash_$key").getPath
+      val bktPath = new java.io.File(dedupIndexRoot, s"sbkt_$key").getPath
+      val setPath = new java.io.File(dedupIndexRoot, s"ssets_$key").getPath
+      val sBase = withHashToks(
+        table(spark, d, "documents").filter(col("doc_id") % 7 =!= 0))
+      val (sHash, sBuckets, sSets) = standingSignatures(sBase)
+      sHash.write.mode("overwrite").parquet(hashPath)
+      sBuckets.write.mode("overwrite").parquet(bktPath)
+      sSets.write.mode("overwrite").parquet(setPath)
+      (hashPath, bktPath, setPath)
+    })
+
+  /** Incremental dedup served from the PERSISTED standing index —
+    * [[incremental]]'s build/search separation: signatures are built and
+    * written once ([[ensureDedupIndex]]); a batch probe reads only the
+    * three signature tables (hash seen-set, capped band buckets, token
+    * sets) and the batch slice. The probe plan runs zero
+    * standing-signature jobs. Hashes, band signatures, and token arrays
+    * round-trip parquet exactly, so the probe result is bit-identical to
+    * the inline path and the SAME oracle gates both. */
+  def indexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val (hashPath, bktPath, setPath) = ensureDedupIndex(spark, dir)
+    val bBase = withHashToks(
+      table(spark, dir, "documents").filter(col("doc_id") % 7 === 0))
+    probeStanding(bBase,
+      spark.read.parquet(hashPath),
+      spark.read.parquet(bktPath),
+      spark.read.parquet(setPath))
   }
 
   /** Fuzzy-match verification over the LSH candidate pairs: Levenshtein
@@ -656,6 +779,8 @@ object Dedup {
     "dedup_minhash_shingle" -> (minhashShingle _),
     "dedup_simhash" -> (simhash _),
     "dedup_cc_groups" -> (ccGroups _),
+    "graph_pagerank" -> (graphPagerank _),
+    "dedup_index_probe" -> (indexProbe _),
     "dedup_edit_distance" -> (editDistance _))
 
   private def minsSql(prefix: String) =
@@ -691,7 +816,113 @@ object Dedup {
   private val bitsSql = (0 until 16).map(j =>
     s"CASE WHEN s$j > 0 THEN '1' ELSE '0' END").mkString("concat(", ", ", ")")
 
+  // Replays incremental dedup end-to-end: the %7 standing/batch split,
+  // the QUALIFY-capped standing buckets, both tiers. Deterministic
+  // signatures ⇒ the persisted-index probe replays to the identical
+  // result, so this ONE string gates dedup_incremental AND
+  // dedup_index_probe (the pq/ivf index-twin discipline).
+  private lazy val incrementalOracleSqlStr: String =
+    s"""WITH dd AS (
+           SELECT doc_id, source, text, md5(text) AS h,
+             list_distinct(string_split(text, ' ')) AS toks
+           FROM documents),
+         tok AS MATERIALIZED (SELECT doc_id, source, unnest(toks) AS token FROM dd),
+         sig AS MATERIALIZED (
+           SELECT doc_id, source,
+             $minhashMinsSql
+           FROM tok GROUP BY doc_id, source),
+         band0 AS MATERIALIZED (
+           $bandSelectsSql),
+         sband AS MATERIALIZED (
+           SELECT doc_id, band, bsig FROM band0 WHERE doc_id % 7 <> 0
+           QUALIFY row_number() OVER (
+             PARTITION BY band, bsig ORDER BY doc_id) <= $LshBucketCap),
+         bband AS MATERIALIZED (
+           SELECT doc_id, band, bsig FROM band0 WHERE doc_id % 7 = 0),
+         sh AS (
+           SELECT h, min(doc_id) AS exact_id FROM dd WHERE doc_id % 7 <> 0 GROUP BY h),
+         cand AS MATERIALIZED (
+           SELECT DISTINCT b.doc_id AS b_id, s.doc_id AS s_id
+           FROM bband b JOIN sband s ON b.band = s.band AND b.bsig = s.bsig),
+         sc AS (
+           SELECT c.b_id, c.s_id,
+             len(list_intersect(bb.toks, sb.toks)) AS inter,
+             len(bb.toks) AS nb, len(sb.toks) AS ns
+           FROM cand c JOIN dd bb ON bb.doc_id = c.b_id
+                       JOIN dd sb ON sb.doc_id = c.s_id),
+         j AS (
+           SELECT b_id, s_id,
+             CAST(inter AS DOUBLE) / CAST(nb + ns - inter AS DOUBLE) AS jac
+           FROM sc),
+         best AS (
+           SELECT b_id, s_id AS near_id, jac AS bj FROM (
+             SELECT *, row_number() OVER (PARTITION BY b_id ORDER BY jac DESC, s_id) AS rn
+             FROM j)
+           WHERE rn = 1)
+         SELECT bb.doc_id, bb.source,
+           CASE WHEN sh.exact_id IS NOT NULL THEN 'exact'
+                WHEN best.bj >= 0.9 THEN 'near'
+                ELSE 'unique' END AS status,
+           CAST(CASE WHEN sh.exact_id IS NOT NULL THEN sh.exact_id
+                WHEN best.bj >= 0.9 THEN best.near_id
+                ELSE -1 END AS BIGINT) AS match_id,
+           ${r6Sql("CASE WHEN sh.exact_id IS NOT NULL THEN 1.0 ELSE coalesce(best.bj, 0.0) END")} AS best_jac
+         FROM dd bb
+         LEFT JOIN sh ON bb.h = sh.h
+         LEFT JOIN best ON best.b_id = bb.doc_id
+         WHERE bb.doc_id % 7 = 0
+         ORDER BY bb.doc_id"""
+
+  // PageRank iteration CTEs — generated by the same loop count as the
+  // Spark side (PrIters), each round replaying the identical r6-quantize
+  // → exact-decimal-sum → damp → r6 arithmetic.
+  private val prIterCtes = (1 to PrIters).map { k =>
+    s"""p$k AS MATERIALIZED (
+           SELECT e.dst AS doc_id,
+             ${r6Sql("0.15 / (SELECT n FROM nn) + 0.85 * CAST(sum(CAST(" +
+               r6Sql("p.r / d.deg") + " AS DECIMAL(28,6))) AS DOUBLE)")} AS r
+           FROM e
+           JOIN p${k - 1} p ON p.doc_id = e.src
+           JOIN deg d ON d.src = e.src
+           GROUP BY e.dst)"""
+  }.mkString(",\n         ")
+
   val oracleSql: Map[String, String] = Map(
+    "graph_pagerank" ->
+      s"""WITH nd AS MATERIALIZED (
+           SELECT doc_id, source,
+             array_to_string(list_filter(
+               string_split_regex(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +'),
+               t -> t NOT IN ('join','filter','sort','merge','window')), ' ') AS ntext
+           FROM documents),
+         tok AS MATERIALIZED (
+           SELECT doc_id, source, unnest(list_distinct(string_split(ntext, ' '))) AS token
+           FROM nd),
+         sig AS MATERIALIZED (
+           SELECT doc_id, source,
+             $minhashMinsSql
+           FROM tok GROUP BY doc_id, source),
+         $bandCteGlobalSql,
+         broot AS MATERIALIZED (
+           SELECT band, bsig, min(doc_id) AS mn
+           FROM band GROUP BY band, bsig),
+         star AS MATERIALIZED (
+           SELECT DISTINCT b.doc_id AS d1, br.mn AS d2
+           FROM band b JOIN broot br
+             ON b.band = br.band AND b.bsig = br.bsig
+           WHERE b.doc_id <> br.mn),
+         e AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM star
+               UNION SELECT d2, d1 FROM star),
+         deg AS MATERIALIZED (
+           SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+         nodes AS (SELECT DISTINCT src AS doc_id FROM e),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         p0 AS MATERIALIZED (
+           SELECT doc_id, ${r6Sql("1.0 / (SELECT n FROM nn)")} AS r FROM nodes),
+         $prIterCtes
+         SELECT p.doc_id, CAST(d.deg AS BIGINT) AS degree, p.r AS pr
+         FROM p$PrIters p JOIN deg d ON d.src = p.doc_id
+         ORDER BY pr DESC, doc_id LIMIT 20""",
     "dedup_pipeline_e2e" ->
       s"""WITH RECURSIVE nd AS MATERIALIZED (
            SELECT doc_id, source,
@@ -813,57 +1044,8 @@ object Dedup {
            md5(coalesce(array_to_string(list_sort(
              list(doc_id) FILTER (WHERE doc_id = keep_id)), ','), '')) AS survivors_md5
          FROM per GROUP BY source ORDER BY source""",
-    "dedup_incremental" ->
-      s"""WITH dd AS (
-           SELECT doc_id, source, text, md5(text) AS h,
-             list_distinct(string_split(text, ' ')) AS toks
-           FROM documents),
-         tok AS MATERIALIZED (SELECT doc_id, source, unnest(toks) AS token FROM dd),
-         sig AS MATERIALIZED (
-           SELECT doc_id, source,
-             $minhashMinsSql
-           FROM tok GROUP BY doc_id, source),
-         band0 AS MATERIALIZED (
-           $bandSelectsSql),
-         sband AS MATERIALIZED (
-           SELECT doc_id, band, bsig FROM band0 WHERE doc_id % 7 <> 0
-           QUALIFY row_number() OVER (
-             PARTITION BY band, bsig ORDER BY doc_id) <= $LshBucketCap),
-         bband AS MATERIALIZED (
-           SELECT doc_id, band, bsig FROM band0 WHERE doc_id % 7 = 0),
-         sh AS (
-           SELECT h, min(doc_id) AS exact_id FROM dd WHERE doc_id % 7 <> 0 GROUP BY h),
-         cand AS MATERIALIZED (
-           SELECT DISTINCT b.doc_id AS b_id, s.doc_id AS s_id
-           FROM bband b JOIN sband s ON b.band = s.band AND b.bsig = s.bsig),
-         sc AS (
-           SELECT c.b_id, c.s_id,
-             len(list_intersect(bb.toks, sb.toks)) AS inter,
-             len(bb.toks) AS nb, len(sb.toks) AS ns
-           FROM cand c JOIN dd bb ON bb.doc_id = c.b_id
-                       JOIN dd sb ON sb.doc_id = c.s_id),
-         j AS (
-           SELECT b_id, s_id,
-             CAST(inter AS DOUBLE) / CAST(nb + ns - inter AS DOUBLE) AS jac
-           FROM sc),
-         best AS (
-           SELECT b_id, s_id AS near_id, jac AS bj FROM (
-             SELECT *, row_number() OVER (PARTITION BY b_id ORDER BY jac DESC, s_id) AS rn
-             FROM j)
-           WHERE rn = 1)
-         SELECT bb.doc_id, bb.source,
-           CASE WHEN sh.exact_id IS NOT NULL THEN 'exact'
-                WHEN best.bj >= 0.9 THEN 'near'
-                ELSE 'unique' END AS status,
-           CAST(CASE WHEN sh.exact_id IS NOT NULL THEN sh.exact_id
-                WHEN best.bj >= 0.9 THEN best.near_id
-                ELSE -1 END AS BIGINT) AS match_id,
-           ${r6Sql("CASE WHEN sh.exact_id IS NOT NULL THEN 1.0 ELSE coalesce(best.bj, 0.0) END")} AS best_jac
-         FROM dd bb
-         LEFT JOIN sh ON bb.h = sh.h
-         LEFT JOIN best ON best.b_id = bb.doc_id
-         WHERE bb.doc_id % 7 = 0
-         ORDER BY bb.doc_id""",
+    "dedup_incremental" -> incrementalOracleSqlStr,
+    "dedup_index_probe" -> incrementalOracleSqlStr,
     "dedup_minhash_lsh" ->
       s"""WITH tok AS MATERIALIZED (
            SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS token

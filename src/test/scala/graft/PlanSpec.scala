@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.{PipelineOps, Relational, StreamingModel, Vector}
+import graft.ops.{Dedup, PipelineOps, Relational, StreamingModel, Vector}
 
 /** Physical-plan assertions on the real sf0.001 tables: the properties
   * that decide whether a plan survives a 100×–1000× scale-up. Locking them
@@ -276,6 +276,25 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val fromIndex = df.collect().toSeq
     val inMemory = Vector.simsearchIvf(spark, dir).collect().toSeq
     assert(fromIndex == inMemory, "persisted-index serve drifted from in-memory IVF")
+  }
+
+  test("dedup_index_probe: probe retrains nothing and reads the persisted signature tables") {
+    // Build once (three signature artifacts), then probing must re-enter
+    // the build zero times and the probe plan must scan the persisted
+    // hash/bucket/set tables — the standing corpus is never re-signed.
+    Dedup.indexProbe(spark, dir).collect()
+    val builds = Dedup.dedupIndexBuilds.get
+    val df = Dedup.indexProbe(spark, dir)
+    assert(Dedup.dedupIndexBuilds.get == builds,
+      "second construction re-entered the index build (re-signing)")
+    val p = plan(df)
+    Seq("shash_", "sbkt_", "ssets_").foreach { t =>
+      assert(p.contains(t), s"probe does not scan persisted $t table:\n$p")
+    }
+    // persisted probe must be bit-identical to the inline incremental path
+    val fromIndex = df.collect().toSeq
+    val inline = Dedup.incremental(spark, dir).collect().toSeq
+    assert(fromIndex == inline, "persisted-index probe drifted from inline incremental")
   }
 
   test("cluster_kmeans_assign: centroids broadcast, argmin is a partial agg, no window") {

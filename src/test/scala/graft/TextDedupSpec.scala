@@ -365,6 +365,25 @@ class TextDedupSpec extends AnyFunSuite with SparkFixture {
     assert(out(2L) == ((2L, 16L)))
   }
 
+  test("pagerank: the star hub outranks leaves; isolated docs stay out; mass is conserved") {
+    // Five exact duplicates share every band bucket → star edges from the
+    // min doc_id: deg(1)=4, deg(2..5)=1. Docs 6/7 use disjoint vocab and
+    // join no bucket — they must not appear.
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val dir = fixtureDir("documents" -> Seq(
+      doc(1, dup), doc(2, dup), doc(3, dup), doc(4, dup), doc(5, dup),
+      doc(6, "one two three four five six seven eight"),
+      doc(7, "red green blue cyan magenta yellow black white")
+    ).toDF)
+    val out = Dedup.graphPagerank(spark, dir).collect()
+    assert(out.length == 5, "only the connected component's nodes are ranked")
+    assert(out.head.getAs[Long]("doc_id") == 1L && out.head.getAs[Long]("degree") == 4L,
+      "the star hub has max degree and max rank")
+    assert(out.tail.forall(_.getAs[Double]("pr") < out.head.getAs[Double]("pr")))
+    val total = out.map(_.getAs[Double]("pr")).sum
+    assert(math.abs(total - 1.0) < 1e-4, s"rank mass ~1 (got $total)")
+  }
+
   test("zipf fit: a perfect power law fits slope -1 with r2 = 1") {
     // freq(token_r) = 64/r for ranks 1,2,4,8,...: ln f = ln 64 − ln r —
     // exact slope −1. Build by repeating tokens; single doc suffices.
