@@ -192,6 +192,22 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-source variant of [[candidatePairs]]: the full per-bucket pair
+    * expansion over buckets keyed on (band, bsig) alone, for graph
+    * consumers that need REAL adjacency, not just connectivity — a star
+    * edge set is triangle-free by construction, so triangle counting /
+    * clustering coefficients ([[graphTriangles]]) are only meaningful on
+    * the pair graph. Expansion stays bounded at LshBucketCap²/2 per
+    * bucket by [[cappedBucketsBy]]. */
+  private[ops] def candidatePairsGlobal(
+      base: DataFrame, saltPrefix: String): DataFrame =
+    cappedBucketsBy(base, saltPrefix, Seq("band", "bsig"))
+      .select(explode(expr("""flatten(transform(ds, (x, i) ->
+          transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"""))
+        .as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .distinct()
+
   /** LSH candidate STAR edges (d1 = bucket min < d2) — the
     * connectivity-preserving subset of [[candidatePairs]] for consumers
     * that only need the component structure ([[ccGroups]],
@@ -547,14 +563,17 @@ object Dedup {
       .transform(iterCheckpoint)
     val deg = edges.groupBy("src")
       .agg(count(lit(1)).cast("double").as("deg"))
+    // (src, dst, deg) materialized ONCE — the deg join is loop-invariant,
+    // so paying it inside every round (as round 5 did) re-shuffled the
+    // edge set an extra time per iteration for an unchanged result.
+    val ed = edges.join(deg, "src").transform(iterCheckpoint)
     val nodes = edges.select(col("src").as("doc_id")).distinct()
     val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
     var ranks = nodes.crossJoin(broadcast(nn))
       .select(col("doc_id"), r6(lit(1.0) / col("n")).as("r"))
       .transform(chain(_))
     for (_ <- 1 to PrIters) {
-      ranks = edges
-        .join(deg, "src")
+      ranks = ed
         .join(ranks.withColumnRenamed("doc_id", "src"), "src")
         .select(col("dst"),
           r6(col("r") / col("deg")).cast(DecimalType(28, 6)).as("c"))
@@ -569,6 +588,45 @@ object Dedup {
       .select(col("doc_id"), col("deg").cast("long").as("degree"),
         col("r").as("pr"))
       .orderBy(desc("pr"), col("doc_id")).limit(20)
+  }
+
+  /** Triangle counting + local clustering coefficient over the global
+    * LSH candidate-PAIR graph ([[candidatePairsGlobal]] — the star set is
+    * triangle-free by construction, so this op needs real per-bucket
+    * adjacency). Within near-dup neighborhoods, a high coefficient marks
+    * tight template cliques (every copy collides with every other); a
+    * high-degree/low-coefficient node is a hub stitching UNRELATED
+    * buckets — exactly the shingle-collision false-positive a dedup
+    * pipeline wants flagged before it merges clusters. Algorithm: the
+    * node-iterator join — each triangle a<b<c is found exactly once as
+    * pairs (a,b)⋈(b,c)⋈(a,c); the canonical d1<d2 orientation (bucket
+    * member lists are sorted) makes that three self-equi-joins of ONE
+    * edge table, materialized once and reused by all three sides and the
+    * degree count. Per-node bound: paths-through-b ≤ deg(b)² with deg ≤
+    * Bands·LshBucketCap — capped, never corpus-quadratic. */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    val base = d.select(col("doc_id"), col("source"),
+      array_distinct(split(Text.normTextExpr, " ")).as("toks"))
+    val e = candidatePairsGlobal(base, "s").transform(iterCheckpoint)
+    val ab = e.select(col("d1").as("a"), col("d2").as("b"))
+    val bc = e.select(col("d1").as("b"), col("d2").as("c"))
+    val ac = e.select(col("d1").as("a"), col("d2").as("c"))
+    val tri = ab.join(bc, "b").join(ac, Seq("a", "c"))
+    val triPerNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+    val deg = e.select(col("d1").as("doc_id"))
+      .unionByName(e.select(col("d2").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    deg.join(triPerNode, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        r6(when(col("degree") >= 2,
+            coalesce(col("n_tri"), lit(0L)).cast("double") * 2.0 /
+              (col("degree").cast("double") * (col("degree").cast("double") - 1.0)))
+          .otherwise(lit(0.0))).as("clust_coef"))
+      .orderBy(desc("n_tri"), desc("degree"), col("doc_id")).limit(20)
   }
 
   /** Incremental dedup of a NEW BATCH against a STANDING corpus — the
@@ -780,6 +838,7 @@ object Dedup {
     "dedup_simhash" -> (simhash _),
     "dedup_cc_groups" -> (ccGroups _),
     "graph_pagerank" -> (graphPagerank _),
+    "graph_triangles" -> (graphTriangles _),
     "dedup_index_probe" -> (indexProbe _),
     "dedup_edit_distance" -> (editDistance _))
 
@@ -887,9 +946,11 @@ object Dedup {
            GROUP BY e.dst)"""
   }.mkString(",\n         ")
 
-  val oracleSql: Map[String, String] = Map(
-    "graph_pagerank" ->
-      s"""WITH nd AS MATERIALIZED (
+  // Shared oracle preamble for the graph family: normalized text
+  // (Text.normTextExpr's regex+stopword spelling), distinct tokens,
+  // minhash signatures, and the globally-capped band buckets.
+  private lazy val graphBandPreambleSql =
+    s"""nd AS MATERIALIZED (
            SELECT doc_id, source,
              array_to_string(list_filter(
                string_split_regex(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +'),
@@ -902,7 +963,37 @@ object Dedup {
            SELECT doc_id, source,
              $minhashMinsSql
            FROM tok GROUP BY doc_id, source),
-         $bandCteGlobalSql,
+         $bandCteGlobalSql"""
+
+  val oracleSql: Map[String, String] = Map(
+    "graph_triangles" ->
+      s"""WITH $graphBandPreambleSql,
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           FROM band a JOIN band b
+             ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         tri AS MATERIALIZED (
+           SELECT ab.d1 AS a, ab.d2 AS b, bc.d2 AS c
+           FROM pairs ab
+           JOIN pairs bc ON bc.d1 = ab.d2
+           JOIN pairs ac ON ac.d1 = ab.d1 AND ac.d2 = bc.d2),
+         tn AS (
+           SELECT doc_id, count(*) AS n_tri FROM (
+             SELECT unnest([a, b, c]) AS doc_id FROM tri)
+           GROUP BY doc_id),
+         deg AS (
+           SELECT doc_id, count(*) AS degree FROM (
+             SELECT d1 AS doc_id FROM pairs
+             UNION ALL SELECT d2 AS doc_id FROM pairs)
+           GROUP BY doc_id)
+         SELECT deg.doc_id,
+           CAST(deg.degree AS BIGINT) AS degree,
+           CAST(coalesce(tn.n_tri, 0) AS BIGINT) AS n_tri,
+           ${r6Sql("CASE WHEN deg.degree >= 2 THEN CAST(coalesce(tn.n_tri, 0) AS DOUBLE) * 2.0 / (CAST(deg.degree AS DOUBLE) * (CAST(deg.degree AS DOUBLE) - 1.0)) ELSE 0.0 END")} AS clust_coef
+         FROM deg LEFT JOIN tn ON tn.doc_id = deg.doc_id
+         ORDER BY n_tri DESC, degree DESC, deg.doc_id LIMIT 20""",
+    "graph_pagerank" ->
+      s"""WITH $graphBandPreambleSql,
          broot AS MATERIALIZED (
            SELECT band, bsig, min(doc_id) AS mn
            FROM band GROUP BY band, bsig),

@@ -384,6 +384,27 @@ class TextDedupSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(total - 1.0) < 1e-4, s"rank mass ~1 (got $total)")
   }
 
+  test("triangles: an exact-dup clique is all-triangles; disjoint docs stay out") {
+    // Docs 1-5 identical → every pair shares every band bucket → the
+    // candidate graph is K5: each node has degree 4, sits in C(4,2)=6
+    // triangles, coefficient exactly 1. Docs 6/7 share no bucket with
+    // anything → absent from the edge set entirely.
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val dir = fixtureDir("documents" -> Seq(
+      doc(1, dup), doc(2, dup), doc(3, dup), doc(4, dup), doc(5, dup),
+      doc(6, "one two three four five six seven eight"),
+      doc(7, "red green blue cyan magenta yellow black white")
+    ).toDF)
+    val out = Dedup.graphTriangles(spark, dir).collect()
+    assert(out.length == 5, "only the clique's nodes appear")
+    out.foreach { r =>
+      assert(r.getAs[Long]("degree") == 4L)
+      assert(r.getAs[Long]("n_tri") == 6L)
+      assert(r.getAs[Double]("clust_coef") == 1.0)
+    }
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("zipf fit: a perfect power law fits slope -1 with r2 = 1") {
     // freq(token_r) = 64/r for ranks 1,2,4,8,...: ln f = ln 64 − ln r —
     // exact slope −1. Build by repeating tokens; single doc suffices.
