@@ -881,6 +881,15 @@ object Text {
     * selection time, and the merges applied; the oracle replays all
     * [[BpeTrainRounds]] rounds CTE-by-CTE. */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val (out, _) = bpeTrainLoop(spark, dir)
+    import spark.implicits._
+    out.toDF("round", "t1", "t2", "cnt", "n_merges").orderBy("round")
+  }
+
+  /** The shared training loop: returns the learned merge table AND the
+    * final token-array corpus (the state [[bpeEncode]] serves from). */
+  private def bpeTrainLoop(spark: SparkSession, dir: String)
+      : (Seq[(Long, String, String, Long, Long)], DataFrame) = {
     val chain = new Util.ChainCheckpoint
     var corpus = chain(
       docs(spark, dir).select(col("doc_id"), split(col("text"), " ").as("toks")))
@@ -907,8 +916,35 @@ object Text {
         r += 1
       }
     }
-    import spark.implicits._
-    out.toSeq.toDF("round", "t1", "t2", "cnt", "n_merges").orderBy("round")
+    (out.toSeq, corpus)
+  }
+
+  /** BPE ENCODING — the serving half of the tokenizer: apply the
+    * [[bpeTrain]]-learned merge table to every document and report the
+    * encoded token stream with its compression ratio. (With the merge
+    * table trained on this same corpus, the encoded state IS the training
+    * loop's final corpus, so the one loop produces both the table and
+    * the encoding — no second pass; a fresh-corpus encode would replay
+    * the table with [[graft.functions.BpeMergeOnce]] per entry over the
+    * new documents, same per-row machinery.) Scale shape: everything
+    * per-doc arrays and one-row-collect winners, as [[bpeTrain]];
+    * output is a per-row projection of the final corpus joined to the
+    * pre-merge token counts. The oracle replays all [[BpeTrainRounds]]
+    * rounds and reads the final tok CTE — any drift in ANY round's merge
+    * shows up in the encoded text. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (_, corpus) = bpeTrainLoop(spark, dir)
+    val before = docs(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok_before"))
+    corpus
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+        array_join(col("toks"), " ").as("encoded_text"))
+      .join(before, "doc_id")
+      .select(col("doc_id"), col("n_tok_before"), col("n_tok"),
+        r6(col("n_tok").cast("double") / col("n_tok_before").cast("double"))
+          .as("compression"),
+        col("encoded_text"))
+      .orderBy("doc_id")
   }
 
   /** Unigram language-model scoring — the classic perplexity-style quality
@@ -1106,6 +1142,7 @@ object Text {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_merge" -> (bpeMerge _),
     "text_bpe_train" -> (bpeTrain _),
+    "text_bpe_encode" -> (bpeEncode _),
     "text_unigram_logprob" -> (unigramLogprob _),
     "text_token_topk" -> (tokenTopk _),
     "text_lang_stats" -> (langStats _),
@@ -1135,6 +1172,57 @@ object Text {
     "text_pack_sequences" -> (packSequences _),
     "text_zipf_fit" -> (zipfFit _),
     "dedup_span_merge" -> (dedupSpanMerge _))
+
+  // The BPE training-replay CTE chain shared by the text_bpe_train and
+  // text_bpe_encode oracles (generated from the same BpeTrainRounds, so
+  // the Spark loop and both oracles cannot drift in round count or
+  // per-round arithmetic). Multiply-referenced CTEs are MATERIALIZED:
+  // DuckDB inlines plain CTEs per reference, and each round references
+  // ld/best/me/tok 2-3×, so 8 chained rounds otherwise expand the scan
+  // DAG exponentially — found as an oracle-side OOM at sf0.1 (the Spark
+  // side was fine). tok{k+1} renumbers positions contiguously, mirroring
+  // the Spark side's row_number re-index; the chain's last CTE
+  // tok{BpeTrainRounds+1} is the final encoded corpus.
+  private lazy val bpeRoundsChainSql: String = (1 to BpeTrainRounds).map { k =>
+    s"""ld$k AS MATERIALIZED (
+           SELECT doc_id, pos, tok,
+             lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+           FROM tok$k),
+         best$k AS MATERIALIZED (
+           SELECT tok AS t1, nxt AS t2, count(*) AS cnt
+           FROM ld$k WHERE nxt IS NOT NULL
+           GROUP BY 1, 2 ORDER BY cnt DESC, t1, t2 LIMIT 1),
+         ma$k AS (
+           SELECT l.doc_id, l.pos, l.tok, b.t1, b.t2, b.cnt,
+             coalesce(l.tok = b.t1 AND l.nxt = b.t2, false) AS cand
+           FROM ld$k l, best$k b),
+         mb$k AS (
+           SELECT *, (cand AND NOT coalesce(
+             lag(cand, 1) OVER (PARTITION BY doc_id ORDER BY pos), false)) AS cand_start
+           FROM ma$k),
+         mc$k AS (
+           SELECT *, max(CASE WHEN cand_start THEN pos END) OVER
+               (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run_start
+           FROM mb$k),
+         md$k AS (SELECT *, (cand AND (pos - run_start) % 2 = 0) AS st FROM mc$k),
+         me$k AS MATERIALIZED (
+           SELECT *, coalesce(
+             lag(st, 1) OVER (PARTITION BY doc_id ORDER BY pos), false) AS consumed
+           FROM md$k),
+         tok${k + 1} AS MATERIALIZED (
+           SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+             CASE WHEN st THEN t1 || '_' || t2 ELSE tok END AS tok
+           FROM me$k WHERE NOT consumed),
+         sum$k AS (
+           SELECT CAST($k AS BIGINT) AS round, t1, t2, cnt,
+             (SELECT CAST(sum(CASE WHEN st THEN 1 ELSE 0 END) AS BIGINT)
+              FROM me$k) AS n_merges
+           FROM best$k)"""
+  }.mkString(",\n         ")
+
+  private lazy val bpeRoundsUnionSql: String = (1 to BpeTrainRounds)
+    .map(k => s"SELECT * FROM sum$k").mkString("\n           UNION ALL ")
 
   val oracleSql: Map[String, String] = Map(
     "text_zipf_fit" ->
@@ -1430,59 +1518,36 @@ object Text {
     // count or per-round arithmetic). tok{k+1} renumbers positions
     // contiguously, mirroring the Spark side's row_number re-index.
     "text_bpe_train" -> {
-      // Multiply-referenced CTEs are MATERIALIZED: DuckDB inlines plain
-      // CTEs per reference, and each round references ld/best/me/tok
-      // 2-3×, so 8 chained rounds otherwise expand the scan DAG
-      // exponentially — found as an oracle-side OOM at sf0.1 (the Spark
-      // side was fine). Materialization bounds the replay at one token
-      // stream per round.
-      val rounds = (1 to BpeTrainRounds).map { k =>
-        s"""ld$k AS MATERIALIZED (
-           SELECT doc_id, pos, tok,
-             lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
-           FROM tok$k),
-         best$k AS MATERIALIZED (
-           SELECT tok AS t1, nxt AS t2, count(*) AS cnt
-           FROM ld$k WHERE nxt IS NOT NULL
-           GROUP BY 1, 2 ORDER BY cnt DESC, t1, t2 LIMIT 1),
-         ma$k AS (
-           SELECT l.doc_id, l.pos, l.tok, b.t1, b.t2, b.cnt,
-             coalesce(l.tok = b.t1 AND l.nxt = b.t2, false) AS cand
-           FROM ld$k l, best$k b),
-         mb$k AS (
-           SELECT *, (cand AND NOT coalesce(
-             lag(cand, 1) OVER (PARTITION BY doc_id ORDER BY pos), false)) AS cand_start
-           FROM ma$k),
-         mc$k AS (
-           SELECT *, max(CASE WHEN cand_start THEN pos END) OVER
-               (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run_start
-           FROM mb$k),
-         md$k AS (SELECT *, (cand AND (pos - run_start) % 2 = 0) AS st FROM mc$k),
-         me$k AS MATERIALIZED (
-           SELECT *, coalesce(
-             lag(st, 1) OVER (PARTITION BY doc_id ORDER BY pos), false) AS consumed
-           FROM md$k),
-         tok${k + 1} AS MATERIALIZED (
-           SELECT doc_id,
-             row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
-             CASE WHEN st THEN t1 || '_' || t2 ELSE tok END AS tok
-           FROM me$k WHERE NOT consumed),
-         sum$k AS (
-           SELECT CAST($k AS BIGINT) AS round, t1, t2, cnt,
-             (SELECT CAST(sum(CASE WHEN st THEN 1 ELSE 0 END) AS BIGINT)
-              FROM me$k) AS n_merges
-           FROM best$k)"""
-      }.mkString(",\n         ")
-      val union = (1 to BpeTrainRounds)
-        .map(k => s"SELECT * FROM sum$k").mkString("\n           UNION ALL ")
       s"""WITH tok1 AS (
            SELECT doc_id,
              unnest(string_split(text, ' ')) AS tok,
              unnest(range(len(string_split(text, ' ')))) AS pos
            FROM documents),
-         $rounds
-         SELECT round, t1, t2, cnt, n_merges FROM ($union) ORDER BY round"""
+         $bpeRoundsChainSql
+         SELECT round, t1, t2, cnt, n_merges FROM ($bpeRoundsUnionSql) ORDER BY round"""
     },
+    // Reads the final corpus state (tok{N+1}) of the SAME replayed
+    // training chain — the encoded stream per document.
+    "text_bpe_encode" ->
+      s"""WITH tok1 AS (
+           SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             unnest(range(len(string_split(text, ' ')))) AS pos
+           FROM documents),
+         $bpeRoundsChainSql,
+         before AS (
+           SELECT doc_id, count(*) AS n_tok_before FROM tok1 GROUP BY doc_id),
+         enc AS (
+           SELECT doc_id, count(*) AS n_tok,
+             string_agg(tok, ' ' ORDER BY pos) AS encoded_text
+           FROM tok${BpeTrainRounds + 1} GROUP BY doc_id)
+         SELECT b.doc_id,
+           CAST(b.n_tok_before AS BIGINT) AS n_tok_before,
+           CAST(e.n_tok AS BIGINT) AS n_tok,
+           ${r6Sql("CAST(e.n_tok AS DOUBLE) / CAST(b.n_tok_before AS DOUBLE)")} AS compression,
+           e.encoded_text
+         FROM before b JOIN enc e ON e.doc_id = b.doc_id
+         ORDER BY b.doc_id""",
     "text_unigram_logprob" ->
       s"""WITH tok AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

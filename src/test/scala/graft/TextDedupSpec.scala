@@ -256,6 +256,23 @@ class TextDedupSpec extends AnyFunSuite with SparkFixture {
     assert(byRound(3L) == (("a_a", "b", 1L, 1L)))
   }
 
+  test("bpe encode: final corpus state after an early-stopped training loop") {
+    // Same corpus as the train test: training stops after round 3 (no
+    // pairs remain). Encode must serve the post-round-3 state: doc1
+    // collapsed to [a_a_a_a → wait, r2 merged (a_a,a_a) in doc1 →
+    // [a_a_a_a]; r3 merged (a_a,b) in doc2 → [a_a_b]] — both single
+    // tokens, and the early stop must NOT lose them.
+    val dir = fixtureDir("documents" -> Seq(
+      doc(1, "a a a a"), doc(2, "a a b")).toDF)
+    val out = Text.bpeEncode(spark, dir).collect()
+    assert(out.length == 2)
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("n_tok_before"), r.getAs[Long]("n_tok"),
+        r.getAs[String]("encoded_text")))).toMap
+    assert(byId(1L) == ((4L, 1L, "a_a_a_a")))
+    assert(byId(2L) == ((3L, 1L, "a_a_b")))
+  }
+
   test("global ngram dedup pairs a cross-source duplicate that per-source blocking misses") {
     val t = "alpha beta gamma delta epsilon zeta"
     val dir = fixtureDir("documents" -> Seq(
