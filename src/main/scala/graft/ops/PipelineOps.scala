@@ -540,7 +540,97 @@ object PipelineOps {
       .orderBy("event_type")
   }
 
+  private lazy val fmtRoot: java.io.File = processTempRoot("graft_fmt_")
+  private val fmtScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** CSV source/sink round-trip — the third interchange format after
+    * parquet and JDBC (every real ingest estate has CSV drops): write
+    * `documents` as headered CSV once per input dir, read it back with an
+    * EXPLICIT schema, and emit the full relation. The `tricky` column
+    * embeds the delimiter AND the quote character, so the gate fails on
+    * any quoting/escaping asymmetry between writer and reader — the
+    * failure mode that silently corrupts CSV pipelines. Scale shape: CSV
+    * is row-major and line-splittable, so the read parallelizes per
+    * HDFS-block like any text source; the explicit schema avoids the
+    * full inference pass (at 100 TB, inference IS a second scan). The
+    * oracle recomputes the same projection straight from the parquet
+    * table — identity modulo one write→read round trip. */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = fmtScratch.computeIfAbsent(dir + "#csv", { _ =>
+      val out = new java.io.File(fmtRoot, "csv_" + dirKey(dir)).getPath
+      graft.sources.TextFormats.writeCsv(
+        table(spark, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"),
+            concat(col("lang"), lit(","), lit("\""), col("source"), lit("\""))
+              .as("tricky")),
+        out)
+      out
+    })
+    graft.sources.TextFormats.readCsv(spark, scratch,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+          "n_chars BIGINT, tricky STRING"))
+      .drop(graft.sources.TextFormats.CorruptCol)
+      .orderBy("doc_id")
+  }
+
+  /** JSON-lines round-trip with NESTED shapes — a struct and an array
+    * survive write→read, the part a CSV can't express: `meta` is a
+    * struct<lang, n_chars>, `head_toks` an array<string>. Read back with
+    * an explicit schema (no inference scan) and flattened for the
+    * oracle compare. JSON-lines is line-splittable like CSV — the
+    * parallel-read story holds; nested access after the read is a
+    * per-row projection, no shuffle anywhere. */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = fmtScratch.computeIfAbsent(dir + "#json", { _ =>
+      val out = new java.io.File(fmtRoot, "json_" + dirKey(dir)).getPath
+      table(spark, dir, "documents")
+        .select(col("doc_id"),
+          struct(col("lang"), col("n_chars")).as("meta"),
+          slice(split(col("text"), " "), 1, 3).as("head_toks"),
+          col("source"))
+        .write.mode("overwrite").json(out)
+      out
+    })
+    graft.sources.TextFormats.readJsonLines(spark, scratch,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, meta STRUCT<lang: STRING, n_chars: BIGINT>, " +
+          "head_toks ARRAY<STRING>, source STRING"))
+      .select(col("doc_id"), col("meta.lang").as("lang"),
+        col("meta.n_chars").as("n_chars"),
+        array_join(col("head_toks"), " ").as("head3"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  /** ORC round-trip — the other columnar format Spark ships natively,
+    * closing the format matrix (parquet, CSV, JSON-lines, ORC, JDBC,
+    * zip archives). Self-describing footer schema, so the read takes no
+    * explicit schema; predicate-pushdown/statistics behave as parquet's
+    * do. Written once per input dir; oracle recomputes the projection
+    * from the parquet table. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = fmtScratch.computeIfAbsent(dir + "#orc", { _ =>
+      val out = new java.io.File(fmtRoot, "orc_" + dirKey(dir)).getPath
+      graft.sources.TextFormats.writeOrc(
+        table(spark, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars")),
+        out)
+      out
+    })
+    graft.sources.TextFormats.readOrc(spark, scratch)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("source", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_csv_roundtrip" -> (csvRoundtrip _),
+    "pipe_json_roundtrip" -> (jsonRoundtrip _),
+    "pipe_orc_roundtrip" -> (orcRoundtrip _),
     "pipe_schema_evolution" -> (schemaEvolution _),
     "pipe_compaction_bins" -> (compactionBins _),
     "pipe_zorder_layout" -> (zorderLayout _),
@@ -560,6 +650,22 @@ object PipelineOps {
     "pipe_partition_prune" -> (partitionPrune _))
 
   val oracleSql: Map[String, String] = Map(
+    // both roundtrips: identity modulo one write→read round trip, so the
+    // oracle recomputes the projection straight from the parquet table
+    "pipe_csv_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars,
+           lang || ',' || '"' || source || '"' AS tricky
+         FROM documents ORDER BY doc_id""",
+    "pipe_json_roundtrip" ->
+      """SELECT doc_id, lang, n_chars,
+           array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS head3,
+           source
+         FROM documents ORDER BY doc_id""",
+    "pipe_orc_roundtrip" ->
+      """SELECT source, lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM documents GROUP BY source, lang ORDER BY source, lang""",
     // models the merged read directly over events: even event_ids are the
     // v1 files where user_id did not exist yet (NULL after the merge)
     "pipe_schema_evolution" ->
