@@ -775,6 +775,44 @@ object Vector {
       .limit(10)
   }
 
+  /** kNN SELF-JOIN — top-3 nearest neighbors for EVERY vector at once
+    * (the batch operator semdedup/clustering pipelines run over the whole
+    * corpus, vs [[simsearchTopk]]'s fixed probe set): 8-bit SRP buckets
+    * with Hamming-1 multiprobe generate candidates as an equi join (every
+    * query meets ≤ 17 buckets of ≤ 256 capped members — never the n²
+    * pair space), exact cosine re-ranks, and the per-query top-3 runs
+    * through the heap-based [[graft.plans.TopKPerKeyExec]] — no
+    * corpus-sized window sort anywhere. A (v1, v2) pair collides through
+    * at most one probe variant (v2 lives in exactly one bucket; the 9
+    * variants are distinct strings), so no dedup pass is needed.
+    * Cosines are r4-quantized BEFORE ranking so the rank order is
+    * engine-independent at ties. */
+  def simsearchKnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val srp8 = concat_ws("",
+      transform(slice(col("embedding"), 1, 8), x => when(x >= 0f, "1").otherwise("0")))
+    val e = emb(spark, dir)
+      .withColumn("bucket", srp8)
+      .withColumn("nrm", l2(col("embedding")))
+    val capW = Window.partitionBy("bucket").orderBy("v2")
+    val rhs = e.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+        col("nrm").as("n2"), col("bucket"))
+      .withColumn("rn", row_number().over(capW))
+      .filter(col("rn") <= 256).drop("rn")
+    val lhs = e.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+        col("nrm").as("n1"), col("bucket"),
+        explode(sequence(lit(0), lit(8))).as("i"))
+      .select(col("v1"), col("e1"), col("n1"),
+        hamming1Variant(col("bucket"), col("i")).as("bucket"))
+    val scored = lhs.join(rhs, "bucket")
+      .filter(col("v1") =!= col("v2"))
+      .select(col("v1"), col("v2"),
+        r4(cosinePre(col("e1"), col("e2"), col("n1"), col("n2"))).as("cos"))
+    graft.plans.TopK.topKPerKey(scored, Seq("v1"),
+      Seq(graft.plans.TopK.Ord("cos", descending = true),
+        graft.plans.TopK.Ord("v2")), 3)
+      .orderBy(col("v1"), desc("cos"), col("v2"))
+  }
+
   /** K-means ASSIGNMENT step — every vector labeled with its nearest of 8
     * fixed centroids (the 8 lowest vec_ids: deterministic seeding, same
     * convention as IVF/PQ training). This is the semantic-clustering
@@ -875,6 +913,7 @@ object Vector {
     "simsearch_range" -> (simsearchRange _),
     "embedding_quantize" -> (embeddingQuantize _),
     "simsearch_topk" -> (simsearchTopk _),
+    "simsearch_knn_join" -> (simsearchKnnJoin _),
     "simsearch_lsh" -> (simsearchLsh _),
     "simsearch_lsh_multiprobe" -> (simsearchLshMultiprobe _),
     "simsearch_ivf" -> (simsearchIvf _),
@@ -1000,6 +1039,31 @@ object Vector {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "simsearch_knn_join" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding,
+             array_to_string(list_transform(embedding[1:8],
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+           FROM embeddings),
+         rhs AS (
+           SELECT vec_id AS v2, embedding AS e2, bucket
+           FROM e
+           QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id) <= 256),
+         lhs AS (
+           SELECT e.vec_id AS v1, e.embedding AS e1,
+             CASE WHEN f.i = 0 THEN bucket
+                  ELSE substr(bucket, 1, CAST(f.i AS INTEGER) - 1) ||
+                       (CASE WHEN substr(bucket, CAST(f.i AS INTEGER), 1) = '1'
+                             THEN '0' ELSE '1' END) ||
+                       substr(bucket, CAST(f.i AS INTEGER) + 1, 8) END AS bucket
+           FROM e, (SELECT unnest(range(0, 9)) AS i) f),
+         pr AS (
+           SELECT lhs.v1, rhs.v2,
+             ${r4Sql(cosSql("lhs.e1", "rhs.e2"))} AS cos
+           FROM lhs JOIN rhs ON lhs.bucket = rhs.bucket AND lhs.v1 != rhs.v2)
+         SELECT v1, v2, cos FROM pr
+         QUALIFY row_number() OVER (PARTITION BY v1 ORDER BY cos DESC, v2) <= 3
+         ORDER BY v1, cos DESC, v2""",
     "dedup_embedding_global" ->
       s"""WITH e AS (
            SELECT vec_id, label, embedding,
@@ -1016,8 +1080,8 @@ object Vector {
                   ELSE substr(bucket, 1, CAST(f.i AS INTEGER) - 1) ||
                        (CASE WHEN substr(bucket, CAST(f.i AS INTEGER), 1) = '1'
                              THEN '0' ELSE '1' END) ||
-                       substr(bucket, CAST(f.i AS INTEGER) + 1, 16) END AS bucket
-           FROM e, (SELECT unnest(range(0, 17)) AS i) f),
+                       substr(bucket, CAST(f.i AS INTEGER) + 1, 8) END AS bucket
+           FROM e, (SELECT unnest(range(0, 9)) AS i) f),
          pr AS (
            SELECT lhs.v1, rhs.v2, lhs.lab1, rhs.lab2,
              ${r4Sql(cosSql("lhs.e1", "rhs.e2"))} AS cos
