@@ -163,7 +163,39 @@ object SqlSurface {
          ORDER BY gid, status, priority""")
   }
 
+  /** RECURSIVE CTE through the SQL parser (Spark 4.x `WITH RECURSIVE`):
+    * the calendar-spine densification every reporting pipeline needs —
+    * generate every month from the fixed epoch to the DATA-derived max
+    * (a scalar subquery in the recursion's stop condition), then left
+    * join per-month aggregates so empty months surface as explicit
+    * zero rows instead of silently missing. The recursion materializes
+    * ~tens of rows regardless of data size (it iterates on months, not
+    * data), so the plan stays scan + hash-agg + a broadcast-sized spine
+    * join at any scale. */
+  def sqlRecursiveSpine(spark: SparkSession, dir: String): DataFrame = {
+    reg(spark, dir, "orders")
+    spark.sql(
+      """WITH RECURSIVE spine(m) AS (
+           SELECT to_date('1995-01-01')
+           UNION ALL
+           SELECT add_months(m, 1) FROM spine
+           WHERE m < (SELECT max(trunc(CAST(o_orderdate AS DATE), 'MM'))
+                      FROM g_orders)
+         ),
+         agg AS (
+           SELECT trunc(CAST(o_orderdate AS DATE), 'MM') AS m,
+                  count(*) AS n,
+                  round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 4) AS sp
+           FROM g_orders GROUP BY 1)
+         SELECT date_format(s.m, 'yyyy-MM') AS month,
+                CAST(coalesce(a.n, 0) AS BIGINT) AS n_orders,
+                coalesce(a.sp, 0.0) AS sum_price
+         FROM spine s LEFT JOIN agg a ON a.m = s.m
+         ORDER BY month""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_recursive_spine" -> (sqlRecursiveSpine _),
     "sql_grouping_sets" -> (sqlGroupingSets _),
     "sql_ctas_insert" -> (sqlCtasInsert _),
     "sql_lateral_explode" -> (sqlLateralExplode _),
@@ -173,6 +205,24 @@ object SqlSurface {
     "sql_dot_product" -> (sqlDotProduct _))
 
   val oracleSql: Map[String, String] = Map(
+    "sql_recursive_spine" ->
+      """WITH RECURSIVE spine(m) AS (
+           SELECT DATE '1995-01-01'
+           UNION ALL
+           SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM spine
+           WHERE m < (SELECT max(date_trunc('month', CAST(o_orderdate AS DATE)))
+                      FROM orders)
+         ),
+         agg AS (
+           SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+                  count(*) AS n,
+                  round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 4) AS sp
+           FROM orders GROUP BY 1)
+         SELECT strftime(s.m, '%Y-%m') AS month,
+                CAST(coalesce(a.n, 0) AS BIGINT) AS n_orders,
+                coalesce(a.sp, 0.0) AS sum_price
+         FROM spine s LEFT JOIN agg a ON a.m = s.m
+         ORDER BY month""",
     "sql_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
                 coalesce(o_orderpriority, 'ALL') AS priority,
