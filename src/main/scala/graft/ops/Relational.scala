@@ -581,6 +581,31 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Rolling ROBUST statistics — trailing 10-event median and quartiles
+    * per user, the windowed analogue of [[eventsMadOutliers]]' global
+    * robust stats (a live anomaly monitor wants "is this value odd vs
+    * this user's RECENT behavior", which a global median can't answer).
+    * `percentile` is an exact aggregate running as a window function
+    * over a ROWS frame, so per-row state is bounded at 10 values — the
+    * window never holds a partition in memory. Cross-engine exactness:
+    * interpolating raw 2-dp doubles diverges at ulp level between
+    * engines, so values are lifted to integer CENTS first — quartile
+    * interpolation on integers at dyadic fractions (.25/.5/.75) is
+    * EXACT in IEEE arithmetic, and the single final /100 division is
+    * one identical-input IEEE op in both engines. */
+  def windowRollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-9, 0)
+    table(spark, dir, "events")
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("med_10", r6(expr("percentile(cents, 0.5D)").over(w) / 100.0))
+      .withColumn("p25_10", r6(expr("percentile(cents, 0.25D)").over(w) / 100.0))
+      .withColumn("p75_10", r6(expr("percentile(cents, 0.75D)").over(w) / 100.0))
+      .select(col("event_id"), col("user_id"), col("med_10"), col("p25_10"),
+        col("p75_10"))
+      .orderBy("event_id")
+  }
+
   /** lag() delta of consecutive per-user event values. */
   /** The shared per-user lag-delta projection behind [[windowLagDelta]]
     * and [[sortNullOrder]] (one definition — the two declared queries
@@ -1137,6 +1162,7 @@ object Relational {
     "agg_stats_moments" -> (aggStatsMoments _),
     "window_ntile_dist" -> (windowNtileDist _),
     "window_range_trailing" -> (windowRangeTrailing _),
+    "window_rolling_median" -> (windowRollingMedian _),
     "window_rank_topn" -> (windowRankTopn _),
     "window_topk_custom" -> (windowTopkCustom _),
     "window_running_sum" -> (windowRunningSum _),
@@ -1581,6 +1607,15 @@ object Relational {
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS running
          FROM ${evSql()} ORDER BY event_id""",
+    "window_rolling_median" ->
+      s"""SELECT event_id, user_id,
+         ${r6Sql("quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) OVER w / 100.0")} AS med_10,
+         ${r6Sql("quantile_cont(CAST(round(value * 100) AS BIGINT), 0.25) OVER w / 100.0")} AS p25_10,
+         ${r6Sql("quantile_cont(CAST(round(value * 100) AS BIGINT), 0.75) OVER w / 100.0")} AS p75_10
+         FROM ${evSql()}
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
     "window_range_trailing" ->
       s"""SELECT event_id, user_id,
          round(CAST(sum(CAST(value AS DECIMAL(10,2))) OVER (
