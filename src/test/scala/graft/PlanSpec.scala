@@ -297,6 +297,27 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(fromIndex == inline, "persisted-index probe drifted from inline incremental")
   }
 
+  test("simsearch_knn_join: per-query top-3 runs the heap exec, not a window sort") {
+    val p = plan(Vector.simsearchKnnJoin(spark, dir))
+    assert(p.contains("TopKPerKey"), s"kNN join lost the heap top-k exec:\n$p")
+    // the only window allowed is the rhs bucket-membership cap (keyed on
+    // bucket); a window keyed on v1 would be the corpus-sized ranking
+    // sort the heap exec exists to avoid
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.forall(l => l.contains("bucket") && !l.contains("v1")),
+      s"kNN join plans a per-query ranking window:\n${winLines.mkString("\n")}")
+  }
+
+  test("format roundtrips: reads are schema-explicit scans of the right source") {
+    val csv = plan(PipelineOps.csvRoundtrip(spark, dir))
+    assert(csv.contains("FileScan csv"), s"csv roundtrip does not scan csv:\n$csv")
+    val json = plan(PipelineOps.jsonRoundtrip(spark, dir))
+    assert(json.contains("FileScan json"), s"json roundtrip does not scan json:\n$json")
+    val orc = plan(PipelineOps.orcRoundtrip(spark, dir))
+    assert(orc.contains("orc") && orc.contains("Scan"),
+      s"orc roundtrip does not scan orc:\n$orc")
+  }
+
   test("cluster_kmeans_assign: centroids broadcast, argmin is a partial agg, no window") {
     // The textbook k-means assignment plan: tiny centroid side broadcasts
     // (nested-loop against a bounded side), the corpus streams map-side,
