@@ -44,8 +44,10 @@ object Bench {
     // N is env-tunable (SPARK_GRAFT_BENCH_ITERS=1 restores single-pass).
     val iters = scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt).getOrElse(2).max(1)
-    val buildOnce = Seq("simsearch_pq_index", "pipe_partition_prune",
-      "pipe_schema_evolution", "join_bucketed_colocated")
+    val buildOnce = Seq("simsearch_pq_index", "simsearch_ivf_index",
+      "dedup_index_probe", "pipe_partition_prune", "pipe_schema_evolution",
+      "join_bucketed_colocated", "pipe_csv_roundtrip", "pipe_json_roundtrip",
+      "pipe_orc_roundtrip")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val best = (1 to iters).map { _ =>
         val t0 = System.nanoTime()

@@ -818,6 +818,38 @@ object Relational {
     * per-row math. Exact `percentile` holds a per-group multiset — the
     * gateable semantics here; at 100 TB swap the same shape onto
     * `approx_percentile` (the `agg_percentile_approx` path). */
+  /** EWMA smoothing per user — the sequential-state computation (s_t =
+    * α·x_t + (1−α)·s_{t−1}, α = 0.25, seeded s_1 = x_1) that windows
+    * cannot express and naive pow-based reformulations get wrong in
+    * floating point. Shape: per-user values are gathered ORDERED into one
+    * array (per-KEY state, the `mapGroups`/pandas-groupby memory model —
+    * bounded by a user's history, never by the corpus; the streaming twin
+    * is `flatMapGroupsWithState` carrying just `s`), then the fold runs
+    * as a codegen'd `aggregate` HOF — sequential state lives inside a
+    * row, the [[graft.functions.BpeMergeOnce]] discipline. Each step is
+    * r6-quantized, so the fold is replayed bit-identically by DuckDB's
+    * first-element-seeded `list_reduce`. */
+  def eventsEwma(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("event_id"), col("value"))
+    e.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value"), Qty).as("sumv"),
+        array_sort(collect_list(struct(col("t_us"), col("event_id"), col("value"))))
+          .as("seq"))
+      .withColumn("vals", transform(col("seq"), s => s.getField("value")))
+      .withColumn("ewma_last",
+        aggregate(
+          slice(col("vals"), lit(2), greatest(size(col("vals")) - 1, lit(0))),
+          element_at(col("vals"), 1),
+          (acc, x) => r6(acc * lit(0.75) + x * lit(0.25))))
+      .select(col("user_id"), col("n_events"),
+        r6(col("ewma_last")).as("ewma_last"),
+        r6(col("sumv").cast("double") / col("n_events").cast("double")).as("mean_value"))
+      .orderBy("user_id")
+  }
+
   def eventsMadOutliers(spark: SparkSession, dir: String): DataFrame = {
     val e = table(spark, dir, "events").select(col("event_type"), col("value"))
     val med = e.groupBy("event_type")
@@ -1143,6 +1175,7 @@ object Relational {
     "events_markov" -> (eventsMarkov _),
     "events_path_trigrams" -> (eventsPathTrigrams _),
     "events_mad_outliers" -> (eventsMadOutliers _),
+    "events_ewma" -> (eventsEwma _),
     "events_sessionize" -> (eventsSessionize _),
     "join_range_binned" -> (joinRangeBinned _),
     "join_interval_events" -> (joinIntervalEvents _),
@@ -1427,6 +1460,15 @@ object Relational {
            CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
            round(CAST(sum(val_d) AS DOUBLE), 4) AS sum_value
          FROM per GROUP BY user_id ORDER BY user_id""",
+    "events_ewma" ->
+      s"""WITH s AS (
+           SELECT user_id, list(value ORDER BY ts, event_id) AS vals,
+             count(*) AS n, CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sumv
+           FROM ${evSql()} GROUP BY user_id)
+         SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           ${r6Sql("list_reduce(vals, (acc, x) -> " + r6Sql("acc * 0.75 + x * 0.25") + ")")} AS ewma_last,
+           ${r6Sql("sumv / CAST(n AS DOUBLE)")} AS mean_value
+         FROM s ORDER BY user_id""",
     "events_mad_outliers" ->
       """WITH med AS (
            SELECT event_type, quantile_cont(value, 0.5) AS med

@@ -1080,8 +1080,8 @@ object Vector {
                   ELSE substr(bucket, 1, CAST(f.i AS INTEGER) - 1) ||
                        (CASE WHEN substr(bucket, CAST(f.i AS INTEGER), 1) = '1'
                              THEN '0' ELSE '1' END) ||
-                       substr(bucket, CAST(f.i AS INTEGER) + 1, 8) END AS bucket
-           FROM e, (SELECT unnest(range(0, 9)) AS i) f),
+                       substr(bucket, CAST(f.i AS INTEGER) + 1, 16) END AS bucket
+           FROM e, (SELECT unnest(range(0, 17)) AS i) f),
          pr AS (
            SELECT lhs.v1, rhs.v2, lhs.lab1, rhs.lab2,
              ${r4Sql(cosSql("lhs.e1", "rhs.e2"))} AS cos
