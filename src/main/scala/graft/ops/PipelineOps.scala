@@ -627,7 +627,32 @@ object PipelineOps {
       .orderBy("source", "lang")
   }
 
+  /** Deterministic train/val/test split — the dataset-construction op
+    * every training run needs: membership is a pure function of the row
+    * key (first 4 md5 hex digits vs fixed thresholds → ~80/10/10), so the
+    * split is identical across engines, retries, partitionings, and
+    * cluster sizes, and any later run reproduces the exact membership —
+    * rand()-seeded splits drift under re-partitioning and retries, hash
+    * splits cannot. The split column is a per-row projection evaluated
+    * map-side in the scan stage; nothing shuffles but the tiny
+    * (split, source) agg partials, so at 100 TB this is a single pass.
+    * Threshold arithmetic: 0xcccd/0x10000 ≈ 0.8000, 0xe666/0x10000 ≈
+    * 0.9000 — string compare on the fixed-width hex prefix. */
+  def splitTrainTest(spark: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4)
+    val split = when(h < "cccd", "train").when(h < "e666", "val").otherwise("test")
+    table(spark, dir, "documents")
+      .withColumn("split", split)
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("split", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_split_train_test" -> (splitTrainTest _),
     "pipe_csv_roundtrip" -> (csvRoundtrip _),
     "pipe_json_roundtrip" -> (jsonRoundtrip _),
     "pipe_orc_roundtrip" -> (orcRoundtrip _),
@@ -650,6 +675,14 @@ object PipelineOps {
     "pipe_partition_prune" -> (partitionPrune _))
 
   val oracleSql: Map[String, String] = Map(
+    "pipe_split_train_test" ->
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+              ELSE 'test' END AS split,
+           source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM documents GROUP BY 1, 2 ORDER BY split, source""",
     // both roundtrips: identity modulo one write→read round trip, so the
     // oracle recomputes the projection straight from the parquet table
     "pipe_csv_roundtrip" ->

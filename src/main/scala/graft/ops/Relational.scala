@@ -1154,7 +1154,64 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Runtime bloom-filter join — the 100 TB shuffle-join shape where the
+    * probe side is orders of magnitude larger than the (already filtered)
+    * build side: Catalyst's InjectRuntimeFilter plants a
+    * `BloomFilterAggregate` over the filtered orders keys and a
+    * `might_contain` predicate on the lineitem scan, so probe rows that
+    * cannot match are dropped BEFORE the shuffle — at scale that converts
+    * a full-table shuffle into a ~selectivity-sized one. The result is
+    * byte-identical to the plain join (bloom false positives are removed
+    * by the exact join), so the oracle is the plain join — the bloom is a
+    * transparent physical optimization, asserted present in PlanSpec.
+    * Conf scoping: the thresholds that let the sf0.01 fixture trigger the
+    * rewrite (application-side ≥10 GB by default) live on a child session
+    * (`newSession()` — same SparkContext, own conf), so no other query's
+    * plan is perturbed; broadcast is disabled there because the runtime
+    * filter targets shuffle joins (a broadcast join already prunes at the
+    * probe). */
+  def joinBloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val hot = table(s, dir, "orders")
+      .filter(col("o_totalprice") > 449000.0)
+    table(s, dir, "lineitem")
+      .join(hot, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        dsumR(col("l_extendedprice"), Money).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Seasonal-naive baseline — the first forecasting sanity check on any
+    * event stream: today's daily total vs the total exactly 7 days back
+    * (same weekday), delta and ratio per day. Daily totals are one
+    * map-side-partial hash agg (the only pass over the raw events); the
+    * lag-7 lookup is a self equi join on the ~date-cardinality aggregate,
+    * so at 100 TB the join input is days, not events — deliberately a
+    * date-shifted equi join, not a 7-row window lag, because a window
+    * needs a dense calendar to mean "7 days" while `d = bd + 7` is
+    * correct on sparse dates by construction. */
+  def eventsSeasonalBaseline(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), Qty).as("v"))
+    val base = daily.select(col("d").as("bd"), col("n").as("base_n"),
+      col("v").as("base_v"))
+    daily.join(base, col("d") === date_add(col("bd"), 7))
+      .select(dateS(col("d")).as("day_s"), col("n"), col("base_n"),
+        (col("n") - col("base_n")).as("delta_n"),
+        r4(col("n").cast("double") / col("base_n").cast("double")).as("ratio_n"),
+        round(col("v") - col("base_v"), 2).as("delta_v"))
+      .orderBy("day_s")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_bloom_prefilter" -> (joinBloomPrefilter _),
+    "events_seasonal_baseline" -> (eventsSeasonalBaseline _),
     "events_attribution" -> (eventsAttribution _),
     "agg_mode" -> (aggMode _),
     "events_zscore_outliers" -> (eventsZscoreOutliers _),
@@ -1211,6 +1268,26 @@ object Relational {
     "window_lead" -> (windowLead _))
 
   val oracleSql: Map[String, String] = Map(
+    // the bloom prefilter is result-transparent: the oracle is the plain
+    // filtered join (false positives die in the exact join)
+    "join_bloom_prefilter" ->
+      s"""SELECT o_orderpriority, count(*) AS n_lines,
+           count(DISTINCT o_orderkey) AS n_orders,
+           ${r4Sql("CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)")} AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_totalprice > 449000.0
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "events_seasonal_baseline" ->
+      s"""WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS v
+           FROM ${evSql()} GROUP BY 1)
+         SELECT strftime(a.d, '%Y-%m-%d') AS day_s, a.n, b.n AS base_n,
+           a.n - b.n AS delta_n,
+           ${r4Sql("CAST(a.n AS DOUBLE) / CAST(b.n AS DOUBLE)")} AS ratio_n,
+           round(a.v - b.v, 2) AS delta_v
+         FROM daily a JOIN daily b ON a.d = b.d + 7
+         ORDER BY day_s""",
     "events_attribution" ->
       s"""WITH w AS (
            SELECT event_id, user_id, ts, event_type,
