@@ -371,12 +371,38 @@ object Relational {
         col("gid"), col("n"), col("sum_price"))
       .orderBy("gid", "status", "priority")
 
-  /** HLL sketch distinct — approximate, so no SQL oracle (driver records a
-    * rows-only check); exactness bounds are asserted in unit tests. */
+  /** Configured relative standard deviation for the HLL++ sketch in
+    * [[aggApproxDistinct]]; the declared gate allows 5× this (±10%). */
+  private[graft] val HllRsd = 0.02
+
+  /** HLL sketch distinct with the error contract driver-verified. The
+    * sketch value itself is engine-specific (DuckDB cannot replay
+    * Spark's HLL++ registers), so the declared frame carries the EXACT
+    * distinct count plus a Spark-computed `within_bound` flag asserting
+    * the sketch landed within 5× its configured rsd; the oracle computes
+    * the exact count and expects `TRUE` — a sketch regression flips the
+    * flag and fails the hash compare. [[aggApproxDistinctRaw]] exposes
+    * the raw sketch values for the unit test. At 100 TB the exact
+    * distinct (per-group hash set + Expand shuffle) is dropped and only
+    * the sketch runs: fixed-size mergeable state, map-side partials. */
   def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .agg(
+        approx_count_distinct(col("user_id"), HllRsd).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n"))
+      .select(
+        col("event_type"), col("exact_users"), col("n"),
+        (abs(col("approx_users").cast("double") - col("exact_users").cast("double"))
+          <= col("exact_users").cast("double") * (5 * HllRsd)).as("within_bound"))
+      .orderBy("event_type")
+
+  /** Raw sketch counts (no exactness gate) — unit-test surface. */
+  private[graft] def aggApproxDistinctRaw(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), HllRsd).as("approx_users"))
       .orderBy("event_type")
 
   /** Conditional/boolean aggregates: count_if, bool_and/bool_or, and a
@@ -424,15 +450,44 @@ object Relational {
   /** Approximate percentiles — the workhorse at 100 TB, where exact
     * `percentile` must materialize every group's full value multiset
     * (unbounded per-group state) while the quantile sketch is fixed-size
-    * mergeable state with map-side partial aggregation. Declared without
-    * a DuckDB oracle, like `agg_approx_distinct`: sketch outputs are
-    * engine-specific. The error contract — observed value's RANK within
-    * n/accuracy of the target rank — is unit-tested against the exact
-    * percentile in RelationalEdgeSpec; the declared query gets the
-    * driver's rows-only check. Output values are exact corpus values
-    * (the sketch returns members of the input), so the frame is still
-    * deterministic. */
+    * mergeable state with map-side partial aggregation. The sketch's
+    * values are engine-specific (DuckDB has no GK sketch to replay), so
+    * the driver-verified contract is a VALUE BRACKET: each approx value
+    * must land between the exact interpolated percentiles at q ± 0.01 —
+    * a 1% rank-error gate, 10× looser than the sketch's n/accuracy
+    * promise (so it never false-fails on interpolation edges) but tight
+    * enough to catch any real regression. The declared frame carries the
+    * exact rounded percentiles (oracle-computed context) plus the three
+    * `_ok` flags the oracle expects as `TRUE`. The tighter rank-error
+    * contract stays unit-tested in RelationalEdgeSpec over
+    * [[aggPercentileApproxRaw]]. */
   def aggPercentileApprox(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr(s"approx_percentile(l_quantity, 0.5, $PctApproxAccuracy)").as("a_q50"),
+        expr(s"approx_percentile(l_quantity, 0.9, $PctApproxAccuracy)").as("a_q90"),
+        expr(s"approx_percentile(l_extendedprice, 0.5, $PctApproxAccuracy)").as("a_p50"),
+        // one multiset buffer per column: array-form percentile
+        expr("percentile(l_quantity, array(0.49D, 0.5D, 0.51D, 0.89D, 0.9D, 0.91D))").as("qp"),
+        expr("percentile(l_extendedprice, array(0.49D, 0.5D, 0.51D))").as("pp"),
+        count(lit(1)).as("n"))
+      .select(
+        col("l_returnflag"),
+        r4(element_at(col("qp"), 2)).as("qty_p50"),
+        r4(element_at(col("qp"), 5)).as("qty_p90"),
+        r4(element_at(col("pp"), 2)).as("price_p50"),
+        col("n"),
+        col("a_q50").between(element_at(col("qp"), 1) - 1e-9,
+          element_at(col("qp"), 3) + 1e-9).as("qty_p50_ok"),
+        col("a_q90").between(element_at(col("qp"), 4) - 1e-9,
+          element_at(col("qp"), 6) + 1e-9).as("qty_p90_ok"),
+        col("a_p50").between(element_at(col("pp"), 1) - 1e-9,
+          element_at(col("pp"), 3) + 1e-9).as("price_p50_ok"))
+      .orderBy("l_returnflag")
+
+  /** Raw sketch percentiles (no exactness gate) — unit-test surface. */
+  private[graft] def aggPercentileApproxRaw(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
@@ -1681,6 +1736,22 @@ object Relational {
          floor((quantile_cont(l_quantity, 0.9)) * 10000.0 + 0.5) / 10000.0 AS qty_p90,
          floor((quantile_cont(l_extendedprice, 0.5)) * 10000.0 + 0.5) / 10000.0 AS price_p50,
          count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // Tolerance oracles for the two sketch aggregates: the oracle computes
+    // the exact values and expects every Spark-computed within-bound flag
+    // to be TRUE; a sketch landing outside its error contract flips the
+    // flag and fails the driver's hash compare.
+    "agg_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+         count(*) AS n, TRUE AS within_bound
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "agg_percentile_approx" ->
+      """SELECT l_returnflag,
+         floor((quantile_cont(l_quantity, 0.5)) * 10000.0 + 0.5) / 10000.0 AS qty_p50,
+         floor((quantile_cont(l_quantity, 0.9)) * 10000.0 + 0.5) / 10000.0 AS qty_p90,
+         floor((quantile_cont(l_extendedprice, 0.5)) * 10000.0 + 0.5) / 10000.0 AS price_p50,
+         count(*) AS n,
+         TRUE AS qty_p50_ok, TRUE AS qty_p90_ok, TRUE AS price_p50_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_stats_moments" ->
       """WITH s AS (

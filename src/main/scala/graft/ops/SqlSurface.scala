@@ -171,16 +171,27 @@ object SqlSurface {
     * zero rows instead of silently missing. The recursion materializes
     * ~tens of rows regardless of data size (it iterates on months, not
     * data), so the plan stays scan + hash-agg + a broadcast-sized spine
-    * join at any scale. */
+    * join at any scale.
+    *
+    * The data-derived stop bound is computed ONCE as a scalar job and
+    * inlined as a literal: leaving the scalar subquery inside the
+    * recursive step makes Spark re-evaluate it every iteration — ~80
+    * full scans of `orders` for an ~80-month spine (measured 8.9 s at
+    * sf0.1 vs <1 s hoisted; at 100 TB it would be 80 full table scans
+    * for one constant). The oracle keeps the subquery form — DuckDB
+    * evaluates its recursive CTE over a materialized working table, so
+    * the two spellings are semantically identical. */
   def sqlRecursiveSpine(spark: SparkSession, dir: String): DataFrame = {
     reg(spark, dir, "orders")
+    val maxMonth = spark.sql(
+      "SELECT CAST(max(trunc(CAST(o_orderdate AS DATE), 'MM')) AS STRING) FROM g_orders")
+      .collect()(0).getString(0)
     spark.sql(
-      """WITH RECURSIVE spine(m) AS (
+      s"""WITH RECURSIVE spine(m) AS (
            SELECT to_date('1995-01-01')
            UNION ALL
            SELECT add_months(m, 1) FROM spine
-           WHERE m < (SELECT max(trunc(CAST(o_orderdate AS DATE), 'MM'))
-                      FROM g_orders)
+           WHERE m < to_date('$maxMonth')
          ),
          agg AS (
            SELECT trunc(CAST(o_orderdate AS DATE), 'MM') AS m,

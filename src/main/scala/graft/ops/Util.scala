@@ -33,9 +33,22 @@ object Util {
       // timestamps, which arrive as TimestampType and pass through.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else df
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // Driver-regenerated fixtures write parquet timestamp[us] with
+        // isAdjustedToUTC=false, which Spark 4 infers as TIMESTAMP_NTZ
+        // (spark.sql.parquet.inferTimestampNTZ.enabled default). Every
+        // engine query and the driver's UTC session treat ts as an
+        // instant, so normalize to TimestampType here: with the session
+        // timezone pinned to UTC the cast is value-preserving, and
+        // downstream `unix_micros`/window-range arithmetic (which
+        // rejects NTZ) keeps working across either fixture spelling.
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** DuckDB FROM-clause for `events` with ts truncated to µs, matching the

@@ -54,10 +54,16 @@ object StreamingDemo {
       streamDir.resolve("events.parquet"))
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val raw = spark.readStream.schema(batchSchema).parquet(streamDir.toString)
-    val events =
-      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+    val events = batchSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+      // timestamp[us] isAdjustedToUTC=false fixtures arrive as NTZ;
+      // normalize like Util.table so watermark math sees one type.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
     val q = windowedCounts(events)
       .writeStream
       .format("memory")

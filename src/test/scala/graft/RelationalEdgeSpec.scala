@@ -220,7 +220,7 @@ class RelationalEdgeSpec extends AnyFunSuite with SparkFixture {
     // real sf0.01 lineitem groups — the same data the declared (rows-only)
     // query runs on — for every (group, quantile) pair.
     val dir = "/root/testdata/sf0.01"
-    val approx = Relational.aggPercentileApprox(spark, dir).collect()
+    val approx = Relational.aggPercentileApproxRaw(spark, dir).collect()
       .map(r => r.getAs[String]("l_returnflag") -> r).toMap
     val byFlag = graft.ops.Util.table(spark, dir, "lineitem")
       .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
@@ -248,8 +248,18 @@ class RelationalEdgeSpec extends AnyFunSuite with SparkFixture {
   test("approx distinct is exact at small cardinality") {
     val dir = fixtureDir("events" -> events(
       (1L to 50L).map(i => EventRow(i, ts("2024-01-01 00:00:00"), i % 7, "click", 1.0, "{}")): _*))
-    val n = Relational.aggApproxDistinct(spark, dir).collect()(0).getAs[Long]("approx_users")
+    val n = Relational.aggApproxDistinctRaw(spark, dir).collect()(0).getAs[Long]("approx_users")
     assert(n == 7L)
+  }
+
+  test("approx aggregates: declared within-bound flags hold on sf0.01") {
+    val dir = "/root/testdata/sf0.01"
+    val hll = Relational.aggApproxDistinct(spark, dir).collect()
+    assert(hll.nonEmpty && hll.forall(_.getAs[Boolean]("within_bound")))
+    val pct = Relational.aggPercentileApprox(spark, dir).collect()
+    assert(pct.nonEmpty && pct.forall(r =>
+      r.getAs[Boolean]("qty_p50_ok") && r.getAs[Boolean]("qty_p90_ok") &&
+        r.getAs[Boolean]("price_p50_ok")))
   }
 
   test("resample ffill: grid carries last value forward, leading grid is null") {
