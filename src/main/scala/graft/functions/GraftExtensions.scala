@@ -39,6 +39,11 @@ object GraftExtensions {
       binary("mask_intersect_count", MaskIntersectCount.apply)),
     ("sq_dist_double", classOf[SqDistDouble].getName,
       binary("sq_dist_double", SqDistDouble.apply)),
+    ("char_entropy", classOf[CharEntropy].getName, { args =>
+      require(args.length == 1,
+        s"char_entropy expects 1 argument, got ${args.length}")
+      CharEntropy(args.head)
+    }),
     // minhash_band_sigs(hashes, k, r): k and r must be foldable ints —
     // the expression is planned with literal slice geometry, mirroring
     // the DataFrame-side MinhashBandSigs.bandSigs(col, K, R) helper.

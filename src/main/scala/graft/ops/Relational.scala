@@ -405,6 +405,36 @@ object Relational {
       .agg(approx_count_distinct(col("user_id"), HllRsd).as("approx_users"))
       .orderBy("event_type")
 
+  /** Two-level HLL sketch build → merge — the pre-aggregated-sketch
+    * pattern that IS the 100 TB distinct-count architecture: per-(type,
+    * day) sketches are built once (the daily ingest job), persisted as
+    * tiny binary columns, and any later rollup (per type here, but any
+    * dimension subset) is a union of fixed-size sketches — the raw
+    * corpus is never rescanned. Uses Spark's Apache DataSketches HLL
+    * (`hll_sketch_agg`/`hll_union_agg`), whose binary sketches are
+    * mergeable ACROSS jobs, unlike `approx_count_distinct`'s internal
+    * buffer — that's what makes the persist-then-rollup architecture
+    * possible. lgConfigK=14 → rsd ≈ 0.8%; the driver gate mirrors
+    * [[aggApproxDistinct]]: exact count as oracle context plus a
+    * within-bound flag at ±10% (>10σ) the oracle expects TRUE. */
+  def aggSketchUnion(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+      .select(col("event_type"), col("user_id"), to_date(col("ts")).as("day"))
+    val daily = e.groupBy(col("event_type"), col("day"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("approx_users"),
+        count(lit(1)).as("n_days"))
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(exact, "event_type")
+      .select(col("event_type"), col("exact_users"), col("n_days"),
+        (abs(col("approx_users").cast("double") - col("exact_users").cast("double"))
+          <= col("exact_users").cast("double") * 0.10).as("within_bound"))
+      .orderBy("event_type")
+  }
+
   /** Conditional/boolean aggregates: count_if, bool_and/bool_or, and a
     * conditional sum — the FILTER-clause family. All partial+final like
     * any aggregate. */
@@ -1300,6 +1330,7 @@ object Relational {
     "agg_distinct" -> (aggDistinct _),
     "agg_rollup" -> (aggRollup _),
     "agg_approx_distinct" -> (aggApproxDistinct _),
+    "agg_sketch_union" -> (aggSketchUnion _),
     "agg_collect_sorted" -> (aggCollectSorted _),
     "agg_filtered_bool" -> (aggFilteredBool _),
     "agg_percentiles" -> (aggPercentiles _),
@@ -1744,6 +1775,10 @@ object Relational {
     "agg_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
          count(*) AS n, TRUE AS within_bound
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "agg_sketch_union" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+         count(DISTINCT CAST(ts AS DATE)) AS n_days, TRUE AS within_bound
          FROM events GROUP BY event_type ORDER BY event_type""",
     "agg_percentile_approx" ->
       """SELECT l_returnflag,

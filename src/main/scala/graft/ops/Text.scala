@@ -97,6 +97,22 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Character-distribution Shannon entropy per document — the quality
+    * signal that separates natural language (~3.5–4.5 bits) from
+    * gibberish (high) and boilerplate/repetition (low), computed by the
+    * codegen'd [[graft.functions.CharEntropy]] expression: one O(n) pass
+    * per row inside whole-stage codegen, no per-char explode (the naive
+    * distributed spelling — explode to one row per character — would
+    * multiply a 100 TB corpus into a corpus-sized shuffle for a per-row
+    * statistic). Zero shuffle; the final orderBy is presentation only. */
+  def charEntropyScore(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        r4(graft.functions.CharEntropy.charEntropy(col("text"))).as("entropy"))
+      .orderBy("doc_id")
+
   /** Token counting three ways: whitespace split, a BPE-ish regex
     * (letter runs / digit runs / single punctuation), and the chars/4
     * LLM-token estimate. */
@@ -1148,6 +1164,7 @@ object Text {
     "text_lang_stats" -> (langStats _),
     "text_langid" -> (langId _),
     "text_quality_score" -> (qualityScore _),
+    "text_char_entropy" -> (charEntropyScore _),
     "text_token_count" -> (tokenCount _),
     "text_fingerprint" -> (fingerprint _),
     "text_pos_tokens" -> (posTokens _),
@@ -1600,6 +1617,20 @@ object Text {
            floor((0.6 * (CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE))
              + 0.4 * least((CAST(n_ch - (n_tok - 1) AS DOUBLE) / CAST(n_tok AS DOUBLE)) / 8.0, 1.0)) * 10000.0 + 0.5) / 10000.0 AS quality
          FROM d ORDER BY doc_id""",
+    // Same algebraic form as the CharEntropy expression — H = log2(n) −
+    // Σ k·log2(k) / n — one division total, so both engines agree to r4.
+    "text_char_entropy" ->
+      """WITH cnt AS (
+           SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS k
+           FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+                 FROM documents)
+           GROUP BY doc_id, c),
+         s AS (
+           SELECT doc_id, sum(k) AS n, sum(k * log2(k)) AS sk
+           FROM cnt GROUP BY doc_id)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+           floor((log2(n) - sk / n) * 10000.0 + 0.5) / 10000.0 AS entropy
+         FROM s ORDER BY doc_id""",
     "text_token_count" ->
       """SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,

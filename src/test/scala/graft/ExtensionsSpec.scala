@@ -18,6 +18,32 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Double]("d") == 32.0)
   }
 
+  test("char_entropy: known distributions, empty, null, astral plane") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT char_entropy('aaaa') AS h0, char_entropy('abab') AS h1,
+                char_entropy('abcd') AS h2, char_entropy('') AS he,
+                char_entropy(CAST(NULL AS STRING)) AS hn""").collect()(0)
+    assert(r.getAs[Double]("h0") == 0.0)
+    assert(math.abs(r.getAs[Double]("h1") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("h2") - 2.0) < 1e-12)
+    assert(r.getAs[Double]("he") == 0.0)
+    assert(r.isNullAt(r.fieldIndex("hn")))
+    // surrogate pairs count as ONE code point: {😀:2, a:1}, n=3
+    val astral = spark.sql("SELECT char_entropy('😀😀a') AS h")
+      .collect()(0).getAs[Double]("h")
+    val expected = math.log(3.0) / math.log(2.0) - (2.0 * 1.0 + 1.0 * 0.0) / 3.0
+    assert(math.abs(astral - expected) < 1e-12, s"astral entropy $astral != $expected")
+  }
+
+  test("agg_sketch_union: exact context and bound flags on the tiny fixture") {
+    val rows = graft.ops.Relational.aggSketchUnion(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("within_bound")),
+      "HLL union missed its ±10% gate on sf0.001")
+  }
+
   test("DotProductFloatDouble dots a float vector with a double vector") {
     import graft.functions.DotProductFloatDouble
     import org.apache.spark.sql.functions._

@@ -347,6 +347,26 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }.isEmpty, s"window formulation still planned:\n$p")
   }
 
+  test("text_char_entropy: per-row projection, no hash shuffle, codegen'd") {
+    val df = graft.ops.Text.charEntropyScore(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-row statistic plans a hash shuffle:\n$p")
+    assert(p.contains("char_entropy") && p.contains("*("),
+      s"entropy expression not in a codegen stage:\n$p")
+  }
+
+  test("agg_sketch_union: sketches aggregate partial+final (mergeable state)") {
+    val p = plan(Relational.aggSketchUnion(spark, dir))
+    // DataSketches HLL buffers plan through ObjectHashAggregate with a
+    // map-side partial pass — the property that makes the two-level
+    // build→union architecture shuffle fixed-size sketches, not rows.
+    assert(p.contains("ObjectHashAggregate"), s"no object hash aggregate:\n$p")
+    assert(p.contains("hll_union_agg") || p.contains("hll_sketch_agg"),
+      s"sketch aggs missing from plan:\n$p")
+  }
+
   test("whole-stage codegen covers the pricing-summary pipeline") {
     // AQE prints the final plan (with codegen stages) only after execution
     val df = Relational.aggPricingSummary(spark, dir)
