@@ -270,6 +270,48 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** NEAREST as-of join — each click paired with the same user's closest
+    * purchase in EITHER time direction (`merge_asof(direction=
+    * 'nearest')`), ties to the backward match; completes the as-of
+    * family next to [[joinAsofEventOrder]] (backward),
+    * [[joinAsofForward]], and [[joinAsofTolerance]]. One union + ONE
+    * shuffle/sort on (user, time, tag): purchases sort before clicks at
+    * the same instant, so the backward frame (preceding ∪ current) sees
+    * same-instant purchases as gap-0 matches — which win any tie by the
+    * backward preference — and the forward frame (current ∪ following)
+    * only ever needs strictly-later purchases. Both frames run over the
+    * same partitioned sort; no |clicks|×|purchases| pair space exists at
+    * any scale. */
+  def joinAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val c = ev.filter(col("event_type") === "click").select(
+      col("user_id").as("uid"), unix_micros(col("ts")).as("t_us"),
+      lit(1).as("is_c"), col("event_id"), tsS(col("ts")).as("ts_s"),
+      lit(null).cast("long").as("p_us"))
+    val p = ev.filter(col("event_type") === "purchase").select(
+      col("user_id").as("uid"), unix_micros(col("ts")).as("t_us"),
+      lit(0).as("is_c"), lit(null).cast("long").as("event_id"),
+      lit(null).cast("string").as("ts_s"),
+      unix_micros(col("ts")).as("p_us"))
+    val ord = Window.partitionBy("uid")
+      .orderBy(col("t_us"), col("is_c"), col("event_id"))
+    val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val takeBackward = col("b_us").isNotNull &&
+      (col("f_us").isNull || (col("t_us") - col("b_us")) <= (col("f_us") - col("t_us")))
+    c.unionByName(p)
+      .withColumn("b_us", max(col("p_us")).over(wb))
+      .withColumn("f_us", min(col("p_us")).over(wf))
+      .filter(col("is_c") === 1)
+      .select(col("event_id"), col("uid").as("user_id"), col("ts_s"),
+        when(takeBackward, lit("backward"))
+          .when(col("f_us").isNotNull, lit("forward")).as("dir"),
+        when(takeBackward, col("t_us") - col("b_us"))
+          .when(col("f_us").isNotNull, col("f_us") - col("t_us"))
+          .cast("long").as("gap_us"))
+      .orderBy("event_id")
+  }
+
   /** Interval join — the batch shape of a stream-stream join with an
     * event-time constraint (`purchases within 1 hour after a click, same
     * user`): equi key (user) carries the one shuffle, the time-range
@@ -1037,6 +1079,34 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Regex pattern matching over each user's ORDERED event-type sequence
+    * — the MATCH_RECOGNIZE shape: encode the per-user history as a
+    * one-char-per-event path string (c/e/p/s/v) and count non-overlapping
+    * `cv*p` conversions (click, any views, purchase) with a single
+    * regexp pass. The path is built via the engine's ordered-gather
+    * idiom ([[eventsEwma]]): array_sort(collect_list(struct(ts, id,
+    * ch))) — per-KEY state bounded by one user's history, never the
+    * stream, then the match itself is per-row. `cv*p` is deterministic
+    * (single-char alternatives, no ambiguity), so Java and RE2-style
+    * engines agree on match count exactly. The streaming twin is
+    * flatMapGroupsWithState accumulating the tail of the path per key. */
+  def eventsSequenceMatch(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events").select(
+      col("user_id"), unix_micros(col("ts")).as("t_us"), col("event_id"),
+      substring(col("event_type"), 1, 1).as("ch"))
+    e.groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("t_us"), col("event_id"), col("ch"))))
+        .as("seq"))
+      .withColumn("path", concat_ws("", transform(col("seq"), s => s.getField("ch"))))
+      .select(col("user_id"),
+        length(col("path")).cast("long").as("n_events"),
+        size(regexp_extract_all(col("path"), lit("cv*p"), lit(0)))
+          .cast("long").as("n_conversions"),
+        (instr(col("path"), "e") > 0).as("saw_error"),
+        substring(col("path"), 1, 20).as("path_head"))
+      .orderBy("user_id")
+  }
+
   /** Ordered funnel over the event stream — view → click → purchase per
     * user, each step's timestamp the EARLIEST occurrence strictly after
     * the previous step (sequence analytics, not just per-type counts: the
@@ -1314,6 +1384,8 @@ object Relational {
     "join_theta_range" -> (joinThetaRange _),
     "join_asof_tolerance" -> (joinAsofTolerance _),
     "join_asof_forward" -> (joinAsofForward _),
+    "join_asof_nearest" -> (joinAsofNearest _),
+    "events_sequence_match" -> (eventsSequenceMatch _),
     "events_markov" -> (eventsMarkov _),
     "events_path_trigrams" -> (eventsPathTrigrams _),
     "events_mad_outliers" -> (eventsMadOutliers _),
@@ -1670,6 +1742,43 @@ object Relational {
            (SELECT * FROM ${evSql()} WHERE event_type = 'purchase') p
            ON c.user_id = p.user_id AND c.ts <= p.ts
          ORDER BY c.event_id""",
+    "join_asof_nearest" ->
+      s"""WITH u AS (
+           SELECT user_id AS uid, epoch_us(ts) AS t_us, 1 AS is_c, event_id,
+                  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+                  CAST(NULL AS BIGINT) AS p_us
+           FROM ${evSql()} WHERE event_type = 'click'
+           UNION ALL
+           SELECT user_id, epoch_us(ts), 0, NULL, NULL, epoch_us(ts)
+           FROM ${evSql()} WHERE event_type = 'purchase'),
+         w AS (
+           SELECT *,
+             max(p_us) OVER (PARTITION BY uid ORDER BY t_us, is_c, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_us,
+             min(p_us) OVER (PARTITION BY uid ORDER BY t_us, is_c, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_us
+           FROM u)
+         SELECT event_id, uid AS user_id, ts_s,
+           CASE WHEN b_us IS NOT NULL
+                     AND (f_us IS NULL OR t_us - b_us <= f_us - t_us)
+                THEN 'backward'
+                WHEN f_us IS NOT NULL THEN 'forward' END AS dir,
+           CASE WHEN b_us IS NOT NULL
+                     AND (f_us IS NULL OR t_us - b_us <= f_us - t_us)
+                THEN t_us - b_us
+                WHEN f_us IS NOT NULL THEN f_us - t_us END AS gap_us
+         FROM w WHERE is_c = 1 ORDER BY event_id""",
+    "events_sequence_match" ->
+      s"""WITH p AS (
+           SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+               ORDER BY ts, event_id) AS path
+           FROM ${evSql()} GROUP BY user_id)
+         SELECT user_id, CAST(length(path) AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(path, 'cv*p')) AS BIGINT) AS n_conversions,
+           contains(path, 'e') AS saw_error,
+           substr(path, 1, 20) AS path_head
+         FROM p ORDER BY user_id""",
     "events_markov" ->
       s"""WITH t AS (
            SELECT event_type AS from_type,

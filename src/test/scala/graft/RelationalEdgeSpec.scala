@@ -252,6 +252,60 @@ class RelationalEdgeSpec extends AnyFunSuite with SparkFixture {
     assert(n == 7L)
   }
 
+  test("asof nearest: tie goes backward, same-instant is gap 0, no-purchase user is null") {
+    def e(id: Long, t: String, uid: Long, typ: String) =
+      EventRow(id, ts(t), uid, typ, 1.0, "{}")
+    val dir = fixtureDir("events" -> events(
+      // user 1: click equidistant (1h) from purchases both sides → backward
+      e(1, "2024-01-01 01:00:00", 1, "purchase"),
+      e(2, "2024-01-01 02:00:00", 1, "click"),
+      e(3, "2024-01-01 03:00:00", 1, "purchase"),
+      // user 2: purchase exactly at the click instant → backward, gap 0
+      e(4, "2024-01-02 00:00:00", 2, "purchase"),
+      e(5, "2024-01-02 00:00:00", 2, "click"),
+      // user 3: forward-only purchase
+      e(6, "2024-01-03 00:00:00", 3, "click"),
+      e(7, "2024-01-03 00:30:00", 3, "purchase"),
+      // user 4: clicks but no purchases
+      e(8, "2024-01-04 00:00:00", 4, "click")))
+    val out = Relational.joinAsofNearest(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") -> r).toMap
+    assert(out(2).getAs[String]("dir") == "backward" &&
+      out(2).getAs[Long]("gap_us") == 3600L * 1000000)
+    assert(out(5).getAs[String]("dir") == "backward" &&
+      out(5).getAs[Long]("gap_us") == 0L)
+    assert(out(6).getAs[String]("dir") == "forward" &&
+      out(6).getAs[Long]("gap_us") == 1800L * 1000000)
+    assert(out(8).isNullAt(out(8).fieldIndex("dir")) &&
+      out(8).isNullAt(out(8).fieldIndex("gap_us")))
+  }
+
+  test("sequence match: non-overlapping cv*p counting and error flag") {
+    def e(id: Long, t: String, uid: Long, typ: String) =
+      EventRow(id, ts(t), uid, typ, 1.0, "{}")
+    val dir = fixtureDir("events" -> events(
+      // user 1 path: c v v p c p e  → 2 conversions, saw error
+      e(1, "2024-01-01 00:00:01", 1, "click"),
+      e(2, "2024-01-01 00:00:02", 1, "view"),
+      e(3, "2024-01-01 00:00:03", 1, "view"),
+      e(4, "2024-01-01 00:00:04", 1, "purchase"),
+      e(5, "2024-01-01 00:00:05", 1, "click"),
+      e(6, "2024-01-01 00:00:06", 1, "purchase"),
+      e(7, "2024-01-01 00:00:07", 1, "error"),
+      // user 2 path: c v s p → the signup breaks the cv*p run
+      e(8, "2024-01-01 00:00:01", 2, "click"),
+      e(9, "2024-01-01 00:00:02", 2, "view"),
+      e(10, "2024-01-01 00:00:03", 2, "signup"),
+      e(11, "2024-01-01 00:00:04", 2, "purchase")))
+    val out = Relational.eventsSequenceMatch(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out(1).getAs[Long]("n_conversions") == 2L &&
+      out(1).getAs[Boolean]("saw_error"))
+    assert(out(1).getAs[String]("path_head") == "cvvpcpe")
+    assert(out(2).getAs[Long]("n_conversions") == 0L &&
+      !out(2).getAs[Boolean]("saw_error"))
+  }
+
   test("approx aggregates: declared within-bound flags hold on sf0.01") {
     val dir = "/root/testdata/sf0.01"
     val hll = Relational.aggApproxDistinct(spark, dir).collect()
