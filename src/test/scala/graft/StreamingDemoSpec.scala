@@ -60,6 +60,34 @@ class StreamingDemoSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming content dedup: in-horizon duplicate dropped, state evicted past watermark") {
+    import graft.streaming.StreamDedup
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamDedup.dedupStream(
+      ms.toDF.toDF("doc_id", "ts", "text"), horizon = "1 hour")
+      .writeStream.format("memory").queryName("sdedup_test").outputMode("append").start()
+    try {
+      ms.addData(
+        (1L, ts("2024-01-01 10:00:00"), "alpha"),
+        (2L, ts("2024-01-01 10:00:00"), "beta"))
+      q.processAllAvailable()
+      // same content 10 min later, inside the horizon → suppressed
+      ms.addData((3L, ts("2024-01-01 10:10:00"), "alpha"))
+      q.processAllAvailable()
+      // advance the watermark well past alpha's eviction point…
+      ms.addData((4L, ts("2024-01-01 14:00:00"), "gamma"))
+      q.processAllAvailable()
+      // …then the SAME content re-arrives: state was evicted, so it
+      // re-emits — the explicit at-least-once trade of bounded state
+      ms.addData((5L, ts("2024-01-01 14:05:00"), "alpha"))
+      q.processAllAvailable()
+      val ids = spark.table("sdedup_test").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(ids == Set(1L, 2L, 4L, 5L), s"got: $ids")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer emits a session on event-time timeout") {
     import graft.streaming.Sessionize
     import graft.streaming.Sessionize.SessEvent
