@@ -47,7 +47,7 @@ object Bench {
     val buildOnce = Seq("simsearch_pq_index", "simsearch_ivf_index",
       "dedup_index_probe", "pipe_partition_prune", "pipe_schema_evolution",
       "join_bucketed_colocated", "pipe_csv_roundtrip", "pipe_json_roundtrip",
-      "pipe_orc_roundtrip")
+      "pipe_orc_roundtrip", "join_prune_dynamic")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val best = (1 to iters).map { _ =>
         val t0 = System.nanoTime()

@@ -93,20 +93,50 @@ object PipelineOps {
   private val pruneScratch =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def partitionPrune(spark: SparkSession, dir: String): DataFrame = {
-    // computeIfAbsent makes write-once atomic per input dir even under
-    // concurrent callers within this JVM.
-    val scratch = pruneScratch.computeIfAbsent(dir, { d =>
+  /** Write-once date-partitioned scratch layout of `events`, shared by
+    * the static ([[partitionPrune]]) and dynamic ([[joinPruneDynamic]])
+    * pruning queries. computeIfAbsent makes the build atomic per input
+    * dir even under concurrent callers within this JVM. */
+  private def pruneLayout(spark: SparkSession, dir: String): String =
+    pruneScratch.computeIfAbsent(dir, { d =>
       val out = new java.io.File(pruneRoot, "d" + dirKey(d))
       graft.sources.TableSinks.writeDatePartitioned(
         table(spark, d, "events"), "ts", out.getPath, Seq("event_id"))
       out.getPath
     })
+
+  def partitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = pruneLayout(spark, dir)
     graft.sources.TableSinks.readDatePartitioned(spark, scratch)
       .filter(col("p_date") === lit("2024-01-15"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), dsumR(col("value"), Qty).as("sum_value"))
       .orderBy("event_type")
+  }
+
+  /** DYNAMIC partition pruning — the runtime complement of
+    * [[partitionPrune]]'s static day filter, and the feature that decides
+    * whether a partitioned-fact join reads 7 directories or 100 000 at
+    * 100 TB: the qualifying dates are NOT a literal in the query, they
+    * come out of a dim-side computation (distinct signup dates in the
+    * first week of each month), so static pruning can't apply. Catalyst's
+    * DPP injects the broadcast dim's date set into the fact scan's
+    * PartitionFilters as a `dynamicpruningexpression` (PlanSpec-asserted)
+    * — the fact side never reads a non-qualifying directory, and the dim
+    * broadcast is reused for both the pruning filter and the join. */
+  def joinPruneDynamic(spark: SparkSession, dir: String): DataFrame = {
+    val fact = graft.sources.TableSinks.readDatePartitioned(
+      spark, pruneLayout(spark, dir))
+    val dim = table(spark, dir, "events")
+      .filter(col("event_type") === "signup")
+      .select(to_date(col("ts")).as("p_date")).distinct()
+      .filter(dayofmonth(col("p_date")) <= 7)
+    fact.join(broadcast(dim), "p_date")
+      .groupBy(col("p_date"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsumR(col("value"), Qty).as("sum_value"))
+      .select(dateS(col("p_date")).as("p_date"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("p_date", "event_type")
   }
 
   /** Deterministic, reproducible sampling — the pipeline op an LLM data
@@ -672,7 +702,8 @@ object PipelineOps {
     "pipe_filter_contains" -> (filterContains _),
     "pipe_parse_project" -> (parseProject _),
     "pipe_incremental_anti" -> (incrementalAnti _),
-    "pipe_partition_prune" -> (partitionPrune _))
+    "pipe_partition_prune" -> (partitionPrune _),
+    "join_prune_dynamic" -> (joinPruneDynamic _))
 
   val oracleSql: Map[String, String] = Map(
     "pipe_split_train_test" ->
@@ -951,5 +982,17 @@ object PipelineOps {
          round(CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE), 4) AS sum_value
          FROM ${evSql()}
          WHERE CAST(ts AS DATE) = DATE '2024-01-15'
-         GROUP BY event_type ORDER BY event_type""")
+         GROUP BY event_type ORDER BY event_type""",
+    "join_prune_dynamic" ->
+      s"""WITH dim AS (
+           SELECT DISTINCT CAST(ts AS DATE) AS p_date
+           FROM ${evSql()}
+           WHERE event_type = 'signup' AND day(CAST(ts AS DATE)) <= 7)
+         SELECT strftime(e.p_date, '%Y-%m-%d') AS p_date, e.event_type,
+           count(*) AS n,
+           round(CAST(sum(CAST(e.value AS DECIMAL(10,2))) AS DOUBLE), 4) AS sum_value
+         FROM (SELECT *, CAST(ts AS DATE) AS p_date FROM ${evSql()}) e
+         JOIN dim USING (p_date)
+         GROUP BY e.p_date, e.event_type
+         ORDER BY p_date, event_type""")
 }

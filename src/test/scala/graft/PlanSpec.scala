@@ -347,6 +347,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }.isEmpty, s"window formulation still planned:\n$p")
   }
 
+  test("join_prune_dynamic: fact scan carries a dynamic pruning partition filter") {
+    val df = PipelineOps.joinPruneDynamic(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n$p")
+  }
+
   test("text_char_entropy: per-row projection, no hash shuffle, codegen'd") {
     val df = graft.ops.Text.charEntropyScore(spark, dir)
     df.collect()
