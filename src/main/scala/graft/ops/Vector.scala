@@ -151,6 +151,31 @@ object Vector {
       .orderBy("probe_id", "rk")
   }
 
+  /** Recall@3 evaluation of the multi-probe SRP ANN against the exact
+    * brute-force ranking — the measurement every ANN deployment needs
+    * CONTINUOUSLY, not once: embedding drift silently degrades bucket
+    * quality, and recall against an exact baseline over a probe SAMPLE
+    * is the standard canary. Composes the two gated operators
+    * ([[simsearchTopk]] truncated to k=3 and [[simsearchLshMultiprobe]])
+    * and joins their result sets per probe; cost is the ANN query plus
+    * an exact pass over the probe sample only (10 probes broadcast, the
+    * corpus streams map-side) — never an exact all-pairs job. */
+  def simsearchRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    val exact = simsearchTopk(spark, dir).filter(col("rk") <= 3)
+      .select(col("probe_id"), col("neighbor_id"))
+    val ann = simsearchLshMultiprobe(spark, dir)
+      .select(col("probe_id"), col("neighbor_id"))
+    val hits = exact.join(ann, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy("probe_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        r4(coalesce(col("n_hit"), lit(0L)).cast("double")
+          / col("n_exact").cast("double")).as("recall"))
+      .orderBy("probe_id")
+  }
+
   /** float-corpus × double-centroid dot — codegen'd
     * ([[graft.functions.DotProductFloatDouble]]); accumulates
     * left-to-right, the same op order as the DuckDB
@@ -916,6 +941,7 @@ object Vector {
     "simsearch_knn_join" -> (simsearchKnnJoin _),
     "simsearch_lsh" -> (simsearchLsh _),
     "simsearch_lsh_multiprobe" -> (simsearchLshMultiprobe _),
+    "simsearch_recall_eval" -> (simsearchRecallEval _),
     "simsearch_ivf" -> (simsearchIvf _),
     "simsearch_ivf_index" -> (simsearchIvfIndex _),
     "simsearch_pq" -> (simsearchPq _),
@@ -1201,6 +1227,46 @@ object Vector {
            CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk,
            vec_id AS neighbor_id, cos
          FROM s QUALIFY rk <= 3 ORDER BY probe_id, rk""",
+    // Composes the exact-top-3 and multiprobe CTEs (same spellings as
+    // their own oracles) and counts the per-probe overlap.
+    "simsearch_recall_eval" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
+             FROM embeddings ORDER BY vec_id LIMIT 10),
+         ex0 AS (SELECT p.probe_id, c.vec_id,
+             ${r4Sql(cosSql("c.embedding", "p.pe"))} AS cos
+           FROM embeddings c, p WHERE c.vec_id != p.probe_id),
+         ex AS (SELECT probe_id, vec_id FROM (
+             SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY cos DESC, vec_id) AS rk
+             FROM ex0) WHERE rk <= 3),
+         e AS (SELECT vec_id, embedding, $srpBucketSql AS bucket FROM embeddings),
+         p0 AS (SELECT vec_id AS probe_id, embedding AS pe, bucket
+             FROM e ORDER BY vec_id LIMIT 10),
+         pm AS (SELECT probe_id, pe,
+             CASE WHEN f.i = 0 THEN bucket
+                  ELSE substr(bucket, 1, CAST(f.i AS INTEGER) - 1) ||
+                       (CASE WHEN substr(bucket, CAST(f.i AS INTEGER), 1) = '1'
+                             THEN '0' ELSE '1' END) ||
+                       substr(bucket, CAST(f.i AS INTEGER) + 1, 8) END AS bucket
+           FROM p0, (SELECT unnest(range(0, 9)) AS i) f),
+         s AS (SELECT pm.probe_id, c.vec_id,
+             ${r4Sql(cosSql("c.embedding", "pm.pe"))} AS cos
+           FROM e c JOIN pm ON c.bucket = pm.bucket AND c.vec_id != pm.probe_id),
+         ann AS (SELECT probe_id, vec_id FROM (
+             SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY cos DESC, vec_id) AS rk
+             FROM s) WHERE rk <= 3),
+         hit AS (SELECT ex.probe_id, count(*) AS n_hit
+           FROM ex JOIN ann ON ex.probe_id = ann.probe_id
+             AND ex.vec_id = ann.vec_id
+           GROUP BY ex.probe_id),
+         tot AS (SELECT probe_id, count(*) AS n_exact FROM ex GROUP BY probe_id)
+         SELECT t.probe_id, t.n_exact, coalesce(h.n_hit, 0) AS n_hit,
+           ${r4Sql("CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(t.n_exact AS DOUBLE)")} AS recall
+         FROM tot t LEFT JOIN hit h ON t.probe_id = h.probe_id
+         ORDER BY t.probe_id""",
     "simsearch_pq" -> pqOracleSqlStr,
     // The persisted-index variant replays the identical deterministic
     // training, so the SAME oracle gates that persistence round-trips
