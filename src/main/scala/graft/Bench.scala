@@ -1,6 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Sink for the calibration loop's result so the JIT can't remove it. */
+  @volatile private var blackhole: Long = 0L
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -48,6 +51,19 @@ object Bench {
       "dedup_index_probe", "pipe_partition_prune", "pipe_schema_evolution",
       "join_bucketed_colocated", "pipe_csv_roundtrip", "pipe_json_roundtrip",
       "pipe_orc_roundtrip", "join_prune_dynamic")
+    // Fixed single-thread CPU calibration, measured OUTSIDE any Spark
+    // machinery: round-to-round totals have been distorted by VM speed
+    // twice (r4's contended driver run; r8's VM measuring ~3× slower
+    // than r6's on identical code). A constant arithmetic workload gives
+    // the reader a normalizer: query_sec / calib_sec is comparable
+    // across hosts, raw seconds are not. volatile sink defeats DCE.
+    val calibSec = {
+      val t0 = System.nanoTime()
+      var s = 0L; var i = 0L
+      while (i < 400000000L) { s += i * 31 + (i ^ (s >>> 7)); i += 1 }
+      Bench.blackhole = s
+      (System.nanoTime() - t0) / 1e9
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val best = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
@@ -72,7 +88,7 @@ object Bench {
     // pre-warms its OS page cache / parquet footers — runs with different
     // warm_dir values are not comparable, and the record makes that visible.
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","iters":$iters,"build_once":${buildOnce.map("\"" + _ + "\"").mkString("[", ",", "]")},"total_sec":${num(total)}}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","iters":$iters,"calib_sec":${num(calibSec)},"build_once":${buildOnce.map("\"" + _ + "\"").mkString("[", ",", "]")},"total_sec":${num(total)}}"""
     try {
       val w = new java.io.PrintWriter("bench_last.json")
       try w.println(line) finally w.close()
@@ -97,7 +113,7 @@ object Bench {
     val qsCompact = kept.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","iters":$iters,"n_queries":${results.size},"n_reported":${kept.size},"queries_full":"bench_last.json","total_sec":${num(total)}}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","iters":$iters,"n_queries":${results.size},"n_reported":${kept.size},"queries_full":"bench_last.json","calib_sec":${num(calibSec)},"total_sec":${num(total)}}"""
     println(compact)
     spark.stop()
   }

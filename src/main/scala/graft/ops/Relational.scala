@@ -1079,6 +1079,37 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Gaps-and-islands: each user's runs of CONSECUTIVE same-type events
+    * (change-flag + running sum to number the islands — the classic
+    * trick), rolled up to run count, longest-run length, and the longest
+    * run's type (ties to the greater type via a struct argmax, mirrored
+    * by the oracle's rank). Both window passes share one (user, time,
+    * id) ordering so the plan sorts each user's slice once; the two
+    * follow-up aggregations reuse the hash partitioning on user_id.
+    * State per key is bounded by that user's history — the same memory
+    * model as [[eventsSessionize]], which is this op keyed on value
+    * change instead of time gap. */
+  def eventsStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("t_us"), col("event_id"))
+    val e = table(spark, dir, "events").select(
+      col("user_id"), unix_micros(col("ts")).as("t_us"),
+      col("event_id"), col("event_type"))
+    val prev = lag(col("event_type"), 1).over(w)
+    val runs = e
+      .withColumn("chg", when(prev.isNull || prev =!= col("event_type"), 1).otherwise(0))
+      .withColumn("grp",
+        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("grp"), col("event_type"))
+      .agg(count(lit(1)).as("len"))
+    runs.groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_runs"),
+        max(struct(col("len"), col("event_type"))).as("best"))
+      .select(col("user_id"), col("n_runs"),
+        col("best.len").as("max_len"), col("best.event_type").as("top_type"))
+      .orderBy("user_id")
+  }
+
   /** Regex pattern matching over each user's ORDERED event-type sequence
     * — the MATCH_RECOGNIZE shape: encode the per-user history as a
     * one-char-per-event path string (c/e/p/s/v) and count non-overlapping
@@ -1386,6 +1417,7 @@ object Relational {
     "join_asof_forward" -> (joinAsofForward _),
     "join_asof_nearest" -> (joinAsofNearest _),
     "events_sequence_match" -> (eventsSequenceMatch _),
+    "events_streaks" -> (eventsStreaks _),
     "events_markov" -> (eventsMarkov _),
     "events_path_trigrams" -> (eventsPathTrigrams _),
     "events_mad_outliers" -> (eventsMadOutliers _),
@@ -1768,6 +1800,31 @@ object Relational {
                 THEN t_us - b_us
                 WHEN f_us IS NOT NULL THEN f_us - t_us END AS gap_us
          FROM w WHERE is_c = 1 ORDER BY event_id""",
+    "events_streaks" ->
+      s"""WITH x AS (
+           SELECT user_id, event_id, event_type, ts,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+           FROM ${evSql()}
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         g AS (
+           SELECT *, sum(chg) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS grp
+           FROM x),
+         runs AS (
+           SELECT user_id, grp, event_type, count(*) AS len
+           FROM g GROUP BY 1, 2, 3),
+         best AS (
+           SELECT user_id, len, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY len DESC, event_type DESC) AS rk
+           FROM runs)
+         SELECT r.user_id, r.n_runs, CAST(b.len AS BIGINT) AS max_len,
+           b.event_type AS top_type
+         FROM (SELECT user_id, count(*) AS n_runs FROM runs GROUP BY 1) r
+         JOIN best b ON r.user_id = b.user_id AND b.rk = 1
+         ORDER BY r.user_id""",
     "events_sequence_match" ->
       s"""WITH p AS (
            SELECT user_id,

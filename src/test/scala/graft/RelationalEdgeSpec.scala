@@ -306,6 +306,29 @@ class RelationalEdgeSpec extends AnyFunSuite with SparkFixture {
       !out(2).getAs[Boolean]("saw_error"))
   }
 
+  test("streaks: islands split on type change, equal-length tie goes to greater type") {
+    def e(id: Long, t: String, uid: Long, typ: String) =
+      EventRow(id, ts(t), uid, typ, 1.0, "{}")
+    val dir = fixtureDir("events" -> events(
+      // user 1: vv cc → two runs of 2; tie → 'view' (> 'click')
+      e(1, "2024-01-01 00:00:01", 1, "view"),
+      e(2, "2024-01-01 00:00:02", 1, "view"),
+      e(3, "2024-01-01 00:00:03", 1, "click"),
+      e(4, "2024-01-01 00:00:04", 1, "click"),
+      // user 2: v c v — three runs of 1, alternation splits islands
+      e(5, "2024-01-01 00:00:01", 2, "view"),
+      e(6, "2024-01-01 00:00:02", 2, "click"),
+      e(7, "2024-01-01 00:00:03", 2, "view")))
+    val out = Relational.eventsStreaks(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out(1).getAs[Long]("n_runs") == 2L &&
+      out(1).getAs[Long]("max_len") == 2L &&
+      out(1).getAs[String]("top_type") == "view")
+    assert(out(2).getAs[Long]("n_runs") == 3L &&
+      out(2).getAs[Long]("max_len") == 1L &&
+      out(2).getAs[String]("top_type") == "view")
+  }
+
   test("approx aggregates: declared within-bound flags hold on sf0.01") {
     val dir = "/root/testdata/sf0.01"
     val hll = Relational.aggApproxDistinct(spark, dir).collect()
