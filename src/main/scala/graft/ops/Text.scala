@@ -1055,18 +1055,31 @@ object Text {
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
       .withColumn("n_toks", size(col("toks")).cast("long"))
       .withColumn("n_dist", size(array_distinct(col("toks"))).cast("long"))
-    val mx = d.filter(col("n_toks") >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
-        .as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max(col("c")).as("max_bg"))
-    val fracs = d.join(mx, Seq("doc_id"), "left")
+    // The per-doc max-bigram multiplicity is a PER-ROW statistic: sort
+    // the row's own bigram array and fold for the longest equal run —
+    // multiplicity in a sorted list IS run length. The previous shape
+    // (explode → groupBy(doc_id, bg) → groupBy(doc_id)) shuffled the
+    // entire corpus token stream twice for the same number; at 100 TB
+    // that was THE cost of this query (measured 0.7 s → 3.1 s growing
+    // with fixture size at sf0.1; per-row form removes both exchanges).
+    // The oracle keeps its unnest+GROUP BY spelling — identical values.
+    val maxBgRun = expr(
+      """aggregate(
+           array_sort(transform(sequence(0, size(toks) - 2),
+             i -> concat(toks[i], ' ', toks[i+1]))),
+           named_struct('prev', '', 'run', 0L, 'best', 0L),
+           (st, x) -> named_struct(
+             'prev', x,
+             'run', IF(x = st.prev, st.run + 1L, 1L),
+             'best', GREATEST(st.best, IF(x = st.prev, st.run + 1L, 1L))),
+           st -> st.best)""")
+    val fracs = d
+      .withColumn("max_bg", when(col("n_toks") >= 2, maxBgRun).otherwise(lit(0L)))
       .withColumn("dup_frac",
         lit(1.0) - col("n_dist").cast("double") / col("n_toks").cast("double"))
       .withColumn("bg_frac",
         when(col("n_toks") >= 2,
-          least(lit(1.0), coalesce(col("max_bg"), lit(0L)).cast("double") * 2.0
+          least(lit(1.0), col("max_bg").cast("double") * 2.0
             / col("n_toks").cast("double"))).otherwise(lit(0.0)))
       .withColumn("flagged", col("dup_frac") > 0.2 || col("bg_frac") > 0.2)
     val dec = DecimalType(16, 6)

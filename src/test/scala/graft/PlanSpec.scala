@@ -347,6 +347,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }.isEmpty, s"window formulation still planned:\n$p")
   }
 
+  test("text_repetition_stats: per-doc bigram stat stays per-row (no explode, one rollup shuffle)") {
+    val p = plan(graft.ops.Text.repetitionStats(spark, dir))
+    assert(!p.contains("Generate"),
+      s"per-doc statistic explodes the corpus token stream:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"expected only the source/flagged rollup exchange, got $exchanges:\n$p")
+  }
+
   test("join_prune_dynamic: fact scan carries a dynamic pruning partition filter") {
     val df = PipelineOps.joinPruneDynamic(spark, dir)
     df.collect()
