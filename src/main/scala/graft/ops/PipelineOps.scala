@@ -273,6 +273,33 @@ object PipelineOps {
     * any scale factor). One full-outer equi join on the
     * key; per-row classification is a codegen'd projection. Output:
     * per diff status, row count, exact price delta, and key fences. */
+  /** Order-independent table content checksum — the cheap equality
+    * primitive behind snapshot promotion, replica verification, and
+    * migration sign-off at 100 TB: hash each row canonically, SUM the
+    * hashes per group (commutative, so NO global sort and no row
+    * pairing; map-side partial sums shuffle one number per partition),
+    * and compare the per-group totals of two tables. The full row-diff
+    * ([[snapshotDiff]]) is what you run AFTER a checksum mismatch tells
+    * you which group diverged. Row hash: 60 low bits of md5 over a
+    * '|'-joined canonical projection (explicit VARCHAR casts so both
+    * engines hash identical bytes), summed as DECIMAL(38,0) — a BIGINT
+    * sum would overflow at ~8 rows × 2⁶⁰; 38 digits holds ~10¹⁸ rows. */
+  def tableChecksum(spark: SparkSession, dir: String): DataFrame = {
+    val canonical = concat_ws("|",
+      col("doc_id").cast("string"), col("lang"), col("source"),
+      col("n_chars").cast("string"), md5(col("text").cast("binary")))
+    val rowHash = conv(substring(md5(canonical.cast("binary")), 1, 15), 16, 10)
+      .cast(DecimalType(38, 0))
+    table(spark, dir, "documents")
+      .select(col("source"), rowHash.as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("h")).cast(DecimalType(38, 0)).as("cks"))
+      .select(col("source"), col("n_rows"),
+        col("cks").cast("string").as("checksum"))
+      .orderBy("source")
+  }
+
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val base = table(spark, dir, "orders")
       .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
@@ -703,7 +730,8 @@ object PipelineOps {
     "pipe_parse_project" -> (parseProject _),
     "pipe_incremental_anti" -> (incrementalAnti _),
     "pipe_partition_prune" -> (partitionPrune _),
-    "join_prune_dynamic" -> (joinPruneDynamic _))
+    "join_prune_dynamic" -> (joinPruneDynamic _),
+    "pipe_table_checksum" -> (tableChecksum _))
 
   val oracleSql: Map[String, String] = Map(
     "pipe_split_train_test" ->
@@ -983,6 +1011,13 @@ object PipelineOps {
          FROM ${evSql()}
          WHERE CAST(ts AS DATE) = DATE '2024-01-15'
          GROUP BY event_type ORDER BY event_type""",
+    "pipe_table_checksum" ->
+      """SELECT source, count(*) AS n_rows,
+         CAST(sum(CAST(CAST(('0x' || substr(md5(concat_ws('|',
+             CAST(doc_id AS VARCHAR), lang, source,
+             CAST(n_chars AS VARCHAR), md5(text))), 1, 15)) AS BIGINT)
+           AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+         FROM documents GROUP BY source ORDER BY source""",
     "join_prune_dynamic" ->
       s"""WITH dim AS (
            SELECT DISTINCT CAST(ts AS DATE) AS p_date
