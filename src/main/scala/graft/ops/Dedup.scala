@@ -603,7 +603,16 @@ object Dedup {
     * member lists are sorted) makes that three self-equi-joins of ONE
     * edge table, materialized once and reused by all three sides and the
     * degree count. Per-node bound: paths-through-b ≤ deg(b)² with deg ≤
-    * Bands·LshBucketCap — capped, never corpus-quadratic. */
+    * Bands·LshBucketCap — capped, never corpus-quadratic.
+    *
+    * Cost note (profiled at sf0.1): the candidate graph of a templated
+    * corpus is locally DENSE — ~300k edges over ~3k nodes (avg degree
+    * ~206) closing ~23M real triangles — so enumeration, which any
+    * exact per-node count must pay, is Θ(#triangles) and dominates the
+    * query. Degree-ordered orientation would prune only non-closing
+    * wedges, not real triangles, and is not worth its two extra degree
+    * joins here; the knob that actually bounds the work at 100 TB is
+    * the bucket cap, which caps every clique the LSH layer can emit. */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
     val d = table(spark, dir, "documents")
     val base = d.select(col("doc_id"), col("source"),
