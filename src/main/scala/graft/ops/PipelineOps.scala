@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import Util._
@@ -154,6 +155,46 @@ object PipelineOps {
       .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_event"),
         max(col("event_id")).as("max_event"))
       .orderBy("event_type")
+
+  /** Token budget for [[tokenBudgetSample]]: absolute, as real training
+    * budgets are — the kept fraction shrinks as the corpus grows. */
+  private[graft] val TokenBudget = 5000L
+
+  /** Token-budget corpus sampling — "take documents until N tokens", the
+    * final step of assembling a fixed-size training mix from an
+    * arbitrarily large corpus. Selection is HASH-PRIORITY: docs are
+    * ordered by md5(doc_id) and the prefix up to the budget is kept, so
+    * the sample is uniform-random yet fully deterministic (same mix on
+    * every engine, retry, and partitioning — rand() or TABLESAMPLE give
+    * none of that) and monotone: raising the budget only ADDS documents.
+    * The global running sum uses the two-level pattern ([[Text]] vocab
+    * ranks, `stream_late_filter`): the hash's first hex digit is a
+    * RANGE prefix, so per-bucket cumulative sums ordered within each of
+    * the 16 buckets plus a 16-row bucket-offset prefix (the only
+    * unpartitioned window, over the bucket aggregate) compose the exact
+    * global order — no single corpus-sized sort task exists at any
+    * scale. */
+  def tokenBudgetSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents").select(
+      col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      md5(col("doc_id").cast("string").cast("binary")).as("pr"))
+      .withColumn("bkt", substring(col("pr"), 1, 1))
+    val wIn = Window.partitionBy("bkt").orderBy(col("pr"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = d.groupBy("bkt").agg(sum(col("n_tok")).as("tot"))
+      .withColumn("off", coalesce(
+        sum(col("tot")).over(Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("off"))
+    d.withColumn("cum_in", sum(col("n_tok")).over(wIn))
+      .join(offs, "bkt")
+      .filter(col("off") + col("cum_in") <= TokenBudget)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_toks"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy("source")
+  }
 
   /** Stratified deterministic sampling — training-mix construction: each
     * source stratum keeps a different fraction (75/50/25% by suffix mod 3)
@@ -731,7 +772,8 @@ object PipelineOps {
     "pipe_incremental_anti" -> (incrementalAnti _),
     "pipe_partition_prune" -> (partitionPrune _),
     "join_prune_dynamic" -> (joinPruneDynamic _),
-    "pipe_table_checksum" -> (tableChecksum _))
+    "pipe_table_checksum" -> (tableChecksum _),
+    "pipe_token_budget_sample" -> (tokenBudgetSample _))
 
   val oracleSql: Map[String, String] = Map(
     "pipe_split_train_test" ->
@@ -1011,6 +1053,19 @@ object PipelineOps {
          FROM ${evSql()}
          WHERE CAST(ts AS DATE) = DATE '2024-01-15'
          GROUP BY event_type ORDER BY event_type""",
+    "pipe_token_budget_sample" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR)) AS pr
+           FROM documents),
+         c AS (
+           SELECT *, sum(n_tok) OVER (ORDER BY pr, doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum
+           FROM d)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_toks, min(doc_id) AS min_doc
+         FROM c WHERE cum <= 5000 GROUP BY source ORDER BY source""",
     "pipe_table_checksum" ->
       """SELECT source, count(*) AS n_rows,
          CAST(sum(CAST(CAST(('0x' || substr(md5(concat_ws('|',
