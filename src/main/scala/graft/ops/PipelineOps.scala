@@ -174,7 +174,17 @@ object PipelineOps {
     * unpartitioned window, over the bucket aggregate) compose the exact
     * global order — no single corpus-sized sort task exists at any
     * scale. */
-  def tokenBudgetSample(spark: SparkSession, dir: String): DataFrame = {
+  def tokenBudgetSample(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetKept(spark, dir, TokenBudget)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_toks"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy("source")
+
+  /** The kept document set for an arbitrary budget — the monotonicity
+    * property (budget ↑ ⇒ kept set ⊇) is spec-tested over this. */
+  private[graft] def tokenBudgetKept(
+      spark: SparkSession, dir: String, budget: Long): DataFrame = {
     val d = table(spark, dir, "documents").select(
       col("doc_id"), col("source"),
       size(split(col("text"), " ")).cast("long").as("n_tok"),
@@ -189,11 +199,7 @@ object PipelineOps {
       .select(col("bkt"), col("off"))
     d.withColumn("cum_in", sum(col("n_tok")).over(wIn))
       .join(offs, "bkt")
-      .filter(col("off") + col("cum_in") <= TokenBudget)
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_toks"),
-        min(col("doc_id")).as("min_doc"))
-      .orderBy("source")
+      .filter(col("off") + col("cum_in") <= budget)
   }
 
   /** Stratified deterministic sampling — training-mix construction: each

@@ -355,6 +355,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(exchanges <= 1, s"expected only the source/flagged rollup exchange, got $exchanges:\n$p")
   }
 
+  test("pipe_token_budget_sample: the only unpartitioned window runs over the 16-bucket aggregate") {
+    val plan = PipelineOps.tokenBudgetSample(spark, dir).queryExecution.sparkPlan
+    val unpart = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.nonEmpty, "expected the bucket-offset prefix sum")
+    unpart.foreach { w =>
+      val nearestAgg = w.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      assert(nearestAgg.exists(_.groupingExpressions.map(_.name) == Seq("bkt")),
+        s"unpartitioned window not over the bucket-level aggregate:\n$w")
+    }
+  }
+
   test("join_prune_dynamic: fact scan carries a dynamic pruning partition filter") {
     val df = PipelineOps.joinPruneDynamic(spark, dir)
     df.collect()

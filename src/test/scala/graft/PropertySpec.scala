@@ -110,6 +110,21 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("token-budget sample is monotone and budget-respecting at every tested budget") {
+    val dir = "/root/testdata/sf0.001"
+    var prev = Set.empty[Long]
+    for (budget <- Seq(500L, 2000L, 5000L, 50000L)) {
+      val kept = graft.ops.PipelineOps.tokenBudgetKept(spark, dir, budget)
+      val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+      val toks = kept.agg(org.apache.spark.sql.functions.sum("n_tok"))
+        .collect()(0).getLong(0)
+      assert(prev.subsetOf(ids), s"budget $budget dropped previously kept docs")
+      assert(toks <= budget, s"budget $budget exceeded: $toks")
+      prev = ids
+    }
+    assert(prev.nonEmpty)
+  }
+
   test("z-order interleave is a bijection: de-interleaving recovers (x, y)") {
     // the fence-tightness claim of pipe_zorder_layout rests on the
     // interleave being information-preserving — check it per-bit over
