@@ -569,6 +569,26 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Several COUNT(DISTINCT …) over DIFFERENT columns in one aggregation
+    * — the multi-distinct plan family: Catalyst rewrites k distinct
+    * aggregates into one Expand (k+1 projections of every row, one per
+    * distinct group plus one for the plain aggregates) feeding a single
+    * two-level hash agg, instead of k separate scans + a join — the
+    * right trade at 100 TB, where rescanning the fact table k times
+    * costs more than a k-fold Expand of one scan. Plain count/sum ride
+    * along in the same pass. */
+  def aggMultiDistinct(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderpriority")).as("n_prio"),
+        countDistinct(year(col("o_orderdate").cast("timestamp")).cast("long"))
+          .as("n_years"),
+        count(lit(1)).as("n"),
+        dsumR(col("o_totalprice"), Money).as("sum_price"))
+      .orderBy("o_orderstatus")
+
   /** Pivot: one column per order priority, counts per status. Spark's
     * pivot() plans a single-pass aggregation with one CASE-filtered
     * aggregate per pivot value — exactly what the oracle spells out by
@@ -1435,6 +1455,7 @@ object Relational {
     "agg_rollup" -> (aggRollup _),
     "agg_approx_distinct" -> (aggApproxDistinct _),
     "agg_sketch_union" -> (aggSketchUnion _),
+    "agg_multi_distinct" -> (aggMultiDistinct _),
     "agg_collect_sorted" -> (aggCollectSorted _),
     "agg_filtered_bool" -> (aggFilteredBool _),
     "agg_percentiles" -> (aggPercentiles _),
@@ -1946,6 +1967,14 @@ object Relational {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
          count(DISTINCT CAST(ts AS DATE)) AS n_days, TRUE AS within_bound
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "agg_multi_distinct" ->
+      """SELECT o_orderstatus,
+         count(DISTINCT o_custkey) AS n_cust,
+         count(DISTINCT o_orderpriority) AS n_prio,
+         count(DISTINCT CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)) AS n_years,
+         count(*) AS n,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 4) AS sum_price
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "agg_percentile_approx" ->
       """SELECT l_returnflag,
          floor((quantile_cont(l_quantity, 0.5)) * 10000.0 + 0.5) / 10000.0 AS qty_p50,

@@ -163,6 +163,25 @@ object SqlSurface {
          ORDER BY gid, status, priority""")
   }
 
+  /** PIVOT through the SQL parser — the clause form of [[Relational
+    * .aggPivot]]'s DSL pivot, planned identically: one pass, one
+    * CASE-filtered aggregate per listed value (values listed explicitly;
+    * implicit value discovery is a full pre-scan you don't want at
+    * 100 TB). The oracle spells the same plan out as CASE aggregates —
+    * DuckDB's PIVOT ON syntax differs enough that the portable spelling
+    * doubles as documentation of what the clause compiles to. */
+  def sqlPivot(spark: SparkSession, dir: String): DataFrame = {
+    reg(spark, dir, "orders")
+    spark.sql(
+      """SELECT * FROM (
+           SELECT o_orderstatus, o_orderpriority, o_totalprice FROM g_orders)
+         PIVOT (
+           count(*) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 4) AS sp
+           FOR o_orderpriority IN ('1-URGENT' AS urgent, '5-LOW' AS low))
+         ORDER BY o_orderstatus""")
+  }
+
   /** RECURSIVE CTE through the SQL parser (Spark 4.x `WITH RECURSIVE`):
     * the calendar-spine densification every reporting pipeline needs —
     * generate every month from the fixed epoch to the DATA-derived max
@@ -207,6 +226,7 @@ object SqlSurface {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_recursive_spine" -> (sqlRecursiveSpine _),
+    "sql_pivot" -> (sqlPivot _),
     "sql_grouping_sets" -> (sqlGroupingSets _),
     "sql_ctas_insert" -> (sqlCtasInsert _),
     "sql_lateral_explode" -> (sqlLateralExplode _),
@@ -234,6 +254,15 @@ object SqlSurface {
                 coalesce(a.sp, 0.0) AS sum_price
          FROM spine s LEFT JOIN agg a ON a.m = s.m
          ORDER BY month""",
+    "sql_pivot" ->
+      """SELECT o_orderstatus,
+         count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent_n,
+         round(CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+           THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE), 4) AS urgent_sp,
+         count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS low_n,
+         round(CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+           THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE), 4) AS low_sp
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "sql_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
                 coalesce(o_orderpriority, 'ALL') AS priority,
