@@ -151,6 +151,29 @@ object Vector {
       .orderBy("probe_id", "rk")
   }
 
+  /** Element-wise mean pooling per label — class prototypes / centroid
+    * embeddings, the same op that pools chunk embeddings into a document
+    * embedding. Distributed shape: posexplode to (label, pos, value) —
+    * a d-fold row amplification that map-side partial aggregation
+    * collapses to ≤ labels×d rows per partition BEFORE the shuffle, so
+    * the exchange carries centroids, not the corpus. Component sums run
+    * in exact DECIMAL (a float's double expansion is exact and its
+    * 10-decimal rounding can't land on a tie, so both engines cast
+    * identically) — cross-partition double summation would be
+    * partition-order nondeterministic. One row per (label, pos): no
+    * engine-formatted vector strings in the compare. */
+  def embeddingAvgPool(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(25, 10)
+    emb(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("v").cast(dec)).as("s"))
+      .select(col("label"), col("pos").cast("long").as("pos"), col("n_vecs"),
+        r6(col("s").cast("double") / col("n_vecs").cast("double")).as("mean"))
+      .orderBy("label", "pos")
+  }
+
   /** Recall@3 evaluation of the multi-probe SRP ANN against the exact
     * brute-force ranking — the measurement every ANN deployment needs
     * CONTINUOUSLY, not once: embedding drift silently degrades bucket
@@ -942,6 +965,7 @@ object Vector {
     "simsearch_lsh" -> (simsearchLsh _),
     "simsearch_lsh_multiprobe" -> (simsearchLshMultiprobe _),
     "simsearch_recall_eval" -> (simsearchRecallEval _),
+    "embedding_avg_pool" -> (embeddingAvgPool _),
     "simsearch_ivf" -> (simsearchIvf _),
     "simsearch_ivf_index" -> (simsearchIvfIndex _),
     "simsearch_pq" -> (simsearchPq _),
@@ -1227,6 +1251,14 @@ object Vector {
            CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk,
            vec_id AS neighbor_id, cos
          FROM s QUALIFY rk <= 3 ORDER BY probe_id, rk""",
+    "embedding_avg_pool" ->
+      s"""WITH x AS (
+           SELECT label, f.i - 1 AS pos, embedding[f.i] AS v
+           FROM embeddings,
+             LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) f)
+         SELECT label, CAST(pos AS BIGINT) AS pos, count(*) AS n_vecs,
+           ${r6Sql("CAST(sum(CAST(v AS DECIMAL(25,10))) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS mean
+         FROM x GROUP BY label, pos ORDER BY label, pos""",
     // Composes the exact-top-3 and multiprobe CTEs (same spellings as
     // their own oracles) and counts the per-probe overlap.
     "simsearch_recall_eval" ->
