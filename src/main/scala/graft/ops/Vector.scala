@@ -151,6 +151,28 @@ object Vector {
       .orderBy("probe_id", "rk")
   }
 
+  /** The multimodal DECODE path as a declared, oracle-gated query: runs
+    * the real batched `mapPartitions` decode
+    * ([[graft.multimodal.MultimodalOps.decodeAndFeaturize]] over
+    * [[graft.multimodal.MultimodalOps.documentsAsMedia]]) and projects
+    * per-record payload size, content sha256, the first decoder feature,
+    * and the feature-vector L2 norm. The stub decoder is deterministic
+    * in the payload bytes (sha256-derived), so DuckDB can REPLAY the
+    * decode math in SQL — the one place the multimodal plumbing can be
+    * differentially gated, not just unit-tested. Feature values are
+    * dyadic rationals (k/128), so every term and the 16-term norm sum
+    * are exact in double on both engines. */
+  def multimodalDecodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val feats = graft.multimodal.MultimodalOps.decodeAndFeaturize(
+      graft.multimodal.MultimodalOps.documentsAsMedia(spark, dir))
+    feats.toDF()
+      .select(col("id"), col("kind"), col("n_bytes"), col("sha256"),
+        r6(element_at(col("features"), 1).cast("double")).as("f0"),
+        r6(sqrt(aggregate(col("features"), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double")))).as("f_norm"))
+      .orderBy("id")
+  }
+
   /** Element-wise mean pooling per label — class prototypes / centroid
     * embeddings, the same op that pools chunk embeddings into a document
     * embedding. Distributed shape: posexplode to (label, pos, value) —
@@ -966,6 +988,7 @@ object Vector {
     "simsearch_lsh_multiprobe" -> (simsearchLshMultiprobe _),
     "simsearch_recall_eval" -> (simsearchRecallEval _),
     "embedding_avg_pool" -> (embeddingAvgPool _),
+    "multimodal_decode_features" -> (multimodalDecodeFeatures _),
     "simsearch_ivf" -> (simsearchIvf _),
     "simsearch_ivf_index" -> (simsearchIvfIndex _),
     "simsearch_pq" -> (simsearchPq _),
@@ -1251,6 +1274,23 @@ object Vector {
            CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk,
            vec_id AS neighbor_id, cos
          FROM s QUALIFY rk <= 3 ORDER BY probe_id, rk""",
+    // Replays the stub decoder's sha256-derived feature math byte for
+    // byte: feature i = (unsigned digest byte i − 128)/128, all dyadic.
+    "multimodal_decode_features" ->
+      s"""WITH f AS (
+           SELECT doc_id AS id, 'text' AS kind,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             sha256(text) AS sha
+           FROM documents),
+         e AS (
+           SELECT id, kind, n_bytes, sha,
+             l.i AS i,
+             (CAST(('0x' || substr(sha, 2 * l.i + 1, 2)) AS INT) - 128) / 128.0 AS fi
+           FROM f, LATERAL (SELECT unnest(range(0, 16)) AS i) l)
+         SELECT id, kind, n_bytes, sha AS sha256,
+           ${r6Sql("any_value(CASE WHEN i = 0 THEN fi END)")} AS f0,
+           ${r6Sql("sqrt(sum(fi * fi))")} AS f_norm
+         FROM e GROUP BY id, kind, n_bytes, sha ORDER BY id""",
     "embedding_avg_pool" ->
       s"""WITH x AS (
            SELECT label, f.i - 1 AS pos, embedding[f.i] AS v
