@@ -110,6 +110,30 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("char_entropy equals an independent reference for arbitrary strings") {
+    // Reference: textbook -Σ p·log2 p over code-point frequencies —
+    // algebraically different from the expression's log2(n) − Σk·log2(k)/n
+    // form, so agreement checks the identity, not the implementation.
+    def ref(s: String): Double = {
+      val cps = s.codePoints().toArray
+      if (cps.isEmpty) 0.0
+      else {
+        val n = cps.length.toDouble
+        cps.groupBy(identity).values.map(_.length / n)
+          .map(p => -p * (math.log(p) / math.log(2.0))).sum
+      }
+    }
+    val strGen = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf("é", "ü", "λ", "中", "😀")))
+      .map(_.mkString)
+    forAll(strGen) { s =>
+      val got = graft.functions.CharEntropy.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      assert(math.abs(got - ref(s)) < 1e-9, s"entropy mismatch for '$s'")
+    }
+  }
+
   test("token-budget sample is monotone and budget-respecting at every tested budget") {
     val dir = "/root/testdata/sf0.001"
     var prev = Set.empty[Long]
