@@ -375,7 +375,7 @@ object Vector {
     val base =
       if (prune) {
         val cells = probeCells.select("cell").distinct()
-          .collect().map(_.getLong(0)).sorted
+          .collect().map(_.getLong(0)).sorted.toIndexedSeq
         assigned.filter(col("cell").isin(cells: _*))
       } else assigned
     val scored = base.join(broadcast(probeCells), "cell")
