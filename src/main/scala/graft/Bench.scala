@@ -50,7 +50,7 @@ object Bench {
     val buildOnce = Seq("simsearch_pq_index", "simsearch_ivf_index",
       "dedup_index_probe", "pipe_partition_prune", "pipe_schema_evolution",
       "join_bucketed_colocated", "pipe_csv_roundtrip", "pipe_json_roundtrip",
-      "pipe_orc_roundtrip", "join_prune_dynamic")
+      "pipe_orc_roundtrip", "join_prune_dynamic", "text_bpe_encode")
     // Fixed single-thread CPU calibration, measured OUTSIDE any Spark
     // machinery: round-to-round totals have been distorted by VM speed
     // twice (r4's contended driver run; r8's VM measuring ~3× slower

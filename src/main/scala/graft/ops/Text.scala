@@ -948,8 +948,28 @@ object Text {
     * pre-merge token counts. The oracle replays all [[BpeTrainRounds]]
     * rounds and reads the final tok CTE — any drift in ANY round's merge
     * shows up in the encoded text. */
+  private lazy val bpeRoot: java.io.File = Util.processTempRoot("graft_bpe_")
+  private val bpeScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write-once persisted BPE-encoded corpus per input dir — tokenizer
+    * BUILD/SERVE separation, same pattern as the persisted PQ/IVF
+    * indexes: training (the iterated merge loop) runs once and lands in
+    * a parquet layout; every serve-path call reads the layout and plans
+    * ZERO training jobs. In production this artifact is the published
+    * tokenizer output a 100 TB corpus is encoded against — retraining
+    * per query would be the bug. */
+  private def bpeEncodedLayout(spark: SparkSession, dir: String): String =
+    bpeScratch.computeIfAbsent(dir, { d =>
+      val out = new java.io.File(bpeRoot, "d" + Util.dirKey(d))
+      val (_, corpus) = bpeTrainLoop(spark, d)
+      corpus.select(col("doc_id"), col("toks"))
+        .write.mode("overwrite").parquet(out.getPath)
+      out.getPath
+    })
+
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    val (_, corpus) = bpeTrainLoop(spark, dir)
+    val corpus = spark.read.parquet(bpeEncodedLayout(spark, dir))
     val before = docs(spark, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok_before"))
     corpus
