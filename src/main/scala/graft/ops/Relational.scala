@@ -270,6 +270,43 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Multi-way star join (TPC-H Q5 shape) — the join-ORDER showcase:
+    * lineitem ⋈ orders ⋈ supplier ⋈ nation ⋈ region with a region
+    * filter and an order-date range, revenue per nation. The right
+    * 100 TB plan, which Catalyst+AQE produce from this declarative
+    * spelling without hints: region/nation/supplier broadcast (each
+    * shrinks further under the pushed region filter), the date filter
+    * pushes into the orders scan, and the only real shuffle is
+    * lineitem ⋈ orders on orderkey — one exchange for a 5-table join.
+    * A wrong order (fact-first cross of lineitem×supplier, or shipping
+    * the dims through the fact shuffle) is the difference between one
+    * shuffle and five at scale. */
+  def joinStarSchema(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val ord = table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1996-01-01"))
+      .select(col("o_orderkey"))
+    val sup = table(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nat = table(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
+    val reg = table(spark, dir, "region")
+      .filter(col("r_name") === "ASIA").select(col("r_regionkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice").cast(Money) * oneMinus(col("l_discount")))
+          .cast("double"), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
   /** NEAREST as-of join — each click paired with the same user's closest
     * purchase in EITHER time direction (`merge_asof(direction=
     * 'nearest')`), ties to the backward match; completes the as-of
@@ -1436,6 +1473,7 @@ object Relational {
     "join_asof_tolerance" -> (joinAsofTolerance _),
     "join_asof_forward" -> (joinAsofForward _),
     "join_asof_nearest" -> (joinAsofNearest _),
+    "join_star_schema" -> (joinStarSchema _),
     "events_sequence_match" -> (eventsSequenceMatch _),
     "events_streaks" -> (eventsStreaks _),
     "events_markov" -> (eventsMarkov _),
@@ -1795,6 +1833,20 @@ object Relational {
            (SELECT * FROM ${evSql()} WHERE event_type = 'purchase') p
            ON c.user_id = p.user_id AND c.ts <= p.ts
          ORDER BY c.event_id""",
+    "join_star_schema" ->
+      """SELECT n_name,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+           * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4))) AS DOUBLE), 4) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+         GROUP BY n_name ORDER BY n_name""",
     "join_asof_nearest" ->
       s"""WITH u AS (
            SELECT user_id AS uid, epoch_us(ts) AS t_us, 1 AS is_c, event_id,

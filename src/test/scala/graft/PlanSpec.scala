@@ -355,6 +355,17 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(exchanges <= 1, s"expected only the source/flagged rollup exchange, got $exchanges:\n$p")
   }
 
+  test("join_star_schema: dims broadcast, only the fact-fact join shuffles, date filter pushes down") {
+    val df = Relational.joinStarSchema(spark, dir)
+    val p = plan(df)
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3,
+      s"expected supplier/nation/region to broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in star join:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")
+      || p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"order-date range not pushed into the orders scan:\n$p")
+  }
+
   test("pipe_token_budget_sample: the only unpartitioned window runs over the 16-bucket aggregate") {
     val plan = PipelineOps.tokenBudgetSample(spark, dir).queryExecution.sparkPlan
     val unpart = plan.collect {
