@@ -307,6 +307,34 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** Top-k aggregated revenue (TPC-H Q3 shape) — the OTHER classic plan
+    * family next to [[joinStarSchema]]'s Q5: filter a dimension
+    * (market segment), join through the fact pair, aggregate per order,
+    * and take the global top 10 by revenue. The plan property that
+    * matters at 100 TB is the TAIL: a global top-k over an aggregate
+    * must plan TakeOrderedAndProject (per-partition heaps, k rows to
+    * the driver), never a full sort of the aggregated set
+    * (PlanSpec-asserted). Ties break on o_orderkey so the frame is
+    * deterministic cross-engine. */
+  def joinTopkRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = table(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1995-06-01"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), dateS(col("o_orderdate")).as("o_date"))
+      .agg(
+        round(sum(col("l_extendedprice").cast(Money) * oneMinus(col("l_discount")))
+          .cast("double"), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), col("o_orderkey"))
+      .limit(10)
+  }
+
   /** NEAREST as-of join — each click paired with the same user's closest
     * purchase in EITHER time direction (`merge_asof(direction=
     * 'nearest')`), ties to the backward match; completes the as-of
@@ -1474,6 +1502,7 @@ object Relational {
     "join_asof_forward" -> (joinAsofForward _),
     "join_asof_nearest" -> (joinAsofNearest _),
     "join_star_schema" -> (joinStarSchema _),
+    "join_topk_revenue" -> (joinTopkRevenue _),
     "events_sequence_match" -> (eventsSequenceMatch _),
     "events_streaks" -> (eventsStreaks _),
     "events_markov" -> (eventsMarkov _),
@@ -1833,6 +1862,18 @@ object Relational {
            (SELECT * FROM ${evSql()} WHERE event_type = 'purchase') p
            ON c.user_id = p.user_id AND c.ts <= p.ts
          ORDER BY c.event_id""",
+    "join_topk_revenue" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+           * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4))) AS DOUBLE), 4) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1995-06-01 00:00:00'
+         GROUP BY o_orderkey, o_orderdate
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
     "join_star_schema" ->
       """SELECT n_name,
          round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))

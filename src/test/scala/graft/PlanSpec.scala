@@ -366,6 +366,12 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"order-date range not pushed into the orders scan:\n$p")
   }
 
+  test("join_topk_revenue: global top-10 over the aggregate is TakeOrderedAndProject") {
+    val p = plan(Relational.joinTopkRevenue(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k over aggregate plans a full sort:\n$p")
+  }
+
   test("pipe_token_budget_sample: the only unpartitioned window runs over the 16-bucket aggregate") {
     val plan = PipelineOps.tokenBudgetSample(spark, dir).queryExecution.sparkPlan
     val unpart = plan.collect {
