@@ -320,6 +320,32 @@ object PipelineOps {
     * any scale factor). One full-outer equi join on the
     * key; per-row classification is a codegen'd projection. Output:
     * per diff status, row count, exact price delta, and key fences. */
+  /** Quality ROUTING — the dead-letter complement of [[qualityChecks]]'s
+    * report: every row gets a disposition (first failing rule, in fixed
+    * precedence order, else 'ok'), and the pipeline writes each
+    * disposition to its own sink instead of failing the batch. One
+    * per-row CASE projection + one hash agg: the routing decision never
+    * shuffles the corpus, and the quarantine side carries the smallest
+    * offending key per reason for spot debugging. Rules (precedence):
+    * null order key, non-positive quantity, discount outside [0, 0.5],
+    * ship date outside the loaded window. */
+  def quarantineSplit(spark: SparkSession, dir: String): DataFrame = {
+    val disposition =
+      when(col("l_orderkey").isNull, "null_orderkey")
+        .when(col("l_quantity") <= 0.0, "bad_quantity")
+        .when(col("l_discount") < 0.0 || col("l_discount") > 0.5, "bad_discount")
+        .when(col("l_shipdate") < lit("1990-01-01") ||
+          col("l_shipdate") >= lit("2000-01-01"), "bad_shipdate")
+        .otherwise("ok")
+    table(spark, dir, "lineitem")
+      .withColumn("disposition", disposition)
+      .groupBy("disposition")
+      .agg(count(lit(1)).as("n"),
+        min(col("l_orderkey")).as("min_key"),
+        dsumR(col("l_quantity"), Qty).as("sum_qty"))
+      .orderBy("disposition")
+  }
+
   /** Order-independent table content checksum — the cheap equality
     * primitive behind snapshot promotion, replica verification, and
     * migration sign-off at 100 TB: hash each row canonically, SUM the
@@ -779,7 +805,8 @@ object PipelineOps {
     "pipe_partition_prune" -> (partitionPrune _),
     "join_prune_dynamic" -> (joinPruneDynamic _),
     "pipe_table_checksum" -> (tableChecksum _),
-    "pipe_token_budget_sample" -> (tokenBudgetSample _))
+    "pipe_token_budget_sample" -> (tokenBudgetSample _),
+    "pipe_quarantine_split" -> (quarantineSplit _))
 
   val oracleSql: Map[String, String] = Map(
     "pipe_split_train_test" ->
@@ -1059,6 +1086,16 @@ object PipelineOps {
          FROM ${evSql()}
          WHERE CAST(ts AS DATE) = DATE '2024-01-15'
          GROUP BY event_type ORDER BY event_type""",
+    "pipe_quarantine_split" ->
+      """SELECT CASE WHEN l_orderkey IS NULL THEN 'null_orderkey'
+              WHEN l_quantity <= 0.0 THEN 'bad_quantity'
+              WHEN l_discount < 0.0 OR l_discount > 0.5 THEN 'bad_discount'
+              WHEN l_shipdate < TIMESTAMP '1990-01-01 00:00:00'
+                OR l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' THEN 'bad_shipdate'
+              ELSE 'ok' END AS disposition,
+         count(*) AS n, min(l_orderkey) AS min_key,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE), 4) AS sum_qty
+         FROM lineitem GROUP BY 1 ORDER BY disposition""",
     "pipe_token_budget_sample" ->
       """WITH d AS (
            SELECT doc_id, source,
