@@ -634,6 +634,24 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Percent-of-total — the reporting staple: each group's share of the
+    * grand total. Two aggregations (group + grand) with the one-row
+    * grand total broadcast back over the group frame — never a window
+    * over the raw input (sum().over(empty partition spec) would funnel
+    * the corpus through one task; here the corpus is reduced BEFORE
+    * anything global happens, and the global thing is one row). */
+  def aggShareOfTotal(spark: SparkSession, dir: String): DataFrame = {
+    val byStatus = table(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(dsum(col("o_totalprice"), Money).as("rev"), count(lit(1)).as("n"))
+    val total = byStatus.agg(sum(col("rev").cast(Money)).cast("double").as("tot"))
+    byStatus.crossJoin(broadcast(total))
+      .select(col("o_orderstatus"),
+        round(col("rev"), 4).as("revenue"), col("n"),
+        r4(col("rev") / col("tot")).as("share"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Several COUNT(DISTINCT …) over DIFFERENT columns in one aggregation
     * — the multi-distinct plan family: Catalyst rewrites k distinct
     * aggregates into one Expand (k+1 projections of every row, one per
@@ -1164,6 +1182,46 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Peak concurrency per day — the sweep-line max-overlap operator
+    * (capacity planning: "how many sessions were open at once?").
+    * Sessions are the 30-min-gap user sessions (same construction as
+    * [[eventsSessionize]]), assigned to their START day; each becomes a
+    * +1 point at its start and a −1 at its end + 1 µs (end-exclusive
+    * overlap), and a per-day ordered running sum's maximum is the peak.
+    * Tie order (t, delta) processes ends before starts at the same
+    * instant, and the peak is tie-permutation invariant (equal-sign run
+    * maxima don't depend on intra-tie order), so the result is
+    * deterministic. Scale: the sweep partitions by DAY — state bounded
+    * by one day's session count; an extreme hot day sub-buckets by hour
+    * with the two-level prefix pattern (`pipe_token_budget_sample`). */
+  def eventsPeakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val e = table(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+    val sess = e
+      .withColumn("new_s",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+    val day = to_date(timestamp_micros(col("s_us"))).as("day")
+    val pts = sess.select(day, col("s_us").as("t"), lit(1L).as("delta"))
+      .unionByName(sess.select(day, (col("e_us") + 1L).as("t"), lit(-1L).as("delta")))
+    val sw = Window.partitionBy("day").orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("cur", sum(col("delta")).over(sw))
+      .groupBy("day")
+      .agg(
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_sessions"),
+        max(col("cur")).as("peak"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_sessions"), col("peak"))
+      .orderBy("day")
+  }
+
   /** Gaps-and-islands: each user's runs of CONSECUTIVE same-type events
     * (change-flag + running sum to number the islands — the classic
     * trick), rolled up to run count, longest-run length, and the longest
@@ -1505,6 +1563,7 @@ object Relational {
     "join_topk_revenue" -> (joinTopkRevenue _),
     "events_sequence_match" -> (eventsSequenceMatch _),
     "events_streaks" -> (eventsStreaks _),
+    "events_peak_concurrency" -> (eventsPeakConcurrency _),
     "events_markov" -> (eventsMarkov _),
     "events_path_trigrams" -> (eventsPathTrigrams _),
     "events_mad_outliers" -> (eventsMadOutliers _),
@@ -1523,6 +1582,7 @@ object Relational {
     "agg_approx_distinct" -> (aggApproxDistinct _),
     "agg_sketch_union" -> (aggSketchUnion _),
     "agg_multi_distinct" -> (aggMultiDistinct _),
+    "agg_share_of_total" -> (aggShareOfTotal _),
     "agg_collect_sorted" -> (aggCollectSorted _),
     "agg_filtered_bool" -> (aggFilteredBool _),
     "agg_percentiles" -> (aggPercentiles _),
@@ -1914,6 +1974,35 @@ object Relational {
                 THEN t_us - b_us
                 WHEN f_us IS NOT NULL THEN f_us - t_us END AS gap_us
          FROM w WHERE is_c = 1 ORDER BY event_id""",
+    "events_peak_concurrency" ->
+      s"""WITH s AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS new_s
+           FROM ${evSql()}
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         g AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           FROM s),
+         sess AS (
+           SELECT user_id, sid, min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
+           FROM g GROUP BY 1, 2),
+         pts AS (
+           SELECT CAST(make_timestamp(s_us) AS DATE) AS day, s_us AS t, 1 AS delta
+           FROM sess
+           UNION ALL
+           SELECT CAST(make_timestamp(s_us) AS DATE) AS day, e_us + 1 AS t, -1 AS delta
+           FROM sess),
+         c AS (
+           SELECT day, delta, sum(delta) OVER (PARTITION BY day
+             ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS cur
+           FROM pts)
+         SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           CAST(max(cur) AS BIGINT) AS peak
+         FROM c GROUP BY day ORDER BY day""",
     "events_streaks" ->
       s"""WITH x AS (
            SELECT user_id, event_id, event_type, ts,
@@ -2060,6 +2149,16 @@ object Relational {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
          count(DISTINCT CAST(ts AS DATE)) AS n_days, TRUE AS within_bound
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "agg_share_of_total" ->
+      """WITH g AS (
+           SELECT o_orderstatus,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS rev,
+             count(*) AS n
+           FROM orders GROUP BY o_orderstatus),
+         t AS (SELECT CAST(sum(CAST(rev AS DECIMAL(14,2))) AS DOUBLE) AS tot FROM g)
+         SELECT o_orderstatus, round(rev, 4) AS revenue, n,
+           floor((rev / tot) * 10000.0 + 0.5) / 10000.0 AS share
+         FROM g, t ORDER BY o_orderstatus""",
     "agg_multi_distinct" ->
       """SELECT o_orderstatus,
          count(DISTINCT o_custkey) AS n_cust,
