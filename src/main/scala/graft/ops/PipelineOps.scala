@@ -202,6 +202,26 @@ object PipelineOps {
       .filter(col("off") + col("cum_in") <= budget)
   }
 
+  /** Deterministic per-group reservoir: the k=5 hash-smallest documents
+    * per source — what "give me a reproducible sample of each stratum"
+    * actually needs (a rand() reservoir differs per run and engine; the
+    * md5 order is a fixed uniform permutation, so the k smallest hashes
+    * ARE a uniform k-sample, stable across engines, retries, and
+    * repartitioning). Served by the custom [[graft.plans.TopK]] operator
+    * stack — logical node → strategy → heap exec: O(groups·k) state,
+    * one shuffle, no ranking window sort. The oracle replays the same
+    * selection with QUALIFY row_number. */
+  def sampleTopkHash(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.TopK
+    val d = table(spark, dir, "documents").select(
+      col("source"), col("doc_id"),
+      md5(col("doc_id").cast("string").cast("binary")).as("pr"),
+      col("n_chars"))
+    TopK.topKPerKey(d, Seq("source"), Seq(TopK.Ord("pr"), TopK.Ord("doc_id")), 5)
+      .select(col("source"), col("pr"), col("doc_id"), col("n_chars"))
+      .orderBy("source", "pr", "doc_id")
+  }
+
   /** Stratified deterministic sampling — training-mix construction: each
     * source stratum keeps a different fraction (75/50/25% by suffix mod 3)
     * of its documents, membership decided by comparing a fixed md5-prefix
@@ -806,7 +826,8 @@ object PipelineOps {
     "join_prune_dynamic" -> (joinPruneDynamic _),
     "pipe_table_checksum" -> (tableChecksum _),
     "pipe_token_budget_sample" -> (tokenBudgetSample _),
-    "pipe_quarantine_split" -> (quarantineSplit _))
+    "pipe_quarantine_split" -> (quarantineSplit _),
+    "pipe_sample_topk_hash" -> (sampleTopkHash _))
 
   val oracleSql: Map[String, String] = Map(
     "pipe_split_train_test" ->
@@ -1086,6 +1107,13 @@ object PipelineOps {
          FROM ${evSql()}
          WHERE CAST(ts AS DATE) = DATE '2024-01-15'
          GROUP BY event_type ORDER BY event_type""",
+    "pipe_sample_topk_hash" ->
+      """SELECT source, pr, doc_id, n_chars FROM (
+           SELECT source, md5(CAST(doc_id AS VARCHAR)) AS pr, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 5 ORDER BY source, pr, doc_id""",
     "pipe_quarantine_split" ->
       """SELECT CASE WHEN l_orderkey IS NULL THEN 'null_orderkey'
               WHEN l_quantity <= 0.0 THEN 'bad_quantity'

@@ -366,6 +366,12 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"order-date range not pushed into the orders scan:\n$p")
   }
 
+  test("pipe_sample_topk_hash: the custom heap exec serves the reservoir (no ranking window)") {
+    val p = plan(PipelineOps.sampleTopkHash(spark, dir))
+    assert(p.contains("TopKPerKey"), s"custom exec not planned:\n$p")
+    assert(!p.contains("Window"), s"ranking window crept back in:\n$p")
+  }
+
   test("join_topk_revenue: global top-10 over the aggregate is TakeOrderedAndProject") {
     val p = plan(Relational.joinTopkRevenue(spark, dir))
     assert(p.contains("TakeOrderedAndProject"),
