@@ -163,6 +163,30 @@ object SqlSurface {
          ORDER BY gid, status, priority""")
   }
 
+  /** Correlated LATERAL subquery with LIMIT — the "top-n per key as a
+    * lateral" spelling users port from other warehouses (distinct
+    * parser/optimizer path from LATERAL VIEW explode:
+    * `DecorrelateInnerQuery` turns the per-row dependent subquery into a
+    * ranked window, so the executed plan is shuffle-parallel, not a
+    * nested loop per outer row). Top-2 nations per region by name, then
+    * customer counts joined OUTSIDE the lateral — keeping the dependent
+    * subquery minimal is also the 100 TB-safe habit. */
+  def sqlLateralJoin(spark: SparkSession, dir: String): DataFrame = {
+    reg(spark, dir, "region", "nation", "customer")
+    spark.sql(
+      """WITH top2 AS (
+           SELECT r.r_name, l.n_name, l.n_nationkey
+           FROM g_region r,
+           LATERAL (SELECT n_name, n_nationkey FROM g_nation n
+                    WHERE n.n_regionkey = r.r_regionkey
+                    ORDER BY n_name LIMIT 2) l)
+         SELECT t.r_name, t.n_name,
+                CAST(count(c.c_custkey) AS BIGINT) AS n_cust
+         FROM top2 t LEFT JOIN g_customer c ON c.c_nationkey = t.n_nationkey
+         GROUP BY t.r_name, t.n_name
+         ORDER BY t.r_name, t.n_name""")
+  }
+
   /** PIVOT through the SQL parser — the clause form of [[Relational
     * .aggPivot]]'s DSL pivot, planned identically: one pass, one
     * CASE-filtered aggregate per listed value (values listed explicitly;
@@ -227,6 +251,7 @@ object SqlSurface {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_recursive_spine" -> (sqlRecursiveSpine _),
     "sql_pivot" -> (sqlPivot _),
+    "sql_lateral_join" -> (sqlLateralJoin _),
     "sql_grouping_sets" -> (sqlGroupingSets _),
     "sql_ctas_insert" -> (sqlCtasInsert _),
     "sql_lateral_explode" -> (sqlLateralExplode _),
@@ -254,6 +279,18 @@ object SqlSurface {
                 coalesce(a.sp, 0.0) AS sum_price
          FROM spine s LEFT JOIN agg a ON a.m = s.m
          ORDER BY month""",
+    "sql_lateral_join" ->
+      """WITH top2 AS (
+           SELECT r.r_name, l.n_name, l.n_nationkey
+           FROM region r,
+           LATERAL (SELECT n_name, n_nationkey FROM nation n
+                    WHERE n.n_regionkey = r.r_regionkey
+                    ORDER BY n_name LIMIT 2) l)
+         SELECT t.r_name, t.n_name,
+                CAST(count(c.c_custkey) AS BIGINT) AS n_cust
+         FROM top2 t LEFT JOIN customer c ON c.c_nationkey = t.n_nationkey
+         GROUP BY t.r_name, t.n_name
+         ORDER BY t.r_name, t.n_name""",
     "sql_pivot" ->
       """SELECT o_orderstatus,
          count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent_n,
