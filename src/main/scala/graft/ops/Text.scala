@@ -113,6 +113,25 @@ object Text {
         r4(graft.functions.CharEntropy.charEntropy(col("text"))).as("entropy"))
       .orderBy("doc_id")
 
+  /** Feature hashing (the hashing trick): fixed-width bag-of-words
+    * without a vocabulary — each token maps to bucket
+    * md5(token) mod 32, so the featurizer needs NO fitted state, works
+    * identically on any shard, and new tokens never resize anything;
+    * exactly why it's the streaming/distributed vectorizer of choice.
+    * Output is sparse (doc_id, bucket, cnt) rows — the explode →
+    * map-side-combined count is the standard distributed shape (the
+    * same one TF-IDF uses), and the shuffle carries at most 32 rows per
+    * doc. Bucket = 16-bit md5 prefix mod 32, identical in both engines. */
+  def hashFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = (conv(substring(md5(col("tok").cast("binary")), 1, 4), 16, 10)
+      .cast("long") % 32).as("bucket")
+    docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), bucket)
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("doc_id", "bucket")
+  }
+
   /** Token counting three ways: whitespace split, a BPE-ish regex
     * (letter runs / digit runs / single punctuation), and the chars/4
     * LLM-token estimate. */
@@ -1198,6 +1217,7 @@ object Text {
     "text_langid" -> (langId _),
     "text_quality_score" -> (qualityScore _),
     "text_char_entropy" -> (charEntropyScore _),
+    "text_hash_features" -> (hashFeatures _),
     "text_token_count" -> (tokenCount _),
     "text_fingerprint" -> (fingerprint _),
     "text_pos_tokens" -> (posTokens _),
@@ -1650,6 +1670,13 @@ object Text {
            floor((0.6 * (CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE))
              + 0.4 * least((CAST(n_ch - (n_tok - 1) AS DOUBLE) / CAST(n_tok AS DOUBLE)) / 8.0, 1.0)) * 10000.0 + 0.5) / 10000.0 AS quality
          FROM d ORDER BY doc_id""",
+    "text_hash_features" ->
+      """SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) % 32 AS bucket,
+         count(*) AS cnt
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents)
+         GROUP BY doc_id, bucket ORDER BY doc_id, bucket""",
     // Same algebraic form as the CharEntropy expression — H = log2(n) −
     // Σ k·log2(k) / n — one division total, so both engines agree to r4.
     "text_char_entropy" ->
