@@ -1182,6 +1182,35 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Funnel drop-off: clicks with NO purchase by the same user within
+    * the following hour — the anti-join-with-time-bound shape (the
+    * batch model of a stream-stream LEFT ANTI join, whose state the
+    * time bound is what makes evictable). The equi key (user) carries
+    * the one shuffle; the range condition rides as the anti residual —
+    * never a pair space. Rolled up per click day against total clicks,
+    * so the output is the daily conversion-gap report. */
+  def eventsUnconvertedClicks(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val c = ev.filter(col("event_type") === "click").select(
+      col("user_id"), unix_micros(col("ts")).as("c_us"),
+      to_date(col("ts")).as("day"))
+    val p = ev.filter(col("event_type") === "purchase").select(
+      col("user_id").as("p_uid"), unix_micros(col("ts")).as("p_us"))
+    val unconv = c.join(p,
+        col("user_id") === col("p_uid") &&
+          col("p_us") >= col("c_us") && col("p_us") <= col("c_us") + 3600000000L,
+        "left_anti")
+      .groupBy("day").agg(count(lit(1)).as("n_unconverted"))
+    c.groupBy("day").agg(count(lit(1)).as("n_clicks"))
+      .join(unconv, Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_clicks"),
+        coalesce(col("n_unconverted"), lit(0L)).as("n_unconverted"),
+        r4(coalesce(col("n_unconverted"), lit(0L)).cast("double")
+          / col("n_clicks").cast("double")).as("drop_rate"))
+      .orderBy("day")
+  }
+
   /** Peak concurrency per day — the sweep-line max-overlap operator
     * (capacity planning: "how many sessions were open at once?").
     * Sessions are the 30-min-gap user sessions (same construction as
@@ -1564,6 +1593,7 @@ object Relational {
     "events_sequence_match" -> (eventsSequenceMatch _),
     "events_streaks" -> (eventsStreaks _),
     "events_peak_concurrency" -> (eventsPeakConcurrency _),
+    "events_unconverted_clicks" -> (eventsUnconvertedClicks _),
     "events_markov" -> (eventsMarkov _),
     "events_path_trigrams" -> (eventsPathTrigrams _),
     "events_mad_outliers" -> (eventsMadOutliers _),
@@ -1974,6 +2004,25 @@ object Relational {
                 THEN t_us - b_us
                 WHEN f_us IS NOT NULL THEN f_us - t_us END AS gap_us
          FROM w WHERE is_c = 1 ORDER BY event_id""",
+    "events_unconverted_clicks" ->
+      s"""WITH c AS (
+           SELECT user_id, epoch_us(ts) AS c_us, CAST(ts AS DATE) AS day
+           FROM ${evSql()} WHERE event_type = 'click'),
+         p AS (
+           SELECT user_id, epoch_us(ts) AS p_us
+           FROM ${evSql()} WHERE event_type = 'purchase'),
+         u AS (
+           SELECT day, count(*) AS n_unconverted FROM c
+           WHERE NOT EXISTS (
+             SELECT 1 FROM p WHERE p.user_id = c.user_id
+               AND p.p_us >= c.c_us AND p.p_us <= c.c_us + 3600000000)
+           GROUP BY day),
+         t AS (SELECT day, count(*) AS n_clicks FROM c GROUP BY day)
+         SELECT strftime(t.day, '%Y-%m-%d') AS day, t.n_clicks,
+           CAST(coalesce(u.n_unconverted, 0) AS BIGINT) AS n_unconverted,
+           floor((CAST(coalesce(u.n_unconverted, 0) AS DOUBLE)
+             / CAST(t.n_clicks AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS drop_rate
+         FROM t LEFT JOIN u ON t.day = u.day ORDER BY day""",
     "events_peak_concurrency" ->
       s"""WITH s AS (
            SELECT user_id, ts, event_id,
