@@ -64,6 +64,24 @@ object Bench {
       Bench.blackhole = s
       (System.nanoTime() - t0) / 1e9
     }
+    // Parallel twin: all cores at once. Shared-host contention shows up
+    // here long before it moves the single-thread number (observed:
+    // calib_sec +10% while query times rose 40%), and the parallel
+    // number is what shuffle-heavy query times actually scale with.
+    val calibMtSec = {
+      val n = Runtime.getRuntime.availableProcessors()
+      val t0 = System.nanoTime()
+      val ts = (1 to n).map { k =>
+        val t = new Thread(() => {
+          var s = k.toLong; var i = 0L
+          while (i < 100000000L) { s += i * 31 + (i ^ (s >>> 7)); i += 1 }
+          Bench.blackhole = s
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val best = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
@@ -88,7 +106,7 @@ object Bench {
     // pre-warms its OS page cache / parquet footers — runs with different
     // warm_dir values are not comparable, and the record makes that visible.
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","iters":$iters,"calib_sec":${num(calibSec)},"build_once":${buildOnce.map("\"" + _ + "\"").mkString("[", ",", "]")},"total_sec":${num(total)}}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","iters":$iters,"calib_sec":${num(calibSec)},"calib_mt_sec":${num(calibMtSec)},"build_once":${buildOnce.map("\"" + _ + "\"").mkString("[", ",", "]")},"total_sec":${num(total)}}"""
     try {
       val w = new java.io.PrintWriter("bench_last.json")
       try w.println(line) finally w.close()
@@ -113,7 +131,7 @@ object Bench {
     val qsCompact = kept.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","iters":$iters,"n_queries":${results.size},"n_reported":${kept.size},"queries_full":"bench_last.json","calib_sec":${num(calibSec)},"total_sec":${num(total)}}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","iters":$iters,"n_queries":${results.size},"n_reported":${kept.size},"queries_full":"bench_last.json","calib_sec":${num(calibSec)},"calib_mt_sec":${num(calibMtSec)},"total_sec":${num(total)}}"""
     println(compact)
     spark.stop()
   }
