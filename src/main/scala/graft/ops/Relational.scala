@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Util._
@@ -1182,6 +1182,49 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** RFM segmentation — recency / frequency / monetary quintile scores
+    * per purchasing user, the classic marketing-analytics rollup. One
+    * hash agg per user builds the three metrics; scoring compares each
+    * metric against its BROADCAST exact-quintile boundaries
+    * (score = 1 + #boundaries exceeded) instead of a global ntile —
+    * ntile over the user summary would be a single-task sort of #users
+    * rows, while boundary scoring is a per-row map against 4 broadcast
+    * doubles (quantile-bucket semantics rather than ntile's equal-count
+    * tie splitting, deterministic on both engines). Recency anchors to
+    * the corpus max ts (one-row broadcast), not wall-clock, so the
+    * result is reproducible. At 100 TB swap the exact boundary
+    * percentiles for `approx_percentile` (`agg_percentile_approx`). */
+  def eventsRfm(spark: SparkSession, dir: String): DataFrame = {
+    val p = table(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+    val anchor = p.agg(max(col("us")).as("max_us"))
+    val perUser = p.groupBy("user_id")
+      .agg(max(col("us")).as("last_us"), count(lit(1)).as("f"),
+        dsum(col("value"), Qty).as("m"))
+      .crossJoin(broadcast(anchor))
+      .select(col("user_id"),
+        ((col("max_us") - col("last_us")) / lit(86400000000L)).cast("long")
+          .as("r_days"),
+        col("f"), col("m"))
+    val qs = "array(0.2D, 0.4D, 0.6D, 0.8D)"
+    val bounds = perUser.agg(
+      expr(s"percentile(r_days, $qs)").as("rb"),
+      expr(s"percentile(f, $qs)").as("fb"),
+      expr(s"percentile(m, $qs)").as("mb"))
+    def score(v: Column, bs: Column): Column =
+      (lit(1) + aggregate(bs, lit(0),
+        (acc, b) => acc + when(v.cast("double") > b, 1).otherwise(0))).cast("long")
+    perUser.crossJoin(broadcast(bounds))
+      .select(col("user_id"), col("r_days"), col("f"), round(col("m"), 4).as("m"),
+        score(col("r_days"), col("rb")).as("r_score"),
+        score(col("f"), col("fb")).as("f_score"),
+        score(col("m"), col("mb")).as("m_score"))
+      .withColumn("rfm",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+      .orderBy("user_id")
+  }
+
   /** Funnel drop-off: clicks with NO purchase by the same user within
     * the following hour — the anti-join-with-time-bound shape (the
     * batch model of a stream-stream LEFT ANTI join, whose state the
@@ -1594,6 +1637,7 @@ object Relational {
     "events_streaks" -> (eventsStreaks _),
     "events_peak_concurrency" -> (eventsPeakConcurrency _),
     "events_unconverted_clicks" -> (eventsUnconvertedClicks _),
+    "events_rfm" -> (eventsRfm _),
     "events_markov" -> (eventsMarkov _),
     "events_path_trigrams" -> (eventsPathTrigrams _),
     "events_mad_outliers" -> (eventsMadOutliers _),
@@ -2004,6 +2048,29 @@ object Relational {
                 THEN t_us - b_us
                 WHEN f_us IS NOT NULL THEN f_us - t_us END AS gap_us
          FROM w WHERE is_c = 1 ORDER BY event_id""",
+    "events_rfm" ->
+      s"""WITH p AS (
+           SELECT user_id, epoch_us(ts) AS us, value
+           FROM ${evSql()} WHERE event_type = 'purchase'),
+         a AS (SELECT max(us) AS max_us FROM p),
+         u AS (
+           SELECT user_id, (a.max_us - max(us)) // 86400000000 AS r_days,
+             count(*) AS f,
+             CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS m
+           FROM p, a GROUP BY user_id, a.max_us),
+         b AS (
+           SELECT quantile_cont(r_days, [0.2, 0.4, 0.6, 0.8]) AS rb,
+             quantile_cont(f, [0.2, 0.4, 0.6, 0.8]) AS fb,
+             quantile_cont(m, [0.2, 0.4, 0.6, 0.8]) AS mb
+           FROM u)
+         SELECT u.user_id, u.r_days, u.f, round(u.m, 4) AS m,
+           CAST(1 + len(list_filter(b.rb, x -> CAST(u.r_days AS DOUBLE) > x)) AS BIGINT) AS r_score,
+           CAST(1 + len(list_filter(b.fb, x -> CAST(u.f AS DOUBLE) > x)) AS BIGINT) AS f_score,
+           CAST(1 + len(list_filter(b.mb, x -> u.m > x)) AS BIGINT) AS m_score,
+           CAST(1 + len(list_filter(b.rb, x -> CAST(u.r_days AS DOUBLE) > x)) AS VARCHAR)
+             || CAST(1 + len(list_filter(b.fb, x -> CAST(u.f AS DOUBLE) > x)) AS VARCHAR)
+             || CAST(1 + len(list_filter(b.mb, x -> u.m > x)) AS VARCHAR) AS rfm
+         FROM u, b ORDER BY u.user_id""",
     "events_unconverted_clicks" ->
       s"""WITH c AS (
            SELECT user_id, epoch_us(ts) AS c_us, CAST(ts AS DATE) AS day
