@@ -1182,6 +1182,26 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Month-over-month growth — the reporting delta: monthly revenue with
+    * absolute and percent change vs the previous month. The lag window
+    * runs over the MONTHLY aggregate (tens of rows — the corpus is
+    * reduced before any window exists), so the only corpus-sized work is
+    * one hash agg; the unpartitioned lag over the month summary is the
+    * blessed aggregate-input shape. First month's deltas are null, not
+    * zero — absence of a prior period is not zero growth. */
+  def aggMomGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = table(spark, dir, "orders")
+      .groupBy(date_format(col("o_orderdate").cast("timestamp"), "yyyy-MM").as("month"))
+      .agg(dsum(col("o_totalprice"), Money).as("rev"), count(lit(1)).as("n"))
+    val w = Window.orderBy("month")
+    monthly
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .select(col("month"), round(col("rev"), 4).as("revenue"), col("n"),
+        round(col("rev") - col("prev"), 4).as("delta"),
+        r4((col("rev") - col("prev")) / col("prev")).as("growth"))
+      .orderBy("month")
+  }
+
   /** RFM segmentation — recency / frequency / monetary quintile scores
     * per purchasing user, the classic marketing-analytics rollup. One
     * hash agg per user builds the three metrics; scoring compares each
@@ -1638,6 +1658,7 @@ object Relational {
     "events_peak_concurrency" -> (eventsPeakConcurrency _),
     "events_unconverted_clicks" -> (eventsUnconvertedClicks _),
     "events_rfm" -> (eventsRfm _),
+    "agg_mom_growth" -> (aggMomGrowth _),
     "events_markov" -> (eventsMarkov _),
     "events_path_trigrams" -> (eventsPathTrigrams _),
     "events_mad_outliers" -> (eventsMadOutliers _),
@@ -2048,6 +2069,17 @@ object Relational {
                 THEN t_us - b_us
                 WHEN f_us IS NOT NULL THEN f_us - t_us END AS gap_us
          FROM w WHERE is_c = 1 ORDER BY event_id""",
+    "agg_mom_growth" ->
+      """WITH m AS (
+           SELECT strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m') AS month,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS rev,
+             count(*) AS n
+           FROM orders GROUP BY 1),
+         w AS (SELECT *, lag(rev) OVER (ORDER BY month) AS prev FROM m)
+         SELECT month, round(rev, 4) AS revenue, n,
+           round(rev - prev, 4) AS delta,
+           floor(((rev - prev) / prev) * 10000.0 + 0.5) / 10000.0 AS growth
+         FROM w ORDER BY month""",
     "events_rfm" ->
       s"""WITH p AS (
            SELECT user_id, epoch_us(ts) AS us, value
