@@ -329,6 +329,42 @@ class RelationalEdgeSpec extends AnyFunSuite with SparkFixture {
       out(2).getAs[String]("top_type") == "view")
   }
 
+  test("rfm: scores bounded in 1..5, same-day purchase gives r_days 0, rfm concatenates") {
+    val out = Relational.eventsRfm(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (rs, fs, ms) = (r.getAs[Long]("r_score"), r.getAs[Long]("f_score"),
+        r.getAs[Long]("m_score"))
+      assert(rs >= 1 && rs <= 5 && fs >= 1 && fs <= 5 && ms >= 1 && ms <= 5)
+      assert(r.getAs[String]("rfm") == s"$rs$fs$ms")
+      assert(r.getAs[Long]("r_days") >= 0)
+    }
+    assert(out.exists(_.getAs[Long]("r_days") == 0L),
+      "the anchor user should have recency 0")
+  }
+
+  test("mom growth: first month has null deltas, later months consistent with lag") {
+    val rows = Relational.aggMomGrowth(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length > 2)
+    assert(rows.head.isNullAt(rows.head.fieldIndex("delta")) &&
+      rows.head.isNullAt(rows.head.fieldIndex("growth")))
+    val second = rows(1)
+    val expected = BigDecimal(second.getAs[Double]("revenue")) -
+      BigDecimal(rows.head.getAs[Double]("revenue"))
+    assert(math.abs(second.getAs[Double]("delta") - expected.toDouble) < 1e-6)
+  }
+
+  test("unconverted clicks: drop counts never exceed click counts") {
+    val rows = Relational.eventsUnconvertedClicks(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_unconverted") <= r.getAs[Long]("n_clicks"))
+      val rate = r.getAs[Double]("drop_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
   test("approx aggregates: declared within-bound flags hold on sf0.01") {
     val dir = "/root/testdata/sf0.01"
     val hll = Relational.aggApproxDistinct(spark, dir).collect()
