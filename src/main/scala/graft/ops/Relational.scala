@@ -1182,6 +1182,30 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Behavioral diversity: Shannon entropy of each user's event-TYPE
+    * distribution — the bot/script detector (a user who only ever fires
+    * one event type scores 0; uniform usage scores log2(#types)). The
+    * aggregation twin of the per-row `char_entropy` expression, same
+    * H = log2(n) − Σ k·log2(k)/n form: two map-side-partial hash aggs
+    * ((user, type) counts → per-user fold), no explode, no window. The
+    * Σ terms are r6-rounded then summed as exact DECIMAL — a raw double
+    * sum across partitions would be order-nondeterministic (the
+    * text_lang_stats precedent). */
+  def eventsUserEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    table(spark, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("k"))
+      .groupBy("user_id")
+      .agg(sum(col("k")).as("n"), count(lit(1)).as("n_types"),
+        sum(r6(col("k").cast("double") * log2(col("k").cast("double")))
+          .cast(dec)).as("s"))
+      .select(col("user_id"), col("n").cast("long").as("n"), col("n_types"),
+        r4(log2(col("n").cast("double"))
+          - col("s").cast("double") / col("n").cast("double")).as("type_entropy"))
+      .orderBy("user_id")
+  }
+
   /** Month-over-month growth — the reporting delta: monthly revenue with
     * absolute and percent change vs the previous month. The lag window
     * runs over the MONTHLY aggregate (tens of rows — the corpus is
@@ -1659,6 +1683,7 @@ object Relational {
     "events_unconverted_clicks" -> (eventsUnconvertedClicks _),
     "events_rfm" -> (eventsRfm _),
     "agg_mom_growth" -> (aggMomGrowth _),
+    "events_user_entropy" -> (eventsUserEntropy _),
     "events_markov" -> (eventsMarkov _),
     "events_path_trigrams" -> (eventsPathTrigrams _),
     "events_mad_outliers" -> (eventsMadOutliers _),
@@ -2069,6 +2094,16 @@ object Relational {
                 THEN t_us - b_us
                 WHEN f_us IS NOT NULL THEN f_us - t_us END AS gap_us
          FROM w WHERE is_c = 1 ORDER BY event_id""",
+    "events_user_entropy" ->
+      s"""WITH c AS (
+           SELECT user_id, event_type, count(*) AS k
+           FROM ${evSql()} GROUP BY 1, 2)
+         SELECT user_id, CAST(sum(k) AS BIGINT) AS n, count(*) AS n_types,
+           floor((log2(CAST(sum(k) AS DOUBLE))
+             - CAST(sum(CAST(floor((CAST(k AS DOUBLE) * log2(CAST(k AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(sum(k) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS type_entropy
+         FROM c GROUP BY user_id ORDER BY user_id""",
     "agg_mom_growth" ->
       """WITH m AS (
            SELECT strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m') AS month,
