@@ -372,6 +372,23 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Window"), s"ranking window crept back in:\n$p")
   }
 
+  test("events_rfm: boundary scoring plans no window at all (broadcast quantiles)") {
+    val plan = Relational.eventsRfm(spark, dir).queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"RFM regressed to a window/ntile sort:\n$plan")
+    assert(plan.toString.contains("BroadcastExchange") ||
+      plan.toString.contains("BroadcastNestedLoopJoin"),
+      s"quantile bounds not broadcast:\n$plan")
+  }
+
+  test("events_user_entropy: aggregation twin stays explode-free") {
+    val p = plan(Relational.eventsUserEntropy(spark, dir))
+    assert(!p.contains("Generate"), s"entropy aggregation explodes rows:\n$p")
+    assert(p.contains("HashAggregate"), s"no hash aggregation:\n$p")
+  }
+
   test("join_topk_revenue: global top-10 over the aggregate is TakeOrderedAndProject") {
     val p = plan(Relational.joinTopkRevenue(spark, dir))
     assert(p.contains("TakeOrderedAndProject"),
