@@ -499,6 +499,38 @@ object Dedup {
     * in a cluster that spans >1 source, and the md5 fingerprint of its
     * surviving doc_ids. The oracle replays the identical global banding
     * (QUALIFY capped on (band, bsig)) with a recursive-CTE closure. */
+  /** Threshold-sweep tuning report: exact token-set Jaccard over the
+    * GLOBAL capped LSH candidate pairs, rolled up as pair counts at the
+    * 0.7 / 0.8 / 0.9 thresholds plus the mean — the one-query answer to
+    * "where should this corpus's near-dup threshold sit?", computed on
+    * exactly the candidate set the production dedup would verify (so the
+    * curve describes the real operating points, not an all-pairs
+    * fiction). Candidate generation and verification are the gated
+    * building blocks; per-pair Jaccard is one double division of exact
+    * set sizes (deterministic cross-engine), and the mean sums
+    * r6-rounded terms as exact DECIMAL. */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    val base = d.select(col("doc_id"), col("source"),
+      array_distinct(split(Text.normTextExpr, " ")).as("toks"))
+    val pairs = candidatePairsGlobal(base, "s")
+    val ts = base.select(col("doc_id"), col("toks"))
+    val j = pairs
+      .join(ts.select(col("doc_id").as("d1"), col("toks").as("t1")), "d1")
+      .join(ts.select(col("doc_id").as("d2"), col("toks").as("t2")), "d2")
+      .withColumn("jac",
+        size(array_intersect(col("t1"), col("t2"))).cast("double") /
+          size(array_union(col("t1"), col("t2"))).cast("double"))
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    j.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("jac") >= 0.7, 1L).otherwise(0L)).as("n_ge_07"),
+      sum(when(col("jac") >= 0.8, 1L).otherwise(0L)).as("n_ge_08"),
+      sum(when(col("jac") >= 0.9, 1L).otherwise(0L)).as("n_ge_09"),
+      r4(sum(r6(col("jac")).cast(dec)).cast("double")
+        / count(lit(1)).cast("double")).as("avg_jac"))
+  }
+
   def minhashGlobal(spark: SparkSession, dir: String): DataFrame = {
     val d = table(spark, dir, "documents")
     val base = d.select(col("doc_id"), col("source"),
@@ -841,6 +873,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_pipeline_e2e" -> (pipelineE2e _),
     "dedup_minhash_global" -> (minhashGlobal _),
+    "dedup_threshold_sweep" -> (thresholdSweep _),
     "dedup_incremental" -> (incremental _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_minhash_shingle" -> (minhashShingle _),
@@ -1081,6 +1114,44 @@ object Dedup {
            CAST(sum(csize) - count(*) AS BIGINT) AS n_dropped,
            md5(array_to_string(list_sort(list(keep_id)), ',')) AS survivors_md5
          FROM cl GROUP BY source ORDER BY source""",
+    // Replays the SAME global capped band CTE as dedup_minhash_global,
+    // generating the per-bucket clique pairs and verifying each with
+    // exact token-set Jaccard (one double division of exact set sizes).
+    "dedup_threshold_sweep" ->
+      s"""WITH nd AS MATERIALIZED (
+           SELECT doc_id, source,
+             array_to_string(list_filter(
+               string_split_regex(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +'),
+               t -> t NOT IN ('join','filter','sort','merge','window')), ' ') AS ntext
+           FROM documents),
+         tok AS MATERIALIZED (
+           SELECT doc_id, source, unnest(list_distinct(string_split(ntext, ' '))) AS token
+           FROM nd),
+         sig AS MATERIALIZED (
+           SELECT doc_id, source,
+             $minhashMinsSql
+           FROM tok GROUP BY doc_id, source),
+         $bandCteGlobalSql,
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           FROM band a JOIN band b
+             ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         ts AS MATERIALIZED (
+           SELECT doc_id, list_distinct(string_split(ntext, ' ')) AS toks FROM nd),
+         j AS (
+           SELECT CAST(len(list_intersect(t1.toks, t2.toks)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(t1.toks, t2.toks))) AS DOUBLE) AS jac
+           FROM pairs p
+           JOIN ts t1 ON p.d1 = t1.doc_id
+           JOIN ts t2 ON p.d2 = t2.doc_id)
+         SELECT count(*) AS n_pairs,
+           CAST(sum(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_07,
+           CAST(sum(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_08,
+           CAST(sum(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_09,
+           floor((CAST(sum(CAST(floor(jac * 1000000.0 + 0.5) / 1000000.0
+               AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+             * 10000.0 + 0.5) / 10000.0 AS avg_jac
+         FROM j""",
     "dedup_minhash_global" ->
       s"""WITH RECURSIVE nd AS MATERIALIZED (
            SELECT doc_id, source,
