@@ -226,7 +226,27 @@ object Scalars {
           .as("tok"))
       .orderBy(col("doc_id"), col("tok").asc_nulls_first)
 
+  /** String-distance scalars: Levenshtein per row (fuzzy-match costing —
+    * the per-pair metric [[Dedup.editDistance]] budgets at corpus scale),
+    * aggregated per brand. Both engines ship the classic
+    * Wagner–Fischer definition, so values are integer-exact; the mean
+    * divides an exact integer sum (no float-order concern). Per-row
+    * projection + one hash agg. */
+  def stringDistance(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "part")
+      .select(col("p_brand"),
+        levenshtein(col("p_name"), col("p_type")).as("d_nt"),
+        levenshtein(col("p_name"), lower(col("p_name"))).as("d_case"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(col("d_nt")).cast("long").as("sum_nt"),
+        r4(sum(col("d_nt")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_nt"),
+        max(col("d_case")).cast("long").as("max_case"))
+      .orderBy("p_brand")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_string_distance" -> (stringDistance _),
     "scalar_explode_outer" -> (explodeOuter _),
     "scalar_array_ops" -> (arrayOps _),
     "scalar_bitwise" -> (bitwiseOps _),
@@ -241,6 +261,18 @@ object Scalars {
     "array_embedding_stats" -> (arrayEmbeddingStats _))
 
   val oracleSql: Map[String, String] = Map(
+    "scalar_string_distance" ->
+      """WITH d AS (
+           SELECT p_brand,
+             levenshtein(p_name, p_type) AS d_nt,
+             levenshtein(p_name, lower(p_name)) AS d_case
+           FROM part)
+         SELECT p_brand, count(*) AS n,
+           CAST(sum(d_nt) AS BIGINT) AS sum_nt,
+           floor((CAST(sum(d_nt) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+             * 10000.0 + 0.5) / 10000.0 AS avg_nt,
+           CAST(max(d_case) AS BIGINT) AS max_case
+         FROM d GROUP BY p_brand ORDER BY p_brand""",
     "scalar_explode_outer" ->
       """WITH a AS (
            SELECT doc_id,
