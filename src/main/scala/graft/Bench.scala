@@ -82,7 +82,15 @@ object Bench {
       ts.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional subset run (regex on the query key): lets a perf
+    // investigation re-measure one family without paying the full 190-query
+    // sweep. Unset → full run, identical to prior rounds.
+    val filterRe = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
+    val selected = filterRe match {
+      case Some(re) => SparkEntry.queries.filter { case (k, _) => re.findFirstIn(k).isDefined }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val best = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -97,6 +105,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Calibration-normalized total: total_sec scaled to a fixed reference
+    // host whose parallel calibration loop takes 0.25 s (≈ the r6 VM).
+    // Round-over-round artifact totals have twice been distorted by VM
+    // speed (r4, r8); this field makes BENCH_rN vs BENCH_rM readable
+    // without re-deriving the normalization from calib_mt_sec by hand.
+    // Parallel calib is the normalizer because the bench runs 32 threads.
+    val totalNorm = if (calibMtSec > 0) total * (0.25 / calibMtSec) else total
     // "value" appears BOTH first and (duplicated as "total_sec") last: the
     // round-2 driver captured only the tail of stdout and the long per-query
     // map truncated the leading total away. Key order keeps the headline
@@ -106,7 +121,7 @@ object Bench {
     // pre-warms its OS page cache / parquet footers — runs with different
     // warm_dir values are not comparable, and the record makes that visible.
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","iters":$iters,"calib_sec":${num(calibSec)},"calib_mt_sec":${num(calibMtSec)},"build_once":${buildOnce.map("\"" + _ + "\"").mkString("[", ",", "]")},"total_sec":${num(total)}}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","iters":$iters,"calib_sec":${num(calibSec)},"calib_mt_sec":${num(calibMtSec)},"total_norm_sec":${num(totalNorm)},"build_once":${buildOnce.map("\"" + _ + "\"").mkString("[", ",", "]")},"total_sec":${num(total)}}"""
     try {
       val w = new java.io.PrintWriter("bench_last.json")
       try w.println(line) finally w.close()
@@ -131,7 +146,7 @@ object Bench {
     val qsCompact = kept.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","iters":$iters,"n_queries":${results.size},"n_reported":${kept.size},"queries_full":"bench_last.json","calib_sec":${num(calibSec)},"calib_mt_sec":${num(calibMtSec)},"total_sec":${num(total)}}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","iters":$iters,"n_queries":${results.size},"n_reported":${kept.size},"queries_full":"bench_last.json","calib_sec":${num(calibSec)},"calib_mt_sec":${num(calibMtSec)},"total_norm_sec":${num(totalNorm)},"total_sec":${num(total)}}"""
     println(compact)
     spark.stop()
   }

@@ -160,13 +160,11 @@ object Dedup {
     * bounded [[Udaf.MinKLongs]] aggregate keeps the one-hash-shuffle shape
     * (map-side partials, no sort window, no unbounded collect buffer). */
   private def cappedBucketsBy(
-      base: DataFrame, saltPrefix: String, keys: Seq[String]): DataFrame = {
-    val minK = udaf(new Udaf.MinKLongs(LshBucketCap))
+      base: DataFrame, saltPrefix: String, keys: Seq[String]): DataFrame =
     bandRows(base, saltPrefix)
       .groupBy(keys.map(col): _*)
-      .agg(minK(col("doc_id")).as("ds"))
+      .agg(graft.functions.MinKLongsAgg.minKLongs(col("doc_id"), LshBucketCap).as("ds"))
       .filter(size(col("ds")) >= 2)
-  }
 
   private def cappedBuckets(base: DataFrame, saltPrefix: String): DataFrame =
     cappedBucketsBy(base, saltPrefix, Seq("source", "band", "bsig"))
@@ -185,9 +183,7 @@ object Dedup {
     // LshBucketCap²/2 pairs by [[cappedBuckets]].
     val buckets = cappedBuckets(base, saltPrefix)
     buckets.select(col("source"),
-        explode(expr("""flatten(transform(ds, (x, i) ->
-          transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"""))
-          .as("p"))
+        explode(graft.functions.SortedPairs.pairs(col("ds"))).as("p"))
       .select(col("source"), col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
   }
@@ -202,9 +198,7 @@ object Dedup {
   private[ops] def candidatePairsGlobal(
       base: DataFrame, saltPrefix: String): DataFrame =
     cappedBucketsBy(base, saltPrefix, Seq("band", "bsig"))
-      .select(explode(expr("""flatten(transform(ds, (x, i) ->
-          transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"""))
-        .as("p"))
+      .select(explode(graft.functions.SortedPairs.pairs(col("ds"))).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
 
@@ -719,10 +713,9 @@ object Dedup {
     // join, never a batch×standing pair space. No size≥2 filter here:
     // a SINGLETON standing bucket is a perfectly good match candidate
     // (cappedBucketsBy's ≥2 filter exists for intra-corpus pairing).
-    val minK = udaf(new Udaf.MinKLongs(LshBucketCap))
     val sBuckets = bandRows(sBase.select("doc_id", "source", "toks"), "s")
       .groupBy("band", "bsig")
-      .agg(minK(col("doc_id")).as("ds"))
+      .agg(graft.functions.MinKLongsAgg.minKLongs(col("doc_id"), LshBucketCap).as("ds"))
     val sSets = sBase.select(col("doc_id").as("s_id"), col("toks").as("s_toks"))
     (sHash, sBuckets, sSets)
   }

@@ -621,22 +621,22 @@ object Text {
     // ONE hash shuffle of the shingle table: pair expansion happens per
     // GROUPED bucket exactly as in Dedup.candidatePairs — bounded at
     // cap²/2 per shingle, no self-join probe — and the hot-shingle DF cap
-    // is enforced WITH BOUNDED STATE by the [[Udaf.MinKLongs]] aggregate
-    // at k = cap+1: a final member list of cap+1 ids proves the true
-    // document frequency exceeded the cap, so the bucket is dropped
-    // (identical semantics to the count+anti-join formulation, which cost
-    // two extra passes over the shingle table; a plain collect_set would
-    // instead materialize a 10^8-doc boilerplate shingle's full member
-    // list in one aggregation buffer before any size filter could apply).
-    // Size-1 buckets survive so per-doc kept-shingle counts (the Jaccard
-    // denominators) still include unshared shingles.
-    val minK = udaf(new Udaf.MinKLongs(NgramDfCap + 1))
+    // is enforced WITH BOUNDED STATE by the native
+    // [[graft.functions.MinKLongsAgg]] aggregate at k = cap+1: a final
+    // member list of cap+1 ids proves the true document frequency
+    // exceeded the cap, so the bucket is dropped (identical semantics to
+    // the count+anti-join formulation, which cost two extra passes over
+    // the shingle table; a plain collect_set would instead materialize a
+    // 10^8-doc boilerplate shingle's full member list in one aggregation
+    // buffer before any size filter could apply). Size-1 buckets survive
+    // so per-doc kept-shingle counts (the Jaccard denominators) still
+    // include unshared shingles.
     val keyCols = if (bySource) Seq("source", "s") else Seq("s")
     val sh0 = docs(spark, dir)
       .select(col("doc_id"), col("source"),
         explode(Util.shingle3(col("text"))).as("s"))
     val buckets = sh0.groupBy(keyCols.map(col): _*)
-      .agg(minK(col("doc_id")).as("ds"))
+      .agg(graft.functions.MinKLongsAgg.minKLongs(col("doc_id"), NgramDfCap + 1).as("ds"))
       .filter(size(col("ds")) <= NgramDfCap)
     val cnt = buckets.select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -644,9 +644,7 @@ object Text {
     val pairKeys = if (bySource) Seq("source", "d1", "d2") else Seq("d1", "d2")
     buckets.filter(size(col("ds")) >= 2)
       .select(carry :+
-        explode(expr("""flatten(transform(ds, (x, i) ->
-          transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"""))
-          .as("p"): _*)
+        explode(graft.functions.SortedPairs.pairs(col("ds"))).as("p"): _*)
       .select(carry ++ Seq(col("p.d1").as("d1"), col("p.d2").as("d2")): _*)
       .groupBy(pairKeys.map(col): _*)
       .agg(count(lit(1)).as("inter"))

@@ -97,4 +97,55 @@ class UdafSpec extends AnyFunSuite with SparkFixture {
     assert(out(1L) == List(1L, 2L, 5L))
     assert(out(2L) == List(7L))
   }
+
+  test("native MinKLongsAgg buffer equals sorted-distinct-take(k) under any split + serde") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 5) {
+      val k = Seq(1, 3, 7, 64, 256)(trial - 1)
+      val xs = Seq.fill(500)(rnd.nextLong() % 200)
+      val expected = xs.distinct.sorted.take(k)
+      val agg = graft.functions.MinKLongsAgg(
+        org.apache.spark.sql.catalyst.expressions.Literal(0L), k)
+      // fold each split into its own buffer, round-trip through serde
+      // (the shuffle boundary), then merge in shuffled order
+      val splits = xs.grouped(math.max(1, xs.size / (trial + 1))).toSeq
+      val bufs = splits.map { part =>
+        val b = agg.createAggregationBuffer()
+        part.foreach(b.insert)
+        agg.deserialize(agg.serialize(b))
+      }
+      val merged = rnd.shuffle(bufs).reduce { (a, b) => agg.merge(a, b) }
+      val out = agg.eval(merged)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray.toSeq
+      assert(out == expected, s"trial=$trial k=$k")
+    }
+  }
+
+  test("native MinKLongsAgg through the DataFrame path matches the UDAF twin") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 1000).select(
+      (col("id") % 7).as("g"), pmod(col("id") * 37, lit(100)).as("x"))
+      .repartition(5)
+    val native = df.groupBy("g")
+      .agg(graft.functions.MinKLongsAgg.minKLongs(col("x"), 9).as("ks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val minK = udaf(new Udaf.MinKLongs(9))
+    val viaUdaf = df.groupBy("g").agg(minK(col("x")).as("ks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(native == viaUdaf)
+  }
+
+  test("SortedPairs expression equals the flatten/transform lambda spelling") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      Tuple1(Seq(1L, 2L, 3L, 4L)), Tuple1(Seq(10L, 20L)), Tuple1(Seq(5L)),
+      Tuple1(Seq.empty[Long])).toDF("ds")
+    val native = df.select(graft.functions.SortedPairs.pairs(col("ds")).as("p"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getLong(0), r.getLong(1))).toList)
+    val lambda = df.select(expr("""flatten(transform(ds, (x, i) ->
+        transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))""").as("p"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getLong(0), r.getLong(1))).toList)
+    assert(native.toSeq == lambda.toSeq)
+    assert(native(0) == List((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+  }
 }
