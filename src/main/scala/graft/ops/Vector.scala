@@ -568,10 +568,33 @@ object Vector {
     * persisted replay ([[simsearchPqIndex]]) is bit-identical to an
     * in-memory run. */
   private def pqTrainEncode(
-      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    import scala.jdk.CollectionConverters._
-    val e = emb(spark, dir)
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    pqTrainEncodeOver(spark, embWithNrm(spark, dir))
+
+  private def embWithNrm(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
       .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
+
+  /** Per-(vector, subspace) nearest-centroid assignment against any
+    * codebook frame — argmin as a map-side max_by aggregate (no window),
+    * ties to the lower centroid id. Shared by Lloyd training, the full
+    * corpus encode, and the incremental batch encode
+    * ([[simsearchIndexUpsert]]), so frozen-codebook encoding cannot
+    * drift from build-time encoding. */
+  private def pqAssign(sv: DataFrame, cs: DataFrame): DataFrame =
+    sv.join(broadcast(cs), "sub")
+      .withColumn("d2s", sqdist(col("subv"), col("c_emb")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(
+        first(col("subv")).as("subv"),   // functionally dependent
+        max_by(col("c_id"), struct(-col("d2s"), -col("c_id"))).as("code"))
+
+  /** [[pqTrainEncode]] over an explicit (vec_id, embedding, nrm) corpus
+    * frame — the seam that lets the incremental index train on the
+    * STANDING slice only while everything else is shared verbatim. */
+  private def pqTrainEncodeOver(
+      spark: SparkSession, e: DataFrame): (DataFrame, DataFrame) = {
+    import scala.jdk.CollectionConverters._
     // Materialized once: the subvector table feeds PqIters+1 assignment
     // jobs plus the encode pass — without the checkpoint each job would
     // re-scan and re-slice the corpus (plans compose, results don't).
@@ -588,13 +611,7 @@ object Vector {
       spark.createDataFrame(rows.asJava, centSchema)
     // assignment: per (vector, subspace) the nearest centroid of that
     // subspace — argmin as a map-side max_by aggregate (no window).
-    def assignCodes(cs: DataFrame): DataFrame =
-      sv.join(broadcast(cs), "sub")
-        .withColumn("d2s", sqdist(col("subv"), col("c_emb")))
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(
-          first(col("subv")).as("subv"),   // functionally dependent
-          max_by(col("c_id"), struct(-col("d2s"), -col("c_id"))).as("code"))
+    def assignCodes(cs: DataFrame): DataFrame = pqAssign(sv, cs)
     var cents = centsDf(
       subVecs(e.orderBy("vec_id").limit(PqK), "vec_id", "embedding", "c_emb")
         .select(col("sub"), col("vec_id").as("c_id"), col("c_emb"))
@@ -699,6 +716,100 @@ object Vector {
     val (codesTable, cbPath) = ensurePqIndex(spark, dir)
     pqSearch(spark, dir, spark.table(codesTable), spark.read.parquet(cbPath))
   }
+
+  /** Build-count diagnostics for the incremental index: `pqUpsertBuilds`
+    * counts standing-index builds (Lloyd training), `pqUpsertEncodes`
+    * counts batch encode+append passes — the spec asserts both stay at 1
+    * across repeated serves (zero retraining, zero re-appends). */
+  private[graft] val pqUpsertBuilds = new java.util.concurrent.atomic.AtomicInteger
+  private[graft] val pqUpsertEncodes = new java.util.concurrent.atomic.AtomicInteger
+
+  private val pqUpsertCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** The "new arrivals" slice for the incremental-index demonstration:
+    * vec_id % 5 == 0 (~20%) is the batch, the rest is the standing
+    * corpus — deterministic, like [[graft.ops.Dedup]]'s doc_id % 7
+    * incremental split (a different modulus, so the two fixtures don't
+    * shadow each other's edge cases). */
+  private val upsertBatchPred = col("vec_id") % 5 === 0
+
+  /** Encode a batch of vectors against FROZEN persisted codebooks — the
+    * upsert path's only job: one broadcast join + map-side argmin over
+    * the batch's subvectors. Zero Lloyd iterations, zero reads of the
+    * standing code table, zero reads of standing embeddings (the batch
+    * predicate reaches the embeddings scan as a pushed filter —
+    * PlanSpec-asserted). Exposed private[graft] so the spec can assert
+    * exactly that plan shape. */
+  private[graft] def pqUpsertBatchCodes(
+      spark: SparkSession, dir: String, cbs: DataFrame): DataFrame =
+    pqAssign(
+      subVecs(embWithNrm(spark, dir).filter(upsertBatchPred),
+        "vec_id", "embedding", "subv"),
+      cbs)
+      .select(col("vec_id"), col("sub"), col("code"))
+
+  /** Ensure the INCREMENTAL PQ index for `dir`: build the persisted index
+    * over the standing corpus only (Lloyd training + encode + bucketed
+    * write, exactly [[ensurePqIndex]]'s machinery over the standing
+    * slice), then UPSERT the batch — encode it with the persisted frozen
+    * codebooks and APPEND to the bucketed code table. Write-once per
+    * input dir per JVM; the append lands bucketed files in the same
+    * vec_id-hash layout, so the serve-side ADC aggregation still runs
+    * with no exchange. */
+  private def ensurePqUpsertIndex(spark: SparkSession, dir: String): (String, String) =
+    pqUpsertCache.computeIfAbsent(dir, { d =>
+      pqUpsertBuilds.incrementAndGet()
+      val key = dirKey(d).take(12)
+      val codesTable = s"g_pqu_codes_$key"
+      val cbPath = new java.io.File(pqIndexRoot, s"cbu_$key").getPath
+      val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+      val tdir = new java.io.File(wh, codesTable)
+      if (tdir.exists() && !spark.catalog.tableExists(codesTable))
+        new scala.reflect.io.Directory(tdir).deleteRecursively()
+      // T0: standing-only build — train + encode + persist
+      val (sCodes, cents) = pqTrainEncodeOver(spark,
+        embWithNrm(spark, d).filter(!upsertBatchPred))
+      graft.sources.TableSinks.writeBucketed(
+        sCodes.select("vec_id", "sub", "code"), codesTable, "vec_id", 8)
+      cents.write.mode("overwrite").parquet(cbPath)
+      // T1: the batch arrives — encode with the PERSISTED codebooks (read
+      // back from disk, not the in-memory frame: the serve-time contract
+      // is that upsert needs only the index artifacts) and append.
+      pqUpsertEncodes.incrementAndGet()
+      pqUpsertBatchCodes(spark, d, spark.read.parquet(cbPath))
+        .write.format("parquet").mode("append")
+        .bucketBy(8, "vec_id").sortBy("vec_id")
+        .saveAsTable(codesTable)
+      (codesTable, cbPath)
+    })
+
+  /** INCREMENTAL ANN index maintenance — the reference's A7 incremental
+    * contract (`src/bak_unload.ps1:57-66`: new arrivals are processed
+    * against standing state, never by reprocessing the archive) applied
+    * to the similarity index, exactly as `dedup_index_probe` applied it
+    * to dedup: the standing corpus's PQ index is built ONCE
+    * (Lloyd-trained on standing vectors, codes persisted bucketed); when
+    * a batch arrives it is encoded with the EXISTING frozen codebooks —
+    * zero Lloyd jobs, zero standing-code rescans, cost ∝ batch size —
+    * and its codes are APPENDED to the bucketed code table. Serving then
+    * reads the unioned table. Codebooks deliberately stay frozen (the
+    * production posture: retraining invalidates every stored code, so
+    * rebuilds are scheduled, not per-batch); encoding is deterministic
+    * per row, so standing-encode + batch-encode ≡ one encode of the
+    * union against the same codebooks, and the oracle replays exactly
+    * that (standing-trained codebooks, union codes, full-corpus probes).
+    * Output schema matches [[simsearchPq]]. */
+  def simsearchIndexUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val (codesTable, cbPath) = ensurePqUpsertIndex(spark, dir)
+    pqSearch(spark, dir, spark.table(codesTable), spark.read.parquet(cbPath))
+  }
+
+  /** Persisted-codebook path of the incremental index (after at least one
+    * [[simsearchIndexUpsert]] call) — spec hook for plan-shape assertions
+    * on the batch-encode path. */
+  private[graft] def pqUpsertCodebookPath(dir: String): Option[String] =
+    Option(pqUpsertCache.get(dir)).map(_._2)
 
   /** Build-count diagnostic for the persisted IVF index — spec-asserted
     * zero rebuilds on the serve path, as with [[pqIndexBuilds]]. */
@@ -993,6 +1104,7 @@ object Vector {
     "simsearch_ivf_index" -> (simsearchIvfIndex _),
     "simsearch_pq" -> (simsearchPq _),
     "simsearch_pq_index" -> (simsearchPqIndex _),
+    "simsearch_index_upsert" -> (simsearchIndexUpsert _),
     "dedup_embedding" -> (dedupEmbedding _),
     "multimodal_join_stats" -> (multimodalJoinStats _),
     "multimodal_binary_meta" -> (multimodalBinaryMeta _),
@@ -1055,18 +1167,28 @@ object Vector {
          FROM s QUALIFY rk <= 3 ORDER BY probe_id, rk"""
   }
 
-  private lazy val pqOracleSqlStr: String = {
+  /** The PQ oracle, parameterized by the TRAINING source: `trainSv = "sv"`
+    * replays [[simsearchPq]] (codebooks trained on the full corpus);
+    * `trainSv = "svt"` (with matching standing-slice CTEs emitted) replays
+    * [[simsearchIndexUpsert]] — codebooks trained on the STANDING slice
+    * only, final codes assigned over the FULL corpus, probes from the
+    * full corpus. Everything else (slicing, Lloyd arithmetic, ADC,
+    * re-rank) is the identical generated SQL, so the three declared
+    * variants cannot drift from each other. */
+  private def pqOracleSqlGen(standingTrained: Boolean): String = {
       def dotFF(a: String, b: String) = dotFFSql(a, b)
       def sqd(a: String, b: String) =
         s"list_sum(list_transform(range(1, len($a)+1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
-      def assignSql(cb: String, out: String) =
+      val trainSv = if (standingTrained) "svt" else "sv"
+      val trainE = if (standingTrained) "et" else "e"
+      def assignSql(src: String, cb: String, out: String) =
         s"""$out AS (SELECT vec_id, sub, subv, code FROM (
              SELECT s.vec_id, s.sub, s.subv, c.c_id AS code,
                row_number() OVER (PARTITION BY s.vec_id, s.sub
                  ORDER BY ${sqd("s.subv", "c.c_emb")} ASC, c.c_id) AS rn
-             FROM sv s JOIN $cb c ON c.sub = s.sub) WHERE rn = 1)"""
+             FROM $src s JOIN $cb c ON c.sub = s.sub) WHERE rn = 1)"""
       val iterCtes = (0 until PqIters).map { k =>
-        s"""${assignSql(s"cb$k", s"a$k")},
+        s"""${assignSql(trainSv, s"cb$k", s"a$k")},
          x$k AS (SELECT sub, code, generate_subscripts(subv, 1) AS i,
              unnest(subv) AS x FROM a$k),
          m$k AS (SELECT sub, code, i,
@@ -1076,15 +1198,19 @@ object Vector {
          cb${k + 1} AS (SELECT sub, code AS c_id, list(mu ORDER BY i) AS c_emb
            FROM m$k GROUP BY sub, code)"""
       }.mkString(",\n         ")
+      val standingCtes = if (standingTrained)
+        s"""et AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+         svt AS (SELECT * FROM sv WHERE vec_id % 5 <> 0),
+         """ else ""
       s"""WITH e AS (SELECT vec_id, embedding,
              sqrt(${dotFF("embedding", "embedding")}) AS nrm FROM embeddings),
          sv AS (SELECT e.vec_id, CAST(f.sub AS INTEGER) AS sub,
              list_transform(e.embedding[(f.sub*8+1):(f.sub*8+8)], x -> CAST(x AS DOUBLE)) AS subv
            FROM e, (SELECT unnest(range($PqM)) AS sub) f),
-         cb0 AS (SELECT sub, vec_id AS c_id, subv AS c_emb FROM sv
-           WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT $PqK)),
+         ${standingCtes}cb0 AS (SELECT sub, vec_id AS c_id, subv AS c_emb FROM $trainSv
+           WHERE vec_id IN (SELECT vec_id FROM $trainE ORDER BY vec_id LIMIT $PqK)),
          $iterCtes,
-         ${assignSql(s"cb$PqIters", "codes")},
+         ${assignSql("sv", s"cb$PqIters", "codes")},
          p AS (SELECT vec_id AS probe_id, embedding AS p_emb, nrm AS p_nrm
              FROM e ORDER BY vec_id LIMIT 10),
          psv AS (SELECT p.probe_id, CAST(f.sub AS INTEGER) AS sub,
@@ -1110,6 +1236,9 @@ object Vector {
            floor(adist * 1000000.0 + 0.5) / 1000000.0 AS adist_r
          FROM rr ORDER BY probe_id, rk"""
   }
+
+  private lazy val pqOracleSqlStr: String = pqOracleSqlGen(standingTrained = false)
+  private lazy val pqUpsertOracleSqlStr: String = pqOracleSqlGen(standingTrained = true)
 
   val oracleSql: Map[String, String] = Map(
     "simsearch_knn_join" ->
@@ -1344,6 +1473,7 @@ object Vector {
     // training, so the SAME oracle gates that persistence round-trips
     // bit-identically (doubles and codes are exact through parquet).
     "simsearch_pq_index" -> pqOracleSqlStr,
+    "simsearch_index_upsert" -> pqUpsertOracleSqlStr,
     "simsearch_ivf" -> ivfOracleSqlStr,
     // Same serve math off the persisted cell layout; parquet round-trips
     // floats/norms/cells exactly, so one oracle gates both paths.

@@ -252,6 +252,34 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(fromIndex == inMemory, "persisted-index result drifted from in-memory PQ")
   }
 
+  test("simsearch_index_upsert: upsert encodes only the batch, serve retrains nothing") {
+    // First call builds the standing index + appends the batch's codes.
+    Vector.simsearchIndexUpsert(spark, dir).collect()
+    val builds = Vector.pqUpsertBuilds.get
+    val encodes = Vector.pqUpsertEncodes.get
+    val df = Vector.simsearchIndexUpsert(spark, dir)
+    assert(Vector.pqUpsertBuilds.get == builds,
+      "second construction re-entered the standing-index build (retraining)")
+    assert(Vector.pqUpsertEncodes.get == encodes,
+      "second construction re-ran the batch encode+append")
+    val p = plan(df)
+    assert(p.contains("g_pqu_codes_"),
+      s"serve does not scan the persisted+appended code table:\n$p")
+    // The batch-encode plan itself: zero Lloyd jobs is structural (it is
+    // one broadcast join + argmin agg, no iteration), and it must touch
+    // ONLY the batch slice of the raw embeddings — the vec_id % 5 = 0
+    // predicate reaches the scan — and never the standing code table.
+    val cbs = spark.read.parquet(Vector.pqUpsertCodebookPath(dir).get)
+    val bp = plan(Vector.pqUpsertBatchCodes(spark, dir, cbs))
+    assert(!bp.contains("g_pqu_codes_"),
+      s"batch encode rescans the standing code table:\n$bp")
+    assert(bp.contains("BroadcastHashJoin"),
+      s"codebook join is not a broadcast:\n$bp")
+    assert(bp.linesIterator.exists(l => l.contains("PushedFilters") &&
+      l.contains("vec_id")),
+      s"batch predicate not pushed to the embeddings scan:\n$bp")
+  }
+
   test("simsearch_ivf_index: serve retrains nothing and partition-prunes to the probed cells") {
     Vector.simsearchIvfIndex(spark, dir).collect()
     val builds = Vector.ivfIndexBuilds.get
