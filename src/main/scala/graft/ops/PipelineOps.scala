@@ -373,7 +373,8 @@ object PipelineOps {
     * pairing; map-side partial sums shuffle one number per partition),
     * and compare the per-group totals of two tables. The full row-diff
     * ([[snapshotDiff]]) is what you run AFTER a checksum mismatch tells
-    * you which group diverged. Row hash: 60 low bits of md5 over a
+    * you which group diverged. Row hash: the HIGH 60 bits of md5 (the
+    * leading 15 hex chars of the digest) over a
     * '|'-joined canonical projection (explicit VARCHAR casts so both
     * engines hash identical bytes), summed as DECIMAL(38,0) — a BIGINT
     * sum would overflow at ~8 rows × 2⁶⁰; 38 digits holds ~10¹⁸ rows. */

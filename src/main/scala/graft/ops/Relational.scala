@@ -1252,10 +1252,19 @@ object Relational {
           .as("r_days"),
         col("f"), col("m"))
     val qs = "array(0.2D, 0.4D, 0.6D, 0.8D)"
+    // Boundaries are r6-rounded on BOTH engines before the strict->
+    // comparison: Spark percentile and DuckDB quantile_cont interpolate
+    // in different op orders, and a metric value tying a boundary whose
+    // interpolations differ by one ulp would flip a score
+    // nondeterministically. On the 1e-6 grid both engines agree.
     val bounds = perUser.agg(
-      expr(s"percentile(r_days, $qs)").as("rb"),
-      expr(s"percentile(f, $qs)").as("fb"),
-      expr(s"percentile(m, $qs)").as("mb"))
+      expr(s"percentile(r_days, $qs)").as("rb0"),
+      expr(s"percentile(f, $qs)").as("fb0"),
+      expr(s"percentile(m, $qs)").as("mb0"))
+      .select(
+        transform(col("rb0"), b => r6(b)).as("rb"),
+        transform(col("fb0"), b => r6(b)).as("fb"),
+        transform(col("mb0"), b => r6(b)).as("mb"))
     def score(v: Column, bs: Column): Column =
       (lit(1) + aggregate(bs, lit(0),
         (acc, b) => acc + when(v.cast("double") > b, 1).otherwise(0))).cast("long")
@@ -2126,9 +2135,13 @@ object Relational {
              CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS m
            FROM p, a GROUP BY user_id, a.max_us),
          b AS (
-           SELECT quantile_cont(r_days, [0.2, 0.4, 0.6, 0.8]) AS rb,
-             quantile_cont(f, [0.2, 0.4, 0.6, 0.8]) AS fb,
-             quantile_cont(m, [0.2, 0.4, 0.6, 0.8]) AS mb
+           SELECT
+             list_transform(quantile_cont(r_days, [0.2, 0.4, 0.6, 0.8]),
+               x -> floor(x * 1000000.0 + 0.5) / 1000000.0) AS rb,
+             list_transform(quantile_cont(f, [0.2, 0.4, 0.6, 0.8]),
+               x -> floor(x * 1000000.0 + 0.5) / 1000000.0) AS fb,
+             list_transform(quantile_cont(m, [0.2, 0.4, 0.6, 0.8]),
+               x -> floor(x * 1000000.0 + 0.5) / 1000000.0) AS mb
            FROM u)
          SELECT u.user_id, u.r_days, u.f, round(u.m, 4) AS m,
            CAST(1 + len(list_filter(b.rb, x -> CAST(u.r_days AS DOUBLE) > x)) AS BIGINT) AS r_score,

@@ -226,9 +226,14 @@ object SqlSurface {
     * the two spellings are semantically identical. */
   def sqlRecursiveSpine(spark: SparkSession, dir: String): DataFrame = {
     reg(spark, dir, "orders")
-    val maxMonth = spark.sql(
+    // Null-guarded: on an EMPTY orders table max() is NULL and
+    // interpolating it would plan to_date('null') — an ANSI-mode error,
+    // where the pre-hoist correlated-subquery form simply terminated the
+    // recursion. The epoch-start fallback reproduces that single-row
+    // spine (the recursion stops immediately at m = start).
+    val maxMonth = Option(spark.sql(
       "SELECT CAST(max(trunc(CAST(o_orderdate AS DATE), 'MM')) AS STRING) FROM g_orders")
-      .collect()(0).getString(0)
+      .collect()(0).getString(0)).getOrElse("1995-01-01")
     spark.sql(
       s"""WITH RECURSIVE spine(m) AS (
            SELECT to_date('1995-01-01')

@@ -977,8 +977,14 @@ object Text {
     * tokenizer output a 100 TB corpus is encoded against — retraining
     * per query would be the bug. */
   private def bpeEncodedLayout(spark: SparkSession, dir: String): String =
-    bpeScratch.computeIfAbsent(dir, { d =>
-      val out = new java.io.File(bpeRoot, "d" + Util.dirKey(d))
+    // Keyed on dir + documents.parquet (size, mtime), not the path alone:
+    // the encoded corpus depends on FULL corpus content, so a regenerated
+    // fixture at the same path must invalidate this cache (the
+    // pruneScratch layouts tolerate the path-only key; this one doesn't).
+    bpeScratch.computeIfAbsent(
+      Util.dirContentKey(dir, "documents.parquet"), { _ =>
+      val d = dir
+      val out = new java.io.File(bpeRoot, "d" + Util.dirContentKey(d, "documents.parquet"))
       val (_, corpus) = bpeTrainLoop(spark, d)
       corpus.select(col("doc_id"), col("toks"))
         .write.mode("overwrite").parquet(out.getPath)
@@ -1678,16 +1684,29 @@ object Text {
     // Same algebraic form as the CharEntropy expression — H = log2(n) −
     // Σ k·log2(k) / n — one division total, so both engines agree to r4.
     "text_char_entropy" ->
+      // ln(x)/ln(2), NOT log2(x): DuckDB's log2 differs from ln(x)/ln(2)
+      // in the final ulp (measured: log2(3.0) ends ...156 vs ...1563),
+      // while the Spark expression computes math.log(x)/math.log(2.0) —
+      // the identical spelling keeps per-term arithmetic aligned.
+      // Residual cross-engine risk, accepted and documented: libm ln
+      // itself differs from JVM Math.log by 1 ulp on ~1e-5 of inputs
+      // (measured over k=1..100000: one mismatch, k=9170), so a term
+      // sitting EXACTLY on the r4 floor's x.xxxx5 boundary could still
+      // flip; no finite SQL spelling removes that class. string_split
+      // with '' enumerates code points (combining marks separate, astral
+      // chars single — verified against DuckDB), matching the
+      // expression's codePointAt loop; CharEntropySpec pins the
+      // Spark-side code-point semantics on non-ASCII.
       """WITH cnt AS (
            SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS k
            FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
                  FROM documents)
            GROUP BY doc_id, c),
          s AS (
-           SELECT doc_id, sum(k) AS n, sum(k * log2(k)) AS sk
+           SELECT doc_id, sum(k) AS n, sum(k * (ln(k) / ln(2.0))) AS sk
            FROM cnt GROUP BY doc_id)
          SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
-           floor((log2(n) - sk / n) * 10000.0 + 0.5) / 10000.0 AS entropy
+           floor(((ln(n) / ln(2.0)) - sk / n) * 10000.0 + 0.5) / 10000.0 AS entropy
          FROM s ORDER BY doc_id""",
     "text_token_count" ->
       """SELECT doc_id,

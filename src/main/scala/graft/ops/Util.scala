@@ -112,6 +112,21 @@ object Util {
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  /** [[dirKey]] strengthened with the named table file's (size, mtime) —
+    * for write-once caches whose OUTPUT depends on full input content
+    * (the BPE-encoded corpus): a path-only key silently serves stale
+    * results if the file at that path is regenerated within one JVM's
+    * lifetime. File metadata catches regeneration without a data scan;
+    * a same-size same-mtime in-place rewrite is out of scope (parquet
+    * writers land new files). Falls back to the path key when the file
+    * isn't local (e.g. a directory-backed table). */
+  def dirContentKey(dir: String, tableFile: String): String = {
+    val f = new java.io.File(dir, tableFile)
+    val stamp = if (f.isFile) s"|${f.length}|${f.lastModified}" else ""
+    java.security.MessageDigest.getInstance("MD5")
+      .digest((dir + stamp).getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   /** A per-process temp directory removed on JVM exit — the scratch root
     * shape every layout-producing query needs: process-unique (a fixed
     * /tmp name lets a concurrent harness JVM delete files backing this

@@ -252,6 +252,40 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(fromIndex == inMemory, "persisted-index result drifted from in-memory PQ")
   }
 
+  test("AQE skew join: the plain join of a skewed key splits partitions at runtime") {
+    // join_salted_skew proves MANUAL salting (oracle-equal to the plain
+    // join). This is its runtime twin: on a real cluster the first line
+    // of defense is AQE's skew-join split — the same plain shuffle join,
+    // no salt column, with the skewed partition carved into
+    // advisory-sized reader chunks after the map stage's sizes are known.
+    // Thresholds are lowered so the mechanism triggers at test scale; the
+    // session is isolated so the tuned confs leak nowhere.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    import org.apache.spark.sql.functions.{col, when}
+    // hot key 0 holds half the big side; the rest is uniform
+    val big = s.range(0, 200000)
+      .select(when(col("id") % 2 === 0, 0L).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+    val small = s.range(0, 200000).select(col("id").as("k"))
+    val joined = big.join(small, "k")
+    // collect() (not count()) so THIS frame's QueryExecution runs — AQE
+    // finalizes the plan only on execution, and count() plans separately
+    assert(joined.collect().length == 200000)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("skew"),
+      s"AQE did not split the skewed partition (no skew marker in final plan):\n$p")
+    assert(p.contains("AQEShuffleRead"),
+      s"no AQE shuffle reader in final plan:\n$p")
+  }
+
   test("simsearch_index_upsert: upsert encodes only the batch, serve retrains nothing") {
     // First call builds the standing index + appends the batch's codes.
     Vector.simsearchIndexUpsert(spark, dir).collect()

@@ -134,6 +134,22 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("char_entropy units are CODE POINTS: combining marks count separately, astral singly") {
+    // Pins the cross-engine unit contract: DuckDB string_split(text, '')
+    // enumerates code points — 'e'+U+0301 is TWO units (the mark is not
+    // merged into a grapheme), U+1D11E (astral, 2 UTF-16 chars) is ONE.
+    // The expression's codePointAt loop must agree or the oracle diverges
+    // on any non-ASCII corpus even though the ASCII fixtures pass.
+    def h(s: String): Double = graft.functions.CharEntropy.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    // "é" as e + combining acute: 2 distinct units → entropy 1 bit
+    assert(math.abs(h("é") - 1.0) < 1e-12)
+    // astral char repeated: 1 distinct unit → entropy 0, n counted once per cp
+    assert(h("𝄞𝄞") == 0.0)
+    // mixed: 4 distinct code points (e, U+0301, U+1D11E, a) → 2 bits
+    assert(math.abs(h("é𝄞a") - 2.0) < 1e-12)
+  }
+
   test("token-budget sample is monotone and budget-respecting at every tested budget") {
     val dir = "/root/testdata/sf0.001"
     var prev = Set.empty[Long]
