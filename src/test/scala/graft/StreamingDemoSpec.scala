@@ -163,4 +163,56 @@ class StreamingDemoSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getAs[Long]("imp_id"), r.getAs[Long]("delay_s")))
     assert(out.toSet == Set((1L, 1200L)))
   }
+
+  test("streaming sequence matcher matches the batch events_sequence_match on a fixture") {
+    import graft.streaming.SequenceMatch
+    import graft.streaming.SequenceMatch.SeqEvent
+    implicit val sqlCtx = spark.sqlContext
+    // Per-user event-type sequences (minute-spaced, in event-time order):
+    //   u1: c v v p a c p  → 2 non-overlapping cv*p matches
+    //   u2: c c p e v p    → leftmost-retry case ("ccp" matches at the
+    //                        SECOND c) + an error char; 1 match
+    //   u3: v p c v        → armed candidate never completes; 0 matches
+    val seqs = Map(1L -> "cvvpacp", 2L -> "ccpevp", 3L -> "vpcv")
+    val names = Map('c' -> "click", 'v' -> "view", 'p' -> "purchase",
+      'a' -> "addcart", 'e' -> "error")
+    val evs = seqs.toSeq.flatMap { case (uid, path) =>
+      path.zipWithIndex.map { case (ch, i) =>
+        SeqEvent(uid, ts(f"2024-01-01 10:${i}%02d:00"), names(ch))
+      }
+    }
+    val ms = MemoryStream[SeqEvent]
+    val q = SequenceMatch.sequenceMatch(ms.toDS())
+      .writeStream.format("memory").queryName("seq_test").outputMode("append").start()
+    try {
+      // split mid-path across two batches (u1's open candidate crosses
+      // the batch boundary), then advance the watermark past every
+      // user's last event + quiet gap and flush the timeout batch
+      val (b1, b2) = evs.partition(_.ts.getTime <= ts("2024-01-01 10:03:00").getTime)
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      ms.addData(SeqEvent(99L, ts("2024-01-01 14:00:00"), "view")); q.processAllAvailable()
+      ms.addData(SeqEvent(99L, ts("2024-01-01 15:00:00"), "view")); q.processAllAvailable()
+      val streamed = spark.table("seq_test").collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          ((r.getAs[Long]("n_events"), r.getAs[Long]("n_conversions"),
+            r.getAs[Boolean]("saw_error"), r.getAs[String]("path_head"))))
+        .toMap
+      // batch twin on the identical events through the declared operator
+      val dir = fixtureDir("events" -> evs.zipWithIndex.map { case (e, i) =>
+        EventRow(i.toLong, e.ts, e.user_id, e.event_type, 1.0, "{}")
+      }.toDF)
+      val batch = graft.ops.Relational.eventsSequenceMatch(spark, dir).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          ((r.getAs[Long]("n_events"), r.getAs[Long]("n_conversions"),
+            r.getAs[Boolean]("saw_error"), r.getAs[String]("path_head"))))
+        .toMap
+      for (uid <- seqs.keys)
+        assert(streamed.get(uid) == batch.get(uid),
+          s"u$uid stream=${streamed.get(uid)} batch=${batch.get(uid)}")
+      assert(streamed(1L) == ((7L, 2L, false, "cvvpacp")))
+      assert(streamed(2L) == ((6L, 1L, true, "ccpevp")))
+      assert(streamed(3L) == ((4L, 0L, false, "vpcv")))
+    } finally q.stop()
+  }
 }
