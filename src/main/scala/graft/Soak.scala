@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 soak harness — converts the "should scale" plan arguments into
+  * measured data (VERDICT r8 ask #3): runs the top-cost query family at
+  * 10× the bench scale and reports per-query sf1/sf0.1 wall ratios.
+  *
+  * The driver ships no sf1 fixtures (TESTDATA.md stops at sf0.1), so the
+  * soak SYNTHESIZES a 10× `documents` + `embeddings` pair into
+  * `target/soak/sf1`, matching the driver generator's measured
+  * distributions (tools-side profile of `/root/testdata/sf0.1`):
+  * 30-token uniform vocabulary + the rare `dup` token (~0.1%), doc length
+  * uniform 10..100 tokens, 20 sources uniform, langs weighted
+  * en 41 / zh 15 / es 15 / fr 15 / de 14, ~0.16% exact-dup rows, and
+  * isotropic unit 64-dim embeddings with uniform labels 0..9 (the sf0.1
+  * vectors measure within-label mean cos ≈ 0 — no cluster structure to
+  * replicate). Generation is pure Spark SQL over `spark.range` seeded by
+  * xxhash64(id, field) — deterministic, distributed, no driver loop — so
+  * the soak inputs are reproducible bit-identically on any run.
+  *
+  * This is an ARTIFACT harness, not a declared query: results go to
+  * SOAK_r9.md, and the generated data never feeds the oracle gate (the
+  * driver's fixtures stay the only correctness inputs). */
+object Soak {
+  private val Vocab = Seq(
+    "spark", "window", "merge", "table", "column", "vector", "stream",
+    "value", "data", "small", "join", "filter", "big", "group", "hash",
+    "customer", "sort", "order", "slow", "line", "part", "fast", "the",
+    "row", "agg", "key", "query", "a", "scan", "batch")
+
+  /** Documents: text is a pure function of a per-row SEED (not the id),
+    * and ~1/625 of rows reuse another row's seed — exact duplicates that
+    * land in a DIFFERENT source (seed-624 shifts the source mod 20), so
+    * the cross-source dedup families have real work at sf1. */
+  private def genDocuments(spark: SparkSession, outDir: String, n: Long): Unit = {
+    val vocabCol = array(Vocab.map(lit): _*)
+    val df = spark.range(0, n, 1, 32)
+      .withColumn("seed",
+        when(col("id") % 625 === 624, col("id") - 624).otherwise(col("id")))
+      .withColumn("n_tok",
+        (pmod(xxhash64(col("seed"), lit("len")), lit(91)) + 10).cast("int"))
+      .withColumn("toks", transform(sequence(lit(1), col("n_tok")), i =>
+        when(pmod(xxhash64(col("seed"), i, lit("dup")), lit(1000)) === 0, lit("dup"))
+          .otherwise(element_at(vocabCol,
+            (pmod(xxhash64(col("seed"), i, lit("tok")), lit(30)) + 1).cast("int")))))
+      .withColumn("text", concat_ws(" ", col("toks")))
+      .withColumn("lang", {
+        val u = pmod(xxhash64(col("id"), lit("lang")), lit(100))
+        when(u < 41, "en").when(u < 56, "zh").when(u < 71, "es")
+          .when(u < 86, "fr").otherwise("de")
+      })
+      .select(col("id").as("doc_id"), col("text"), col("lang"),
+        concat(lit("src"), pmod(col("id"), lit(20))).as("source"),
+        length(col("text")).as("n_chars"))
+    df.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  /** Embeddings: 64 iid Box–Muller gaussians from xxhash64 uniforms,
+    * L2-normalized (the sf0.1 vectors are exactly unit-norm). */
+  private def genEmbeddings(spark: SparkSession, outDir: String, n: Long): Unit = {
+    def u(seed: org.apache.spark.sql.Column, tag: String) =
+      (pmod(xxhash64(seed, lit(tag)), lit(1000000)).cast("double") + 1.0) / 1000001.0
+    val df = spark.range(0, n, 1, 32)
+      .withColumn("raw", transform(sequence(lit(0), lit(63)), d => {
+        val s = concat(col("id").cast("string"), lit("_"), d.cast("string"))
+        sqrt(lit(-2.0) * log(u(xxhash64(s), "u1"))) *
+          cos(lit(2.0 * math.Pi) * u(xxhash64(s), "u2"))
+      }))
+      .withColumn("nrm", sqrt(aggregate(col("raw"), lit(0.0d), (acc, x) => acc + x * x)))
+      .select(col("id").as("vec_id"),
+        transform(col("raw"), x => (x / col("nrm")).cast("float")).as("embedding"),
+        pmod(xxhash64(col("id"), lit("label")), lit(10)).cast("int").as("label"))
+    df.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val benchDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val soakDir = sys.env.getOrElse("SPARK_GRAFT_SOAK_DIR", "target/soak/sf1")
+    val scale = sys.env.getOrElse("SPARK_GRAFT_SOAK_SCALE", "10").toInt
+
+    if (!new java.io.File(s"$soakDir/documents.parquet").exists()) {
+      val t0 = System.nanoTime()
+      genDocuments(spark, soakDir, 5000L * scale)
+      genEmbeddings(spark, soakDir, 2000L * scale)
+      println(f"[soak] generated ${5000L * scale} docs + ${2000L * scale} vecs in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
+    val family = Seq("graph_triangles", "dedup_ngram_global",
+      "dedup_minhash_global", "text_bpe_train", "dedup_cc_groups",
+      "simsearch_knn_join")
+    // warm JIT/codegen on the small sibling
+    SparkEntry.entry(spark).count()
+
+    def run(dir: String): Map[String, Double] = family.map { q =>
+      val best = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      q -> best
+    }.toMap
+
+    val base = run(benchDir)
+    val big = run(soakDir)
+    def num(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val rows = family.map { q =>
+      s"""{"query":"$q","sf01_sec":${num(base(q))},"sf1_sec":${num(big(q))},"ratio":${num(big(q) / base(q))}}"""
+    }
+    rows.foreach(println)
+    println(s"""{"metric":"soak","scale":$scale,"total_sf01":${num(base.values.sum)},"total_sf1":${num(big.values.sum)},"total_ratio":${num(big.values.sum / base.values.sum)}}""")
+    spark.stop()
+  }
+}

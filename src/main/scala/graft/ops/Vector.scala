@@ -270,52 +270,51 @@ object Vector {
     * table (c_id, c_emb, c_nrm)) — the two artifacts a persisted index
     * stores ([[ensureIvfIndex]]) and the in-memory path consumes
     * directly. */
-  private def ivfTrainAssign(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private val centSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("c_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("c_emb",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+
+  private def centsDf(spark: SparkSession, rows: Seq[org.apache.spark.sql.Row]): DataFrame = {
     import scala.jdk.CollectionConverters._
-    // Materialized once: the normalized corpus feeds KmeansIters+1
-    // assignment jobs — without the checkpoint every Lloyd job re-scans
-    // the parquet and re-computes the norms (the simsearchPq `sv`
-    // discipline: plans compose, results don't).
-    val e = emb(spark, dir)
-      .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
-      .transform(iterCheckpoint)
-    // Centroids live on the DRIVER between iterations — k·d doubles
-    // (16×64), bounded and scale-independent — exactly how Spark MLlib's
-    // KMeans iterates (collect centers, broadcast back). This is NOT the
-    // flagged full-corpus-collect anti-pattern: each iteration is one
-    // distributed job whose driver-side result is 16 rows. Leaving the
-    // chain lazy instead nests every iteration's plan inside the next
-    // (plans, not results, compose), so iteration k recomputes 1..k−1 —
-    // measured 2.5× slower at 3 iterations.
-    val centSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("c_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("c_emb",
-        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
-    def centsDf(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
-      spark.createDataFrame(rows.asJava, centSchema)
-        .withColumn("c_nrm", normD(col("c_emb")))   // same expression both engines
-    // Argmax as a max_by AGGREGATE, not a per-vector ranking window: the
-    // aggregate combines map-side (partial per partition, no sort), where
-    // a window would shuffle and sort all vec×centroid rows. Tie-break
-    // (highest cos, then lowest c_id) matches the oracle's
-    // row_number(ORDER BY cos DESC, c_id) exactly.
-    def assign(cs: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cs))
-        .withColumn("cos_c",
-          dotFD(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-        .groupBy(col("vec_id"))
-        .agg(
-          first(col("embedding")).as("embedding"),   // functionally dependent on vec_id
-          first(col("nrm")).as("nrm"),
-          max_by(col("c_id"), struct(col("cos_c"), -col("c_id"))).as("cell"))
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
-    var cents = centsDf(e.orderBy("vec_id").limit(16)
+    spark.createDataFrame(rows.asJava, centSchema)
+      .withColumn("c_nrm", normD(col("c_emb")))   // same expression both engines
+  }
+
+  /** One k-means assignment pass of `e` (vec_id, embedding, nrm) against
+    * centroid frame `cs`. Argmax as a max_by AGGREGATE, not a per-vector
+    * ranking window: the aggregate combines map-side (partial per
+    * partition, no sort), where a window would shuffle and sort all
+    * vec×centroid rows. Tie-break (highest cos, then lowest c_id)
+    * matches the oracle's row_number(ORDER BY cos DESC, c_id) exactly. */
+  private def ivfAssign(e: DataFrame, cs: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cs))
+      .withColumn("cos_c",
+        dotFD(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("embedding")).as("embedding"),   // functionally dependent on vec_id
+        first(col("nrm")).as("nrm"),
+        max_by(col("c_id"), struct(col("cos_c"), -col("c_id"))).as("cell"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+
+  /** Lloyd-train 16 centroids over `e` (seeds = 16 lowest vec_ids of `e`).
+    * Centroids live on the DRIVER between iterations — k·d doubles
+    * (16×64), bounded and scale-independent — exactly how Spark MLlib's
+    * KMeans iterates (collect centers, broadcast back). This is NOT the
+    * flagged full-corpus-collect anti-pattern: each iteration is one
+    * distributed job whose driver-side result is 16 rows. Leaving the
+    * chain lazy instead nests every iteration's plan inside the next
+    * (plans, not results, compose), so iteration k recomputes 1..k−1 —
+    * measured 2.5× slower at 3 iterations. */
+  private def ivfTrainOver(spark: SparkSession, e: DataFrame): DataFrame = {
+    var cents = centsDf(spark, e.orderBy("vec_id").limit(16)
       .select(col("vec_id").as("c_id"),
         transform(col("embedding"), x => x.cast("double")).as("c_emb"))
       .collect().toSeq)
     for (_ <- 1 to KmeansIters) {
-      cents = centsDf(assign(cents)
+      cents = centsDf(spark, ivfAssign(e, cents)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
         .groupBy("cell", "i")
         .agg((sum(r6(col("x").cast("double")).cast(DecimalType(28, 6))).cast("double")
@@ -326,10 +325,22 @@ object Vector {
         .select(col("cell").as("c_id"), col("c_emb"))
         .collect().toSeq)
     }
+    cents
+  }
+
+  private def ivfTrainAssign(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // Materialized once: the normalized corpus feeds KmeansIters+1
+    // assignment jobs — without the checkpoint every Lloyd job re-scans
+    // the parquet and re-computes the norms (the simsearchPq `sv`
+    // discipline: plans compose, results don't).
+    val e = emb(spark, dir)
+      .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
+      .transform(iterCheckpoint)
+    val cents = ivfTrainOver(spark, e)
     // assigned appears TWICE in the final plan (under the broadcast
     // probeCells subtree via probes, and as the left side of scored) —
     // checkpointing stops the corpus×16 assignment aggregate running twice.
-    (iterCheckpoint(assign(cents)), cents)
+    (iterCheckpoint(ivfAssign(e, cents)), cents)
   }
 
   /** The fixture's probe set: the 10 lowest-vec_id corpus rows (already
