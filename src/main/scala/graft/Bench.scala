@@ -48,7 +48,7 @@ object Bench {
     val iters = scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt).getOrElse(2).max(1)
     val buildOnce = Seq("simsearch_pq_index", "simsearch_ivf_index",
-      "simsearch_index_upsert",
+      "simsearch_index_upsert", "simsearch_ivf_upsert",
       "dedup_index_probe", "pipe_partition_prune", "pipe_schema_evolution",
       "join_bucketed_colocated", "pipe_csv_roundtrip", "pipe_json_roundtrip",
       "pipe_orc_roundtrip", "join_prune_dynamic", "text_bpe_encode")

@@ -872,6 +872,111 @@ object Vector {
       spark.read.parquet(centPath), NProbe, prune = true)
   }
 
+  /** Build/assign-count diagnostics for the incremental IVF index —
+    * the spec asserts both stay at 1 across repeated serves (zero
+    * retraining, zero re-assignment of the batch). */
+  private[graft] val ivfUpsertBuilds = new java.util.concurrent.atomic.AtomicInteger
+  private[graft] val ivfUpsertAssigns = new java.util.concurrent.atomic.AtomicInteger
+
+  private val ivfUpsertCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+
+  /** The "new arrivals" slice for the IVF incremental index — a modulus
+    * distinct from the PQ upsert's %5 and dedup's %7 so the three
+    * incremental fixtures don't shadow each other's edge cases. */
+  private val ivfBatchPred = col("vec_id") % 6 === 0
+
+  /** Assign a batch of vectors to FROZEN persisted centroids — the IVF
+    * upsert's only corpus work: one broadcast of the 16-row centroid
+    * table + a map-side argmax aggregate over the batch. Zero Lloyd
+    * iterations, zero reads of the standing cell layout, zero standing-
+    * embedding scans (the batch predicate evaluates in the scan stage).
+    * Exposed private[graft] so the spec can assert exactly that. */
+  private[graft] def ivfUpsertBatchAssign(
+      spark: SparkSession, dir: String, cents: DataFrame): DataFrame =
+    ivfAssign(
+      emb(spark, dir).filter(ivfBatchPred)
+        .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm")),
+      cents)
+
+  /** Ensure the INCREMENTAL IVF index for `dir`: T0 builds the persisted
+    * index over the STANDING slice only (Lloyd training + assignment +
+    * cell-partitioned write — [[ensureIvfIndex]]'s machinery over the
+    * standing corpus); T1 the batch arrives and is UPSERTED — assigned
+    * with the persisted frozen centroids (read back from disk: the
+    * serve-time contract is that upsert needs only the index artifacts)
+    * and APPENDED into the same cell-partitioned layout, so serve-side
+    * partition pruning sees one unified inverted file. The persisted
+    * probe table is refreshed from (standing probes ∪ batch) — a 10-row
+    * merge that never rescans standing vectors. Write-once per dir. */
+  private def ensureIvfUpsertIndex(spark: SparkSession, dir: String): (String, String, String) =
+    ivfUpsertCache.computeIfAbsent(dir, { d =>
+      ivfUpsertBuilds.incrementAndGet()
+      val key = dirKey(d).take(12)
+      val corpusPath = new java.io.File(ivfIndexRoot, s"cells_u_$key").getPath
+      val centPath = new java.io.File(ivfIndexRoot, s"cent_u_$key").getPath
+      val probePath = new java.io.File(ivfIndexRoot, s"probes_u_$key").getPath
+      // T0: standing-only build — train + assign + persist.
+      val eStanding = emb(spark, d).filter(!ivfBatchPred)
+        .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
+        .transform(iterCheckpoint)
+      val cents = ivfTrainOver(spark, eStanding)
+      val standingAssigned = iterCheckpoint(ivfAssign(eStanding, cents))
+      standingAssigned.write.mode("overwrite").partitionBy("cell").parquet(corpusPath)
+      cents.write.mode("overwrite").parquet(centPath)
+      ivfProbes(standingAssigned).write.mode("overwrite").parquet(probePath)
+      // T1: the batch arrives — assign with the PERSISTED centroids and
+      // append into the cell-partitioned layout.
+      ivfUpsertAssigns.incrementAndGet()
+      val batchAssigned = iterCheckpoint(
+        ivfUpsertBatchAssign(spark, d, spark.read.parquet(centPath)))
+      batchAssigned.write.mode("append").partitionBy("cell").parquet(corpusPath)
+      // Probe refresh: 10 lowest vec_ids of (standing probes ∪ batch) ==
+      // the union corpus's 10 lowest, computed WITHOUT a standing rescan.
+      // Collected (≤ 10 + |batch| rows ranked, 10 kept — bounded driver
+      // state, the centroid-collect discipline) because the new table
+      // overwrites the path the old one reads from.
+      import scala.jdk.CollectionConverters._
+      val probeRows = spark.read.parquet(probePath)
+        .unionByName(batchAssigned.select(col("vec_id").as("probe_id"),
+          col("embedding").as("p_emb"), col("nrm").as("p_nrm")))
+        .orderBy("probe_id").limit(10)
+      val pSchema = probeRows.schema
+      val collected = probeRows.collect().toSeq
+      spark.createDataFrame(collected.asJava, pSchema)
+        .write.mode("overwrite").parquet(probePath)
+      (corpusPath, centPath, probePath)
+    })
+
+  /** INCREMENTAL IVF index maintenance — the IVF twin of
+    * [[simsearchIndexUpsert]], completing the incremental-arrival story
+    * (ref A7, `src/bak_unload.ps1:57-66`) for both persisted ANN layouts:
+    * the standing corpus's quantizer is Lloyd-trained ONCE and frozen;
+    * a new batch is assigned to the existing cells with one broadcast
+    * argmax pass (cost ∝ batch) and appended into the cell-partitioned
+    * inverted file; serves then partition-prune over the unified layout
+    * with zero Lloyd jobs. Centroids deliberately stay frozen (the
+    * production posture — re-clustering moves every stored vector's cell,
+    * so rebuilds are scheduled, not per-batch); assignment is
+    * deterministic per row, so standing-assign + batch-assign ≡ one
+    * assignment of the union against the same centroids, and the oracle
+    * replays exactly that (standing-trained centroids, union assignment,
+    * union probes). Output schema matches [[simsearchIvf]]. */
+  def simsearchIvfUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val (corpusPath, centPath, probePath) = ensureIvfUpsertIndex(spark, dir)
+    val corpus = spark.read.parquet(corpusPath)
+      .withColumn("cell", col("cell").cast("long"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    ivfServe(corpus, spark.read.parquet(probePath),
+      spark.read.parquet(centPath), NProbe, prune = true)
+  }
+
+  /** Persisted-centroid path of the incremental IVF index (after at
+    * least one [[simsearchIvfUpsert]] call) — spec hook for plan-shape
+    * assertions on the batch-assign path. */
+  private[graft] def ivfUpsertCentPath(dir: String): Option[String] =
+    Option(ivfUpsertCache.get(dir)).map(_._2)
+
   /** Multimodal frame sampling — the video/audio access pattern over an
     * opaque binary payload: k evenly-spaced fixed-length "frames" per
     * blob, each emitted with its offset, content hash, and base64 bytes
@@ -1113,6 +1218,7 @@ object Vector {
     "multimodal_decode_features" -> (multimodalDecodeFeatures _),
     "simsearch_ivf" -> (simsearchIvf _),
     "simsearch_ivf_index" -> (simsearchIvfIndex _),
+    "simsearch_ivf_upsert" -> (simsearchIvfUpsert _),
     "simsearch_pq" -> (simsearchPq _),
     "simsearch_pq_index" -> (simsearchPqIndex _),
     "simsearch_index_upsert" -> (simsearchIndexUpsert _),
@@ -1131,19 +1237,28 @@ object Vector {
   // so the two can't drift. Shared verbatim by simsearch_ivf and
   // simsearch_ivf_index (deterministic training + exact parquet
   // round-trip ⇒ the persisted serve replays to the identical result).
-  private lazy val ivfOracleSqlStr: String = {
+  /** The IVF oracle, parameterized by the TRAINING source (the
+    * [[pqOracleSqlGen]] pattern): `standingTrained = false` replays
+    * [[simsearchIvf]] / [[simsearchIvfIndex]] (quantizer trained on the
+    * full corpus); `true` replays [[simsearchIvfUpsert]] — seeds and
+    * Lloyd iterations over the STANDING slice (`vec_id % 6 <> 0`) only,
+    * final assignment over the FULL corpus against those frozen
+    * centroids, probes from the full corpus. Same generated SQL
+    * everywhere else, so the three declared variants cannot drift. */
+  private def ivfOracleSqlGen(standingTrained: Boolean): String = {
     def dotFF(a: String, b: String) = dotFFSql(a, b)
     def dotFD(a: String, b: String) =
       s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
     def normD(b: String) = s"sqrt(list_sum(list_transform($b, y -> y * y)))"
-    def assignSql(cn: String) =
+    val trainE = if (standingTrained) "et" else "e"
+    def assignSql(cn: String, src: String) =
       s"""(SELECT vec_id, embedding, nrm, cell FROM (
            SELECT e.vec_id, e.embedding, e.nrm, c.c_id AS cell,
              row_number() OVER (PARTITION BY e.vec_id
                ORDER BY ${dotFD("e.embedding", "c.c_emb")} / (e.nrm * c.c_nrm) DESC, c.c_id) AS rn
-           FROM e, $cn c) WHERE rn = 1)"""
+           FROM $src e, $cn c) WHERE rn = 1)"""
     val iterCtes = (0 until KmeansIters).map { k =>
-      s"""a$k AS ${assignSql(s"cn$k")},
+      s"""a$k AS ${assignSql(s"cn$k", trainE)},
          x$k AS (SELECT cell, generate_subscripts(embedding, 1) AS i,
              unnest(embedding) AS x FROM a$k),
          m$k AS (SELECT cell, i,
@@ -1154,14 +1269,16 @@ object Vector {
              SELECT cell AS c_id, list(mu ORDER BY i) AS c_emb
              FROM m$k GROUP BY cell))"""
     }.mkString(",\n         ")
+    val standingCte = if (standingTrained)
+      "et AS (SELECT * FROM e WHERE vec_id % 6 <> 0),\n         " else ""
     s"""WITH e AS (SELECT vec_id, embedding,
              sqrt(${dotFF("embedding", "embedding")}) AS nrm FROM embeddings),
-         cn0 AS (SELECT c_id, c_emb, ${normD("c_emb")} AS c_nrm FROM (
+         ${standingCte}cn0 AS (SELECT c_id, c_emb, ${normD("c_emb")} AS c_nrm FROM (
              SELECT vec_id AS c_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb
-             FROM e ORDER BY vec_id LIMIT 16)),
+             FROM $trainE ORDER BY vec_id LIMIT 16)),
          $iterCtes,
-         asg AS ${assignSql(s"cn$KmeansIters")},
+         asg AS ${assignSql(s"cn$KmeansIters", "e")},
          p AS (SELECT vec_id AS probe_id, embedding AS p_emb, nrm AS p_nrm
              FROM asg ORDER BY vec_id LIMIT 10),
          pc AS (SELECT probe_id, p_emb, p_nrm, cell FROM (
@@ -1177,6 +1294,9 @@ object Vector {
            vec_id AS neighbor_id, cos
          FROM s QUALIFY rk <= 3 ORDER BY probe_id, rk"""
   }
+
+  private lazy val ivfOracleSqlStr: String = ivfOracleSqlGen(standingTrained = false)
+  private lazy val ivfUpsertOracleSqlStr: String = ivfOracleSqlGen(standingTrained = true)
 
   /** The PQ oracle, parameterized by the TRAINING source: `trainSv = "sv"`
     * replays [[simsearchPq]] (codebooks trained on the full corpus);
@@ -1489,6 +1609,7 @@ object Vector {
     // Same serve math off the persisted cell layout; parquet round-trips
     // floats/norms/cells exactly, so one oracle gates both paths.
     "simsearch_ivf_index" -> ivfOracleSqlStr,
+    "simsearch_ivf_upsert" -> ivfUpsertOracleSqlStr,
     "dedup_embedding" ->
       s"""WITH bk AS (SELECT vec_id, label, embedding, $srpBucketSql AS bucket
              FROM embeddings),

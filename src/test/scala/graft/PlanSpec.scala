@@ -340,6 +340,42 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(fromIndex == inMemory, "persisted-index serve drifted from in-memory IVF")
   }
 
+  test("simsearch_ivf_upsert: upsert assigns only the batch, serve retrains nothing") {
+    // First call builds the standing index + appends the batch's cells.
+    Vector.simsearchIvfUpsert(spark, dir).collect()
+    val builds = Vector.ivfUpsertBuilds.get
+    val assigns = Vector.ivfUpsertAssigns.get
+    val df = Vector.simsearchIvfUpsert(spark, dir)
+    assert(Vector.ivfUpsertBuilds.get == builds,
+      "second construction re-entered the standing-index build (retraining)")
+    assert(Vector.ivfUpsertAssigns.get == assigns,
+      "second construction re-ran the batch assign+append")
+    val p = plan(df)
+    assert(p.contains("cells_u_"),
+      s"serve does not scan the persisted+appended cell layout:\n$p")
+    // Appended batch partitions join the same inverted file: the probed
+    // cells still arrive as PartitionFilters over the unified layout.
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters"))
+      .find(_.contains("cell")).getOrElse("")
+    assert(pf.contains("cell IN") || pf.contains("cell#"),
+      s"probed cells not pushed as PartitionFilters:\n$p")
+    assert(p.contains("probes_u_"),
+      s"probe selection does not read the persisted probe table:\n$p")
+    // The batch-assign plan itself: zero Lloyd jobs is structural (one
+    // broadcast of the 16-row centroid table + argmax agg, no iteration),
+    // and it must touch ONLY the batch slice of the raw embeddings —
+    // never the standing cell layout.
+    val cents = spark.read.parquet(Vector.ivfUpsertCentPath(dir).get)
+    val bp = plan(Vector.ivfUpsertBatchAssign(spark, dir, cents))
+    assert(!bp.contains("cells_u_"),
+      s"batch assign rescans the standing cell layout:\n$bp")
+    assert(bp.contains("BroadcastNestedLoopJoin") || bp.contains("BroadcastHashJoin"),
+      s"centroid join is not a broadcast:\n$bp")
+    assert(bp.contains("% 6") || bp.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("vec_id")),
+      s"batch predicate not applied at the embeddings scan:\n$bp")
+  }
+
   test("dedup_index_probe: probe retrains nothing and reads the persisted signature tables") {
     // Build once (three signature artifacts), then probing must re-enter
     // the build zero times and the probe plan must scan the persisted
