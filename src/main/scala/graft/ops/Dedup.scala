@@ -64,6 +64,58 @@ object Dedup {
         .select(col("doc_id"), col("source"), shingle3(col("text")).as("toks")),
       saltPrefix = "g", verifyThreshold = 0.8)
 
+  /** MinHash ESTIMATE CALIBRATION — the measurement behind every
+    * signature-space shortcut this engine ships: how close is the
+    * K-slice agreement fraction (the classic MinHash Jaccard estimator,
+    * E[matches/K] = J) to the exact token-set Jaccard, on the REAL LSH
+    * candidate set? At 100 TB the estimate is what a pipeline can afford
+    * corpus-wide (signatures are O(K) per doc; exact verification is a
+    * per-pair set intersection), so the curator needs this calibration
+    * table — per-source pair counts, near-dup agreement rate at the 0.5
+    * cutoff, and mean/max absolute estimator error — before trusting
+    * estimate-only thresholds.
+    *
+    * Scale shape: the slice minima are ONE per-row projection over the
+    * md5 array (evaluated once — single reference, CollapseProject
+    * inlines it); candidates come from the shared capped
+    * [[candidatePairs]] (state/output-bounded, one shuffle); the
+    * estimator join touches only the candidate set. Thresholds are
+    * exact: est = k/6 and jac are identical doubles cross-engine, so the
+    * 0.5-cutoff booleans cannot diverge. */
+  def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "documents").select(
+      col("doc_id"), col("source"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+    val cand = candidatePairs(base, "s")
+    val sigs = base
+      .withColumn("hs", transform(col("toks"), t =>
+        md5(concat(lit("s|"), t).cast("binary"))))
+      .withColumn("sig", expr(
+        s"transform(sequence(0, ${K - 1}), i -> array_min(transform(hs, h -> substring(h, i * 5 + 1, 5))))"))
+      .select(col("doc_id"), col("toks"), col("sig"))
+    val paired = cand
+      .join(sigs.select(col("doc_id").as("dd1"), col("toks").as("t1"),
+        col("sig").as("g1")), col("d1") === col("dd1"))
+      .join(sigs.select(col("doc_id").as("dd2"), col("toks").as("t2"),
+        col("sig").as("g2")), col("d2") === col("dd2"))
+      .withColumn("inter", size(array_intersect(col("t1"), col("t2"))))
+      .withColumn("jac", col("inter").cast("double")
+        / (size(col("t1")) + size(col("t2")) - col("inter")).cast("double"))
+      .withColumn("est", expr(
+        s"CAST(size(filter(zip_with(g1, g2, (a, b) -> a = b), x -> x)) AS DOUBLE) / $K.0"))
+      .withColumn("abs_err", abs(col("est") - col("jac")))
+    paired.groupBy("source").agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("est") >= 0.5, 1L).otherwise(0L)).as("n_est_near"),
+        sum(when(col("jac") >= 0.5, 1L).otherwise(0L)).as("n_exact_near"),
+        sum(when((col("est") >= 0.5) === (col("jac") >= 0.5), 1L).otherwise(0L))
+          .as("n_agree"),
+        r4(sum(r6(col("abs_err")).cast(DecimalType(16, 6))).cast("double")
+          / count(lit(1)).cast("double")).as("mean_abs_err"),
+        r6(max(col("abs_err"))).as("max_abs_err"))
+      .orderBy("source")
+  }
+
   /** Shared MinHash+LSH pipeline over any per-doc element set `toks`:
     * the whole signature stage is one per-row expression — no shuffle,
     * no explode until the Bands-way band fan-out. The K "permutations"
@@ -869,6 +921,7 @@ object Dedup {
     "dedup_threshold_sweep" -> (thresholdSweep _),
     "dedup_incremental" -> (incremental _),
     "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_minhash_estimate" -> (minhashEstimate _),
     "dedup_minhash_shingle" -> (minhashShingle _),
     "dedup_simhash" -> (simhash _),
     "dedup_cc_groups" -> (ccGroups _),
@@ -1243,6 +1296,45 @@ object Dedup {
          SELECT source, count(*) AS n_candidates,
            CAST(sum(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified
          FROM j GROUP BY source ORDER BY source""",
+    "dedup_minhash_estimate" ->
+      s"""WITH tok AS MATERIALIZED (
+           SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS token
+           FROM documents),
+         sig AS MATERIALIZED (
+           SELECT doc_id, source,
+             $minhashMinsSql
+           FROM tok GROUP BY doc_id, source),
+         $bandCteSql,
+         cand AS MATERIALIZED (
+           SELECT DISTINCT a.source, a.doc_id AS d1, b.doc_id AS d2
+           FROM band a JOIN band b
+             ON a.source = b.source AND a.band = b.band AND a.bsig = b.bsig
+               AND a.doc_id < b.doc_id),
+         cnt AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id),
+         inter AS (
+           SELECT c.source, c.d1, c.d2, count(tb.token) AS inter
+           FROM cand c
+           JOIN tok ta ON ta.doc_id = c.d1
+           LEFT JOIN tok tb ON tb.doc_id = c.d2 AND ta.token = tb.token
+           GROUP BY 1, 2, 3),
+         sc AS (
+           SELECT i.source, i.d1, i.d2,
+             CAST(i.inter AS DOUBLE)
+               / CAST(c1.ntok + c2.ntok - i.inter AS DOUBLE) AS jac,
+             CAST(${(0 until K).map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")}
+               AS DOUBLE) / $K.0 AS est
+           FROM inter i
+           JOIN cnt c1 ON i.d1 = c1.doc_id JOIN cnt c2 ON i.d2 = c2.doc_id
+           JOIN sig a ON a.doc_id = i.d1 JOIN sig b ON b.doc_id = i.d2),
+         e AS (SELECT source, jac, est, abs(est - jac) AS abs_err FROM sc)
+         SELECT source,
+           count(*) AS n_pairs,
+           CAST(sum(CASE WHEN est >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_est_near,
+           CAST(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_near,
+           CAST(sum(CASE WHEN (est >= 0.5) = (jac >= 0.5) THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+           ${r4Sql(s"CAST(sum(CAST(floor(abs_err * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(16,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS mean_abs_err,
+           floor(max(abs_err) * 1000000.0 + 0.5) / 1000000.0 AS max_abs_err
+         FROM e GROUP BY source ORDER BY source""",
     "dedup_minhash_shingle" ->
       s"""WITH sh0 AS (
            SELECT doc_id, source,

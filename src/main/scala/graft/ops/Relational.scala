@@ -1663,7 +1663,61 @@ object Relational {
       .orderBy("day_s")
   }
 
+  /** CUSUM mean-shift detection over each event type's daily volume —
+    * the page-one ops question ("did traffic structurally change, and
+    * when?") answered with the standard control-chart statistic (Page
+    * 1954): one-sided CUSUM s_i = max(0, s_{i−1} + z_i) with slack k =
+    * 0.5σ, alarm at h = 4.
+    *
+    * The recursive fold is deliberately NOT a sequential per-key loop:
+    * s_i ≡ S_i − min(0, min_{j≤i} S_j) for prefix sums S of z — so the
+    * whole statistic is two stock window functions (running sum + running
+    * min) sharing ONE per-type day-ordered sort over the ~#days-row DAILY
+    * aggregate, never the raw events (which reduce in the first map-side
+    * hash agg). Cross-engine determinism by construction: μ and σ derive
+    * from integer power sums, z is r6-quantized then summed as
+    * DECIMAL(20,6) — exact, associative, and therefore immune to the
+    * engines' different windowed-sum association orders (DuckDB segment
+    * tree vs Spark running accumulation), the same discipline as the
+    * engine's other decimal sums. Types whose daily volume never varies
+    * (σ = 0) are excluded by the same HAVING on both engines. */
+  def eventsCusumShift(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(20, 6)
+    val daily = table(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("nd"), sum(col("n")).as("sx"),
+        sum(col("n") * col("n")).as("sxx"))
+      .withColumn("mu", col("sx").cast("double") / col("nd").cast("double"))
+      .withColumn("sigma", sqrt(
+        (col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double")
+            / col("nd").cast("double")) / col("nd").cast("double")))
+      .filter(col("sigma") > 0)
+      .select(col("event_type"), col("mu"), col("sigma"))
+    val z = daily.join(broadcast(stats), "event_type")
+      .withColumn("z",
+        r6((col("n").cast("double") - col("mu") - lit(0.5) * col("sigma"))
+          / col("sigma")).cast(dec))
+    val w = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = z
+      .withColumn("ps", sum(col("z")).over(w))
+      .withColumn("min_ps", min(col("ps")).over(w))
+      .withColumn("cusum", col("ps") - least(lit(0).cast(dec), col("min_ps")))
+    c.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        r4(max(col("cusum")).cast("double")).as("max_cusum"),
+        sum(when(col("cusum") > 4, 1L).otherwise(0L)).as("n_alarm_days"),
+        min(when(col("cusum") > 4, col("d"))).as("fa"))
+      .select(col("event_type"), col("n_days"), col("max_cusum"),
+        col("n_alarm_days"), dateS(col("fa")).as("first_alarm_day"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_cusum_shift" -> (eventsCusumShift _),
     "join_bloom_prefilter" -> (joinBloomPrefilter _),
     "events_seasonal_baseline" -> (eventsSeasonalBaseline _),
     "events_attribution" -> (eventsAttribution _),
@@ -1744,6 +1798,43 @@ object Relational {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_totalprice > 449000.0
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "events_cusum_shift" ->
+      s"""WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+           FROM ${evSql()} GROUP BY 1, 2),
+         st AS (
+           SELECT event_type,
+             CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu,
+             sqrt((CAST(sum(n * n) AS DOUBLE)
+               - CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE)) / CAST(count(*) AS DOUBLE)) AS sigma
+           FROM daily GROUP BY event_type
+           HAVING sigma > 0),
+         z AS (
+           SELECT d.event_type, d.d,
+             CAST(floor((CAST(d.n AS DOUBLE) - st.mu - 0.5 * st.sigma) / st.sigma
+               * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(20,6)) AS z
+           FROM daily d JOIN st USING (event_type)),
+         c1 AS (
+           SELECT event_type, d,
+             sum(z) OVER (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps
+           FROM z),
+         c2 AS (
+           SELECT event_type, d, ps,
+             min(ps) OVER (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS min_ps
+           FROM c1),
+         cu AS (
+           SELECT event_type, d,
+             ps - least(CAST(0 AS DECIMAL(20,6)), min_ps) AS cusum
+           FROM c2)
+         SELECT event_type,
+           count(*) AS n_days,
+           ${r4Sql("CAST(max(cusum) AS DOUBLE)")} AS max_cusum,
+           sum(CASE WHEN cusum > 4 THEN 1 ELSE 0 END) AS n_alarm_days,
+           strftime(min(CASE WHEN cusum > 4 THEN d END), '%Y-%m-%d') AS first_alarm_day
+         FROM cu GROUP BY event_type ORDER BY event_type""",
     "events_seasonal_baseline" ->
       s"""WITH daily AS (
            SELECT CAST(ts AS DATE) AS d, count(*) AS n,

@@ -97,6 +97,70 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** The designated stopword set shared by the rule gate and
+    * [[compositeQuality]] — 5 of the fixture's 30-token vocabulary,
+    * standing in for Gopher's {the, be, to, of, and, …} on real text. */
+  private val GopherStops = Seq("join", "filter", "sort", "merge", "window")
+
+  /** Gopher-style rule-based quality GATE (Rae et al. 2021 §A1.1 — the
+    * published corpus-filter recipe): a document is kept only if
+    * (1) its token count lies in [15, 90], (2) its mean token length lies
+    * in [3.5, 5.5], (3) it contains ≥ 2 distinct designated stopwords,
+    * and (4) its top-token share is ≤ 1/8 (the repetition rule). Output
+    * is the curator's decision table: per-source rule-level failure
+    * counts, kept count, and kept rate.
+    *
+    * Scale shape: every rule is a PER-ROW projection — the top-token
+    * multiplicity comes from the [[repetitionStats]] sorted-run fold
+    * (multiplicity in a sorted array IS run length), so no corpus
+    * explode/shuffle happens for a per-row statistic; the only shuffle
+    * is the #sources-row rollup with map-side partials. Thresholds are
+    * deliberately DYADIC-exact (3.5, 5.5, 0.125) and the compared ratios
+    * are exact int/int divisions, so the pass/fail booleans cannot
+    * diverge cross-engine at a boundary ulp (the `events_rfm` lesson
+    * applied at design time). */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val maxTokRun = expr(
+      """aggregate(
+           array_sort(toks),
+           named_struct('prev', '', 'run', 0L, 'best', 0L),
+           (st, x) -> named_struct(
+             'prev', x,
+             'run', IF(x = st.prev, st.run + 1L, 1L),
+             'best', GREATEST(st.best, IF(x = st.prev, st.run + 1L, 1L))),
+           st -> st.best)""")
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        split(col("text"), " ").as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("mean_wl",
+        (col("n_chars") - (col("n_tok") - 1)).cast("double")
+          / col("n_tok").cast("double"))
+      .withColumn("n_stop",
+        size(array_intersect(array_distinct(col("toks")),
+          array(GopherStops.map(lit): _*))).cast("long"))
+      .withColumn("top_share",
+        maxTokRun.cast("double") / col("n_tok").cast("double"))
+      .withColumn("f_len", col("n_tok") < 15 || col("n_tok") > 90)
+      .withColumn("f_wordlen", col("mean_wl") < 3.5 || col("mean_wl") > 5.5)
+      .withColumn("f_stop", col("n_stop") < 2)
+      .withColumn("f_rep", col("top_share") > 0.125)
+      .withColumn("pass",
+        !(col("f_len") || col("f_wordlen") || col("f_stop") || col("f_rep")))
+    d.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("f_len"), 1L).otherwise(0L)).as("n_fail_len"),
+        sum(when(col("f_wordlen"), 1L).otherwise(0L)).as("n_fail_wordlen"),
+        sum(when(col("f_stop"), 1L).otherwise(0L)).as("n_fail_stop"),
+        sum(when(col("f_rep"), 1L).otherwise(0L)).as("n_fail_rep"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+        r4(sum(when(col("pass"), 1L).otherwise(0L)).cast("double")
+          / count(lit(1)).cast("double")).as("pass_rate"),
+        min(when(!col("pass"), col("doc_id"))).as("first_fail"))
+      .orderBy("source")
+  }
+
   /** Character-distribution Shannon entropy per document — the quality
     * signal that separates natural language (~3.5–4.5 bits) from
     * gibberish (high) and boilerplate/repetition (low), computed by the
@@ -743,6 +807,59 @@ object Text {
       .orderBy("source")
   }
 
+  /** Temperature-sampling EXECUTION — [[domainMix]] produces the quota
+    * table; this op actually DRAWS the sample: per language, the
+    * hash-priority lowest `quota` documents, where quota = ⌊w·B⌋ with
+    * w ∝ p^0.5 (α = 0.5 damping) and budget B = ⌊N/4⌋. Language is the
+    * domain here because the fixture's langs are genuinely skewed (en ≈
+    * 41%) — the damped weights visibly reshape the mix, which is the
+    * whole point of temperature sampling. Hash priority (md5 of doc_id)
+    * makes the draw deterministic across engines, retries, partitionings,
+    * and monotone in B (growing the budget only ADDS documents — the
+    * `pipe_token_budget_sample` property, vital for reproducible data
+    * ablations).
+    *
+    * Scale shape: weights/quotas live on the #langs-row aggregate; the
+    * corpus-sized take runs through the [[graft.plans.TopKPerKey]] heap
+    * exec at k = max quota (O(langs·k) state, one shuffle, NO per-lang
+    * ranking window over raw docs); the exact per-lang rank is then a
+    * window over the ≤ langs × k SURVIVORS only. The max-quota k is one
+    * bounded driver-side value (≤ B) — the centroid-collect discipline. */
+  def temperatureSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.TopK
+    val dec = DecimalType(16, 6)
+    val s = docs(spark, dir).groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val t = s.agg(sum(col("n_docs")).as("total"))
+    val r = s.crossJoin(broadcast(t))
+      .withColumn("p", col("n_docs").cast("double") / col("total").cast("double"))
+      .withColumn("w6", r6(sqrt(col("p"))))
+    val d = r.agg(sum(col("w6").cast(dec)).as("denom"))
+    val q = r.crossJoin(broadcast(d))
+      .withColumn("w", col("w6") / col("denom").cast("double"))
+      .withColumn("budget", floor(col("total").cast("double") / 4.0).cast("long"))
+      .withColumn("quota",
+        floor(col("w") * col("budget").cast("double")).cast("long"))
+      .select(col("lang"), col("n_docs"), col("w"), col("quota"))
+    // k for the heap pass: the largest quota — ONE bounded value (≤ B).
+    val kMax = q.agg(max(col("quota"))).collect()(0).getLong(0).toInt.max(1)
+    val pr = docs(spark, dir).select(col("lang"), col("doc_id"), col("n_chars"),
+      md5(col("doc_id").cast("string").cast("binary")).as("pr"))
+    val top = TopK.topKPerKey(pr, Seq("lang"),
+      Seq(TopK.Ord("pr"), TopK.Ord("doc_id")), kMax)
+    val w = Window.partitionBy("lang").orderBy(col("pr"), col("doc_id"))
+    val taken = top.withColumn("rk", row_number().over(w))
+      .join(broadcast(q.select(col("lang"), col("quota"))), "lang")
+      .filter(col("rk") <= col("quota"))
+    taken.groupBy("lang")
+      .agg(count(lit(1)).as("n_taken"),
+        sum(col("n_chars")).as("sum_chars_taken"),
+        min(col("doc_id")).as("first_doc"))
+      .join(q, "lang")
+      .select(col("lang"), col("n_docs"), r6(col("w")).as("weight"),
+        col("quota"), col("n_taken"), col("sum_chars_taken"), col("first_doc"))
+      .orderBy("lang")
+  }
+
   /** PII masking — the redaction pass a training corpus gets before any
     * model sees it: emails, IPv4s, and phone-shaped strings replaced by
     * typed placeholder tokens, with per-doc match counts kept as the
@@ -773,6 +890,64 @@ object Text {
           .as("masked"))
       .withColumn("masked_len", length(col("masked")).cast("long"))
       .orderBy("doc_id")
+  }
+
+  /** URL-canonicalization dedup — the first dedup tier of every web-crawl
+    * pipeline (before any content hashing): the same page arrives under
+    * http/https, with/without `www.`, mixed-case host, tracking params
+    * (`utm_*`, `fbclid`), and trailing-slash variants, and all of them
+    * must collapse to ONE canonical key. The fixture has no URL column,
+    * so (the [[piiMask]] precedent) each doc synthesizes its raw URL
+    * deterministically from doc_id — every canonicalization rule is
+    * exercised on real rows and the oracle replays the identical
+    * construction. 25 hosts × 400 paths under 5000 docs ⇒ lcm 2000
+    * canonical pages, so genuine multi-doc collapse happens at every sf.
+    *
+    * Canonicalization is a fixed regexp_replace chain (patterns inside
+    * the Java-regex ∩ RE2 common dialect — char classes only, NO
+    * lookahead, which RE2 lacks): scheme dropped, authority lowercased
+    * and `www.`-stripped (only the authority — paths stay case-
+    * sensitive), tracking params removed, separator debris cleaned,
+    * trailing slash normalized. Pure per-row projection; the only
+    * shuffle is the canonical-key count — one hash agg, exactly the
+    * exact-dedup shape. Output: the duplicate report (canonical pages
+    * with ≥ 2 variants, their variant count and lowest doc). */
+  def urlCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val host = concat(lit("site"), (col("doc_id") % 25).cast("string"),
+      lit(".example.com"))
+    val raw = concat(
+      when(col("doc_id") % 3 === 0, "https://").otherwise("http://"),
+      when(col("doc_id") % 2 === 0, "www.").otherwise(""),
+      when(col("doc_id") % 7 === 0, upper(host)).otherwise(host),
+      lit("/p/"), (col("doc_id") % 400).cast("string"),
+      when(col("doc_id") % 5 === 0, "/").otherwise(""),
+      when(col("doc_id") % 4 === 0, lit("?utm_source=feed"))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("?utm_campaign=x&page="), (col("doc_id") % 3).cast("string")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("?page="), (col("doc_id") % 3).cast("string")))
+        .otherwise(lit("")))
+    val noScheme = regexp_replace(raw, "^https?://", "")
+    val auth = regexp_extract(noScheme, "^[^/?]+", 0)
+    val authC = regexp_replace(lower(auth), "^www[.]", "")
+    val rest = expr("substring(no_scheme, length(auth_raw) + 1)")
+    val restC =
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(rest,
+          "(utm_[a-z]+|fbclid)=[^&]*", ""),   // tracking params out
+        "[?][&]+", "?"),                       // "?&page" → "?page"
+        "[?&]+$", ""),                         // dangling "?" / "?&"
+        "/[?]", "?"),                          // "/?page" → "?page"
+        "/$", "")                              // trailing slash
+    docs(spark, dir)
+      .withColumn("no_scheme", noScheme)
+      .withColumn("auth_raw", auth)
+      .withColumn("canonical", concat(authC, restC))
+      .groupBy("canonical")
+      .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("min_doc"))
+      .filter(col("n_variants") >= 2)
+      .orderBy(desc("n_variants"), col("canonical"))
+      .limit(15)
   }
 
   /** QUALITY QUARTILES — per-language ntile(4) bucketing of the
@@ -1220,6 +1395,9 @@ object Text {
     "text_lang_stats" -> (langStats _),
     "text_langid" -> (langId _),
     "text_quality_score" -> (qualityScore _),
+    "text_gopher_rules" -> (gopherRules _),
+    "dedup_url_canonical" -> (urlCanonical _),
+    "docs_temperature_sample" -> (temperatureSample _),
     "text_char_entropy" -> (charEntropyScore _),
     "text_hash_features" -> (hashFeatures _),
     "text_token_count" -> (tokenCount _),
@@ -1674,6 +1852,107 @@ object Text {
            floor((0.6 * (CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE))
              + 0.4 * least((CAST(n_ch - (n_tok - 1) AS DOUBLE) / CAST(n_tok AS DOUBLE)) / 8.0, 1.0)) * 10000.0 + 0.5) / 10000.0 AS quality
          FROM d ORDER BY doc_id""",
+    "docs_temperature_sample" ->
+      """WITH s AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         t AS (SELECT sum(n_docs) AS total FROM s),
+         r AS (SELECT lang, n_docs, total,
+             floor(sqrt(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000.0 + 0.5)
+               / 1000000.0 AS w6
+           FROM s, t),
+         dn AS (SELECT sum(CAST(w6 AS DECIMAL(16,6))) AS denom FROM r),
+         q AS (SELECT lang, n_docs,
+             w6 / CAST(denom AS DOUBLE) AS w,
+             CAST(floor((w6 / CAST(denom AS DOUBLE))
+               * floor(CAST(total AS DOUBLE) / 4.0)) AS BIGINT) AS quota
+           FROM r, dn),
+         pr AS (SELECT lang, doc_id, n_chars,
+             md5(CAST(doc_id AS VARCHAR)) AS pr
+           FROM documents),
+         rk AS (SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY pr, doc_id) AS rk
+           FROM pr),
+         tk AS (SELECT rk.lang, rk.doc_id, rk.n_chars
+           FROM rk JOIN q USING (lang) WHERE rk.rk <= q.quota)
+         SELECT q.lang, q.n_docs,
+           floor(q.w * 1000000.0 + 0.5) / 1000000.0 AS weight,
+           q.quota,
+           count(tk.doc_id) AS n_taken,
+           sum(tk.n_chars) AS sum_chars_taken,
+           min(tk.doc_id) AS first_doc
+         FROM q JOIN tk ON tk.lang = q.lang
+         GROUP BY q.lang, q.n_docs, q.w, q.quota
+         ORDER BY q.lang""",
+    "dedup_url_canonical" ->
+      """WITH u AS (
+           SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0 THEN 'https://' ELSE 'http://' END) ||
+             (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) ||
+             (CASE WHEN doc_id % 7 = 0
+                   THEN upper('site' || CAST(doc_id % 25 AS VARCHAR) || '.example.com')
+                   ELSE 'site' || CAST(doc_id % 25 AS VARCHAR) || '.example.com' END) ||
+             '/p/' || CAST(doc_id % 400 AS VARCHAR) ||
+             (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+             (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed'
+                   WHEN doc_id % 4 = 1 THEN '?utm_campaign=x&page=' || CAST(doc_id % 3 AS VARCHAR)
+                   WHEN doc_id % 4 = 2 THEN '?page=' || CAST(doc_id % 3 AS VARCHAR)
+                   ELSE '' END) AS raw
+           FROM documents),
+         s1 AS (SELECT doc_id, regexp_replace(raw, '^https?://', '', 'g') AS ns FROM u),
+         s2 AS (SELECT doc_id, ns, regexp_extract(ns, '^[^/?]+') AS auth FROM s1),
+         c AS (SELECT doc_id,
+             regexp_replace(lower(auth), '^www[.]', '', 'g') ||
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               substring(ns, length(auth) + 1),
+               '(utm_[a-z]+|fbclid)=[^&]*', '', 'g'),
+               '[?][&]+', '?', 'g'),
+               '[?&]+$', '', 'g'),
+               '/[?]', '?', 'g'),
+               '/$', '', 'g') AS canonical
+           FROM s2)
+         SELECT canonical, count(*) AS n_variants, min(doc_id) AS min_doc
+         FROM c GROUP BY canonical HAVING count(*) >= 2
+         ORDER BY n_variants DESC, canonical LIMIT 15""",
+    "text_gopher_rules" ->
+      """WITH t AS (
+           SELECT doc_id, source, string_split(text, ' ') AS toks,
+             length(text) AS n_ch
+           FROM documents),
+         d AS (
+           SELECT doc_id, source,
+             CAST(len(toks) AS BIGINT) AS n_tok,
+             CAST(n_ch - (len(toks) - 1) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS mean_wl,
+             CAST(len(list_intersect(list_distinct(toks),
+               ['join','filter','sort','merge','window'])) AS BIGINT) AS n_stop
+           FROM t),
+         m AS (
+           SELECT doc_id, max(c) AS max_run FROM (
+             SELECT doc_id, count(*) AS c
+             FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+             GROUP BY doc_id, tok)
+           GROUP BY doc_id),
+         f AS (
+           SELECT d.doc_id, d.source,
+             (d.n_tok < 15 OR d.n_tok > 90) AS f_len,
+             (d.mean_wl < 3.5 OR d.mean_wl > 5.5) AS f_wordlen,
+             (d.n_stop < 2) AS f_stop,
+             (CAST(m.max_run AS DOUBLE) / CAST(d.n_tok AS DOUBLE) > 0.125) AS f_rep
+           FROM d JOIN m USING (doc_id)),
+         g AS (
+           SELECT doc_id, source, f_len, f_wordlen, f_stop, f_rep,
+             NOT (f_len OR f_wordlen OR f_stop OR f_rep) AS pass
+           FROM f)
+         SELECT source,
+           count(*) AS n_docs,
+           sum(CASE WHEN f_len THEN 1 ELSE 0 END) AS n_fail_len,
+           sum(CASE WHEN f_wordlen THEN 1 ELSE 0 END) AS n_fail_wordlen,
+           sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS n_fail_stop,
+           sum(CASE WHEN f_rep THEN 1 ELSE 0 END) AS n_fail_rep,
+           sum(CASE WHEN pass THEN 1 ELSE 0 END) AS n_pass,
+           floor(CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS pass_rate,
+           min(CASE WHEN NOT pass THEN doc_id END) AS first_fail
+         FROM g GROUP BY source ORDER BY source""",
     "text_hash_features" ->
       """SELECT doc_id,
          CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) % 32 AS bucket,
