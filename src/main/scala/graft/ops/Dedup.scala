@@ -690,7 +690,13 @@ object Dedup {
     * query. Degree-ordered orientation would prune only non-closing
     * wedges, not real triangles, and is not worth its two extra degree
     * joins here; the knob that actually bounds the work at 100 TB is
-    * the bucket cap, which caps every clique the LSH layer can emit. */
+    * the bucket cap, which caps every clique the LSH layer can emit.
+    * Re-measured r9 (32 threads, min-of-3): degree orientation ties
+    * (degrees are cap-uniform, no hubs to prune), and the per-edge
+    * adjacency-intersection spelling (sorted neighbor arrays +
+    * array_intersect per edge — no wedge shuffle) is 1.3–2.2× SLOWER:
+    * at ~60-out-neighbor density the codegen'd shuffle join beats
+    * per-row collection ops in the JVM. The 3-way join stays. */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
     val d = table(spark, dir, "documents")
     val base = d.select(col("doc_id"), col("source"),
