@@ -802,7 +802,95 @@ object PipelineOps {
       .orderBy("split", "source")
   }
 
+  private lazy val deltaRoot: java.io.File = processTempRoot("graft_delta_")
+  private val deltaScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Build-count diagnostic — spec-asserts the table builds once. */
+  private[graft] val deltaBuilds = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Write-once [[graft.sources.DeltaLite]] table over `events`, shared
+    * by [[deltaLog]] and [[vacuumPlan]]. Four commits exercise the whole
+    * log lifecycle: v1 adds slices A (event_id%3=0 → a.parquet) and B
+    * (%3=1 → b.parquet); v2 adds C (%3=2 → c.parquet); v3 COMPACTS A+B
+    * into ab.parquet (remove+add of identical rows — results must not
+    * move); v4 compacts C into c2.parquet. Row-count stats are recorded
+    * on each add action, so vacuum planning stays a metadata query. */
+  private def deltaTable(spark: SparkSession, dir: String): String =
+    deltaScratch.computeIfAbsent(dir, { d =>
+      deltaBuilds.incrementAndGet()
+      import graft.sources.DeltaLite
+      import graft.sources.DeltaLite.Action
+      val out = new java.io.File(deltaRoot, "d" + dirKey(d))
+      val ev = table(spark, d, "events")
+      def writeSlice(name: String, pred: Column): Long = {
+        val df = ev.filter(pred)
+        df.write.mode("overwrite").parquet(new java.io.File(out, name).getPath)
+        df.count()
+      }
+      val na = writeSlice("a.parquet", col("event_id") % 3 === 0)
+      val nb = writeSlice("b.parquet", col("event_id") % 3 === 1)
+      DeltaLite.commit(out.getPath, 1, Seq(
+        Action(1, "add", "a.parquet", na), Action(1, "add", "b.parquet", nb)))
+      val nc = writeSlice("c.parquet", col("event_id") % 3 === 2)
+      DeltaLite.commit(out.getPath, 2, Seq(Action(2, "add", "c.parquet", nc)))
+      // v3: compaction — rewrite A∪B from the LIVE SNAPSHOT (not the
+      // source table): a real compactor only has the table itself.
+      val ab = DeltaLite.snapshot(spark, out.getPath, Some(2))
+        .filter(col("event_id") % 3 =!= 2)
+      ab.write.mode("overwrite").parquet(new java.io.File(out, "ab.parquet").getPath)
+      DeltaLite.commit(out.getPath, 3, Seq(
+        Action(3, "remove", "a.parquet", -1L), Action(3, "remove", "b.parquet", -1L),
+        Action(3, "add", "ab.parquet", na + nb)))
+      val c2 = DeltaLite.snapshot(spark, out.getPath, Some(3))
+        .filter(col("event_id") % 3 === 2)
+      c2.write.mode("overwrite").parquet(new java.io.File(out, "c2.parquet").getPath)
+      DeltaLite.commit(out.getPath, 4, Seq(
+        Action(4, "remove", "c.parquet", -1L),
+        Action(4, "add", "c2.parquet", nc)))
+      out.getPath
+    })
+
+  /** Transaction-log table format end to end ([[graft.sources.DeltaLite]]
+    * — the Delta/Iceberg commit pattern): the same aggregate read at
+    * TIME-TRAVEL version 1 (slices A+B) and at the latest version 4
+    * (everything, after two compaction rewrites). The v4 numbers equal a
+    * direct scan of the source table — compaction (remove+add of
+    * identical rows) is invisible to results BY CONSTRUCTION of the log
+    * replay, which is precisely the property the oracle gates: DuckDB
+    * computes both versions straight from `events` slices, knowing
+    * nothing about files or commits. */
+  def deltaLog(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaLite
+    val t = deltaTable(spark, dir)
+    def agg(asOf: Long): DataFrame =
+      DeltaLite.snapshot(spark, t, Some(asOf))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsumR(col("value"), Qty).as("sum_value"))
+        .withColumn("version", lit(asOf))
+    agg(1).unionByName(agg(4))
+      .select(col("version"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("version", "event_type")
+  }
+
+  /** Vacuum PLANNING from the transaction log alone (retention = 1
+    * version at current = 4): files removed at v ≤ 3 are reclaimable,
+    * the v4 remove must stay for time travel. Row counts come from the
+    * add-time stats in the LOG — the plan never opens a data file, which
+    * is what keeps vacuum a metadata operation at 100 TB. The oracle
+    * recomputes each file's row count from the `events` slices and the
+    * eligibility arithmetic from the commit constants. */
+  def vacuumPlan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaLite
+    val t = deltaTable(spark, dir)
+    DeltaLite.vacuumPlan(spark, t, currentVersion = 4L, retention = 1L)
+      .select(col("path"), col("removed_version"), col("n_rows"),
+        col("eligible"))
+      .orderBy("path")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_delta_log" -> (deltaLog _),
+    "pipe_vacuum_plan" -> (vacuumPlan _),
     "pipe_split_train_test" -> (splitTrainTest _),
     "pipe_csv_roundtrip" -> (csvRoundtrip _),
     "pipe_json_roundtrip" -> (jsonRoundtrip _),
@@ -1102,6 +1190,32 @@ object PipelineOps {
              WHERE event_type = 'purchase' GROUP BY user_id) s
            WHERE s.user_id = e.user_id AND e.ts <= s.last_ts)
          ORDER BY e.event_id""",
+    "pipe_delta_log" ->
+      s"""WITH v1 AS (
+           SELECT CAST(1 AS BIGINT) AS version, event_type, count(*) AS n,
+             round(CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE), 4) AS sum_value
+           FROM ${evSql()} WHERE event_id % 3 IN (0, 1)
+           GROUP BY event_type),
+         v4 AS (
+           SELECT CAST(4 AS BIGINT) AS version, event_type, count(*) AS n,
+             round(CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE), 4) AS sum_value
+           FROM ${evSql()}
+           GROUP BY event_type)
+         SELECT * FROM v1 UNION ALL SELECT * FROM v4
+         ORDER BY version, event_type""",
+    "pipe_vacuum_plan" ->
+      s"""WITH c AS (
+           SELECT event_id % 3 AS s, count(*) AS n FROM ${evSql()} GROUP BY 1)
+         SELECT * FROM (
+           SELECT 'a.parquet' AS path, CAST(3 AS BIGINT) AS removed_version,
+             (SELECT n FROM c WHERE s = 0) AS n_rows, TRUE AS eligible
+           UNION ALL
+           SELECT 'b.parquet', CAST(3 AS BIGINT),
+             (SELECT n FROM c WHERE s = 1), TRUE
+           UNION ALL
+           SELECT 'c.parquet', CAST(4 AS BIGINT),
+             (SELECT n FROM c WHERE s = 2), FALSE)
+         ORDER BY path""",
     "pipe_partition_prune" ->
       s"""SELECT event_type, count(*) AS n,
          round(CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE), 4) AS sum_value

@@ -1,0 +1,115 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal transaction-log table format — the Delta/Iceberg commit
+  * pattern (public: Armbrust et al., "Delta Lake: High-Performance ACID
+  * Table Storage over Cloud Object Stores", VLDB 2020) re-expressed at
+  * the scale-relevant core: a table IS an ordered JSON-lines log of
+  * add/remove file actions; readers replay the log prefix up to a
+  * version to learn the live file set, so
+  *
+  *   - COMMITS are atomic: a version is visible only once its complete
+  *     log file exists (one rename, no partial state);
+  *   - TIME TRAVEL is a shorter replay prefix (`asOf`);
+  *   - COMPACTION is remove+add of the same rows in fewer files —
+  *     invisible to query results by construction;
+  *   - file STATS (row counts) ride in the action record, so
+  *     metadata-only questions (vacuum planning, size accounting) read
+  *     the LOG, never the data files — at 100 TB the difference between
+  *     a metadata query and a table scan.
+  *
+  * The log stays bounded (#actions ≪ #rows) and is read through
+  * `spark.read.json` — the same "log is just data" posture Delta takes;
+  * checkpointing the log into parquet (Delta's `_checkpoint`) is the
+  * documented growth path, not needed at fixture scale.
+  *
+  * Reference tie-in: the ref pipeline's destructive overwrite + commit
+  * marker (A11/A14, `src/bak_unload.ps1:95-118`) is exactly what a
+  * transaction log replaces — versioned visibility instead of in-place
+  * truncation. */
+object DeltaLite {
+  /** One log record. `n_rows` is the add-time stat (−1 on removes). */
+  case class Action(version: Long, action: String, path: String, n_rows: Long)
+
+  private def logDir(tableDir: String): java.io.File =
+    new java.io.File(tableDir, "_log")
+
+  /** Append commit `version` with the given actions. Atomic via
+    * write-to-temp + rename (the object-store pattern). Driver-side IO is
+    * sound here: the log is metadata, bounded by #actions. */
+  def commit(tableDir: String, version: Long,
+      actions: Seq[Action]): Unit = {
+    val ld = logDir(tableDir)
+    ld.mkdirs()
+    val tmp = new java.io.File(ld, f".tmp_$version%05d.json")
+    val dst = new java.io.File(ld, f"$version%05d.json")
+    val w = new java.io.PrintWriter(tmp, "UTF-8")
+    try actions.foreach { a =>
+      w.println(s"""{"version":${a.version},"action":"${a.action}","path":"${a.path}","n_rows":${a.n_rows}}""")
+    } finally w.close()
+    if (!tmp.renameTo(dst))
+      throw new java.io.IOException(s"commit rename failed for $dst")
+  }
+
+  /** All actions with version ≤ `asOf` (None = latest), as a DataFrame —
+    * the log read is itself a Spark job (bounded input, but the pattern
+    * scales to checkpointed logs). */
+  def actions(spark: SparkSession, tableDir: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val df = spark.read
+      .schema("version LONG, action STRING, path STRING, n_rows LONG")
+      .json(logDir(tableDir).getPath + "/*.json")
+    asOf.map(v => df.filter(df("version") <= v)).getOrElse(df)
+  }
+
+  /** Live file paths at `asOf`: adds minus removes over the replay
+    * prefix. Collected — the live set is metadata, bounded by #actions
+    * (the same bounded-driver-state discipline as the centroid
+    * collects). Replay order is imposed EXPLICITLY — a multi-file JSON
+    * read carries no row-order guarantee — by (version, removes-first):
+    * cross-version order is the log order, and within a commit removes
+    * apply before adds so a same-path rewrite in one commit stays live. */
+  def liveFiles(spark: SparkSession, tableDir: String,
+      asOf: Option[Long] = None): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, desc}
+    val acts = actions(spark, tableDir, asOf)
+      .orderBy(col("version"), desc("action"))
+      .select("action", "path").collect()
+    val added = scala.collection.mutable.LinkedHashSet[String]()
+    acts.foreach { r =>
+      val p = r.getString(1)
+      if (r.getString(0) == "add") added += p else added -= p
+    }
+    added.toSeq.map(p => new java.io.File(tableDir, p).getPath)
+  }
+
+  /** The table's rows as of `asOf` — one parquet scan over the live
+    * files. Fails loudly on an empty live set (an empty table is a
+    * zero-action log, not a missing one). */
+  def snapshot(spark: SparkSession, tableDir: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val files = liveFiles(spark, tableDir, asOf)
+    require(files.nonEmpty, s"no live files in $tableDir as of $asOf")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Vacuum PLAN from the log alone — files removed at or before
+    * `currentVersion − retention` are reclaimable; newer removes must
+    * stay for time travel. Returns (path, removed_version, n_rows at add
+    * time, eligible). Never touches a data file: the row counts come
+    * from the add-action stats, which is what makes vacuum planning a
+    * metadata query at any scale. */
+  def vacuumPlan(spark: SparkSession, tableDir: String,
+      currentVersion: Long, retention: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val acts = actions(spark, tableDir, None)
+    val adds = acts.filter(col("action") === "add")
+      .select(col("path"), col("n_rows"))
+    val removes = acts.filter(col("action") === "remove")
+      .select(col("path"), col("version").as("removed_version"))
+    removes.join(adds, "path")
+      .withColumn("eligible",
+        col("removed_version") <= lit(currentVersion - retention))
+  }
+}

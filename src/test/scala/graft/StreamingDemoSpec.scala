@@ -215,4 +215,51 @@ class StreamingDemoSpec extends AnyFunSuite with SparkFixture {
       assert(streamed(3L) == ((4L, 0L, false, "vpcv")))
     } finally q.stop()
   }
+
+  test("streaming drift monitor replays the CUSUM recursion incrementally") {
+    import graft.streaming.DriftMonitor
+    import graft.streaming.DriftMonitor.DriftEvent
+    implicit val sqlCtx = spark.sqlContext
+    // 'burst': 3 baseline days at 10/day, then 2 days at 30/day.
+    // Baseline μ₀=10, σ₀=5 → z = (n − 10 − 2.5)/5: baseline z = −0.5
+    // (cusum pinned at 0), burst z = +3.5 → day 4 cusum 3.5 (no alarm),
+    // day 5 cusum 7.0 (alarm).
+    val counts = Seq(10, 10, 10, 30, 30)
+    val evs = counts.zipWithIndex.flatMap { case (k, d) =>
+      (0 until k).map(j => DriftEvent("burst",
+        ts(f"2024-01-${d + 1}%02d 0${j % 9}:0${j % 6}:00")))
+    }
+    val ms = MemoryStream[DriftEvent]
+    val q = DriftMonitor.monitor(ms.toDS(), mu0 = 10.0, sigma0 = 5.0)
+      .writeStream.format("memory").queryName("drift_test").outputMode("append").start()
+    try {
+      // feed day-by-day (each new day finalizes the previous one), then
+      // advance the watermark far past the last day to flush it
+      evs.groupBy(_.ts.getTime / 86400000L).toSeq.sortBy(_._1).foreach { case (_, b) =>
+        ms.addData(b: _*); q.processAllAvailable()
+      }
+      ms.addData(DriftEvent("heartbeat", ts("2024-01-09 12:00:00")))
+      q.processAllAvailable()
+      ms.addData(DriftEvent("heartbeat", ts("2024-01-10 12:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("drift_test").collect()
+        .filter(_.getAs[String]("event_type") == "burst")
+        .map(r => r.getAs[String]("day") ->
+          ((r.getAs[Long]("n"), math.rint(r.getAs[Double]("cusum") * 1e6) / 1e6,
+            r.getAs[Boolean]("alarm"))))
+        .toMap
+      // expected trajectory from the definition s_i = max(0, s + z_i)
+      val z = counts.map(n => (n - 10.0 - 2.5) / 5.0)
+      val expect = z.scanLeft(0.0)((s, x) => math.max(0.0, s + x)).tail
+      counts.indices.foreach { d =>
+        val day = f"2024-01-${d + 1}%02d"
+        assert(out.contains(day), s"day $day not emitted")
+        val (n, c, alarm) = out(day)
+        assert(n == counts(d))
+        assert(math.abs(c - expect(d)) < 1e-9, s"day $day cusum $c != ${expect(d)}")
+        assert(alarm == expect(d) > 4.0)
+      }
+      assert(out.values.count(_._3) == 1, "exactly day 5 should alarm")
+    } finally q.stop()
+  }
 }
