@@ -1716,7 +1716,35 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Gap-based sessionization through Spark's BUILT-IN `session_window`
+    * — the same 30-minute-gap semantics as [[eventsSessionize]]'s manual
+    * lag/cumsum spelling, but through the engine primitive that also
+    * powers streaming session aggregation (one groupBy, no explicit
+    * window functions: the session assignment happens inside the
+    * aggregation's merging buffers). Two deliberate semantic pins, both
+    * replayed by the oracle: sessions merge on STRICT overlap (a gap of
+    * exactly 30 min starts a NEW session — `session_window` windows are
+    * half-open [t, t+gap)), and each session's span is
+    * (last − first) + gap (the window end extends gap past the last
+    * event). Scale: one hash shuffle on user_id; per-group state is the
+    * open session set, merged map-side — the batch twin of the
+    * streaming state machine. */
+  def aggSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val sess = table(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"),
+        (unix_micros(col("w.end")) - unix_micros(col("w.start"))).as("span_us"))
+    sess.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_sess_events"),
+        sum(col("span_us")).as("total_span_us"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_session_window" -> (aggSessionWindow _),
     "events_cusum_shift" -> (eventsCusumShift _),
     "join_bloom_prefilter" -> (joinBloomPrefilter _),
     "events_seasonal_baseline" -> (eventsSeasonalBaseline _),
@@ -1798,6 +1826,28 @@ object Relational {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_totalprice > 449000.0
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "agg_session_window" ->
+      s"""WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us FROM ${evSql()}),
+         g AS (
+           SELECT user_id, event_id, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         s AS (
+           SELECT user_id, us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING) AS sess_idx
+           FROM g),
+         per AS (
+           SELECT user_id, sess_idx, count(*) AS n_events,
+             max(us) - min(us) + 1800000000 AS span_us
+           FROM s GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(max(n_events) AS BIGINT) AS max_sess_events,
+           CAST(sum(span_us) AS BIGINT) AS total_span_us
+         FROM per GROUP BY user_id ORDER BY user_id""",
     "events_cusum_shift" ->
       s"""WITH daily AS (
            SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n

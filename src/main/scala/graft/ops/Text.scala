@@ -892,6 +892,38 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Moving-Average Type-Token Ratio (MATTR, Covington & McFall 2010) —
+    * the length-robust lexical-diversity score: plain TTR
+    * (distinct/total) shrinks mechanically as documents grow, so corpus
+    * quality filters that threshold on it systematically misjudge long
+    * documents; MATTR averages the TTR of every W-token sliding window
+    * instead, making scores comparable across lengths. W = 10; documents
+    * shorter than W fall back to plain TTR (the standard convention).
+    *
+    * Shape at scale: the window sweep is a PER-ROW O(n·W) array
+    * expression inside codegen — no explode of the corpus token stream,
+    * no shuffle at all (the orderBy is presentation). All per-window
+    * values are exact integers; the mean divides two exact ints, so both
+    * engines produce the identical double before the final r6. */
+  def mattr(spark: SparkSession, dir: String): DataFrame = {
+    val W = 10
+    val m = expr(
+      s"""CASE WHEN size(toks) < $W
+            THEN CAST(size(array_distinct(toks)) AS DOUBLE) / CAST(size(toks) AS DOUBLE)
+            ELSE CAST(aggregate(
+                transform(sequence(1, size(toks) - $W + 1),
+                  i -> size(array_distinct(slice(toks, i, $W)))),
+                0L, (acc, x) -> acc + x) AS DOUBLE)
+              / CAST((size(toks) - $W + 1) * $W AS DOUBLE)
+          END""")
+    docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        r6(m).as("mattr"))
+      .orderBy("doc_id")
+  }
+
   /** URL-canonicalization dedup — the first dedup tier of every web-crawl
     * pipeline (before any content hashing): the same page arrives under
     * http/https, with/without `www.`, mixed-case host, tracking params
@@ -1398,6 +1430,7 @@ object Text {
     "text_gopher_rules" -> (gopherRules _),
     "dedup_url_canonical" -> (urlCanonical _),
     "docs_temperature_sample" -> (temperatureSample _),
+    "text_mattr" -> (mattr _),
     "text_char_entropy" -> (charEntropyScore _),
     "text_hash_features" -> (hashFeatures _),
     "text_token_count" -> (tokenCount _),
@@ -1852,6 +1885,19 @@ object Text {
            floor((0.6 * (CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE))
              + 0.4 * least((CAST(n_ch - (n_tok - 1) AS DOUBLE) / CAST(n_tok AS DOUBLE)) / 8.0, 1.0)) * 10000.0 + 0.5) / 10000.0 AS quality
          FROM d ORDER BY doc_id""",
+    "text_mattr" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tok,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           floor((CASE WHEN len(toks) < 10
+             THEN CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+             ELSE CAST(list_sum(list_transform(range(1, len(toks) - 10 + 2),
+                 i -> len(list_distinct(toks[i:i+9])))) AS DOUBLE)
+               / CAST((len(toks) - 10 + 1) * 10 AS DOUBLE)
+           END) * 1000000.0 + 0.5) / 1000000.0 AS mattr
+         FROM t ORDER BY doc_id""",
     "docs_temperature_sample" ->
       """WITH s AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
          t AS (SELECT sum(n_docs) AS total FROM s),
