@@ -84,6 +84,32 @@ object Scalars {
         min(col("event_id")).as("min_event"))
       .orderBy("k_mod")
 
+  /** VariantType surface — Spark 4's open semi-structured type (binary
+    * variant encoding, SPARK-45891), the engine's answer to schema-fluid
+    * JSON at scale: `parse_json` decodes ONCE into the typed binary form
+    * and every `variant_get` is a cheap path read, where repeated
+    * `get_json_object` calls re-parse the string per extraction. Exercised
+    * end to end: parse → typed path extraction → null-safe probe of an
+    * ABSENT path (`try_variant_get` → SQL NULL, not an error) → hash agg
+    * over the extracted value. The oracle replays the same reads through
+    * DuckDB's JSON functions — variant is an encoding, not a semantics
+    * change, which is exactly what the gate proves. Per-row projection +
+    * one small hash agg; at 100 TB the parse-once property is the cost
+    * difference between one decode and k decodes per row. */
+  def variantJson(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .withColumn("v", parse_json(col("props")))
+      .select(col("event_id"),
+        variant_get(col("v"), "$.k", "long").as("k_val"),
+        try_variant_get(col("v"), "$.missing", "long").as("miss"))
+      .groupBy((col("k_val") % 7).as("k_mod"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k_val")).as("sum_k"),
+        sum(when(col("miss").isNull, 1L).otherwise(0L)).as("n_missing_null"),
+        min(col("event_id")).as("min_event"))
+      .orderBy("k_mod")
+
   /** MapType surface: JSON parsed into a map, keys/values extracted with
     * deterministic key ordering (map iteration order is not a contract in
     * either engine — sort the keys before joining). */
@@ -258,6 +284,7 @@ object Scalars {
     "scalar_string_extra" -> (stringExtra _),
     "scalar_map_ops" -> (mapOps _),
     "scalar_json_extract" -> (jsonExtract _),
+    "scalar_variant_json" -> (variantJson _),
     "array_embedding_stats" -> (arrayEmbeddingStats _))
 
   val oracleSql: Map[String, String] = Map(
@@ -357,6 +384,14 @@ object Scalars {
          right(o_orderpriority, 3) AS prio_r3,
          CAST(ascii(o_orderstatus) AS BIGINT) AS stat_ascii
          FROM orders ORDER BY o_orderkey""",
+    "scalar_variant_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod,
+         count(*) AS n,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         CAST(sum(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_null,
+         min(event_id) AS min_event
+         FROM events GROUP BY k_mod ORDER BY k_mod""",
     "scalar_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
          count(*) AS n,

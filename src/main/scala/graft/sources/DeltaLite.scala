@@ -36,18 +36,25 @@ object DeltaLite {
     new java.io.File(tableDir, "_log")
 
   /** Append commit `version` with the given actions. Atomic via
-    * write-to-temp + rename (the object-store pattern). Driver-side IO is
-    * sound here: the log is metadata, bounded by #actions. */
+    * write-to-temp + rename (the object-store pattern). IDEMPOTENT on
+    * replay: if the version's log file already exists, the commit is a
+    * no-op — the contract (Delta's) is that a re-committed version
+    * carries identical content, which holds for deterministic writers
+    * like [[graft.streaming.DeltaSink]] replaying a micro-batch; the
+    * existing file, not the replay, stays authoritative. Driver-side IO
+    * is sound here: the log is metadata, bounded by #actions. */
   def commit(tableDir: String, version: Long,
       actions: Seq[Action]): Unit = {
     val ld = logDir(tableDir)
     ld.mkdirs()
     val tmp = new java.io.File(ld, f".tmp_$version%05d.json")
     val dst = new java.io.File(ld, f"$version%05d.json")
+    if (dst.exists()) return
     val w = new java.io.PrintWriter(tmp, "UTF-8")
     try actions.foreach { a =>
       w.println(s"""{"version":${a.version},"action":"${a.action}","path":"${a.path}","n_rows":${a.n_rows}}""")
     } finally w.close()
+    if (dst.exists()) { tmp.delete(); return }
     if (!tmp.renameTo(dst))
       throw new java.io.IOException(s"commit rename failed for $dst")
   }

@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.ops.PipelineOps
 import graft.sources.DeltaLite
 import graft.sources.DeltaLite.Action
@@ -71,6 +72,34 @@ class DeltaLiteSpec extends AnyFunSuite with SparkFixture {
         ((r.getAs[Long]("n_rows"), r.getAs[Boolean]("eligible")))).toMap
     assert(plan("a.parquet") == ((2L, true)), "old remove must be reclaimable")
     assert(plan("a2.parquet") == ((2L, false)), "recent remove must be kept")
+  }
+
+  test("DeltaSink: streamed batches become visible commits; replays are no-ops") {
+    import graft.streaming.DeltaSink
+    val t = freshTable()
+    // direct batch commits (the foreachBatch body) — two batches
+    DeltaSink.commitBatch(t)(Seq(1L, 2L).toDF("id"), 0L)
+    DeltaSink.commitBatch(t)(Seq(3L).toDF("id"), 1L)
+    assert(DeltaLite.snapshot(spark, t).as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // replay batch 0 (at-least-once upstream): same file, same version —
+    // commit is a no-op, snapshot unchanged, no duplicate rows
+    DeltaSink.commitBatch(t)(Seq(1L, 2L).toDF("id"), 0L)
+    assert(DeltaLite.snapshot(spark, t).as[Long].collect().toSeq.sorted
+      == Seq(1L, 2L, 3L))
+    // row stats rode the log: vacuum-style metadata query, no file reads
+    val acts = DeltaLite.actions(spark, t).collect()
+      .map(r => r.getAs[Long]("version") -> r.getAs[Long]("n_rows")).toMap
+    assert(acts == Map(0L -> 2L, 1L -> 1L))
+    // end-to-end through a real streaming query
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Long]
+    ms.addData(10L, 11L, 12L)
+    val t2 = freshTable()
+    val q = DeltaSink.start(ms.toDS().toDF("id"), t2,
+      java.nio.file.Files.createTempDirectory("graft-dsink-ckpt").toString)
+    q.awaitTermination()
+    assert(DeltaLite.snapshot(spark, t2).as[Long].collect().toSet
+      == Set(10L, 11L, 12L))
   }
 
   test("declared delta table builds once per input dir") {
