@@ -910,6 +910,53 @@ object Relational {
       .orderBy("k")
   }
 
+  /** INTERSECT ALL / EXCEPT ALL — the MULTISET complement of
+    * [[setUnionExcept]]'s distinct set algebra: bag semantics keep
+    * per-element multiplicities (min of the two sides for intersect,
+    * truncated difference for except), which is what reconciliation
+    * workloads actually need ("how many of each duplicate survive in
+    * both snapshots"). Catalyst rewrites both into a count-aggregate +
+    * generator (replicate rows min(c1, c2) / c1−c2 times) — one hash
+    * shuffle per side on the value, no join explosion, the same partial-
+    * agg shape as any groupBy at 100 TB. The output aggregates the bags
+    * (counts per residual multiplicity) so the frame stays bounded. */
+  def setIntersectAll(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val a = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("k"))
+    val b = ev.filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id").as("k"))
+    val inter = a.intersectAll(b).groupBy("k").agg(count(lit(1)).as("m"))
+      .withColumn("op", lit("intersect_all"))
+    val diff = a.exceptAll(b).groupBy("k").agg(count(lit(1)).as("m"))
+      .withColumn("op", lit("except_all"))
+    inter.unionByName(diff)
+      .groupBy("op")
+      .agg(count(lit(1)).as("n_keys"), sum(col("m")).as("n_rows"),
+        max(col("m")).as("max_mult"), min(col("k")).as("min_key"))
+      .orderBy("op")
+  }
+
+  /** OFFSET pagination — `ORDER BY … LIMIT k OFFSET n` (Spark's
+    * `offset()` operator, 3.4+): page 3 of the per-customer revenue
+    * ranking. Planned as GlobalLimit(offset+k) over per-partition local
+    * limits — the engine ships offset+k rows to one task, which is why
+    * deep pagination (n in the millions) is an anti-pattern at scale;
+    * keyset pagination (WHERE k > last_seen ORDER BY k LIMIT n) is the
+    * 100 TB spelling, and this query's doc is where that trade is
+    * recorded. Total order (rev DESC, custkey) makes the page
+    * deterministic. */
+  def sortOffsetPage(spark: SparkSession, dir: String): DataFrame = {
+    val pageSize = 10
+    val page = 3
+    table(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(dsumR(col("o_totalprice"), Money).as("revenue"))
+      .orderBy(desc("revenue"), col("o_custkey"))
+      .offset((page - 1) * pageSize)
+      .limit(pageSize)
+  }
+
   /** UNPIVOT / melt — the inverse reshape of [[aggPivot]]: a wide
     * per-priority status-count frame back to long (priority, metric, n)
     * rows. Spark's native `unpivot` plans as a single Expand over the
@@ -1743,7 +1790,35 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** DAU / WAU / stickiness — the activity dashboard's first row: daily
+    * distinct actives, trailing-7-day distinct actives, and their ratio.
+    * COUNT(DISTINCT) over a sliding RANGE window is unsupported (and
+    * would be quadratic anyway), so the spelling is the scale-correct
+    * one: the corpus collapses ONCE to distinct (day, user) pairs (the
+    * only pass over raw events, map-side combined); each pair then
+    * fans out to the ≤ 7 window-END days it supports
+    * (`explode(sequence(d, d+6))` — bounded 7× growth of the already-
+    * tiny pair set, nothing corpus-sized), and WAU is a plain
+    * count-distinct per window day. At extreme user counts the same
+    * shape swaps the distinct for per-day HLL sketches unioned across
+    * the window (`agg_sketch_union`'s path) — documented trade.
+    * Stickiness divides two exact ints, so r4 is ulp-safe. */
+  def eventsDauWau(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = table(spark, dir, "events")
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val dau = pairs.groupBy("d").agg(count(lit(1)).as("dau"))
+    val wau = pairs
+      .select(col("user_id"), explode(expr("sequence(d, date_add(d, 6))")).as("w"))
+      .distinct()
+      .groupBy(col("w").as("d")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "d")
+      .select(dateS(col("d")).as("day_s"), col("dau"), col("wau"),
+        r4(col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+      .orderBy("day_s")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_dau_wau" -> (eventsDauWau _),
     "agg_session_window" -> (aggSessionWindow _),
     "events_cusum_shift" -> (eventsCusumShift _),
     "join_bloom_prefilter" -> (joinBloomPrefilter _),
@@ -1811,6 +1886,8 @@ object Relational {
     "agg_histogram" -> (aggHistogram _),
     "sort_null_order" -> (sortNullOrder _),
     "set_union_except" -> (setUnionExcept _),
+    "set_intersect_all" -> (setIntersectAll _),
+    "sort_offset_page" -> (sortOffsetPage _),
     "reshape_unpivot" -> (reshapeUnpivot _),
     "join_null_safe" -> (joinNullSafe _),
     "join_bucketed_colocated" -> (joinBucketedColocated _),
@@ -1826,6 +1903,18 @@ object Relational {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_totalprice > 449000.0
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "events_dau_wau" ->
+      s"""WITH p AS (
+           SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM ${evSql()}),
+         dau AS (SELECT d, count(*) AS dau FROM p GROUP BY d),
+         wau AS (
+           SELECT a.d, count(DISTINCT b.user_id) AS wau
+           FROM dau a JOIN p b ON b.d BETWEEN a.d - 6 AND a.d
+           GROUP BY a.d)
+         SELECT strftime(a.d, '%Y-%m-%d') AS day_s, a.dau, w.wau,
+           ${r4Sql("CAST(a.dau AS DOUBLE) / CAST(w.wau AS DOUBLE)")} AS stickiness
+         FROM dau a JOIN wau w ON a.d = w.d
+         ORDER BY day_s""",
     "agg_session_window" ->
       s"""WITH e AS (
            SELECT user_id, event_id, epoch_us(ts) AS us FROM ${evSql()}),
@@ -2599,6 +2688,26 @@ object Relational {
       """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
          ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
          LIMIT 100""",
+    "set_intersect_all" ->
+      s"""WITH a AS (SELECT user_id AS k FROM ${evSql()}
+           WHERE event_type IN ('view', 'click')),
+         b AS (SELECT user_id AS k FROM ${evSql()}
+           WHERE event_type IN ('click', 'purchase')),
+         ia AS (SELECT k, count(*) AS m FROM
+           (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k),
+         ea AS (SELECT k, count(*) AS m FROM
+           (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k),
+         u AS (
+           SELECT 'intersect_all' AS op, k, m FROM ia
+           UNION ALL SELECT 'except_all' AS op, k, m FROM ea)
+         SELECT op, count(*) AS n_keys, CAST(sum(m) AS BIGINT) AS n_rows,
+           CAST(max(m) AS BIGINT) AS max_mult, min(k) AS min_key
+         FROM u GROUP BY op ORDER BY op""",
+    "sort_offset_page" ->
+      """SELECT o_custkey,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 4) AS revenue
+         FROM orders GROUP BY o_custkey
+         ORDER BY revenue DESC, o_custkey LIMIT 10 OFFSET 20""",
     "set_union_except" ->
       """WITH a AS (SELECT o_custkey AS k FROM orders),
          b AS (SELECT user_id AS k FROM events WHERE event_type = 'purchase'),
