@@ -50,7 +50,7 @@ object Bench {
     val buildOnce = Seq("simsearch_pq_index", "simsearch_ivf_index",
       "simsearch_index_upsert", "simsearch_ivf_upsert",
       "dedup_index_probe", "pipe_partition_prune", "pipe_schema_evolution",
-      "pipe_delta_log", "pipe_vacuum_plan",
+      "pipe_delta_log", "pipe_vacuum_plan", "pipe_delta_history",
       "join_bucketed_colocated", "pipe_csv_roundtrip", "pipe_json_roundtrip",
       "pipe_orc_roundtrip", "join_prune_dynamic", "text_bpe_encode")
     // Fixed single-thread CPU calibration, measured OUTSIDE any Spark

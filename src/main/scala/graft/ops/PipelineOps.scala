@@ -888,8 +888,29 @@ object PipelineOps {
       .orderBy("path")
   }
 
+  /** Table HISTORY from the transaction log — `DESCRIBE HISTORY` for
+    * [[graft.sources.DeltaLite]]: per version, the action mix and the
+    * rows added (from the add-time stats). Pure log read — the audit
+    * question ("what happened to this table, when, how big") never
+    * touches a data file; the log is #actions-bounded at any table
+    * size. The oracle recomputes rows-added per version from the
+    * `events` slices and the action counts from the commit constants. */
+  def deltaHistory(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaLite
+    val t = deltaTable(spark, dir)
+    DeltaLite.actions(spark, t)
+      .groupBy("version")
+      .agg(count(lit(1)).as("n_actions"),
+        sum(when(col("action") === "add", 1L).otherwise(0L)).as("n_adds"),
+        sum(when(col("action") === "remove", 1L).otherwise(0L)).as("n_removes"),
+        sum(when(col("action") === "add", col("n_rows")).otherwise(0L))
+          .as("rows_added"))
+      .orderBy("version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_delta_log" -> (deltaLog _),
+    "pipe_delta_history" -> (deltaHistory _),
     "pipe_vacuum_plan" -> (vacuumPlan _),
     "pipe_split_train_test" -> (splitTrainTest _),
     "pipe_csv_roundtrip" -> (csvRoundtrip _),
@@ -1203,6 +1224,24 @@ object PipelineOps {
            GROUP BY event_type)
          SELECT * FROM v1 UNION ALL SELECT * FROM v4
          ORDER BY version, event_type""",
+    "pipe_delta_history" ->
+      s"""WITH c AS (
+           SELECT event_id % 3 AS s, count(*) AS n FROM ${evSql()} GROUP BY 1)
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS version, CAST(2 AS BIGINT) AS n_actions,
+             CAST(2 AS BIGINT) AS n_adds, CAST(0 AS BIGINT) AS n_removes,
+             (SELECT n FROM c WHERE s = 0) + (SELECT n FROM c WHERE s = 1) AS rows_added
+           UNION ALL
+           SELECT CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+             CAST(0 AS BIGINT), (SELECT n FROM c WHERE s = 2)
+           UNION ALL
+           SELECT CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT),
+             CAST(2 AS BIGINT),
+             (SELECT n FROM c WHERE s = 0) + (SELECT n FROM c WHERE s = 1)
+           UNION ALL
+           SELECT CAST(4 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+             CAST(1 AS BIGINT), (SELECT n FROM c WHERE s = 2))
+         ORDER BY version""",
     "pipe_vacuum_plan" ->
       s"""WITH c AS (
            SELECT event_id % 3 AS s, count(*) AS n FROM ${evSql()} GROUP BY 1)

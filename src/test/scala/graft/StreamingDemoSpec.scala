@@ -262,4 +262,41 @@ class StreamingDemoSpec extends AnyFunSuite with SparkFixture {
       assert(out.values.count(_._3) == 1, "exactly day 5 should alarm")
     } finally q.stop()
   }
+
+  test("streaming heavy hitters: MG guarantee and error bound per window") {
+    import graft.streaming.HeavyHittersMonitor
+    import graft.streaming.HeavyHittersMonitor.KeyEvent
+    implicit val sqlCtx = spark.sqlContext
+    // Hour 10:00 — skewed: "hot" × 40 + 30 distinct cold keys × 1
+    // (70 rows, K=16 counters). MG guarantees any key with share > 1/16
+    // (> 4.4 rows) survives; "hot" est ∈ [40 − 70/16, 40].
+    val h1 = (0 until 40).map(i => KeyEvent("hot", ts(f"2024-01-01 10:${i % 60}%02d:01"))) ++
+      (0 until 30).map(i => KeyEvent(f"cold$i%02d", ts(f"2024-01-01 10:${i % 60}%02d:31")))
+    // Hour 11:00 — a different hot key, to prove per-window reset.
+    val h2 = (0 until 20).map(i => KeyEvent("hot2", ts(f"2024-01-01 11:${i % 60}%02d:01")))
+    val ms = MemoryStream[KeyEvent]
+    val q = HeavyHittersMonitor.monitor(ms.toDS())
+      .writeStream.format("memory").queryName("hh_test").outputMode("append").start()
+    try {
+      ms.addData(h1: _*); q.processAllAvailable()
+      ms.addData(h2: _*); q.processAllAvailable()   // rolls over hour 10
+      // advance the watermark to flush hour 11 by timeout
+      ms.addData(KeyEvent("x", ts("2024-01-01 16:00:00"))); q.processAllAvailable()
+      ms.addData(KeyEvent("x", ts("2024-01-01 18:00:00"))); q.processAllAvailable()
+      val rows = spark.table("hh_test").collect()
+        .map(r => (r.getAs[String]("window_start"), r.getAs[String]("key"),
+          r.getAs[Long]("est_n"), r.getAs[Int]("rank")))
+      val w10 = rows.filter(_._1 == "2024-01-01 10:00")
+      assert(w10.nonEmpty, s"hour 10 never emitted: ${rows.toSeq}")
+      val hot = w10.find(_._2 == "hot").getOrElse(
+        fail(s"MG guarantee violated: 'hot' (share 40/70 > 1/16) missing: ${w10.toSeq}"))
+      assert(hot._4 == 1, "hot must rank first")
+      assert(hot._3 <= 40 && hot._3 >= 40 - 70 / 16,
+        s"est ${hot._3} outside the n/k undercount bound")
+      val w11 = rows.filter(_._1 == "2024-01-01 11:00")
+      assert(w11.exists(r => r._2 == "hot2" && r._4 == 1),
+        s"hour 11 window not reset/emitted: ${w11.toSeq}")
+      assert(!w11.exists(_._2 == "hot"), "hour 10's hot key leaked into hour 11")
+    } finally q.stop()
+  }
 }
