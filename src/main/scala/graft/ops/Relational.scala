@@ -1817,7 +1817,46 @@ object Relational {
       .orderBy("day_s")
   }
 
+  /** Cohort LTV triangle — [[eventsRetention]]'s revenue-weighted
+    * sibling and the growth team's core table: users grouped by
+    * first-seen week, purchase revenue per (cohort, week-offset) cell,
+    * cumulative revenue along each cohort row, and per-user LTV
+    * (cum ÷ cohort size). Shape at scale: one per-user min (map-side
+    * partials) fixes the cohort; purchases reduce to the ≤ weeks²
+    * triangle BEFORE the cumulative window runs (the window sees
+    * aggregate cells, never raw events); both joins ride the user_id
+    * partitioning. Exactness: revenue sums and the running cumulation
+    * stay DECIMAL end to end (a double cumsum would be association-
+    * order-dependent), week offsets are exact integer day-diffs ÷ 7,
+    * and LTV divides a decimal-derived double by an int. */
+  def eventsCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val first = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(to_date(col("ts")))).cast("date").as("cw"))
+    val cohortSize = first.groupBy("cw").agg(count(lit(1)).as("n_users"))
+    val cells = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        date_trunc("week", to_date(col("ts"))).cast("date").as("w"),
+        col("value"))
+      .join(first, "user_id")
+      .groupBy(col("cw"), (datediff(col("w"), col("cw")).cast("long") / 7)
+        .cast("long").as("off"))
+      .agg(sum(col("value").cast(Qty)).as("rev_d"))
+    val wnd = Window.partitionBy("cw").orderBy("off")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_d", sum(col("rev_d")).over(wnd))
+      .join(cohortSize, "cw")
+      .select(dateS(col("cw")).as("cohort_week_s"), col("off"),
+        col("n_users"),
+        round(col("rev_d").cast("double"), 2).as("rev"),
+        round(col("cum_d").cast("double"), 2).as("cum_rev"),
+        r4(col("cum_d").cast("double") / col("n_users").cast("double")).as("ltv"))
+      .orderBy("cohort_week_s", "off")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_cohort_ltv" -> (eventsCohortLtv _),
     "events_dau_wau" -> (eventsDauWau _),
     "agg_session_window" -> (aggSessionWindow _),
     "events_cusum_shift" -> (eventsCusumShift _),
@@ -1903,6 +1942,31 @@ object Relational {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_totalprice > 449000.0
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "events_cohort_ltv" ->
+      s"""WITH f AS (
+           SELECT user_id,
+             CAST(date_trunc('week', min(CAST(ts AS DATE))) AS DATE) AS cw
+           FROM ${evSql()} GROUP BY user_id),
+         cs AS (SELECT cw, count(*) AS n_users FROM f GROUP BY cw),
+         p AS (
+           SELECT e.user_id,
+             CAST(date_trunc('week', CAST(e.ts AS DATE)) AS DATE) AS w,
+             CAST(e.value AS DECIMAL(10,2)) AS v
+           FROM ${evSql("e")} WHERE e.event_type = 'purchase'),
+         cells AS (
+           SELECT f.cw, date_diff('day', f.cw, p.w) // 7 AS off, sum(p.v) AS rev_d
+           FROM p JOIN f USING (user_id) GROUP BY 1, 2),
+         c AS (
+           SELECT cw, off, rev_d,
+             sum(rev_d) OVER (PARTITION BY cw ORDER BY off
+               ROWS UNBOUNDED PRECEDING) AS cum_d
+           FROM cells)
+         SELECT strftime(c.cw, '%Y-%m-%d') AS cohort_week_s, c.off, cs.n_users,
+           round(CAST(c.rev_d AS DOUBLE), 2) AS rev,
+           round(CAST(c.cum_d AS DOUBLE), 2) AS cum_rev,
+           ${r4Sql("CAST(c.cum_d AS DOUBLE) / CAST(cs.n_users AS DOUBLE)")} AS ltv
+         FROM c JOIN cs USING (cw)
+         ORDER BY cohort_week_s, off""",
     "events_dau_wau" ->
       s"""WITH p AS (
            SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM ${evSql()}),
