@@ -1855,7 +1855,143 @@ object Relational {
       .orderBy("cohort_week_s", "off")
   }
 
+  /** percent_rank / cume_dist as a CDF over the VALUE DISTRIBUTION, not
+    * a per-row window: lineitem collapses once to (flag, qty) counts
+    * (map-side combined), and the rank arithmetic runs over that ≤
+    * |flags|·|distinct qty| aggregate. This is deliberately NOT
+    * `percent_rank().over(...)` on raw rows — the partition key
+    * (l_returnflag) has 3 values, so a per-row window would sort three
+    * corpus-sized partitions on 3 tasks at 100 TB. percent_rank's tie
+    * semantics ((rank−1)/(N−1) with rank = min rank of the tie group)
+    * collapse exactly onto the aggregate: rank = cum − n + 1. All
+    * counts are exact ints; the two ratios are single IEEE divisions,
+    * r6-rounded on both engines. */
+  def windowPercentRank(spark: SparkSession, dir: String): DataFrame = {
+    val g = table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("flag"), col("l_quantity").as("qty"))
+      .agg(count(lit(1)).as("n"))
+    val wc = Window.partitionBy("flag").orderBy("qty")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wN = Window.partitionBy("flag")
+    g.withColumn("cum", sum(col("n")).over(wc))
+      .withColumn("nt", sum(col("n")).over(wN))
+      .select(col("flag"), col("qty").cast("double").as("qty"), col("n"),
+        (col("cum") - col("n") + 1).as("rnk"),
+        // single-row partition: percent_rank is DEFINED as 0 (no 0/0)
+        when(col("nt") > 1, r6((col("cum") - col("n")).cast("double") /
+          (col("nt") - 1).cast("double"))).otherwise(lit(0.0)).as("pr"),
+        r6(col("cum").cast("double") / col("nt").cast("double")).as("cd"))
+      .orderBy("flag", "qty")
+  }
+
+  /** Per-user inter-arrival statistics — the traffic-shape profile
+    * (mean/max gap + Goh-Barabási burstiness (σ−μ)/(σ+μ)) that feeds
+    * bot detection and session-gap tuning. One lag window rides the
+    * user_id hash partitioning (arbitrary user cardinality — not a
+    * low-cardinality key); everything after is a per-user aggregate
+    * with map-side partials. Determinism under equal-ts ties: the gap
+    * MULTISET is invariant to tie order (a tie contributes gap 0
+    * either way), and every downstream stat is a symmetric aggregate.
+    * Exactness: gaps are exact µs longs; Σg² goes through
+    * DECIMAL (g ≈ 8.6e10 µs for a day-long gap squares past int64),
+    * and the variance/burstiness arithmetic is the same IEEE ops on
+    * both engines before r4. */
+  def eventsInterarrivalStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    table(spark, dir, "events")
+      .select(col("user_id"), col("ts"))
+      .withColumn("g", unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .filter(col("g").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("g")).as("sum_g"),
+        max(col("g")).as("max_gap_us"),
+        sum(col("g").cast(d19) * col("g").cast(d19)).cast("double").as("sumsq"))
+      .filter(col("n_gaps") >= 2)
+      .withColumn("mean", col("sum_g").cast("double") / col("n_gaps").cast("double"))
+      .withColumn("vr", greatest(
+        col("sumsq") / col("n_gaps").cast("double") - col("mean") * col("mean"),
+        lit(0.0)))
+      .withColumn("sd", sqrt(col("vr")))
+      .select(col("user_id"), col("n_gaps"), r4(col("mean")).as("mean_gap_us"),
+        col("max_gap_us"),
+        when(col("sd") + col("mean") > 0,
+          r4((col("sd") - col("mean")) / (col("sd") + col("mean"))))
+          .otherwise(lit(0.0)).as("burstiness"))
+      .orderBy("user_id")
+  }
+
+  /** Survival curve over user lifetimes — the churn team's Kaplan-Meier
+    * table in its censoring-free form: lifetime = days between a
+    * user's first and last event, S(d) = fraction of users whose
+    * lifetime reaches d. Shape at scale: one per-user min/max (map-side
+    * partials) fixes lifetimes; counts collapse to the ≤ |days|
+    * support points; the reverse-cumulative window runs over that
+    * aggregate only (unpartitioned-over-aggregate, the sanctioned
+    * form). All counts exact ints; S(d) is one IEEE division before
+    * r6. */
+  def eventsSurvivalCurve(spark: SparkSession, dir: String): DataFrame = {
+    val lt = table(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+        .cast("long").as("lt_days"))
+    val counts = lt.groupBy("lt_days").agg(count(lit(1)).as("n_ending"))
+    val wAlive = Window.orderBy(col("lt_days").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.orderBy("lt_days")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("n_alive", sum(col("n_ending")).over(wAlive))
+      .withColumn("nt", sum(col("n_ending")).over(wTot))
+      .select(col("lt_days"), col("n_ending"), col("n_alive"),
+        r6(col("n_alive").cast("double") / col("nt").cast("double")).as("survival"))
+      .orderBy("lt_days")
+  }
+
+  /** Revenue concentration — exact Gini coefficient plus top-decile
+    * share over per-user purchase revenue: the inequality summary
+    * behind "how head-heavy is spend". Gini uses the rank-weighted
+    * closed form G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending
+    * (revenue, user_id) ranks. Shape at scale: events collapse once to
+    * per-user revenue (map-side partials); the ranking window runs
+    * over that per-user AGGREGATE — unavoidably a global sort, which
+    * is the honest cost of an exact Gini (the approximate path at
+    * extreme user counts is a quantile-sketch Lorenz curve; documented
+    * trade, not taken). Exactness: revenue and the rank-weighted sum
+    * stay DECIMAL (26,2)×(11,0) — inside both engines' 38-digit cap —
+    * and the final Gini/share arithmetic is IEEE-identical before
+    * r6. */
+  def eventsGiniPareto(spark: SparkSession, dir: String): DataFrame = {
+    val rev = table(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(col("value").cast(Qty)).as("rev_d"))
+    val wr = Window.orderBy(col("rev_d"), col("user_id"))
+    val wf = Window.orderBy(col("rev_d"), col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = rev
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("cnt", count(lit(1)).over(wf))
+    ranked
+      .groupBy(lit(1).as("one"))
+      .agg(max(col("cnt")).as("n_users"),
+        sum(col("rev_d")).cast("double").as("tot"),
+        sum(col("rev_d").cast(org.apache.spark.sql.types.DecimalType(26, 2)) *
+          col("rn").cast(org.apache.spark.sql.types.DecimalType(11, 0))).cast("double").as("wsum"),
+        sum(when(col("rn") > col("cnt") - expr("cnt div 10"), col("rev_d")))
+          .cast("double").as("top_rev"))
+      .select(col("n_users"), round(col("tot"), 2).as("total_rev"),
+        r6(lit(2.0) * col("wsum") / (col("n_users").cast("double") * col("tot")) -
+          (col("n_users") + 1).cast("double") / col("n_users").cast("double")).as("gini"),
+        r6(coalesce(col("top_rev"), lit(0.0)) / col("tot")).as("top10_share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_percent_rank" -> (windowPercentRank _),
+    "events_interarrival_stats" -> (eventsInterarrivalStats _),
+    "events_survival_curve" -> (eventsSurvivalCurve _),
+    "events_gini_pareto" -> (eventsGiniPareto _),
     "events_cohort_ltv" -> (eventsCohortLtv _),
     "events_dau_wau" -> (eventsDauWau _),
     "agg_session_window" -> (aggSessionWindow _),
@@ -1933,6 +2069,69 @@ object Relational {
     "window_lead" -> (windowLead _))
 
   val oracleSql: Map[String, String] = Map(
+    "window_percent_rank" ->
+      s"""WITH g AS (SELECT l_returnflag AS flag, l_quantity AS qty, count(*) AS n
+           FROM lineitem GROUP BY 1, 2),
+         c AS (SELECT flag, qty, n,
+           sum(n) OVER (PARTITION BY flag ORDER BY qty
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(n) OVER (PARTITION BY flag) AS nt FROM g)
+         SELECT flag, CAST(qty AS DOUBLE) AS qty, n, cum - n + 1 AS rnk,
+           CASE WHEN nt > 1
+             THEN ${r6Sql("CAST(cum - n AS DOUBLE) / CAST(nt - 1 AS DOUBLE)")}
+             ELSE 0.0 END AS pr,
+           ${r6Sql("CAST(cum AS DOUBLE) / CAST(nt AS DOUBLE)")} AS cd
+         FROM c ORDER BY flag, qty""",
+    "events_interarrival_stats" ->
+      s"""WITH g AS (
+           SELECT user_id, epoch_us(ts) -
+             epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS g
+           FROM ${evSql()}),
+         s AS (
+           SELECT user_id, count(*) AS n_gaps, sum(g) AS sum_g,
+             max(g) AS max_gap_us,
+             CAST(sum(CAST(g AS DECIMAL(19,0)) * CAST(g AS DECIMAL(19,0)))
+               AS DOUBLE) AS sumsq
+           FROM g WHERE g IS NOT NULL GROUP BY user_id HAVING count(*) >= 2),
+         m AS (SELECT user_id, n_gaps, max_gap_us,
+           CAST(sum_g AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean,
+           sqrt(greatest(sumsq / CAST(n_gaps AS DOUBLE) -
+             (CAST(sum_g AS DOUBLE) / CAST(n_gaps AS DOUBLE)) *
+             (CAST(sum_g AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 0.0)) AS sd
+           FROM s)
+         SELECT user_id, n_gaps, ${r4Sql("mean")} AS mean_gap_us, max_gap_us,
+           CASE WHEN sd + mean > 0 THEN ${r4Sql("(sd - mean) / (sd + mean)")}
+             ELSE 0.0 END AS burstiness
+         FROM m ORDER BY user_id""",
+    "events_survival_curve" ->
+      s"""WITH lt AS (SELECT user_id,
+           CAST(date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+             AS BIGINT) AS lt_days
+           FROM ${evSql()} GROUP BY user_id),
+         c AS (SELECT lt_days, count(*) AS n_ending FROM lt GROUP BY lt_days),
+         s AS (SELECT lt_days, n_ending,
+           sum(n_ending) OVER (ORDER BY lt_days DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_alive,
+           sum(n_ending) OVER () AS nt FROM c)
+         SELECT lt_days, n_ending, n_alive,
+           ${r6Sql("CAST(n_alive AS DOUBLE) / CAST(nt AS DOUBLE)")} AS survival
+         FROM s ORDER BY lt_days""",
+    "events_gini_pareto" ->
+      s"""WITH rev AS (SELECT user_id, sum(CAST(value AS DECIMAL(10,2))) AS rev_d
+           FROM ${evSql()} WHERE event_type = 'purchase' GROUP BY user_id),
+         r AS (SELECT rev_d, user_id,
+           row_number() OVER (ORDER BY rev_d, user_id) AS rn,
+           count(*) OVER () AS cnt FROM rev),
+         a AS (SELECT max(cnt) AS n_users, CAST(sum(rev_d) AS DOUBLE) AS tot,
+           CAST(sum(CAST(rev_d AS DECIMAL(26,2)) * CAST(rn AS DECIMAL(11,0)))
+             AS DOUBLE) AS wsum,
+           CAST(sum(CASE WHEN rn > cnt - cnt // 10 THEN rev_d END) AS DOUBLE)
+             AS top_rev
+           FROM r)
+         SELECT n_users, round(tot, 2) AS total_rev,
+           ${r6Sql("2.0 * wsum / (CAST(n_users AS DOUBLE) * tot) - CAST(n_users + 1 AS DOUBLE) / CAST(n_users AS DOUBLE)")} AS gini,
+           ${r6Sql("coalesce(top_rev, 0.0) / tot")} AS top10_share
+         FROM a""",
     // the bloom prefilter is result-transparent: the oracle is the plain
     // filtered join (false positives die in the exact join)
     "join_bloom_prefilter" ->

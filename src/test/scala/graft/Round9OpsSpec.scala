@@ -121,4 +121,73 @@ class Round9OpsSpec extends AnyFunSuite with SparkFixture
     val totalTaken = out.values.map(_.getAs[Long]("n_taken")).sum
     assert(totalTaken <= 25, "sample exceeds the N/4 budget") // B = 100/4
   }
+
+  // ---- round-9 batch: interarrival / survival / gini / percent-rank ----
+
+  test("interarrival: constant cadence → burstiness -1; ts ties cannot change the stats") {
+    val base = ts("2024-01-01 00:00:00").getTime
+    // user 1: strict 60 s cadence → σ=0 → burstiness = (0−μ)/(0+μ) = −1
+    val u1 = (0 until 5).map(i =>
+      EventRow(i.toLong, new Timestamp(base + i * 60000L), 1L, "view", 1.0, "{}"))
+    // user 2: exact-ts tie; the gap MULTISET is {0, 120 s} whichever of
+    // the tied rows the window visits first
+    val u2 = Seq(
+      EventRow(10L, new Timestamp(base), 2L, "view", 1.0, "{}"),
+      EventRow(11L, new Timestamp(base), 2L, "view", 1.0, "{}"),
+      EventRow(12L, new Timestamp(base + 120000L), 2L, "view", 1.0, "{}"))
+    val dir = fixtureDir("events" -> spark.createDataset(u1 ++ u2).toDF)
+    val out = Relational.eventsInterarrivalStats(spark, dir).collect()
+    val r1 = out.find(_.getLong(0) == 1L).get
+    assert(r1.getLong(1) == 4 && r1.getDouble(2) == 6.0e7 &&
+      r1.getDouble(4) == -1.0)
+    val r2 = out.find(_.getLong(0) == 2L).get
+    assert(r2.getLong(1) == 2 && r2.getLong(3) == 120000000L &&
+      r2.getDouble(2) == 6.0e7)
+  }
+
+  test("survival: S(min lifetime) = 1 and the curve is non-increasing") {
+    val base = ts("2024-01-01 00:00:00").getTime
+    def pair(uid: Long, days: Int): Seq[EventRow] = Seq(
+      EventRow(uid * 10, new Timestamp(base), uid, "view", 1.0, "{}"),
+      EventRow(uid * 10 + 1, new Timestamp(base + days * 86400000L), uid,
+        "view", 1.0, "{}"))
+    // lifetimes: 0, 2, 2, 5 days
+    val dir = fixtureDir("events" -> spark.createDataset(
+      pair(1, 0) ++ pair(2, 2) ++ pair(3, 2) ++ pair(4, 5)).toDF)
+    val rows = Relational.eventsSurvivalCurve(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 2L, 5L))
+    assert(rows.head.getDouble(3) == 1.0, "S at the minimum lifetime must be 1")
+    val surv = rows.map(_.getDouble(3))
+    assert(surv.zip(surv.tail).forall { case (a, b) => a >= b }, "S not monotone")
+    assert(rows(1).getLong(2) == 3, "n_alive at 2d should be 3 (u2,u3,u4)")
+  }
+
+  test("gini: equal spend → 0; top10_share is the top-decile fraction") {
+    val base = ts("2024-01-01 00:00:00").getTime
+    val evs = (1L to 10L).map(u =>
+      EventRow(u, new Timestamp(base + u * 1000L), u, "purchase", 10.0, "{}"))
+    val dir = fixtureDir("events" -> spark.createDataset(evs).toDF)
+    val r = Relational.eventsGiniPareto(spark, dir).collect().head
+    assert(r.getLong(0) == 10 && r.getDouble(1) == 100.0)
+    // G = 2·Σ i·x / (n·Σx) − (n+1)/n = 2·550/1000 − 1.1 = 0
+    assert(r.getDouble(2) == 0.0, s"gini of equal spend must be 0, got $r")
+    assert(r.getDouble(3) == 0.1, "top decile of 10 equal users is 1 user = 10%")
+  }
+
+  test("percent_rank CDF: tie collapse, endpoints, single-row partition → 0") {
+    val li = Seq(
+      LineRow(1, 1.0, 10.0, 0.0, 0.0, "A", "O"),
+      LineRow(2, 1.0, 10.0, 0.0, 0.0, "A", "O"),
+      LineRow(3, 2.0, 10.0, 0.0, 0.0, "A", "O"),
+      LineRow(4, 7.0, 10.0, 0.0, 0.0, "B", "O")) // single-row partition
+    val dir = fixtureDir("lineitem" -> spark.createDataset(li).toDF)
+    val out = Relational.windowPercentRank(spark, dir).collect()
+    val a1 = out.find(r => r.getString(0) == "A" && r.getDouble(1) == 1.0).get
+    val a2 = out.find(r => r.getString(0) == "A" && r.getDouble(1) == 2.0).get
+    val b = out.find(r => r.getString(0) == "B").get
+    assert(a1.getLong(3) == 1 && a1.getDouble(4) == 0.0 &&
+      math.abs(a1.getDouble(5) - 0.666667) < 1e-6)
+    assert(a2.getLong(3) == 3 && a2.getDouble(4) == 1.0 && a2.getDouble(5) == 1.0)
+    assert(b.getDouble(4) == 0.0 && b.getDouble(5) == 1.0)
+  }
 }
