@@ -908,7 +908,51 @@ object PipelineOps {
       .orderBy("version")
   }
 
+  /** Curriculum ordering — the training-data writer's "easy first"
+    * layout: docs are staged by length quartile (score = token count,
+    * boundary ties go to the LOWER stage via strict >) and
+    * pseudo-shuffled inside each stage by a salted md5 of doc_id, so
+    * every run of the pipeline emits the identical curriculum. The
+    * per-doc position is computed with the SCALE spelling, not a
+    * 4-partition ranking window: docs bucket by their hash prefix
+    * (256 buckets/stage), per-bucket counts roll into cumulative
+    * offsets over that ≤ 4×256-row aggregate, and the final position
+    * is offset + rank within (stage, bucket) — an arbitrary-cardinality
+    * window. This is the two-pass global-order pattern
+    * (repartitionByRange + per-partition offsets) that survives 100 TB;
+    * a `row_number() OVER (PARTITION BY stage)` would sort the corpus
+    * on 4 tasks. Quartile boundaries are exact interpolated percentiles
+    * of an INT score at quarter fractions — exact doubles on both
+    * engines — r6-rounded before the comparison anyway (the RFM
+    * boundary-tie discipline). */
+  def pipeCurriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    val scored = table(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("score"))
+    val qs = scored
+      .agg(expr("percentile(score, array(0.25D, 0.5D, 0.75D))").as("q"))
+      .select(r6(element_at(col("q"), 1)).as("q1"),
+        r6(element_at(col("q"), 2)).as("q2"),
+        r6(element_at(col("q"), 3)).as("q3"))
+    val staged = scored.crossJoin(broadcast(qs))
+      .withColumn("stage", lit(1) + (col("score") > col("q1")).cast("long") +
+        (col("score") > col("q2")).cast("long") +
+        (col("score") > col("q3")).cast("long"))
+      .withColumn("shuf", md5(concat(lit("curr:"), col("doc_id").cast("string"))))
+      .withColumn("bkt", substring(col("shuf"), 1, 2))
+    val counts = staged.groupBy("stage", "bkt").agg(count(lit(1)).as("n"))
+    val wOff = Window.partitionBy("stage").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = counts
+      .withColumn("off", sum(col("n")).over(wOff) - col("n")).drop("n")
+    val wIn = Window.partitionBy("stage", "bkt").orderBy("shuf", "doc_id")
+    staged.join(broadcast(offs), Seq("stage", "bkt"))
+      .withColumn("pos", col("off") + row_number().over(wIn))
+      .select(col("doc_id"), col("score"), col("stage"), col("pos"))
+      .orderBy("stage", "pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_curriculum_order" -> (pipeCurriculumOrder _),
     "pipe_delta_log" -> (deltaLog _),
     "pipe_delta_history" -> (deltaHistory _),
     "pipe_vacuum_plan" -> (vacuumPlan _),
@@ -940,6 +984,26 @@ object PipelineOps {
     "pipe_sample_topk_hash" -> (sampleTopkHash _))
 
   val oracleSql: Map[String, String] = Map(
+    "pipe_curriculum_order" ->
+      s"""WITH s AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS score FROM documents),
+         q AS (SELECT ${r6Sql("quantile_cont(score, 0.25)")} AS q1,
+           ${r6Sql("quantile_cont(score, 0.5)")} AS q2,
+           ${r6Sql("quantile_cont(score, 0.75)")} AS q3 FROM s),
+         st AS (SELECT doc_id, score,
+           1 + CAST(score > q1 AS BIGINT) + CAST(score > q2 AS BIGINT)
+             + CAST(score > q3 AS BIGINT) AS stage,
+           md5('curr:' || CAST(doc_id AS VARCHAR)) AS shuf
+           FROM s, q),
+         b AS (SELECT *, substr(shuf, 1, 2) AS bkt FROM st),
+         c AS (SELECT stage, bkt, count(*) AS n FROM b GROUP BY 1, 2),
+         o AS (SELECT stage, bkt,
+           sum(n) OVER (PARTITION BY stage ORDER BY bkt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS off FROM c)
+         SELECT doc_id, score, stage,
+           CAST(off + row_number() OVER (PARTITION BY stage, bkt
+             ORDER BY shuf, doc_id) AS BIGINT) AS pos
+         FROM b JOIN o USING (stage, bkt) ORDER BY stage, pos""",
     "pipe_split_train_test" ->
       """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'

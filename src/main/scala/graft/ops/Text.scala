@@ -1418,7 +1418,49 @@ object Text {
       .orderBy("source")
   }
 
+  /** Bigram language-model scoring — [[unigramLogprob]]'s conditional
+    * sibling and the CCNet-style quality filter: an add-k-smoothed
+    * bigram LM (k = 0.5) is trained on the corpus itself, and each doc
+    * is scored by its mean log transition probability
+    * log((c(w1,w2)+0.5)/(c(w1)+0.5·V)). Low scores = improbable word
+    * sequences (boilerplate, mangled text); `rarest_logprob` surfaces
+    * the single worst transition. Shape at scale: one explode feeds
+    * three map-side-combined count aggregates (doc-tf, bigram model,
+    * history counts); scoring is two hash joins keyed on the bigram /
+    * its history — model-sized sides, never |corpus|²; V rides a
+    * one-row broadcast. History counts derive from bigram STARTS
+    * (Σ_w2 c(w1,w2)), the spelling that keeps the distribution
+    * normalized. Exactness: each transition's log-prob is r6-rounded
+    * then fixed as DECIMAL(16,6) ([[unigramLogprob]]'s trick), so the
+    * tf-weighted per-doc sums are order-independent on both engines. */
+  def bigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val bi = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2)," +
+          " i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val tf = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val lp = r6(log((col("c12").cast("double") + lit(0.5)) /
+      (col("c1").cast("double") + lit(0.5) * col("v").cast("double"))))
+      .cast(DecimalType(16, 6))
+    tf.join(c12, Seq("w1", "w2")).join(c1, "w1").crossJoin(broadcast(v))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        r4(sum(lp * col("tf")).cast("double")
+          / sum(col("tf")).cast("double")).as("avg_logprob"),
+        r4(min(lp).cast("double")).as("rarest_logprob"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bigram_lm_score" -> (bigramLmScore _),
     "text_bpe_merge" -> (bpeMerge _),
     "text_bpe_train" -> (bpeTrain _),
     "text_bpe_encode" -> (bpeEncode _),
@@ -1510,6 +1552,27 @@ object Text {
     .map(k => s"SELECT * FROM sum$k").mkString("\n           UNION ALL ")
 
   val oracleSql: Map[String, String] = Map(
+    "text_bigram_lm_score" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         bi AS (
+           SELECT doc_id, a AS w1, b AS w2 FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+               i -> {'a': toks[i], 'b': toks[i+1]}), recursive := true)
+             FROM d WHERE len(toks) >= 2)),
+         tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bi GROUP BY 1, 2, 3),
+         c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+         v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+           FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+         lp AS (SELECT w1, w2,
+           CAST(${r6Sql("ln((CAST(c12 AS DOUBLE) + 0.5) / (CAST(c1 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))")}
+             AS DECIMAL(16,6)) AS lp
+           FROM c12 JOIN c1 USING (w1), v)
+         SELECT doc_id, sum(tf) AS n_bigrams,
+           ${r4Sql("CAST(sum(lp * tf) AS DOUBLE) / CAST(sum(tf) AS DOUBLE)")} AS avg_logprob,
+           ${r4Sql("CAST(min(lp) AS DOUBLE)")} AS rarest_logprob
+         FROM tf JOIN lp USING (w1, w2)
+         GROUP BY doc_id ORDER BY doc_id""",
     "text_zipf_fit" ->
       s"""WITH c AS (
            SELECT token, count(*) AS n

@@ -1203,7 +1203,57 @@ object Vector {
       .orderBy("cl")
   }
 
+  /** Diagonal (per-dimension) whitening — the standardization step in
+    * front of ANN/clustering when dimensions carry unequal variance:
+    * z_i = (v_i − μ_i)/σ_i, reported per vector as pre/post L2 norms
+    * and the largest squared z (the dimension-outlier signal). Two-pass
+    * build/serve split: the STATS pass is one posexplode into a d-group
+    * aggregate (map-side partials; v quantized to DECIMAL(12,10) so the
+    * float sums are order-independent — [[embeddingAvgPool]]'s trick,
+    * squared inside the decimal domain for Σv²); the d×(n,Σ,Σ²) rows
+    * are a bounded driver collect (the MLlib centroid pattern), and the
+    * SERVE pass is a zero-shuffle, zero-join per-row `transform` over
+    * broadcast-literal μ/σ arrays inside codegen. Exactness: per-dim
+    * z² terms are r6-fixed to DECIMAL(16,6) before the per-vector fold,
+    * so the sums don't depend on fold order; μ/σ are IEEE-identical on
+    * both engines (exact decimal → double division, greatest(·,1e-12)
+    * variance floor). */
+  def embeddingWhiten(spark: SparkSession, dir: String): DataFrame = {
+    val d1210 = DecimalType(12, 10)
+    val stats = emb(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(d1210)).as("s"),
+        sum(col("v").cast(d1210) * col("v").cast(d1210)).as("ss"))
+      .orderBy("pos")
+      .collect() // bounded: d rows — the centroid pattern
+    val mu = stats.map(r => r.getDecimal(2).doubleValue() / r.getLong(1).toDouble)
+    val sg = stats.zip(mu).map { case (r, m) =>
+      math.sqrt(math.max(
+        r.getDecimal(3).doubleValue() / r.getLong(1).toDouble - m * m, 1e-12))
+    }
+    emb(spark, dir)
+      .withColumn("m", array(mu.toIndexedSeq.map(lit): _*))
+      .withColumn("sd", array(sg.toIndexedSeq.map(lit): _*))
+      .withColumn("zt", expr(
+        "transform(embedding, (v, i) -> CAST(floor(" +
+          "((CAST(v AS DOUBLE) - m[i]) / sd[i]) * ((CAST(v AS DOUBLE) - m[i]) / sd[i])" +
+          " * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(16,6)))"))
+      .withColumn("vt", expr(
+        "transform(embedding, v -> CAST(floor(" +
+          "CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0" +
+          " AS DECIMAL(16,6)))"))
+      .select(col("vec_id"),
+        r4(sqrt(expr("aggregate(vt, CAST(0 AS DECIMAL(26,6))," +
+          " (a, x) -> CAST(a + x AS DECIMAL(26,6)))").cast("double"))).as("l2_before"),
+        r4(sqrt(expr("aggregate(zt, CAST(0 AS DECIMAL(26,6))," +
+          " (a, x) -> CAST(a + x AS DECIMAL(26,6)))").cast("double"))).as("l2_after"),
+        r4(sqrt(expr("array_max(zt)").cast("double"))).as("z_max"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_whiten" -> (embeddingWhiten _),
     "cluster_semdedup" -> (clusterSemdedup _),
     "dedup_embedding_global" -> (dedupEmbeddingGlobal _),
     "cluster_kmeans_assign" -> (clusterKmeansAssign _),
@@ -1372,6 +1422,30 @@ object Vector {
   private lazy val pqUpsertOracleSqlStr: String = pqOracleSqlGen(standingTrained = true)
 
   val oracleSql: Map[String, String] = Map(
+    "embedding_whiten" ->
+      s"""WITH x AS (SELECT f.i AS i, CAST(embedding[f.i] AS DECIMAL(12,10)) AS vq
+           FROM embeddings,
+             LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) f),
+         st AS (SELECT i, count(*) AS n, sum(vq) AS s, sum(vq * vq) AS ss
+           FROM x GROUP BY i),
+         sd AS (SELECT i, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+           sqrt(greatest(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 1e-12)) AS sg
+           FROM st),
+         t AS (SELECT e.vec_id,
+             CAST(floor(((CAST(e.embedding[sd.i] AS DOUBLE) - sd.mu) / sd.sg)
+               * ((CAST(e.embedding[sd.i] AS DOUBLE) - sd.mu) / sd.sg)
+               * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(16,6)) AS zt,
+             CAST(floor(CAST(e.embedding[sd.i] AS DOUBLE)
+               * CAST(e.embedding[sd.i] AS DOUBLE)
+               * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(16,6)) AS vt
+           FROM embeddings e JOIN sd ON sd.i <= len(e.embedding))
+         SELECT vec_id,
+           ${r4Sql("sqrt(CAST(sum(vt) AS DOUBLE))")} AS l2_before,
+           ${r4Sql("sqrt(CAST(sum(zt) AS DOUBLE))")} AS l2_after,
+           ${r4Sql("sqrt(CAST(max(zt) AS DOUBLE))")} AS z_max
+         FROM t GROUP BY vec_id ORDER BY vec_id""",
     "simsearch_knn_join" ->
       s"""WITH e AS (
            SELECT vec_id, embedding,

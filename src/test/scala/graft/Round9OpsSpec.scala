@@ -190,4 +190,56 @@ class Round9OpsSpec extends AnyFunSuite with SparkFixture
     assert(a2.getLong(3) == 3 && a2.getDouble(4) == 1.0 && a2.getDouble(5) == 1.0)
     assert(b.getDouble(4) == 0.0 && b.getDouble(5) == 1.0)
   }
+
+  // ---- round-9 batch: bigram LM / curriculum / whitening ----
+
+  test("bigram LM: repeated transition scores higher than a one-off; short docs excluded") {
+    // corpus: "a b" ×3, "a c" ×1, "z" (1 token → no bigrams)
+    val rows = Seq(doc(1, "a b"), doc(2, "a b"), doc(3, "a b"),
+      doc(4, "a c"), doc(5, "z"))
+    val dir = fixtureDir("documents" -> spark.createDataset(rows).toDF)
+    val out = Text.bigramLmScore(spark, dir).collect()
+    assert(!out.exists(_.getLong(0) == 5L), "a 1-token doc has no bigrams")
+    val ab = out.find(_.getLong(0) == 1L).get
+    val ac = out.find(_.getLong(0) == 4L).get
+    // p(b|a) = (3+.5)/(4+.5·4) > p(c|a) = (1+.5)/(4+.5·4)
+    assert(ab.getDouble(2) > ac.getDouble(2), s"frequent bigram must outscore rare: $ab vs $ac")
+    assert(ab.getLong(1) == 1 && ab.getDouble(2) == ab.getDouble(3),
+      "single-bigram doc: avg == rarest")
+  }
+
+  test("curriculum: stages partition by quartile, positions are a permutation per stage") {
+    // scores 1..8 tokens → quartile boundaries 2.75 / 4.5 / 6.25
+    val rows = (1L to 8L).map(i => doc(i, (1L to i).map(_ => "w").mkString(" ")))
+    val dir = fixtureDir("documents" -> spark.createDataset(rows).toDF)
+    val out = graft.ops.PipelineOps.pipeCurriculumOrder(spark, dir).collect()
+    val byStage = out.groupBy(_.getLong(2))
+    assert(byStage.keySet == Set(1L, 2L, 3L, 4L))
+    assert(byStage(1L).map(_.getLong(0)).toSet == Set(1L, 2L), "stage 1 = scores ≤ 2.75")
+    assert(byStage(4L).map(_.getLong(0)).toSet == Set(7L, 8L), "stage 4 = scores > 6.25")
+    byStage.values.foreach { rs =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to rs.length).toSeq,
+        "positions within a stage must be 1..n")
+    }
+  }
+
+  test("whitening: uniform-variance input keeps relative norms; z_max flags the outlier dim") {
+    // 4 vectors over 2 dims; dim 2 has 10× the spread of dim 1
+    val vecs = Seq(
+      EmbRow(1, Array(0.1f, 1.0f), 0), EmbRow(2, Array(-0.1f, -1.0f), 0),
+      EmbRow(3, Array(0.1f, -1.0f), 0), EmbRow(4, Array(-0.1f, 1.0f), 0))
+    val dir = fixtureDir("embeddings" -> spark.createDataset(vecs).toDF)
+    val out = graft.ops.Vector.embeddingWhiten(spark, dir).collect()
+    assert(out.length == 4)
+    // both dims are ±1 σ from a zero mean → every whitened vector has
+    // l2 = sqrt(2) and z_max = 1 (up to the r6 term quantization)
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(2) - math.sqrt(2.0)) < 1e-3,
+        s"whitened l2 should be sqrt(2): $r")
+      assert(math.abs(r.getDouble(3) - 1.0) < 1e-3, s"z_max should be 1: $r")
+    }
+    // unwhitened norms differ (dim2 dominates); whitened ones agree
+    val before = out.map(_.getDouble(1)).distinct
+    assert(before.forall(b => math.abs(b - math.sqrt(0.01 + 1.0)) < 1e-3))
+  }
 }
