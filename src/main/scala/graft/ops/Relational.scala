@@ -1987,7 +1987,136 @@ object Relational {
         r6(coalesce(col("top_rev"), lit(0.0)) / col("tot")).as("top10_share"))
   }
 
+  /** Weighted median (and plain median) per return flag — the "half the
+    * REVENUE sits below this quantity" statistic, which a plain
+    * percentile cannot answer. Same CDF-over-the-value-distribution
+    * shape as [[windowPercentRank]]: lineitem collapses once to
+    * (flag, qty) weight/count cells (map-side combined), cumulative
+    * windows run over that ≤ |flags|·|qtys| aggregate, and the median
+    * is the first value whose cumulative reaches half the total (lower
+    * median — no interpolation, so the comparison is exact
+    * decimal/long arithmetic on both engines). */
+  def aggWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val g = table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("flag"), col("l_quantity").as("qty"))
+      .agg(sum(col("l_extendedprice").cast(Money)).as("w"),
+        count(lit(1)).as("c"))
+    val wc = Window.partitionBy("flag").orderBy("qty")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("flag")
+    g.withColumn("cw", sum(col("w")).over(wc))
+      .withColumn("cc", sum(col("c")).over(wc))
+      .withColumn("tw", sum(col("w")).over(wf))
+      .withColumn("tc", sum(col("c")).over(wf))
+      .groupBy("flag")
+      .agg(min(when(col("cw") * 2 >= col("tw"), col("qty"))).as("wmedian"),
+        min(when(col("cc") * 2 >= col("tc"), col("qty"))).as("median"),
+        max(col("tc")).as("n_rows"),
+        round(max(col("tw")).cast("double"), 2).as("total_weight"))
+      .orderBy("flag")
+  }
+
+  /** Time-series gap fill with LINEAR INTERPOLATION —
+    * [[eventsResampleFfill]]'s two-sided sibling: per event type, the
+    * daily revenue series is completed over the full day spine; missing
+    * days interpolate between the surrounding known points, and
+    * one-sided gaps fall back to ffill/bfill (src column names which).
+    * Shape at scale: raw events collapse once to per-(type, day) sums;
+    * the spine is |types|×|days| rows (time-bounded, not corpus-
+    * bounded), and both ignore-null windows run over that aggregate
+    * only. Exactness: knowns are exact decimals; the interpolation
+    * fraction is integer day arithmetic; one IEEE mul+add before r6. */
+  def eventsResampleInterp(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val daily = ev
+      .groupBy(col("event_type").as("et"), to_date(col("ts")).as("d"))
+      .agg(sum(col("value").cast(Qty)).as("v"))
+    val span = ev.agg(min(to_date(col("ts"))).as("d0"),
+      max(to_date(col("ts"))).as("d1"))
+    val spine = ev.select(col("event_type").as("et")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("et"), explode(expr("sequence(d0, d1)")).as("d"))
+    val j = spine.join(daily, Seq("et", "d"), "left")
+      .withColumn("di", datediff(col("d"), to_date(lit("1970-01-01"))).cast("long"))
+    val wB = Window.partitionBy("et").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wF = Window.partitionBy("et").orderBy("d")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val known = when(col("v").isNotNull, col("di"))
+    val knownV = when(col("v").isNotNull, col("v"))
+    j.withColumn("pd", last(known, ignoreNulls = true).over(wB))
+      .withColumn("pv", last(knownV, ignoreNulls = true).over(wB))
+      .withColumn("nd", first(known, ignoreNulls = true).over(wF))
+      .withColumn("nv", first(knownV, ignoreNulls = true).over(wF))
+      .withColumn("src",
+        when(col("v").isNotNull, "actual")
+          .when(col("pv").isNotNull && col("nv").isNotNull, "interp")
+          .when(col("pv").isNotNull, "ffill")
+          .when(col("nv").isNotNull, "bfill")
+          .otherwise("empty"))
+      .withColumn("val",
+        when(col("v").isNotNull, col("v").cast("double"))
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            col("pv").cast("double") +
+              (col("nv").cast("double") - col("pv").cast("double")) *
+              ((col("di") - col("pd")).cast("double") /
+                (col("nd") - col("pd")).cast("double")))
+          .otherwise(coalesce(col("pv"), col("nv")).cast("double")))
+      .select(col("et"), dateS(col("d")).as("day_s"), col("src"),
+        r6(col("val")).as("value"))
+      .orderBy("et", "day_s")
+  }
+
+  /** Single-changepoint detection (binary segmentation's first split):
+    * per event type, the split of the daily-count series that maximally
+    * reduces SSE, via the prefix-sum closed form
+    * SSE = Σy² − (Σy)²/n on each side. Shape at scale: events collapse
+    * once to per-(type, day) counts; every window (prefix sums, totals,
+    * the argmax ranking) runs over that ≤ |types|·|days| aggregate —
+    * candidate evaluation is O(#days) per type, never corpus-sized.
+    * Exactness: counts and Σy² are exact (y² through DECIMAL — a
+    * 100 TB day's count squares past int64); the SSE-reduction is the
+    * identical IEEE expression on both engines, r6-rounded BEFORE the
+    * argmax so the ranking can't diverge; ties break to the earliest
+    * split. */
+  def eventsChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val daily = table(spark, dir, "events")
+      .groupBy(col("event_type").as("et"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("y"))
+    val wo = Window.partitionBy("et").orderBy("d")
+    val wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("et")
+    val yy = col("y").cast(d19) * col("y").cast(d19)
+    val c = daily
+      .withColumn("k", row_number().over(wo))
+      .withColumn("cs", sum(col("y")).over(wc))
+      .withColumn("css", sum(yy).over(wc))
+      .withColumn("n", count(lit(1)).over(wf))
+      .withColumn("ts_", sum(col("y")).over(wf))
+      .withColumn("tss", sum(yy).over(wf))
+    val kD = col("k").cast("double"); val nD = col("n").cast("double")
+    val csD = col("cs").cast("double"); val tsD = col("ts_").cast("double")
+    val cssD = col("css").cast("double"); val tssD = col("tss").cast("double")
+    val red = (tssD - tsD * tsD / nD) - (cssD - csD * csD / kD) -
+      ((tssD - cssD) - (tsD - csD) * (tsD - csD) / (nD - kD))
+    val wPick = Window.partitionBy("et").orderBy(col("red").desc, col("k"))
+    c.filter(col("k") < col("n"))
+      .withColumn("red", r6(red))
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("et"), dateS(col("d")).as("split_day_s"),
+        col("k").cast("long").as("split_idx"),
+        r4(csD / kD).as("left_mean"),
+        r4((tsD - csD) / (nD - kD)).as("right_mean"),
+        col("red").as("sse_reduction"))
+      .orderBy("et")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_weighted_median" -> (aggWeightedMedian _),
+    "events_resample_interp" -> (eventsResampleInterp _),
+    "events_changepoint" -> (eventsChangepoint _),
     "window_percent_rank" -> (windowPercentRank _),
     "events_interarrival_stats" -> (eventsInterarrivalStats _),
     "events_survival_curve" -> (eventsSurvivalCurve _),
@@ -2069,6 +2198,86 @@ object Relational {
     "window_lead" -> (windowLead _))
 
   val oracleSql: Map[String, String] = Map(
+    "agg_weighted_median" ->
+      s"""WITH g AS (SELECT l_returnflag AS flag, l_quantity AS qty,
+           sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS w, count(*) AS c
+           FROM lineitem GROUP BY 1, 2),
+         cd AS (SELECT flag, qty,
+           sum(w) OVER win AS cw, sum(c) OVER win AS cc,
+           sum(w) OVER (PARTITION BY flag) AS tw,
+           sum(c) OVER (PARTITION BY flag) AS tc
+           FROM g WINDOW win AS (PARTITION BY flag ORDER BY qty
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT flag,
+           min(CASE WHEN cw * 2 >= tw THEN qty END) AS wmedian,
+           min(CASE WHEN cc * 2 >= tc THEN qty END) AS median,
+           CAST(max(tc) AS BIGINT) AS n_rows,
+           round(CAST(max(tw) AS DOUBLE), 2) AS total_weight
+         FROM cd GROUP BY flag ORDER BY flag""",
+    "events_resample_interp" ->
+      s"""WITH daily AS (SELECT event_type AS et, CAST(ts AS DATE) AS d,
+           sum(CAST(value AS DECIMAL(10,2))) AS v
+           FROM ${evSql()} GROUP BY 1, 2),
+         span AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+           FROM ${evSql()}),
+         spine AS (SELECT et,
+           CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+             CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+           FROM (SELECT DISTINCT event_type AS et FROM ${evSql()}), span),
+         j AS (SELECT spine.et, spine.d, daily.v,
+           date_diff('day', DATE '1970-01-01', spine.d) AS di
+           FROM spine LEFT JOIN daily ON daily.et = spine.et AND daily.d = spine.d),
+         f AS (SELECT *,
+           last_value(CASE WHEN v IS NOT NULL THEN di END IGNORE NULLS) OVER wb AS pd,
+           last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER wb AS pv,
+           first_value(CASE WHEN v IS NOT NULL THEN di END IGNORE NULLS) OVER wf AS nd,
+           first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER wf AS nv
+           FROM j WINDOW
+             wb AS (PARTITION BY et ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             wf AS (PARTITION BY et ORDER BY d
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+         SELECT et, strftime(d, '%Y-%m-%d') AS day_s,
+           CASE WHEN v IS NOT NULL THEN 'actual'
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+             WHEN pv IS NOT NULL THEN 'ffill'
+             WHEN nv IS NOT NULL THEN 'bfill' ELSE 'empty' END AS src,
+           ${r6Sql("CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)" +
+             " WHEN pv IS NOT NULL AND nv IS NOT NULL THEN CAST(pv AS DOUBLE)" +
+             " + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))" +
+             " * (CAST(di - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))" +
+             " ELSE CAST(coalesce(pv, nv) AS DOUBLE) END")} AS value
+         FROM f ORDER BY et, day_s""",
+    "events_changepoint" ->
+      s"""WITH daily AS (SELECT event_type AS et, CAST(ts AS DATE) AS d,
+           count(*) AS y FROM ${evSql()} GROUP BY 1, 2),
+         c AS (SELECT et, d, y,
+           row_number() OVER wo AS k,
+           sum(y) OVER wc AS cs,
+           sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) OVER wc AS css,
+           count(*) OVER wf AS n,
+           sum(y) OVER wf AS ts_,
+           sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) OVER wf AS tss
+           FROM daily WINDOW
+             wo AS (PARTITION BY et ORDER BY d),
+             wc AS (PARTITION BY et ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY et)),
+         r AS (SELECT et, d, k, cs, n, ts_,
+           ${r6Sql("(CAST(tss AS DOUBLE) - CAST(ts_ AS DOUBLE) * CAST(ts_ AS DOUBLE) / CAST(n AS DOUBLE))" +
+             " - (CAST(css AS DOUBLE) - CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(k AS DOUBLE))" +
+             " - ((CAST(tss AS DOUBLE) - CAST(css AS DOUBLE))" +
+             " - (CAST(ts_ AS DOUBLE) - CAST(cs AS DOUBLE)) * (CAST(ts_ AS DOUBLE) - CAST(cs AS DOUBLE))" +
+             " / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))")} AS red
+           FROM c WHERE k < n)
+         SELECT et, strftime(d, '%Y-%m-%d') AS split_day_s,
+           CAST(k AS BIGINT) AS split_idx,
+           ${r4Sql("CAST(cs AS DOUBLE) / CAST(k AS DOUBLE)")} AS left_mean,
+           ${r4Sql("(CAST(ts_ AS DOUBLE) - CAST(cs AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))")} AS right_mean,
+           red AS sse_reduction
+         FROM r
+         QUALIFY row_number() OVER (PARTITION BY et ORDER BY red DESC, k) = 1
+         ORDER BY et""",
     "window_percent_rank" ->
       s"""WITH g AS (SELECT l_returnflag AS flag, l_quantity AS qty, count(*) AS n
            FROM lineitem GROUP BY 1, 2),

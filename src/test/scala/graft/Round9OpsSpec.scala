@@ -242,4 +242,58 @@ class Round9OpsSpec extends AnyFunSuite with SparkFixture
     val before = out.map(_.getDouble(1)).distinct
     assert(before.forall(b => math.abs(b - math.sqrt(0.01 + 1.0)) < 1e-3))
   }
+
+  // ---- round-9 batch: weighted median / interp gap fill / changepoint ----
+
+  test("weighted median: weight skew moves the median; lower-median tie rule") {
+    // qty 1 ×4 rows @1.0 weight, qty 9 ×1 row @100.0 weight:
+    // count median = 1 (cc 4/5 ≥ 2.5 at qty 1), weighted = 9 (cw 4 < 52)
+    val li = Seq(
+      LineRow(1, 1.0, 1.0, 0.0, 0.0, "A", "O"),
+      LineRow(2, 1.0, 1.0, 0.0, 0.0, "A", "O"),
+      LineRow(3, 1.0, 1.0, 0.0, 0.0, "A", "O"),
+      LineRow(4, 1.0, 1.0, 0.0, 0.0, "A", "O"),
+      LineRow(5, 9.0, 100.0, 0.0, 0.0, "A", "O"))
+    val dir = fixtureDir("lineitem" -> spark.createDataset(li).toDF)
+    val r = Relational.aggWeightedMedian(spark, dir).collect().head
+    assert(r.getDouble(1) == 9.0, s"weighted median should follow the weight: $r")
+    assert(r.getDouble(2) == 1.0, s"count median should be the lower median: $r")
+    assert(r.getLong(3) == 5 && r.getDouble(4) == 104.0)
+  }
+
+  test("interp gap fill: linear midpoints, edge ffill/bfill, exact fractions") {
+    val base = ts("2024-01-01 00:00:00").getTime
+    def ev(id: Long, day: Int, typ: String, v: Double) =
+      EventRow(id, new Timestamp(base + day * 86400000L), 1L, typ, v, "{}")
+    // type "a": day0=10, day3=40 → day1=20, day2=30 interpolated
+    // type "b": day1=5, day3=7 → day0 bfill=5, day2 interp=6, day4... none
+    val evs = Seq(ev(1, 0, "a", 10.0), ev(2, 3, "a", 40.0),
+      ev(3, 1, "b", 5.0), ev(4, 3, "b", 7.0))
+    val dir = fixtureDir("events" -> spark.createDataset(evs).toDF)
+    val out = Relational.eventsResampleInterp(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1).substring(8, 10).toInt,
+        r.getString(2), r.getDouble(3))).toSeq
+    assert(out.contains(("a", 2, "interp", 20.0)) && out.contains(("a", 3, "interp", 30.0)),
+      s"linear midpoints wrong: $out")
+    assert(out.contains(("b", 1, "bfill", 5.0)), s"leading gap must bfill: $out")
+    assert(out.contains(("b", 3, "interp", 6.0)), s"two-sided gap must interp: $out")
+    assert(out.count(_._3 == "actual") == 4)
+  }
+
+  test("changepoint: a level shift is found at the true split with correct means") {
+    val base = ts("2024-01-01 00:00:00").getTime
+    // type "x": 5 days @2 events/day then 5 days @8 events/day →
+    // best split after day index 5 (k=5), left mean 2, right mean 8
+    val evs = (0 until 10).flatMap { day =>
+      val n = if (day < 5) 2 else 8
+      (0 until n).map(j => EventRow(day * 100L + j,
+        new Timestamp(base + day * 86400000L + j * 1000L), 1L, "x", 1.0, "{}"))
+    }
+    val dir = fixtureDir("events" -> spark.createDataset(evs).toDF)
+    val r = Relational.eventsChangepoint(spark, dir).collect().head
+    assert(r.getLong(2) == 5, s"split index should be 5: $r")
+    assert(r.getString(1) == "2024-01-05", s"split day = last left day: $r")
+    assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 8.0, s"segment means: $r")
+    assert(r.getDouble(5) == 90.0, s"SSE reduction of a clean 2→8 shift is 90: $r")
+  }
 }
