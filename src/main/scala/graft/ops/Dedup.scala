@@ -921,7 +921,38 @@ object Dedup {
       .orderBy("source", "simhash", "min_doc")
   }
 
+  /** Degree profile of the LSH candidate graph — the health check run
+    * BEFORE the expensive graph consumers ([[graphTriangles]],
+    * [[graphPagerank]]): per degree class, how many nodes, and the mean
+    * neighbor degree (the degree-assortativity signal — rising avg
+    * neighbor degree with degree means near-dup mass concentrates in a
+    * few template clusters). Shape at scale: the edge set is the capped
+    * candidate graph (deg ≤ bands·cap by construction); degrees are one
+    * hash agg over the doubled edge list; neighbor-degree sums are one
+    * self-join of that aggregate keyed on the high-cardinality node id.
+    * Exactness: everything is exact longs until the final per-class
+    * Σsdeg/Σk division (r6) — per-node doubles are never averaged. */
+  def graphDegreeStats(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        array_distinct(split(Text.normTextExpr, " ")).as("toks"))
+    val e = candidatePairsGlobal(base, "s").transform(iterCheckpoint)
+    val und = e.select(col("d1").as("u"), col("d2").as("v"))
+      .unionByName(e.select(col("d2").as("u"), col("d1").as("v")))
+    val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    val nbr = und
+      .join(deg.select(col("u").as("v"), col("deg").as("vdeg")), "v")
+      .groupBy("u").agg(sum(col("vdeg")).as("sdeg"), count(lit(1)).as("k"))
+    deg.join(nbr, "u")
+      .groupBy("deg")
+      .agg(count(lit(1)).as("n_nodes"),
+        r6(sum(col("sdeg")).cast("double") / sum(col("k")).cast("double"))
+          .as("avg_nbr_deg"))
+      .orderBy("deg")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_degree_stats" -> (graphDegreeStats _),
     "dedup_pipeline_e2e" -> (pipelineE2e _),
     "dedup_minhash_global" -> (minhashGlobal _),
     "dedup_threshold_sweep" -> (thresholdSweep _),
@@ -1060,6 +1091,22 @@ object Dedup {
          $bandCteGlobalSql"""
 
   val oracleSql: Map[String, String] = Map(
+    "graph_degree_stats" ->
+      s"""WITH $graphBandPreambleSql,
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           FROM band a JOIN band b
+             ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         und AS (SELECT d1 AS u, d2 AS v FROM pairs
+           UNION ALL SELECT d2 AS u, d1 AS v FROM pairs),
+         deg AS (SELECT u, count(*) AS deg FROM und GROUP BY u),
+         nbr AS (SELECT und.u, sum(dv.deg) AS sdeg, count(*) AS k
+           FROM und JOIN (SELECT u AS v, deg FROM deg) dv USING (v)
+           GROUP BY und.u),
+         j AS (SELECT deg.deg, nbr.sdeg, nbr.k FROM deg JOIN nbr USING (u))
+         SELECT deg, count(*) AS n_nodes,
+           ${r6Sql("CAST(sum(sdeg) AS DOUBLE) / CAST(sum(k) AS DOUBLE)")} AS avg_nbr_deg
+         FROM j GROUP BY deg ORDER BY deg""",
     "graph_triangles" ->
       s"""WITH $graphBandPreambleSql,
          pairs AS MATERIALIZED (

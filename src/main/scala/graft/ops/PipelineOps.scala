@@ -951,7 +951,52 @@ object PipelineOps {
       .orderBy("stage", "pos")
   }
 
+  /** The ANALYZE-TABLE surface: (table, column) → row count, null
+    * count, exact NDV, numeric min/max — the statistics a cost-based
+    * optimizer and a data-quality dashboard both read. One scan per
+    * table computes every column's stats in a single aggregate (the
+    * multi-distinct Expand shape of `agg_multi_distinct`); the 1-row
+    * result fans out to per-column rows driver-side — nothing
+    * table-sized moves. At 100 TB the exact NDVs swap for HLL sketches
+    * (`agg_approx_distinct`'s path) — documented trade, same output
+    * schema. min/max are computed in the NATIVE type (numeric, not
+    * lexicographic) and cast to string last; both engines print
+    * shortest-round-trip doubles so the strings agree. Shared spec list
+    * generates both the Spark plan and the oracle SQL — they cannot
+    * drift. */
+  private val analyzeSpecs: Seq[(String, Seq[String])] = Seq(
+    ("customer", Seq("c_custkey", "c_acctbal", "c_mktsegment")),
+    ("orders", Seq("o_orderkey", "o_totalprice", "o_orderpriority")),
+    ("lineitem", Seq("l_orderkey", "l_quantity", "l_returnflag")))
+
+  def pipeAnalyzeStats(spark: SparkSession, dir: String): DataFrame =
+    analyzeSpecs.map { case (t, cols) =>
+      val df = table(spark, dir, t)
+      val aggs = cols.flatMap(c => Seq(
+        count(col(c)).as(s"${c}__cnt"),
+        countDistinct(col(c)).as(s"${c}__ndv"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))) :+ count(lit(1)).as("__n")
+      val r = df.agg(aggs.head, aggs.tail: _*)
+      cols.map(c => r.select(lit(t).as("tbl"), lit(c).as("col"),
+          col("__n").as("n_rows"),
+          (col("__n") - col(s"${c}__cnt")).as("n_null"),
+          col(s"${c}__ndv").as("ndv"),
+          col(s"${c}__min").as("min_s"), col(s"${c}__max").as("max_s")))
+        .reduce(_ unionByName _)
+    }.reduce(_ unionByName _).orderBy("tbl", "col")
+
+  private[ops] val analyzeStatsOracle: String =
+    analyzeSpecs.flatMap { case (t, cols) =>
+      cols.map(c =>
+        s"""SELECT '$t' AS tbl, '$c' AS col, count(*) AS n_rows,
+           count(*) - count($c) AS n_null, count(DISTINCT $c) AS ndv,
+           CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
+           FROM $t""")
+    }.mkString("SELECT * FROM (", "\n           UNION ALL ", ") ORDER BY tbl, col")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_analyze_stats" -> (pipeAnalyzeStats _),
     "pipe_curriculum_order" -> (pipeCurriculumOrder _),
     "pipe_delta_log" -> (deltaLog _),
     "pipe_delta_history" -> (deltaHistory _),
@@ -984,6 +1029,7 @@ object PipelineOps {
     "pipe_sample_topk_hash" -> (sampleTopkHash _))
 
   val oracleSql: Map[String, String] = Map(
+    "pipe_analyze_stats" -> analyzeStatsOracle,
     "pipe_curriculum_order" ->
       s"""WITH s AS (SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS score FROM documents),

@@ -1252,7 +1252,47 @@ object Vector {
       .orderBy("vec_id")
   }
 
+  /** FILTERED ANN — the "vector search WHERE label = x" query every
+    * production vector store names as a feature: top-3 same-label
+    * neighbors for the 10 lowest-id probes. The metadata predicate is
+    * pushed INTO candidate generation, not applied after: the candidate
+    * join is keyed on (SRP bucket, label) — the filter partitions the
+    * index, so a probe never touches the ~90% of each bucket with the
+    * wrong label (post-filtering an unfiltered top-k would instead
+    * return < k survivors). [[simsearchKnnJoin]]'s machinery otherwise:
+    * Hamming-1 multiprobe on the probe side, 256-cap per
+    * (bucket, label) cell on the corpus side (state-bounded), heap
+    * top-k via the custom exec — and the bucket key keeps the join
+    * high-cardinality (never a label-only block join). */
+  def simsearchFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val srp8 = concat_ws("",
+      transform(slice(col("embedding"), 1, 8), x => when(x >= 0f, "1").otherwise("0")))
+    val e = emb(spark, dir)
+      .withColumn("bucket", srp8)
+      .withColumn("nrm", l2(col("embedding")))
+    val capW = Window.partitionBy("bucket", "label").orderBy("v2")
+    val rhs = e.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+        col("nrm").as("n2"), col("bucket"), col("label"))
+      .withColumn("rn", row_number().over(capW))
+      .filter(col("rn") <= 256).drop("rn")
+    val lhs = e.orderBy("vec_id").limit(10)
+      .select(col("vec_id").as("v1"), col("embedding").as("e1"),
+        col("nrm").as("n1"), col("bucket"), col("label"),
+        explode(sequence(lit(0), lit(8))).as("i"))
+      .select(col("v1"), col("e1"), col("n1"), col("label"),
+        hamming1Variant(col("bucket"), col("i")).as("bucket"))
+    val scored = lhs.join(rhs, Seq("bucket", "label"))
+      .filter(col("v1") =!= col("v2"))
+      .select(col("v1"), col("label").cast("long").as("label"), col("v2"),
+        r4(cosinePre(col("e1"), col("e2"), col("n1"), col("n2"))).as("cos"))
+    graft.plans.TopK.topKPerKey(scored, Seq("v1"),
+      Seq(graft.plans.TopK.Ord("cos", descending = true),
+        graft.plans.TopK.Ord("v2")), 3)
+      .orderBy(col("v1"), desc("cos"), col("v2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "simsearch_filtered" -> (simsearchFiltered _),
     "embedding_whiten" -> (embeddingWhiten _),
     "cluster_semdedup" -> (clusterSemdedup _),
     "dedup_embedding_global" -> (dedupEmbeddingGlobal _),
@@ -1422,6 +1462,33 @@ object Vector {
   private lazy val pqUpsertOracleSqlStr: String = pqOracleSqlGen(standingTrained = true)
 
   val oracleSql: Map[String, String] = Map(
+    "simsearch_filtered" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding, label,
+             array_to_string(list_transform(embedding[1:8],
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+           FROM embeddings),
+         rhs AS (
+           SELECT vec_id AS v2, embedding AS e2, label, bucket
+           FROM e
+           QUALIFY row_number() OVER (PARTITION BY bucket, label ORDER BY vec_id) <= 256),
+         p AS (SELECT * FROM e ORDER BY vec_id LIMIT 10),
+         lhs AS (
+           SELECT p.vec_id AS v1, p.embedding AS e1, p.label,
+             CASE WHEN f.i = 0 THEN bucket
+                  ELSE substr(bucket, 1, CAST(f.i AS INTEGER) - 1) ||
+                       (CASE WHEN substr(bucket, CAST(f.i AS INTEGER), 1) = '1'
+                             THEN '0' ELSE '1' END) ||
+                       substr(bucket, CAST(f.i AS INTEGER) + 1, 8) END AS bucket
+           FROM p, (SELECT unnest(range(0, 9)) AS i) f),
+         pr AS (
+           SELECT lhs.v1, CAST(lhs.label AS BIGINT) AS label, rhs.v2,
+             ${r4Sql(cosSql("lhs.e1", "rhs.e2"))} AS cos
+           FROM lhs JOIN rhs ON lhs.bucket = rhs.bucket
+             AND lhs.label = rhs.label AND lhs.v1 != rhs.v2)
+         SELECT v1, label, v2, cos FROM pr
+         QUALIFY row_number() OVER (PARTITION BY v1 ORDER BY cos DESC, v2) <= 3
+         ORDER BY v1, cos DESC, v2""",
     "embedding_whiten" ->
       s"""WITH x AS (SELECT f.i AS i, CAST(embedding[f.i] AS DECIMAL(12,10)) AS vq
            FROM embeddings,

@@ -296,4 +296,60 @@ class Round9OpsSpec extends AnyFunSuite with SparkFixture
     assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 8.0, s"segment means: $r")
     assert(r.getDouble(5) == 90.0, s"SSE reduction of a clean 2→8 shift is 90: $r")
   }
+
+  // ---- round-9 batch: filtered ANN / degree stats / analyze ----
+
+  test("filtered ANN: every neighbor carries the probe's label") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (1L to 60L).map { i =>
+      EmbRow(i, Array.fill(16)(rnd.nextFloat() * 2 - 1), (i % 3).toInt)
+    }
+    val dir = fixtureDir("embeddings" -> spark.createDataset(vecs).toDF)
+    val out = graft.ops.Vector.simsearchFiltered(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (v1, lbl, v2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(lbl == v1 % 3, s"probe label mislabeled: $r")
+      assert(v2 % 3 == lbl, s"neighbor $v2 breaks the label filter for probe $v1")
+      assert(v1 != v2)
+    }
+    out.groupBy(_.getLong(0)).values.foreach(rs => assert(rs.length <= 3))
+  }
+
+  test("degree stats: three identical docs form a triangle (deg 2, avg nbr deg 2)") {
+    val dup = "spark shuffle partition broadcast executor memory column " +
+      "predicate codegen catalyst tungsten adaptive skew salt bucket"
+    val rows = Seq(doc(1, dup), doc(2, dup), doc(3, dup),
+      doc(4, "completely different words entirely unrelated content here " +
+        "nothing shared with the duplicated template at all ever"))
+    val dir = fixtureDir("documents" -> spark.createDataset(rows).toDF)
+    val out = graft.ops.Dedup.graphDegreeStats(spark, dir).collect()
+    val d2 = out.find(_.getLong(0) == 2L)
+    assert(d2.isDefined, s"expected a degree-2 class: ${out.mkString(";")}")
+    assert(d2.get.getLong(1) == 3 && d2.get.getDouble(2) == 2.0,
+      s"triangle nodes: 3 nodes of degree 2 with avg nbr deg 2: ${d2.get}")
+  }
+
+  test("analyze stats: ndv, nulls, and native-type (not lexicographic) min/max") {
+    val cust = Seq(
+      CustRow(5, "a", 1, -12.5, "AUTO"), CustRow(10, "b", 1, 99.0, "AUTO"),
+      CustRow(100, "c", 2, 0.0, "STEEL"))
+    val ords = Seq(OrderRow(9, 5, "O", 100.0, ts("2024-01-01 00:00:00"), "1-URGENT"),
+      OrderRow(11, 10, "F", 200.0, ts("2024-01-02 00:00:00"), "2-HIGH"))
+    val li = Seq(LineRow(9, 1.0, 10.0, 0.0, 0.0, "A", "O"),
+      LineRow(11, 50.0, 20.0, 0.0, 0.0, "R", "O"))
+    val dir = fixtureDir("customer" -> spark.createDataset(cust).toDF,
+      "orders" -> spark.createDataset(ords).toDF,
+      "lineitem" -> spark.createDataset(li).toDF)
+    val out = graft.ops.PipelineOps.pipeAnalyzeStats(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ck = out(("customer", "c_custkey"))
+    // numeric max is 100; the lexicographic max would be "5"
+    assert(ck.getLong(2) == 3 && ck.getLong(4) == 3 &&
+      ck.getString(5) == "5" && ck.getString(6) == "100", s"$ck")
+    val seg = out(("customer", "c_mktsegment"))
+    assert(seg.getLong(4) == 2 && seg.getLong(3) == 0)
+    val qty = out(("lineitem", "l_quantity"))
+    assert(qty.getString(5) == "1.0" && qty.getString(6) == "50.0")
+  }
 }
