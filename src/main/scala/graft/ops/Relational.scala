@@ -2113,7 +2113,85 @@ object Relational {
       .orderBy("et")
   }
 
+  /** Welch's two-sample t-test — the A/B readout (purchase vs click
+    * values): group means, the t statistic under unequal variances, and
+    * the Welch–Satterthwaite degrees of freedom. Shape at scale: one
+    * map-side-combined (n, Σv, Σv²) aggregate per group — the
+    * sufficient statistics, never the samples — then a 2-row pivot and
+    * pure scalar arithmetic. Exactness: Σv and Σv² stay DECIMAL (v²
+    * squared inside the decimal domain); mean/variance/t/df are the
+    * IDENTICAL IEEE expression tree on both engines before r4/r6
+    * (sample variance uses the Σv² − n·mean² form — spelled once,
+    * mirrored verbatim in the oracle). */
+  def eventsAbTtest(spark: SparkSession, dir: String): DataFrame = {
+    val g = table(spark, dir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(Qty)).as("s"),
+        sum(col("value").cast(Qty) * col("value").cast(Qty)).as("ss"))
+    def side(t: String, c: String) = max(when(col("event_type") === t, col(c)))
+    val one = g.groupBy()
+      .agg(side("purchase", "n").as("n1"), side("purchase", "s").as("s1"),
+        side("purchase", "ss").as("ss1"),
+        side("click", "n").as("n2"), side("click", "s").as("s2"),
+        side("click", "ss").as("ss2"))
+    def mean(s: String, n: String) =
+      col(s).cast("double") / col(n).cast("double")
+    def varOf(ss: String, n: String, m: Column) =
+      (col(ss).cast("double") - col(n).cast("double") * m * m) /
+        (col(n).cast("double") - lit(1.0))
+    val m1 = mean("s1", "n1"); val m2 = mean("s2", "n2")
+    val va = varOf("ss1", "n1", m1) / col("n1").cast("double")
+    val vb = varOf("ss2", "n2", m2) / col("n2").cast("double")
+    val t = (m1 - m2) / sqrt(va + vb)
+    val df = (va + vb) * (va + vb) /
+      (va * va / (col("n1").cast("double") - lit(1.0)) +
+        vb * vb / (col("n2").cast("double") - lit(1.0)))
+    one.select(col("n1"), col("n2"),
+      r4(m1).as("mean_purchase"), r4(m2).as("mean_click"),
+      r4(m1 - m2).as("mean_diff"), r4(t).as("t_stat"), r4(df).as("welch_df"))
+  }
+
+  /** Benford first-digit profile + χ² distance — the bookkeeping-fraud
+    * screen over l_extendedprice: observed first-significant-digit
+    * frequencies vs Benford's log10(1+1/d), and the χ² statistic.
+    * Shape at scale: digit extraction is a per-row projection; the
+    * profile is a 9-group hash agg (map-side combined); χ² runs over
+    * the 9-row aggregate via a full-frame window. Exactness: the digit
+    * comes from the value's SHORTEST-ROUND-TRIP string (both engines
+    * print doubles identically — the `pipe_analyze_stats` parity),
+    * expected counts are ln(1+1/d)/ln(10) — the same libm calls both
+    * sides — r6-fixed per digit BEFORE the χ² terms, and each term is
+    * r6-fixed to DECIMAL before the 9-term sum. */
+  def aggBenfordProfile(spark: SparkSession, dir: String): DataFrame = {
+    val d166 = org.apache.spark.sql.types.DecimalType(16, 6)
+    val digits = table(spark, dir, "lineitem")
+      .filter(col("l_extendedprice") > 0)
+      .select(substring(regexp_replace(
+        col("l_extendedprice").cast("string"), "[^1-9]", ""), 1, 1).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val wf = Window.orderBy("digit")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val dD = col("digit").cast("double")
+    val expD = r6(col("tot").cast("double") *
+      (log(lit(1.0) + lit(1.0) / dD) / log(lit(10.0))))
+    digits
+      .withColumn("tot", sum(col("n_obs")).over(wf))
+      .withColumn("expected", expD)
+      .withColumn("term", r6((col("n_obs").cast("double") - col("expected")) *
+        (col("n_obs").cast("double") - col("expected")) / col("expected"))
+        .cast(d166))
+      .withColumn("chi2", r4(sum(col("term")).over(wf).cast("double")))
+      .select(col("digit"), col("n_obs"),
+        r6(col("n_obs").cast("double") / col("tot").cast("double")).as("obs_frac"),
+        r4(col("expected")).as("expected"), col("chi2"))
+      .orderBy("digit")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ab_ttest" -> (eventsAbTtest _),
+    "agg_benford_profile" -> (aggBenfordProfile _),
     "agg_weighted_median" -> (aggWeightedMedian _),
     "events_resample_interp" -> (eventsResampleInterp _),
     "events_changepoint" -> (eventsChangepoint _),
@@ -2198,6 +2276,53 @@ object Relational {
     "window_lead" -> (windowLead _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_ab_ttest" ->
+      s"""WITH g AS (SELECT event_type, count(*) AS n,
+           sum(CAST(value AS DECIMAL(10,2))) AS s,
+           sum(CAST(value AS DECIMAL(10,2)) * CAST(value AS DECIMAL(10,2))) AS ss
+           FROM ${evSql()} WHERE event_type IN ('purchase', 'click')
+           GROUP BY 1),
+         o AS (SELECT
+           max(CASE WHEN event_type = 'purchase' THEN n END) AS n1,
+           max(CASE WHEN event_type = 'purchase' THEN s END) AS s1,
+           max(CASE WHEN event_type = 'purchase' THEN ss END) AS ss1,
+           max(CASE WHEN event_type = 'click' THEN n END) AS n2,
+           max(CASE WHEN event_type = 'click' THEN s END) AS s2,
+           max(CASE WHEN event_type = 'click' THEN ss END) AS ss2
+           FROM g),
+         m AS (SELECT n1, n2,
+           CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+           CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+           (CAST(ss1 AS DOUBLE) - CAST(n1 AS DOUBLE)
+             * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+             * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+             / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE) AS va,
+           (CAST(ss2 AS DOUBLE) - CAST(n2 AS DOUBLE)
+             * (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             * (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+             / (CAST(n2 AS DOUBLE) - 1.0) / CAST(n2 AS DOUBLE) AS vb
+           FROM o)
+         SELECT n1, n2, ${r4Sql("m1")} AS mean_purchase,
+           ${r4Sql("m2")} AS mean_click, ${r4Sql("m1 - m2")} AS mean_diff,
+           ${r4Sql("(m1 - m2) / sqrt(va + vb)")} AS t_stat,
+           ${r4Sql("(va + vb) * (va + vb) / (va * va / (CAST(n1 AS DOUBLE) - 1.0) + vb * vb / (CAST(n2 AS DOUBLE) - 1.0))")} AS welch_df
+         FROM m""",
+    "agg_benford_profile" ->
+      s"""WITH d AS (SELECT substr(regexp_replace(
+             CAST(l_extendedprice AS VARCHAR), '[^1-9]', '', 'g'), 1, 1) AS digit
+           FROM lineitem WHERE l_extendedprice > 0),
+         g AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
+         t AS (SELECT digit, n_obs, sum(n_obs) OVER () AS tot FROM g),
+         e AS (SELECT digit, n_obs, tot,
+           ${r6Sql("CAST(tot AS DOUBLE) * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))")} AS expected
+           FROM t),
+         c AS (SELECT *, CAST(${r6Sql("(CAST(n_obs AS DOUBLE) - expected) * (CAST(n_obs AS DOUBLE) - expected) / expected")}
+             AS DECIMAL(16,6)) AS term FROM e)
+         SELECT digit, n_obs,
+           ${r6Sql("CAST(n_obs AS DOUBLE) / CAST(tot AS DOUBLE)")} AS obs_frac,
+           ${r4Sql("expected")} AS expected,
+           ${r4Sql("CAST(sum(term) OVER () AS DOUBLE)")} AS chi2
+         FROM c ORDER BY digit""",
     "agg_weighted_median" ->
       s"""WITH g AS (SELECT l_returnflag AS flag, l_quantity AS qty,
            sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS w, count(*) AS c

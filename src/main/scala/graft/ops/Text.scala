@@ -1459,7 +1459,66 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary coverage curve — the tokenizer-budget planner's table:
+    * what fraction of all corpus TOKENS the top-k vocabulary entries
+    * cover, at k ∈ {100, 1k, 10k}. Shape at scale: one explode →
+    * map-side-combined token counts; ranking and cumulation run over
+    * the VOCAB aggregate (the `text_vocab_build` discipline), and the
+    * 3-way k fan-out multiplies only that aggregate. `vocab_used`
+    * reports min(k, |vocab|), so a small corpus is visible rather than
+    * silently extrapolated. All counts exact; coverage is one IEEE
+    * division before r6. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val counts = docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val ord = Window.orderBy(desc("n"), col("token"))
+    val ranked = counts
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("cum", sum(col("n")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("n")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    ranked
+      .select(explode(array(lit(100L), lit(1000L), lit(10000L))).as("k"),
+        col("rank"), col("cum"), col("tot"))
+      .filter(col("rank") <= col("k"))
+      .groupBy("k")
+      .agg(max(col("rank")).as("vocab_used"), max(col("cum")).as("covered"),
+        max(col("tot")).as("tot"))
+      .select(col("k"), col("vocab_used"),
+        r6(col("covered").cast("double") / col("tot").cast("double")).as("coverage"))
+      .orderBy("k")
+  }
+
+  /** Per-source token-length quantiles (p50/p90/p99, LOWER quantile —
+    * no interpolation) — the length profile that sizes chunking and
+    * packing budgets per corpus slice. Same CDF-over-the-distribution
+    * shape as `agg_weighted_median`: docs collapse once to
+    * (source, len) counts, the cumulative window runs over that
+    * aggregate, and each quantile is the first length whose cumulative
+    * reaches ⌈q·n⌉ — all comparisons exact integer cross-products
+    * (cum·100 ≥ tot·99), nothing floating anywhere. */
+  def lengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val g = docs(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("len"))
+      .groupBy("source", "len").agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy("source").orderBy("len")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("source")
+    g.withColumn("cum", sum(col("c")).over(wc))
+      .withColumn("tot", sum(col("c")).over(wf))
+      .groupBy("source")
+      .agg(min(when(col("cum") * 2 >= col("tot"), col("len"))).as("p50"),
+        min(when(col("cum") * 10 >= col("tot") * 9, col("len"))).as("p90"),
+        min(when(col("cum") * 100 >= col("tot") * 99, col("len"))).as("p99"),
+        max(col("tot")).as("n_docs"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab_coverage" -> (vocabCoverage _),
+    "docs_length_quantiles" -> (lengthQuantiles _),
     "text_bigram_lm_score" -> (bigramLmScore _),
     "text_bpe_merge" -> (bpeMerge _),
     "text_bpe_train" -> (bpeTrain _),
@@ -1552,6 +1611,35 @@ object Text {
     .map(k => s"SELECT * FROM sum$k").mkString("\n           UNION ALL ")
 
   val oracleSql: Map[String, String] = Map(
+    "text_vocab_coverage" ->
+      s"""WITH c AS (SELECT token, count(*) AS n
+           FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+           GROUP BY token),
+         r AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank,
+           sum(n) OVER (ORDER BY n DESC, token
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(n) OVER () AS tot FROM c),
+         x AS (SELECT k, max(rank) AS vocab_used, max(cum) AS covered,
+           max(tot) AS tot
+           FROM r, (SELECT unnest([100, 1000, 10000]) AS k) ks
+           WHERE rank <= k GROUP BY k)
+         SELECT CAST(k AS BIGINT) AS k, CAST(vocab_used AS BIGINT) AS vocab_used,
+           ${r6Sql("CAST(covered AS DOUBLE) / CAST(tot AS DOUBLE)")} AS coverage
+         FROM x ORDER BY k""",
+    "docs_length_quantiles" ->
+      s"""WITH g AS (SELECT source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS len, count(*) AS c
+           FROM documents GROUP BY 1, 2),
+         w AS (SELECT source, len, c,
+           sum(c) OVER (PARTITION BY source ORDER BY len
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(c) OVER (PARTITION BY source) AS tot FROM g)
+         SELECT source,
+           min(CASE WHEN cum * 2 >= tot THEN len END) AS p50,
+           min(CASE WHEN cum * 10 >= tot * 9 THEN len END) AS p90,
+           min(CASE WHEN cum * 100 >= tot * 99 THEN len END) AS p99,
+           CAST(max(tot) AS BIGINT) AS n_docs
+         FROM w GROUP BY source ORDER BY source""",
     "text_bigram_lm_score" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          bi AS (

@@ -352,4 +352,65 @@ class Round9OpsSpec extends AnyFunSuite with SparkFixture
     val qty = out(("lineitem", "l_quantity"))
     assert(qty.getString(5) == "1.0" && qty.getString(6) == "50.0")
   }
+
+  // ---- round-9 batch: t-test / benford / coverage / length quantiles ----
+
+  test("welch t-test: equal groups → t = 0; known unequal case matches closed form") {
+    val base = ts("2024-01-01 00:00:00").getTime
+    def ev(id: Long, typ: String, v: Double) =
+      EventRow(id, new Timestamp(base + id * 1000L), 1L, typ, v, "{}")
+    // purchase: {10, 20, 30}, click: {10, 20, 30} → identical → t = 0, diff 0
+    val evs = Seq(ev(1, "purchase", 10), ev(2, "purchase", 20), ev(3, "purchase", 30),
+      ev(4, "click", 10), ev(5, "click", 20), ev(6, "click", 30))
+    val dir = fixtureDir("events" -> spark.createDataset(evs).toDF)
+    val r = Relational.eventsAbTtest(spark, dir).collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3)
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0, s"identical groups: $r")
+    // equal variances, equal n → Welch df = 2(n-1) = 4
+    assert(r.getDouble(6) == 4.0, s"welch df of equal groups: $r")
+  }
+
+  test("benford: digits drawn exactly from Benford frequencies give tiny chi2") {
+    // 9 rows with first digits 1..9 occurring n·log10(1+1/d)-proportional
+    // counts (scaled ×1000, rounded): chi2 must be far below the 15.5
+    // critical value; a uniform-digit profile must exceed it.
+    def li(id: Long, price: Double) =
+      LineRow(id, 1.0, price, 0.0, 0.0, "A", "O")
+    var id = 0L
+    val benford = (1 to 9).flatMap { d =>
+      val n = math.round(1000 * math.log10(1.0 + 1.0 / d)).toInt
+      (1 to n).map { _ => id += 1; li(id, d * 100.0 + (id % 7)) }
+    }
+    val dirB = fixtureDir("lineitem" -> spark.createDataset(benford).toDF)
+    val chiB = Relational.aggBenfordProfile(spark, dirB).collect().head.getDouble(4)
+    assert(chiB < 15.5, s"near-Benford data must pass the screen: chi2=$chiB")
+    val uniform = (1 to 9).flatMap(d =>
+      (1 to 100).map { _ => id += 1; li(id, d * 100.0) })
+    val dirU = fixtureDir("lineitem" -> spark.createDataset(uniform).toDF)
+    val chiU = Relational.aggBenfordProfile(spark, dirU).collect().head.getDouble(4)
+    assert(chiU > 15.5, s"uniform digits must flag: chi2=$chiU")
+  }
+
+  test("vocab coverage: k beyond |vocab| reports full coverage with vocab_used = |vocab|") {
+    val rows = Seq(doc(1, "a a a a b b c"), doc(2, "a b c d"))
+    val dir = fixtureDir("documents" -> spark.createDataset(rows).toDF)
+    val out = Text.vocabCoverage(spark, dir).collect()
+    // vocab = {a(5), b(3), c(2), d(1)}: every k ≥ 4 covers 11/11
+    out.foreach { r =>
+      assert(r.getLong(1) == 4 && r.getDouble(2) == 1.0,
+        s"4-token vocab fully covered at every k: $r")
+    }
+  }
+
+  test("length quantiles: lower-quantile rule on a known distribution") {
+    // source s: lengths 1..10, one doc each → p50=5 (cum 5·2≥10),
+    // p90=9, p99=10
+    val rows = (1L to 10L).map(i =>
+      doc(i, (1L to i).map(_ => "w").mkString(" ")))
+    val dir = fixtureDir("documents" -> spark.createDataset(rows).toDF)
+    val r = Text.lengthQuantiles(spark, dir).collect().head
+    assert(r.getLong(1) == 5 && r.getLong(2) == 9 && r.getLong(3) == 10,
+      s"p50/p90/p99 of 1..10: $r")
+    assert(r.getLong(4) == 10)
+  }
 }
