@@ -545,4 +545,58 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // codegen stages render as "*(n) Operator" in the final plan string
     assert(p.contains("*(") , s"codegen absent:\n$p")
   }
+
+  test("embedding_whiten: serve path is join-free and hash-shuffle-free") {
+    // The per-row whitening transform must run over broadcast-literal
+    // μ/σ arrays: no join of any kind and no hash exchange — the only
+    // exchange the plan may carry is the final presentation sort's
+    // range partitioning.
+    val p = plan(Vector.embeddingWhiten(spark, dir))
+    assert(!p.contains("Join"), s"whitening serve path plans a join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"whitening serve path hash-shuffles:\n$p")
+  }
+
+  test("simsearch_filtered: heap top-k exec, and the candidate join keys on bucket+label") {
+    val df = Vector.simsearchFiltered(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), s"filtered ANN ranks via a window, not the heap exec:\n$p")
+    assert(p.contains("bucket") && !p.contains("CartesianProduct"),
+      s"candidate join lost the bucket key:\n$p")
+  }
+
+  test("pipe_curriculum_order: no stage-only window; offsets join broadcasts") {
+    // Per-doc positions must come from the two-pass bucket spelling: every
+    // ranking window is partitioned by (stage, bkt) — never stage alone,
+    // which would sort the corpus on 4 tasks — and the ≤4×256-row offset
+    // table reaches the docs via broadcast.
+    val df = PipelineOps.pipeCurriculumOrder(spark, dir)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      val overAggregate = w.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.nonEmpty
+      // the offsets window IS stage-partitioned but runs over the
+      // ≤4×256-row (stage,bkt) counts aggregate — the sanctioned form;
+      // only a stage-only window over raw docs is the scale killer
+      assert(keys != Set("stage") || overAggregate,
+        s"curriculum window partitioned on stage alone over raw input: $keys")
+    }
+    assert(plan(df).contains("BroadcastHashJoin"),
+      s"offset join not broadcast:\n${plan(df)}")
+  }
+
+  test("events_ab_ttest: sufficient statistics aggregate partially map-side") {
+    // The t-test must shuffle (n, Σv, Σv²) partials, never sample rows:
+    // a partial_count/partial_sum pair below the exchange proves it.
+    val p = plan(Relational.eventsAbTtest(spark, dir))
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"no map-side partial aggregation in the t-test plan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
