@@ -91,7 +91,13 @@ object Soak {
 
     val family = Seq("graph_triangles", "dedup_ngram_global",
       "dedup_minhash_global", "text_bpe_train", "dedup_cc_groups",
-      "simsearch_knn_join")
+      "simsearch_knn_join",
+      // round-9 additions whose scale spellings deserve measured ratios:
+      // another bucket-join consumer, a filtered ANN probe, the bigram
+      // LM (the largest new model-sized join), and the curriculum's
+      // two-pass global ordering
+      "graph_degree_stats", "simsearch_filtered", "text_bigram_lm_score",
+      "pipe_curriculum_order")
     // warm JIT/codegen on the small sibling
     SparkEntry.entry(spark).count()
 
