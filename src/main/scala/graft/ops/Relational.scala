@@ -2189,7 +2189,73 @@ object Relational {
       .orderBy("digit")
   }
 
+  /** χ² test of independence between order priority and order status —
+    * the categorical sibling of [[eventsAbTtest]]: contingency cells,
+    * expected counts from the margins, the χ² statistic and its
+    * degrees of freedom. Shape at scale: one hash agg to the
+    * ≤ |priorities|·|statuses| cell table (map-side partials); margins
+    * are windows OVER THAT AGGREGATE; the final reduce is a global agg
+    * of the cell frame. Exactness: counts exact; expected = rt·ct/n is
+    * one IEEE mul+div r6-fixed per cell; each χ² term r6→DECIMAL
+    * before the sum. */
+  def aggChi2Independence(spark: SparkSession, dir: String): DataFrame = {
+    val d166 = org.apache.spark.sql.types.DecimalType(16, 6)
+    val cells = table(spark, dir, "orders")
+      .groupBy(col("o_orderpriority").as("p"), col("o_orderstatus").as("s"))
+      .agg(count(lit(1)).as("n"))
+    val wr = Window.partitionBy("p")
+    val wcl = Window.partitionBy("s")
+    val wf = Window.orderBy("p", "s")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val expD = r6(col("rt").cast("double") * col("ct").cast("double") /
+      col("tot").cast("double"))
+    cells
+      .withColumn("rt", sum(col("n")).over(wr))
+      .withColumn("ct", sum(col("n")).over(wcl))
+      .withColumn("tot", sum(col("n")).over(wf))
+      .withColumn("exp", expD)
+      .withColumn("term", r6((col("n").cast("double") - col("exp")) *
+        (col("n").cast("double") - col("exp")) / col("exp")).cast(d166))
+      .groupBy()
+      .agg(max(col("tot")).as("n"),
+        countDistinct(col("p")).as("n_rows_cat"),
+        countDistinct(col("s")).as("n_cols_cat"),
+        r4(sum(col("term")).cast("double")).as("chi2"))
+      .select(col("n"), col("n_rows_cat"), col("n_cols_cat"),
+        ((col("n_rows_cat") - 1) * (col("n_cols_cat") - 1)).as("dof"),
+        col("chi2"))
+  }
+
+  /** Daily conversion rate with a Wilson 95% score interval — the
+    * uncertainty-aware funnel readout (a plain p̂ ± z√(p̂q̂/n) interval
+    * misbehaves at small n and p near 0/1; Wilson doesn't). Conversion
+    * = purchases / (purchases + clicks) per day. Shape at scale: one
+    * conditional-count aggregate per day (map-side partials), then
+    * pure per-row scalar arithmetic on the ≤ |days| aggregate.
+    * Exactness: k and n are exact longs; the Wilson center/half-width
+    * is the identical IEEE expression tree on both engines before
+    * r6. */
+  def eventsConversionCi(spark: SparkSession, dir: String): DataFrame = {
+    val z = lit(1.96); val z2 = lit(1.96 * 1.96)
+    val g = table(spark, dir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(when(col("event_type") === "purchase", 1)).as("k"),
+        count(lit(1)).as("n"))
+    val nD = col("n").cast("double"); val kD = col("k").cast("double")
+    val pHat = kD / nD
+    val denom = lit(1.0) + z2 / nD
+    val center = (pHat + z2 / (lit(2.0) * nD)) / denom
+    val half = z * sqrt(pHat * (lit(1.0) - pHat) / nD +
+      z2 / (lit(4.0) * nD * nD)) / denom
+    g.select(dateS(col("d")).as("day_s"), col("k"), col("n"),
+      r6(pHat).as("rate"), r6(center - half).as("lo"), r6(center + half).as("hi"))
+      .orderBy("day_s")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_chi2_independence" -> (aggChi2Independence _),
+    "events_conversion_ci" -> (eventsConversionCi _),
     "events_ab_ttest" -> (eventsAbTtest _),
     "agg_benford_profile" -> (aggBenfordProfile _),
     "agg_weighted_median" -> (aggWeightedMedian _),
@@ -2276,6 +2342,37 @@ object Relational {
     "window_lead" -> (windowLead _))
 
   val oracleSql: Map[String, String] = Map(
+    "agg_chi2_independence" ->
+      s"""WITH cells AS (SELECT o_orderpriority AS p, o_orderstatus AS s,
+           count(*) AS n FROM orders GROUP BY 1, 2),
+         m AS (SELECT p, s, n,
+           sum(n) OVER (PARTITION BY p) AS rt,
+           sum(n) OVER (PARTITION BY s) AS ct,
+           sum(n) OVER () AS tot FROM cells),
+         e AS (SELECT *,
+           ${r6Sql("CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(tot AS DOUBLE)")} AS exp
+           FROM m),
+         t AS (SELECT *, CAST(${r6Sql("(CAST(n AS DOUBLE) - exp) * (CAST(n AS DOUBLE) - exp) / exp")}
+             AS DECIMAL(16,6)) AS term FROM e)
+         SELECT CAST(max(tot) AS BIGINT) AS n,
+           count(DISTINCT p) AS n_rows_cat, count(DISTINCT s) AS n_cols_cat,
+           (count(DISTINCT p) - 1) * (count(DISTINCT s) - 1) AS dof,
+           ${r4Sql("CAST(sum(term) AS DOUBLE)")} AS chi2
+         FROM t""",
+    "events_conversion_ci" ->
+      s"""WITH g AS (SELECT CAST(ts AS DATE) AS d,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS k,
+           count(*) AS n
+           FROM ${evSql()} WHERE event_type IN ('purchase', 'click')
+           GROUP BY 1),
+         w AS (SELECT d, k, n,
+           CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS ph,
+           1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE) AS denom FROM g)
+         SELECT strftime(d, '%Y-%m-%d') AS day_s, k, n,
+           ${r6Sql("ph")} AS rate,
+           ${r6Sql("(ph + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))) / denom - 1.96 * sqrt(ph * (1.0 - ph) / CAST(n AS DOUBLE) + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / denom")} AS lo,
+           ${r6Sql("(ph + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))) / denom + 1.96 * sqrt(ph * (1.0 - ph) / CAST(n AS DOUBLE) + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / denom")} AS hi
+         FROM w ORDER BY day_s""",
     "events_ab_ttest" ->
       s"""WITH g AS (SELECT event_type, count(*) AS n,
            sum(CAST(value AS DECIMAL(10,2))) AS s,

@@ -413,4 +413,39 @@ class Round9OpsSpec extends AnyFunSuite with SparkFixture
       s"p50/p90/p99 of 1..10: $r")
     assert(r.getLong(4) == 10)
   }
+
+  test("chi2 independence: a product-form table is independent (chi2 = 0)") {
+    // counts n(p,s) = f(p)·g(s) → expected == observed exactly
+    val ords = for {
+      (p, fp) <- Seq(("1-URGENT", 1), ("2-HIGH", 2))
+      (s, gs) <- Seq(("O", 3), ("F", 4))
+      i <- 1 to fp * gs
+    } yield OrderRow((p + s + i).hashCode.toLong, 1, s, 10.0,
+      ts("2024-01-01 00:00:00"), p)
+    val dir = fixtureDir("orders" -> spark.createDataset(ords).toDF)
+    val r = Relational.aggChi2Independence(spark, dir).collect().head
+    assert(r.getLong(0) == 21 && r.getLong(3) == 1, s"margins: $r")
+    assert(r.getDouble(4) == 0.0, s"product table must give chi2 = 0: $r")
+  }
+
+  test("wilson CI: brackets the rate, narrows with n, stays inside [0,1] at the edges") {
+    val base = ts("2024-01-01 00:00:00").getTime
+    def ev(id: Long, day: Int, typ: String) =
+      EventRow(id, new Timestamp(base + day * 86400000L + id), 1L, typ, 1.0, "{}")
+    // day0: 2/4 at n=4; day1: 50/100; day2: 0 purchases of 10 (edge)
+    val evs = (1L to 2L).map(ev(_, 0, "purchase")) ++ (3L to 4L).map(ev(_, 0, "click")) ++
+      (10L to 59L).map(ev(_, 1, "purchase")) ++ (60L to 109L).map(ev(_, 1, "click")) ++
+      (200L to 209L).map(ev(_, 2, "click"))
+    val dir = fixtureDir("events" -> spark.createDataset(evs).toDF)
+    val out = Relational.eventsConversionCi(spark, dir).collect()
+    val d0 = out(0); val d1 = out(1); val d2 = out(2)
+    Seq(d0, d1).foreach { r =>
+      assert(r.getDouble(4) < r.getDouble(3) && r.getDouble(3) < r.getDouble(5),
+        s"interval must bracket the rate: $r")
+    }
+    assert(d1.getDouble(5) - d1.getDouble(4) < d0.getDouble(5) - d0.getDouble(4),
+      "same rate at 25x n must give a narrower interval")
+    assert(d2.getDouble(3) == 0.0 && d2.getDouble(4) >= 0.0,
+      s"Wilson lower bound at p=0 stays in [0,1]: $d2")
+  }
 }
