@@ -951,7 +951,31 @@ object Dedup {
       .orderBy("deg")
   }
 
+  /** Source-overlap matrix — the provenance question behind cross-source
+    * dedup: for every source pair, how many near-dup candidate pairs
+    * bridge them (ordered s1 ≤ s2, so syndication between two crawls
+    * lands in one cell; the diagonal is within-source duplication).
+    * Shape at scale: rides [[candidatePairsGlobal]] (state/output-
+    * bounded, never all-pairs); the doc→source map joins ONCE on each
+    * pair end keyed by the high-cardinality doc_id; the matrix itself
+    * is ≤ |sources|² rows. */
+  def dedupSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    val base = d.select(col("doc_id"), col("source"),
+      array_distinct(split(Text.normTextExpr, " ")).as("toks"))
+    val e = candidatePairsGlobal(base, "s").transform(iterCheckpoint)
+    val src = d.select(col("doc_id"), col("source"))
+    val tagged = e
+      .join(src.select(col("doc_id").as("d1"), col("source").as("src1")), "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("src2")), "d2")
+      .select(least(col("src1"), col("src2")).as("s1"),
+        greatest(col("src1"), col("src2")).as("s2"))
+    tagged.groupBy("s1", "s2").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("s1", "s2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_source_overlap" -> (dedupSourceOverlap _),
     "graph_degree_stats" -> (graphDegreeStats _),
     "dedup_pipeline_e2e" -> (pipelineE2e _),
     "dedup_minhash_global" -> (minhashGlobal _),
@@ -1091,6 +1115,20 @@ object Dedup {
          $bandCteGlobalSql"""
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_source_overlap" ->
+      s"""WITH $graphBandPreambleSql,
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           FROM band a JOIN band b
+             ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         tagged AS (
+           SELECT least(m1.source, m2.source) AS s1,
+             greatest(m1.source, m2.source) AS s2
+           FROM pairs
+           JOIN (SELECT doc_id, source FROM documents) m1 ON m1.doc_id = pairs.d1
+           JOIN (SELECT doc_id, source FROM documents) m2 ON m2.doc_id = pairs.d2)
+         SELECT s1, s2, count(*) AS n_pairs
+         FROM tagged GROUP BY s1, s2 ORDER BY s1, s2""",
     "graph_degree_stats" ->
       s"""WITH $graphBandPreambleSql,
          pairs AS MATERIALIZED (

@@ -2253,7 +2253,40 @@ object Relational {
       .orderBy("day_s")
   }
 
+  /** Per-user-day ML feature table — the feature-engineering step of a
+    * training pipeline: previous-day revenue, trailing-7-CALENDAR-day
+    * revenue/activity (RANGE frame on the day ordinal, so inactive days
+    * genuinely age out — a ROWS frame would span the last 7 ACTIVE
+    * days), and recency (days since previous activity, −1 on first
+    * appearance). Shape at scale: raw events collapse once to the
+    * (user, day) aggregate (map-side partials); every window rides the
+    * user_id hash partitioning over that aggregate. Exactness: revenue
+    * stays DECIMAL through the lags and range sums; day arithmetic is
+    * exact ints. */
+  def eventsLagFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n_ev"), sum(col("value").cast(Qty)).as("rev_d"))
+      .withColumn("di", datediff(col("d"), to_date(lit("1970-01-01"))).cast("long"))
+    val wo = Window.partitionBy("user_id").orderBy("d")
+    val wr = Window.partitionBy("user_id").orderBy("di").rangeBetween(-6, 0)
+    daily
+      .withColumn("prev_rev", lag(col("rev_d"), 1).over(wo))
+      .withColumn("rev_7d", sum(col("rev_d")).over(wr))
+      .withColumn("n_7d", sum(col("n_ev")).over(wr))
+      .withColumn("dsp", col("di") - lag(col("di"), 1).over(wo))
+      .select(col("user_id"), dateS(col("d")).as("day_s"), col("n_ev"),
+        round(col("rev_d").cast("double"), 2).as("rev"),
+        round(coalesce(col("prev_rev"), lit(0).cast(Qty)).cast("double"), 2)
+          .as("prev_rev"),
+        round(col("rev_7d").cast("double"), 2).as("rev_7d"),
+        col("n_7d"),
+        coalesce(col("dsp"), lit(-1L)).cast("long").as("days_since_prev"))
+      .orderBy("user_id", "day_s")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_lag_features" -> (eventsLagFeatures _),
     "agg_chi2_independence" -> (aggChi2Independence _),
     "events_conversion_ci" -> (eventsConversionCi _),
     "events_ab_ttest" -> (eventsAbTtest _),
@@ -2342,6 +2375,26 @@ object Relational {
     "window_lead" -> (windowLead _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_lag_features" ->
+      s"""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d,
+           count(*) AS n_ev, sum(CAST(value AS DECIMAL(10,2))) AS rev_d
+           FROM ${evSql()} GROUP BY 1, 2),
+         w AS (SELECT *, date_diff('day', DATE '1970-01-01', d) AS di FROM daily),
+         f AS (SELECT user_id, d, n_ev, rev_d,
+           lag(rev_d) OVER wo AS prev_rev,
+           sum(rev_d) OVER wr AS rev_7d,
+           sum(n_ev) OVER wr AS n_7d,
+           di - lag(di) OVER wo AS dsp
+           FROM w WINDOW wo AS (PARTITION BY user_id ORDER BY d),
+             wr AS (PARTITION BY user_id ORDER BY di
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+         SELECT user_id, strftime(d, '%Y-%m-%d') AS day_s, n_ev,
+           round(CAST(rev_d AS DOUBLE), 2) AS rev,
+           round(CAST(coalesce(prev_rev, 0) AS DOUBLE), 2) AS prev_rev,
+           round(CAST(rev_7d AS DOUBLE), 2) AS rev_7d,
+           CAST(n_7d AS BIGINT) AS n_7d,
+           CAST(coalesce(dsp, -1) AS BIGINT) AS days_since_prev
+         FROM f ORDER BY user_id, day_s""",
     "agg_chi2_independence" ->
       s"""WITH cells AS (SELECT o_orderpriority AS p, o_orderstatus AS s,
            count(*) AS n FROM orders GROUP BY 1, 2),

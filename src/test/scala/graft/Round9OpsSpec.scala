@@ -448,4 +448,38 @@ class Round9OpsSpec extends AnyFunSuite with SparkFixture
     assert(d2.getDouble(3) == 0.0 && d2.getDouble(4) >= 0.0,
       s"Wilson lower bound at p=0 stays in [0,1]: $d2")
   }
+
+  test("source overlap: duplicated template across sources fills the right cells") {
+    val dup = "spark shuffle partition broadcast executor memory column " +
+      "predicate codegen catalyst tungsten adaptive skew salt bucket"
+    val rows = Seq(doc(1, dup, source = "srcA"), doc(2, dup, source = "srcA"),
+      doc(3, dup, source = "srcB"),
+      doc(4, "totally unrelated vocabulary nothing else matches anywhere " +
+        "disparate other terms beyond these words", source = "srcB"))
+    val dir = fixtureDir("documents" -> spark.createDataset(rows).toDF)
+    val out = graft.ops.Dedup.dedupSourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // clique {1,2,3}: (1,2) within srcA; (1,3),(2,3) bridge srcA↔srcB
+    assert(out(("srcA", "srcA")) == 1 && out(("srcA", "srcB")) == 2,
+      s"overlap cells wrong: $out")
+    assert(!out.contains(("srcB", "srcA")), "matrix must be upper-triangular")
+  }
+
+  test("lag features: calendar RANGE frame ages out, recency counts gaps") {
+    val base = ts("2024-01-01 00:00:00").getTime
+    def ev(id: Long, day: Int, v: Double) =
+      EventRow(id, new Timestamp(base + day * 86400000L + id), 7L, "purchase", v, "{}")
+    // active days 0 (rev 10), 1 (rev 20), 9 (rev 40)
+    val evs = Seq(ev(1, 0, 10.0), ev(2, 1, 20.0), ev(3, 9, 40.0))
+    val dir = fixtureDir("events" -> spark.createDataset(evs).toDF)
+    val out = Relational.eventsLagFeatures(spark, dir).collect()
+    val d0 = out(0); val d1 = out(1); val d9 = out(2)
+    assert(d0.getDouble(4) == 0.0 && d0.getLong(7) == -1,
+      s"first day: prev 0, recency -1: $d0")
+    assert(d1.getDouble(5) == 30.0, s"trailing 7d on day1 = 10+20: $d1")
+    // day 9: days 3..9 in range — days 0 and 1 aged out → rev_7d = 40 only
+    assert(d9.getDouble(5) == 40.0, s"RANGE frame must age out old days: $d9")
+    assert(d9.getDouble(4) == 20.0 && d9.getLong(7) == 8,
+      s"prev rev 20 with an 8-day gap: $d9")
+  }
 }
