@@ -19,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new FunctionIdentifier(name), new ExpressionInfo(className, name), builder))
     }
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // rewrite row_number()<=k window idiom into the bounded-heap exec
+    ext.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
   }
 }
 

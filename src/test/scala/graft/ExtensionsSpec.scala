@@ -140,4 +140,73 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
       spark.sql("SELECT dot_product_float(CAST(array(1.0) AS ARRAY<FLOAT>))").collect())
     assert(e.getMessage.contains("2 arguments") || e.getMessage.contains("dot_product_float"))
   }
+
+  // ---- TopKWindowRewrite: the optimizer rung of the extension ladder ----
+
+  private def withTopKRewrite[A](f: => A): A = {
+    val prev = spark.experimental.extraOptimizations
+    val prevStrat = spark.experimental.extraStrategies
+    spark.experimental.extraOptimizations = prev :+ graft.plans.TopKWindowRewrite
+    if (!prevStrat.contains(graft.plans.TopKStrategy))
+      spark.experimental.extraStrategies = prevStrat :+ graft.plans.TopKStrategy
+    try f finally {
+      spark.experimental.extraOptimizations = prev
+      spark.experimental.extraStrategies = prevStrat
+    }
+  }
+
+  private def rankIdiom(k: String) = {
+    val df = spark.createDataset(Seq(
+      (1L, 5.0, 10L), (1L, 9.0, 11L), (1L, 9.0, 12L), (1L, 1.0, 13L),
+      (2L, 7.0, 20L), (2L, 3.0, 21L))).toDF("key", "score", "id")
+    df.createOrReplaceTempView("topk_t")
+    spark.sql(
+      s"""SELECT key, score, id FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY key ORDER BY score DESC, id) AS rn FROM topk_t)
+         WHERE rn <= $k ORDER BY key, score DESC, id""")
+  }
+
+  test("row_number<=k idiom rewrites to the heap exec, results unchanged") {
+    val unrewritten = rankIdiom("2").collect()
+    withTopKRewrite {
+      val df = rankIdiom("2")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("TopKPerKey"), s"idiom not rewritten:\n$p")
+      // Spark's own InsertWindowGroupLimit still contributes its partial
+      // pre-shuffle prune ("WindowGroupLimit") — that COMPOSES with the
+      // heap exec (map-side prune, heap final) and is welcome; what must
+      // be gone is the WindowExec itself ("Window [...]"), whose final
+      // per-group sort is the thing the rewrite exists to remove.
+      assert(!p.contains("Window ["), s"WindowExec survived the rewrite:\n$p")
+      assert(df.collect().toSeq == unrewritten.toSeq,
+        "rewrite changed the result")
+    }
+  }
+
+  test("rewrite blocks when the rank column is consumed downstream") {
+    withTopKRewrite {
+      val df = spark.sql(
+        """SELECT key, rn FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY key ORDER BY score DESC, id) AS rn FROM topk_t)
+           WHERE rn <= 2 ORDER BY key, rn""")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("TopKPerKey"),
+        s"rewrite fired though rn is in the output:\n$p")
+      assert(df.collect().map(_.getInt(1)).forall(_ <= 2))
+    }
+  }
+
+  test("rewrite blocks for rank() (not row_number) and for other window functions") {
+    withTopKRewrite {
+      val df = spark.sql(
+        """SELECT key, score FROM (
+             SELECT *, rank() OVER (
+               PARTITION BY key ORDER BY score DESC) AS rn FROM topk_t)
+           WHERE rn <= 2""")
+      assert(!df.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+        "rank() has different tie semantics — must not rewrite")
+    }
+  }
 }
