@@ -2285,7 +2285,102 @@ object Relational {
       .orderBy("user_id", "day_s")
   }
 
+  /** Point-in-time-correct feature join — the feature-store pattern that
+    * keeps training data leakage-free: each purchase label joins the
+    * latest order state STRICTLY BEFORE its timestamp (a same-instant
+    * order is NOT visible — [[joinAsofEventOrder]] is the ≤-semantics
+    * sibling; the strict rule is what "no label leakage" means), plus a
+    * static customer attribute and the feature's staleness in days.
+    * Shape at scale: the asof is the union-tag spelling — one window
+    * over the user_id hash partitioning, labels sorted BEFORE
+    * same-timestamp features so the ignore-null `last` can't see them;
+    * the customer dim rides a broadcast. The three feature columns are
+    * selected by the same last-non-null frame, so they come from the
+    * SAME feature row (never a Frankenstein of two orders). */
+  def joinPitFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val labels = table(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("uid"), unix_micros(col("ts")).as("t_us"),
+        lit(0).as("is_feat"), col("event_id"), tsS(col("ts")).as("ts_s"),
+        lit(null).cast("long").as("okey"),
+        lit(null).cast(Money).as("price_d"),
+        lit(null).cast("long").as("ot_us"))
+    val feats = table(spark, dir, "orders")
+      .select(col("o_custkey").as("uid"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t_us"),
+        lit(1).as("is_feat"), lit(null).cast("long").as("event_id"),
+        lit(null).cast("string").as("ts_s"),
+        col("o_orderkey").as("okey"),
+        col("o_totalprice").cast(Money).as("price_d"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ot_us"))
+    // strict "<": at an equal timestamp the label (is_feat 0) sorts
+    // BEFORE the feature row, so the frame ending at the label excludes it
+    val w = Window.partitionBy("uid").orderBy(col("t_us"), col("is_feat"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = labels.unionByName(feats)
+      .withColumn("f_okey", last(col("okey"), ignoreNulls = true).over(w))
+      .withColumn("f_price", last(col("price_d"), ignoreNulls = true).over(w))
+      .withColumn("f_t", last(col("ot_us"), ignoreNulls = true).over(w))
+      .filter(col("is_feat") === 0)
+    val cust = table(spark, dir, "customer")
+      .select(col("c_custkey").as("uid"),
+        col("c_acctbal").cast(Money).as("bal_d"))
+    joined.join(broadcast(cust), Seq("uid"), "left")
+      .select(col("event_id"), col("uid").as("user_id"), col("ts_s"),
+        col("f_okey").as("o_orderkey"),
+        round(col("f_price").cast("double"), 2).as("o_totalprice"),
+        ((col("t_us") - col("f_t")) / lit(86400000000L)).cast("long")
+          .as("order_age_days"),
+        round(col("bal_d").cast("double"), 2).as("acctbal"))
+      .orderBy("event_id")
+  }
+
+  /** Jensen-Shannon divergence between the first and second half of the
+    * event stream's type mix — the batch-drift metric ("did the
+    * distribution shift between these two deliveries?") that a
+    * threshold can gate promotion on. The split point is data-derived
+    * (midpoint of the observed day span, broadcast one-row). Shape at
+    * scale: events collapse once to (type, period) counts; everything
+    * after runs on the ≤ |types| aggregate. Exactness: p/q/m are exact
+    * count ratios; each type's JSD contribution is r6-fixed to DECIMAL
+    * before the full-frame sum; zero-mass sides contribute exactly 0 by
+    * the CASE guard (lim p→0 of p·ln(p/m) = 0). Units: nats. */
+  def eventsMixShift(spark: SparkSession, dir: String): DataFrame = {
+    val d166 = org.apache.spark.sql.types.DecimalType(16, 6)
+    val ev = table(spark, dir, "events")
+    val span = ev.agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      // integer DIV on both engines: a double /2 cast would TRUNCATE in
+      // Spark but ROUND in DuckDB on odd spans
+      .select(expr("date_add(d0, CAST(datediff(d1, d0) DIV 2 AS INT))").as("mid"))
+    val counts = ev.crossJoin(broadcast(span))
+      .select(col("event_type").as("et"),
+        when(to_date(col("ts")) <= col("mid"), "A").otherwise("B").as("period"))
+      .groupBy("et", "period").agg(count(lit(1)).as("n"))
+    val byType = counts.groupBy("et")
+      .agg(coalesce(sum(when(col("period") === "A", col("n"))), lit(0L)).as("na"),
+        coalesce(sum(when(col("period") === "B", col("n"))), lit(0L)).as("nb"))
+    val wf = Window.orderBy("et")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val p = col("na").cast("double") / col("ta").cast("double")
+    val q = col("nb").cast("double") / col("tb").cast("double")
+    val m = (p + q) / lit(2.0)
+    byType
+      .withColumn("ta", sum(col("na")).over(wf))
+      .withColumn("tb", sum(col("nb")).over(wf))
+      .withColumn("contrib", r6(
+        lit(0.5) * when(col("na") > 0, p * log(p / m)).otherwise(lit(0.0)) +
+        lit(0.5) * when(col("nb") > 0, q * log(q / m)).otherwise(lit(0.0)))
+        .cast(d166))
+      .withColumn("jsd_total", r4(sum(col("contrib")).over(wf).cast("double")))
+      .select(col("et"), col("na"), col("nb"),
+        r6(p).as("p_first"), r6(q).as("q_second"),
+        col("contrib").cast("double").as("jsd_contrib"), col("jsd_total"))
+      .orderBy("et")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_pit_features" -> (joinPitFeatures _),
+    "events_mix_shift" -> (eventsMixShift _),
     "events_lag_features" -> (eventsLagFeatures _),
     "agg_chi2_independence" -> (aggChi2Independence _),
     "events_conversion_ci" -> (eventsConversionCi _),
@@ -2375,6 +2470,58 @@ object Relational {
     "window_lead" -> (windowLead _))
 
   val oracleSql: Map[String, String] = Map(
+    "join_pit_features" ->
+      s"""WITH l AS (SELECT user_id AS uid, epoch_us(ts) AS t_us, 0 AS is_feat,
+           event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           CAST(NULL AS BIGINT) AS okey, CAST(NULL AS DECIMAL(14,2)) AS price_d,
+           CAST(NULL AS BIGINT) AS ot_us
+           FROM ${evSql()} WHERE event_type = 'purchase'),
+         f AS (SELECT o_custkey AS uid,
+           epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS t_us, 1 AS is_feat,
+           CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS VARCHAR) AS ts_s,
+           o_orderkey AS okey, CAST(o_totalprice AS DECIMAL(14,2)) AS price_d,
+           epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ot_us FROM orders),
+         u AS (SELECT * FROM l UNION ALL SELECT * FROM f),
+         w AS (SELECT *,
+           last_value(okey IGNORE NULLS) OVER win AS f_okey,
+           last_value(price_d IGNORE NULLS) OVER win AS f_price,
+           last_value(ot_us IGNORE NULLS) OVER win AS f_t
+           FROM u WINDOW win AS (PARTITION BY uid ORDER BY t_us, is_feat
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id, uid AS user_id, ts_s, f_okey AS o_orderkey,
+           round(CAST(f_price AS DOUBLE), 2) AS o_totalprice,
+           (t_us - f_t) // 86400000000 AS order_age_days,
+           round(CAST(c.bal AS DOUBLE), 2) AS acctbal
+         FROM w LEFT JOIN (SELECT c_custkey,
+             CAST(c_acctbal AS DECIMAL(14,2)) AS bal FROM customer) c
+           ON c.c_custkey = w.uid
+         WHERE is_feat = 0 ORDER BY event_id""",
+    "events_mix_shift" ->
+      s"""WITH span AS (SELECT min(CAST(ts AS DATE)) AS d0,
+           max(CAST(ts AS DATE)) AS d1 FROM ${evSql()}),
+         md AS (SELECT d0 + CAST(date_diff('day', d0, d1) // 2 AS INTEGER) AS mid
+           FROM span),
+         c AS (SELECT event_type AS et,
+           CASE WHEN CAST(ts AS DATE) <= mid THEN 'A' ELSE 'B' END AS period,
+           count(*) AS n
+           FROM ${evSql()}, md GROUP BY 1, 2),
+         t AS (SELECT et,
+           coalesce(sum(CASE WHEN period = 'A' THEN n END), 0) AS na,
+           coalesce(sum(CASE WHEN period = 'B' THEN n END), 0) AS nb
+           FROM c GROUP BY et),
+         w AS (SELECT *, sum(na) OVER () AS ta, sum(nb) OVER () AS tb FROM t),
+         e AS (SELECT et, na, nb,
+           CAST(na AS DOUBLE) / CAST(ta AS DOUBLE) AS p,
+           CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE) AS q FROM w),
+         x AS (SELECT *, (p + q) / 2.0 AS m FROM e),
+         g AS (SELECT et, na, nb, p, q,
+           CAST(${r6Sql("0.5 * CASE WHEN na > 0 THEN p * ln(p / m) ELSE 0.0 END + 0.5 * CASE WHEN nb > 0 THEN q * ln(q / m) ELSE 0.0 END")}
+             AS DECIMAL(16,6)) AS contrib FROM x)
+         SELECT et, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+           ${r6Sql("p")} AS p_first, ${r6Sql("q")} AS q_second,
+           CAST(contrib AS DOUBLE) AS jsd_contrib,
+           ${r4Sql("CAST(sum(contrib) OVER () AS DOUBLE)")} AS jsd_total
+         FROM g ORDER BY et""",
     "events_lag_features" ->
       s"""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d,
            count(*) AS n_ev, sum(CAST(value AS DECIMAL(10,2))) AS rev_d

@@ -482,4 +482,42 @@ class Round9OpsSpec extends AnyFunSuite with SparkFixture
     assert(d9.getDouble(4) == 20.0 && d9.getLong(7) == 8,
       s"prev rev 20 with an 8-day gap: $d9")
   }
+
+  test("PIT join: same-instant order is invisible (strict <), staleness counts days") {
+    val t0 = ts("2024-01-10 00:00:00")
+    // user 1: order on day 10 at 00:00; purchase at the SAME instant →
+    // leakage rule says NOT visible; later purchase on day 12 sees it
+    val evs = Seq(
+      EventRow(1L, t0, 1L, "purchase", 5.0, "{}"),
+      EventRow(2L, ts("2024-01-12 00:00:00"), 1L, "purchase", 5.0, "{}"))
+    val ords = Seq(OrderRow(100L, 1L, "O", 77.0, t0, "1-URGENT"))
+    val cust = Seq(CustRow(1L, "x", 1, 42.5, "AUTO"))
+    val dir = fixtureDir("events" -> spark.createDataset(evs).toDF,
+      "orders" -> spark.createDataset(ords).toDF,
+      "customer" -> spark.createDataset(cust).toDF)
+    val out = Relational.joinPitFeatures(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).isNullAt(3), s"same-instant order leaked into the label: ${out(1L)}")
+    assert(out(2L).getLong(3) == 100L && out(2L).getDouble(4) == 77.0 &&
+      out(2L).getLong(5) == 2, s"PIT feature wrong: ${out(2L)}")
+    assert(out(2L).getDouble(6) == 42.5)
+  }
+
+  test("mix shift: identical halves → JSD 0; disjoint halves → ln(2)") {
+    val base = ts("2024-01-01 00:00:00").getTime
+    def ev(id: Long, day: Int, typ: String) =
+      EventRow(id, new Timestamp(base + day * 86400000L + id), 1L, typ, 1.0, "{}")
+    // span days 0..9, mid = day 4: identical mixes on both sides
+    val same = (0 until 10).flatMap(d => Seq(ev(d * 10L, d, "a"), ev(d * 10L + 1, d, "b")))
+    val dirS = fixtureDir("events" -> spark.createDataset(same).toDF)
+    val jsdS = Relational.eventsMixShift(spark, dirS).collect().head.getDouble(6)
+    assert(jsdS == 0.0, s"identical halves must give JSD 0: $jsdS")
+    // disjoint: type a only in first half, b only in second → JSD = ln 2
+    val disj = (0 until 5).map(d => ev(d * 10L, d, "a")) ++
+      (5 until 10).map(d => ev(d * 10L, d, "b"))
+    val dirD = fixtureDir("events" -> spark.createDataset(disj).toDF)
+    val jsdD = Relational.eventsMixShift(spark, dirD).collect().head.getDouble(6)
+    assert(math.abs(jsdD - math.log(2.0)) < 1e-4,
+      s"disjoint halves must give JSD ln(2): $jsdD")
+  }
 }
