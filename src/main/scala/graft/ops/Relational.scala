@@ -2378,7 +2378,93 @@ object Relational {
       .orderBy("et")
   }
 
+  /** Day-of-week × hour activity heatmap — the load-profile matrix every
+    * ops dashboard opens with. ISO day numbering on BOTH engines
+    * (Spark `weekday()+1` = DuckDB `isodow`, Mon=1..Sun=7 — Spark's
+    * `dayofweek` and DuckDB's `dow` disagree on where Sunday lands,
+    * a real cross-engine trap). One hash agg to the ≤ 7×24 cell table
+    * (map-side partials); the share denominator is a full-frame window
+    * over that aggregate. */
+  def eventsHeatmapDowHour(spark: SparkSession, dir: String): DataFrame = {
+    val cells = table(spark, dir, "events")
+      .groupBy((weekday(col("ts")) + 1).as("isodow"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.orderBy("isodow", "hr")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells.withColumn("tot", sum(col("n")).over(wf))
+      .select(col("isodow").cast("long").as("isodow"),
+        col("hr").cast("long").as("hr"), col("n"),
+        r6(col("n").cast("double") / col("tot").cast("double")).as("share"))
+      .orderBy("isodow", "hr")
+  }
+
+  /** New-vs-returning daily split — the growth dashboard's second row:
+    * per day, how many actives are first-ever-seen vs returning. Shape
+    * at scale: one per-user min fixes first-seen (map-side partials);
+    * the corpus collapses to distinct (user, day) pairs ONCE; the
+    * comparison join rides the user_id partitioning; the daily rollup
+    * is aggregate-sized. */
+  def aggNewVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = table(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val firstSeen = pairs.groupBy("user_id").agg(min(col("d")).as("fd"))
+    pairs.join(firstSeen, "user_id")
+      .groupBy("d")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("d") === col("fd"), 1L).otherwise(0L)).as("n_new"))
+      .select(dateS(col("d")).as("day_s"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"),
+        r6(col("n_new").cast("double") / col("n_active").cast("double"))
+          .as("new_share"))
+      .orderBy("day_s")
+  }
+
+  /** Time-to-convert distribution — minutes from a user's FIRST click to
+    * their first purchase at-or-after it, summarized as lower-quantile
+    * minutes at p50/p90 plus mean and max. Shape at scale: two per-user
+    * extremes (map-side partials) + one user-keyed join; deltas bucket
+    * to MINUTES so the quantile CDF runs over a bounded bucket
+    * aggregate, not a per-user frame — the resolution trade (±1 min)
+    * is the price of an unpartitioned window never touching anything
+    * user-sized, and is documented here rather than hidden. Exactness:
+    * Σdelta goes through DECIMAL (µs sums overflow int64 at extreme
+    * user counts); quantiles are exact integer CDF comparisons. */
+  def eventsTimeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val ev = table(spark, dir, "events")
+    val firstClick = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("c0"))
+    val firstPurch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("pt"))
+      .join(firstClick, "user_id")
+      .filter(col("pt") >= col("c0"))
+      .groupBy("user_id", "c0").agg(min(col("pt")).as("p0"))
+      .select(col("user_id"), (col("p0") - col("c0")).as("delta_us"))
+    val buckets = firstPurch
+      .groupBy(expr("delta_us div 60000000").as("mn"))
+      .agg(count(lit(1)).as("c"), sum(col("delta_us").cast(d19)).as("sd"))
+    val wc = Window.orderBy("mn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.orderBy("mn")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    buckets
+      .withColumn("cum", sum(col("c")).over(wc))
+      .withColumn("tot", sum(col("c")).over(wf))
+      .withColumn("sdt", sum(col("sd")).over(wf))
+      .withColumn("mx", max(col("mn")).over(wf))
+      .groupBy()
+      .agg(max(col("tot")).as("n_converted"),
+        min(when(col("cum") * 2 >= col("tot"), col("mn"))).as("p50_min"),
+        min(when(col("cum") * 10 >= col("tot") * 9, col("mn"))).as("p90_min"),
+        max(col("mx")).as("max_min"),
+        r4(max(col("sdt")).cast("double") /
+          (max(col("tot")).cast("double") * lit(60000000.0))).as("mean_min"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_heatmap_dow_hour" -> (eventsHeatmapDowHour _),
+    "agg_new_vs_returning" -> (aggNewVsReturning _),
+    "events_time_to_convert" -> (eventsTimeToConvert _),
     "join_pit_features" -> (joinPitFeatures _),
     "events_mix_shift" -> (eventsMixShift _),
     "events_lag_features" -> (eventsLagFeatures _),
@@ -2470,6 +2556,45 @@ object Relational {
     "window_lead" -> (windowLead _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_heatmap_dow_hour" ->
+      s"""WITH c AS (SELECT isodow(ts) AS isodow, hour(ts) AS hr, count(*) AS n
+           FROM ${evSql()} GROUP BY 1, 2),
+         t AS (SELECT *, sum(n) OVER () AS tot FROM c)
+         SELECT CAST(isodow AS BIGINT) AS isodow, CAST(hr AS BIGINT) AS hr, n,
+           ${r6Sql("CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)")} AS share
+         FROM t ORDER BY isodow, hr""",
+    "agg_new_vs_returning" ->
+      s"""WITH pairs AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+           FROM ${evSql()}),
+         fs AS (SELECT user_id, min(d) AS fd FROM pairs GROUP BY user_id),
+         g AS (SELECT d, count(*) AS n_active,
+           sum(CASE WHEN d = fd THEN 1 ELSE 0 END) AS n_new
+           FROM pairs JOIN fs USING (user_id) GROUP BY d)
+         SELECT strftime(d, '%Y-%m-%d') AS day_s, n_active,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(n_active - n_new AS BIGINT) AS n_returning,
+           ${r6Sql("CAST(n_new AS DOUBLE) / CAST(n_active AS DOUBLE)")} AS new_share
+         FROM g ORDER BY day_s""",
+    "events_time_to_convert" ->
+      s"""WITH fc AS (SELECT user_id, min(epoch_us(ts)) AS c0
+           FROM ${evSql()} WHERE event_type = 'click' GROUP BY user_id),
+         fp AS (SELECT e.user_id, min(epoch_us(e.ts)) - min(fc.c0) AS delta_us
+           FROM ${evSql("e")} JOIN fc ON fc.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fc.c0
+           GROUP BY e.user_id),
+         b AS (SELECT delta_us // 60000000 AS mn, count(*) AS c,
+           sum(CAST(delta_us AS DECIMAL(19,0))) AS sd FROM fp GROUP BY 1),
+         w AS (SELECT mn, c, sd,
+           sum(c) OVER (ORDER BY mn
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(c) OVER () AS tot, sum(sd) OVER () AS sdt,
+           max(mn) OVER () AS mx FROM b)
+         SELECT CAST(max(tot) AS BIGINT) AS n_converted,
+           CAST(min(CASE WHEN cum * 2 >= tot THEN mn END) AS BIGINT) AS p50_min,
+           CAST(min(CASE WHEN cum * 10 >= tot * 9 THEN mn END) AS BIGINT) AS p90_min,
+           CAST(max(mx) AS BIGINT) AS max_min,
+           ${r4Sql("CAST(max(sdt) AS DOUBLE) / (CAST(max(tot) AS DOUBLE) * 60000000.0)")} AS mean_min
+         FROM w""",
     "join_pit_features" ->
       s"""WITH l AS (SELECT user_id AS uid, epoch_us(ts) AS t_us, 0 AS is_feat,
            event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,

@@ -520,4 +520,46 @@ class Round9OpsSpec extends AnyFunSuite with SparkFixture
     assert(math.abs(jsdD - math.log(2.0)) < 1e-4,
       s"disjoint halves must give JSD ln(2): $jsdD")
   }
+
+  test("heatmap: ISO day numbering (Mon=1) and shares summing to 1") {
+    // 2024-01-01 is a Monday; 2024-01-07 a Sunday
+    val evs = Seq(
+      EventRow(1L, ts("2024-01-01 05:30:00"), 1L, "view", 1.0, "{}"),
+      EventRow(2L, ts("2024-01-07 23:10:00"), 1L, "view", 1.0, "{}"))
+    val dir = fixtureDir("events" -> spark.createDataset(evs).toDF)
+    val out = Relational.eventsHeatmapDowHour(spark, dir).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 5L), (7L, 23L)), s"ISO dow/hour wrong: ${out.mkString(";")}")
+    assert(out.map(_.getDouble(3)).sum == 1.0)
+  }
+
+  test("new vs returning: first day all-new, later days split correctly") {
+    val base = ts("2024-01-01 00:00:00").getTime
+    def ev(id: Long, day: Int, uid: Long) =
+      EventRow(id, new Timestamp(base + day * 86400000L + id), uid, "view", 1.0, "{}")
+    // day0: users 1,2; day1: users 1 (returning), 3 (new)
+    val evs = Seq(ev(1, 0, 1), ev(2, 0, 2), ev(3, 1, 1), ev(4, 1, 3))
+    val dir = fixtureDir("events" -> spark.createDataset(evs).toDF)
+    val out = Relational.aggNewVsReturning(spark, dir).collect()
+    assert(out(0).getLong(2) == 2 && out(0).getLong(3) == 0, s"day0: ${out(0)}")
+    assert(out(1).getLong(2) == 1 && out(1).getLong(3) == 1 &&
+      out(1).getDouble(4) == 0.5, s"day1: ${out(1)}")
+  }
+
+  test("time to convert: pre-click purchases excluded, lower-quantile minutes") {
+    val t0 = ts("2024-01-01 00:00:00").getTime
+    def ev(id: Long, minute: Long, uid: Long, typ: String) =
+      EventRow(id, new Timestamp(t0 + minute * 60000L), uid, typ, 1.0, "{}")
+    val evs = Seq(
+      ev(1, 5, 1, "purchase"),  // BEFORE user 1's first click — excluded
+      ev(2, 10, 1, "click"), ev(3, 40, 1, "purchase"),   // 30 min
+      ev(4, 0, 2, "click"), ev(5, 10, 2, "purchase"),    // 10 min
+      ev(6, 0, 3, "click"))                              // never converts
+    val dir = fixtureDir("events" -> spark.createDataset(evs).toDF)
+    val r = Relational.eventsTimeToConvert(spark, dir).collect().head
+    assert(r.getLong(0) == 2, s"two converters: $r")
+    assert(r.getLong(1) == 10 && r.getLong(2) == 30 && r.getLong(3) == 30,
+      s"p50=10, p90=30, max=30: $r")
+    assert(r.getDouble(4) == 20.0, s"mean 20 min: $r")
+  }
 }
