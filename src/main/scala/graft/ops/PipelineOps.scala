@@ -995,7 +995,37 @@ object PipelineOps {
            FROM $t""")
     }.mkString("SELECT * FROM (", "\n           UNION ALL ", ") ORDER BY tbl, col")
 
+  /** Partition-skew diagnostic — "will this key hash evenly across the
+    * cluster?": events bucketed 32 ways on a key-derived hash, per-
+    * bucket row/user counts, and the max/mean skew ratio that predicts
+    * straggler tasks. The bucket is md5-derived (the engine's portable
+    * proxy for hashpartitioning — Spark's Murmur3 `hash()` has no
+    * DuckDB twin, so the REAL partitioner isn't oracle-mirrorable; the
+    * md5 bucket has the same uniformity and the identical spelling on
+    * both engines). One hash agg to the ≤32-row bucket table; the
+    * summary ratio is a full-frame window over that aggregate. */
+  def pipeSkewReport(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = (conv(substring(
+      md5(col("user_id").cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long") % 32).as("bucket")
+    val g = table(spark, dir, "events")
+      .groupBy(bucket)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"))
+    val wf = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("tot", sum(col("n_rows")).over(wf))
+      .withColumn("nb", count(lit(1)).over(wf))
+      .withColumn("mx", max(col("n_rows")).over(wf))
+      .select(col("bucket"), col("n_rows"), col("n_users"),
+        r6(col("n_rows").cast("double") / col("tot").cast("double")).as("share"),
+        r4(col("mx").cast("double") /
+          (col("tot").cast("double") / col("nb").cast("double"))).as("skew_ratio"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_skew_report" -> (pipeSkewReport _),
     "pipe_analyze_stats" -> (pipeAnalyzeStats _),
     "pipe_curriculum_order" -> (pipeCurriculumOrder _),
     "pipe_delta_log" -> (deltaLog _),
@@ -1029,6 +1059,18 @@ object PipelineOps {
     "pipe_sample_topk_hash" -> (sampleTopkHash _))
 
   val oracleSql: Map[String, String] = Map(
+    "pipe_skew_report" ->
+      s"""WITH g AS (SELECT
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT)
+             % 32 AS bucket,
+           count(*) AS n_rows, count(DISTINCT user_id) AS n_users
+           FROM ${evSql()} GROUP BY 1),
+         w AS (SELECT *, sum(n_rows) OVER () AS tot, count(*) OVER () AS nb,
+           max(n_rows) OVER () AS mx FROM g)
+         SELECT bucket, n_rows, n_users,
+           ${r6Sql("CAST(n_rows AS DOUBLE) / CAST(tot AS DOUBLE)")} AS share,
+           ${r4Sql("CAST(mx AS DOUBLE) / (CAST(tot AS DOUBLE) / CAST(nb AS DOUBLE))")} AS skew_ratio
+         FROM w ORDER BY bucket""",
     "pipe_analyze_stats" -> analyzeStatsOracle,
     "pipe_curriculum_order" ->
       s"""WITH s AS (SELECT doc_id,
