@@ -1024,7 +1024,35 @@ object PipelineOps {
       .orderBy("bucket")
   }
 
+  /** Deterministic WEIGHTED sampling (Efraimidis–Spirakis A-ES): each
+    * doc draws a reproducible pseudo-uniform u from md5(doc_id) and
+    * competes with key u^(1/w), w = n_chars — longer docs
+    * proportionally likelier, yet the same corpus always yields the
+    * same sample (the property grid-rerun pipelines need; `rand()`
+    * would resample every run). Top-64 by key is a single
+    * TakeOrderedAndProject — no shuffle of the corpus, no ranking
+    * window. Determinism note: selection compares raw pow() doubles —
+    * libm ulp divergence could in principle flip an exact tie at the
+    * boundary, but keys are 15-hex-digit dense (collision odds
+    * ≈ n·2⁻⁵²); the emitted KEY is r6-rounded for the oracle
+    * comparison. */
+  def pipeSampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    // 16^15 = 2^60, written as the exact literal so both engines divide
+    // by the identical double (no pow() in the denominator)
+    val u = (conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("double") / lit(1152921504606846976.0))
+    val key = pow(u, lit(1.0) / col("n_chars").cast("double"))
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), key.as("k"))
+      .orderBy(desc("k"), col("doc_id"))
+      .limit(64)
+      .select(col("doc_id"), col("n_chars"), r6(col("k")).as("key_r"))
+      .orderBy(desc("key_r"), col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_sample_weighted" -> (pipeSampleWeighted _),
     "pipe_skew_report" -> (pipeSkewReport _),
     "pipe_analyze_stats" -> (pipeAnalyzeStats _),
     "pipe_curriculum_order" -> (pipeCurriculumOrder _),
@@ -1059,6 +1087,15 @@ object PipelineOps {
     "pipe_sample_topk_hash" -> (sampleTopkHash _))
 
   val oracleSql: Map[String, String] = Map(
+    "pipe_sample_weighted" ->
+      s"""WITH s AS (SELECT doc_id, n_chars,
+           pow(CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) AS DOUBLE) / 1152921504606846976.0,
+             1.0 / CAST(n_chars AS DOUBLE)) AS k
+           FROM documents),
+         t AS (SELECT * FROM s ORDER BY k DESC, doc_id LIMIT 64)
+         SELECT doc_id, n_chars, ${r6Sql("k")} AS key_r
+         FROM t ORDER BY key_r DESC, doc_id""",
     "pipe_skew_report" ->
       s"""WITH g AS (SELECT
            CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT)

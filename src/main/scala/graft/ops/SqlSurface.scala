@@ -253,7 +253,25 @@ object SqlSurface {
          ORDER BY month""")
   }
 
+  /** GROUP BY ALL — the modern-SQL ergonomics both engines now share
+    * (DuckDB invented the spelling; Spark adopted it): every
+    * non-aggregate select item becomes a grouping key, so adding a
+    * dimension to the SELECT can't silently desync from the GROUP BY
+    * list. Plans as a plain two-key hash aggregate — the sugar is
+    * purely analytic. */
+  def sqlGroupByAll(spark: SparkSession, dir: String): DataFrame = {
+    reg(spark, dir, "orders")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+              round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 2)
+                AS sum_price
+         FROM g_orders
+         GROUP BY ALL
+         ORDER BY o_orderstatus, o_orderpriority""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_group_by_all" -> (sqlGroupByAll _),
     "sql_recursive_spine" -> (sqlRecursiveSpine _),
     "sql_pivot" -> (sqlPivot _),
     "sql_lateral_join" -> (sqlLateralJoin _),
@@ -266,6 +284,12 @@ object SqlSurface {
     "sql_dot_product" -> (sqlDotProduct _))
 
   val oracleSql: Map[String, String] = Map(
+    "sql_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 2)
+           AS sum_price
+         FROM orders GROUP BY ALL
+         ORDER BY o_orderstatus, o_orderpriority""",
     "sql_recursive_spine" ->
       """WITH RECURSIVE spine(m) AS (
            SELECT DATE '1995-01-01'

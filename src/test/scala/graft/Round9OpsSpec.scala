@@ -562,4 +562,20 @@ class Round9OpsSpec extends AnyFunSuite with SparkFixture
       s"p50=10, p90=30, max=30: $r")
     assert(r.getDouble(4) == 20.0, s"mean 20 min: $r")
   }
+
+  test("weighted sample: reproducible across runs; heavy docs overrepresented") {
+    // 200 docs of weight 1 (n_chars 10) + 200 of weight 100 (n_chars 1000):
+    // A-ES keys u^(1/w) concentrate near 1 for heavy docs — the 64-sample
+    // should be dominated by them, and two runs must agree exactly.
+    val rows = (1L to 200L).map(i =>
+      DocRow(i, "x", "en", "s", 10L)) ++ (201L to 400L).map(i =>
+      DocRow(i, "x", "en", "s", 1000L))
+    val dir = fixtureDir("documents" -> spark.createDataset(rows).toDF)
+    val a = graft.ops.PipelineOps.pipeSampleWeighted(spark, dir).collect()
+    val b = graft.ops.PipelineOps.pipeSampleWeighted(spark, dir).collect()
+    assert(a.toSeq == b.toSeq, "weighted sample must be deterministic")
+    assert(a.length == 64)
+    val heavy = a.count(_.getLong(1) == 1000L)
+    assert(heavy > 48, s"weight-100 docs should dominate the sample: $heavy/64")
+  }
 }
