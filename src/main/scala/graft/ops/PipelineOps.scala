@@ -1051,7 +1051,51 @@ object PipelineOps {
       .orderBy(desc("key_r"), col("doc_id"))
   }
 
+  private lazy val mvRoot: java.io.File = processTempRoot("graft_mv_")
+  private val mvScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write-once persisted materialized view: per-(type, day) count +
+    * revenue over the STANDING slice (user_id % 7 ≠ 0 — the same
+    * standing/batch split convention as `dedup_incremental`). */
+  private def mvLayout(spark: SparkSession, dir: String): String =
+    mvScratch.computeIfAbsent(dir, { d =>
+      val out = new java.io.File(mvRoot, "d" + dirKey(d))
+      table(spark, d, "events").filter(col("user_id") % 7 =!= 0)
+        .groupBy(col("event_type").as("et"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(Qty)).as("rev_d"))
+        .write.mode("overwrite").parquet(out.getPath)
+      out.getPath
+    })
+
+  /** Incremental MATERIALIZED-VIEW maintenance — the aggregation twin of
+    * `dedup_index_probe`'s A7 contract: a persisted daily-revenue MV
+    * absorbs a new batch ALGEBRAICALLY (old MV ⊎ agg(batch), re-reduced
+    * on the aggregate level) and must equal a full recompute over the
+    * union — which is exactly what the oracle checks, knowing nothing
+    * about the MV. The standing events are NEVER rescanned: the only
+    * raw-events scan in the plan is the batch slice (PlanSpec-asserted),
+    * the rest reads the ≤ |types|·|days| MV parquet. Sound because both
+    * measures are commutative-monoid aggregates (counts and DECIMAL
+    * sums — associativity is exact; a double sum would NOT be). At
+    * 100 TB this is the difference between touching one delivery and
+    * re-aggregating the lake. */
+  def pipeMvIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val mv = spark.read.parquet(mvLayout(spark, dir))
+    val batch = table(spark, dir, "events")
+      .filter(col("user_id") % 7 === 0)
+      .groupBy(col("event_type").as("et"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(Qty)).as("rev_d"))
+    mv.unionByName(batch)
+      .groupBy("et", "d")
+      .agg(sum(col("n")).as("n"), sum(col("rev_d")).as("rev_d"))
+      .select(col("et"), dateS(col("d")).as("day_s"), col("n"),
+        round(col("rev_d").cast("double"), 2).as("rev"))
+      .orderBy("et", "day_s")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_mv_incremental" -> (pipeMvIncremental _),
     "pipe_sample_weighted" -> (pipeSampleWeighted _),
     "pipe_skew_report" -> (pipeSkewReport _),
     "pipe_analyze_stats" -> (pipeAnalyzeStats _),
@@ -1087,6 +1131,13 @@ object PipelineOps {
     "pipe_sample_topk_hash" -> (sampleTopkHash _))
 
   val oracleSql: Map[String, String] = Map(
+    // result-transparent: the oracle recomputes the FULL aggregate from
+    // raw events, proving MV ⊎ batch ≡ recompute without knowing the MV
+    "pipe_mv_incremental" ->
+      s"""SELECT event_type AS et,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day_s, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE), 2) AS rev
+         FROM ${evSql()} GROUP BY 1, 2 ORDER BY et, day_s""",
     "pipe_sample_weighted" ->
       s"""WITH s AS (SELECT doc_id, n_chars,
            pow(CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))

@@ -2461,7 +2461,34 @@ object Relational {
           (max(col("tot")).cast("double") * lit(60000000.0))).as("mean_min"))
   }
 
+  /** k-anonymity report over the customer quasi-identifier projection
+    * (nation, market segment) at k = 5 — the privacy-engineering check
+    * run before a dataset leaves the boundary: every equivalence class
+    * with fewer than k members re-identifies its rows. Per class: size
+    * and the risky flag; globally: the fraction of ROWS at risk (the
+    * suppression budget). Shape at scale: one hash agg to the
+    * ≤ |nations|·|segments| class table; the global fraction is a
+    * full-frame window over that aggregate. All counts exact; one IEEE
+    * division before r6. */
+  def aggKAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val g = table(spark, dir, "customer")
+      .groupBy(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.orderBy("nation", "segment")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("tot", sum(col("n")).over(wf))
+      .withColumn("risky_rows",
+        sum(when(col("n") < 5, col("n")).otherwise(0L)).over(wf))
+      .select(col("nation"), col("segment"), col("n"),
+        (col("n") < 5).as("risky"),
+        r6(col("risky_rows").cast("double") / col("tot").cast("double"))
+          .as("at_risk_frac"))
+      .orderBy("nation", "segment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_k_anonymity" -> (aggKAnonymity _),
     "events_heatmap_dow_hour" -> (eventsHeatmapDowHour _),
     "agg_new_vs_returning" -> (aggNewVsReturning _),
     "events_time_to_convert" -> (eventsTimeToConvert _),
@@ -2556,6 +2583,16 @@ object Relational {
     "window_lead" -> (windowLead _))
 
   val oracleSql: Map[String, String] = Map(
+    "agg_k_anonymity" ->
+      s"""WITH g AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+           c_mktsegment AS segment, count(*) AS n
+           FROM customer GROUP BY 1, 2),
+         w AS (SELECT *, sum(n) OVER () AS tot,
+           sum(CASE WHEN n < 5 THEN n ELSE 0 END) OVER () AS risky_rows
+           FROM g)
+         SELECT nation, segment, n, n < 5 AS risky,
+           ${r6Sql("CAST(risky_rows AS DOUBLE) / CAST(tot AS DOUBLE)")} AS at_risk_frac
+         FROM w ORDER BY nation, segment""",
     "events_heatmap_dow_hour" ->
       s"""WITH c AS (SELECT isodow(ts) AS isodow, hour(ts) AS hr, count(*) AS n
            FROM ${evSql()} GROUP BY 1, 2),

@@ -591,6 +591,21 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"offset join not broadcast:\n${plan(df)}")
   }
 
+  test("pipe_mv_incremental: the standing slice is never rescanned") {
+    // The merge plan may read raw events exactly ONCE (the batch slice,
+    // with the %7 filter pushed to the scan); the standing side must
+    // come from the persisted MV parquet.
+    val df = PipelineOps.pipeMvIncremental(spark, dir)
+    df.collect()
+    // AQE's toString prints the initial plan again below the final one —
+    // count raw-events scans in the FINAL section only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val eventScans = "events\\.parquet".r.findAllIn(p).length
+    assert(eventScans == 1,
+      s"expected exactly one raw-events scan (the batch), got $eventScans:\n$p")
+    assert(p.contains("graft_mv_"), s"persisted MV not read:\n$p")
+  }
+
   test("events_ab_ttest: sufficient statistics aggregate partially map-side") {
     // The t-test must shuffle (n, Σv, Σv²) partials, never sample rows:
     // a partial_count/partial_sum pair below the exchange proves it.

@@ -578,4 +578,34 @@ class Round9OpsSpec extends AnyFunSuite with SparkFixture
     val heavy = a.count(_.getLong(1) == 1000L)
     assert(heavy > 48, s"weight-100 docs should dominate the sample: $heavy/64")
   }
+
+  test("MV merge equals full recompute, including batch-only groups") {
+    val base = ts("2024-01-01 00:00:00").getTime
+    def ev(id: Long, uid: Long, day: Int, typ: String, v: Double) =
+      EventRow(id, new Timestamp(base + day * 86400000L + id), uid, typ, v, "{}")
+    // standing users (1, 2: %7≠0) + batch user 7 (%7=0) who adds to an
+    // existing (type, day) cell AND creates a brand-new one
+    val evs = Seq(ev(1, 1, 0, "view", 10.0), ev(2, 2, 0, "view", 20.0),
+      ev(3, 1, 1, "click", 5.0),
+      ev(4, 7, 0, "view", 40.0),     // merges into (view, day0)
+      ev(5, 7, 2, "purchase", 9.0))  // batch-only group
+    val dir = fixtureDir("events" -> spark.createDataset(evs).toDF)
+    val out = graft.ops.PipelineOps.pipeMvIncremental(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("view", "2024-01-01")) == ((3L, 70.0)), s"merged cell: $out")
+    assert(out(("purchase", "2024-01-03")) == ((1L, 9.0)), s"batch-only cell: $out")
+    assert(out(("click", "2024-01-02")) == ((1L, 5.0)), s"standing-only cell: $out")
+  }
+
+  test("k-anonymity: small classes flagged, at-risk fraction counts rows") {
+    val cust = (1L to 10L).map(i => CustRow(i, "c", 1, 0.0, "AUTO")) ++
+      Seq(CustRow(11L, "c", 2, 0.0, "AUTO"), CustRow(12L, "c", 2, 0.0, "AUTO"))
+    val dir = fixtureDir("customer" -> spark.createDataset(cust).toDF)
+    val out = Relational.aggKAnonymity(spark, dir).collect()
+    val big = out.find(_.getLong(0) == 1L).get
+    val small = out.find(_.getLong(0) == 2L).get
+    assert(!big.getBoolean(3) && small.getBoolean(3), s"risky flags: $big $small")
+    // 2 of 12 rows sit in classes under k=5
+    assert(math.abs(big.getDouble(4) - 2.0 / 12) < 1e-6)
+  }
 }
