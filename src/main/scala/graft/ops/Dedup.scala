@@ -974,7 +974,40 @@ object Dedup {
       .orderBy("s1", "s2")
   }
 
+  /** The dedup DASHBOARD row — the one-line summary a pipeline report
+    * actually shows: corpus size, exact-duplicate count (docs minus
+    * distinct content hashes), candidate-pair volume from the capped
+    * cross-source LSH generator, docs touched by any candidate, and the
+    * cross-source bridge count, with exact/near rates. Pure composition
+    * of the existing bounded generators — one content-hash distinct, one
+    * capped candidate pass, three one-row aggregates broadcast
+    * together. */
+  def dedupRateReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    val base = d.select(col("doc_id"), col("source"),
+      array_distinct(split(Text.normTextExpr, " ")).as("toks"))
+    val e = candidatePairsGlobal(base, "s").transform(iterCheckpoint)
+    val src = d.select(col("doc_id"), col("source"))
+    val cross = e
+      .join(src.select(col("doc_id").as("d1"), col("source").as("src1")), "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("src2")), "d2")
+      .agg(count(lit(1)).as("ne"),
+        sum(when(col("src1") =!= col("src2"), 1L).otherwise(0L)).as("nx"))
+    val inPairs = e.select(explode(array(col("d1"), col("d2"))).as("doc_id"))
+      .distinct().agg(count(lit(1)).as("np"))
+    d.agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text").cast("binary"))).as("ndist"))
+      .crossJoin(broadcast(cross)).crossJoin(broadcast(inPairs))
+      .select(col("n_docs"), (col("n_docs") - col("ndist")).as("n_exact_dup"),
+        col("ne").as("n_candidate_pairs"), col("np").as("n_docs_in_pairs"),
+        col("nx").as("n_cross_source_pairs"),
+        r6((col("n_docs") - col("ndist")).cast("double") /
+          col("n_docs").cast("double")).as("exact_rate"),
+        r6(col("np").cast("double") / col("n_docs").cast("double")).as("near_rate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_rate_report" -> (dedupRateReport _),
     "dedup_source_overlap" -> (dedupSourceOverlap _),
     "graph_degree_stats" -> (graphDegreeStats _),
     "dedup_pipeline_e2e" -> (pipelineE2e _),
@@ -1115,6 +1148,27 @@ object Dedup {
          $bandCteGlobalSql"""
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_rate_report" ->
+      s"""WITH $graphBandPreambleSql,
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           FROM band a JOIN band b
+             ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         x AS (SELECT count(*) AS ne,
+           sum(CASE WHEN m1.source <> m2.source THEN 1 ELSE 0 END) AS nx
+           FROM pairs
+           JOIN (SELECT doc_id, source FROM documents) m1 ON m1.doc_id = pairs.d1
+           JOIN (SELECT doc_id, source FROM documents) m2 ON m2.doc_id = pairs.d2),
+         ip AS (SELECT count(*) AS np FROM (
+           SELECT d1 AS doc_id FROM pairs UNION SELECT d2 FROM pairs)),
+         base AS (SELECT count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS ndist FROM documents)
+         SELECT n_docs, CAST(n_docs - ndist AS BIGINT) AS n_exact_dup,
+           ne AS n_candidate_pairs, np AS n_docs_in_pairs,
+           CAST(nx AS BIGINT) AS n_cross_source_pairs,
+           ${r6Sql("CAST(n_docs - ndist AS DOUBLE) / CAST(n_docs AS DOUBLE)")} AS exact_rate,
+           ${r6Sql("CAST(np AS DOUBLE) / CAST(n_docs AS DOUBLE)")} AS near_rate
+         FROM base, x, ip""",
     "dedup_source_overlap" ->
       s"""WITH $graphBandPreambleSql,
          pairs AS MATERIALIZED (

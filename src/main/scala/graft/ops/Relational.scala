@@ -2487,7 +2487,40 @@ object Relational {
       .orderBy("nation", "segment")
   }
 
+  /** Association mining's first table — event-type co-occurrence in
+    * (user, day) baskets with support and LIFT (how much likelier the
+    * pair is than independence): lift = P(a,b)/(P(a)·P(b)). Shape at
+    * scale: the corpus collapses once to distinct (basket, type) rows;
+    * the pair self-join is keyed on the HIGH-CARDINALITY basket id
+    * (user, day) with t1 < t2 inside the basket — output bounded by
+    * |types|² per basket, never corpus²; singles and the basket count
+    * are aggregate-sized joins. Exactness: supports are exact ints;
+    * lift = (n_both·N)/(c1·c2) is one IEEE expression before r4. */
+  def aggBasketLift(spark: SparkSession, dir: String): DataFrame = {
+    val b = table(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        col("event_type").as("t")).distinct()
+    val nBaskets = b.select("user_id", "d").distinct()
+      .agg(count(lit(1)).as("nb"))
+    val singles = b.groupBy("t").agg(count(lit(1)).as("c"))
+    val pairs = b.select(col("user_id"), col("d"), col("t").as("t1"))
+      .join(b.select(col("user_id"), col("d"), col("t").as("t2")),
+        Seq("user_id", "d"))
+      .filter(col("t1") < col("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(singles.select(col("t").as("t1"), col("c").as("c1")), "t1")
+      .join(singles.select(col("t").as("t2"), col("c").as("c2")), "t2")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("t1"), col("t2"), col("n_both"),
+        r6(col("n_both").cast("double") / col("nb").cast("double")).as("support"),
+        r4(col("n_both").cast("double") * col("nb").cast("double") /
+          (col("c1").cast("double") * col("c2").cast("double"))).as("lift"))
+      .orderBy("t1", "t2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_basket_lift" -> (aggBasketLift _),
     "agg_k_anonymity" -> (aggKAnonymity _),
     "events_heatmap_dow_hour" -> (eventsHeatmapDowHour _),
     "agg_new_vs_returning" -> (aggNewVsReturning _),
@@ -2583,6 +2616,23 @@ object Relational {
     "window_lead" -> (windowLead _))
 
   val oracleSql: Map[String, String] = Map(
+    "agg_basket_lift" ->
+      s"""WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d,
+           event_type AS t FROM ${evSql()}),
+         nb AS (SELECT count(*) AS nb
+           FROM (SELECT DISTINCT user_id, d FROM b)),
+         s AS (SELECT t, count(*) AS c FROM b GROUP BY t),
+         p AS (SELECT x.t AS t1, y.t AS t2, count(*) AS n_both
+           FROM b x JOIN b y ON x.user_id = y.user_id AND x.d = y.d
+             AND x.t < y.t
+           GROUP BY 1, 2)
+         SELECT t1, t2, n_both,
+           ${r6Sql("CAST(n_both AS DOUBLE) / CAST(nb AS DOUBLE)")} AS support,
+           ${r4Sql("CAST(n_both AS DOUBLE) * CAST(nb AS DOUBLE) / (CAST(s1.c AS DOUBLE) * CAST(s2.c AS DOUBLE))")} AS lift
+         FROM p
+           JOIN (SELECT t AS t1, c FROM s) s1 USING (t1)
+           JOIN (SELECT t AS t2, c FROM s) s2 USING (t2), nb
+         ORDER BY t1, t2""",
     "agg_k_anonymity" ->
       s"""WITH g AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
            c_mktsegment AS segment, count(*) AS n

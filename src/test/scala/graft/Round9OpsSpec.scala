@@ -608,4 +608,33 @@ class Round9OpsSpec extends AnyFunSuite with SparkFixture
     // 2 of 12 rows sit in classes under k=5
     assert(math.abs(big.getDouble(4) - 2.0 / 12) < 1e-6)
   }
+
+  test("basket lift: perfectly coupled pair → lift = N/c; independent pair ≈ 1") {
+    val base = ts("2024-01-01 00:00:00").getTime
+    def ev(id: Long, uid: Long, typ: String) =
+      EventRow(id, new Timestamp(base + id), uid, typ, 1.0, "{}")
+    // 4 baskets (users 1..4, same day): a+b together in 2 baskets,
+    // c alone in the other 2 → (a,b): support .5, lift = 2*4/(2*2)=2
+    val evs = Seq(ev(1, 1, "a"), ev(2, 1, "b"), ev(3, 2, "a"), ev(4, 2, "b"),
+      ev(5, 3, "c"), ev(6, 4, "c"))
+    val dir = fixtureDir("events" -> spark.createDataset(evs).toDF)
+    val out = Relational.aggBasketLift(spark, dir).collect()
+    assert(out.length == 1, s"only (a,b) co-occurs: ${out.mkString(";")}")
+    val r = out.head
+    assert(r.getString(0) == "a" && r.getString(1) == "b" && r.getLong(2) == 2)
+    assert(r.getDouble(3) == 0.5 && r.getDouble(4) == 2.0, s"support/lift: $r")
+  }
+
+  test("dedup rate report: exact dups counted by content, near rate covers the clique") {
+    val dup = "spark shuffle partition broadcast executor memory column " +
+      "predicate codegen catalyst tungsten adaptive skew salt bucket"
+    val rows = Seq(doc(1, dup), doc(2, dup), doc(3, dup),
+      doc(4, "some completely different text with its own vocabulary " +
+        "that shares nothing at all with the template words"))
+    val dir = fixtureDir("documents" -> spark.createDataset(rows).toDF)
+    val r = graft.ops.Dedup.dedupRateReport(spark, dir).collect().head
+    assert(r.getLong(0) == 4 && r.getLong(1) == 2, s"3 identical docs = 2 exact dups: $r")
+    assert(r.getLong(3) == 3 && r.getDouble(6) == 0.75, s"clique of 3 in pairs: $r")
+    assert(r.getLong(4) == 0, "single-source fixture has no cross-source pairs")
+  }
 }
