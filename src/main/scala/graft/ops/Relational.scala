@@ -2519,7 +2519,68 @@ object Relational {
       .orderBy("t1", "t2")
   }
 
+  /** Price elasticity per return flag — the economist's log-log
+    * regression: slope of ln(quantity) on ln(unit price) estimates
+    * %Δqty per %Δprice. Shape at scale: per-row log features feed
+    * map-side-combined sufficient-statistic sums — the regression never
+    * sees more than one row per group after the aggregate. Exactness:
+    * each row's (x, y) is r6-fixed to DECIMAL(16,6) BEFORE the sums
+    * (the `text_zipf_fit` discipline — decimal sums are
+    * association-order-free where double sums are not), and the
+    * closed-form slope/intercept arithmetic is the identical IEEE tree
+    * on both engines before r4. */
+  def aggPriceElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val d166 = org.apache.spark.sql.types.DecimalType(16, 6)
+    val pts = table(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 0 && col("l_extendedprice") > 0)
+      .select(col("l_returnflag").as("flag"),
+        r6(log(col("l_extendedprice") / col("l_quantity"))).cast(d166).as("x"),
+        r6(log(col("l_quantity"))).cast(d166).as("y"))
+    val s = pts.groupBy("flag")
+      .agg(count(lit(1)).cast("double").as("nd"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"))
+    val slope = (col("nd") * col("sxy") - col("sx") * col("sy")) /
+      (col("nd") * col("sxx") - col("sx") * col("sx"))
+    s.select(col("flag"), col("nd").cast("long").as("n"),
+        r4(slope).as("elasticity"),
+        r4((col("sy") - slope * col("sx")) / col("nd")).as("intercept"))
+      .orderBy("flag")
+  }
+
+  /** Maximum drawdown of cumulative daily revenue per event type — the
+    * finance-desk risk summary applied to a revenue stream: largest
+    * peak-to-trough fall of the running total, with the trough day.
+    * Shape at scale: events collapse once to daily sums; the cumulative,
+    * running-peak and argmax windows all run over that ≤ |types|·|days|
+    * aggregate. Exactness: the entire cum/peak/drawdown chain stays
+    * DECIMAL (a double running sum is association-order-dependent);
+    * ties on the max drawdown break to the EARLIEST trough. */
+  def eventsMaxDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .groupBy(col("event_type").as("et"), to_date(col("ts")).as("d"))
+      .agg(sum(col("value").cast(Qty)).as("rev_d"))
+    val wc = Window.partitionBy("et").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = daily
+      .withColumn("cum", sum(col("rev_d")).over(wc))
+      .withColumn("peak", max(col("cum")).over(wc))
+      .withColumn("dd", col("peak") - col("cum"))
+    val pick = Window.partitionBy("et").orderBy(col("dd").desc, col("d"))
+    c.withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("et"), round(col("dd").cast("double"), 2).as("max_drawdown"),
+        dateS(col("d")).as("trough_day_s"),
+        round(col("peak").cast("double"), 2).as("peak_cum"),
+        round(col("cum").cast("double"), 2).as("trough_cum"))
+      .orderBy("et")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_price_elasticity" -> (aggPriceElasticity _),
+    "events_max_drawdown" -> (eventsMaxDrawdown _),
     "agg_basket_lift" -> (aggBasketLift _),
     "agg_k_anonymity" -> (aggKAnonymity _),
     "events_heatmap_dow_hour" -> (eventsHeatmapDowHour _),
@@ -2616,6 +2677,38 @@ object Relational {
     "window_lead" -> (windowLead _))
 
   val oracleSql: Map[String, String] = Map(
+    "agg_price_elasticity" ->
+      s"""WITH pts AS (SELECT l_returnflag AS flag,
+           CAST(${r6Sql("ln(l_extendedprice / l_quantity)")} AS DECIMAL(16,6)) AS x,
+           CAST(${r6Sql("ln(l_quantity)")} AS DECIMAL(16,6)) AS y
+           FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0),
+         s AS (SELECT flag, CAST(count(*) AS DOUBLE) AS nd,
+           CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+           CAST(sum(x * y) AS DOUBLE) AS sxy,
+           CAST(sum(x * x) AS DOUBLE) AS sxx
+           FROM pts GROUP BY flag)
+         SELECT flag, CAST(nd AS BIGINT) AS n,
+           ${r4Sql("(nd * sxy - sx * sy) / (nd * sxx - sx * sx)")} AS elasticity,
+           ${r4Sql("(sy - (nd * sxy - sx * sy) / (nd * sxx - sx * sx) * sx) / nd")} AS intercept
+         FROM s ORDER BY flag""",
+    "events_max_drawdown" ->
+      s"""WITH daily AS (SELECT event_type AS et, CAST(ts AS DATE) AS d,
+           sum(CAST(value AS DECIMAL(10,2))) AS rev_d
+           FROM ${evSql()} GROUP BY 1, 2),
+         c AS (SELECT et, d, rev_d,
+           sum(rev_d) OVER win AS cum FROM daily
+           WINDOW win AS (PARTITION BY et ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         p AS (SELECT *, max(cum) OVER (PARTITION BY et ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak FROM c),
+         dd AS (SELECT et, d, cum, peak, peak - cum AS dd FROM p)
+         SELECT et, round(CAST(dd AS DOUBLE), 2) AS max_drawdown,
+           strftime(d, '%Y-%m-%d') AS trough_day_s,
+           round(CAST(peak AS DOUBLE), 2) AS peak_cum,
+           round(CAST(cum AS DOUBLE), 2) AS trough_cum
+         FROM dd
+         QUALIFY row_number() OVER (PARTITION BY et ORDER BY dd DESC, d) = 1
+         ORDER BY et""",
     "agg_basket_lift" ->
       s"""WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d,
            event_type AS t FROM ${evSql()}),

@@ -637,4 +637,32 @@ class Round9OpsSpec extends AnyFunSuite with SparkFixture
     assert(r.getLong(3) == 3 && r.getDouble(6) == 0.75, s"clique of 3 in pairs: $r")
     assert(r.getLong(4) == 0, "single-source fixture has no cross-source pairs")
   }
+
+  test("elasticity: a known log-log law is recovered exactly") {
+    // qty = 100 / price  →  ln(qty) = ln(100) − 1·ln(unit price), slope −1
+    val li = Seq(1.0, 2.0, 4.0, 5.0, 10.0).zipWithIndex.map { case (p, i) =>
+      // l_extendedprice = unit price × qty so unit price = price
+      LineRow(i.toLong, 100.0 / p, (100.0 / p) * p, 0.0, 0.0, "A", "O")
+    }
+    val dir = fixtureDir("lineitem" -> spark.createDataset(li).toDF)
+    val r = Relational.aggPriceElasticity(spark, dir).collect().head
+    assert(r.getLong(1) == 5)
+    assert(math.abs(r.getDouble(2) - (-1.0)) < 1e-3, s"slope should be -1: $r")
+    assert(math.abs(r.getDouble(3) - math.log(100.0)) < 1e-3, s"intercept ln(100): $r")
+  }
+
+  test("drawdown: peak-to-trough fall found with the earliest trough on ties") {
+    val base = ts("2024-01-01 00:00:00").getTime
+    def ev(id: Long, day: Int, v: Double) =
+      EventRow(id, new Timestamp(base + day * 86400000L + id), 1L, "purchase", v, "{}")
+    // daily revenue: +10, +20, -25(=5), +1, -25 → cum: 10,30,5,6,-19
+    // peak 30 → max drawdown 49 at day 4 (cum -19)
+    val evs = Seq(ev(1, 0, 10), ev(2, 1, 20), ev(3, 2, -25), ev(4, 3, 1),
+      ev(5, 4, -25))
+    val dir = fixtureDir("events" -> spark.createDataset(evs).toDF)
+    val r = Relational.eventsMaxDrawdown(spark, dir).collect().head
+    assert(r.getDouble(1) == 49.0 && r.getString(2) == "2024-01-05",
+      s"max drawdown 49 at the day-4 trough: $r")
+    assert(r.getDouble(3) == 30.0 && r.getDouble(4) == -19.0)
+  }
 }
