@@ -2578,7 +2578,44 @@ object Relational {
       .orderBy("et")
   }
 
+  /** Autocorrelation of the daily revenue series at lags 1 and 7 — the
+    * ACF readout that says "is there day-over-day momentum / weekly
+    * seasonality" before anyone fits a model. r_k = Σ(y_t−ȳ)(y_{t+k}−ȳ)
+    * / Σ(y_t−ȳ)² with the full-series denominator (the standard ACF
+    * normalization). Shape at scale: events collapse once to daily
+    * sums; the lead/denominator windows run over that ≤ |days|
+    * aggregate only. Exactness: ȳ is an exact-decimal sum ÷ count;
+    * each cross/square term is r6-fixed to DECIMAL before its sum, so
+    * neither moment depends on fold order. */
+  def eventsAutocorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val d166 = org.apache.spark.sql.types.DecimalType(16, 6)
+    val daily = table(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum(col("value").cast(Qty)).as("rev_d"))
+    val w = Window.orderBy("d")
+    val tot = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val c = daily
+      .withColumn("ybar", sum(col("rev_d")).over(tot).cast("double") /
+        count(lit(1)).over(tot).cast("double"))
+      .withColumn("dev", col("rev_d").cast("double") - col("ybar"))
+      .withColumn("dsq", r6(col("dev") * col("dev")).cast(d166))
+      .withColumn("den", sum(col("dsq")).over(tot))
+    def acfK(k: Int) = c
+      .withColumn("devk", lead(col("dev"), k).over(w))
+      .filter(col("devk").isNotNull)
+      .withColumn("term", r6(col("dev") * col("devk")).cast(d166))
+      .groupBy()
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("term")).cast("double").as("num"),
+        max(col("den")).cast("double").as("den"))
+      .select(lit(k.toLong).as("lag"), col("n_pairs"),
+        r4(col("num") / col("den")).as("acf"))
+    acfK(1).unionByName(acfK(7)).orderBy("lag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_autocorrelation" -> (eventsAutocorrelation _),
     "agg_price_elasticity" -> (aggPriceElasticity _),
     "events_max_drawdown" -> (eventsMaxDrawdown _),
     "agg_basket_lift" -> (aggBasketLift _),
@@ -2677,6 +2714,27 @@ object Relational {
     "window_lead" -> (windowLead _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_autocorrelation" -> {
+      def acfCte(k: Int) =
+        s"""SELECT CAST($k AS BIGINT) AS lag, count(*) AS n_pairs,
+           ${r4Sql(s"CAST(sum(CASE WHEN devk IS NOT NULL THEN term END) AS DOUBLE) / CAST(max(den) AS DOUBLE)")} AS acf
+           FROM (SELECT den,
+             lead(dev, $k) OVER (ORDER BY d) AS devk,
+             CAST(${r6Sql(s"dev * lead(dev, $k) OVER (ORDER BY d)")}
+               AS DECIMAL(16,6)) AS term
+             FROM c) WHERE devk IS NOT NULL"""
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+           sum(CAST(value AS DECIMAL(10,2))) AS rev_d
+           FROM ${evSql()} GROUP BY 1),
+         b AS (SELECT d, rev_d,
+           CAST(sum(rev_d) OVER () AS DOUBLE) / CAST(count(*) OVER () AS DOUBLE)
+             AS ybar FROM daily),
+         c0 AS (SELECT d, CAST(rev_d AS DOUBLE) - ybar AS dev FROM b),
+         c AS (SELECT d, dev,
+           sum(CAST(${r6Sql("dev * dev")} AS DECIMAL(16,6))) OVER () AS den
+           FROM c0)
+         SELECT * FROM (${acfCte(1)} UNION ALL ${acfCte(7)}) ORDER BY lag"""
+    },
     "agg_price_elasticity" ->
       s"""WITH pts AS (SELECT l_returnflag AS flag,
            CAST(${r6Sql("ln(l_extendedprice / l_quantity)")} AS DECIMAL(16,6)) AS x,

@@ -665,4 +665,27 @@ class Round9OpsSpec extends AnyFunSuite with SparkFixture
       s"max drawdown 49 at the day-4 trough: $r")
     assert(r.getDouble(3) == 30.0 && r.getDouble(4) == -19.0)
   }
+
+  test("autocorrelation: an alternating series gives ACF(1) ≈ -1, period-7 gives ACF(7) ≈ 1") {
+    val base = ts("2024-01-01 00:00:00").getTime
+    def ev(id: Long, day: Int, v: Double) =
+      EventRow(id, new Timestamp(base + day * 86400000L + id), 1L, "purchase", v, "{}")
+    // 28 days alternating 10/20: lag-1 perfectly anti-correlated, lag-7
+    // (odd shift of an alternating series) also anti-correlated; both
+    // near -1 up to the finite-sample normalization
+    val evs = (0 until 28).map(d => ev(d.toLong, d, if (d % 2 == 0) 10.0 else 20.0))
+    val dir = fixtureDir("events" -> spark.createDataset(evs).toDF)
+    val out = Relational.eventsAutocorrelation(spark, dir).collect()
+    val a1 = out.find(_.getLong(0) == 1L).get
+    val a7 = out.find(_.getLong(0) == 7L).get
+    assert(a1.getLong(1) == 27 && a7.getLong(1) == 21)
+    assert(a1.getDouble(2) < -0.9, s"alternating series: ACF(1) near -1: $a1")
+    assert(a7.getDouble(2) < -0.7, s"odd lag of alternating series negative: $a7")
+    // period-2 series: even lag positively correlated — sanity cross-check
+    val evs2 = (0 until 28).map(d => ev(100L + d, d, if (d % 7 < 3) 5.0 else 25.0))
+    val dir2 = fixtureDir("events" -> spark.createDataset(evs2).toDF)
+    val p7 = Relational.eventsAutocorrelation(spark, dir2).collect()
+      .find(_.getLong(0) == 7L).get
+    assert(p7.getDouble(2) > 0.6, s"period-7 series: ACF(7) strongly positive: $p7")
+  }
 }
