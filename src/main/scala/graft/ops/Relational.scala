@@ -2614,7 +2614,55 @@ object Relational {
     acfK(1).unionByName(acfK(7)).orderBy("lag")
   }
 
+  /** Tukey-fence outlier screen per return flag — the boxplot's
+    * arithmetic: lower-quartile/upper-quartile (lower-quantile rule, no
+    * interpolation — consistent with [[aggWeightedMedian]]), fences at
+    * Q1−1.5·IQR / Q3+1.5·IQR, and the count and revenue share of
+    * out-of-fence rows. Completes the robust-outlier family
+    * (z-score = parametric, MAD = robust center, Tukey = quartile
+    * fences). Shape at scale: the quartiles ride the (flag, price-cent)
+    * CDF aggregate; the outlier count is ONE more pass with the fences
+    * broadcast — two scans total, no sort of raw data. Exactness:
+    * quartiles are exact decimal CDF comparisons; the fences go to
+    * DOUBLES (decimal × 1.5 promotes on both engines) — the quartile
+    * decimals convert to the same nearest doubles everywhere, so the
+    * fence comparisons are deterministic cross-engine. */
+  def aggTukeyFences(spark: SparkSession, dir: String): DataFrame = {
+    val g = table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("flag"),
+        col("l_extendedprice").cast(Money).as("p"))
+      .agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy("flag").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("flag")
+    val q = g.withColumn("cum", sum(col("c")).over(wc))
+      .withColumn("tot", sum(col("c")).over(wf))
+      .groupBy("flag")
+      .agg(min(when(col("cum") * 4 >= col("tot"), col("p"))).as("q1"),
+        min(when(col("cum") * 4 >= col("tot") * 3, col("p"))).as("q3"))
+      .withColumn("lo", col("q1") - (col("q3") - col("q1")) * lit(1.5))
+      .withColumn("hi", col("q3") + (col("q3") - col("q1")) * lit(1.5))
+    table(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").cast(Money).as("p"))
+      .join(broadcast(q), "flag")
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("p") < col("lo") || col("p") > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        max(col("q1")).cast("double").as("q1d"),
+        max(col("q3")).cast("double").as("q3d"),
+        r6(sum(when(col("p") < col("lo") || col("p") > col("hi"), col("p"))
+          .otherwise(lit(0).cast(Money))).cast("double") /
+          sum(col("p")).cast("double")).as("outlier_rev_share"))
+      .select(col("flag"), col("n"), col("n_outliers"),
+        round(col("q1d"), 2).as("q1"), round(col("q3d"), 2).as("q3"),
+        col("outlier_rev_share"))
+      .orderBy("flag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_tukey_fences" -> (aggTukeyFences _),
     "events_autocorrelation" -> (eventsAutocorrelation _),
     "agg_price_elasticity" -> (aggPriceElasticity _),
     "events_max_drawdown" -> (eventsMaxDrawdown _),
@@ -2714,6 +2762,33 @@ object Relational {
     "window_lead" -> (windowLead _))
 
   val oracleSql: Map[String, String] = Map(
+    "agg_tukey_fences" ->
+      s"""WITH g AS (SELECT l_returnflag AS flag,
+           CAST(l_extendedprice AS DECIMAL(14,2)) AS p, count(*) AS c
+           FROM lineitem GROUP BY 1, 2),
+         w AS (SELECT flag, p, c, sum(c) OVER win AS cum,
+           sum(c) OVER (PARTITION BY flag) AS tot FROM g
+           WINDOW win AS (PARTITION BY flag ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         q AS (SELECT flag,
+           min(CASE WHEN cum * 4 >= tot THEN p END) AS q1,
+           min(CASE WHEN cum * 4 >= tot * 3 THEN p END) AS q3
+           FROM w GROUP BY flag),
+         f AS (SELECT flag, q1, q3,
+           CAST(q1 AS DOUBLE) - CAST(q3 - q1 AS DOUBLE) * 1.5 AS lo,
+           CAST(q3 AS DOUBLE) + CAST(q3 - q1 AS DOUBLE) * 1.5 AS hi FROM q),
+         o AS (SELECT li.l_returnflag AS flag,
+           CAST(li.l_extendedprice AS DECIMAL(14,2)) AS p,
+           f.lo, f.hi, f.q1, f.q3
+           FROM lineitem li JOIN f ON f.flag = li.l_returnflag)
+         SELECT flag, count(*) AS n,
+           sum(CASE WHEN CAST(p AS DOUBLE) < lo OR CAST(p AS DOUBLE) > hi
+             THEN 1 ELSE 0 END) AS n_outliers,
+           round(CAST(max(q1) AS DOUBLE), 2) AS q1,
+           round(CAST(max(q3) AS DOUBLE), 2) AS q3,
+           ${r6Sql("CAST(sum(CASE WHEN CAST(p AS DOUBLE) < lo OR CAST(p AS DOUBLE) > hi THEN p ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE) / CAST(sum(p) AS DOUBLE)")}
+             AS outlier_rev_share
+         FROM o GROUP BY flag ORDER BY flag""",
     "events_autocorrelation" -> {
       def acfCte(k: Int) =
         s"""SELECT CAST($k AS BIGINT) AS lag, count(*) AS n_pairs,

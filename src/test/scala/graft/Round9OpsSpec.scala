@@ -688,4 +688,17 @@ class Round9OpsSpec extends AnyFunSuite with SparkFixture
       .find(_.getLong(0) == 7L).get
     assert(p7.getDouble(2) > 0.6, s"period-7 series: ACF(7) strongly positive: $p7")
   }
+
+  test("tukey fences: a far point is the only outlier; quartiles use the lower rule") {
+    // prices 10,20,30,40 + one at 1000: Q1=20 (cum 2·4≥5), Q3=40,
+    // IQR=20 → fences [-10, 70] → only 1000 is out
+    val li = Seq(10.0, 20.0, 30.0, 40.0, 1000.0).zipWithIndex.map { case (p, i) =>
+      LineRow(i.toLong, 1.0, p, 0.0, 0.0, "A", "O")
+    }
+    val dir = fixtureDir("lineitem" -> spark.createDataset(li).toDF)
+    val r = Relational.aggTukeyFences(spark, dir).collect().head
+    assert(r.getLong(1) == 5 && r.getLong(2) == 1, s"one outlier of five: $r")
+    assert(r.getDouble(3) == 20.0 && r.getDouble(4) == 40.0, s"lower-rule quartiles: $r")
+    assert(math.abs(r.getDouble(5) - 1000.0 / 1100.0) < 1e-6, s"rev share: $r")
+  }
 }
