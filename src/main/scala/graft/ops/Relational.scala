@@ -2661,7 +2661,36 @@ object Relational {
       .orderBy("flag")
   }
 
+  /** The optimizer-rule rung of the extension ladder, ORACLE-verified:
+    * this query is written as the plain `row_number() <= 3` window
+    * idiom — top-3 customers by balance per market segment — and
+    * registers [[graft.plans.TopKWindowRewrite]] on the session, so
+    * Catalyst itself rewrites the idiom into the bounded-heap
+    * [[graft.plans.TopKPerKeyExec]] (no per-group sort; PlanSpec
+    * asserts the exec appears). The DuckDB oracle runs the UNREWRITTEN
+    * idiom — the driver's hash gate therefore proves the rewrite is
+    * semantics-preserving on real data, which a unit spec alone cannot.
+    * Registration is idempotent-append on the live session
+    * (`experimental.extraOptimizations` — the runtime counterpart of
+    * injectOptimizerRule, same object). */
+  def windowTopkRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val exp = spark.experimental
+    if (!exp.extraOptimizations.contains(graft.plans.TopKWindowRewrite))
+      exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.TopKWindowRewrite
+    if (!exp.extraStrategies.contains(graft.plans.TopKStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ graft.plans.TopKStrategy
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(desc("c_acctbal"), col("c_custkey"))
+    table(spark, dir, "customer")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment").as("segment"), col("c_custkey"),
+        round(col("c_acctbal").cast(Money).cast("double"), 2).as("acctbal"))
+      .orderBy(col("segment"), desc("acctbal"), col("c_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_topk_rewrite" -> (windowTopkRewrite _),
     "agg_tukey_fences" -> (aggTukeyFences _),
     "events_autocorrelation" -> (eventsAutocorrelation _),
     "agg_price_elasticity" -> (aggPriceElasticity _),
@@ -2762,6 +2791,15 @@ object Relational {
     "window_lead" -> (windowLead _))
 
   val oracleSql: Map[String, String] = Map(
+    // the oracle runs the UNREWRITTEN window idiom — hash equality
+    // proves TopKWindowRewrite is semantics-preserving on real data
+    "window_topk_rewrite" ->
+      """SELECT c_mktsegment AS segment, c_custkey,
+         round(CAST(CAST(c_acctbal AS DECIMAL(14,2)) AS DOUBLE), 2) AS acctbal
+         FROM customer
+         QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+           ORDER BY c_acctbal DESC, c_custkey) <= 3
+         ORDER BY segment, acctbal DESC, c_custkey""",
     "agg_tukey_fences" ->
       s"""WITH g AS (SELECT l_returnflag AS flag,
            CAST(l_extendedprice AS DECIMAL(14,2)) AS p, count(*) AS c

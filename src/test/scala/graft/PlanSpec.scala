@@ -218,6 +218,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
             p.collectFirst {
               case f: org.apache.spark.sql.execution.FilterExec
                   if f.condition.references.exists(_.name == "rn") => f
+              // the TopKWindowRewrite rule may have replaced the
+              // row_number-cap Filter with the heap exec — same bound,
+              // different node
+              case t: graft.plans.TopKPerKeyExec => t
               case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
                   if a.groupingExpressions.nonEmpty && keys.subsetOf(
                     a.groupingExpressions
@@ -589,6 +593,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
     assert(plan(df).contains("BroadcastHashJoin"),
       s"offset join not broadcast:\n${plan(df)}")
+  }
+
+  test("window_topk_rewrite: the declared idiom plans through the heap exec") {
+    val df = Relational.windowTopkRewrite(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("TopKPerKey"), s"rewrite did not fire in the declared query:\n$p")
+    assert(!p.contains("Window ["), s"WindowExec survived:\n$p")
   }
 
   test("pipe_mv_incremental: the standing slice is never rescanned") {
