@@ -1006,7 +1006,35 @@ object Dedup {
         r6(col("np").cast("double") / col("n_docs").cast("double")).as("near_rate"))
   }
 
+  /** Exact-duplicate CLUSTER-SIZE histogram — how duplication is
+    * structured, not just how much: for each group size, how many
+    * content-hash groups and docs, plus the overall share of docs
+    * sitting in any size ≥ 2 cluster (the number deduplication will
+    * delete is Σ(sz−1)·n_groups — readable straight off this table).
+    * Shape at scale: one content-hash agg (map-side partials), one
+    * size agg over the group table, one full-frame window over the ≤
+    * |distinct sizes| histogram. */
+  def dedupClusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = table(spark, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_groups"))
+      .withColumn("n_docs", col("sz") * col("n_groups"))
+    val wf = org.apache.spark.sql.expressions.Window.orderBy("sz")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    sizes
+      .withColumn("tot", sum(col("n_docs")).over(wf))
+      .withColumn("dup_docs",
+        sum(when(col("sz") >= 2, col("n_docs")).otherwise(0L)).over(wf))
+      .select(col("sz"), col("n_groups"), col("n_docs"),
+        r6(col("dup_docs").cast("double") / col("tot").cast("double"))
+          .as("dup_doc_share"))
+      .orderBy("sz")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cluster_sizes" -> (dedupClusterSizes _),
     "dedup_rate_report" -> (dedupRateReport _),
     "dedup_source_overlap" -> (dedupSourceOverlap _),
     "graph_degree_stats" -> (graphDegreeStats _),
@@ -1148,6 +1176,17 @@ object Dedup {
          $bandCteGlobalSql"""
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_cluster_sizes" ->
+      s"""WITH g AS (SELECT md5(text) AS h, count(*) AS sz
+           FROM documents GROUP BY 1),
+         s AS (SELECT sz, count(*) AS n_groups, sz * count(*) AS n_docs
+           FROM g GROUP BY sz),
+         w AS (SELECT *, sum(n_docs) OVER () AS tot,
+           sum(CASE WHEN sz >= 2 THEN n_docs ELSE 0 END) OVER () AS dup_docs
+           FROM s)
+         SELECT sz, n_groups, CAST(n_docs AS BIGINT) AS n_docs,
+           ${r6Sql("CAST(dup_docs AS DOUBLE) / CAST(tot AS DOUBLE)")} AS dup_doc_share
+         FROM w ORDER BY sz""",
     "dedup_rate_report" ->
       s"""WITH $graphBandPreambleSql,
          pairs AS MATERIALIZED (

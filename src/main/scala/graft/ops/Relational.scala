@@ -2689,7 +2689,40 @@ object Relational {
       .orderBy(col("segment"), desc("acctbal"), col("c_custkey"))
   }
 
+  /** Two-proportion z-test on conversion between the first and second
+    * half of the stream — "did the conversion rate MOVE, beyond
+    * noise?": pooled-variance z statistic over the same data-derived
+    * midpoint split as [[eventsMixShift]]. Completes the testing
+    * family (Welch t, χ², Wilson CI, two-proportion z). Shape at
+    * scale: one conditional-count aggregate per period (map-side
+    * partials), then one-row scalar arithmetic. Exactness: counts
+    * exact; p̂/pooled/z is the identical IEEE tree both engines before
+    * r4. */
+  def eventsTwoProportionZ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val span = ev.agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      .select(expr("date_add(d0, CAST(datediff(d1, d0) DIV 2 AS INT))").as("mid"))
+    val g = ev.filter(col("event_type").isin("purchase", "click"))
+      .crossJoin(broadcast(span))
+      .groupBy(when(to_date(col("ts")) <= col("mid"), "A").otherwise("B").as("period"))
+      .agg(count(when(col("event_type") === "purchase", 1)).as("k"),
+        count(lit(1)).as("n"))
+    def side(p: String, c: String) = max(when(col("period") === p, col(c)))
+    val one = g.groupBy()
+      .agg(side("A", "k").as("k1"), side("A", "n").as("n1"),
+        side("B", "k").as("k2"), side("B", "n").as("n2"))
+    val n1d = col("n1").cast("double"); val n2d = col("n2").cast("double")
+    val p1 = col("k1").cast("double") / n1d
+    val p2 = col("k2").cast("double") / n2d
+    val pp = (col("k1") + col("k2")).cast("double") / (n1d + n2d)
+    val z = (p1 - p2) / sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / n1d + lit(1.0) / n2d))
+    one.select(col("k1"), col("n1"), col("k2"), col("n2"),
+      r6(p1).as("rate_first"), r6(p2).as("rate_second"),
+      r4(z).as("z_stat"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_two_proportion_z" -> (eventsTwoProportionZ _),
     "window_topk_rewrite" -> (windowTopkRewrite _),
     "agg_tukey_fences" -> (aggTukeyFences _),
     "events_autocorrelation" -> (eventsAutocorrelation _),
@@ -2791,6 +2824,31 @@ object Relational {
     "window_lead" -> (windowLead _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_two_proportion_z" ->
+      s"""WITH span AS (SELECT min(CAST(ts AS DATE)) AS d0,
+           max(CAST(ts AS DATE)) AS d1 FROM ${evSql()}),
+         md AS (SELECT d0 + CAST(date_diff('day', d0, d1) // 2 AS INTEGER) AS mid
+           FROM span),
+         g AS (SELECT CASE WHEN CAST(ts AS DATE) <= mid THEN 'A' ELSE 'B' END
+             AS period,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS k,
+           count(*) AS n
+           FROM ${evSql()}, md WHERE event_type IN ('purchase', 'click')
+           GROUP BY 1),
+         o AS (SELECT
+           max(CASE WHEN period = 'A' THEN k END) AS k1,
+           max(CASE WHEN period = 'A' THEN n END) AS n1,
+           max(CASE WHEN period = 'B' THEN k END) AS k2,
+           max(CASE WHEN period = 'B' THEN n END) AS n2 FROM g),
+         m AS (SELECT k1, n1, k2, n2,
+           CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+           CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+           CAST(k1 + k2 AS DOUBLE) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+             AS pp FROM o)
+         SELECT k1, n1, k2, n2,
+           ${r6Sql("p1")} AS rate_first, ${r6Sql("p2")} AS rate_second,
+           ${r4Sql("(p1 - p2) / sqrt(pp * (1.0 - pp) * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))")} AS z_stat
+         FROM m""",
     // the oracle runs the UNREWRITTEN window idiom — hash equality
     // proves TopKWindowRewrite is semantics-preserving on real data
     "window_topk_rewrite" ->

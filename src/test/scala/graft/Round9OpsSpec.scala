@@ -701,4 +701,34 @@ class Round9OpsSpec extends AnyFunSuite with SparkFixture
     assert(r.getDouble(3) == 20.0 && r.getDouble(4) == 40.0, s"lower-rule quartiles: $r")
     assert(math.abs(r.getDouble(5) - 1000.0 / 1100.0) < 1e-6, s"rev share: $r")
   }
+
+  test("two-proportion z: equal rates → z = 0; a real shift moves z in the right direction") {
+    val base = ts("2024-01-01 00:00:00").getTime
+    def ev(id: Long, day: Int, typ: String) =
+      EventRow(id, new Timestamp(base + day * 86400000L + id), 1L, typ, 1.0, "{}")
+    // 10-day span, mid = day 4: both halves 2 purchases / 2 clicks → z = 0
+    val same = (0 until 10 by 9).flatMap(d => Seq(
+      ev(d * 10L, d, "purchase"), ev(d * 10L + 1, d, "purchase"),
+      ev(d * 10L + 2, d, "click"), ev(d * 10L + 3, d, "click")))
+    val dirS = fixtureDir("events" -> spark.createDataset(same).toDF)
+    val zS = Relational.eventsTwoProportionZ(spark, dirS).collect().head
+    assert(zS.getDouble(6) == 0.0, s"equal rates must give z=0: $zS")
+    // second half converts worse → z positive (rate_first > rate_second)
+    val shift = Seq(ev(1, 0, "purchase"), ev(2, 0, "purchase"), ev(3, 0, "click"),
+      ev(4, 9, "purchase"), ev(5, 9, "click"), ev(6, 9, "click"))
+    val dirD = fixtureDir("events" -> spark.createDataset(shift).toDF)
+    val zD = Relational.eventsTwoProportionZ(spark, dirD).collect().head
+    assert(zD.getDouble(6) > 0, s"conversion drop must give positive z: $zD")
+  }
+
+  test("cluster sizes: histogram counts groups and the dup share reads off Σ(sz≥2)") {
+    val dup = "identical content"
+    val rows = Seq(doc(1, dup), doc(2, dup), doc(3, dup),
+      doc(4, "unique one"), doc(5, "unique two"))
+    val dir = fixtureDir("documents" -> spark.createDataset(rows).toDF)
+    val out = graft.ops.Dedup.dedupClusterSizes(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 2 && out(3L).getLong(1) == 1, s"histogram: $out")
+    assert(out(1L).getDouble(3) == 0.6, "3 of 5 docs sit in a dup cluster")
+  }
 }
