@@ -2721,7 +2721,35 @@ object Relational {
       r4(z).as("z_stat"))
   }
 
+  /** Fuzzy entity matching (record linkage) over part names: candidate
+    * pairs from a 6-char-prefix BLOCK, verified by Levenshtein ≤ 2 —
+    * the classic blocking+verification shape that replaces the
+    * impossible all-pairs edit-distance join. Shape at scale: the
+    * block key is high-cardinality; blocks are size-capped at 64 by
+    * the row_number discipline (the same cap the LSH buckets use), so
+    * pair expansion is ≤ 64²/2 per block — output- AND state-bounded.
+    * Top-100 by (distance, keys) keeps the result stable however many
+    * matches exist. Both engines share the exact Levenshtein
+    * (`scalar_string_distance` proved the parity). */
+  def joinFuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val p = table(spark, dir, "part")
+      .select(col("p_partkey").as("pk"), col("p_name").as("name"),
+        substring(col("p_name"), 1, 6).as("blk"))
+    val capW = Window.partitionBy("blk").orderBy("pk")
+    val cap = p.withColumn("rn", row_number().over(capW))
+      .filter(col("rn") <= 64).drop("rn")
+    cap.select(col("pk").as("pk1"), col("name").as("n1"), col("blk"))
+      .join(cap.select(col("pk").as("pk2"), col("name").as("n2"), col("blk")), "blk")
+      .filter(col("pk1") < col("pk2"))
+      .withColumn("d", levenshtein(col("n1"), col("n2")).cast("long"))
+      .filter(col("d") <= 2)
+      .select(col("pk1"), col("pk2"), col("d"))
+      .orderBy("d", "pk1", "pk2")
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_fuzzy_match" -> (joinFuzzyMatch _),
     "events_two_proportion_z" -> (eventsTwoProportionZ _),
     "window_topk_rewrite" -> (windowTopkRewrite _),
     "agg_tukey_fences" -> (aggTukeyFences _),
@@ -2824,6 +2852,16 @@ object Relational {
     "window_lead" -> (windowLead _))
 
   val oracleSql: Map[String, String] = Map(
+    "join_fuzzy_match" ->
+      """WITH p AS (SELECT p_partkey AS pk, p_name AS name,
+           substr(p_name, 1, 6) AS blk FROM part),
+         c AS (SELECT * FROM p
+           QUALIFY row_number() OVER (PARTITION BY blk ORDER BY pk) <= 64),
+         pr AS (SELECT a.pk AS pk1, b.pk AS pk2,
+           levenshtein(a.name, b.name) AS d
+           FROM c a JOIN c b ON a.blk = b.blk AND a.pk < b.pk)
+         SELECT pk1, pk2, CAST(d AS BIGINT) AS d FROM pr WHERE d <= 2
+         ORDER BY d, pk1, pk2 LIMIT 100""",
     "events_two_proportion_z" ->
       s"""WITH span AS (SELECT min(CAST(ts AS DATE)) AS d0,
            max(CAST(ts AS DATE)) AS d1 FROM ${evSql()}),

@@ -731,4 +731,20 @@ class Round9OpsSpec extends AnyFunSuite with SparkFixture
     assert(out(1L).getLong(1) == 2 && out(3L).getLong(1) == 1, s"histogram: $out")
     assert(out(1L).getDouble(3) == 0.6, "3 of 5 docs sit in a dup cluster")
   }
+
+  test("fuzzy match: near names link inside the block, cross-block twins never meet") {
+    val parts = Seq(
+      (1L, "goldenrod lace"), (2L, "goldenrod lac"),
+      (3L, "goldenrod pace"),   // one substitution from #1
+      (4L, "silver spring"),
+      (5L, "azure goldenrod lace")) // would match #1 but lands in another block
+      .toDF("p_partkey", "p_name")
+    val dir = fixtureDir("part" -> parts)
+    val out = Relational.joinFuzzyMatch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 2L)) == 1 && out((1L, 3L)) == 1, s"near names must link: $out")
+    assert(!out.keySet.exists(k => k._1 == 5L || k._2 == 5L),
+      "blocking must keep different-prefix names apart (documented recall trade)")
+    assert(!out.contains((1L, 4L)), "far names must not link")
+  }
 }
