@@ -2748,7 +2748,132 @@ object Relational {
       .limit(100)
   }
 
+  /** Two-sample Kolmogorov–Smirnov test between the purchase and click
+    * value distributions — the nonparametric distribution-shift readout
+    * (did the value distribution change shape, not just mean — the
+    * question [[eventsAbTtest]] can't answer). D = max |F₁−F₂| over the
+    * pooled support, plus the one-term asymptotic bound
+    * p ≤ 2·exp(−2·D²·n₁n₂/(n₁+n₂)). Shape at scale: one hash agg
+    * collapses the corpus to per-distinct-value conditional counts
+    * (values are 2-decimal — the aggregate is DOMAIN-bounded, not
+    * corpus-bounded); both ECDFs ride one cumulative window over that
+    * aggregate. Exactness: counts exact; F₁/F₂ are exact-integer IEEE
+    * divisions identical on both engines, so the max can't diverge;
+    * r6 only at output. */
+  def aggKsTest(spark: SparkSession, dir: String): DataFrame = {
+    val v = table(spark, dir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .groupBy(col("value").cast(Qty).as("val"))
+      .agg(count(when(col("event_type") === "purchase", 1)).as("k1"),
+        count(when(col("event_type") === "click", 1)).as("k2"))
+    val wc = Window.orderBy("val")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.orderBy("val")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val c = v.withColumn("c1", sum(col("k1")).over(wc))
+      .withColumn("c2", sum(col("k2")).over(wc))
+      .withColumn("n1", sum(col("k1")).over(wf))
+      .withColumn("n2", sum(col("k2")).over(wf))
+    val gap = abs(col("c1").cast("double") / col("n1").cast("double") -
+      col("c2").cast("double") / col("n2").cast("double"))
+    val d = c.groupBy().agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+      max(gap).as("dmax"))
+    val n1d = col("n1").cast("double"); val n2d = col("n2").cast("double")
+    val m = n1d * n2d / (n1d + n2d)
+    d.select(col("n1"), col("n2"), r6(col("dmax")).as("d_stat"),
+      r6(least(lit(1.0),
+        lit(2.0) * exp(lit(-2.0) * col("dmax") * col("dmax") * m)))
+        .as("p_bound"))
+  }
+
+  /** Mann–Whitney U (rank-sum) test on the same two samples — the
+    * median-shift companion of [[aggKsTest]] that stays valid under
+    * non-normal values where the t-test doesn't. Average ranks come
+    * from the tie-group identity avgrank = cb + (t+1)/2 (cb = pooled
+    * count strictly below), so 2·R₁ = Σ k₁·(2·cb+t+1) accumulates as
+    * an EXACT integer; the normal approximation applies the standard
+    * tie-corrected variance. Shape at scale: the same domain-bounded
+    * per-value aggregate as KS; one lag-style cumulative window; sums
+    * run through DECIMAL(38,0) (k·N products overflow int64 at 100 TB
+    * counts). Exactness: everything integer until the final
+    * mean/variance scalars; identical IEEE tree both engines before
+    * r4/r6. */
+  def aggMannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = table(spark, dir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .groupBy(col("value").cast(Qty).as("val"))
+      .agg(count(when(col("event_type") === "purchase", 1)).as("k1"),
+        count(when(col("event_type") === "click", 1)).as("k2"))
+      .withColumn("kt", col("k1") + col("k2"))
+    val wb = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, -1)
+    val c = v.withColumn("cb", coalesce(sum(col("kt")).over(wb), lit(0L)))
+    val g = c.groupBy().agg(
+      sum(col("k1")).as("n1"), sum(col("k2")).as("n2"),
+      sum((col("k1").cast(d38) * (col("cb") * 2 + col("kt") + 1)))
+        .as("r1x2"),
+      sum(col("kt").cast(d38) * col("kt") * col("kt") - col("kt"))
+        .as("ties"))
+    val n1d = col("n1").cast("double"); val n2d = col("n2").cast("double")
+    val nD = n1d + n2d
+    val u1 = col("r1x2").cast("double") / lit(2.0) -
+      n1d * (n1d + lit(1.0)) / lit(2.0)
+    val mu = n1d * n2d / lit(2.0)
+    val sig2 = n1d * n2d / lit(12.0) *
+      ((nD + lit(1.0)) - col("ties").cast("double") / (nD * (nD - lit(1.0))))
+    g.select(col("n1"), col("n2"), r4(u1).as("u_stat"), r4(mu).as("u_mean"),
+      r6((u1 - mu) / sqrt(sig2)).as("z_stat"))
+  }
+
+  /** Mutual information + normalized MI between customer nation and
+    * market segment — the feature-dependence screen (is a column worth
+    * keeping, is a join key leaking a label) that χ² significance
+    * ([[aggChi2Independence]]) doesn't quantify in bits-like units.
+    * MI = Σ pᵢⱼ·ln(pᵢⱼ/(pᵢp̂ⱼ)); NMI = MI/√(H(X)·H(Y)). Shape at
+    * scale: one hash agg to the |X|·|Y| cell table; margins are
+    * windows OVER THAT AGGREGATE; the two marginal entropies re-group
+    * the cell frame (model-sized). Exactness: each MI/entropy term is
+    * r6→DECIMAL(16,6) before its order-independent sum — the [[
+    * aggChi2Independence]] discipline for libm-bearing terms. */
+  def aggMutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val d166 = org.apache.spark.sql.types.DecimalType(16, 6)
+    val cells = table(spark, dir, "customer")
+      .groupBy(col("c_nationkey").as("x"), col("c_mktsegment").as("y"))
+      .agg(count(lit(1)).as("n"))
+    val wx = Window.partitionBy("x"); val wy = Window.partitionBy("y")
+    val wf = Window.orderBy("x", "y")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val t = cells.withColumn("rx", sum(col("n")).over(wx))
+      .withColumn("cy", sum(col("n")).over(wy))
+      .withColumn("tot", sum(col("n")).over(wf))
+    val nD = col("n").cast("double"); val totD = col("tot").cast("double")
+    val miTerm = r6(nD / totD * log(nD * totD /
+      (col("rx").cast("double") * col("cy").cast("double"))))
+    val mi = t.groupBy().agg(max(col("tot")).as("n_total"),
+      countDistinct(col("x")).as("n_x"), countDistinct(col("y")).as("n_y"),
+      sum(miTerm.cast(d166)).as("mi_s"))
+    def entropy(key: String, margin: String, out: String) =
+      t.groupBy(col(key))
+        .agg(max(col(margin)).as("m"), max(col("tot")).as("tt"))
+        .select(r6(-(col("m").cast("double") / col("tt").cast("double")) *
+          log(col("m").cast("double") / col("tt").cast("double")))
+          .cast(d166).as("term"))
+        .groupBy().agg(sum(col("term")).as(out))
+    mi.crossJoin(broadcast(entropy("x", "rx", "hx")))
+      .crossJoin(broadcast(entropy("y", "cy", "hy")))
+      .select(col("n_total"), col("n_x"), col("n_y"),
+        col("hx").cast("double").as("h_x"),
+        col("hy").cast("double").as("h_y"),
+        col("mi_s").cast("double").as("mi"),
+        r6(col("mi_s").cast("double") /
+          sqrt(col("hx").cast("double") * col("hy").cast("double")))
+          .as("nmi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_ks_test" -> (aggKsTest _),
+    "agg_mann_whitney" -> (aggMannWhitney _),
+    "agg_mutual_info" -> (aggMutualInfo _),
     "join_fuzzy_match" -> (joinFuzzyMatch _),
     "events_two_proportion_z" -> (eventsTwoProportionZ _),
     "window_topk_rewrite" -> (windowTopkRewrite _),
@@ -2852,6 +2977,64 @@ object Relational {
     "window_lead" -> (windowLead _))
 
   val oracleSql: Map[String, String] = Map(
+    "agg_ks_test" ->
+      s"""WITH v AS (SELECT CAST(value AS DECIMAL(10,2)) AS val,
+           count(*) FILTER (WHERE event_type = 'purchase') AS k1,
+           count(*) FILTER (WHERE event_type = 'click') AS k2
+           FROM ${evSql()} WHERE event_type IN ('purchase', 'click')
+           GROUP BY 1),
+         c AS (SELECT val,
+           sum(k1) OVER (ORDER BY val) AS c1,
+           sum(k2) OVER (ORDER BY val) AS c2,
+           sum(k1) OVER () AS n1, sum(k2) OVER () AS n2 FROM v),
+         d AS (SELECT max(n1) AS n1, max(n2) AS n2,
+           max(abs(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))) AS dmax FROM c)
+         SELECT n1, n2, ${r6Sql("dmax")} AS d_stat,
+           ${r6Sql("least(1.0, 2.0 * exp(-2.0 * dmax * dmax * (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))))")} AS p_bound
+         FROM d""",
+    "agg_mann_whitney" ->
+      s"""WITH v AS (SELECT CAST(value AS DECIMAL(10,2)) AS val,
+           count(*) FILTER (WHERE event_type = 'purchase') AS k1,
+           count(*) FILTER (WHERE event_type = 'click') AS k2
+           FROM ${evSql()} WHERE event_type IN ('purchase', 'click')
+           GROUP BY 1),
+         t AS (SELECT val, k1, k2, k1 + k2 AS kt FROM v),
+         c AS (SELECT k1, k2, kt, COALESCE(sum(kt) OVER (ORDER BY val
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+           FROM t),
+         g AS (SELECT sum(k1) AS n1, sum(k2) AS n2,
+           sum(CAST(k1 AS HUGEINT) * (2 * cb + kt + 1)) AS r1x2,
+           sum(CAST(kt AS HUGEINT) * kt * kt - kt) AS ties FROM c),
+         m AS (SELECT n1, n2,
+           CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+           CAST(r1x2 AS DOUBLE) / 2.0
+             - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0 AS u1,
+           CAST(ties AS DOUBLE) AS tiesd FROM g)
+         SELECT n1, n2, ${r4Sql("u1")} AS u_stat,
+           ${r4Sql("n1d * n2d / 2.0")} AS u_mean,
+           ${r6Sql("(u1 - n1d * n2d / 2.0) / sqrt(n1d * n2d / 12.0 * ((n1d + n2d + 1.0) - tiesd / ((n1d + n2d) * (n1d + n2d - 1.0))))")} AS z_stat
+         FROM m""",
+    "agg_mutual_info" ->
+      s"""WITH cells AS (SELECT c_nationkey AS x, c_mktsegment AS y,
+           count(*) AS n FROM customer GROUP BY 1, 2),
+         t AS (SELECT x, y, n,
+           sum(n) OVER (PARTITION BY x) AS rx,
+           sum(n) OVER (PARTITION BY y) AS cy,
+           sum(n) OVER () AS tot FROM cells),
+         mi AS (SELECT max(tot) AS n_total,
+           count(DISTINCT x) AS n_x, count(DISTINCT y) AS n_y,
+           sum(CAST(${r6Sql("CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) * ln(CAST(n AS DOUBLE) * CAST(tot AS DOUBLE) / (CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE)))")} AS DECIMAL(16,6))) AS mi_s
+           FROM t),
+         hx AS (SELECT sum(CAST(${r6Sql("-(CAST(m AS DOUBLE) / CAST(tt AS DOUBLE)) * ln(CAST(m AS DOUBLE) / CAST(tt AS DOUBLE))")} AS DECIMAL(16,6))) AS hx
+           FROM (SELECT x, max(rx) AS m, max(tot) AS tt FROM t GROUP BY x)),
+         hy AS (SELECT sum(CAST(${r6Sql("-(CAST(m AS DOUBLE) / CAST(tt AS DOUBLE)) * ln(CAST(m AS DOUBLE) / CAST(tt AS DOUBLE))")} AS DECIMAL(16,6))) AS hy
+           FROM (SELECT y, max(cy) AS m, max(tot) AS tt FROM t GROUP BY y))
+         SELECT n_total, n_x, n_y,
+           CAST(hx AS DOUBLE) AS h_x, CAST(hy AS DOUBLE) AS h_y,
+           CAST(mi_s AS DOUBLE) AS mi,
+           ${r6Sql("CAST(mi_s AS DOUBLE) / sqrt(CAST(hx AS DOUBLE) * CAST(hy AS DOUBLE))")} AS nmi
+         FROM mi, hx, hy""",
     "join_fuzzy_match" ->
       """WITH p AS (SELECT p_partkey AS pk, p_name AS name,
            substr(p_name, 1, 6) AS blk FROM part),

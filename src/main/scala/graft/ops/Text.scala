@@ -1516,7 +1516,43 @@ object Text {
       .orderBy("source")
   }
 
+  /** Per-source readability profile — Flesch reading ease with the
+    * deterministic proxies a no-NLP-dependency engine can ship:
+    * sentences = punctuation-run count (floored at 1 — the synthetic
+    * corpus has none), syllables = vowel-group count. FRE = 206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/words). The absolute
+    * number is a heuristic; its VALUE is the per-source ordering (a
+    * quality-mix screen alongside `text_quality_buckets`). Shape at
+    * scale: three per-row regex projections, then one map-side-combined
+    * hash agg per source — scales like tokenize. Exactness: counts are
+    * exact longs; each doc's FRE is r4→DECIMAL(12,4) BEFORE the
+    * order-independent sum (libm-free but two IEEE divisions deep);
+    * both engines count regex matches with the same greedy classes. */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val d124 = DecimalType(12, 4)
+    val w = size(split(col("text"), " ")).cast("long")
+    val s = greatest(lit(1),
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))).cast("long")
+    val sy = size(regexp_extract_all(col("text"), lit("[aeiou]+"), lit(0)))
+      .cast("long")
+    val fre = lit(206.835) -
+      lit(1.015) * (col("w").cast("double") / col("s").cast("double")) -
+      lit(84.6) * (col("sy").cast("double") / col("w").cast("double"))
+    docs(spark, dir)
+      .select(col("source"), w.as("w"), s.as("s"), sy.as("sy"))
+      .withColumn("fre", r4(fre).cast(d124))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_words"),
+        r6(sum(col("sy")).cast("double") / sum(col("w")).cast("double"))
+          .as("syll_per_word"),
+        r4(sum(col("fre")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_fre"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_readability" -> (readability _),
     "text_vocab_coverage" -> (vocabCoverage _),
     "docs_length_quantiles" -> (lengthQuantiles _),
     "text_bigram_lm_score" -> (bigramLmScore _),
@@ -1611,6 +1647,19 @@ object Text {
     .map(k => s"SELECT * FROM sum$k").mkString("\n           UNION ALL ")
 
   val oracleSql: Map[String, String] = Map(
+    "text_readability" ->
+      s"""WITH d AS (SELECT source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+           CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS s,
+           CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS sy
+           FROM documents),
+         f AS (SELECT source, w, sy,
+           CAST(${r4Sql("206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE)) - 84.6 * (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE))")} AS DECIMAL(12,4)) AS fre
+           FROM d)
+         SELECT source, count(*) AS n_docs, sum(w) AS n_words,
+           ${r6Sql("CAST(sum(sy) AS DOUBLE) / CAST(sum(w) AS DOUBLE)")} AS syll_per_word,
+           ${r4Sql("CAST(sum(fre) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS avg_fre
+         FROM f GROUP BY source ORDER BY source""",
     "text_vocab_coverage" ->
       s"""WITH c AS (SELECT token, count(*) AS n
            FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

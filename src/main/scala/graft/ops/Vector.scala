@@ -1291,7 +1291,74 @@ object Vector {
       .orderBy(col("v1"), desc("cos"), col("v2"))
   }
 
+  /** Grid-density clustering (grid DBSCAN) over the first two embedding
+    * dimensions — the density-based sibling of [[clusterKmeansAssign]]
+    * that needs no k and marks sparse regions as noise. Points quantize
+    * to eps-cells; cells with ≥ minPts points are CORE; clusters are
+    * connected components of 8-adjacent core cells (the cell graph is
+    * the standard O(n) surrogate for DBSCAN's ε-graph); everything
+    * outside a core cell is noise. Shape at scale: one hash agg
+    * corpus→cells (the frame is DOMAIN-bounded: ≤ (range/eps)² cells,
+    * not corpus-sized); adjacency is a 9-key self equi join of the
+    * CORE cell set — never point-pairs; components run on the DRIVER
+    * over the collected cell graph — a BOUNDED collect (the k·d
+    * centroid pattern): the cell frame is ≤ (2/eps)² = 625 rows by the
+    * unit-norm coordinate domain, at ANY corpus size, so a distributed
+    * fixpoint would spend whole Spark jobs on a structure smaller than
+    * one task's overhead (an unbounded-domain variant would swap this
+    * for [[Dedup.ccLargeSmallStar]]). Exactness: floor(x/eps) on
+    * float→double exact casts is the same IEEE divide both engines;
+    * everything after is integer. */
+  def clusterDbscanGrid(spark: SparkSession, dir: String): DataFrame = {
+    val eps = 0.08; val minPts = 4
+    def cellOf(i: Int) = floor(
+      element_at(col("embedding"), i).cast("double") / lit(eps)).cast("long")
+    val cells = table(spark, dir, "embeddings")
+      .select(((cellOf(1) + 100L) * 1000L + (cellOf(2) + 100L)).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n_pts"))
+    val core = cells.filter(col("n_pts") >= minPts)
+    // bounded collect (≤625 rows — domain bound above); 8-neighborhood
+    // union-find on the driver. The cell encoding is collision-free
+    // while |cy+100| < 1000, i.e. any coordinate the unit-norm
+    // embedding domain can reach.
+    val coreCells = core.select(col("cell")).collect().map(_.getLong(0))
+    val coreSet = coreCells.toSet
+    val parent = scala.collection.mutable.Map(coreCells.map(c => c -> c): _*)
+    def find(c: Long): Long = {
+      var r = c; while (parent(r) != r) r = parent(r)
+      var x = c
+      while (parent(x) != r) { val nx = parent(x); parent(x) = r; x = nx }
+      r
+    }
+    for (c <- coreCells; dx <- -1 to 1; dy <- -1 to 1 if (dx, dy) != (0, 0)) {
+      val nb = c + dx * 1000L + dy
+      if (coreSet.contains(nb)) {
+        val (ra, rb) = (find(c), find(nb))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val rootOf = coreCells.map(c => c -> find(c)).toMap
+    // ≤625-entry literal map lookup — a codegen'd expression (no UDF,
+    // no join): keeps the tiny cell frame single-stage
+    val rooted =
+      if (rootOf.isEmpty) core.withColumn("root", col("cell"))
+      else core.withColumn("root",
+        element_at(typedLit(rootOf), col("cell")))
+    val clusters = rooted.groupBy("root")
+      .agg(count(lit(1)).as("n_cells"), sum(col("n_pts")).as("n_pts"))
+      .select(concat_ws(":", expr("root DIV 1000") - 100,
+        pmod(col("root"), lit(1000L)) - 100).as("label"),
+        col("n_cells"), col("n_pts"))
+    val noise = cells.filter(col("n_pts") < minPts)
+      .groupBy().agg(count(lit(1)).as("n_cells"),
+        coalesce(sum(col("n_pts")), lit(0L)).as("n_pts"))
+      .select(lit("noise").as("label"), col("n_cells"), col("n_pts"))
+    clusters.unionByName(noise)
+      .orderBy(desc("n_pts"), col("label"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cluster_dbscan_grid" -> (clusterDbscanGrid _),
     "simsearch_filtered" -> (simsearchFiltered _),
     "embedding_whiten" -> (embeddingWhiten _),
     "cluster_semdedup" -> (clusterSemdedup _),
@@ -1462,6 +1529,40 @@ object Vector {
   private lazy val pqUpsertOracleSqlStr: String = pqOracleSqlGen(standingTrained = true)
 
   val oracleSql: Map[String, String] = Map(
+    "cluster_dbscan_grid" ->
+      s"""WITH RECURSIVE pts AS MATERIALIZED (
+           SELECT (CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.08) AS BIGINT) + 100) * 1000
+                + (CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.08) AS BIGINT) + 100) AS cell
+           FROM embeddings),
+         cells AS MATERIALIZED (
+           SELECT cell, count(*) AS n_pts FROM pts GROUP BY cell),
+         core AS MATERIALIZED (
+           SELECT cell, n_pts FROM cells WHERE n_pts >= 4),
+         e AS MATERIALIZED (
+           SELECT a.cell AS src, b.cell AS dst FROM core a JOIN core b
+           ON b.cell - a.cell IN (-1001, -1000, -999, -1, 1, 999, 1000, 1001)),
+         reach AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+         rt AS (
+           SELECT c.cell, c.n_pts,
+             least(c.cell, COALESCE(min(r.dst), c.cell)) AS root
+           FROM core c LEFT JOIN reach r ON r.src = c.cell
+           GROUP BY c.cell, c.n_pts),
+         cl AS (
+           SELECT CAST(root // 1000 - 100 AS VARCHAR) || ':'
+                || CAST(root % 1000 - 100 AS VARCHAR) AS label,
+             count(*) AS n_cells, sum(n_pts) AS n_pts
+           FROM rt GROUP BY root),
+         noise AS (
+           SELECT 'noise' AS label, count(*) AS n_cells,
+             COALESCE(sum(n_pts), 0) AS n_pts
+           FROM cells WHERE n_pts < 4)
+         SELECT label, CAST(n_cells AS BIGINT) AS n_cells,
+           CAST(n_pts AS BIGINT) AS n_pts
+         FROM (SELECT * FROM cl UNION ALL SELECT * FROM noise)
+         ORDER BY n_pts DESC, label""",
     "simsearch_filtered" ->
       s"""WITH e AS (
            SELECT vec_id, embedding, label,

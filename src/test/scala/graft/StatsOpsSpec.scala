@@ -1,0 +1,125 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Relational, Text, Vector => VOps}
+
+/** Edge/property tests for the late-round-9 statistics + clustering
+  * operators — the cases the fixture-scale DuckDB gate never reaches. */
+class StatsOpsSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private val t0 = ts("2024-01-01 00:00:00").getTime
+  private def ev(id: Long, typ: String, value: Double) =
+    EventRow(id, new Timestamp(t0 + id * 1000), id % 7, typ, value, "{}")
+
+  // ---- agg_ks_test ----
+
+  test("ks: identical distributions give D=0 and the p bound clamps to 1") {
+    val rows = (0 until 50).flatMap(i =>
+      Seq(ev(i * 2, "purchase", (i % 5) + 1.0), ev(i * 2 + 1, "click", (i % 5) + 1.0)))
+    val dir = fixtureDir("events" -> spark.createDataset(rows).toDF)
+    val r = Relational.aggKsTest(spark, dir).collect().head
+    assert(r.getAs[Long]("n1") == 50 && r.getAs[Long]("n2") == 50)
+    assert(r.getAs[Double]("d_stat") == 0.0)
+    assert(r.getAs[Double]("p_bound") == 1.0, "2·exp(0) must clamp via least(1,·)")
+  }
+
+  test("ks: disjoint supports give D=1 at the boundary value") {
+    val rows = (0 until 30).map(i => ev(i, "purchase", 1.0 + (i % 3))) ++
+      (0 until 40).map(i => ev(100 + i, "click", 50.0 + (i % 4)))
+    val dir = fixtureDir("events" -> spark.createDataset(rows).toDF)
+    val r = Relational.aggKsTest(spark, dir).collect().head
+    assert(r.getAs[Double]("d_stat") == 1.0)
+    assert(r.getAs[Double]("p_bound") < 1e-6)
+  }
+
+  // ---- agg_mann_whitney ----
+
+  test("mann-whitney: hand-computed U on a tiny sample with ties") {
+    // purchase: {1, 2, 2}, click: {2, 3}
+    // pooled sorted: 1(r1) 2 2 2 (avg rank (2+3+4)/3 = 3) 3(r5)
+    // R1 = 1 + 3 + 3 = 7; U1 = 7 − 3·4/2 = 1; μ = 3·2/2 = 3
+    val rows = Seq(ev(1, "purchase", 1.0), ev(2, "purchase", 2.0),
+      ev(3, "purchase", 2.0), ev(4, "click", 2.0), ev(5, "click", 3.0))
+    val dir = fixtureDir("events" -> spark.createDataset(rows).toDF)
+    val r = Relational.aggMannWhitney(spark, dir).collect().head
+    assert(r.getAs[Long]("n1") == 3 && r.getAs[Long]("n2") == 2)
+    assert(r.getAs[Double]("u_stat") == 1.0)
+    assert(r.getAs[Double]("u_mean") == 3.0)
+    // tie-corrected σ² = (6/12)·(6 − (3³−3)/(5·4)) = 2.4 → z = −2/√2.4
+    assert(math.abs(r.getAs[Double]("z_stat") - (-2.0 / math.sqrt(2.4))) < 1e-6)
+  }
+
+  // ---- agg_mutual_info ----
+
+  test("mutual info: independent columns give MI ≈ 0, dependence gives MI = H") {
+    // independent: every (nation, segment) cell equally filled
+    val ind = for (n <- 0 until 4; s <- 0 until 4; k <- 0 until 5)
+      yield CustRow(n * 100 + s * 10 + k, s"c$n$s$k", n, 10.0, s"SEG$s")
+    val dIndep = fixtureDir("customer" -> spark.createDataset(ind).toDF)
+    val ri = Relational.aggMutualInfo(spark, dIndep).collect().head
+    assert(math.abs(ri.getAs[Double]("mi")) < 1e-9)
+    assert(math.abs(ri.getAs[Double]("nmi")) < 1e-9)
+    // deterministic: segment = f(nation) → MI = H(X) = H(Y), NMI = 1
+    val dep = for (n <- 0 until 4; k <- 0 until 5)
+      yield CustRow(n * 10 + k, s"c$n$k", n, 10.0, s"SEG$n")
+    val dDep = fixtureDir("customer" -> spark.createDataset(dep).toDF)
+    val rd = Relational.aggMutualInfo(spark, dDep).collect().head
+    assert(math.abs(rd.getAs[Double]("mi") - rd.getAs[Double]("h_x")) < 1e-5)
+    assert(math.abs(rd.getAs[Double]("nmi") - 1.0) < 1e-5)
+  }
+
+  // ---- text_readability ----
+
+  test("readability: sentence floor, vowel-group syllables, per-source agg") {
+    val docs = Seq(
+      DocRow(1, "the cat sat", "en", "a", 11),          // no punct → s=1
+      DocRow(2, "go now! stop. yes?", "en", "b", 18),   // 3 sentence runs
+      DocRow(3, "zzz bcd fgh", "en", "c", 11))          // zero vowel groups
+    val dir = fixtureDir("documents" -> spark.createDataset(docs).toDF)
+    val out = Text.queries("text_readability")(spark, dir).collect()
+    val a = out.find(_.getAs[String]("source") == "a").get
+    // words=3 sentences=1 syllables=3 (e/a/a): FRE = 206.835 − 1.015·3 − 84.6·1
+    assert(math.abs(a.getAs[Double]("avg_fre") -
+      (206.835 - 1.015 * 3.0 - 84.6 * 1.0)) < 1e-9)
+    assert(a.getAs[Double]("syll_per_word") == 1.0)
+    val b = out.find(_.getAs[String]("source") == "b").get
+    assert(b.getAs[Long]("n_words") == 4) // "go now! stop. yes?" splits to 4
+    val c = out.find(_.getAs[String]("source") == "c").get
+    assert(c.getAs[Double]("syll_per_word") == 0.0)
+  }
+
+  // ---- cluster_dbscan_grid ----
+
+  test("dbscan grid: two separated blobs cluster apart; sparse points are noise") {
+    def emb(id: Long, x: Float, y: Float) =
+      EmbRow(id, Array(x, y) ++ Array.fill(62)(0.0f), 0)
+    // blob A: 2 adjacent cells near origin, 4 pts each (core, eps=0.08)
+    val blobA = (0 until 4).map(i => emb(i, 0.01f, 0.01f)) ++
+      (0 until 4).map(i => emb(10 + i, 0.09f, 0.01f))
+    // blob B: one core cell far away (≥2 empty cells between → no bridge)
+    val blobB = (0 until 5).map(i => emb(100 + i, -0.31f, -0.31f))
+    // noise: 2 lone points in distinct cells
+    val lone = Seq(emb(200, 0.25f, -0.25f), emb(201, -0.15f, 0.2f))
+    val dir = fixtureDir("embeddings" ->
+      spark.createDataset(blobA ++ blobB ++ lone).toDF)
+    val out = VOps.clusterDbscanGrid(spark, dir).collect()
+    val noise = out.find(_.getAs[String]("label") == "noise").get
+    assert(noise.getAs[Long]("n_cells") == 2 && noise.getAs[Long]("n_pts") == 2)
+    val clusters = out.filterNot(_.getAs[String]("label") == "noise")
+    assert(clusters.length == 2, s"expected 2 clusters, got ${clusters.toSeq}")
+    assert(clusters.map(_.getAs[Long]("n_pts")).sorted.toSeq == Seq(5L, 8L))
+    assert(clusters.map(_.getAs[Long]("n_cells")).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("dbscan grid: all-sparse input yields only the noise row") {
+    def emb(id: Long, x: Float) =
+      EmbRow(id, Array(x, 0.0f) ++ Array.fill(62)(0.0f), 0)
+    val dir = fixtureDir("embeddings" ->
+      spark.createDataset((0 until 6).map(i => emb(i, -0.3f + i * 0.1f))).toDF)
+    val out = VOps.clusterDbscanGrid(spark, dir).collect()
+    assert(out.length == 1 && out.head.getAs[String]("label") == "noise")
+    assert(out.head.getAs[Long]("n_pts") == 6)
+  }
+}
