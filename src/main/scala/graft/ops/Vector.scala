@@ -1357,7 +1357,45 @@ object Vector {
       .orderBy(desc("n_pts"), col("label"))
   }
 
+  /** Maximum-inner-product search (MIPS) — the recommender-serving
+    * sibling of [[simsearchTopk]]: corpus vectors carry VARYING norms
+    * (item popularity priors; here a deterministic per-label weight
+    * w = 1 + (label mod 5)/4 since the fixture vectors are unit-norm),
+    * so argmax x·q ≠ argmax cos(x,q) and cosine machinery can't serve
+    * it directly. Exact path: score every corpus vector against the 10
+    * broadcast probes and keep top-5 per probe through
+    * [[graft.plans.TopK.topKPerKey]] — a bounded-heap corpus scan with
+    * ZERO corpus shuffle (the rank window runs only over the ≤50
+    * surviving rows). Scale path (documented, not needed at this
+    * corpus): the standard norm-augmentation reduction — append
+    * √(M²−‖x‖²) to x and 0 to q (M = max norm) and MIPS becomes
+    * cosine NN in d+1 dims, so the SRP-bucket equi join of
+    * [[simsearchLsh]] applies unchanged. Exactness: the weight
+    * multiplies the FUSED dot's result once (w·Σxq — one IEEE mul,
+    * spelled identically in the oracle), r4 BEFORE ranking. */
+  def simsearchMips(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        (lit(1.0) + pmod(col("label"), lit(5)).cast("double") / lit(4.0))
+          .as("w"))
+    val probes = e.orderBy("vec_id").limit(10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    val scored = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("ip", r4(dot(col("embedding"), col("p_emb")) * col("w")))
+      .select(col("probe_id"), col("vec_id"), col("ip"))
+    val top = graft.plans.TopK.topKPerKey(scored, Seq("probe_id"),
+      Seq(graft.plans.TopK.Ord("ip", descending = true),
+        graft.plans.TopK.Ord("vec_id")), 5)
+    val w5 = Window.partitionBy("probe_id").orderBy(desc("ip"), col("vec_id"))
+    top.withColumn("rk", row_number().over(w5).cast("long"))
+      .select(col("probe_id"), col("rk"), col("vec_id").as("neighbor_id"),
+        col("ip"))
+      .orderBy("probe_id", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "simsearch_mips" -> (simsearchMips _),
     "cluster_dbscan_grid" -> (clusterDbscanGrid _),
     "simsearch_filtered" -> (simsearchFiltered _),
     "embedding_whiten" -> (embeddingWhiten _),
@@ -1529,6 +1567,16 @@ object Vector {
   private lazy val pqUpsertOracleSqlStr: String = pqOracleSqlGen(standingTrained = true)
 
   val oracleSql: Map[String, String] = Map(
+    "simsearch_mips" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
+             FROM embeddings ORDER BY vec_id LIMIT 10),
+         s AS (SELECT p.probe_id, c.vec_id,
+             ${r4Sql("list_sum(list_transform(range(1, len(c.embedding)+1), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.pe[i] AS DOUBLE))) * (1.0 + CAST(c.label % 5 AS DOUBLE) / 4.0)")} AS ip
+           FROM embeddings c, p WHERE c.vec_id != p.probe_id)
+         SELECT probe_id,
+           CAST(row_number() OVER (PARTITION BY probe_id ORDER BY ip DESC, vec_id) AS BIGINT) AS rk,
+           vec_id AS neighbor_id, ip
+         FROM s QUALIFY rk <= 5 ORDER BY probe_id, rk""",
     "cluster_dbscan_grid" ->
       s"""WITH RECURSIVE pts AS MATERIALIZED (
            SELECT (CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.08) AS BIGINT) + 100) * 1000

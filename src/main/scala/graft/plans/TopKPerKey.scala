@@ -56,6 +56,18 @@ case class TopKPerKeyExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
 
+  /** The heap pass is a per-partition map (placement untouched), so the
+    * child's partitioning — hashpartitioning(keys) once EnsureRequirements
+    * has satisfied the distribution above — survives this node. Without
+    * this override the default UnknownPartitioning would make any
+    * downstream join/agg on the same keys re-shuffle rows that are
+    * already exactly where they need to be (the WindowExec formulation
+    * this operator replaces preserves partitioning; so must its
+    * replacement, or the rewrite costs an exchange per consumer). */
+  override def outputPartitioning:
+      org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val (keyExprs, sortOrder, kk, childOutput) = (keys, order, k, child.output)
     child.execute().mapPartitions({ iter =>

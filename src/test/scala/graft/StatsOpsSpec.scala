@@ -113,6 +113,29 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
     assert(clusters.map(_.getAs[Long]("n_cells")).sorted.toSeq == Seq(1L, 2L))
   }
 
+  // ---- simsearch_mips ----
+
+  test("mips: weighted inner product reorders what cosine would rank") {
+    // probe = e1. Corpus: v10 ∥ e1 with weight 1 (label 0) → ip 1.0;
+    // v11 at cos 0.6 to e1 but weight 2 (label 4) → ip 1.2. Cosine
+    // ranks v10 first; MIPS must rank v11 first.
+    def v(id: Long, x: Float, y: Float, label: Int) =
+      EmbRow(id, Array(x, y) ++ Array.fill(62)(0.0f), label)
+    val rows = Seq(
+      v(0, 1f, 0f, 0),                       // the probe (lowest id)
+      v(10, 1f, 0f, 0),                      // cos 1.0, w 1.0 → ip 1.0
+      v(11, 0.6f, 0.8f, 4),                  // cos 0.6, w 2.0 → ip 1.2
+      v(12, 0f, 1f, 0))                      // cos 0,  w 1.0 → ip 0
+    val dir = fixtureDir("embeddings" -> spark.createDataset(rows).toDF)
+    val out = VOps.simsearchMips(spark, dir).collect()
+      .filter(_.getAs[Long]("probe_id") == 0L)
+    assert(out.head.getAs[Long]("neighbor_id") == 11L,
+      "MIPS must prefer the high-norm vector over the perfectly-aligned one")
+    assert(out.head.getAs[Double]("ip") == 1.2)
+    assert(out(1).getAs[Long]("neighbor_id") == 10L)
+    assert(out(1).getAs[Double]("ip") == 1.0)
+  }
+
   test("dbscan grid: all-sparse input yields only the noise row") {
     def emb(id: Long, x: Float) =
       EmbRow(id, Array(x, 0.0f) ++ Array.fill(62)(0.0f), 0)

@@ -27,6 +27,23 @@ class TopKSpec extends AnyFunSuite with SparkFixture {
     assert(got.nonEmpty)
   }
 
+  test("propagates child partitioning: same-key consumer adds no second exchange") {
+    // TopKPerKeyExec forces ONE hashpartitioning(keys) exchange below it;
+    // a groupBy on the same key must reuse that layout. Without the
+    // outputPartitioning override the exec reports Unknown and the agg
+    // re-shuffles 5 rows that are already exactly placed — at 100 TB
+    // that phantom exchange is a full dataset pass.
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val top = TopK.topKPerKey(orders, Seq("o_custkey"),
+      Seq(TopK.Ord("o_totalprice", descending = true), TopK.Ord("o_orderkey")), 3)
+    val agg = top.groupBy("o_custkey").count()
+    val plan = agg.queryExecution.executedPlan.toString
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nExchanges == 1,
+      s"expected exactly one hash exchange (below the heap exec), got $nExchanges:\n$plan")
+    assert(agg.count() > 0)
+  }
+
   test("k larger than every group returns all rows") {
     val df = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0)).toDF("k", "v")
     val got = TopK.topKPerKey(df, Seq("k"), Seq(TopK.Ord("v", descending = true)), 100)
