@@ -97,7 +97,11 @@ object Soak {
       // LM (the largest new model-sized join), and the curriculum's
       // two-pass global ordering
       "graph_degree_stats", "simsearch_filtered", "text_bigram_lm_score",
-      "pipe_curriculum_order")
+      "pipe_curriculum_order",
+      // late-round-9 additions: the density-clustering cell aggregate
+      // (does the domain bound really hold the cell frame flat at 10×?)
+      // and the MIPS corpus scan (pure linear path, heap-exec bounded)
+      "cluster_dbscan_grid", "simsearch_mips")
     // warm JIT/codegen on the small sibling
     SparkEntry.entry(spark).count()
 

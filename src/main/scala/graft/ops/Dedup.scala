@@ -1033,7 +1033,54 @@ object Dedup {
       .orderBy("sz")
   }
 
+  /** Chunk-level NEAR dedup — the missing granularity between
+    * [[Text.dedupChunkExact]] (exact chunk hashes) and whole-document
+    * MinHash: cross-document passage sharing where the shared paragraph
+    * was EDITED (the RefinedWeb/decontamination case an exact chunk hash
+    * misses). Chunks ([[Text.chunkRows]]'s 8-token/stride-6 geometry —
+    * one definition, three consumers) become pseudo-docs keyed
+    * doc_id·10⁶+ci (packing holds below 2⁴³ docs × 10⁶ chunks/doc) and
+    * run through the SAME capped LSH candidate machinery
+    * ([[candidatePairs]] under one global block — paragraph reuse is
+    * inherently cross-source); exact chunk-set Jaccard verifies; the
+    * rollup reports the top-20 DOC pairs by verified near-chunk count
+    * (same-doc chunk pairs excluded — stride overlap is not reuse).
+    * Shape at scale: chunking is a Generator (zero shuffle); everything
+    * after is the proven bounded LSH path at ~n/6-token chunk
+    * cardinality; the rollup is one hash agg on (doc_a, doc_b) +
+    * TakeOrdered(20). */
+  def dedupChunkMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Text.chunkRows(spark, dir)
+      .select((col("doc_id") * 1000000L + col("ci")).as("doc_id"),
+        lit("all").as("source"),
+        array_distinct(slice(col("toks"),
+          (col("ci") * 6 + 1).cast("int"), lit(8))).as("toks"))
+    val cand = candidatePairs(chunks, "s")
+    val sets = chunks.select(col("doc_id"), col("toks"))
+    val jac = cand
+      .join(sets.select(col("doc_id").as("dd1"), col("toks").as("t1")),
+        col("d1") === col("dd1"))
+      .join(sets.select(col("doc_id").as("dd2"), col("toks").as("t2")),
+        col("d2") === col("dd2"))
+      .withColumn("inter", size(array_intersect(col("t1"), col("t2"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("t1")) + size(col("t2")) - col("inter")).cast("double"))
+    jac
+      .withColumn("da", expr("d1 DIV 1000000"))
+      .withColumn("db", expr("d2 DIV 1000000"))
+      .filter(col("da") =!= col("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jac"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_chunk_pairs"),
+        sum(when(col("jac") >= 0.7, 1L).otherwise(0L)).as("n_near"))
+      .filter(col("n_near") >= 1)
+      .orderBy(desc("n_near"), desc("n_chunk_pairs"), col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_chunk_minhash" -> (dedupChunkMinhash _),
     "dedup_cluster_sizes" -> (dedupClusterSizes _),
     "dedup_rate_report" -> (dedupRateReport _),
     "dedup_source_overlap" -> (dedupSourceOverlap _),
@@ -1176,6 +1223,41 @@ object Dedup {
          $bandCteGlobalSql"""
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_chunk_minhash" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS dtoks FROM documents),
+         ch AS MATERIALIZED (
+           SELECT doc_id * 1000000 + ci AS doc_id, 'all' AS source,
+             list_distinct(dtoks[(ci * 6 + 1):(ci * 6 + 8)]) AS ctoks
+           FROM (SELECT doc_id, dtoks,
+             unnest(range(0, CAST(1 + CASE WHEN len(dtoks) > 8
+               THEN floor((len(dtoks) - 3) / 6.0) ELSE 0 END AS BIGINT))) AS ci
+             FROM d)),
+         tok AS MATERIALIZED (
+           SELECT doc_id, source, unnest(ctoks) AS token FROM ch),
+         sig AS MATERIALIZED (
+           SELECT doc_id, source,
+             $minhashMinsSql
+           FROM tok GROUP BY doc_id, source),
+         $bandCteSql,
+         cand AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           FROM band a JOIN band b
+             ON a.source = b.source AND a.band = b.band AND a.bsig = b.bsig
+               AND a.doc_id < b.doc_id),
+         j AS (SELECT c.d1, c.d2,
+             len(list_intersect(x.ctoks, y.ctoks)) AS inter,
+             len(x.ctoks) AS n1, len(y.ctoks) AS n2
+           FROM cand c JOIN ch x ON x.doc_id = c.d1
+             JOIN ch y ON y.doc_id = c.d2),
+         p AS (SELECT least(d1 // 1000000, d2 // 1000000) AS doc_a,
+             greatest(d1 // 1000000, d2 // 1000000) AS doc_b,
+             CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE) AS jac
+           FROM j WHERE d1 // 1000000 != d2 // 1000000)
+         SELECT doc_a, doc_b, count(*) AS n_chunk_pairs,
+           sum(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END) AS n_near
+         FROM p GROUP BY 1, 2
+         HAVING sum(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END) >= 1
+         ORDER BY n_near DESC, n_chunk_pairs DESC, doc_a, doc_b LIMIT 20""",
     "dedup_cluster_sizes" ->
       s"""WITH g AS (SELECT md5(text) AS h, count(*) AS sz
            FROM documents GROUP BY 1),

@@ -285,7 +285,7 @@ object Text {
     * the chunks the chunker emits (one definition, two consumers).
     * Output: one (doc_id, toks, ci) row per chunk, plus the chunk-text
     * expression over those columns. */
-  private def chunkRows(spark: SparkSession, dir: String): DataFrame = {
+  private[ops] def chunkRows(spark: SparkSession, dir: String): DataFrame = {
     val n = size(col("toks"))
     // smallest k with 6k+8 ≥ n, plus 1 → 1 + ceil((n−8)/6) chunks, the
     // ceil spelled floor((n−3)/6) for n > 8; exact int-valued doubles

@@ -113,6 +113,30 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
     assert(clusters.map(_.getAs[Long]("n_cells")).sorted.toSeq == Seq(1L, 2L))
   }
 
+  // ---- dedup_chunk_minhash ----
+
+  test("chunk minhash: shared paragraph links docs; same-doc repeats excluded") {
+    // A and B open with the IDENTICAL 8-token paragraph (chunk 0 in
+    // both — guaranteed LSH collision, jac 1.0) then diverge. C repeats
+    // its own (different) paragraph internally: every chunk pair it
+    // forms is same-doc and must be excluded. D is unrelated filler.
+    val p = "alpha beta gamma delta epsilon zeta eta theta"
+    val q = "one two three four five six seven eight"
+    val docs = Seq(
+      DocRow(1, s"$p red blue green yellow", "en", "a", 0),
+      DocRow(2, s"$p north south east west", "en", "b", 0),
+      DocRow(3, s"$q $q", "en", "c", 0),
+      DocRow(4, "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 k11 k12", "en", "d", 0))
+    val dir = fixtureDir("documents" -> spark.createDataset(docs).toDF)
+    val out = graft.ops.Dedup.dedupChunkMinhash(spark, dir).collect()
+    assert(out.exists(r => r.getAs[Long]("doc_a") == 1L &&
+      r.getAs[Long]("doc_b") == 2L && r.getAs[Long]("n_near") >= 1),
+      s"docs 1,2 share chunk 0 verbatim — must pair: ${out.toSeq}")
+    assert(!out.exists(r => r.getAs[Long]("doc_a") == 3L ||
+      r.getAs[Long]("doc_b") == 3L),
+      "doc 3's repeats are same-doc chunk pairs — must be excluded")
+  }
+
   // ---- simsearch_mips ----
 
   test("mips: weighted inner product reorders what cosine would rank") {
