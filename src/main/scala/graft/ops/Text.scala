@@ -64,7 +64,7 @@ object Text {
       .orderBy("lang", "predicted")
   }
 
-  private val StopWords = Seq("join", "filter", "sort", "merge", "window")
+  private[ops] val StopWords = Seq("join", "filter", "sort", "merge", "window")
 
   /** The composite quality signal shared by [[qualityScore]] and
     * [[dedupKeepBest]]: exact per-row double math (int/int divisions,

@@ -1394,7 +1394,71 @@ object Vector {
       .orderBy("probe_id", "rk")
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion — the modern
+    * two-retriever serving shape: a lexical BM25 list (the fixed 5-term
+    * query of `text_bm25`, aggregated per doc) and a dense cosine list
+    * (lowest-vec_id probe; fixture convention: vec_id keys the
+    * embedding of doc doc_id where present) each retrieve top-50;
+    * RRF(d) = Σ 1/(60+rankᵢ(d)) fuses them, absent-list contribution 0
+    * (the standard Cormack et al. constant). Shape at scale: each side
+    * ends in TakeOrdered(50) — no global rank window, no corpus sort;
+    * the rank row_numbers run over the two 50-row frames and the
+    * fusion is a full-outer join of two 50-row sets. Exactness: BM25
+    * per-(doc,term) scores r6→DECIMAL before the per-doc sum; cosine
+    * r6 BEFORE ranking; RRF ranks are exact integers so the fused
+    * score is the identical IEEE tree both engines. */
+  def simsearchRrfHybrid(spark: SparkSession, dir: String): DataFrame = {
+    val d166 = DecimalType(16, 6)
+    val d = table(spark, dir, "documents")
+    val dl = d.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+    val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token").isin(Text.StopWords: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val tfd = col("tf").cast("double")
+    val scored = tf.join(dl, "doc_id").join(broadcast(dfx), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n").cast("double"))
+      .withColumn("idf", log(
+        (col("n").cast("double") - col("df").cast("double") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+      .withColumn("s", r6(col("idf") * (tfd * lit(2.2))
+        / (tfd + lit(1.2) * (lit(0.25) + lit(0.75)
+          * (col("dl").cast("double") / col("avgdl"))))))
+    val bmTop = scored.groupBy("doc_id")
+      .agg(sum(col("s").cast(d166)).cast("double").as("bm"))
+      .orderBy(desc("bm"), col("doc_id")).limit(50)
+    val bmRank = bmTop
+      .withColumn("rb", row_number()
+        .over(Window.orderBy(desc("bm"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rb"))
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"),
+      l2(col("embedding")).as("nrm"))
+    val probe = e.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"),
+        col("nrm").as("pn"))
+    val cs = e.crossJoin(broadcast(probe))
+      .filter(col("vec_id") =!= col("pid"))
+      .withColumn("c", r6(cosinePre(col("embedding"), col("pe"),
+        col("nrm"), col("pn"))))
+    val vRank = cs.orderBy(desc("c"), col("vec_id")).limit(50)
+      .withColumn("rv", row_number()
+        .over(Window.orderBy(desc("c"), col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("rv"))
+    val rrf = r6(
+      coalesce(lit(1.0) / (lit(60.0) + col("rb").cast("double")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(60.0) + col("rv").cast("double")), lit(0.0)))
+    bmRank.join(vRank, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rb").as("rank_bm25"),
+        col("rv").as("rank_vec"), rrf.as("rrf"))
+      .orderBy(desc("rrf"), col("doc_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "simsearch_rrf_hybrid" -> (simsearchRrfHybrid _),
     "simsearch_mips" -> (simsearchMips _),
     "cluster_dbscan_grid" -> (clusterDbscanGrid _),
     "simsearch_filtered" -> (simsearchFiltered _),
@@ -1567,6 +1631,37 @@ object Vector {
   private lazy val pqUpsertOracleSqlStr: String = pqOracleSqlGen(standingTrained = true)
 
   val oracleSql: Map[String, String] = Map(
+    "simsearch_rrf_hybrid" ->
+      s"""WITH dl AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+         st AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM dl),
+         tf AS (SELECT doc_id, token, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents)
+           WHERE token IN ('join','filter','sort','merge','window')
+           GROUP BY doc_id, token),
+         dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         sc AS (SELECT tf.doc_id,
+           ${r6Sql("ln((CAST(st.n AS DOUBLE) - CAST(dfx.df AS DOUBLE) + 0.5) / (CAST(dfx.df AS DOUBLE) + 0.5) + 1.0) * (CAST(tf.tf AS DOUBLE) * 2.2) / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n AS DOUBLE)))))")} AS s
+           FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+             JOIN dfx ON tf.token = dfx.token, st),
+         bm AS (SELECT doc_id, CAST(sum(CAST(s AS DECIMAL(16,6))) AS DOUBLE) AS bm
+           FROM sc GROUP BY doc_id),
+         bmtop AS (SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY bm DESC, doc_id) AS BIGINT) AS rb
+           FROM (SELECT * FROM bm ORDER BY bm DESC, doc_id LIMIT 50)),
+         pr AS (SELECT vec_id AS pid, embedding AS pe
+           FROM embeddings ORDER BY vec_id LIMIT 1),
+         cs AS (SELECT c.vec_id, ${r6Sql(cosSql("c.embedding", "pr.pe"))} AS cosv
+           FROM embeddings c, pr WHERE c.vec_id != pr.pid),
+         vtop AS (SELECT vec_id,
+           CAST(row_number() OVER (ORDER BY cosv DESC, vec_id) AS BIGINT) AS rv
+           FROM (SELECT * FROM cs ORDER BY cosv DESC, vec_id LIMIT 50))
+         SELECT COALESCE(b.doc_id, v.vec_id) AS doc_id,
+           b.rb AS rank_bm25, v.rv AS rank_vec,
+           ${r6Sql("COALESCE(1.0 / (60.0 + CAST(b.rb AS DOUBLE)), 0.0) + COALESCE(1.0 / (60.0 + CAST(v.rv AS DOUBLE)), 0.0)")} AS rrf
+         FROM bmtop b FULL OUTER JOIN vtop v ON b.doc_id = v.vec_id
+         ORDER BY rrf DESC, COALESCE(b.doc_id, v.vec_id) LIMIT 10""",
     "simsearch_mips" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
              FROM embeddings ORDER BY vec_id LIMIT 10),

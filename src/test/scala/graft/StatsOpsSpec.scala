@@ -113,6 +113,35 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
     assert(clusters.map(_.getAs[Long]("n_cells")).sorted.toSeq == Seq(1L, 2L))
   }
 
+  // ---- simsearch_rrf_hybrid ----
+
+  test("rrf hybrid: rank-1 in both lists fuses to 2/61 and tops the output") {
+    // doc/vec 1 is the best lexical match AND the closest vector to the
+    // probe (vec 0); doc 2 is second in both. RRF is exactly
+    // 1/(60+rb) + 1/(60+rv) with absent-list contribution 0.
+    def v(id: Long, x: Float, y: Float) =
+      EmbRow(id, Array(x, y) ++ Array.fill(62)(0.0f), 0)
+    val docs = Seq(
+      DocRow(1, "join filter sort merge window join filter sort", "en", "a", 0),
+      DocRow(2, "join filter red blue green yellow pink grey", "en", "b", 0),
+      DocRow(3, "red blue green yellow pink grey black white", "en", "c", 0))
+    val vecs = Seq(v(0, 1f, 0f), v(1, 0.99f, 0.14f), v(2, 0.7f, 0.71f),
+      v(3, 0f, 1f))
+    val dir = fixtureDir(
+      "documents" -> spark.createDataset(docs).toDF,
+      "embeddings" -> spark.createDataset(vecs).toDF)
+    val out = VOps.simsearchRrfHybrid(spark, dir).collect()
+    val top = out.head
+    assert(top.getAs[Long]("doc_id") == 1L)
+    assert(top.getAs[Long]("rank_bm25") == 1L && top.getAs[Long]("rank_vec") == 1L)
+    assert(math.abs(top.getAs[Double]("rrf") -
+      math.floor((2.0 / 61.0) * 1e6 + 0.5) / 1e6) < 1e-12)
+    // doc 3 has no lexical signal: rank_bm25 must be null, vec side real
+    val d3 = out.find(_.getAs[Long]("doc_id") == 3L).get
+    assert(d3.isNullAt(d3.fieldIndex("rank_bm25")))
+    assert(d3.getAs[Long]("rank_vec") > 0L)
+  }
+
   // ---- dedup_chunk_minhash ----
 
   test("chunk minhash: shared paragraph links docs; same-doc repeats excluded") {
