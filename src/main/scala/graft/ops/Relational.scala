@@ -2870,7 +2870,46 @@ object Relational {
           .as("nmi"))
   }
 
+  /** Differentially-private count release (Laplace mechanism) over two
+    * granularities of the customer quasi-identifier, with SEQUENTIAL
+    * COMPOSITION accounting: the ε=1 budget splits 0.5/0.5 between the
+    * per-nation release and the per-(nation, segment) release — the
+    * bookkeeping a real privacy pipeline must carry, which
+    * [[aggKAnonymity]]'s suppression model doesn't. Noise is
+    * inverse-CDF Laplace(1/ε) on a SEEDED md5 uniform — deterministic
+    * so the mechanism is oracle-gateable end to end (a production
+    * release swaps in real randomness and drops the n_true/noise
+    * columns; mechanism, sensitivity-1 counts, and budget math are the
+    * real thing). Shape at scale: two map-side-combined hash aggs to
+    * model-sized frames; noise is per-GROUP scalar math (seeded on the
+    * group key, so re-releases don't average the noise away). */
+  def aggDpCounts(spark: SparkSession, dir: String): DataFrame = {
+    val epsEach = 0.5 // ε_total = 1.0, split across the two releases
+    def release(keyed: DataFrame, level: String): DataFrame = {
+      val u = conv(substring(md5(concat(lit("dp|"), col("key"))
+        .cast("binary")), 1, 15), 16, 10)
+        .cast("double") / lit(1152921504606846976.0)
+      val c = u - lit(0.5)
+      val noise = -(lit(1.0) / lit(epsEach)) * signum(c) *
+        log(lit(1.0) - lit(2.0) * abs(c))
+      keyed.select(lit(level).as("level"), col("key"), col("n").as("n_true"),
+        r4(noise).as("noise"),
+        r4(col("n").cast("double") + noise).as("n_released"),
+        lit(epsEach).as("epsilon"))
+    }
+    val cust = table(spark, dir, "customer")
+    val byNation = cust.groupBy(col("c_nationkey").cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val byCell = cust.groupBy(concat_ws(":",
+        col("c_nationkey").cast("string"), col("c_mktsegment")).as("key"))
+      .agg(count(lit(1)).as("n"))
+    release(byNation, "nation")
+      .unionByName(release(byCell, "nation_segment"))
+      .orderBy("level", "key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_dp_counts" -> (aggDpCounts _),
     "agg_ks_test" -> (aggKsTest _),
     "agg_mann_whitney" -> (aggMannWhitney _),
     "agg_mutual_info" -> (aggMutualInfo _),
@@ -2977,6 +3016,24 @@ object Relational {
     "window_lead" -> (windowLead _))
 
   val oracleSql: Map[String, String] = Map(
+    "agg_dp_counts" ->
+      s"""WITH n1 AS (SELECT CAST(c_nationkey AS VARCHAR) AS key,
+           count(*) AS n FROM customer GROUP BY 1),
+         n2 AS (SELECT CAST(c_nationkey AS VARCHAR) || ':' || c_mktsegment AS key,
+           count(*) AS n FROM customer GROUP BY 1),
+         u AS (SELECT 'nation' AS level, key, n FROM n1
+           UNION ALL SELECT 'nation_segment', key, n FROM n2),
+         w AS (SELECT level, key, n,
+           CAST(CAST(('0x' || substr(md5('dp|' || key), 1, 15)) AS BIGINT)
+             AS DOUBLE) / 1152921504606846976.0 - 0.5 AS c
+           FROM u),
+         r AS (SELECT level, key, n,
+           -(1.0 / 0.5) * sign(c) * ln(1.0 - 2.0 * abs(c)) AS noise
+           FROM w)
+         SELECT level, key, n AS n_true, ${r4Sql("noise")} AS noise,
+           ${r4Sql("CAST(n AS DOUBLE) + noise")} AS n_released,
+           0.5 AS epsilon
+         FROM r ORDER BY level, key""",
     "agg_ks_test" ->
       s"""WITH v AS (SELECT CAST(value AS DECIMAL(10,2)) AS val,
            count(*) FILTER (WHERE event_type = 'purchase') AS k1,

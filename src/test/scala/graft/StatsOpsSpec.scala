@@ -113,6 +113,35 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
     assert(clusters.map(_.getAs[Long]("n_cells")).sorted.toSeq == Seq(1L, 2L))
   }
 
+  // ---- agg_dp_counts ----
+
+  test("dp counts: seeded Laplace noise matches the closed form per key") {
+    val cust = (0 until 30).map(i =>
+      CustRow(i, s"c$i", i % 3, 10.0, s"SEG${i % 2}"))
+    val dir = fixtureDir("customer" -> spark.createDataset(cust).toDF)
+    val out = Relational.aggDpCounts(spark, dir).collect()
+    // independent JVM-side reimplementation of the seeded mechanism
+    def expectedNoise(key: String): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dp|$key".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(hex.take(15), 16).toDouble / 1.152921504606846976e18
+      val c = u - 0.5
+      val raw = -(1.0 / 0.5) * math.signum(c) * math.log(1.0 - 2.0 * math.abs(c))
+      math.floor(raw * 1e4 + 0.5) / 1e4
+    }
+    out.foreach { r =>
+      val key = r.getAs[String]("key")
+      assert(r.getAs[Double]("noise") == expectedNoise(key),
+        s"noise mismatch for key $key")
+      assert(r.getAs[Double]("epsilon") == 0.5)
+    }
+    // both granularities released; n_true preserved exactly
+    assert(out.count(_.getAs[String]("level") == "nation") == 3)
+    assert(out.count(_.getAs[String]("level") == "nation_segment") == 6)
+    assert(out.filter(_.getAs[String]("level") == "nation")
+      .map(_.getAs[Long]("n_true")).sum == 30)
+  }
+
   // ---- simsearch_rrf_hybrid ----
 
   test("rrf hybrid: rank-1 in both lists fuses to 2/61 and tops the output") {
