@@ -2908,7 +2908,48 @@ object Relational {
       .orderBy("level", "key")
   }
 
+  /** Dataset reweighting by RAKING (iterative proportional fitting):
+    * per-cell weights that pull the (nation, segment) margins toward
+    * UNIFORM targets — the domain-reweighting primitive of
+    * training-data mixing (hit target domain shares without
+    * resampling), and the classic survey post-stratification. Two full
+    * IPF rounds, UNROLLED (row-adjust, column-adjust, ×2): the
+    * fixpoint converges geometrically and the unroll keeps the whole
+    * computation one declarative plan — no driver loop, and the oracle
+    * replays the identical four steps. Shape at scale: corpus
+    * collapses once to the |X|·|Y| cell table; every step is a
+    * partitioned window over that model-sized frame. Exactness: step-1
+    * row sums are exact longs; every later weighted margin sums
+    * r6→DECIMAL(18,6) terms (fold-order-free), and the per-row weight
+    * chain is the identical IEEE tree both engines before r6. Cells
+    * absent from the data stay absent — IPF runs on the observed
+    * support. */
+  def aggRakingWeights(spark: SparkSession, dir: String): DataFrame = {
+    val d186 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val cells = table(spark, dir, "customer")
+      .groupBy(col("c_nationkey").as("x"), col("c_mktsegment").as("y"))
+      .agg(count(lit(1)).as("n"))
+    val stats = cells.agg(countDistinct(col("x")).as("nx"),
+      countDistinct(col("y")).as("ny"), sum(col("n")).as("tot"))
+    val c0 = cells.crossJoin(broadcast(stats))
+      .withColumn("tx", col("tot").cast("double") / col("nx").cast("double"))
+      .withColumn("ty", col("tot").cast("double") / col("ny").cast("double"))
+    val wx = Window.partitionBy("x"); val wy = Window.partitionBy("y")
+    def dsumW(e: Column, w: org.apache.spark.sql.expressions.WindowSpec) =
+      sum(r6(e).cast(d186)).over(w).cast("double")
+    val nD = col("n").cast("double")
+    val s4 = c0
+      .withColumn("w1", col("tx") / sum(col("n")).over(wx).cast("double"))
+      .withColumn("w2", col("w1") * (col("ty") / dsumW(col("w1") * nD, wy)))
+      .withColumn("w3", col("w2") * (col("tx") / dsumW(col("w2") * nD, wx)))
+      .withColumn("w4", col("w3") * (col("ty") / dsumW(col("w3") * nD, wy)))
+    s4.select(col("x"), col("y"), col("n"), r6(col("w4")).as("weight"),
+        r4(col("w4") * nD).as("weighted_n"))
+      .orderBy("x", "y")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_raking_weights" -> (aggRakingWeights _),
     "agg_dp_counts" -> (aggDpCounts _),
     "agg_ks_test" -> (aggKsTest _),
     "agg_mann_whitney" -> (aggMannWhitney _),
@@ -3016,6 +3057,25 @@ object Relational {
     "window_lead" -> (windowLead _))
 
   val oracleSql: Map[String, String] = Map(
+    "agg_raking_weights" ->
+      s"""WITH cells AS (SELECT c_nationkey AS x, c_mktsegment AS y,
+           count(*) AS n FROM customer GROUP BY 1, 2),
+         st AS (SELECT count(DISTINCT x) AS nx, count(DISTINCT y) AS ny,
+           sum(n) AS tot FROM cells),
+         c0 AS (SELECT x, y, n,
+           CAST(tot AS DOUBLE) / CAST(nx AS DOUBLE) AS tx,
+           CAST(tot AS DOUBLE) / CAST(ny AS DOUBLE) AS ty FROM cells, st),
+         s1 AS (SELECT *, tx / CAST(sum(n) OVER (PARTITION BY x) AS DOUBLE) AS w1
+           FROM c0),
+         s2 AS (SELECT *, w1 * (ty / CAST(sum(CAST(${r6Sql("w1 * CAST(n AS DOUBLE)")} AS DECIMAL(18,6))) OVER (PARTITION BY y) AS DOUBLE)) AS w2
+           FROM s1),
+         s3 AS (SELECT *, w2 * (tx / CAST(sum(CAST(${r6Sql("w2 * CAST(n AS DOUBLE)")} AS DECIMAL(18,6))) OVER (PARTITION BY x) AS DOUBLE)) AS w3
+           FROM s2),
+         s4 AS (SELECT *, w3 * (ty / CAST(sum(CAST(${r6Sql("w3 * CAST(n AS DOUBLE)")} AS DECIMAL(18,6))) OVER (PARTITION BY y) AS DOUBLE)) AS w4
+           FROM s3)
+         SELECT x, y, n, ${r6Sql("w4")} AS weight,
+           ${r4Sql("w4 * CAST(n AS DOUBLE)")} AS weighted_n
+         FROM s4 ORDER BY x, y""",
     "agg_dp_counts" ->
       s"""WITH n1 AS (SELECT CAST(c_nationkey AS VARCHAR) AS key,
            count(*) AS n FROM customer GROUP BY 1),

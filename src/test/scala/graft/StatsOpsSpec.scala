@@ -113,6 +113,36 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
     assert(clusters.map(_.getAs[Long]("n_cells")).sorted.toSeq == Seq(1L, 2L))
   }
 
+  // ---- agg_raking_weights ----
+
+  test("raking: two IPF rounds pull both margins near uniform targets") {
+    // skewed 2×2 table: nations {0,1} × segments {A,B}, counts
+    // 30/10/10/10 — uniform targets are 30 per row and per column.
+    val cust =
+      (0 until 30).map(i => CustRow(i, s"a$i", 0, 1.0, "SEGA")) ++
+      (0 until 10).map(i => CustRow(100 + i, s"b$i", 0, 1.0, "SEGB")) ++
+      (0 until 10).map(i => CustRow(200 + i, s"c$i", 1, 1.0, "SEGA")) ++
+      (0 until 10).map(i => CustRow(300 + i, s"d$i", 1, 1.0, "SEGB"))
+    val dir = fixtureDir("customer" -> spark.createDataset(cust).toDF)
+    val out = Relational.aggRakingWeights(spark, dir).collect()
+    assert(out.length == 4)
+    val wn = out.map(r => ((r.getAs[Int]("x"), r.getAs[String]("y")),
+      r.getAs[Double]("weighted_n"))).toMap
+    // margins after the final COLUMN step: columns match targets near-
+    // exactly; rows are one step behind (IPF alternation) but far
+    // closer to 30/30 than the raw 40/20 start.
+    val colA = wn((0, "SEGA")) + wn((1, "SEGA"))
+    val colB = wn((0, "SEGB")) + wn((1, "SEGB"))
+    assert(math.abs(colA - 30.0) < 0.01 && math.abs(colB - 30.0) < 0.01)
+    val row0 = wn((0, "SEGA")) + wn((0, "SEGB"))
+    assert(math.abs(row0 - 30.0) < 1.5,
+      s"row margin after 2 rounds should be near target, got $row0")
+    // weights deflate the over-represented cell, inflate the rare ones
+    val w = out.map(r => ((r.getAs[Int]("x"), r.getAs[String]("y")),
+      r.getAs[Double]("weight"))).toMap
+    assert(w((0, "SEGA")) < 1.0 && w((1, "SEGB")) > 1.0)
+  }
+
   // ---- agg_dp_counts ----
 
   test("dp counts: seeded Laplace noise matches the closed form per key") {
