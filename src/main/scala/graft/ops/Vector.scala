@@ -1457,7 +1457,51 @@ object Vector {
       .limit(10)
   }
 
+  /** Spatial RADIUS join via grid decomposition — the 2D-join analog of
+    * [[clusterDbscanGrid]]'s cell trick: two point sets (even/odd
+    * vec_id halves over the first two embedding dims) joined on
+    * distance ≤ r, decomposed as an EQUI join on quantized cells with
+    * 3×3 neighbor probing. Cell size = r guarantees every qualifying
+    * pair shares a (cell, neighbor-cell) key, so the equi join finds
+    * EXACTLY the brute-force result — which is what the oracle
+    * computes, knowing nothing about the grid. Shape at scale: probe
+    * side fans out 9 keys/point, build side one — one hash shuffle on
+    * the cell key, pair work bounded by per-cell density, never |A|·|B|
+    * (the brute-force cross join the oracle can afford only at fixture
+    * scale). Exactness: squared distance compared UNROOTED (one IEEE
+    * expression both engines, no sqrt in the predicate); output
+    * distance and its ordering go through r6 with id tie-breaks. */
+  def joinSpatialGrid(spark: SparkSession, dir: String): DataFrame = {
+    val r = 0.05
+    val e = emb(spark, dir).select(col("vec_id"),
+      element_at(col("embedding"), 1).cast("double").as("x"),
+      element_at(col("embedding"), 2).cast("double").as("y"))
+    def cellId(cx: Column, cy: Column) = (cx + 100L) * 1000L + (cy + 100L)
+    val build = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .withColumn("cell", cellId(floor(col("x") / lit(r)).cast("long"),
+        floor(col("y") / lit(r)).cast("long")))
+      .select(col("cell"), col("vec_id").as("b_id"),
+        col("x").as("bx"), col("y").as("by"))
+    val offsets = array((-1 to 1).flatMap(dx =>
+      (-1 to 1).map(dy => lit(dx * 1000L + dy))): _*)
+    val probe = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+      .withColumn("c0", cellId(floor(col("x") / lit(r)).cast("long"),
+        floor(col("y") / lit(r)).cast("long")))
+      .select(col("vec_id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
+        col("c0"), explode(offsets).as("off"))
+      .select(col("a_id"), col("ax"), col("ay"),
+        (col("c0") + col("off")).as("cell"))
+    val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+      (col("ay") - col("by")) * (col("ay") - col("by"))
+    probe.join(build, "cell")
+      .filter(d2 <= lit(r * r))
+      .select(col("a_id"), col("b_id"), r6(sqrt(d2)).as("dist"))
+      .orderBy("dist", "a_id", "b_id")
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_spatial_grid" -> (joinSpatialGrid _),
     "simsearch_rrf_hybrid" -> (simsearchRrfHybrid _),
     "simsearch_mips" -> (simsearchMips _),
     "cluster_dbscan_grid" -> (clusterDbscanGrid _),
@@ -1631,6 +1675,18 @@ object Vector {
   private lazy val pqUpsertOracleSqlStr: String = pqOracleSqlGen(standingTrained = true)
 
   val oracleSql: Map[String, String] = Map(
+    "join_spatial_grid" ->
+      s"""WITH e AS (SELECT vec_id,
+           CAST(embedding[1] AS DOUBLE) AS x,
+           CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+         a AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+         b AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+         p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+           FROM a, b)
+         SELECT a_id, b_id, ${r6Sql("sqrt(d2)")} AS dist
+         FROM p WHERE d2 <= 0.0025
+         ORDER BY dist, a_id, b_id LIMIT 100""",
     "simsearch_rrf_hybrid" ->
       s"""WITH dl AS (SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),

@@ -169,7 +169,13 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         case w: org.apache.spark.sql.execution.window.WindowExec
             if w.partitionSpec.isEmpty => w
       }.filterNot(_.collectFirst {
+        // bounded-input exemptions: an aggregate collapses the corpus to
+        // a model-sized frame; a limit (TakeOrdered / GlobalLimit) bounds
+        // the frame to k rows — either way the windowed input is tiny by
+        // construction, not corpus-sized
         case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+        case l: org.apache.spark.sql.execution.GlobalLimitExec => l
       }.nonEmpty)
       (if (cartesian.nonEmpty) Seq(s"$name: CartesianProduct") else Nil) ++
         (if (rawWindow.nonEmpty) Seq(s"$name: unpartitioned window over raw input") else Nil)
