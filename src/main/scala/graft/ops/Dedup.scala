@@ -1079,7 +1079,48 @@ object Dedup {
       .limit(20)
   }
 
+  /** Community detection by LABEL PROPAGATION over the candidate star
+    * graph — the frequency-based sibling of [[ccGroups]]: CC answers
+    * "connected at all", LPA's majority vote finds DENSE regions, the
+    * communities a curator samples from when whole components are too
+    * coarse. Four SYNCHRONOUS rounds, each node taking the most
+    * frequent label among its neighbors PLUS ITSELF (the self-vote
+    * breaks the bipartite oscillation synchronous LPA exhibits on
+    * star-shaped graphs), ties to the SMALLEST label — both choices
+    * deterministic, so the oracle replays the identical four rounds.
+    * Shape at scale: one vote round = one join of the checkpointed
+    * (capped, deg ≤ bands·cap) edge set against the label frame + two
+    * hash aggs; four rounds are fixed — no convergence driver loop, no
+    * corpus-sized window. Output: top-20 communities by size. */
+  def graphLabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    val base = d.select(col("doc_id"), col("source"),
+      array_distinct(split(Text.normTextExpr, " ")).as("toks"))
+    val star = candidateStarEdgesGlobal(base, "s").distinct()
+    val edges = star.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(star.select(col("d2").as("src"), col("d1").as("dst")))
+    val nodes = edges.select(col("src")).distinct()
+    // self-loops fold the self-vote into the same join as neighbor votes
+    val voteEdges = edges
+      .unionByName(nodes.select(col("src"), col("src").as("dst")))
+      .transform(iterCheckpoint) // reused by all four rounds
+    var lbl = nodes.select(col("src").as("v"), col("src").as("l"))
+    for (_ <- 1 to 4) {
+      lbl = voteEdges
+        .join(lbl.select(col("v").as("dst"), col("l").as("nl")), "dst")
+        .groupBy(col("src"), col("nl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(max_by(col("nl"), struct(col("c"), -col("nl"))).as("l"))
+        .select(col("src").as("v"), col("l"))
+    }
+    lbl.groupBy(col("l").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(desc("n_members"), col("community"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_label_propagation" -> (graphLabelPropagation _),
     "dedup_chunk_minhash" -> (dedupChunkMinhash _),
     "dedup_cluster_sizes" -> (dedupClusterSizes _),
     "dedup_rate_report" -> (dedupRateReport _),
@@ -1222,7 +1263,36 @@ object Dedup {
            FROM tok GROUP BY doc_id, source),
          $bandCteGlobalSql"""
 
+  private val lpaIterCtes = (1 to 4).map { k =>
+    s"""lp$k AS MATERIALIZED (
+           SELECT e2.src AS v, l.l AS nl, count(*) AS c
+           FROM e2 JOIN l${k - 1} l ON l.v = e2.dst GROUP BY 1, 2),
+         l$k AS MATERIALIZED (
+           SELECT v, nl AS l FROM lp$k
+           QUALIFY row_number() OVER (PARTITION BY v ORDER BY c DESC, nl) = 1)"""
+  }.mkString(",\n         ")
+
   val oracleSql: Map[String, String] = Map(
+    "graph_label_propagation" ->
+      s"""WITH $graphBandPreambleSql,
+         broot AS MATERIALIZED (
+           SELECT band, bsig, min(doc_id) AS mn
+           FROM band GROUP BY band, bsig),
+         star AS MATERIALIZED (
+           SELECT DISTINCT b.doc_id AS d1, br.mn AS d2
+           FROM band b JOIN broot br
+             ON b.band = br.band AND b.bsig = br.bsig
+           WHERE b.doc_id <> br.mn),
+         e AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM star
+               UNION SELECT d2, d1 FROM star),
+         nodes AS (SELECT DISTINCT src FROM e),
+         e2 AS MATERIALIZED (SELECT src, dst FROM e
+               UNION ALL SELECT src, src FROM nodes),
+         l0 AS (SELECT src AS v, src AS l FROM nodes),
+         $lpaIterCtes
+         SELECT l AS community, count(*) AS n_members
+         FROM l4 GROUP BY l
+         ORDER BY n_members DESC, community LIMIT 20""",
     "dedup_chunk_minhash" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS dtoks FROM documents),
          ch AS MATERIALIZED (

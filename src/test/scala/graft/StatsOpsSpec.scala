@@ -113,6 +113,25 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
     assert(clusters.map(_.getAs[Long]("n_cells")).sorted.toSeq == Seq(1L, 2L))
   }
 
+  // ---- graph_label_propagation ----
+
+  test("label propagation: two exact-dup clusters resolve to two communities") {
+    // Identical texts share every band signature → each group is one
+    // LSH bucket (a star rooted at its min doc_id). With the self-vote
+    // and min-label tie-break, four rounds settle each star on its
+    // root label; the two groups never mix.
+    val x = "alpha beta gamma delta epsilon zeta"
+    val y = "one two three four five six"
+    val docs = Seq(1L, 2L, 3L).map(i => DocRow(i, x, "en", "a", 0)) ++
+      Seq(11L, 12L, 13L).map(i => DocRow(i, y, "en", "b", 0))
+    val dir = fixtureDir("documents" -> spark.createDataset(docs).toDF)
+    val out = graft.ops.Dedup.graphLabelPropagation(spark, dir).collect()
+    val byComm = out.map(r =>
+      r.getAs[Long]("community") -> r.getAs[Long]("n_members")).toMap
+    assert(byComm == Map(1L -> 3L, 11L -> 3L),
+      s"expected two 3-member communities rooted at 1 and 11: $byComm")
+  }
+
   // ---- agg_raking_weights ----
 
   test("raking: two IPF rounds pull both margins near uniform targets") {
