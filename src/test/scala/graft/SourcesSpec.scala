@@ -32,6 +32,42 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(new String(rows(2).content) == "payload-bb")
   }
 
+  test("DSv2 zip connector matches the binaryFile reader row-for-row") {
+    val dir = Files.createTempDirectory("graft-zipv2").toString
+    writeZip(dir, "a.zip", "db_2024-01-01.bak" -> "payload-a", "readme.txt" -> "meta")
+    writeZip(dir, "b.zip", "db_2024-01-02.bak" -> "payload-bb")
+    val v2 = spark.read.format("graft.sources.ZipEntriesSource").load(dir)
+    val got = v2.collect()
+      .map(r => (r.getAs[String]("archive"), r.getAs[String]("entry"),
+        r.getAs[Long]("n_bytes"), new String(r.getAs[Array[Byte]]("content"))))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(
+      ("a.zip", "db_2024-01-01.bak", 9L, "payload-a"),
+      ("a.zip", "readme.txt", 4L, "meta"),
+      ("b.zip", "db_2024-01-02.bak", 10L, "payload-bb")))
+  }
+
+  test("DSv2 zip connector prunes content and pushes name filters into the scan") {
+    val dir = Files.createTempDirectory("graft-zipv2p").toString
+    writeZip(dir, "a.zip", "db_2024-01-01.bak" -> "payload-a", "readme.txt" -> "meta")
+    writeZip(dir, "b.zip", "db_2024-01-09.bak" -> "payload-bb")
+    val manifest = spark.read.format("graft.sources.ZipEntriesSource").load(dir)
+      .filter(org.apache.spark.sql.functions.col("entry").endsWith(".bak"))
+      .select("archive", "entry", "n_bytes")
+    val plan = manifest.queryExecution.executedPlan.toString
+    // ReadSchema excludes content (ZipFile path: zero decompression) and
+    // the suffix predicate rode into the scan
+    assert(plan.contains("ReadSchema=[archive,entry,n_bytes]"),
+      s"content not pruned from the scan:\n$plan")
+    assert(plan.contains("PushedFilters=[StringEndsWith(entry,.bak)]"),
+      s"entry filter not pushed:\n$plan")
+    val rows = manifest.collect().map(r =>
+      (r.getAs[String]("archive"), r.getAs[String]("entry"),
+        r.getAs[Long]("n_bytes"))).sortBy(_._1).toSeq
+    assert(rows == Seq(("a.zip", "db_2024-01-01.bak", 9L),
+      ("b.zip", "db_2024-01-09.bak", 10L)))
+  }
+
   test("latest matching entry is the deterministic max, not last-wins (ref A10 fix)") {
     val dir = Files.createTempDirectory("graft-zips2").toString
     writeZip(dir, "a.zip", "db_2024-01-03.bak" -> "x", "db_2024-01-09.bak" -> "y",
