@@ -47,10 +47,17 @@ object ZipArchives {
   /** Manifest view (names+sizes only) — the A10 "pick the .bak inside the
     * extracted folder" step as a DataFrame: filter + deterministic max
     * (the reference's last-wins loop at `:79-88` is iteration-order
-    * nondeterministic; we replace it with an explicit ordering). */
+    * nondeterministic; we replace it with an explicit ordering).
+    *
+    * Reads through the [[ZipEntriesSource]] DSv2 connector: `content` is
+    * never projected, so the scan prunes it and a local archive's scan
+    * touches ONLY the central directory — the binaryFile path this
+    * replaced materialized every archive in full to answer a
+    * names-and-sizes question, a whole-corpus read at 100 TB. The
+    * `contains` predicate pushes into the scan too. */
   def latestEntryMatching(spark: SparkSession, path: String, suffix: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    readEntries(spark, path).toDF()
+    spark.read.format("graft.sources.ZipEntriesSource").load(path)
       .filter(col("entry").contains(suffix))
       .orderBy(desc("entry"))
       .limit(1)
