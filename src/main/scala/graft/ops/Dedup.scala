@@ -1119,7 +1119,60 @@ object Dedup {
       .limit(20)
   }
 
+  /** LSH CALIBRATION CURVE — the tuning readout behind the engine's
+    * (bands=2, rows=3) choice: candidate pairs bucketed by exact
+    * Jaccard, against the theoretical capture probability
+    * p(j) = 1−(1−jʳ)ᵇ of the current config and the two alternates the
+    * K=6 signature admits ((3,2), (6,1)). est_true_pairs = n/p inverts
+    * the capture rate into an estimate of the TRUE near-dup mass per
+    * similarity band — the number a curator needs to know what the
+    * candidate set is missing at each threshold (companions:
+    * [[minhashEstimate]] calibrates the estimator,
+    * [[thresholdSweep]] the cutoff; this calibrates the BANDING).
+    * Shape at scale: rides the shared bounded candidate+verify path;
+    * the curve is closed-form math over the ≤10-bucket aggregate.
+    * Exactness: the S-curves are REPEATED MULTIPLICATION on the
+    * r6-rounded mean Jaccard (no libm pow — both engines evaluate the
+    * identical polynomial), per-pair jac r6→DECIMAL before the bucket
+    * mean. */
+  def dedupLshCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "documents").select(
+      col("doc_id"), col("source"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+    val cand = candidatePairs(base, "s")
+    val sets = base.select(col("doc_id"), col("toks"))
+    val jac = cand
+      .join(sets.select(col("doc_id").as("dd1"), col("toks").as("t1")),
+        col("d1") === col("dd1"))
+      .join(sets.select(col("doc_id").as("dd2"), col("toks").as("t2")),
+        col("d2") === col("dd2"))
+      .withColumn("inter", size(array_intersect(col("t1"), col("t2"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("t1")) + size(col("t2")) - col("inter")).cast("double"))
+    val buckets = jac
+      .withColumn("bucket", least(lit(9L), floor(col("jac") * 10).cast("long")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_obs"),
+        r6(sum(r6(col("jac")).cast(DecimalType(16, 6))).cast("double") /
+          count(lit(1)).cast("double")).as("mean_jac"))
+    val j = col("mean_jac")
+    val j2 = j * j; val j3 = j2 * j
+    def sCurve(miss: Column) = lit(1.0) - miss
+    val m23 = (lit(1.0) - j3) * (lit(1.0) - j3)
+    val m32 = (lit(1.0) - j2) * (lit(1.0) - j2) * (lit(1.0) - j2)
+    val m61 = { val t = lit(1.0) - j; t * t * t * t * t * t }
+    buckets
+      .withColumn("p_b2r3", r6(sCurve(m23)))
+      .withColumn("p_b3r2", r6(sCurve(m32)))
+      .withColumn("p_b6r1", r6(sCurve(m61)))
+      .withColumn("est_true_pairs",
+        when(col("p_b2r3") > 0,
+          r4(col("n_obs").cast("double") / col("p_b2r3"))))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_lsh_calibration" -> (dedupLshCalibration _),
     "graph_label_propagation" -> (graphLabelPropagation _),
     "dedup_chunk_minhash" -> (dedupChunkMinhash _),
     "dedup_cluster_sizes" -> (dedupClusterSizes _),
@@ -1273,6 +1326,45 @@ object Dedup {
   }.mkString(",\n         ")
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_lsh_calibration" ->
+      s"""WITH tok AS MATERIALIZED (
+           SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS token
+           FROM documents),
+         sig AS MATERIALIZED (
+           SELECT doc_id, source,
+             $minhashMinsSql
+           FROM tok GROUP BY doc_id, source),
+         $bandCteSql,
+         cand AS MATERIALIZED (
+           SELECT DISTINCT a.source, a.doc_id AS d1, b.doc_id AS d2
+           FROM band a JOIN band b
+             ON a.source = b.source AND a.band = b.band AND a.bsig = b.bsig
+               AND a.doc_id < b.doc_id),
+         cnt AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id),
+         inter AS (
+           SELECT c.d1, c.d2, count(tb.token) AS inter
+           FROM cand c
+           JOIN tok ta ON ta.doc_id = c.d1
+           LEFT JOIN tok tb ON tb.doc_id = c.d2 AND ta.token = tb.token
+           GROUP BY 1, 2),
+         j AS (
+           SELECT CAST(i.inter AS DOUBLE)
+             / CAST(c1.ntok + c2.ntok - i.inter AS DOUBLE) AS jac
+           FROM inter i JOIN cnt c1 ON i.d1 = c1.doc_id
+             JOIN cnt c2 ON i.d2 = c2.doc_id),
+         b AS (SELECT least(9, CAST(floor(jac * 10) AS BIGINT)) AS bucket,
+           count(*) AS n_obs,
+           ${r6Sql("CAST(sum(CAST(" + r6Sql("jac") + " AS DECIMAL(16,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS mean_jac
+           FROM j GROUP BY 1),
+         c AS (SELECT bucket, n_obs, mean_jac,
+           ${r6Sql("1.0 - (1.0 - mean_jac * mean_jac * mean_jac) * (1.0 - mean_jac * mean_jac * mean_jac)")} AS p_b2r3,
+           ${r6Sql("1.0 - (1.0 - mean_jac * mean_jac) * (1.0 - mean_jac * mean_jac) * (1.0 - mean_jac * mean_jac)")} AS p_b3r2,
+           ${r6Sql("1.0 - (1.0 - mean_jac) * (1.0 - mean_jac) * (1.0 - mean_jac) * (1.0 - mean_jac) * (1.0 - mean_jac) * (1.0 - mean_jac)")} AS p_b6r1
+           FROM b)
+         SELECT bucket, n_obs, mean_jac, p_b2r3, p_b3r2, p_b6r1,
+           CASE WHEN p_b2r3 > 0
+             THEN ${r4Sql("CAST(n_obs AS DOUBLE) / p_b2r3")} END AS est_true_pairs
+         FROM c ORDER BY bucket""",
     "graph_label_propagation" ->
       s"""WITH $graphBandPreambleSql,
          broot AS MATERIALIZED (

@@ -2948,7 +2948,50 @@ object Relational {
       .orderBy("x", "y")
   }
 
+  /** Trimmed and winsorized means per return flag — the robust location
+    * estimates a metrics pipeline quotes when [[aggTukeyFences]] says
+    * the tails are contaminated: drop outside [P5, P95] (trimmed) or
+    * clamp to the bounds (winsorized). Shape at scale: the same
+    * two-scan discipline as the fences — quantile bounds ride the
+    * (flag, price) CDF aggregate, then ONE more scan with the
+    * broadcast bounds; no raw sort. Exactness: bounds are exact
+    * decimals (lower-rule quantiles of a decimal domain); all three
+    * means are exact decimal sums ÷ counts, r4 at output. */
+  def aggTrimmedMean(spark: SparkSession, dir: String): DataFrame = {
+    val g = table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("flag"),
+        col("l_extendedprice").cast(Money).as("p"))
+      .agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy("flag").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("flag")
+    val q = g.withColumn("cum", sum(col("c")).over(wc))
+      .withColumn("tot", sum(col("c")).over(wf))
+      .groupBy("flag")
+      .agg(min(when(col("cum") * 20 >= col("tot"), col("p"))).as("p5"),
+        min(when(col("cum") * 20 >= col("tot") * 19, col("p"))).as("p95"))
+    val inB = col("p") >= col("p5") && col("p") <= col("p95")
+    val clamped = when(col("p") < col("p5"), col("p5"))
+      .when(col("p") > col("p95"), col("p95")).otherwise(col("p"))
+    table(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").cast(Money).as("p"))
+      .join(broadcast(q), "flag")
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n"),
+        sum(when(inB, 1L).otherwise(0L)).as("n_kept"),
+        r4(sum(col("p")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_raw"),
+        r4(sum(when(inB, col("p")).otherwise(lit(0).cast(Money)))
+          .cast("double") / sum(when(inB, 1L).otherwise(0L)).cast("double"))
+          .as("mean_trimmed"),
+        r4(sum(clamped).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_winsorized"))
+      .orderBy("flag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_trimmed_mean" -> (aggTrimmedMean _),
     "agg_raking_weights" -> (aggRakingWeights _),
     "agg_dp_counts" -> (aggDpCounts _),
     "agg_ks_test" -> (aggKsTest _),
@@ -3057,6 +3100,26 @@ object Relational {
     "window_lead" -> (windowLead _))
 
   val oracleSql: Map[String, String] = Map(
+    "agg_trimmed_mean" ->
+      s"""WITH g AS (SELECT l_returnflag AS flag,
+           CAST(l_extendedprice AS DECIMAL(14,2)) AS p, count(*) AS c
+           FROM lineitem GROUP BY 1, 2),
+         w AS (SELECT flag, p, c,
+           sum(c) OVER (PARTITION BY flag ORDER BY p) AS cum,
+           sum(c) OVER (PARTITION BY flag) AS tot FROM g),
+         q AS (SELECT flag,
+           min(CASE WHEN cum * 20 >= tot THEN p END) AS p5,
+           min(CASE WHEN cum * 20 >= tot * 19 THEN p END) AS p95
+           FROM w GROUP BY flag),
+         r AS (SELECT l.l_returnflag AS flag,
+           CAST(l.l_extendedprice AS DECIMAL(14,2)) AS p, q.p5, q.p95
+           FROM lineitem l JOIN q ON l.l_returnflag = q.flag)
+         SELECT flag, count(*) AS n,
+           sum(CASE WHEN p >= p5 AND p <= p95 THEN 1 ELSE 0 END) AS n_kept,
+           ${r4Sql("CAST(sum(p) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS mean_raw,
+           ${r4Sql("CAST(sum(CASE WHEN p >= p5 AND p <= p95 THEN p ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE) / CAST(sum(CASE WHEN p >= p5 AND p <= p95 THEN 1 ELSE 0 END) AS DOUBLE)")} AS mean_trimmed,
+           ${r4Sql("CAST(sum(CASE WHEN p < p5 THEN p5 WHEN p > p95 THEN p95 ELSE p END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS mean_winsorized
+         FROM r GROUP BY flag ORDER BY flag""",
     "agg_raking_weights" ->
       s"""WITH cells AS (SELECT c_nationkey AS x, c_mktsegment AS y,
            count(*) AS n FROM customer GROUP BY 1, 2),

@@ -113,6 +113,40 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
     assert(clusters.map(_.getAs[Long]("n_cells")).sorted.toSeq == Seq(1L, 2L))
   }
 
+  // ---- agg_trimmed_mean ----
+
+  test("trimmed/winsorized means: hand-computed on 1..20 with lower-rule bounds") {
+    val rows = (1 to 20).map(i => LineRow(i.toLong, 1.0, i.toDouble,
+      0.0, 0.0, "A", "O"))
+    val dir = fixtureDir("lineitem" -> spark.createDataset(rows).toDF)
+    val r = Relational.aggTrimmedMean(spark, dir).collect().head
+    // lower-rule P5 = 1, P95 = 19: trim drops only 20; winsorize maps it to 19
+    assert(r.getAs[Long]("n") == 20 && r.getAs[Long]("n_kept") == 19)
+    assert(r.getAs[Double]("mean_raw") == 10.5)
+    assert(r.getAs[Double]("mean_trimmed") == 10.0)
+    assert(r.getAs[Double]("mean_winsorized") == 10.45)
+  }
+
+  // ---- dedup_lsh_calibration ----
+
+  test("lsh calibration: exact dups land in bucket 9 with capture 1; curves order") {
+    val x = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(1L, 2L, 3L).map(i => DocRow(i, x, "en", "a", 0)) ++
+      Seq(DocRow(10, "unrelated words entirely here now", "en", "a", 0))
+    val dir = fixtureDir("documents" -> spark.createDataset(docs).toDF)
+    val out = graft.ops.Dedup.dedupLshCalibration(spark, dir).collect()
+    val b9 = out.find(_.getAs[Long]("bucket") == 9L).get
+    assert(b9.getAs[Long]("n_obs") == 3) // the 3 identical-pair candidates
+    assert(b9.getAs[Double]("mean_jac") == 1.0)
+    assert(b9.getAs[Double]("p_b2r3") == 1.0)
+    assert(b9.getAs[Double]("est_true_pairs") == 3.0)
+    // for a fixed K=6 signature, more bands of shorter rows capture more
+    out.foreach { r =>
+      assert(r.getAs[Double]("p_b6r1") >= r.getAs[Double]("p_b3r2"))
+      assert(r.getAs[Double]("p_b3r2") >= r.getAs[Double]("p_b2r3"))
+    }
+  }
+
   // ---- graph_label_propagation ----
 
   test("label propagation: two exact-dup clusters resolve to two communities") {
