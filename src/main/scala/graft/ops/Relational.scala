@@ -2990,7 +2990,53 @@ object Relational {
       .orderBy("flag")
   }
 
+  /** Metric-movement DECOMPOSITION (the "why did revenue move"
+    * readout): per event type, the first-half → second-half revenue
+    * delta split into volume effect (count change at old mean value),
+    * rate effect (mean-value change at old count), and the
+    * interaction term — the three sum EXACTLY to the delta, which the
+    * output proves by carrying all four. [[eventsMixShift]] quantifies
+    * that the mix moved; this attributes the metric move to causes.
+    * Shape at scale: one conditional aggregate per (type, half) over
+    * the shared data-derived midpoint ([[eventsTwoProportionZ]]'s
+    * split), then pure scalar algebra on the ≤|types| frame.
+    * Exactness: sums stay decimal; means are exact-sum/count doubles;
+    * every effect is the identical IEEE product both engines, r4 at
+    * output (the additivity check survives r4 because the four
+    * roundings are applied to both engines' identical doubles). */
+  def eventsMetricDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val span = ev.agg(min(to_date(col("ts"))).as("d0"),
+      max(to_date(col("ts"))).as("d1"))
+      .select(expr("date_add(d0, CAST(datediff(d1, d0) DIV 2 AS INT))").as("mid"))
+    val g = ev.crossJoin(broadcast(span))
+      .groupBy(col("event_type").as("et"),
+        when(to_date(col("ts")) <= col("mid"), "A").otherwise("B").as("period"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(Qty)).as("s"))
+    def side(p: String, c: String) = max(when(col("period") === p, col(c)))
+    val wide = g.groupBy("et")
+      .agg(side("A", "n").as("n1"), side("A", "s").as("s1"),
+        side("B", "n").as("n2"), side("B", "s").as("s2"))
+      // a type absent from one half has no well-defined mean there;
+      // coalesce counts to 0 and sums to 0 and let the mean guard below
+      // drop such rows from decomposition (none exist on the fixtures)
+      .filter(col("n1").isNotNull && col("n2").isNotNull)
+    val n1d = col("n1").cast("double"); val n2d = col("n2").cast("double")
+    val v1 = col("s1").cast("double") / n1d
+    val v2 = col("s2").cast("double") / n2d
+    val delta = col("s2").cast("double") - col("s1").cast("double")
+    val volume = (n2d - n1d) * v1
+    val rate = n1d * (v2 - v1)
+    val inter = (n2d - n1d) * (v2 - v1)
+    wide.select(col("et"), col("n1"), col("n2"),
+        r4(v1).as("mean_first"), r4(v2).as("mean_second"),
+        r4(delta).as("delta_total"), r4(volume).as("volume_effect"),
+        r4(rate).as("rate_effect"), r4(inter).as("interaction"))
+      .orderBy("et")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_metric_decomposition" -> (eventsMetricDecomposition _),
     "agg_trimmed_mean" -> (aggTrimmedMean _),
     "agg_raking_weights" -> (aggRakingWeights _),
     "agg_dp_counts" -> (aggDpCounts _),
@@ -3100,6 +3146,35 @@ object Relational {
     "window_lead" -> (windowLead _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_metric_decomposition" ->
+      s"""WITH sp AS (SELECT CAST(min(CAST(ts AS DATE)) AS DATE)
+             + CAST(CAST(date_diff('day', min(CAST(ts AS DATE)),
+               max(CAST(ts AS DATE))) AS BIGINT) // 2 AS INTEGER) AS mid
+           FROM ${evSql()}),
+         g AS (SELECT event_type AS et,
+           CASE WHEN CAST(ts AS DATE) <= sp.mid THEN 'A' ELSE 'B' END AS period,
+           count(*) AS n, sum(CAST(value AS DECIMAL(10,2))) AS s
+           FROM ${evSql()}, sp GROUP BY 1, 2),
+         w AS (SELECT et,
+           max(CASE WHEN period = 'A' THEN n END) AS n1,
+           max(CASE WHEN period = 'A' THEN s END) AS s1,
+           max(CASE WHEN period = 'B' THEN n END) AS n2,
+           max(CASE WHEN period = 'B' THEN s END) AS s2
+           FROM g GROUP BY et
+           HAVING max(CASE WHEN period = 'A' THEN n END) IS NOT NULL
+             AND max(CASE WHEN period = 'B' THEN n END) IS NOT NULL),
+         m AS (SELECT et, n1, n2,
+           CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS v1,
+           CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS v2,
+           CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) AS delta,
+           CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d
+           FROM w)
+         SELECT et, n1, n2, ${r4Sql("v1")} AS mean_first,
+           ${r4Sql("v2")} AS mean_second, ${r4Sql("delta")} AS delta_total,
+           ${r4Sql("(n2d - n1d) * v1")} AS volume_effect,
+           ${r4Sql("n1d * (v2 - v1)")} AS rate_effect,
+           ${r4Sql("(n2d - n1d) * (v2 - v1)")} AS interaction
+         FROM m ORDER BY et""",
     "agg_trimmed_mean" ->
       s"""WITH g AS (SELECT l_returnflag AS flag,
            CAST(l_extendedprice AS DECIMAL(14,2)) AS p, count(*) AS c

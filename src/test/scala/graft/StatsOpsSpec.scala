@@ -113,6 +113,27 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
     assert(clusters.map(_.getAs[Long]("n_cells")).sorted.toSeq == Seq(1L, 2L))
   }
 
+  // ---- events_metric_decomposition ----
+
+  test("metric decomposition: effects sum exactly to the delta on hand data") {
+    // first half (days 0-4): 10 purchases of 2.0; second (days 6-10):
+    // 15 purchases of 3.0. delta = 45−20 = 25; volume = 5·2 = 10;
+    // rate = 10·1 = 10; interaction = 5·1 = 5.
+    val base = ts("2024-01-01 00:00:00").getTime
+    def e(id: Long, day: Int, v: Double) = EventRow(id,
+      new Timestamp(base + day * 86400000L), 1L, "purchase", v, "{}")
+    val rows = (0 until 10).map(i => e(i, i % 5, 2.0)) ++
+      (0 until 15).map(i => e(100 + i, 6 + i % 5, 3.0))
+    val dir = fixtureDir("events" -> spark.createDataset(rows).toDF)
+    val r = Relational.eventsMetricDecomposition(spark, dir).collect().head
+    assert(r.getAs[Double]("delta_total") == 25.0)
+    assert(r.getAs[Double]("volume_effect") == 10.0)
+    assert(r.getAs[Double]("rate_effect") == 10.0)
+    assert(r.getAs[Double]("interaction") == 5.0)
+    assert(r.getAs[Double]("volume_effect") + r.getAs[Double]("rate_effect") +
+      r.getAs[Double]("interaction") == r.getAs[Double]("delta_total"))
+  }
+
   // ---- agg_trimmed_mean ----
 
   test("trimmed/winsorized means: hand-computed on 1..20 with lower-rule bounds") {
