@@ -101,7 +101,11 @@ object Soak {
       // late-round-9 additions: the density-clustering cell aggregate
       // (does the domain bound really hold the cell frame flat at 10×?)
       // and the MIPS corpus scan (pure linear path, heap-exec bounded)
-      "cluster_dbscan_grid", "simsearch_mips")
+      "cluster_dbscan_grid", "simsearch_mips",
+      // chunk-granularity LSH (~6× the pseudo-doc count of whole-doc
+      // LSH), 4-round label propagation over the candidate graph, and
+      // the grid radius join (pair work tracks per-cell density)
+      "dedup_chunk_minhash", "graph_label_propagation", "join_spatial_grid")
     // warm JIT/codegen on the small sibling
     SparkEntry.entry(spark).count()
 
