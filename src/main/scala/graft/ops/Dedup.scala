@@ -212,20 +212,23 @@ object Dedup {
     * bounded [[Udaf.MinKLongs]] aggregate keeps the one-hash-shuffle shape
     * (map-side partials, no sort window, no unbounded collect buffer). */
   private def cappedBucketsBy(
-      base: DataFrame, saltPrefix: String, keys: Seq[String]): DataFrame =
+      base: DataFrame, saltPrefix: String, keys: Seq[String],
+      cap: Int = LshBucketCap): DataFrame =
     bandRows(base, saltPrefix)
       .groupBy(keys.map(col): _*)
-      .agg(graft.functions.MinKLongsAgg.minKLongs(col("doc_id"), LshBucketCap).as("ds"))
+      .agg(graft.functions.MinKLongsAgg.minKLongs(col("doc_id"), cap).as("ds"))
       .filter(size(col("ds")) >= 2)
 
-  private def cappedBuckets(base: DataFrame, saltPrefix: String): DataFrame =
-    cappedBucketsBy(base, saltPrefix, Seq("source", "band", "bsig"))
+  private def cappedBuckets(base: DataFrame, saltPrefix: String,
+      cap: Int = LshBucketCap): DataFrame =
+    cappedBucketsBy(base, saltPrefix, Seq("source", "band", "bsig"), cap)
 
   /** LSH candidate pairs (source, d1 < d2) over any per-doc element set
     * `toks` — the shared front half of the MinHash family, for consumers
     * that score each pair ([[minhashLshOver]], [[editDistance]]).
     * Connectivity-only consumers use [[candidateStarEdges]] instead. */
-  private[ops] def candidatePairs(base: DataFrame, saltPrefix: String): DataFrame = {
+  private[ops] def candidatePairs(base: DataFrame, saltPrefix: String,
+      cap: Int = LshBucketCap): DataFrame = {
     // Candidate pairs by GROUPING each (source, band, bsig) bucket and
     // emitting its member pairs, not by self-joining the band table: one
     // shuffle of band rows total. (The round-1 self-join recomputed the
@@ -233,7 +236,7 @@ object Dedup {
     // it there is no exchange for ReuseExchange to deduplicate — and
     // shuffled the table twice.) Per-bucket expansion is bounded at
     // LshBucketCap²/2 pairs by [[cappedBuckets]].
-    val buckets = cappedBuckets(base, saltPrefix)
+    val buckets = cappedBuckets(base, saltPrefix, cap)
     buckets.select(col("source"),
         explode(graft.functions.SortedPairs.pairs(col("ds"))).as("p"))
       .select(col("source"), col("p.d1").as("d1"), col("p.d2").as("d2"))
@@ -1048,14 +1051,24 @@ object Dedup {
     * Shape at scale: chunking is a Generator (zero shuffle); everything
     * after is the proven bounded LSH path at ~n/6-token chunk
     * cardinality; the rollup is one hash agg on (doc_a, doc_b) +
-    * TakeOrdered(20). */
+    * TakeOrdered(20). Bucket cap: [[ChunkBucketCap]] (64), TIGHTER than
+    * the whole-doc [[LshBucketCap]] — 8-token chunk signatures are far
+    * less distinctive than whole-doc ones, so degenerate buckets are
+    * the norm, not the exception (measured at sf0.1: cap 256 expanded
+    * 45k chunks into 4.95M candidate pairs, 9.2 s of pair
+    * verification; cap 64 bounds each bucket at 2016 pairs). The
+    * out-of-cap recall trade lands on mega-buckets of near-identical
+    * boilerplate chunks — exactly what [[Text.dedupChunkExact]]
+    * already catches by hash. */
+  private[ops] val ChunkBucketCap = 64
+
   def dedupChunkMinhash(spark: SparkSession, dir: String): DataFrame = {
     val chunks = Text.chunkRows(spark, dir)
       .select((col("doc_id") * 1000000L + col("ci")).as("doc_id"),
         lit("all").as("source"),
         array_distinct(slice(col("toks"),
           (col("ci") * 6 + 1).cast("int"), lit(8))).as("toks"))
-    val cand = candidatePairs(chunks, "s")
+    val cand = candidatePairs(chunks, "s", ChunkBucketCap)
     val sets = chunks.select(col("doc_id"), col("toks"))
     val jac = cand
       .join(sets.select(col("doc_id").as("dd1"), col("toks").as("t1")),
@@ -1204,13 +1217,14 @@ object Dedup {
   }.mkString("\n           UNION ALL ")
   // band CTE with the identical per-bucket membership cap as
   // [[cappedBuckets]] (QUALIFY mirrors the Spark-side row_number window)
-  private val bandCteSql =
+  private def bandCteSqlWithCap(cap: Int) =
     s"""band0 AS MATERIALIZED (
            $bandSelectsSql),
          band AS MATERIALIZED (
            SELECT doc_id, source, band, bsig FROM band0
            QUALIFY row_number() OVER (
-             PARTITION BY source, band, bsig ORDER BY doc_id) <= $LshBucketCap)"""
+             PARTITION BY source, band, bsig ORDER BY doc_id) <= $cap)"""
+  private lazy val bandCteSql = bandCteSqlWithCap(LshBucketCap)
   // the CROSS-SOURCE variant: cap partitions on (band, bsig) only,
   // mirroring [[cappedBucketsBy]]'s global key
   private val bandCteGlobalSql =
@@ -1400,7 +1414,7 @@ object Dedup {
            SELECT doc_id, source,
              $minhashMinsSql
            FROM tok GROUP BY doc_id, source),
-         $bandCteSql,
+         ${bandCteSqlWithCap(ChunkBucketCap)},
          cand AS MATERIALIZED (
            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
            FROM band a JOIN band b
