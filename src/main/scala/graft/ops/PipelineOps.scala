@@ -1094,7 +1094,43 @@ object PipelineOps {
       .orderBy("et", "day_s")
   }
 
+  /** Deterministic synthetic-data GENERATION as a first-class operator —
+    * the LEAF the other 260+ queries lack: scale testing, fixture
+    * minting, and soak harnesses all need corpus-shaped data that any
+    * run regenerates bit-identically (the `graft.Soak` generator,
+    * promoted to a declared, oracle-gated query). 10 000 rows spring
+    * from a range; every field is a pure function of md5(row id) —
+    * category (20 sources), a length in 10..100, a 2-decimal value —
+    * so generation is embarrassingly parallel with ZERO input IO and
+    * no `rand()` (which would resample per run/retry). The profile
+    * (per-source counts, mean length, value checksum) is what the
+    * oracle gates — DuckDB regenerates the identical table from the
+    * identical arithmetic. Shape at scale: `spark.range` partitions
+    * freely; one map-side-combined agg. */
+  def pipeDatagenProfile(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(col("id").cast("string").cast("binary"))
+    val u1 = conv(substring(h, 1, 15), 16, 10).cast("double") /
+      lit(1152921504606846976.0)
+    val u2 = conv(substring(h, 17, 15), 16, 10).cast("double") /
+      lit(1152921504606846976.0)
+    val rows = spark.range(0, 10000, 1, 32)
+      .select(col("id"),
+        concat(lit("src"), pmod(col("id"), lit(20L))).as("source"),
+        (floor(u1 * 91).cast("long") + 10L).as("n_tokens"),
+        (floor(u2 * 10000).cast("long").cast("double") / lit(100.0)).as("value"))
+    rows.groupBy("source")
+      .agg(count(lit(1)).as("n_rows"),
+        r4(sum(col("n_tokens")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_tokens"),
+        sum(col("value").cast(Qty)).cast("double").as("value_sum"),
+        sum(pmod(conv(substring(md5(concat(col("id").cast("string"),
+          lit(":"), col("n_tokens").cast("string")).cast("binary")), 1, 15),
+          16, 10).cast("long"), lit(1000000007L))).as("checksum"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_datagen_profile" -> (pipeDatagenProfile _),
     "pipe_mv_incremental" -> (pipeMvIncremental _),
     "pipe_sample_weighted" -> (pipeSampleWeighted _),
     "pipe_skew_report" -> (pipeSkewReport _),
@@ -1131,6 +1167,22 @@ object PipelineOps {
     "pipe_sample_topk_hash" -> (sampleTopkHash _))
 
   val oracleSql: Map[String, String] = Map(
+    "pipe_datagen_profile" ->
+      s"""WITH r AS (SELECT unnest(range(0, 10000)) AS id),
+         h AS (SELECT id, md5(CAST(id AS VARCHAR)) AS hx FROM r),
+         g AS (SELECT id,
+           'src' || CAST(id % 20 AS VARCHAR) AS source,
+           CAST(floor(CAST(CAST(('0x' || substr(hx, 1, 15)) AS BIGINT) AS DOUBLE)
+             / 1152921504606846976.0 * 91) AS BIGINT) + 10 AS n_tokens,
+           CAST(CAST(floor(CAST(CAST(('0x' || substr(hx, 17, 15)) AS BIGINT) AS DOUBLE)
+             / 1152921504606846976.0 * 10000) AS BIGINT) AS DOUBLE) / 100.0 AS value
+           FROM h)
+         SELECT source, count(*) AS n_rows,
+           ${r4Sql("CAST(sum(n_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS mean_tokens,
+           CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS value_sum,
+           sum(CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || ':'
+             || CAST(n_tokens AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000007) AS checksum
+         FROM g GROUP BY source ORDER BY source""",
     // result-transparent: the oracle recomputes the FULL aggregate from
     // raw events, proving MV ⊎ batch ≡ recompute without knowing the MV
     "pipe_mv_incremental" ->

@@ -113,6 +113,21 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
     assert(clusters.map(_.getAs[Long]("n_cells")).sorted.toSeq == Seq(1L, 2L))
   }
 
+  // ---- pipe_datagen_profile ----
+
+  test("datagen: regenerates bit-identically and covers the declared ranges") {
+    val a = graft.ops.PipelineOps.pipeDatagenProfile(spark, "unused").collect()
+    val b = graft.ops.PipelineOps.pipeDatagenProfile(spark, "other").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "generation must be input-independent and run-deterministic")
+    assert(a.map(_.getAs[Long]("n_rows")).sum == 10000L)
+    assert(a.length == 20) // all 20 sources populated (id % 20)
+    a.foreach { r =>
+      val m = r.getAs[Double]("mean_tokens")
+      assert(m >= 10.0 && m <= 100.0, s"mean_tokens out of range: $m")
+    }
+  }
+
   // ---- events_metric_decomposition ----
 
   test("metric decomposition: effects sum exactly to the delta on hand data") {
