@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.sources.{EqualTo, Filter, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -106,9 +106,33 @@ class ZipScanBuilder(path: String) extends ScanBuilder
 }
 
 class ZipScan(path: String, requiredSchema: StructType,
-    filters: Array[Filter]) extends Scan with Batch {
+    filters: Array[Filter]) extends Scan with Batch
+    with SupportsReportStatistics {
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
+
+  /** Size estimate for the planner: without it a DSv2 scan reports
+    * Long.MaxValue and a join against the (tiny) manifest side can never
+    * broadcast. Content-pruned scans estimate by the projected column
+    * set — a names-and-sizes manifest is a small fraction of archive
+    * bytes — so the estimate tracks what the scan will actually
+    * materialize, which is the number AQE/broadcast thresholds need. */
+  override def estimateStatistics(): Statistics = {
+    val archiveBytes = try {
+      val p = new HPath(path)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val glob = if (fs.getFileStatus(p).isDirectory) new HPath(p, "*.zip") else p
+      Option(fs.globStatus(glob)).getOrElse(Array.empty).map(_.getLen).sum
+    } catch { case _: Exception => Long.MaxValue }
+    val pruned = !requiredSchema.fieldNames.contains("content")
+    val est = if (pruned) math.max(archiveBytes / 50, 1L) else archiveBytes
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(est)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
   override def description(): String =
     s"ZipEntriesScan path=$path, ReadSchema=${requiredSchema.fieldNames.mkString("[", ",", "]")}, " +
       s"PushedFilters=${filters.mkString("[", ", ", "]")}"

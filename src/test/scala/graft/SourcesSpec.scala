@@ -68,6 +68,21 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
       ("b.zip", "db_2024-01-09.bak", 10L)))
   }
 
+  test("DSv2 zip connector reports statistics: manifest side broadcasts in a join") {
+    val dir = Files.createTempDirectory("graft-zipv2s").toString
+    writeZip(dir, "a.zip", "db_2024-01-01.bak" -> "payload-a")
+    writeZip(dir, "b.zip", "db_2024-01-09.bak" -> "payload-bb")
+    val manifest = spark.read.format("graft.sources.ZipEntriesSource").load(dir)
+      .select("archive", "entry", "n_bytes")
+    val fact = (1L to 1000L).map(i => (s"db_2024-01-0${i % 10}.bak", i))
+      .toDF("entry", "k")
+    val joined = fact.join(manifest, "entry")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"tiny manifest scan should broadcast (stats reported):\n$plan")
+    assert(joined.count() > 0)
+  }
+
   test("latest matching entry is the deterministic max, not last-wins (ref A10 fix)") {
     val dir = Files.createTempDirectory("graft-zips2").toString
     writeZip(dir, "a.zip", "db_2024-01-03.bak" -> "x", "db_2024-01-09.bak" -> "y",
