@@ -113,6 +113,34 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
     assert(clusters.map(_.getAs[Long]("n_cells")).sorted.toSeq == Seq(1L, 2L))
   }
 
+  // ---- empty-input degradation for the late-round-9 surface ----
+
+  test("late-round ops degrade cleanly on empty inputs (no throw, no bogus rows)") {
+    val dir = fixtureDir(
+      "events" -> spark.createDataset(Seq.empty[EventRow]).toDF,
+      "documents" -> spark.createDataset(Seq.empty[DocRow]).toDF,
+      "embeddings" -> spark.createDataset(Seq.empty[EmbRow]).toDF,
+      "customer" -> spark.createDataset(Seq.empty[CustRow]).toDF,
+      "lineitem" -> spark.createDataset(Seq.empty[LineRow]).toDF)
+    // grouped aggregates/joins must yield ZERO rows on empty input
+    val emptyOut = Seq("agg_mutual_info", "agg_raking_weights",
+      "agg_trimmed_mean", "events_metric_decomposition",
+      "cluster_dbscan_grid", "simsearch_mips", "simsearch_rrf_hybrid",
+      "join_spatial_grid", "dedup_chunk_minhash", "dedup_lsh_calibration",
+      "graph_label_propagation", "agg_dp_counts", "text_readability")
+    emptyOut.foreach { q =>
+      val n = graft.SparkEntry.queries(q)(spark, dir).count()
+      // global-agg queries legally emit one all-null row; everything
+      // keyed must emit nothing
+      assert(n <= 1, s"$q emitted $n rows on empty input")
+    }
+    // the two global-agg stats emit their single row with null stats
+    Seq("agg_ks_test", "agg_mann_whitney").foreach { q =>
+      val rows = graft.SparkEntry.queries(q)(spark, dir).collect()
+      assert(rows.length == 1, s"$q should emit its one global-agg row")
+    }
+  }
+
   // ---- pipe_datagen_profile ----
 
   test("datagen: regenerates bit-identically and covers the declared ranges") {
