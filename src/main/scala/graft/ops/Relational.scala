@@ -836,6 +836,40 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Trailing-5-event OLS slope of value per user — rolling regression,
+    * the trend-feature spelling of feature engineering (a per-key
+    * ramp-up/ramp-down detector). The slope is assembled from four
+    * TRAILING window sums (n, Σx, Σy, Σxy, Σxx with x = the per-user row
+    * index) rather than any per-frame refit: each sum is one pass of the
+    * same partitioned running frame, so the whole query is a single
+    * partitioned window stage — no frame re-scan, no UDF. Σy/Σxy go
+    * through exact decimals (value is 2-dec), x is a small integer, so
+    * every sum is exactly representable and the final ratio is one
+    * deterministic double division, r6-rounded on both engines. */
+  def windowRollingSlope(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trail = ord.rowsBetween(-4, 0)
+    val d = table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("value").cast(Qty).as("yv"))
+      .withColumn("rn", row_number().over(ord).cast("long"))
+    d.withColumn("n", count(lit(1)).over(trail).cast("long"))
+      .withColumn("sx", sum(col("rn")).over(trail).cast("long"))
+      .withColumn("sy", sum(col("yv")).over(trail).cast("double"))
+      .withColumn("sxy",
+        sum((col("yv") * col("rn"))
+          .cast(org.apache.spark.sql.types.DecimalType(20, 2))).over(trail)
+          .cast("double"))
+      .withColumn("sxx", sum(col("rn") * col("rn")).over(trail).cast("long"))
+      .select(col("user_id"), col("event_id"), col("rn"), col("n"),
+        when(col("n") >= 2,
+          r6((col("n").cast("double") * col("sxy")
+              - col("sx").cast("double") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")))
+          .as("slope"))
+      .orderBy("user_id", "rn")
+  }
+
   /** lag() delta of consecutive per-user event values. */
   /** The shared per-user lag-delta projection behind [[windowLagDelta]]
     * and [[sortNullOrder]] (one definition — the two declared queries
@@ -1125,6 +1159,48 @@ object Relational {
         r6(col("ewma_last")).as("ewma_last"),
         r6(col("sumv").cast("double") / col("n_events").cast("double")).as("mean_value"))
       .orderBy("user_id")
+  }
+
+  /** Holt double-exponential smoothing + 7-day forecast of daily purchase
+    * revenue — [[eventsEwma]]'s level-only recursion extended with a
+    * TREND state (l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1});
+    * b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}; α=0.5, β=0.25; seeded l₁=y₁,
+    * b₁=y₂−y₁ — the classic init). Shape: the daily series comes from
+    * one map-side-combined hash agg (exact decimal sums), then the whole
+    * recursion runs inside ONE row as a codegen'd `aggregate` fold over
+    * the calendar-bounded day array (30 days at sf0.01; years of days is
+    * still thousands of elements — never corpus-sized). Each step is
+    * r6-quantized so DuckDB's `list_reduce` replays it bit-identically;
+    * the two-state fold packs (level, trend) into a struct (a 2-list on
+    * the DuckDB side, where the accumulator must share the element
+    * type). Forecast h steps out is the linear extrapolation l + h·b. */
+  def eventsHoltForecast(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(dateS(col("ts")).as("d"))
+      .agg(dsum(col("value"), Qty).as("y"))
+    daily
+      .agg(array_sort(collect_list(struct(col("d"), col("y")))).as("seq"))
+      .select(transform(col("seq"), s => s.getField("y")).as("vals"))
+      .filter(size(col("vals")) >= 2)
+      .select(size(col("vals")).cast("long").as("n_days"),
+        aggregate(
+          slice(col("vals"), lit(3), greatest(size(col("vals")) - 2, lit(0))),
+          struct(
+            element_at(col("vals"), 1).as("l"),
+            (element_at(col("vals"), 2) - element_at(col("vals"), 1)).as("b")),
+          (acc, x) => {
+            val l = acc.getField("l"); val b = acc.getField("b")
+            val lNew = r6(lit(0.5) * x + lit(0.5) * (l + b))
+            struct(lNew.as("l"),
+              r6(lit(0.25) * (lNew - l) + lit(0.75) * b).as("b"))
+          }).as("st"))
+      .select(col("n_days"), explode(sequence(lit(1L), lit(7L))).as("h"),
+        col("st.l").as("level"), col("st.b").as("trend"))
+      .select(col("h"), col("n_days"), r6(col("level")).as("level"),
+        r6(col("trend")).as("trend"),
+        r4(col("level") + col("h").cast("double") * col("trend")).as("yhat"))
+      .orderBy("h")
   }
 
   def eventsMadOutliers(spark: SparkSession, dir: String): DataFrame = {
@@ -3106,6 +3182,7 @@ object Relational {
     "events_path_trigrams" -> (eventsPathTrigrams _),
     "events_mad_outliers" -> (eventsMadOutliers _),
     "events_ewma" -> (eventsEwma _),
+    "events_holt_forecast" -> (eventsHoltForecast _),
     "events_sessionize" -> (eventsSessionize _),
     "join_range_binned" -> (joinRangeBinned _),
     "join_interval_events" -> (joinIntervalEvents _),
@@ -3129,6 +3206,7 @@ object Relational {
     "window_ntile_dist" -> (windowNtileDist _),
     "window_range_trailing" -> (windowRangeTrailing _),
     "window_rolling_median" -> (windowRollingMedian _),
+    "window_rolling_slope" -> (windowRollingSlope _),
     "window_rank_topn" -> (windowRankTopn _),
     "window_topk_custom" -> (windowTopkCustom _),
     "window_running_sum" -> (windowRunningSum _),
@@ -4147,6 +4225,27 @@ object Relational {
            ${r6Sql("list_reduce(vals, (acc, x) -> " + r6Sql("acc * 0.75 + x * 0.25") + ")")} AS ewma_last,
            ${r6Sql("sumv / CAST(n AS DOUBLE)")} AS mean_value
          FROM s ORDER BY user_id""",
+    "events_holt_forecast" -> {
+      val lNew = r6Sql("0.5 * x[1] + 0.5 * (acc[1] + acc[2])")
+      s"""WITH daily AS (
+           SELECT strftime(ts, '%Y-%m-%d') AS d,
+             CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS y
+           FROM ${evSql()} WHERE event_type = 'purchase' GROUP BY d),
+         s AS (SELECT list(y ORDER BY d) AS vals FROM daily),
+         f AS (
+           SELECT CAST(len(vals) AS BIGINT) AS n_days,
+             list_reduce(
+               [[vals[1], vals[2] - vals[1]]]
+                 || list_transform(vals[3:], x -> [x, 0.0]),
+               (acc, x) -> [$lNew,
+                 ${r6Sql(s"0.25 * (($lNew) - acc[1]) + 0.75 * acc[2]")}]) AS st
+           FROM s WHERE len(vals) >= 2)
+         SELECT CAST(h AS BIGINT) AS h, n_days,
+           ${r6Sql("st[1]")} AS level,
+           ${r6Sql("st[2]")} AS trend,
+           ${r4Sql("st[1] + CAST(h AS DOUBLE) * st[2]")} AS yhat
+         FROM f, range(1, 8) t(h) ORDER BY h"""
+    },
     "events_mad_outliers" ->
       """WITH med AS (
            SELECT event_type, quantile_cont(value, 0.5) AS med
@@ -4558,6 +4657,27 @@ object Relational {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+    "window_rolling_slope" ->
+      s"""WITH b AS (
+           SELECT user_id, event_id, ts, CAST(value AS DECIMAL(10,2)) AS yv,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS BIGINT) AS rn
+           FROM ${evSql()}),
+         s AS (
+           SELECT user_id, event_id, rn,
+             CAST(count(*) OVER t AS BIGINT) AS n,
+             CAST(sum(rn) OVER t AS BIGINT) AS sx,
+             CAST(sum(yv) OVER t AS DOUBLE) AS sy,
+             CAST(sum(CAST(yv * rn AS DECIMAL(20,2))) OVER t AS DOUBLE) AS sxy,
+             CAST(sum(rn * rn) OVER t AS BIGINT) AS sxx
+           FROM b
+           WINDOW t AS (PARTITION BY user_id ORDER BY rn
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+         SELECT user_id, event_id, rn, n,
+           CASE WHEN n >= 2 THEN
+             ${r6Sql("(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / CAST(n * sxx - sx * sx AS DOUBLE)")}
+           END AS slope
+         FROM s ORDER BY user_id, rn""",
     "window_range_trailing" ->
       s"""SELECT event_id, user_id,
          round(CAST(sum(CAST(value AS DECIMAL(10,2))) OVER (

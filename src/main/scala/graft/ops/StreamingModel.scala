@@ -151,7 +151,42 @@ object StreamingModel {
       .orderBy("event_type")
   }
 
+  /** Stream-stream inner join model: every (click, purchase) pair of the
+    * same user with the purchase inside [click, click + 30 min] — the
+    * canonical watermark-bounded interval equi join of the Structured
+    * Streaming guide (ad click ↔ conversion), whose live runtime twin is
+    * [[graft.streaming.StreamJoins]]. In streaming, watermarks on both
+    * sides plus this time band are exactly what bounds the join STATE to
+    * ~30 minutes of rows per side; in batch the identical plan is a
+    * user_id equi join with the band as a residual predicate — one
+    * shuffle per side on the equi key, never a time-theta explosion.
+    * Pair semantics, not nearest: every conversion inside the band emits
+    * (that is what a stream-stream join does; `join_asof_forward` is the
+    * nearest-only twin, `events_attribution` the credit-assignment
+    * rollup). */
+  def joinWithin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    clicks.join(buys, Seq("user_id"))
+      .filter(
+        unix_micros(col("purchase_ts")) >= unix_micros(col("click_ts")) &&
+        unix_micros(col("purchase_ts")) <=
+          unix_micros(col("click_ts")) + 1800000000L)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        tsS(col("click_ts")).as("click_s"),
+        tsS(col("purchase_ts")).as("purchase_s"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("gap_us"))
+      .orderBy("click_id", "purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_join_within" -> (joinWithin _),
     "stream_dedup_window" -> (dedupWindow _),
     "stream_tumbling_counts" -> (tumblingCounts _),
     "stream_hopping_counts" -> (hoppingCounts _),
@@ -159,6 +194,17 @@ object StreamingModel {
     "stream_late_filter" -> (lateFilter _))
 
   val oracleSql: Map[String, String] = Map(
+    "stream_join_within" ->
+      s"""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+         strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_s,
+         strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_s,
+         epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+         FROM (SELECT * FROM ${evSql()} WHERE event_type = 'click') c
+         JOIN (SELECT * FROM ${evSql()} WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+           AND epoch_us(p.ts) >= epoch_us(c.ts)
+           AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+         ORDER BY click_id, purchase_id""",
     "stream_dedup_window" ->
       s"""WITH k AS (
            SELECT event_type,

@@ -389,6 +389,37 @@ object Text {
       .select(col("doc_id"), col("h"), col("n_copies"))
       .orderBy("doc_id")
 
+  /** Leading-boilerplate detection + strip accounting — the POSITION-
+    * anchored twin of [[dedupChunkExact]] (which finds repeated chunks
+    * anywhere in a document): a fixed-width HEAD prefix shared by many
+    * documents is navigation/header boilerplate (the CCNet/RefinedWeb
+    * leading-line strip), and stripping it is a per-row projection once
+    * the shared-prefix set is known. Two-token prefixes on this
+    * vocabulary; threshold ≥ 3 documents. Shape: one hash agg on the
+    * short prefix key builds the boilerplate set (threshold-filtered, so
+    * it is small by nature — boilerplate means FEW distinct prefixes
+    * covering many docs), broadcast back for the per-doc flag + kept-
+    * char accounting. One shuffle total; the apply side never reshuffles
+    * the corpus. */
+  def dedupPrefixBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val withP = docs(spark, dir).select(
+      col("doc_id"), col("source"), length(col("text")).cast("long").as("len"),
+      concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("prefix"))
+    val boiler = withP.groupBy("prefix")
+      .agg(count(lit(1)).as("prefix_df"))
+      .filter(col("prefix_df") >= 3)
+    withP.join(broadcast(boiler), Seq("prefix"), "left")
+      .select(
+        col("doc_id"), col("source"), col("prefix"),
+        coalesce(col("prefix_df"), lit(0L)).as("prefix_df"),
+        when(col("prefix_df").isNotNull, lit(1L)).otherwise(lit(0L))
+          .as("is_boilerplate"),
+        when(col("prefix_df").isNotNull,
+          greatest(col("len") - length(col("prefix")).cast("long") - lit(1L), lit(0L)))
+          .otherwise(col("len")).as("kept_chars"))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF: top-3 most characteristic tokens per document. tf and df
     * come from two hash aggs over the exploded token stream; N enters as
     * a broadcast scalar aggregate (no driver collect). Ranking happens on
@@ -1579,6 +1610,7 @@ object Text {
     "text_bm25" -> (bm25 _),
     "text_normalize" -> (normalize _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_prefix_boilerplate" -> (dedupPrefixBoilerplate _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_near_jaccard" -> (dedupNearJaccard _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -2296,6 +2328,23 @@ object Text {
       """SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS h,
          count(*) AS n_copies
          FROM documents GROUP BY h ORDER BY doc_id""",
+    "dedup_prefix_boilerplate" ->
+      """WITH p AS (
+           SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len,
+             array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ')
+               AS prefix
+           FROM documents),
+         f AS (
+           SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs
+           FROM p GROUP BY prefix HAVING count(*) >= 3)
+         SELECT p.doc_id, p.source, p.prefix,
+           COALESCE(f.n_docs, 0) AS prefix_df,
+           CAST(CASE WHEN f.n_docs IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS is_boilerplate,
+           CASE WHEN f.n_docs IS NULL THEN len
+                ELSE greatest(len - CAST(length(p.prefix) AS BIGINT) - 1, 0)
+           END AS kept_chars
+         FROM p LEFT JOIN f USING (prefix) ORDER BY doc_id""",
     "text_tfidf" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

@@ -632,4 +632,39 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"no map-side partial aggregation in the t-test plan:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("dedup_prefix_boilerplate: detect aggregates, apply broadcasts — corpus shuffles once") {
+    val p = plan(graft.ops.Text.dedupPrefixBoilerplate(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the threshold-filtered boilerplate set must broadcast back:\n$p")
+    // The only hash exchange is the prefix agg; the corpus side of the
+    // apply join never repartitions.
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 1, s"apply side reshuffles the corpus ($hashEx exchanges):\n$p")
+  }
+
+  test("stream_join_within: equi join on user_id with the band residual — no theta join") {
+    val p = plan(StreamingModel.joinWithin(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"time band must be a residual on the user_id equi join, not the join key:\n$p")
+    assert(p.contains("user_id"), s"equi key missing:\n$p")
+  }
+
+  test("events_holt_forecast: the recursion is one fold — no per-step job, no window") {
+    val p = plan(Relational.eventsHoltForecast(spark, dir))
+    assert(!p.contains("Window"), s"Holt must not plan a window:\n$p")
+    // daily agg (partial+final) plus the single-row gather: the fold
+    // itself adds no exchange.
+    assert(p.contains("partial"), s"daily series lacks map-side partials:\n$p")
+  }
+
+  test("window_rolling_slope: all five sums ride ONE partitioned window stage") {
+    val p = plan(Relational.windowRollingSlope(spark, dir))
+    val winOps = p.linesIterator.count(_.trim.startsWith("Window"))
+    assert(winOps <= 2, // row_number ordinal + the shared trailing frame
+      s"trailing sums split across window stages ($winOps):\n$p")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && !l.contains("user_id")),
+      s"unpartitioned window over raw events:\n$p")
+  }
 }

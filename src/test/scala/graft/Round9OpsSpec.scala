@@ -747,4 +747,90 @@ class Round9OpsSpec extends AnyFunSuite with SparkFixture
       "blocking must keep different-prefix names apart (documented recall trade)")
     assert(!out.contains((1L, 4L)), "far names must not link")
   }
+
+  // ---- dedup_prefix_boilerplate ----
+
+  test("prefix boilerplate: threshold-3 prefixes flag and strip, rare prefixes kept whole") {
+    val rows = Seq(
+      doc(1L, "a b c d e"), doc(2L, "a b x y"), doc(3L, "a b z", source = "src1"),
+      doc(4L, "q r s t"), doc(5L, "q r u v"))
+    val dir = fixtureDir("documents" -> spark.createDataset(rows).toDF)
+    val out = Text.dedupPrefixBoilerplate(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // "a b" on 3 docs → boilerplate; "q r" on 2 docs → below threshold.
+    assert(out(1L).getAs[Long]("is_boilerplate") == 1L)
+    assert(out(1L).getAs[Long]("prefix_df") == 3L)
+    // stripped: len("a b c d e")=9 minus len("a b")+1=4 → 5 ("c d e")
+    assert(out(1L).getAs[Long]("kept_chars") == 5L)
+    assert(out(3L).getAs[Long]("is_boilerplate") == 1L,
+      "the boilerplate set is corpus-wide, not per-source")
+    assert(out(4L).getAs[Long]("is_boilerplate") == 0L)
+    assert(out(4L).getAs[Long]("kept_chars") == 7L, "non-boilerplate keeps full length")
+  }
+
+  // ---- stream_join_within ----
+
+  test("join within: inclusive 30-min band, pair (not nearest) semantics, user-scoped") {
+    val base = ts("2024-03-01 00:00:00").getTime
+    def ev(id: Long, offMin: Long, user: Long, typ: String) =
+      EventRow(id, new Timestamp(base + offMin * 60000L), user, typ, 1.0, "{}")
+    val rows = Seq(
+      ev(1L, 0, 1L, "click"),
+      ev(2L, 10, 1L, "purchase"),  // in band
+      ev(3L, 30, 1L, "purchase"),  // boundary: inclusive
+      ev(4L, 31, 1L, "purchase"),  // past band
+      ev(5L, -1, 1L, "purchase"),  // before the click
+      ev(6L, 5, 2L, "purchase"))   // other user
+    val dir = fixtureDir("events" -> spark.createDataset(rows).toDF)
+    val out = graft.ops.StreamingModel.joinWithin(spark, dir).collect()
+    assert(out.map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id")))
+      .toSeq == Seq((1L, 2L), (1L, 3L)),
+      "one click emits EVERY in-band purchase; band is [0, 30 min] inclusive")
+    assert(out.head.getAs[Long]("gap_us") == 600000000L)
+  }
+
+  // ---- events_holt_forecast ----
+
+  test("holt: level/trend recursion matches the hand fold; forecast is linear in h") {
+    val base = ts("2024-03-01 12:00:00").getTime
+    val rows = Seq(
+      EventRow(1L, new Timestamp(base), 1L, "purchase", 10.0, "{}"),
+      EventRow(2L, new Timestamp(base + 86400000L), 1L, "purchase", 12.0, "{}"),
+      EventRow(3L, new Timestamp(base + 2 * 86400000L), 2L, "purchase", 11.0, "{}"),
+      EventRow(4L, new Timestamp(base + 86400000L), 1L, "view", 99.0, "{}"))
+    val dir = fixtureDir("events" -> spark.createDataset(rows).toDF)
+    val out = Relational.eventsHoltForecast(spark, dir).collect()
+    assert(out.length == 7)
+    // l1=10, b1=2; step y=11: l'=0.5*11+0.5*12=11.5, b'=0.25*1.5+0.75*2=1.875
+    val h1 = out.head
+    assert(h1.getAs[Long]("n_days") == 3L)
+    assert(h1.getAs[Double]("level") == 11.5)
+    assert(h1.getAs[Double]("trend") == 1.875)
+    assert(h1.getAs[Double]("yhat") == 13.375)
+    assert(out(6).getAs[Double]("yhat") == 24.625, "h=7: 11.5 + 7*1.875")
+  }
+
+  test("holt: a single-day series degrades to empty (init needs two points)") {
+    val rows = Seq(EventRow(1L, ts("2024-03-01 12:00:00"), 1L, "purchase", 10.0, "{}"))
+    val dir = fixtureDir("events" -> spark.createDataset(rows).toDF)
+    assert(Relational.eventsHoltForecast(spark, dir).count() == 0L)
+  }
+
+  // ---- window_rolling_slope ----
+
+  test("rolling slope: linear ramp gives slope 1, constants 0, first row null") {
+    val base = ts("2024-03-01 00:00:00").getTime
+    val rows = (1 to 5).map(i => EventRow(i.toLong,
+      new Timestamp(base + i * 60000L), 1L, "view", i.toDouble, "{}")) ++
+      (1 to 3).map(i => EventRow(10L + i,
+        new Timestamp(base + i * 60000L), 2L, "view", 7.0, "{}"))
+    val dir = fixtureDir("events" -> spark.createDataset(rows).toDF)
+    val out = Relational.windowRollingSlope(spark, dir).collect()
+    val u1 = out.filter(_.getAs[Long]("user_id") == 1L)
+    assert(u1.head.isNullAt(u1.head.fieldIndex("slope")), "n=1 has no slope")
+    assert(u1.tail.forall(_.getAs[Double]("slope") == 1.0),
+      "value=index ramp: OLS slope exactly 1 at every trailing frame")
+    val u2 = out.filter(_.getAs[Long]("user_id") == 2L)
+    assert(u2.tail.forall(_.getAs[Double]("slope") == 0.0))
+  }
 }
