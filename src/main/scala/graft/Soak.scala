@@ -75,6 +75,36 @@ object Soak {
     df.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
+  /** Events: the driver's measured sf0.1 shape scaled — users grow with
+    * sf (per-user history stays ~67 events), the 30-day window is FIXED
+    * (so per-day density grows with sf, like the real table), arrival
+    * order ≈ time order (ts is event_id-proportional plus sub-spacing
+    * jitter; the driver's corr(event_id, ts) is 0.99999), types uniform
+    * over the five kinds, value ~ Exp(mean 50) rounded to cents. */
+  private def genEvents(spark: SparkSession, outDir: String, n: Long,
+      nUsers: Long): Unit = {
+    val spanUs = 30L * 86400L * 1000000L
+    val spacing = spanUs / n
+    def u(tag: String) =
+      (pmod(xxhash64(col("id"), lit(tag)), lit(1000000)).cast("double") + 1.0) / 1000001.0
+    val df = spark.range(0, n, 1, 32)
+      .withColumn("t_us",
+        lit(1704067200000000L) + col("id") * lit(spacing) +
+          pmod(xxhash64(col("id"), lit("jit")), lit(spacing.max(1L))))
+      .select(
+        col("id").as("event_id"),
+        timestamp_micros(col("t_us")).as("ts"),
+        pmod(xxhash64(col("id"), lit("user")), lit(nUsers)).as("user_id"),
+        element_at(
+          array(lit("click"), lit("view"), lit("purchase"), lit("signup"), lit("error")),
+          (pmod(xxhash64(col("id"), lit("type")), lit(5)) + 1).cast("int"))
+          .as("event_type"),
+        round(lit(-50.0) * log(u("val")), 2).as("value"),
+        concat(lit("{\"k\": "), pmod(xxhash64(col("id"), lit("k")), lit(100)),
+          lit("}")).as("props"))
+    df.write.mode("overwrite").parquet(s"$outDir/events.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -87,6 +117,11 @@ object Soak {
       genDocuments(spark, soakDir, 5000L * scale)
       genEmbeddings(spark, soakDir, 2000L * scale)
       println(f"[soak] generated ${5000L * scale} docs + ${2000L * scale} vecs in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    if (!new java.io.File(s"$soakDir/events.parquet").exists()) {
+      val t0 = System.nanoTime()
+      genEvents(spark, soakDir, 100000L * scale, 1500L * scale)
+      println(f"[soak] generated ${100000L * scale} events in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
 
     val family = Seq("graph_triangles", "dedup_ngram_global",
@@ -105,14 +140,26 @@ object Soak {
       // chunk-granularity LSH (~6× the pseudo-doc count of whole-doc
       // LSH), 4-round label propagation over the candidate graph, and
       // the grid radius join (pair work tracks per-cell density)
-      "dedup_chunk_minhash", "graph_label_propagation", "join_spatial_grid")
+      "dedup_chunk_minhash", "graph_label_propagation", "join_spatial_grid",
+      // events-family additions (the soak now synthesizes events too):
+      // the partitioned rolling-regression window, the stream-stream
+      // band join (output tracks in-band pair density), and the Holt
+      // fold (must stay flat — the day array is calendar-bounded)
+      "window_rolling_slope", "stream_join_within", "events_holt_forecast")
+      .filter(q => sys.env.get("SPARK_GRAFT_SOAK_FAMILY")
+        .forall(f => q.matches(f) || f.r.findFirstIn(q).isDefined))
     // warm JIT/codegen on the small sibling
     SparkEntry.entry(spark).count()
 
     def run(dir: String): Map[String, Double] = family.map { q =>
       val best = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(q)(spark, dir).count()
+        // Execute the plan AS DECLARED (toRdd), not through count():
+        // count() replans as Aggregate(count(1)) and column pruning can
+        // then drop unreferenced window/project work (a pure-window
+        // query would measure as a bare scan). toRdd materializes every
+        // operator the declared query plans, including the final sort.
+        SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }.min
       q -> best
