@@ -64,9 +64,13 @@ object DeltaLite {
     * scales to checkpointed logs). */
   def actions(spark: SparkSession, tableDir: String,
       asOf: Option[Long] = None): DataFrame = {
+    // Read the DIRECTORY, not a "*.json" glob: Spark's FileIndex already
+    // skips dot/underscore-prefixed temp files, and a glob path makes the
+    // analyzer's FileStreamSink metadata probe log a spurious (caught)
+    // FileNotFoundException stack on every read.
     val df = spark.read
       .schema("version LONG, action STRING, path STRING, n_rows LONG")
-      .json(logDir(tableDir).getPath + "/*.json")
+      .json(logDir(tableDir).getPath)
     asOf.map(v => df.filter(df("version") <= v)).getOrElse(df)
   }
 

@@ -135,4 +135,46 @@ class CcSpec extends AnyFunSuite with SparkFixture {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fast == unionFind(edges), "fast path diverged from union-find")
   }
+
+  test("incremental cc: a batch doc merges two standing components; untouched comps stay out") {
+    // Ta/Tb are SEARCHED token sets (seeded, reproducible offline with
+    // the engine's own md5-minhash arithmetic) such that the union
+    // doc's band-0 signature equals Ta's and band-1 equals Tb's, while
+    // Ta and Tb never collide with each other — the deterministic
+    // "batch doc bridges two standing clusters" case LSH fixtures
+    // normally can't pin.
+    val ta = "psi ten mu alpha three theta"
+    val tb = "six eight gamma upsilon epsilon eta"
+    val bridge = ta + " " + tb
+    def doc(id: Long, text: String) = graft.DocRow(id, text, "en", "s0", text.length.toLong)
+    val dir = fixtureDir("documents" -> Seq(
+      doc(1L, ta), doc(2L, ta),          // standing comp A (root 1)
+      doc(8L, tb), doc(9L, tb),          // standing comp B (root 8)
+      doc(3L, "red green blue cyan magenta yellow"),
+      doc(4L, "red green blue cyan magenta yellow"), // untouched standing comp
+      doc(14L, bridge),                  // batch: bridges A and B
+      doc(21L, "foo bar baz qux quux corge")         // batch singleton
+    ).toDF)
+    val out = Dedup.ccIncremental(spark, dir).collect()
+    val roots = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(roots == Map(1L -> 1L, 2L -> 1L, 8L -> 1L, 9L -> 1L, 14L -> 1L),
+      s"bridge doc must merge both standing comps into root 1: $roots")
+    assert(out.forall(_.getAs[Long]("n_members") == 5L))
+    assert(out.map(r => r.getLong(0) -> r.getAs[Long]("is_batch")).toMap ==
+      Map(1L -> 0L, 2L -> 0L, 8L -> 0L, 9L -> 0L, 14L -> 1L))
+    // untouched comp {3,4} and the batch singleton 21 are absent
+    assert(!roots.keySet.exists(Set(3L, 4L, 21L)))
+  }
+
+  test("incremental cc: standing index builds once across repeated serves") {
+    val dir = "/root/testdata/sf0.001"
+    val before = Dedup.ccIndexBuilds.get()
+    val a = Dedup.ccIncremental(spark, dir).collect()
+    val mid = Dedup.ccIndexBuilds.get()
+    val b = Dedup.ccIncremental(spark, dir).collect()
+    assert(Dedup.ccIndexBuilds.get() == mid && mid <= before + 1,
+      "second serve must reuse the persisted standing labels/buckets")
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+      "serves must be deterministic")
+  }
 }

@@ -658,6 +658,20 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("partial"), s"daily series lacks map-side partials:\n$p")
   }
 
+  test("dedup_cc_incremental: serve plan scans documents once (batch slice) — standing corpus untouched") {
+    val p = plan(Dedup.ccIncremental(spark, dir))
+    val docScans = p.linesIterator.count(l =>
+      l.contains("documents.parquet") && l.contains("FileScan"))
+    assert(docScans <= 2, // star edges + probe bands both read the batch slice
+      s"serve path rescans the corpus ($docScans documents scans):\n$p")
+    assert(p.contains("graft_ccidx_"),
+      s"serve path must read the persisted standing labels/buckets:\n$p")
+    // every documents scan must carry the batch-slice predicate
+    p.linesIterator.filter(_.contains("PushedFilters")).foreach { l =>
+      assert(!l.contains("documents") || p.contains("(doc_id"), l)
+    }
+  }
+
   test("window_rolling_slope: all five sums ride ONE partitioned window stage") {
     val p = plan(Relational.windowRollingSlope(spark, dir))
     val winOps = p.linesIterator.count(_.trim.startsWith("Window"))
