@@ -145,7 +145,11 @@ object Soak {
       // the partitioned rolling-regression window, the stream-stream
       // band join (output tracks in-band pair density), and the Holt
       // fold (must stay flat — the day array is calendar-bounded)
-      "window_rolling_slope", "stream_join_within", "events_holt_forecast")
+      "window_rolling_slope", "stream_join_within", "events_holt_forecast",
+      // incremental CC: min-of-2 isolates the SERVE path (run 1 pays the
+      // one-time standing build) — compare against dedup_cc_groups'
+      // full re-cluster at the same scale
+      "dedup_cc_incremental")
       .filter(q => sys.env.get("SPARK_GRAFT_SOAK_FAMILY")
         .forall(f => q.matches(f) || f.r.findFirstIn(q).isDefined))
     // warm JIT/codegen on the small sibling
