@@ -36,6 +36,19 @@ object Soak {
     * the cross-source dedup families have real work at sf1. */
   private def genDocuments(spark: SparkSession, outDir: String, n: Long): Unit = {
     val vocabCol = array(Vocab.map(lit): _*)
+    // SPARK_GRAFT_SOAK_VOCAB > 30 switches to a synthetic open vocabulary
+    // ("t<k>") of that size: tokens collide only for genuine duplicates,
+    // modeling a REAL corpus's LSH density instead of the 30-word
+    // fixture's saturated bands (see SOAK_r9 §7 — incremental dedup's
+    // regime is density-dependent, so both regimes need data).
+    val vocabSize = sys.env.getOrElse("SPARK_GRAFT_SOAK_VOCAB", "30").toInt
+    def tokAt(i: org.apache.spark.sql.Column) =
+      if (vocabSize <= 30)
+        element_at(vocabCol,
+          (pmod(xxhash64(col("seed"), i, lit("tok")), lit(30)) + 1).cast("int"))
+      else
+        concat(lit("t"),
+          pmod(xxhash64(col("seed"), i, lit("tok")), lit(vocabSize.toLong)))
     val df = spark.range(0, n, 1, 32)
       .withColumn("seed",
         when(col("id") % 625 === 624, col("id") - 624).otherwise(col("id")))
@@ -43,8 +56,7 @@ object Soak {
         (pmod(xxhash64(col("seed"), lit("len")), lit(91)) + 10).cast("int"))
       .withColumn("toks", transform(sequence(lit(1), col("n_tok")), i =>
         when(pmod(xxhash64(col("seed"), i, lit("dup")), lit(1000)) === 0, lit("dup"))
-          .otherwise(element_at(vocabCol,
-            (pmod(xxhash64(col("seed"), i, lit("tok")), lit(30)) + 1).cast("int")))))
+          .otherwise(tokAt(i))))
       .withColumn("text", concat_ws(" ", col("toks")))
       .withColumn("lang", {
         val u = pmod(xxhash64(col("id"), lit("lang")), lit(100))
