@@ -878,28 +878,45 @@ object Dedup {
     * per JVM: the standing component LABELS (doc → root over the
     * standing-only candidate graph, [[ccLargeSmallStar]]) and the
     * standing per-source capped band buckets batch rows probe (no ≥2
-    * filter — a singleton standing bucket is a valid merge target). At
-    * 100 TB these are the persisted cluster state a daily dedup keeps
-    * between runs; the incremental query never re-signs or re-clusters
-    * the standing corpus. */
+    * filter — a singleton standing bucket is a valid merge target). The
+    * bucket table is written BUCKETED on the full probe key
+    * (source, band, bsig) — co-partitioning requires ALL join keys
+    * (Spark's requireAllClusterKeysForCoPartition default), a subset
+    * layout gets its bucketed scan planner-disabled — so a serve-time
+    * probe never shuffles the index side: the SOAK_r9 §7 refinement,
+    * the same layout the PQ/IVF code tables use. At 100 TB these are the persisted cluster
+    * state a daily dedup keeps between runs; the incremental query never
+    * re-signs or re-clusters the standing corpus. */
   private def ensureCcIndex(spark: SparkSession, dir: String): (String, String) =
     ccIndexCache.computeIfAbsent(dir, { d =>
       ccIndexBuilds.incrementAndGet()
       val key = dirKey(d).take(12)
       val lblPath = new java.io.File(ccIndexRoot, s"cclbl_$key").getPath
-      val bktPath = new java.io.File(ccIndexRoot, s"ccbkt_$key").getPath
+      val bktTable = s"g_ccbkt_$key"
       val sBase = table(spark, d, "documents")
         .filter(col("doc_id") % 7 =!= 0)
         .select(col("doc_id"), col("source"),
           array_distinct(split(col("text"), " ")).as("toks"))
       ccLargeSmallStar(candidateStarEdges(sBase, "s"), inputCanonical = true)
         .write.mode("overwrite").parquet(lblPath)
-      bandRows(sBase, "s")
-        .groupBy("source", "band", "bsig")
-        .agg(graft.functions.MinKLongsAgg.minKLongs(col("doc_id"), LshBucketCap)
-          .as("ds"))
-        .write.mode("overwrite").parquet(bktPath)
-      (lblPath, bktPath)
+      if (!spark.catalog.tableExists(bktTable)) {
+        // a previous JVM's managed-table dir outlives the in-memory
+        // catalog — remove the orphan before recreating (the
+        // joinBucketedColocated discipline)
+        val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+        val orphan = new java.io.File(wh, bktTable)
+        if (orphan.exists())
+          new scala.reflect.io.Directory(orphan).deleteRecursively()
+        bandRows(sBase, "s")
+          .groupBy("source", "band", "bsig")
+          .agg(graft.functions.MinKLongsAgg.minKLongs(col("doc_id"), LshBucketCap)
+            .as("ds"))
+          .write.format("parquet")
+          .bucketBy(16, "source", "band", "bsig")
+          .sortBy("source", "band", "bsig")
+          .saveAsTable(bktTable)
+      }
+      (lblPath, bktTable)
     })
 
   /** INCREMENTAL connected components — the reference's A7 incremental
@@ -930,10 +947,16 @@ object Dedup {
     * n_members, is_batch — i.e. exactly the closure over
     * standing ∪ batch edges restricted to batch-touched components,
     * which is what the recursive oracle replays. */
-  def ccIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val (lblPath, bktPath) = ensureCcIndex(spark, dir)
+  /** The serve-time probe-edge frame of [[ccIncremental]], exposed for
+    * plan assertions: the fixpoint checkpoints its input eagerly, so the
+    * final query's plan no longer CONTAINS the probe subplan — the
+    * serve-path properties (batch-slice-only documents scans, bucketed
+    * index scan with no index-side exchange) are asserted on THIS frame,
+    * which is exactly what executes when the serve runs. */
+  private[graft] def ccProbeEdges(spark: SparkSession, dir: String): DataFrame = {
+    val (lblPath, bktTable) = ensureCcIndex(spark, dir)
     val labels = spark.read.parquet(lblPath)
-    val sBuckets = spark.read.parquet(bktPath)
+    val sBuckets = spark.table(bktTable)
     val bBase = table(spark, dir, "documents")
       .filter(col("doc_id") % 7 === 0)
       .select(col("doc_id"), col("source"),
@@ -949,6 +972,12 @@ object Dedup {
     val eBSc = eBS
       .join(labels.withColumnRenamed("doc_id", "s_id"), Seq("s_id"), "left")
       .select(col("b_id").as("d1"), coalesce(col("root"), col("s_id")).as("d2"))
+    eBB.select(col("d1"), col("d2")).unionByName(eBSc)
+  }
+
+  def ccIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val (lblPath, _) = ensureCcIndex(spark, dir)
+    val labels = spark.read.parquet(lblPath)
     // Canonicalize + checkpoint the contracted edge list BEFORE the
     // fixpoint: the star-edge/probe union's mixed lineage trips
     // Catalyst's Union constraint rewrite (key-not-found on the
@@ -956,7 +985,7 @@ object Dedup {
     // every round anyway — cutting here costs one materialization of
     // the batch-incident edge list (batch-sized, never corpus-sized).
     val eIn = iterCheckpoint(
-      eBB.select(col("d1"), col("d2")).unionByName(eBSc)
+      ccProbeEdges(spark, dir)
         .select(least(col("d1"), col("d2")).as("d1"),
           greatest(col("d1"), col("d2")).as("d2"))
         .filter(col("d1") =!= col("d2")).distinct())

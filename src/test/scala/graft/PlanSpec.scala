@@ -658,18 +658,45 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("partial"), s"daily series lacks map-side partials:\n$p")
   }
 
-  test("dedup_cc_incremental: serve plan scans documents once (batch slice) — standing corpus untouched") {
-    val p = plan(Dedup.ccIncremental(spark, dir))
+  test("dedup_cc_incremental: serve probe scans documents only for the batch slice") {
+    // The fixpoint checkpoints eagerly, so the serve-path properties
+    // live in the probe-edge subplan (what actually executes at serve).
+    val p = plan(Dedup.ccProbeEdges(spark, dir))
     val docScans = p.linesIterator.count(l =>
       l.contains("documents.parquet") && l.contains("FileScan"))
-    assert(docScans <= 2, // star edges + probe bands both read the batch slice
-      s"serve path rescans the corpus ($docScans documents scans):\n$p")
+    assert(docScans >= 1 && docScans <= 2, // star edges + probe bands, batch slice each
+      s"unexpected documents scan count ($docScans):\n$p")
+    assert(p.contains("g_ccbkt_"),
+      s"probe must read the persisted bucketed standing buckets:\n$p")
     assert(p.contains("graft_ccidx_"),
-      s"serve path must read the persisted standing labels/buckets:\n$p")
-    // every documents scan must carry the batch-slice predicate
-    p.linesIterator.filter(_.contains("PushedFilters")).foreach { l =>
-      assert(!l.contains("documents") || p.contains("(doc_id"), l)
-    }
+      s"probe must read the persisted standing labels:\n$p")
+  }
+
+  test("dedup_cc_incremental: the probe never shuffles the bucketed index side") {
+    // With broadcast disabled, the (band, bsig) bucket layout must
+    // satisfy the probe join's distribution — only the batch side may
+    // exchange. At 100 TB this is the difference between re-shuffling
+    // the standing index every serve and scanning it in place.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(Dedup.ccProbeEdges(spark, dir))
+      assert(p.contains("Bucketed: true"),
+        s"index scan not served from the bucket layout:\n$p")
+      // Exactly TWO (source, band, bsig) exchanges may exist: the batch
+      // band rows shuffling INTO the bucket layout to meet the index,
+      // and the batch-internal star-edge aggregation. A third would be
+      // the index side re-shuffling — the regression this test pins
+      // (unbucketed, the scan feeds its own exchange and the plan shows
+      // "Bucketed: false (disabled by query planner)").
+      val probeKeyEx = p.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning(source") &&
+          l.contains("band") && l.contains("bsig"))
+      assert(probeKeyEx <= 2,
+        s"index side re-shuffles despite bucket layout ($probeKeyEx probe-key exchanges):\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"probe join missing with broadcast disabled:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("window_rolling_slope: all five sums ride ONE partitioned window stage") {
