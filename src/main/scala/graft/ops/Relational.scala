@@ -1203,6 +1203,47 @@ object Relational {
       .orderBy("h")
   }
 
+  /** Forecast BACKTEST — the eval twin [[eventsHoltForecast]] needs
+    * (`simsearch_recall_eval`'s discipline applied to forecasting, the
+    * "measure, don't guess" rule): hold out the last 7 days, fit Holt on
+    * the prefix with the identical fold, score each held-out day
+    * against its h-step linear forecast. Same single-row fold shape —
+    * the holdout split is array slicing inside the one gathered row, so
+    * the backtest costs one extra projection over the forecast query,
+    * not a second pass. Output per horizon: day, actual, predicted,
+    * absolute error. */
+  def eventsForecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(dateS(col("ts")).as("d"))
+      .agg(dsum(col("value"), Qty).as("y"))
+    daily
+      .agg(array_sort(collect_list(struct(col("d"), col("y")))).as("seq"))
+      .select(transform(col("seq"), s => s.getField("d")).as("days"),
+        transform(col("seq"), s => s.getField("y")).as("vals"))
+      .filter(size(col("vals")) >= 10)
+      .select(col("days"), col("vals"), size(col("vals")).as("n"),
+        aggregate(
+          slice(col("vals"), lit(3), greatest(size(col("vals")) - 9, lit(0))),
+          struct(
+            element_at(col("vals"), 1).as("l"),
+            (element_at(col("vals"), 2) - element_at(col("vals"), 1)).as("b")),
+          (acc, x) => {
+            val l = acc.getField("l"); val b = acc.getField("b")
+            val lNew = r6(lit(0.5) * x + lit(0.5) * (l + b))
+            struct(lNew.as("l"),
+              r6(lit(0.25) * (lNew - l) + lit(0.75) * b).as("b"))
+          }).as("st"))
+      .select(explode(sequence(lit(1L), lit(7L))).as("h"), col("days"),
+        col("vals"), col("n"), col("st.l").as("level"), col("st.b").as("trend"))
+      .select(col("h"),
+        element_at(col("days"), (col("n") - 7 + col("h")).cast("int")).as("day"),
+        element_at(col("vals"), (col("n") - 7 + col("h")).cast("int")).as("actual"),
+        r4(col("level") + col("h").cast("double") * col("trend")).as("yhat"))
+      .withColumn("abs_err", r4(abs(col("actual") - col("yhat"))))
+      .orderBy("h")
+  }
+
   def eventsMadOutliers(spark: SparkSession, dir: String): DataFrame = {
     val e = table(spark, dir, "events").select(col("event_type"), col("value"))
     val med = e.groupBy("event_type")
@@ -3183,6 +3224,7 @@ object Relational {
     "events_mad_outliers" -> (eventsMadOutliers _),
     "events_ewma" -> (eventsEwma _),
     "events_holt_forecast" -> (eventsHoltForecast _),
+    "events_forecast_backtest" -> (eventsForecastBacktest _),
     "events_sessionize" -> (eventsSessionize _),
     "join_range_binned" -> (joinRangeBinned _),
     "join_interval_events" -> (joinIntervalEvents _),
@@ -4245,6 +4287,32 @@ object Relational {
            ${r6Sql("st[2]")} AS trend,
            ${r4Sql("st[1] + CAST(h AS DOUBLE) * st[2]")} AS yhat
          FROM f, range(1, 8) t(h) ORDER BY h"""
+    },
+    "events_forecast_backtest" -> {
+      val lNew = r6Sql("0.5 * x[1] + 0.5 * (acc[1] + acc[2])")
+      s"""WITH daily AS (
+           SELECT strftime(ts, '%Y-%m-%d') AS d,
+             CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS y
+           FROM ${evSql()} WHERE event_type = 'purchase' GROUP BY d),
+         s AS (SELECT list(d ORDER BY d) AS days, list(y ORDER BY d) AS vals
+               FROM daily),
+         f AS (
+           SELECT days, vals, len(vals) AS n,
+             list_reduce(
+               [[vals[1], vals[2] - vals[1]]]
+                 || list_transform(vals[3:len(vals) - 7], x -> [x, 0.0]),
+               (acc, x) -> [$lNew,
+                 ${r6Sql(s"0.25 * (($lNew) - acc[1]) + 0.75 * acc[2]")}]) AS st
+           FROM s WHERE len(vals) >= 10),
+         o AS (
+           SELECT CAST(h AS BIGINT) AS h,
+             days[CAST(n - 7 + h AS INT)] AS day,
+             vals[CAST(n - 7 + h AS INT)] AS actual,
+             ${r4Sql("st[1] + CAST(h AS DOUBLE) * st[2]")} AS yhat
+           FROM f, range(1, 8) t(h))
+         SELECT h, day, actual, yhat,
+           ${r4Sql("abs(actual - yhat)")} AS abs_err
+         FROM o ORDER BY h"""
     },
     "events_mad_outliers" ->
       """WITH med AS (

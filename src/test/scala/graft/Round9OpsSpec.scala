@@ -816,6 +816,31 @@ class Round9OpsSpec extends AnyFunSuite with SparkFixture
     assert(Relational.eventsHoltForecast(spark, dir).count() == 0L)
   }
 
+  test("forecast backtest: holdout alignment and errors match the hand computation") {
+    val base = ts("2024-03-01 12:00:00").getTime
+    val vals = Seq(10.0, 12.0, 11.0, 13.0, 12.0, 14.0, 13.0, 15.0, 14.0, 16.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      EventRow(i.toLong, new Timestamp(base + i.toLong * 86400000L), 1L,
+        "purchase", v, "{}")
+    }
+    val dir = fixtureDir("events" -> spark.createDataset(rows).toDF)
+    val out = Relational.eventsForecastBacktest(spark, dir).collect()
+    assert(out.length == 7)
+    // train = first 3 days (10, 12, 11): l = 11.5, b = 1.875 (the holt
+    // fixture); holdout = days 4..10
+    val h1 = out.head
+    assert(h1.getAs[String]("day") == "2024-03-04")
+    assert(h1.getAs[Double]("actual") == 13.0)
+    assert(h1.getAs[Double]("yhat") == 13.375)
+    assert(h1.getAs[Double]("abs_err") == 0.375)
+    val h7 = out(6)
+    assert(h7.getAs[String]("day") == "2024-03-10")
+    assert(h7.getAs[Double]("actual") == 16.0)
+    assert(h7.getAs[Double]("yhat") == 24.625)
+    assert(h7.getAs[Double]("abs_err") == 8.625,
+      "linear extrapolation overshoots a flattening series — the honest signal")
+  }
+
   // ---- window_rolling_slope ----
 
   test("rolling slope: linear ramp gives slope 1, constants 0, first row null") {
