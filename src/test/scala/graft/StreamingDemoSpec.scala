@@ -216,6 +216,49 @@ class StreamingDemoSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming EWMA state matches the batch events_ewma fold bit-identically") {
+    import graft.streaming.SmoothState
+    import graft.streaming.SmoothState.ValEvent
+    implicit val sqlCtx = spark.sqlContext
+    // Values chosen so the recursion produces non-terminating r6-grid
+    // intermediates (10.33·0.75 + …) — the case where a spelling drift
+    // between the scalar and Column r6 would show.
+    val evs = Seq(
+      ValEvent(1L, ts("2024-01-01 10:00:00"), 10.33),
+      ValEvent(1L, ts("2024-01-01 10:01:00"), 20.07),
+      ValEvent(1L, ts("2024-01-01 10:02:00"), 5.51),
+      ValEvent(2L, ts("2024-01-01 10:00:30"), 100.01))
+    val ms = MemoryStream[ValEvent]
+    val q = SmoothState.ewma(ms.toDS())
+      .writeStream.format("memory").queryName("ewma_test").outputMode("append").start()
+    try {
+      // split u1's history across two micro-batches (the open recursion
+      // crosses the batch boundary), then advance the watermark past
+      // last event + quiet gap to flush the timeout batch
+      val (b1, b2) = evs.partition(_.ts.getTime <= ts("2024-01-01 10:01:00").getTime)
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      ms.addData(ValEvent(99L, ts("2024-01-01 14:00:00"), 1.0)); q.processAllAvailable()
+      ms.addData(ValEvent(99L, ts("2024-01-01 15:00:00"), 1.0)); q.processAllAvailable()
+      val streamed = spark.table("ewma_test").collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          ((r.getAs[Long]("n_events"), r.getAs[Double]("ewma_last"),
+            r.getAs[Double]("mean_value"))))
+        .toMap
+      val dir = fixtureDir("events" -> evs.zipWithIndex.map { case (e, i) =>
+        EventRow(i.toLong, e.ts, e.user_id, "view", e.value, "{}")
+      }.toDF)
+      val batch = graft.ops.Relational.eventsEwma(spark, dir).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          ((r.getAs[Long]("n_events"), r.getAs[Double]("ewma_last"),
+            r.getAs[Double]("mean_value"))))
+        .toMap
+      for (uid <- Seq(1L, 2L))
+        assert(streamed.get(uid) == batch.get(uid),
+          s"u$uid stream=${streamed.get(uid)} batch=${batch.get(uid)}")
+    } finally q.stop()
+  }
+
   test("streaming drift monitor replays the CUSUM recursion incrementally") {
     import graft.streaming.DriftMonitor
     import graft.streaming.DriftMonitor.DriftEvent
