@@ -52,7 +52,8 @@ object Bench {
       "dedup_index_probe", "pipe_partition_prune", "pipe_schema_evolution",
       "pipe_delta_log", "pipe_vacuum_plan", "pipe_delta_history",
       "join_bucketed_colocated", "pipe_csv_roundtrip", "pipe_json_roundtrip",
-      "pipe_orc_roundtrip", "join_prune_dynamic", "text_bpe_encode")
+      "pipe_orc_roundtrip", "join_prune_dynamic", "text_bpe_encode",
+      "dedup_cc_incremental")
     // Fixed single-thread CPU calibration, measured OUTSIDE any Spark
     // machinery: round-to-round totals have been distorted by VM speed
     // twice (r4's contended driver run; r8's VM measuring ~3× slower
@@ -92,14 +93,19 @@ object Bench {
       case Some(re) => SparkEntry.queries.filter { case (k, _) => re.findFirstIn(k).isDefined }
       case None => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
+    // Execute in SORTED name order: HashMap iteration order shifts every
+    // time a key is added, which moves each query's shared-JVM JIT/GC
+    // context between rounds and reads as phantom per-query regressions
+    // (the SOAK_r9 §3 span_merge forensics). Sorted order pins the
+    // context: a future round adding queries perturbs only its neighbors.
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val best = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.min
       name -> best
-    }
+    }.toMap
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
     // comma-decimal locale would turn the line into invalid JSON.
     def num(v: Double): String =

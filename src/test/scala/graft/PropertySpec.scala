@@ -274,4 +274,68 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("rolling slope recovers an affine series' coefficient exactly") {
+    // y = a + b·rn with 2-dec a, b: every window sum is an exact double,
+    // the OLS numerator is exactly b × denominator, and the division is
+    // exact — slope == b at every frame with n ≥ 2, for ANY a, b.
+    val coefGen = for {
+      a <- Gen.choose(-5000, 5000); b <- Gen.choose(-300, 300)
+      n <- Gen.choose(2, 12)
+    } yield (a / 100.0, b / 100.0, n)
+    forAll(coefGen) { case (a, b, n) =>
+      val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+      val rows = (1 to n).map(i => EventRow(i.toLong,
+        new java.sql.Timestamp(base + i * 60000L), 7L, "view", a + b * i, "{}"))
+      val dir = fixtureDir("events" -> spark.createDataset(rows).toDF)
+      val out = Relational.windowRollingSlope(spark, dir).collect()
+      out.filter(_.getAs[Long]("n") >= 2).foreach { r =>
+        assert(r.getAs[Double]("slope") == b,
+          s"affine series a=$a b=$b: slope at rn=${r.getAs[Long]("rn")}")
+      }
+    }
+  }
+
+  test("holt on a constant series forecasts the constant at every horizon") {
+    // l₁ = c, b₁ = 0; each step keeps l = c, b = 0 exactly (r6 of an
+    // on-grid 2-dec constant is itself) — so yhat(h) == c for all h.
+    val cGen = for { c <- Gen.choose(1, 99999); n <- Gen.choose(2, 20) } yield (c / 100.0, n)
+    forAll(cGen) { case (c, n) =>
+      val base = java.sql.Timestamp.valueOf("2024-03-01 12:00:00").getTime
+      val rows = (0 until n).map(d => EventRow(d.toLong,
+        new java.sql.Timestamp(base + d.toLong * 86400000L), 1L, "purchase", c, "{}"))
+      val dir = fixtureDir("events" -> spark.createDataset(rows).toDF)
+      val out = Relational.eventsHoltForecast(spark, dir).collect()
+      assert(out.length == 7)
+      out.foreach { r =>
+        assert(r.getAs[Double]("trend") == 0.0)
+        assert(r.getAs[Double]("yhat") == c,
+          s"constant $c over $n days: yhat at h=${r.getAs[Long]("h")}")
+      }
+    }
+  }
+
+  test("prefix boilerplate accounting is conservative: flags partition the corpus") {
+    forAll(docsGen) { docs =>
+      val dir = fixtureDir("documents" -> docs.toDF)
+      val out = Text.dedupPrefixBoilerplate(spark, dir).collect()
+      assert(out.length == docs.length, "one row per document, always")
+      // flagged docs' prefix_df ≥ 3 and equals the count of corpus docs
+      // sharing that prefix; unflagged docs keep their full length
+      val byPrefix = docs.groupBy(d =>
+        d.text.split(" ").take(2).mkString(" ")).view.mapValues(_.size).toMap
+      out.foreach { r =>
+        val (pfx, df) = (r.getAs[String]("prefix"), r.getAs[Long]("prefix_df"))
+        if (r.getAs[Long]("is_boilerplate") == 1L) {
+          assert(df == byPrefix(pfx) && df >= 3L)
+          assert(r.getAs[Long]("kept_chars") ==
+            math.max(docs(r.getAs[Long]("doc_id").toInt).text.length - pfx.length - 1, 0))
+        } else {
+          assert(byPrefix(pfx) < 3L)
+          assert(r.getAs[Long]("kept_chars") ==
+            docs(r.getAs[Long]("doc_id").toInt).text.length)
+        }
+      }
+    }
+  }
 }
