@@ -124,16 +124,25 @@ object Soak {
     val soakDir = sys.env.getOrElse("SPARK_GRAFT_SOAK_DIR", "target/soak/sf1")
     val scale = sys.env.getOrElse("SPARK_GRAFT_SOAK_SCALE", "10").toInt
 
-    if (!new java.io.File(s"$soakDir/documents.parquet").exists()) {
+    // Regenerate whenever the GENERATION PARAMETERS changed, not merely
+    // when files are absent: a leftover scale-10 dense-vocab dataset
+    // must never silently serve a scale-100 or sparse-vocab run — the
+    // marker records what the data on disk was generated with.
+    val vocab = sys.env.getOrElse("SPARK_GRAFT_SOAK_VOCAB", "30")
+    val params = s"scale=$scale vocab=$vocab"
+    val marker = new java.io.File(soakDir, "_gen_params")
+    val upToDate = marker.exists() &&
+      new java.io.File(s"$soakDir/documents.parquet").exists() &&
+      new java.io.File(s"$soakDir/events.parquet").exists() &&
+      java.nio.file.Files.readString(marker.toPath) == params
+    if (!upToDate) {
       val t0 = System.nanoTime()
       genDocuments(spark, soakDir, 5000L * scale)
       genEmbeddings(spark, soakDir, 2000L * scale)
-      println(f"[soak] generated ${5000L * scale} docs + ${2000L * scale} vecs in ${(System.nanoTime() - t0) / 1e9}%.1f s")
-    }
-    if (!new java.io.File(s"$soakDir/events.parquet").exists()) {
-      val t0 = System.nanoTime()
       genEvents(spark, soakDir, 100000L * scale, 1500L * scale)
-      println(f"[soak] generated ${100000L * scale} events in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      new java.io.File(soakDir).mkdirs()
+      java.nio.file.Files.writeString(marker.toPath, params)
+      println(f"[soak] generated ${5000L * scale} docs + ${2000L * scale} vecs + ${100000L * scale} events ($params) in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
 
     val defaultFamily = Seq("graph_triangles", "dedup_ngram_global",

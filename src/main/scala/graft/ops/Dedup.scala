@@ -888,36 +888,47 @@ object Dedup {
     * state a daily dedup keeps between runs; the incremental query never
     * re-signs or re-clusters the standing corpus. */
   private def ensureCcIndex(spark: SparkSession, dir: String): (String, String) =
-    ccIndexCache.computeIfAbsent(dir, { d =>
-      ccIndexBuilds.incrementAndGet()
-      val key = dirKey(d).take(12)
+    ccIndexCache.synchronized {
+      // Content-sensitive key (the dirContentKey discipline): a fixture
+      // regenerated at the same path within one JVM gets fresh
+      // artifacts, never stale standing labels.
+      val key = dirContentKey(dir, "documents.parquet").take(12)
       val lblPath = new java.io.File(ccIndexRoot, s"cclbl_$key").getPath
       val bktTable = s"g_ccbkt_$key"
-      val sBase = table(spark, d, "documents")
-        .filter(col("doc_id") % 7 =!= 0)
-        .select(col("doc_id"), col("source"),
-          array_distinct(split(col("text"), " ")).as("toks"))
-      ccLargeSmallStar(candidateStarEdges(sBase, "s"), inputCanonical = true)
-        .write.mode("overwrite").parquet(lblPath)
-      if (!spark.catalog.tableExists(bktTable)) {
-        // a previous JVM's managed-table dir outlives the in-memory
-        // catalog — remove the orphan before recreating (the
-        // joinBucketedColocated discipline)
-        val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
-        val orphan = new java.io.File(wh, bktTable)
-        if (orphan.exists())
-          new scala.reflect.io.Directory(orphan).deleteRecursively()
-        bandRows(sBase, "s")
-          .groupBy("source", "band", "bsig")
-          .agg(graft.functions.MinKLongsAgg.minKLongs(col("doc_id"), LshBucketCap)
-            .as("ds"))
-          .write.format("parquet")
-          .bucketBy(16, "source", "band", "bsig")
-          .sortBy("source", "band", "bsig")
-          .saveAsTable(bktTable)
+      // Re-check BOTH artifacts on every call rather than trusting the
+      // JVM-wide cache alone: a later SparkSession in the same JVM has a
+      // fresh in-memory catalog without the table (the
+      // joinBucketedColocated per-call tableExists discipline).
+      val cached = ccIndexCache.get(dir) == ((lblPath, bktTable))
+      if (!cached || !spark.catalog.tableExists(bktTable) ||
+          !new java.io.File(lblPath).exists()) {
+        ccIndexBuilds.incrementAndGet()
+        val sBase = table(spark, dir, "documents")
+          .filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("source"),
+            array_distinct(split(col("text"), " ")).as("toks"))
+        ccLargeSmallStar(candidateStarEdges(sBase, "s"), inputCanonical = true)
+          .write.mode("overwrite").parquet(lblPath)
+        if (!spark.catalog.tableExists(bktTable)) {
+          // a previous JVM's managed-table dir outlives the in-memory
+          // catalog — remove the orphan before recreating
+          val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+          val orphan = new java.io.File(wh, bktTable)
+          if (orphan.exists())
+            new scala.reflect.io.Directory(orphan).deleteRecursively()
+          bandRows(sBase, "s")
+            .groupBy("source", "band", "bsig")
+            .agg(graft.functions.MinKLongsAgg.minKLongs(col("doc_id"), LshBucketCap)
+              .as("ds"))
+            .write.format("parquet")
+            .bucketBy(16, "source", "band", "bsig")
+            .sortBy("source", "band", "bsig")
+            .saveAsTable(bktTable)
+        }
+        ccIndexCache.put(dir, (lblPath, bktTable))
       }
       (lblPath, bktTable)
-    })
+    }
 
   /** INCREMENTAL connected components — the reference's A7 incremental
     * contract (`src/bak_unload.ps1:57-66`) applied to the cluster
@@ -962,9 +973,17 @@ object Dedup {
       .select(col("doc_id"), col("source"),
         array_distinct(split(col("text"), " ")).as("toks"))
     val eBB = candidateStarEdges(bBase, "s")
+    // The batch probe side is CAPPED exactly like every other bucket
+    // consumer (MinKLongs ≤ LshBucketCap per (source, band, bsig), the
+    // oracle's bb QUALIFY): an uncapped probe would make one batch
+    // mega-bucket expand bucket_size × cap rows, and batch docs beyond
+    // the cap would diverge from the oracle's edge set.
     val eBS = bandRows(bBase, "s")
-      .select(col("doc_id").as("b_id"), col("source"), col("band"), col("bsig"))
+      .groupBy("source", "band", "bsig")
+      .agg(graft.functions.MinKLongsAgg.minKLongs(col("doc_id"), LshBucketCap)
+        .as("bds"))
       .join(sBuckets, Seq("source", "band", "bsig"))
+      .select(explode(col("bds")).as("b_id"), col("ds"))
       .select(col("b_id"), explode(col("ds")).as("s_id"))
       .distinct()
     // contract the standing endpoint to its standing root (a standing

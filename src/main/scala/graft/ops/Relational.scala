@@ -1174,34 +1174,46 @@ object Relational {
     * the two-state fold packs (level, trend) into a struct (a 2-list on
     * the DuckDB side, where the accumulator must share the element
     * type). Forecast h steps out is the linear extrapolation l + h·b. */
-  def eventsHoltForecast(spark: SparkSession, dir: String): DataFrame = {
-    val daily = table(spark, dir, "events")
+  /** Daily purchase revenue gathered into ONE row — the shared front of
+    * the Holt family: (days, vals) sorted by day, exact decimal sums. */
+  private def holtDailySeries(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
       .filter(col("event_type") === "purchase")
       .groupBy(dateS(col("ts")).as("d"))
       .agg(dsum(col("value"), Qty).as("y"))
-    daily
       .agg(array_sort(collect_list(struct(col("d"), col("y")))).as("seq"))
-      .select(transform(col("seq"), s => s.getField("y")).as("vals"))
+      .select(transform(col("seq"), s => s.getField("d")).as("days"),
+        transform(col("seq"), s => s.getField("y")).as("vals"))
+
+  /** The α=0.5 / β=0.25 r6-quantized Holt fold over the series PREFIX
+    * that excludes the last `holdout` elements — ONE definition shared
+    * by the forecast (holdout 0) and the backtest (holdout 7), so the
+    * recursion's spelling cannot drift between them. Seeds l₁ = y₁,
+    * b₁ = y₂ − y₁ from the prefix's first two elements. */
+  private def holtFoldCol(vals: Column, holdout: Int): Column =
+    aggregate(
+      slice(vals, lit(3), greatest(size(vals) - lit(2 + holdout), lit(0))),
+      struct(
+        element_at(vals, 1).as("l"),
+        (element_at(vals, 2) - element_at(vals, 1)).as("b")),
+      (acc, x) => {
+        val l = acc.getField("l"); val b = acc.getField("b")
+        val lNew = r6(lit(0.5) * x + lit(0.5) * (l + b))
+        struct(lNew.as("l"),
+          r6(lit(0.25) * (lNew - l) + lit(0.75) * b).as("b"))
+      })
+
+  def eventsHoltForecast(spark: SparkSession, dir: String): DataFrame =
+    holtDailySeries(spark, dir)
       .filter(size(col("vals")) >= 2)
       .select(size(col("vals")).cast("long").as("n_days"),
-        aggregate(
-          slice(col("vals"), lit(3), greatest(size(col("vals")) - 2, lit(0))),
-          struct(
-            element_at(col("vals"), 1).as("l"),
-            (element_at(col("vals"), 2) - element_at(col("vals"), 1)).as("b")),
-          (acc, x) => {
-            val l = acc.getField("l"); val b = acc.getField("b")
-            val lNew = r6(lit(0.5) * x + lit(0.5) * (l + b))
-            struct(lNew.as("l"),
-              r6(lit(0.25) * (lNew - l) + lit(0.75) * b).as("b"))
-          }).as("st"))
+        holtFoldCol(col("vals"), 0).as("st"))
       .select(col("n_days"), explode(sequence(lit(1L), lit(7L))).as("h"),
         col("st.l").as("level"), col("st.b").as("trend"))
       .select(col("h"), col("n_days"), r6(col("level")).as("level"),
         r6(col("trend")).as("trend"),
         r4(col("level") + col("h").cast("double") * col("trend")).as("yhat"))
       .orderBy("h")
-  }
 
   /** Forecast BACKTEST — the eval twin [[eventsHoltForecast]] needs
     * (`simsearch_recall_eval`'s discipline applied to forecasting, the
@@ -1212,28 +1224,11 @@ object Relational {
     * the backtest costs one extra projection over the forecast query,
     * not a second pass. Output per horizon: day, actual, predicted,
     * absolute error. */
-  def eventsForecastBacktest(spark: SparkSession, dir: String): DataFrame = {
-    val daily = table(spark, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .groupBy(dateS(col("ts")).as("d"))
-      .agg(dsum(col("value"), Qty).as("y"))
-    daily
-      .agg(array_sort(collect_list(struct(col("d"), col("y")))).as("seq"))
-      .select(transform(col("seq"), s => s.getField("d")).as("days"),
-        transform(col("seq"), s => s.getField("y")).as("vals"))
+  def eventsForecastBacktest(spark: SparkSession, dir: String): DataFrame =
+    holtDailySeries(spark, dir)
       .filter(size(col("vals")) >= 10)
       .select(col("days"), col("vals"), size(col("vals")).as("n"),
-        aggregate(
-          slice(col("vals"), lit(3), greatest(size(col("vals")) - 9, lit(0))),
-          struct(
-            element_at(col("vals"), 1).as("l"),
-            (element_at(col("vals"), 2) - element_at(col("vals"), 1)).as("b")),
-          (acc, x) => {
-            val l = acc.getField("l"); val b = acc.getField("b")
-            val lNew = r6(lit(0.5) * x + lit(0.5) * (l + b))
-            struct(lNew.as("l"),
-              r6(lit(0.25) * (lNew - l) + lit(0.75) * b).as("b"))
-          }).as("st"))
+        holtFoldCol(col("vals"), 7).as("st"))
       .select(explode(sequence(lit(1L), lit(7L))).as("h"), col("days"),
         col("vals"), col("n"), col("st.l").as("level"), col("st.b").as("trend"))
       .select(col("h"),
@@ -1242,7 +1237,6 @@ object Relational {
         r4(col("level") + col("h").cast("double") * col("trend")).as("yhat"))
       .withColumn("abs_err", r4(abs(col("actual") - col("yhat"))))
       .orderBy("h")
-  }
 
   def eventsMadOutliers(spark: SparkSession, dir: String): DataFrame = {
     val e = table(spark, dir, "events").select(col("event_type"), col("value"))
@@ -3265,6 +3259,30 @@ object Relational {
     "join_bucketed_colocated" -> (joinBucketedColocated _),
     "window_lead" -> (windowLead _))
 
+  /** Oracle twin of [[holtDailySeries]]: one CTE chain `daily, s`
+    * producing (days, vals) — shared by the forecast and backtest
+    * oracles so the series spelling cannot drift between them. */
+  private val holtDailySql: String =
+    s"""daily AS (
+           SELECT strftime(ts, '%Y-%m-%d') AS d,
+             CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS y
+           FROM ${evSql()} WHERE event_type = 'purchase' GROUP BY d),
+         s AS (SELECT list(d ORDER BY d) AS days, list(y ORDER BY d) AS vals
+               FROM daily)"""
+
+  /** Oracle twin of [[holtFoldCol]]: DuckDB `list_reduce` over the
+    * series prefix excluding the last `holdout` elements, state packed
+    * as a 2-list (the accumulator must share the element type). ONE
+    * definition for both Holt consumers. */
+  private def holtFoldSql(holdout: Int): String = {
+    val lNew = r6Sql("0.5 * x[1] + 0.5 * (acc[1] + acc[2])")
+    s"""list_reduce(
+               [[vals[1], vals[2] - vals[1]]]
+                 || list_transform(vals[3:len(vals) - $holdout], x -> [x, 0.0]),
+               (acc, x) -> [$lNew,
+                 ${r6Sql(s"0.25 * (($lNew) - acc[1]) + 0.75 * acc[2]")}])"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "events_metric_decomposition" ->
       s"""WITH sp AS (SELECT CAST(min(CAST(ts AS DATE)) AS DATE)
@@ -4267,42 +4285,22 @@ object Relational {
            ${r6Sql("list_reduce(vals, (acc, x) -> " + r6Sql("acc * 0.75 + x * 0.25") + ")")} AS ewma_last,
            ${r6Sql("sumv / CAST(n AS DOUBLE)")} AS mean_value
          FROM s ORDER BY user_id""",
-    "events_holt_forecast" -> {
-      val lNew = r6Sql("0.5 * x[1] + 0.5 * (acc[1] + acc[2])")
-      s"""WITH daily AS (
-           SELECT strftime(ts, '%Y-%m-%d') AS d,
-             CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS y
-           FROM ${evSql()} WHERE event_type = 'purchase' GROUP BY d),
-         s AS (SELECT list(y ORDER BY d) AS vals FROM daily),
+    "events_holt_forecast" ->
+      s"""WITH $holtDailySql,
          f AS (
            SELECT CAST(len(vals) AS BIGINT) AS n_days,
-             list_reduce(
-               [[vals[1], vals[2] - vals[1]]]
-                 || list_transform(vals[3:], x -> [x, 0.0]),
-               (acc, x) -> [$lNew,
-                 ${r6Sql(s"0.25 * (($lNew) - acc[1]) + 0.75 * acc[2]")}]) AS st
+             ${holtFoldSql(0)} AS st
            FROM s WHERE len(vals) >= 2)
          SELECT CAST(h AS BIGINT) AS h, n_days,
            ${r6Sql("st[1]")} AS level,
            ${r6Sql("st[2]")} AS trend,
            ${r4Sql("st[1] + CAST(h AS DOUBLE) * st[2]")} AS yhat
-         FROM f, range(1, 8) t(h) ORDER BY h"""
-    },
-    "events_forecast_backtest" -> {
-      val lNew = r6Sql("0.5 * x[1] + 0.5 * (acc[1] + acc[2])")
-      s"""WITH daily AS (
-           SELECT strftime(ts, '%Y-%m-%d') AS d,
-             CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS y
-           FROM ${evSql()} WHERE event_type = 'purchase' GROUP BY d),
-         s AS (SELECT list(d ORDER BY d) AS days, list(y ORDER BY d) AS vals
-               FROM daily),
+         FROM f, range(1, 8) t(h) ORDER BY h""",
+    "events_forecast_backtest" ->
+      s"""WITH $holtDailySql,
          f AS (
            SELECT days, vals, len(vals) AS n,
-             list_reduce(
-               [[vals[1], vals[2] - vals[1]]]
-                 || list_transform(vals[3:len(vals) - 7], x -> [x, 0.0]),
-               (acc, x) -> [$lNew,
-                 ${r6Sql(s"0.25 * (($lNew) - acc[1]) + 0.75 * acc[2]")}]) AS st
+             ${holtFoldSql(7)} AS st
            FROM s WHERE len(vals) >= 10),
          o AS (
            SELECT CAST(h AS BIGINT) AS h,
@@ -4312,8 +4310,7 @@ object Relational {
            FROM f, range(1, 8) t(h))
          SELECT h, day, actual, yhat,
            ${r4Sql("abs(actual - yhat)")} AS abs_err
-         FROM o ORDER BY h"""
-    },
+         FROM o ORDER BY h""",
     "events_mad_outliers" ->
       """WITH med AS (
            SELECT event_type, quantile_cont(value, 0.5) AS med

@@ -18,13 +18,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (StreamingDemoSpec asserts parity through MemoryStream).
   *
   * Ordering contract (shared with [[SequenceMatch]]): rows fold in
-  * event-time order WITHIN each micro-batch; cross-batch disorder inside
+  * (microsecond event time, event_id) order WITHIN each micro-batch —
+  * the batch fold's exact sort key; cross-batch disorder inside
   * the watermark horizon is not re-sorted. The mean uses an exact
   * integer cent accumulator, so it is summation-order-independent —
   * only the EWMA itself carries the ordering contract. */
 object SmoothState {
 
-  final case class ValEvent(user_id: Long, ts: Timestamp, value: Double)
+  final case class ValEvent(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
   final case class EwmaState(n: Long, sumCents: Long, ewma: Double, lastUs: Long)
   final case class EwmaOut(
       user_id: Long, n_events: Long, ewma_last: Double, mean_value: Double)
@@ -51,7 +52,11 @@ object SmoothState {
             Iterator.single(EwmaOut(uid, s.n, r6(s.ewma),
               r6(s.sumCents / 100.0 / s.n.toDouble)))
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            // microsecond event time + event_id: the batch fold's exact
+            // ordering key (array_sort over (t_us, event_id, value)) —
+            // millisecond getTime alone would reorder same-ms events
+            val sorted = rows.toSeq.sortBy(e =>
+              (e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L, e.event_id))
             var s = state.getOption.getOrElse(EwmaState(0L, 0L, 0.0, 0L))
             sorted.foreach { e =>
               val cents = math.round(e.value * 100)

@@ -683,16 +683,18 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       val p = plan(Dedup.ccProbeEdges(spark, dir))
       assert(p.contains("Bucketed: true"),
         s"index scan not served from the bucket layout:\n$p")
-      // Exactly TWO (source, band, bsig) exchanges may exist: the batch
-      // band rows shuffling INTO the bucket layout to meet the index,
-      // and the batch-internal star-edge aggregation. A third would be
-      // the index side re-shuffling — the regression this test pins
-      // (unbucketed, the scan feeds its own exchange and the plan shows
-      // "Bucketed: false (disabled by query planner)").
+      // THREE (source, band, bsig) exchanges may exist, all batch-side:
+      // the batch-internal star-edge bucket aggregation, the batch
+      // PROBE bucket aggregation (the cap that mirrors the oracle's bb
+      // QUALIFY), and the probe side re-hashing into the index's
+      // 16-bucket layout for the join. A fourth would be the INDEX side
+      // re-shuffling — the regression this test pins (unbucketed, the
+      // scan feeds its own exchange and the plan shows "Bucketed: false
+      // (disabled by query planner)").
       val probeKeyEx = p.linesIterator.count(l =>
         l.contains("Exchange hashpartitioning(source") &&
           l.contains("band") && l.contains("bsig"))
-      assert(probeKeyEx <= 2,
+      assert(probeKeyEx <= 3,
         s"index side re-shuffles despite bucket layout ($probeKeyEx probe-key exchanges):\n$p")
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
         s"probe join missing with broadcast disabled:\n$p")

@@ -223,11 +223,14 @@ class StreamingDemoSpec extends AnyFunSuite with SparkFixture {
     // Values chosen so the recursion produces non-terminating r6-grid
     // intermediates (10.33·0.75 + …) — the case where a spelling drift
     // between the scalar and Column r6 would show.
+    // u1's last two events share one TIMESTAMP — the fold order there is
+    // decided by event_id, the batch sort's tiebreak
     val evs = Seq(
-      ValEvent(1L, ts("2024-01-01 10:00:00"), 10.33),
-      ValEvent(1L, ts("2024-01-01 10:01:00"), 20.07),
-      ValEvent(1L, ts("2024-01-01 10:02:00"), 5.51),
-      ValEvent(2L, ts("2024-01-01 10:00:30"), 100.01))
+      ValEvent(1L, 0L, ts("2024-01-01 10:00:00"), 10.33),
+      ValEvent(1L, 1L, ts("2024-01-01 10:01:00"), 20.07),
+      ValEvent(1L, 2L, ts("2024-01-01 10:02:00"), 5.51),
+      ValEvent(1L, 3L, ts("2024-01-01 10:02:00"), 42.42),
+      ValEvent(2L, 4L, ts("2024-01-01 10:00:30"), 100.01))
     val ms = MemoryStream[ValEvent]
     val q = SmoothState.ewma(ms.toDS())
       .writeStream.format("memory").queryName("ewma_test").outputMode("append").start()
@@ -238,15 +241,15 @@ class StreamingDemoSpec extends AnyFunSuite with SparkFixture {
       val (b1, b2) = evs.partition(_.ts.getTime <= ts("2024-01-01 10:01:00").getTime)
       ms.addData(b1: _*); q.processAllAvailable()
       ms.addData(b2: _*); q.processAllAvailable()
-      ms.addData(ValEvent(99L, ts("2024-01-01 14:00:00"), 1.0)); q.processAllAvailable()
-      ms.addData(ValEvent(99L, ts("2024-01-01 15:00:00"), 1.0)); q.processAllAvailable()
+      ms.addData(ValEvent(99L, 90L, ts("2024-01-01 14:00:00"), 1.0)); q.processAllAvailable()
+      ms.addData(ValEvent(99L, 91L, ts("2024-01-01 15:00:00"), 1.0)); q.processAllAvailable()
       val streamed = spark.table("ewma_test").collect()
         .map(r => r.getAs[Long]("user_id") ->
           ((r.getAs[Long]("n_events"), r.getAs[Double]("ewma_last"),
             r.getAs[Double]("mean_value"))))
         .toMap
-      val dir = fixtureDir("events" -> evs.zipWithIndex.map { case (e, i) =>
-        EventRow(i.toLong, e.ts, e.user_id, "view", e.value, "{}")
+      val dir = fixtureDir("events" -> evs.map { e =>
+        EventRow(e.event_id, e.ts, e.user_id, "view", e.value, "{}")
       }.toDF)
       val batch = graft.ops.Relational.eventsEwma(spark, dir).collect()
         .map(r => r.getAs[Long]("user_id") ->
