@@ -486,6 +486,92 @@ object Text {
       .orderBy("token", "rk")
   }
 
+  /** Build-count diagnostic for the persisted BM25 postings index —
+    * spec-asserted one build across repeated serves. */
+  private[graft] val bm25IndexBuilds = new java.util.concurrent.atomic.AtomicInteger
+  private val bm25IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private lazy val bm25IndexRoot: java.io.File = processTempRoot("graft_bm25_")
+
+  /** First md5 hex digit of a token — the postings layout's partition
+    * key, computable identically driver-side (for pruning-set
+    * derivation) and in Spark SQL (at write time). 16 partitions. */
+  private def tokenPt(t: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(1)
+
+  /** Persisted BM25 POSTINGS index over the FULL vocabulary: per
+    * (token, doc) the final r6 BM25 score with the corpus statistics
+    * (N, avgdl, df) frozen in at build time — the inverted-index serve
+    * discipline search engines use (stale idf until the next rebuild is
+    * the standard, documented trade). Laid out PARTITIONED on the
+    * token's md5-prefix ([[tokenPt]], 16 dirs): a query filters on the
+    * derivable pt set, so the scan statically PARTITION-PRUNES to its
+    * terms' slices — chosen over `bucketBy` because the planner
+    * disables bucketed scans (and with them bucket pruning) when no
+    * downstream operator needs the bucket distribution, while partition
+    * pruning is unconditional. Content-keyed, existence re-checked per
+    * call (the [[graft.ops.Dedup]] CC index discipline). */
+  private def ensureBm25Index(spark: SparkSession, dir: String): String =
+    bm25IndexCache.synchronized {
+      val key = dirContentKey(dir, "documents.parquet").take(12)
+      val path = new java.io.File(bm25IndexRoot, s"postings_$key").getPath
+      if (bm25IndexCache.get(dir) != path ||
+          !new java.io.File(path).exists()) {
+        bm25IndexBuilds.incrementAndGet()
+        val d = docs(spark, dir)
+        val dl = d.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+        val tf = d.select(col("doc_id"),
+            explode(split(col("text"), " ")).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfx = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val tfd = col("tf").cast("double")
+        tf.join(dl, "doc_id")
+          .join(dfx, "token")
+          .crossJoin(broadcast(stats))
+          .withColumn("avgdl",
+            col("sum_dl").cast("double") / col("n").cast("double"))
+          .withColumn("idf", log(
+            (col("n").cast("double") - col("df").cast("double") + lit(0.5))
+              / (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+          .select(col("token"), col("doc_id"), col("tf"),
+            r6(col("idf") * (tfd * lit(2.2))
+              / (tfd + lit(1.2) * (lit(0.25) + lit(0.75)
+                * (col("dl").cast("double") / col("avgdl"))))).as("score"),
+            substring(md5(col("token").cast("binary")), 1, 1).as("pt"))
+          .write.mode("overwrite").partitionBy("pt").parquet(path)
+        bm25IndexCache.put(dir, path)
+      }
+      path
+    }
+
+  /** BM25 retrieval SERVED from the persisted postings index — the
+    * build/serve separation of [[bm25]] ([[graft.ops.Vector]]'s PQ/IVF
+    * index discipline applied to lexical search): the query touches
+    * ONLY its terms' postings (the driver-derived pt set partition-
+    * prunes the scan, PlanSpec-asserted) and never rescans or
+    * re-scores the corpus. Per-doc score is the exact decimal sum of
+    * the baked r6 per-term scores; top-10 by score with doc_id
+    * tie-break. At 100 TB the postings table is the corpus-sized
+    * artifact and a query reads a vocabulary-fraction of it. */
+  def bm25IndexServe(spark: SparkSession, dir: String): DataFrame = {
+    val postings = spark.read.parquet(ensureBm25Index(spark, dir))
+    val pts = StopWords.map(tokenPt).distinct
+    val agg = postings
+      .filter(col("pt").isin(pts: _*) && col("token").isin(StopWords: _*))
+      .groupBy("doc_id")
+      .agg(sum(col("score").cast(DecimalType(16, 6))).cast("double").as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(desc("score"), col("doc_id")).limit(10)
+    agg.withColumn("rk", row_number()
+        .over(Window.orderBy(desc("score"), col("doc_id"))).cast("long"))
+      .select(col("rk"), col("doc_id"), col("n_terms"), col("score"))
+      .orderBy("rk")
+  }
+
   /** Training-corpus text normalization: trim → lowercase → strip
     * non-alphanumerics → whitespace-collapse (free via split+join) →
     * stopword removal. Pure per-row projection, zero shuffle — the
@@ -1608,6 +1694,7 @@ object Text {
     "text_chunk_split" -> (chunkSplit _),
     "text_tfidf" -> (tfidf _),
     "text_bm25" -> (bm25 _),
+    "text_bm25_index" -> (bm25IndexServe _),
     "text_normalize" -> (normalize _),
     "dedup_exact" -> (dedupExact _),
     "dedup_prefix_boilerplate" -> (dedupPrefixBoilerplate _),
@@ -2389,6 +2476,36 @@ object Text {
            doc_id, tf, dl, score
          FROM s QUALIFY rk <= 5
          ORDER BY token, rk""",
+    "text_bm25_index" ->
+      """WITH dl AS (
+           SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+           FROM documents),
+         st AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM dl),
+         tf AS (
+           SELECT doc_id, token, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+           WHERE token IN ('join','filter','sort','merge','window')
+           GROUP BY doc_id, token),
+         dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         s AS (
+           SELECT tf.doc_id,
+             floor((ln((CAST(st.n AS DOUBLE) - CAST(dfx.df AS DOUBLE) + 0.5)
+                 / (CAST(dfx.df AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(tf.tf AS DOUBLE) * 2.2)
+               / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+                 * (CAST(dl.dl AS DOUBLE) / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n AS DOUBLE))))))
+               * 1000000.0 + 0.5) / 1000000.0 AS score
+           FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+                   JOIN dfx ON tf.token = dfx.token, st),
+         a AS (
+           SELECT doc_id,
+             CAST(sum(CAST(score AS DECIMAL(16,6))) AS DOUBLE) AS score,
+             count(*) AS n_terms
+           FROM s GROUP BY doc_id)
+         SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
+           doc_id, n_terms, score
+         FROM a QUALIFY rk <= 10
+         ORDER BY rk""",
     "text_normalize" ->
       """WITH n AS (
            SELECT doc_id, text,

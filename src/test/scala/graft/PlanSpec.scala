@@ -701,6 +701,18 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("text_bm25_index: serve bucket-prunes to the query terms, corpus never rescanned") {
+    val p = plan(graft.ops.Text.bm25IndexServe(spark, dir))
+    assert(!p.contains("documents.parquet"),
+      s"serve path rescans the corpus:\n$p")
+    assert(p.contains("postings_"), s"postings index scan missing:\n$p")
+    val pf = p.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("postings_"))
+      .orElse(p.linesIterator.find(_.contains("PartitionFilters")))
+    assert(pf.exists(_.contains("pt")),
+      s"pt filter did not reach PartitionFilters (no static pruning):\n$p")
+  }
+
   test("window_rolling_slope: all five sums ride ONE partitioned window stage") {
     val p = plan(Relational.windowRollingSlope(spark, dir))
     val winOps = p.linesIterator.count(_.trim.startsWith("Window"))

@@ -841,6 +841,33 @@ class Round9OpsSpec extends AnyFunSuite with SparkFixture
       "linear extrapolation overshoots a flattening series — the honest signal")
   }
 
+  test("bm25 index serve: scores equal the corpus-computed per-doc sums; builds once") {
+    // doc 1 is stopword-dense (should rank first); doc 3 contains none
+    // of the query terms (absent from the result)
+    val rows = Seq(
+      doc(1L, "join filter sort merge window join filter"),
+      doc(2L, "join alpha beta gamma delta filter"),
+      doc(3L, "alpha beta gamma delta epsilon zeta"))
+    val dir = fixtureDir("documents" -> spark.createDataset(rows).toDF)
+    val before = Text.bm25IndexBuilds.get()
+    val served = Text.bm25IndexServe(spark, dir).collect()
+    assert(Text.bm25IndexBuilds.get() == before + 1)
+    assert(served.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L),
+      s"rank order wrong: ${served.mkString(",")}")
+    // cross-check against the non-indexed operator: per-doc sum of the
+    // declared bm25 query's (token, doc) scores on the same corpus
+    val full = Text.bm25(spark, dir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(r => BigDecimal(r.getAs[Double]("score"))).sum).toMap
+    served.foreach { r =>
+      assert(BigDecimal(r.getAs[Double]("score")) == full(r.getAs[Long]("doc_id")),
+        s"served score diverges from corpus-computed for doc ${r.getAs[Long]("doc_id")}")
+    }
+    val again = Text.bm25IndexServe(spark, dir).collect()
+    assert(Text.bm25IndexBuilds.get() == before + 1, "second serve rebuilt the index")
+    assert(again.map(_.toString).toSeq == served.map(_.toString).toSeq)
+  }
+
   // ---- window_rolling_slope ----
 
   test("rolling slope: linear ramp gives slope 1, constants 0, first row null") {
