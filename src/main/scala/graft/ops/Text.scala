@@ -548,17 +548,17 @@ object Text {
       path
     }
 
-  /** BM25 retrieval SERVED from the persisted postings index — the
-    * build/serve separation of [[bm25]] ([[graft.ops.Vector]]'s PQ/IVF
-    * index discipline applied to lexical search): the query touches
-    * ONLY its terms' postings (the driver-derived pt set partition-
-    * prunes the scan, PlanSpec-asserted) and never rescans or
-    * re-scores the corpus. Per-doc score is the exact decimal sum of
-    * the baked r6 per-term scores; top-10 by score with doc_id
-    * tie-break. At 100 TB the postings table is the corpus-sized
-    * artifact and a query reads a vocabulary-fraction of it. */
-  def bm25IndexServe(spark: SparkSession, dir: String): DataFrame = {
-    val postings = spark.read.parquet(ensureBm25Index(spark, dir))
+  /** Explicit postings schema for reading the partitioned layout: the
+    * pt partition column's VALUES are hex chars, and partition-column
+    * type inference would type an all-digit directory set as INT (seen
+    * on small fixtures), breaking the pt string filter. */
+  private val postingsSchema =
+    "token STRING, doc_id BIGINT, tf BIGINT, score DOUBLE, pt STRING"
+
+  /** The postings→top-10 serve projection shared by [[bm25IndexServe]]
+    * and [[bm25Upsert]]: pt partition pruning + token filter, exact
+    * decimal per-doc sum, top-10 with doc_id tie-break. */
+  private def servePostings(postings: DataFrame): DataFrame = {
     val pts = StopWords.map(tokenPt).distinct
     val agg = postings
       .filter(col("pt").isin(pts: _*) && col("token").isin(StopWords: _*))
@@ -570,6 +570,100 @@ object Text {
         .over(Window.orderBy(desc("score"), col("doc_id"))).cast("long"))
       .select(col("rk"), col("doc_id"), col("n_terms"), col("score"))
       .orderBy("rk")
+  }
+
+  /** BM25 retrieval SERVED from the persisted postings index — the
+    * build/serve separation of [[bm25]] ([[graft.ops.Vector]]'s PQ/IVF
+    * index discipline applied to lexical search): the query touches
+    * ONLY its terms' postings (the driver-derived pt set partition-
+    * prunes the scan, PlanSpec-asserted) and never rescans or
+    * re-scores the corpus. Per-doc score is the exact decimal sum of
+    * the baked r6 per-term scores; top-10 by score with doc_id
+    * tie-break. At 100 TB the postings table is the corpus-sized
+    * artifact and a query reads a vocabulary-fraction of it. */
+  def bm25IndexServe(spark: SparkSession, dir: String): DataFrame =
+    servePostings(spark.read.schema(postingsSchema)
+      .parquet(ensureBm25Index(spark, dir)))
+
+  private[graft] val bm25UpsertEncodes = new java.util.concurrent.atomic.AtomicInteger
+  private val bm25UpsertCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private lazy val bm25UpsertRoot: java.io.File = processTempRoot("graft_bm25u_")
+
+  /** INCREMENTAL BM25 index maintenance — ref A7's contract applied to
+    * lexical search, the family's last member ([[graft.ops.Dedup]]
+    * `dedup_index_probe`/`dedup_cc_incremental` for dedup,
+    * `simsearch_*_upsert` for ANN): a new batch's postings are scored
+    * against the STANDING corpus's FROZEN statistics (N, avgdl, df
+    * persisted at build — stats tables, never standing documents) and
+    * appended into the partitioned layout; standing postings are not
+    * rewritten and standing documents are not rescanned.
+    *
+    * The frozen-stats semantics is the explicit search-engine trade
+    * this operator exists to pin: batch documents do NOT update idf —
+    * scores drift from a full rebuild until the next reindex (every
+    * production inverted index works this way between rebuilds), and a
+    * batch token unseen in the standing corpus scores with df = 0.
+    * The oracle REPLAYS exactly that: standing-only stats applied to
+    * both document sets — so the gate verifies the documented
+    * incremental semantics, not accidental full-rebuild equality. */
+  def bm25Upsert(spark: SparkSession, dir: String): DataFrame = {
+    val unionPath = bm25UpsertCache.synchronized {
+      val key = dirContentKey(dir, "documents.parquet").take(12)
+      val path = new java.io.File(bm25UpsertRoot, s"upostings_$key").getPath
+      if (bm25UpsertCache.get(dir) != path ||
+          !new java.io.File(path).exists()) {
+        bm25UpsertEncodes.incrementAndGet()
+        // T0: standing build — postings + the frozen stats artifacts
+        val standing = docs(spark, dir).filter(col("doc_id") % 7 =!= 0)
+        val sDl = standing.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("dl"))
+        val sStats = sDl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+        val sTf = standing.select(col("doc_id"),
+            explode(split(col("text"), " ")).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val sDfx = sTf.groupBy("token").agg(count(lit(1)).as("df"))
+        val statsPath = new java.io.File(bm25UpsertRoot, s"stats_$key").getPath
+        val dfxPath = new java.io.File(bm25UpsertRoot, s"dfx_$key").getPath
+        sStats.write.mode("overwrite").parquet(statsPath)
+        sDfx.write.mode("overwrite").parquet(dfxPath)
+        def scoreWith(tf: DataFrame, dl: DataFrame, stats: DataFrame,
+            dfx: DataFrame): DataFrame = {
+          val tfd = col("tf").cast("double")
+          tf.join(dl, "doc_id")
+            .join(dfx, Seq("token"), "left")
+            .na.fill(0L, Seq("df"))
+            .crossJoin(broadcast(stats))
+            .withColumn("avgdl",
+              col("sum_dl").cast("double") / col("n").cast("double"))
+            .withColumn("idf", log(
+              (col("n").cast("double") - col("df").cast("double") + lit(0.5))
+                / (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+            .select(col("token"), col("doc_id"), col("tf"),
+              r6(col("idf") * (tfd * lit(2.2))
+                / (tfd + lit(1.2) * (lit(0.25) + lit(0.75)
+                  * (col("dl").cast("double") / col("avgdl"))))).as("score"),
+              substring(md5(col("token").cast("binary")), 1, 1).as("pt"))
+        }
+        scoreWith(sTf, sDl, sStats, sDfx)
+          .write.mode("overwrite").partitionBy("pt").parquet(path)
+        // T1: the batch arrives — scored with the PERSISTED stats (read
+        // back from disk: the serve-time contract is that upsert needs
+        // only the index artifacts), appended into the same layout
+        val batch = docs(spark, dir).filter(col("doc_id") % 7 === 0)
+        val bDl = batch.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("dl"))
+        val bTf = batch.select(col("doc_id"),
+            explode(split(col("text"), " ")).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        scoreWith(bTf, bDl, spark.read.parquet(statsPath),
+            spark.read.parquet(dfxPath))
+          .write.mode("append").partitionBy("pt").parquet(path)
+        bm25UpsertCache.put(dir, path)
+      }
+      path
+    }
+    servePostings(spark.read.schema(postingsSchema).parquet(unionPath))
   }
 
   /** Training-corpus text normalization: trim → lowercase → strip
@@ -1695,6 +1789,7 @@ object Text {
     "text_tfidf" -> (tfidf _),
     "text_bm25" -> (bm25 _),
     "text_bm25_index" -> (bm25IndexServe _),
+    "text_bm25_upsert" -> (bm25Upsert _),
     "text_normalize" -> (normalize _),
     "dedup_exact" -> (dedupExact _),
     "dedup_prefix_boilerplate" -> (dedupPrefixBoilerplate _),
@@ -2497,6 +2592,44 @@ object Text {
                * 1000000.0 + 0.5) / 1000000.0 AS score
            FROM tf JOIN dl ON tf.doc_id = dl.doc_id
                    JOIN dfx ON tf.token = dfx.token, st),
+         a AS (
+           SELECT doc_id,
+             CAST(sum(CAST(score AS DECIMAL(16,6))) AS DOUBLE) AS score,
+             count(*) AS n_terms
+           FROM s GROUP BY doc_id)
+         SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
+           doc_id, n_terms, score
+         FROM a QUALIFY rk <= 10
+         ORDER BY rk""",
+    "text_bm25_upsert" ->
+      """WITH sdl AS (
+           SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+           FROM documents WHERE doc_id % 7 <> 0),
+         st AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM sdl),
+         stf AS (
+           SELECT doc_id, token, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents WHERE doc_id % 7 <> 0)
+           GROUP BY doc_id, token),
+         sdfx AS (SELECT token, count(*) AS df FROM stf GROUP BY token),
+         adl AS (
+           SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+           FROM documents),
+         atf AS (
+           SELECT doc_id, token, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+           WHERE token IN ('join','filter','sort','merge','window')
+           GROUP BY doc_id, token),
+         s AS (
+           SELECT atf.doc_id,
+             floor((ln((CAST(st.n AS DOUBLE) - CAST(COALESCE(sdfx.df, 0) AS DOUBLE) + 0.5)
+                 / (CAST(COALESCE(sdfx.df, 0) AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(atf.tf AS DOUBLE) * 2.2)
+               / (CAST(atf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+                 * (CAST(adl.dl AS DOUBLE) / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n AS DOUBLE))))))
+               * 1000000.0 + 0.5) / 1000000.0 AS score
+           FROM atf JOIN adl ON atf.doc_id = adl.doc_id
+                   LEFT JOIN sdfx ON atf.token = sdfx.token, st),
          a AS (
            SELECT doc_id,
              CAST(sum(CAST(score AS DECIMAL(16,6))) AS DOUBLE) AS score,

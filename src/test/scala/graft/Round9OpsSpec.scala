@@ -868,6 +868,28 @@ class Round9OpsSpec extends AnyFunSuite with SparkFixture
     assert(again.map(_.toString).toSeq == served.map(_.toString).toSeq)
   }
 
+  test("bm25 upsert: batch scores use FROZEN standing stats; encode runs once") {
+    // standing: docs 1 (one 'join'), 2 (no query terms);
+    // batch (doc_id % 7 == 0): doc 14, two 'join's — must outrank doc 1
+    // under the same frozen stats (higher tf, same idf/avgdl basis)
+    val rows = Seq(
+      doc(1L, "join alpha beta gamma"),
+      doc(2L, "alpha beta gamma delta"),
+      doc(14L, "join join alpha beta"))
+    val dir = fixtureDir("documents" -> spark.createDataset(rows).toDF)
+    val before = Text.bm25UpsertEncodes.get()
+    val out = Text.bm25Upsert(spark, dir).collect()
+    assert(Text.bm25UpsertEncodes.get() == before + 1)
+    val ranked = out.map(r => (r.getAs[Long]("rk"), r.getAs[Long]("doc_id")))
+    assert(ranked.map(_._2).toSeq == Seq(14L, 1L),
+      s"frozen-stats ranking wrong: ${ranked.mkString(",")}")
+    // idf is frozen on STANDING df ('join' df=1 of n=2) for BOTH docs:
+    // the batch doc's occurrences change tf only, not idf
+    val again = Text.bm25Upsert(spark, dir).collect()
+    assert(Text.bm25UpsertEncodes.get() == before + 1, "second serve re-encoded")
+    assert(again.map(_.toString).toSeq == out.map(_.toString).toSeq)
+  }
+
   // ---- window_rolling_slope ----
 
   test("rolling slope: linear ramp gives slope 1, constants 0, first row null") {
