@@ -555,16 +555,31 @@ object Text {
   private val postingsSchema =
     "token STRING, doc_id BIGINT, tf BIGINT, score DOUBLE, pt STRING"
 
-  /** The postings→top-10 serve projection shared by [[bm25IndexServe]]
-    * and [[bm25Upsert]]: pt partition pruning + token filter, exact
-    * decimal per-doc sum, top-10 with doc_id tie-break. */
-  private def servePostings(postings: DataFrame): DataFrame = {
+  /** Per-doc query scores from a postings frame: pt partition pruning +
+    * token filter, exact decimal per-doc sum. The shared retrieval core
+    * of [[bm25IndexServe]] / [[bm25Upsert]] and the hybrid fusion's
+    * lexical leg ([[graft.ops.Vector.simsearchRrfHybrid]]). */
+  private def postingsDocScores(postings: DataFrame): DataFrame = {
     val pts = StopWords.map(tokenPt).distinct
-    val agg = postings
+    postings
       .filter(col("pt").isin(pts: _*) && col("token").isin(StopWords: _*))
       .groupBy("doc_id")
       .agg(sum(col("score").cast(DecimalType(16, 6))).cast("double").as("score"),
         count(lit(1)).as("n_terms"))
+  }
+
+  /** Index-served per-doc BM25 scores for the fixed query — exposed for
+    * the hybrid retriever so its lexical leg reads postings instead of
+    * re-scoring the corpus. Values are bit-identical to the inline
+    * computation (same r6 per-term scores, same decimal sum). */
+  private[ops] def bm25IndexDocScores(spark: SparkSession, dir: String): DataFrame =
+    postingsDocScores(spark.read.schema(postingsSchema)
+      .parquet(ensureBm25Index(spark, dir)))
+
+  /** The postings→top-10 serve projection shared by [[bm25IndexServe]]
+    * and [[bm25Upsert]]. */
+  private def servePostings(postings: DataFrame): DataFrame = {
+    val agg = postingsDocScores(postings)
       .orderBy(desc("score"), col("doc_id")).limit(10)
     agg.withColumn("rk", row_number()
         .over(Window.orderBy(desc("score"), col("doc_id"))).cast("long"))
