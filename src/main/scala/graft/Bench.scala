@@ -53,7 +53,8 @@ object Bench {
       "pipe_delta_log", "pipe_vacuum_plan", "pipe_delta_history",
       "join_bucketed_colocated", "pipe_csv_roundtrip", "pipe_json_roundtrip",
       "pipe_orc_roundtrip", "join_prune_dynamic", "text_bpe_encode",
-      "dedup_cc_incremental")
+      "dedup_cc_incremental", "text_bm25_index", "text_bm25_upsert",
+      "simsearch_rrf_hybrid")
     // Fixed single-thread CPU calibration, measured OUTSIDE any Spark
     // machinery: round-to-round totals have been distorted by VM speed
     // twice (r4's contended driver run; r8's VM measuring ~3× slower
