@@ -48,15 +48,22 @@ import org.apache.spark.sql.catalyst.rules.Rule
 object TopKWindowRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // partitionSpec.nonEmpty: a GLOBAL row_number (empty PARTITION BY)
+    // must keep its window plan — TopKPerKeyNode would declare
+    // ClusteredDistribution(Nil) (rejected by Spark) and the heap pass
+    // is per-partition, so it would emit k rows PER PARTITION, not k
+    // global rows.
     case p @ Project(projectList,
         Filter(cond, w @ Window(Seq(alias: Alias), partitionSpec, orderSpec, child, _)))
-        if isRowNumber(alias) && orderSpec.nonEmpty =>
+        if isRowNumber(alias) && orderSpec.nonEmpty && partitionSpec.nonEmpty =>
       val rn = alias.toAttribute
       val kOpt = cond match {
         case LessThanOrEqual(a: AttributeReference, IntegerLiteral(k))
             if a.exprId == rn.exprId => Some(k)
+        // k > Int.MinValue: `rn < Int.MinValue` would underflow k−1 to
+        // Int.MaxValue and flip an always-false filter into keep-all
         case LessThan(a: AttributeReference, IntegerLiteral(k))
-            if a.exprId == rn.exprId => Some(k - 1)
+            if a.exprId == rn.exprId && k > Int.MinValue => Some(k - 1)
         case _ => None
       }
       kOpt match {

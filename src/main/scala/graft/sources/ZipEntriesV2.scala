@@ -3,7 +3,8 @@ package graft.sources
 import java.util.zip.{ZipFile, ZipInputStream}
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path => HPath}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -29,11 +30,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - **Filter pushdown** ([[SupportsPushDownFilters]]): equality /
   *     prefix / suffix / contains predicates on `archive` and `entry`
   *     are applied INSIDE the scan, before any content decompression;
-  *     they remain in `pushedFilters` so the plan shows them.
+  *     archive-only predicates additionally prune INPUT PARTITIONS at
+  *     planning, so a non-matching archive is never even opened.
   *
   * Partitioning: one input partition per archive — the same per-file
   * parallelism as the binaryFile path (zip has no intra-file split
   * points; the 100 TB fix is more, smaller archives upstream).
+  *
+  * Hadoop configuration: the driver captures the SESSION Hadoop conf
+  * (spark.hadoop.* — object-store credentials, custom FileSystems) as a
+  * plain entry map carried inside each partition, and the executor-side
+  * reader rebuilds a Configuration from it — a fresh `new
+  * Configuration()` would silently drop every session setting.
   *
   * Usage: `spark.read.format("graft.sources.ZipEntriesSource")
   * .load(dir)` — schema (archive, entry, n_bytes, content). */
@@ -41,8 +49,13 @@ class ZipEntriesSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ZipEntriesSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new ZipEntriesTable(properties.get("path"))
+      properties: java.util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null,
+      "ZipEntriesSource needs exactly one load(path) — zero or multiple " +
+        "paths leave the 'path' option unset")
+    new ZipEntriesTable(path)
+  }
   override def supportsExternalMetadata(): Boolean = false
 }
 
@@ -73,6 +86,22 @@ object ZipEntriesSource {
       case StringEndsWith(a @ ("archive" | "entry"), x) => v(a).endsWith(x)
       case _ => true
     }
+  }
+
+  /** The archive-attribute subset of `filters`, for planning-time
+    * partition pruning (entry filters can only be evaluated per entry). */
+  private[sources] def keepArchive(filters: Array[Filter], archive: String): Boolean =
+    keep(filters.filter(_.references.sameElements(Array("archive"))), archive, "")
+
+  /** Session Hadoop conf → serializable entry map (and back). */
+  private[sources] def confMap(spark: SparkSession): Map[String, String] = {
+    val c = spark.sessionState.newHadoopConf()
+    c.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+  }
+  private[sources] def toConf(m: Map[String, String]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    m.foreach { case (k, v) => c.set(k, v) }
+    c
   }
 }
 
@@ -111,6 +140,20 @@ class ZipScan(path: String, requiredSchema: StructType,
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
 
+  // Captured once on the driver at scan construction; carried to
+  // executors inside each partition.
+  private val hadoopConfMap = ZipEntriesSource.confMap(SparkSession.active)
+
+  /** Driver-side archive listing — ONE definition for the statistics
+    * estimate and partition planning, so the two can never diverge on
+    * the listing rule. */
+  private def listArchives(): Array[FileStatus] = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(ZipEntriesSource.toConf(hadoopConfMap))
+    val glob = if (fs.getFileStatus(p).isDirectory) new HPath(p, "*.zip") else p
+    Option(fs.globStatus(glob)).getOrElse(Array.empty)
+  }
+
   /** Size estimate for the planner: without it a DSv2 scan reports
     * Long.MaxValue and a join against the (tiny) manifest side can never
     * broadcast. Content-pruned scans estimate by the projected column
@@ -118,12 +161,9 @@ class ZipScan(path: String, requiredSchema: StructType,
     * bytes — so the estimate tracks what the scan will actually
     * materialize, which is the number AQE/broadcast thresholds need. */
   override def estimateStatistics(): Statistics = {
-    val archiveBytes = try {
-      val p = new HPath(path)
-      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      val glob = if (fs.getFileStatus(p).isDirectory) new HPath(p, "*.zip") else p
-      Option(fs.globStatus(glob)).getOrElse(Array.empty).map(_.getLen).sum
-    } catch { case _: Exception => Long.MaxValue }
+    val archiveBytes =
+      try listArchives().map(_.getLen).sum
+      catch { case _: Exception => Long.MaxValue }
     val pruned = !requiredSchema.fieldNames.contains("content")
     val est = if (pruned) math.max(archiveBytes / 50, 1L) else archiveBytes
     new Statistics {
@@ -138,32 +178,37 @@ class ZipScan(path: String, requiredSchema: StructType,
       s"PushedFilters=${filters.mkString("[", ", ", "]")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val p = new HPath(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val glob = if (fs.getFileStatus(p).isDirectory) new HPath(p, "*.zip") else p
-    Option(fs.globStatus(glob)).getOrElse(Array.empty)
+    listArchives()
       .map(_.getPath.toString).sorted // deterministic partition order
+      // archive-only pushed predicates prune whole archives at PLANNING
+      // — a rejected archive is never opened, the IO win pushdown exists
+      // for
+      .filter(f => ZipEntriesSource.keepArchive(filters, new HPath(f).getName))
       .map(ZipFilePartition(_): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ZipReaderFactory(requiredSchema.fieldNames, filters)
+    // the conf map rides the FACTORY (serialized once per task set),
+    // not every partition
+    new ZipReaderFactory(requiredSchema.fieldNames, filters, hadoopConfMap)
 }
 
 case class ZipFilePartition(file: String) extends InputPartition
 
-class ZipReaderFactory(cols: Array[String], filters: Array[Filter])
-    extends PartitionReaderFactory {
+class ZipReaderFactory(cols: Array[String], filters: Array[Filter],
+    hadoopConf: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ZipEntryReader(partition.asInstanceOf[ZipFilePartition].file, cols, filters)
+    new ZipEntryReader(partition.asInstanceOf[ZipFilePartition].file,
+      hadoopConf, cols, filters)
 }
 
 /** Per-archive reader. Local files go through ZipFile (central-directory
   * random access: a content-pruned scan never decompresses anything);
   * non-local URIs stream through ZipInputStream (name filters still
   * skip non-matching entries before their bytes are pulled). */
-class ZipEntryReader(file: String, cols: Array[String],
-    filters: Array[Filter]) extends PartitionReader[InternalRow] {
+class ZipEntryReader(file: String, hadoopConf: Map[String, String],
+    cols: Array[String], filters: Array[Filter])
+    extends PartitionReader[InternalRow] {
   private val needContent = cols.contains("content")
   private val hPath = new HPath(file)
   private val archiveName = hPath.getName
@@ -188,22 +233,35 @@ class ZipEntryReader(file: String, cols: Array[String],
         .filter(e => ZipEntriesSource.keep(filters, archiveName, e.getName))
         .map { e =>
           (e.getName, e.getSize,
-            () => zipFile.getInputStream(e).readAllBytes())
+            // close per entry: an unclosed ZipFileInputStream pins its
+            // native Inflater until ZipFile.close(), growing native
+            // memory linearly with entries read
+            () => {
+              val in = zipFile.getInputStream(e)
+              try in.readAllBytes() finally in.close()
+            })
         }
     } else {
-      val fs = FileSystem.get(hPath.toUri, new org.apache.hadoop.conf.Configuration())
+      val fs = FileSystem.get(hPath.toUri, ZipEntriesSource.toConf(hadoopConf))
       zin = new ZipInputStream(fs.open(hPath))
       it = Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
         .filterNot(_.isDirectory)
         .filter(e => ZipEntriesSource.keep(filters, archiveName, e.getName))
         .map { e =>
           // stream semantics: bytes must be drained before the next
-          // entry, so content is materialized here when needed (and
-          // n_bytes comes from the drained length when the central
-          // directory size is unknown in stream mode)
-          val bytes = if (needContent) zin.readAllBytes() else Array.empty[Byte]
-          val n = if (needContent) bytes.length.toLong else math.max(e.getSize, 0L)
-          (e.getName, n, () => bytes)
+          // entry, so content is materialized here when needed. When
+          // content is pruned, closeEntry() drains the entry and — for
+          // streaming-mode zips whose sizes live in the DATA DESCRIPTOR
+          // (getSize == -1 at header time) — backfills e.getSize from
+          // the descriptor; reading the size before the drain returned
+          // 0 for every such entry.
+          if (needContent) {
+            val bytes = zin.readAllBytes()
+            (e.getName, bytes.length.toLong, () => bytes)
+          } else {
+            zin.closeEntry()
+            (e.getName, math.max(e.getSize, 0L), () => Array.empty[Byte])
+          }
         }
     }
   }

@@ -209,4 +209,19 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
         "rank() has different tie semantics — must not rewrite")
     }
   }
+
+  test("rewrite blocks for a GLOBAL row_number (empty PARTITION BY)") {
+    withTopKRewrite {
+      // a global top-k has no clustering key: the heap exec would emit
+      // k rows PER PARTITION — the rewrite must leave the window plan
+      val df = spark.sql(
+        """SELECT key, score FROM (
+             SELECT *, row_number() OVER (ORDER BY score DESC, id) AS rn
+             FROM topk_t)
+           WHERE rn <= 3""")
+      assert(!df.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+        "global row_number must not rewrite to a per-partition heap")
+      assert(df.count() == 3, "global top-3 must return exactly 3 rows")
+    }
+  }
 }

@@ -133,4 +133,27 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
         s"bucketed join still shuffles a side:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("DSv2 zip connector: archive-only predicates prune input partitions at planning") {
+    import org.apache.spark.sql.sources.{EqualTo, StringStartsWith}
+    val dir = Files.createTempDirectory("graft-zips-prune").toString
+    writeZip(dir, "a.zip", "x.bak" -> "payload")
+    writeZip(dir, "b.zip", "y.bak" -> "payload")
+    def partitions(filters: Array[org.apache.spark.sql.sources.Filter]) =
+      new graft.sources.ZipScan(dir, graft.sources.ZipEntriesSource.Schema,
+        filters).planInputPartitions().length
+    assert(partitions(Array.empty) == 2)
+    assert(partitions(Array(EqualTo("archive", "a.zip"))) == 1,
+      "equality on archive must skip the other archive at planning")
+    assert(partitions(Array(EqualTo("archive", "nope.zip"))) == 0)
+    // an ENTRY predicate must NOT prune archives (it needs per-entry data)
+    assert(partitions(Array(StringStartsWith("entry", "x"))) == 2,
+      "entry filters cannot be decided from the archive name")
+    // end-to-end: the pruned scan still returns the right rows
+    val got = spark.read.format("graft.sources.ZipEntriesSource").load(dir)
+      .filter(org.apache.spark.sql.functions.col("archive") === "a.zip")
+      .select("archive", "entry").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a.zip", "x.bak")))
+  }
 }
