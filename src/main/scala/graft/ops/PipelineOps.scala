@@ -329,17 +329,6 @@ object PipelineOps {
       .orderBy("st")
   }
 
-  /** Snapshot diff — the inverse of [[upsertCdc]]: given two snapshots,
-    * PRODUCE the change batch (added / removed / changed / unchanged),
-    * the comparison a pipeline runs when a source can't emit its own CDC
-    * feed (the reference re-imports whole snapshots daily — this is
-    * exactly the "what changed since yesterday" question its consumers
-    * would ask). The "next" snapshot derives deterministically from the
-    * base: keys % 13 == 0 dropped, % 7 == 0 repriced (+50), and rows
-    * added in the NEGATED key space (disjoint from any positive key at
-    * any scale factor). One full-outer equi join on the
-    * key; per-row classification is a codegen'd projection. Output:
-    * per diff status, row count, exact price delta, and key fences. */
   /** Quality ROUTING — the dead-letter complement of [[qualityChecks]]'s
     * report: every row gets a disposition (first failing rule, in fixed
     * precedence order, else 'ok'), and the pipeline writes each
@@ -394,6 +383,17 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** Snapshot diff — the inverse of [[upsertCdc]]: given two snapshots,
+    * PRODUCE the change batch (added / removed / changed / unchanged),
+    * the comparison a pipeline runs when a source can't emit its own CDC
+    * feed (the reference re-imports whole snapshots daily — this is
+    * exactly the "what changed since yesterday" question its consumers
+    * would ask). The "next" snapshot derives deterministically from the
+    * base: keys % 13 == 0 dropped, % 7 == 0 repriced (+50), and rows
+    * added in the NEGATED key space (disjoint from any positive key at
+    * any scale factor). One full-outer equi join on the
+    * key; per-row classification is a codegen'd projection. Output:
+    * per diff status, row count, exact price delta, and key fences. */
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val base = table(spark, dir, "orders")
       .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
@@ -823,9 +823,12 @@ object PipelineOps {
       val out = new java.io.File(deltaRoot, "d" + dirKey(d))
       val ev = table(spark, d, "events")
       def writeSlice(name: String, pred: Column): Long = {
-        val df = ev.filter(pred)
-        df.write.mode("overwrite").parquet(new java.io.File(out, name).getPath)
-        df.count()
+        val target = new java.io.File(out, name).getPath
+        ev.filter(pred).write.mode("overwrite").parquet(target)
+        // count the WRITTEN output: parquet footers answer count(*) from
+        // metadata, where re-counting the source would scan + filter the
+        // events table a second time per slice
+        spark.read.parquet(target).count()
       }
       val na = writeSlice("a.parquet", col("event_id") % 3 === 0)
       val nb = writeSlice("b.parquet", col("event_id") % 3 === 1)

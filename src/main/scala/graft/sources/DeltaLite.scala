@@ -43,20 +43,42 @@ object DeltaLite {
     * like [[graft.streaming.DeltaSink]] replaying a micro-batch; the
     * existing file, not the replay, stays authoritative. Driver-side IO
     * is sound here: the log is metadata, bounded by #actions. */
+  /** JSON string escape for log fields: backslash, quote, and control
+    * chars — an unescaped path would parse as an all-null PERMISSIVE row
+    * and silently drop a live file from every snapshot. */
+  private def jq(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   def commit(tableDir: String, version: Long,
       actions: Seq[Action]): Unit = {
     val ld = logDir(tableDir)
     ld.mkdirs()
-    val tmp = new java.io.File(ld, f".tmp_$version%05d.json")
+    // writer-unique temp name: a FIXED tmp path would let two concurrent
+    // replayers of the same version interleave output before the rename
+    val tmp = new java.io.File(ld,
+      f".tmp_$version%05d_${java.util.UUID.randomUUID().toString.take(8)}.json")
     val dst = new java.io.File(ld, f"$version%05d.json")
     if (dst.exists()) return
-    val w = new java.io.PrintWriter(tmp, "UTF-8")
-    try actions.foreach { a =>
-      w.println(s"""{"version":${a.version},"action":"${a.action}","path":"${a.path}","n_rows":${a.n_rows}}""")
-    } finally w.close()
+    // Files.write THROWS on any IO failure — a PrintWriter would swallow
+    // a partial write (ENOSPC) and rename a truncated log into place,
+    // violating "a version is visible only once its complete file exists"
+    val body = actions.map(a =>
+      s"""{"version":${a.version},"action":"${jq(a.action)}","path":"${jq(a.path)}","n_rows":${a.n_rows}}""")
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.write(tmp.toPath, body.getBytes("UTF-8"))
     if (dst.exists()) { tmp.delete(); return }
-    if (!tmp.renameTo(dst))
-      throw new java.io.IOException(s"commit rename failed for $dst")
+    if (!tmp.renameTo(dst)) {
+      tmp.delete()
+      // lost the race to an identical replay commit — the existing file
+      // is authoritative (idempotent-commit contract); anything else is
+      // a real failure
+      if (!dst.exists())
+        throw new java.io.IOException(s"commit rename failed for $dst")
+    }
   }
 
   /** All actions with version ≤ `asOf` (None = latest), as a DataFrame —
@@ -110,17 +132,33 @@ object DeltaLite {
     * stay for time travel. Returns (path, removed_version, n_rows at add
     * time, eligible). Never touches a data file: the row counts come
     * from the add-action stats, which is what makes vacuum planning a
-    * metadata query at any scale. */
+    * metadata query at any scale.
+    *
+    * Liveness-aware: a path's fate is its LATEST action ≤ current — a
+    * remove followed by a re-add of the same path (the rewrite cycle
+    * `liveFiles` explicitly supports) is LIVE, and a plan that listed it
+    * as reclaimable would delete current table data. One row per
+    * removed path (the latest remove), never a remove×add product. */
   def vacuumPlan(spark: SparkSession, tableDir: String,
       currentVersion: Long, retention: Long): DataFrame = {
     import org.apache.spark.sql.functions._
-    val acts = actions(spark, tableDir, None)
-    val adds = acts.filter(col("action") === "add")
-      .select(col("path"), col("n_rows"))
-    val removes = acts.filter(col("action") === "remove")
-      .select(col("path"), col("version").as("removed_version"))
-    removes.join(adds, "path")
-      .withColumn("eligible",
-        col("removed_version") <= lit(currentVersion - retention))
+    val acts = actions(spark, tableDir, Some(currentVersion))
+    // per path: latest action decides liveness; latest remove + latest
+    // add-stats feed the report
+    // same-version remove+add of one path is a one-commit rewrite and
+    // LIVE (liveFiles applies removes first): the add wins the tie via
+    // the secondary ordering term. max_by skips null orderings, so the
+    // n_rows pick sees only add actions.
+    val latest = acts.groupBy("path").agg(
+      max_by(col("action"),
+        struct(col("version"), (col("action") === "add").cast("int")))
+        .as("last_action"),
+      max(when(col("action") === "remove", col("version"))).as("removed_version"),
+      max_by(when(col("action") === "add", col("n_rows")),
+        when(col("action") === "add", col("version"))).as("n_rows"))
+    latest.filter(col("last_action") === "remove")
+      .select(col("path"), col("removed_version"), col("n_rows"),
+        (col("removed_version") <= lit(currentVersion - retention))
+          .as("eligible"))
   }
 }

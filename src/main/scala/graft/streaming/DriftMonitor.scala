@@ -12,14 +12,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (e.g. by the batch query over last quarter) and a live statistic
   * updated as each day completes, alarm at the same h = 4, slack 0.5σ₀.
   *
-  * State per event type is O(1) — (current day, running count, cusum,
-  * late-drop counter) — regardless of volume or history length: the
-  * day's count folds incrementally, and a completed day collapses into
-  * one `max(0, s + z)` update. Day boundaries are detected from
-  * event-time order; a day is FINALIZED (emitted, folded into the
-  * cusum) when a newer day's first event arrives, or at event-time
-  * timeout (watermark passed the quiet gap) for the last open day —
-  * the [[Sessionize]]/[[SequenceMatch]] eviction discipline.
+  * State per event type is O(1) — (open day, running count, cusum,
+  * late-drop counter, last finalized day) — regardless of volume or
+  * history length, and it is NEVER removed: the cusum is the monitor's
+  * whole value and must survive quiet gaps (state is bounded by the
+  * number of event types, not by time). A day is FINALIZED (emitted,
+  * folded into the cusum) when a newer day's first event arrives, or on
+  * event-time timeout ONLY once the watermark has passed the day's end
+  * — an earlier intra-day lull re-arms the timeout instead of emitting
+  * a partial day (and resetting the recursion), which a first version
+  * of this monitor did and the review caught: any overnight gap both
+  * double-emitted the split day and silently zeroed the accumulated
+  * drift statistic.
+  *
+  * Day bucketing follows the SESSION TIME ZONE (the batch twin's
+  * `to_date(ts)` semantics — a hard-coded UTC bucket would disagree
+  * with the offline-trained baseline in any non-UTC session).
   *
   * Late rows for an already-finalized day inside the watermark horizon
   * cannot be re-folded (the day's z already entered the recursion);
@@ -30,7 +38,8 @@ object DriftMonitor {
 
   final case class DriftEvent(event_type: String, ts: Timestamp)
   final case class DriftState(
-      dayUs: Long, n: Long, cusum: Double, lateDropped: Long, lastUs: Long)
+      dayUs: Long, n: Long, cusum: Double, lateDropped: Long, lastUs: Long,
+      doneUs: Long)
   final case class DriftOut(
       event_type: String, day: String, n: Long, cusum: Double,
       alarm: Boolean, late_dropped: Long)
@@ -47,17 +56,25 @@ object DriftMonitor {
     import events.sparkSession.implicits._
     require(sigma0 > 0, "sigma0 must be positive")
     val h = AlarmThreshold
-    val dayUsLen = 86400000000L
+    val zoneStr = events.sparkSession.sessionState.conf.sessionLocalTimeZone
 
+    def zone = java.time.ZoneId.of(zoneStr)
+    def dayStartUs(us: Long): Long =
+      java.time.Instant.ofEpochMilli(us / 1000).atZone(zone)
+        .toLocalDate.atStartOfDay(zone).toInstant.toEpochMilli * 1000L
+    def dayEndUs(dayUs: Long): Long =
+      java.time.Instant.ofEpochMilli(dayUs / 1000).atZone(zone)
+        .toLocalDate.plusDays(1).atStartOfDay(zone).toInstant.toEpochMilli * 1000L
     def dayStr(dayUs: Long): String =
-      java.time.Instant.ofEpochMilli(dayUs / 1000)
-        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+      java.time.Instant.ofEpochMilli(dayUs / 1000).atZone(zone)
+        .toLocalDate.toString
     def zOf(n: Long): Double = (n.toDouble - mu0 - 0.5 * sigma0) / sigma0
     def foldDay(s: DriftState): (DriftState, DriftOut) = {
       val c = math.max(0.0, s.cusum + zOf(s.n))
       val out = DriftOut(event_type = "", dayStr(s.dayUs), s.n, c,
         alarm = c > h, s.lateDropped)
-      (s.copy(cusum = c, lateDropped = 0L), out)
+      (s.copy(cusum = c, lateDropped = 0L, doneUs = s.dayUs, dayUs = -1L, n = 0L),
+        out)
     }
 
     events
@@ -68,26 +85,49 @@ object DriftMonitor {
         (typ: String, rows: Iterator[DriftEvent], state: GroupState[DriftState]) =>
           if (state.hasTimedOut) {
             val s = state.get
-            state.remove()
-            if (s.n > 0) {
-              val (_, out) = foldDay(s)
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            if (s.n > 0 && s.dayUs >= 0 && wmUs >= dayEndUs(s.dayUs)) {
+              // the open day can never be extended again (a same-day row
+              // would be behind the watermark and dropped upstream):
+              // emit it and KEEP the cusum — state survives the gap
+              val (folded, out) = foldDay(s)
+              state.update(folded)
+              state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + QuietGapMinutes * 60L * 1000L)
               Iterator.single(out.copy(event_type = typ))
-            } else Iterator.empty
+            } else {
+              // a quiet lull while the day could still receive rows
+              // (other keys raced the watermark forward): re-arm, emit
+              // nothing — finalizing here would split the day
+              state.update(s)
+              state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + QuietGapMinutes * 60L * 1000L)
+              Iterator.empty
+            }
           } else {
             val sorted = rows.toSeq.sortBy(_.ts.getTime)
             var s = state.getOption.getOrElse(
-              DriftState(-1L, 0L, 0.0, 0L, 0L))
+              DriftState(-1L, 0L, 0.0, 0L, 0L, -1L))
             val emitted = scala.collection.mutable.ArrayBuffer[DriftOut]()
             sorted.foreach { e =>
               val us = e.ts.getTime * 1000L
-              val d = us - us % dayUsLen
-              if (s.dayUs < 0) s = s.copy(dayUs = d)
-              if (d == s.dayUs) s = s.copy(n = s.n + 1)
-              else if (d > s.dayUs) {
+              val d = dayStartUs(us)
+              if (d <= s.doneUs) {
+                // a day that already folded into the cusum
+                s = s.copy(lateDropped = s.lateDropped + 1)
+              } else if (s.dayUs < 0) {
+                s = s.copy(dayUs = d, n = 1L)
+              } else if (d == s.dayUs) {
+                s = s.copy(n = s.n + 1)
+              } else if (d > s.dayUs) {
                 val (folded, out) = foldDay(s)
                 emitted += out.copy(event_type = typ)
                 s = folded.copy(dayUs = d, n = 1L)
-              } else s = s.copy(lateDropped = s.lateDropped + 1) // pre-finalized day
+              } else {
+                // older than the open day but newer than the last
+                // finalized one: cross-day disorder inside the horizon
+                s = s.copy(lateDropped = s.lateDropped + 1)
+              }
               s = s.copy(lastUs = math.max(s.lastUs, us))
             }
             state.update(s)

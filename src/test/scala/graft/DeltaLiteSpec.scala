@@ -74,6 +74,30 @@ class DeltaLiteSpec extends AnyFunSuite with SparkFixture {
     assert(plan("a2.parquet") == ((2L, false)), "recent remove must be kept")
   }
 
+  test("vacuum plan: a removed-then-re-added path is LIVE, never reclaimable") {
+    val t = freshTable()
+    writeRows(t, "a.parquet", Seq(1L, 2L))
+    DeltaLite.commit(t, 1, Seq(Action(1, "add", "a.parquet", 2L)))
+    DeltaLite.commit(t, 2, Seq(Action(2, "remove", "a.parquet", -1L)))
+    writeRows(t, "a.parquet", Seq(1L, 2L, 3L))
+    DeltaLite.commit(t, 3, Seq(Action(3, "add", "a.parquet", 3L)))
+    val plan = DeltaLite.vacuumPlan(spark, t, currentVersion = 10, retention = 1)
+      .collect()
+    assert(!plan.exists(_.getAs[String]("path") == "a.parquet"),
+      s"re-added (live) path listed for vacuum: ${plan.mkString(",")}")
+    assert(DeltaLite.snapshot(spark, t, Some(10)).count() == 3,
+      "the re-added file is the live snapshot")
+  }
+
+  test("commit escapes hostile paths; the log round-trips them exactly") {
+    val t = freshTable()
+    val weird = "we\"ird\\name.parquet"
+    DeltaLite.commit(t, 1, Seq(Action(1, "add", weird, 7L)))
+    val acts = DeltaLite.actions(spark, t).collect()
+    assert(acts.length == 1 && acts(0).getAs[String]("path") == weird,
+      s"hostile path corrupted the log line: ${acts.mkString(",")}")
+  }
+
   test("DeltaSink: streamed batches become visible commits; replays are no-ops") {
     import graft.streaming.DeltaSink
     val t = freshTable()

@@ -345,4 +345,56 @@ class StreamingDemoSpec extends AnyFunSuite with SparkFixture {
       assert(!w11.exists(_._2 == "hot"), "hour 10's hot key leaked into hour 11")
     } finally q.stop()
   }
+
+  test("drift monitor survives an overnight gap: cusum continues, days emit once") {
+    import graft.streaming.DriftMonitor
+    import graft.streaming.DriftMonitor.DriftEvent
+    implicit val sqlCtx = spark.sqlContext
+    // burst key: 30 events on day 1, 30 on day 2 (z = +3.5/day) — but a
+    // heartbeat key races the watermark far ahead BETWEEN the days, so
+    // the burst key's event-time timeout fires during the gap. The
+    // monitor must (a) not reset the cusum (day 2 alarms at 7.0), and
+    // (b) not split/double-emit any day despite the mid-day lull.
+    def burst(day: Int, k: Int) = (0 until k).map(j =>
+      DriftEvent("burst", ts(f"2024-01-0$day%d 0${1 + j % 8}:0${j % 6}:00")))
+    val ms = MemoryStream[DriftEvent]
+    val q = DriftMonitor.monitor(ms.toDS(), mu0 = 10.0, sigma0 = 5.0)
+      .writeStream.format("memory").queryName("drift_gap_test").outputMode("append").start()
+    try {
+      ms.addData(burst(1, 30): _*); q.processAllAvailable()
+      // mid-day-1 lull: heartbeat advances the watermark to ~16:00 of
+      // day 1 — past the burst key's quiet gap but NOT past day 1's end:
+      // the timeout must re-arm without emitting a partial day
+      ms.addData(DriftEvent("heartbeat", ts("2024-01-01 18:00:00")))
+      q.processAllAvailable()
+      // late-evening day-1 stragglers still belong to the open day
+      ms.addData(DriftEvent("burst", ts("2024-01-01 20:00:00")),
+        DriftEvent("burst", ts("2024-01-01 20:01:00")))
+      q.processAllAvailable()
+      // overnight gap: heartbeat advances the watermark to exactly day
+      // 2's start — past day 1's end (finalizing day 1, n=32, via
+      // timeout with the cusum SURVIVING) while dropping none of day
+      // 2's own events
+      ms.addData(DriftEvent("heartbeat", ts("2024-01-02 02:00:00")))
+      q.processAllAvailable()
+      ms.addData(burst(2, 30): _*); q.processAllAvailable()
+      ms.addData(DriftEvent("heartbeat", ts("2024-01-04 12:00:00")))
+      q.processAllAvailable()
+      ms.addData(DriftEvent("heartbeat", ts("2024-01-05 12:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("drift_gap_test").collect()
+        .filter(_.getAs[String]("event_type") == "burst")
+        .map(r => (r.getAs[String]("day"), r.getAs[Long]("n"),
+          math.rint(r.getAs[Double]("cusum") * 1e6) / 1e6, r.getAs[Boolean]("alarm")))
+      assert(rows.count(_._1 == "2024-01-01") == 1,
+        s"day 1 split or double-emitted: ${rows.mkString(",")}")
+      assert(rows.exists(r => r._1 == "2024-01-01" && r._2 == 32L),
+        s"post-lull stragglers lost: ${rows.mkString(",")}")
+      // day 1: z = (32-12.5)/5 = 3.9; day 2: 3.9 + 3.5 = 7.4 → alarm.
+      // A cusum reset across the overnight gap would read 3.5, no alarm.
+      val d2 = rows.find(_._1 == "2024-01-02")
+      assert(d2.exists(r => math.abs(r._3 - 7.4) < 1e-9 && r._4),
+        s"cusum did not survive the overnight gap: ${rows.mkString(",")}")
+    } finally q.stop()
+  }
 }
