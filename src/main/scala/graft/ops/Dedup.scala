@@ -1345,7 +1345,88 @@ object Dedup {
       .orderBy("bucket")
   }
 
+  /** Fixed-round 2-core peel of the LSH candidate graph — the density
+    * skeleton: repeatedly delete degree-<2 nodes and their edges, and
+    * report the (nodes, edges) survivor curve per round. Leaves and
+    * isolated pairs — docs with ONE near-dup partner — melt away, so the
+    * surviving core is exactly the template-cluster mass that
+    * [[graphTriangles]]/[[graphPagerank]] spend their budget on; the
+    * curve's flattening says how many peel rounds a full k-core would
+    * need. FOUR rounds, not a fixpoint: fixed rounds keep the
+    * computation oracle-replayable CTE-for-CTE (both engines run the
+    * same four peels), and the curve itself shows convergence. Shape at
+    * scale: per round one hash agg (degrees) + two semi joins keyed on
+    * the high-cardinality node id, over the capped candidate graph
+    * (deg ≤ bands·cap by construction); rounds are chain-checkpointed
+    * ([[Util.ChainCheckpoint]]) so round k never re-executes 1..k−1 and
+    * superseded round files are reclaimed. Per-round stats come off the
+    * just-materialized checkpoint — two bounded scalar reads per round,
+    * the [[ccMinLabel]] driver-state discipline. */
+  def graphKcore(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        array_distinct(split(Text.normTextExpr, " ")).as("toks"))
+    val chain = new Util.ChainCheckpoint
+    var edges = candidatePairsGlobal(base, "s").transform(chain(_))
+    val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    for (r <- 1 to 4) {
+      val deg = edges.select(col("d1").as("u"))
+        .unionByName(edges.select(col("d2").as("u")))
+        .groupBy("u").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= 2).select(col("u"))
+      edges = edges
+        .join(keep.select(col("u").as("d1")), Seq("d1"), "left_semi")
+        .join(keep.select(col("u").as("d2")), Seq("d2"), "left_semi")
+        .transform(chain(_))
+      val nEdges = edges.count()
+      val nNodes = edges
+        .select(explode(array(col("d1"), col("d2"))).as("u"))
+        .agg(countDistinct(col("u"))).collect()(0).getLong(0)
+      stats += ((r.toLong, nNodes, nEdges))
+    }
+    spark.createDataFrame(stats.toSeq)
+      .toDF("round", "n_nodes", "n_edges")
+      .orderBy("round")
+  }
+
+  /** Common-neighbor / neighborhood-Jaccard scoring over the candidate
+    * graph — THE classic link-prediction features: for every node pair
+    * sharing at least one neighbor, |N(a)∩N(b)| and the neighbor-set
+    * Jaccard |N∩|/|N∪|, with an is_edge flag separating "already a
+    * candidate pair" from "predicted by shared neighborhoods only" (the
+    * second kind is what LSH MISSED but the graph structure implies —
+    * the transitive near-dups a banding config never bucketed
+    * together). Shape at scale: one wedge join keyed on the shared
+    * neighbor w — cost Σ_w deg(w)², bounded because deg ≤ bands·cap on
+    * the capped graph (the [[graphTriangles]] argument); degrees join
+    * on the high-cardinality node id; output is top-20. */
+  def graphCommonNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        array_distinct(split(Text.normTextExpr, " ")).as("toks"))
+    val e = candidatePairsGlobal(base, "s").transform(iterCheckpoint)
+    val und = e.select(col("d1").as("u"), col("d2").as("v"))
+      .unionByName(e.select(col("d2").as("u"), col("d1").as("v")))
+    val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    val cn = und.select(col("u").as("a"), col("v").as("w"))
+      .join(und.select(col("u").as("b"), col("v").as("w")), "w")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+    cn.join(deg.select(col("u").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("u").as("b"), col("deg").as("db")), "b")
+      .join(e.select(col("d1").as("a"), col("d2").as("b"),
+        lit(true).as("is_edge")), Seq("a", "b"), "left")
+      .select(col("a"), col("b"), col("n_common"),
+        r6(col("n_common").cast("double") /
+          (col("da") + col("db") - col("n_common")).cast("double"))
+          .as("nbr_jaccard"),
+        coalesce(col("is_edge"), lit(false)).as("is_edge"))
+      .orderBy(desc("n_common"), col("a"), col("b")).limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_kcore" -> (graphKcore _),
+    "graph_common_neighbors" -> (graphCommonNeighbors _),
     "dedup_lsh_calibration" -> (dedupLshCalibration _),
     "graph_label_propagation" -> (graphLabelPropagation _),
     "dedup_chunk_minhash" -> (dedupChunkMinhash _),
@@ -1501,7 +1582,55 @@ object Dedup {
            QUALIFY row_number() OVER (PARTITION BY v ORDER BY c DESC, nl) = 1)"""
   }.mkString(",\n         ")
 
+  // fixed-round 2-core peel, rounds 1..4: degrees over the doubled edge
+  // list, keep deg>=2, restrict edges to kept nodes — CTE-for-CTE the
+  // engine's loop body
+  private val kcoreIterCtes = (1 to 4).map { r =>
+    s"""deg$r AS (SELECT u, count(*) AS deg FROM (
+             SELECT d1 AS u FROM e${r - 1} UNION ALL SELECT d2 FROM e${r - 1})
+           GROUP BY u),
+         k$r AS (SELECT u FROM deg$r WHERE deg >= 2),
+         e$r AS MATERIALIZED (
+           SELECT d1, d2 FROM e${r - 1}
+           WHERE d1 IN (SELECT u FROM k$r) AND d2 IN (SELECT u FROM k$r)),
+         s$r AS (SELECT CAST($r AS BIGINT) AS round,
+           (SELECT CAST(count(DISTINCT u) AS BIGINT) FROM (
+              SELECT d1 AS u FROM e$r UNION ALL SELECT d2 FROM e$r)) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e$r) AS n_edges)"""
+  }.mkString(",\n         ")
+
   val oracleSql: Map[String, String] = Map(
+    "graph_kcore" ->
+      s"""WITH $graphBandPreambleSql,
+         e0 AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           FROM band a JOIN band b
+             ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         $kcoreIterCtes
+         SELECT * FROM s1 UNION ALL SELECT * FROM s2
+         UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+         ORDER BY round""",
+    "graph_common_neighbors" ->
+      s"""WITH $graphBandPreambleSql,
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           FROM band a JOIN band b
+             ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         e AS MATERIALIZED (SELECT d1 AS u, d2 AS v FROM pairs
+           UNION ALL SELECT d2, d1 FROM pairs),
+         deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+         cn AS (SELECT x.u AS a, y.u AS b, count(*) AS n_common
+           FROM e x JOIN e y ON x.v = y.v AND x.u < y.u
+           GROUP BY 1, 2)
+         SELECT cn.a, cn.b, CAST(cn.n_common AS BIGINT) AS n_common,
+           ${r6Sql("CAST(cn.n_common AS DOUBLE) / CAST(da.deg + db.deg - cn.n_common AS DOUBLE)")} AS nbr_jaccard,
+           coalesce(p.is_edge, FALSE) AS is_edge
+         FROM cn
+         JOIN deg da ON da.u = cn.a
+         JOIN deg db ON db.u = cn.b
+         LEFT JOIN (SELECT d1, d2, TRUE AS is_edge FROM pairs) p
+           ON p.d1 = cn.a AND p.d2 = cn.b
+         ORDER BY n_common DESC, cn.a, cn.b LIMIT 20""",
     "dedup_lsh_calibration" ->
       s"""WITH tok AS MATERIALIZED (
            SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS token
@@ -1592,7 +1721,7 @@ object Dedup {
              CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE) AS jac
            FROM j WHERE d1 // 1000000 != d2 // 1000000)
          SELECT doc_a, doc_b, count(*) AS n_chunk_pairs,
-           sum(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END) AS n_near
+           CAST(sum(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_near
          FROM p GROUP BY 1, 2
          HAVING sum(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END) >= 1
          ORDER BY n_near DESC, n_chunk_pairs DESC, doc_a, doc_b LIMIT 20""",

@@ -1132,7 +1132,37 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** Per-feed freshness/SLA report — the monitoring view a scheduled
+    * ingest (the reference's daily Task-Scheduler re-run, A16) drives
+    * alerts from: per event_type, event count, last-seen timestamp,
+    * minutes behind the newest event in the WHOLE table, a 30-minute
+    * SLA breach flag, and the count landed in the trailing hour (the
+    * arrival-rate pulse). The global high-water mark is a one-row agg
+    * broadcast into a single per-type hash agg — two passes over the
+    * scan, no window, no sort beyond the |types| output. Lag math is
+    * exact integer µs (no double time arithmetic to round). */
+  def pipeFreshnessSla(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("event_type").as("et"), unix_micros(col("ts")).as("us"))
+    val gmax = ev.agg(max(col("us")).as("gus"))
+    ev.crossJoin(broadcast(gmax))
+      .groupBy("et")
+      .agg(count(lit(1)).as("n_events"),
+        max(col("us")).as("tus"),
+        max(col("gus")).as("gus2"),
+        sum(when(col("us") >= col("gus") - lit(3600000000L), 1L)
+          .otherwise(0L)).as("n_last_hour"))
+      .select(col("et"), col("n_events"),
+        tsS(timestamp_micros(col("tus"))).as("last_seen"),
+        ((col("gus2") - col("tus")) / lit(60000000L)).cast("long")
+          .as("lag_minutes"),
+        (col("gus2") - col("tus") >= lit(1800000000L)).as("sla_breach"),
+        col("n_last_hour"))
+      .orderBy("et")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_freshness_sla" -> (pipeFreshnessSla _),
     "pipe_datagen_profile" -> (pipeDatagenProfile _),
     "pipe_mv_incremental" -> (pipeMvIncremental _),
     "pipe_sample_weighted" -> (pipeSampleWeighted _),
@@ -1170,6 +1200,18 @@ object PipelineOps {
     "pipe_sample_topk_hash" -> (sampleTopkHash _))
 
   val oracleSql: Map[String, String] = Map(
+    "pipe_freshness_sla" ->
+      s"""WITH ev AS (SELECT event_type AS et, epoch_us(ts) AS us
+           FROM ${evSql()}),
+         g AS (SELECT max(us) AS gus FROM ev)
+         SELECT et, count(*) AS n_events,
+           strftime(make_timestamp(max(us)), '%Y-%m-%d %H:%M:%S.%f')
+             AS last_seen,
+           CAST((max(gus) - max(us)) // 60000000 AS BIGINT) AS lag_minutes,
+           (max(gus) - max(us)) >= 1800000000 AS sla_breach,
+           CAST(sum(CASE WHEN us >= gus - 3600000000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_last_hour
+         FROM ev, g GROUP BY et ORDER BY et""",
     "pipe_datagen_profile" ->
       s"""WITH r AS (SELECT unnest(range(0, 10000)) AS id),
          h AS (SELECT id, md5(CAST(id AS VARCHAR)) AS hx FROM r),
@@ -1183,8 +1225,9 @@ object PipelineOps {
          SELECT source, count(*) AS n_rows,
            ${r4Sql("CAST(sum(n_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS mean_tokens,
            CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS value_sum,
-           sum(CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || ':'
-             || CAST(n_tokens AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000007) AS checksum
+           CAST(sum(CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || ':'
+             || CAST(n_tokens AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000007)
+             AS BIGINT) AS checksum
          FROM g GROUP BY source ORDER BY source""",
     // result-transparent: the oracle recomputes the FULL aggregate from
     // raw events, proving MV ⊎ batch ≡ recompute without knowing the MV

@@ -862,10 +862,15 @@ object Relational {
           .cast("double"))
       .withColumn("sxx", sum(col("rn") * col("rn")).over(trail).cast("long"))
       .select(col("user_id"), col("event_id"), col("rn"), col("n"),
+        // Denominator in DOUBLE, not long: sx*sx overflows int64 once a
+        // single key's row index passes ~6e8 (silent wrap on Spark,
+        // promote/error on DuckDB). n,sx,sxx ≪ 2^53 per 5-row frame, so
+        // the double products are exact and both engines agree bit-wise.
         when(col("n") >= 2,
           r6((col("n").cast("double") * col("sxy")
               - col("sx").cast("double") * col("sy"))
-            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")))
+            / (col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))))
           .as("slope"))
       .orderBy("user_id", "rn")
   }
@@ -2976,8 +2981,13 @@ object Relational {
         col("hx").cast("double").as("h_x"),
         col("hy").cast("double").as("h_y"),
         col("mi_s").cast("double").as("mi"),
-        r6(col("mi_s").cast("double") /
-          sqrt(col("hx").cast("double") * col("hy").cast("double")))
+        // Zero-guarded: a single-valued attribute has entropy 0, and
+        // 0/0 is engine-specific (Spark NULL vs DuckDB double
+        // semantics) — the guard pins NMI to NULL on both engines for
+        // degenerate corpora instead of leaving it to dialect luck.
+        when(col("hx").cast("double") * col("hy").cast("double") > 0d,
+          r6(col("mi_s").cast("double") /
+            sqrt(col("hx").cast("double") * col("hy").cast("double"))))
           .as("nmi"))
   }
 
@@ -3146,7 +3156,151 @@ object Relational {
       .orderBy("et")
   }
 
+  /** Theil-T inequality index over positive customer balances with the
+    * exact within/between decomposition by market segment — the
+    * inequality-accounting question (how much dispersion lives INSIDE
+    * segments vs BETWEEN them) that Gini ([[eventsGiniPareto]]) can't
+    * answer, because only generalized-entropy indices decompose
+    * additively. T_total = Σ x·ln(x/μ) / S; T_between = Σ_g (S_g/S)·
+    * ln(μ_g/μ); T_within = T_total − T_between (additivity is the
+    * theorem, so the difference IS the within term). Shape at scale: one
+    * hash agg to the |segments| frame, one broadcast of the one-row
+    * global, one per-row ln pass re-aggregated — no window over raw
+    * rows, no sort until the ≤|segments| output. Exactness: balances sum
+    * as exact decimals; each per-row ln term is r6→DECIMAL(16,6) before
+    * the sum (order-independent), the [[aggMutualInfo]] discipline. */
+  def aggTheilDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val d166 = org.apache.spark.sql.types.DecimalType(16, 6)
+    val c = table(spark, dir, "customer")
+      .filter(col("c_acctbal") > 0)
+      .select(col("c_mktsegment").as("seg"), col("c_acctbal").cast(Qty).as("x"))
+    val glob = c.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val withMu = c.crossJoin(broadcast(glob))
+      .withColumn("mu", col("s").cast("double") / col("n").cast("double"))
+    val rowTerms = withMu
+      .select(r6(col("x").cast("double") *
+        log(col("x").cast("double") / col("mu"))).cast(d166).as("term"))
+      .agg(sum(col("term")).as("t_num"))
+    val segs = c.groupBy("seg")
+      .agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"))
+      .crossJoin(broadcast(glob))
+      .select(r6((col("sg").cast("double") / col("s").cast("double")) *
+        log((col("sg").cast("double") / col("ng").cast("double")) /
+          (col("s").cast("double") / col("n").cast("double"))))
+        .cast(d166).as("bt"))
+      .agg(sum(col("bt")).as("t_btw"))
+    glob.crossJoin(broadcast(rowTerms)).crossJoin(broadcast(segs))
+      .select(col("n"), round(col("s").cast("double"), 2).as("total_bal"),
+        r6(col("t_num").cast("double") / col("s").cast("double"))
+          .as("theil_total"),
+        col("t_btw").cast("double").as("theil_between"),
+        r6(col("t_num").cast("double") / col("s").cast("double")
+          - col("t_btw").cast("double")).as("theil_within"))
+  }
+
+  /** Herfindahl–Hirschman concentration of order revenue per priority
+    * class: per o_orderpriority, how concentrated is spend across
+    * customers. HHI = Σ share² is computed as (Σ s_i²)/S² with BOTH sums
+    * exact decimals — per-term share² at realistic customer counts is
+    * ~1e-8 and would be destroyed by per-term rounding, so the identity
+    * moves ALL the mass into exact integer-ish arithmetic and spends
+    * exactly ONE double division at the end. Shape at scale: two
+    * map-side-combined hash aggs (customer×priority, then priority) —
+    * no window, no sort until the 5-row output. The effective-competitor
+    * count 1/HHI is the number a marketplace-health dashboard shows. */
+  def aggHhiConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val d182 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val per = table(spark, dir, "orders")
+      .groupBy(col("o_orderpriority").as("prio"), col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(Qty)).as("s"))
+    // operands narrowed to DECIMAL(18,2) BEFORE the multiply: the raw
+    // DECIMAL(20,2)² result type (41,4) exceeds precision 38 and Spark
+    // would silently reduce scale; (18,2)² = (37,4) stays exact in both
+    // engines (per-customer revenue ≪ 10^16)
+    per.groupBy("prio")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("s")).as("tot"),
+        sum(col("s").cast(d182) * col("s").cast(d182)).as("s2"),
+        max(col("s")).as("smax"))
+      .select(col("prio"), col("n_customers"),
+        round(col("tot").cast("double"), 2).as("total_rev"),
+        r6(col("s2").cast("double") /
+          (col("tot").cast("double") * col("tot").cast("double"))).as("hhi"),
+        r4((col("tot").cast("double") * col("tot").cast("double")) /
+          col("s2").cast("double")).as("effective_n"),
+        r6(col("smax").cast("double") / col("tot").cast("double"))
+          .as("top_share"))
+      .orderBy("prio")
+  }
+
+  /** Per-type daily-count anomaly detection under a Poisson model with a
+    * LEAVE-ONE-OUT baseline: each day's rate λ is the mean of every
+    * OTHER day (so a spike can't inflate its own baseline — the bias
+    * that makes naive z-scores miss exactly the biggest anomalies), and
+    * the flag is the normal approximation |n−λ|/√λ > 3. Shape at scale:
+    * one hash agg to the (type × day) frame, then per-type one-row
+    * totals joined back — the λ math happens on the model-sized daily
+    * frame, never on raw events. Exactness: counts are exact longs; λ
+    * and z are each ONE double expression from exact longs, r4-rounded
+    * identically in both engines. */
+  def eventsPoissonAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .groupBy(col("event_type").as("et"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val tot = daily.groupBy("et")
+      .agg(count(lit(1)).as("nd"), sum(col("n")).as("ntot"))
+    val z = daily.join(broadcast(tot), "et")
+      // nd>1 guard: a single-day type has no leave-one-out baseline, and
+      // 0/0 double semantics differ between engines — NULL on both instead
+      .withColumn("lam", when(col("nd") > 1,
+        (col("ntot") - col("n")).cast("double") /
+          (col("nd") - 1).cast("double")))
+      .withColumn("z", (col("n").cast("double") - col("lam")) / sqrt(col("lam")))
+    z.groupBy("et")
+      .agg(max(col("nd")).as("n_days"),
+        r4(max(col("ntot")).cast("double") / max(col("nd")).cast("double"))
+          .as("mean_daily"),
+        sum(when(abs(col("z")) > 3, 1L).otherwise(0L)).as("n_anomalies"),
+        r4(max(col("z"))).as("max_z"),
+        min(when(abs(col("z")) > 3, dateS(col("d")))).as("first_anomaly_day"))
+      .orderBy("et")
+  }
+
+  /** Count–min sketch heavy-key estimation with a driver-verified error
+    * contract — the [[Relational.aggApproxDistinct]] pattern applied to
+    * the OTHER classic streaming sketch: build Spark's native
+    * `count_min_sketch` over user_id (one pass, mergeable partials —
+    * the 100 TB shape: every executor sketches its split, the driver
+    * merges KBs), then probe the top-5 exact-heavy users and emit the
+    * sketch's two guarantees as flags the oracle expects TRUE:
+    * CMS never under-estimates, and over-estimates by ≤ εN with
+    * probability 1−δ (ε=0.001, δ=0.01, seeded — deterministic). The
+    * exact side is a second hash agg; only the ≤5-probe result and the
+    * KB-sized sketch ever reach the driver. */
+  def aggCountMinHeavy(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val skBytes = ev.select(
+        expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"))
+      .collect()(0).getAs[Array[Byte]]("sk")
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    val nTotal = cms.totalCount()
+    val est = udf((u: Long) => cms.estimateCount(u.asInstanceOf[Any]))
+    ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      .orderBy(desc("n_exact"), col("user_id")).limit(5)
+      .withColumn("e", est(col("user_id")))
+      .select(col("user_id"), col("n_exact"),
+        (col("e") >= col("n_exact")).as("never_under"),
+        (col("e") <= col("n_exact") + lit(math.ceil(0.001 * nTotal).toLong))
+          .as("within_eps"))
+      .orderBy(desc("n_exact"), col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_theil_decomposition" -> (aggTheilDecomposition _),
+    "agg_hhi_concentration" -> (aggHhiConcentration _),
+    "events_poisson_anomaly" -> (eventsPoissonAnomaly _),
+    "agg_countmin_heavy" -> (aggCountMinHeavy _),
     "events_metric_decomposition" -> (eventsMetricDecomposition _),
     "agg_trimmed_mean" -> (aggTrimmedMean _),
     "agg_raking_weights" -> (aggRakingWeights _),
@@ -3284,6 +3438,58 @@ object Relational {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "agg_theil_decomposition" ->
+      s"""WITH c AS (SELECT c_mktsegment AS seg,
+           CAST(c_acctbal AS DECIMAL(10,2)) AS x
+           FROM customer WHERE c_acctbal > 0),
+         g AS (SELECT count(*) AS n, sum(x) AS s FROM c),
+         rt AS (SELECT sum(CAST(${r6Sql("CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE) / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))")} AS DECIMAL(16,6))) AS t_num
+           FROM c, g),
+         sg AS (SELECT seg, count(*) AS ng, sum(x) AS ssg FROM c GROUP BY seg),
+         bt AS (SELECT sum(CAST(${r6Sql("(CAST(ssg AS DOUBLE) / CAST(s AS DOUBLE)) * ln((CAST(ssg AS DOUBLE) / CAST(ng AS DOUBLE)) / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))")} AS DECIMAL(16,6))) AS t_btw
+           FROM sg, g)
+         SELECT n, round(CAST(s AS DOUBLE), 2) AS total_bal,
+           ${r6Sql("CAST(t_num AS DOUBLE) / CAST(s AS DOUBLE)")} AS theil_total,
+           CAST(t_btw AS DOUBLE) AS theil_between,
+           ${r6Sql("CAST(t_num AS DOUBLE) / CAST(s AS DOUBLE) - CAST(t_btw AS DOUBLE)")} AS theil_within
+         FROM g, rt, bt""",
+    "agg_hhi_concentration" ->
+      s"""WITH per AS (SELECT o_orderpriority AS prio, o_custkey,
+           sum(CAST(o_totalprice AS DECIMAL(10,2))) AS s
+           FROM orders GROUP BY 1, 2),
+         a AS (SELECT prio, count(*) AS n_customers, sum(s) AS tot,
+           sum(CAST(s AS DECIMAL(18,2)) * CAST(s AS DECIMAL(18,2))) AS s2,
+           max(s) AS smax
+           FROM per GROUP BY prio)
+         SELECT prio, n_customers,
+           round(CAST(tot AS DOUBLE), 2) AS total_rev,
+           ${r6Sql("CAST(s2 AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))")} AS hhi,
+           ${r4Sql("(CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) / CAST(s2 AS DOUBLE)")} AS effective_n,
+           ${r6Sql("CAST(smax AS DOUBLE) / CAST(tot AS DOUBLE)")} AS top_share
+         FROM a ORDER BY prio""",
+    "events_poisson_anomaly" ->
+      s"""WITH daily AS (SELECT event_type AS et, CAST(ts AS DATE) AS d,
+           count(*) AS n FROM ${evSql()} GROUP BY 1, 2),
+         tot AS (SELECT et, count(*) AS nd, sum(n) AS ntot
+           FROM daily GROUP BY et),
+         z AS (SELECT daily.et, d, n, nd, ntot,
+           CASE WHEN nd > 1 THEN CAST(ntot - n AS DOUBLE) / CAST(nd - 1 AS DOUBLE) END AS lam
+           FROM daily JOIN tot USING (et)),
+         zz AS (SELECT et, d, n, nd, ntot,
+           (CAST(n AS DOUBLE) - lam) / sqrt(lam) AS z FROM z)
+         SELECT et, max(nd) AS n_days,
+           ${r4Sql("CAST(max(ntot) AS DOUBLE) / CAST(max(nd) AS DOUBLE)")} AS mean_daily,
+           CAST(sum(CASE WHEN abs(z) > 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anomalies,
+           ${r4Sql("max(z)")} AS max_z,
+           min(CASE WHEN abs(z) > 3 THEN strftime(d, '%Y-%m-%d') END)
+             AS first_anomaly_day
+         FROM zz GROUP BY et ORDER BY et""",
+    "agg_countmin_heavy" ->
+      s"""SELECT user_id, n_exact, TRUE AS never_under, TRUE AS within_eps
+         FROM (SELECT user_id, count(*) AS n_exact FROM ${evSql()}
+           GROUP BY user_id ORDER BY n_exact DESC, user_id LIMIT 5)
+         ORDER BY n_exact DESC, user_id""",
     "events_metric_decomposition" ->
       s"""WITH sp AS (SELECT CAST(min(CAST(ts AS DATE)) AS DATE)
              + CAST(CAST(date_diff('day', min(CAST(ts AS DATE)),
@@ -3328,7 +3534,7 @@ object Relational {
            CAST(l.l_extendedprice AS DECIMAL(14,2)) AS p, q.p5, q.p95
            FROM lineitem l JOIN q ON l.l_returnflag = q.flag)
          SELECT flag, count(*) AS n,
-           sum(CASE WHEN p >= p5 AND p <= p95 THEN 1 ELSE 0 END) AS n_kept,
+           CAST(sum(CASE WHEN p >= p5 AND p <= p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            ${r4Sql("CAST(sum(p) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS mean_raw,
            ${r4Sql("CAST(sum(CASE WHEN p >= p5 AND p <= p95 THEN p ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE) / CAST(sum(CASE WHEN p >= p5 AND p <= p95 THEN 1 ELSE 0 END) AS DOUBLE)")} AS mean_trimmed,
            ${r4Sql("CAST(sum(CASE WHEN p < p5 THEN p5 WHEN p > p95 THEN p95 ELSE p END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS mean_winsorized
@@ -3368,7 +3574,7 @@ object Relational {
            FROM w)
          SELECT level, key, n AS n_true, ${r4Sql("noise")} AS noise,
            ${r4Sql("CAST(n AS DOUBLE) + noise")} AS n_released,
-           0.5 AS epsilon
+           CAST(0.5 AS DOUBLE) AS epsilon
          FROM r ORDER BY level, key""",
     "agg_ks_test" ->
       s"""WITH v AS (SELECT CAST(value AS DECIMAL(10,2)) AS val,
@@ -3383,7 +3589,8 @@ object Relational {
          d AS (SELECT max(n1) AS n1, max(n2) AS n2,
            max(abs(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
              - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))) AS dmax FROM c)
-         SELECT n1, n2, ${r6Sql("dmax")} AS d_stat,
+         SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           ${r6Sql("dmax")} AS d_stat,
            ${r6Sql("least(1.0, 2.0 * exp(-2.0 * dmax * dmax * (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))))")} AS p_bound
          FROM d""",
     "agg_mann_whitney" ->
@@ -3404,7 +3611,8 @@ object Relational {
            CAST(r1x2 AS DOUBLE) / 2.0
              - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0 AS u1,
            CAST(ties AS DOUBLE) AS tiesd FROM g)
-         SELECT n1, n2, ${r4Sql("u1")} AS u_stat,
+         SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           ${r4Sql("u1")} AS u_stat,
            ${r4Sql("n1d * n2d / 2.0")} AS u_mean,
            ${r6Sql("(u1 - n1d * n2d / 2.0) / sqrt(n1d * n2d / 12.0 * ((n1d + n2d + 1.0) - tiesd / ((n1d + n2d) * (n1d + n2d - 1.0))))")} AS z_stat
          FROM m""",
@@ -3423,10 +3631,12 @@ object Relational {
            FROM (SELECT x, max(rx) AS m, max(tot) AS tt FROM t GROUP BY x)),
          hy AS (SELECT sum(CAST(${r6Sql("-(CAST(m AS DOUBLE) / CAST(tt AS DOUBLE)) * ln(CAST(m AS DOUBLE) / CAST(tt AS DOUBLE))")} AS DECIMAL(16,6))) AS hy
            FROM (SELECT y, max(cy) AS m, max(tot) AS tt FROM t GROUP BY y))
-         SELECT n_total, n_x, n_y,
+         SELECT CAST(n_total AS BIGINT) AS n_total, n_x, n_y,
            CAST(hx AS DOUBLE) AS h_x, CAST(hy AS DOUBLE) AS h_y,
            CAST(mi_s AS DOUBLE) AS mi,
-           ${r6Sql("CAST(mi_s AS DOUBLE) / sqrt(CAST(hx AS DOUBLE) * CAST(hy AS DOUBLE))")} AS nmi
+           CASE WHEN CAST(hx AS DOUBLE) * CAST(hy AS DOUBLE) > 0
+             THEN ${r6Sql("CAST(mi_s AS DOUBLE) / sqrt(CAST(hx AS DOUBLE) * CAST(hy AS DOUBLE))")}
+           END AS nmi
          FROM mi, hx, hy""",
     "join_fuzzy_match" ->
       """WITH p AS (SELECT p_partkey AS pk, p_name AS name,
@@ -3492,8 +3702,8 @@ object Relational {
            f.lo, f.hi, f.q1, f.q3
            FROM lineitem li JOIN f ON f.flag = li.l_returnflag)
          SELECT flag, count(*) AS n,
-           sum(CASE WHEN CAST(p AS DOUBLE) < lo OR CAST(p AS DOUBLE) > hi
-             THEN 1 ELSE 0 END) AS n_outliers,
+           CAST(sum(CASE WHEN CAST(p AS DOUBLE) < lo OR CAST(p AS DOUBLE) > hi
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
            round(CAST(max(q1) AS DOUBLE), 2) AS q1,
            round(CAST(max(q3) AS DOUBLE), 2) AS q3,
            ${r6Sql("CAST(sum(CASE WHEN CAST(p AS DOUBLE) < lo OR CAST(p AS DOUBLE) > hi THEN p ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE) / CAST(sum(p) AS DOUBLE)")}
@@ -3855,7 +4065,8 @@ object Relational {
            sum(n) OVER (PARTITION BY flag ORDER BY qty
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
            sum(n) OVER (PARTITION BY flag) AS nt FROM g)
-         SELECT flag, CAST(qty AS DOUBLE) AS qty, n, cum - n + 1 AS rnk,
+         SELECT flag, CAST(qty AS DOUBLE) AS qty, n,
+           CAST(cum - n + 1 AS BIGINT) AS rnk,
            CASE WHEN nt > 1
              THEN ${r6Sql("CAST(cum - n AS DOUBLE) / CAST(nt - 1 AS DOUBLE)")}
              ELSE 0.0 END AS pr,
@@ -3892,7 +4103,7 @@ object Relational {
            sum(n_ending) OVER (ORDER BY lt_days DESC
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_alive,
            sum(n_ending) OVER () AS nt FROM c)
-         SELECT lt_days, n_ending, n_alive,
+         SELECT lt_days, n_ending, CAST(n_alive AS BIGINT) AS n_alive,
            ${r6Sql("CAST(n_alive AS DOUBLE) / CAST(nt AS DOUBLE)")} AS survival
          FROM s ORDER BY lt_days""",
     "events_gini_pareto" ->
@@ -4013,7 +4224,8 @@ object Relational {
          SELECT event_type,
            count(*) AS n_days,
            ${r4Sql("CAST(max(cusum) AS DOUBLE)")} AS max_cusum,
-           sum(CASE WHEN cusum > 4 THEN 1 ELSE 0 END) AS n_alarm_days,
+           CAST(sum(CASE WHEN cusum > 4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarm_days,
            strftime(min(CASE WHEN cusum > 4 THEN d END), '%Y-%m-%d') AS first_alarm_day
          FROM cu GROUP BY event_type ORDER BY event_type""",
     "events_seasonal_baseline" ->
@@ -4740,7 +4952,7 @@ object Relational {
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
          SELECT user_id, event_id, rn, n,
            CASE WHEN n >= 2 THEN
-             ${r6Sql("(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / CAST(n * sxx - sx * sx AS DOUBLE)")}
+             ${r6Sql("(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))")}
            END AS slope
          FROM s ORDER BY user_id, rn""",
     "window_range_trailing" ->

@@ -1777,7 +1777,57 @@ object Text {
       .orderBy("source")
   }
 
+  /** Winnowing fingerprint selection (the MOSS algorithm): hash every
+    * token 3-gram, slide a 4-hash window over the position-ordered hash
+    * sequence, select each window's minimum — the guarantee is that any
+    * shared run of ≥ w+k−1 tokens between two documents shares at least
+    * one SELECTED fingerprint, so matching can index only the selected
+    * set (≈ 2/(w+1) of all grams) instead of every gram. That selected-
+    * set-only index is the whole point at 100 TB: the plagiarism/overlap
+    * index stores a constant fraction of the corpus grams with a
+    * provable no-miss window. Per-row only — arrays never explode; the
+    * hash is the md5-prefix BIGINT both engines spell identically.
+    * Docs shorter than one full window keep their single overall min
+    * (the standard boundary rule); docs under k tokens select nothing.
+    * Output per doc: gram count, selected count, selection density vs
+    * the 2/(w+1)=0.4 expectation, and the min selected fingerprint. */
+  /** 3-gram rolling hashes of a token array, position-ordered; 15 md5 hex
+    * chars < 2^60. Exposed for the winnowing-guarantee property spec. */
+  private[graft] def winnowGramHashes(toks: Column): Column = {
+    val n = size(toks)
+    when(n >= 3, transform(sequence(lit(1), greatest(n - 2, lit(0))), i =>
+      conv(substring(md5(concat_ws(" ",
+        slice(toks, i, lit(3))).cast("binary")), 1, 15), 16, 10).cast("long")))
+      .otherwise(array().cast("array<long>"))
+  }
+
+  /** Winnowing selection over a gram-hash array: distinct minima of every
+    * length-4 sliding window (single overall min when shorter than one
+    * window). */
+  private[graft] def winnowSelect(hs: Column): Column = {
+    val nh = size(hs)
+    when(nh >= 1, array_distinct(transform(
+      sequence(lit(1), greatest(nh - 3, lit(1))), j =>
+        array_min(slice(hs, j, least(lit(4), nh))))))
+      .otherwise(array().cast("array<long>"))
+  }
+
+  def winnowing(spark: SparkSession, dir: String): DataFrame = {
+    val nh = size(col("hs"))
+    docs(spark, dir)
+      .withColumn("hs", winnowGramHashes(split(col("text"), " ")))
+      .withColumn("sel", winnowSelect(col("hs")))
+      .select(col("doc_id"),
+        nh.cast("long").as("n_grams"),
+        size(col("sel")).cast("long").as("n_selected"),
+        when(nh >= 1, r4(size(col("sel")).cast("double") / nh.cast("double")))
+          .as("density"),
+        array_min(col("sel")).as("fp_min"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_winnowing" -> (winnowing _),
     "text_readability" -> (readability _),
     "text_vocab_coverage" -> (vocabCoverage _),
     "docs_length_quantiles" -> (lengthQuantiles _),
@@ -1876,6 +1926,29 @@ object Text {
     .map(k => s"SELECT * FROM sum$k").mkString("\n           UNION ALL ")
 
   val oracleSql: Map[String, String] = Map(
+    "text_winnowing" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+         h AS (SELECT doc_id,
+           CASE WHEN len(toks) >= 3 THEN
+             list_transform(range(1, len(toks) - 1), i ->
+               CAST(('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 15)) AS BIGINT))
+           ELSE [] END AS hs
+           FROM d),
+         s AS (SELECT doc_id, len(hs) AS nh,
+           CASE WHEN len(hs) >= 1 THEN
+             list_distinct(list_transform(
+               range(1, greatest(len(hs) - 3, 1) + 1), j ->
+                 list_min(hs[j:j + least(3, len(hs) - 1)])))
+           ELSE [] END AS sel
+           FROM h)
+         SELECT doc_id, CAST(nh AS BIGINT) AS n_grams,
+           CAST(len(sel) AS BIGINT) AS n_selected,
+           CASE WHEN nh >= 1
+             THEN ${r4Sql("CAST(len(sel) AS DOUBLE) / CAST(nh AS DOUBLE)")}
+           END AS density,
+           list_min(sel) AS fp_min
+         FROM s ORDER BY doc_id""",
     "text_readability" ->
       s"""WITH d AS (SELECT source,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
@@ -1885,7 +1958,7 @@ object Text {
          f AS (SELECT source, w, sy,
            CAST(${r4Sql("206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE)) - 84.6 * (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE))")} AS DECIMAL(12,4)) AS fre
            FROM d)
-         SELECT source, count(*) AS n_docs, sum(w) AS n_words,
+         SELECT source, count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS n_words,
            ${r6Sql("CAST(sum(sy) AS DOUBLE) / CAST(sum(w) AS DOUBLE)")} AS syll_per_word,
            ${r4Sql("CAST(sum(fre) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS avg_fre
          FROM f GROUP BY source ORDER BY source""",
@@ -1934,7 +2007,7 @@ object Text {
            CAST(${r6Sql("ln((CAST(c12 AS DOUBLE) + 0.5) / (CAST(c1 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))")}
              AS DECIMAL(16,6)) AS lp
            FROM c12 JOIN c1 USING (w1), v)
-         SELECT doc_id, sum(tf) AS n_bigrams,
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
            ${r4Sql("CAST(sum(lp * tf) AS DOUBLE) / CAST(sum(tf) AS DOUBLE)")} AS avg_logprob,
            ${r4Sql("CAST(min(lp) AS DOUBLE)")} AS rarest_logprob
          FROM tf JOIN lp USING (w1, w2)
@@ -2352,7 +2425,7 @@ object Text {
            floor(q.w * 1000000.0 + 0.5) / 1000000.0 AS weight,
            q.quota,
            count(tk.doc_id) AS n_taken,
-           sum(tk.n_chars) AS sum_chars_taken,
+           CAST(sum(tk.n_chars) AS BIGINT) AS sum_chars_taken,
            min(tk.doc_id) AS first_doc
          FROM q JOIN tk ON tk.lang = q.lang
          GROUP BY q.lang, q.n_docs, q.w, q.quota
@@ -2419,11 +2492,12 @@ object Text {
            FROM f)
          SELECT source,
            count(*) AS n_docs,
-           sum(CASE WHEN f_len THEN 1 ELSE 0 END) AS n_fail_len,
-           sum(CASE WHEN f_wordlen THEN 1 ELSE 0 END) AS n_fail_wordlen,
-           sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS n_fail_stop,
-           sum(CASE WHEN f_rep THEN 1 ELSE 0 END) AS n_fail_rep,
-           sum(CASE WHEN pass THEN 1 ELSE 0 END) AS n_pass,
+           CAST(sum(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_len,
+           CAST(sum(CASE WHEN f_wordlen THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fail_wordlen,
+           CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop,
+           CAST(sum(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_rep,
+           CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
            floor(CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS pass_rate,
            min(CASE WHEN NOT pass THEN doc_id END) AS first_fail

@@ -58,7 +58,7 @@ object DeltaLite {
     val ld = logDir(tableDir)
     ld.mkdirs()
     // writer-unique temp name: a FIXED tmp path would let two concurrent
-    // replayers of the same version interleave output before the rename
+    // replayers of the same version interleave output before the link
     val tmp = new java.io.File(ld,
       f".tmp_$version%05d_${java.util.UUID.randomUUID().toString.take(8)}.json")
     val dst = new java.io.File(ld, f"$version%05d.json")
@@ -70,15 +70,22 @@ object DeltaLite {
       s"""{"version":${a.version},"action":"${jq(a.action)}","path":"${jq(a.path)}","n_rows":${a.n_rows}}""")
       .mkString("", "\n", "\n")
     java.nio.file.Files.write(tmp.toPath, body.getBytes("UTF-8"))
-    if (dst.exists()) { tmp.delete(); return }
-    if (!tmp.renameTo(dst)) {
-      tmp.delete()
-      // lost the race to an identical replay commit — the existing file
-      // is authoritative (idempotent-commit contract); anything else is
-      // a real failure
-      if (!dst.exists())
-        throw new java.io.IOException(s"commit rename failed for $dst")
+    // create-if-absent, NOT rename: POSIX rename(2) silently REPLACES an
+    // existing destination, so a lost race would last-write-win and
+    // overwrite the authoritative first commit. A hard link fails with
+    // FileAlreadyExistsException when dst exists, so the first committed
+    // file genuinely wins and the "existing file is authoritative"
+    // contract is enforced, not assumed.
+    try java.nio.file.Files.createLink(dst.toPath, tmp.toPath)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        // lost the race — the existing (first) commit stays authoritative
+      case e: java.io.IOException =>
+        tmp.delete()
+        if (!dst.exists())
+          throw new java.io.IOException(s"commit link failed for $dst", e)
     }
+    tmp.delete()
   }
 
   /** All actions with version ≤ `asOf` (None = latest), as a DataFrame —

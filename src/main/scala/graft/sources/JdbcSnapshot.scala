@@ -56,13 +56,11 @@ object JdbcSnapshot {
   }
 
   /** Ref A13: idempotent catalog DDL (IF NOT EXISTS guard) as a raw JDBC
-    * side-effect hook. T-SQL spelling — SQL Server–shaped targets only,
-    * like the reference's `sqlcmd` GRANT stanza. */
-  def grantReader(url: String, props: Properties, user: String, db: String): Unit =
-    execDdl(url, props,
-      s"""IF NOT EXISTS (SELECT name FROM sys.database_principals WHERE name = '$user')
-         BEGIN
-           CREATE USER [$user] FOR LOGIN [$user];
-           ALTER ROLE db_datareader ADD MEMBER [$user];
-         END""")
+    * side-effect hook. The spelling comes from the [[SnapshotDialect]]
+    * seam — T-SQL (the reference's own, default) or Derby (the instance
+    * the integration spec actually executes); swap the dialect to run the
+    * same path against a different catalog. */
+  def grantReader(url: String, props: Properties, user: String, db: String,
+      dialect: SnapshotDialect = TSqlSnapshotDialect): Unit =
+    execDdl(url, props, dialect.grantReaderDdl(user, db))
 }

@@ -89,6 +89,34 @@ class DeltaLiteSpec extends AnyFunSuite with SparkFixture {
       "the re-added file is the live snapshot")
   }
 
+  test("racing commits of one version: exactly one complete payload wins, no temp debris") {
+    // commit() uses create-if-absent (hard link), not rename: POSIX rename
+    // silently REPLACES, so a lost race would last-write-win. Barrier-start
+    // 8 writers of DISTINCT payloads at the same version and assert the
+    // surviving log file is exactly ONE writer's full payload — never a
+    // mix, never truncated — and every temp file is cleaned up.
+    val t = freshTable()
+    val barrier = new java.util.concurrent.CyclicBarrier(8)
+    val threads = (0 until 8).map { i =>
+      new Thread(() => {
+        barrier.await()
+        DeltaLite.commit(t, 9, Seq(Action(9, "add", s"w$i.parquet", i.toLong)))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val logFile = new java.io.File(s"$t/_log/00009.json")
+    val body = new String(
+      java.nio.file.Files.readAllBytes(logFile.toPath), "UTF-8")
+    val winners = (0 until 8).filter(i => body contains s"w$i.parquet")
+    assert(winners.size == 1, s"interleaved/mixed commit payload: $body")
+    assert(body ==
+      s"""{"version":9,"action":"add","path":"w${winners.head}.parquet","n_rows":${winners.head}}""" + "\n",
+      s"winner's payload not intact: $body")
+    val tmps = new java.io.File(s"$t/_log").listFiles()
+      .filter(_.getName.startsWith(".tmp"))
+    assert(tmps.isEmpty, s"race left temp files: ${tmps.toSeq}")
+  }
+
   test("commit escapes hostile paths; the log round-trips them exactly") {
     val t = freshTable()
     val weird = "we\"ird\\name.parquet"

@@ -87,4 +87,23 @@ class JdbcSnapshotSpec extends AnyFunSuite with SparkFixture {
     assert(v.columns.toSeq == Seq("ID", "NAME") && v.count() == 100)
     JdbcSnapshot.execDdl(url, props, "DROP VIEW seed_reader")
   }
+
+  test("dialect seam: grantReader runs the Derby dialect live; T-SQL strings carry the reference spellings (A11-A13)") {
+    seed()
+    import graft.sources.{DerbySnapshotDialect, TSqlSnapshotDialect}
+    // the TESTED instance: same grantReader entry point, Derby spelling
+    JdbcSnapshot.grantReader(url, props, "etl", "SEED_TBL", DerbySnapshotDialect)
+    val v = spark.read.jdbc(url, "ETL_READER", props)
+    assert(v.count() == 100, "Derby-dialect reader grant did not materialize")
+    JdbcSnapshot.execDdl(url, props, "DROP VIEW etl_reader")
+    assert(DerbySnapshotDialect.restoreDdl("db", "x.bak").isEmpty,
+      "Derby has no RESTORE verb; the Spark overwrite write IS the load")
+    // the reference's own spellings, string-level (no SQL Server here):
+    // the seam contract is that a live endpoint swaps only the dialect
+    val g = TSqlSnapshotDialect.grantReaderDdl("etl", "db")
+    assert(g.contains("sys.database_principals") && g.contains("db_datareader"))
+    assert(TSqlSnapshotDialect.restoreDdl("db", "/b/x.bak")
+      .exists(s => s.contains("RESTORE DATABASE") && s.contains("WITH REPLACE")))
+    assert(TSqlSnapshotDialect.dropTargetDdl("db").contains("DROP DATABASE"))
+  }
 }

@@ -1,0 +1,197 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, PipelineOps, Relational, Text}
+
+case class CustRow10(c_custkey: Long, c_mktsegment: String,
+    c_acctbal: java.math.BigDecimal)
+case class OrdRow10(o_orderkey: Long, o_custkey: Long,
+    o_orderpriority: String, o_totalprice: java.math.BigDecimal)
+
+/** Targeted edge/property tests for the round-10 operators — the
+  * invariants the fixture-scale DuckDB gate never exercises. */
+class Round10OpsSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  // ---- agg_theil_decomposition: additivity is the theorem -------------
+
+  test("theil: within + between = total, and matches the direct formula") {
+    def bd(v: Double) = new java.math.BigDecimal(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+    val rows = Seq(
+      CustRow10(1, "A", bd(10)), CustRow10(2, "A", bd(10)),
+      CustRow10(3, "B", bd(20)), CustRow10(4, "B", bd(40)),
+      CustRow10(5, "B", bd(100)), CustRow10(6, "C", bd(5)))
+    val dir = fixtureDir("customer" -> spark.createDataset(rows).toDF)
+    val r = Relational.aggTheilDecomposition(spark, dir).collect()(0)
+    val xs = rows.map(_.c_acctbal.doubleValue)
+    val s = xs.sum; val mu = s / xs.length
+    val tTotal = xs.map(x => x * math.log(x / mu)).sum / s
+    assert(math.abs(r.getAs[Double]("theil_total") - tTotal) < 1e-4,
+      s"direct Theil mismatch: ${r.getAs[Double]("theil_total")} vs $tTotal")
+    assert(math.abs(r.getAs[Double]("theil_between")
+        + r.getAs[Double]("theil_within")
+        - r.getAs[Double]("theil_total")) < 1e-5,
+      "decomposition must be additive")
+    // one-segment-per-row corner: all inequality is BETWEEN segments
+    val solo = rows.zipWithIndex.map { case (c, i) =>
+      c.copy(c_mktsegment = s"S$i") }
+    val dir2 = fixtureDir("customer" -> spark.createDataset(solo).toDF)
+    val r2 = Relational.aggTheilDecomposition(spark, dir2).collect()(0)
+    assert(math.abs(r2.getAs[Double]("theil_within")) < 1e-5,
+      "singleton segments must put all inequality between")
+  }
+
+  // ---- agg_hhi_concentration: closed-form corners ---------------------
+
+  test("hhi: equal shares give 1/n; a monopolist gives 1.0") {
+    def bd(v: Double) = new java.math.BigDecimal(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+    val rows =
+      (1L to 8L).map(c => OrdRow10(c, c, "1-EQ", bd(100))) ++
+      Seq(OrdRow10(100, 1, "2-MONO", bd(500)),
+        OrdRow10(101, 1, "2-MONO", bd(250)))
+    val dir = fixtureDir("orders" -> spark.createDataset(rows).toDF)
+    val out = Relational.aggHhiConcentration(spark, dir)
+      .collect().map(r => r.getAs[String]("prio") -> r).toMap
+    assert(math.abs(out("1-EQ").getAs[Double]("hhi") - 0.125) < 1e-6)
+    assert(math.abs(out("1-EQ").getAs[Double]("effective_n") - 8.0) < 1e-3)
+    assert(math.abs(out("2-MONO").getAs[Double]("hhi") - 1.0) < 1e-9,
+      "a single customer owns the whole market")
+    assert(out("2-MONO").getAs[Long]("n_customers") == 1L)
+  }
+
+  // ---- events_poisson_anomaly: leave-one-out excludes the spike -------
+
+  test("poisson anomaly: a 10x spike day is flagged; flat traffic is not") {
+    val base = ts("2024-03-01 00:00:00").getTime
+    def evs(day: Int, typ: String, k: Int, idBase: Long): Seq[EventRow] =
+      (0 until k).map(j => EventRow(idBase + day * 1000 + j,
+        new Timestamp(base + day * 86400000L), 1L, typ, 1.0, "{}"))
+    val rows = (0 until 20).flatMap(d => evs(d, "flat", 10, 0L)) ++
+      (0 until 20).flatMap(d =>
+        evs(d, "spiky", if (d == 7) 100 else 10, 100000L))
+    val dir = fixtureDir("events" -> spark.createDataset(rows).toDF)
+    val out = Relational.eventsPoissonAnomaly(spark, dir)
+      .collect().map(r => r.getAs[String]("et") -> r).toMap
+    assert(out("flat").getAs[Long]("n_anomalies") == 0L,
+      "flat traffic must not alarm")
+    assert(out("spiky").getAs[Long]("n_anomalies") == 1L,
+      "exactly the spike day alarms")
+    assert(out("spiky").getAs[String]("first_anomaly_day") == "2024-03-08")
+    // leave-one-out: the spike's own baseline is the OTHER 19 days
+    // (mean 10), so z ≈ (100-10)/sqrt(10) ≈ 28 — far past 3. A naive
+    // all-days mean (14.5) would still flag here, but the sign of a
+    // correct LOO is the flat type's z staying EXACTLY 0.
+    assert(math.abs(out("flat").getAs[Double]("max_z")) < 1e-9)
+  }
+
+  // ---- agg_countmin_heavy: the sketch's two guarantees ----------------
+
+  test("count-min: never under-estimates and stays within eps*N on a skewed fixture") {
+    val base = ts("2024-03-01 00:00:00").getTime
+    val rows = (0 until 2000).map { i =>
+      // user 1 is heavy (half the stream); the rest uniform
+      val u = if (i % 2 == 0) 1L else (i % 50).toLong + 2L
+      EventRow(i.toLong, new Timestamp(base + i * 1000L), u, "click", 1.0, "{}")
+    }
+    val dir = fixtureDir("events" -> spark.createDataset(rows).toDF)
+    val out = Relational.aggCountMinHeavy(spark, dir).collect()
+    assert(out.length == 5)
+    assert(out.head.getAs[Long]("user_id") == 1L &&
+      out.head.getAs[Long]("n_exact") == 1000L, "heavy user leads")
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("never_under"), s"CMS under-estimated: $r")
+      assert(r.getAs[Boolean]("within_eps"), s"CMS outside eps bound: $r")
+    }
+  }
+
+  // ---- graph_kcore: the peel is monotone ------------------------------
+
+  test("kcore: node and edge counts never increase across peel rounds") {
+    val out = Dedup.graphKcore(spark, "/root/testdata/sf0.001")
+      .collect().sortBy(_.getAs[Long]("round"))
+    assert(out.length == 4)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_nodes") <= a.getAs[Long]("n_nodes"),
+        "peeling must not add nodes")
+      assert(b.getAs[Long]("n_edges") <= a.getAs[Long]("n_edges"),
+        "peeling must not add edges")
+    }
+  }
+
+  // ---- graph_common_neighbors: score-range + ordering invariants ------
+
+  test("common neighbors: scores well-formed, ordered pairs, jaccard in (0,1]") {
+    val out = Dedup.graphCommonNeighbors(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty, "sf0.001 candidate graph has wedges")
+    out.foreach { r =>
+      assert(r.getAs[Long]("a") < r.getAs[Long]("b"), "pairs are ordered")
+      assert(r.getAs[Long]("n_common") >= 1L)
+      val j = r.getAs[Double]("nbr_jaccard")
+      assert(j > 0.0 && j <= 1.0, s"jaccard out of range: $j")
+    }
+  }
+
+  // ---- text_winnowing: THE guarantee ----------------------------------
+
+  test("winnowing: docs sharing a >= w+k-1 token run share a selected fingerprint") {
+    // k=3, w=4 → any common run of >= 6 tokens must leave at least one
+    // common SELECTED fingerprint (the winnowing theorem). Embed the
+    // same 8-token run in two otherwise-disjoint documents.
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val d1 = s"one two three $run four five six"
+    val d2 = s"seven eight nine ten eleven $run twelve"
+    val df = Seq(("d1", d1), ("d2", d2)).toDF("id", "text")
+      .withColumn("sel", Text.winnowSelect(
+        Text.winnowGramHashes(org.apache.spark.sql.functions
+          .split(org.apache.spark.sql.functions.col("text"), " "))))
+    val sel = df.collect()
+      .map(r => r.getAs[String]("id") -> r.getSeq[Long](2).toSet).toMap
+    assert(sel("d1").intersect(sel("d2")).nonEmpty,
+      "shared 8-token run must share a selected fingerprint")
+    // density: selection keeps roughly 2/(w+1) of grams on random text
+    val rnd = new scala.util.Random(7)
+    val randTxt = Seq.fill(400)(rnd.nextInt(100000).toString).mkString(" ")
+    val one = Seq(Tuple1(randTxt)).toDF("text")
+      .withColumn("hs", Text.winnowGramHashes(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")))
+      .withColumn("sel", Text.winnowSelect(
+        org.apache.spark.sql.functions.col("hs")))
+      .collect()(0)
+    val density = one.getSeq[Long](2).size.toDouble / one.getSeq[Long](1).size
+    assert(density > 0.25 && density < 0.55,
+      s"density $density far from the 2/(w+1)=0.4 expectation")
+  }
+
+  // ---- pipe_freshness_sla: exact lag math -----------------------------
+
+  test("freshness SLA: lag minutes, breach flag, and last-hour count are exact") {
+    val base = ts("2024-03-01 12:00:00").getTime
+    val rows = Seq(
+      // 'fresh': latest event defines the global high-water mark
+      EventRow(1, new Timestamp(base), 1L, "fresh", 1.0, "{}"),
+      EventRow(2, new Timestamp(base - 30 * 60000L), 1L, "fresh", 1.0, "{}"),
+      // 'stale': 45 minutes behind → breach
+      EventRow(3, new Timestamp(base - 45 * 60000L), 1L, "stale", 1.0, "{}"),
+      // 'edge': exactly 30 minutes behind → breach (>= contract)
+      EventRow(4, new Timestamp(base - 30 * 60000L), 1L, "edge", 1.0, "{}"),
+      // old event outside the trailing hour
+      EventRow(5, new Timestamp(base - 2 * 3600000L), 1L, "fresh", 1.0, "{}"))
+    val dir = fixtureDir("events" -> spark.createDataset(rows).toDF)
+    val out = PipelineOps.pipeFreshnessSla(spark, dir)
+      .collect().map(r => r.getAs[String]("et") -> r).toMap
+    assert(out("fresh").getAs[Long]("lag_minutes") == 0L)
+    assert(!out("fresh").getAs[Boolean]("sla_breach"))
+    assert(out("fresh").getAs[Long]("n_last_hour") == 2L,
+      "the 2h-old event is outside the trailing hour")
+    assert(out("stale").getAs[Long]("lag_minutes") == 45L)
+    assert(out("stale").getAs[Boolean]("sla_breach"))
+    assert(out("edge").getAs[Long]("lag_minutes") == 30L)
+    assert(out("edge").getAs[Boolean]("sla_breach"),
+      "exactly-30-minutes must breach (>= contract)")
+  }
+}

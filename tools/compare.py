@@ -1,56 +1,179 @@
 #!/usr/bin/env python3
 """Local oracle-parity harness, mimicking the driver's DuckDB compare.
 
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [nameFilter...]
 
 Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the matching
 SQL from <verifyOutDir>/oracle_sql.json in DuckDB over the sfDir tables,
 sorts columns by name, and compares cell values. Reports per-query status.
+
+TYPE-STRICT (round 10): the driver's gate hash-compares *typed* values, so
+this harness must reject type drift the way the driver does:
+  * the DuckDB result column types must map to the Spark parquet schema
+    types exactly (BIGINT<->int64, DOUBLE<->float64, ...). An uncast
+    integer sum() in an oracle comes back HUGEINT and is flagged as an
+    error even when every cell value matches -- that is precisely the
+    class that shipped 14 driver-gate failures in round 9.
+  * doubles compare bit-exactly (struct.pack), so -0.0 != 0.0 and no
+    float()-coercion can mask an int-vs-decimal drift.
 """
-import json, sys, math
+import json, sys, math, os, re, struct
 import duckdb
 import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def norm(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    return df.reset_index(drop=True)
+# ---- type strictness -------------------------------------------------------
+
+def canon_duck_type(t: str) -> str:
+    """DuckDB type name -> canonical tag ('!...' never matches anything)."""
+    t = t.upper()
+    if t in ("BIGINT", "INT64", "LONG"):
+        return "int64"
+    if t in ("INTEGER", "INT", "INT32"):
+        return "int32"
+    if t in ("SMALLINT", "INT16"):
+        return "int16"
+    if t in ("TINYINT", "INT8"):
+        return "int8"
+    if t in ("DOUBLE", "FLOAT8"):
+        return "float64"
+    if t in ("FLOAT", "REAL", "FLOAT4"):
+        return "float32"
+    if t in ("VARCHAR", "TEXT", "STRING"):
+        return "string"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t == "HUGEINT":
+        return "!HUGEINT"          # never matches: the round-9 bug class
+    m = re.match(r"DECIMAL\((\d+),(\d+)\)", t)
+    if m:
+        return f"decimal({m.group(1)},{m.group(2)})"
+    if t.endswith("[]"):
+        return "list<" + canon_duck_type(t[:-2]) + ">"
+    if t.startswith("STRUCT"):
+        return "struct"
+    return "!" + t
+
+def canon_arrow_type(t) -> str:
+    """pyarrow DataType -> the same canonical tags."""
+    import pyarrow as pa
+    if pa.types.is_int64(t):
+        return "int64"
+    if pa.types.is_int32(t):
+        return "int32"
+    if pa.types.is_int16(t):
+        return "int16"
+    if pa.types.is_int8(t):
+        return "int8"
+    if pa.types.is_float64(t):
+        return "float64"
+    if pa.types.is_float32(t):
+        return "float32"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list<" + canon_arrow_type(t.value_type) + ">"
+    if pa.types.is_struct(t):
+        return "struct"
+    return "!" + str(t)
+
+def schema_mismatches(spark_dir: str, duck_rel) -> list:
+    """Columns whose DuckDB result type doesn't match the Spark parquet type."""
+    arrow_schema = pq.read_schema(
+        next(os.path.join(spark_dir, f) for f in sorted(os.listdir(spark_dir))
+             if f.endswith(".parquet")))
+    spark_types = {f.name: canon_arrow_type(f.type) for f in arrow_schema}
+    bad = []
+    for col, dt in zip(duck_rel.columns, duck_rel.types):
+        dtag = canon_duck_type(str(dt))
+        stag = spark_types.get(col)
+        if stag is None:
+            bad.append((col, dtag, "<absent in spark result>"))
+        elif dtag != stag:
+            bad.append((col, dtag, stag))
+    return bad
+
+# ---- value strictness ------------------------------------------------------
+
+def bits(x: float) -> bytes:
+    return struct.pack("<d", x)
 
 def cells_equal(a, b) -> bool:
     if a is None and b is None:
         return True
     try:
-        if pd.isna(a) and pd.isna(b):
-            return True
-        if pd.isna(a) != pd.isna(b):
-            return False
+        na, nb = pd.isna(a), pd.isna(b)
+        if isinstance(na, bool) and isinstance(nb, bool):
+            if na and nb:
+                return True
+            if na != nb:
+                return False
     except (TypeError, ValueError):
         pass
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-            if math.isnan(fa) and math.isnan(fb):
-                return True
-            return fa == fb
-        except (TypeError, ValueError):
+    # bit-exact doubles: -0.0 != 0.0, NaN == NaN, and no float() coercion
+    # that would mask an int-vs-decimal drift (types are already gated
+    # above, this is belt-and-braces at the value layer)
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return bits(a) == bits(b)
+    if isinstance(a, float) != isinstance(b, float):
+        return False
+    if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
+        import numpy as np
+        if isinstance(a, np.ndarray):
+            a = a.tolist()
+        if isinstance(b, np.ndarray):
+            b = b.tolist()
+        if not isinstance(a, (list, tuple)) or not isinstance(b, (list, tuple)):
             return False
+        return len(a) == len(b) and all(cells_equal(x, y) for x, y in zip(a, b))
+    import numpy as np
+    if isinstance(a, np.ndarray) or isinstance(b, np.ndarray):
+        return cells_equal(
+            a.tolist() if isinstance(a, np.ndarray) else a,
+            b.tolist() if isinstance(b, np.ndarray) else b)
     return str(a) == str(b)
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.reset_index(drop=True)
+
+# ---- main ------------------------------------------------------------------
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    import os
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    if only:
+        names = [n for n in names if n in only]
     n_pass = n_fail = 0
     for name in names:
+        spark_dir = os.path.join(out_dir, name)
         try:
-            got = norm(pd.read_parquet(f"{out_dir}/{name}"))
+            got = norm(pd.read_parquet(spark_dir))
         except Exception as e:
             print(f"FAIL {name}: spark result unreadable: {e}")
             n_fail += 1
@@ -59,9 +182,18 @@ def main():
             print(f"SKIP {name}: no oracle (rows={len(got)})")
             continue
         try:
-            exp = norm(con.sql(oracle[name]).df())
+            rel = con.sql(oracle[name])
+            type_bad = schema_mismatches(spark_dir, rel)
+            exp = norm(rel.df())
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        if type_bad:
+            for col, dtag, stag in type_bad:
+                print(f"FAIL {name}: TYPE col={col} duckdb={dtag} spark={stag}"
+                      + ("  <-- uncast integer aggregate? add CAST(... AS BIGINT)"
+                         if dtag == "!HUGEINT" else ""))
             n_fail += 1
             continue
         if list(got.columns) != list(exp.columns):
