@@ -3296,7 +3296,84 @@ object Relational {
       .orderBy(desc("n_exact"), col("user_id"))
   }
 
+  /** STL-style decomposition of the daily event-count series into
+    * trend + day-of-week seasonal + residual — the additive
+    * decomposition behind every "is this dip real or just Sunday"
+    * question ([[eventsSeasonalBaseline]] compares week-over-week; this
+    * SEPARATES the components so the residual is directly alertable).
+    * Trend is the centered 7-day moving average (partial at the series
+    * edges); the seasonal term is the per-DOW mean detrended deviation;
+    * residual = n − trend − seasonal. Shape at scale: the corpus
+    * collapses to the ≤|days| daily frame FIRST — the window and both
+    * small joins run over the model-sized series, never raw events.
+    * Exactness: counts exact longs, trend one exact-int division,
+    * per-DOW deviations r6→DECIMAL(16,6) before their mean (the
+    * order-independence discipline). */
+  def eventsStlDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val d166 = org.apache.spark.sql.types.DecimalType(16, 6)
+    val daily = table(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("trend",
+        sum(col("n")).over(w7).cast("double") /
+          count(lit(1)).over(w7).cast("double"))
+      .withColumn("dow", dayofweek(col("d")))
+    val seasonal = trended
+      .select(col("dow"),
+        r6(col("n").cast("double") - col("trend")).cast(d166).as("dev"))
+      .groupBy("dow")
+      .agg((sum(col("dev")).cast("double") /
+        count(lit(1)).cast("double")).as("seasonal"))
+    trended.join(broadcast(seasonal), "dow")
+      .select(dateS(col("d")).as("day_s"), col("n"),
+        r4(col("trend")).as("trend"),
+        r4(col("seasonal")).as("seasonal"),
+        r4(col("n").cast("double") - col("trend") - col("seasonal"))
+          .as("residual"))
+      .orderBy("day_s")
+  }
+
+  /** Difference-in-differences uplift estimate — the causal-inference
+    * spelling of "did the second period move the TREATED group more
+    * than the control": purchase-value means for the 2×2 of
+    * (user_id parity as treatment) × (first/second half of the span),
+    * DiD = (T_post−T_pre) − (C_post−C_pre), shown against the naive
+    * post-only difference it corrects ([[eventsAbTtest]] tests one
+    * period; this nets out the shared time trend). The split and
+    * midpoint are deterministic (parity, data-derived median date — the
+    * [[eventsMetricDecomposition]] midpoint), so the whole design is
+    * oracle-replayable. One conditional hash agg over the scan to a
+    * 4-cell frame; means are exact decimal sums ÷ counts. */
+  def eventsUpliftDid(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").cast(Qty).as("v"),
+        to_date(col("ts")).as("d"))
+    val mid = ev.agg(date_add(min(col("d")),
+      floor(datediff(max(col("d")), min(col("d"))) / 2).cast("int")).as("mid"))
+    val cells = ev.crossJoin(broadcast(mid))
+      .withColumn("grp", when(col("user_id") % 2 === 0, "T").otherwise("C"))
+      .withColumn("period", when(col("d") <= col("mid"), "pre").otherwise("post"))
+      .groupBy("grp", "period")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .withColumn("mean", col("s").cast("double") / col("n").cast("double"))
+    val wide = cells.groupBy()
+      .pivot(concat(col("grp"), lit("_"), col("period")),
+        Seq("T_pre", "T_post", "C_pre", "C_post"))
+      .agg(first(col("mean")))
+    wide.select(
+      r4(col("T_pre")).as("t_pre"), r4(col("T_post")).as("t_post"),
+      r4(col("C_pre")).as("c_pre"), r4(col("C_post")).as("c_post"),
+      r6((col("T_post") - col("T_pre")) - (col("C_post") - col("C_pre")))
+        .as("did_effect"),
+      r6(col("T_post") - col("C_post")).as("naive_post_diff"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_stl_decompose" -> (eventsStlDecompose _),
+    "events_uplift_did" -> (eventsUpliftDid _),
     "agg_theil_decomposition" -> (aggTheilDecomposition _),
     "agg_hhi_concentration" -> (aggHhiConcentration _),
     "events_poisson_anomaly" -> (eventsPoissonAnomaly _),
@@ -3438,6 +3515,49 @@ object Relational {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "events_stl_decompose" ->
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n
+           FROM ${evSql()} GROUP BY 1),
+         t AS (SELECT d, n,
+           CAST(sum(n) OVER w7 AS DOUBLE) / CAST(count(*) OVER w7 AS DOUBLE)
+             AS trend,
+           dayofweek(d) AS dow
+           FROM daily
+           WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         s AS (SELECT dow,
+           CAST(sum(CAST(${r6Sql("CAST(n AS DOUBLE) - trend")} AS DECIMAL(16,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS seasonal
+           FROM t GROUP BY dow)
+         SELECT strftime(t.d, '%Y-%m-%d') AS day_s, t.n,
+           ${r4Sql("t.trend")} AS trend,
+           ${r4Sql("s.seasonal")} AS seasonal,
+           ${r4Sql("CAST(t.n AS DOUBLE) - t.trend - s.seasonal")} AS residual
+         FROM t JOIN s USING (dow) ORDER BY day_s""",
+    "events_uplift_did" ->
+      s"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d,
+           CAST(value AS DECIMAL(10,2)) AS v
+           FROM ${evSql()} WHERE event_type = 'purchase'),
+         sp AS (SELECT CAST(min(d) AS DATE)
+             + CAST(CAST(date_diff('day', min(d), max(d)) AS BIGINT) // 2
+               AS INTEGER) AS mid FROM ev),
+         cells AS (SELECT
+           CASE WHEN user_id % 2 = 0 THEN 'T' ELSE 'C' END AS grp,
+           CASE WHEN d <= sp.mid THEN 'pre' ELSE 'post' END AS period,
+           count(*) AS n, sum(v) AS s
+           FROM ev, sp GROUP BY 1, 2),
+         m AS (SELECT grp, period,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean FROM cells),
+         w AS (SELECT
+           max(CASE WHEN grp = 'T' AND period = 'pre' THEN mean END) AS tp,
+           max(CASE WHEN grp = 'T' AND period = 'post' THEN mean END) AS tq,
+           max(CASE WHEN grp = 'C' AND period = 'pre' THEN mean END) AS cp,
+           max(CASE WHEN grp = 'C' AND period = 'post' THEN mean END) AS cq
+           FROM m)
+         SELECT ${r4Sql("tp")} AS t_pre, ${r4Sql("tq")} AS t_post,
+           ${r4Sql("cp")} AS c_pre, ${r4Sql("cq")} AS c_post,
+           ${r6Sql("(tq - tp) - (cq - cp)")} AS did_effect,
+           ${r6Sql("tq - cq")} AS naive_post_diff
+         FROM w""",
     "agg_theil_decomposition" ->
       s"""WITH c AS (SELECT c_mktsegment AS seg,
            CAST(c_acctbal AS DECIMAL(10,2)) AS x

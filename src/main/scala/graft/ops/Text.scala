@@ -1826,7 +1826,52 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Corpus-novelty curve — the curation question "how fast does new
+    * data stop adding new content": per doc-id decile (ingestion-order
+    * proxy), what fraction of each document's distinct 3-shingles is
+    * NOVEL, i.e. first seen in that document (global min doc_id owns
+    * the shingle). A healthy fresh corpus holds a high rate in late
+    * deciles; template/boilerplate saturation shows as early collapse —
+    * the aggregate view behind [[textDecontaminate]]'s pairwise checks.
+    * Shape at scale: one shingle explode feeding TWO map-side-combined
+    * hash aggs keyed on the shingle (global min-owner) and on
+    * (doc, shingle) (per-doc distinct), joined on the high-cardinality
+    * shingle key, then collapsed per doc and per decile; decile bounds
+    * come from a broadcast one-row min/max — exact integer math, no
+    * global rank window. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    // the n>=3 filter (not greatest(n-2, 0)) guards Spark's sequence():
+    // stop < start generates a DESCENDING sequence, not an empty one
+    val sh = d.filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        explode(expr(
+          """transform(sequence(1, size(split(text, ' ')) - 2),
+             i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"""))
+          .as("shingle"))
+      .distinct()
+    val owner = sh.groupBy("shingle").agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = sh.join(owner, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    val bounds = d.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    perDoc.crossJoin(broadcast(bounds))
+      .withColumn("decile", least(lit(9L),
+        floor((col("doc_id") - col("lo")) * 10 /
+          (col("hi") - col("lo") + 1)).cast("long")))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_sh")).as("n_shingles"),
+        sum(col("n_novel")).as("n_novel"),
+        r6(sum(col("n_novel")).cast("double") /
+          sum(col("n_sh")).cast("double")).as("novelty_rate"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_novelty" -> (ngramNovelty _),
     "text_winnowing" -> (winnowing _),
     "text_readability" -> (readability _),
     "text_vocab_coverage" -> (vocabCoverage _),
@@ -1926,6 +1971,30 @@ object Text {
     .map(k => s"SELECT * FROM sum$k").mkString("\n           UNION ALL ")
 
   val oracleSql: Map[String, String] = Map(
+    "text_ngram_novelty" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+         sh AS MATERIALIZED (
+           SELECT DISTINCT doc_id, shingle FROM (
+             SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(toks) - 1, 1)),
+                 i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+             FROM d WHERE len(toks) >= 3)),
+         own AS (SELECT shingle, min(doc_id) AS first_doc
+           FROM sh GROUP BY shingle),
+         pd AS (SELECT sh.doc_id, count(*) AS n_sh,
+           sum(CASE WHEN own.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel
+           FROM sh JOIN own USING (shingle) GROUP BY sh.doc_id),
+         b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents)
+         SELECT least(9, (pd.doc_id - b.lo) * 10 // (b.hi - b.lo + 1))
+             AS decile,
+           count(*) AS n_docs,
+           CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+           CAST(sum(n_novel) AS BIGINT) AS n_novel,
+           ${r6Sql("CAST(sum(n_novel) AS DOUBLE) / CAST(sum(n_sh) AS DOUBLE)")}
+             AS novelty_rate
+         FROM pd, b GROUP BY 1 ORDER BY decile""",
     "text_winnowing" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
            FROM documents),

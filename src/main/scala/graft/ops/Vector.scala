@@ -1487,7 +1487,56 @@ object Vector {
       .limit(100)
   }
 
+  /** Top principal direction of the embedding corpus by POWER ITERATION —
+    * uncentered PCA (the dominant eigenvector of Σxxᵀ; the corpus is
+    * unit-norm and near-isotropic, so the mean term is negligible and
+    * skipping it keeps every pass a single agg). Eight fixed iterations;
+    * each is ONE distributed job: s_i = Σ_x x_i·(x·v) for i=1..64 as 64
+    * map-side-combined sum aggregates over one scan — never a d×d
+    * covariance materialization (4 096 aggregate columns at d=64 is
+    * already codegen-hostile; at d=4 096 it's 16M — the data-side
+    * matrix-free iteration is the shape that survives real embedding
+    * widths). Driver state is the 64-double v (the Lloyd-centroid
+    * discipline: k·d values, nothing data-sized). Determinism: each
+    * per-row term is floor-rounded at 1e-12 and summed as DECIMAL(26,12)
+    * (order-independent); v's update divides by a norm folded in fixed
+    * ascending-dim order and is itself floor-rounded, so both engines
+    * walk the identical v sequence. Output: top-20 docs by first-PC
+    * score + the Rayleigh eigenvalue estimate. */
+  def embeddingPcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val d26 = org.apache.spark.sql.types.DecimalType(26, 12)
+    def r12(c: Column): Column = floor(c * lit(1e12) + lit(0.5)) / lit(1e12)
+    val corpus = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    val dims = 1 to 64
+    // x·v as the explicit left-associated 64-term sum — the same fold
+    // order as the oracle's list_sum(list_transform(...)) spelling
+    def dotV(v: Array[Double]): Column =
+      dims.map(i => element_at(col("embedding"), i).cast("double") * lit(v(i - 1)))
+        .reduce(_ + _)
+    var v = Array.fill(64)(0.125) // 1/sqrt(64), exact
+    var eig = 0.0
+    for (_ <- 1 to 8) {
+      val dp = dotV(v)
+      val sums = corpus.agg(
+        sum(r12(element_at(col("embedding"), 1).cast("double") * dp).cast(d26))
+          .as("s1"),
+        dims.tail.map(i =>
+          sum(r12(element_at(col("embedding"), i).cast("double") * dp).cast(d26))
+            .as(s"s$i")): _*)
+        .collect()(0)
+      val s = dims.map(i =>
+        sums.getAs[java.math.BigDecimal](s"s${i}").doubleValue).toArray
+      val norm = math.sqrt(s.foldLeft(0.0)((acc, x) => acc + x * x))
+      eig = norm
+      v = s.map(x => math.floor(x / norm * 1e12 + 0.5) / 1e12)
+    }
+    corpus.select(col("vec_id"), r6(dotV(v)).as("pc1_score"),
+        lit(math.floor(eig * 1e6 + 0.5) / 1e6).as("eigval"))
+      .orderBy(desc("pc1_score"), col("vec_id")).limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_pca_power" -> (embeddingPcaPower _),
     "join_spatial_grid" -> (joinSpatialGrid _),
     "simsearch_rrf_hybrid" -> (simsearchRrfHybrid _),
     "simsearch_mips" -> (simsearchMips _),
@@ -1661,7 +1710,37 @@ object Vector {
   private lazy val pqOracleSqlStr: String = pqOracleSqlGen(standingTrained = false)
   private lazy val pqUpsertOracleSqlStr: String = pqOracleSqlGen(standingTrained = true)
 
+  // the 8 power-iteration rounds unrolled as CTEs, each CTE-for-CTE the
+  // engine's loop body: per-row dot with v_{k-1}, per-dim DECIMAL term
+  // sums, then the floor-rounded normalized update
+  private val pcaIterCtes = (1 to 8).map { k =>
+    s"""d$k AS MATERIALIZED (
+           SELECT e.embedding AS x,
+             list_sum(list_transform(range(1, 65),
+               j -> CAST(e.embedding[j] AS DOUBLE) * v${k - 1}.v[j])) AS dp
+           FROM embeddings e, v${k - 1}),
+         s$k AS (SELECT t.i AS i,
+           sum(CAST(floor(CAST(d.x[t.i] AS DOUBLE) * d.dp * 1e12 + 0.5) / 1e12
+             AS DECIMAL(26,12))) AS s
+           FROM d$k d, range(1, 65) t(i) GROUP BY t.i),
+         sv$k AS (SELECT list(CAST(s AS DOUBLE) ORDER BY i) AS sv FROM s$k),
+         v$k AS (SELECT list_transform(sv, x ->
+           floor(x / sqrt(list_sum(list_transform(sv, y -> y * y)))
+             * 1e12 + 0.5) / 1e12) AS v FROM sv$k)"""
+  }.mkString(",\n         ")
+
   val oracleSql: Map[String, String] = Map(
+    "embedding_pca_power" ->
+      s"""WITH v0 AS (SELECT list_transform(range(1, 65),
+             i -> CAST(0.125 AS DOUBLE)) AS v),
+         $pcaIterCtes,
+         eig AS (SELECT floor(sqrt(list_sum(list_transform(sv, y -> y * y)))
+             * 1000000.0 + 0.5) / 1000000.0 AS eigval FROM sv8)
+         SELECT e.vec_id,
+           ${r6Sql("list_sum(list_transform(range(1, 65), j -> CAST(e.embedding[j] AS DOUBLE) * v8.v[j]))")} AS pc1_score,
+           eig.eigval AS eigval
+         FROM embeddings e, v8, eig
+         ORDER BY pc1_score DESC, e.vec_id LIMIT 20""",
     "join_spatial_grid" ->
       s"""WITH e AS (SELECT vec_id,
            CAST(embedding[1] AS DOUBLE) AS x,

@@ -722,4 +722,36 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       l.contains("Window") && !l.contains("user_id")),
       s"unpartitioned window over raw events:\n$p")
   }
+
+  test("text_winnowing: per-row array math — no window, no join, one sort only") {
+    val p = plan(graft.ops.Text.queries("text_winnowing")(spark, dir))
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"winnowing must stay a per-row projection:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, // the final doc_id sort's range exchange
+      s"winnowing plans $exchanges exchanges (expected ≤1, the sort):\n$p")
+  }
+
+  test("pipe_freshness_sla: high-water mark broadcast, no window over raw events") {
+    val p = plan(PipelineOps.pipeFreshnessSla(spark, dir))
+    assert(!p.contains("Window"), s"freshness must not window raw events:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"global max not broadcast:\n$p")
+  }
+
+  test("agg_theil_decomposition / agg_hhi_concentration: hash aggs, no raw-row window") {
+    val pt = plan(Relational.aggTheilDecomposition(spark, dir))
+    assert(!pt.contains("Window"), s"theil must not window raw customers:\n$pt")
+    assert(pt.contains("HashAggregate"), s"theil lost map-side partials:\n$pt")
+    val ph = plan(Relational.aggHhiConcentration(spark, dir))
+    assert(!ph.contains("Window") && ph.contains("HashAggregate"),
+      s"hhi must be two hash aggs:\n$ph")
+  }
+
+  test("events_poisson_anomaly: lambda math on the daily frame, totals broadcast") {
+    val p = plan(Relational.eventsPoissonAnomaly(spark, dir))
+    assert(!p.contains("Window"), s"poisson must not window raw events:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"per-type totals not broadcast into the daily frame:\n$p")
+  }
 }

@@ -167,6 +167,98 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
       s"density $density far from the 2/(w+1)=0.4 expectation")
   }
 
+  // ---- embedding_pca_power: converges to the dominant direction -------
+
+  test("pca power iteration: finds the dominant axis, eigenvalue = its mass") {
+    // 40 vectors on e1, 10 on e2: sum(x x^T) has eigenvalues 40 (e1) and
+    // 10 (e2); eight power rounds from the uniform start must converge
+    // to +e1 — every e1 vector scores 1.0, eigenvalue ≈ 40.
+    def axis(d: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i == d) 1.0f else 0.0f)
+    val rows = (1L to 40L).map(i => EmbRow(i, axis(0), 0)) ++
+      (41L to 50L).map(i => EmbRow(i, axis(1), 1))
+    val dir = fixtureDir("embeddings" -> spark.createDataset(rows).toDF)
+    val out = graft.ops.Vector.embeddingPcaPower(spark, dir).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("pc1_score") - 1.0) < 1e-9,
+        s"e1 vector must score 1.0: $r")
+      assert(r.getAs[Long]("vec_id") <= 40L, "top-20 must all be e1 vectors")
+      assert(math.abs(r.getAs[Double]("eigval") - 40.0) < 1e-3,
+        s"Rayleigh estimate must be the dominant mass: $r")
+    }
+  }
+
+  // ---- events_stl_decompose: components add back, seasonality lands ---
+
+  test("stl: trend+seasonal+residual reconstructs n; weekends separate from weekdays") {
+    val base = ts("2024-01-01 00:00:00").getTime // a Monday
+    def dow(d: Int) = d % 7 // 5,6 = Sat,Sun for a Monday start
+    val rows = (0 until 28).flatMap { d =>
+      val k = if (dow(d) >= 5) 15 else 10
+      (0 until k).map(j => EventRow(d * 100L + j,
+        new Timestamp(base + d * 86400000L), 1L, "click", 1.0, "{}"))
+    }
+    val dir = fixtureDir("events" -> spark.createDataset(rows).toDF)
+    val out = Relational.eventsStlDecompose(spark, dir).collect()
+    assert(out.length == 28)
+    out.foreach { r =>
+      val recon = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("residual")
+      assert(math.abs(recon - r.getAs[Long]("n")) < 5e-4,
+        s"components must reconstruct the count (r4 tolerance): $r")
+    }
+    val byDay = out.map(r => r.getAs[String]("day_s") -> r).toMap
+    val sat = byDay("2024-01-06").getAs[Double]("seasonal")
+    val wed = byDay("2024-01-03").getAs[Double]("seasonal")
+    assert(sat > wed + 2.0,
+      s"weekend seasonal ($sat) must sit well above weekday ($wed)")
+  }
+
+  // ---- events_uplift_did: nets out the shared trend -------------------
+
+  test("diff-in-diff: recovers the planted uplift the naive estimate misses") {
+    val base = ts("2024-05-01 00:00:00").getTime
+    // 10 days; midpoint = day 4 → pre = days 0..4, post = days 5..9.
+    // Treated (even users): 10 → 15. Control (odd): 8 → 12.
+    // DiD = (15−10) − (12−8) = 1; naive post diff = 15 − 12 = 3.
+    val rows = (0 until 10).flatMap { d =>
+      val pre = d <= 4
+      Seq(
+        EventRow(d * 10L, new Timestamp(base + d * 86400000L), 2L,
+          "purchase", if (pre) 10.0 else 15.0, "{}"),
+        EventRow(d * 10L + 1, new Timestamp(base + d * 86400000L), 3L,
+          "purchase", if (pre) 8.0 else 12.0, "{}"))
+    }
+    val dir = fixtureDir("events" -> spark.createDataset(rows).toDF)
+    val r = Relational.eventsUpliftDid(spark, dir).collect()(0)
+    assert(math.abs(r.getAs[Double]("did_effect") - 1.0) < 1e-9,
+      s"DiD must net out the shared +4 trend: $r")
+    assert(math.abs(r.getAs[Double]("naive_post_diff") - 3.0) < 1e-9,
+      s"naive contrast shown for comparison: $r")
+  }
+
+  // ---- text_ngram_novelty: copies own nothing -------------------------
+
+  test("ngram novelty: originals are 100% novel, verbatim copies 0%") {
+    val texts = Seq(
+      "alpha beta gamma delta", "epsilon zeta eta theta",
+      "iota kappa lambda mu", "nu xi omicron pi",
+      "rho sigma tau upsilon")
+    def doc(id: Long, t: String) = DocRow(id, t, "en", "src0", t.length.toLong)
+    val rows = texts.zipWithIndex.map { case (t, i) => doc(i + 1L, t) } ++
+      texts.zipWithIndex.map { case (t, i) => doc(i + 6L, t) } // copies
+    val dir = fixtureDir("documents" -> spark.createDataset(rows).toDF)
+    val out = Text.queries("text_ngram_novelty")(spark, dir).collect()
+    val byDecile = out.map(r => r.getAs[Long]("decile") -> r).toMap
+    (0L to 4L).foreach(dcl => assert(
+      byDecile(dcl).getAs[Double]("novelty_rate") == 1.0,
+      s"original decile $dcl must be fully novel"))
+    (5L to 9L).foreach(dcl => assert(
+      byDecile(dcl).getAs[Double]("novelty_rate") == 0.0,
+      s"copy decile $dcl must be zero-novel"))
+  }
+
   // ---- pipe_freshness_sla: exact lag math -----------------------------
 
   test("freshness SLA: lag minutes, breach flag, and last-hour count are exact") {
