@@ -1508,21 +1508,31 @@ object Vector {
     def r12(c: Column): Column = floor(c * lit(1e12) + lit(0.5)) / lit(1e12)
     val corpus = emb(spark, dir).select(col("vec_id"), col("embedding"))
     val dims = 1 to 64
-    // x·v as the explicit left-associated 64-term sum — the same fold
-    // order as the oracle's list_sum(list_transform(...)) spelling
-    def dotV(v: Array[Double]): Column =
-      dims.map(i => element_at(col("embedding"), i).cast("double") * lit(v(i - 1)))
-        .reduce(_ + _)
+    // v enters each round as DATA (a broadcast one-row LocalRelation),
+    // not as 64 inlined literals: literals change every round, so the
+    // inlined spelling forced a fresh whole-stage codegen compile per
+    // iteration (~2 s × 8 — measured compile-dominated at sf0.1). With v
+    // as a column the 8 rounds share ONE compiled plan via the codegen
+    // cache. x·v is the zip_with+aggregate left fold — IEEE-identical to
+    // the unrolled sum and to the oracle's list_sum(list_transform(...)).
+    def vDf(v: Array[Double]) = {
+      import spark.implicits._
+      Seq(Tuple1(v.toSeq)).toDF("v")
+    }
+    def dp: Column = aggregate(
+      zip_with(col("embedding"), col("v"), (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, x) => acc + x)
     var v = Array.fill(64)(0.125) // 1/sqrt(64), exact
     var eig = 0.0
     for (_ <- 1 to 8) {
-      val dp = dotV(v)
-      val sums = corpus.agg(
-        sum(r12(element_at(col("embedding"), 1).cast("double") * dp).cast(d26))
-          .as("s1"),
-        dims.tail.map(i =>
-          sum(r12(element_at(col("embedding"), i).cast("double") * dp).cast(d26))
-            .as(s"s$i")): _*)
+      val sums = corpus.crossJoin(broadcast(vDf(v)))
+        .withColumn("dp", dp)
+        .agg(
+          sum(r12(element_at(col("embedding"), 1).cast("double") * col("dp"))
+            .cast(d26)).as("s1"),
+          dims.tail.map(i =>
+            sum(r12(element_at(col("embedding"), i).cast("double") * col("dp"))
+              .cast(d26)).as(s"s$i")): _*)
         .collect()(0)
       val s = dims.map(i =>
         sums.getAs[java.math.BigDecimal](s"s${i}").doubleValue).toArray
@@ -1530,7 +1540,8 @@ object Vector {
       eig = norm
       v = s.map(x => math.floor(x / norm * 1e12 + 0.5) / 1e12)
     }
-    corpus.select(col("vec_id"), r6(dotV(v)).as("pc1_score"),
+    corpus.crossJoin(broadcast(vDf(v)))
+      .select(col("vec_id"), r6(dp).as("pc1_score"),
         lit(math.floor(eig * 1e6 + 0.5) / 1e6).as("eigval"))
       .orderBy(desc("pc1_score"), col("vec_id")).limit(20)
   }
