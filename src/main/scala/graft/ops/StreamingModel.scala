@@ -185,7 +185,34 @@ object StreamingModel {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** CDC-apply state machine, batch-checkable: treat events as a keyed
+    * change stream (signup=INSERT, error=DELETE, anything else=UPSERT,
+    * ordered by event time with the id tie-break) and materialize the
+    * final table state — last change wins per key, a trailing DELETE
+    * removes the key. This is the [[graft.ops.PipelineOps.upsertCdc]]
+    * MERGE run to the stream's END instead of one batch: the streaming
+    * runtime spells the identical fold as `mapGroupsWithState` keyed on
+    * user_id with O(1) state per key (op+value+version), which is why
+    * the batch window here IS the oracle-gateable model of it. One
+    * partitioned window (no raw-data global sort); survivors only. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+    table(spark, dir, "events")
+      .withColumn("op",
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D").otherwise("U"))
+      .withColumn("rn", row_number().over(order))
+      .withColumn("n_changes",
+        count(lit(1)).over(Window.partitionBy("user_id")))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("user_id"), col("op").as("last_op"),
+        round(col("value"), 2).as("last_value"),
+        tsS(col("ts")).as("last_ts"), col("n_changes"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_cdc_apply" -> (cdcApply _),
     "stream_join_within" -> (joinWithin _),
     "stream_dedup_window" -> (dedupWindow _),
     "stream_tumbling_counts" -> (tumblingCounts _),
@@ -194,6 +221,20 @@ object StreamingModel {
     "stream_late_filter" -> (lateFilter _))
 
   val oracleSql: Map[String, String] = Map(
+    "stream_cdc_apply" ->
+      s"""WITH c AS (SELECT user_id, ts, event_id, value,
+           CASE event_type WHEN 'signup' THEN 'I'
+             WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+           count(*) OVER (PARTITION BY user_id) AS n_changes
+           FROM ${evSql()}),
+         last AS (SELECT * FROM c
+           QUALIFY row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) = 1)
+         SELECT user_id, op AS last_op,
+           round(value, 2) AS last_value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+           CAST(n_changes AS BIGINT) AS n_changes
+         FROM last WHERE op <> 'D' ORDER BY user_id""",
     "stream_join_within" ->
       s"""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
          strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_s,

@@ -1870,7 +1870,57 @@ object Text {
       .orderBy("decile")
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010): split each document
+    * into candidate phrases at stopword boundaries, score each word by
+    * degree/frequency (degree = Σ length of phrases containing it —
+    * rewards words that travel in long collocations), score a phrase as
+    * the sum of its word scores, and report the corpus top-20 phrases.
+    * Stopword set = the corpus' 5 pipeline stopwords (the
+    * [[gopherRules]] set). Shape at scale: phrase assembly is one
+    * per-doc partitioned window (running stopword count = phrase id) +
+    * a (doc, phrase-id) hash agg; word stats and phrase scoring are
+    * hash aggs keyed on word/phrase — nothing quadratic, no global
+    * window. Exactness: word scores are exact-int ratios r6→DECIMAL
+    * before the per-phrase sum (order-independent). */
+  def keywordRake(spark: SparkSession, dir: String): DataFrame = {
+    val d166 = DecimalType(16, 6)
+    val stop = Seq("join", "filter", "sort", "merge", "window")
+    val order = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val toks = docs(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("is_stop", col("tok").isInCollection(stop))
+      .withColumn("pid",
+        sum(when(col("is_stop"), 1L).otherwise(0L)).over(order))
+      .filter(!col("is_stop"))
+    val phrases = toks.groupBy("doc_id", "pid")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok")), " ").as("phrase"),
+        count(lit(1)).as("n_words"))
+    val wordScore = phrases
+      .select(explode(split(col("phrase"), " ")).as("w"), col("n_words"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum(col("n_words")).as("deg"))
+      .select(col("w"),
+        r6(col("deg").cast("double") / col("freq").cast("double")).as("ws"))
+    val distinctPhrases = phrases.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occ"))
+    distinctPhrases
+      .select(col("phrase"), col("n_occ"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(wordScore, "w")
+      .groupBy("phrase")
+      .agg(max(col("n_occ")).as("n_occ"),
+        count(lit(1)).as("n_words"),
+        (sum(col("ws").cast(d166)).cast("double")).as("sc"))
+      .select(col("phrase"), col("n_words"), col("n_occ"), r4(col("sc")).as("score"))
+      .orderBy(desc("score"), col("phrase")).limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_keyword_rake" -> (keywordRake _),
     "text_ngram_novelty" -> (ngramNovelty _),
     "text_winnowing" -> (winnowing _),
     "text_readability" -> (readability _),
@@ -1971,6 +2021,38 @@ object Text {
     .map(k => s"SELECT * FROM sum$k").mkString("\n           UNION ALL ")
 
   val oracleSql: Map[String, String] = Map(
+    "text_keyword_rake" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+         t AS (SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) + 1),
+             i -> {'pos': i, 'tok': toks[i]}), recursive := true)
+           FROM d),
+         m AS (SELECT doc_id, pos, tok,
+           tok IN ('join','filter','sort','merge','window') AS is_stop,
+           sum(CASE WHEN tok IN ('join','filter','sort','merge','window')
+             THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+           FROM t),
+         ph AS (SELECT doc_id, pid,
+           array_to_string(list(tok ORDER BY pos), ' ') AS phrase,
+           count(*) AS n_words
+           FROM m WHERE NOT is_stop GROUP BY doc_id, pid),
+         wrd AS (SELECT unnest(string_split(phrase, ' ')) AS w, n_words
+           FROM ph),
+         ws AS (SELECT w,
+           ${r6Sql("CAST(sum(n_words) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS ws
+           FROM wrd GROUP BY w),
+         dp AS (SELECT phrase, count(*) AS n_occ FROM ph GROUP BY phrase),
+         pw AS (SELECT dp.phrase, dp.n_occ,
+           unnest(string_split(dp.phrase, ' ')) AS w FROM dp)
+         SELECT pw.phrase,
+           count(*) AS n_words,
+           CAST(max(pw.n_occ) AS BIGINT) AS n_occ,
+           ${r4Sql("CAST(sum(CAST(ws.ws AS DECIMAL(16,6))) AS DOUBLE)")} AS score
+         FROM pw JOIN ws USING (w)
+         GROUP BY pw.phrase
+         ORDER BY score DESC, pw.phrase LIMIT 20""",
     "text_ngram_novelty" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
            FROM documents),

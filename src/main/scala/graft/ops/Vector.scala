@@ -1546,7 +1546,54 @@ object Vector {
       .orderBy(desc("pc1_score"), col("vec_id")).limit(20)
   }
 
+  /** Perceptual-hash near-dup over opaque BINARY payloads — the
+    * multimodal twin of [[graft.ops.Dedup]]'s SimHash: a 60-bit content
+    * hash per payload (STUB: sha256 prefix, standing in for a real
+    * DCT/pHash — the real thing drops into the same column), banded into
+    * 4×15-bit blocks for candidate generation (any shared band →
+    * candidate, the standard Hamming-LSH decomposition: distance ≤ 3
+    * GUARANTEES a shared band by pigeonhole), then popcount-verified
+    * (`bit_count(xor)`) at threshold 12. Shape at scale: banding is a
+    * 4-row explode + capped bucket self-join (row_number ≤ 64 per
+    * bucket, replayed in the oracle) — never all-pairs over payloads;
+    * the verify touches only candidates. With the stub hash only exact
+    * payload duplicates land within threshold — the fixture's planted
+    * dups — while a real pHash makes the SAME plan find visually-near
+    * images. */
+  def multimodalPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val blob = col("text").cast("binary")
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        conv(substring(sha2(blob, 256), 1, 15), 16, 10).cast("long").as("ph"))
+    val bands = (0 until 4).map(j => struct(lit(j).as("b"),
+      (shiftright(col("ph"), 15 * j).bitwiseAND(lit(32767L))).as("v")))
+    val w = Window.partitionBy("b", "v").orderBy("doc_id")
+    val capped = d
+      .select(col("doc_id"), col("ph"), explode(array(bands: _*)).as("bv"))
+      .select(col("doc_id"), col("ph"), col("bv.b").as("b"), col("bv.v").as("v"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 64)
+    val cand = capped.alias("a")
+      .join(capped.alias("x"),
+        col("a.b") === col("x.b") && col("a.v") === col("x.v") &&
+          col("a.doc_id") < col("x.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("a.ph").as("p1"),
+        col("x.doc_id").as("d2"), col("x.ph").as("p2"))
+      .distinct()
+    // no hard threshold filter: at small SFs the fixture may hold zero
+    // planted dups and a thresholded output would pass vacuously (the
+    // round-2 join_anti lesson); ranking ALL candidates by distance with
+    // the threshold as a flag keeps the gate non-vacuous everywhere
+    // while exact dups (hamming 0) still surface first
+    cand
+      .withColumn("hamming",
+        expr("bit_count(p1 ^ p2)").cast("long"))
+      .select(col("d1"), col("d2"), col("hamming"),
+        (col("hamming") <= 12).as("within_threshold"))
+      .orderBy("hamming", "d1", "d2").limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_phash_dedup" -> (multimodalPhashDedup _),
     "embedding_pca_power" -> (embeddingPcaPower _),
     "join_spatial_grid" -> (joinSpatialGrid _),
     "simsearch_rrf_hybrid" -> (simsearchRrfHybrid _),
@@ -1741,6 +1788,23 @@ object Vector {
   }.mkString(",\n         ")
 
   val oracleSql: Map[String, String] = Map(
+    "multimodal_phash_dedup" ->
+      s"""WITH d AS (SELECT doc_id,
+           CAST(('0x' || substr(sha256(text), 1, 15)) AS BIGINT) AS ph
+           FROM documents),
+         bands AS (SELECT doc_id, ph, t.b,
+           (ph >> (15 * CAST(t.b AS INTEGER))) & 32767 AS v
+           FROM d, range(0, 4) t(b)),
+         capped AS (SELECT doc_id, ph, b, v FROM bands
+           QUALIFY row_number() OVER (PARTITION BY b, v ORDER BY doc_id) <= 64),
+         cand AS (SELECT DISTINCT a.doc_id AS d1, a.ph AS p1,
+             x.doc_id AS d2, x.ph AS p2
+           FROM capped a JOIN capped x
+             ON a.b = x.b AND a.v = x.v AND a.doc_id < x.doc_id)
+         SELECT d1, d2, CAST(bit_count(xor(p1, p2)) AS BIGINT) AS hamming,
+           bit_count(xor(p1, p2)) <= 12 AS within_threshold
+         FROM cand
+         ORDER BY hamming, d1, d2 LIMIT 20""",
     "embedding_pca_power" ->
       s"""WITH v0 AS (SELECT list_transform(range(1, 65),
              i -> CAST(0.125 AS DOUBLE)) AS v),

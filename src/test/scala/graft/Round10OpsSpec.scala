@@ -259,6 +259,71 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
       s"copy decile $dcl must be zero-novel"))
   }
 
+  // ---- multimodal_phash_dedup: banding finds the planted duplicate ----
+
+  test("phash dedup: exact payload duplicates rank first at hamming 0") {
+    val texts = (1 to 40).map(i => s"unique payload number $i with content")
+    val rows = texts.zipWithIndex.map { case (t, i) =>
+      DocRow(i + 1L, t, "en", "src0", t.length.toLong) } :+
+      DocRow(100L, texts.head, "en", "src1", texts.head.length.toLong) // dup of doc 1
+    val dir = fixtureDir("documents" -> spark.createDataset(rows).toDF)
+    val out = graft.ops.Vector.queries("multimodal_phash_dedup")(spark, dir)
+      .collect()
+    assert(out.nonEmpty, "planted duplicate must produce a candidate")
+    val top = out.head
+    assert(top.getAs[Long]("d1") == 1L && top.getAs[Long]("d2") == 100L &&
+      top.getAs[Long]("hamming") == 0L &&
+      top.getAs[Boolean]("within_threshold"),
+      s"exact dup must rank first at distance 0: $top")
+    // non-duplicate band collisions (if any) sit far outside threshold
+    out.tail.foreach(r => assert(r.getAs[Long]("hamming") > 12,
+      s"stub hashes of distinct payloads cannot be near: $r"))
+  }
+
+  // ---- stream_cdc_apply: last change wins, deletes drop ---------------
+
+  test("cdc apply: trailing delete removes the key; re-insert after delete survives") {
+    val base = ts("2024-06-01 00:00:00").getTime
+    def ev(id: Long, sec: Int, u: Long, typ: String, v: Double) =
+      EventRow(id, new Timestamp(base + sec * 1000L), u, typ, v, "{}")
+    val rows = Seq(
+      ev(1, 1, 10L, "signup", 1.0), ev(2, 2, 10L, "click", 2.0),
+      ev(3, 3, 10L, "error", 0.0),                     // u10: deleted
+      ev(4, 1, 20L, "signup", 5.0), ev(5, 2, 20L, "click", 7.5), // u20: upserted
+      ev(6, 1, 30L, "error", 0.0), ev(7, 2, 30L, "signup", 9.0)) // u30: re-inserted
+    val dir = fixtureDir("events" -> spark.createDataset(rows).toDF)
+    val out = graft.ops.StreamingModel.queries("stream_cdc_apply")(spark, dir)
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(!out.contains(10L), "trailing DELETE must remove the key")
+    assert(out(20L).getAs[String]("last_op") == "U" &&
+      out(20L).getAs[Double]("last_value") == 7.5 &&
+      out(20L).getAs[Long]("n_changes") == 2L)
+    assert(out(30L).getAs[String]("last_op") == "I" &&
+      out(30L).getAs[Double]("last_value") == 9.0,
+      "INSERT after DELETE must survive")
+  }
+
+  // ---- text_keyword_rake: stopword boundaries + degree scoring --------
+
+  test("rake: stopwords never surface; collocations outscore their words") {
+    // 'deep neural model' always travels together (degree 3 per word);
+    // 'data' always appears alone (degree 1). Stopword 'join' separates.
+    val t = "deep neural model join data join deep neural model join data"
+    val rows = (1L to 4L).map(i => DocRow(i, t, "en", "src0", t.length.toLong))
+    val dir = fixtureDir("documents" -> spark.createDataset(rows).toDF)
+    val out = Text.queries("text_keyword_rake")(spark, dir).collect()
+    assert(!out.exists(r => r.getAs[String]("phrase").contains("join")),
+      "stopwords must never appear inside a phrase")
+    val byPhrase = out.map(r => r.getAs[String]("phrase") -> r).toMap
+    val coll = byPhrase("deep neural model")
+    val solo = byPhrase("data")
+    assert(coll.getAs[Long]("n_words") == 3L && solo.getAs[Long]("n_words") == 1L)
+    // each collocation word: deg 3, freq 1 -> score 3; phrase = 9.
+    // 'data': deg 1, freq 1 -> 1.
+    assert(math.abs(coll.getAs[Double]("score") - 9.0) < 1e-9, s"$coll")
+    assert(math.abs(solo.getAs[Double]("score") - 1.0) < 1e-9, s"$solo")
+  }
+
   // ---- pipe_freshness_sla: exact lag math -----------------------------
 
   test("freshness SLA: lag minutes, breach flag, and last-hour count are exact") {

@@ -397,4 +397,51 @@ class StreamingDemoSpec extends AnyFunSuite with SparkFixture {
         s"cusum did not survive the overnight gap: ${rows.mkString(",")}")
     } finally q.stop()
   }
+
+  test("streaming CDC apply matches the batch stream_cdc_apply state") {
+    import graft.streaming.CdcApplyState
+    import graft.streaming.CdcApplyState.ChangeEvent
+    implicit val sqlCtx = spark.sqlContext
+    // u10 ends on a DELETE (must emit nothing), u20 upserts twice across a
+    // micro-batch boundary, u30 re-inserts AFTER a delete, u40's last two
+    // changes share a timestamp (event_id tiebreak decides the winner)
+    val evs = Seq(
+      ChangeEvent(10L, 1L, ts("2024-06-01 10:00:00"), "signup", 1.0),
+      ChangeEvent(10L, 2L, ts("2024-06-01 10:05:00"), "error", 0.0),
+      ChangeEvent(20L, 3L, ts("2024-06-01 10:00:10"), "signup", 5.0),
+      ChangeEvent(20L, 4L, ts("2024-06-01 10:06:00"), "click", 7.5),
+      ChangeEvent(30L, 5L, ts("2024-06-01 10:00:20"), "error", 0.0),
+      ChangeEvent(30L, 6L, ts("2024-06-01 10:07:00"), "signup", 9.0),
+      ChangeEvent(40L, 7L, ts("2024-06-01 10:08:00"), "click", 2.0),
+      ChangeEvent(40L, 8L, ts("2024-06-01 10:08:00"), "view", 3.0))
+    val ms = MemoryStream[ChangeEvent]
+    val q = CdcApplyState(ms.toDS())
+      .writeStream.format("memory").queryName("cdc_test")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = evs.partition(_.ts.getTime <= ts("2024-06-01 10:05:00").getTime)
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      // advance the watermark past last change + quiet gap to flush timeouts
+      ms.addData(ChangeEvent(99L, 90L, ts("2024-06-01 14:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      ms.addData(ChangeEvent(99L, 91L, ts("2024-06-01 15:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("cdc_test").collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          ((r.getAs[String]("last_op"), r.getAs[Double]("last_value"),
+            r.getAs[Long]("n_changes")))).toMap
+      val dir = fixtureDir("events" -> evs.map(e =>
+        EventRow(e.event_id, e.ts, e.user_id, e.event_type, e.value, "{}")).toDF)
+      val batch = graft.ops.StreamingModel.queries("stream_cdc_apply")(spark, dir)
+        .collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          ((r.getAs[String]("last_op"), r.getAs[Double]("last_value"),
+            r.getAs[Long]("n_changes")))).toMap
+      for (uid <- Seq(10L, 20L, 30L, 40L))
+        assert(streamed.get(uid) == batch.get(uid),
+          s"u$uid stream=${streamed.get(uid)} batch=${batch.get(uid)}")
+      assert(!streamed.contains(10L), "deleted key must not emit")
+    } finally q.stop()
+  }
 }
