@@ -1430,7 +1430,67 @@ object Dedup {
       .orderBy(desc("n_common"), col("a"), col("b")).limit(20)
   }
 
+  /** Modularity Q of the 4-round LPA partition over the candidate-PAIR
+    * graph — the quality number for [[graphLabelPropagation]]'s
+    * communities: Q = Σ_c (L_c/m − (D_c/2m)²), the fraction of edges
+    * inside communities minus what a degree-preserving random graph
+    * would put there. Q near 0 says the "communities" are banding
+    * artifacts; Q ≫ 0 says template clusters are real structure worth
+    * per-cluster curation. Runs LPA on the PAIR graph (real adjacency —
+    * the star graph's hub edges would distort both the vote and the
+    * degree terms). Shape at scale: the 4 fixed vote rounds are joins of
+    * the checkpointed capped edge set ([[graphLabelPropagation]]'s
+    * shape); the modularity terms are two hash aggs to the ≤|communities|
+    * frame, each term r6→DECIMAL(16,6) before the Q sum. */
+  def graphModularity(spark: SparkSession, dir: String): DataFrame = {
+    val d166 = org.apache.spark.sql.types.DecimalType(16, 6)
+    val base = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        array_distinct(split(Text.normTextExpr, " ")).as("toks"))
+    val pairs = candidatePairsGlobal(base, "s").transform(iterCheckpoint)
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    val nodes = edges.select(col("src")).distinct()
+    val voteEdges = edges
+      .unionByName(nodes.select(col("src"), col("src").as("dst")))
+      .transform(iterCheckpoint)
+    var lbl = nodes.select(col("src").as("v"), col("src").as("l"))
+    for (_ <- 1 to 4) {
+      lbl = voteEdges
+        .join(lbl.select(col("v").as("dst"), col("l").as("nl")), "dst")
+        .groupBy(col("src"), col("nl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(max_by(col("nl"), struct(col("c"), -col("nl"))).as("l"))
+        .select(col("src").as("v"), col("l"))
+    }
+    val mDf = pairs.agg(count(lit(1)).as("m"))
+    val deg = edges.groupBy(col("src").as("u")).agg(count(lit(1)).as("deg"))
+    val lc = pairs
+      .join(lbl.select(col("v").as("d1"), col("l").as("l1")), "d1")
+      .join(lbl.select(col("v").as("d2"), col("l").as("l2")), "d2")
+      .filter(col("l1") === col("l2"))
+      .groupBy(col("l1").as("c")).agg(count(lit(1)).as("lc"))
+    val dc = deg.join(lbl, deg("u") === lbl("v"))
+      .groupBy(col("l").as("c")).agg(sum(col("deg")).as("dc"))
+    val terms = dc.join(lc, Seq("c"), "left")
+      .crossJoin(broadcast(mDf))
+      .select(r6(coalesce(col("lc"), lit(0L)).cast("double") /
+          col("m").cast("double")
+        - (col("dc").cast("double") / (lit(2.0) * col("m").cast("double"))) *
+          (col("dc").cast("double") / (lit(2.0) * col("m").cast("double"))))
+        .cast(d166).as("term"))
+      .agg(sum(col("term")).as("q"), count(lit(1)).as("n_communities"))
+    val sizes = lbl.groupBy("l").agg(count(lit(1)).as("sz"))
+      .agg(max(col("sz")).as("max_sz"), sum(col("sz")).as("n_nodes"))
+    mDf.crossJoin(broadcast(terms)).crossJoin(broadcast(sizes))
+      .select(col("n_nodes"), col("m").as("n_edges"), col("n_communities"),
+        col("q").cast("double").as("q_modularity"),
+        r6(col("max_sz").cast("double") / col("n_nodes").cast("double"))
+          .as("top_community_share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_modularity" -> (graphModularity _),
     "graph_kcore" -> (graphKcore _),
     "graph_common_neighbors" -> (graphCommonNeighbors _),
     "dedup_lsh_calibration" -> (dedupLshCalibration _),
@@ -1606,6 +1666,36 @@ object Dedup {
   }.mkString(",\n         ")
 
   val oracleSql: Map[String, String] = Map(
+    "graph_modularity" ->
+      s"""WITH $graphBandPreambleSql,
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           FROM band a JOIN band b
+             ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         e AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs
+               UNION ALL SELECT d2, d1 FROM pairs),
+         nodes AS (SELECT DISTINCT src FROM e),
+         e2 AS MATERIALIZED (SELECT src, dst FROM e
+               UNION ALL SELECT src, src FROM nodes),
+         l0 AS (SELECT src AS v, src AS l FROM nodes),
+         $lpaIterCtes,
+         m AS (SELECT count(*) AS m FROM pairs),
+         deg AS (SELECT src AS u, count(*) AS deg FROM e GROUP BY src),
+         lc AS (SELECT a.l AS c, count(*) AS lc
+           FROM pairs p JOIN l4 a ON a.v = p.d1 JOIN l4 b ON b.v = p.d2
+           WHERE a.l = b.l GROUP BY a.l),
+         dc AS (SELECT l4.l AS c, sum(deg.deg) AS dc
+           FROM deg JOIN l4 ON l4.v = deg.u GROUP BY l4.l),
+         terms AS (SELECT
+           sum(CAST(${r6Sql("CAST(coalesce(lc.lc, 0) AS DOUBLE) / CAST(m.m AS DOUBLE) - (CAST(dc.dc AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE))) * (CAST(dc.dc AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))")} AS DECIMAL(16,6))) AS q,
+           count(*) AS n_communities
+           FROM dc LEFT JOIN lc USING (c), m),
+         sizes AS (SELECT max(sz) AS max_sz, CAST(sum(sz) AS BIGINT) AS n_nodes
+           FROM (SELECT l, count(*) AS sz FROM l4 GROUP BY l))
+         SELECT sizes.n_nodes, m.m AS n_edges, terms.n_communities,
+           CAST(terms.q AS DOUBLE) AS q_modularity,
+           ${r6Sql("CAST(sizes.max_sz AS DOUBLE) / CAST(sizes.n_nodes AS DOUBLE)")} AS top_community_share
+         FROM m, terms, sizes""",
     "graph_kcore" ->
       s"""WITH $graphBandPreambleSql,
          e0 AS MATERIALIZED (

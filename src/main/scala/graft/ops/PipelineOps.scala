@@ -1161,7 +1161,39 @@ object PipelineOps {
       .orderBy("et")
   }
 
+  /** Right-to-be-forgotten deletion PLAN — the compliance sweep a
+    * pipeline must run before erasing a user set: per event_type, how
+    * many rows the request touches, how many users, the retained share,
+    * and a checksum of the RETAINED rows (the post-delete audit anchor —
+    * re-running the plan after the physical delete must reproduce it).
+    * The request list is the deterministic user_id % 97 == 0 slice
+    * (~1%); at scale it arrives as a table and the filter becomes a
+    * broadcast anti-join — the [[incrementalAnti]] shape — with the same
+    * aggregate on top. One scan, one conditional hash agg, no shuffle
+    * beyond the ≤|types| rollup; checksum exact (md5-prefix mod prime,
+    * the [[pipeDatagenProfile]] spelling). */
+  def pipeGdprForget(spark: SparkSession, dir: String): DataFrame = {
+    val forget = col("user_id") % 97 === 0
+    val rowCk = conv(substring(md5(concat(col("event_id").cast("string"),
+      lit(":"), col("user_id").cast("string")).cast("binary")), 1, 15), 16, 10)
+      .cast("long") % lit(1000000007L)
+    table(spark, dir, "events")
+      .groupBy(col("event_type").as("et"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(forget, 1L).otherwise(0L)).as("n_delete"),
+        countDistinct(when(forget, col("user_id"))).as("n_users_forgotten"),
+        sum(when(!forget, rowCk).otherwise(0L)).as("retained_checksum"))
+      .select(col("et"), col("n_total"), col("n_delete"),
+        col("n_users_forgotten"),
+        (col("n_total") - col("n_delete")).as("n_retained"),
+        r6((col("n_total") - col("n_delete")).cast("double") /
+          col("n_total").cast("double")).as("retained_share"),
+        col("retained_checksum"))
+      .orderBy("et")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_gdpr_forget" -> (pipeGdprForget _),
     "pipe_freshness_sla" -> (pipeFreshnessSla _),
     "pipe_datagen_profile" -> (pipeDatagenProfile _),
     "pipe_mv_incremental" -> (pipeMvIncremental _),
@@ -1200,6 +1232,24 @@ object PipelineOps {
     "pipe_sample_topk_hash" -> (sampleTopkHash _))
 
   val oracleSql: Map[String, String] = Map(
+    "pipe_gdpr_forget" ->
+      s"""WITH ev AS (SELECT event_id, user_id, event_type AS et,
+           user_id % 97 = 0 AS forget,
+           CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+             || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             % 1000000007 AS ck
+           FROM ${evSql()})
+         SELECT et, count(*) AS n_total,
+           CAST(sum(CASE WHEN forget THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
+           count(DISTINCT CASE WHEN forget THEN user_id END)
+             AS n_users_forgotten,
+           CAST(count(*) - sum(CASE WHEN forget THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_retained,
+           ${r6Sql("CAST(count(*) - sum(CASE WHEN forget THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+             AS retained_share,
+           CAST(sum(CASE WHEN NOT forget THEN ck ELSE 0 END) AS BIGINT)
+             AS retained_checksum
+         FROM ev GROUP BY et ORDER BY et""",
     "pipe_freshness_sla" ->
       s"""WITH ev AS (SELECT event_type AS et, epoch_us(ts) AS us
            FROM ${evSql()}),

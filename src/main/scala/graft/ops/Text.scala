@@ -1919,7 +1919,39 @@ object Text {
       .orderBy(desc("score"), col("phrase")).limit(20)
   }
 
+  /** Lexical burstiness — the variance-to-mean ratio (index of
+    * dispersion) of each token's per-document counts, with implicit
+    * zeros: a Poisson-scattered function word sits at VMR ≈ 1, a bursty
+    * content word (all its mass in a few docs) far above — the signal
+    * that separates topical vocabulary from glue, and the lexical
+    * complement of [[graft.ops.Relational.eventsInterarrivalStats]]'
+    * temporal burstiness. VMR with implicit zeros needs only moments:
+    * var = Σn²/N − (Σn/N)², so absent docs never materialize. One
+    * explode → (token, doc) hash agg → per-token agg; all moments exact
+    * longs, the N divisor from a broadcast one-row count; top-20 by
+    * frequency. */
+  def burstiness(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("n"))
+    val nDocs = docs(spark, dir).agg(count(lit(1)).as("nd"))
+    perDoc.groupBy("token")
+      .agg(sum(col("n")).as("occ"),
+        count(lit(1)).as("docs_present"),
+        sum(col("n") * col("n")).as("sumsq"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("mean", col("occ").cast("double") / col("nd").cast("double"))
+      .withColumn("vmr",
+        (col("sumsq").cast("double") / col("nd").cast("double")
+          - col("mean") * col("mean")) / col("mean"))
+      .select(col("token"), col("occ"), col("docs_present"),
+        r6(col("mean")).as("mean_per_doc"), r6(col("vmr")).as("vmr"),
+        (col("vmr") > 1.5).as("bursty"))
+      .orderBy(desc("occ"), col("token")).limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_burstiness" -> (burstiness _),
     "text_keyword_rake" -> (keywordRake _),
     "text_ngram_novelty" -> (ngramNovelty _),
     "text_winnowing" -> (winnowing _),
@@ -2021,6 +2053,28 @@ object Text {
     .map(k => s"SELECT * FROM sum$k").mkString("\n           UNION ALL ")
 
   val oracleSql: Map[String, String] = Map(
+    "text_burstiness" ->
+      s"""WITH pd AS (SELECT token, doc_id, count(*) AS n FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents)
+           GROUP BY token, doc_id),
+         nd AS (SELECT count(*) AS nd FROM documents),
+         t AS (SELECT token,
+           CAST(sum(n) AS BIGINT) AS occ,
+           count(*) AS docs_present,
+           CAST(sum(n * n) AS BIGINT) AS sumsq
+           FROM pd GROUP BY token),
+         v AS (SELECT token, occ, docs_present,
+           CAST(occ AS DOUBLE) / CAST(nd AS DOUBLE) AS mean,
+           (CAST(sumsq AS DOUBLE) / CAST(nd AS DOUBLE)
+             - (CAST(occ AS DOUBLE) / CAST(nd AS DOUBLE))
+               * (CAST(occ AS DOUBLE) / CAST(nd AS DOUBLE)))
+             / (CAST(occ AS DOUBLE) / CAST(nd AS DOUBLE)) AS vmr
+           FROM t, nd)
+         SELECT token, occ, docs_present,
+           ${r6Sql("mean")} AS mean_per_doc, ${r6Sql("vmr")} AS vmr,
+           vmr > 1.5 AS bursty
+         FROM v ORDER BY occ DESC, token LIMIT 20""",
     "text_keyword_rake" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
            FROM documents),

@@ -324,6 +324,78 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(solo.getAs[Double]("score") - 1.0) < 1e-9, s"$solo")
   }
 
+  // ---- graph_modularity: closed-form Q on planted cliques -------------
+
+  test("modularity: three equal duplicate cliques give Q = 2/3") {
+    // 3 groups x 4 identical docs: identical texts share every LSH band
+    // -> each group is a 4-clique (6 edges), no cross-group edges.
+    // L_c = m/3, D_c = 2m/3 -> Q = 3*(1/3 - 1/9) = 2/3.
+    val groups = Seq(
+      "alpha beta gamma delta epsilon zeta",
+      "one two three four five six",
+      "red green blue yellow purple orange")
+    val rows = for {
+      (t, g) <- groups.zipWithIndex
+      i <- 0 until 4
+    } yield DocRow(g * 10L + i + 1, t, "en", s"src$i", t.length.toLong)
+    val dir = fixtureDir("documents" -> spark.createDataset(rows).toDF)
+    val r = Dedup.queries("graph_modularity")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_nodes") == 12L && r.getAs[Long]("n_edges") == 18L,
+      s"three 4-cliques expected: $r")
+    assert(r.getAs[Long]("n_communities") == 3L, s"$r")
+    assert(math.abs(r.getAs[Double]("q_modularity") - 2.0 / 3.0) < 1e-3,
+      s"closed-form Q: $r")
+  }
+
+  // ---- text_burstiness: uniform vs bursty tokens ----------------------
+
+  test("burstiness: a once-per-doc token has VMR 0; a concentrated one is bursty") {
+    val rows = (1L to 10L).map { i =>
+      val t = if (i == 1) "glue " + Seq.fill(10)("burst").mkString(" ")
+              else "glue filler" + i
+      DocRow(i, t, "en", "src0", t.length.toLong)
+    }
+    val dir = fixtureDir("documents" -> spark.createDataset(rows).toDF)
+    val out = Text.queries("text_burstiness")(spark, dir)
+      .collect().map(r => r.getAs[String]("token") -> r).toMap
+    val glue = out("glue")
+    assert(glue.getAs[Double]("vmr") == 0.0 && !glue.getAs[Boolean]("bursty"),
+      s"uniform token must have zero dispersion: $glue")
+    val burst = out("burst")
+    assert(math.abs(burst.getAs[Double]("vmr") - 9.0) < 1e-9 &&
+      burst.getAs[Boolean]("bursty"),
+      s"all-in-one-doc token: mean 1, var 9: $burst")
+  }
+
+  // ---- pipe_gdpr_forget: the checksum is the post-delete audit anchor --
+
+  test("gdpr forget plan: checksum reproduces on the physically-deleted table") {
+    val base = ts("2024-07-01 00:00:00").getTime
+    val rows = (0 until 400).map { i =>
+      EventRow(i.toLong, new Timestamp(base + i * 1000L),
+        (i % 200).toLong, if (i % 2 == 0) "click" else "view", 1.0, "{}")
+    }
+    val dir = fixtureDir("events" -> spark.createDataset(rows).toDF)
+    val plan = PipelineOps.pipeGdprForget(spark, dir)
+      .collect().map(r => r.getAs[String]("et") -> r).toMap
+    // users 0, 97 are the % 97 == 0 slice among user_ids 0..199
+    assert(plan("click").getAs[Long]("n_users_forgotten") == 2L, s"$plan")
+    assert(plan.values.forall(r => r.getAs[Long]("n_total") ==
+      r.getAs[Long]("n_delete") + r.getAs[Long]("n_retained")))
+    // audit anchor: run the SAME plan on the post-delete table — the
+    // retained checksum must reproduce and the delete count must be zero
+    val deleted = rows.filterNot(_.user_id % 97 == 0)
+    val dir2 = fixtureDir("events" -> spark.createDataset(deleted).toDF)
+    val after = PipelineOps.pipeGdprForget(spark, dir2)
+      .collect().map(r => r.getAs[String]("et") -> r).toMap
+    for (et <- Seq("click", "view")) {
+      assert(after(et).getAs[Long]("n_delete") == 0L)
+      assert(after(et).getAs[Long]("retained_checksum") ==
+        plan(et).getAs[Long]("retained_checksum"),
+        s"checksum must survive the physical delete: $et")
+    }
+  }
+
   // ---- pipe_freshness_sla: exact lag math -----------------------------
 
   test("freshness SLA: lag minutes, breach flag, and last-hour count are exact") {
