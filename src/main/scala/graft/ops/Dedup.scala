@@ -1463,6 +1463,10 @@ object Dedup {
         .agg(max_by(col("nl"), struct(col("c"), -col("nl"))).as("l"))
         .select(col("src").as("v"), col("l"))
     }
+    // the final labels feed THREE subtrees (within-community edges,
+    // community degrees, sizes) — materialized once so the 4-round vote
+    // chain doesn't re-execute per consumer
+    lbl = lbl.transform(iterCheckpoint)
     val mDf = pairs.agg(count(lit(1)).as("m"))
     val deg = edges.groupBy(col("src").as("u")).agg(count(lit(1)).as("deg"))
     val lc = pairs

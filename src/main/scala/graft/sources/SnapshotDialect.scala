@@ -28,6 +28,15 @@ trait SnapshotDialect {
     * None when the dialect has no RESTORE verb — there the Spark write
     * path IS the load and this stanza is a no-op by design. */
   def restoreDdl(db: String, bakPath: String): Option[String]
+
+  /** True when `e` means the grant's target object already exists — the
+    * BENIGN outcome of re-running [[grantReaderDdl]] on a dialect with
+    * no IF NOT EXISTS verb. [[JdbcSnapshot.grantReader]] swallows
+    * exactly these, which is what makes the A13 contract ("idempotent,
+    * safe to re-run after every load") hold on every dialect, not just
+    * the ones that can guard in SQL. Default: nothing is benign (T-SQL
+    * guards in the statement itself, so an exception there is real). */
+  def isBenignAlreadyExists(e: java.sql.SQLException): Boolean = false
 }
 
 /** SQL Server spellings — the reference's own dialect, kept verbatim so a
@@ -49,14 +58,18 @@ object TSqlSnapshotDialect extends SnapshotDialect {
 
 /** Derby spellings — the TESTED instance (embedded `jdbc:derby:memory` in
   * JdbcSnapshotSpec). Derby has no IF NOT EXISTS / RESTORE verbs: the
-  * grant contract is a reader view (create is made idempotent by the
-  * caller's catch-exists discipline, the same shape the spec uses), the
-  * drop contract clears the staging table, and restore is None — the
-  * Spark truncate-overwrite write is the load. */
+  * grant contract is a reader view, made idempotent by
+  * [[isBenignAlreadyExists]] (SQLState X0Y32, "object already exists" —
+  * the exception a re-run raises, classified benign so
+  * [[JdbcSnapshot.grantReader]] swallows it); the drop contract clears
+  * the staging table, and restore is None — the Spark
+  * truncate-overwrite write is the load. */
 object DerbySnapshotDialect extends SnapshotDialect {
   def grantReaderDdl(user: String, obj: String): String =
     s"CREATE VIEW ${user}_reader AS SELECT * FROM $obj"
   def dropTargetDdl(target: String): String =
     s"DROP TABLE $target"
   def restoreDdl(db: String, bakPath: String): Option[String] = None
+  override def isBenignAlreadyExists(e: java.sql.SQLException): Boolean =
+    e.getSQLState == "X0Y32"
 }

@@ -11,16 +11,28 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * key's changes with one partitioned window; at streaming scale the
   * change history is unbounded, so this twin keeps exactly the fold's
   * state — (last op, last value, last event time, change count) — and
-  * emits the key's final row when its event time falls a quiet gap behind
+  * emits the key's row when its event time falls a quiet gap behind
   * the watermark (EventTimeTimeout, the [[SmoothState]] /
-  * [[SequenceMatch]] eviction discipline). Deleted keys emit nothing, so
-  * the emitted set IS the materialized table state.
+  * [[SequenceMatch]] eviction discipline). Deleted keys emit nothing.
+  *
+  * EPOCH contract (shared with every timeout-evicting twin in this
+  * package): eviction closes the key's quiet-gap EPOCH — a key whose
+  * next change arrives more than [[QuietGapMinutes]] of event time
+  * later starts a fresh epoch and will emit again, with n_changes
+  * counting that epoch only, and a pre-delete emission is not
+  * retracted by a later epoch's DELETE. Batch/stream parity with
+  * `stream_cdc_apply` therefore holds per epoch (exactly — asserted in
+  * StreamingDemoSpec through MemoryStream), and a history that spans
+  * epochs materializes through the standard downstream compaction:
+  * last-epoch-wins per key (the [[LakeSink]]/[[graft.sources.DeltaLite]]
+  * upsert path), which restores the batch result. Emitting per epoch —
+  * rather than holding every key forever — is what keeps state O(live
+  * keys inside the horizon) instead of O(all keys ever seen).
   *
   * Ordering contract (shared with [[SmoothState]]): rows fold in
   * (microsecond event time, event_id) order WITHIN each micro-batch —
   * the batch window's exact sort key; cross-batch disorder inside the
-  * watermark horizon is not re-sorted. StreamingDemoSpec asserts
-  * batch/stream parity through MemoryStream. */
+  * watermark horizon is not re-sorted. */
 object CdcApplyState {
 
   final case class ChangeEvent(
@@ -53,8 +65,14 @@ object CdcApplyState {
             val s = state.get
             state.remove()
             if (s.op == "D") Iterator.empty
+            // HALF_UP via BigDecimal — the exact rounding Spark's
+            // round(col, 2) applies in the batch twin; math.round rounds
+            // half toward +infinity and diverges on negative half-cents
+            // (-0.125 -> -0.12 instead of batch's -0.13)
             else Iterator.single(CdcOut(uid, s.op,
-              math.round(s.value * 100) / 100.0, s.nChanges))
+              java.math.BigDecimal.valueOf(s.value)
+                .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue(),
+              s.nChanges))
           } else {
             val sorted = rows.toSeq.sortBy(e =>
               (e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L, e.event_id))

@@ -91,7 +91,11 @@ class JdbcSnapshotSpec extends AnyFunSuite with SparkFixture {
   test("dialect seam: grantReader runs the Derby dialect live; T-SQL strings carry the reference spellings (A11-A13)") {
     seed()
     import graft.sources.{DerbySnapshotDialect, TSqlSnapshotDialect}
-    // the TESTED instance: same grantReader entry point, Derby spelling
+    // the TESTED instance: same grantReader entry point, Derby spelling —
+    // called TWICE, because re-granting after every load is the A13
+    // contract and Derby can't guard with IF NOT EXISTS in SQL (the
+    // dialect classifies the re-run's X0Y32 as benign instead)
+    JdbcSnapshot.grantReader(url, props, "etl", "SEED_TBL", DerbySnapshotDialect)
     JdbcSnapshot.grantReader(url, props, "etl", "SEED_TBL", DerbySnapshotDialect)
     val v = spark.read.jdbc(url, "ETL_READER", props)
     assert(v.count() == 100, "Derby-dialect reader grant did not materialize")

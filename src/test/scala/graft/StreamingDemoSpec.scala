@@ -413,7 +413,10 @@ class StreamingDemoSpec extends AnyFunSuite with SparkFixture {
       ChangeEvent(30L, 5L, ts("2024-06-01 10:00:20"), "error", 0.0),
       ChangeEvent(30L, 6L, ts("2024-06-01 10:07:00"), "signup", 9.0),
       ChangeEvent(40L, 7L, ts("2024-06-01 10:08:00"), "click", 2.0),
-      ChangeEvent(40L, 8L, ts("2024-06-01 10:08:00"), "view", 3.0))
+      ChangeEvent(40L, 8L, ts("2024-06-01 10:08:00"), "view", 3.0),
+      // negative half-cent: HALF_UP (batch round(·,2)) gives −0.13; a
+      // math.round spelling would give −0.12 — the rounding-parity trap
+      ChangeEvent(50L, 9L, ts("2024-06-01 10:09:00"), "click", -0.125))
     val ms = MemoryStream[ChangeEvent]
     val q = CdcApplyState(ms.toDS())
       .writeStream.format("memory").queryName("cdc_test")
@@ -438,10 +441,12 @@ class StreamingDemoSpec extends AnyFunSuite with SparkFixture {
         .map(r => r.getAs[Long]("user_id") ->
           ((r.getAs[String]("last_op"), r.getAs[Double]("last_value"),
             r.getAs[Long]("n_changes")))).toMap
-      for (uid <- Seq(10L, 20L, 30L, 40L))
+      for (uid <- Seq(10L, 20L, 30L, 40L, 50L))
         assert(streamed.get(uid) == batch.get(uid),
           s"u$uid stream=${streamed.get(uid)} batch=${batch.get(uid)}")
       assert(!streamed.contains(10L), "deleted key must not emit")
+      assert(streamed(50L)._2 == -0.13,
+        s"negative half-cent must round HALF_UP like the batch: ${streamed(50L)}")
     } finally q.stop()
   }
 }

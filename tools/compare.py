@@ -94,9 +94,13 @@ def canon_arrow_type(t) -> str:
 
 def schema_mismatches(spark_dir: str, duck_rel) -> list:
     """Columns whose DuckDB result type doesn't match the Spark parquet type."""
-    arrow_schema = pq.read_schema(
-        next(os.path.join(spark_dir, f) for f in sorted(os.listdir(spark_dir))
-             if f.endswith(".parquet")))
+    parts = [f for f in sorted(os.listdir(spark_dir)) if f.endswith(".parquet")]
+    if not parts:
+        # explicit: a bare next() would raise StopIteration, which the
+        # caller's except-block misreports as an oracle SQL error
+        raise RuntimeError(f"no parquet part files in {spark_dir} "
+                           "(partial/cleaned Spark result?)")
+    arrow_schema = pq.read_schema(os.path.join(spark_dir, parts[0]))
     spark_types = {f.name: canon_arrow_type(f.type) for f in arrow_schema}
     bad = []
     for col, dt in zip(duck_rel.columns, duck_rel.types):
