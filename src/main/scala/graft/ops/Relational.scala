@@ -3371,7 +3371,62 @@ object Relational {
       r6(col("T_post") - col("C_post")).as("naive_post_diff"))
   }
 
+  /** A/B power analysis — the PRE-experiment half of the suite
+    * ([[eventsAbTtest]] / [[eventsTwoProportionZ]] / [[eventsConversionCi]]
+    * judge a finished test; this says whether the test is worth running):
+    * from the observed baseline conversion (control arm of the parity
+    * split), the required sample size per arm for a two-sided α=0.05,
+    * power-0.80 two-proportion z test at relative lifts of 5/10/20%, and
+    * whether the CURRENT arm size is already powered. Closed-form normal
+    * approximation with the z constants as literals — one hash agg to
+    * (users, converters) per arm, a 3-row lift grid exploded from a
+    * literal array, one double expression per row. Exactness: the
+    * baseline rate is an exact-int ratio; `ceil` of the composite is the
+    * only boundary op and both engines evaluate the identical IEEE
+    * expression. */
+  def eventsPowerAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    // conversion = "high-value customer" (per-user purchase sum > 800) —
+    // NOT "made any purchase", which saturates to p0 = 1.0 on this
+    // corpus and leaves nothing testable (every n_req NULL — vacuous)
+    val perUser = ev
+      .withColumn("grp", when(col("user_id") % 2 === 0, "T").otherwise("C"))
+      .groupBy("grp", "user_id")
+      .agg(sum(when(col("event_type") === "purchase",
+        col("value").cast(Qty)).otherwise(lit(0).cast(Qty))).as("spend"))
+    val arms = perUser.groupBy("grp")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("spend") > 800, 1L).otherwise(0L)).as("n_conv"))
+    val base = arms.filter(col("grp") === "C")
+      .select(col("n_users").as("n_c"), col("n_conv").as("k_c"))
+    val zA = 1.959964 // z_{0.025}
+    val zB = 0.841621 // z_{0.20}
+    base.select(col("n_c"), col("k_c"),
+        explode(array(lit(0.05), lit(0.10), lit(0.20))).as("lift"))
+      .withColumn("p0", col("k_c").cast("double") / col("n_c").cast("double"))
+      .withColumn("p1", col("p0") * (lit(1.0) + col("lift")))
+      .withColumn("pbar", (col("p0") + col("p1")) / 2.0)
+      // saturation guard: a near-1 baseline puts the lifted target past
+      // 1.0, where the variance terms go negative (Spark sqrt → NaN
+      // silently, DuckDB errors) — NULL on both engines says "this lift
+      // is not testable from this baseline", which is the true answer
+      .withColumn("n_req", when(col("p1") < 1.0 && col("p0") > 0.0, ceil(
+        {
+          val num = lit(zA) * sqrt(lit(2.0) * col("pbar") * (lit(1.0) - col("pbar"))) +
+            lit(zB) * sqrt(col("p0") * (lit(1.0) - col("p0")) +
+              col("p1") * (lit(1.0) - col("p1")))
+          (num * num) / ((col("p1") - col("p0")) * (col("p1") - col("p0")))
+        }).cast("long")))
+      .select(r4(col("lift")).as("rel_lift"),
+        r6(col("p0")).as("p_base"), r6(col("p1")).as("p_target"),
+        col("n_req").as("n_required_per_arm"),
+        col("n_c").as("n_available_per_arm"),
+        (col("n_c") >= col("n_req")).as("powered"))
+      .orderBy("rel_lift")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_power_analysis" -> (eventsPowerAnalysis _),
     "events_stl_decompose" -> (eventsStlDecompose _),
     "events_uplift_did" -> (eventsUpliftDid _),
     "agg_theil_decomposition" -> (aggTheilDecomposition _),
@@ -3515,6 +3570,40 @@ object Relational {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "events_power_analysis" ->
+      s"""WITH pu AS (SELECT
+           CASE WHEN user_id % 2 = 0 THEN 'T' ELSE 'C' END AS grp, user_id,
+           sum(CASE WHEN event_type = 'purchase'
+             THEN CAST(value AS DECIMAL(10,2))
+             ELSE CAST(0 AS DECIMAL(10,2)) END) AS spend
+           FROM ${evSql()} GROUP BY 1, 2),
+         arms AS (SELECT grp, count(*) AS n_users,
+           CAST(sum(CASE WHEN spend > 800 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_conv
+           FROM pu GROUP BY grp),
+         base AS (SELECT n_users AS n_c, n_conv AS k_c FROM arms
+           WHERE grp = 'C'),
+         g AS (SELECT n_c, k_c, unnest([0.05, 0.10, 0.20]) AS lift FROM base),
+         x AS (SELECT n_c, k_c, CAST(lift AS DOUBLE) AS lift,
+           CAST(k_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS p0 FROM g),
+         y AS (SELECT n_c, k_c, lift, p0,
+           p0 * (1.0 + lift) AS p1, (p0 + p0 * (1.0 + lift)) / 2.0 AS pbar
+           FROM x),
+         z AS (SELECT n_c, k_c, lift, p0, p1,
+           CASE WHEN p1 < 1.0 AND p0 > 0.0 THEN
+             CAST(ceil(((1.959964 * sqrt(2.0 * pbar * (1.0 - pbar))
+               + 0.841621 * sqrt(p0 * (1.0 - p0) + p1 * (1.0 - p1)))
+               * (1.959964 * sqrt(2.0 * pbar * (1.0 - pbar))
+               + 0.841621 * sqrt(p0 * (1.0 - p0) + p1 * (1.0 - p1))))
+               / ((p1 - p0) * (p1 - p0))) AS BIGINT)
+           END AS n_req
+           FROM y)
+         SELECT ${r4Sql("lift")} AS rel_lift,
+           ${r6Sql("p0")} AS p_base, ${r6Sql("p1")} AS p_target,
+           n_req AS n_required_per_arm,
+           n_c AS n_available_per_arm,
+           n_c >= n_req AS powered
+         FROM z ORDER BY rel_lift""",
     "events_stl_decompose" ->
       s"""WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n
            FROM ${evSql()} GROUP BY 1),

@@ -396,6 +396,33 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  // ---- events_power_analysis: closed-form sample size -----------------
+
+  test("power analysis: n_req matches the closed form; 20% lift is powered at p0=0.5") {
+    // 500 control users (odd ids), 250 converting (spend 900 > 800):
+    // p0 = 0.5. At lift 20%: p1 = 0.6, pbar = 0.55 ->
+    // n = ceil((1.959964*sqrt(2*.55*.45) + 0.841621*sqrt(.25+.24))^2 / .01)
+    //   = 388  <= 500 -> powered.
+    val base = ts("2024-08-01 00:00:00").getTime
+    val rows = (1 to 1000).map { u =>
+      val spend = if (u % 2 == 1 && u <= 500) 900.0 else 10.0
+      EventRow(u.toLong, new Timestamp(base + u * 1000L), u.toLong,
+        "purchase", spend, "{}")
+    }
+    val dir = fixtureDir("events" -> spark.createDataset(rows).toDF)
+    val out = Relational.eventsPowerAnalysis(spark, dir)
+      .collect().map(r => r.getAs[Double]("rel_lift") -> r).toMap
+    val r20 = out(0.2)
+    assert(r20.getAs[Double]("p_base") == 0.5 &&
+      r20.getAs[Double]("p_target") == 0.6, s"$r20")
+    assert(r20.getAs[Long]("n_required_per_arm") == 388L,
+      s"closed-form n mismatch: $r20")
+    assert(r20.getAs[Boolean]("powered"),
+      "500 available >= 388 required must be powered")
+    assert(!out(0.05).getAs[Boolean]("powered"),
+      "a 5% lift needs ~16x the sample of a 20% lift")
+  }
+
   // ---- pipe_freshness_sla: exact lag math -----------------------------
 
   test("freshness SLA: lag minutes, breach flag, and last-hour count are exact") {
