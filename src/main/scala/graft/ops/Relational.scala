@@ -3489,7 +3489,138 @@ object Relational {
       .toDF("n", "w1", "mu1", "sigma1", "mu2", "sigma2")
   }
 
+  /** Poisson(1) cumulative distribution P(X ≤ k) for k = 0..6 — the
+    * inverse-CDF thresholds of the Poisson bootstrap. Spelled once and
+    * interpolated verbatim into the oracle so both engines compare the
+    * identical double literals. */
+  private val PoissonCum = Seq(
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238462", "0.9963401531726563", "0.9994058151824183",
+    "0.9999167588507119")
+
+  /** Poisson-bootstrap confidence interval for the mean order value —
+    * the CLUSTER-NATIVE bootstrap: classical resampling draws N rows
+    * with replacement B times (a shuffle per replicate, undistributable
+    * at 100 TB), while the Poisson bootstrap gives every row an
+    * independent Poisson(1) weight per replicate, so all B = 200
+    * resamples ride ONE scan with map-side combine down to B
+    * partial-sum rows — the shuffle is 200 rows regardless of input
+    * size, and no replicate ever materializes. Weights come from a
+    * seeded md5 uniform through the inverse Poisson CDF
+    * ([[PoissonCum]] thresholds, identical double literals both
+    * engines; tail mass ≥ 7 truncated — P ≈ 8e-5, the standard
+    * finite-table truncation). Replicate means divide exact
+    * DECIMAL(38,2) weighted sums, so every double ranked downstream is
+    * bit-identical; CI bounds are explicit empirical percentiles —
+    * the rank-5 and rank-195 of the 200 replicate means under
+    * (mean, b) ordering (ceil(0.025·B), ceil(0.975·B)) — no
+    * engine-specific quantile interpolation. */
+  def aggBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val B = 200
+    val o = table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice").cast(Money).as("x"))
+    val u = conv(substring(md5(concat_ws("|", lit("boot"),
+        col("o_orderkey"), col("b")).cast("binary")), 1, 15), 16, 10)
+      .cast("double") / lit(1152921504606846976.0)
+    val w = PoissonCum.zipWithIndex.reverse.foldLeft(lit(7): Column) {
+      case (acc, (t, k)) => when(col("u") < lit(t.toDouble), lit(k))
+        .otherwise(acc)
+    }
+    val means = o
+      .select(col("o_orderkey"), col("x"),
+        explode(sequence(lit(0), lit(B - 1))).as("b"))
+      .withColumn("u", u).withColumn("w", w)
+      .groupBy(col("b"))
+      .agg(sum((col("w") * col("x")).cast(org.apache.spark.sql.types.DecimalType(38, 2))).as("swx"),
+        sum(col("w").cast("long")).as("sw"))
+      .select(col("b"),
+        (col("swx").cast("double") / col("sw").cast("double")).as("mean_b"))
+    // B=200 aggregated rows — the unpartitioned rank is model-sized
+    val ranked = means.withColumn("rn",
+      row_number().over(Window.orderBy(col("mean_b"), col("b"))))
+    val pt = o.agg(count(lit(1)).as("n"),
+      sum(col("x")).cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("sx"))
+    pt.crossJoin(ranked.filter(col("rn") === 5)
+        .select(col("mean_b").as("lo")))
+      .crossJoin(ranked.filter(col("rn") === 195)
+        .select(col("mean_b").as("hi")))
+      .select(col("n"),
+        r4(col("sx").cast("double") / col("n").cast("double"))
+          .as("point_mean"),
+        r4(col("lo")).as("ci_lo"), r4(col("hi")).as("ci_hi"),
+        r4(col("hi") - col("lo")).as("ci_width"),
+        lit(B.toLong).as("n_boot"))
+  }
+
+  /** Multiple linear regression l_extendedprice ~ l_quantity +
+    * l_discount via ONE-SCAN Gram-matrix moments — the closed-form
+    * normal-equations solve that [[aggCorrRegression]]'s single-feature
+    * OLS doesn't cover. The scan computes the ten sufficient statistics
+    * (n, Σq, Σd, Σy, Σq², Σd², Σqd, Σqy, Σdy, Σy²) as exact
+    * DECIMAL(38,8) sums (2-dp inputs → 4-dp products, order-independent
+    * across any partitioning), then the 3×3 solve is Cramer's rule
+    * spelled as the IDENTICAL double expression tree in both engines —
+    * no iteration, no driver state, model-sized output. This is the
+    * 100 TB regression shape: sufficient statistics distribute, the
+    * solve is O(p³) scalar math. Degenerate design (|det| = 0) yields
+    * NULL coefficients on both engines. */
+  def aggOlsMulti(spark: SparkSession, dir: String): DataFrame = {
+    val d388 = org.apache.spark.sql.types.DecimalType(38, 8)
+    val li = table(spark, dir, "lineitem").select(
+      col("l_quantity").cast(Qty).as("q"),
+      col("l_discount").cast(Qty).as("d"),
+      col("l_extendedprice").cast(Money).as("y"))
+    val s = li.agg(
+      count(lit(1)).as("n"),
+      sum(col("q").cast(d388)).as("sq"),
+      sum(col("d").cast(d388)).as("sd"),
+      sum(col("y").cast(d388)).as("sy"),
+      sum((col("q") * col("q")).cast(d388)).as("sqq"),
+      sum((col("d") * col("d")).cast(d388)).as("sdd"),
+      sum((col("q") * col("d")).cast(d388)).as("sqd"),
+      sum((col("q") * col("y")).cast(d388)).as("sqy"),
+      sum((col("d") * col("y")).cast(d388)).as("sdy"),
+      sum((col("y") * col("y")).cast(d388)).as("syy"))
+    val dbl = s.select(col("n") +:
+      Seq("sq", "sd", "sy", "sqq", "sdd", "sqd", "sqy", "sdy", "syy")
+        .map(c => col(c).cast("double").as(c)): _*)
+      .withColumn("nd", col("n").cast("double"))
+    def c(n: String) = col(n)
+    // Cramer's rule, first-row cofactor expansion — the same
+    // parenthesization as the oracle so the IEEE ops match 1:1
+    val det = c("nd") * (c("sqq") * c("sdd") - c("sqd") * c("sqd")) -
+      c("sq") * (c("sq") * c("sdd") - c("sqd") * c("sd")) +
+      c("sd") * (c("sq") * c("sqd") - c("sqq") * c("sd"))
+    val det0 = c("sy") * (c("sqq") * c("sdd") - c("sqd") * c("sqd")) -
+      c("sq") * (c("sqy") * c("sdd") - c("sqd") * c("sdy")) +
+      c("sd") * (c("sqy") * c("sqd") - c("sqq") * c("sdy"))
+    val det1 = c("nd") * (c("sqy") * c("sdd") - c("sqd") * c("sdy")) -
+      c("sy") * (c("sq") * c("sdd") - c("sqd") * c("sd")) +
+      c("sd") * (c("sq") * c("sdy") - c("sqy") * c("sd"))
+    val det2 = c("nd") * (c("sqq") * c("sdy") - c("sqy") * c("sqd")) -
+      c("sq") * (c("sq") * c("sdy") - c("sqy") * c("sd")) +
+      c("sy") * (c("sq") * c("sqd") - c("sqq") * c("sd"))
+    val sol = dbl.select(col("n"), col("nd"), col("sy"), col("sqy"),
+      col("sdy"), col("syy"),
+      det.as("det"),
+      (det0 / det).as("b0"), (det1 / det).as("b1"), (det2 / det).as("b2"))
+    // fp cancellation can push SSE a hair negative on a near-exact fit;
+    // clamp with the same greatest() both engines before sqrt/ratio
+    val sse = greatest(c("syy") - c("b0") * c("sy") - c("b1") * c("sqy") -
+      c("b2") * c("sdy"), lit(0.0))
+    val sst = c("syy") - c("sy") * c("sy") / c("nd")
+    val ok = abs(c("det")) > lit(0.0)
+    sol.select(col("n"),
+      r4(when(ok, c("b0"))).as("b_intercept"),
+      r4(when(ok, c("b1"))).as("b_quantity"),
+      r4(when(ok, c("b2"))).as("b_discount"),
+      r6(when(ok, lit(1.0) - sse / sst)).as("r2"),
+      r4(when(ok, sqrt(sse / c("nd")))).as("rmse"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bootstrap_ci" -> (aggBootstrapCi _),
+    "agg_ols_multi" -> (aggOlsMulti _),
     "agg_em_mixture" -> (aggEmMixture _),
     "events_power_analysis" -> (eventsPowerAnalysis _),
     "events_stl_decompose" -> (eventsStlDecompose _),
@@ -3666,7 +3797,84 @@ object Relational {
            FROM a$k, $p)"""
   }.mkString(",\n         ")
 
+  // inverse Poisson(1) CDF as a CASE ladder over the shared literals
+  private val poissonCaseSql =
+    PoissonCum.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 7 END")
+
   val oracleSql: Map[String, String] = Map(
+    "agg_bootstrap_ci" ->
+      s"""WITH o AS (SELECT o_orderkey,
+           CAST(o_totalprice AS DECIMAL(14,2)) AS x FROM orders),
+         reps AS (SELECT unnest(range(200)) AS b),
+         u AS (SELECT b, x,
+           CAST(CAST(('0x' || substr(md5('boot|' ||
+             CAST(o_orderkey AS VARCHAR) || '|' || CAST(b AS VARCHAR)),
+             1, 15)) AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
+           FROM o, reps),
+         w AS (SELECT b, x, $poissonCaseSql AS w FROM u),
+         m AS (SELECT b,
+           CAST(sum(CAST(w * x AS DECIMAL(38,2))) AS DOUBLE)
+             / CAST(sum(w) AS DOUBLE) AS mean_b
+           FROM w GROUP BY b),
+         rk AS (SELECT b, mean_b,
+           row_number() OVER (ORDER BY mean_b, b) AS rn FROM m),
+         pt AS (SELECT count(*) AS n,
+           CAST(CAST(sum(x) AS DECIMAL(38,2)) AS DOUBLE) AS sx FROM o)
+         SELECT pt.n,
+           ${r4Sql("sx / CAST(n AS DOUBLE)")} AS point_mean,
+           ${r4Sql("lo.mean_b")} AS ci_lo, ${r4Sql("hi.mean_b")} AS ci_hi,
+           ${r4Sql("hi.mean_b - lo.mean_b")} AS ci_width,
+           CAST(200 AS BIGINT) AS n_boot
+         FROM pt,
+           (SELECT mean_b FROM rk WHERE rn = 5) lo,
+           (SELECT mean_b FROM rk WHERE rn = 195) hi""",
+    "agg_ols_multi" ->
+      s"""WITH li AS (SELECT CAST(l_quantity AS DECIMAL(10,2)) AS q,
+           CAST(l_discount AS DECIMAL(10,2)) AS d,
+           CAST(l_extendedprice AS DECIMAL(14,2)) AS y FROM lineitem),
+         s AS (SELECT count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
+           CAST(sum(CAST(q AS DECIMAL(38,8))) AS DOUBLE) AS sq,
+           CAST(sum(CAST(d AS DECIMAL(38,8))) AS DOUBLE) AS sd,
+           CAST(sum(CAST(y AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(q * q AS DECIMAL(38,8))) AS DOUBLE) AS sqq,
+           CAST(sum(CAST(d * d AS DECIMAL(38,8))) AS DOUBLE) AS sdd,
+           CAST(sum(CAST(q * d AS DECIMAL(38,8))) AS DOUBLE) AS sqd,
+           CAST(sum(CAST(q * y AS DECIMAL(38,8))) AS DOUBLE) AS sqy,
+           CAST(sum(CAST(d * y AS DECIMAL(38,8))) AS DOUBLE) AS sdy,
+           CAST(sum(CAST(y * y AS DECIMAL(38,8))) AS DOUBLE) AS syy
+           FROM li),
+         dets AS (SELECT *,
+           nd * (sqq * sdd - sqd * sqd) -
+             sq * (sq * sdd - sqd * sd) +
+             sd * (sq * sqd - sqq * sd) AS det,
+           sy * (sqq * sdd - sqd * sqd) -
+             sq * (sqy * sdd - sqd * sdy) +
+             sd * (sqy * sqd - sqq * sdy) AS det0,
+           nd * (sqy * sdd - sqd * sdy) -
+             sy * (sq * sdd - sqd * sd) +
+             sd * (sq * sdy - sqy * sd) AS det1,
+           nd * (sqq * sdy - sqy * sqd) -
+             sq * (sq * sdy - sqy * sd) +
+             sy * (sq * sqd - sqq * sd) AS det2
+           FROM s),
+         sol AS (SELECT n, nd, sy, sqy, sdy, syy, det,
+           det0 / det AS b0, det1 / det AS b1, det2 / det AS b2
+           FROM dets),
+         fit AS (SELECT *,
+           greatest(syy - b0 * sy - b1 * sqy - b2 * sdy, 0.0) AS sse,
+           syy - sy * sy / nd AS sst
+           FROM sol)
+         SELECT n,
+           ${r4Sql("CASE WHEN abs(det) > 0.0 THEN b0 END")} AS b_intercept,
+           ${r4Sql("CASE WHEN abs(det) > 0.0 THEN b1 END")} AS b_quantity,
+           ${r4Sql("CASE WHEN abs(det) > 0.0 THEN b2 END")} AS b_discount,
+           ${r6Sql("CASE WHEN abs(det) > 0.0 THEN 1.0 - sse / sst END")}
+             AS r2,
+           ${r4Sql("CASE WHEN abs(det) > 0.0 THEN sqrt(sse / nd) END")}
+             AS rmse
+         FROM fit""",
     "agg_em_mixture" ->
       s"""WITH xs AS (SELECT CAST(value AS DECIMAL(10,2)) AS xd,
            CAST(CAST(value AS DECIMAL(10,2)) AS DOUBLE) AS x

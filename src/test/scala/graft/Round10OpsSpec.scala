@@ -396,6 +396,82 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  // ---- agg_bootstrap_ci: Poisson bootstrap invariants ------------------
+
+  test("bootstrap CI: constant data gives a zero-width CI at the point") {
+    val ts0 = ts("2024-08-01 00:00:00")
+    val rows = (1L to 60L).map(k =>
+      OrderRow(k, k % 10, "O", 100.0, ts0, "1-URGENT"))
+    val dir = fixtureDir("orders" -> spark.createDataset(rows).toDF)
+    val r = Relational.aggBootstrapCi(spark, dir).collect()(0)
+    // every Poisson-weighted mean of a constant IS the constant, so the
+    // empirical 2.5/97.5 percentiles collapse to the point estimate
+    assert(r.getAs[Long]("n") == 60L)
+    assert(r.getAs[Double]("point_mean") == 100.0)
+    assert(r.getAs[Double]("ci_lo") == 100.0)
+    assert(r.getAs[Double]("ci_hi") == 100.0)
+    assert(r.getAs[Double]("ci_width") == 0.0)
+    assert(r.getAs[Long]("n_boot") == 200L)
+  }
+
+  test("bootstrap CI: brackets the true mean and shrinks with n") {
+    val ts0 = ts("2024-08-01 00:00:00")
+    def dirOf(n: Int) = fixtureDir("orders" -> spark.createDataset(
+      (1 to n).map(i => OrderRow(i.toLong, i % 10L, "O",
+        if (i % 2 == 0) 50.0 else 150.0, ts0, "1-URGENT"))).toDF)
+    def ci(n: Int) = {
+      val r = Relational.aggBootstrapCi(spark, dirOf(n)).collect()(0)
+      (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"),
+        r.getAs[Double]("ci_width"))
+    }
+    val (lo1, hi1, w1) = ci(100)
+    assert(lo1 < 100.0 && 100.0 < hi1, s"CI [$lo1,$hi1] must cover 100")
+    val (_, _, w2) = ci(400)
+    // se ~ sigma/sqrt(n): 4x the data should roughly halve the width;
+    // allow slack for bootstrap noise at B=200
+    assert(w2 < w1 * 0.75, s"width must shrink: n=100 $w1 vs n=400 $w2")
+  }
+
+  // ---- agg_ols_multi: exact planted fit --------------------------------
+
+  test("OLS multi: recovers an exact planted linear model with r2=1") {
+    val rows = (0 until 140).map { i =>
+      val q = (i % 7 + 1).toDouble
+      val d = (i % 11).toDouble / 100.0
+      val y = 5.0 + 2.0 * q + 3.0 * d // exact at 2dp
+      LineRow(i.toLong, q, y, d, 0.0, "N", "O")
+    }
+    val dir = fixtureDir("lineitem" -> spark.createDataset(rows).toDF)
+    val r = Relational.aggOlsMulti(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n") == 140L)
+    assert(math.abs(r.getAs[Double]("b_intercept") - 5.0) < 1e-3, s"$r")
+    assert(math.abs(r.getAs[Double]("b_quantity") - 2.0) < 1e-3, s"$r")
+    assert(math.abs(r.getAs[Double]("b_discount") - 3.0) < 1e-3, s"$r")
+    assert(r.getAs[Double]("r2") > 0.999999, s"$r")
+    assert(r.getAs[Double]("rmse") < 1e-3, s"$r")
+  }
+
+  test("OLS multi: collinear design yields NULL coefficients, not garbage") {
+    // d = q/100 exactly -> the Gram matrix is singular
+    val rows = (0 until 60).map { i =>
+      val q = (i % 5 + 1).toDouble
+      LineRow(i.toLong, q, 10.0 * q, q / 100.0, 0.0, "N", "O")
+    }
+    val dir = fixtureDir("lineitem" -> spark.createDataset(rows).toDF)
+    val r = Relational.aggOlsMulti(spark, dir).collect()(0)
+    if (r.isNullAt(r.fieldIndex("b_quantity"))) {
+      assert(r.isNullAt(r.fieldIndex("b_intercept")), s"$r")
+    } else {
+      // fp cancellation may leave |det| epsilon-positive; then the fit
+      // must still be a valid least-squares solution of the planted line
+      val q = 3.0
+      val pred = r.getAs[Double]("b_intercept") +
+        r.getAs[Double]("b_quantity") * q +
+        r.getAs[Double]("b_discount") * (q / 100.0)
+      assert(math.abs(pred - 30.0) < 0.5, s"$r")
+    }
+  }
+
   // ---- agg_em_mixture: recovers planted components --------------------
 
   test("EM mixture: separates two planted value populations in 3 rounds") {
