@@ -3618,7 +3618,110 @@ object Relational {
       r4(when(ok, sqrt(sse / c("nd")))).as("rmse"))
   }
 
+  /** In-plan exact median by explicit rank selection: row_number the
+    * values, keep ranks floor((m+1)/2) and floor(m/2)+1 (equal when m
+    * is odd), average them — the engine-neutral median (no
+    * percentile-interpolation semantics to match). Rank ties are
+    * between equal values, so the selected VALUES are deterministic
+    * even though the tie order isn't. Only for model-sized frames: the
+    * rank is an unpartitioned window. */
+  private def rankMedian(df: DataFrame, c: String, as: String): DataFrame =
+    df.select(col(c), row_number().over(Window.orderBy(col(c))).as("rn"),
+        count(lit(1)).over(Window.partitionBy()).as("m"))
+      .filter(col("rn") === floor((col("m") + lit(1)) / lit(2.0)) ||
+        col("rn") === floor(col("m") / lit(2.0)) + lit(1))
+      .agg(avg(col(c)).as(as))
+
+  /** Theil–Sen robust trend of daily purchase revenue — the
+    * breakdown-resistant alternative to [[aggCorrRegression]]'s OLS
+    * slope (one corrupted day can move OLS arbitrarily; Theil–Sen
+    * tolerates ~29% outliers). Slope = median of all pairwise
+    * day-to-day slopes, intercept = median of (y − slope·x). The pair
+    * space is quadratic ONLY over the aggregated daily frame (~92
+    * rows → ~4k pairs), which is the 100 TB shape: reduce first
+    * (map-side-combined hash agg to one row per day), then run the
+    * quadratic estimator on the model-sized frame. Medians are
+    * explicit rank selections ([[rankMedian]]) — no engine quantile
+    * interpolation. */
+  def eventsTheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(dsum(col("value"), Qty).as("y"))
+      .select(datediff(col("d"), to_date(lit("1970-01-01"))).as("x"),
+        col("y"))
+    val a = daily.select(col("x").as("xa"), col("y").as("ya"))
+    val bb = daily.select(col("x").as("xb"), col("y").as("yb"))
+    val slopes = a.join(bb, col("xa") < col("xb"))
+      .select(((col("yb") - col("ya")) /
+        (col("xb") - col("xa")).cast("double")).as("slope"))
+    val smed = rankMedian(slopes, "slope", "med")
+    val resid = daily.crossJoin(broadcast(smed))
+      .select((col("y") - col("med") * col("x")).as("r"))
+    val imed = rankMedian(resid, "r", "imed")
+    daily.agg(count(lit(1)).as("n_days"))
+      .crossJoin(slopes.agg(count(lit(1)).as("n_pairs")))
+      .crossJoin(smed).crossJoin(imed)
+      .select(col("n_days"), col("n_pairs"),
+        r6(col("med")).as("slope_per_day"), r4(col("imed")).as("intercept"))
+  }
+
+  /** Benjamini–Hochberg FDR control over the per-hour purchase-rate
+    * test family — the multiple-comparisons half the A/B suite
+    * ([[eventsTwoProportionZ]], [[eventsPowerAnalysis]]) needs once
+    * you test 24 hypotheses at once: each hour's purchase rate vs the
+    * other 23 hours' pooled rate (leave-one-out two-proportion z),
+    * p-values through the Abramowitz–Stegun 26.2.17 normal-tail
+    * polynomial (|err| < 7.5e-8; BOTH engines evaluate the identical
+    * literal tree, so the approximation is self-consistent and
+    * oracle-exact), then the BH step-up: rank ascending p, k* =
+    * max{k : p(k) ≤ k·α/m}, discover ranks ≤ k*. Everything after the
+    * one hash agg is window math on the 24-row frame. */
+  def aggBhFdr(spark: SparkSession, dir: String): DataFrame = {
+    val alpha = 0.05
+    val byHour = table(spark, dir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .groupBy(hour(col("ts")).cast("long").as("hr"))
+      .agg(count(when(col("event_type") === "purchase", 1)).as("k"),
+        count(lit(1)).as("n"))
+    val tot = byHour.agg(sum(col("k")).as("kt"), sum(col("n")).as("nt"))
+    val k1 = col("k").cast("double"); val n1 = col("n").cast("double")
+    val k2 = (col("kt") - col("k")).cast("double")
+    val n2 = (col("nt") - col("n")).cast("double")
+    val p1 = k1 / n1; val p2 = k2 / n2
+    val pp = (k1 + k2) / (n1 + n2)
+    val z = (p1 - p2) /
+      sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / n1 + lit(1.0) / n2))
+    val az = abs(z)
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val pdf = exp(-(az * az) / lit(2.0)) * lit(0.3989422804014327)
+    val tail = pdf * t * (lit(0.319381530) + t * (lit(-0.356563782) +
+      t * (lit(1.781477937) + t * (lit(-1.821255978) +
+        t * lit(1.330274429)))))
+    val scored = byHour.crossJoin(broadcast(tot))
+      .select(col("hr"), col("k"), col("n"), r6(p1).as("rate"),
+        r4(z).as("z_stat"), (lit(2.0) * tail).as("praw"))
+    val ranked = scored
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("praw"), col("hr")))
+          .cast("long"))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("crit",
+        col("rnk").cast("double") * lit(alpha) / col("m").cast("double"))
+      .withColumn("kmax",
+        max(when(col("praw") <= col("crit"), col("rnk")))
+          .over(Window.partitionBy()))
+    ranked.select(col("hr"), col("k"), col("n"), col("rate"),
+        col("z_stat"), r6(col("praw")).as("p_value"), col("rnk"),
+        r6(col("crit")).as("bh_crit"),
+        coalesce(col("rnk") <= col("kmax"), lit(false))
+          .as("is_discovery"))
+      .orderBy("rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_theil_sen" -> (eventsTheilSen _),
+    "agg_bh_fdr" -> (aggBhFdr _),
     "agg_bootstrap_ci" -> (aggBootstrapCi _),
     "agg_ols_multi" -> (aggOlsMulti _),
     "agg_em_mixture" -> (aggEmMixture _),
@@ -3803,7 +3906,66 @@ object Relational {
       .map { case (t, k) => s"WHEN u < $t THEN $k" }
       .mkString("CASE ", " ", " ELSE 7 END")
 
+  // rank-selection median: keep ranks floor((m+1)/2) and floor(m/2)+1
+  private def rankMedSql(src: String, c: String, as: String): String =
+    s"""(SELECT avg($c) AS $as FROM
+       (SELECT $c, row_number() OVER (ORDER BY $c) AS rn,
+          count(*) OVER () AS m FROM $src) _r
+       WHERE rn = floor((m + 1) / 2.0) OR rn = floor(m / 2.0) + 1)"""
+
   val oracleSql: Map[String, String] = Map(
+    "events_theil_sen" ->
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+           CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS y
+           FROM ${evSql()} WHERE event_type = 'purchase' GROUP BY 1),
+         dx AS (SELECT date_diff('day', DATE '1970-01-01', d) AS x, y
+           FROM daily),
+         sl AS (SELECT (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS slope
+           FROM dx a, dx b WHERE a.x < b.x),
+         sm AS ${rankMedSql("sl", "slope", "med")},
+         res AS (SELECT y - med * x AS r FROM dx, sm),
+         rm AS ${rankMedSql("res", "r", "imed")},
+         nd AS (SELECT count(*) AS n_days FROM dx),
+         np AS (SELECT count(*) AS n_pairs FROM sl)
+         SELECT n_days, n_pairs, ${r6Sql("med")} AS slope_per_day,
+           ${r4Sql("imed")} AS intercept
+         FROM nd, np, sm, rm""",
+    "agg_bh_fdr" ->
+      s"""WITH bh AS (SELECT hour(ts) AS hr,
+           count(*) FILTER (WHERE event_type = 'purchase') AS k,
+           count(*) AS n
+           FROM ${evSql()} WHERE event_type IN ('purchase', 'click')
+           GROUP BY 1),
+         tot AS (SELECT CAST(sum(k) AS BIGINT) AS kt,
+           CAST(sum(n) AS BIGINT) AS nt FROM bh),
+         s1 AS (SELECT hr, k, n,
+           CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p1v,
+           CAST(kt - k AS DOUBLE) / CAST(nt - n AS DOUBLE) AS p2v,
+           (CAST(k AS DOUBLE) + CAST(kt - k AS DOUBLE))
+             / (CAST(n AS DOUBLE) + CAST(nt - n AS DOUBLE)) AS ppv,
+           CAST(n AS DOUBLE) AS n1d, CAST(nt - n AS DOUBLE) AS n2d
+           FROM bh, tot),
+         s2 AS (SELECT hr, k, n, p1v,
+           (p1v - p2v) / sqrt(ppv * (1.0 - ppv)
+             * (1.0 / n1d + 1.0 / n2d)) AS z
+           FROM s1),
+         s3 AS (SELECT hr, k, n, p1v, z, abs(z) AS az,
+           1.0 / (1.0 + 0.2316419 * abs(z)) AS t FROM s2),
+         s4 AS (SELECT hr, k, n, p1v, z,
+           2.0 * (exp(-(az * az) / 2.0) * 0.3989422804014327 * t
+             * (0.319381530 + t * (-0.356563782 + t * (1.781477937
+               + t * (-1.821255978 + t * 1.330274429))))) AS praw
+           FROM s3),
+         rk AS (SELECT *, CAST(row_number() OVER (ORDER BY praw, hr)
+             AS BIGINT) AS rnk, count(*) OVER () AS m FROM s4),
+         ck AS (SELECT *, CAST(rnk AS DOUBLE) * 0.05 / CAST(m AS DOUBLE)
+             AS crit FROM rk),
+         km AS (SELECT *, max(CASE WHEN praw <= crit THEN rnk END)
+             OVER () AS kmax FROM ck)
+         SELECT hr, k, n, ${r6Sql("p1v")} AS rate, ${r4Sql("z")} AS z_stat,
+           ${r6Sql("praw")} AS p_value, rnk, ${r6Sql("crit")} AS bh_crit,
+           coalesce(rnk <= kmax, false) AS is_discovery
+         FROM km ORDER BY rnk""",
     "agg_bootstrap_ci" ->
       s"""WITH o AS (SELECT o_orderkey,
            CAST(o_totalprice AS DECIMAL(14,2)) AS x FROM orders),

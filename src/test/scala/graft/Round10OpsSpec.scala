@@ -396,6 +396,64 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  // ---- events_theil_sen: robustness to outliers ------------------------
+
+  test("Theil-Sen: exact line recovered; one corrupted day can't move it") {
+    val base = ts("2024-08-01 00:00:00").getTime
+    // 30 days, one purchase/day of value 100 + 2*day; day 15 corrupted 50x
+    def rows(corrupt: Boolean) = (0 until 30).map { day =>
+      val v0 = 100.0 + 2.0 * day
+      val v = if (corrupt && day == 15) v0 * 50 else v0
+      EventRow(day.toLong, new Timestamp(base + day * 86400000L),
+        day.toLong, "purchase", v, "{}")
+    }
+    def fit(corrupt: Boolean) = {
+      val dir = fixtureDir("events" ->
+        spark.createDataset(rows(corrupt)).toDF)
+      val r = Relational.eventsTheilSen(spark, dir).collect()(0)
+      (r.getAs[Long]("n_days"), r.getAs[Long]("n_pairs"),
+        r.getAs[Double]("slope_per_day"))
+    }
+    val (nd, np, clean) = fit(corrupt = false)
+    assert(nd == 30L && np == 30L * 29 / 2)
+    assert(math.abs(clean - 2.0) < 1e-9, s"clean slope $clean")
+    val (_, _, dirty) = fit(corrupt = true)
+    // the median of pairwise slopes shrugs off a single 50x day
+    assert(math.abs(dirty - 2.0) < 0.2, s"robust slope $dirty")
+  }
+
+  // ---- agg_bh_fdr: step-up discovers the planted hour ------------------
+
+  test("BH FDR: uniform hours yield no discoveries; a hot hour is found") {
+    val base = ts("2024-08-01 00:00:00").getTime
+    def mk(hot: Boolean) = (0 until 24).flatMap { h =>
+      (0 until 200).map { i =>
+        // uniform 10% purchase rate; the hot hour jumps to 50%
+        val rate = if (hot && h == 7) 2 else 10
+        val typ = if (i % rate == 0) "purchase" else "click"
+        EventRow((h * 200 + i).toLong,
+          new Timestamp(base + h * 3600000L + i * 1000L),
+          i.toLong, typ, 1.0, "{}")
+      }
+    }
+    def run(hot: Boolean) = {
+      val dir = fixtureDir("events" -> spark.createDataset(mk(hot)).toDF)
+      Relational.aggBhFdr(spark, dir).collect()
+    }
+    val flat = run(hot = false)
+    assert(flat.length == 24)
+    assert(!flat.exists(_.getAs[Boolean]("is_discovery")),
+      "identical rates must produce zero discoveries")
+    val spiked = run(hot = true)
+    val hit = spiked.filter(_.getAs[Boolean]("is_discovery"))
+    assert(hit.exists(_.getAs[Long]("hr") == 7L),
+      s"hour 7 must be discovered: ${spiked.take(3).mkString(";")}")
+    // BH discoveries are a prefix of the p-value ranking
+    val maxDisc = hit.map(_.getAs[Long]("rnk")).max
+    assert(hit.length == maxDisc.toInt,
+      "discoveries must be exactly ranks 1..k*")
+  }
+
   // ---- agg_bootstrap_ci: Poisson bootstrap invariants ------------------
 
   test("bootstrap CI: constant data gives a zero-width CI at the point") {
