@@ -3666,6 +3666,26 @@ object Relational {
         r6(col("med")).as("slope_per_day"), r4(col("imed")).as("intercept"))
   }
 
+  /** Upper-tail normal probability P(Z > az) for az ≥ 0 via the
+    * Abramowitz–Stegun 26.2.17 polynomial (|err| < 7.5e-8). Both
+    * engines evaluate the identical literal tree ([[normTailSql]] is
+    * the SQL spelling), so the approximation is self-consistent and
+    * oracle-exact. */
+  private def normTail(az: Column): Column = {
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    exp(-(az * az) / lit(2.0)) * lit(0.3989422804014327) * t *
+      (lit(0.319381530) + t * (lit(-0.356563782) + t * (lit(1.781477937) +
+        t * (lit(-1.821255978) + t * lit(1.330274429)))))
+  }
+
+  /** [[normTail]]'s SQL spelling; `az` must be a non-negative column
+    * reference and `t` the alias `1.0/(1.0 + 0.2316419*az)` computed in
+    * an enclosing CTE. */
+  private def normTailSql(az: String, t: String): String =
+    s"""exp(-($az * $az) / 2.0) * 0.3989422804014327 * $t
+       * (0.319381530 + $t * (-0.356563782 + $t * (1.781477937
+         + $t * (-1.821255978 + $t * 1.330274429))))"""
+
   /** Benjamini–Hochberg FDR control over the per-hour purchase-rate
     * test family — the multiple-comparisons half the A/B suite
     * ([[eventsTwoProportionZ]], [[eventsPowerAnalysis]]) needs once
@@ -3692,15 +3712,9 @@ object Relational {
     val pp = (k1 + k2) / (n1 + n2)
     val z = (p1 - p2) /
       sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / n1 + lit(1.0) / n2))
-    val az = abs(z)
-    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
-    val pdf = exp(-(az * az) / lit(2.0)) * lit(0.3989422804014327)
-    val tail = pdf * t * (lit(0.319381530) + t * (lit(-0.356563782) +
-      t * (lit(1.781477937) + t * (lit(-1.821255978) +
-        t * lit(1.330274429)))))
     val scored = byHour.crossJoin(broadcast(tot))
       .select(col("hr"), col("k"), col("n"), r6(p1).as("rate"),
-        r4(z).as("z_stat"), (lit(2.0) * tail).as("praw"))
+        r4(z).as("z_stat"), (lit(2.0) * normTail(abs(z))).as("praw"))
     val ranked = scored
       .withColumn("rnk",
         row_number().over(Window.orderBy(col("praw"), col("hr")))
@@ -3719,7 +3733,93 @@ object Relational {
       .orderBy("rnk")
   }
 
+  /** Cumulative distinct-user growth curve — the scalable rewrite of
+    * "COUNT(DISTINCT user) OVER (ORDER BY day)", which is
+    * undistributable as written (every day's frame re-deduplicates all
+    * history). The reduction: each user contributes exactly once, at
+    * their FIRST day (one map-side-combined min-agg per user), so the
+    * curve is new-users-per-day + a prefix sum over the bounded daily
+    * frame. Same shape at 100 TB: user-partitioned min, day-partitioned
+    * count, ~92-row window. */
+  def eventsCumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val first = ev.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_d"))
+    val byDay = first.groupBy(col("first_d").as("d"))
+      .agg(count(lit(1)).as("nu"))
+    // re-densify: a day with zero first-timers still belongs on the curve
+    val days = ev.select(to_date(col("ts")).as("d")).distinct()
+    days.join(byDay, Seq("d"), "left")
+      .select(col("d"), coalesce(col("nu"), lit(0L)).as("new_users"))
+      .select(dateS(col("d")).as("day_s"), col("new_users"),
+        sum(col("new_users"))
+          .over(Window.orderBy(col("d"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cum_users"))
+      .orderBy("day_s")
+  }
+
+  /** Sample-ratio-mismatch guardrail — the experiment-integrity check
+    * that must run BEFORE any A/B readout ([[eventsAbTtest]],
+    * [[eventsTwoProportionZ]]): per day, does the T/C traffic split
+    * (user_id parity, the suite's standing assignment) deviate from
+    * 50/50 beyond chance? χ² goodness-of-fit with 1 dof reduces to
+    * (nT−nC)²/n; p = 2·P(Z > √χ²) through the shared [[normTail]]
+    * polynomial; a day flags at p < 0.001 (the conventional SRM alarm
+    * threshold — loose enough that chance alone fires ~once per 3
+    * years of days). One hash agg to the daily frame, then scalar
+    * math. */
+  def eventsSrmCheck(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = table(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(when(col("user_id") % 2 === 0, 1)).as("n_t"),
+        count(when(col("user_id") % 2 =!= 0, 1)).as("n_c"))
+    val nt = col("n_t").cast("double"); val nc = col("n_c").cast("double")
+    val chi2 = (nt - nc) * (nt - nc) / (nt + nc)
+    byDay.select(dateS(col("d")).as("day_s"), col("n_t"), col("n_c"),
+        r4(chi2).as("chi2"),
+        r6(lit(2.0) * normTail(sqrt(chi2))).as("p_value"),
+        (lit(2.0) * normTail(sqrt(chi2)) < lit(0.001)).as("srm_flag"))
+      .orderBy("day_s")
+  }
+
+  /** Lincoln–Petersen capture–recapture population estimate (Chapman's
+    * bias-corrected form) from the two halves of the event window: how
+    * many distinct users EXIST — including the never-observed — given
+    * n1 users seen early, n2 seen late, and m seen in both. The
+    * estimator ecologists use for animal populations is the data
+    * engineer's answer to "how complete is my corpus/user coverage"
+    * without a census. Shape: one scan → per-(user, half) presence →
+    * per-user pair flags (map-side-combined min/max agg) → three
+    * counts; Chapman (n1+1)(n2+1)/(m+1) − 1 survives m = 0. */
+  def aggCaptureRecapture(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val span = ev.agg(min(to_date(col("ts"))).as("d0"),
+        max(to_date(col("ts"))).as("d1"))
+      .select(expr("date_add(d0, CAST(datediff(d1, d0) DIV 2 AS INT))")
+        .as("mid"))
+    val flags = ev.crossJoin(broadcast(span))
+      .groupBy(col("user_id"))
+      .agg(max(when(to_date(col("ts")) <= col("mid"), 1).otherwise(0))
+          .as("in1"),
+        max(when(to_date(col("ts")) > col("mid"), 1).otherwise(0))
+          .as("in2"))
+    val cnt = flags.agg(
+      sum(col("in1")).cast("long").as("n1"),
+      sum(col("in2")).cast("long").as("n2"),
+      sum(col("in1") * col("in2")).cast("long").as("m"))
+    val n1d = col("n1").cast("double"); val n2d = col("n2").cast("double")
+    val md = col("m").cast("double")
+    cnt.select(col("n1"), col("n2"), col("m"),
+      r4((n1d + lit(1.0)) * (n2d + lit(1.0)) / (md + lit(1.0)) - lit(1.0))
+        .as("est_population"),
+      r6(md / n2d).as("recapture_rate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_cumulative_users" -> (eventsCumulativeUsers _),
+    "events_srm_check" -> (eventsSrmCheck _),
+    "agg_capture_recapture" -> (aggCaptureRecapture _),
     "events_theil_sen" -> (eventsTheilSen _),
     "agg_bh_fdr" -> (aggBhFdr _),
     "agg_bootstrap_ci" -> (aggBootstrapCi _),
@@ -3914,6 +4014,56 @@ object Relational {
        WHERE rn = floor((m + 1) / 2.0) OR rn = floor(m / 2.0) + 1)"""
 
   val oracleSql: Map[String, String] = Map(
+    "events_cumulative_users" ->
+      s"""WITH first AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_d
+           FROM ${evSql()} GROUP BY 1),
+         byday AS (SELECT first_d AS d, count(*) AS nu
+           FROM first GROUP BY 1),
+         days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM ${evSql()}),
+         dense AS (SELECT days.d,
+           CAST(coalesce(nu, 0) AS BIGINT) AS new_users
+           FROM days LEFT JOIN byday ON days.d = byday.d)
+         SELECT strftime(d, '%Y-%m-%d') AS day_s, new_users,
+           CAST(sum(new_users) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_users
+         FROM dense ORDER BY day_s""",
+    "events_srm_check" ->
+      s"""WITH byday AS (SELECT CAST(ts AS DATE) AS d,
+           count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_t,
+           count(CASE WHEN user_id % 2 <> 0 THEN 1 END) AS n_c
+           FROM ${evSql()} GROUP BY 1),
+         c AS (SELECT d, n_t, n_c,
+           (CAST(n_t AS DOUBLE) - CAST(n_c AS DOUBLE))
+             * (CAST(n_t AS DOUBLE) - CAST(n_c AS DOUBLE))
+             / (CAST(n_t AS DOUBLE) + CAST(n_c AS DOUBLE)) AS chi2
+           FROM byday),
+         a AS (SELECT d, n_t, n_c, chi2, sqrt(chi2) AS az,
+           1.0 / (1.0 + 0.2316419 * sqrt(chi2)) AS t FROM c),
+         p AS (SELECT d, n_t, n_c, chi2,
+           2.0 * (${normTailSql("az", "t")}) AS praw FROM a)
+         SELECT strftime(d, '%Y-%m-%d') AS day_s, n_t, n_c,
+           ${r4Sql("chi2")} AS chi2, ${r6Sql("praw")} AS p_value,
+           praw < 0.001 AS srm_flag
+         FROM p ORDER BY day_s""",
+    "agg_capture_recapture" ->
+      s"""WITH span AS (SELECT min(CAST(ts AS DATE)) AS d0,
+           max(CAST(ts AS DATE)) AS d1 FROM ${evSql()}),
+         md AS (SELECT d0 + CAST(date_diff('day', d0, d1) // 2 AS INTEGER)
+             AS mid FROM span),
+         f AS (SELECT user_id,
+           max(CASE WHEN CAST(ts AS DATE) <= mid THEN 1 ELSE 0 END) AS in1,
+           max(CASE WHEN CAST(ts AS DATE) > mid THEN 1 ELSE 0 END) AS in2
+           FROM ${evSql()}, md GROUP BY 1),
+         c AS (SELECT CAST(sum(in1) AS BIGINT) AS n1,
+           CAST(sum(in2) AS BIGINT) AS n2,
+           CAST(sum(in1 * in2) AS BIGINT) AS m FROM f)
+         SELECT n1, n2, m,
+           ${r4Sql("(CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0) / (CAST(m AS DOUBLE) + 1.0) - 1.0")}
+             AS est_population,
+           ${r6Sql("CAST(m AS DOUBLE) / CAST(n2 AS DOUBLE)")}
+             AS recapture_rate
+         FROM c""",
     "events_theil_sen" ->
       s"""WITH daily AS (SELECT CAST(ts AS DATE) AS d,
            CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS y
@@ -3952,9 +4102,7 @@ object Relational {
          s3 AS (SELECT hr, k, n, p1v, z, abs(z) AS az,
            1.0 / (1.0 + 0.2316419 * abs(z)) AS t FROM s2),
          s4 AS (SELECT hr, k, n, p1v, z,
-           2.0 * (exp(-(az * az) / 2.0) * 0.3989422804014327 * t
-             * (0.319381530 + t * (-0.356563782 + t * (1.781477937
-               + t * (-1.821255978 + t * 1.330274429))))) AS praw
+           2.0 * (${normTailSql("az", "t")}) AS praw
            FROM s3),
          rk AS (SELECT *, CAST(row_number() OVER (ORDER BY praw, hr)
              AS BIGINT) AS rnk, count(*) OVER () AS m FROM s4),

@@ -396,6 +396,87 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  // ---- events_cumulative_users: first-touch reduction ------------------
+
+  test("cumulative users: repeat visitors count once, at their first day") {
+    val base = ts("2024-08-01 00:00:00").getTime
+    // user u first appears on day u%5, then returns EVERY later day
+    val rows = for (day <- 0 until 10; u <- 0 until 50
+                    if day >= u % 5) yield
+      EventRow((day * 100 + u).toLong,
+        new Timestamp(base + day * 86400000L), u.toLong, "view", 1.0, "{}")
+    val dir = fixtureDir("events" ->
+      spark.createDataset(rows.toVector).toDF)
+    val r = Relational.eventsCumulativeUsers(spark, dir).collect()
+    assert(r.length == 10)
+    // days 0..4 add 10 new users each; days 5..9 add none
+    assert(r.take(5).map(_.getAs[Long]("new_users")).toSeq ==
+      Seq(10L, 10L, 10L, 10L, 10L))
+    assert(r.drop(5).forall(_.getAs[Long]("new_users") == 0L))
+    assert(r.last.getAs[Long]("cum_users") == 50L)
+    // the curve is non-decreasing
+    val cum = r.map(_.getAs[Long]("cum_users"))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a <= b })
+  }
+
+  // ---- events_srm_check: the guardrail fires only on real imbalance ----
+
+  test("SRM check: balanced days pass, a 70/30 day alarms") {
+    val base = ts("2024-08-01 00:00:00").getTime
+    val rows = (0 until 5).flatMap { day =>
+      val (nt, nc) = if (day == 3) (700, 300) else (500, 500)
+      (0 until nt).map(i => EventRow((day * 10000 + i).toLong,
+        new Timestamp(base + day * 86400000L + i), i * 2L, "view", 1.0,
+        "{}")) ++
+      (0 until nc).map(i => EventRow((day * 10000 + 5000 + i).toLong,
+        new Timestamp(base + day * 86400000L + i), i * 2L + 1, "view", 1.0,
+        "{}"))
+    }
+    val dir = fixtureDir("events" -> spark.createDataset(rows).toDF)
+    val r = Relational.eventsSrmCheck(spark, dir).collect()
+    assert(r.length == 5)
+    val flagged = r.filter(_.getAs[Boolean]("srm_flag"))
+      .map(_.getAs[String]("day_s"))
+    assert(flagged.toSeq == Seq("2024-08-04"),
+      s"only the 70/30 day alarms: ${r.mkString(";")}")
+    // chi2 for 700/300 of 1000 is (400^2)/1000 = 160
+    val hot = r.find(_.getAs[String]("day_s") == "2024-08-04").get
+    assert(math.abs(hot.getAs[Double]("chi2") - 160.0) < 1e-9)
+    assert(hot.getAs[Double]("p_value") < 1e-6)
+  }
+
+  // ---- agg_capture_recapture: Chapman estimator ------------------------
+
+  test("capture-recapture: full overlap gives N; the estimator tracks a planted population") {
+    val base = ts("2024-08-01 00:00:00").getTime
+    val day = 86400000L
+    // 10-day window, mid = day 4 (dates 08-01..08-10): every user seen
+    // both day 0 and day 9 -> n1 = n2 = m = 40, Chapman = 41*41/41-1 = 40
+    val full = (0 until 40).flatMap(u => Seq(
+      EventRow(u.toLong, new Timestamp(base), u.toLong, "view", 1.0, "{}"),
+      EventRow(100L + u, new Timestamp(base + 9 * day), u.toLong, "view",
+        1.0, "{}")))
+    val dirF = fixtureDir("events" -> spark.createDataset(full).toDF)
+    val rF = Relational.aggCaptureRecapture(spark, dirF).collect()(0)
+    assert(rF.getAs[Long]("n1") == 40L && rF.getAs[Long]("n2") == 40L &&
+      rF.getAs[Long]("m") == 40L)
+    assert(rF.getAs[Double]("est_population") == 40.0)
+    assert(rF.getAs[Double]("recapture_rate") == 1.0)
+    // planted population 100: halves sample 50 each with overlap 25
+    // -> Chapman (51*51)/26 - 1 = 99.04...
+    val part = (0 until 75).map(u => EventRow(u.toLong,
+        new Timestamp(base), u.toLong, "view", 1.0, "{}")) ++
+      (25 until 100).map(u => EventRow(200L + u,
+        new Timestamp(base + 9 * day), u.toLong, "view", 1.0, "{}"))
+    val dirP = fixtureDir("events" -> spark.createDataset(part).toDF)
+    val rP = Relational.aggCaptureRecapture(spark, dirP).collect()(0)
+    assert(rP.getAs[Long]("n1") == 75L && rP.getAs[Long]("n2") == 75L &&
+      rP.getAs[Long]("m") == 50L)
+    val est = rP.getAs[Double]("est_population")
+    assert(math.abs(est - (76.0 * 76.0 / 51.0 - 1.0)) < 1e-4, s"$est")
+    assert(est > 95 && est < 120, s"estimate $est should be near 100")
+  }
+
   // ---- events_theil_sen: robustness to outliers ------------------------
 
   test("Theil-Sen: exact line recovered; one corrupted day can't move it") {
