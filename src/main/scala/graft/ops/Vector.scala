@@ -1592,7 +1592,98 @@ object Vector {
       .orderBy("hamming", "d1", "d2").limit(20)
   }
 
+  /** Simplified (centroid-based) silhouette for the k-means clustering
+    * — the cluster-quality readout [[clusterKmeansAssign]] lacks: per
+    * member, a = distance to its OWN centroid, b = distance to the
+    * nearest OTHER centroid, s = (b−a)/max(a,b) ∈ [−1, 1]; negative s
+    * means the member sits closer to a foreign centroid than its own
+    * (misassigned under this k). The full silhouette's O(n²) pairwise
+    * distances are replaced by the centroid form, which is the ONLY
+    * silhouette that scales: k·d centroids broadcast, the corpus
+    * streams map-side through the fused [[sqdist]] loop, and the two
+    * smallest of each member's k distances come from a sorted
+    * k-element collect (bounded by k, never by corpus). Per-cluster
+    * means ride r6-floored DECIMAL(20,6) sums (order-independent). */
+  def clusterSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    val d206 = org.apache.spark.sql.types.DecimalType(20, 6)
+    val e = emb(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("xd"))
+    val cents = e.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("centroid_id"), col("xd").as("cd"))
+    val two = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct(sqdist(col("xd"), col("cd")).as("sqd"),
+          col("centroid_id").as("cid")).as("sc"))
+      .groupBy("vec_id")
+      .agg(sort_array(collect_list(col("sc"))).as("arr"))
+      .select(col("vec_id"),
+        col("arr").getItem(0).getField("cid").as("cid"),
+        sqrt(col("arr").getItem(0).getField("sqd")).as("av"),
+        sqrt(col("arr").getItem(1).getField("sqd")).as("bv"))
+    val sil = two.select(col("cid"),
+      r6(when(greatest(col("av"), col("bv")) > 0,
+        (col("bv") - col("av")) / greatest(col("av"), col("bv")))
+        .otherwise(lit(0.0))).as("s"))
+    sil.groupBy(col("cid").cast("long").as("centroid_id"))
+      .agg(count(lit(1)).as("n"),
+        r6(sum(col("s").cast(d206)).cast("double") /
+          count(lit(1)).cast("double")).as("mean_sil"),
+        r6(min(col("s"))).as("min_sil"),
+        r6(count(when(col("s") < 0, 1)).cast("double") /
+          count(lit(1)).cast("double")).as("share_neg"))
+      .orderBy("centroid_id")
+  }
+
+  /** Johnson–Lindenstrauss random projection 64 → 16 dims with a
+    * DISTORTION AUDIT — the dimensionality-reduction primitive that
+    * makes downstream ANN/cluster passes 4× cheaper, plus the evidence
+    * you may actually rely on it: per vector, the JL ratio
+    * ‖Gx‖²/(d'·‖x‖²) (expectation 1 under the lemma), reported as
+    * corpus stats. The projection matrix is SEEDED pseudo-Gaussian —
+    * Irwin–Hall: each g(k,d) is the sum of 12 md5 uniforms minus 6
+    * (variance 1, pure arithmetic, so both engines derive the
+    * IDENTICAL matrix; no Box–Muller trig-parity risk). Shape at
+    * scale: the 16×64 matrix is model-sized and broadcasts; each
+    * projection is a fixed-order fold (left-to-right, the
+    * list_sum-parity spelling); per-vector norms ride r6-floored
+    * DECIMAL(20,6) sums so the 16-term reduction is order-free. */
+  def embeddingJlProject(spark: SparkSession, dir: String): DataFrame = {
+    val d206 = org.apache.spark.sql.types.DecimalType(20, 6)
+    val u01 = (k: Column, d: Column, j: Column) =>
+      conv(substring(md5(concat_ws("|", lit("jl"), k, d, j)
+        .cast("binary")), 1, 15), 16, 10)
+        .cast("double") / lit(1152921504606846976.0)
+    val g = spark.range(16).toDF("k")
+      .select(col("k"), transform(sequence(lit(0), lit(63)), d =>
+        aggregate(transform(sequence(lit(1), lit(12)),
+          j => u01(col("k"), d, j)),
+          lit(0.0), (acc, v) => acc + v) - lit(6.0)).as("gv"))
+    val e = emb(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("xd"))
+    val proj = e.crossJoin(broadcast(g))
+      .select(col("vec_id"),
+        aggregate(zip_with(col("xd"), col("gv"), (a, b) => a * b),
+          lit(0.0), (acc, v) => acc + v).as("p"))
+    val np = proj.groupBy("vec_id")
+      .agg(sum(r6(col("p") * col("p")).cast(d206)).as("np2"))
+    val nx = e.select(col("vec_id"),
+      aggregate(zip_with(col("xd"), col("xd"), (a, b) => a * b),
+        lit(0.0), (acc, v) => acc + v).as("nx2"))
+    val rat = np.join(nx, "vec_id")
+      .select(r6(col("np2").cast("double") / (lit(16.0) * col("nx2")))
+        .as("ratio"))
+    rat.agg(count(lit(1)).as("n_vectors"),
+      r6(sum(col("ratio").cast(d206)).cast("double") /
+        count(lit(1)).cast("double")).as("mean_ratio"),
+      r6(min(col("ratio"))).as("min_ratio"),
+      r6(max(col("ratio"))).as("max_ratio"),
+      r6(count(when(col("ratio").between(0.8, 1.2), 1)).cast("double") /
+        count(lit(1)).cast("double")).as("share_within_20pct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_jl_project" -> (embeddingJlProject _),
+    "cluster_silhouette" -> (clusterSilhouette _),
     "multimodal_phash_dedup" -> (multimodalPhashDedup _),
     "embedding_pca_power" -> (embeddingPcaPower _),
     "join_spatial_grid" -> (joinSpatialGrid _),
@@ -1788,6 +1879,64 @@ object Vector {
   }.mkString(",\n         ")
 
   val oracleSql: Map[String, String] = Map(
+    "embedding_jl_project" ->
+      s"""WITH g AS (SELECT k, list_transform(range(0, 64), d ->
+             list_sum(list_transform(range(1, 13), j ->
+               CAST(CAST(('0x' || substr(md5('jl|' || CAST(k AS VARCHAR)
+                 || '|' || CAST(d AS VARCHAR) || '|' || CAST(j AS VARCHAR)),
+                 1, 15)) AS BIGINT) AS DOUBLE) / 1152921504606846976.0))
+               - 6.0) AS gv
+           FROM (SELECT unnest(range(16)) AS k)),
+         proj AS (SELECT e.vec_id,
+             list_sum(list_transform(range(1, 65), i ->
+               CAST(e.embedding[i] AS DOUBLE) * g.gv[i])) AS p
+           FROM embeddings e, g),
+         np AS (SELECT vec_id,
+             CAST(sum(CAST(${r6Sql("p * p")} AS DECIMAL(20,6)))
+               AS DOUBLE) AS np2d
+           FROM proj GROUP BY 1),
+         nx AS (SELECT vec_id,
+             list_sum(list_transform(range(1, 65), i ->
+               CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+               AS nx2
+           FROM embeddings),
+         rat AS (SELECT ${r6Sql("np2d / (16.0 * nx2)")} AS ratio
+           FROM np JOIN nx USING (vec_id))
+         SELECT count(*) AS n_vectors,
+           ${r6Sql("CAST(sum(CAST(ratio AS DECIMAL(20,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+             AS mean_ratio,
+           ${r6Sql("min(ratio)")} AS min_ratio,
+           ${r6Sql("max(ratio)")} AS max_ratio,
+           ${r6Sql("CAST(count(CASE WHEN ratio BETWEEN 0.8 AND 1.2 THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+             AS share_within_20pct
+         FROM rat""",
+    "cluster_silhouette" ->
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce
+             FROM embeddings ORDER BY vec_id LIMIT 8),
+         s AS (SELECT e.vec_id, c.centroid_id,
+             list_sum(list_transform(range(1, len(e.embedding)+1),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                  * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))))
+               AS sqd0
+           FROM embeddings e, c),
+         r AS (SELECT vec_id, centroid_id, sqd0, row_number()
+             OVER (PARTITION BY vec_id ORDER BY sqd0, centroid_id) AS rn
+           FROM s),
+         ab AS (SELECT a.vec_id, a.centroid_id AS cid,
+             sqrt(a.sqd0) AS av, sqrt(b.sqd0) AS bv
+           FROM (SELECT * FROM r WHERE rn = 1) a
+           JOIN (SELECT * FROM r WHERE rn = 2) b USING (vec_id)),
+         sil AS (SELECT cid,
+           ${r6Sql("CASE WHEN greatest(av, bv) > 0 THEN (bv - av) / greatest(av, bv) ELSE 0.0 END")}
+             AS s
+           FROM ab)
+         SELECT CAST(cid AS BIGINT) AS centroid_id, count(*) AS n,
+           ${r6Sql("CAST(sum(CAST(s AS DECIMAL(20,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+             AS mean_sil,
+           ${r6Sql("min(s)")} AS min_sil,
+           ${r6Sql("CAST(count(CASE WHEN s < 0 THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+             AS share_neg
+         FROM sil GROUP BY 1 ORDER BY 1""",
     "multimodal_phash_dedup" ->
       s"""WITH d AS (SELECT doc_id,
            CAST(('0x' || substr(sha256(text), 1, 15)) AS BIGINT) AS ph

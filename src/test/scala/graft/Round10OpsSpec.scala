@@ -396,6 +396,56 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  // ---- cluster_silhouette: separation readout --------------------------
+
+  test("silhouette: tight well-separated clusters score near 1 with zero negatives") {
+    // centroids are the first 8 vectors by vec_id; build 8 far-apart
+    // axis anchors (axis k scaled 100) and park 5 tight followers on
+    // each — every member hugs its own centroid while foreign
+    // centroids sit ~sqrt(2)*100 away
+    def axis(k: Int, scale: Float): Array[Float] = {
+      val a = Array.fill(64)(0f); a(k) = scale; a
+    }
+    val anchors = (0 until 8).map(k => EmbRow(k.toLong, axis(k, 100f), k))
+    val followers = for (k <- 0 until 8; j <- 0 until 5) yield
+      EmbRow((100 + k * 10 + j).toLong, axis(k, 100f + j * 0.1f), k)
+    val dir = fixtureDir("embeddings" ->
+      spark.createDataset((anchors ++ followers).toVector).toDF)
+    val rows = graft.ops.Vector.clusterSilhouette(spark, dir).collect()
+    assert(rows.length == 8)
+    // every member is glued to its centroid, foreign centroids are
+    // ~sqrt(2)*100 away -> silhouette near 1 everywhere
+    assert(rows.forall(_.getAs[Double]("mean_sil") > 0.9),
+      rows.mkString(";"))
+    assert(rows.forall(_.getAs[Double]("share_neg") == 0.0))
+    assert(rows.map(_.getAs[Long]("n")).sum == 48L)
+  }
+
+  // ---- embedding_jl_project: the lemma holds on average ----------------
+
+  test("JL projection: distortion ratios concentrate around 1") {
+    // deterministic varied vectors (no RNG). The i*d cross term matters:
+    // a pure i*a+d*b pattern collapses to |modulus| distinct DIRECTIONS
+    // and the fixed-G sample mean then has huge variance (measured 1.54
+    // on a 13-period pattern) — JL's E[ratio]=1 is over directions
+    val rows = (0 until 200).map { i =>
+      val v = Array.tabulate(64)(d =>
+        (((i * 131 + d * 839 + i * d * 7) % 101) - 50).toFloat)
+      EmbRow(i.toLong, v, i % 10)
+    }
+    val dir = fixtureDir("embeddings" ->
+      spark.createDataset(rows.toVector).toDF)
+    val r = graft.ops.Vector.embeddingJlProject(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_vectors") == 200L)
+    val mean = r.getAs[Double]("mean_ratio")
+    assert(mean > 0.8 && mean < 1.2, s"E[ratio]=1 under JL, got $mean")
+    assert(r.getAs[Double]("min_ratio") > 0.0)
+    assert(r.getAs[Double]("max_ratio") < 4.0)
+    // std of the ratio at d'=16 is ~sqrt(2/16)=0.35: a healthy share
+    // of vectors must land within +-20%
+    assert(r.getAs[Double]("share_within_20pct") > 0.3, s"$r")
+  }
+
   // ---- events_cumulative_users: first-touch reduction ------------------
 
   test("cumulative users: repeat visitors count once, at their first day") {
