@@ -3816,7 +3816,168 @@ object Relational {
       r6(md / n2d).as("recapture_rate"))
   }
 
+  /** Shared 3×3 Cramer solve for the symmetric system
+    * [[m00 m01 m02; m01 m11 m12; m02 m12 m22]] b = [g0 g1 g2] — ONE
+    * spelling (first-row cofactor expansion, the [[aggOlsMulti]]
+    * parenthesization) used by every round of [[aggLogisticIrls]] so
+    * the Scala driver math and the oracle SQL cannot drift. Returns
+    * (det, b0, b1, b2). */
+  private def cramer3(m00: Double, m01: Double, m02: Double,
+      m11: Double, m12: Double, m22: Double,
+      g0: Double, g1: Double, g2: Double): (Double, Double, Double, Double) = {
+    val det = m00 * (m11 * m22 - m12 * m12) -
+      m01 * (m01 * m22 - m12 * m02) +
+      m02 * (m01 * m12 - m11 * m02)
+    val det0 = g0 * (m11 * m22 - m12 * m12) -
+      m01 * (g1 * m22 - m12 * g2) +
+      m02 * (g1 * m12 - m11 * g2)
+    val det1 = m00 * (g1 * m22 - m12 * g2) -
+      g0 * (m01 * m22 - m12 * m02) +
+      m02 * (m01 * g2 - g1 * m02)
+    val det2 = m00 * (m11 * g2 - g1 * m12) -
+      m01 * (m01 * g2 - g1 * m02) +
+      g0 * (m01 * m12 - m11 * m02)
+    (det, det0 / det, det1 / det, det2 / det)
+  }
+
+  /** DuckDB spelling of [[cramer3]] — identical cofactor expansion,
+    * emitted as four SELECT expressions `det, c0, c1, c2`. */
+  private def cramer3Sql(m00: String, m01: String, m02: String,
+      m11: String, m12: String, m22: String,
+      g0: String, g1: String, g2: String): String =
+    s"""$m00 * ($m11 * $m22 - $m12 * $m12) -
+           $m01 * ($m01 * $m22 - $m12 * $m02) +
+           $m02 * ($m01 * $m12 - $m11 * $m02) AS det,
+         $g0 * ($m11 * $m22 - $m12 * $m12) -
+           $m01 * ($g1 * $m22 - $m12 * $g2) +
+           $m02 * ($g1 * $m12 - $m11 * $g2) AS det0,
+         $m00 * ($g1 * $m22 - $m12 * $g2) -
+           $g0 * ($m01 * $m22 - $m12 * $m02) +
+           $m02 * ($m01 * $g2 - $g1 * $m02) AS det1,
+         $m00 * ($m11 * $g2 - $g1 * $m12) -
+           $m01 * ($m01 * $g2 - $g1 * $m02) +
+           $g0 * ($m01 * $m12 - $m11 * $m02) AS det2"""
+
+  /** Logistic regression fit by TWO unrolled Newton/IRLS rounds over
+    * per-user activity — distributed supervised classification in the
+    * same matrix-free discipline as [[aggOlsMulti]] (sufficient
+    * statistics distribute, the p³ solve is scalar) and
+    * [[aggEmMixture]] (fixed rounds, driver state = the model): raw
+    * events reduce ONCE to a per-user frame (map-side-combined hash
+    * agg, [[Util.iterCheckpoint]]'d so later rounds never rescan raw
+    * events), each round is one scan of that frame computing the nine
+    * weighted-Gram sums as exact decimal aggregates, and the 3×3
+    * Newton solve is driver-side Cramer ([[cramer3]] — the Lloyd
+    * discipline, β is the only driver state). Response y = "user
+    * purchases more than they click"; features are the raw view/error
+    * counts (exact integers — round 1 from β = 0 has constant weight
+    * 1/4 and is transcendental-free; round 2's sigmoid outputs are
+    * r6-quantized before the decimal sums so both engines accumulate
+    * identical values, and β is r6-quantized between rounds). Output:
+    * cohort size, class balance, coefficients, and the final-model
+    * mean log-loss (clamped sigmoid, so a saturated fit cannot emit
+    * ±inf). Singular designs give NULL coefficients on both engines
+    * (IEEE 0-division propagates NaN, which [[Util.r6]] keeps NaN;
+    * the guard turns it NULL in both). At 100 TB: the per-user frame
+    * is the only shuffle, every round is an O(users) scan with a
+    * 9-number result — no gradient-descent step ever moves data. */
+  def aggLogisticIrls(spark: SparkSession, dir: String): DataFrame = {
+    val d246 = org.apache.spark.sql.types.DecimalType(24, 6)
+    def cnt(t: String) =
+      sum(when(col("event_type") === t, 1L).otherwise(0L))
+    val pu = table(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(cnt("view").cast("double").as("x1"),
+        cnt("error").cast("double").as("x2"),
+        when(cnt("purchase") > cnt("click"), 1.0).otherwise(0.0).as("y"))
+      .transform(iterCheckpoint)
+    // round 1 from β = 0: weight is the constant 1/4, gradient is
+    // Σ x·(y − 1/2) — every sum term is an exact half-integer
+    val m = pu.agg(count(lit(1)).as("n"),
+      sum(col("y").cast(d246)).cast("double").as("npos"),
+      dsum(col("x1"), d246).as("sx1"), dsum(col("x2"), d246).as("sx2"),
+      dsum(col("x1") * col("x1"), d246).as("sx11"),
+      dsum(col("x1") * col("x2"), d246).as("sx12"),
+      dsum(col("x2") * col("x2"), d246).as("sx22"),
+      dsum(col("y") - lit(0.5), d246).as("g0"),
+      dsum(col("x1") * (col("y") - lit(0.5)), d246).as("g1"),
+      dsum(col("x2") * (col("y") - lit(0.5)), d246).as("g2"))
+      .collect()(0)
+    val n = m.getAs[Long]("n")
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val (det1, c0, c1, c2) = cramer3(
+      n.toDouble, m.getAs[Double]("sx1"), m.getAs[Double]("sx2"),
+      m.getAs[Double]("sx11"), m.getAs[Double]("sx12"),
+      m.getAs[Double]("sx22"),
+      m.getAs[Double]("g0"), m.getAs[Double]("g1"), m.getAs[Double]("g2"))
+    val out: (java.lang.Double, java.lang.Double, java.lang.Double,
+        java.lang.Double) =
+      if (!(math.abs(det1) > 0)) (null, null, null, null)
+      else {
+        val (b0, b1, b2) = (q6(4.0 * c0), q6(4.0 * c1), q6(4.0 * c2))
+        // round 2: Newton step at β₁ — sigmoid r6-quantized per row,
+        // weights and gradient terms r6-quantized into exact sums
+        def eta(bb0: Double, bb1: Double, bb2: Double) =
+          lit(bb0) + lit(bb1) * col("x1") + lit(bb2) * col("x2")
+        val p = r6(lit(1.0) / (lit(1.0) + exp(-eta(b0, b1, b2))))
+        val w = col("p") * (lit(1.0) - col("p"))
+        val h = pu.select(col("x1"), col("x2"), col("y"), p.as("p"))
+          .agg(
+            sum(r6(w).cast(d246)).cast("double").as("sw"),
+            sum(r6(w * col("x1")).cast(d246)).cast("double").as("sw1"),
+            sum(r6(w * col("x2")).cast(d246)).cast("double").as("sw2"),
+            sum(r6(w * col("x1") * col("x1")).cast(d246)).cast("double").as("sw11"),
+            sum(r6(w * col("x1") * col("x2")).cast(d246)).cast("double").as("sw12"),
+            sum(r6(w * col("x2") * col("x2")).cast(d246)).cast("double").as("sw22"),
+            sum(r6(col("y") - col("p")).cast(d246)).cast("double").as("q0"),
+            sum(r6((col("y") - col("p")) * col("x1")).cast(d246)).cast("double").as("q1"),
+            sum(r6((col("y") - col("p")) * col("x2")).cast(d246)).cast("double").as("q2"))
+          .collect()(0)
+        val (det2, d0, d1, d2) = cramer3(
+          h.getAs[Double]("sw"), h.getAs[Double]("sw1"),
+          h.getAs[Double]("sw2"), h.getAs[Double]("sw11"),
+          h.getAs[Double]("sw12"), h.getAs[Double]("sw22"),
+          h.getAs[Double]("q0"), h.getAs[Double]("q1"), h.getAs[Double]("q2"))
+        if (!(math.abs(det2) > 0)) (null, null, null, null)
+        else {
+          val (f0, f1, f2) = (q6(b0 + d0), q6(b1 + d1), q6(b2 + d2))
+          // mean log-loss of the final model, sigmoid clamped to
+          // [1e-6, 1 − 1e-6] so a saturated row cannot emit ±inf
+          val p2 = r6(lit(1.0) / (lit(1.0) + exp(-eta(f0, f1, f2))))
+          val pc = least(greatest(col("p"), lit(1e-6)), lit(1.0 - 1e-6))
+          val lossRow = pu.select(col("y"), p2.as("p"))
+            .agg(sum(r6(-(col("y") * log(pc) +
+              (lit(1.0) - col("y")) * log(lit(1.0) - pc))).cast(d246))
+              .cast("double").as("sl"))
+            .collect()(0)
+          val loss = math.floor(lossRow.getAs[Double]("sl") / n * 1e4 + 0.5) / 1e4
+          (f0, f1, f2, loss)
+        }
+      }
+    def q4(x: java.lang.Double): java.lang.Double =
+      if (x == null) null else math.floor(x * 1e4 + 0.5) / 1e4
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_users",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_pos",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("b_intercept",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("b_views",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("b_errors",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("log_loss",
+        org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(
+        n, m.getAs[Double]("npos").toLong,
+        q4(out._1), q4(out._2), q4(out._3), out._4)),
+      schema)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_logistic_irls" -> (aggLogisticIrls _),
     "events_cumulative_users" -> (eventsCumulativeUsers _),
     "events_srm_check" -> (eventsSrmCheck _),
     "agg_capture_recapture" -> (aggCaptureRecapture _),
@@ -4014,6 +4175,86 @@ object Relational {
        WHERE rn = floor((m + 1) / 2.0) OR rn = floor(m / 2.0) + 1)"""
 
   val oracleSql: Map[String, String] = Map(
+    "agg_logistic_irls" -> {
+      val clamp = "least(greatest(p, 0.000001), 0.999999)"
+      s"""WITH pu AS (SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             AS DOUBLE) AS x1,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             AS DOUBLE) AS x2,
+           CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                 THEN 1 ELSE 0 END) >
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y
+           FROM ${evSql()} GROUP BY user_id),
+         m AS (SELECT count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
+           CAST(sum(CAST(y AS DECIMAL(24,6))) AS DOUBLE) AS npos,
+           CAST(sum(CAST(x1 AS DECIMAL(24,6))) AS DOUBLE) AS sx1,
+           CAST(sum(CAST(x2 AS DECIMAL(24,6))) AS DOUBLE) AS sx2,
+           CAST(sum(CAST(x1 * x1 AS DECIMAL(24,6))) AS DOUBLE) AS sx11,
+           CAST(sum(CAST(x1 * x2 AS DECIMAL(24,6))) AS DOUBLE) AS sx12,
+           CAST(sum(CAST(x2 * x2 AS DECIMAL(24,6))) AS DOUBLE) AS sx22,
+           CAST(sum(CAST(y - 0.5 AS DECIMAL(24,6))) AS DOUBLE) AS g0,
+           CAST(sum(CAST(x1 * (y - 0.5) AS DECIMAL(24,6))) AS DOUBLE) AS g1,
+           CAST(sum(CAST(x2 * (y - 0.5) AS DECIMAL(24,6))) AS DOUBLE) AS g2
+           FROM pu),
+         c1 AS (SELECT n, nd, npos,
+           ${cramer3Sql("nd", "sx1", "sx2", "sx11", "sx12", "sx22",
+             "g0", "g1", "g2")}
+           FROM m),
+         beta1 AS (SELECT n, nd, npos, abs(det) > 0 AS ok1,
+           ${r6Sql("4.0 * (det0 / det)")} AS bb0,
+           ${r6Sql("4.0 * (det1 / det)")} AS bb1,
+           ${r6Sql("4.0 * (det2 / det)")} AS bb2
+           FROM c1),
+         r2 AS (SELECT pu.y, pu.x1, pu.x2,
+           ${r6Sql("1.0 / (1.0 + exp(-(bb0 + bb1 * x1 + bb2 * x2)))")} AS p
+           FROM pu, beta1),
+         h AS (SELECT
+           CAST(sum(CAST(${r6Sql("p * (1.0 - p)")}
+             AS DECIMAL(24,6))) AS DOUBLE) AS sw,
+           CAST(sum(CAST(${r6Sql("p * (1.0 - p) * x1")}
+             AS DECIMAL(24,6))) AS DOUBLE) AS sw1,
+           CAST(sum(CAST(${r6Sql("p * (1.0 - p) * x2")}
+             AS DECIMAL(24,6))) AS DOUBLE) AS sw2,
+           CAST(sum(CAST(${r6Sql("p * (1.0 - p) * x1 * x1")}
+             AS DECIMAL(24,6))) AS DOUBLE) AS sw11,
+           CAST(sum(CAST(${r6Sql("p * (1.0 - p) * x1 * x2")}
+             AS DECIMAL(24,6))) AS DOUBLE) AS sw12,
+           CAST(sum(CAST(${r6Sql("p * (1.0 - p) * x2 * x2")}
+             AS DECIMAL(24,6))) AS DOUBLE) AS sw22,
+           CAST(sum(CAST(${r6Sql("y - p")}
+             AS DECIMAL(24,6))) AS DOUBLE) AS q0,
+           CAST(sum(CAST(${r6Sql("(y - p) * x1")}
+             AS DECIMAL(24,6))) AS DOUBLE) AS q1,
+           CAST(sum(CAST(${r6Sql("(y - p) * x2")}
+             AS DECIMAL(24,6))) AS DOUBLE) AS q2
+           FROM r2),
+         c2 AS (SELECT
+           ${cramer3Sql("sw", "sw1", "sw2", "sw11", "sw12", "sw22",
+             "q0", "q1", "q2")}
+           FROM h),
+         beta2 AS (SELECT beta1.n, beta1.nd, beta1.npos, beta1.ok1,
+           abs(c2.det) > 0 AS ok2,
+           ${r6Sql("bb0 + (det0 / det)")} AS f0,
+           ${r6Sql("bb1 + (det1 / det)")} AS f1,
+           ${r6Sql("bb2 + (det2 / det)")} AS f2
+           FROM beta1, c2),
+         l2 AS (SELECT pu.y,
+           ${r6Sql("1.0 / (1.0 + exp(-(f0 + f1 * x1 + f2 * x2)))")} AS p
+           FROM pu, beta2),
+         loss AS (SELECT CAST(sum(CAST(
+             ${r6Sql(s"-(y * ln($clamp) + (1.0 - y) * ln(1.0 - $clamp))")}
+             AS DECIMAL(24,6))) AS DOUBLE) AS sl
+           FROM l2)
+         SELECT n AS n_users, CAST(npos AS BIGINT) AS n_pos,
+           CASE WHEN ok1 AND ok2 THEN ${r4Sql("f0")} END AS b_intercept,
+           CASE WHEN ok1 AND ok2 THEN ${r4Sql("f1")} END AS b_views,
+           CASE WHEN ok1 AND ok2 THEN ${r4Sql("f2")} END AS b_errors,
+           CASE WHEN ok1 AND ok2 THEN
+             floor((sl / nd) * 10000.0 + 0.5) / 10000.0 END AS log_loss
+         FROM beta2, loss"""
+    },
     "events_cumulative_users" ->
       s"""WITH first AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_d
            FROM ${evSql()} GROUP BY 1),

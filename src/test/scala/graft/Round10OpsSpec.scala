@@ -743,4 +743,82 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out("edge").getAs[Boolean]("sla_breach"),
       "exactly-30-minutes must breach (>= contract)")
   }
+
+  // ---- agg_logistic_irls: matches a plain-double IRLS reference -------
+
+  test("logistic IRLS: recovers a view-count signal and matches a direct 2-round Newton fit") {
+    val base = ts("2024-03-01 00:00:00").getTime
+    // 40 users; y ("purchases > clicks") is a noisy step in n_view
+    def userEvents(u: Long): Seq[EventRow] = {
+      val nView = (u % 10).toInt
+      val nErr = ((u * 3) % 7).toInt
+      val y = nView > 4 || u % 13 == 0
+      val tagged =
+        (0 until nView).map(i => ("view", i)) ++
+        (0 until nErr).map(i => ("error", 100 + i)) ++
+        (if (y) Seq(("purchase", 200)) else Seq(("click", 200)))
+      tagged.map { case (t, i) =>
+        EventRow(u * 1000 + i, new Timestamp(base + u * 60000L + i * 1000L),
+          u, t, 1.0, "{}")
+      }
+    }
+    val rows = (1L to 40L).flatMap(userEvents)
+    val dir = fixtureDir("events" -> spark.createDataset(rows).toDF)
+    val r = Relational.aggLogisticIrls(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_users") == 40L)
+    // reference: the same two Newton rounds in plain doubles (no
+    // r6 state quantization — agreement bounds quantization drift)
+    val feats = (1L to 40L).map { u =>
+      val x1 = (u % 10).toDouble; val x2 = ((u * 3) % 7).toDouble
+      val y = if (u % 10 > 4 || u % 13 == 0) 1.0 else 0.0
+      (x1, x2, y)
+    }
+    def solve3(m: Array[Double], g: Array[Double]): Array[Double] = {
+      val Array(m00, m01, m02, m11, m12, m22) = m
+      val det = m00 * (m11 * m22 - m12 * m12) -
+        m01 * (m01 * m22 - m12 * m02) + m02 * (m01 * m12 - m11 * m02)
+      Array(
+        (g(0) * (m11 * m22 - m12 * m12) - m01 * (g(1) * m22 - m12 * g(2)) +
+          m02 * (g(1) * m12 - m11 * g(2))) / det,
+        (m00 * (g(1) * m22 - m12 * g(2)) - g(0) * (m01 * m22 - m12 * m02) +
+          m02 * (m01 * g(2) - g(1) * m02)) / det,
+        (m00 * (m11 * g(2) - g(1) * m12) - m01 * (m01 * g(2) - g(1) * m02) +
+          g(0) * (m01 * m12 - m11 * m02)) / det)
+    }
+    var b = {
+      val m = Array(feats.size.toDouble, feats.map(_._1).sum,
+        feats.map(_._2).sum, feats.map(f => f._1 * f._1).sum,
+        feats.map(f => f._1 * f._2).sum, feats.map(f => f._2 * f._2).sum)
+      val g = Array(feats.map(f => f._3 - 0.5).sum,
+        feats.map(f => f._1 * (f._3 - 0.5)).sum,
+        feats.map(f => f._2 * (f._3 - 0.5)).sum)
+      solve3(m, g).map(_ * 4.0)
+    }
+    val (h, g2) = {
+      val terms = feats.map { case (x1, x2, y) =>
+        val p = 1.0 / (1.0 + math.exp(-(b(0) + b(1) * x1 + b(2) * x2)))
+        (p * (1 - p), x1, x2, y - p)
+      }
+      (Array(terms.map(_._1).sum, terms.map(t => t._1 * t._2).sum,
+        terms.map(t => t._1 * t._3).sum,
+        terms.map(t => t._1 * t._2 * t._2).sum,
+        terms.map(t => t._1 * t._2 * t._3).sum,
+        terms.map(t => t._1 * t._3 * t._3).sum),
+        Array(terms.map(_._4).sum, terms.map(t => t._4 * t._2).sum,
+          terms.map(t => t._4 * t._3).sum))
+    }
+    val d = solve3(h, g2)
+    val bf = Array(b(0) + d(0), b(1) + d(1), b(2) + d(2))
+    assert(math.abs(r.getAs[Double]("b_intercept") - bf(0)) < 1e-3,
+      s"intercept ${r.getAs[Double]("b_intercept")} vs ${bf(0)}")
+    assert(math.abs(r.getAs[Double]("b_views") - bf(1)) < 1e-3,
+      s"b_views ${r.getAs[Double]("b_views")} vs ${bf(1)}")
+    assert(math.abs(r.getAs[Double]("b_errors") - bf(2)) < 1e-3,
+      s"b_errors ${r.getAs[Double]("b_errors")} vs ${bf(2)}")
+    assert(r.getAs[Double]("b_views") > 0.2,
+      "the view-count signal must be recovered with a positive weight")
+    val loss = r.getAs[Double]("log_loss")
+    assert(loss > 0.0 && loss < 0.55,
+      s"2-round fit must beat chance (ln 2 ≈ 0.693): $loss")
+  }
 }
