@@ -1681,7 +1681,76 @@ object Vector {
         count(lit(1)).cast("double")).as("share_within_20pct"))
   }
 
+  /** Greedy farthest-point (Gonzalez) k-center seeding, k = 5 — the
+    * deterministic cousin of k-means++ init and the standard way to
+    * seed [[clusterKmeansAssign]]'s Lloyd iterations without a random
+    * draw: start from the canonical arbitrary point (lowest vec_id),
+    * then repeatedly pick the point FARTHEST from the chosen set
+    * (2-approximation to optimal k-center cover). Each round is one
+    * map-only corpus pass — centers ride in as broadcast DATA (one
+    * array-of-arrays row, the [[embeddingPcaPower]] plan-constancy
+    * lesson: literals would force a codegen recompile per round), the
+    * per-point min-distance is an in-row `array_min` over the center
+    * list (no shuffle at all), and the argmax is a TakeOrdered(1).
+    * Driver state = k·d doubles (the Lloyd discipline). By the greedy
+    * property, round t's selection distance IS the coverage radius of
+    * the first t−1 centers, so the output doubles as a coverage curve
+    * (spec pins its monotone decrease). Determinism: squared L2 via
+    * the fixed-order fold ([[sqdist]], list_sum parity), r6-floored
+    * before the DESC/vec_id-tie-broken argmax on both engines. */
+  def clusterKcenterInit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("xd"))
+    val first = e.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("xd")).collect()(0)
+    var centers = Seq[Seq[Double]](first.getSeq[Double](1))
+    var out = Seq[(Long, Long, Option[Double])](
+      (1L, first.getLong(0), None))
+    for (t <- 2 to 5) {
+      val cs = Seq(Tuple1(centers)).toDF("cs")
+      val top = e.crossJoin(broadcast(cs))
+        .select(col("vec_id"), col("xd"),
+          r6(array_min(transform(col("cs"), c => sqdist(col("xd"), c))))
+            .as("dmin"))
+        .orderBy(desc("dmin"), col("vec_id")).limit(1).collect()(0)
+      centers = centers :+ top.getSeq[Double](1)
+      out = out :+ ((t.toLong, top.getLong(0),
+        Some(math.floor(top.getDouble(2) * 1e4 + 0.5) / 1e4)))
+    }
+    out.toDF("seq", "center_id", "sel_dist").orderBy("seq")
+  }
+
+  /** CTE chain unrolling [[clusterKcenterInit]]'s greedy rounds for the
+    * DuckDB oracle: cs1..cs4 accumulate chosen centers, each round's
+    * argmax is the identical r6 + DESC/vec_id-tie ORDER BY. */
+  private val kcenterIterCtes: String = {
+    val sqd = "list_sum(list_transform(range(1, len(e.embedding)+1), " +
+      "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))" +
+      " * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))))"
+    (2 to 5).map { t =>
+      // centers chosen so far: cs2 = kc1 ∪ kc2, cs3 = cs2 ∪ kc3, …
+      val prev = if (t == 2) "kc1" else s"cs${t - 1}"
+      val acc = t match {
+        case 2 => ""
+        case 3 => """cs2 AS (SELECT vec_id, embedding FROM kc1
+             UNION ALL SELECT vec_id, embedding FROM kc2),
+         """
+        case _ => s"""cs${t - 1} AS (SELECT vec_id, embedding FROM cs${t - 2}
+             UNION ALL SELECT vec_id, embedding FROM kc${t - 1}),
+         """
+      }
+      s"""${acc}d$t AS (SELECT e.vec_id, min($sqd) AS raw
+           FROM embeddings e, $prev c GROUP BY e.vec_id),
+         s$t AS (SELECT vec_id, ${Util.r6Sql("raw")} AS dmin FROM d$t
+           ORDER BY dmin DESC, vec_id LIMIT 1),
+         kc$t AS (SELECT e.vec_id, e.embedding, s.dmin
+           FROM embeddings e JOIN s$t s USING (vec_id))"""
+    }.mkString(",\n         ")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cluster_kcenter_init" -> (clusterKcenterInit _),
     "embedding_jl_project" -> (embeddingJlProject _),
     "cluster_silhouette" -> (clusterSilhouette _),
     "multimodal_phash_dedup" -> (multimodalPhashDedup _),
@@ -1879,6 +1948,19 @@ object Vector {
   }.mkString(",\n         ")
 
   val oracleSql: Map[String, String] = Map(
+    "cluster_kcenter_init" ->
+      s"""WITH kc1 AS (SELECT vec_id, embedding,
+             CAST(NULL AS DOUBLE) AS dmin
+           FROM embeddings ORDER BY vec_id LIMIT 1),
+         $kcenterIterCtes
+         SELECT seq, center_id, sel_dist FROM (
+           SELECT CAST(1 AS BIGINT) AS seq, vec_id AS center_id,
+             CAST(NULL AS DOUBLE) AS sel_dist FROM kc1
+           UNION ALL SELECT 2, vec_id, ${Util.r4Sql("dmin")} FROM kc2
+           UNION ALL SELECT 3, vec_id, ${Util.r4Sql("dmin")} FROM kc3
+           UNION ALL SELECT 4, vec_id, ${Util.r4Sql("dmin")} FROM kc4
+           UNION ALL SELECT 5, vec_id, ${Util.r4Sql("dmin")} FROM kc5
+         ) ORDER BY seq""",
     "embedding_jl_project" ->
       s"""WITH g AS (SELECT k, list_transform(range(0, 64), d ->
              list_sum(list_transform(range(1, 13), j ->

@@ -821,4 +821,37 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
     assert(loss > 0.0 && loss < 0.55,
       s"2-round fit must beat chance (ln 2 ≈ 0.693): $loss")
   }
+
+  // ---- cluster_kcenter_init: greedy cover of planted clusters ---------
+
+  test("kcenter init: first picks cover every planted cluster, radius curve is monotone") {
+    // four well-separated clusters on distinct axes (plus tiny in-cluster
+    // jitter) — greedy farthest-point from ANY start must touch all four
+    // clusters within its first 4 picks (2-approximation property)
+    def v(axis: Int, jit: Float): Array[Float] =
+      Array.tabulate(64)(i => if (i == axis) 10.0f else if (i == axis + 32) jit else 0.0f)
+    val rows = (0 until 4).flatMap { c =>
+      (0 until 6).map(j => EmbRow(c * 100L + j, v(c, j * 0.01f), c))
+    }
+    val dir = fixtureDir("embeddings" -> spark.createDataset(rows).toDF)
+    val out = graft.ops.Vector.clusterKcenterInit(spark, dir)
+      .collect().sortBy(_.getAs[Long]("seq"))
+    assert(out.length == 5)
+    assert(out(0).getAs[Long]("center_id") == 0L, "round 1 = lowest vec_id")
+    assert(out(0).isNullAt(out(0).fieldIndex("sel_dist")),
+      "round 1 has no selection distance")
+    val clustersHit = out.take(4).map(_.getAs[Long]("center_id") / 100).toSet
+    assert(clustersHit == Set(0L, 1L, 2L, 3L),
+      s"first 4 picks must cover all 4 planted clusters: $clustersHit")
+    // greedy property: sel_dist_t is the coverage radius of the first
+    // t-1 centers, so the curve is monotone non-increasing
+    val ds = out.drop(1).map(_.getAs[Double]("sel_dist"))
+    ds.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-9, s"coverage radius must not increase: $a -> $b")
+    }
+    // after all 4 clusters are covered, the 5th pick's distance is an
+    // IN-cluster distance — far below the ~200 between-cluster gap
+    assert(ds(0) > 150.0 && ds(3) < 1.0,
+      s"between-cluster vs in-cluster separation: ${ds.toSeq}")
+  }
 }
