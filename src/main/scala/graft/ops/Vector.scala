@@ -1681,6 +1681,46 @@ object Vector {
         count(lit(1)).cast("double")).as("share_within_20pct"))
   }
 
+  /** Matryoshka truncation audit: recall@5 of brute-force cosine search
+    * run on the FIRST 16 dims against the full-64-dim ranking, per
+    * probe — the measurement behind the "store a prefix, search 4×
+    * cheaper" dimension-budget decision (matryoshka-style prefix
+    * embeddings): if prefix recall is high, the serve path can scan a
+    * quarter of the bytes and re-rank survivors at full width. Shape =
+    * [[simsearchTopk]] twice over ONE candidate pass: probes broadcast,
+    * both cosines (norms precomputed per row) computed map-side, the
+    * two rankings are two window sorts over the SAME probe partition
+    * (one shuffle), overlap is a count agg. At 100 TB the prefix scan
+    * would read a separate 16-dim column (column pruning does the 4×,
+    * not this audit — the audit is what justifies writing it). */
+  def embeddingMatryoshkaEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"),
+      slice(col("embedding"), 1, 16).as("emb16"))
+      .select(col("vec_id"), col("embedding"), col("emb16"),
+        l2(col("embedding")).as("n64"), l2(col("emb16")).as("n16"))
+    val probes = e.orderBy("vec_id").limit(10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p64"),
+        col("emb16").as("p16"), col("n64").as("pn64"), col("n16").as("pn16"))
+    val scored = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        r4(cosinePre(col("embedding"), col("p64"), col("n64"), col("pn64")))
+          .as("cos64"),
+        r4(cosinePre(col("emb16"), col("p16"), col("n16"), col("pn16")))
+          .as("cos16"))
+    val w64 = Window.partitionBy("probe_id").orderBy(desc("cos64"), col("vec_id"))
+    val w16 = Window.partitionBy("probe_id").orderBy(desc("cos16"), col("vec_id"))
+    scored
+      .withColumn("r64", row_number().over(w64))
+      .withColumn("r16", row_number().over(w16))
+      .groupBy("probe_id")
+      .agg(sum(when(col("r64") <= 5 && col("r16") <= 5, 1).otherwise(0))
+        .as("n_overlap"))
+      .select(col("probe_id"), col("n_overlap"),
+        (col("n_overlap").cast("double") / lit(5.0)).as("recall_at5"))
+      .orderBy("probe_id")
+  }
+
   /** Greedy farthest-point (Gonzalez) k-center seeding, k = 5 — the
     * deterministic cousin of k-means++ init and the standard way to
     * seed [[clusterKmeansAssign]]'s Lloyd iterations without a random
@@ -1750,6 +1790,7 @@ object Vector {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_matryoshka_eval" -> (embeddingMatryoshkaEval _),
     "cluster_kcenter_init" -> (clusterKcenterInit _),
     "embedding_jl_project" -> (embeddingJlProject _),
     "cluster_silhouette" -> (clusterSilhouette _),
@@ -1948,6 +1989,25 @@ object Vector {
   }.mkString(",\n         ")
 
   val oracleSql: Map[String, String] = Map(
+    "embedding_matryoshka_eval" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
+             FROM embeddings ORDER BY vec_id LIMIT 10),
+         s AS (SELECT p.probe_id, c.vec_id,
+             ${r4Sql(cosSql("c.embedding", "p.pe"))} AS cos64,
+             ${r4Sql(cosSql("c.embedding[1:16]", "p.pe[1:16]"))} AS cos16
+           FROM embeddings c, p WHERE c.vec_id != p.probe_id),
+         r AS (SELECT probe_id, vec_id,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY cos64 DESC, vec_id) AS r64,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY cos16 DESC, vec_id) AS r16
+           FROM s)
+         SELECT probe_id,
+           CAST(sum(CASE WHEN r64 <= 5 AND r16 <= 5 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_overlap,
+           CAST(CAST(sum(CASE WHEN r64 <= 5 AND r16 <= 5 THEN 1 ELSE 0 END)
+             AS BIGINT) AS DOUBLE) / 5.0 AS recall_at5
+         FROM r GROUP BY probe_id ORDER BY probe_id""",
     "cluster_kcenter_init" ->
       s"""WITH kc1 AS (SELECT vec_id, embedding,
              CAST(NULL AS DOUBLE) AS dmin

@@ -854,4 +854,33 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
     assert(ds(0) > 150.0 && ds(3) < 1.0,
       s"between-cluster vs in-cluster separation: ${ds.toSeq}")
   }
+
+  // ---- embedding_matryoshka_eval: prefix-informative vs prefix-blind --
+
+  test("matryoshka eval: prefix-only signal gives recall 1.0, suffix-only signal collapses it") {
+    // A: all signal in dims 0..15 → 16-dim cosine == 64-dim cosine →
+    // the rankings are identical and every probe's recall@5 is 1.0
+    def prefixVec(u: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i < 16) math.sin(u * 7.3 + i).toFloat else 0.0f)
+    val a = (0 until 30).map(u => EmbRow(u.toLong, prefixVec(u), 0))
+    val dirA = fixtureDir("embeddings" -> spark.createDataset(a).toDF)
+    val outA = graft.ops.Vector.embeddingMatryoshkaEval(spark, dirA).collect()
+    assert(outA.length == 10)
+    outA.foreach { r =>
+      assert(r.getAs[Double]("recall_at5") == 1.0,
+        s"prefix-only corpus must have perfect prefix recall: $r")
+    }
+    // B: dims 0..15 constant across the corpus (prefix carries zero
+    // information), signal lives in dims 16.. — the truncated ranking
+    // degenerates to the vec_id tie-break, so mean recall sits near
+    // the chance level (5/29), far from 1.0
+    def suffixVec(u: Int): Array[Float] =
+      Array.tabulate(64)(i =>
+        if (i < 16) 1.0f else math.sin(u * 7.3 + i).toFloat)
+    val b = (0 until 30).map(u => EmbRow(u.toLong, suffixVec(u), 0))
+    val dirB = fixtureDir("embeddings" -> spark.createDataset(b).toDF)
+    val outB = graft.ops.Vector.embeddingMatryoshkaEval(spark, dirB).collect()
+    val meanB = outB.map(_.getAs[Double]("recall_at5")).sum / outB.length
+    assert(meanB < 0.7, s"prefix-blind corpus cannot keep full recall: $meanB")
+  }
 }
