@@ -3987,7 +3987,50 @@ object Relational {
       schema)
   }
 
+  /** 2-D Pareto frontier (skyline) of customers over (total spend,
+    * order count) — "who is not beaten on BOTH axes", the
+    * multi-objective top-N that no single ORDER BY can express. The
+    * textbook formulation is a window over the globally spend-sorted
+    * frame (prefix max of the other axis), which is UNDISTRIBUTABLE —
+    * one global sort partition at any scale. This implementation is the
+    * two-level prefix-max: rows bucket by spend range (monotone in the
+    * sort key, so bucket order IS sort order), the within-bucket prefix
+    * max is a bucket-partitioned window (shuffle-parallel), the
+    * cross-bucket prefix max rides the model-sized bucket frame
+    * (bounded: per-customer spend doesn't grow with corpus size), and a
+    * point is ON the frontier iff its count beats both levels' maxima —
+    * identical to the single-window skyline, proved by the oracle
+    * replaying the one-window spelling. Dominance math is EXACT
+    * (decimal spend sums, long counts — no rounding anywhere);
+    * duplicate (spend, count) points keep the lowest custkey. */
+  def sortParetoSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val per = table(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(Money)).as("spendd"),
+        count(lit(1)).as("n_orders"))
+    val b = per.withColumn("bucket",
+      floor(col("spendd").cast("double") / lit(50000.0)).cast("long"))
+    val wIn = Window.partitionBy("bucket")
+      .orderBy(col("spendd").desc, col("n_orders").desc, col("o_custkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inb = b.withColumn("mprev", max(col("n_orders")).over(wIn))
+    val wAcross = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bmax = b.groupBy("bucket").agg(max(col("n_orders")).as("bmx"))
+      .withColumn("bprev", max(col("bmx")).over(wAcross))
+      .select(col("bucket"), col("bprev"))
+    inb.join(broadcast(bmax), "bucket")
+      .withColumn("thr",
+        greatest(coalesce(col("mprev"), lit(-1L)),
+          coalesce(col("bprev"), lit(-1L))))
+      .filter(col("n_orders") > col("thr"))
+      .select(col("o_custkey").as("custkey"),
+        col("spendd").cast("double").as("total_spend"), col("n_orders"))
+      .orderBy(desc("total_spend"), col("custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sort_pareto_skyline" -> (sortParetoSkyline _),
     "agg_logistic_irls" -> (aggLogisticIrls _),
     "events_cumulative_users" -> (eventsCumulativeUsers _),
     "events_srm_check" -> (eventsSrmCheck _),
@@ -4186,6 +4229,21 @@ object Relational {
        WHERE rn = floor((m + 1) / 2.0) OR rn = floor(m / 2.0) + 1)"""
 
   val oracleSql: Map[String, String] = Map(
+    // the single-window textbook skyline — the equivalence proof for the
+    // engine's two-level distributed prefix max
+    "sort_pareto_skyline" ->
+      s"""WITH per AS (SELECT o_custkey,
+           sum(CAST(o_totalprice AS DECIMAL(14,2))) AS spendd,
+           count(*) AS n_orders
+           FROM orders GROUP BY 1),
+         w AS (SELECT o_custkey, spendd, n_orders,
+           max(n_orders) OVER (ORDER BY spendd DESC, n_orders DESC, o_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mprev
+           FROM per)
+         SELECT o_custkey AS custkey, CAST(spendd AS DOUBLE) AS total_spend,
+           n_orders
+         FROM w WHERE mprev IS NULL OR n_orders > mprev
+         ORDER BY total_spend DESC, custkey""",
     "agg_logistic_irls" -> {
       val clamp = "least(greatest(p, 0.000001), 0.999999)"
       s"""WITH pu AS (SELECT user_id,

@@ -883,4 +883,31 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
     val meanB = outB.map(_.getAs[Double]("recall_at5")).sum / outB.length
     assert(meanB < 0.7, s"prefix-blind corpus cannot keep full recall: $meanB")
   }
+
+  // ---- sort_pareto_skyline: planted frontier, cross-bucket dominance --
+
+  test("pareto skyline: planted frontier survives, dominated points and duplicates drop") {
+    def bd(v: Double) = new java.math.BigDecimal(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+    // customer -> (per-order price, n_orders); spends span several 50k
+    // buckets so dominance must cross the two-level bucket boundary
+    val plan = Seq(
+      (1L, 120000.0, 1),  // top spend, 1 order       -> frontier
+      (2L, 30000.0, 3),   // spend 90k, 3 orders      -> frontier
+      (3L, 20000.0, 2),   // spend 40k, 2 orders      -> dominated by 2 (90k, 3)
+      (4L, 2000.0, 7),    // spend 14k, 7 orders      -> frontier
+      (5L, 2000.0, 7),    // duplicate point of 4     -> dropped (lowest key wins)
+      (6L, 1000.0, 5),    // spend 5k, 5 orders       -> dominated by 4
+      (7L, 500.0, 9))     // spend 4.5k, 9 orders     -> frontier
+    val rows = plan.flatMap { case (c, price, n) =>
+      (0 until n).map(i => OrdRow10(c * 100 + i, c, "P", bd(price)))
+    }
+    val dir = fixtureDir("orders" -> spark.createDataset(rows).toDF)
+    val out = Relational.sortParetoSkyline(spark, dir).collect()
+    val got = out.map(r => (r.getAs[Long]("custkey"),
+      r.getAs[Double]("total_spend"), r.getAs[Long]("n_orders"))).toSeq
+    assert(got == Seq((1L, 120000.0, 1L), (2L, 90000.0, 3L),
+      (4L, 14000.0, 7L), (7L, 4500.0, 9L)),
+      s"frontier mismatch: $got")
+  }
 }
