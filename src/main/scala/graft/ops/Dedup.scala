@@ -1493,7 +1493,61 @@ object Dedup {
           .as("top_community_share"))
   }
 
+  /** Content-defined chunking (CDC) sub-document dedup — the
+    * insertion-robust alternative to fixed-width chunks
+    * ([[graft.ops.Text]]'s `dedup_chunk_exact` re-chunks at fixed
+    * offsets, so ONE inserted token shifts every later chunk and kills
+    * every later match; CDC cuts where a rolling CONTENT hash hits a
+    * boundary pattern, so chunk edges travel with the content and
+    * shared spans re-align after any local edit — the rsync/LBFS/
+    * FastCDC principle applied to training-text dedup). Chunker: a
+    * degree-3 polynomial rolling hash over a 4-token window (per-token
+    * 28-bit md5 prefixes, Horner weights 31³..31⁰ — fits long with no
+    * modulo), boundary where hash % 16 == 0 (expected ~16-token
+    * chunks); chunk identity is the md5 of the joined tokens. Report:
+    * chunks ≥ 5 tokens appearing in ≥ 2 documents, top-20. Scale
+    * shape: per-doc O(tokens) map work (every HOF input is
+    * [[Util.boundCol]]-bound — collapsed projections would re-hash the
+    * token array PER POSITION), one hash-agg shuffle on chunk_hash; no
+    * pair space anywhere. */
+  def dedupCdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = table(spark, dir, "documents").select(col("doc_id"),
+      boundCol(split(col("text"), " ")) { tk =>
+        boundCol(transform(tk, t =>
+          conv(substring(md5(t.cast("binary")), 1, 7), 16, 10)
+            .cast("long"))) { th =>
+          boundCol(
+            when(size(tk) >= 4,
+              filter(sequence(lit(4), size(tk)), i =>
+                (element_at(th, i - 3) * lit(29791L) +
+                  element_at(th, i - 2) * lit(961L) +
+                  element_at(th, i - 1) * lit(31L) +
+                  element_at(th, i)) % 16 === 0))
+              .otherwise(array().cast("array<int>"))) { bp =>
+            zip_with(
+              concat(array(lit(1)), transform(bp, x => x + 1)),
+              concat(bp, array(size(tk))),
+              (s, e) => struct(
+                md5(concat_ws(" ", slice(tk, s, e - s + 1)).cast("binary"))
+                  .as("ch"),
+                (e - s + 1).as("tl"), s.as("s"), e.as("e")))
+          }
+        }
+      }.as("chunks"))
+    chunks.select(col("doc_id"), explode(col("chunks")).as("c"))
+      .filter(col("c.s") <= col("c.e") && col("c.tl") >= 5)
+      .groupBy(col("c.ch").as("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occur"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        max(col("c.tl")).cast("long").as("token_len"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(desc("n_docs"), desc("n_occur"), col("chunk_hash"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cdc_chunks" -> (dedupCdcChunks _),
     "graph_modularity" -> (graphModularity _),
     "graph_kcore" -> (graphKcore _),
     "graph_common_neighbors" -> (graphCommonNeighbors _),
@@ -1670,6 +1724,34 @@ object Dedup {
   }.mkString(",\n         ")
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_cdc_chunks" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+         t AS (SELECT doc_id, toks, list_transform(toks,
+             tk -> CAST(('0x' || substr(md5(tk), 1, 7)) AS BIGINT)) AS th
+           FROM d),
+         b AS (SELECT doc_id, toks, len(toks) AS n,
+           list_filter(range(4, len(toks) + 1), i ->
+             (th[i-3] * 29791 + th[i-2] * 961 + th[i-1] * 31 + th[i])
+               % 16 = 0) AS bp
+           FROM t),
+         c AS (SELECT doc_id, toks,
+           list_zip(list_concat([1], list_transform(bp, x -> x + 1)),
+             list_concat(bp, [n])) AS rngs
+           FROM b),
+         e AS (SELECT doc_id, toks, unnest(rngs) AS rng FROM c),
+         f AS (SELECT doc_id,
+             md5(array_to_string(toks[rng[1]:rng[2]], ' ')) AS chunk_hash,
+             rng[2] - rng[1] + 1 AS tl
+           FROM e WHERE rng[1] <= rng[2])
+         SELECT chunk_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           count(*) AS n_occur,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+           CAST(max(tl) AS BIGINT) AS token_len
+         FROM f WHERE tl >= 5
+         GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
+         ORDER BY n_docs DESC, n_occur DESC, chunk_hash LIMIT 20""",
     "graph_modularity" ->
       s"""WITH $graphBandPreambleSql,
          pairs AS MATERIALIZED (

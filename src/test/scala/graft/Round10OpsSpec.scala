@@ -910,4 +910,32 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
       (4L, 14000.0, 7L), (7L, 4500.0, 9L)),
       s"frontier mismatch: $got")
   }
+
+  // ---- dedup_cdc_chunks: content-defined boundaries re-align ----------
+
+  test("cdc chunks: chunk boundaries survive a front insertion (the anti-fixed-width property)") {
+    def toks(n: Int): Seq[String] =
+      (0 until n).map(i => s"w${(i * i * 2654435761L) % 97}")
+    val body = toks(200).mkString(" ")
+    val shifted = "zzz yyy xxx " + body // 3 junk tokens prepended
+    val rows = Seq(
+      DocRow(1L, body, "en", "s1", body.length.toLong),
+      DocRow(2L, body, "en", "s2", body.length.toLong),
+      DocRow(3L, shifted, "en", "s3", shifted.length.toLong))
+    val dir = fixtureDir("documents" -> spark.createDataset(rows).toDF)
+    val out = Dedup.dedupCdcChunks(spark, dir).collect()
+    assert(out.nonEmpty, "identical docs must share chunks")
+    // identical docs 1,2 share every reported chunk; the shifted doc 3
+    // must RE-ALIGN after its prefix: at least one chunk is shared by
+    // all three (fixed-offset chunking would share none with doc 3)
+    val triple = out.filter(_.getAs[Long]("n_docs") == 3L)
+    assert(triple.nonEmpty,
+      "CDC must re-align chunks across a front insertion")
+    triple.foreach { r =>
+      assert(r.getAs[Long]("min_doc") == 1L &&
+        r.getAs[Long]("max_doc") == 3L, s"triple-shared span: $r")
+    }
+    // every reported chunk is >= the 5-token report floor
+    out.foreach(r => assert(r.getAs[Long]("token_len") >= 5L))
+  }
 }
