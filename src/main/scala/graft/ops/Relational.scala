@@ -4029,7 +4029,68 @@ object Relational {
       .orderBy(desc("total_spend"), col("custkey"))
   }
 
+  /** Channel order for [[aggShapleyChannel]] — bit i of a coalition
+    * mask = channel i present. ONE enumeration drives both the Scala
+    * fold and the generated oracle SQL, so the floating-point addition
+    * ORDER (which matters for bit-parity) cannot drift. */
+  private val ShapChannels = Seq("view", "click", "signup", "error")
+  private def shapFact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+  /** Shapley weight |S|!(c−|S|−1)!/c! for coalition size s of c=4. */
+  private def shapW(s: Int): Double =
+    (shapFact(s) * shapFact(ShapChannels.size - s - 1)).toDouble /
+      shapFact(ShapChannels.size).toDouble
+  /** The (weight, S, S∪{i}) term list for channel i, masks ascending. */
+  private def shapTerms(i: Int): Seq[(Double, Int, Int)] =
+    for (m <- 0 until (1 << ShapChannels.size) if (m & (1 << i)) == 0)
+      yield (shapW(Integer.bitCount(m)), m, m | (1 << i))
+
+  /** Data-driven marketing attribution by EXACT Shapley values over
+    * the four exposure channels — the game-theoretic answer to "which
+    * channel causes conversions" that last-touch ([[eventsAttribution]])
+    * structurally cannot give (it awards everything to the final
+    * click). Coalition value v(S) = conversion rate of users exposed to
+    * EXACTLY the channel set S; with 4 channels the 16 coalitions
+    * enumerate exactly, so this is the exact Shapley, not a sampled
+    * estimate. Distribution shape: one hash agg to per-user exposure
+    * flags, one conditional agg to the 32 coalition counts (a single
+    * model-sized row — at 100 TB both aggs map-side combine), then the
+    * 4×8-term weighted fold is scalar math. Efficiency axiom audit
+    * included: Σφ must equal v(full) − v(∅), and the spec pins it.
+    * Determinism: coalition rates are exact int ratios; the fold order
+    * and weights come from ONE shared enumeration ([[shapTerms]]), so
+    * Spark and DuckDB add identical doubles in identical order. */
+  def aggShapleyChannel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val flags = ShapChannels.map(c =>
+      max(when(col("event_type") === c, 1).otherwise(0)).as(s"f_$c")) :+
+      max(when(col("event_type") === "purchase", 1).otherwise(0)).as("y")
+    val pu = ev.groupBy("user_id").agg(flags.head, flags.tail: _*)
+    def maskCond(m: Int): Column =
+      ShapChannels.zipWithIndex.map { case (c, i) =>
+        col(s"f_$c") === (if ((m & (1 << i)) != 0) 1 else 0)
+      }.reduce(_ && _)
+    val counts = (0 until 16).flatMap { m =>
+      Seq(sum(when(maskCond(m), 1L).otherwise(0L)).as(s"n_$m"),
+        sum(when(maskCond(m) && col("y") === 1, 1L).otherwise(0L))
+          .as(s"k_$m"))
+    }
+    val row = pu.agg(counts.head, counts.tail: _*).collect()(0)
+    val n = (0 until 16).map(m => row.getAs[Long](s"n_$m"))
+    val k = (0 until 16).map(m => row.getAs[Long](s"k_$m"))
+    val v = (0 until 16).map(m =>
+      if (n(m) > 0) k(m).toDouble / n(m).toDouble else 0.0)
+    import spark.implicits._
+    ShapChannels.zipWithIndex.map { case (c, i) =>
+      val phi = shapTerms(i).foldLeft(0.0) { case (acc, (w, s, si)) =>
+        acc + w * (v(si) - v(s))
+      }
+      val nExp = (0 until 16).filter(m => (m & (1 << i)) != 0).map(n).sum
+      (c, nExp, math.floor(phi * 1e6 + 0.5) / 1e6)
+    }.toDF("channel", "n_exposed", "shapley_value").orderBy("channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_shapley_channel" -> (aggShapleyChannel _),
     "sort_pareto_skyline" -> (sortParetoSkyline _),
     "agg_logistic_irls" -> (aggLogisticIrls _),
     "events_cumulative_users" -> (eventsCumulativeUsers _),
@@ -4228,7 +4289,50 @@ object Relational {
           count(*) OVER () AS m FROM $src) _r
        WHERE rn = floor((m + 1) / 2.0) OR rn = floor(m / 2.0) + 1)"""
 
+  /** Generated oracle for [[aggShapleyChannel]]: the same coalition
+    * enumeration emits the SQL, so weights, masks, and addition order
+    * are textually derived from one source. */
+  private def shapleyOracleSql: String = {
+    def cond(m: Int): String = ShapChannels.zipWithIndex.map {
+      case (c, i) => s"f_$c = ${if ((m & (1 << i)) != 0) 1 else 0}"
+    }.mkString(" AND ")
+    val flagCols = ShapChannels.map(c =>
+      s"max(CASE WHEN event_type = '$c' THEN 1 ELSE 0 END) AS f_$c")
+      .mkString(",\n           ")
+    val countCols = (0 until 16).flatMap { m =>
+      Seq(s"sum(CASE WHEN ${cond(m)} THEN 1 ELSE 0 END) AS n_$m",
+        s"sum(CASE WHEN ${cond(m)} AND y = 1 THEN 1 ELSE 0 END) AS k_$m")
+    }.mkString(",\n           ")
+    val vCols = (0 until 16).map(m =>
+      s"CASE WHEN n_$m > 0 THEN CAST(k_$m AS DOUBLE) / CAST(n_$m AS DOUBLE) ELSE 0.0 END AS v_$m")
+      .mkString(",\n           ")
+    val rows = ShapChannels.zipWithIndex.map { case (c, i) =>
+      val phi = shapTerms(i).map { case (w, s, si) =>
+        s"$w * (v_$si - v_$s)"
+      }.mkString("0.0 + ", " + ", "")
+      val nExp = (0 until 16).filter(m => (m & (1 << i)) != 0)
+        .map(m => s"n_$m").mkString(" + ")
+      s"""SELECT '$c' AS channel, CAST($nExp AS BIGINT) AS n_exposed,
+           floor(($phi) * 1000000.0 + 0.5) / 1000000.0 AS shapley_value
+         FROM v"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH pu AS (SELECT user_id,
+           $flagCols,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+           FROM ${evSql()} GROUP BY user_id),
+         cnts AS (SELECT
+           $countCols
+           FROM pu),
+         v AS (SELECT *,
+           $vCols
+           FROM cnts)
+         SELECT channel, n_exposed, shapley_value FROM (
+         $rows
+         ) ORDER BY channel"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "agg_shapley_channel" -> shapleyOracleSql,
     // the single-window textbook skyline — the equivalence proof for the
     // engine's two-level distributed prefix max
     "sort_pareto_skyline" ->

@@ -938,4 +938,41 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
     // every reported chunk is >= the 5-token report floor
     out.foreach(r => assert(r.getAs[Long]("token_len") >= 5L))
   }
+
+  // ---- agg_shapley_channel: the Shapley axioms on a planted game ------
+
+  test("shapley attribution: null player gets 0, symmetric players tie, efficiency holds") {
+    val base = ts("2024-03-01 00:00:00").getTime
+    def ev(id: Long, u: Long, t: String) =
+      EventRow(id, new Timestamp(base + id * 1000L), u, t, 1.0, "{}")
+    // 30 users view-only (0% convert), 30 click-only (50%), 30 view+click
+    // (50%): click carries ALL the signal, view is a null player
+    val rows =
+      (0 until 30).flatMap { i => Seq(ev(i * 10L, 100L + i, "view")) } ++
+      (0 until 30).flatMap { i =>
+        Seq(ev(1000 + i * 10L, 200L + i, "click")) ++
+          (if (i < 15) Seq(ev(1000 + i * 10L + 1, 200L + i, "purchase")) else Nil)
+      } ++
+      (0 until 30).flatMap { i =>
+        Seq(ev(2000 + i * 10L, 300L + i, "view"),
+          ev(2000 + i * 10L + 1, 300L + i, "click")) ++
+          (if (i < 15) Seq(ev(2000 + i * 10L + 2, 300L + i, "purchase")) else Nil)
+      }
+    val dir = fixtureDir("events" -> spark.createDataset(rows).toDF)
+    val out = Relational.aggShapleyChannel(spark, dir)
+      .collect().map(r => r.getAs[String]("channel") -> r).toMap
+    val phi = out.view.mapValues(_.getAs[Double]("shapley_value")).toMap
+    // null player: view never changes any coalition's value
+    assert(math.abs(phi("view")) < 1e-9, s"null player must get 0: $phi")
+    // click carries it: 0.25*0.5 + (1/12)*0.5 = 1/6
+    assert(math.abs(phi("click") - 1.0 / 6.0) < 1e-5, s"click: $phi")
+    // symmetry: signup and error are interchangeable (both absent)
+    assert(phi("signup") == phi("error"), s"symmetric players must tie: $phi")
+    // efficiency: sum of phis = v(grand coalition) - v(empty) = 0 here
+    // (each output is r6-floored, so the identity holds to 4 half-ulps)
+    assert(math.abs(phi.values.sum) < 2e-6, s"efficiency: $phi")
+    assert(out("view").getAs[Long]("n_exposed") == 60L)
+    assert(out("click").getAs[Long]("n_exposed") == 60L)
+    assert(out("signup").getAs[Long]("n_exposed") == 0L)
+  }
 }
