@@ -211,7 +211,41 @@ object StreamingModel {
       .orderBy("user_id")
   }
 
+  /** ln(2)/7 as a shared literal — both engines multiply by the
+    * IDENTICAL double, so the exp() inputs are bit-equal. */
+  private val DecayPerDay = "0.09902102579427789"
+
+  /** Exponentially time-decayed activity ranking ("who is trending
+    * NOW") with a 7-day half-life — the batch model of the canonical
+    * streaming decayed counter, whose per-key state is just
+    * (score, last_ts): on each event the stream multiplies the stored
+    * score by 2^(−Δt/h) and adds the new value, so the batch value
+    * Σ value·2^(−(t_max−ts)/h) is EXACTLY what the state machine holds
+    * at t_max — the equivalence that makes this oracle-gateable. Shape:
+    * the max-timestamp scalar broadcasts, the decay term is map-side
+    * per-row math, one per-user hash agg, TakeOrdered(10). The decayed
+    * sum deliberately never resets: old activity fades smoothly instead
+    * of cliff-dropping out of a window — the property windowed counts
+    * ([[tumblingCounts]]) cannot give. */
+  def decayTopk(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val mx = ev.agg(max(unix_micros(col("ts"))).as("mx"))
+    ev.crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        r6(col("value").cast(Qty).cast("double") *
+          exp((unix_micros(col("ts")) - col("mx")).cast("double") /
+            lit(86400000000.0) * lit(DecayPerDay.toDouble))).as("term"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("term").cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+          .cast("double").as("raw"))
+      .select(col("user_id"), col("n_events"),
+        r4(col("raw")).as("decayed_score"))
+      .orderBy(desc("decayed_score"), col("user_id")).limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_decay_topk" -> (decayTopk _),
     "stream_cdc_apply" -> (cdcApply _),
     "stream_join_within" -> (joinWithin _),
     "stream_dedup_window" -> (dedupWindow _),
@@ -221,6 +255,17 @@ object StreamingModel {
     "stream_late_filter" -> (lateFilter _))
 
   val oracleSql: Map[String, String] = Map(
+    "stream_decay_topk" ->
+      s"""WITH mx AS (SELECT max(epoch_us(ts)) AS mx FROM ${evSql()}),
+         t AS (SELECT user_id,
+           ${r6Sql(s"CAST(CAST(value AS DECIMAL(10,2)) AS DOUBLE) * exp(CAST(epoch_us(ts) - mx AS DOUBLE) / 86400000000.0 * $DecayPerDay)")}
+             AS term
+           FROM ${evSql()}, mx),
+         g AS (SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(term AS DECIMAL(20,6))) AS DOUBLE) AS raw
+           FROM t GROUP BY user_id)
+         SELECT user_id, n_events, ${r4Sql("raw")} AS decayed_score
+         FROM g ORDER BY decayed_score DESC, user_id LIMIT 10""",
     "stream_cdc_apply" ->
       s"""WITH c AS (SELECT user_id, ts, event_id, value,
            CASE event_type WHEN 'signup' THEN 'I'

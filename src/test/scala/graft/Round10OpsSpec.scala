@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.{Dedup, PipelineOps, Relational, Text}
+import graft.ops.{Dedup, PipelineOps, Relational, StreamingModel, Text}
 
 case class CustRow10(c_custkey: Long, c_mktsegment: String,
     c_acctbal: java.math.BigDecimal)
@@ -974,5 +974,37 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out("view").getAs[Long]("n_exposed") == 60L)
     assert(out("click").getAs[Long]("n_exposed") == 60L)
     assert(out("signup").getAs[Long]("n_exposed") == 0L)
+  }
+
+  // ---- stream_decay_topk: batch value == the streaming state machine --
+
+  test("decay topk: matches the sequential decayed-counter state machine; half-life is 7 days") {
+    val base = ts("2024-03-01 00:00:00").getTime
+    val day = 86400000L
+    // user 1: value 8 today; user 2: value 8 seven days ago (half);
+    // user 3: drip of 1/day for 10 days
+    val rows = Seq(
+      EventRow(1, new Timestamp(base + 20 * day), 1L, "click", 8.0, "{}"),
+      EventRow(2, new Timestamp(base + 13 * day), 2L, "click", 8.0, "{}")) ++
+      (0 until 10).map(i =>
+        EventRow(10 + i, new Timestamp(base + (11 + i) * day), 3L, "click", 1.0, "{}"))
+    val dir = fixtureDir("events" -> spark.createDataset(rows).toDF)
+    val out = StreamingModel.decayTopk(spark, dir)
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(math.abs(out(1L).getAs[Double]("decayed_score") - 8.0) < 1e-3,
+      "an event AT t_max carries full weight")
+    assert(math.abs(out(2L).getAs[Double]("decayed_score") - 4.0) < 1e-3,
+      "an event one half-life old carries half weight")
+    // sequential state machine: score' = score * 2^(-gap/7d) + v
+    val evs3 = rows.filter(_.user_id == 3L).sortBy(_.ts.getTime)
+    val tMax = rows.map(_.ts.getTime).max
+    def decay(ms: Long) = math.pow(2.0, -ms.toDouble / (7.0 * day))
+    var (score, last) = (0.0, evs3.head.ts.getTime)
+    evs3.foreach { e =>
+      score = score * decay(e.ts.getTime - last) + e.value; last = e.ts.getTime
+    }
+    score *= decay(tMax - last)
+    assert(math.abs(out(3L).getAs[Double]("decayed_score") - score) < 1e-3,
+      s"batch decayed sum must equal the streaming counter: $score")
   }
 }
