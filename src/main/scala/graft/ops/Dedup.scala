@@ -1546,7 +1546,49 @@ object Dedup {
       .limit(20)
   }
 
+  /** Multi-source BFS over the candidate graph, 3 unrolled frontier
+    * rounds from the 3 highest-degree nodes — "how much of the near-dup
+    * neighborhood is within k hops of the hubs", the reachability
+    * primitive under blast-radius analysis (if these hub templates are
+    * dropped, what else is close enough to reconsider) and the Pregel
+    * iteration shape LPA/PageRank/CC all share, here in its plainest
+    * form: frontier_t = neighbors(frontier_{t−1}) \ labeled. Each round
+    * is one equi join + one anti join on the label set (both
+    * shuffle-parallel, frontier-sized — never corpus-sized), labels are
+    * [[Util.iterCheckpoint]]'d so round k never re-executes rounds
+    * 1..k−1. Output: one row per distance layer (plus −1 = graph nodes
+    * unreached within 3 hops). */
+  def graphBfsLayers(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    val base = d.select(col("doc_id"), col("source"),
+      array_distinct(split(Text.normTextExpr, " ")).as("toks"))
+    val e = candidatePairsGlobal(base, "s").transform(iterCheckpoint)
+    val und = e.select(col("d1").as("u"), col("d2").as("v"))
+      .unionByName(e.select(col("d2").as("u"), col("d1").as("v")))
+    val deg = und.groupBy("u").agg(count(lit(1)).as("degree"))
+    val seeds = deg.orderBy(desc("degree"), col("u")).limit(3)
+      .select(col("u").as("doc_id"), lit(0L).as("dist"))
+    var labels = seeds.transform(iterCheckpoint)
+    for (t <- 1 to 3) {
+      val frontier = und
+        .join(labels.filter(col("dist") === t - 1)
+          .select(col("doc_id").as("u")), "u")
+        .select(col("v").as("doc_id")).distinct()
+        .join(labels, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(t.toLong).as("dist"))
+      labels = labels.unionByName(frontier).transform(iterCheckpoint)
+    }
+    val unreached = und.select(col("u").as("doc_id")).distinct()
+      .join(labels, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(-1L).as("dist"))
+    labels.unionByName(unreached).groupBy("dist")
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("dist")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_bfs_layers" -> (graphBfsLayers _),
     "dedup_cdc_chunks" -> (dedupCdcChunks _),
     "graph_modularity" -> (graphModularity _),
     "graph_kcore" -> (graphKcore _),
@@ -1724,6 +1766,39 @@ object Dedup {
   }.mkString(",\n         ")
 
   val oracleSql: Map[String, String] = Map(
+    "graph_bfs_layers" ->
+      s"""WITH $graphBandPreambleSql,
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           FROM band a JOIN band b
+             ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         und AS (SELECT d1 AS u, d2 AS v FROM pairs
+           UNION ALL SELECT d2 AS u, d1 AS v FROM pairs),
+         deg AS (SELECT u, count(*) AS degree FROM und GROUP BY u),
+         l0 AS (SELECT u AS doc_id, 0 AS dist FROM deg
+           ORDER BY degree DESC, u LIMIT 3),
+         f1 AS (SELECT DISTINCT und.v AS doc_id FROM und
+           JOIN l0 ON und.u = l0.doc_id
+           WHERE und.v NOT IN (SELECT doc_id FROM l0)),
+         l1 AS (SELECT doc_id, dist FROM l0
+           UNION ALL SELECT doc_id, 1 FROM f1),
+         f2 AS (SELECT DISTINCT und.v AS doc_id FROM und
+           JOIN l1 ON und.u = l1.doc_id AND l1.dist = 1
+           WHERE und.v NOT IN (SELECT doc_id FROM l1)),
+         l2 AS (SELECT doc_id, dist FROM l1
+           UNION ALL SELECT doc_id, 2 FROM f2),
+         f3 AS (SELECT DISTINCT und.v AS doc_id FROM und
+           JOIN l2 ON und.u = l2.doc_id AND l2.dist = 2
+           WHERE und.v NOT IN (SELECT doc_id FROM l2)),
+         l3 AS (SELECT doc_id, dist FROM l2
+           UNION ALL SELECT doc_id, 3 FROM f3),
+         allv AS (SELECT doc_id, dist FROM l3
+           UNION ALL
+           SELECT u AS doc_id, -1 AS dist FROM (SELECT DISTINCT u FROM und)
+           WHERE u NOT IN (SELECT doc_id FROM l3))
+         SELECT CAST(dist AS BIGINT) AS dist, count(*) AS n_nodes,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM allv GROUP BY dist ORDER BY dist""",
     "dedup_cdc_chunks" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
            FROM documents),

@@ -1007,4 +1007,23 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(out(3L).getAs[Double]("decayed_score") - score) < 1e-3,
       s"batch decayed sum must equal the streaming counter: $score")
   }
+
+  // ---- graph_bfs_layers: frontier contiguity and seed discipline ------
+
+  test("bfs layers: contiguous non-empty layers from exactly 3 seeds, disjoint by construction") {
+    val out = Dedup.graphBfsLayers(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getAs[Long]("dist") -> r).toMap
+    assert(out.keySet.subsetOf(Set(-1L, 0L, 1L, 2L, 3L)))
+    assert(out(0L).getAs[Long]("n_nodes") == 3L,
+      "BFS starts from exactly the 3 top-degree seeds")
+    // frontier contiguity: a layer can only exist if the previous did
+    (1L to 3L).foreach { t =>
+      if (out.contains(t)) assert(out.contains(t - 1),
+        s"layer $t cannot exist without layer ${t - 1}")
+    }
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("n_nodes") > 0L)
+      assert(r.getAs[Long]("min_doc") <= r.getAs[Long]("max_doc"))
+    }
+  }
 }
