@@ -4089,7 +4089,78 @@ object Relational {
     }.toDF("channel", "n_exposed", "shapley_value").orderBy("channel")
   }
 
+  /** Transient-state order for [[aggMarkovAttribution]] — one list
+    * drives the Scala recurrence and the generated oracle SQL. */
+  private val MarkovTransient = Seq("start", "view", "click", "signup", "error")
+  private val MarkovSteps = 8
+
+  /** Markov removal-effect attribution — the path-based complement of
+    * [[aggShapleyChannel]] (Shapley sees exposure SETS; this sees
+    * transition ORDER): build the first-order journey chain
+    * start → events… → {purchase | null}, truncated at the first
+    * purchase, then ask per channel "how much conversion probability
+    * disappears if every path through this channel is broken" —
+    * removal effect 1 − p_removed/p_full, the standard data-driven
+    * attribution on Markov chains. Absorption probabilities come from
+    * [[MarkovSteps]] unrolled steps of p_s ← T[s,conv] + Σ T[s,s']·p_s'
+    * (paths ≤ 8 hops — documented truncation; removing a channel just
+    * DROPS its term, no second matrix). Distribution shape: one
+    * user-partitioned window forms consecutive pairs, one hash agg to
+    * the ≤ 7×7 transition counts (model-sized), all chain math is
+    * scalar on exact count ratios; the term ORDER comes from
+    * [[MarkovTransient]] so both engines add identical doubles
+    * identically. */
+  def aggMarkovAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ev = table(spark, dir, "events")
+      .withColumn("rn", row_number().over(order))
+      .withColumn("conv_rn", min(when(col("event_type") === "purchase",
+        col("rn"))).over(Window.partitionBy("user_id")))
+      .filter(col("conv_rn").isNull || col("rn") <= col("conv_rn"))
+    val paired = ev
+      .withColumn("prev", lag(col("event_type"), 1).over(order))
+      .withColumn("from_s", coalesce(col("prev"), lit("start")))
+      .withColumn("is_last", col("rn") === max(col("rn"))
+        .over(Window.partitionBy("user_id")))
+    val trans = paired.select(col("from_s"), col("event_type").as("to_s"))
+      .unionByName(paired
+        .filter(col("is_last") && col("event_type") =!= "purchase")
+        .select(col("event_type").as("from_s"), lit("null").as("to_s")))
+    val cnt = trans.groupBy("from_s", "to_s").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap.withDefaultValue(0L)
+    val rowSum = MarkovTransient.map(s =>
+      s -> (MarkovTransient.drop(1) ++ Seq("purchase", "null"))
+        .map(t => cnt((s, t))).sum).toMap
+    def t(s: String, to: String): Double =
+      if (rowSum(s) > 0) cnt((s, to)).toDouble / rowSum(s).toDouble else 0.0
+    // p(conversion | start, <= MarkovSteps hops), with `removed` dropped
+    def absorb(removed: Option[String]): Double = {
+      val states = MarkovTransient.filterNot(removed.contains)
+      var p = states.map(_ => 0.0)
+      for (_ <- 1 to MarkovSteps) {
+        p = states.map { s =>
+          states.zip(p).filter(_._1 != "start").foldLeft(t(s, "purchase")) {
+            case (acc, (s2, p2)) => acc + t(s, s2) * p2
+          }
+        }
+      }
+      p.head // p("start")
+    }
+    val pFull = absorb(None)
+    val nPaths = rowSum("start")
+    import spark.implicits._
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    MarkovTransient.drop(1).map { c =>
+      val pr = absorb(Some(c))
+      val eff = if (pFull > 0) 1.0 - pr / pFull else 0.0
+      (c, nPaths, q6(pFull), q6(pr), q6(eff))
+    }.toDF("channel", "n_paths", "p_full", "p_removed", "removal_effect")
+      .orderBy("channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_markov_attribution" -> (aggMarkovAttribution _),
     "agg_shapley_channel" -> (aggShapleyChannel _),
     "sort_pareto_skyline" -> (sortParetoSkyline _),
     "agg_logistic_irls" -> (aggLogisticIrls _),
@@ -4289,6 +4360,84 @@ object Relational {
           count(*) OVER () AS m FROM $src) _r
        WHERE rn = floor((m + 1) / 2.0) OR rn = floor(m / 2.0) + 1)"""
 
+  /** Generated oracle for [[aggMarkovAttribution]]: counts, ratios,
+    * and the unrolled absorption recurrences all emitted from the same
+    * [[MarkovTransient]] order the Scala driver folds in. */
+  private def markovOracleSql: String = {
+    val toStates = MarkovTransient.drop(1) ++ Seq("purchase", "null")
+    val cntCols = (for (s <- MarkovTransient; to <- toStates) yield
+      s"sum(CASE WHEN from_s = '$s' AND to_s = '$to' THEN 1 ELSE 0 END) AS n_${s}_$to")
+      .mkString(",\n           ")
+    val tCols = (for (s <- MarkovTransient; to <- toStates) yield
+      s"CASE WHEN ${toStates.map(t0 => s"n_${s}_$t0").mkString(" + ")} > 0 THEN CAST(n_${s}_$to AS DOUBLE) / CAST(${toStates.map(t0 => s"n_${s}_$t0").mkString(" + ")} AS DOUBLE) ELSE 0.0 END AS t_${s}_$to")
+      .mkString(",\n           ")
+    // variants: full + one per removable channel
+    val variants = ("full", None) +:
+      MarkovTransient.drop(1).map(c => (c.take(2), Some(c)))
+    // each step CTE carries the t_ matrix forward and computes fresh
+    // p{k}_ columns from the previous step's p{k-1}_ — no name collision
+    val tForward = (for (s <- MarkovTransient; to <- toStates)
+      yield s"t_${s}_$to").mkString(", ")
+    def stepSelect(k: Int): String = {
+      val cols = variants.flatMap { case (tag, removed) =>
+        val states = MarkovTransient.filterNot(removed.contains)
+        states.map { s =>
+          val terms = states.filter(_ != "start")
+            .map(s2 =>
+              s" + t_${s}_$s2 * " +
+                (if (k == 1) "0.0" else s"p${k - 1}_${tag}_$s2"))
+          s"t_${s}_purchase${terms.mkString} AS p${k}_${tag}_$s"
+        }
+      }.mkString(",\n           ")
+      val carry = if (k == 1) tForward
+        else tForward + ", " + variants.flatMap { case (tag, removed) =>
+          MarkovTransient.filterNot(removed.contains)
+            .map(s => s"p${k - 1}_${tag}_$s")
+        }.mkString(", ")
+      val src = if (k == 1) "tmat" else s"q${k - 1}"
+      s"q$k AS (SELECT $carry,\n           $cols\n           FROM $src)"
+    }
+    val steps = (1 to MarkovSteps).map(stepSelect).mkString(",\n         ")
+    val last = s"q$MarkovSteps"
+    val rows = MarkovTransient.drop(1).map { c =>
+      val tag = c.take(2)
+      val pFull = s"p${MarkovSteps}_full_start"
+      val pRem = s"p${MarkovSteps}_${tag}_start"
+      s"""SELECT '$c' AS channel, np.n_paths,
+           ${r6Sql(pFull)} AS p_full, ${r6Sql(pRem)} AS p_removed,
+           ${r6Sql(s"CASE WHEN $pFull > 0 THEN 1.0 - $pRem / $pFull ELSE 0.0 END")}
+             AS removal_effect
+         FROM $last, np"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH s1 AS (SELECT user_id, event_type, ts, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS rn
+           FROM ${evSql()}),
+         s2 AS (SELECT *, min(CASE WHEN event_type = 'purchase' THEN rn END)
+             OVER (PARTITION BY user_id) AS conv_rn FROM s1),
+         s3 AS (SELECT * FROM s2 WHERE conv_rn IS NULL OR rn <= conv_rn),
+         s4 AS (SELECT *,
+           coalesce(lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id), 'start') AS from_s,
+           rn = max(rn) OVER (PARTITION BY user_id) AS is_last
+           FROM s3),
+         trans AS (SELECT from_s, event_type AS to_s FROM s4
+           UNION ALL SELECT event_type AS from_s, 'null' AS to_s FROM s4
+           WHERE is_last AND event_type <> 'purchase'),
+         cnts AS (SELECT
+           $cntCols
+           FROM trans),
+         np AS (SELECT CAST(${toStates.map(t0 => s"n_start_$t0").mkString(" + ")}
+           AS BIGINT) AS n_paths FROM cnts),
+         tmat AS (SELECT
+           $tCols
+           FROM cnts),
+         $steps
+         SELECT channel, n_paths, p_full, p_removed, removal_effect FROM (
+         $rows
+         ) ORDER BY channel"""
+  }
+
   /** Generated oracle for [[aggShapleyChannel]]: the same coalition
     * enumeration emits the SQL, so weights, masks, and addition order
     * are textually derived from one source. */
@@ -4332,6 +4481,7 @@ object Relational {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "agg_markov_attribution" -> markovOracleSql,
     "agg_shapley_channel" -> shapleyOracleSql,
     // the single-window textbook skyline — the equivalence proof for the
     // engine's two-level distributed prefix max

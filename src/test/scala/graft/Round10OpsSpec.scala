@@ -1026,4 +1026,31 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
       assert(r.getAs[Long]("min_doc") <= r.getAs[Long]("max_doc"))
     }
   }
+
+  // ---- agg_markov_attribution: removal effects on a planted chain -----
+
+  test("markov attribution: a mandatory hop gets effect 1, an absent channel gets 0") {
+    val base = ts("2024-03-01 00:00:00").getTime
+    def ev(id: Long, u: Long, t: String, k: Int) =
+      EventRow(id, new Timestamp(base + id * 60000L + k * 1000L), u, t, 1.0, "{}")
+    // 5 users convert start->click->purchase; 5 users start->view->(null)
+    val rows = (0 until 5).flatMap { i =>
+      Seq(ev(i * 10L, 100L + i, "click", 0), ev(i * 10L, 100L + i, "purchase", 1))
+    } ++ (0 until 5).map { i => ev(500 + i * 10L, 200L + i, "view", 0) }
+    val dir = fixtureDir("events" -> spark.createDataset(rows).toDF)
+    val out = Relational.aggMarkovAttribution(spark, dir)
+      .collect().map(r => r.getAs[String]("channel") -> r).toMap
+    assert(out("click").getAs[Long]("n_paths") == 10L)
+    assert(math.abs(out("click").getAs[Double]("p_full") - 0.5) < 1e-9,
+      "half the journeys convert")
+    // every conversion passes through click: removing it kills them all
+    assert(math.abs(out("click").getAs[Double]("removal_effect") - 1.0) < 1e-9,
+      s"mandatory hop: ${out("click")}")
+    // view only appears on non-converting paths: removing it changes nothing
+    assert(math.abs(out("view").getAs[Double]("removal_effect")) < 1e-9,
+      s"dead-end channel: ${out("view")}")
+    // signup never appears at all
+    assert(math.abs(out("signup").getAs[Double]("removal_effect")) < 1e-9)
+    assert(math.abs(out("signup").getAs[Double]("p_removed") - 0.5) < 1e-9)
+  }
 }
