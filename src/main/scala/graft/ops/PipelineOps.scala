@@ -1192,7 +1192,75 @@ object PipelineOps {
       .orderBy("et")
   }
 
+  /** Training-mixture rebalancing weights — the static data-mixing
+    * calculation behind "sample every source toward the target share":
+    * per source, the token mass, its actual share, the uniform target
+    * share, and the sampling weight target/actual (>1 = upsample, the
+    * expected epoch count over that source; <1 = downsample). Weights
+    * above 2 are flagged — repeating a source more than twice is where
+    * memorization risk starts and a curator should cap instead of
+    * blindly reweighting. Shape: one hash agg to the per-source frame
+    * (map-side combined token sums), totals broadcast back — the
+    * model-sized join every mixture planner needs at any corpus size.
+    * Token counts are exact whitespace-token integers, so every share
+    * and weight is an exact-int ratio (bit-identical cross-engine). */
+  def pipeMixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val per = table(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"),
+      count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        r6(col("n_tokens").cast("double") / col("tot_tokens").cast("double"))
+          .as("actual_share"),
+        r6(lit(1.0) / col("n_sources").cast("double")).as("target_share"),
+        r6((lit(1.0) / col("n_sources").cast("double")) /
+          (col("n_tokens").cast("double") / col("tot_tokens").cast("double")))
+          .as("weight"),
+        ((lit(1.0) / col("n_sources").cast("double")) /
+          (col("n_tokens").cast("double") / col("tot_tokens").cast("double"))
+          > lit(2.0)).as("upsample_capped"))
+      .orderBy("source")
+  }
+
+  /** Token-budgeted output-shard planning — assign docs (in stable
+    * ingest order) to ~2000-token shards by exclusive prefix sum, the
+    * step between "filtered corpus" and "training shards on disk" that
+    * decides file boundaries BEFORE any write. The naive spelling is a
+    * global running sum (one sort partition at any scale); this is the
+    * TWO-LEVEL prefix sum: doc_id-range buckets (monotone in the
+    * order key) carry a bucket-partitioned exclusive window, bucket
+    * totals roll up on the model-sized bucket frame, and shard_id =
+    * (within + offset) div target — all integer-exact, no fp anywhere.
+    * The oracle replays the textbook single-window prefix sum, so the
+    * gate is the distributed≡sequential equivalence proof (the
+    * [[graft.ops.Relational.sortParetoSkyline]] discipline). */
+  def pipeShardPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
+      .withColumn("bucket", (col("doc_id") / 500).cast("long"))
+    val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inb = d.withColumn("pin", coalesce(sum(col("tok")).over(wIn), lit(0L)))
+    val boff = d.groupBy("bucket").agg(sum(col("tok")).as("btot"))
+      .withColumn("boff", coalesce(sum(col("btot")).over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("bucket"), col("boff"))
+    inb.join(broadcast(boff), "bucket")
+      .withColumn("shard_id", expr("(pin + boff) div 2000"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("shard_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_shard_plan" -> (pipeShardPlan _),
+    "pipe_mixture_weights" -> (pipeMixtureWeights _),
     "pipe_gdpr_forget" -> (pipeGdprForget _),
     "pipe_freshness_sla" -> (pipeFreshnessSla _),
     "pipe_datagen_profile" -> (pipeDatagenProfile _),
@@ -1232,6 +1300,37 @@ object PipelineOps {
     "pipe_sample_topk_hash" -> (sampleTopkHash _))
 
   val oracleSql: Map[String, String] = Map(
+    // the textbook single-window prefix sum — the equivalence proof for
+    // the engine's two-level distributed spelling
+    "pipe_shard_plan" ->
+      s"""WITH d AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+           FROM documents),
+         c AS (SELECT doc_id, tok,
+           coalesce(CAST(sum(tok) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+             0) AS cum
+           FROM d)
+         SELECT cum // 2000 AS shard_id, count(*) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS n_tokens,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM c GROUP BY 1 ORDER BY 1""",
+    "pipe_mixture_weights" ->
+      s"""WITH per AS (SELECT source, count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+         tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+           count(*) AS n_sources FROM per)
+         SELECT source, n_docs, n_tokens,
+           ${r6Sql("CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)")}
+             AS actual_share,
+           ${r6Sql("1.0 / CAST(n_sources AS DOUBLE)")} AS target_share,
+           ${r6Sql("(1.0 / CAST(n_sources AS DOUBLE)) / (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE))")}
+             AS weight,
+           (1.0 / CAST(n_sources AS DOUBLE)) /
+             (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)) > 2.0
+             AS upsample_capped
+         FROM per, tot ORDER BY source""",
     "pipe_gdpr_forget" ->
       s"""WITH ev AS (SELECT event_id, user_id, event_type AS et,
            user_id % 97 = 0 AS forget,

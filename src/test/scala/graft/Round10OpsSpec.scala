@@ -1053,4 +1053,47 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(out("signup").getAs[Double]("removal_effect")) < 1e-9)
     assert(math.abs(out("signup").getAs[Double]("p_removed") - 0.5) < 1e-9)
   }
+
+  // ---- pipe_mixture_weights: planted skew, exact shares ---------------
+
+  test("mixture weights: shares and upsampling weights are exact; >2x is capped") {
+    def doc(id: Long, src: String, nTok: Int) =
+      DocRow(id, (1 to nTok).map(i => s"t$i").mkString(" "), "en", src, 0L)
+    // token masses 600 / 300 / 100 over three sources; target = 1/3 each
+    val rows = (0 until 6).map(i => doc(i.toLong, "A", 100)) ++
+      (0 until 3).map(i => doc(10L + i, "B", 100)) ++
+      Seq(doc(20L, "C", 100))
+    val dir = fixtureDir("documents" -> spark.createDataset(rows).toDF)
+    val out = PipelineOps.pipeMixtureWeights(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(math.abs(out("A").getAs[Double]("actual_share") - 0.6) < 1e-9)
+    assert(math.abs(out("A").getAs[Double]("target_share") - 1.0 / 3) < 1e-6)
+    assert(math.abs(out("A").getAs[Double]("weight") - 1.0 / 3 / 0.6) < 1e-5)
+    assert(!out("A").getAs[Boolean]("upsample_capped"))
+    assert(math.abs(out("C").getAs[Double]("weight") - 1.0 / 3 / 0.1) < 1e-5)
+    assert(out("C").getAs[Boolean]("upsample_capped"),
+      "a 3.3x upsample must be flagged")
+    assert(out("B").getAs[Long]("n_tokens") == 300L)
+  }
+
+  // ---- pipe_shard_plan: exact boundaries, contiguous shards -----------
+
+  test("shard plan: 800-token docs pack 2000-token shards exactly; shards are contiguous") {
+    def doc(id: Long) =
+      DocRow(id, (1 to 800).map(i => s"t$i").mkString(" "), "en", "s", 0L)
+    val rows = (1L to 9L).map(doc)
+    val dir = fixtureDir("documents" -> spark.createDataset(rows).toDF)
+    val out = PipelineOps.pipeShardPlan(spark, dir)
+      .collect().sortBy(_.getAs[Long]("shard_id"))
+    // exclusive cums 0,800,1600,2400,... div 2000 -> shards 0,0,0,1,1,2,2,2,3
+    val sizes = out.map(r => r.getAs[Long]("shard_id") -> r.getAs[Long]("n_docs"))
+    assert(sizes.toSeq == Seq(0L -> 3L, 1L -> 2L, 2L -> 3L, 3L -> 1L),
+      s"shard packing: ${sizes.toSeq}")
+    // shards are contiguous doc-id ranges (prefix-sum order preserved)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("max_doc") < b.getAs[Long]("min_doc"),
+        "shards must be contiguous, non-overlapping ranges")
+    }
+    assert(out.map(_.getAs[Long]("n_tokens")).sum == 7200L)
+  }
 }
