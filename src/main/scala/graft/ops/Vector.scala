@@ -1681,6 +1681,45 @@ object Vector {
         count(lit(1)).cast("double")).as("share_within_20pct"))
   }
 
+  /** Per-label embedding-distribution drift between two corpus halves
+    * (vec_id parity as the deterministic "batch A vs batch B" split) —
+    * the monitoring primitive behind "did this class's embedding space
+    * move between snapshots": per label, the half-centroids' cosine
+    * (directional drift) and L2 shift (magnitude drift), plus both
+    * half counts so a reader can discount small-sample labels. Shape:
+    * posexplode to (label, half, dim) → ONE hash agg of r6-floored
+    * decimal sums (map-side combined, 64·labels·2 rows — model-sized
+    * at any corpus scale), per-dim means pair by dim, the three
+    * cosine moments reduce per label. No centroid ever materializes on
+    * the driver. */
+  def embeddingLabelDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d206 = org.apache.spark.sql.types.DecimalType(20, 6)
+    val e = emb(spark, dir).select(col("label"), (col("vec_id") % 2).as("half"),
+      posexplode(col("embedding")).as(Seq("pos", "v")))
+    val dims = e.groupBy(col("label"), col("half"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(r6(col("v").cast("double")).cast(d206)).cast("double").as("s"))
+      .select(col("label"), col("half"), col("pos"),
+        col("n"), (col("s") / col("n").cast("double")).as("m"))
+    val paired = dims.filter(col("half") === 0)
+      .select(col("label"), col("pos"), col("m").as("m0"), col("n").as("n0"))
+      .join(dims.filter(col("half") === 1)
+        .select(col("label"), col("pos"), col("m").as("m1"), col("n").as("n1")),
+        Seq("label", "pos"))
+    paired.groupBy(col("label").cast("long").as("label"))
+      .agg(max(col("n0")).as("n_first"), max(col("n1")).as("n_second"),
+        sum(r6(col("m0") * col("m1")).cast(d206)).cast("double").as("s01"),
+        sum(r6(col("m0") * col("m0")).cast(d206)).cast("double").as("s00"),
+        sum(r6(col("m1") * col("m1")).cast(d206)).cast("double").as("s11"),
+        sum(r6((col("m0") - col("m1")) * (col("m0") - col("m1")))
+          .cast(d206)).cast("double").as("sd"))
+      .select(col("label"), col("n_first"), col("n_second"),
+        r6(col("s01") / (sqrt(col("s00")) * sqrt(col("s11"))))
+          .as("cos_between_halves"),
+        r6(sqrt(col("sd"))).as("shift_l2"))
+      .orderBy("label")
+  }
+
   /** Matryoshka truncation audit: recall@5 of brute-force cosine search
     * run on the FIRST 16 dims against the full-64-dim ranking, per
     * probe — the measurement behind the "store a prefix, search 4×
@@ -1790,6 +1829,7 @@ object Vector {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_label_drift" -> (embeddingLabelDrift _),
     "embedding_matryoshka_eval" -> (embeddingMatryoshkaEval _),
     "cluster_kcenter_init" -> (clusterKcenterInit _),
     "embedding_jl_project" -> (embeddingJlProject _),
@@ -1989,6 +2029,31 @@ object Vector {
   }.mkString(",\n         ")
 
   val oracleSql: Map[String, String] = Map(
+    "embedding_label_drift" ->
+      s"""WITH e AS (SELECT label, vec_id % 2 AS half, t.i AS pos,
+             CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE) AS v
+           FROM embeddings, range(1, 65) t(i)),
+         dims AS (SELECT label, half, pos, count(*) AS n,
+             CAST(sum(CAST(${r6Sql("v")} AS DECIMAL(20,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS m
+           FROM e GROUP BY 1, 2, 3),
+         p AS (SELECT a.label, a.pos, a.m AS m0, a.n AS n0,
+             b.m AS m1, b.n AS n1
+           FROM (SELECT * FROM dims WHERE half = 0) a
+           JOIN (SELECT * FROM dims WHERE half = 1) b
+             USING (label, pos)),
+         g AS (SELECT CAST(label AS BIGINT) AS label,
+             CAST(max(n0) AS BIGINT) AS n_first,
+             CAST(max(n1) AS BIGINT) AS n_second,
+             CAST(sum(CAST(${r6Sql("m0 * m1")} AS DECIMAL(20,6))) AS DOUBLE) AS s01,
+             CAST(sum(CAST(${r6Sql("m0 * m0")} AS DECIMAL(20,6))) AS DOUBLE) AS s00,
+             CAST(sum(CAST(${r6Sql("m1 * m1")} AS DECIMAL(20,6))) AS DOUBLE) AS s11,
+             CAST(sum(CAST(${r6Sql("(m0 - m1) * (m0 - m1)")} AS DECIMAL(20,6))) AS DOUBLE) AS sd
+           FROM p GROUP BY 1)
+         SELECT label, n_first, n_second,
+           ${r6Sql("s01 / (sqrt(s00) * sqrt(s11))")} AS cos_between_halves,
+           ${r6Sql("sqrt(sd)")} AS shift_l2
+         FROM g ORDER BY label""",
     "embedding_matryoshka_eval" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
              FROM embeddings ORDER BY vec_id LIMIT 10),

@@ -1096,4 +1096,29 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
     }
     assert(out.map(_.getAs[Long]("n_tokens")).sum == 7200L)
   }
+
+  // ---- embedding_label_drift: planted stable vs drifted label ---------
+
+  test("label drift: a stable label scores cosine 1 / shift 0; an axis-flip scores -1") {
+    def v(axis: Int, mag: Float): Array[Float] =
+      Array.tabulate(64)(i => if (i == axis) mag else 0.0f)
+    // label 0: both halves on +e0 (stable); label 1: even vec_ids on +e1,
+    // odd on -e1 (direction flip -> cosine -1, shift 2*mag)
+    val rows =
+      (0 until 10).map(i => EmbRow(i.toLong, v(0, 2.0f), 0)) ++
+      (0 until 10).map(i => EmbRow(100L + i,
+        v(1, if (i % 2 == 0) 3.0f else -3.0f), 1))
+    val dir = fixtureDir("embeddings" -> spark.createDataset(rows).toDF)
+    val out = graft.ops.Vector.embeddingLabelDrift(spark, dir)
+      .collect().map(r => r.getAs[Long]("label") -> r).toMap
+    assert(math.abs(out(0L).getAs[Double]("cos_between_halves") - 1.0) < 1e-6)
+    assert(math.abs(out(0L).getAs[Double]("shift_l2")) < 1e-6,
+      "identical halves must show zero shift")
+    assert(math.abs(out(1L).getAs[Double]("cos_between_halves") + 1.0) < 1e-6,
+      "an axis flip between halves is cosine -1")
+    assert(math.abs(out(1L).getAs[Double]("shift_l2") - 6.0) < 1e-5,
+      "centroids at +3 and -3 on one axis sit 6 apart")
+    assert(out(0L).getAs[Long]("n_first") == 5L &&
+      out(0L).getAs[Long]("n_second") == 5L)
+  }
 }
