@@ -4159,7 +4159,69 @@ object Relational {
       .orderBy("channel")
   }
 
+  /** CUPED variance-reduction for the A/B readout — the industry-
+    * standard pre-experiment covariate adjustment: per user, pre-period
+    * spend x (first half of the window) predicts post-period spend y,
+    * θ = cov(x,y)/var(x) pooled, and the adjusted metric
+    * y − θ(x − x̄) keeps the same expectation while removing ρ² of the
+    * variance (reported as `var_reduction`) — the difference between a
+    * powered and an underpowered experiment at the same traffic. All of
+    * it is closed-form from ONE scan: per-user pre/post spends (hash
+    * agg, map-side combined), then eleven exact-decimal moments
+    * (global + per-arm) in a single conditional agg; the adjusted
+    * means use the identity mean(y_adj) = mean(y) − θ(mean(x) − x̄),
+    * so no second pass ever touches the data. Degenerate var(x)=0 or
+    * var(y)=0 → NULL adjustments on both engines. */
+  def aggCupedAdjustment(spark: SparkSession, dir: String): DataFrame = {
+    val d388 = org.apache.spark.sql.types.DecimalType(38, 8)
+    val ev = table(spark, dir, "events")
+    val span = ev.agg(min(to_date(col("ts"))).as("d0"),
+        max(to_date(col("ts"))).as("d1"))
+      .select(expr("date_add(d0, CAST(datediff(d1, d0) DIV 2 AS INT))")
+        .as("mid"))
+    val pu = ev.crossJoin(broadcast(span))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase" &&
+          to_date(col("ts")) <= col("mid"), col("value").cast(Qty))
+          .otherwise(lit(0).cast(Qty))).as("x"),
+        sum(when(col("event_type") === "purchase" &&
+          to_date(col("ts")) > col("mid"), col("value").cast(Qty))
+          .otherwise(lit(0).cast(Qty))).as("y"))
+      .withColumn("t_arm", (col("user_id") % 2 === 0).cast("int"))
+    val m = pu.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(d388)).cast("double").as("sx"),
+      sum(col("y").cast(d388)).cast("double").as("sy"),
+      sum((col("x") * col("x")).cast(d388)).cast("double").as("sxx"),
+      sum((col("x") * col("y")).cast(d388)).cast("double").as("sxy"),
+      sum((col("y") * col("y")).cast(d388)).cast("double").as("syy"),
+      sum(col("t_arm").cast("long")).as("n_t"),
+      sum(when(col("t_arm") === 1, col("x").cast(d388))
+        .otherwise(lit(0).cast(d388))).cast("double").as("sx_t"),
+      sum(when(col("t_arm") === 1, col("y").cast(d388))
+        .otherwise(lit(0).cast(d388))).cast("double").as("sy_t"))
+    val nd = col("n").cast("double"); val ntd = col("n_t").cast("double")
+    val ncd = nd - ntd
+    val mx = col("sx") / nd; val my = col("sy") / nd
+    val varX = col("sxx") / nd - mx * mx
+    val varY = col("syy") / nd - my * my
+    val covXY = col("sxy") / nd - mx * my
+    val theta = covXY / varX
+    val rho2 = covXY * covXY / (varX * varY)
+    val mxT = col("sx_t") / ntd; val mxC = (col("sx") - col("sx_t")) / ncd
+    val myT = col("sy_t") / ntd; val myC = (col("sy") - col("sy_t")) / ncd
+    val diffRaw = myT - myC
+    val ok = varX > 0d && varY > 0d
+    m.select(col("n").as("n_users"), col("n_t").as("n_treatment"),
+      r6(when(ok, theta)).as("theta"),
+      r6(when(ok, rho2)).as("var_reduction"),
+      r4(diffRaw).as("diff_raw"),
+      r4(when(ok, diffRaw - theta * (mxT - mxC))).as("diff_cuped"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_cuped_adjustment" -> (aggCupedAdjustment _),
     "agg_markov_attribution" -> (aggMarkovAttribution _),
     "agg_shapley_channel" -> (aggShapleyChannel _),
     "sort_pareto_skyline" -> (sortParetoSkyline _),
@@ -4481,6 +4543,53 @@ object Relational {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "agg_cuped_adjustment" ->
+      s"""WITH sp AS (SELECT CAST(min(CAST(ts AS DATE)) AS DATE)
+             + CAST(CAST(date_diff('day', min(CAST(ts AS DATE)),
+               max(CAST(ts AS DATE))) AS BIGINT) // 2 AS INTEGER) AS mid
+           FROM ${evSql()}),
+         pu AS (SELECT user_id,
+           sum(CASE WHEN event_type = 'purchase' AND CAST(ts AS DATE) <= mid
+             THEN CAST(value AS DECIMAL(10,2))
+             ELSE CAST(0 AS DECIMAL(10,2)) END) AS x,
+           sum(CASE WHEN event_type = 'purchase' AND CAST(ts AS DATE) > mid
+             THEN CAST(value AS DECIMAL(10,2))
+             ELSE CAST(0 AS DECIMAL(10,2)) END) AS y,
+           CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t_arm
+           FROM ${evSql()}, sp GROUP BY user_id),
+         m AS (SELECT count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
+           CAST(sum(CAST(x AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(y AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+           CAST(sum(CAST(y * y AS DECIMAL(38,8))) AS DOUBLE) AS syy,
+           CAST(sum(CAST(t_arm AS BIGINT)) AS BIGINT) AS n_t,
+           CAST(sum(CASE WHEN t_arm = 1 THEN CAST(x AS DECIMAL(38,8))
+             ELSE CAST(0 AS DECIMAL(38,8)) END) AS DOUBLE) AS sx_t,
+           CAST(sum(CASE WHEN t_arm = 1 THEN CAST(y AS DECIMAL(38,8))
+             ELSE CAST(0 AS DECIMAL(38,8)) END) AS DOUBLE) AS sy_t
+           FROM pu),
+         c AS (SELECT n, n_t, nd, CAST(n_t AS DOUBLE) AS ntd,
+           nd - CAST(n_t AS DOUBLE) AS ncd,
+           sx / nd AS mx, sy / nd AS my,
+           sxx / nd - (sx / nd) * (sx / nd) AS var_x,
+           syy / nd - (sy / nd) * (sy / nd) AS var_y,
+           sxy / nd - (sx / nd) * (sy / nd) AS cov_xy,
+           sx, sy, sx_t, sy_t FROM m),
+         f AS (SELECT n, n_t,
+           var_x > 0 AND var_y > 0 AS ok,
+           cov_xy / var_x AS theta,
+           cov_xy * cov_xy / (var_x * var_y) AS rho2,
+           sy_t / ntd - (sy - sy_t) / ncd AS diff_raw,
+           sx_t / ntd - (sx - sx_t) / ncd AS dx
+           FROM c)
+         SELECT n AS n_users, n_t AS n_treatment,
+           ${r6Sql("CASE WHEN ok THEN theta END")} AS theta,
+           ${r6Sql("CASE WHEN ok THEN rho2 END")} AS var_reduction,
+           ${r4Sql("diff_raw")} AS diff_raw,
+           ${r4Sql("CASE WHEN ok THEN diff_raw - theta * dx END")}
+             AS diff_cuped
+         FROM f""",
     "agg_markov_attribution" -> markovOracleSql,
     "agg_shapley_channel" -> shapleyOracleSql,
     // the single-window textbook skyline — the equivalence proof for the

@@ -1121,4 +1121,40 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out(0L).getAs[Long]("n_first") == 5L &&
       out(0L).getAs[Long]("n_second") == 5L)
   }
+
+  // ---- agg_cuped_adjustment: removes the pre-period imbalance ---------
+
+  test("cuped: recovers theta=2 on a planted linear covariate and de-biases the readout") {
+    val base = ts("2024-03-01 00:00:00").getTime
+    val day = 86400000L
+    // y = 2x + 10*T with x correlated with the arm (evens are larger):
+    // the raw diff overstates the +10 effect; CUPED must pull it back
+    val rows = (1L to 20L).flatMap { u =>
+      val t = if (u % 2 == 0) 1 else 0
+      Seq(
+        EventRow(u * 10, new Timestamp(base + 2 * day), u, "purchase",
+          u.toDouble, "{}"),
+        EventRow(u * 10 + 1, new Timestamp(base + 15 * day), u, "purchase",
+          2.0 * u + 10.0 * t, "{}"),
+        // span anchors so the window midpoint is stable
+        EventRow(u * 10 + 2, new Timestamp(base), u, "view", 1.0, "{}"),
+        EventRow(u * 10 + 3, new Timestamp(base + 19 * day), u, "view", 1.0, "{}"))
+    }
+    val dir = fixtureDir("events" -> spark.createDataset(rows).toDF)
+    val r = Relational.aggCupedAdjustment(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_users") == 20L)
+    assert(r.getAs[Long]("n_treatment") == 10L)
+    val theta = r.getAs[Double]("theta")
+    assert(theta > 1.9 && theta < 2.3, s"theta must track the planted 2: $theta")
+    // y = 2x + 10T: the arm effect itself is variance x cannot explain,
+    // so rho^2 sits below 1 even with a noise-free covariate
+    assert(r.getAs[Double]("var_reduction") > 0.8,
+      "a near-deterministic covariate must remove most variance")
+    val raw = r.getAs[Double]("diff_raw")
+    val adj = r.getAs[Double]("diff_cuped")
+    assert(raw > 11.0, s"arm-correlated x inflates the raw readout: $raw")
+    assert(math.abs(adj - 10.0) < math.abs(raw - 10.0),
+      s"CUPED must move toward the true +10: raw=$raw adj=$adj")
+    assert(math.abs(adj - 10.0) < 1.5, s"adjusted readout near truth: $adj")
+  }
 }
