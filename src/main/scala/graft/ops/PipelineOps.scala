@@ -1241,7 +1241,7 @@ object PipelineOps {
     import org.apache.spark.sql.expressions.Window
     val d = table(spark, dir, "documents")
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
-      .withColumn("bucket", (col("doc_id") / 500).cast("long"))
+      .withColumn("bucket", expr("doc_id div 500"))
     val wIn = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val inb = d.withColumn("pin", coalesce(sum(col("tok")).over(wIn), lit(0L)))

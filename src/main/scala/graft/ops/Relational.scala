@@ -3915,7 +3915,6 @@ object Relational {
       dsum(col("x2") * (col("y") - lit(0.5)), d246).as("g2"))
       .collect()(0)
     val n = m.getAs[Long]("n")
-    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     val (det1, c0, c1, c2) = cramer3(
       n.toDouble, m.getAs[Double]("sx1"), m.getAs[Double]("sx2"),
       m.getAs[Double]("sx11"), m.getAs[Double]("sx12"),
@@ -3925,7 +3924,8 @@ object Relational {
         java.lang.Double) =
       if (!(math.abs(det1) > 0)) (null, null, null, null)
       else {
-        val (b0, b1, b2) = (q6(4.0 * c0), q6(4.0 * c1), q6(4.0 * c2))
+        val (b0, b1, b2) =
+          (r6D(4.0 * c0), r6D(4.0 * c1), r6D(4.0 * c2))
         // round 2: Newton step at β₁ — sigmoid r6-quantized per row,
         // weights and gradient terms r6-quantized into exact sums
         def eta(bb0: Double, bb1: Double, bb2: Double) =
@@ -3951,7 +3951,7 @@ object Relational {
           h.getAs[Double]("q0"), h.getAs[Double]("q1"), h.getAs[Double]("q2"))
         if (!(math.abs(det2) > 0)) (null, null, null, null)
         else {
-          val (f0, f1, f2) = (q6(b0 + d0), q6(b1 + d1), q6(b2 + d2))
+          val (f0, f1, f2) = (r6D(b0 + d0), r6D(b1 + d1), r6D(b2 + d2))
           // mean log-loss of the final model, sigmoid clamped to
           // [1e-6, 1 − 1e-6] so a saturated row cannot emit ±inf
           val p2 = r6(lit(1.0) / (lit(1.0) + exp(-eta(f0, f1, f2))))
@@ -3961,12 +3961,12 @@ object Relational {
               (lit(1.0) - col("y")) * log(lit(1.0) - pc))).cast(d246))
               .cast("double").as("sl"))
             .collect()(0)
-          val loss = math.floor(lossRow.getAs[Double]("sl") / n * 1e4 + 0.5) / 1e4
+          val loss = r4D(lossRow.getAs[Double]("sl") / n)
           (f0, f1, f2, loss)
         }
       }
     def q4(x: java.lang.Double): java.lang.Double =
-      if (x == null) null else math.floor(x * 1e4 + 0.5) / 1e4
+      if (x == null) null else r4D(x)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("n_users",
         org.apache.spark.sql.types.LongType, nullable = false),
@@ -4085,7 +4085,7 @@ object Relational {
         acc + w * (v(si) - v(s))
       }
       val nExp = (0 until 16).filter(m => (m & (1 << i)) != 0).map(n).sum
-      (c, nExp, math.floor(phi * 1e6 + 0.5) / 1e6)
+      (c, nExp, r6D(phi))
     }.toDF("channel", "n_exposed", "shapley_value").orderBy("channel")
   }
 
@@ -4122,10 +4122,19 @@ object Relational {
       .withColumn("from_s", coalesce(col("prev"), lit("start")))
       .withColumn("is_last", col("rn") === max(col("rn"))
         .over(Window.partitionBy("user_id")))
-    val trans = paired.select(col("from_s"), col("event_type").as("to_s"))
-      .unionByName(paired
-        .filter(col("is_last") && col("event_type") =!= "purchase")
-        .select(col("event_type").as("from_s"), lit("null").as("to_s")))
+    // one pass: each row emits its (prev → current) pair, and the last
+    // non-converting row ALSO emits the terminal (current → null) — as
+    // a per-row array explode, not a second union branch (a union would
+    // plan the whole user-partitioned window pipeline twice)
+    val trans = paired.select(explode(concat(
+        array(struct(col("from_s"), col("event_type").as("to_s"))),
+        when(col("is_last") && col("event_type") =!= "purchase",
+          array(struct(col("event_type").as("from_s"),
+            lit("null").as("to_s"))))
+          .otherwise(array().cast(
+            "array<struct<from_s:string,to_s:string>>"))))
+        .as("t"))
+      .select(col("t.from_s"), col("t.to_s"))
     val cnt = trans.groupBy("from_s", "to_s").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
       .toMap.withDefaultValue(0L)
@@ -4150,11 +4159,10 @@ object Relational {
     val pFull = absorb(None)
     val nPaths = rowSum("start")
     import spark.implicits._
-    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     MarkovTransient.drop(1).map { c =>
       val pr = absorb(Some(c))
       val eff = if (pFull > 0) 1.0 - pr / pFull else 0.0
-      (c, nPaths, q6(pFull), q6(pr), q6(eff))
+      (c, nPaths, r6D(pFull), r6D(pr), r6D(eff))
     }.toDF("channel", "n_paths", "p_full", "p_removed", "removal_effect")
       .orderBy("channel")
   }
@@ -4212,11 +4220,15 @@ object Relational {
     val mxT = col("sx_t") / ntd; val mxC = (col("sx") - col("sx_t")) / ncd
     val myT = col("sy_t") / ntd; val myC = (col("sy") - col("sy_t")) / ncd
     val diffRaw = myT - myC
-    val ok = varX > 0d && varY > 0d
+    // both-arms guard: an all-one-parity cohort zeroes ntd or ncd, and
+    // 0/0 is engine-specific (Spark NULL vs DuckDB IEEE NaN/inf) — the
+    // same degenerate-path discipline as the varX/varY guard
+    val okArms = col("n_t") > 0L && col("n_t") < col("n")
+    val ok = okArms && varX > 0d && varY > 0d
     m.select(col("n").as("n_users"), col("n_t").as("n_treatment"),
       r6(when(ok, theta)).as("theta"),
       r6(when(ok, rho2)).as("var_reduction"),
-      r4(diffRaw).as("diff_raw"),
+      r4(when(okArms, diffRaw)).as("diff_raw"),
       r4(when(ok, diffRaw - theta * (mxT - mxC))).as("diff_cuped"))
   }
 
@@ -4577,7 +4589,8 @@ object Relational {
            sxy / nd - (sx / nd) * (sy / nd) AS cov_xy,
            sx, sy, sx_t, sy_t FROM m),
          f AS (SELECT n, n_t,
-           var_x > 0 AND var_y > 0 AS ok,
+           n_t > 0 AND n_t < n AS ok_arms,
+           n_t > 0 AND n_t < n AND var_x > 0 AND var_y > 0 AS ok,
            cov_xy / var_x AS theta,
            cov_xy * cov_xy / (var_x * var_y) AS rho2,
            sy_t / ntd - (sy - sy_t) / ncd AS diff_raw,
@@ -4586,7 +4599,7 @@ object Relational {
          SELECT n AS n_users, n_t AS n_treatment,
            ${r6Sql("CASE WHEN ok THEN theta END")} AS theta,
            ${r6Sql("CASE WHEN ok THEN rho2 END")} AS var_reduction,
-           ${r4Sql("diff_raw")} AS diff_raw,
+           ${r4Sql("CASE WHEN ok_arms THEN diff_raw END")} AS diff_raw,
            ${r4Sql("CASE WHEN ok THEN diff_raw - theta * dx END")}
              AS diff_cuped
          FROM f""",

@@ -212,8 +212,13 @@ object StreamingModel {
   }
 
   /** ln(2)/7 as a shared literal — both engines multiply by the
-    * IDENTICAL double, so the exp() inputs are bit-equal. */
+    * IDENTICAL double, so the exp() inputs are bit-equal. The SQL side
+    * must CAST the STRING to DOUBLE: a bare 17-digit numeric literal
+    * parses in DuckDB as DECIMAL(17,17), whose significand exceeds
+    * 2^53 — the decimal→double conversion could land 1 ulp off
+    * Scala's strtod of the same digits. */
   private val DecayPerDay = "0.09902102579427789"
+  private val DecayPerDaySql = s"CAST('$DecayPerDay' AS DOUBLE)"
 
   /** Exponentially time-decayed activity ranking ("who is trending
     * NOW") with a 7-day half-life — the batch model of the canonical
@@ -258,7 +263,7 @@ object StreamingModel {
     "stream_decay_topk" ->
       s"""WITH mx AS (SELECT max(epoch_us(ts)) AS mx FROM ${evSql()}),
          t AS (SELECT user_id,
-           ${r6Sql(s"CAST(CAST(value AS DECIMAL(10,2)) AS DOUBLE) * exp(CAST(epoch_us(ts) - mx AS DOUBLE) / 86400000000.0 * $DecayPerDay)")}
+           ${r6Sql(s"CAST(CAST(value AS DECIMAL(10,2)) AS DOUBLE) * exp(CAST(epoch_us(ts) - mx AS DOUBLE) / 86400000000.0 * $DecayPerDaySql)")}
              AS term
            FROM ${evSql()}, mx),
          g AS (SELECT user_id, count(*) AS n_events,

@@ -96,6 +96,17 @@ object Util {
   def r4(c: Column): Column = rp(c, 4)
   def r6(c: Column): Column = rp(c, 6)
 
+  /** Driver-side scalar twin of [[rp]] — ONE spelling for the
+    * quantization that driver-computed doubles (IRLS β, EM params,
+    * Markov probabilities, k-center radii) must share with [[rpSql]]
+    * bit-for-bit. */
+  def rpD(x: Double, p: Int): Double = {
+    val f = math.pow(10, p)
+    math.floor(x * f + 0.5) / f
+  }
+  def r4D(x: Double): Double = rpD(x, 4)
+  def r6D(x: Double): Double = rpD(x, 6)
+
   /** DuckDB spelling of [[rp]] — textually identical arithmetic. */
   def rpSql(x: String, p: Int): String = {
     val f = "1" + ("0" * p) + ".0"

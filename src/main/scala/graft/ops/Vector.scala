@@ -1714,7 +1714,11 @@ object Vector {
         sum(r6((col("m0") - col("m1")) * (col("m0") - col("m1")))
           .cast(d206)).cast("double").as("sd"))
       .select(col("label"), col("n_first"), col("n_second"),
-        r6(col("s01") / (sqrt(col("s00")) * sqrt(col("s11"))))
+        // r6 can floor a near-zero-mean centroid's moments to exactly 0,
+        // and 0/0 is engine-specific (Spark NULL vs DuckDB NaN) — NULL
+        // ("no direction to compare") on both engines instead
+        r6(when(col("s00") > 0d && col("s11") > 0d,
+          col("s01") / (sqrt(col("s00")) * sqrt(col("s11")))))
           .as("cos_between_halves"),
         r6(sqrt(col("sd"))).as("shift_l2"))
       .orderBy("label")
@@ -1795,7 +1799,7 @@ object Vector {
         .orderBy(desc("dmin"), col("vec_id")).limit(1).collect()(0)
       centers = centers :+ top.getSeq[Double](1)
       out = out :+ ((t.toLong, top.getLong(0),
-        Some(math.floor(top.getDouble(2) * 1e4 + 0.5) / 1e4)))
+        Some(r4D(top.getDouble(2)))))
     }
     out.toDF("seq", "center_id", "sel_dist").orderBy("seq")
   }
@@ -2051,7 +2055,8 @@ object Vector {
              CAST(sum(CAST(${r6Sql("(m0 - m1) * (m0 - m1)")} AS DECIMAL(20,6))) AS DOUBLE) AS sd
            FROM p GROUP BY 1)
          SELECT label, n_first, n_second,
-           ${r6Sql("s01 / (sqrt(s00) * sqrt(s11))")} AS cos_between_halves,
+           ${r6Sql("CASE WHEN s00 > 0 AND s11 > 0 THEN s01 / (sqrt(s00) * sqrt(s11)) END")}
+             AS cos_between_halves,
            ${r6Sql("sqrt(sd)")} AS shift_l2
          FROM g ORDER BY label""",
     "embedding_matryoshka_eval" ->
