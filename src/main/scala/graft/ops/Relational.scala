@@ -4232,7 +4232,38 @@ object Relational {
       r4(when(ok, diffRaw - theta * (mxT - mxC))).as("diff_cuped"))
   }
 
+  /** Over-dispersion test + negative-binomial moment fit for per-user
+    * event counts — the "is Poisson actually the right model" check
+    * that should precede every rate-based anomaly rule
+    * ([[eventsPoissonAnomaly]] assumes variance ≈ mean; real user
+    * activity is usually over-dispersed, and a Poisson threshold on NB
+    * data fires constantly). Dispersion index D = var/mean; when
+    * D > 1 the NB method-of-moments parameters r = m²/(v−m),
+    * p = m/v are reported (NULL when the data is at-or-under Poisson
+    * dispersion — the fit doesn't exist there). All moments are exact
+    * integer sums (counts of counts) in one per-user agg + one
+    * moment agg, both map-side combined. */
+  def aggOverdispersionNb(spark: SparkSession, dir: String): DataFrame = {
+    val pu = table(spark, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("k"))
+    val m = pu.agg(count(lit(1)).as("n"),
+      sum(col("k")).as("sk"),
+      sum(col("k") * col("k")).as("skk"))
+    val nd = col("n").cast("double")
+    val mean = col("sk").cast("double") / nd
+    val vr = col("skk").cast("double") / nd - mean * mean
+    val disp = vr / mean
+    val over = vr > mean
+    m.select(col("n").as("n_users"),
+      r4(mean).as("mean_events"), r4(vr).as("var_events"),
+      r4(disp).as("dispersion_index"),
+      (disp > lit(1.2)).as("overdispersed"),
+      r4(when(over, mean * mean / (vr - mean))).as("nb_r"),
+      r6(when(over, mean / vr)).as("nb_p"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_overdispersion_nb" -> (aggOverdispersionNb _),
     "agg_cuped_adjustment" -> (aggCupedAdjustment _),
     "agg_markov_attribution" -> (aggMarkovAttribution _),
     "agg_shapley_channel" -> (aggShapleyChannel _),
@@ -4555,6 +4586,24 @@ object Relational {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "agg_overdispersion_nb" ->
+      s"""WITH pu AS (SELECT user_id, count(*) AS k
+           FROM ${evSql()} GROUP BY user_id),
+         m AS (SELECT count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
+           CAST(sum(k) AS DOUBLE) AS sk,
+           CAST(sum(k * k) AS DOUBLE) AS skk
+           FROM pu),
+         c AS (SELECT n, sk / nd AS mean,
+           skk / nd - (sk / nd) * (sk / nd) AS vr
+           FROM m)
+         SELECT n AS n_users,
+           ${r4Sql("mean")} AS mean_events, ${r4Sql("vr")} AS var_events,
+           ${r4Sql("vr / mean")} AS dispersion_index,
+           vr / mean > 1.2 AS overdispersed,
+           ${r4Sql("CASE WHEN vr > mean THEN mean * mean / (vr - mean) END")}
+             AS nb_r,
+           ${r6Sql("CASE WHEN vr > mean THEN mean / vr END")} AS nb_p
+         FROM c""",
     "agg_cuped_adjustment" ->
       s"""WITH sp AS (SELECT CAST(min(CAST(ts AS DATE)) AS DATE)
              + CAST(CAST(date_diff('day', min(CAST(ts AS DATE)),

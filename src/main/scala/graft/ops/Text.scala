@@ -1950,7 +1950,36 @@ object Text {
       .orderBy(desc("occ"), col("token")).limit(20)
   }
 
+  /** Code-vs-prose detection per source — the corpus-curation router
+    * that decides which cleaning/dedup/tokenizer path a document takes
+    * (code wants identifier-preserving tokenization and no stopword
+    * heuristics; prose wants the opposite). Detector: the density of
+    * code-punctuation characters ({}();=[]), counted as a length delta
+    * after one regexp strip — no tokenizer, O(chars), and the exact
+    * same regex character class evaluates in both engines. A doc is
+    * code-like above 2% density (typical prose sits ≪ 1%; real code
+    * 5–15%). Report per source: doc counts, code-like share, and the
+    * mean density (r6-floored decimal mean). One scan, one hash agg. */
+  def codeDetect(spark: SparkSession, dir: String): DataFrame = {
+    val stripped = regexp_replace(col("text"), "[{}();=\\[\\]]", "")
+    val ratio = (length(col("text")) - length(stripped)).cast("double") /
+      greatest(length(col("text")), lit(1)).cast("double")
+    docs(spark, dir)
+      .select(col("source"), r6(ratio).as("r"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("r") > 0.02, 1L).otherwise(0L)).as("n_code_like"),
+        sum(col("r").cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+          .cast("double").as("sr"))
+      .select(col("source"), col("n_docs"), col("n_code_like"),
+        r6(col("n_code_like").cast("double") / col("n_docs").cast("double"))
+          .as("code_share"),
+        r6(col("sr") / col("n_docs").cast("double")).as("avg_density"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_code_detect" -> (codeDetect _),
     "text_burstiness" -> (burstiness _),
     "text_keyword_rake" -> (keywordRake _),
     "text_ngram_novelty" -> (ngramNovelty _),
@@ -2053,6 +2082,21 @@ object Text {
     .map(k => s"SELECT * FROM sum$k").mkString("\n           UNION ALL ")
 
   val oracleSql: Map[String, String] = Map(
+    "text_code_detect" ->
+      s"""WITH d AS (SELECT source,
+           ${r6Sql("CAST(length(text) - length(regexp_replace(text, '[{}();=\\[\\]]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)")}
+             AS r
+           FROM documents),
+         g AS (SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN r > 0.02 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_code_like,
+           CAST(sum(CAST(r AS DECIMAL(20,6))) AS DOUBLE) AS sr
+           FROM d GROUP BY source)
+         SELECT source, n_docs, n_code_like,
+           ${r6Sql("CAST(n_code_like AS DOUBLE) / CAST(n_docs AS DOUBLE)")}
+             AS code_share,
+           ${r6Sql("sr / CAST(n_docs AS DOUBLE)")} AS avg_density
+         FROM g ORDER BY source""",
     "text_burstiness" ->
       s"""WITH pd AS (SELECT token, doc_id, count(*) AS n FROM (
              SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -1157,4 +1157,53 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
       s"CUPED must move toward the true +10: raw=$raw adj=$adj")
     assert(math.abs(adj - 10.0) < 1.5, s"adjusted readout near truth: $adj")
   }
+
+  // ---- text_code_detect: planted code vs prose ------------------------
+
+  test("code detect: brace-dense docs flag, prose does not, density is exact") {
+    val code = "def f(x) { return g(x); } val y = [1]; while (y) { h(); }"
+    val prose = "the quick brown fox jumps over the lazy dog again and again"
+    val rows =
+      (0 until 4).map(i => DocRow(i.toLong, code, "en", "code", code.length.toLong)) ++
+      (0 until 4).map(i => DocRow(10L + i, prose, "en", "prose", prose.length.toLong))
+    val dir = fixtureDir("documents" -> spark.createDataset(rows).toDF)
+    val out = graft.ops.Text.codeDetect(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val punct = code.count("{}();=[]".contains(_))
+    val expected = math.floor(punct.toDouble / code.length * 1e6 + 0.5) / 1e6
+    assert(out("code").getAs[Long]("n_code_like") == 4L, s"${out("code")}")
+    assert(math.abs(out("code").getAs[Double]("avg_density") - expected) < 1e-9,
+      s"density must be the exact char ratio: $expected vs ${out("code")}")
+    assert(out("prose").getAs[Long]("n_code_like") == 0L)
+    assert(out("prose").getAs[Double]("avg_density") == 0.0)
+  }
+
+  // ---- agg_overdispersion_nb: planted NB vs constant counts -----------
+
+  test("overdispersion: a heavy-tail count mix fits NB; constant counts give no fit") {
+    val base = ts("2024-03-01 00:00:00").getTime
+    def burst(u: Long, k: Int, idBase: Long): Seq[EventRow] =
+      (0 until k).map(j => EventRow(idBase + j,
+        new Timestamp(base + j * 1000L), u, "click", 1.0, "{}"))
+    // counts [1,1,1,1,16]: mean 4, pop var 36 -> D = 9, r = 0.5, p = 1/9
+    val rows = (1L to 4L).flatMap(u => burst(u, 1, u * 100)) ++
+      burst(5L, 16, 1000)
+    val dir = fixtureDir("events" -> spark.createDataset(rows).toDF)
+    val r = Relational.aggOverdispersionNb(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_users") == 5L)
+    assert(math.abs(r.getAs[Double]("mean_events") - 4.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("var_events") - 36.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("dispersion_index") - 9.0) < 1e-9)
+    assert(r.getAs[Boolean]("overdispersed"))
+    assert(math.abs(r.getAs[Double]("nb_r") - 0.5) < 1e-9,
+      "method of moments: r = m^2/(v-m) = 16/32")
+    assert(math.abs(r.getAs[Double]("nb_p") - 4.0 / 36.0) < 1e-6)
+    // constant counts: variance 0, D = 0, no NB fit exists
+    val flat = (1L to 5L).flatMap(u => burst(u, 3, u * 100))
+    val dir2 = fixtureDir("events" -> spark.createDataset(flat).toDF)
+    val r2 = Relational.aggOverdispersionNb(spark, dir2).collect()(0)
+    assert(!r2.getAs[Boolean]("overdispersed"))
+    assert(r2.isNullAt(r2.fieldIndex("nb_r")),
+      "at-or-under Poisson dispersion must yield NULL NB params")
+  }
 }
