@@ -288,6 +288,21 @@ object Dedup {
     })
   }
 
+  /** STAR-edge twin of [[candGraphCached]] for the component-structure
+    * consumers (PageRank, label propagation) that ride the linear-cost
+    * star edges instead of the full pair clique. */
+  private[ops] def starGraphCached(
+      spark: SparkSession, dir: String): DataFrame = {
+    val key = "star|" + dirContentKey(dir, "documents.parquet")
+    if (candGraphCache.size > 64) candGraphCache.clear()
+    candGraphCache.computeIfAbsent(key, _ => {
+      val base = table(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          array_distinct(split(Text.normTextExpr, " ")).as("toks"))
+      iterCheckpoint(candidateStarEdgesGlobal(base, "s").distinct())
+    })
+  }
+
   /** LSH candidate STAR edges (d1 = bucket min < d2) — the
     * connectivity-preserving subset of [[candidatePairs]] for consumers
     * that only need the component structure ([[ccGroups]],
@@ -662,10 +677,7 @@ object Dedup {
     * rounds chain through [[Util.ChainCheckpoint]] (superseded round
     * files reclaimed, the CC discipline). Output: top 20 by final rank. */
   def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val d = table(spark, dir, "documents")
-    val base = d.select(col("doc_id"), col("source"),
-      array_distinct(split(Text.normTextExpr, " ")).as("toks"))
-    val star = candidateStarEdgesGlobal(base, "s").distinct()
+    val star = starGraphCached(spark, dir)
     val chain = new Util.ChainCheckpoint
     // edges is reused by deg, nodes, and EVERY round — plain
     // iterCheckpoint (reclaimed by the shutdown sweep), NOT the chain,
@@ -1288,10 +1300,7 @@ object Dedup {
     * hash aggs; four rounds are fixed — no convergence driver loop, no
     * corpus-sized window. Output: top-20 communities by size. */
   def graphLabelPropagation(spark: SparkSession, dir: String): DataFrame = {
-    val d = table(spark, dir, "documents")
-    val base = d.select(col("doc_id"), col("source"),
-      array_distinct(split(Text.normTextExpr, " ")).as("toks"))
-    val star = candidateStarEdgesGlobal(base, "s").distinct()
+    val star = starGraphCached(spark, dir)
     val edges = star.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(star.select(col("d2").as("src"), col("d1").as("dst")))
     val nodes = edges.select(col("src")).distinct()
