@@ -1605,7 +1605,63 @@ object Dedup {
       .orderBy("dist")
   }
 
+  private val BbitK = 24 // 1-bit permutations; 3 bytes/doc of signature
+
+  /** b-bit minhash calibration (Li & König, b = 1): keep only the LOW
+    * BIT of each of [[BbitK]] minhash permutations — 24 bits ≈ 3 bytes
+    * per document instead of 24×8-byte hashes, the storage regime that
+    * makes billion-doc signature tables cheap — and audit what the
+    * compression costs: for every LSH candidate pair, the bit-agreement
+    * estimator Ĵ = max(2A−1, 0) (the b=1, sparse-set form) against the
+    * exact token Jaccard, reported as calibration error per Jaccard
+    * band. The literature's claim (tight for HIGH J, noisy for low J —
+    * exactly the regime dedup thresholds live in) becomes a measured
+    * table. Serve shape: signatures are one map pass (K×tokens hashes,
+    * [[Util.boundCol]]-bound), pairs come from the SHARED cached
+    * candidate graph ([[candGraphCached]]), verification joins are
+    * doc-keyed hash joins — nothing quadratic, nothing uncapped. */
+  def dedupMinhashBbit(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val base = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(split(Text.normTextExpr, " ")).as("toks"))
+    val sig = base.select(col("doc_id"), col("toks"),
+      boundCol(col("toks")) { tk =>
+        transform(sequence(lit(0), lit(BbitK - 1)), p =>
+          (array_min(transform(tk, t =>
+            conv(substring(md5(concat_ws("|", lit("bb"), p, t)
+              .cast("binary")), 1, 15), 16, 10).cast("long"))) % 2L)
+            .cast("int"))
+      }.as("bits"))
+    val pairs = candGraphCached(spark, dir)
+      .join(sig.select(col("doc_id").as("d1"), col("toks").as("t1"),
+        col("bits").as("b1")), "d1")
+      .join(sig.select(col("doc_id").as("d2"), col("toks").as("t2"),
+        col("bits").as("b2")), "d2")
+    val matches = aggregate(
+      zip_with(col("b1"), col("b2"), (x, y) =>
+        when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    val scored = pairs.select(
+      (size(array_intersect(col("t1"), col("t2"))).cast("double") /
+        size(array_union(col("t1"), col("t2"))).cast("double")).as("jac"),
+      (matches.cast("double") / lit(BbitK.toDouble)).as("a"))
+      .withColumn("est",
+        greatest(lit(2.0) * col("a") - lit(1.0), lit(0.0)))
+      .withColumn("bucket", floor(col("jac") * lit(5.0)) / lit(5.0))
+    scored.groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        r4(sum(r6(col("est")).cast(dec)).cast("double") /
+          count(lit(1)).cast("double")).as("mean_est"),
+        r4(sum(r6(col("jac")).cast(dec)).cast("double") /
+          count(lit(1)).cast("double")).as("mean_exact"),
+        r4(sum(r6(abs(col("est") - col("jac"))).cast(dec)).cast("double") /
+          count(lit(1)).cast("double")).as("mean_abs_err"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash_bbit" -> (dedupMinhashBbit _),
     "graph_bfs_layers" -> (graphBfsLayers _),
     "dedup_cdc_chunks" -> (dedupCdcChunks _),
     "graph_modularity" -> (graphModularity _),
@@ -1783,7 +1839,52 @@ object Dedup {
            (SELECT CAST(count(*) AS BIGINT) FROM e$r) AS n_edges)"""
   }.mkString(",\n         ")
 
+  /** Generated b-bit oracle: the 24 per-permutation min aggregates and
+    * the bit-agreement sum are emitted from the same index range the
+    * engine's `sequence(0, 23)` iterates. */
+  private lazy val bbitOracleSql: String = {
+    val mins = (0 until BbitK).map(p =>
+      s"CAST(min(CAST(('0x' || substr(md5('bb|' || CAST($p AS VARCHAR) || '|' || token), 1, 15)) AS BIGINT)) % 2 AS INTEGER) AS bit_$p")
+      .mkString(",\n             ")
+    val agree = (0 until BbitK).map(p =>
+      s"CASE WHEN s1.bit_$p = s2.bit_$p THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $graphBandPreambleSql,
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           FROM band a JOIN band b
+             ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         ts AS MATERIALIZED (
+           SELECT doc_id, list_distinct(string_split(ntext, ' ')) AS toks
+           FROM nd),
+         bs AS MATERIALIZED (
+           SELECT doc_id,
+             $mins
+           FROM tok GROUP BY doc_id),
+         sc AS (SELECT
+             CAST(len(list_intersect(t1.toks, t2.toks)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(t1.toks, t2.toks)))
+                 AS DOUBLE) AS jac,
+             CAST($agree AS DOUBLE) / ${BbitK}.0 AS a
+           FROM pairs p
+           JOIN ts t1 ON p.d1 = t1.doc_id
+           JOIN ts t2 ON p.d2 = t2.doc_id
+           JOIN bs s1 ON p.d1 = s1.doc_id
+           JOIN bs s2 ON p.d2 = s2.doc_id),
+         sc2 AS (SELECT jac, greatest(2.0 * a - 1.0, 0.0) AS est,
+           floor(jac * 5.0) / 5.0 AS bucket FROM sc)
+         SELECT bucket, count(*) AS n_pairs,
+           ${r4Sql("CAST(sum(CAST(" + r6Sql("est") + " AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+             AS mean_est,
+           ${r4Sql("CAST(sum(CAST(" + r6Sql("jac") + " AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+             AS mean_exact,
+           ${r4Sql("CAST(sum(CAST(" + r6Sql("abs(est - jac)") + " AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+             AS mean_abs_err
+         FROM sc2 GROUP BY bucket ORDER BY bucket"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "dedup_minhash_bbit" -> bbitOracleSql,
     "graph_bfs_layers" ->
       s"""WITH $graphBandPreambleSql,
          pairs AS MATERIALIZED (

@@ -1206,4 +1206,32 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
     assert(r2.isNullAt(r2.fieldIndex("nb_r")),
       "at-or-under Poisson dispersion must yield NULL NB params")
   }
+
+  // ---- dedup_minhash_bbit: exactness at J=1 and the high-J tightening --
+
+  test("b-bit minhash: identical docs estimate J=1 exactly; error tightens toward high J") {
+    // identical docs: every permutation's min matches, so every bit
+    // matches -> A = 1 -> est = 1, abs err exactly 0
+    val txt = (1 to 60).map(i => s"w${(i * 37) % 83}").mkString(" ")
+    val rows = Seq(DocRow(1L, txt, "en", "a", 0L), DocRow(2L, txt, "en", "b", 0L))
+    val dir = fixtureDir("documents" -> spark.createDataset(rows).toDF)
+    val out = Dedup.dedupMinhashBbit(spark, dir).collect()
+    assert(out.length == 1 && out(0).getAs[Double]("bucket") == 1.0,
+      s"identical docs land in the J=1 bucket: ${out.toSeq}")
+    assert(out(0).getAs[Double]("mean_est") == 1.0)
+    assert(out(0).getAs[Double]("mean_abs_err") == 0.0)
+    // real corpus: the Li-König behavior — the top-J band's calibration
+    // error is below the lowest band's (1-bit agreement is noisy at low
+    // J, tight exactly where dedup thresholds live)
+    val real = Dedup.dedupMinhashBbit(spark, "/root/testdata/sf0.001")
+      .collect().sortBy(_.getAs[Double]("bucket"))
+    assert(real.length >= 2, "sf0.001 must produce multiple J bands")
+    val lo = real.head.getAs[Double]("mean_abs_err")
+    val hi = real.last.getAs[Double]("mean_abs_err")
+    assert(hi < lo, s"error must tighten toward high J: low=$lo high=$hi")
+    real.foreach { r =>
+      val e = r.getAs[Double]("mean_est")
+      assert(e >= 0.0 && e <= 1.0, s"estimator out of range: $r")
+    }
+  }
 }
