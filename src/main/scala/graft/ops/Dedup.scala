@@ -1622,9 +1622,15 @@ object Dedup {
     * doc-keyed hash joins — nothing quadratic, nothing uncapped. */
   def dedupMinhashBbit(spark: SparkSession, dir: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    // the K×tokens hash map is the query's real work, and a compact
+    // corpus arrives as few scan splits (locally: ONE row group = one
+    // task) — spread the doc rows before the signature pass (the
+    // aggBootstrapCi lesson: a narrow n-row shuffle buys K·tokens·n
+    // parallelism)
     val base = table(spark, dir, "documents")
       .select(col("doc_id"),
         array_distinct(split(Text.normTextExpr, " ")).as("toks"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val sig = base.select(col("doc_id"), col("toks"),
       boundCol(col("toks")) { tk =>
         transform(sequence(lit(0), lit(BbitK - 1)), p =>
