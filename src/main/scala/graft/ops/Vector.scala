@@ -1724,6 +1724,55 @@ object Vector {
       .orderBy("label")
   }
 
+  /** Nearest-centroid label probe — the cheap supervised eval of an
+    * embedding space ("linear probe lite"): per label, the exact
+    * per-dim mean centroid; every vector is classified to its nearest
+    * centroid (leave-self-in) and per-label accuracy is reported. High
+    * accuracy = the space linearly separates the labels; chance-level
+    * = the labels carry no geometry (which is the honest answer on
+    * THIS synthetic corpus — the spec plants a separable fixture to
+    * pin accuracy 1.0). Shape: centroids via posexplode + one hash agg
+    * (64·labels rows), collected as the k·d driver state (Lloyd
+    * discipline) and broadcast back as DATA (plan-constancy lesson);
+    * classification is a map-only `array_min`/`array_position` over
+    * the centroid list; one per-label agg. Ties break to the lowest
+    * label on both engines (first-min position ≡ ORDER BY dist,
+    * label). */
+  def clusterCentroidClassify(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d206 = org.apache.spark.sql.types.DecimalType(20, 6)
+    val e = emb(spark, dir).select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("xd"))
+    val dims = e.select(col("label"), posexplode(col("xd")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"),
+        sum(r6(col("v")).cast(d206)).cast("double").as("s"))
+      .select(col("label"), col("pos"),
+        (col("s") / col("n").cast("double")).as("m"))
+      .collect()
+    val cents = dims.groupBy(_.getAs[Int]("label")).toSeq
+      .map { case (l, rows) =>
+        (l, rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")).toSeq)
+      }.sortBy(_._1)
+    val cdf = Seq((cents.map(_._1.toLong), cents.map(_._2)))
+      .toDF("labs", "cs")
+    e.crossJoin(broadcast(cdf))
+      .select(col("label"), col("labs"),
+        transform(col("cs"), c => r6(sqdist(col("xd"), c))).as("ds"))
+      .select(col("label"),
+        element_at(col("labs"),
+          array_position(col("ds"), array_min(col("ds"))).cast("int"))
+          .as("pred"))
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n_vectors"), col("n_correct"),
+        r4(col("n_correct").cast("double") / col("n_vectors").cast("double"))
+          .as("accuracy"))
+      .orderBy("label")
+  }
+
   /** Matryoshka truncation audit: recall@5 of brute-force cosine search
     * run on the FIRST 16 dims against the full-64-dim ranking, per
     * probe — the measurement behind the "store a prefix, search 4×
@@ -1833,6 +1882,7 @@ object Vector {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cluster_centroid_classify" -> (clusterCentroidClassify _),
     "embedding_label_drift" -> (embeddingLabelDrift _),
     "embedding_matryoshka_eval" -> (embeddingMatryoshkaEval _),
     "cluster_kcenter_init" -> (clusterKcenterInit _),
@@ -2033,6 +2083,29 @@ object Vector {
   }.mkString(",\n         ")
 
   val oracleSql: Map[String, String] = Map(
+    "cluster_centroid_classify" ->
+      s"""WITH ed AS (SELECT label, t.i AS pos,
+             CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE) AS v
+           FROM embeddings, range(1, 65) t(i)),
+         dims AS (SELECT label, pos,
+             CAST(sum(CAST(${r6Sql("v")} AS DECIMAL(20,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS m
+           FROM ed GROUP BY 1, 2),
+         cents AS (SELECT label, list(m ORDER BY pos) AS c
+           FROM dims GROUP BY label),
+         s AS (SELECT e.vec_id, e.label AS tl, c.label AS cand,
+             ${r6Sql("list_sum(list_transform(range(1, 65), i -> (CAST(e.embedding[i] AS DOUBLE) - c.c[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.c[i])))")}
+               AS dd
+           FROM embeddings e, cents c),
+         p AS (SELECT vec_id, tl, cand FROM s
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+             ORDER BY dd, cand) = 1)
+         SELECT CAST(tl AS BIGINT) AS label, count(*) AS n_vectors,
+           CAST(sum(CASE WHEN cand = tl THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           ${r4Sql("CAST(sum(CASE WHEN cand = tl THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+             AS accuracy
+         FROM p GROUP BY 1 ORDER BY 1""",
     "embedding_label_drift" ->
       s"""WITH e AS (SELECT label, vec_id % 2 AS half, t.i AS pos,
              CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE) AS v

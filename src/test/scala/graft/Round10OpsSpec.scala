@@ -1234,4 +1234,37 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
       assert(e >= 0.0 && e <= 1.0, s"estimator out of range: $r")
     }
   }
+
+  // ---- cluster_centroid_classify: separable vs shuffled labels --------
+
+  test("centroid classify: separable labels score 1.0; label-blind vectors sit near chance") {
+    def v(axis: Int, jit: Float): Array[Float] =
+      Array.tabulate(64)(i =>
+        if (i == axis) 5.0f else if (i == axis + 32) jit else 0.0f)
+    // separable: each label on its own axis
+    val a = (0 until 4).flatMap { l =>
+      (0 until 8).map(j => EmbRow(l * 100L + j, v(l, j * 0.1f), l))
+    }
+    val dirA = fixtureDir("embeddings" -> spark.createDataset(a).toDF)
+    val outA = graft.ops.Vector.clusterCentroidClassify(spark, dirA).collect()
+    assert(outA.length == 4)
+    outA.foreach { r =>
+      assert(r.getAs[Double]("accuracy") == 1.0,
+        s"axis-separated labels must classify perfectly: $r")
+      assert(r.getAs[Long]("n_vectors") == 8L)
+    }
+    // label-blind: identical geometry for every label -> centroids
+    // coincide and ties all break to the LOWEST label, so only label 0
+    // scores (the deterministic tie rule, pinned here)
+    val b = (0 until 4).flatMap { l =>
+      (0 until 8).map(j => EmbRow(l * 100L + j, v(0, j * 0.1f), l))
+    }
+    val dirB = fixtureDir("embeddings" -> spark.createDataset(b).toDF)
+    val outB = graft.ops.Vector.clusterCentroidClassify(spark, dirB)
+      .collect().map(r => r.getAs[Long]("label") -> r).toMap
+    assert(outB(0L).getAs[Double]("accuracy") == 1.0,
+      "coincident centroids tie-break to the lowest label")
+    (1L to 3L).foreach(l =>
+      assert(outB(l).getAs[Double]("accuracy") == 0.0, s"label $l: ${outB(l)}"))
+  }
 }
