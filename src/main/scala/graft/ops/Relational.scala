@@ -3510,39 +3510,57 @@ object Relational {
     * ([[PoissonCum]] thresholds, identical double literals both
     * engines; tail mass ≥ 7 truncated — P ≈ 8e-5, the standard
     * finite-table truncation). Replicate means divide exact
-    * DECIMAL(38,2) weighted sums, so every double ranked downstream is
+    * long-cents weighted sums, so every double ranked downstream is
     * bit-identical; CI bounds are explicit empirical percentiles —
     * the rank-5 and rank-195 of the 200 replicate means under
     * (mean, b) ordering (ceil(0.025·B), ceil(0.975·B)) — no
-    * engine-specific quantile interpolation. */
+    * engine-specific quantile interpolation.
+    *
+    * Two measured hot-path choices (r11, 11.8 s → see BENCH_r11):
+    * ONE md5 per (row, block of 4 replicates) — the 128-bit digest
+    * yields four independent 32-bit uniforms (hex chars 1-8, 9-16,
+    * 17-24, 25-32), quartering the dominant hash+conv cost; and the
+    * weighted sums ride exact LONG CENTS ((x·100) is exact for a
+    * 2-dp decimal) instead of DECIMAL(38,2), keeping the 30M-row
+    * partial agg in long-adder codegen. Overflow headroom: w ≤ 7,
+    * cents ≤ ~6e7, so Σw·cents ≈ 4e8·n_rows — at 1.5e10 orders
+    * (100 TB) that is ~3e17, inside int64. */
   def aggBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
     val B = 200
     val o = table(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_totalprice").cast(Money).as("x"))
+      .withColumn("xc", (col("x") * 100).cast("long"))
     // The B-way explode multiplies ROWS, not input splits: a compact
     // base table (one row group → one scan partition locally; at 100 TB
     // a handful of splits per file) would leave the ~n·B weight rows on
     // a few cores. Spread the slim (key, x) projection across the
     // cluster BEFORE the explode — a narrow n-row shuffle that buys
     // B·n-row parallelism (measured at sf0.1: 36 s → ~1.5 s, the
-    // single-row-group scan serialized 30M md5s on one core).
+    // single-row-group scan serialized the md5 pass on one core).
     val ob = o.repartition(spark.sparkContext.defaultParallelism)
-    val u = conv(substring(md5(concat_ws("|", lit("boot"),
-        col("o_orderkey"), col("b")).cast("binary")), 1, 15), 16, 10)
-      .cast("double") / lit(1152921504606846976.0)
     val w = PoissonCum.zipWithIndex.reverse.foldLeft(lit(7): Column) {
       case (acc, (t, k)) => when(col("u") < lit(t.toDouble), lit(k))
         .otherwise(acc)
     }
     val means = ob
-      .select(col("o_orderkey"), col("x"),
-        explode(sequence(lit(0), lit(B - 1))).as("b"))
-      .withColumn("u", u).withColumn("w", w)
+      .select(col("o_orderkey"), col("xc"),
+        explode(sequence(lit(0), lit(B / 4 - 1))).as("g"))
+      .withColumn("h", md5(concat_ws("|", lit("boot"),
+        col("o_orderkey"), col("g")).cast("binary")))
+      .select(col("xc"), col("g"),
+        posexplode(array(substring(col("h"), 1, 8),
+          substring(col("h"), 9, 8), substring(col("h"), 17, 8),
+          substring(col("h"), 25, 8))).as(Seq("j", "us")))
+      .withColumn("b", col("g") * 4 + col("j"))
+      .withColumn("u",
+        conv(col("us"), 16, 10).cast("double") / lit(4294967296.0))
+      .withColumn("w", w)
       .groupBy(col("b"))
-      .agg(sum((col("w") * col("x")).cast(org.apache.spark.sql.types.DecimalType(38, 2))).as("swx"),
+      .agg(sum(col("w").cast("long") * col("xc")).as("swx"),
         sum(col("w").cast("long")).as("sw"))
       .select(col("b"),
-        (col("swx").cast("double") / col("sw").cast("double")).as("mean_b"))
+        ((col("swx").cast("double") / col("sw").cast("double")) /
+          lit(100.0)).as("mean_b"))
     // B=200 aggregated rows — the unpartitioned rank is model-sized.
     // Both CI bounds come out of ONE conditional agg over the ranked
     // frame: two filter branches would each re-execute the full
@@ -4851,17 +4869,22 @@ object Relational {
          FROM km ORDER BY rnk""",
     "agg_bootstrap_ci" ->
       s"""WITH o AS (SELECT o_orderkey,
-           CAST(o_totalprice AS DECIMAL(14,2)) AS x FROM orders),
-         reps AS (SELECT unnest(range(200)) AS b),
-         u AS (SELECT b, x,
-           CAST(CAST(('0x' || substr(md5('boot|' ||
-             CAST(o_orderkey AS VARCHAR) || '|' || CAST(b AS VARCHAR)),
-             1, 15)) AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
-           FROM o, reps),
-         w AS (SELECT b, x, $poissonCaseSql AS w FROM u),
+           CAST(o_totalprice AS DECIMAL(14,2)) AS x,
+           CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS xc
+           FROM orders),
+         blocks AS (SELECT unnest(range(50)) AS g),
+         js AS (SELECT unnest(range(4)) AS j),
+         hx AS (SELECT xc, g, md5('boot|' ||
+             CAST(o_orderkey AS VARCHAR) || '|' || CAST(g AS VARCHAR)) AS h
+           FROM o, blocks),
+         u AS (SELECT xc, g * 4 + j AS b,
+           CAST(CAST(('0x' || substr(h, 1 + 8 * CAST(j AS INTEGER), 8))
+             AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+           FROM hx, js),
+         w AS (SELECT b, xc, $poissonCaseSql AS w FROM u),
          m AS (SELECT b,
-           CAST(sum(CAST(w * x AS DECIMAL(38,2))) AS DOUBLE)
-             / CAST(sum(w) AS DOUBLE) AS mean_b
+           (CAST(CAST(sum(w * xc) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE)) / 100.0 AS mean_b
            FROM w GROUP BY b),
          rk AS (SELECT b, mean_b,
            row_number() OVER (ORDER BY mean_b, b) AS rn FROM m),
