@@ -3647,6 +3647,133 @@ object Relational {
       r4(when(ok, sqrt(sse / c("nd")))).as("rmse"))
   }
 
+  /** Spearman rank correlation between l_quantity and l_discount — the
+    * monotonic-association twin of [[aggCorrRegression]]'s Pearson,
+    * robust to outliers and nonlinearity. Scale shape: NO global sort —
+    * average ranks come off the VALUE HISTOGRAM (one hash agg per
+    * variable; distinct cardinality is domain-bounded: ~50 quantities,
+    * 11 discounts), cumulated on that model-sized frame and
+    * broadcast-joined back, so the raw scan never shuffles by value.
+    * Exactness: the tie-average rank r̄ is a half-integer, so DOUBLED
+    * ranks 2r̄ = 2·cum − c + 1 are exact integers; every moment is an
+    * exact DECIMAL sum of their products ((18,0)² = (37,0) stays inside
+    * precision 38 to ~1.4e9 rows per the Σ(2n)²·n ≈ 4n³ headroom), and
+    * rho is ONE double expression from those sums, r6 at output. */
+  def aggSpearman(spark: SparkSession, dir: String): DataFrame = {
+    val d180 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_quantity").cast(Qty).as("x"),
+        col("l_discount").cast(Qty).as("y"))
+    def ranks(v: String, r2: String) = {
+      val h = li.groupBy(v).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(v)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.withColumn("cum", sum(col("c")).over(w))
+        .select(col(v), (col("cum") * 2 - col("c") + 1).as(r2))
+    }
+    val j = li.join(broadcast(ranks("x", "r2x")), "x")
+      .join(broadcast(ranks("y", "r2y")), "y")
+    val s = j.agg(count(lit(1)).as("n"),
+      sum(col("r2x").cast(d180)).as("su"),
+      sum(col("r2y").cast(d180)).as("sv"),
+      sum(col("r2x").cast(d180) * col("r2y").cast(d180)).as("suv"),
+      sum(col("r2x").cast(d180) * col("r2x").cast(d180)).as("suu"),
+      sum(col("r2y").cast(d180) * col("r2y").cast(d180)).as("svv"))
+    def d(cn: String) = col(cn).cast("double")
+    val nD = col("n").cast("double")
+    val cov = nD * d("suv") - d("su") * d("sv")
+    val vu = nD * d("suu") - d("su") * d("su")
+    val vv = nD * d("svv") - d("sv") * d("sv")
+    s.select(col("n"),
+      r6(when(vu > 0 && vv > 0, cov / (sqrt(vu) * sqrt(vv))))
+        .as("rho_spearman"))
+  }
+
+  /** One-way ANOVA of o_totalprice across the five order priorities —
+    * the k-group generalization [[eventsAbTtest]]'s two-sample t can't
+    * express: F = (SSB/(k−1))/(SSW/(N−k)) plus the effect size η² =
+    * SSB/SST. Shape at scale: sufficient statistics per group (n, Σx,
+    * Σx² as exact decimals) off ONE scan; the sum-of-squares algebra
+    * runs on the ≤k-row frame. The per-group term Σx_g²/n_g is a
+    * double, so it is rounded→DECIMAL(38,6) before the cross-group sum
+    * — the order-independence discipline for double terms. Rounding
+    * RESCALES FIRST: [[rp]]'s floor is a LONG in Spark, so a term t is
+    * quantized as rp(t/1e6, 6)·1e6 (units of 1 on a ~1e13 magnitude),
+    * keeping floor's argument far inside int64 up to extreme scale;
+    * the SS outputs are reported in millions for the same reason. */
+  def aggAnovaF(spark: SparkSession, dir: String): DataFrame = {
+    val d384 = org.apache.spark.sql.types.DecimalType(38, 4)
+    val d386 = org.apache.spark.sql.types.DecimalType(38, 6)
+    val g = table(spark, dir, "orders")
+      .select(col("o_orderpriority").as("grp"),
+        col("o_totalprice").cast(Money).as("x"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("ng"), sum(col("x")).as("sx"),
+        sum((col("x") * col("x")).cast(d384)).as("sxx"))
+    val t = g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+      sum(col("sx")).as("sx"), sum(col("sxx")).as("sxx"),
+      sum(rp(col("sx").cast("double") * col("sx").cast("double") /
+        col("ng").cast("double") / lit(1e6), 6).cast(d386)).as("sb6"))
+    def d(cn: String) = col(cn).cast("double")
+    val grand = d("sx") * d("sx") / d("n")
+    val ssb = d("sb6") * lit(1e6) - grand
+    val sst = d("sxx") - grand
+    val ssw = sst - ssb
+    val df1 = (col("k") - 1).cast("double")
+    val df2 = (col("n") - col("k")).cast("double")
+    t.select(col("k"), col("n"),
+      r4(ssb / lit(1e6)).as("ssb_millions"),
+      r4(ssw / lit(1e6)).as("ssw_millions"),
+      r4(when(df1 > 0 && df2 > 0 && ssw > 0,
+        (ssb / df1) / (ssw / df2))).as("f_stat"),
+      r6(when(sst > 0, ssb / sst)).as("eta_sq"))
+  }
+
+  /** Kendall's τ-b between per-order quantity and revenue on a
+    * HASH-PRIORITY sample — the pair-quadratic statistic done the only
+    * way it survives 100 TB: the estimator's cost is fixed by an
+    * ABSOLUTE unit cap (lowest 1000 ORDERS by md5(orderkey), the
+    * [[PipelineOps.tokenBudgetSample]] priority discipline — fully
+    * deterministic, engine-independent, and monotone in the cap), so
+    * the pair space is ≤ cap²/2 ≈ 5e5 regardless of input size. The
+    * sampling unit is the per-orderkey aggregate, NOT the raw line:
+    * this corpus duplicates (orderkey, linenumber) with different
+    * values, so only the grouped frame has the unique key a
+    * deterministic ORDER BY…LIMIT needs. Pairing joins on a constant
+    * key with the a<b predicate — an equi-join the planner hashes,
+    * NOT a CartesianProduct — and every concordant/discordant/tie
+    * count is an exact long; τ-b is one double expression from them,
+    * r6 at output. */
+  def aggKendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val s = table(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("uk"))
+      .agg(sum(col("l_quantity").cast(Qty)).as("x"),
+        sum(col("l_extendedprice").cast(Money)).as("y"))
+      .withColumn("pri", md5(col("uk").cast("string").cast("binary")))
+      .orderBy(col("pri"), col("uk")).limit(1000)
+      .select(col("uk"), col("x"), col("y"), lit(1).as("one"))
+    val a = s.select(col("one"), col("uk").as("uka"),
+      col("x").as("xa"), col("y").as("ya"))
+    val b = s.select(col("one"), col("uk").as("ukb"),
+      col("x").as("xb"), col("y").as("yb"))
+    val p = a.join(broadcast(b), Seq("one")).filter(col("uka") < col("ukb"))
+    val dx = when(col("xa") > col("xb"), 1).when(col("xa") < col("xb"), -1)
+      .otherwise(0)
+    val dy = when(col("ya") > col("yb"), 1).when(col("ya") < col("yb"), -1)
+      .otherwise(0)
+    val c = p.select(dx.as("dx"), dy.as("dy"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("dx") * col("dy") === 1, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("dx") * col("dy") === -1, 1L).otherwise(0L)).as("nd"),
+        sum(when(col("dx") === 0, 1L).otherwise(0L)).as("tie_x"),
+        sum(when(col("dy") === 0, 1L).otherwise(0L)).as("tie_y"))
+    def d(cn: String) = col(cn).cast("double")
+    val den = sqrt((d("n_pairs") - d("tie_x")) * (d("n_pairs") - d("tie_y")))
+    c.select(col("n_pairs"), col("nc"), col("nd"),
+      col("tie_x"), col("tie_y"),
+      r6(when(den > 0, (d("nc") - d("nd")) / den)).as("tau_b"))
+  }
+
   /** In-plan exact median by explicit rank selection: row_number the
     * values, keep ranks floor((m+1)/2) and floor(m/2)+1 (equal when m
     * is odd), average them — the engine-neutral median (no
@@ -4294,6 +4421,9 @@ object Relational {
     "agg_bh_fdr" -> (aggBhFdr _),
     "agg_bootstrap_ci" -> (aggBootstrapCi _),
     "agg_ols_multi" -> (aggOlsMulti _),
+    "agg_spearman" -> (aggSpearman _),
+    "agg_anova_f" -> (aggAnovaF _),
+    "agg_kendall_tau" -> (aggKendallTau _),
     "agg_em_mixture" -> (aggEmMixture _),
     "events_power_analysis" -> (eventsPowerAnalysis _),
     "events_stl_decompose" -> (eventsStlDecompose _),
@@ -4943,6 +5073,81 @@ object Relational {
            ${r4Sql("CASE WHEN abs(det) > 0.0 THEN sqrt(sse / nd) END")}
              AS rmse
          FROM fit""",
+    "agg_spearman" ->
+      s"""WITH li AS (SELECT CAST(l_quantity AS DECIMAL(10,2)) AS x,
+           CAST(l_discount AS DECIMAL(10,2)) AS y FROM lineitem),
+         hx AS (SELECT x, count(*) AS c FROM li GROUP BY x),
+         rx AS (SELECT x, CAST(2 * sum(c) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - c + 1 AS BIGINT) AS r2x FROM hx),
+         hy AS (SELECT y, count(*) AS c FROM li GROUP BY y),
+         ry AS (SELECT y, CAST(2 * sum(c) OVER (ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - c + 1 AS BIGINT) AS r2y FROM hy),
+         j AS (SELECT r2x, r2y FROM li
+           JOIN rx USING (x) JOIN ry USING (y)),
+         s AS (SELECT count(*) AS n,
+           CAST(sum(CAST(r2x AS DECIMAL(18,0))) AS DOUBLE) AS su,
+           CAST(sum(CAST(r2y AS DECIMAL(18,0))) AS DOUBLE) AS sv,
+           CAST(sum(CAST(r2x AS DECIMAL(18,0))
+             * CAST(r2y AS DECIMAL(18,0))) AS DOUBLE) AS suv,
+           CAST(sum(CAST(r2x AS DECIMAL(18,0))
+             * CAST(r2x AS DECIMAL(18,0))) AS DOUBLE) AS suu,
+           CAST(sum(CAST(r2y AS DECIMAL(18,0))
+             * CAST(r2y AS DECIMAL(18,0))) AS DOUBLE) AS svv
+           FROM j),
+         f AS (SELECT n, CAST(n AS DOUBLE) * suv - su * sv AS cov,
+           CAST(n AS DOUBLE) * suu - su * su AS vu,
+           CAST(n AS DOUBLE) * svv - sv * sv AS vv FROM s)
+         SELECT n,
+           ${r6Sql("CASE WHEN vu > 0 AND vv > 0 THEN cov / (sqrt(vu) * sqrt(vv)) END")}
+             AS rho_spearman
+         FROM f""",
+    "agg_anova_f" ->
+      s"""WITH g AS (SELECT o_orderpriority AS grp, count(*) AS ng,
+           sum(CAST(o_totalprice AS DECIMAL(14,2))) AS sx,
+           sum(CAST(CAST(o_totalprice AS DECIMAL(14,2))
+             * CAST(o_totalprice AS DECIMAL(14,2)) AS DECIMAL(38,4))) AS sxx
+           FROM orders GROUP BY 1),
+         t AS (SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n,
+           CAST(sum(sx) AS DOUBLE) AS sx, CAST(sum(sxx) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(${rpSql("CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(ng AS DOUBLE) / 1000000.0", 6)}
+             AS DECIMAL(38,6))) AS DOUBLE) AS sb6
+           FROM g),
+         f AS (SELECT k, n,
+           sb6 * 1000000.0 - sx * sx / CAST(n AS DOUBLE) AS ssb,
+           sxx - sx * sx / CAST(n AS DOUBLE) AS sst,
+           CAST(k - 1 AS DOUBLE) AS df1, CAST(n - k AS DOUBLE) AS df2
+           FROM t)
+         SELECT k, n, ${r4Sql("ssb / 1000000.0")} AS ssb_millions,
+           ${r4Sql("(sst - ssb) / 1000000.0")} AS ssw_millions,
+           ${r4Sql("CASE WHEN df1 > 0 AND df2 > 0 AND sst - ssb > 0 THEN (ssb / df1) / ((sst - ssb) / df2) END")}
+             AS f_stat,
+           ${r6Sql("CASE WHEN sst > 0 THEN ssb / sst END")} AS eta_sq
+         FROM f""",
+    "agg_kendall_tau" ->
+      s"""WITH s AS (SELECT uk, x, y FROM (SELECT
+             l_orderkey AS uk,
+             sum(CAST(l_quantity AS DECIMAL(10,2))) AS x,
+             sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS y
+           FROM lineitem GROUP BY 1) _s
+           ORDER BY md5(CAST(uk AS VARCHAR)), uk LIMIT 1000),
+         p AS (SELECT
+           CASE WHEN a.x > b.x THEN 1 WHEN a.x < b.x THEN -1 ELSE 0 END AS dx,
+           CASE WHEN a.y > b.y THEN 1 WHEN a.y < b.y THEN -1 ELSE 0 END AS dy
+           FROM s a JOIN s b ON a.uk < b.uk),
+         c AS (SELECT count(*) AS n_pairs,
+           CAST(sum(CASE WHEN dx * dy = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+           CAST(sum(CASE WHEN dx * dy = -1 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+           CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tie_x,
+           CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tie_y
+           FROM p),
+         f AS (SELECT *, sqrt(CAST(n_pairs - tie_x AS DOUBLE)
+             * CAST(n_pairs - tie_y AS DOUBLE)) AS den FROM c)
+         SELECT n_pairs, nc, nd, tie_x, tie_y,
+           ${r6Sql("CASE WHEN den > 0 THEN CAST(nc - nd AS DOUBLE) / den END")}
+             AS tau_b
+         FROM f""",
     "agg_em_mixture" ->
       s"""WITH xs AS (SELECT CAST(value AS DECIMAL(10,2)) AS xd,
            CAST(CAST(value AS DECIMAL(10,2)) AS DOUBLE) AS x
