@@ -3774,6 +3774,126 @@ object Relational {
       r6(when(den > 0, (d("nc") - d("nd")) / den)).as("tau_b"))
   }
 
+  /** Daily order revenue — the shared base frame of the rolling-band
+    * family ([[windowBollinger]], [[windowRsi]],
+    * [[windowRollingSkew]]): one hash agg from the scan to the
+    * model-sized date frame, exact decimal revenue. Trailing windows
+    * then run UNPARTITIONED but over ≤|days| rows — never raw input. */
+  private def dailyRevenue(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast(Money)).as("rev"))
+
+  /** Bollinger bands over daily revenue — trailing 7-day mean ± 2σ with
+    * breach flags, the volatility-envelope readout an ops dashboard
+    * puts on any daily metric. Shape at scale: the band math runs on
+    * the aggregated date frame ([[dailyRevenue]]); the trailing sums
+    * are exact decimals ((18,2)² = (37,4) stays inside precision 38),
+    * so mean/σ are identical doubles in both engines and the breach
+    * comparison needs no rounding at all. σ uses the sample variance
+    * with an n>1 guard; the first days simply carry wider-n bands. */
+  def windowBollinger(spark: SparkSession, dir: String): DataFrame = {
+    val d182 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val d384 = org.apache.spark.sql.types.DecimalType(38, 4)
+    val w = Window.orderBy("d").rowsBetween(-6, 0)
+    val b = dailyRevenue(spark, dir)
+      .withColumn("r18", col("rev").cast(d182))
+      .withColumn("nw", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("r18")).over(w))
+      .withColumn("s2", sum((col("r18") * col("r18")).cast(d384)).over(w))
+    def d(cn: String) = col(cn).cast("double")
+    val nD = d("nw")
+    val mean = d("s1") / nD
+    // null divisor under nw=1 instead of ANSI divide-by-zero
+    val variance = (d("s2") - d("s1") * d("s1") / nD) /
+      when(col("nw") > 1, nD - lit(1.0))
+    val sd = sqrt(greatest(variance, lit(0.0)))
+    val upper = mean + lit(2.0) * sd
+    val lower = mean - lit(2.0) * sd
+    b.select(dateS(col("d")).as("d"), round(d("rev"), 2).as("rev"),
+        col("nw").as("n_window"), r4(mean).as("mean_7"),
+        r4(when(col("nw") > 1, sd)).as("sd_7"),
+        r4(when(col("nw") > 1, upper)).as("upper_band"),
+        r4(when(col("nw") > 1, lower)).as("lower_band"),
+        (col("nw") > 1 &&
+          (d("rev") > upper || d("rev") < lower)).as("is_breach"))
+      .orderBy("d")
+  }
+
+  /** 14-day RSI over daily revenue — the bounded momentum oscillator
+    * (simple-average spelling, not Wilder's recursive smoothing, so
+    * the statistic is a pure trailing-window expression): RSI =
+    * 100·ΣG/(ΣG+ΣL) over the last 14 day-over-day deltas, 50 for a
+    * flat window, NULL until 14 deltas exist. Deltas/gains/losses are
+    * exact decimal differences off ONE lag on the date frame; the
+    * ratio is one double expression, r4 at output. */
+  def windowRsi(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.orderBy("d")
+    val w14 = ord.rowsBetween(-13, 0)
+    val zero = lit(0).cast(org.apache.spark.sql.types.DecimalType(19, 2))
+    val base = dailyRevenue(spark, dir)
+      .withColumn("delta", col("rev") - lag(col("rev"), 1).over(ord))
+      .withColumn("gain", when(col("delta") > 0, col("delta")).otherwise(zero))
+      .withColumn("loss", when(col("delta") < 0, -col("delta")).otherwise(zero))
+    val r = base
+      .withColumn("nd14", count(col("delta")).over(w14))
+      .withColumn("ag", sum(col("gain")).over(w14))
+      .withColumn("al", sum(col("loss")).over(w14))
+    def d(cn: String) = col(cn).cast("double")
+    val rsi = when(d("ag") + d("al") > 0,
+      lit(100.0) * d("ag") / (d("ag") + d("al"))).otherwise(lit(50.0))
+    r.select(dateS(col("d")).as("d"), round(d("rev"), 2).as("rev"),
+        round(d("delta"), 2).as("delta"),
+        r4(when(col("nd14") === 14, rsi)).as("rsi_14"))
+      .orderBy("d")
+  }
+
+  /** Trailing-30-day skewness of daily revenue — the rolling
+    * higher-moment feature (is the recent distribution lopsided toward
+    * spikes or crashes?) that mean/σ bands can't see. EXACT, with no
+    * double quantization anywhere: each day's revenue is re-expressed
+    * as integer-cent DEVIATIONS from the global-mean cents c (itself an
+    * exact integer both engines derive identically), and the trailing
+    * sums Σdx, Σdx², Σdx³ are exact decimals — (18,0)²=(37,0) and
+    * (25,0)·(12,0)=(38,0) stay inside precision 38 for daily
+    * deviations up to $1e10. Central moments about the mean follow
+    * algebraically from moments about ANY origin, so shifting to c
+    * costs nothing and keeps the cube small. Skew = m3/m2^1.5 with an
+    * m2>0 guard; NULL until the window holds 30 days. */
+  def windowRollingSkew(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType
+    val w = Window.orderBy("d").rowsBetween(-29, 0)
+    val daily = dailyRevenue(spark, dir)
+    val tot = daily.agg(
+      (sum(col("rev")).cast("double") / count(lit(1)).cast("double"))
+        .as("gmean"))
+      .select(floor(col("gmean") * 100 + lit(0.5)).as("c"))
+    val base = daily.crossJoin(broadcast(tot))
+      .withColumn("dx", ((col("rev") * 100).cast("long") - col("c"))
+        .cast(dec(18, 0)))
+      .withColumn("dx2", col("dx") * col("dx"))
+      .withColumn("dx3",
+        (col("dx2").cast(dec(25, 0)) * col("dx").cast(dec(12, 0))))
+    val r = base
+      .withColumn("n30", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("dx")).over(w))
+      .withColumn("s2", sum(col("dx2")).over(w))
+      .withColumn("s3", sum(col("dx3")).over(w))
+    def d(cn: String) = col(cn).cast("double")
+    val nD = d("n30")
+    val m1 = d("s1") / nD
+    val m2 = d("s2") / nD - m1 * m1
+    val m3 = d("s3") / nD - lit(3.0) * m1 * (d("s2") / nD) +
+      lit(2.0) * m1 * m1 * m1
+    r.select(dateS(col("d")).as("d"), col("n30"),
+        r4((d("c") + m1) / lit(100.0)).as("mean_30"),
+        r4(when(col("n30") === 30 && m2 > 0, sqrt(m2) / lit(100.0)))
+          .as("sd_30"),
+        r6(when(col("n30") === 30 && m2 > 0,
+          m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)))).as("skew_30"))
+      .orderBy("d")
+  }
+
   /** In-plan exact median by explicit rank selection: row_number the
     * values, keep ranks floor((m+1)/2) and floor(m/2)+1 (equal when m
     * is odd), average them — the engine-neutral median (no
@@ -4424,6 +4544,9 @@ object Relational {
     "agg_spearman" -> (aggSpearman _),
     "agg_anova_f" -> (aggAnovaF _),
     "agg_kendall_tau" -> (aggKendallTau _),
+    "window_bollinger" -> (windowBollinger _),
+    "window_rsi" -> (windowRsi _),
+    "window_rolling_skew" -> (windowRollingSkew _),
     "agg_em_mixture" -> (aggEmMixture _),
     "events_power_analysis" -> (eventsPowerAnalysis _),
     "events_stl_decompose" -> (eventsStlDecompose _),
@@ -5148,6 +5271,89 @@ object Relational {
            ${r6Sql("CASE WHEN den > 0 THEN CAST(nc - nd AS DOUBLE) / den END")}
              AS tau_b
          FROM f""",
+    "window_bollinger" ->
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+           sum(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+           FROM orders GROUP BY 1),
+         b AS (SELECT d, rev,
+           count(*) OVER w AS nw,
+           CAST(sum(CAST(rev AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+           CAST(sum(CAST(CAST(rev AS DECIMAL(18,2))
+             * CAST(rev AS DECIMAL(18,2)) AS DECIMAL(38,4))) OVER w
+             AS DOUBLE) AS s2
+           FROM daily
+           WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+         m AS (SELECT d, rev, nw, s1 / CAST(nw AS DOUBLE) AS mean,
+           sqrt(greatest((s2 - s1 * s1 / CAST(nw AS DOUBLE))
+             / (CASE WHEN nw > 1 THEN CAST(nw AS DOUBLE) - 1.0 END), 0.0)) AS sd
+           FROM b)
+         SELECT strftime(d, '%Y-%m-%d') AS d,
+           round(CAST(rev AS DOUBLE), 2) AS rev,
+           CAST(nw AS BIGINT) AS n_window,
+           ${r4Sql("mean")} AS mean_7,
+           ${r4Sql("CASE WHEN nw > 1 THEN sd END")} AS sd_7,
+           ${r4Sql("CASE WHEN nw > 1 THEN mean + 2.0 * sd END")} AS upper_band,
+           ${r4Sql("CASE WHEN nw > 1 THEN mean - 2.0 * sd END")} AS lower_band,
+           nw > 1 AND (CAST(rev AS DOUBLE) > mean + 2.0 * sd
+             OR CAST(rev AS DOUBLE) < mean - 2.0 * sd) AS is_breach
+         FROM m ORDER BY d""",
+    "window_rsi" ->
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+           sum(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+           FROM orders GROUP BY 1),
+         dl AS (SELECT d, rev,
+           rev - lag(rev, 1) OVER (ORDER BY d) AS delta FROM daily),
+         gl AS (SELECT d, rev, delta,
+           CASE WHEN delta > 0 THEN delta ELSE CAST(0 AS DECIMAL(19,2)) END AS gain,
+           CASE WHEN delta < 0 THEN -delta ELSE CAST(0 AS DECIMAL(19,2)) END AS loss
+           FROM dl),
+         r AS (SELECT d, rev, delta,
+           count(delta) OVER w AS nd14,
+           CAST(sum(gain) OVER w AS DOUBLE) AS ag,
+           CAST(sum(loss) OVER w AS DOUBLE) AS al
+           FROM gl
+           WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         SELECT strftime(d, '%Y-%m-%d') AS d,
+           round(CAST(rev AS DOUBLE), 2) AS rev,
+           round(CAST(delta AS DOUBLE), 2) AS delta,
+           ${r4Sql("CASE WHEN nd14 = 14 THEN CASE WHEN ag + al > 0 THEN 100.0 * ag / (ag + al) ELSE 50.0 END END")}
+             AS rsi_14
+         FROM r ORDER BY d""",
+    "window_rolling_skew" ->
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+           sum(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+           FROM orders GROUP BY 1),
+         tot AS (SELECT CAST(floor((CAST(sum(rev) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE)) * 100 + 0.5) AS BIGINT) AS c
+           FROM daily),
+         base AS (SELECT d,
+           CAST(CAST(rev * 100 AS BIGINT) - c AS DECIMAL(18,0)) AS dx,
+           CAST(c AS DOUBLE) AS cd
+           FROM daily, tot),
+         b2 AS (SELECT d, cd, dx, dx * dx AS dx2,
+           CAST(dx * dx AS DECIMAL(25,0)) * CAST(dx AS DECIMAL(12,0)) AS dx3
+           FROM base),
+         r AS (SELECT d, cd, count(*) OVER w AS n30,
+           CAST(sum(dx) OVER w AS DOUBLE) AS s1,
+           CAST(sum(dx2) OVER w AS DOUBLE) AS s2,
+           CAST(sum(dx3) OVER w AS DOUBLE) AS s3
+           FROM b2
+           WINDOW w AS (ORDER BY d ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)),
+         m AS (SELECT d, cd, n30,
+           s1 / CAST(n30 AS DOUBLE) AS m1,
+           s2 / CAST(n30 AS DOUBLE)
+             - (s1 / CAST(n30 AS DOUBLE)) * (s1 / CAST(n30 AS DOUBLE)) AS m2,
+           s3 / CAST(n30 AS DOUBLE)
+             - 3.0 * (s1 / CAST(n30 AS DOUBLE)) * (s2 / CAST(n30 AS DOUBLE))
+             + 2.0 * (s1 / CAST(n30 AS DOUBLE)) * (s1 / CAST(n30 AS DOUBLE))
+               * (s1 / CAST(n30 AS DOUBLE)) AS m3
+           FROM r)
+         SELECT strftime(d, '%Y-%m-%d') AS d, CAST(n30 AS BIGINT) AS n30,
+           ${r4Sql("(cd + m1) / 100.0")} AS mean_30,
+           ${r4Sql("CASE WHEN n30 = 30 AND m2 > 0 THEN sqrt(m2) / 100.0 END")} AS sd_30,
+           ${r6Sql("CASE WHEN n30 = 30 AND m2 > 0 THEN m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)) END")}
+             AS skew_30
+         FROM m ORDER BY d""",
     "agg_em_mixture" ->
       s"""WITH xs AS (SELECT CAST(value AS DECIMAL(10,2)) AS xd,
            CAST(CAST(value AS DECIMAL(10,2)) AS DOUBLE) AS x

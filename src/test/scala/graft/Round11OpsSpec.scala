@@ -81,6 +81,59 @@ class Round11OpsSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(rd.getAs[Double]("tau_b") + 1.0) < 1e-9, s"$rd")
   }
 
+  // ---- rolling-band family over daily revenue --------------------------
+
+  /** one order per day, value v(i) on day 2024-08-01 + i. */
+  private def dailyOrders(vals: Seq[Double]): String = {
+    val d0 = java.time.LocalDate.of(2024, 8, 1)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      OrderRow(i.toLong + 1, 1L, "O", v,
+        Timestamp.valueOf(d0.plusDays(i.toLong).atStartOfDay()), "1-URGENT") }
+    fixtureDir("orders" -> spark.createDataset(rows).toDF)
+  }
+
+  test("bollinger: constant revenue gives zero sd and no breaches") {
+    val r = Relational.windowBollinger(spark, dailyOrders(Seq.fill(14)(100.0)))
+      .collect()
+    assert(r.length == 14)
+    assert(r.drop(1).forall(_.getAs[Double]("sd_7") == 0.0), "sd must be 0")
+    assert(r.forall(!_.getAs[Boolean]("is_breach")), "no breaches on flat")
+    assert(r.head.isNullAt(r.head.fieldIndex("sd_7")),
+      "day 1 has no sample sd")
+  }
+
+  test("bollinger: a large spike breaches the upper band") {
+    val vals = Seq.fill(10)(100.0) ++ Seq(100.0, 500.0) ++ Seq.fill(4)(100.0)
+    val r = Relational.windowBollinger(spark, dailyOrders(vals)).collect()
+    val spike = r.find(_.getAs[Double]("rev") == 500.0).get
+    assert(spike.getAs[Boolean]("is_breach"), s"spike must breach: $spike")
+  }
+
+  test("rsi: monotone-up revenue gives RSI=100, monotone-down gives 0") {
+    val up = (1 to 20).map(i => 100.0 + 10 * i)
+    val ru = Relational.windowRsi(spark, dailyOrders(up)).collect()
+    val lastU = ru.last
+    assert(lastU.getAs[Double]("rsi_14") == 100.0, s"up: $lastU")
+    assert(ru.take(14).forall(_.isNullAt(ru.head.fieldIndex("rsi_14"))),
+      "first 14 days have <14 deltas")
+    val down = (1 to 20).map(i => 1000.0 - 10 * i)
+    val rd = Relational.windowRsi(spark, dailyOrders(down)).collect()
+    assert(rd.last.getAs[Double]("rsi_14") == 0.0, s"down: ${rd.last}")
+  }
+
+  test("rolling skew: symmetric window ~0, spike-heavy window positive") {
+    // 30-day window alternating ±10 around 100: symmetric -> skew ~ 0
+    val sym = (0 until 30).map(i => if (i % 2 == 0) 90.0 else 110.0)
+    val rs = Relational.windowRollingSkew(spark, dailyOrders(sym)).collect()
+    val full = rs.last
+    assert(full.getAs[Long]("n30") == 30L)
+    assert(math.abs(full.getAs[Double]("skew_30")) < 1e-6, s"$full")
+    // one huge spike in an otherwise flat window -> strongly positive
+    val spiky = Seq.fill(29)(100.0) :+ 1000.0
+    val rp = Relational.windowRollingSkew(spark, dailyOrders(spiky)).collect()
+    assert(rp.last.getAs[Double]("skew_30") > 3.0, s"${rp.last}")
+  }
+
   test("kendall: ties in x are counted and shrink |tau_b|") {
     // all quantities equal -> every pair is an x-tie, tau_b undefined (null)
     val allTie = (1L to 30L).map(k => (k, 5.0, 10.0 * k, 0.0))
