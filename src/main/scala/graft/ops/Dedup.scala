@@ -1454,6 +1454,82 @@ object Dedup {
       .orderBy(desc("n_common"), col("a"), col("b")).limit(20)
   }
 
+  /** Adamic-Adar link prediction over the candidate graph — the
+    * degree-discounted cousin of [[graphCommonNeighbors]]: a shared
+    * neighbor w votes 1/ln(deg(w)), so rare co-bucketing is strong
+    * evidence and a promiscuous hub (the shingle-collision stitcher)
+    * is nearly mute. The pairs this surfaces that are NOT already
+    * edges are the near-dups the banding config missed but the
+    * structure implies. Shape at scale: the same wedge join keyed on
+    * the shared center w (Σ_w deg(w)², bounded by the bands·cap
+    * degree ceiling), with the center weight hash-joined in before
+    * the pair agg. Exactness: the weight 1/ln(deg) is r6→DECIMAL(16,6)
+    * per CENTER (one rounding per node, not per wedge), so the pair
+    * score is an exact decimal sum — order-independent and identical
+    * across engines; top-20 ordering ties break on (a, b). */
+  def graphAdamicAdar(spark: SparkSession, dir: String): DataFrame = {
+    val d166 = org.apache.spark.sql.types.DecimalType(16, 6)
+    val e = candGraphCached(spark, dir)
+    val und = e.select(col("d1").as("u"), col("d2").as("v"))
+      .unionByName(e.select(col("d2").as("u"), col("d1").as("v")))
+    val wt = und.groupBy("u").agg(count(lit(1)).as("deg"))
+      .select(col("u").as("w"),
+        when(col("deg") >= 2,
+          r6(lit(1.0) / log(col("deg").cast("double"))).cast(d166))
+          .as("aw"))
+    val cn = und.select(col("u").as("a"), col("v").as("w"))
+      .join(und.select(col("u").as("b"), col("v").as("w")), "w")
+      .filter(col("a") < col("b"))
+      .join(wt, "w")
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"), sum(col("aw")).as("aa"))
+    cn.join(e.select(col("d1").as("a"), col("d2").as("b"),
+        lit(true).as("is_edge")), Seq("a", "b"), "left")
+      .select(col("a"), col("b"), col("n_common"),
+        col("aa").cast("double").as("aa_score"),
+        coalesce(col("is_edge"), lit(false)).as("is_edge"))
+      .orderBy(desc("aa_score"), col("a"), col("b")).limit(20)
+  }
+
+  /** Degree assortativity of the candidate graph — the Pearson
+    * correlation of endpoint degrees over every directed edge, the
+    * one-number answer to "do heavy-bucket docs collide with each
+    * other (templated cliques, r>0) or with singletons (hub-and-spoke
+    * collision noise, r<0)?" — which decides whether cluster-level or
+    * pair-level review is the right dedup QA posture. Shape at scale:
+    * degrees off one hash agg, two hash joins to annotate endpoints,
+    * then a single pass of exact DECIMAL moment sums ((18,0)² stays
+    * inside precision 38); r is ONE double expression, r6, NULL for a
+    * degree-regular graph (zero variance). */
+  def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val d180 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val e = candGraphCached(spark, dir)
+    val und = e.select(col("d1").as("u"), col("d2").as("v"))
+      .unionByName(e.select(col("d2").as("u"), col("d1").as("v")))
+    val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(col("deg")).as("sum_deg"))
+    val j = und
+      .join(deg.select(col("u"), col("deg").cast(d180).as("du")), "u")
+      .join(deg.select(col("u").as("v"), col("deg").cast(d180).as("dv")),
+        "v")
+    val s = j.agg(count(lit(1)).as("m"),
+      sum(col("du")).as("sdu"), sum(col("dv")).as("sdv"),
+      sum(col("du") * col("dv")).as("sduv"),
+      sum(col("du") * col("du")).as("sduu"),
+      sum(col("dv") * col("dv")).as("sdvv"))
+    def d(cn: String) = col(cn).cast("double")
+    val mD = d("m")
+    val cov = mD * d("sduv") - d("sdu") * d("sdv")
+    val vu = mD * d("sduu") - d("sdu") * d("sdu")
+    val vv = mD * d("sdvv") - d("sdv") * d("sdv")
+    s.crossJoin(broadcast(nodes))
+      .select(col("n_nodes"), (col("m") / 2).cast("long").as("n_edges"),
+        r4(d("sum_deg") / d("n_nodes")).as("mean_deg"),
+        r6(when(vu > 0 && vv > 0, cov / (sqrt(vu) * sqrt(vv))))
+          .as("assortativity"))
+  }
+
   /** Modularity Q of the 4-round LPA partition over the candidate-PAIR
     * graph — the quality number for [[graphLabelPropagation]]'s
     * communities: Q = Σ_c (L_c/m − (D_c/2m)²), the fraction of edges
@@ -1673,6 +1749,8 @@ object Dedup {
     "graph_modularity" -> (graphModularity _),
     "graph_kcore" -> (graphKcore _),
     "graph_common_neighbors" -> (graphCommonNeighbors _),
+    "graph_adamic_adar" -> (graphAdamicAdar _),
+    "graph_assortativity" -> (graphAssortativity _),
     "dedup_lsh_calibration" -> (dedupLshCalibration _),
     "graph_label_propagation" -> (graphLabelPropagation _),
     "dedup_chunk_minhash" -> (dedupChunkMinhash _),
@@ -2013,6 +2091,61 @@ object Dedup {
          LEFT JOIN (SELECT d1, d2, TRUE AS is_edge FROM pairs) p
            ON p.d1 = cn.a AND p.d2 = cn.b
          ORDER BY n_common DESC, cn.a, cn.b LIMIT 20""",
+    "graph_adamic_adar" ->
+      s"""WITH $graphBandPreambleSql,
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           FROM band a JOIN band b
+             ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         e AS MATERIALIZED (SELECT d1 AS u, d2 AS v FROM pairs
+           UNION ALL SELECT d2, d1 FROM pairs),
+         wt AS (SELECT u AS w,
+           CAST(CASE WHEN count(*) >= 2
+             THEN ${r6Sql("1.0 / ln(CAST(count(*) AS DOUBLE))")} END
+             AS DECIMAL(16,6)) AS aw
+           FROM e GROUP BY u),
+         cn AS (SELECT x.u AS a, y.u AS b, count(*) AS n_common,
+           sum(aw) AS aa
+           FROM e x JOIN e y ON x.v = y.v AND x.u < y.u
+           JOIN wt ON wt.w = x.v
+           GROUP BY 1, 2)
+         SELECT cn.a, cn.b, CAST(cn.n_common AS BIGINT) AS n_common,
+           CAST(cn.aa AS DOUBLE) AS aa_score,
+           coalesce(p.is_edge, FALSE) AS is_edge
+         FROM cn
+         LEFT JOIN (SELECT d1, d2, TRUE AS is_edge FROM pairs) p
+           ON p.d1 = cn.a AND p.d2 = cn.b
+         ORDER BY aa_score DESC, cn.a, cn.b LIMIT 20""",
+    "graph_assortativity" ->
+      s"""WITH $graphBandPreambleSql,
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           FROM band a JOIN band b
+             ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         e AS MATERIALIZED (SELECT d1 AS u, d2 AS v FROM pairs
+           UNION ALL SELECT d2, d1 FROM pairs),
+         deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+         nodes AS (SELECT count(*) AS n_nodes,
+           CAST(sum(deg) AS BIGINT) AS sum_deg FROM deg),
+         j AS (SELECT CAST(du.deg AS DECIMAL(18,0)) AS du,
+             CAST(dv.deg AS DECIMAL(18,0)) AS dv
+           FROM e JOIN deg du ON du.u = e.u JOIN deg dv ON dv.u = e.v),
+         s AS (SELECT count(*) AS m,
+           CAST(sum(du) AS DOUBLE) AS sdu, CAST(sum(dv) AS DOUBLE) AS sdv,
+           CAST(sum(du * dv) AS DOUBLE) AS sduv,
+           CAST(sum(du * du) AS DOUBLE) AS sduu,
+           CAST(sum(dv * dv) AS DOUBLE) AS sdvv
+           FROM j),
+         f AS (SELECT m,
+           CAST(m AS DOUBLE) * sduv - sdu * sdv AS cov,
+           CAST(m AS DOUBLE) * sduu - sdu * sdu AS vu,
+           CAST(m AS DOUBLE) * sdvv - sdv * sdv AS vv FROM s)
+         SELECT n_nodes, CAST(m / 2 AS BIGINT) AS n_edges,
+           ${r4Sql("CAST(sum_deg AS DOUBLE) / CAST(n_nodes AS DOUBLE)")}
+             AS mean_deg,
+           ${r6Sql("CASE WHEN vu > 0 AND vv > 0 THEN cov / (sqrt(vu) * sqrt(vv)) END")}
+             AS assortativity
+         FROM f, nodes""",
     "dedup_lsh_calibration" ->
       s"""WITH tok AS MATERIALIZED (
            SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS token
