@@ -1604,6 +1604,80 @@ object Text {
       .limit(20)
   }
 
+  /** Dunning log-likelihood-ratio (G²) collocations — the
+    * significance-aware ranking that fixes [[pmiBigrams]]'s known
+    * rare-pair bias: PMI maxes out on hapax pairs, while G² weighs the
+    * full 2×2 contingency of (first-position, second-position) bigram
+    * marginals, so high scores need both association AND evidence.
+    * Spelled via the entropy identity G² = 2(Σ xlx(k_ij) − Σ xlx(row)
+    * − Σ xlx(col) + xlx(N)) with xlx(0)=0 — every argument an exact
+    * long off the bigram count frame (marginals computed BEFORE the
+    * min-count filter, as the table demands), the score ONE double
+    * expression per row, r4 at output. Shape at scale: bigram hash agg
+    * → two marginal hash aggs joined back on the bigram's own keys —
+    * no window, no double ever summed across rows. */
+  def collocationLlr(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(split(col("text"), " ").as("toks"))
+    val bi = d.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS a, toks[i+1] AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val ma = bi.groupBy("a").agg(sum(col("cab")).as("ca1"))
+    val mb = bi.groupBy("b").agg(sum(col("cab")).as("cb2"))
+    val tot = bi.agg(sum(col("cab")).as("nb"))
+    def xlx(c: Column): Column =
+      when(c > 0, c.cast("double") * log(c.cast("double"))).otherwise(lit(0.0))
+    val j = bi.filter(col("cab") >= 5)
+      .join(ma, "a").join(mb, "b").crossJoin(broadcast(tot))
+    val g2 = lit(2.0) * (xlx(col("cab")) + xlx(col("ca1") - col("cab")) +
+      xlx(col("cb2") - col("cab")) +
+      xlx(col("nb") - col("ca1") - col("cb2") + col("cab")) -
+      xlx(col("ca1")) - xlx(col("nb") - col("ca1")) -
+      xlx(col("cb2")) - xlx(col("nb") - col("cb2")) + xlx(col("nb")))
+    j.select(col("a"), col("b"), col("cab"), col("ca1"), col("cb2"),
+        r4(g2).as("llr"))
+      .orderBy(desc("llr"), col("a"), col("b"))
+      .limit(20)
+  }
+
+  /** Interpolated Kneser-Ney bigram probabilities (absolute discount
+    * D = 0.75) — the smoothing a real n-gram LM ships with, where
+    * [[bigramLmScore]]'s add-k is the classroom baseline: mass is
+    * discounted from observed bigrams and backed off to the
+    * CONTINUATION unigram (how many distinct left-contexts a word
+    * follows — "Francisco" is frequent but predictable, so its
+    * continuation mass is tiny). Every ingredient is an exact count
+    * off the bigram type/token frames: c(w1w2), c(w1·), the fan-out
+    * N1+(w1·), the fan-in N1+(·w2), and the bigram-type total B;
+    * P_kn = (max(c−D,0) + D·N1+(w1·)·N1+(·w2)/B)/c(w1·) is one double
+    * expression per row, r6 at output. Shape at scale: one bigram hash
+    * agg feeds four marginal aggs, all joined back on the bigram's own
+    * keys — counts distribute, the smoothing is scalar math. */
+  def kneserNey(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(split(col("text"), " ").as("toks"))
+    val bi = d.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS a, toks[i+1] AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val ma = bi.groupBy("a")
+      .agg(sum(col("cab")).as("c1"), count(lit(1)).as("n1p"))
+    val mb = bi.groupBy("b").agg(count(lit(1)).as("n1m"))
+    val tot = bi.agg(count(lit(1)).as("btypes"))
+    def dd(c: Column) = c.cast("double")
+    val j = bi.join(ma, "a").join(mb, "b").crossJoin(broadcast(tot))
+    val pCont = dd(col("n1m")) / dd(col("btypes"))
+    val pKn = (greatest(dd(col("cab")) - lit(0.75), lit(0.0)) +
+      lit(0.75) * dd(col("n1p")) * pCont) / dd(col("c1"))
+    j.select(col("a"), col("b"), col("cab"), col("c1"), col("n1p"),
+        col("n1m"), r6(pCont).as("p_cont"), r6(pKn).as("p_kn"))
+      .orderBy(desc("cab"), col("a"), col("b"))
+      .limit(20)
+  }
+
   /** Sequence PACKING layout — the concat-and-chunk packing a training
     * run uses to fill fixed context windows (here C = 256 tokens):
     * documents are concatenated in doc_id order and cut every C tokens,
@@ -2026,6 +2100,8 @@ object Text {
     "text_quality_buckets" -> (qualityBuckets _),
     "text_repetition_stats" -> (repetitionStats _),
     "text_pmi_bigrams" -> (pmiBigrams _),
+    "text_collocation_llr" -> (collocationLlr _),
+    "text_kneser_ney" -> (kneserNey _),
     "text_pack_sequences" -> (packSequences _),
     "text_zipf_fit" -> (zipfFit _),
     "dedup_span_merge" -> (dedupSpanMerge _))
@@ -2366,6 +2442,55 @@ object Text {
            JOIN (SELECT t AS a, cu AS ca FROM uni) USING (a)
            JOIN (SELECT t AS b, cu AS cb FROM uni) USING (b), tot
          ORDER BY pmi DESC, a, b LIMIT 20""",
+    "text_collocation_llr" ->
+      s"""WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         bi AS (
+           SELECT a, b, count(*) AS cab FROM (
+             SELECT unnest(list_transform(range(1, len(toks)),
+               i -> {'a': toks[i], 'b': toks[i+1]}), recursive := true)
+             FROM d WHERE len(toks) >= 2)
+           GROUP BY a, b),
+         ma AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca1 FROM bi GROUP BY a),
+         mb AS (SELECT b, CAST(sum(cab) AS BIGINT) AS cb2 FROM bi GROUP BY b),
+         tot AS (SELECT CAST(sum(cab) AS BIGINT) AS nb FROM bi),
+         j AS (SELECT a, b, cab, ca1, cb2, nb FROM bi
+           JOIN ma USING (a) JOIN mb USING (b), tot
+           WHERE cab >= 5),
+         g AS (SELECT a, b, cab, ca1, cb2, 2.0 * (
+             (CASE WHEN cab > 0 THEN CAST(cab AS DOUBLE) * ln(CAST(cab AS DOUBLE)) ELSE 0.0 END)
+           + (CASE WHEN ca1 - cab > 0 THEN CAST(ca1 - cab AS DOUBLE) * ln(CAST(ca1 - cab AS DOUBLE)) ELSE 0.0 END)
+           + (CASE WHEN cb2 - cab > 0 THEN CAST(cb2 - cab AS DOUBLE) * ln(CAST(cb2 - cab AS DOUBLE)) ELSE 0.0 END)
+           + (CASE WHEN nb - ca1 - cb2 + cab > 0 THEN CAST(nb - ca1 - cb2 + cab AS DOUBLE) * ln(CAST(nb - ca1 - cb2 + cab AS DOUBLE)) ELSE 0.0 END)
+           - (CASE WHEN ca1 > 0 THEN CAST(ca1 AS DOUBLE) * ln(CAST(ca1 AS DOUBLE)) ELSE 0.0 END)
+           - (CASE WHEN nb - ca1 > 0 THEN CAST(nb - ca1 AS DOUBLE) * ln(CAST(nb - ca1 AS DOUBLE)) ELSE 0.0 END)
+           - (CASE WHEN cb2 > 0 THEN CAST(cb2 AS DOUBLE) * ln(CAST(cb2 AS DOUBLE)) ELSE 0.0 END)
+           - (CASE WHEN nb - cb2 > 0 THEN CAST(nb - cb2 AS DOUBLE) * ln(CAST(nb - cb2 AS DOUBLE)) ELSE 0.0 END)
+           + (CASE WHEN nb > 0 THEN CAST(nb AS DOUBLE) * ln(CAST(nb AS DOUBLE)) ELSE 0.0 END)) AS g2
+           FROM j)
+         SELECT a, b, cab, ca1, cb2, ${r4Sql("g2")} AS llr
+         FROM g ORDER BY llr DESC, a, b LIMIT 20""",
+    "text_kneser_ney" ->
+      s"""WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         bi AS (
+           SELECT a, b, count(*) AS cab FROM (
+             SELECT unnest(list_transform(range(1, len(toks)),
+               i -> {'a': toks[i], 'b': toks[i+1]}), recursive := true)
+             FROM d WHERE len(toks) >= 2)
+           GROUP BY a, b),
+         ma AS (SELECT a, CAST(sum(cab) AS BIGINT) AS c1,
+           count(*) AS n1p FROM bi GROUP BY a),
+         mb AS (SELECT b, count(*) AS n1m FROM bi GROUP BY b),
+         tot AS (SELECT count(*) AS btypes FROM bi),
+         j AS (SELECT a, b, cab, c1, n1p, n1m, btypes,
+           CAST(n1m AS DOUBLE) / CAST(btypes AS DOUBLE) AS p_cont_raw,
+           (greatest(CAST(cab AS DOUBLE) - 0.75, 0.0)
+             + 0.75 * CAST(n1p AS DOUBLE)
+               * (CAST(n1m AS DOUBLE) / CAST(btypes AS DOUBLE)))
+             / CAST(c1 AS DOUBLE) AS p_kn_raw
+           FROM bi JOIN ma USING (a) JOIN mb USING (b), tot)
+         SELECT a, b, cab, c1, n1p, n1m,
+           ${r6Sql("p_cont_raw")} AS p_cont, ${r6Sql("p_kn_raw")} AS p_kn
+         FROM j ORDER BY cab DESC, a, b LIMIT 20""",
     "text_pack_sequences" ->
       """WITH d AS (
            SELECT doc_id, source, doc_id // 64 AS shard,

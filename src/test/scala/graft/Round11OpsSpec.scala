@@ -169,6 +169,41 @@ class Round11OpsSpec extends AnyFunSuite with SparkFixture {
       s"4-regular K5 must yield null assortativity: $r")
   }
 
+  // ---- text LM/collocation additions ------------------------------------
+
+  test("kneser-ney: probabilities sum to 1 per context on a full cover") {
+    // "x y y x x y": bigrams xy:2 yy:1 yx:1 xx:1 -> all 4 types observed,
+    // so sum_b p_kn(b|w1) = 1 exactly for both contexts (KN theorem).
+    val dir = fixtureDir("documents" -> spark.createDataset(Seq(
+      doc(1, "x y y x x y"))).toDF)
+    val out = Text.kneserNey(spark, dir).collect()
+    assert(out.length == 4)
+    val byA = out.groupBy(_.getAs[String]("a"))
+    byA.foreach { case (a, rows) =>
+      val s = rows.map(_.getAs[Double]("p_kn")).sum
+      assert(math.abs(s - 1.0) < 1e-5, s"sum_b p_kn(b|$a) must be 1, got $s")
+    }
+    // hand values: p_kn(y|x) = (2-.75 + .75*2*.5)/3 = 2/3
+    val pyx = out.find(r => r.getAs[String]("a") == "x" &&
+      r.getAs[String]("b") == "y").get.getAs[Double]("p_kn")
+    assert(math.abs(pyx - 2.0 / 3.0) < 1e-5, s"p_kn(y|x)=$pyx")
+  }
+
+  test("collocation llr: a planted pair dominates; scores are ~nonnegative") {
+    val noise = (0 until 40).map(i => s"w${i % 7} w${(i * 3) % 11}").mkString(" ")
+    val planted = Seq.fill(12)("strong collocation").mkString(" ")
+    val dir = fixtureDir("documents" -> spark.createDataset(Seq(
+      doc(1, s"$noise $planted"), doc(2, s"$planted $noise"))).toDF)
+    val out = Text.collocationLlr(spark, dir).collect()
+    assert(out.nonEmpty)
+    val top = out.head
+    assert(top.getAs[String]("a") == "strong" &&
+      top.getAs[String]("b") == "collocation",
+      s"planted collocation must rank first: $top")
+    out.foreach(r => assert(r.getAs[Double]("llr") > -1e-6,
+      s"G2 must be nonnegative: $r"))
+  }
+
   test("kendall: ties in x are counted and shrink |tau_b|") {
     // all quantities equal -> every pair is an x-tie, tau_b undefined (null)
     val allTie = (1L to 30L).map(k => (k, 5.0, 10.0 * k, 0.0))
