@@ -3774,6 +3774,134 @@ object Relational {
       r6(when(den > 0, (d("nc") - d("nd")) / den)).as("tau_b"))
   }
 
+  /** Trig lookup for [[eventsPeriodogram]]: (phase, cos, sin) at the
+    * P-th roots of unity, computed ONCE in Scala and embedded in BOTH
+    * engines — the Spark side as a broadcast literal frame, the oracle
+    * as a VALUES list via Double.toString (which round-trips exactly,
+    * so both engines hold bit-identical doubles). A libm cos/sin call
+    * per row would differ in ulps across engines; a shared literal
+    * table cannot. */
+  private def trigTable(p: Int): Seq[(Int, Double, Double)] =
+    (0 until p).map { k =>
+      val th = 2.0 * math.Pi * k / p
+      (k, math.cos(th), math.sin(th))
+    }
+
+  private def trigValuesSql(p: Int): String =
+    trigTable(p).map { case (k, c, s) => s"($k, $c, $s)" }.mkString(", ")
+
+  /** Schuster periodogram of hourly event counts at the daily (24 h)
+    * and weekly (168 h) periods — "is there a real diurnal/weekly
+    * cycle, and how much variance does it explain?", the spectral
+    * readout behind seasonal baselining. For each period P: a = Σ(n_t
+    * − mean)·cos(2πt/P), b = the sine twin, amplitude 2√(a²+b²)/N and
+    * variance share 2(a²+b²)/(N·SST). Shape at scale: ONE hash agg to
+    * the hourly frame; each period is a broadcast join against its
+    * P-row literal trig table ([[trigTable]] — shared literals, no
+    * libm divergence) and an exact-decimal reduce: the per-hour terms
+    * are r6→DECIMAL(18,6) (counts to ~9e12/hour stay inside floor's
+    * int64), and SST comes from exact Σn/Σn² — no double is ever
+    * summed unquantized. */
+  def eventsPeriodogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d180 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val d186 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val hr = table(spark, dir, "events")
+      .select(expr("unix_micros(ts) div 3600000000").as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n"))
+    val tot = hr.agg(sum(col("n")).as("sn"), count(lit(1)).as("nh"),
+      sum(col("n").cast(d180) * col("n").cast(d180)).as("snn"))
+    def onePeriod(p: Int): DataFrame = {
+      val trig = spark.createDataset(trigTable(p)).toDF("k", "c", "s")
+      val mean = col("sn").cast("double") / col("nh").cast("double")
+      val terms = hr.crossJoin(broadcast(tot))
+        .withColumn("k", (col("h") % p).cast("int"))
+        .join(broadcast(trig), "k")
+        .select(
+          r6((col("n").cast("double") - mean) * col("c")).cast(d186).as("tc"),
+          r6((col("n").cast("double") - mean) * col("s")).cast(d186).as("ts"))
+        .agg(sum(col("tc")).as("sa"), sum(col("ts")).as("sb"))
+      terms.crossJoin(broadcast(tot)).select(
+        lit(p.toLong).as("period_hours"), col("nh").as("n_hours"),
+        col("sa").cast("double").as("a_cos"),
+        col("sb").cast("double").as("b_sin"),
+        col("sn"), col("snn"))
+    }
+    val u = onePeriod(24).unionByName(onePeriod(168))
+    def d(cn: String) = col(cn).cast("double")
+    val sst = d("snn") - d("sn") * d("sn") / d("n_hours")
+    val pw = col("a_cos") * col("a_cos") + col("b_sin") * col("b_sin")
+    u.select(col("period_hours"), col("n_hours"),
+        r4(d("sn") / d("n_hours")).as("mean_per_hour"),
+        r4(col("a_cos")).as("a_cos"), r4(col("b_sin")).as("b_sin"),
+        r4(lit(2.0) * sqrt(pw) / d("n_hours")).as("amplitude"),
+        r6(when(sst > 0,
+          lit(2.0) * pw / (d("n_hours") * sst))).as("var_share"))
+      .orderBy("period_hours")
+  }
+
+  /** Granger-style lead-lag F-test between the daily click and
+    * purchase series, BOTH directions — "does yesterday's click volume
+    * predict today's purchases beyond purchases' own momentum?" (and
+    * the reverse), the causality-screen companion to
+    * [[eventsAutocorrelation]]. Per direction: restricted OLS y_t ~
+    * y_{t−1} vs unrestricted adding x_{t−1}; F = (RSS_r − RSS_u)(n−3)
+    * /RSS_u via centered closed forms from TEN exact decimal sums
+    * (counts are ints; (18,0)² products stay inside precision 38) —
+    * the [[aggOlsMulti]] discipline, no iteration, no driver state.
+    * Observed-day gaps are treated as consecutive observations (lags
+    * skip calendar holes); both directions ride the same pivoted
+    * daily frame. */
+  def eventsGranger(spark: SparkSession, dir: String): DataFrame = {
+    val d180 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = table(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("nx"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("ny"))
+    val ord = Window.orderBy("d")
+    val lagged = daily
+      .withColumn("lx", lag(col("nx"), 1).over(ord))
+      .withColumn("ly", lag(col("ny"), 1).over(ord))
+      .filter(col("lx").isNotNull)
+    def direction(label: String, yc: String, lyc: String, lxc: String) = {
+      val y = col(yc).cast(d180); val l = col(lyc).cast(d180)
+      val x = col(lxc).cast(d180)
+      val s = lagged.agg(count(lit(1)).as("n"),
+        sum(y).as("sy"), sum(l).as("sl"), sum(x).as("sx"),
+        sum((y * y).cast(d380)).as("syy"),
+        sum((l * l).cast(d380)).as("sll"),
+        sum((x * x).cast(d380)).as("sxx"),
+        sum((l * y).cast(d380)).as("sly"),
+        sum((x * y).cast(d380)).as("sxy"),
+        sum((l * x).cast(d380)).as("slx"))
+      def d(cn: String) = col(cn).cast("double")
+      val nD = d("n")
+      val cyy = d("syy") - d("sy") * d("sy") / nD
+      val c11 = d("sll") - d("sl") * d("sl") / nD
+      val c22 = d("sxx") - d("sx") * d("sx") / nD
+      val c12 = d("slx") - d("sl") * d("sx") / nD
+      val cy1 = d("sly") - d("sl") * d("sy") / nD
+      val cy2 = d("sxy") - d("sx") * d("sy") / nD
+      val det = c11 * c22 - c12 * c12
+      val b1 = (cy1 * c22 - cy2 * c12) / det
+      val b2 = (cy2 * c11 - cy1 * c12) / det
+      val rssU = cyy - b1 * cy1 - b2 * cy2
+      val rssR = cyy - cy1 * cy1 / c11
+      val ok = abs(det) > lit(0.0) && c11 > 0 && rssU > 0 &&
+        col("n") > 3
+      s.select(lit(label).as("direction"), col("n").as("n_days"),
+        r6(when(ok, b2)).as("beta_cross"),
+        r4(when(ok, (rssR - rssU) * (nD - lit(3.0)) / rssU)).as("f_stat"))
+    }
+    direction("click->purchase", "ny", "ly", "lx")
+      .unionByName(direction("purchase->click", "nx", "lx", "ly"))
+      .orderBy("direction")
+  }
+
   /** Daily order revenue — the shared base frame of the rolling-band
     * family ([[windowBollinger]], [[windowRsi]],
     * [[windowRollingSkew]]): one hash agg from the scan to the
@@ -4547,6 +4675,8 @@ object Relational {
     "window_bollinger" -> (windowBollinger _),
     "window_rsi" -> (windowRsi _),
     "window_rolling_skew" -> (windowRollingSkew _),
+    "events_periodogram" -> (eventsPeriodogram _),
+    "events_granger" -> (eventsGranger _),
     "agg_em_mixture" -> (aggEmMixture _),
     "events_power_analysis" -> (eventsPowerAnalysis _),
     "events_stl_decompose" -> (eventsStlDecompose _),
@@ -5354,6 +5484,84 @@ object Relational {
            ${r6Sql("CASE WHEN n30 = 30 AND m2 > 0 THEN m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)) END")}
              AS skew_30
          FROM m ORDER BY d""",
+    "events_periodogram" -> {
+      def per(p: Int) =
+        s"""SELECT CAST($p AS BIGINT) AS period_hours, nh AS n_hours,
+           a_cos, b_sin, sn, snn FROM (
+           SELECT CAST(sum(tc) AS DOUBLE) AS a_cos,
+             CAST(sum(ts2) AS DOUBLE) AS b_sin
+           FROM (
+             SELECT
+               CAST(${r6Sql("(CAST(n AS DOUBLE) - CAST(sn AS DOUBLE) / CAST(nh AS DOUBLE)) * c")} AS DECIMAL(18,6)) AS tc,
+               CAST(${r6Sql("(CAST(n AS DOUBLE) - CAST(sn AS DOUBLE) / CAST(nh AS DOUBLE)) * s")} AS DECIMAL(18,6)) AS ts2
+             FROM hr CROSS JOIN tot
+             JOIN t$p ON t$p.k = hr.h % $p)), tot"""
+      s"""WITH hr AS (SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS n
+           FROM ${evSql()} GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS sn, count(*) AS nh,
+           CAST(sum(CAST(n AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0)))
+             AS DOUBLE) AS snn
+           FROM hr),
+         t24 AS (SELECT * FROM (VALUES ${trigValuesSql(24)}) t(k, c, s)),
+         t168 AS (SELECT * FROM (VALUES ${trigValuesSql(168)}) t(k, c, s)),
+         u AS (${per(24)} UNION ALL ${per(168)}),
+         f AS (SELECT period_hours, n_hours, a_cos, b_sin,
+           CAST(sn AS DOUBLE) AS snd, CAST(n_hours AS DOUBLE) AS nhd,
+           snn - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)
+             / CAST(n_hours AS DOUBLE) AS sst,
+           a_cos * a_cos + b_sin * b_sin AS pw
+           FROM u)
+         SELECT period_hours, n_hours,
+           ${r4Sql("snd / nhd")} AS mean_per_hour,
+           ${r4Sql("a_cos")} AS a_cos, ${r4Sql("b_sin")} AS b_sin,
+           ${r4Sql("2.0 * sqrt(pw) / nhd")} AS amplitude,
+           ${r6Sql("CASE WHEN sst > 0 THEN 2.0 * pw / (nhd * sst) END")}
+             AS var_share
+         FROM f ORDER BY period_hours"""
+    },
+    "events_granger" -> {
+      def dir(label: String, yc: String, lyc: String, lxc: String) =
+        s"""SELECT '$label' AS direction, n AS n_days,
+           ${r6Sql("CASE WHEN abs(det) > 0.0 AND c11 > 0 AND rss_u > 0 AND n > 3 THEN b2 END")}
+             AS beta_cross,
+           ${r4Sql("CASE WHEN abs(det) > 0.0 AND c11 > 0 AND rss_u > 0 AND n > 3 THEN (rss_r - rss_u) * (CAST(n AS DOUBLE) - 3.0) / rss_u END")}
+             AS f_stat
+         FROM (SELECT n, det, c11, b2,
+           cyy - b1 * cy1 - b2 * cy2 AS rss_u,
+           cyy - cy1 * cy1 / c11 AS rss_r FROM (
+           SELECT n, cyy, c11, c22, c12, cy1, cy2,
+             c11 * c22 - c12 * c12 AS det,
+             (cy1 * c22 - cy2 * c12) / (c11 * c22 - c12 * c12) AS b1,
+             (cy2 * c11 - cy1 * c12) / (c11 * c22 - c12 * c12) AS b2
+           FROM (
+           SELECT count(*) AS n,
+             CAST(sum(CAST($yc AS DECIMAL(18,0)) * CAST($yc AS DECIMAL(18,0))) AS DOUBLE)
+               - CAST(CAST(sum($yc) AS BIGINT) AS DOUBLE) * CAST(CAST(sum($yc) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cyy,
+             CAST(sum(CAST($lyc AS DECIMAL(18,0)) * CAST($lyc AS DECIMAL(18,0))) AS DOUBLE)
+               - CAST(CAST(sum($lyc) AS BIGINT) AS DOUBLE) * CAST(CAST(sum($lyc) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS c11,
+             CAST(sum(CAST($lxc AS DECIMAL(18,0)) * CAST($lxc AS DECIMAL(18,0))) AS DOUBLE)
+               - CAST(CAST(sum($lxc) AS BIGINT) AS DOUBLE) * CAST(CAST(sum($lxc) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS c22,
+             CAST(sum(CAST($lyc AS DECIMAL(18,0)) * CAST($lxc AS DECIMAL(18,0))) AS DOUBLE)
+               - CAST(CAST(sum($lyc) AS BIGINT) AS DOUBLE) * CAST(CAST(sum($lxc) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS c12,
+             CAST(sum(CAST($lyc AS DECIMAL(18,0)) * CAST($yc AS DECIMAL(18,0))) AS DOUBLE)
+               - CAST(CAST(sum($lyc) AS BIGINT) AS DOUBLE) * CAST(CAST(sum($yc) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cy1,
+             CAST(sum(CAST($lxc AS DECIMAL(18,0)) * CAST($yc AS DECIMAL(18,0))) AS DOUBLE)
+               - CAST(CAST(sum($lxc) AS BIGINT) AS DOUBLE) * CAST(CAST(sum($yc) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cy2
+           FROM lagged)))"""
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS nx,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ny
+           FROM ${evSql()} WHERE event_type IN ('click', 'purchase')
+           GROUP BY 1),
+         lagged AS (SELECT * FROM (SELECT d, nx, ny,
+             lag(nx, 1) OVER (ORDER BY d) AS lx,
+             lag(ny, 1) OVER (ORDER BY d) AS ly
+           FROM daily) WHERE lx IS NOT NULL)
+         ${dir("click->purchase", "ny", "ly", "lx")}
+         UNION ALL
+         ${dir("purchase->click", "nx", "lx", "ly")}
+         ORDER BY direction"""
+    },
     "agg_em_mixture" ->
       s"""WITH xs AS (SELECT CAST(value AS DECIMAL(10,2)) AS xd,
            CAST(CAST(value AS DECIMAL(10,2)) AS DOUBLE) AS x

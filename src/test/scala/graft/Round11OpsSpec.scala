@@ -204,6 +204,64 @@ class Round11OpsSpec extends AnyFunSuite with SparkFixture {
       s"G2 must be nonnegative: $r"))
   }
 
+  // ---- events spectral/lead-lag -----------------------------------------
+
+  /** events fixture: one row per (hour offset, copy) with the given type. */
+  private def hourlyEvents(counts: Seq[Int], eventType: String = "click",
+      dayStride: Boolean = false): Seq[EventRow] = {
+    val t0 = ts("2024-06-03 00:00:00").getTime
+    var id = 0L
+    counts.zipWithIndex.flatMap { case (n, i) =>
+      val at = new Timestamp(t0 +
+        (if (dayStride) i.toLong * 86400000L else i.toLong * 3600000L))
+      (0 until n).map { _ =>
+        id += 1; EventRow(id, at, id % 50, eventType, 1.0, "{}") }
+    }
+  }
+
+  test("periodogram: a planted diurnal cycle loads on 24h, not 168h") {
+    // 336 hours (exactly 2 weeks): count = 10 + 6*cos(2*pi*h/24) rounded.
+    val counts = (0 until 336).map(h =>
+      10 + math.round(6.0 * math.cos(2 * math.Pi * h / 24)).toInt)
+    val dir = fixtureDir("events" ->
+      spark.createDataset(hourlyEvents(counts)).toDF)
+    val out = Relational.eventsPeriodogram(spark, dir).collect()
+      .map(r => r.getAs[Long]("period_hours") -> r).toMap
+    val v24 = out(24L).getAs[Double]("var_share")
+    val v168 = out(168L).getAs[Double]("var_share")
+    assert(v24 > 0.9, s"diurnal share must dominate: $v24")
+    assert(v168 < 0.05, s"weekly share must be ~0: $v168")
+    assert(math.abs(out(24L).getAs[Double]("amplitude") - 6.0) < 0.5,
+      s"amplitude ~6: ${out(24L)}")
+  }
+
+  test("periodogram: a flat series has ~zero amplitude everywhere") {
+    val dir = fixtureDir("events" ->
+      spark.createDataset(hourlyEvents(Seq.fill(200)(7))).toDF)
+    val out = Relational.eventsPeriodogram(spark, dir).collect()
+    out.foreach { r =>
+      assert(r.getAs[Double]("amplitude") < 1e-6, s"flat must be silent: $r")
+    }
+  }
+
+  test("granger: y_t = x_{t-1} + noise is detected in one direction only") {
+    def x(i: Int): Int = 5 + (math.abs(i * 2654435761L) % 17L).toInt
+    val days = 0 until 60
+    val clicks = hourlyEvents(days.map(x), "click", dayStride = true)
+    val purch = hourlyEvents(
+      days.map(i => if (i == 0) 5 else x(i - 1) + i % 2), "purchase",
+      dayStride = true)
+    val dir = fixtureDir("events" ->
+      spark.createDataset(clicks ++ purch).toDF)
+    val out = Relational.eventsGranger(spark, dir).collect()
+      .map(r => r.getAs[String]("direction") -> r).toMap
+    val fwd = out("click->purchase").getAs[Double]("f_stat")
+    val rev = out("purchase->click").getAs[Double]("f_stat")
+    assert(fwd > 20.0, s"forward F must be large: $fwd")
+    assert(rev < fwd / 4.0, s"reverse F must be much smaller: $rev vs $fwd")
+    assert(out("click->purchase").getAs[Long]("n_days") == 59L)
+  }
+
   test("kendall: ties in x are counted and shrink |tau_b|") {
     // all quantities equal -> every pair is an x-tie, tau_b undefined (null)
     val allTie = (1L to 30L).map(k => (k, 5.0, 10.0 * k, 0.0))
