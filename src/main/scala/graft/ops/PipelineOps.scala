@@ -383,6 +383,46 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** Bitmap existence index — set algebra over a high-cardinality key
+    * WITHOUT a distinct or a key-grain join: which customers have BOTH
+    * an urgent-priority order and a failed one? Each predicate's
+    * membership set compresses 63:1 into (bucket = key div 63, word =
+    * OR of 1<<(key mod 63)) — the roaring-bitmap layout spelled as a
+    * hash agg with a bit_or combiner (idempotent, so duplicate orders
+    * per customer cost nothing and no pre-distinct is needed).
+    * Intersection/union then run on the WORD frame as bitwise AND/OR +
+    * popcount — at 100 TB the shuffle carries |keys|/63 words per
+    * side instead of every (key, predicate) pair, and the same
+    * persisted word frames would serve any boolean combination of
+    * predicates without rescanning the fact table. 63-bit words keep
+    * 1<<k off the sign bit, which DuckDB's left shift rejects.
+    * Everything is exact integer math; the only double is the final
+    * Jaccard. */
+  def bitmapIndex(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    def words(pred: Column, as: String): DataFrame =
+      o.filter(pred)
+        .select(expr("o_custkey div 63").as("bucket"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(o_custkey % 63 AS INT))")
+            .as("w"))
+        .groupBy("bucket").agg(expr("bit_or(w)").as(as))
+    val wa = words(col("o_orderpriority") === "1-URGENT", "wa")
+    val wb = words(col("o_orderstatus") === "F", "wb")
+    val j = wa.join(wb, Seq("bucket"), "full_outer")
+      .select(coalesce(col("wa"), lit(0L)).as("wa"),
+        coalesce(col("wb"), lit(0L)).as("wb"))
+    val agg = j.agg(count(lit(1)).as("n_buckets"),
+      sum(expr("bit_count(wa)").cast("long")).as("n_a"),
+      sum(expr("bit_count(wb)").cast("long")).as("n_b"),
+      sum(expr("bit_count(wa & wb)").cast("long")).as("n_and"),
+      sum(expr("bit_count(wa | wb)").cast("long")).as("n_or"))
+    agg.select(col("n_buckets"), col("n_a"), col("n_b"), col("n_and"),
+      col("n_or"),
+      r6(when(col("n_or") > 0,
+        col("n_and").cast("double") / col("n_or").cast("double")))
+        .as("jaccard"))
+  }
+
   /** Snapshot diff — the inverse of [[upsertCdc]]: given two snapshots,
     * PRODUCE the change batch (added / removed / changed / unchanged),
     * the comparison a pipeline runs when a source can't emit its own CDC
@@ -1295,6 +1335,7 @@ object PipelineOps {
     "pipe_partition_prune" -> (partitionPrune _),
     "join_prune_dynamic" -> (joinPruneDynamic _),
     "pipe_table_checksum" -> (tableChecksum _),
+    "pipe_bitmap_index" -> (bitmapIndex _),
     "pipe_token_budget_sample" -> (tokenBudgetSample _),
     "pipe_quarantine_split" -> (quarantineSplit _),
     "pipe_sample_topk_hash" -> (sampleTopkHash _))
@@ -1785,6 +1826,26 @@ object PipelineOps {
              CAST(n_chars AS VARCHAR), md5(text))), 1, 15)) AS BIGINT)
            AS DECIMAL(38,0))) AS VARCHAR) AS checksum
          FROM documents GROUP BY source ORDER BY source""",
+    "pipe_bitmap_index" ->
+      s"""WITH wa AS (SELECT o_custkey // 63 AS bucket,
+           bit_or(1::BIGINT << CAST(o_custkey % 63 AS INTEGER)) AS wa
+           FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+         wb AS (SELECT o_custkey // 63 AS bucket,
+           bit_or(1::BIGINT << CAST(o_custkey % 63 AS INTEGER)) AS wb
+           FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+         j AS (SELECT coalesce(wa.wa, 0::BIGINT) AS wa,
+             coalesce(wb.wb, 0::BIGINT) AS wb
+           FROM wa FULL OUTER JOIN wb USING (bucket)),
+         a AS (SELECT count(*) AS n_buckets,
+           CAST(sum(bit_count(wa)) AS BIGINT) AS n_a,
+           CAST(sum(bit_count(wb)) AS BIGINT) AS n_b,
+           CAST(sum(bit_count(wa & wb)) AS BIGINT) AS n_and,
+           CAST(sum(bit_count(wa | wb)) AS BIGINT) AS n_or
+           FROM j)
+         SELECT n_buckets, n_a, n_b, n_and, n_or,
+           ${r6Sql("CASE WHEN n_or > 0 THEN CAST(n_and AS DOUBLE) / CAST(n_or AS DOUBLE) END")}
+             AS jaccard
+         FROM a""",
     "join_prune_dynamic" ->
       s"""WITH dim AS (
            SELECT DISTINCT CAST(ts AS DATE) AS p_date

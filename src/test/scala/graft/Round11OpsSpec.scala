@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.{Dedup, Relational, Text}
+import graft.ops.{Dedup, PipelineOps, Relational, Text}
 
 /** Targeted edge/property tests for the round-11 operators — the
   * invariants the fixture-scale DuckDB gate never exercises. */
@@ -260,6 +260,30 @@ class Round11OpsSpec extends AnyFunSuite with SparkFixture {
     assert(fwd > 20.0, s"forward F must be large: $fwd")
     assert(rev < fwd / 4.0, s"reverse F must be much smaller: $rev vs $fwd")
     assert(out("click->purchase").getAs[Long]("n_days") == 59L)
+  }
+
+  // ---- pipe_bitmap_index: hand-counted set algebra -----------------------
+
+  test("bitmap index: popcounts match hand-counted membership sets") {
+    val ts0 = ts("2024-08-01 00:00:00")
+    def ord(id: Long, cust: Long, status: String, prio: String) =
+      OrderRow(id, cust, status, 100.0, ts0, prio)
+    // urgent: custs {1,2,3,100} (cust 1 twice -> idempotent);
+    // F-status: custs {3,4,100} -> and={3,100}, or={1,2,3,4,100}
+    val rows = Seq(
+      ord(1, 1, "O", "1-URGENT"), ord(2, 1, "O", "1-URGENT"),
+      ord(3, 2, "O", "1-URGENT"), ord(4, 3, "O", "1-URGENT"),
+      ord(5, 100, "O", "1-URGENT"),
+      ord(6, 3, "F", "5-LOW"), ord(7, 4, "F", "5-LOW"),
+      ord(8, 100, "F", "5-LOW"), ord(9, 7, "P", "5-LOW"))
+    val dir = fixtureDir("orders" -> spark.createDataset(rows).toDF)
+    val r = PipelineOps.bitmapIndex(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_a") == 4L, s"$r")
+    assert(r.getAs[Long]("n_b") == 3L, s"$r")
+    assert(r.getAs[Long]("n_and") == 2L, s"$r")
+    assert(r.getAs[Long]("n_or") == 5L, s"$r")
+    assert(r.getAs[Long]("n_buckets") == 2L, s"custs 1-4 and 100: $r")
+    assert(r.getAs[Double]("jaccard") == 0.4, s"$r")
   }
 
   test("kendall: ties in x are counted and shrink |tau_b|") {
