@@ -1830,6 +1830,87 @@ object Vector {
     * (spec pins its monotone decrease). Determinism: squared L2 via
     * the fixed-order fold ([[sqdist]], list_sum parity), r6-floored
     * before the DESC/vec_id-tie-broken argmax on both engines. */
+  /** Maximal-marginal-relevance top-k — DIVERSIFIED retrieval, the
+    * serving-side fix for near-dup result lists: greedily pick 8 of
+    * the probe's 24 nearest neighbors maximizing λ·relevance −
+    * (1−λ)·max-similarity-to-already-picked (λ = 0.7), so the second
+    * copy of an already-shown document loses to a fresh one. Shape at
+    * scale: relevance ranking is the ordinary ANN top-24 (TakeOrdered,
+    * distributed); the greedy runs DRIVER-SIDE on the BOUNDED pool's
+    * r4-rounded relevance/similarity values (24 rels + 24·23 sims —
+    * the [[clusterKcenterInit]] bounded-collect pattern), so each pick
+    * compares identical rounded doubles in both engines, ties to the
+    * lower vec_id. The oracle unrolls the same 8 picks as chained
+    * CTEs. */
+  def simsearchMmr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"),
+      l2(col("embedding")).as("nrm"))
+    val probe = e.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nrm").as("p_nrm"))
+    val pool = e.crossJoin(broadcast(probe))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        r4(cosinePre(col("embedding"), col("p_emb"), col("nrm"),
+          col("p_nrm"))).as("rel"))
+      .orderBy(desc("rel"), col("vec_id")).limit(MmrPool)
+    val pc = pool.select(col("vec_id"), col("rel")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val aSide = pool.select(col("vec_id").as("a"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val bSide = pool.select(col("vec_id").as("b"), col("embedding").as("eb"),
+      col("nrm").as("nb2"))
+    val sims = aSide.join(broadcast(bSide), col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        r4(cosinePre(col("ea"), col("eb"), col("na"), col("nb2"))).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    var selected = List.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, Double, Double)]
+    for (step <- 1 to MmrK if selected.length < pc.length) {
+      val cands = pc.filterNot { case (id, _) => selected.contains(id) }
+      val scored = cands.map { case (id, rel) =>
+        val maxsim =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => sims((id, s))).max
+        (id, rel, maxsim, MmrLambda * rel - (1 - MmrLambda) * maxsim)
+      }
+      val pick = scored.minBy { case (id, _, _, sc) => (-sc, id) }
+      selected = selected :+ pick._1
+      out += ((step.toLong, pick._1, pick._2, r4D(pick._3), r4D(pick._4)))
+    }
+    out.toSeq.toDF("step", "vec_id", "rel", "max_sim", "mmr")
+      .orderBy("step")
+  }
+
+  private val MmrPool = 24
+  private val MmrK = 8
+  private val MmrLambda = 0.7
+
+  /** CTE chain unrolling [[simsearchMmr]]'s greedy picks for the DuckDB
+    * oracle: sel1..sel7 accumulate picked ids; each step's argmax is
+    * the identical λ·rel − (1−λ)·maxsim over r4 inputs with the same
+    * DESC/vec_id tie order. */
+  private val mmrIterCtes: String = (2 to MmrK).map { t =>
+    val acc =
+      if (t == 2) "sel1 AS MATERIALIZED (SELECT vec_id FROM m1),\n         "
+      else s"""sel${t - 1} AS MATERIALIZED (SELECT vec_id FROM sel${t - 2}
+             UNION ALL SELECT vec_id FROM m${t - 1}),
+         """
+    s"""${acc}m$t AS MATERIALIZED (
+           SELECT $t AS step, c.vec_id, c.rel, ms.maxsim
+           FROM pool c JOIN (
+             SELECT a, max(s) AS maxsim FROM sims
+             WHERE b IN (SELECT vec_id FROM sel${t - 1}) GROUP BY a) ms
+             ON ms.a = c.vec_id
+           WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+           ORDER BY $MmrLambda * c.rel - ${1 - MmrLambda} * ms.maxsim DESC,
+             c.vec_id
+           LIMIT 1)"""
+  }.mkString(",\n         ")
+
   def clusterKcenterInit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = emb(spark, dir)
@@ -1886,6 +1967,7 @@ object Vector {
     "embedding_label_drift" -> (embeddingLabelDrift _),
     "embedding_matryoshka_eval" -> (embeddingMatryoshkaEval _),
     "cluster_kcenter_init" -> (clusterKcenterInit _),
+    "simsearch_mmr" -> (simsearchMmr _),
     "embedding_jl_project" -> (embeddingJlProject _),
     "cluster_silhouette" -> (clusterSilhouette _),
     "multimodal_phash_dedup" -> (multimodalPhashDedup _),
@@ -2151,6 +2233,27 @@ object Vector {
            CAST(CAST(sum(CASE WHEN r64 <= 5 AND r16 <= 5 THEN 1 ELSE 0 END)
              AS BIGINT) AS DOUBLE) / 5.0 AS recall_at5
          FROM r GROUP BY probe_id ORDER BY probe_id""",
+    "simsearch_mmr" -> {
+      val unions = (1 to MmrK).map { t =>
+        s"SELECT CAST($t AS BIGINT) AS step, vec_id, rel, maxsim FROM m$t"
+      }.mkString("\n           UNION ALL ")
+      s"""WITH pr AS (SELECT vec_id AS probe_id, embedding AS pe
+             FROM embeddings ORDER BY vec_id LIMIT 1),
+         pool AS MATERIALIZED (SELECT c.vec_id, c.embedding,
+             ${r4Sql(cosSql("c.embedding", "pr.pe"))} AS rel
+           FROM embeddings c, pr WHERE c.vec_id != pr.probe_id
+           ORDER BY rel DESC, c.vec_id LIMIT $MmrPool),
+         sims AS MATERIALIZED (SELECT a.vec_id AS a, b.vec_id AS b,
+             ${r4Sql(cosSql("a.embedding", "b.embedding"))} AS s
+           FROM pool a JOIN pool b ON a.vec_id != b.vec_id),
+         m1 AS MATERIALIZED (SELECT 1 AS step, vec_id, rel, 0.0 AS maxsim
+           FROM pool ORDER BY rel DESC, vec_id LIMIT 1),
+         $mmrIterCtes,
+         u AS ($unions)
+         SELECT step, vec_id, rel, ${r4Sql("maxsim")} AS max_sim,
+           ${r4Sql(s"$MmrLambda * rel - ${1 - MmrLambda} * maxsim")} AS mmr
+         FROM u ORDER BY step"""
+    },
     "cluster_kcenter_init" ->
       s"""WITH kc1 AS (SELECT vec_id, embedding,
              CAST(NULL AS DOUBLE) AS dmin

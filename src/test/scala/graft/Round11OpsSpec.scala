@@ -286,6 +286,29 @@ class Round11OpsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Double]("jaccard") == 0.4, s"$r")
   }
 
+  // ---- simsearch_mmr: diversity beats raw relevance ----------------------
+
+  test("mmr: interleaves clusters instead of exhausting the nearest one") {
+    // probe [1,0,0,0]; three 2-vector clusters, all equal relevance
+    // (0.7071) but mutually half-similar. Greedy MMR must pick one per
+    // cluster first (ids 2,4,6), then the duplicates in id order.
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val rows = Seq(
+      EmbRow(1, v(1, 0, 0, 0), 0),
+      EmbRow(2, v(0.7, 0.7, 0, 0), 0), EmbRow(3, v(0.7, 0.7, 0, 0), 0),
+      EmbRow(4, v(0.7, 0, 0.7, 0), 0), EmbRow(5, v(0.7, 0, 0.7, 0), 0),
+      EmbRow(6, v(0.7, 0, 0, 0.7), 0), EmbRow(7, v(0.7, 0, 0, 0.7), 0))
+    val dir = fixtureDir("embeddings" -> spark.createDataset(rows).toDF)
+    val out = graft.ops.Vector.simsearchMmr(spark, dir).collect()
+    assert(out.length == 6, s"pool of 6 candidates caps the picks: ${out.length}")
+    val order = out.map(_.getAs[Long]("vec_id")).toSeq
+    assert(order == Seq(2L, 4L, 6L, 3L, 5L, 7L),
+      s"diversified order expected, got $order")
+    assert(out(0).getAs[Double]("max_sim") == 0.0)
+    assert(out(3).getAs[Double]("max_sim") == 1.0,
+      "a duplicate's max-sim to its picked twin is 1")
+  }
+
   test("kendall: ties in x are counted and shrink |tau_b|") {
     // all quantities equal -> every pair is an x-tie, tau_b undefined (null)
     val allTie = (1L to 30L).map(k => (k, 5.0, 10.0 * k, 0.0))
