@@ -1830,6 +1830,56 @@ object Vector {
     * (spec pins its monotone decrease). Determinism: squared L2 via
     * the fixed-order fold ([[sqdist]], list_sum parity), r6-floored
     * before the DESC/vec_id-tie-broken argmax on both engines. */
+  /** 1-bit (sign) embedding quantization + Hamming re-ranking with a
+    * recall audit — the most aggressive compression rung under
+    * [[embeddingQuantize]]/PQ: 64 float dims become two 32-bit sign
+    * words (32× smaller), candidate distance becomes
+    * popcount(xor) — pure register math, no float lanes — and the
+    * recall@5 column prices what the 1-bit sketch loses against exact
+    * cosine, per probe. Two HALF-WORDS rather than one 64-bit word
+    * keep every shift off the sign bit (DuckDB's << rejects bit 63).
+    * Packing is an exact integer sum of distinct powers via the same
+    * aggregate/list_transform fold in both engines; Hamming ties
+    * break on vec_id. At 100 TB this is the scan-side prefilter: the
+    * sign words ride in the index instead of the vectors, and only
+    * the Hamming top-k ever touches floats. */
+  def simsearchHamming(spark: SparkSession, dir: String): DataFrame = {
+    def word(lo: Int): String =
+      s"""aggregate(transform(sequence(1, 32),
+         k -> IF(element_at(embedding, k + $lo) >= 0F,
+                 shiftleft(CAST(1 AS BIGINT), k - 1), CAST(0 AS BIGINT))),
+         CAST(0 AS BIGINT), (a, b) -> a + b)"""
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"),
+      l2(col("embedding")).as("nrm"),
+      expr(word(0)).as("w1"), expr(word(32)).as("w2"))
+    val probes = e.orderBy("vec_id").limit(10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nrm").as("p_nrm"), col("w1").as("p_w1"), col("w2").as("p_w2"))
+    val paired = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+    val ham = paired.select(col("probe_id"), col("vec_id"),
+      (expr("bit_count(w1 ^ p_w1)") + expr("bit_count(w2 ^ p_w2)"))
+        .cast("long").as("ham"))
+    val wh = Window.partitionBy("probe_id").orderBy(col("ham"), col("vec_id"))
+    val approx = ham.withColumn("rk", row_number().over(wh))
+      .filter(col("rk") <= 5)
+    val cos = paired.select(col("probe_id"), col("vec_id"),
+      r4(cosinePre(col("embedding"), col("p_emb"), col("nrm"),
+        col("p_nrm"))).as("cos"))
+    val wc = Window.partitionBy("probe_id").orderBy(desc("cos"), col("vec_id"))
+    val exact = cos.withColumn("rk", row_number().over(wc))
+      .filter(col("rk") <= 5).select(col("probe_id"), col("vec_id"))
+    approx.join(exact.withColumn("hit", lit(1L)),
+        Seq("probe_id", "vec_id"), "left")
+      .groupBy("probe_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"),
+        sum(col("ham")).as("sum_ham"))
+      .select(col("probe_id"),
+        r4(col("n_hit").cast("double") / lit(5.0)).as("recall_at_5"),
+        r4(col("sum_ham").cast("double") / lit(5.0)).as("mean_hamming"))
+      .orderBy("probe_id")
+  }
+
   /** Maximal-marginal-relevance top-k — DIVERSIFIED retrieval, the
     * serving-side fix for near-dup result lists: greedily pick 8 of
     * the probe's 24 nearest neighbors maximizing λ·relevance −
@@ -1968,6 +2018,7 @@ object Vector {
     "embedding_matryoshka_eval" -> (embeddingMatryoshkaEval _),
     "cluster_kcenter_init" -> (clusterKcenterInit _),
     "simsearch_mmr" -> (simsearchMmr _),
+    "simsearch_hamming" -> (simsearchHamming _),
     "embedding_jl_project" -> (embeddingJlProject _),
     "cluster_silhouette" -> (clusterSilhouette _),
     "multimodal_phash_dedup" -> (multimodalPhashDedup _),
@@ -2233,6 +2284,41 @@ object Vector {
            CAST(CAST(sum(CASE WHEN r64 <= 5 AND r16 <= 5 THEN 1 ELSE 0 END)
              AS BIGINT) AS DOUBLE) / 5.0 AS recall_at5
          FROM r GROUP BY probe_id ORDER BY probe_id""",
+    "simsearch_hamming" -> {
+      def wordSql(lo: Int) =
+        s"""CAST(list_sum(list_transform(range(1, 33),
+           k -> CASE WHEN embedding[k + $lo] >= 0
+             THEN (1::BIGINT << CAST(k - 1 AS INTEGER)) ELSE 0::BIGINT END))
+           AS BIGINT)"""
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding,
+           ${wordSql(0)} AS w1, ${wordSql(32)} AS w2
+           FROM embeddings),
+         p AS (SELECT vec_id AS probe_id, embedding AS pe,
+             w1 AS p_w1, w2 AS p_w2
+           FROM e ORDER BY vec_id LIMIT 10),
+         paired AS (SELECT p.probe_id, c.vec_id, c.embedding, p.pe,
+             CAST(bit_count(xor(c.w1, p.p_w1))
+               + bit_count(xor(c.w2, p.p_w2)) AS BIGINT) AS ham
+           FROM e c, p WHERE c.vec_id != p.probe_id),
+         approx AS (SELECT probe_id, vec_id, ham,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY ham, vec_id) AS rk
+           FROM paired QUALIFY rk <= 5),
+         exact AS (SELECT probe_id, vec_id FROM (
+             SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY ${r4Sql(cosSql("embedding", "pe"))} DESC, vec_id)
+                 AS rk
+             FROM paired) WHERE rk <= 5)
+         SELECT a.probe_id,
+           ${r4Sql("CAST(CAST(sum(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / 5.0")}
+             AS recall_at_5,
+           ${r4Sql("CAST(CAST(sum(a.ham) AS BIGINT) AS DOUBLE) / 5.0")}
+             AS mean_hamming
+         FROM approx a LEFT JOIN exact x
+           ON x.probe_id = a.probe_id AND x.vec_id = a.vec_id
+         GROUP BY a.probe_id ORDER BY a.probe_id"""
+    },
     "simsearch_mmr" -> {
       val unions = (1 to MmrK).map { t =>
         s"SELECT CAST($t AS BIGINT) AS step, vec_id, rel, maxsim FROM m$t"

@@ -309,6 +309,22 @@ class Round11OpsSpec extends AnyFunSuite with SparkFixture {
       "a duplicate's max-sim to its picked twin is 1")
   }
 
+  test("hamming sketch: sign-clean geometry gives recall 1 and exact counts") {
+    // probe 1 = all-positive; vector k+1 flips the first k signs, so
+    // hamming(1, k+1) = k and cosine order matches hamming order exactly.
+    def flipped(k: Int): Array[Float] =
+      (0 until 64).map(i => if (i < k) -1.0f else 1.0f).toArray
+    val rows = (0 to 6).map(k => EmbRow(k + 1L, flipped(k), 0))
+    val dir = fixtureDir("embeddings" -> spark.createDataset(rows).toDF)
+    val out = graft.ops.Vector.simsearchHamming(spark, dir).collect()
+      .map(r => r.getAs[Long]("probe_id") -> r).toMap
+    val p1 = out(1L)
+    assert(p1.getAs[Double]("recall_at_5") == 1.0,
+      s"clean geometry must give full recall: $p1")
+    assert(p1.getAs[Double]("mean_hamming") == 3.0,
+      s"(1+2+3+4+5)/5 = 3: $p1")
+  }
+
   test("kendall: ties in x are counted and shrink |tau_b|") {
     // all quantities equal -> every pair is an x-tie, tau_b undefined (null)
     val allTie = (1L to 30L).map(k => (k, 5.0, 10.0 * k, 0.0))
