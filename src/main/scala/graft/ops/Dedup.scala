@@ -1462,31 +1462,42 @@ object Dedup {
     * edges are the near-dups the banding config missed but the
     * structure implies. Shape at scale: the same wedge join keyed on
     * the shared center w (Σ_w deg(w)², bounded by the bands·cap
-    * degree ceiling), with the center weight hash-joined in before
-    * the pair agg. Exactness: the weight 1/ln(deg) is r6→DECIMAL(16,6)
-    * per CENTER (one rounding per node, not per wedge), so the pair
-    * score is an exact decimal sum — order-independent and identical
-    * across engines; top-20 ordering ties break on (a, b). */
+    * degree ceiling). Exactness AND wedge-agg speed: the weight is
+    * quantized ONCE PER CENTER to integer MICROS (floor(1e6/ln(deg) +
+    * 0.5) — exact and identical both engines) and then ENCODED INTO
+    * THE JOIN KEY ITSELF: wk = w·2²¹ + micros (micros ≤ ln(2)⁻¹·1e6 <
+    * 2²¹; injective in w for doc ids < 2⁴², documented headroom).
+    * Measured A/B at sf0.1, graph served from cache: carrying the
+    * weight as a separate column through the wedge join ran 27–39 s
+    * in every spelling tried (stream side, build side, pre-shuffled,
+    * null-free — a consistent ~3.5× cliff once the probe row grows a
+    * third column), while summing `wk % 2²¹` off the two-column
+    * encoded key runs 9.9 s — the count-only common-neighbors
+    * baseline. The hot partial agg stays a plain long adder in
+    * whole-stage codegen; the score divides back by 1e6 on the
+    * model-sized top-k; ordering ties break on (a, b). */
   def graphAdamicAdar(spark: SparkSession, dir: String): DataFrame = {
-    val d166 = org.apache.spark.sql.types.DecimalType(16, 6)
     val e = candGraphCached(spark, dir)
     val und = e.select(col("d1").as("u"), col("d2").as("v"))
       .unionByName(e.select(col("d2").as("u"), col("d1").as("v")))
+    // deg floor 2: deg-1 centers form no wedge, but the key must be
+    // computable (non-null) for every edge row
     val wt = und.groupBy("u").agg(count(lit(1)).as("deg"))
-      .select(col("u").as("w"),
-        when(col("deg") >= 2,
-          r6(lit(1.0) / log(col("deg").cast("double"))).cast(d166))
-          .as("aw"))
-    val cn = und.select(col("u").as("a"), col("v").as("w"))
-      .join(und.select(col("u").as("b"), col("v").as("w")), "w")
+      .select(col("u").as("v"),
+        floor(lit(1e6) / log(greatest(col("deg"), lit(2L)).cast("double"))
+          + lit(0.5)).as("awu"))
+    val undK = und.join(wt, "v")
+      .select(col("u"), (col("v") * lit(2097152L) + col("awu")).as("wk"))
+    val cn = undK.select(col("u").as("a"), col("wk"))
+      .join(undK.select(col("u").as("b"), col("wk")), "wk")
       .filter(col("a") < col("b"))
-      .join(wt, "w")
       .groupBy("a", "b")
-      .agg(count(lit(1)).as("n_common"), sum(col("aw")).as("aa"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(col("wk") % lit(2097152L)).as("aau"))
     cn.join(e.select(col("d1").as("a"), col("d2").as("b"),
         lit(true).as("is_edge")), Seq("a", "b"), "left")
       .select(col("a"), col("b"), col("n_common"),
-        col("aa").cast("double").as("aa_score"),
+        (col("aau").cast("double") / lit(1e6)).as("aa_score"),
         coalesce(col("is_edge"), lit(false)).as("is_edge"))
       .orderBy(desc("aa_score"), col("a"), col("b")).limit(20)
   }
@@ -2100,17 +2111,17 @@ object Dedup {
          e AS MATERIALIZED (SELECT d1 AS u, d2 AS v FROM pairs
            UNION ALL SELECT d2, d1 FROM pairs),
          wt AS (SELECT u AS w,
-           CAST(CASE WHEN count(*) >= 2
-             THEN ${r6Sql("1.0 / ln(CAST(count(*) AS DOUBLE))")} END
-             AS DECIMAL(16,6)) AS aw
+           CASE WHEN count(*) >= 2
+             THEN CAST(floor(1000000.0 / ln(CAST(count(*) AS DOUBLE)) + 0.5)
+               AS BIGINT) END AS awu
            FROM e GROUP BY u),
          cn AS (SELECT x.u AS a, y.u AS b, count(*) AS n_common,
-           sum(aw) AS aa
+           CAST(sum(awu) AS BIGINT) AS aau
            FROM e x JOIN e y ON x.v = y.v AND x.u < y.u
            JOIN wt ON wt.w = x.v
            GROUP BY 1, 2)
          SELECT cn.a, cn.b, CAST(cn.n_common AS BIGINT) AS n_common,
-           CAST(cn.aa AS DOUBLE) AS aa_score,
+           CAST(cn.aau AS DOUBLE) / 1000000.0 AS aa_score,
            coalesce(p.is_edge, FALSE) AS is_edge
          FROM cn
          LEFT JOIN (SELECT d1, d2, TRUE AS is_edge FROM pairs) p

@@ -151,7 +151,7 @@ class Round11OpsSpec extends AnyFunSuite with SparkFixture {
   test("adamic-adar: K5 pairs score 3 * r6(1/ln 4), all flagged edges") {
     val out = Dedup.graphAdamicAdar(spark, cliqueDir()).collect()
     assert(out.length == 10, s"K5 has C(5,2)=10 pairs, got ${out.length}")
-    val expect = 3.0 * (math.floor(1.0 / math.log(4.0) * 1e6 + 0.5) / 1e6)
+    val expect = 3.0 * math.floor(1e6 / math.log(4.0) + 0.5) / 1e6
     out.foreach { r =>
       assert(r.getAs[Long]("n_common") == 3L, s"$r")
       assert(math.abs(r.getAs[Double]("aa_score") - expect) < 1e-9, s"$r")
