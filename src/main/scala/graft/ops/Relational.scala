@@ -3679,7 +3679,9 @@ object Relational {
       sum(col("r2x").cast(d180) * col("r2y").cast(d180)).as("suv"),
       sum(col("r2x").cast(d180) * col("r2x").cast(d180)).as("suu"),
       sum(col("r2y").cast(d180) * col("r2y").cast(d180)).as("svv"))
-    def d(cn: String) = col(cn).cast("double")
+    // every moment passes 2^53 unscaled at large n — bridge via
+    // [[dec2d]] so both engines see identical doubles
+    def d(cn: String) = dec2d(col(cn), 0)
     val nD = col("n").cast("double")
     val cov = nD * d("suv") - d("su") * d("sv")
     val vu = nD * d("suu") - d("su") * d("su")
@@ -3702,22 +3704,30 @@ object Relational {
     * keeping floor's argument far inside int64 up to extreme scale;
     * the SS outputs are reported in millions for the same reason. */
   def aggAnovaF(spark: SparkSession, dir: String): DataFrame = {
-    val d384 = org.apache.spark.sql.types.DecimalType(38, 4)
-    val d386 = org.apache.spark.sql.types.DecimalType(38, 6)
+    val d180 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // integer-cent values: Σcents is a long, Σcents² an exact (38,0)
+    // decimal bridged via [[dec2d]]; the per-group square term is
+    // quantized to INTEGER dollars² (floor(t+0.5) — a long) so the
+    // cross-group sum is exact and bridgeable too. Plain double casts
+    // of any of these pass 2^53 before 100 TB and diverge by an ulp
+    // between engines (the dec2d class).
     val g = table(spark, dir, "orders")
       .select(col("o_orderpriority").as("grp"),
-        col("o_totalprice").cast(Money).as("x"))
+        (col("o_totalprice").cast(Money) * 100).cast("long").as("xc"))
       .groupBy("grp")
-      .agg(count(lit(1)).as("ng"), sum(col("x")).as("sx"),
-        sum((col("x") * col("x")).cast(d384)).as("sxx"))
+      .agg(count(lit(1)).as("ng"), sum(col("xc")).as("sxc"),
+        sum(col("xc").cast(d180) * col("xc").cast(d180)).as("sxx"))
+    val sxg = col("sxc").cast("double") / lit(100.0)
     val t = g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
-      sum(col("sx")).as("sx"), sum(col("sxx")).as("sxx"),
-      sum(rp(col("sx").cast("double") * col("sx").cast("double") /
-        col("ng").cast("double") / lit(1e6), 6).cast(d386)).as("sb6"))
+      sum(col("sxc")).as("sxc"), sum(col("sxx")).as("sxx"),
+      sum(floor(sxg * sxg / col("ng").cast("double") + lit(0.5))
+        .cast(d380)).as("sbi"))
     def d(cn: String) = col(cn).cast("double")
-    val grand = d("sx") * d("sx") / d("n")
-    val ssb = d("sb6") * lit(1e6) - grand
-    val sst = d("sxx") - grand
+    val sxD = d("sxc") / lit(100.0)
+    val grand = sxD * sxD / d("n")
+    val ssb = dec2d(col("sbi"), 0) - grand
+    val sst = dec2d(col("sxx"), 4) - grand
     val ssw = sst - ssb
     val df1 = (col("k") - 1).cast("double")
     val df2 = (col("n") - col("k")).cast("double")
@@ -3921,19 +3931,25 @@ object Relational {
     * comparison needs no rounding at all. σ uses the sample variance
     * with an n>1 guard; the first days simply carry wider-n bands. */
   def windowBollinger(spark: SparkSession, dir: String): DataFrame = {
-    val d182 = org.apache.spark.sql.types.DecimalType(18, 2)
-    val d384 = org.apache.spark.sql.types.DecimalType(38, 4)
+    val d180 = org.apache.spark.sql.types.DecimalType(18, 0)
     val w = Window.orderBy("d").rowsBetween(-6, 0)
+    // integer-cent day values: Σcents stays a long; Σcents² is an
+    // exact (38,0) decimal bridged to double via [[dec2d]] — its
+    // unscaled value passes 2^53 already at sf0.1, where a plain
+    // double cast diverges between engines by an ulp (see dec2d doc)
     val b = dailyRevenue(spark, dir)
-      .withColumn("r18", col("rev").cast(d182))
+      .withColumn("rc", (col("rev") * 100).cast("long"))
+      .withColumn("rc2",
+        (col("rc").cast(d180) * col("rc").cast(d180)))
       .withColumn("nw", count(lit(1)).over(w))
-      .withColumn("s1", sum(col("r18")).over(w))
-      .withColumn("s2", sum((col("r18") * col("r18")).cast(d384)).over(w))
+      .withColumn("s1", sum(col("rc")).over(w))
+      .withColumn("s2", sum(col("rc2")).over(w))
     def d(cn: String) = col(cn).cast("double")
     val nD = d("nw")
-    val mean = d("s1") / nD
+    val mean = d("s1") / nD / lit(100.0)
     // null divisor under nw=1 instead of ANSI divide-by-zero
-    val variance = (d("s2") - d("s1") * d("s1") / nD) /
+    val variance = (dec2d(col("s2"), 4) - (d("s1") / lit(100.0)) *
+      (d("s1") / lit(100.0)) / nD) /
       when(col("nw") > 1, nD - lit(1.0))
     val sd = sqrt(greatest(variance, lit(0.0)))
     val upper = mean + lit(2.0) * sd
@@ -4010,8 +4026,13 @@ object Relational {
     def d(cn: String) = col(cn).cast("double")
     val nD = d("n30")
     val m1 = d("s1") / nD
-    val m2 = d("s2") / nD - m1 * m1
-    val m3 = d("s3") / nD - lit(3.0) * m1 * (d("s2") / nD) +
+    // Σdx² / Σdx³ pass 2^53 unscaled well before 100 TB — bridge via
+    // [[dec2d]] so both engines see the identical double (Σdx stays
+    // plain: ≤ 30·dx_max, inside the exact-cast range)
+    val s2d = dec2d(col("s2"), 0)
+    val s3d = dec2d(col("s3"), 0)
+    val m2 = s2d / nD - m1 * m1
+    val m3 = s3d / nD - lit(3.0) * m1 * (s2d / nD) +
       lit(2.0) * m1 * m1 * m1
     r.select(dateS(col("d")).as("d"), col("n30"),
         r4((d("c") + m1) / lit(100.0)).as("mean_30"),
@@ -5340,14 +5361,11 @@ object Relational {
          j AS (SELECT r2x, r2y FROM li
            JOIN rx USING (x) JOIN ry USING (y)),
          s AS (SELECT count(*) AS n,
-           CAST(sum(CAST(r2x AS DECIMAL(18,0))) AS DOUBLE) AS su,
-           CAST(sum(CAST(r2y AS DECIMAL(18,0))) AS DOUBLE) AS sv,
-           CAST(sum(CAST(r2x AS DECIMAL(18,0))
-             * CAST(r2y AS DECIMAL(18,0))) AS DOUBLE) AS suv,
-           CAST(sum(CAST(r2x AS DECIMAL(18,0))
-             * CAST(r2x AS DECIMAL(18,0))) AS DOUBLE) AS suu,
-           CAST(sum(CAST(r2y AS DECIMAL(18,0))
-             * CAST(r2y AS DECIMAL(18,0))) AS DOUBLE) AS svv
+           ${dec2dSql("sum(CAST(r2x AS DECIMAL(18,0)))", 0)} AS su,
+           ${dec2dSql("sum(CAST(r2y AS DECIMAL(18,0)))", 0)} AS sv,
+           ${dec2dSql("sum(CAST(r2x AS DECIMAL(18,0)) * CAST(r2y AS DECIMAL(18,0)))", 0)} AS suv,
+           ${dec2dSql("sum(CAST(r2x AS DECIMAL(18,0)) * CAST(r2x AS DECIMAL(18,0)))", 0)} AS suu,
+           ${dec2dSql("sum(CAST(r2y AS DECIMAL(18,0)) * CAST(r2y AS DECIMAL(18,0)))", 0)} AS svv
            FROM j),
          f AS (SELECT n, CAST(n AS DOUBLE) * suv - su * sv AS cov,
            CAST(n AS DOUBLE) * suu - su * su AS vu,
@@ -5357,19 +5375,21 @@ object Relational {
              AS rho_spearman
          FROM f""",
     "agg_anova_f" ->
-      s"""WITH g AS (SELECT o_orderpriority AS grp, count(*) AS ng,
-           sum(CAST(o_totalprice AS DECIMAL(14,2))) AS sx,
-           sum(CAST(CAST(o_totalprice AS DECIMAL(14,2))
-             * CAST(o_totalprice AS DECIMAL(14,2)) AS DECIMAL(38,4))) AS sxx
-           FROM orders GROUP BY 1),
+      s"""WITH o AS (SELECT o_orderpriority AS grp,
+           CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS xc
+           FROM orders),
+         g AS (SELECT grp, count(*) AS ng,
+           CAST(sum(xc) AS BIGINT) AS sxc,
+           sum(CAST(xc AS DECIMAL(18,0)) * CAST(xc AS DECIMAL(18,0))) AS sxx
+           FROM o GROUP BY 1),
          t AS (SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n,
-           CAST(sum(sx) AS DOUBLE) AS sx, CAST(sum(sxx) AS DOUBLE) AS sxx,
-           CAST(sum(CAST(${rpSql("CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(ng AS DOUBLE) / 1000000.0", 6)}
-             AS DECIMAL(38,6))) AS DOUBLE) AS sb6
+           CAST(CAST(sum(sxc) AS BIGINT) AS DOUBLE) / 100.0 AS sxd,
+           ${dec2dSql("sum(sxx)", 4)} AS sstraw,
+           ${dec2dSql("sum(CAST(floor((CAST(sxc AS DOUBLE) / 100.0) * (CAST(sxc AS DOUBLE) / 100.0) / CAST(ng AS DOUBLE) + 0.5) AS DECIMAL(38,0)))", 0)} AS sbd
            FROM g),
          f AS (SELECT k, n,
-           sb6 * 1000000.0 - sx * sx / CAST(n AS DOUBLE) AS ssb,
-           sxx - sx * sx / CAST(n AS DOUBLE) AS sst,
+           sbd - sxd * sxd / CAST(n AS DOUBLE) AS ssb,
+           sstraw - sxd * sxd / CAST(n AS DOUBLE) AS sst,
            CAST(k - 1 AS DOUBLE) AS df1, CAST(n - k AS DOUBLE) AS df2
            FROM t)
          SELECT k, n, ${r4Sql("ssb / 1000000.0")} AS ssb_millions,
@@ -5405,16 +5425,20 @@ object Relational {
       s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
            sum(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
            FROM orders GROUP BY 1),
+         cents AS (SELECT d, rev, CAST(rev * 100 AS BIGINT) AS rc FROM daily),
          b AS (SELECT d, rev,
            count(*) OVER w AS nw,
-           CAST(sum(CAST(rev AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
-           CAST(sum(CAST(CAST(rev AS DECIMAL(18,2))
-             * CAST(rev AS DECIMAL(18,2)) AS DECIMAL(38,4))) OVER w
-             AS DOUBLE) AS s2
-           FROM daily
+           CAST(CAST(sum(rc) OVER w AS BIGINT) AS DOUBLE) AS s1,
+           -- (19,0) factors force int128: DuckDB multiplies (18,0)
+           -- representations in int64 and overflows at sf0.1 cents
+           sum(CAST(rc AS DECIMAL(19,0)) * CAST(rc AS DECIMAL(19,0)))
+             OVER w AS s2
+           FROM cents
            WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
-         m AS (SELECT d, rev, nw, s1 / CAST(nw AS DOUBLE) AS mean,
-           sqrt(greatest((s2 - s1 * s1 / CAST(nw AS DOUBLE))
+         m AS (SELECT d, rev, nw,
+           s1 / CAST(nw AS DOUBLE) / 100.0 AS mean,
+           sqrt(greatest((${dec2dSql("s2", 4)}
+             - (s1 / 100.0) * (s1 / 100.0) / CAST(nw AS DOUBLE))
              / (CASE WHEN nw > 1 THEN CAST(nw AS DOUBLE) - 1.0 END), 0.0)) AS sd
            FROM b)
          SELECT strftime(d, '%Y-%m-%d') AS d,
@@ -5460,13 +5484,15 @@ object Relational {
            CAST(CAST(rev * 100 AS BIGINT) - c AS DECIMAL(18,0)) AS dx,
            CAST(c AS DOUBLE) AS cd
            FROM daily, tot),
-         b2 AS (SELECT d, cd, dx, dx * dx AS dx2,
-           CAST(dx * dx AS DECIMAL(25,0)) * CAST(dx AS DECIMAL(12,0)) AS dx3
+         b2 AS (SELECT d, cd, dx,
+           CAST(dx AS DECIMAL(19,0)) * CAST(dx AS DECIMAL(19,0)) AS dx2,
+           CAST(CAST(dx AS DECIMAL(19,0)) * CAST(dx AS DECIMAL(19,0))
+             AS DECIMAL(25,0)) * CAST(dx AS DECIMAL(12,0)) AS dx3
            FROM base),
          r AS (SELECT d, cd, count(*) OVER w AS n30,
            CAST(sum(dx) OVER w AS DOUBLE) AS s1,
-           CAST(sum(dx2) OVER w AS DOUBLE) AS s2,
-           CAST(sum(dx3) OVER w AS DOUBLE) AS s3
+           ${dec2dSql("sum(dx2) OVER w", 0)} AS s2,
+           ${dec2dSql("sum(dx3) OVER w", 0)} AS s3
            FROM b2
            WINDOW w AS (ORDER BY d ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)),
          m AS (SELECT d, cd, n30,

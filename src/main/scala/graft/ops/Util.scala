@@ -115,6 +115,56 @@ object Util {
   def r4Sql(x: String): String = rpSql(x, 4)
   def r6Sql(x: String): String = rpSql(x, 6)
 
+  /** Engine-DETERMINISTIC integer-decimal → double bridge. A plain
+    * CAST(decimal AS DOUBLE) is only engine-identical while the
+    * decimal's unscaled value stays under 2⁵³: above that, Spark's
+    * BigDecimal→double is correctly rounded while DuckDB converts the
+    * int128 representation through float arithmetic — a ~1-ulp
+    * divergence that flips r4/r6 boundaries (first observed:
+    * window_bollinger's Σrev² at sf0.1, sd 1955065.3735 vs .3734).
+    * This helper splits the INTEGER-VALUED decimal into four 30-bit
+    * limbs — each limb exact in both engines — and reassembles them
+    * with an identical IEEE Horner chain, so the resulting double is
+    * bit-identical across engines for any |value| < 10³⁸ (the result
+    * still rounds, but both engines round the same way). Callers pass
+    * a scale-0 (integer-valued) decimal and the power-of-ten to divide
+    * the reassembled double by. Negative values ride an explicit
+    * sign·abs factoring because DuckDB's % takes the dividend's sign
+    * while Spark's pmod is non-negative. SQL twin: [[dec2dSql]]. */
+  def dec2d(c: Column, pow10: Int): Column = {
+    val b = 1073741824L // 2^30
+    val bD = 1073741824.0
+    val a = abs(c)
+    val l0 = pmod(a, lit(b)).cast("double")
+    val q1 = (a - pmod(a, lit(b))) / lit(b)
+    val l1 = pmod(q1, lit(b)).cast("double")
+    val q2 = (q1 - pmod(q1, lit(b))) / lit(b)
+    val l2 = pmod(q2, lit(b)).cast("double")
+    val l3 = ((q2 - pmod(q2, lit(b))) / lit(b)).cast("double")
+    val mag = ((l3 * lit(bD) + l2) * lit(bD) + l1) * lit(bD) + l0
+    val sgn = when(c < 0, lit(-1.0)).otherwise(lit(1.0))
+    sgn * mag / lit(math.pow(10, pow10))
+  }
+
+  /** DuckDB spelling of [[dec2d]] — same limbs, same Horner chain.
+    * `x` must be an integer-valued decimal expression; it is expanded
+    * textually several times (integer ops, deterministic). The limbs
+    * ride HUGEINT: DuckDB's `/` and `//` on DECIMAL degrade to DOUBLE
+    * (measured — a (38,0) // int came back fractional), while HUGEINT
+    * `//`/`%` are exact int128 ops; abs() first keeps truncation ≡
+    * floor. */
+  def dec2dSql(x: String, pow10: Int): String = {
+    val d = "1" + ("0" * pow10) + ".0"
+    val ax = s"CAST(abs($x) AS HUGEINT)"
+    val q1 = s"($ax // 1073741824)"
+    val q2 = s"($q1 // 1073741824)"
+    s"""((CASE WHEN ($x) < 0 THEN -1.0 ELSE 1.0 END) *
+       (((CAST($q2 // 1073741824 AS DOUBLE) * 1073741824.0
+          + CAST($q2 % 1073741824 AS DOUBLE)) * 1073741824.0
+          + CAST($q1 % 1073741824 AS DOUBLE)) * 1073741824.0
+          + CAST($ax % 1073741824 AS DOUBLE)) / $d)"""
+  }
+
   /** MD5 hex of a path string — the scratch-layout cache key shared by
     * every per-input-dir write-once layout (partition-prune scratch,
     * bucketed-table names). One definition so key derivation cannot

@@ -325,6 +325,34 @@ class Round11OpsSpec extends AnyFunSuite with SparkFixture {
       s"(1+2+3+4+5)/5 = 3: $p1")
   }
 
+  // ---- dec2d: the deterministic decimal->double bridge -------------------
+
+  test("dec2d reproduces the correctly-rounded double far beyond 2^53") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types.DecimalType
+    val vals = Seq("12345678901234567890123", "-98765432109876543210",
+      "9007199254740993" /* 2^53+1 */, "42", "0",
+      "99999999999999999999999999999999999999" /* 10^38-1 */)
+    val df = vals.toDF("s")
+      .select(col("s").cast(DecimalType(38, 0)).as("x"))
+      .select(graft.ops.Util.dec2d(col("x"), 0).as("d"),
+        col("x").cast("double").as("direct"))
+    df.collect().zip(vals).foreach { case (r, v) =>
+      val viaLimbs = r.getDouble(0)
+      val direct = r.getDouble(1)
+      // the guarantee is ENGINE PARITY (identical IEEE chain both
+      // engines — the oracle gate proves that); accuracy-wise the
+      // Horner chain stays within an ulp of the correctly-rounded cast
+      // and is exact below 2^53
+      if (math.abs(new java.math.BigDecimal(v).doubleValue) < 9e15)
+        assert(viaLimbs == direct, s"exact below 2^53: $v -> $viaLimbs")
+      else {
+        val rel = math.abs(viaLimbs / direct - 1.0)
+        assert(rel < 1e-15, s"dec2d($v) = $viaLimbs vs $direct (rel $rel)")
+      }
+    }
+  }
+
   test("kendall: ties in x are counted and shrink |tau_b|") {
     // all quantities equal -> every pair is an x-tie, tau_b undefined (null)
     val allTie = (1L to 30L).map(k => (k, 5.0, 10.0 * k, 0.0))
