@@ -2342,6 +2342,111 @@ object Relational {
         col("chi2"))
   }
 
+  /** Cramér's V (plus the Bergsma bias-corrected variant) for
+    * market-segment × nation over customers — the NORMALIZED effect
+    * size [[aggChi2Independence]]'s raw χ² is not: V lives on [0,1]
+    * and compares across tables of different shape, and the corrected
+    * Ṽ removes the small-sample inflation that makes naive V ≈ 0.05
+    * "signals" out of pure noise. Shape at scale: one hash agg to the
+    * (segment × nation) contingency cells, marginals via two windows
+    * over that model-sized frame, χ² terms r6→DECIMAL(16,6) before
+    * the cross-cell sum (the [[aggChi2Independence]] discipline); all
+    * three outputs are single double expressions from exact counts. */
+  def aggCramersV(spark: SparkSession, dir: String): DataFrame = {
+    val d166 = org.apache.spark.sql.types.DecimalType(16, 6)
+    val cells = table(spark, dir, "customer")
+      .groupBy(col("c_mktsegment").as("p"), col("c_nationkey").as("s"))
+      .agg(count(lit(1)).as("n"))
+    // FULL r×k grid: a groupBy only yields OBSERVED combinations, and
+    // dropping structural-zero cells undercounts χ² exactly when
+    // association is strongest (a perfectly diagonal table lost its
+    // six zero cells and scored V=0.82 instead of 1 — caught by the
+    // planted-association spec). Marginals cross-join to the full
+    // model-sized grid; absent cells count 0.
+    val rmar = cells.groupBy("p").agg(sum(col("n")).as("rt"))
+    val cmar = cells.groupBy("s").agg(sum(col("n")).as("ct"))
+    val tot = cells.agg(sum(col("n")).as("tot"))
+    val grid = rmar.crossJoin(cmar).crossJoin(broadcast(tot))
+      .join(cells, Seq("p", "s"), "left")
+      .withColumn("n0", coalesce(col("n"), lit(0L)))
+    val expD = r6(col("rt").cast("double") * col("ct").cast("double") /
+      col("tot").cast("double"))
+    val agg = grid
+      .withColumn("exp", expD)
+      .withColumn("term", r6((col("n0").cast("double") - col("exp")) *
+        (col("n0").cast("double") - col("exp")) / col("exp")).cast(d166))
+      .groupBy()
+      .agg(max(col("tot")).as("n"),
+        countDistinct(col("p")).as("r_cat"),
+        countDistinct(col("s")).as("k_cat"),
+        sum(col("term")).cast("double").as("chi2"))
+    def d(cn: String) = col(cn).cast("double")
+    val nD = d("n")
+    val phi2 = d("chi2") / nD
+    val rD = d("r_cat"); val kD = d("k_cat")
+    val minDim = least(rD - 1, kD - 1)
+    val v = sqrt(phi2 / minDim)
+    val phi2c = greatest(phi2 - (rD - 1) * (kD - 1) / (nD - 1), lit(0.0))
+    val rc = rD - (rD - 1) * (rD - 1) / (nD - 1)
+    val kc = kD - (kD - 1) * (kD - 1) / (nD - 1)
+    val vc = sqrt(phi2c / least(rc - 1, kc - 1))
+    agg.select(col("n"), col("r_cat"), col("k_cat"),
+      r4(d("chi2")).as("chi2"),
+      r6(when(minDim > 0, v)).as("cramers_v"),
+      r6(when(least(rc, kc) > 1, vc)).as("cramers_v_corrected"))
+  }
+
+  /** Exponential retention-decay fit — the parametric summary over
+    * [[eventsRetention]]'s cohort curve: pool cohorts into the overall
+    * day-k retention rate r_k = active_k/active_0 and fit ln r_k = a +
+    * b·k over k = 1..14 by OLS, reporting the daily decay b, the
+    * implied half-life −ln2/b, and the fit R². Shape at scale: the
+    * cohort/offset machinery is one distinct + two hash aggs (the
+    * retention shape); the fit runs on ≤14 pooled points with each ln
+    * term r6→DECIMAL(16,6) before the tiny sums — the
+    * order-independence discipline for double terms. */
+  def eventsRetentionFit(spark: SparkSession, dir: String): DataFrame = {
+    val d166 = org.apache.spark.sql.types.DecimalType(16, 6)
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val active = ev.distinct()
+    val cohort = active.groupBy("user_id")
+      .agg(min(col("day")).as("cohort_day"))
+    val offsets = active.join(cohort, "user_id")
+      .select(datediff(col("day").cast("date"),
+        col("cohort_day").cast("date")).cast("long").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_active"))
+    val base = offsets.filter(col("k") === 0)
+      .select(col("n_active").as("n0"))
+    val pts = offsets.filter(col("k") >= 1 && col("k") <= 14)
+      .crossJoin(broadcast(base))
+      .filter(col("n_active") > 0)
+      .select(col("k").cast("double").as("x"),
+        log(col("n_active").cast("double") / col("n0").cast("double"))
+          .as("y"))
+    val s = pts.agg(count(lit(1)).as("m"),
+      sum(r6(col("x")).cast(d166)).as("sx"),
+      sum(r6(col("y")).cast(d166)).as("sy"),
+      sum(r6(col("x") * col("y")).cast(d166)).as("sxy"),
+      sum(r6(col("x") * col("x")).cast(d166)).as("sxx"),
+      sum(r6(col("y") * col("y")).cast(d166)).as("syy"))
+    def d(cn: String) = col(cn).cast("double")
+    val mD = d("m")
+    val det = mD * d("sxx") - d("sx") * d("sx")
+    val b = (mD * d("sxy") - d("sx") * d("sy")) / det
+    val a = (d("sy") - b * d("sx")) / mD
+    val ssTot = d("syy") - d("sy") * d("sy") / mD
+    val ssRes = ssTot - b * b * det / mD
+    val ok = col("m") >= 3 && abs(det) > lit(0.0)
+    s.crossJoin(broadcast(base)).select(col("n0").as("n_day0_users"),
+      col("m").as("n_points"),
+      r4(when(ok, a)).as("intercept_ln"),
+      r6(when(ok, b)).as("daily_decay"),
+      r4(when(ok && b < 0, lit(-0.6931471805599453) / b))
+        .as("half_life_days"),
+      r6(when(ok && ssTot > 0, lit(1.0) - ssRes / ssTot)).as("r2"))
+  }
+
   /** Daily conversion rate with a Wilson 95% score interval — the
     * uncertainty-aware funnel readout (a plain p̂ ± z√(p̂q̂/n) interval
     * misbehaves at small n and p near 0/1; Wilson doesn't). Conversion
@@ -2430,8 +2535,15 @@ object Relational {
         col("o_totalprice").cast(Money).as("price_d"),
         unix_micros(col("o_orderdate").cast("timestamp")).as("ot_us"))
     // strict "<": at an equal timestamp the label (is_feat 0) sorts
-    // BEFORE the feature row, so the frame ending at the label excludes it
-    val w = Window.partitionBy("uid").orderBy(col("t_us"), col("is_feat"))
+    // BEFORE the feature row, so the frame ending at the label excludes
+    // it. okey tie-break: o_orderdate is DATE-resolution, so one user
+    // regularly has TWO orders at the same t_us — without the key the
+    // "last" order is engine-dependent (caught by the sf0.1 full soak:
+    // row 866 picked okey 33160 on Spark, 28389 on DuckDB). Label rows
+    // have okey NULL but only tie among themselves, where f_* values
+    // are identical regardless of order.
+    val w = Window.partitionBy("uid")
+      .orderBy(col("t_us"), col("is_feat"), col("okey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = labels.unionByName(feats)
       .withColumn("f_okey", last(col("okey"), ignoreNulls = true).over(w))
@@ -4698,6 +4810,8 @@ object Relational {
     "window_rolling_skew" -> (windowRollingSkew _),
     "events_periodogram" -> (eventsPeriodogram _),
     "events_granger" -> (eventsGranger _),
+    "agg_cramers_v" -> (aggCramersV _),
+    "events_retention_fit" -> (eventsRetentionFit _),
     "agg_em_mixture" -> (aggEmMixture _),
     "events_power_analysis" -> (eventsPowerAnalysis _),
     "events_stl_decompose" -> (eventsStlDecompose _),
@@ -5588,6 +5702,80 @@ object Relational {
          ${dir("purchase->click", "nx", "lx", "ly")}
          ORDER BY direction"""
     },
+    "agg_cramers_v" ->
+      s"""WITH cells AS (SELECT c_mktsegment AS p, c_nationkey AS s,
+           count(*) AS n FROM customer GROUP BY 1, 2),
+         rmar AS (SELECT p, CAST(sum(n) AS BIGINT) AS rt
+           FROM cells GROUP BY p),
+         cmar AS (SELECT s, CAST(sum(n) AS BIGINT) AS ct
+           FROM cells GROUP BY s),
+         tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM cells),
+         grid AS (SELECT rmar.p, cmar.s, rt, ct, tot,
+           coalesce(cells.n, 0) AS n0
+           FROM rmar CROSS JOIN cmar CROSS JOIN tt
+           LEFT JOIN cells ON cells.p = rmar.p AND cells.s = cmar.s),
+         t AS (SELECT p, s, n0, tot,
+           ${r6Sql("CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(tot AS DOUBLE)")} AS expv
+           FROM grid),
+         u AS (SELECT CAST(max(tot) AS BIGINT) AS n,
+           count(DISTINCT p) AS r_cat, count(DISTINCT s) AS k_cat,
+           CAST(sum(CAST(${r6Sql("(CAST(n0 AS DOUBLE) - expv) * (CAST(n0 AS DOUBLE) - expv) / expv")} AS DECIMAL(16,6))) AS DOUBLE) AS chi2
+           FROM t),
+         f AS (SELECT n, r_cat, k_cat, chi2,
+           chi2 / CAST(n AS DOUBLE) AS phi2,
+           CAST(r_cat AS DOUBLE) AS rd, CAST(k_cat AS DOUBLE) AS kd,
+           CAST(n AS DOUBLE) AS nd FROM u),
+         g AS (SELECT *,
+           least(rd - 1, kd - 1) AS mindim,
+           greatest(phi2 - (rd - 1) * (kd - 1) / (nd - 1), 0.0) AS phi2c,
+           rd - (rd - 1) * (rd - 1) / (nd - 1) AS rc,
+           kd - (kd - 1) * (kd - 1) / (nd - 1) AS kc
+           FROM f)
+         SELECT n, r_cat, k_cat, ${r4Sql("chi2")} AS chi2,
+           ${r6Sql("CASE WHEN mindim > 0 THEN sqrt(phi2 / mindim) END")}
+             AS cramers_v,
+           ${r6Sql("CASE WHEN least(rc, kc) > 1 THEN sqrt(phi2c / least(rc - 1, kc - 1)) END")}
+             AS cramers_v_corrected
+         FROM g""",
+    "events_retention_fit" ->
+      s"""WITH active AS (SELECT DISTINCT user_id,
+           date_trunc('day', ts) AS day FROM ${evSql()}),
+         cohort AS (SELECT user_id, min(day) AS cohort_day
+           FROM active GROUP BY user_id),
+         offs AS (SELECT CAST(datediff('day', CAST(cohort_day AS DATE),
+             CAST(day AS DATE)) AS BIGINT) AS k, count(*) AS n_active
+           FROM active JOIN cohort USING (user_id) GROUP BY 1),
+         base AS (SELECT n_active AS n0 FROM offs WHERE k = 0),
+         pts AS (SELECT CAST(k AS DOUBLE) AS x,
+           ln(CAST(n_active AS DOUBLE) / CAST(n0 AS DOUBLE)) AS y
+           FROM offs, base WHERE k >= 1 AND k <= 14 AND n_active > 0),
+         s AS (SELECT count(*) AS m,
+           CAST(sum(CAST(${r6Sql("x")} AS DECIMAL(16,6))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(${r6Sql("y")} AS DECIMAL(16,6))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(${r6Sql("x * y")} AS DECIMAL(16,6))) AS DOUBLE) AS sxy,
+           CAST(sum(CAST(${r6Sql("x * x")} AS DECIMAL(16,6))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(${r6Sql("y * y")} AS DECIMAL(16,6))) AS DOUBLE) AS syy
+           FROM pts),
+         f AS (SELECT m,
+           CAST(m AS DOUBLE) * sxx - sx * sx AS det,
+           (CAST(m AS DOUBLE) * sxy - sx * sy)
+             / (CAST(m AS DOUBLE) * sxx - sx * sx) AS b,
+           sy, sx, syy, sxx FROM s),
+         f2 AS (SELECT m, det, b, (sy - b * sx) / CAST(m AS DOUBLE) AS a,
+           syy - sy * sy / CAST(m AS DOUBLE) AS sstot,
+           syy - sy * sy / CAST(m AS DOUBLE) - b * b * det / CAST(m AS DOUBLE)
+             AS ssres
+           FROM f)
+         SELECT base.n0 AS n_day0_users, m AS n_points,
+           ${r4Sql("CASE WHEN m >= 3 AND abs(det) > 0.0 THEN a END")}
+             AS intercept_ln,
+           ${r6Sql("CASE WHEN m >= 3 AND abs(det) > 0.0 THEN b END")}
+             AS daily_decay,
+           ${r4Sql("CASE WHEN m >= 3 AND abs(det) > 0.0 AND b < 0 THEN -0.6931471805599453 / b END")}
+             AS half_life_days,
+           ${r6Sql("CASE WHEN m >= 3 AND abs(det) > 0.0 AND sstot > 0 THEN 1.0 - ssres / sstot END")}
+             AS r2
+         FROM f2, base""",
     "agg_em_mixture" ->
       s"""WITH xs AS (SELECT CAST(value AS DECIMAL(10,2)) AS xd,
            CAST(CAST(value AS DECIMAL(10,2)) AS DOUBLE) AS x
@@ -6092,7 +6280,8 @@ object Relational {
            last_value(okey IGNORE NULLS) OVER win AS f_okey,
            last_value(price_d IGNORE NULLS) OVER win AS f_price,
            last_value(ot_us IGNORE NULLS) OVER win AS f_t
-           FROM u WINDOW win AS (PARTITION BY uid ORDER BY t_us, is_feat
+           FROM u WINDOW win AS (PARTITION BY uid
+             ORDER BY t_us, is_feat, okey NULLS FIRST
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          SELECT event_id, uid AS user_id, ts_s, f_okey AS o_orderkey,
            round(CAST(f_price AS DOUBLE), 2) AS o_totalprice,

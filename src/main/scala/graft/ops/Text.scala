@@ -1604,6 +1604,70 @@ object Text {
       .limit(20)
   }
 
+  /** Heaps'-law fit V = K·N^β — how fast the vocabulary grows as the
+    * corpus is ingested in doc-id order, the curve that sizes
+    * tokenizer vocab budgets and predicts novelty saturation
+    * ([[ngramNovelty]]'s parametric cousin). NO prefix rescans and no
+    * global sort: each token's FIRST-occurrence doc (one hash agg:
+    * min doc_id per token) and each doc's token count place every
+    * contribution into one of 16 doc-id-range checkpoints, and the
+    * running (N, V) curve is a cumulative sum over the 16-row frame.
+    * The log-log OLS runs on those ≤16 points with r6→DECIMAL terms.
+    * β ∈ (0,1) is the Heaps regime; β ≈ 1 means vocabulary still
+    * growing linearly (far from saturation). */
+  def heapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    val d166 = org.apache.spark.sql.types.DecimalType(16, 6)
+    val d = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val mx = d.agg(max(col("doc_id")).as("mx"))
+    // checkpoint index of a doc: ceil(16·id/mx) in EXACT integer math
+    // ((a + mx - 1) div mx with a = 16·id; `div` is Spark's integral
+    // divide, `//` DuckDB's — both exact longs), clamped to [1, 16]
+    val ck = expr(
+      "greatest(1L, least(16L, (doc_id * 16 + mx - 1) div mx))")
+    val nPer = d.select(col("doc_id"), size(col("toks")).cast("long").as("nt"))
+      .crossJoin(broadcast(mx))
+      .groupBy(ck.as("cp")).agg(sum(col("nt")).as("dn"))
+    val vPer = d.select(col("doc_id"), explode(col("toks")).as("t"))
+      .groupBy("t").agg(min(col("doc_id")).as("fo"))
+      .crossJoin(broadcast(mx))
+      .select(col("fo").as("doc_id"), col("mx"))
+      .groupBy(ck.as("cp")).agg(count(lit(1)).as("dv"))
+    val grid = nPer.join(vPer, Seq("cp"), "full_outer")
+      .select(col("cp"), coalesce(col("dn"), lit(0L)).as("dn"),
+        coalesce(col("dv"), lit(0L)).as("dv"))
+    val w = Window.orderBy("cp")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = grid
+      .withColumn("nn", sum(col("dn")).over(w))
+      .withColumn("vv", sum(col("dv")).over(w))
+      .filter(col("nn") > 0 && col("vv") > 0)
+      .select(log(col("nn").cast("double")).as("x"),
+        log(col("vv").cast("double")).as("y"),
+        col("nn"), col("vv"))
+    val tot = pts.agg(max(col("nn")).as("n_tokens"),
+      max(col("vv")).as("n_vocab"))
+    val s = pts.agg(count(lit(1)).as("m"),
+      sum(r6(col("x")).cast(d166)).as("sx"),
+      sum(r6(col("y")).cast(d166)).as("sy"),
+      sum(r6(col("x") * col("y")).cast(d166)).as("sxy"),
+      sum(r6(col("x") * col("x")).cast(d166)).as("sxx"),
+      sum(r6(col("y") * col("y")).cast(d166)).as("syy"))
+    def dd(cn: String) = col(cn).cast("double")
+    val mD = dd("m")
+    val det = mD * dd("sxx") - dd("sx") * dd("sx")
+    val beta = (mD * dd("sxy") - dd("sx") * dd("sy")) / det
+    val lnK = (dd("sy") - beta * dd("sx")) / mD
+    val ssTot = dd("syy") - dd("sy") * dd("sy") / mD
+    val ssRes = ssTot - beta * beta * det / mD
+    val ok = col("m") >= 3 && abs(det) > lit(0.0)
+    s.crossJoin(broadcast(tot)).select(
+      col("n_tokens"), col("n_vocab"), col("m").as("n_checkpoints"),
+      r6(when(ok, beta)).as("beta"),
+      r4(when(ok, exp(lnK))).as("k_coef"),
+      r6(when(ok && ssTot > 0, lit(1.0) - ssRes / ssTot)).as("r2"))
+  }
+
   /** Dunning log-likelihood-ratio (G²) collocations — the
     * significance-aware ranking that fixes [[pmiBigrams]]'s known
     * rare-pair bias: PMI maxes out on hapax pairs, while G² weighs the
@@ -2102,6 +2166,7 @@ object Text {
     "text_pmi_bigrams" -> (pmiBigrams _),
     "text_collocation_llr" -> (collocationLlr _),
     "text_kneser_ney" -> (kneserNey _),
+    "text_heaps_law" -> (heapsLaw _),
     "text_pack_sequences" -> (packSequences _),
     "text_zipf_fit" -> (zipfFit _),
     "dedup_span_merge" -> (dedupSpanMerge _))
@@ -2442,6 +2507,57 @@ object Text {
            JOIN (SELECT t AS a, cu AS ca FROM uni) USING (a)
            JOIN (SELECT t AS b, cu AS cb FROM uni) USING (b), tot
          ORDER BY pmi DESC, a, b LIMIT 20""",
+    "text_heaps_law" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+         mx AS (SELECT max(doc_id) AS mx FROM d),
+         np AS (SELECT greatest(1, least(16,
+             (doc_id * 16 + mx - 1) // mx)) AS cp,
+           CAST(sum(len(toks)) AS BIGINT) AS dn
+           FROM d, mx GROUP BY 1),
+         fo AS (SELECT t, min(doc_id) AS fo FROM (
+             SELECT doc_id, unnest(toks) AS t FROM d) GROUP BY t),
+         vp AS (SELECT greatest(1, least(16,
+             (fo * 16 + mx - 1) // mx)) AS cp, count(*) AS dv
+           FROM fo, mx GROUP BY 1),
+         grid AS (SELECT cp, coalesce(dn, 0) AS dn, coalesce(dv, 0) AS dv
+           FROM np FULL OUTER JOIN vp USING (cp)),
+         pts AS (SELECT
+           ln(CAST(nn AS DOUBLE)) AS x, ln(CAST(vv AS DOUBLE)) AS y, nn, vv
+           FROM (SELECT cp,
+             CAST(sum(dn) OVER (ORDER BY cp ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS nn,
+             CAST(sum(dv) OVER (ORDER BY cp ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS vv
+             FROM grid)
+           WHERE nn > 0 AND vv > 0),
+         tot AS (SELECT max(nn) AS n_tokens, max(vv) AS n_vocab FROM pts),
+         s AS (SELECT count(*) AS m,
+           CAST(sum(CAST(${r6Sql("x")} AS DECIMAL(16,6))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(${r6Sql("y")} AS DECIMAL(16,6))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(${r6Sql("x * y")} AS DECIMAL(16,6))) AS DOUBLE) AS sxy,
+           CAST(sum(CAST(${r6Sql("x * x")} AS DECIMAL(16,6))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(${r6Sql("y * y")} AS DECIMAL(16,6))) AS DOUBLE) AS syy
+           FROM pts),
+         f AS (SELECT m, sx, sy, sxy, sxx, syy,
+           CAST(m AS DOUBLE) * sxx - sx * sx AS det,
+           (CAST(m AS DOUBLE) * sxy - sx * sy)
+             / (CAST(m AS DOUBLE) * sxx - sx * sx) AS beta
+           FROM s),
+         f2 AS (SELECT m, det, beta,
+           (sy - beta * sx) / CAST(m AS DOUBLE) AS lnk,
+           syy - sy * sy / CAST(m AS DOUBLE) AS sstot,
+           syy - sy * sy / CAST(m AS DOUBLE)
+             - beta * beta * det / CAST(m AS DOUBLE) AS ssres
+           FROM f)
+         SELECT tot.n_tokens, tot.n_vocab, m AS n_checkpoints,
+           ${r6Sql("CASE WHEN m >= 3 AND abs(det) > 0.0 THEN beta END")}
+             AS beta,
+           ${r4Sql("CASE WHEN m >= 3 AND abs(det) > 0.0 THEN exp(lnk) END")}
+             AS k_coef,
+           ${r6Sql("CASE WHEN m >= 3 AND abs(det) > 0.0 AND sstot > 0 THEN 1.0 - ssres / sstot END")}
+             AS r2
+         FROM f2, tot""",
     "text_collocation_llr" ->
       s"""WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
          bi AS (

@@ -353,6 +353,65 @@ class Round11OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  // ---- batch 8: effect size, retention decay, Heaps' law -----------------
+
+  test("cramers v: perfect association gives 1, independence gives ~0") {
+    def cust(id: Long, seg: String, nat: Int) =
+      CustRow(id, s"c$id", nat, 100.0, seg)
+    // diagonal: segment determines nation exactly -> V = 1
+    val diag = (1 to 60).map(i =>
+      cust(i.toLong, s"S${i % 3}", i % 3))
+    val d1 = fixtureDir("customer" -> spark.createDataset(diag).toDF)
+    val r1 = Relational.aggCramersV(spark, d1).collect()(0)
+    assert(math.abs(r1.getAs[Double]("cramers_v") - 1.0) < 1e-9, s"$r1")
+    // balanced independence -> V ~ 0, corrected clamps to exactly 0
+    val ind = (0 until 64).map(i =>
+      cust(i.toLong + 1, s"S${i % 2}", (i / 2) % 2))
+    val d2 = fixtureDir("customer" -> spark.createDataset(ind).toDF)
+    val r2 = Relational.aggCramersV(spark, d2).collect()(0)
+    assert(r2.getAs[Double]("cramers_v") < 1e-6, s"$r2")
+    assert(r2.getAs[Double]("cramers_v_corrected") == 0.0, s"$r2")
+  }
+
+  test("retention fit: planted halving recovers decay ln(1/2), r2=1") {
+    // users 1..8: user i is active on days 0..ceil(log2 tier): counts
+    // 8,4,2,1 at offsets 0..3 -> r_k = 2^-k exactly
+    val d0 = java.time.LocalDate.of(2024, 6, 3)
+    def at(day: Int) = Timestamp.valueOf(d0.plusDays(day.toLong).atStartOfDay())
+    var id = 0L
+    val rows = (1 to 8).flatMap { u =>
+      val lastDay = u match {
+        case 1 => 3 case 2 => 2 case 3 | 4 => 1 case _ => 0 }
+      (0 to lastDay).map { k =>
+        id += 1; EventRow(id, at(k), u.toLong, "view", 1.0, "{}") }
+    }
+    val dir = fixtureDir("events" -> spark.createDataset(rows).toDF)
+    val r = Relational.eventsRetentionFit(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_day0_users") == 8L)
+    assert(math.abs(r.getAs[Double]("daily_decay") + 0.693147) < 1e-4,
+      s"decay must be ln(1/2): $r")
+    assert(math.abs(r.getAs[Double]("half_life_days") - 1.0) < 1e-3, s"$r")
+    assert(r.getAs[Double]("r2") > 0.999999, s"$r")
+  }
+
+  test("heaps law: all-unique tokens give beta=1; fixed vocab gives beta~0") {
+    def docOf(id: Long, toks: Seq[String]) = doc(id, toks.mkString(" "))
+    val uniq = (1L to 32L).map(i =>
+      docOf(i, (0 until 10).map(j => s"tok_${i}_$j")))
+    val d1 = fixtureDir("documents" -> spark.createDataset(uniq).toDF)
+    val r1 = Text.heapsLaw(spark, d1).collect()(0)
+    assert(math.abs(r1.getAs[Double]("beta") - 1.0) < 1e-6,
+      s"unique vocab must grow linearly: $r1")
+    assert(r1.getAs[Double]("r2") > 0.999999, s"$r1")
+    val fixed = (1L to 32L).map(i =>
+      docOf(i, (0 until 10).map(j => s"tok_$j")))
+    val d2 = fixtureDir("documents" -> spark.createDataset(fixed).toDF)
+    val r2 = Text.heapsLaw(spark, d2).collect()(0)
+    assert(r2.getAs[Long]("n_vocab") == 10L)
+    assert(math.abs(r2.getAs[Double]("beta")) < 0.02,
+      s"fixed vocab must be flat: $r2")
+  }
+
   test("kendall: ties in x are counted and shrink |tau_b|") {
     // all quantities equal -> every pair is an x-tie, tau_b undefined (null)
     val allTie = (1L to 30L).map(k => (k, 5.0, 10.0 * k, 0.0))
