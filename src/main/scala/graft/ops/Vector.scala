@@ -1830,6 +1830,53 @@ object Vector {
     * (spec pins its monotone decrease). Determinism: squared L2 via
     * the fixed-order fold ([[sqdist]], list_sum parity), r6-floored
     * before the DESC/vec_id-tie-broken argmax on both engines. */
+  /** Cross-modal retrieval audit — the two-tower eval loop of a
+    * CLIP-style pipeline with the engine's stub media decoder: each
+    * doc's MEDIA vector is the 16-dim [[graft.multimodal]] stub
+    * feature (sha256-derived, deterministic, SQL-replayable) and its
+    * TEXT query vector is the first 16 dims of its embedding
+    * (matryoshka prefix); for 10 probes, rank every media candidate
+    * by cosine and report the probe's OWN media vector's rank plus
+    * hit@5. With the stub decoder the expected self-rank is uniform —
+    * this measures the NOISE FLOOR a real encoder must beat, and the
+    * join/ranking plumbing (id-aligned towers, broadcast probes,
+    * per-probe window top-k) is exactly what the real eval runs.
+    * Shape at scale: probes broadcast, candidates scanned once, no
+    * corpus shuffle; self-rank via one partitioned window. */
+  def multimodalCrossmodalRecall(spark: SparkSession, dir: String): DataFrame = {
+    val media = table(spark, dir, "documents")
+      .select(col("doc_id").as("id"),
+        sha2(col("text").cast("binary"), 256).as("sha"))
+      .withColumn("mv", expr(
+        """transform(sequence(0, 15), i ->
+           (CAST(conv(substring(sha, 2 * i + 1, 2), 16, 10) AS DOUBLE)
+            - 128.0) / 128.0)"""))
+      .select(col("id"), col("mv"))
+    val txt = emb(spark, dir)
+      .select(col("vec_id").as("id"), expr(
+        "transform(slice(embedding, 1, 16), x -> CAST(x AS DOUBLE))")
+        .as("tv"))
+    val probes = txt.join(media.select(col("id")), "id")
+      .orderBy("id").limit(10)
+      .select(col("id").as("pid"), col("tv"))
+    def dotDD(a: String, b: String): Column =
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
+        "0D, (acc, v) -> acc + v)")
+    val cosc = dotDD("tv", "mv") /
+      (sqrt(dotDD("tv", "tv")) * sqrt(dotDD("mv", "mv")))
+    val scored = media.crossJoin(broadcast(probes))
+      .withColumn("cos", r6(cosc))
+    val wr = Window.partitionBy("pid").orderBy(desc("cos"), col("id"))
+    val nc = media.agg(count(lit(1)).as("n_candidates"))
+    scored.withColumn("rk", row_number().over(wr).cast("long"))
+      .filter(col("id") === col("pid"))
+      .crossJoin(broadcast(nc))
+      .select(col("pid").as("probe_id"), col("n_candidates"),
+        col("rk").as("self_rank"), (col("rk") <= 5).as("hit_at_5"),
+        r4(col("cos")).as("cos_self"))
+      .orderBy("probe_id")
+  }
+
   /** 1-bit (sign) embedding quantization + Hamming re-ranking with a
     * recall audit — the most aggressive compression rung under
     * [[embeddingQuantize]]/PQ: 64 float dims become two 32-bit sign
@@ -2019,6 +2066,7 @@ object Vector {
     "cluster_kcenter_init" -> (clusterKcenterInit _),
     "simsearch_mmr" -> (simsearchMmr _),
     "simsearch_hamming" -> (simsearchHamming _),
+    "multimodal_crossmodal_recall" -> (multimodalCrossmodalRecall _),
     "embedding_jl_project" -> (embeddingJlProject _),
     "cluster_silhouette" -> (clusterSilhouette _),
     "multimodal_phash_dedup" -> (multimodalPhashDedup _),
@@ -2284,6 +2332,35 @@ object Vector {
            CAST(CAST(sum(CASE WHEN r64 <= 5 AND r16 <= 5 THEN 1 ELSE 0 END)
              AS BIGINT) AS DOUBLE) / 5.0 AS recall_at5
          FROM r GROUP BY probe_id ORDER BY probe_id""",
+    "multimodal_crossmodal_recall" -> {
+      val dotTM = "list_sum(list_transform(range(1, 17), " +
+        "i -> tv[i] * mv[i]))"
+      val nT = "sqrt(list_sum(list_transform(range(1, 17), " +
+        "i -> tv[i] * tv[i])))"
+      val nM = "sqrt(list_sum(list_transform(range(1, 17), " +
+        "i -> mv[i] * mv[i])))"
+      s"""WITH media AS (SELECT doc_id AS id,
+           list_transform(range(0, 16), i ->
+             (CAST(('0x' || substr(sha256(text), 2 * i + 1, 2)) AS INT)
+              - 128.0) / 128.0) AS mv
+           FROM documents),
+         txt AS (SELECT vec_id AS id,
+           list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS tv
+           FROM embeddings),
+         probes AS (SELECT txt.id AS pid, tv FROM txt
+           JOIN media ON media.id = txt.id ORDER BY txt.id LIMIT 10),
+         nc AS (SELECT count(*) AS n_candidates FROM media),
+         scored AS (SELECT probes.pid, media.id,
+           ${r6Sql(s"$dotTM / ($nT * $nM)")} AS cos
+           FROM media CROSS JOIN probes),
+         rk AS (SELECT pid, id, cos,
+           CAST(row_number() OVER (PARTITION BY pid
+             ORDER BY cos DESC, id) AS BIGINT) AS rk
+           FROM scored)
+         SELECT pid AS probe_id, n_candidates, rk AS self_rank,
+           rk <= 5 AS hit_at_5, ${r4Sql("cos")} AS cos_self
+         FROM rk, nc WHERE id = pid ORDER BY probe_id""".stripMargin
+    },
     "simsearch_hamming" -> {
       def wordSql(lo: Int) =
         s"""CAST(list_sum(list_transform(range(1, 33),

@@ -412,6 +412,27 @@ class Round11OpsSpec extends AnyFunSuite with SparkFixture {
       s"fixed vocab must be flat: $r2")
   }
 
+  test("crossmodal recall: well-formed ranks over the id-aligned towers") {
+    val docs = (1L to 30L).map(i => doc(i, s"document number $i body text"))
+    val vecs = (1L to 20L).map(i =>
+      EmbRow(i, (0 until 64).map(j =>
+        math.sin(i * 31.0 + j).toFloat).toArray, 0))
+    val dir = fixtureDir(
+      "documents" -> spark.createDataset(docs).toDF,
+      "embeddings" -> spark.createDataset(vecs).toDF)
+    val out = graft.ops.Vector.multimodalCrossmodalRecall(spark, dir)
+      .collect()
+    assert(out.length == 10, s"10 probes expected: ${out.length}")
+    out.foreach { r =>
+      val rk = r.getAs[Long]("self_rank")
+      assert(rk >= 1 && rk <= r.getAs[Long]("n_candidates"), s"$r")
+      assert(r.getAs[Boolean]("hit_at_5") == (rk <= 5), s"$r")
+      val c = r.getAs[Double]("cos_self")
+      assert(c >= -1.0001 && c <= 1.0001, s"$r")
+      assert(r.getAs[Long]("n_candidates") == 30L, s"$r")
+    }
+  }
+
   test("kendall: ties in x are counted and shrink |tau_b|") {
     // all quantities equal -> every pair is an x-tie, tau_b undefined (null)
     val allTie = (1L to 30L).map(k => (k, 5.0, 10.0 * k, 0.0))
