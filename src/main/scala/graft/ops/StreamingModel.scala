@@ -249,7 +249,45 @@ object StreamingModel {
       .orderBy(desc("decayed_score"), col("user_id")).limit(10)
   }
 
+  /** Consumer-backlog model (Kafka-lag shape): per hour, events arrive
+    * n_t and a fixed capacity C = ⌈total/hours⌉ drains; the backlog
+    * follows the Lindley recursion W_t = max(0, W_{t−1} + n_t − C) —
+    * the state a streaming job tracks to alert on congestion. The
+    * recursion is SOLVED, not iterated: W_t = S_t − min(0, min_{k≤t}
+    * S_k) with S the prefix sum of (n−C), so the whole model is two
+    * running windows over the model-sized HOUR GRID (gap hours emit
+    * 0 arrivals but still drain — the grid is explicit via sequence()).
+    * All integer math; the only doubles are the utilization ratio. */
+  def backlogModel(spark: SparkSession, dir: String): DataFrame = {
+    val hr = table(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val span = hr.agg(min(col("h")).as("h0"), max(col("h")).as("h1"),
+      sum(col("n")).as("tot"))
+      .withColumn("nh",
+        expr("(unix_micros(h1) - unix_micros(h0)) div 3600000000") + 1)
+      .withColumn("cap", expr("(tot + nh - 1) div nh"))
+    val grid = span
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"),
+        col("cap"))
+      .join(hr, Seq("h"), "left")
+      .withColumn("n_in", coalesce(col("n"), lit(0L)))
+    val w = Window.orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s1 = grid.withColumn("s", sum(col("n_in") - col("cap")).over(w))
+    val s2 = s1.withColumn("mn", min(col("s")).over(w))
+      .withColumn("backlog", col("s") - least(col("mn"), lit(0L)))
+    s2.select(
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("n_in"), col("cap").as("capacity"), col("backlog"),
+        r4(col("n_in").cast("double") / col("cap").cast("double"))
+          .as("utilization"),
+        (col("backlog") > 0).as("is_congested"))
+      .orderBy("win_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_backlog_model" -> (backlogModel _),
     "stream_decay_topk" -> (decayTopk _),
     "stream_cdc_apply" -> (cdcApply _),
     "stream_join_within" -> (joinWithin _),
@@ -260,6 +298,33 @@ object StreamingModel {
     "stream_late_filter" -> (lateFilter _))
 
   val oracleSql: Map[String, String] = Map(
+    "stream_backlog_model" ->
+      s"""WITH hr AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n
+           FROM ${evSql()} GROUP BY 1),
+         span AS (SELECT min(h) AS h0, max(h) AS h1,
+           CAST(sum(n) AS BIGINT) AS tot FROM hr),
+         span2 AS (SELECT h0, h1, tot,
+           (epoch_us(h1) - epoch_us(h0)) // 3600000000 + 1 AS nh
+           FROM span),
+         span3 AS (SELECT h0, h1, (tot + nh - 1) // nh AS cap FROM span2),
+         grid AS (SELECT g.h, span3.cap, coalesce(hr.n, 0) AS n_in
+           FROM (SELECT unnest(generate_series(h0, h1,
+             INTERVAL 1 HOUR)) AS h FROM span3) g
+           CROSS JOIN span3 LEFT JOIN hr ON hr.h = g.h),
+         s1 AS (SELECT h, cap, n_in,
+           CAST(sum(n_in - cap) OVER w AS BIGINT) AS s
+           FROM grid WINDOW w AS (ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         s2 AS (SELECT h, cap, n_in, s,
+           s - least(CAST(min(s) OVER w AS BIGINT), 0) AS backlog
+           FROM s1 WINDOW w AS (ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS win_start,
+           n_in, CAST(cap AS BIGINT) AS capacity, backlog,
+           ${r4Sql("CAST(n_in AS DOUBLE) / CAST(cap AS DOUBLE)")}
+             AS utilization,
+           backlog > 0 AS is_congested
+         FROM s2 ORDER BY win_start""",
     "stream_decay_topk" ->
       s"""WITH mx AS (SELECT max(epoch_us(ts)) AS mx FROM ${evSql()}),
          t AS (SELECT user_id,
