@@ -2342,6 +2342,62 @@ object Relational {
         col("chi2"))
   }
 
+  /** Sequential probability-ratio test (Wald SPRT) over the daily A/B
+    * stream — the ALWAYS-VALID monitor that answers "could this
+    * experiment have stopped early?", where [[eventsAbTtest]] and
+    * [[eventsPowerAnalysis]] are fixed-horizon: H1 = control rate
+    * lifted 20%, boundaries ±ln 19 (α = β = 0.05), and the day the
+    * cumulative log-likelihood ratio first exits decides. Shape at
+    * scale: (day, user) activity collapses once, per-day arm counts
+    * are a second hash agg, and the LLR is a running window over the
+    * model-sized day frame. Exactness: the two per-observation LLR
+    * increments are quantized ONCE as scalars (r6 of ln ratios — one
+    * rounding per constant, not per row), so every day term is the
+    * identical double product and the cumulative sum rides exact
+    * DECIMAL(16,6). */
+  def eventsSprtSequential(spark: SparkSession, dir: String): DataFrame = {
+    val d166 = org.apache.spark.sql.types.DecimalType(16, 6)
+    val act = table(spark, dir, "events")
+      .select(to_date(col("ts")).as("d"), col("user_id"),
+        (col("event_type") === "purchase").as("isP"))
+      .groupBy("d", "user_id")
+      .agg(max(when(col("isP"), 1L).otherwise(0L)).as("conv"))
+      .withColumn("arm", (col("user_id") % 2 === 0).as("arm"))
+    val daily = act.groupBy("d", "arm")
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
+    val p0row = daily.filter(!col("arm"))
+      .agg((sum(col("k")).cast("double") / sum(col("n")).cast("double"))
+        .as("p0"))
+      .withColumn("p1", least(lit(0.999), col("p0") * lit(1.2)))
+      .withColumn("l1", r6(log(col("p1") / col("p0"))))
+      .withColumn("l0",
+        r6(log((lit(1.0) - col("p1")) / (lit(1.0) - col("p0")))))
+    val t = daily.filter(col("arm")).crossJoin(broadcast(p0row))
+      .withColumn("term",
+        r6(col("k").cast("double") * col("l1") +
+          (col("n") - col("k")).cast("double") * col("l0")).cast(d166))
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bound = 2.9444389791664403 // ln 19
+    val cum = t.withColumn("llr", sum(col("term")).over(w).cast("double"))
+      .withColumn("crossed",
+        when(col("llr") >= bound, lit(1))
+          .when(col("llr") <= -bound, lit(-1)))
+    val cross = cum.filter(col("crossed").isNotNull)
+      .agg(min(struct(col("d"), col("crossed"))).as("c"))
+      .select(col("c.d").as("cross_d"), col("c.crossed").as("dir"))
+    val fin = cum.agg(count(lit(1)).as("n_days"),
+      sum(col("term")).cast("double").as("final_llr"))
+    fin.crossJoin(broadcast(p0row)).crossJoin(cross)
+      .select(col("n_days"), r6(col("p0")).as("p0_rate"),
+        r6(col("p1")).as("p1_rate"),
+        r4(col("final_llr")).as("final_llr"),
+        dateS(col("cross_d")).as("crossing_day"),
+        when(col("dir") === 1, lit("accept_h1"))
+          .when(col("dir") === -1, lit("accept_h0"))
+          .otherwise(lit("continue")).as("decision"))
+  }
+
   /** Cramér's V (plus the Bergsma bias-corrected variant) for
     * market-segment × nation over customers — the NORMALIZED effect
     * size [[aggChi2Independence]]'s raw χ² is not: V lives on [0,1]
@@ -4812,6 +4868,7 @@ object Relational {
     "events_granger" -> (eventsGranger _),
     "agg_cramers_v" -> (aggCramersV _),
     "events_retention_fit" -> (eventsRetentionFit _),
+    "events_sprt_sequential" -> (eventsSprtSequential _),
     "agg_em_mixture" -> (aggEmMixture _),
     "events_power_analysis" -> (eventsPowerAnalysis _),
     "events_stl_decompose" -> (eventsStlDecompose _),
@@ -5702,6 +5759,42 @@ object Relational {
          ${dir("purchase->click", "nx", "lx", "ly")}
          ORDER BY direction"""
     },
+    "events_sprt_sequential" ->
+      s"""WITH act AS (SELECT CAST(ts AS DATE) AS d, user_id,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+           FROM ${evSql()} GROUP BY 1, 2),
+         daily AS (SELECT d, (user_id % 2 = 0) AS arm, count(*) AS n,
+           CAST(sum(conv) AS BIGINT) AS k
+           FROM act GROUP BY 1, 2),
+         p0a AS (SELECT CAST(CAST(sum(k) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) AS p0
+           FROM daily WHERE NOT arm),
+         p0row AS (SELECT p0, least(0.999, p0 * 1.2) AS p1,
+           ${r6Sql("ln(least(0.999, p0 * 1.2) / p0)")} AS l1,
+           ${r6Sql("ln((1.0 - least(0.999, p0 * 1.2)) / (1.0 - p0))")} AS l0
+           FROM p0a),
+         t AS (SELECT d,
+           CAST(${r6Sql("CAST(k AS DOUBLE) * l1 + CAST(n - k AS DOUBLE) * l0")}
+             AS DECIMAL(16,6)) AS term
+           FROM daily, p0row WHERE arm),
+         cum AS (SELECT d, term,
+           CAST(sum(term) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS DOUBLE) AS llr
+           FROM t),
+         crossed AS (SELECT d AS cross_d,
+           CASE WHEN llr >= 2.9444389791664403 THEN 1 ELSE -1 END AS dir
+           FROM cum
+           WHERE llr >= 2.9444389791664403 OR llr <= -2.9444389791664403
+           ORDER BY d LIMIT 1),
+         fin AS (SELECT count(*) AS n_days,
+           CAST(sum(term) AS DOUBLE) AS final_llr FROM cum)
+         SELECT n_days, ${r6Sql("p0")} AS p0_rate, ${r6Sql("p1")} AS p1_rate,
+           ${r4Sql("final_llr")} AS final_llr,
+           strftime(crossed.cross_d, '%Y-%m-%d') AS crossing_day,
+           CASE WHEN crossed.dir = 1 THEN 'accept_h1'
+                WHEN crossed.dir = -1 THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+         FROM fin CROSS JOIN p0row LEFT JOIN crossed ON TRUE""",
     "agg_cramers_v" ->
       s"""WITH cells AS (SELECT c_mktsegment AS p, c_nationkey AS s,
            count(*) AS n FROM customer GROUP BY 1, 2),

@@ -455,6 +455,34 @@ class Round11OpsSpec extends AnyFunSuite with SparkFixture {
       Seq(true, false, false, true))
   }
 
+  test("sprt: planted uplift accepts H1, planted null drifts to H0") {
+    val d0 = java.time.LocalDate.of(2024, 6, 3)
+    var id = 0L
+    def build(treatConv: Int): String = {
+      id = 0L
+      val rows = (0 until 30).flatMap { day =>
+        val at = Timestamp.valueOf(d0.plusDays(day.toLong).atStartOfDay())
+        (1 to 200).flatMap { u =>
+          val conv = if (u % 2 == 0) u <= 2 * treatConv else u <= 2 * 10
+          val base = { id += 1
+            EventRow(id, at, u.toLong, "view", 1.0, "{}") } :: Nil
+          if (conv) base :+ { id += 1
+            EventRow(id, at, u.toLong, "purchase", 1.0, "{}") }
+          else base
+        }
+      }
+      fixtureDir("events" -> spark.createDataset(rows).toDF)
+    }
+    // control p0 = 10/100; treatment 12/100 = exactly the 1.2 lift
+    val up = Relational.eventsSprtSequential(spark, build(12)).collect()(0)
+    assert(up.getAs[String]("decision") == "accept_h1", s"$up")
+    assert(up.getAs[String]("crossing_day") != null, s"$up")
+    assert(math.abs(up.getAs[Double]("p0_rate") - 0.1) < 1e-9, s"$up")
+    // null effect: treatment at the control rate drifts DOWN
+    val flat = Relational.eventsSprtSequential(spark, build(10)).collect()(0)
+    assert(flat.getAs[String]("decision") == "accept_h0", s"$flat")
+  }
+
   test("kendall: ties in x are counted and shrink |tau_b|") {
     // all quantities equal -> every pair is an x-tie, tau_b undefined (null)
     val allTie = (1L to 30L).map(k => (k, 5.0, 10.0 * k, 0.0))
