@@ -303,6 +303,43 @@ object Dedup {
     })
   }
 
+  /** Write-once undirected-edge + degree frames over [[candGraphCached]]
+    * — the graph-feature family (common neighbors, Adamic-Adar,
+    * assortativity) each derived the IDENTICAL 2|E| undirected frame and
+    * its per-node degree agg from the cached edges, paying the
+    * degree shuffle once per consumer. Materialized once per corpus
+    * (same build/serve discipline as the edge cache; Bench already
+    * labels every consumer `build_once`). The und frame stays TWO
+    * columns (u, v) — degree annotations join separately — because the
+    * Adamic-Adar wedge probe's 3.5× third-column cliff (see
+    * [[graphAdamicAdar]]) applies to anything feeding a wedge join. */
+  private[ops] def undDegCached(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = candGraphCached(spark, dir)
+    val key = dirContentKey(dir, "documents.parquet")
+    val und = candGraphCache.computeIfAbsent("und|" + key, _ =>
+      iterCheckpoint(e.select(col("d1").as("u"), col("d2").as("v"))
+        .unionByName(e.select(col("d2").as("u"), col("d1").as("v")))))
+    val deg = candGraphCache.computeIfAbsent("deg|" + key, _ =>
+      iterCheckpoint(und.groupBy("u").agg(count(lit(1)).as("deg"))))
+    (und, deg)
+  }
+
+  /** Degree → Adamic-Adar micros weight, floor(1e6/ln(deg) + 0.5),
+    * computed ONCE in Scala over the BOUNDED degree domain (deg ≤
+    * Bands·LshBucketCap on the capped candidate graph) and embedded in
+    * BOTH engines — the Spark side as a broadcast literal frame, the
+    * oracle as a VALUES list. A per-engine libm ln call can differ by
+    * an ulp and flip the floor on a .5 boundary; a shared literal table
+    * cannot (the [[Relational.trigTable]] discipline). */
+  private[ops] val AaMaxDeg: Int = Bands * LshBucketCap
+  private[ops] lazy val aaMicrosTable: Seq[(Long, Long)] =
+    (2 to AaMaxDeg).map { d =>
+      (d.toLong, math.floor(1e6 / math.log(d.toDouble) + 0.5).toLong)
+    }
+  private def aaMicrosValuesSql: String =
+    aaMicrosTable.map { case (d, m) => s"($d, $m)" }.mkString(", ")
+
   /** LSH candidate STAR edges (d1 = bucket min < d2) — the
     * connectivity-preserving subset of [[candidatePairs]] for consumers
     * that only need the component structure ([[ccGroups]],
@@ -1429,9 +1466,7 @@ object Dedup {
     * on the high-cardinality node id; output is top-20. */
   def graphCommonNeighbors(spark: SparkSession, dir: String): DataFrame = {
     val e = candGraphCached(spark, dir)
-    val und = e.select(col("d1").as("u"), col("d2").as("v"))
-      .unionByName(e.select(col("d2").as("u"), col("d1").as("v")))
-    val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    val (und, deg) = undDegCached(spark, dir)
     // wedge enumeration as the streamed self-join on the center w — the
     // A/B here went the OTHER way from the LSH bucket expansion: a
     // collect_list+SortedPairs spelling (one shuffle, per-row expansion)
@@ -1478,14 +1513,20 @@ object Dedup {
     * model-sized top-k; ordering ties break on (a, b). */
   def graphAdamicAdar(spark: SparkSession, dir: String): DataFrame = {
     val e = candGraphCached(spark, dir)
-    val und = e.select(col("d1").as("u"), col("d2").as("v"))
-      .unionByName(e.select(col("d2").as("u"), col("d1").as("v")))
+    val (und, deg) = undDegCached(spark, dir)
     // deg floor 2: deg-1 centers form no wedge, but the key must be
-    // computable (non-null) for every edge row
-    val wt = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    // computable (non-null) for every edge row. The micros weight comes
+    // from the SHARED LITERAL lookup [[aaMicrosTable]] (trig-table
+    // discipline), not a per-engine libm ln: the degree domain is
+    // bounded by Bands·LshBucketCap, so both engines join the identical
+    // (deg → micros) table and a 1-ulp ln divergence landing on a .5
+    // floor boundary can never flip the key-encoded weight.
+    val lut = spark.createDataFrame(aaMicrosTable).toDF("degk", "awu")
+    val wt = deg
       .select(col("u").as("v"),
-        floor(lit(1e6) / log(greatest(col("deg"), lit(2L)).cast("double"))
-          + lit(0.5)).as("awu"))
+        least(greatest(col("deg"), lit(2L)), lit(AaMaxDeg.toLong)).as("degk"))
+      .join(broadcast(lut), "degk")
+      .select(col("v"), col("awu"))
     val undK = und.join(wt, "v")
       .select(col("u"), (col("v") * lit(2097152L) + col("awu")).as("wk"))
     val cn = undK.select(col("u").as("a"), col("wk"))
@@ -1514,10 +1555,7 @@ object Dedup {
     * degree-regular graph (zero variance). */
   def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
     val d180 = org.apache.spark.sql.types.DecimalType(18, 0)
-    val e = candGraphCached(spark, dir)
-    val und = e.select(col("d1").as("u"), col("d2").as("v"))
-      .unionByName(e.select(col("d2").as("u"), col("d1").as("v")))
-    val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    val (und, deg) = undDegCached(spark, dir)
     val nodes = deg.agg(count(lit(1)).as("n_nodes"),
       sum(col("deg")).as("sum_deg"))
     val j = und
@@ -2110,11 +2148,11 @@ object Dedup {
              ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
          e AS MATERIALIZED (SELECT d1 AS u, d2 AS v FROM pairs
            UNION ALL SELECT d2, d1 FROM pairs),
-         wt AS (SELECT u AS w,
-           CASE WHEN count(*) >= 2
-             THEN CAST(floor(1000000.0 / ln(CAST(count(*) AS DOUBLE)) + 0.5)
-               AS BIGINT) END AS awu
-           FROM e GROUP BY u),
+         lut AS (SELECT * FROM (VALUES $aaMicrosValuesSql) t(degk, awu)),
+         wt AS (SELECT d.u AS w, l.awu
+           FROM (SELECT u, least(greatest(count(*), 2), $AaMaxDeg) AS degk
+             FROM e GROUP BY u) d
+           JOIN lut l ON l.degk = d.degk),
          cn AS (SELECT x.u AS a, y.u AS b, count(*) AS n_common,
            CAST(sum(awu) AS BIGINT) AS aau
            FROM e x JOIN e y ON x.v = y.v AND x.u < y.u

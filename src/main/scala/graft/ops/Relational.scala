@@ -3887,10 +3887,19 @@ object Relational {
       .agg(count(lit(1)).as("ng"), sum(col("xc")).as("sxc"),
         sum(col("xc").cast(d180) * col("xc").cast(d180)).as("sxx"))
     val sxg = col("sxc").cast("double") / lit(100.0)
+    // per-group term floored IN DOUBLE (tq − tq % 1.0): Spark's floor()
+    // returns LONG and silently corrupts past ~9.2e18 dollars² — reached
+    // before 100 TB — while fmod is exact and x − frac(x) = floor(x) is
+    // exactly representable, so this spelling matches DuckDB's
+    // double-domain floor at ANY magnitude (above 2^53 frac is exactly
+    // 0 in both engines); the integer-valued double then casts exactly
+    // into DECIMAL(38,0) for the cross-group exact sum
     val t = g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
       sum(col("sxc")).as("sxc"), sum(col("sxx")).as("sxx"),
-      sum(floor(sxg * sxg / col("ng").cast("double") + lit(0.5))
-        .cast(d380)).as("sbi"))
+      sum({
+        val tq = sxg * sxg / col("ng").cast("double") + lit(0.5)
+        (tq - tq % lit(1.0)).cast(d380)
+      }).as("sbi"))
     def d(cn: String) = col(cn).cast("double")
     val sxD = d("sxc") / lit(100.0)
     val grand = sxD * sxD / d("n")
@@ -4007,7 +4016,10 @@ object Relational {
     }
     val u = onePeriod(24).unionByName(onePeriod(168))
     def d(cn: String) = col(cn).cast("double")
-    val sst = d("snn") - d("sn") * d("sn") / d("n_hours")
+    // Σn² is a (38,0) decimal whose unscaled value passes 2^53 before
+    // 100 TB — bridge via [[dec2d]] (a plain cast diverges by an ulp
+    // between engines there; Σn itself is an exact long, safe to cast)
+    val sst = dec2d(col("snn"), 0) - d("sn") * d("sn") / d("n_hours")
     val pw = col("a_cos") * col("a_cos") + col("b_sin") * col("b_sin")
     u.select(col("period_hours"), col("n_hours"),
         r4(d("sn") / d("n_hours")).as("mean_per_hour"),
@@ -4056,14 +4068,18 @@ object Relational {
         sum((l * y).cast(d380)).as("sly"),
         sum((x * y).cast(d380)).as("sxy"),
         sum((l * x).cast(d380)).as("slx"))
-      def d(cn: String) = col(cn).cast("double")
-      val nD = d("n")
-      val cyy = d("syy") - d("sy") * d("sy") / nD
-      val c11 = d("sll") - d("sl") * d("sl") / nD
-      val c22 = d("sxx") - d("sx") * d("sx") / nD
-      val c12 = d("slx") - d("sl") * d("sx") / nD
-      val cy1 = d("sly") - d("sl") * d("sy") / nD
-      val cy2 = d("sxy") - d("sx") * d("sy") / nD
+      // the (38,0) product sums pass 2^53 unscaled before 100 TB —
+      // bridge via [[dec2d]]; the linear sums ride long→double (exact
+      // int64 cast, the oracle's CAST(sum AS BIGINT) twin)
+      def dd(cn: String) = dec2d(col(cn), 0)
+      def dl(cn: String) = col(cn).cast("long").cast("double")
+      val nD = col("n").cast("double")
+      val cyy = dd("syy") - dl("sy") * dl("sy") / nD
+      val c11 = dd("sll") - dl("sl") * dl("sl") / nD
+      val c22 = dd("sxx") - dl("sx") * dl("sx") / nD
+      val c12 = dd("slx") - dl("sl") * dl("sx") / nD
+      val cy1 = dd("sly") - dl("sl") * dl("sy") / nD
+      val cy2 = dd("sxy") - dl("sx") * dl("sy") / nD
       val det = c11 * c22 - c12 * c12
       val b1 = (cy1 * c22 - cy2 * c12) / det
       val b2 = (cy2 * c11 - cy1 * c12) / det
@@ -4176,10 +4192,16 @@ object Relational {
     val dec = org.apache.spark.sql.types.DecimalType
     val w = Window.orderBy("d").rowsBetween(-29, 0)
     val daily = dailyRevenue(spark, dir)
+    // the corpus-total revenue is summed as LONG CENTS, not decimal:
+    // int64→double is correctly rounded identically in both engines at
+    // any magnitude, while CAST(decimal AS DOUBLE) diverges by an ulp
+    // past 2^53 unscaled (the dec2d class) — and a 1-ulp gmean flip
+    // would move floor(·+0.5) and shift every deviation below
     val tot = daily.agg(
-      (sum(col("rev")).cast("double") / count(lit(1)).cast("double"))
-        .as("gmean"))
-      .select(floor(col("gmean") * 100 + lit(0.5)).as("c"))
+      sum((col("rev") * 100).cast("long")).as("sc"),
+      count(lit(1)).as("nd"))
+      .select(floor(col("sc").cast("double") / col("nd").cast("double")
+        + lit(0.5)).as("c"))
     val base = daily.crossJoin(broadcast(tot))
       .withColumn("dx", ((col("rev") * 100).cast("long") - col("c"))
         .cast(dec(18, 0)))
@@ -5648,8 +5670,9 @@ object Relational {
       s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
            sum(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
            FROM orders GROUP BY 1),
-         tot AS (SELECT CAST(floor((CAST(sum(rev) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE)) * 100 + 0.5) AS BIGINT) AS c
+         tot AS (SELECT CAST(floor(
+             CAST(CAST(sum(CAST(rev * 100 AS BIGINT)) AS BIGINT) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS c
            FROM daily),
          base AS (SELECT d,
            CAST(CAST(rev * 100 AS BIGINT) - c AS DECIMAL(18,0)) AS dx,
@@ -5696,8 +5719,7 @@ object Relational {
       s"""WITH hr AS (SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS n
            FROM ${evSql()} GROUP BY 1),
          tot AS (SELECT CAST(sum(n) AS BIGINT) AS sn, count(*) AS nh,
-           CAST(sum(CAST(n AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0)))
-             AS DOUBLE) AS snn
+           ${dec2dSql("sum(CAST(n AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0)))", 0)} AS snn
            FROM hr),
          t24 AS (SELECT * FROM (VALUES ${trigValuesSql(24)}) t(k, c, s)),
          t168 AS (SELECT * FROM (VALUES ${trigValuesSql(168)}) t(k, c, s)),
@@ -5717,6 +5739,10 @@ object Relational {
          FROM f ORDER BY period_hours"""
     },
     "events_granger" -> {
+      // (38,0) moment sums bridged via dec2dSql (the dec2d class);
+      // linear sums stay BIGINT→DOUBLE (exact int64 cast)
+      def m2(a: String, b: String) =
+        dec2dSql(s"sum(CAST($a AS DECIMAL(18,0)) * CAST($b AS DECIMAL(18,0)))", 0)
       def dir(label: String, yc: String, lyc: String, lxc: String) =
         s"""SELECT '$label' AS direction, n AS n_days,
            ${r6Sql("CASE WHEN abs(det) > 0.0 AND c11 > 0 AND rss_u > 0 AND n > 3 THEN b2 END")}
@@ -5732,17 +5758,17 @@ object Relational {
              (cy2 * c11 - cy1 * c12) / (c11 * c22 - c12 * c12) AS b2
            FROM (
            SELECT count(*) AS n,
-             CAST(sum(CAST($yc AS DECIMAL(18,0)) * CAST($yc AS DECIMAL(18,0))) AS DOUBLE)
+             ${m2(yc, yc)}
                - CAST(CAST(sum($yc) AS BIGINT) AS DOUBLE) * CAST(CAST(sum($yc) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cyy,
-             CAST(sum(CAST($lyc AS DECIMAL(18,0)) * CAST($lyc AS DECIMAL(18,0))) AS DOUBLE)
+             ${m2(lyc, lyc)}
                - CAST(CAST(sum($lyc) AS BIGINT) AS DOUBLE) * CAST(CAST(sum($lyc) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS c11,
-             CAST(sum(CAST($lxc AS DECIMAL(18,0)) * CAST($lxc AS DECIMAL(18,0))) AS DOUBLE)
+             ${m2(lxc, lxc)}
                - CAST(CAST(sum($lxc) AS BIGINT) AS DOUBLE) * CAST(CAST(sum($lxc) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS c22,
-             CAST(sum(CAST($lyc AS DECIMAL(18,0)) * CAST($lxc AS DECIMAL(18,0))) AS DOUBLE)
+             ${m2(lyc, lxc)}
                - CAST(CAST(sum($lyc) AS BIGINT) AS DOUBLE) * CAST(CAST(sum($lxc) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS c12,
-             CAST(sum(CAST($lyc AS DECIMAL(18,0)) * CAST($yc AS DECIMAL(18,0))) AS DOUBLE)
+             ${m2(lyc, yc)}
                - CAST(CAST(sum($lyc) AS BIGINT) AS DOUBLE) * CAST(CAST(sum($yc) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cy1,
-             CAST(sum(CAST($lxc AS DECIMAL(18,0)) * CAST($yc AS DECIMAL(18,0))) AS DOUBLE)
+             ${m2(lxc, yc)}
                - CAST(CAST(sum($lxc) AS BIGINT) AS DOUBLE) * CAST(CAST(sum($yc) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cy2
            FROM lagged)))"""
       s"""WITH daily AS (SELECT CAST(ts AS DATE) AS d,

@@ -47,4 +47,20 @@ class ContractSpec extends AnyFunSuite with SparkFixture {
   test("the flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("SURVEY.md and README.md declared-query counts match the key set") {
+    // The r11 341→340 drift was hand-synced twice (VERDICT r11 ask #8):
+    // the docs' headline counts are now asserted against the single
+    // source of truth, so adding a query without bumping both fails CI.
+    val n = SparkEntry.queries.size
+    def countsIn(path: String, re: scala.util.matching.Regex): Seq[Int] =
+      re.findAllMatchIn(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(path))).map(_.group(1).toInt).toSeq
+    val survey = countsIn("SURVEY.md", """\*\*(\d+) declared queries total""".r)
+    assert(survey == Seq(n),
+      s"SURVEY.md headline says $survey declared queries, key set has $n")
+    val readme = countsIn("README.md", """(\d+) declared queries""".r)
+    assert(readme.forall(_ == n),
+      s"README.md mentions counts $readme, key set has $n")
+  }
 }

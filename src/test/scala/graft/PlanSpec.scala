@@ -84,6 +84,25 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("graph_adamic_adar: the wedge-join probe rows stay two columns (weight rides the key)") {
+    // The 53.7 s → 9.6 s win (SOAK_r11 §4) hinges on the wedge probe row
+    // staying exactly (node, wk): every A/B'd spelling that carried the
+    // per-center weight as a THIRD column through the self-join hit a
+    // consistent ~3.5× cliff. A refactor that grows either side of the
+    // wk join fails here instead of silently costing the bench.
+    val plan = Dedup.graphAdamicAdar(spark, dir).queryExecution.sparkPlan
+    val wedge = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.leftKeys.exists(_.references.exists(_.name == "wk")) => j
+    }
+    assert(wedge.nonEmpty, s"wedge join keyed on wk not found:\n$plan")
+    wedge.foreach { j =>
+      assert(j.left.output.size == 2 && j.right.output.size == 2,
+        s"wedge probe row grew beyond two columns (the 3.5× cliff): " +
+          s"left=${j.left.output.map(_.name)} right=${j.right.output.map(_.name)}")
+    }
+  }
+
   test("join_range_binned: BETWEEN containment plans as a hash join on bin, no nested loop") {
     // The whole point of the bin bucketing: a pure-interval join with no
     // equi key would plan BroadcastNestedLoopJoin (every order against
