@@ -582,6 +582,12 @@ object Vector {
       spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     pqTrainEncodeOver(spark, embWithNrm(spark, dir))
 
+  /** Forensic hook for the perf scratch (NOT a declared query): forces
+    * the training+encode half of [[simsearchPq]] alone, so a bench drift
+    * can be attributed to train vs ADC-search. Returns the code count. */
+  private[ops] def pqTrainProbe(spark: SparkSession, dir: String): Long =
+    pqTrainEncode(spark, dir)._1.count()
+
   private def embWithNrm(spark: SparkSession, dir: String): DataFrame =
     emb(spark, dir)
       .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
