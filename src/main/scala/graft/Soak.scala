@@ -117,6 +117,87 @@ object Soak {
     df.write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
+  /** TPC-H-ish star-schema tables (round 12): the r11 sf0.1 sweep's only
+    * two REAL finds (bollinger ulp, PIT tie) were in the orders/lineitem
+    * families, which until now had no 10×-scale value gate because the
+    * soak corpus stopped at documents/embeddings/events. Distributions
+    * tools-side profiled from /root/testdata/sf0.1: everything is an
+    * INDEPENDENT uniform (all pairwise corrs < 0.002 measured), date
+    * spans FIXED across sf (orders 1995-01-01..2001-08-01, 2 405 days;
+    * per-day density grows with sf like the real table), prices are
+    * exact 2-decimal doubles (integer cents / 100), lines-per-order ≈
+    * Poisson(4) via 4n lines picking a uniform random orderkey.
+    * Date columns are TIMESTAMP_NTZ like the round-8+ fixtures. */
+  private def genOrders(spark: SparkSession, outDir: String, n: Long): Unit = {
+    def u(tag: String, m: Long) = pmod(xxhash64(col("id"), lit(tag)), lit(m))
+    val df = spark.range(0, n, 1, 32)
+      .select(
+        col("id").as("o_orderkey"),
+        u("cust", n / 10).as("o_custkey"),
+        element_at(array(lit("O"), lit("F"), lit("P")),
+          (u("st", 3) + 1).cast("int")).as("o_orderstatus"),
+        ((u("price", 49899228L) + 100191L).cast("double") / 100.0)
+          .as("o_totalprice"),
+        date_add(lit("1995-01-01").cast("date"), u("day", 2405).cast("int"))
+          .cast("timestamp_ntz").as("o_orderdate"),
+        element_at(array(lit("1-URGENT"), lit("2-HIGH"), lit("3-MEDIUM"),
+          lit("4-NOT SPECIFIED"), lit("5-LOW")),
+          (u("pri", 5) + 1).cast("int")).as("o_orderpriority"))
+    df.write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+  }
+
+  private def genLineitem(spark: SparkSession, outDir: String, n: Long,
+      nOrders: Long, nParts: Long): Unit = {
+    def u(tag: String, m: Long) = pmod(xxhash64(col("id"), lit(tag)), lit(m))
+    val df = spark.range(0, n, 1, 32)
+      .select(
+        u("ok", nOrders).as("l_orderkey"),
+        u("pk", nParts).as("l_partkey"),
+        u("sk", 100L).as("l_suppkey"),
+        (u("ln", 7) + 1).cast("int").as("l_linenumber"),
+        (u("qty", 50) + 1).cast("double").as("l_quantity"),
+        ((u("px", 10409924L) + 90068L).cast("double") / 100.0)
+          .as("l_extendedprice"),
+        (u("disc", 11).cast("double") / 100.0).as("l_discount"),
+        (u("tax", 9).cast("double") / 100.0).as("l_tax"),
+        element_at(array(lit("A"), lit("N"), lit("R")),
+          (u("rf", 3) + 1).cast("int")).as("l_returnflag"),
+        element_at(array(lit("F"), lit("O")),
+          (u("ls", 2) + 1).cast("int")).as("l_linestatus"),
+        date_add(lit("1995-01-02").cast("date"), u("ship", 2498).cast("int"))
+          .cast("timestamp_ntz").as("l_shipdate"))
+    df.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+  }
+
+  private def genCustomer(spark: SparkSession, outDir: String, n: Long): Unit = {
+    def u(tag: String, m: Long) = pmod(xxhash64(col("id"), lit(tag)), lit(m))
+    val df = spark.range(0, n, 1, 32)
+      .select(
+        col("id").as("c_custkey"),
+        concat(lit("Customer#"), col("id")).as("c_name"),
+        u("nat", 25).cast("int").as("c_nationkey"),
+        ((u("bal", 1100001L) - 100000L).cast("double") / 100.0)
+          .as("c_acctbal"),
+        element_at(array(lit("AUTOMOBILE"), lit("BUILDING"), lit("FURNITURE"),
+          lit("HOUSEHOLD"), lit("MACHINERY")),
+          (u("seg", 5) + 1).cast("int")).as("c_mktsegment"))
+    df.write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+  }
+
+  private def genPart(spark: SparkSession, outDir: String, n: Long): Unit = {
+    def u(tag: String, m: Long) = pmod(xxhash64(col("id"), lit(tag)), lit(m))
+    val df = spark.range(0, n, 1, 32)
+      .select(
+        col("id").as("p_partkey"),
+        concat(lit("part name "), u("nm", 64)).as("p_name"),
+        concat(lit("Brand#"), u("br", 25) + 1).as("p_brand"),
+        concat(lit("TYPE"), u("ty", 6)).as("p_type"),
+        (u("sz", 50) + 1).cast("int").as("p_size"),
+        ((u("rp", 10001L) + 90000L).cast("double") / 100.0)
+          .as("p_retailprice"))
+    df.write.mode("overwrite").parquet(s"$outDir/part.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -129,20 +210,29 @@ object Soak {
     // must never silently serve a scale-100 or sparse-vocab run — the
     // marker records what the data on disk was generated with.
     val vocab = sys.env.getOrElse("SPARK_GRAFT_SOAK_VOCAB", "30")
-    val params = s"scale=$scale vocab=$vocab"
+    // "tpch" marks the round-12 star-schema tables: a pre-r12 soak dir
+    // (valid documents/events, no orders) regenerates rather than
+    // silently serving a corpus without the new tables.
+    val params = s"scale=$scale vocab=$vocab tpch"
     val marker = new java.io.File(soakDir, "_gen_params")
     val upToDate = marker.exists() &&
       new java.io.File(s"$soakDir/documents.parquet").exists() &&
       new java.io.File(s"$soakDir/events.parquet").exists() &&
+      new java.io.File(s"$soakDir/orders.parquet").exists() &&
       java.nio.file.Files.readString(marker.toPath) == params
     if (!upToDate) {
       val t0 = System.nanoTime()
       genDocuments(spark, soakDir, 5000L * scale)
       genEmbeddings(spark, soakDir, 2000L * scale)
       genEvents(spark, soakDir, 100000L * scale, 1500L * scale)
+      genOrders(spark, soakDir, 150000L * scale)
+      genLineitem(spark, soakDir, 600000L * scale, 150000L * scale,
+        20000L * scale)
+      genCustomer(spark, soakDir, 15000L * scale)
+      genPart(spark, soakDir, 20000L * scale)
       new java.io.File(soakDir).mkdirs()
       java.nio.file.Files.writeString(marker.toPath, params)
-      println(f"[soak] generated ${5000L * scale} docs + ${2000L * scale} vecs + ${100000L * scale} events ($params) in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      println(f"[soak] generated ${5000L * scale} docs + ${2000L * scale} vecs + ${100000L * scale} events + ${150000L * scale} orders + ${600000L * scale} lineitem ($params) in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
 
     val defaultFamily = Seq("graph_triangles", "dedup_ngram_global",

@@ -3865,12 +3865,12 @@ object Relational {
     * SSB/SST. Shape at scale: sufficient statistics per group (n, Σx,
     * Σx² as exact decimals) off ONE scan; the sum-of-squares algebra
     * runs on the ≤k-row frame. The per-group term Σx_g²/n_g is a
-    * double, so it is rounded→DECIMAL(38,6) before the cross-group sum
-    * — the order-independence discipline for double terms. Rounding
-    * RESCALES FIRST: [[rp]]'s floor is a LONG in Spark, so a term t is
-    * quantized as rp(t/1e6, 6)·1e6 (units of 1 on a ~1e13 magnitude),
-    * keeping floor's argument far inside int64 up to extreme scale;
-    * the SS outputs are reported in millions for the same reason. */
+    * double, so it is floored→DECIMAL(38,0) before the cross-group sum
+    * — the order-independence discipline for double terms. The floor
+    * runs IN DOUBLE (tq − tq % 1.0, exact fmod — see the inline note):
+    * Spark's floor() returns LONG and silently corrupts past ~9.2e18
+    * dollars², which the term reaches before the design scale; the SS
+    * outputs are reported in millions for readability. */
   def aggAnovaF(spark: SparkSession, dir: String): DataFrame = {
     val d180 = org.apache.spark.sql.types.DecimalType(18, 0)
     val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
