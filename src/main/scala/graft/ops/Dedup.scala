@@ -1579,6 +1579,37 @@ object Dedup {
           .as("assortativity"))
   }
 
+  /** Per-node local clustering coefficient over the candidate graph —
+    * lcc(v) = closed wedges at v / all wedges at v = 2·tri(v)/(deg(v)·
+    * (deg(v)−1)), the node-level readout [[graphTriangles]]' global
+    * count can't give: lcc ≈ 1 flags a template CLIQUE (curate as one
+    * cluster), lcc ≈ 0 at high degree flags a shingle-collision hub
+    * (banding noise — the pairs are not mutually similar). Shape at
+    * scale: the SAME wedge self-join as [[graphCommonNeighbors]]
+    * (Σ deg(w)², bounded by the bands·cap degree ceiling) grouped by
+    * the CENTER instead of the pair, with closure tested by a left
+    * join against the canonical d1<d2 edge set; top-20 via
+    * TakeOrdered. Serves from the cached undirected/degree frames. */
+  def graphLocalClustering(spark: SparkSession, dir: String): DataFrame = {
+    val e = candGraphCached(spark, dir)
+    val (und, deg) = undDegCached(spark, dir)
+    val wedges = und.select(col("u").as("a"), col("v").as("ctr"))
+      .join(und.select(col("u").as("b"), col("v").as("ctr")), "ctr")
+      .filter(col("a") < col("b"))
+    val closed = wedges
+      .join(e.select(col("d1").as("a"), col("d2").as("b"),
+        lit(1L).as("cl")), Seq("a", "b"), "left")
+      .groupBy("ctr")
+      .agg(count(lit(1)).as("n_wedges"),
+        sum(coalesce(col("cl"), lit(0L))).as("n_closed"))
+    closed.join(deg.select(col("u").as("ctr"), col("deg")), "ctr")
+      .select(col("ctr").as("doc_id"), col("deg"), col("n_wedges"),
+        col("n_closed").as("n_triangles"),
+        r6(col("n_closed").cast("double") / col("n_wedges").cast("double"))
+          .as("lcc"))
+      .orderBy(desc("lcc"), desc("deg"), col("doc_id")).limit(20)
+  }
+
   /** Modularity Q of the 4-round LPA partition over the candidate-PAIR
     * graph — the quality number for [[graphLabelPropagation]]'s
     * communities: Q = Σ_c (L_c/m − (D_c/2m)²), the fraction of edges
@@ -1800,6 +1831,7 @@ object Dedup {
     "graph_common_neighbors" -> (graphCommonNeighbors _),
     "graph_adamic_adar" -> (graphAdamicAdar _),
     "graph_assortativity" -> (graphAssortativity _),
+    "graph_local_clustering" -> (graphLocalClustering _),
     "dedup_lsh_calibration" -> (dedupLshCalibration _),
     "graph_label_propagation" -> (graphLabelPropagation _),
     "dedup_chunk_minhash" -> (dedupChunkMinhash _),
@@ -2165,6 +2197,27 @@ object Dedup {
          LEFT JOIN (SELECT d1, d2, TRUE AS is_edge FROM pairs) p
            ON p.d1 = cn.a AND p.d2 = cn.b
          ORDER BY aa_score DESC, cn.a, cn.b LIMIT 20""",
+    "graph_local_clustering" ->
+      s"""WITH $graphBandPreambleSql,
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           FROM band a JOIN band b
+             ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         e AS MATERIALIZED (SELECT d1 AS u, d2 AS v FROM pairs
+           UNION ALL SELECT d2, d1 FROM pairs),
+         deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+         wcl AS (SELECT x.v AS ctr, count(*) AS n_wedges,
+           CAST(sum(CASE WHEN p.d1 IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_closed
+           FROM e x JOIN e y ON x.v = y.v AND x.u < y.u
+           LEFT JOIN pairs p ON p.d1 = x.u AND p.d2 = y.u
+           GROUP BY 1)
+         SELECT wcl.ctr AS doc_id, CAST(deg.deg AS BIGINT) AS deg,
+           CAST(wcl.n_wedges AS BIGINT) AS n_wedges, wcl.n_closed AS n_triangles,
+           ${r6Sql("CAST(wcl.n_closed AS DOUBLE) / CAST(wcl.n_wedges AS DOUBLE)")}
+             AS lcc
+         FROM wcl JOIN deg ON deg.u = wcl.ctr
+         ORDER BY lcc DESC, deg DESC, doc_id LIMIT 20""",
     "graph_assortativity" ->
       s"""WITH $graphBandPreambleSql,
          pairs AS MATERIALIZED (

@@ -1298,7 +1298,251 @@ object PipelineOps {
       .orderBy("shard_id")
   }
 
+  // ── round-12 manifest-replay family: the reference's daily pipeline
+  // semantics (A2 re-list, A5 empty guard, A6 top-1 pick, A7 seen-set)
+  // turned into OVER-TIME history queries ──────────────────────────────
+
+  /** Day-grain blob-manifest replay with a 90-day lifecycle TTL — the
+    * shared frame of the manifest family. The reference re-lists the
+    * WHOLE blob store every day (A2, ref `src/bak_unload.ps1:22-23`);
+    * replaying that listing over history turns its one-shot semantics
+    * into queryable operations data. Each order is a blob: uploaded on
+    * its orderdate, sized by its integer-cent price, named
+    * `backup_<yyyyMMdd>_<key%1e6 zero-padded>.zip` so lexicographic
+    * order ≡ (date, key) order — the A6 "latest = max name" contract
+    * (ref `:43-52`). A 90-day lifecycle policy deletes file f at
+    * upload+90, so day d's live manifest is the adds in (d−90, d].
+    * SHAPE AT SCALE: the per-day manifest is NEVER enumerated (a
+    * day × live-file expansion is |days|·|files|); one hash agg
+    * reduces the corpus to the per-day frame, and everything else is
+    * the churn identity live(d) = live(d−1) + added(d) − expired(d) —
+    * prefix windows over the model-sized day grid (gap days emit
+    * explicit zero rows via sequence(), the backlog-model discipline). */
+  private val ManifestTtlDays = 90
+  private def manifestDaily(spark: SparkSession, dir: String): DataFrame = {
+    val added = table(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("u"))
+      .agg(count(lit(1)).as("n_add"),
+        sum((col("o_totalprice").cast(Money) * 100).cast("long")).as("b_add"),
+        max(pmod(col("o_orderkey"), lit(1000000L))).as("k_max"))
+    val span = added.agg(min(col("u")).as("d0"), max(col("u")).as("d1"))
+    span.select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+      .join(added.withColumnRenamed("u", "d"), Seq("d"), "left")
+      .join(added.select(date_add(col("u"), ManifestTtlDays).as("d"),
+          col("n_add").as("n_exp"), col("b_add").as("b_exp")),
+        Seq("d"), "left")
+      .select(col("d"),
+        coalesce(col("n_add"), lit(0L)).as("n_add"),
+        coalesce(col("b_add"), lit(0L)).as("b_add"),
+        coalesce(col("n_exp"), lit(0L)).as("n_exp"),
+        coalesce(col("b_exp"), lit(0L)).as("b_exp"),
+        col("k_max"))
+  }
+
+  /** Manifest history: per day, files/bytes added, expired (TTL), and
+    * live, plus the churn ratio — what the reference's daily `azcopy
+    * list` would have seen, as a time series. See [[manifestDaily]] for
+    * the churn-identity shape argument. */
+  def manifestHistory(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    manifestDaily(spark, dir)
+      .withColumn("n_live", sum(col("n_add") - col("n_exp")).over(w))
+      .withColumn("b_live", sum(col("b_add") - col("b_exp")).over(w))
+      .select(dateS(col("d")).as("d"),
+        col("n_add").as("n_added"), col("n_exp").as("n_expired"),
+        col("n_live"), col("b_add").as("bytes_added"),
+        col("b_live").as("bytes_live"),
+        r6(when(col("n_live") > 0, (col("n_add") + col("n_exp"))
+          .cast("double") / col("n_live").cast("double"))).as("churn_ratio"))
+      .orderBy("d")
+  }
+
+  /** [[manifestDaily]] + the A6 pick: per day, the lexicographically
+    * greatest live filename. Names embed (date, key), so the per-day
+    * max name reduces to the per-day max key, and the pick over the
+    * live set is a 90-row sliding max over the DAY GRID — never a
+    * day × file expansion. max() skips nulls, so empty days inherit
+    * the window's latest file; a fully-empty window leaves a null pick
+    * (the A5 empty-guard case). */
+  private def manifestPickFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w90 = Window.orderBy("d").rowsBetween(-(ManifestTtlDays - 1), 0)
+    manifestDaily(spark, dir)
+      .withColumn("day_name",
+        when(col("k_max").isNotNull,
+          concat(lit("backup_"), date_format(col("d"), "yyyyMMdd"), lit("_"),
+            lpad(col("k_max").cast("string"), 6, "0"), lit(".zip"))))
+      .withColumn("pick", max(col("day_name")).over(w90))
+  }
+
+  /** A6 over time: what the reference's sort-desc-top-1 would pick on
+    * each day, with the pick's age — the freshness readout its runbook
+    * asks for. Age can step UP when the latest file expires before a
+    * newer one arrives (the pick legitimately regresses to an older
+    * live file). */
+  def manifestPick(spark: SparkSession, dir: String): DataFrame = {
+    val pickDate = to_date(substring(col("pick"), 8, 8), "yyyyMMdd")
+    manifestPickFrame(spark, dir)
+      .select(dateS(col("d")).as("d"), col("pick"),
+        datediff(col("d"), pickDate).cast("long").as("pick_age_days"),
+        (col("pick").isNotNull && datediff(col("d"), pickDate) > 0)
+          .as("is_stale"))
+      .orderBy("d")
+  }
+
+  /** A7 over time: replay the seen-set ledger. Each daily run imports
+    * its pick iff it differs from the last imported name (the
+    * reference's one-line state file, ref `src/bak_unload.ps1:57-66`);
+    * a null pick is the A5 abort (no import, but the run still counts).
+    * Output: per-day pick, imported flag, cumulative imports, and the
+    * re-list efficiency (imports per run — how much of the daily
+    * re-listing the seen-set check discards). One lag + two prefix
+    * windows over the day grid. */
+  def seenLedger(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.orderBy("d")
+    val acc = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    manifestPickFrame(spark, dir)
+      .withColumn("prev", lag(col("pick"), 1).over(ord))
+      .withColumn("imported",
+        col("pick").isNotNull &&
+          (col("prev").isNull || col("pick") =!= col("prev")))
+      .withColumn("runs_todate", row_number().over(ord).cast("long"))
+      .withColumn("imports_todate",
+        sum(col("imported").cast("long")).over(acc))
+      .select(dateS(col("d")).as("d"), col("pick"), col("imported"),
+        col("imports_todate"), col("runs_todate"),
+        r6(col("imports_todate").cast("double") /
+          col("runs_todate").cast("double")).as("import_rate"))
+      .orderBy("d")
+  }
+
+  /** A5's rejected rows, accounted: per (ship day, reason), how many
+    * lineitem rows a quarantine policy would dead-letter, with the
+    * day's reject rate. Reasons are MULTI-LABEL (one row can trip
+    * several checks — each lands in its own ledger row, the dead-letter
+    * convention that keeps per-reason counts reconcilable), spelled as
+    * an array of when()s filtered non-null then exploded; day totals
+    * (including clean rows) come from a day-grain twin agg joined on
+    * the date, never a second corpus scan per reason. */
+  def deadLetterDaily(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "lineitem")
+      .select(to_date(col("l_shipdate")).as("d"),
+        array(
+          when(col("l_quantity") >= 49, lit("qty_ceiling")),
+          when(col("l_discount") > 0.08, lit("deep_discount")),
+          when(col("l_tax") === 0.0, lit("zero_tax"))).as("rs"))
+    val tot = base.groupBy("d").agg(count(lit(1)).as("n_day"))
+    base
+      .select(col("d"),
+        explode(expr("filter(rs, x -> x IS NOT NULL)")).as("reason"))
+      .groupBy("d", "reason").agg(count(lit(1)).as("n_rejected"))
+      .join(tot, "d")
+      .select(dateS(col("d")).as("d"), col("reason"), col("n_rejected"),
+        r6(col("n_rejected").cast("double") / col("n_day").cast("double"))
+          .as("reject_rate"))
+      .orderBy("d", "reason")
+  }
+
+  /** From gap detection to an EXECUTABLE backfill plan: days with no
+    * urgent-F order (a naturally incomplete slice at every sf — the
+    * urgent∧F probability is 1/15 per order) are grouped into
+    * contiguous runs via the date-minus-row-number islands trick, and
+    * each run is chunked into ≤7-day batches — the shape a scheduler
+    * consumes. The island/chunk windows run over the ≤|days| missing
+    * frame (model-sized: the day grid is calendar-bounded); the only
+    * corpus-sized work is one distinct + one anti join. */
+  def backfillPlan(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val observed = o
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderstatus") === "F")
+      .select(to_date(col("o_orderdate")).as("d")).distinct()
+    val span = o.agg(to_date(min(col("o_orderdate"))).as("d0"),
+      to_date(max(col("o_orderdate"))).as("d1"))
+    val missing = span
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+      .join(observed, Seq("d"), "left_anti")
+    val ord = Window.orderBy("d")
+    val batches = missing
+      .withColumn("island", date_sub(col("d"), row_number().over(ord)))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("island").orderBy("d")))
+      .withColumn("chunk", expr("(pos - 1) div 7"))
+      .groupBy("island", "chunk")
+      .agg(min(col("d")).as("b0"), max(col("d")).as("b1"),
+        count(lit(1)).as("n_days"))
+    batches
+      .withColumn("island_start",
+        min(col("b0")).over(Window.partitionBy("island")))
+      .select(dateS(col("b0")).as("batch_start"),
+        dateS(col("b1")).as("batch_end"), col("n_days"),
+        dateS(col("island_start")).as("island_start"))
+      .orderBy("batch_start")
+  }
+
+  /** Engine-portable Bloom-filter false-positive audit — the
+    * [[Dedup.lshCalibration]] genre for the bloom-prefilter family:
+    * build the SAME word-bitmap bloom at three sizings (k = 3 md5-seeded
+    * hashes into 63-bit words, the [[bitmapIndex]] layout) over the
+    * urgent-F customer set, probe with EVERY customer, and report the
+    * measured FPP per sizing. Spark's native bloom
+    * ([[Relational.joinBloomPrefilter]]) has no DuckDB twin, so this
+    * audit spells the filter entirely in md5 + integer ops both engines
+    * share — which is also what makes it portable to any engine a
+    * 100 TB pipeline hands these words to. Membership probes join the
+    * broadcast word frame (≤ 1 344 rows); no false negative is possible
+    * by construction (asserted in the spec). */
+  def bloomFppAudit(spark: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val sizings = Seq(64L, 256L, 1024L) // 63-bit words per filter
+    def hashL(key: Column, i: Int): Column =
+      conv(substring(md5(concat(lit(s"bf$i|"), key.cast("string"))
+        .cast("binary")), 1, 12), 16, 10).cast("long")
+    def withBits(df: DataFrame): DataFrame = df
+      .select(col("key"), col("nb"),
+        explode(array((0 until k).map(i =>
+          pmod(hashL(col("key"), i), col("nb") * lit(63L))): _*)).as("idx"))
+      .select(col("key"), col("nb"), expr("idx div 63").as("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 63 AS INT))").as("mask"))
+    val members = table(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F" &&
+        col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("key")).distinct()
+    val sizs = array(sizings.map(lit): _*)
+    val words = withBits(members.select(col("key"), explode(sizs).as("nb")))
+      .groupBy("nb", "bucket").agg(expr("bit_or(mask)").as("w"))
+    val probes = table(spark, dir, "customer")
+      .select(col("c_custkey").as("key"), explode(sizs).as("nb"))
+    val maybe = withBits(probes)
+      .join(broadcast(words), Seq("nb", "bucket"), "left")
+      .select(col("nb"), col("key"),
+        when(col("w").isNotNull && (col("w").bitwiseAND(col("mask"))) =!= 0,
+          1L).otherwise(0L).as("hit"))
+      .groupBy("nb", "key").agg((sum(col("hit")) === k).as("maybe"))
+    maybe
+      .join(members.withColumn("is_member", lit(true)), Seq("key"), "left")
+      .groupBy("nb").agg(
+        count(lit(1)).as("n_probes"),
+        sum(when(col("is_member"), 1L).otherwise(0L)).as("n_members"),
+        sum(when(coalesce(col("is_member"), lit(false)) === false &&
+          col("maybe"), 1L).otherwise(0L)).as("n_fp"),
+        sum(when(coalesce(col("is_member"), lit(false)) === false, 1L)
+          .otherwise(0L)).as("n_nonmembers"))
+      .select((col("nb") * 63).as("m_bits"), col("n_members"),
+        col("n_nonmembers"), col("n_fp"),
+        r6(when(col("n_nonmembers") > 0,
+          col("n_fp").cast("double") / col("n_nonmembers").cast("double")))
+          .as("fpp"))
+      .orderBy("m_bits")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_manifest_history" -> (manifestHistory _),
+    "pipe_manifest_pick" -> (manifestPick _),
+    "pipe_seen_ledger" -> (seenLedger _),
+    "pipe_dead_letter_daily" -> (deadLetterDaily _),
+    "pipe_backfill_plan" -> (backfillPlan _),
+    "pipe_bloom_fpp_audit" -> (bloomFppAudit _),
     "pipe_shard_plan" -> (pipeShardPlan _),
     "pipe_mixture_weights" -> (pipeMixtureWeights _),
     "pipe_gdpr_forget" -> (pipeGdprForget _),
@@ -1340,7 +1584,157 @@ object PipelineOps {
     "pipe_quarantine_split" -> (quarantineSplit _),
     "pipe_sample_topk_hash" -> (sampleTopkHash _))
 
+  /** Shared manifest-replay CTEs (oracle twin of [[manifestDaily]] +
+    * [[manifestPickFrame]]): per-day adds with the max zero-padded key
+    * name, the full day grid, the TTL-shifted expirations, and the
+    * 90-day sliding pick. */
+  private def manifestSqlPreamble: String =
+    s"""added AS (SELECT CAST(o_orderdate AS DATE) AS u, count(*) AS n_add,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+           AS BIGINT) AS b_add,
+         CAST(max(o_orderkey % 1000000) AS BIGINT) AS k_max
+         FROM orders GROUP BY 1),
+       span AS (SELECT min(u) AS d0, max(u) AS d1 FROM added),
+       grid AS (SELECT CAST(unnest(generate_series(d0, d1,
+           INTERVAL 1 DAY)) AS DATE) AS d FROM span),
+       m AS (SELECT g.d,
+         coalesce(a.n_add, 0) AS n_add, coalesce(a.b_add, 0) AS b_add,
+         coalesce(e.n_add, 0) AS n_exp, coalesce(e.b_add, 0) AS b_exp,
+         a.k_max
+         FROM grid g
+         LEFT JOIN added a ON a.u = g.d
+         LEFT JOIN added e ON e.u + $ManifestTtlDays = g.d),
+       pk AS (SELECT *,
+         max(CASE WHEN k_max IS NOT NULL THEN
+           'backup_' || strftime(d, '%Y%m%d') || '_' ||
+           lpad(CAST(k_max AS VARCHAR), 6, '0') || '.zip' END)
+           OVER (ORDER BY d ROWS BETWEEN ${ManifestTtlDays - 1} PRECEDING
+             AND CURRENT ROW) AS pick
+         FROM m)"""
+
   val oracleSql: Map[String, String] = Map(
+    "pipe_manifest_history" ->
+      s"""WITH $manifestSqlPreamble,
+         r AS (SELECT d, n_add, n_exp, b_add,
+           CAST(sum(n_add - n_exp) OVER w AS BIGINT) AS n_live,
+           CAST(sum(b_add - b_exp) OVER w AS BIGINT) AS b_live
+           FROM m WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW))
+         SELECT strftime(d, '%Y-%m-%d') AS d,
+           CAST(n_add AS BIGINT) AS n_added, CAST(n_exp AS BIGINT) AS n_expired,
+           n_live, CAST(b_add AS BIGINT) AS bytes_added, b_live AS bytes_live,
+           ${r6Sql("CASE WHEN n_live > 0 THEN CAST(n_add + n_exp AS DOUBLE) / CAST(n_live AS DOUBLE) END")}
+             AS churn_ratio
+         FROM r ORDER BY d""",
+    "pipe_manifest_pick" ->
+      s"""WITH $manifestSqlPreamble
+         SELECT strftime(d, '%Y-%m-%d') AS d, pick,
+           CAST(date_diff('day',
+             CAST(strptime(substr(pick, 8, 8), '%Y%m%d') AS DATE), d)
+             AS BIGINT) AS pick_age_days,
+           pick IS NOT NULL AND date_diff('day',
+             CAST(strptime(substr(pick, 8, 8), '%Y%m%d') AS DATE), d) > 0
+             AS is_stale
+         FROM pk ORDER BY d""",
+    "pipe_seen_ledger" ->
+      s"""WITH $manifestSqlPreamble,
+         l AS (SELECT d, pick,
+           pick IS NOT NULL AND (lag(pick) OVER (ORDER BY d) IS NULL
+             OR pick <> lag(pick) OVER (ORDER BY d)) AS imported,
+           row_number() OVER (ORDER BY d) AS runs_todate
+           FROM pk),
+         c AS (SELECT *,
+           CAST(sum(CASE WHEN imported THEN 1 ELSE 0 END)
+             OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND
+               CURRENT ROW) AS BIGINT) AS imports_todate
+           FROM l)
+         SELECT strftime(d, '%Y-%m-%d') AS d, pick, imported,
+           imports_todate, runs_todate,
+           ${r6Sql("CAST(imports_todate AS DOUBLE) / CAST(runs_todate AS DOUBLE)")}
+             AS import_rate
+         FROM c ORDER BY d""",
+    "pipe_dead_letter_daily" ->
+      s"""WITH base AS (SELECT CAST(l_shipdate AS DATE) AS d,
+           [CASE WHEN l_quantity >= 49 THEN 'qty_ceiling' END,
+            CASE WHEN l_discount > 0.08 THEN 'deep_discount' END,
+            CASE WHEN l_tax = 0.0 THEN 'zero_tax' END] AS rs
+           FROM lineitem),
+         tot AS (SELECT d, count(*) AS n_day FROM base GROUP BY 1),
+         rej AS (SELECT d,
+           unnest(list_filter(rs, x -> x IS NOT NULL)) AS reason
+           FROM base),
+         g AS (SELECT d, reason, count(*) AS n_rejected
+           FROM rej GROUP BY 1, 2)
+         SELECT strftime(g.d, '%Y-%m-%d') AS d, reason,
+           n_rejected,
+           ${r6Sql("CAST(n_rejected AS DOUBLE) / CAST(n_day AS DOUBLE)")}
+             AS reject_rate
+         FROM g JOIN tot ON tot.d = g.d
+         ORDER BY d, reason""",
+    "pipe_backfill_plan" ->
+      s"""WITH observed AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d
+           FROM orders
+           WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'),
+         span AS (SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+           CAST(max(o_orderdate) AS DATE) AS d1 FROM orders),
+         missing AS (SELECT g.d FROM (SELECT CAST(unnest(generate_series(
+             d0, d1, INTERVAL 1 DAY)) AS DATE) AS d FROM span) g
+           WHERE NOT EXISTS (SELECT 1 FROM observed o WHERE o.d = g.d)),
+         isl AS (SELECT d,
+           d - CAST(row_number() OVER (ORDER BY d) AS INTEGER) AS island
+           FROM missing),
+         pos AS (SELECT d, island,
+           (row_number() OVER (PARTITION BY island ORDER BY d) - 1) // 7
+             AS chunk
+           FROM isl),
+         b AS (SELECT island, chunk, min(d) AS b0, max(d) AS b1,
+           count(*) AS n_days FROM pos GROUP BY 1, 2),
+         f AS (SELECT *, min(b0) OVER (PARTITION BY island) AS island_start
+           FROM b)
+         SELECT strftime(b0, '%Y-%m-%d') AS batch_start,
+           strftime(b1, '%Y-%m-%d') AS batch_end, n_days,
+           strftime(island_start, '%Y-%m-%d') AS island_start
+         FROM f ORDER BY batch_start""",
+    "pipe_bloom_fpp_audit" -> {
+      def hashSql(i: Int) =
+        s"CAST(('0x' || substr(md5('bf$i|' || CAST(key AS VARCHAR)), 1, 12)) AS BIGINT)"
+      val idxRows = (0 until 3)
+        .map(i => s"(${hashSql(i)} % (nb * 63))").mkString("[", ", ", "]")
+      s"""WITH members AS (SELECT DISTINCT o_custkey AS key FROM orders
+           WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'),
+         sizs AS (SELECT unnest([64, 256, 1024]) AS nb),
+         mbits AS (SELECT key, nb, unnest($idxRows) AS idx
+           FROM members CROSS JOIN sizs),
+         words AS (SELECT nb, idx // 63 AS bucket,
+           bit_or(CAST(1 AS BIGINT) << CAST(idx % 63 AS INTEGER)) AS w
+           FROM mbits GROUP BY 1, 2),
+         pbits AS (SELECT key, nb, unnest($idxRows) AS idx
+           FROM (SELECT c_custkey AS key FROM customer) CROSS JOIN sizs),
+         hits AS (SELECT p.nb, p.key,
+           CASE WHEN w.w IS NOT NULL
+             AND (w.w & (CAST(1 AS BIGINT) << CAST(p.idx % 63 AS INTEGER))) <> 0
+             THEN 1 ELSE 0 END AS hit
+           FROM pbits p LEFT JOIN words w
+             ON w.nb = p.nb AND w.bucket = p.idx // 63),
+         mb AS (SELECT nb, key, sum(hit) = 3 AS maybe
+           FROM hits GROUP BY 1, 2),
+         t AS (SELECT mb.nb, mb.key, mb.maybe,
+           m.key IS NOT NULL AS is_member
+           FROM mb LEFT JOIN members m ON m.key = mb.key),
+         agg AS (SELECT nb, count(*) AS n_probes,
+           CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_members,
+           CAST(sum(CASE WHEN NOT is_member AND maybe THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_fp,
+           CAST(sum(CASE WHEN NOT is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nonmembers
+           FROM t GROUP BY 1)
+         SELECT CAST(nb * 63 AS BIGINT) AS m_bits, n_members, n_nonmembers,
+           n_fp,
+           ${r6Sql("CASE WHEN n_nonmembers > 0 THEN CAST(n_fp AS DOUBLE) / CAST(n_nonmembers AS DOUBLE) END")}
+             AS fpp
+         FROM agg ORDER BY m_bits"""
+    },
     // the textbook single-window prefix sum — the equivalence proof for
     // the engine's two-level distributed spelling
     "pipe_shard_plan" ->

@@ -4233,6 +4233,65 @@ object Relational {
       .orderBy("d")
   }
 
+  /** Sweep-line interval UNION per (event_type, day) — the segment-union
+    * measure ("how many seconds of the day had at least one active
+    * interval of this type, and how concurrent were they?") computed
+    * WITHOUT enumerating overlaps: a pairwise overlap join is quadratic
+    * in the per-day density, while the sweep is linear — every interval
+    * contributes a +1 boundary at its start and a −1 at its end, a
+    * running counter c tracks concurrency, and the covered time is the
+    * sum of boundary gaps where c > 0. Each event opens a 5-minute
+    * activity interval; intervals crossing midnight are SPLIT at the
+    * boundary, which is exactly what makes the (type, day) partitions
+    * independent — the decomposition unit a 100 TB run would shard on
+    * (finer chunks with boundary stitching are the next rung; within a
+    * partition the sweep is inherently sequential). Tie safety: equal
+    * boundary times order arbitrarily, but a gap is non-zero only on a
+    * tie-group's LAST row, where the running sum includes the whole
+    * group regardless of intra-group order — the aggregate is
+    * deterministic without a total order. */
+  def aggIntervalUnion(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ev = table(spark, dir, "events")
+      .select(col("event_type").as("t"), unix_micros(col("ts")).as("s"))
+      .withColumn("e", col("s") + lit(300000000L))
+    val mid = (expr("s div 86400000000") + lit(1L)) * lit(dayUs)
+    val segs = ev
+      .select(col("t"), explode(array(
+        struct(col("s").as("ss"), least(col("e"), mid).as("ee")),
+        struct(mid.as("ss"),
+          when(col("e") > mid, col("e")).as("ee")))).as("seg"))
+      .select(col("t"), col("seg.ss").as("ss"), col("seg.ee").as("ee"))
+      .filter(col("ee").isNotNull && col("ee") > col("ss"))
+      .withColumn("day", expr("ss div 86400000000"))
+    val busy = segs.groupBy("t", "day")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("ee") - col("ss")).as("busy_us"))
+    val bounds = segs.select(col("t"), col("day"), explode(array(
+        struct(col("ss").as("bt"), lit(1L).as("delta")),
+        struct(col("ee").as("bt"), lit(-1L).as("delta")))).as("b"))
+      .select(col("t"), col("day"), col("b.bt").as("bt"),
+        col("b.delta").as("delta"))
+    val ord = Window.partitionBy("t", "day").orderBy(col("bt"), desc("delta"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cov = bounds
+      .withColumn("c", sum(col("delta")).over(run))
+      .withColumn("nxt", lead(col("bt"), 1).over(ord))
+      .select(col("t"), col("day"),
+        when(col("c") > 0 && col("nxt").isNotNull, col("nxt") - col("bt"))
+          .otherwise(lit(0L)).as("gap"))
+      .groupBy("t", "day").agg(sum(col("gap")).as("covered_us"))
+    busy.join(cov, Seq("t", "day"))
+      .select(col("t").as("event_type"),
+        dateS(timestamp_micros(col("day") * lit(dayUs))).as("d"),
+        col("n_intervals"), col("busy_us"), col("covered_us"),
+        r4(col("busy_us").cast("double") / col("covered_us").cast("double"))
+          .as("avg_concurrency"),
+        r6(col("covered_us").cast("double") / lit(86400000000.0))
+          .as("day_share"))
+      .orderBy("event_type", "d")
+  }
+
   /** In-plan exact median by explicit rank selection: row_number the
     * values, keep ranks floor((m+1)/2) and floor(m/2)+1 (equal when m
     * is odd), average them — the engine-neutral median (no
@@ -4882,6 +4941,7 @@ object Relational {
     "agg_ols_multi" -> (aggOlsMulti _),
     "agg_spearman" -> (aggSpearman _),
     "agg_anova_f" -> (aggAnovaF _),
+    "agg_interval_union" -> (aggIntervalUnion _),
     "agg_kendall_tau" -> (aggKendallTau _),
     "window_bollinger" -> (windowBollinger _),
     "window_rsi" -> (windowRsi _),
@@ -5567,6 +5627,44 @@ object Relational {
            ${r6Sql("CASE WHEN vu > 0 AND vv > 0 THEN cov / (sqrt(vu) * sqrt(vv)) END")}
              AS rho_spearman
          FROM f""",
+    "agg_interval_union" ->
+      s"""WITH ev AS (SELECT event_type AS t, epoch_us(ts) AS s,
+           epoch_us(ts) + 300000000 AS e,
+           ((epoch_us(ts) // 86400000000) + 1) * 86400000000 AS mid
+           FROM ${evSql()}),
+         segs AS (
+           SELECT t, s AS ss, least(e, mid) AS ee FROM ev
+           WHERE least(e, mid) > s
+           UNION ALL
+           SELECT t, mid AS ss, e AS ee FROM ev WHERE e > mid),
+         segd AS (SELECT t, ss, ee, ss // 86400000000 AS day FROM segs),
+         busy AS (SELECT t, day, count(*) AS n_intervals,
+           CAST(sum(ee - ss) AS BIGINT) AS busy_us
+           FROM segd GROUP BY 1, 2),
+         bounds AS (
+           SELECT t, day, ss AS bt, 1 AS delta FROM segd
+           UNION ALL
+           SELECT t, day, ee AS bt, -1 AS delta FROM segd),
+         sw AS (SELECT t, day, bt,
+           CAST(sum(delta) OVER (PARTITION BY t, day
+             ORDER BY bt, delta DESC ROWS BETWEEN UNBOUNDED PRECEDING AND
+             CURRENT ROW) AS BIGINT) AS c,
+           lead(bt, 1) OVER (PARTITION BY t, day ORDER BY bt, delta DESC)
+             AS nxt
+           FROM bounds),
+         cov AS (SELECT t, day,
+           CAST(sum(CASE WHEN c > 0 AND nxt IS NOT NULL THEN nxt - bt
+             ELSE 0 END) AS BIGINT) AS covered_us
+           FROM sw GROUP BY 1, 2)
+         SELECT b.t AS event_type,
+           strftime(make_timestamp(b.day * 86400000000), '%Y-%m-%d') AS d,
+           b.n_intervals, b.busy_us, c.covered_us,
+           ${r4Sql("CAST(b.busy_us AS DOUBLE) / CAST(c.covered_us AS DOUBLE)")}
+             AS avg_concurrency,
+           ${r6Sql("CAST(c.covered_us AS DOUBLE) / 86400000000.0")}
+             AS day_share
+         FROM busy b JOIN cov c ON c.t = b.t AND c.day = b.day
+         ORDER BY event_type, d""",
     "agg_anova_f" ->
       s"""WITH o AS (SELECT o_orderpriority AS grp,
            CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS xc

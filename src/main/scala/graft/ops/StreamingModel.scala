@@ -286,7 +286,87 @@ object StreamingModel {
       .orderBy("win_start")
   }
 
+  /** Per-MICRO-BATCH watermark progression — the semantics Structured
+    * Streaming actually runs (the watermark advances once per batch, to
+    * max-event-time-seen minus the delay, and applies to the NEXT
+    * batch), where [[lateFilter]] models the row-granular idealization.
+    * Batches are arrival chunks of 5 000 events (event_id is arrival
+    * order). Output per batch: rows, the watermark IN FORCE during the
+    * batch, rows it would drop, and how far the watermark advanced.
+    * Shape at scale: one hash agg to the batch frame; the prefix max
+    * runs over #batches rows — bounded by STREAM RUNTIME (one batch per
+    * trigger interval), not data volume: more data means fatter
+    * batches, not more of them. The drop count re-joins the batch frame
+    * to the corpus on batch_id (AQE-broadcast while small). */
+  def watermarkAdvance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(expr("event_id div 5000").as("batch_id"),
+        unix_micros(col("ts")).as("t_us"))
+    val b = ev.groupBy("batch_id")
+      .agg(count(lit(1)).as("n_rows"), max(col("t_us")).as("b_max"))
+    val prev = Window.orderBy("batch_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wm = b
+      .withColumn("wm_us", max(col("b_max")).over(prev) - lit(3600000000L))
+      // integer div (not /): both engines truncate identically on longs
+      .withColumn("adv_s", expr(
+        "(wm_us - lag(wm_us, 1) OVER (ORDER BY batch_id)) div 1000000"))
+    ev.join(wm, "batch_id")
+      .groupBy(col("batch_id"), col("n_rows"), col("wm_us"), col("adv_s"))
+      .agg(sum(when(col("t_us") < col("wm_us"), 1L).otherwise(0L))
+        .as("n_dropped"))
+      .select(col("batch_id"), col("n_rows"),
+        tsS(timestamp_micros(col("wm_us"))).as("wm_s"),
+        col("n_dropped"), col("adv_s").as("wm_advance_s"))
+      .orderBy("batch_id")
+  }
+
+  /** State-store sizing model for session windows — the capacity
+    * question a streaming job must answer before it runs: how many
+    * session-state rows does `session_window(ts, '30 minutes')` hold
+    * over time? A session's state row exists from its first event until
+    * the gap timeout expires (last event + 30 min). Per hour: states
+    * opened, states expired, and the net held at hour end — prefix sums
+    * over the calendar-bounded hour grid ([[backlogModel]] discipline),
+    * with the sessions themselves derived by the [[sessionGap]] state
+    * machine (partitioned windows only). */
+  def stateSize(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val acc = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(order))
+    val sess = table(spark, dir, "events")
+      .withColumn("new_sess",
+        when(gapUs.isNull || gapUs > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(acc))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(unix_micros(col("ts"))).as("t0"),
+        max(unix_micros(col("ts"))).as("t1"))
+      .select(expr("t0 div 3600000000").as("h_open"),
+        expr("(t1 + 1800000000) div 3600000000").as("h_close"))
+    val opens = sess.groupBy(col("h_open").as("h"))
+      .agg(count(lit(1)).as("n_opened"))
+    val closes = sess.groupBy(col("h_close").as("h"))
+      .agg(count(lit(1)).as("n_closed"))
+    val span = sess.agg(min(col("h_open")).as("h0"), max(col("h_close")).as("h1"))
+    val w = Window.orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    span.select(explode(expr("sequence(h0, h1)")).as("h"))
+      .join(opens, Seq("h"), "left")
+      .join(closes, Seq("h"), "left")
+      .select(col("h"), coalesce(col("n_opened"), lit(0L)).as("n_opened"),
+        coalesce(col("n_closed"), lit(0L)).as("n_closed"))
+      .withColumn("state_rows",
+        sum(col("n_opened") - col("n_closed")).over(w))
+      .select(
+        date_format(timestamp_micros(col("h") * 3600000000L),
+          "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("n_opened"), col("n_closed"), col("state_rows"))
+      .orderBy("hour")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_watermark_advance" -> (watermarkAdvance _),
+    "stream_state_size" -> (stateSize _),
     "stream_backlog_model" -> (backlogModel _),
     "stream_decay_topk" -> (decayTopk _),
     "stream_cdc_apply" -> (cdcApply _),
@@ -298,6 +378,63 @@ object StreamingModel {
     "stream_late_filter" -> (lateFilter _))
 
   val oracleSql: Map[String, String] = Map(
+    "stream_watermark_advance" ->
+      s"""WITH ev AS (SELECT event_id // 5000 AS batch_id,
+           epoch_us(ts) AS t_us FROM ${evSql()}),
+         b AS (SELECT batch_id, count(*) AS n_rows, max(t_us) AS b_max
+           FROM ev GROUP BY 1),
+         wm AS (SELECT batch_id, n_rows,
+           max(b_max) OVER (ORDER BY batch_id ROWS BETWEEN UNBOUNDED
+             PRECEDING AND 1 PRECEDING) - 3600000000 AS wm_us
+           FROM b),
+         wm2 AS (SELECT *,
+           (wm_us - lag(wm_us, 1) OVER (ORDER BY batch_id)) // 1000000
+             AS adv_s
+           FROM wm),
+         d AS (SELECT w.batch_id, w.n_rows, w.wm_us, w.adv_s,
+           CAST(sum(CASE WHEN e.t_us < w.wm_us THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dropped
+           FROM wm2 w JOIN ev e ON e.batch_id = w.batch_id
+           GROUP BY 1, 2, 3, 4)
+         SELECT batch_id, n_rows,
+           strftime(make_timestamp(wm_us), '%Y-%m-%d %H:%M:%S.%f') AS wm_s,
+           n_dropped, CAST(adv_s AS BIGINT) AS wm_advance_s
+         FROM d ORDER BY batch_id""",
+    "stream_state_size" ->
+      s"""WITH s AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS new_sess
+           FROM ${evSql()}
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         t AS (SELECT user_id, ts,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+               CURRENT ROW) AS BIGINT) AS sess_id
+           FROM s),
+         sess AS (SELECT epoch_us(min(ts)) // 3600000000 AS h_open,
+             (epoch_us(max(ts)) + 1800000000) // 3600000000 AS h_close
+           FROM t GROUP BY user_id, sess_id),
+         opens AS (SELECT h_open AS h, count(*) AS n_opened
+           FROM sess GROUP BY 1),
+         closes AS (SELECT h_close AS h, count(*) AS n_closed
+           FROM sess GROUP BY 1),
+         span AS (SELECT min(h_open) AS h0, max(h_close) AS h1 FROM sess),
+         grid AS (SELECT unnest(generate_series(h0, h1)) AS h FROM span),
+         r AS (SELECT g.h, coalesce(o.n_opened, 0) AS n_opened,
+             coalesce(c.n_closed, 0) AS n_closed
+           FROM grid g LEFT JOIN opens o ON o.h = g.h
+           LEFT JOIN closes c ON c.h = g.h),
+         f AS (SELECT h, n_opened, n_closed,
+           CAST(sum(n_opened - n_closed) OVER (ORDER BY h ROWS BETWEEN
+             UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS state_rows
+           FROM r)
+         SELECT strftime(make_timestamp(h * 3600000000),
+             '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(n_opened AS BIGINT) AS n_opened,
+           CAST(n_closed AS BIGINT) AS n_closed, state_rows
+         FROM f ORDER BY hour""",
     "stream_backlog_model" ->
       s"""WITH hr AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n
            FROM ${evSql()} GROUP BY 1),
