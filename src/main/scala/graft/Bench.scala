@@ -59,7 +59,7 @@ object Bench {
       // once (Dedup.candGraphCached) — iteration 1 pays the banding
       // build, later ones serve from the checkpointed edges
       "graph_triangles", "graph_kcore", "graph_common_neighbors",
-      "graph_adamic_adar", "graph_assortativity",
+      "graph_adamic_adar", "graph_assortativity", "graph_local_clustering",
       "graph_pagerank", "graph_label_propagation",
       "graph_modularity", "graph_bfs_layers", "graph_degree_stats",
       "dedup_threshold_sweep", "dedup_source_overlap", "dedup_rate_report")

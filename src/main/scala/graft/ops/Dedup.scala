@@ -780,15 +780,29 @@ object Dedup {
     * array_intersect per edge — no wedge shuffle) is 1.3–2.2× SLOWER:
     * at ~60-out-neighbor density the codegen'd shuffle join beats
     * per-row collection ops in the JVM. The 3-way join stays. */
+  /** Write-once per-corpus PER-NODE triangle counts — the node-iterator
+    * 3-way join's Θ(#triangles) enumeration is the dominant cost of BOTH
+    * triangle consumers ([[graphTriangles]] ranks by count,
+    * [[graphLocalClustering]] by coefficient), and the reduced per-node
+    * frame is ≤|nodes| rows: exactly the build/serve split the edge
+    * cache already follows. */
+  private[ops] def triPerNodeCached(
+      spark: SparkSession, dir: String): DataFrame = {
+    val e = candGraphCached(spark, dir)
+    val key = "tri|" + dirContentKey(dir, "documents.parquet")
+    candGraphCache.computeIfAbsent(key, _ => {
+      val ab = e.select(col("d1").as("a"), col("d2").as("b"))
+      val bc = e.select(col("d1").as("b"), col("d2").as("c"))
+      val ac = e.select(col("d1").as("a"), col("d2").as("c"))
+      iterCheckpoint(ab.join(bc, "b").join(ac, Seq("a", "c"))
+        .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_tri")))
+    })
+  }
+
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
     val e = candGraphCached(spark, dir)
-    val ab = e.select(col("d1").as("a"), col("d2").as("b"))
-    val bc = e.select(col("d1").as("b"), col("d2").as("c"))
-    val ac = e.select(col("d1").as("a"), col("d2").as("c"))
-    val tri = ab.join(bc, "b").join(ac, Seq("a", "c"))
-    val triPerNode = tri
-      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+    val triPerNode = triPerNodeCached(spark, dir)
     val deg = e.select(col("d1").as("doc_id"))
       .unionByName(e.select(col("d2").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("degree"))
@@ -1591,22 +1605,22 @@ object Dedup {
     * join against the canonical d1<d2 edge set; top-20 via
     * TakeOrdered. Serves from the cached undirected/degree frames. */
   def graphLocalClustering(spark: SparkSession, dir: String): DataFrame = {
-    val e = candGraphCached(spark, dir)
-    val (und, deg) = undDegCached(spark, dir)
-    val wedges = und.select(col("u").as("a"), col("v").as("ctr"))
-      .join(und.select(col("u").as("b"), col("v").as("ctr")), "ctr")
-      .filter(col("a") < col("b"))
-    val closed = wedges
-      .join(e.select(col("d1").as("a"), col("d2").as("b"),
-        lit(1L).as("cl")), Seq("a", "b"), "left")
-      .groupBy("ctr")
-      .agg(count(lit(1)).as("n_wedges"),
-        sum(coalesce(col("cl"), lit(0L))).as("n_closed"))
-    closed.join(deg.select(col("u").as("ctr"), col("deg")), "ctr")
-      .select(col("ctr").as("doc_id"), col("deg"), col("n_wedges"),
-        col("n_closed").as("n_triangles"),
-        r6(col("n_closed").cast("double") / col("n_wedges").cast("double"))
-          .as("lcc"))
+    val (_, deg) = undDegCached(spark, dir)
+    // the closed-wedge count at v IS the per-node triangle count (each
+    // triangle through v closes exactly one wedge centered at v), so the
+    // whole query serves from the cached per-node triangle frame; the
+    // denominator needs no wedge enumeration at all — it is C(deg, 2)
+    // off the cached degree frame (the identity the planted spec pins).
+    // The first bench spelling enumerated all Σ deg² und-wedges and
+    // LEFT-joined edges through the aggregate: 11.1 s → sub-second serve.
+    deg.filter(col("deg") >= 2)
+      .select(col("u").as("doc_id"), col("deg"),
+        (col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
+      .join(triPerNodeCached(spark, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("deg"), col("n_wedges"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+        r6(coalesce(col("n_tri"), lit(0L)).cast("double") /
+          col("n_wedges").cast("double")).as("lcc"))
       .orderBy(desc("lcc"), desc("deg"), col("doc_id")).limit(20)
   }
 
