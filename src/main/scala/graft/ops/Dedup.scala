@@ -1480,17 +1480,17 @@ object Dedup {
     * on the high-cardinality node id; output is top-20. */
   def graphCommonNeighbors(spark: SparkSession, dir: String): DataFrame = {
     val e = candGraphCached(spark, dir)
-    val (und, deg) = undDegCached(spark, dir)
-    // wedge enumeration as the streamed self-join on the center w — the
+    val (_, deg) = undDegCached(spark, dir)
+    // wedge enumeration as the streamed self-join on the center — the
     // A/B here went the OTHER way from the LSH bucket expansion: a
     // collect_list+SortedPairs spelling (one shuffle, per-row expansion)
-    // measured 21.2 s vs this join's 9.4 s at sf0.1, because the
+    // measured 21.2 s vs the join's 9.4 s at sf0.1, because the
     // object-agg + per-center array materialization loses whole-stage
-    // codegen while the join streams pairs straight into the partial agg
-    val cn = und.select(col("u").as("a"), col("v").as("w"))
-      .join(und.select(col("u").as("b"), col("v").as("w")), "w")
-      .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+    // codegen while the join streams pairs straight into the partial
+    // agg. Since round 12 the enumeration runs ONCE per corpus
+    // ([[wedgePairsCached]], shared with adamic-adar); this query serves
+    // the count column off the checkpointed pair frame.
+    val cn = wedgePairsCached(spark, dir).select("a", "b", "n_common")
     cn.join(deg.select(col("u").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("u").as("b"), col("deg").as("db")), "b")
       .join(e.select(col("d1").as("a"), col("d2").as("b"),
@@ -1525,16 +1525,26 @@ object Dedup {
     * baseline. The hot partial agg stays a plain long adder in
     * whole-stage codegen; the score divides back by 1e6 on the
     * model-sized top-k; ordering ties break on (a, b). */
-  def graphAdamicAdar(spark: SparkSession, dir: String): DataFrame = {
-    val e = candGraphCached(spark, dir)
+  /** The wedge-pair BUILD plan shared by [[graphCommonNeighbors]] and
+    * [[graphAdamicAdar]]: one self-join of the weight-key-encoded
+    * undirected frame, aggregated per pair into the common-neighbor
+    * count AND the Adamic-Adar micros sum. Exposed pre-checkpoint so
+    * PlanSpec can lock the two-column wedge probe shape (the measured
+    * ~3.5× third-column cliff).
+    *
+    * deg floor 2: deg-1 centers form no wedge, but the key must be
+    * computable (non-null) for every edge row. The micros weight comes
+    * from the SHARED LITERAL lookup [[aaMicrosTable]] (trig-table
+    * discipline), not a per-engine libm ln: the degree domain is
+    * bounded by Bands·LshBucketCap, so both engines join the identical
+    * (deg → micros) table and a 1-ulp ln divergence landing on a .5
+    * floor boundary can never flip the key-encoded weight. wk =
+    * w·2²¹ + micros is injective in w (micros ≤ ln(2)⁻¹·1e6 < 2²¹,
+    * doc ids < 2⁴²), so joining on wk IS joining on the center —
+    * n_common off the encoded key equals the plain-center count. */
+  private[graft] def wedgePairsBuild(
+      spark: SparkSession, dir: String): DataFrame = {
     val (und, deg) = undDegCached(spark, dir)
-    // deg floor 2: deg-1 centers form no wedge, but the key must be
-    // computable (non-null) for every edge row. The micros weight comes
-    // from the SHARED LITERAL lookup [[aaMicrosTable]] (trig-table
-    // discipline), not a per-engine libm ln: the degree domain is
-    // bounded by Bands·LshBucketCap, so both engines join the identical
-    // (deg → micros) table and a 1-ulp ln divergence landing on a .5
-    // floor boundary can never flip the key-encoded weight.
     val lut = spark.createDataFrame(aaMicrosTable).toDF("degk", "awu")
     val wt = deg
       .select(col("u").as("v"),
@@ -1543,13 +1553,38 @@ object Dedup {
       .select(col("v"), col("awu"))
     val undK = und.join(wt, "v")
       .select(col("u"), (col("v") * lit(2097152L) + col("awu")).as("wk"))
-    val cn = undK.select(col("u").as("a"), col("wk"))
+    undK.select(col("u").as("a"), col("wk"))
       .join(undK.select(col("u").as("b"), col("wk")), "wk")
       .filter(col("a") < col("b"))
       .groupBy("a", "b")
       .agg(count(lit(1)).as("n_common"),
         sum(col("wk") % lit(2097152L)).as("aau"))
-    cn.join(e.select(col("d1").as("a"), col("d2").as("b"),
+  }
+
+  /** Write-once per-corpus wedge-PAIR features (n_common, aau micros per
+    * candidate pair sharing ≥1 neighbor) — the Σ deg² wedge enumeration
+    * is the dominant cost of BOTH link-prediction consumers, and the
+    * reduced pair frame is the dedup-index artifact a 100 TB run would
+    * materialize once (the edge/degree/triangle cache discipline). */
+  private[ops] def wedgePairsCached(
+      spark: SparkSession, dir: String): DataFrame = {
+    val key = "wedge|" + dirContentKey(dir, "documents.parquet")
+    // get/putIfAbsent, NOT computeIfAbsent: the build path calls
+    // undDegCached → computeIfAbsent on this same map, and a nested
+    // compute can block on a shared bin lock
+    val hit = candGraphCache.get(key)
+    if (hit != null) hit
+    else {
+      val built = iterCheckpoint(wedgePairsBuild(spark, dir))
+      val prev = candGraphCache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
+  def graphAdamicAdar(spark: SparkSession, dir: String): DataFrame = {
+    val e = candGraphCached(spark, dir)
+    wedgePairsCached(spark, dir)
+      .join(e.select(col("d1").as("a"), col("d2").as("b"),
         lit(true).as("is_edge")), Seq("a", "b"), "left")
       .select(col("a"), col("b"), col("n_common"),
         (col("aau").cast("double") / lit(1e6)).as("aa_score"),

@@ -84,13 +84,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("graph_adamic_adar: the wedge-join probe rows stay two columns (weight rides the key)") {
+  test("wedge-pair build: the wedge-join probe rows stay two columns (weight rides the key)") {
     // The 53.7 s → 9.6 s win (SOAK_r11 §4) hinges on the wedge probe row
     // staying exactly (node, wk): every A/B'd spelling that carried the
     // per-center weight as a THIRD column through the self-join hit a
-    // consistent ~3.5× cliff. A refactor that grows either side of the
-    // wk join fails here instead of silently costing the bench.
-    val plan = Dedup.graphAdamicAdar(spark, dir).queryExecution.sparkPlan
+    // consistent ~3.5× cliff. Since round 12 the wedge enumeration lives
+    // in the shared per-corpus BUILD (Dedup.wedgePairsBuild, serving both
+    // common-neighbors and adamic-adar); the lock inspects that build
+    // plan, so a refactor that grows either side fails here instead of
+    // silently costing every rebuild.
+    val plan = Dedup.wedgePairsBuild(spark, dir).queryExecution.sparkPlan
     val wedge = plan.collect {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec
           if j.leftKeys.exists(_.references.exists(_.name == "wk")) => j
