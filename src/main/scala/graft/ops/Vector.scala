@@ -519,6 +519,7 @@ object Vector {
   private val PqM = 8       // subspaces (64-dim embedding → 8 dims each)
   private val PqK = 16      // centroids per subspace codebook
   private val PqIters = 2   // Lloyd iterations per codebook
+  private val PqTrainCap = 256 // Lloyd sample bound (encode stays full-corpus)
 
   /** Squared L2 distance between two double arrays — the PQ training and
     * lookup-table metric. Codegen'd fused loop
@@ -629,12 +630,22 @@ object Vector {
     // assignment: per (vector, subspace) the nearest centroid of that
     // subspace — argmin as a map-side max_by aggregate (no window).
     def assignCodes(cs: DataFrame): DataFrame = pqAssign(sv, cs)
+    // Lloyd refinement runs on a BOUNDED training sample (the PqTrainCap
+    // lowest vec_ids — one TakeOrdered pass + a broadcast semi-join on
+    // the checkpointed subvectors), the production PQ discipline: the
+    // codebook needs a representative sample, not the corpus, and
+    // per-iteration full-corpus assignment would add PqIters extra
+    // 100 TB passes to the ONE encode pass that is actually required.
+    // Below the cap (sf ≤ 0.01 fixtures) the sample IS the corpus, so
+    // small-scale values are unchanged.
+    val trainIds = e.orderBy("vec_id").limit(PqTrainCap).select("vec_id")
+    val svTrain = sv.join(broadcast(trainIds), "vec_id")
     var cents = centsDf(
       subVecs(e.orderBy("vec_id").limit(PqK), "vec_id", "embedding", "c_emb")
         .select(col("sub"), col("vec_id").as("c_id"), col("c_emb"))
         .collect().toSeq)
     for (_ <- 1 to PqIters) {
-      cents = centsDf(assignCodes(cents)
+      cents = centsDf(pqAssign(svTrain, cents)
         .select(col("sub"), col("code"), posexplode(col("subv")).as(Seq("i", "x")))
         .groupBy("sub", "code", "i")
         .agg((sum(r6(col("x")).cast(DecimalType(28, 6))).cast("double")
@@ -2197,8 +2208,11 @@ object Vector {
                row_number() OVER (PARTITION BY s.vec_id, s.sub
                  ORDER BY ${sqd("s.subv", "c.c_emb")} ASC, c.c_id) AS rn
              FROM $src s JOIN $cb c ON c.sub = s.sub) WHERE rn = 1)"""
+      // Lloyd refinement over the PqTrainCap-lowest-id sample — the
+      // engine's bounded-training twin (below the cap the sample IS the
+      // corpus, so small-sf values are unchanged)
       val iterCtes = (0 until PqIters).map { k =>
-        s"""${assignSql(trainSv, s"cb$k", s"a$k")},
+        s"""${assignSql("svtr", s"cb$k", s"a$k")},
          x$k AS (SELECT sub, code, generate_subscripts(subv, 1) AS i,
              unnest(subv) AS x FROM a$k),
          m$k AS (SELECT sub, code, i,
@@ -2217,7 +2231,9 @@ object Vector {
          sv AS (SELECT e.vec_id, CAST(f.sub AS INTEGER) AS sub,
              list_transform(e.embedding[(f.sub*8+1):(f.sub*8+8)], x -> CAST(x AS DOUBLE)) AS subv
            FROM e, (SELECT unnest(range($PqM)) AS sub) f),
-         ${standingCtes}cb0 AS (SELECT sub, vec_id AS c_id, subv AS c_emb FROM $trainSv
+         ${standingCtes}svtr AS (SELECT * FROM $trainSv WHERE vec_id IN
+           (SELECT vec_id FROM $trainE ORDER BY vec_id LIMIT $PqTrainCap)),
+         cb0 AS (SELECT sub, vec_id AS c_id, subv AS c_emb FROM $trainSv
            WHERE vec_id IN (SELECT vec_id FROM $trainE ORDER BY vec_id LIMIT $PqK)),
          $iterCtes,
          ${assignSql("sv", s"cb$PqIters", "codes")},
