@@ -4233,6 +4233,42 @@ object Relational {
       .orderBy("d")
   }
 
+  /** EXACT corpus quantiles via the VALUE-DOMAIN histogram — the 100 TB
+    * exact-selection shape: Spark's exact `percentile()` is an object
+    * aggregate that buffers values per group, and a global sort-based
+    * selection shuffles the corpus; this query instead reduces to ONE
+    * hash agg over DISTINCT integer-cent values — bounded by the PRICE
+    * DOMAIN (~1e7 cents here), not the row count, at any corpus size —
+    * then reads each quantile off the cumulated histogram as "smallest
+    * value whose cumulative count reaches ⌈q·n⌉". Rank targets are exact
+    * integer arithmetic ((n·num + den − 1) div den), so there is no
+    * engine quantile-interpolation semantic to match — the selection
+    * rule IS the definition, identical in both engines. The cum window
+    * runs over the value-domain frame (the [[aggSpearman]] histogram
+    * precedent; two-level range-bucket decomposition is the documented
+    * scale-out for a domain too wide for one task). */
+  def aggQuantileHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val qs = Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p75", 3L, 4L),
+      ("p90", 9L, 10L), ("p99", 99L, 100L))
+    val hist = table(spark, dir, "lineitem")
+      .select((col("l_extendedprice").cast(Money) * 100).cast("long")
+        .as("cents"))
+      .groupBy("cents").agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+    val qf = spark.createDataFrame(qs).toDF("q", "num", "den")
+    cum.crossJoin(broadcast(qf))
+      .withColumn("target", expr("(n * num + den - 1) div den"))
+      .filter(col("cum") >= col("target"))
+      .groupBy(col("q"), col("n"), col("target"))
+      .agg(min(col("cents")).as("vc"))
+      .select(col("q"), col("n"), col("target").as("target_rank"),
+        (col("vc").cast("double") / lit(100.0)).as("value"))
+      .orderBy("q")
+  }
+
   /** Sweep-line interval UNION per (event_type, day) — the segment-union
     * measure ("how many seconds of the day had at least one active
     * interval of this type, and how concurrent were they?") computed
@@ -4942,6 +4978,7 @@ object Relational {
     "agg_spearman" -> (aggSpearman _),
     "agg_anova_f" -> (aggAnovaF _),
     "agg_interval_union" -> (aggIntervalUnion _),
+    "agg_quantile_histogram" -> (aggQuantileHistogram _),
     "agg_kendall_tau" -> (aggKendallTau _),
     "window_bollinger" -> (windowBollinger _),
     "window_rsi" -> (windowRsi _),
@@ -5627,6 +5664,26 @@ object Relational {
            ${r6Sql("CASE WHEN vu > 0 AND vv > 0 THEN cov / (sqrt(vu) * sqrt(vv)) END")}
              AS rho_spearman
          FROM f""",
+    "agg_quantile_histogram" ->
+      s"""WITH hist AS (SELECT
+           CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+             AS cents, count(*) AS c
+           FROM lineitem GROUP BY 1),
+         cum AS (SELECT cents,
+           CAST(sum(c) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+           CAST(sum(c) OVER () AS BIGINT) AS n
+           FROM hist),
+         qf AS (SELECT * FROM (VALUES ('p25', 1, 4), ('p50', 1, 2),
+           ('p75', 3, 4), ('p90', 9, 10), ('p99', 99, 100)) t(q, num, den)),
+         s AS (SELECT q, n, (n * num + den - 1) // den AS target,
+             min(cents) AS vc
+           FROM cum CROSS JOIN qf
+           WHERE cum >= (n * num + den - 1) // den
+           GROUP BY 1, 2, 3)
+         SELECT q, n, CAST(target AS BIGINT) AS target_rank,
+           CAST(vc AS DOUBLE) / 100.0 AS value
+         FROM s ORDER BY q""",
     "agg_interval_union" ->
       s"""WITH ev AS (SELECT event_type AS t, epoch_us(ts) AS s,
            epoch_us(ts) + 300000000 AS e,

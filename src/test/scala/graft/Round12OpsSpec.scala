@@ -169,6 +169,28 @@ class Round12OpsSpec extends AnyFunSuite with SparkFixture {
     assert(rows("2024-03-01 11:00:00").getAs[Long]("state_rows") == 0)
   }
 
+  test("quantile_histogram: exact selection rule on planted multisets") {
+    def liOf(prices: Seq[Double]): String = fixtureDir("lineitem" ->
+      spark.createDataset(prices.zipWithIndex.map { case (p, i) =>
+        LineRow(i.toLong, 1.0, p, 0.0, 0.0, "N", "O") }).toDF)
+    // 1..100 dollars, one row each: p-q is exactly the q-th value
+    val r1 = Relational.aggQuantileHistogram(spark,
+      liOf((1 to 100).map(_.toDouble)))
+      .collect().map(r => r.getAs[String]("q") -> r).toMap
+    assert(r1("p25").getAs[Double]("value") == 25.0)
+    assert(r1("p50").getAs[Double]("value") == 50.0)
+    assert(r1("p99").getAs[Double]("value") == 99.0)
+    assert(r1("p50").getAs[Long]("target_rank") == 50)
+    // duplicate-heavy: 10 x 5.00 + 1 x 9.00 -> p50 hits the mass point,
+    // p99 needs rank ceil(10.89) = 11 -> the tail value
+    val r2 = Relational.aggQuantileHistogram(spark,
+      liOf(Seq.fill(10)(5.0) :+ 9.0))
+      .collect().map(r => r.getAs[String]("q") -> r).toMap
+    assert(r2("p50").getAs[Double]("value") == 5.0)
+    assert(r2("p99").getAs[Double]("value") == 9.0)
+    assert(r2("p99").getAs[Long]("target_rank") == 11)
+  }
+
   test("interval_union: overlap merges, midnight splits, concurrency exact") {
     val ev = Seq(
       // two overlapping 5-min intervals: [0,300) u [120,420) = 420 s
