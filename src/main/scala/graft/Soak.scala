@@ -147,13 +147,13 @@ object Soak {
   }
 
   private def genLineitem(spark: SparkSession, outDir: String, n: Long,
-      nOrders: Long, nParts: Long): Unit = {
+      nOrders: Long, nParts: Long, nSupps: Long): Unit = {
     def u(tag: String, m: Long) = pmod(xxhash64(col("id"), lit(tag)), lit(m))
     val df = spark.range(0, n, 1, 32)
       .select(
         u("ok", nOrders).as("l_orderkey"),
         u("pk", nParts).as("l_partkey"),
-        u("sk", 100L).as("l_suppkey"),
+        u("sk", nSupps).as("l_suppkey"),
         (u("ln", 7) + 1).cast("int").as("l_linenumber"),
         (u("qty", 50) + 1).cast("double").as("l_quantity"),
         ((u("px", 10409924L) + 90068L).cast("double") / 100.0)
@@ -198,6 +198,32 @@ object Soak {
     df.write.mode("overwrite").parquet(s"$outDir/part.parquet")
   }
 
+  /** Fixed-cardinality dims (nation 25 / region 5 — same at every sf)
+    * and the sf-scaled supplier table, matching the driver generator's
+    * exact shapes so EVERY declared query has sf1 inputs. */
+  private def genDims(spark: SparkSession, outDir: String, nSupps: Long): Unit = {
+    def u(tag: String, m: Long) = pmod(xxhash64(col("id"), lit(tag)), lit(m))
+    spark.range(0, 25, 1, 1)
+      .select(col("id").cast("int").as("n_nationkey"),
+        concat(lit("NATION_"), col("id")).as("n_name"),
+        (col("id") % 5).cast("int").as("n_regionkey"))
+      .write.mode("overwrite").parquet(s"$outDir/nation.parquet")
+    val regions = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+    spark.range(0, 5, 1, 1)
+      .select(col("id").cast("int").as("r_regionkey"),
+        element_at(array(regions.map(lit): _*), (col("id") + 1).cast("int"))
+          .as("r_name"))
+      .write.mode("overwrite").parquet(s"$outDir/region.parquet")
+    spark.range(0, nSupps, 1, 8)
+      .select(col("id").as("s_suppkey"),
+        concat(lit("Supplier#"), lpad(col("id").cast("string"), 9, "0"))
+          .as("s_name"),
+        u("nat", 25).cast("int").as("s_nationkey"),
+        ((u("bal", 1100001L) - 100000L).cast("double") / 100.0)
+          .as("s_acctbal"))
+      .write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -213,7 +239,7 @@ object Soak {
     // "tpch" marks the round-12 star-schema tables: a pre-r12 soak dir
     // (valid documents/events, no orders) regenerates rather than
     // silently serving a corpus without the new tables.
-    val params = s"scale=$scale vocab=$vocab tpch"
+    val params = s"scale=$scale vocab=$vocab tpch2"
     val marker = new java.io.File(soakDir, "_gen_params")
     val upToDate = marker.exists() &&
       new java.io.File(s"$soakDir/documents.parquet").exists() &&
@@ -227,9 +253,10 @@ object Soak {
       genEvents(spark, soakDir, 100000L * scale, 1500L * scale)
       genOrders(spark, soakDir, 150000L * scale)
       genLineitem(spark, soakDir, 600000L * scale, 150000L * scale,
-        20000L * scale)
+        20000L * scale, 1000L * scale)
       genCustomer(spark, soakDir, 15000L * scale)
       genPart(spark, soakDir, 20000L * scale)
+      genDims(spark, soakDir, 1000L * scale)
       new java.io.File(soakDir).mkdirs()
       java.nio.file.Files.writeString(marker.toPath, params)
       println(f"[soak] generated ${5000L * scale} docs + ${2000L * scale} vecs + ${100000L * scale} events + ${150000L * scale} orders + ${600000L * scale} lineitem ($params) in ${(System.nanoTime() - t0) / 1e9}%.1f s")
