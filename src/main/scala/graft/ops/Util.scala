@@ -146,6 +146,28 @@ object Util {
     sgn * mag / lit(math.pow(10, pow10))
   }
 
+  /** Driver-side twin of [[dec2d]] for COLLECTED decimal cells (the
+    * bounded-collect model paths, e.g. the whitening moment frame):
+    * same four 30-bit limbs, same IEEE Horner chain, so a
+    * driver-computed double matches the oracle's [[dec2dSql]]
+    * bit-for-bit at any magnitude. A plain BigDecimal.doubleValue is
+    * correctly rounded — which is exactly what DuckDB's int128 float
+    * path is NOT past 2⁵³. `d` must be integer-valued (scale ≤ 0 after
+    * stripping). */
+  def dec2dD(d: java.math.BigDecimal, pow10: Int): Double = {
+    val b = java.math.BigInteger.valueOf(1073741824L)
+    val bi = d.toBigIntegerExact.abs
+    val l0 = bi.mod(b).doubleValue
+    val q1 = bi.divide(b)
+    val l1 = q1.mod(b).doubleValue
+    val q2 = q1.divide(b)
+    val l2 = q2.mod(b).doubleValue
+    val l3 = q2.divide(b).doubleValue
+    val mag = ((l3 * 1073741824.0 + l2) * 1073741824.0 + l1) *
+      1073741824.0 + l0
+    (if (d.signum < 0) -mag else mag) / math.pow(10, pow10)
+  }
+
   /** DuckDB spelling of [[dec2d]] — same limbs, same Horner chain.
     * `x` must be an integer-valued decimal expression; it is expanded
     * textually several times (integer ops, deterministic). The limbs

@@ -178,21 +178,27 @@ object Vector {
     * embedding. Distributed shape: posexplode to (label, pos, value) —
     * a d-fold row amplification that map-side partial aggregation
     * collapses to ≤ labels×d rows per partition BEFORE the shuffle, so
-    * the exchange carries centroids, not the corpus. Component sums run
-    * in exact DECIMAL (a float's double expansion is exact and its
-    * 10-decimal rounding can't land on a tie, so both engines cast
-    * identically) — cross-partition double summation would be
-    * partition-order nondeterministic. One row per (label, pos): no
-    * engine-formatted vector strings in the compare. */
+    * the exchange carries centroids, not the corpus. Component sums are
+    * exact integer 1e-10 units, quantized IN DOUBLE
+    * (floor(x·1e10 + 0.5) — IEEE-identical both engines): a direct
+    * float→DECIMAL cast is NOT engine-identical — Spark rounds the
+    * float's exact expansion while DuckDB converts through float
+    * arithmetic (measured at sf1: ~2 e-10 units/value drift, enough to
+    * flip the r6 mean on a .5 boundary — the first sf1-sweep find).
+    * Cross-partition double summation would be partition-order
+    * nondeterministic; the exact decimal sum is not, and bridges back
+    * through [[dec2d]]. One row per (label, pos): no engine-formatted
+    * vector strings in the compare. */
   def embeddingAvgPool(spark: SparkSession, dir: String): DataFrame = {
-    val dec = DecimalType(25, 10)
+    val d380 = DecimalType(38, 0)
     emb(spark, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
       .agg(count(lit(1)).as("n_vecs"),
-        sum(col("v").cast(dec)).as("s"))
+        sum(floor(col("v").cast("double") * lit(1e10) + lit(0.5))
+          .cast(d380)).as("s"))
       .select(col("label"), col("pos").cast("long").as("pos"), col("n_vecs"),
-        r6(col("s").cast("double") / col("n_vecs").cast("double")).as("mean"))
+        r6(dec2d(col("s"), 10) / col("n_vecs").cast("double")).as("mean"))
       .orderBy("label", "pos")
   }
 
@@ -1236,18 +1242,28 @@ object Vector {
     * both engines (exact decimal → double division, greatest(·,1e-12)
     * variance floor). */
   def embeddingWhiten(spark: SparkSession, dir: String): DataFrame = {
-    val d1210 = DecimalType(12, 10)
+    val d190 = DecimalType(19, 0)
+    // per-dim values quantized IN DOUBLE to integer 1e-10 units
+    // (floor(x·1e10 + 0.5)) — a direct float→DECIMAL cast diverges
+    // between engines (DuckDB converts through float math; the sf1
+    // sweep caught the resulting 1-ulp µ/σ drift as an r4 flip in
+    // l2_after); (19,0) factors force DuckDB's int128 multiply
+    val q = floor(col("v").cast("double") * lit(1e10) + lit(0.5)).cast(d190)
     val stats = emb(spark, dir)
       .select(posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("pos")
-      .agg(count(lit(1)).as("n"), sum(col("v").cast(d1210)).as("s"),
-        sum(col("v").cast(d1210) * col("v").cast(d1210)).as("ss"))
+      .agg(count(lit(1)).as("n"), sum(q).as("s"), sum(q * q).as("ss"))
       .orderBy("pos")
       .collect() // bounded: d rows — the centroid pattern
-    val mu = stats.map(r => r.getDecimal(2).doubleValue() / r.getLong(1).toDouble)
+    // driver-side moments bridged via [[Util.dec2dD]] (the exact
+    // BigDecimal→double is correctly rounded; DuckDB's int128 float
+    // path is not past 2^53 — the dec2d class, driver spelling)
+    val mu = stats.map(r =>
+      Util.dec2dD(r.getDecimal(2), 10) / r.getLong(1).toDouble)
     val sg = stats.zip(mu).map { case (r, m) =>
       math.sqrt(math.max(
-        r.getDecimal(3).doubleValue() / r.getLong(1).toDouble - m * m, 1e-12))
+        Util.dec2dD(r.getDecimal(3), 20) / r.getLong(1).toDouble - m * m,
+        1e-12))
     }
     emb(spark, dir)
       .withColumn("m", array(mu.toIndexedSeq.map(lit): _*))
@@ -2653,15 +2669,17 @@ object Vector {
          QUALIFY row_number() OVER (PARTITION BY v1 ORDER BY cos DESC, v2) <= 3
          ORDER BY v1, cos DESC, v2""",
     "embedding_whiten" ->
-      s"""WITH x AS (SELECT f.i AS i, CAST(embedding[f.i] AS DECIMAL(12,10)) AS vq
+      s"""WITH x AS (SELECT f.i AS i,
+           CAST(floor(CAST(embedding[f.i] AS DOUBLE) * 10000000000.0 + 0.5)
+             AS DECIMAL(19,0)) AS vq
            FROM embeddings,
              LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) f),
          st AS (SELECT i, count(*) AS n, sum(vq) AS s, sum(vq * vq) AS ss
            FROM x GROUP BY i),
-         sd AS (SELECT i, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
-           sqrt(greatest(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
-             - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-               * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 1e-12)) AS sg
+         sd AS (SELECT i, ${dec2dSql("s", 10)} / CAST(n AS DOUBLE) AS mu,
+           sqrt(greatest(${dec2dSql("ss", 20)} / CAST(n AS DOUBLE)
+             - (${dec2dSql("s", 10)} / CAST(n AS DOUBLE))
+               * (${dec2dSql("s", 10)} / CAST(n AS DOUBLE)), 1e-12)) AS sg
            FROM st),
          t AS (SELECT e.vec_id,
              CAST(floor(((CAST(e.embedding[sd.i] AS DOUBLE) - sd.mu) / sd.sg)
@@ -2861,7 +2879,7 @@ object Vector {
            FROM embeddings,
              LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) f)
          SELECT label, CAST(pos AS BIGINT) AS pos, count(*) AS n_vecs,
-           ${r6Sql("CAST(sum(CAST(v AS DECIMAL(25,10))) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS mean
+           ${r6Sql(dec2dSql("sum(CAST(floor(CAST(v AS DOUBLE) * 10000000000.0 + 0.5) AS DECIMAL(38,0)))", 10) + " / CAST(count(*) AS DOUBLE)")} AS mean
          FROM x GROUP BY label, pos ORDER BY label, pos""",
     // Composes the exact-top-3 and multiprobe CTEs (same spellings as
     // their own oracles) and counts the per-probe overlap.
