@@ -65,7 +65,9 @@ object Soak {
       })
       .select(col("id").as("doc_id"), col("text"), col("lang"),
         concat(lit("src"), pmod(col("id"), lit(20))).as("source"),
-        length(col("text")).as("n_chars"))
+        // int64 like the driver fixture: Spark length() is int32, and a
+        // type drift here fails the type-strict gate (sf1 sweep find)
+        length(col("text")).cast("long").as("n_chars"))
     df.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
   }
 
@@ -239,7 +241,7 @@ object Soak {
     // "tpch" marks the round-12 star-schema tables: a pre-r12 soak dir
     // (valid documents/events, no orders) regenerates rather than
     // silently serving a corpus without the new tables.
-    val params = s"scale=$scale vocab=$vocab tpch2"
+    val params = s"scale=$scale vocab=$vocab tpch3"
     val marker = new java.io.File(soakDir, "_gen_params")
     val upToDate = marker.exists() &&
       new java.io.File(s"$soakDir/documents.parquet").exists() &&

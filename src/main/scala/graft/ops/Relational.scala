@@ -29,7 +29,12 @@ object Relational {
       .select(col("l_orderkey"), col("l_linenumber"),
         dateS(col("l_shipdate")).as("ship_date"),
         col("l_quantity"), col("l_extendedprice"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // full-row ordering: (orderkey, linenumber) is NOT unique in this
+      // corpus (the kendall-tau finding), and at sf1 density the tie
+      // order actually diverged between engines (sweep find) — remaining
+      // ties are between identical rows, so the output is deterministic
+      .orderBy("l_orderkey", "l_linenumber", "ship_date", "l_quantity",
+        "l_extendedprice")
   }
 
   // ---- joins ----------------------------------------------------------
@@ -7078,7 +7083,8 @@ object Relational {
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, ship_date, l_quantity,
+           l_extendedprice""",
     "join_inner_hash" ->
       """SELECT o_orderstatus, count(*) AS n,
          round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4))) AS DOUBLE), 4) AS revenue
