@@ -69,7 +69,7 @@ object Bench {
     // than r6's on identical code). A constant arithmetic workload gives
     // the reader a normalizer: query_sec / calib_sec is comparable
     // across hosts, raw seconds are not. volatile sink defeats DCE.
-    val calibSec = {
+    def calibOnce(): Double = {
       val t0 = System.nanoTime()
       var s = 0L; var i = 0L
       while (i < 400000000L) { s += i * 31 + (i ^ (s >>> 7)); i += 1 }
@@ -80,7 +80,7 @@ object Bench {
     // here long before it moves the single-thread number (observed:
     // calib_sec +10% while query times rose 40%), and the parallel
     // number is what shuffle-heavy query times actually scale with.
-    val calibMtSec = {
+    def calibMtOnce(): Double = {
       val n = Runtime.getRuntime.availableProcessors()
       val t0 = System.nanoTime()
       val ts = (1 to n).map { k =>
@@ -94,6 +94,14 @@ object Bench {
       ts.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }
+    val calibSec = calibOnce()
+    // Sampled BEFORE the suite here; sampled AGAIN after the timed loop
+    // (and the median of all samples is the normalizer): the r12 driver
+    // artifact normalized +24% while the same-day quiet run was −14%,
+    // because a single pre-suite sample is blind to contention arriving
+    // mid-run — the before/after spread makes a contended run
+    // self-diagnosing (VERDICT r12 ask #2).
+    val calibMtBefore = calibMtOnce()
     // Optional subset run (regex on the query key): lets a perf
     // investigation re-measure one family without paying the full 190-query
     // sweep. Unset → full run, identical to prior rounds.
@@ -115,6 +123,18 @@ object Bench {
       }.min
       name -> best
     }.toMap
+    // Post-suite parallel calibration + median-of-samples normalizer.
+    val calibMtAfter = calibMtOnce()
+    val calibMtSamples = Seq(calibMtBefore, calibMtAfter)
+    val calibMtSec = {
+      val s = calibMtSamples.sorted
+      (s(s.size / 2) + s((s.size - 1) / 2)) / 2.0
+    }
+    // Spread = max/min of the samples: 1.0 = quiet machine; a contended
+    // run shows >1.1 and its normalized total should not be trusted.
+    val calibMtSpread =
+      if (calibMtSamples.min > 0) calibMtSamples.max / calibMtSamples.min
+      else 1.0
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
     // comma-decimal locale would turn the line into invalid JSON.
     def num(v: Double): String =
@@ -138,7 +158,7 @@ object Bench {
     // pre-warms its OS page cache / parquet footers — runs with different
     // warm_dir values are not comparable, and the record makes that visible.
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","iters":$iters,"calib_sec":${num(calibSec)},"calib_mt_sec":${num(calibMtSec)},"total_norm_sec":${num(totalNorm)},"build_once":${buildOnce.map("\"" + _ + "\"").mkString("[", ",", "]")},"total_sec":${num(total)}}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","iters":$iters,"calib_sec":${num(calibSec)},"calib_mt_sec":${num(calibMtSec)},"calib_mt_samples":${calibMtSamples.map(num).mkString("[", ",", "]")},"calib_mt_spread":${num(calibMtSpread)},"total_norm_sec":${num(totalNorm)},"build_once":${buildOnce.map("\"" + _ + "\"").mkString("[", ",", "]")},"total_sec":${num(total)}}"""
     try {
       val w = new java.io.PrintWriter("bench_last.json")
       try w.println(line) finally w.close()
@@ -163,7 +183,7 @@ object Bench {
     val qsCompact = kept.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","iters":$iters,"n_queries":${results.size},"n_reported":${kept.size},"queries_full":"bench_last.json","calib_sec":${num(calibSec)},"calib_mt_sec":${num(calibMtSec)},"total_norm_sec":${num(totalNorm)},"total_sec":${num(total)}}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","iters":$iters,"n_queries":${results.size},"n_reported":${kept.size},"queries_full":"bench_last.json","calib_sec":${num(calibSec)},"calib_mt_sec":${num(calibMtSec)},"calib_mt_samples":${calibMtSamples.map(num).mkString("[", ",", "]")},"calib_mt_spread":${num(calibMtSpread)},"total_norm_sec":${num(totalNorm)},"total_sec":${num(total)}}"""
     println(compact)
     spark.stop()
   }

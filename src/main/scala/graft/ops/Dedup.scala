@@ -1574,10 +1574,18 @@ object Dedup {
     // compute can block on a shared bin lock
     val hit = candGraphCache.get(key)
     if (hit != null) hit
-    else {
-      val built = iterCheckpoint(wedgePairsBuild(spark, dir))
-      val prev = candGraphCache.putIfAbsent(key, built)
-      if (prev != null) prev else built
+    else key.intern.synchronized {
+      // per-key lock (interned string = one canonical monitor per key):
+      // without it two concurrent first callers both pay the full
+      // iterCheckpoint wedge build and the loser's checkpoint files are
+      // orphaned until JVM exit (ADVICE r12). Re-check under the lock.
+      val again = candGraphCache.get(key)
+      if (again != null) again
+      else {
+        val built = iterCheckpoint(wedgePairsBuild(spark, dir))
+        val prev = candGraphCache.putIfAbsent(key, built)
+        if (prev != null) prev else built
+      }
     }
   }
 
@@ -1650,7 +1658,10 @@ object Dedup {
     // LEFT-joined edges through the aggregate: 11.1 s → sub-second serve.
     deg.filter(col("deg") >= 2)
       .select(col("u").as("doc_id"), col("deg"),
-        (col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
+        // integer div (not double /): exact at ANY degree, not just while
+        // deg·(deg−1) < 2^53 (ADVICE r12 — safe today at deg ≤ 512, but
+        // this must not silently break if the bucket cap is ever raised)
+        expr("deg * (deg - 1) div 2").as("n_wedges"))
       .join(triPerNodeCached(spark, dir), Seq("doc_id"), "left")
       .select(col("doc_id"), col("deg"), col("n_wedges"),
         coalesce(col("n_tri"), lit(0L)).as("n_triangles"),

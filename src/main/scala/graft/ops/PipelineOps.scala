@@ -1308,7 +1308,7 @@ object PipelineOps {
     * replaying that listing over history turns its one-shot semantics
     * into queryable operations data. Each order is a blob: uploaded on
     * its orderdate, sized by its integer-cent price, named
-    * `backup_<yyyyMMdd>_<key%1e6 zero-padded>.zip` so lexicographic
+    * `backup_<yyyyMMdd>_<key%1e9 zero-padded>.zip` so lexicographic
     * order ≡ (date, key) order — the A6 "latest = max name" contract
     * (ref `:43-52`). A 90-day lifecycle policy deletes file f at
     * upload+90, so day d's live manifest is the adds in (d−90, d].
@@ -1324,7 +1324,10 @@ object PipelineOps {
       .groupBy(to_date(col("o_orderdate")).as("u"))
       .agg(count(lit(1)).as("n_add"),
         sum((col("o_totalprice").cast(Money) * 100).cast("long")).as("b_add"),
-        max(pmod(col("o_orderkey"), lit(1000000L))).as("k_max"))
+        // 9-digit key field: the sf1 soak corpus has 1.5M orders, so a
+        // %1e6 pad would wrap and break the lexicographic ≡ (date, key)
+        // A6 claim at the scale actually soaked (ADVICE r12)
+        max(pmod(col("o_orderkey"), lit(1000000000L))).as("k_max"))
     val span = added.agg(min(col("u")).as("d0"), max(col("u")).as("d1"))
     span.select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
       .join(added.withColumnRenamed("u", "d"), Seq("d"), "left")
@@ -1371,7 +1374,7 @@ object PipelineOps {
       .withColumn("day_name",
         when(col("k_max").isNotNull,
           concat(lit("backup_"), date_format(col("d"), "yyyyMMdd"), lit("_"),
-            lpad(col("k_max").cast("string"), 6, "0"), lit(".zip"))))
+            lpad(col("k_max").cast("string"), 9, "0"), lit(".zip"))))
       .withColumn("pick", max(col("day_name")).over(w90))
   }
 
@@ -1592,7 +1595,7 @@ object PipelineOps {
     s"""added AS (SELECT CAST(o_orderdate AS DATE) AS u, count(*) AS n_add,
          CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
            AS BIGINT) AS b_add,
-         CAST(max(o_orderkey % 1000000) AS BIGINT) AS k_max
+         CAST(max(o_orderkey % 1000000000) AS BIGINT) AS k_max
          FROM orders GROUP BY 1),
        span AS (SELECT min(u) AS d0, max(u) AS d1 FROM added),
        grid AS (SELECT CAST(unnest(generate_series(d0, d1,
@@ -1607,7 +1610,7 @@ object PipelineOps {
        pk AS (SELECT *,
          max(CASE WHEN k_max IS NOT NULL THEN
            'backup_' || strftime(d, '%Y%m%d') || '_' ||
-           lpad(CAST(k_max AS VARCHAR), 6, '0') || '.zip' END)
+           lpad(CAST(k_max AS VARCHAR), 9, '0') || '.zip' END)
            OVER (ORDER BY d ROWS BETWEEN ${ManifestTtlDays - 1} PRECEDING
              AND CURRENT ROW) AS pick
          FROM m)"""

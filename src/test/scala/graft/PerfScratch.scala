@@ -26,7 +26,9 @@ object PerfScratch {
     // Copy the corpus with a 16-way repartitioned embeddings table; other
     // tables symlink-free (re-written single-part is fine — only
     // embeddings feeds the query under test).
-    val alt = java.nio.file.Files.createTempDirectory("pq-layout").toString
+    // self-cleaning scratch (deleted on JVM exit) — a plain temp dir
+    // leaked a corpus-sized copy per run (ADVICE r12)
+    val alt = Util.processTempRoot("pq-layout").getAbsolutePath
     spark.read.parquet(s"$dir/embeddings.parquet").repartition(16)
       .write.mode("overwrite").parquet(s"$alt/embeddings.parquet")
 
