@@ -115,7 +115,15 @@ object Bench {
     // context between rounds and reads as phantom per-query regressions
     // (the SOAK_r9 §3 span_merge forensics). Sorted order pins the
     // context: a future round adding queries perturbs only its neighbors.
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Forensic order knob: comma-separated keys moved to the END of the
+    // sorted order (relative order preserved). Lets an adjacency
+    // investigation re-run the suite with a suspect heavy query relocated
+    // without touching code — unset → identical to prior rounds.
+    val moveLast: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_LAST")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
+    val ordered = selected.toSeq.sortBy(_._1)
+    val results = (ordered.filterNot(kv => moveLast(kv._1)) ++
+        ordered.filter(kv => moveLast(kv._1))).map { case (name, fn) =>
       val best = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -541,6 +541,32 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("agg_quantile_histogram: two-level cumsum — no single-task sort of the full histogram") {
+    // r12 ran ONE global Window.orderBy(cents) over the whole value-domain
+    // histogram plus an empty-partition window for n (two single-task
+    // passes). The two-level shape may keep an unpartitioned window ONLY
+    // over the per-BUCKET subtotal frame (grouping key `bkt` = cents div
+    // 1e5, ~domain/1e5 rows); the within-bucket running sum must be
+    // partitioned BY bkt, so no task ever sorts more than one bucket.
+    val plan = Relational.aggQuantileHistogram(spark, dir)
+      .queryExecution.sparkPlan
+    val wins = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    val unpart = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpart.nonEmpty, "expected the bucket-subtotal prefix sum")
+    unpart.foreach { w =>
+      val nearestAgg = w.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      assert(nearestAgg.exists(_.groupingExpressions.map(_.name) == Seq("bkt")),
+        s"unpartitioned window not over the bucket-level aggregate:\n$w")
+    }
+    assert(wins.exists(_.partitionSpec.flatMap(_.references.map(_.name))
+        .contains("bkt")),
+      s"within-bucket running sum lost its bkt partitioning:\n$plan")
+  }
+
   test("join_prune_dynamic: fact scan carries a dynamic pruning partition filter") {
     val df = PipelineOps.joinPruneDynamic(spark, dir)
     df.collect()
