@@ -1539,7 +1539,63 @@ object PipelineOps {
       .orderBy("m_bits")
   }
 
+  /** One Derby snapshot DB per corpus, write-once: the value is the JDBC
+    * url whose snapshot table is already loaded. Content-keyed so a
+    * regenerated fixture reloads instead of serving a stale snapshot. */
+  private val jdbcSnapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** End-to-end differential gate for the reference's load path (A11
+    * DROP-before-load / A12 RESTORE / A14 commit, ref
+    * `src/bak_unload.ps1:90-116`): the supplier table rides
+    * [[graft.sources.JdbcSnapshot.snapshotOverwrite]] into an embedded
+    * Derby (the sandbox stand-in for SQL Server — T-SQL spellings stay
+    * behind `SnapshotDialect`), comes back through the range-partitioned
+    * [[graft.sources.JdbcSnapshot.readTable]], and is aggregated
+    * per-nation; the oracle runs the same aggregate on the BASE parquet,
+    * so any value/row/type corruption across the JDBC write→read hop
+    * fails the driver's hash compare. VERDICT r12 ask #5: this was the
+    * one reference surface verified only by unit specs. Shape at scale:
+    * the snapshot write parallelizes across 8 batched connections, the
+    * read-back splits the key range across 8 executor-side slices (no
+    * single-connection funnel either direction); balance cents quantize
+    * in DOUBLE (floor(x·100 + 0.5) — the float→decimal trap) before the
+    * exact integer sum. Write-once per corpus: iteration 1 pays the
+    * load, later calls serve the read path (buildOnce in Bench). */
+  def jdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.JdbcSnapshot
+    val key = "jdbcrt|" + dirContentKey(dir, "supplier.parquet")
+    val url = {
+      val hit = jdbcSnapCache.get(key)
+      if (hit != null) hit
+      else key.intern.synchronized {
+        val again = jdbcSnapCache.get(key)
+        if (again != null) again
+        else {
+          val u = s"jdbc:derby:memory:graftrt_${key.take(12)};create=true"
+          JdbcSnapshot.snapshotOverwrite(
+            table(spark, dir, "supplier")
+              .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+            u, "supplier_snap")
+          jdbcSnapCache.putIfAbsent(key, u)
+          u
+        }
+      }
+    }
+    val maxKey = table(spark, dir, "supplier")
+      .agg(max(col("s_suppkey"))).head.getLong(0)
+    JdbcSnapshot.readTable(spark, url, "supplier_snap",
+        "s_suppkey", 1L, maxKey.max(2L), 8)
+      .groupBy(col("s_nationkey").cast("int").as("s_nationkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(floor(col("s_acctbal") * 100 + 0.5)).as("bal_cents"),
+        min(col("s_name")).as("name_min"),
+        max(col("s_name")).as("name_max"))
+      .orderBy("s_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_jdbc_roundtrip" -> (jdbcRoundtrip _),
     "pipe_manifest_history" -> (manifestHistory _),
     "pipe_manifest_pick" -> (manifestPick _),
     "pipe_seen_ledger" -> (seenLedger _),
@@ -1616,6 +1672,15 @@ object PipelineOps {
          FROM m)"""
 
   val oracleSql: Map[String, String] = Map(
+    // The Spark side went parquet → Derby → Spark agg; the oracle runs the
+    // identical aggregate on the BASE parquet, so a pass proves the JDBC
+    // write→read hop is value-faithful end-to-end.
+    "pipe_jdbc_roundtrip" ->
+      """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS bal_cents,
+         min(s_name) AS name_min, max(s_name) AS name_max
+         FROM supplier GROUP BY 1 ORDER BY 1""",
     "pipe_manifest_history" ->
       s"""WITH $manifestSqlPreamble,
          r AS (SELECT d, n_add, n_exp, b_add,

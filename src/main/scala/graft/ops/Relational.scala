@@ -841,6 +841,44 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Hampel filter — the robust outlier REPAIR pass a telemetry/feature
+    * pipeline runs before model training: per user, a CENTERED 7-row
+    * window yields the rolling median and the rolling MAD (median of
+    * absolute deviations), a point is an outlier when |x − med| >
+    * 3·MAD, and the repaired series substitutes the median (the classic
+    * Hampel identifier; [[eventsMadOutliers]] is the global cousin —
+    * this is the windowed, self-healing one). Shape at scale: ONE
+    * partitioned window stage (collect the 7-element frame, everything
+    * after is per-row array math) — no frame re-scan, no global sort.
+    * Exactness: values quantize to integer cents first, both medians
+    * are LOWER-median picks from the sorted frame (pure integer
+    * selection, no interpolation to match), and the 3·MAD comparison is
+    * integer arithmetic — the is_outlier bit cannot sit on a float
+    * boundary by construction. */
+  def windowHampelFilter(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, 3)
+    table(spark, dir, "events")
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("arr", sort_array(collect_list(col("cents")).over(w)))
+      .withColumn("nw", size(col("arr")).cast("long"))
+      .withColumn("med",
+        element_at(col("arr"), expr("CAST((nw - 1) div 2 + 1 AS INT)")))
+      .withColumn("mad",
+        element_at(sort_array(transform(col("arr"),
+            v => abs(v - col("med")))),
+          expr("CAST((nw - 1) div 2 + 1 AS INT)")))
+      .withColumn("is_outlier", abs(col("cents") - col("med")) >
+        lit(3L) * col("mad"))
+      .select(col("event_id"), col("user_id"), col("nw").as("n_win"),
+        r6(col("med").cast("double") / 100.0).as("med"),
+        r6(col("mad").cast("double") / 100.0).as("mad"),
+        col("is_outlier"),
+        r6(when(col("is_outlier"), col("med")).otherwise(col("cents"))
+          .cast("double") / 100.0).as("repaired"))
+      .orderBy("event_id")
+  }
+
   /** Trailing-5-event OLS slope of value per user — rolling regression,
     * the trend-feature spelling of feature engineering (a per-key
     * ramp-up/ramp-down detector). The slope is assembled from four
@@ -5119,6 +5157,7 @@ object Relational {
     "window_ntile_dist" -> (windowNtileDist _),
     "window_range_trailing" -> (windowRangeTrailing _),
     "window_rolling_median" -> (windowRollingMedian _),
+    "window_hampel_filter" -> (windowHampelFilter _),
     "window_rolling_slope" -> (windowRollingSlope _),
     "window_rank_topn" -> (windowRankTopn _),
     "window_topk_custom" -> (windowTopkCustom _),
@@ -7665,6 +7704,25 @@ object Relational {
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS running
          FROM ${evSql()} ORDER BY event_id""",
+    "window_hampel_filter" ->
+      s"""WITH e AS (SELECT event_id, user_id, ts,
+           CAST(round(value * 100) AS BIGINT) AS cents FROM ${evSql()}),
+         w AS (SELECT event_id, user_id, cents,
+           list_sort(list(cents) OVER win) AS arr
+           FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         m AS (SELECT *, CAST(len(arr) AS BIGINT) AS nw,
+           arr[CAST((len(arr) - 1) // 2 + 1 AS INTEGER)] AS med FROM w),
+         d AS (SELECT *,
+           list_sort(list_transform(arr, v -> abs(v - med)))
+             [CAST((nw - 1) // 2 + 1 AS INTEGER)] AS mad FROM m)
+         SELECT event_id, user_id, nw AS n_win,
+           ${r6Sql("CAST(med AS DOUBLE) / 100.0")} AS med,
+           ${r6Sql("CAST(mad AS DOUBLE) / 100.0")} AS mad,
+           abs(cents - med) > 3 * mad AS is_outlier,
+           ${r6Sql("CAST(CASE WHEN abs(cents - med) > 3 * mad THEN med ELSE cents END AS DOUBLE) / 100.0")}
+             AS repaired
+         FROM d ORDER BY event_id""",
     "window_rolling_median" ->
       s"""SELECT event_id, user_id,
          ${r6Sql("quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) OVER w / 100.0")} AS med_10,

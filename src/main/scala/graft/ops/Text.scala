@@ -2116,7 +2116,143 @@ object Text {
       .orderBy("source")
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — public paper):
+    * score every raw-corpus doc by how much more likely its tokens are
+    * under the TARGET distribution (here the `lang='en'` slice, the
+    * stand-in for a high-quality target set) than under the RAW corpus
+    * distribution: w(doc) = mean_t [ln p_tgt(t) − ln p_raw(t)], add-0.5
+    * smoothed unigrams over the shared vocabulary. High-w docs are the
+    * ones importance resampling would keep for an en-targeted mix.
+    * Shape at scale: two map-side-combined token-count aggregates
+    * (target is a filtered twin, not a second scan family), the
+    * log-ratio table is VOCAB-sized and joins the doc-tf frame by
+    * token, the top-20 rides TakeOrdered. Exactness: each token's
+    * log-ratio is r6-rounded then fixed as DECIMAL(16,6) (the
+    * [[bigramLmScore]] trick) so tf-weighted per-doc sums are
+    * order-independent on both engines. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("t"))
+    val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val raw = toks.groupBy("t").agg(count(lit(1)).as("c_raw"))
+    val tgt = toks.filter(col("lang") === "en")
+      .groupBy("t").agg(count(lit(1)).as("c_tgt"))
+    val totals = toks.agg(
+      sum(lit(1L)).as("n_raw"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_tgt"),
+      countDistinct(col("t")).as("v"))
+    val ratio = raw.join(tgt, Seq("t"), "left").crossJoin(broadcast(totals))
+      .select(col("t"),
+        r6(log((coalesce(col("c_tgt"), lit(0L)).cast("double") + lit(0.5)) /
+            (col("n_tgt").cast("double") + lit(0.5) * col("v").cast("double"))) -
+          log((col("c_raw").cast("double") + lit(0.5)) /
+            (col("n_raw").cast("double") + lit(0.5) * col("v").cast("double"))))
+          .cast(DecimalType(16, 6)).as("lr"))
+    tf.join(ratio, "t")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        r4(sum(col("lr") * col("tf")).cast("double") /
+          sum(col("tf")).cast("double")).as("dsir_weight"))
+      .orderBy(desc("dsir_weight"), col("doc_id")).limit(20)
+  }
+
+  /** Per-source token-LENGTH distribution drift — KL(P_src ‖ P_corpus)
+    * over the integer token-length histogram, the one-number "does this
+    * source's prose shape diverge from the mix?" audit a multi-source
+    * training pipeline runs before reweighting ([[docsDomainMix]] tells
+    * you the mix; this tells you which slice is distributionally odd).
+    * Shape at scale: docs collapse to (source, len) counts in one
+    * map-side-combined agg; the KL join is (#sources × #lengths)-sized
+    * — model-sized at any corpus. Add-0.5 smoothing keeps every
+    * corpus-support length in every source's domain (KL finite by
+    * construction); each length's ln-ratio is r6/DECIMAL-fixed so the
+    * per-source sum is order-independent. */
+  def wordlenKl(spark: SparkSession, dir: String): DataFrame = {
+    val lens = docs(spark, dir)
+      .select(col("source"),
+        explode(transform(split(col("text"), " "),
+          t => length(t).cast("long"))).as("len"))
+    val bySrc = lens.groupBy("source", "len").agg(count(lit(1)).as("c"))
+    val srcTot = lens.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val corpus = lens.groupBy("len").agg(count(lit(1)).as("c_all"))
+    val corpusTot = lens.agg(sum(lit(1L)).as("n_all"),
+      countDistinct(col("len")).as("nl"))
+    // full (source × corpus-support length) grid so a length a source
+    // never emits still contributes its smoothed mass to the KL sum
+    val grid = srcTot.crossJoin(corpus).crossJoin(broadcast(corpusTot))
+    grid.join(bySrc, Seq("source", "len"), "left")
+      .select(col("source"), col("n_src"), col("nl"),
+        (coalesce(col("c"), lit(0L)).cast("double") + lit(0.5)).as("cs"),
+        (col("n_src").cast("double") +
+          lit(0.5) * col("nl").cast("double")).as("ns"),
+        (col("c_all").cast("double") + lit(0.5)).as("ca"),
+        (col("n_all").cast("double") +
+          lit(0.5) * col("nl").cast("double")).as("na"))
+      .select(col("source"), col("n_src"),
+        ((col("cs") / col("ns")) *
+          r6(log((col("cs") / col("ns")) / (col("ca") / col("na"))))
+            .cast(DecimalType(16, 6)).cast("double")).as("term"))
+      .groupBy("source")
+      .agg(max(col("n_src")).as("n_tokens"),
+        r6(sum(r6(col("term")).cast(DecimalType(16, 6))).cast("double"))
+          .as("kl_nats"))
+      .orderBy("source")
+  }
+
+  /** Sorted-neighborhood dedup (Hernández & Stolfo's classic ER blocking
+    * — the third candidate-generation technique next to the repo's LSH
+    * banding and embedding buckets): records sort by a normalized
+    * BLOCKING KEY (text with spaces stripped, first 48 chars) and only
+    * a w=3 sliding window of sorted neighbors is compared — O(n·w)
+    * candidates instead of O(n²). Shape at scale: the sort is
+    * PARTITIONED by the key's 6-char prefix (the window cannot cross a
+    * prefix boundary anyway, since a pair that differs in the first 6
+    * chars can never reach match_level ≥ 16), so no global sort; the
+    * neighbor probe is lead() — one partitioned window stage, zero
+    * joins. match_level grades the shared-prefix depth (32/24/16, the
+    * graded-prefix spelling that avoids cross-engine LCP loops);
+    * candidates need level ≥ 16 AND a char-length gap ≤ 40. */
+  def dedupSortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    val sk = substring(regexp_replace(col("text"), " ", ""), 1, 48)
+    val base = docs(spark, dir)
+      .select(col("doc_id"), col("n_chars"), sk.as("sk"))
+      .withColumn("bkt", substring(col("sk"), 1, 6))
+    val w = Window.partitionBy("bkt").orderBy("sk", "doc_id")
+    // lead() lands in its own projection first: a window expression is
+    // not allowed inside a generator (explode) argument
+    val led = base.select(Seq(col("doc_id"), col("n_chars"), col("sk")) ++
+      (1 to 3).flatMap(k => Seq(
+        lead(col("doc_id"), k).over(w).as(s"b$k"),
+        lead(col("sk"), k).over(w).as(s"s$k"),
+        lead(col("n_chars"), k).over(w).as(s"c$k"))): _*)
+    val probes = (1 to 3).map(k => struct(lit(k).as("k"),
+      col(s"b$k").as("b_id"), col(s"s$k").as("b_sk"),
+      col(s"c$k").as("b_chars")))
+    val lvl = when(substring(col("sk"), 1, 32) ===
+        substring(col("p.b_sk"), 1, 32), 32L)
+      .when(substring(col("sk"), 1, 24) ===
+        substring(col("p.b_sk"), 1, 24), 24L)
+      .when(substring(col("sk"), 1, 16) ===
+        substring(col("p.b_sk"), 1, 16), 16L)
+      .otherwise(0L)
+    led
+      .select(col("doc_id"), col("n_chars"), col("sk"),
+        explode(array(probes: _*)).as("p"))
+      .filter(col("p.b_id").isNotNull)
+      .select(col("doc_id").as("a"), col("p.b_id").as("b"),
+        col("p.k").cast("long").as("dist"), lvl.as("match_level"),
+        col("n_chars").as("a_chars"), col("p.b_chars").as("b_chars"))
+      .filter(col("match_level") >= 16L &&
+        abs(col("a_chars") - col("b_chars")) <= 40L)
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_sorted_neighborhood" -> (dedupSortedNeighborhood _),
+    "text_dsir_weights" -> (dsirWeights _),
+    "text_wordlen_kl" -> (wordlenKl _),
     "text_code_detect" -> (codeDetect _),
     "text_burstiness" -> (burstiness _),
     "text_keyword_rake" -> (keywordRake _),
@@ -2223,6 +2359,83 @@ object Text {
     .map(k => s"SELECT * FROM sum$k").mkString("\n           UNION ALL ")
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_sorted_neighborhood" ->
+      """WITH base AS (SELECT doc_id, n_chars,
+           substring(replace(text, ' ', ''), 1, 48) AS sk
+           FROM documents),
+         b2 AS (SELECT *, substring(sk, 1, 6) AS bkt FROM base),
+         led AS (SELECT doc_id, n_chars, sk,
+           lead(doc_id, 1) OVER w AS b1, lead(sk, 1) OVER w AS s1,
+             lead(n_chars, 1) OVER w AS c1,
+           lead(doc_id, 2) OVER w AS b2, lead(sk, 2) OVER w AS s2,
+             lead(n_chars, 2) OVER w AS c2,
+           lead(doc_id, 3) OVER w AS b3, lead(sk, 3) OVER w AS s3,
+             lead(n_chars, 3) OVER w AS c3
+           FROM b2 WINDOW w AS (PARTITION BY bkt ORDER BY sk, doc_id)),
+         pairs AS (
+           SELECT doc_id, n_chars, sk, 1 AS dist, b1 AS b_id, s1 AS b_sk,
+             c1 AS b_chars FROM led
+           UNION ALL
+           SELECT doc_id, n_chars, sk, 2, b2, s2, c2 FROM led
+           UNION ALL
+           SELECT doc_id, n_chars, sk, 3, b3, s3, c3 FROM led),
+         graded AS (SELECT doc_id AS a, b_id AS b,
+           CAST(dist AS BIGINT) AS dist,
+           CAST(CASE
+             WHEN substring(sk, 1, 32) = substring(b_sk, 1, 32) THEN 32
+             WHEN substring(sk, 1, 24) = substring(b_sk, 1, 24) THEN 24
+             WHEN substring(sk, 1, 16) = substring(b_sk, 1, 16) THEN 16
+             ELSE 0 END AS BIGINT) AS match_level,
+           n_chars AS a_chars, b_chars
+           FROM pairs WHERE b_id IS NOT NULL)
+         SELECT * FROM graded
+         WHERE match_level >= 16 AND abs(a_chars - b_chars) <= 40
+         ORDER BY a, b""",
+    "text_dsir_weights" ->
+      s"""WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+           FROM documents),
+         tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY 1, 2),
+         raw AS (SELECT t, count(*) AS c_raw FROM toks GROUP BY 1),
+         tgt AS (SELECT t, count(*) AS c_tgt FROM toks WHERE lang = 'en'
+           GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS n_tgt,
+           CAST(count(DISTINCT t) AS BIGINT) AS v FROM toks),
+         ratio AS (SELECT t,
+           CAST(${r6Sql("ln((CAST(coalesce(c_tgt, 0) AS DOUBLE) + 0.5) / (CAST(n_tgt AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))) - ln((CAST(c_raw AS DOUBLE) + 0.5) / (CAST(n_raw AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))")}
+             AS DECIMAL(16,6)) AS lr
+           FROM raw LEFT JOIN tgt USING (t), tot)
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           ${r4Sql("CAST(sum(lr * tf) AS DOUBLE) / CAST(sum(tf) AS DOUBLE)")}
+             AS dsir_weight
+         FROM tf JOIN ratio USING (t)
+         GROUP BY doc_id ORDER BY dsir_weight DESC, doc_id LIMIT 20""",
+    "text_wordlen_kl" ->
+      s"""WITH lens AS (SELECT source, CAST(length(t) AS BIGINT) AS len
+           FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+             FROM documents)),
+         by_src AS (SELECT source, len, count(*) AS c FROM lens GROUP BY 1, 2),
+         src_tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+           FROM lens GROUP BY 1),
+         corpus AS (SELECT len, count(*) AS c_all FROM lens GROUP BY 1),
+         corpus_tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+           CAST(count(DISTINCT len) AS BIGINT) AS nl FROM lens),
+         grid AS (SELECT source, n_src, len, c_all, n_all, nl
+           FROM src_tot CROSS JOIN corpus CROSS JOIN corpus_tot),
+         terms AS (SELECT g.source, g.n_src,
+           (CAST(coalesce(b.c, 0) AS DOUBLE) + 0.5) AS cs,
+           (CAST(g.n_src AS DOUBLE) + 0.5 * CAST(g.nl AS DOUBLE)) AS ns,
+           (CAST(g.c_all AS DOUBLE) + 0.5) AS ca,
+           (CAST(g.n_all AS DOUBLE) + 0.5 * CAST(g.nl AS DOUBLE)) AS na
+           FROM grid g LEFT JOIN by_src b
+             ON b.source = g.source AND b.len = g.len),
+         t2 AS (SELECT source, n_src,
+           CAST(${r6Sql("(cs / ns) * CAST(CAST(" + r6Sql("ln((cs / ns) / (ca / na))") + " AS DECIMAL(16,6)) AS DOUBLE)")}
+             AS DECIMAL(16,6)) AS term
+           FROM terms)
+         SELECT source, max(n_src) AS n_tokens,
+           ${r6Sql("CAST(sum(term) AS DOUBLE)")} AS kl_nats
+         FROM t2 GROUP BY source ORDER BY source""",
     "text_code_detect" ->
       s"""WITH d AS (SELECT source,
            ${r6Sql("CAST(length(text) - length(regexp_replace(text, '[{}();=\\[\\]]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)")}
