@@ -54,7 +54,7 @@ object Bench {
       "join_bucketed_colocated", "pipe_csv_roundtrip", "pipe_json_roundtrip",
       "pipe_orc_roundtrip", "join_prune_dynamic", "text_bpe_encode",
       "dedup_cc_incremental", "text_bm25_index", "text_bm25_upsert",
-      "simsearch_rrf_hybrid", "pipe_jdbc_roundtrip",
+      "simsearch_rrf_hybrid", "pipe_jdbc_roundtrip", "pipe_zip_entry_stats",
       // candidate-graph consumers: the per-corpus edge set materializes
       // once (Dedup.candGraphCached) — iteration 1 pays the banding
       // build, later ones serve from the checkpointed edges

@@ -1539,6 +1539,245 @@ object PipelineOps {
       .orderBy("m_bits")
   }
 
+  /** Population Stability Index drift audit — the serving-vs-training
+    * distribution check a feature pipeline runs per release: order
+    * totals split at the date-span midpoint into a REFERENCE window and
+    * a CURRENT window, the reference min/max fixes ten equal-width
+    * cent bins (production PSI discipline: bin edges freeze at training
+    * time; out-of-range current values clamp into the edge bins), and
+    * PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref) with add-0.5 smoothing so
+    * an empty bin stays finite. Shape at scale: the corpus reduces in
+    * ONE conditional hash agg to the 10-bin frame; the totals window
+    * and the PSI sum run over that model-sized frame. Binning is exact
+    * integer arithmetic ((c−lo)·10 div (hi−lo+1) on clamped cents — no
+    * float boundary, and the div avoids DuckDB's floor-vs-truncate
+    * divergence by keeping operands non-negative); each bin's ln-ratio
+    * is r6/DECIMAL-fixed so the total is order-independent. */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders").select(
+      to_date(col("o_orderdate")).as("d"),
+      (col("o_totalprice").cast(Money) * 100).cast("long").as("cents"))
+    val mid = o.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))").as("mid"))
+    val tagged = o.crossJoin(broadcast(mid))
+      .withColumn("cur", col("d") > col("mid"))
+    val refMm = tagged.filter(!col("cur"))
+      .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    val counts = tagged.crossJoin(broadcast(refMm))
+      .withColumn("cc", greatest(col("lo"), least(col("hi"), col("cents"))))
+      .withColumn("bin", expr("((cc - lo) * 10) div (hi - lo + 1)"))
+      .groupBy("bin").agg(
+        sum(when(!col("cur"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("cur"), 1L).otherwise(0L)).as("n_cur"))
+    val grid = spark.range(10).select(col("id").as("bin"))
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val pr = (col("n_ref").cast("double") + lit(0.5)) /
+      (col("tr").cast("double") + lit(5.0))
+    val pc = (col("n_cur").cast("double") + lit(0.5)) /
+      (col("tc").cast("double") + lit(5.0))
+    grid
+      .withColumn("tr", sum(col("n_ref")).over(tot))
+      .withColumn("tc", sum(col("n_cur")).over(tot))
+      .withColumn("term", r6((pc - pr) *
+        r6(log(pc / pr)).cast(DecimalType(16, 6)).cast("double"))
+        .cast(DecimalType(16, 6)))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        r6(pr).as("p_ref"), r6(pc).as("p_cur"),
+        col("term").cast("double").as("psi_term"),
+        r6(sum(col("term")).over(tot).cast("double")).as("psi_total"))
+      .orderBy("bin")
+  }
+
+  /** Zone-map (min/max file-stats) skipping audit — the lakehouse
+    * question behind [[zorderLayout]] and every clustering decision:
+    * under the CURRENT physical layout, how many files would a
+    * month-predicate scan actually open, versus how many contain
+    * matching rows, versus the ideal a shipdate-clustered layout would
+    * read? Files are modeled as l_orderkey div 256 slices (insertion
+    * order — the natural-arrival proxy); per file ONE hash agg collects
+    * min/max shipdate plus the three probe months' hit counts, and the
+    * audit rolls up over that file-stats frame (model-sized at any
+    * corpus: #files, not #rows). `n_overlap − n_files_hit` counts the
+    * FALSE-POSITIVE opens — the clustering-debt number; `ideal_files`
+    * is the exact-integer ceiling of matching rows over the mean file
+    * size. Probe months are data-derived (min date + 12/24/36 months)
+    * so the audit runs on any corpus span. */
+  def zoneMapAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ks = Seq(12, 24, 36)
+    val li0 = table(spark, dir, "lineitem").select(
+      expr("l_orderkey div 256").as("file_id"),
+      to_date(col("l_shipdate")).as("sd"))
+    val d0f = li0.agg(min(col("sd")).as("d0"))
+    val hitCols = ks.map { k =>
+      val ms = add_months(trunc(col("d0"), "MM"), k)
+      sum(when(col("sd") >= ms && col("sd") < add_months(ms, 1), 1L)
+        .otherwise(0L)).as(s"hit$k")
+    }
+    val baseAggs = Seq(min(col("sd")).as("lo"), max(col("sd")).as("hi"),
+      count(lit(1)).as("nr"), max(col("d0")).as("d0")) ++ hitCols
+    val files = li0.crossJoin(broadcast(d0f))
+      .groupBy("file_id").agg(baseAggs.head, baseAggs.tail: _*)
+    files
+      .select(col("lo"), col("hi"), col("nr"), col("d0"),
+        explode(array(ks.map(k => struct(lit(k.toLong).as("k"),
+          col(s"hit$k").as("hits"))): _*)).as("m"))
+      .select(col("lo"), col("hi"), col("nr"),
+        col("m.k").as("k"), col("m.hits").as("hits"),
+        add_months(trunc(col("d0"), "MM"), col("m.k").cast("int")).as("ms"))
+      .withColumn("me", add_months(col("ms"), 1))
+      .groupBy("k", "ms").agg(
+        count(lit(1)).as("n_files"),
+        sum(when(col("lo") < col("me") && col("hi") >= col("ms"), 1L)
+          .otherwise(0L)).as("n_overlap"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_files_hit"),
+        sum(col("hits")).as("rows_match"),
+        sum(col("nr")).as("total_rows"))
+      .select(col("k"), dateS(col("ms")).as("month"), col("n_files"),
+        col("n_overlap"), col("n_files_hit"), col("rows_match"),
+        expr("(rows_match * n_files + total_rows - 1) div total_rows")
+          .as("ideal_files"),
+        r6(lit(1.0) - col("n_overlap").cast("double") /
+          col("n_files").cast("double")).as("skip_frac"))
+      .orderBy("k")
+  }
+
+  /** A14 restart/recovery as a batch model (VERDICT r12 ask #7): the
+    * reference commits its seen-ledger LAST, so a crash after processing
+    * but before commit replays the whole day — at-least-once, made
+    * idempotent by the per-file ledger anti-join. The model: daily runs
+    * process the files added since the last committed watermark
+    * ((wm, d] catch-up window) minus what the ledger already has; on
+    * CRASH DAY X (span midpoint) the run ledgers only even-key files
+    * and dies before the watermark commit, so day X+1's window re-spans
+    * day X — its even-key files are SKIPPED by the ledger (idempotence),
+    * its odd-key files are REPROCESSED (the at-least-once cost, counted
+    * in n_reprocessed), and the final ledger equals the no-crash run's
+    * (convergence — the property the oracle gates). Shape at scale: one
+    * hash agg to the per-day frame; lag/cumsum over the calendar grid. */
+  def ledgerReplay(spark: SparkSession, dir: String): DataFrame = {
+    val adds = table(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("u"))
+      .agg(count(lit(1)).as("n_add"),
+        sum(pmod(col("o_orderkey"), lit(2L))).as("n_odd"))
+    val grid = adds.agg(min(col("u")).as("d0"), max(col("u")).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"),
+        expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))").as("x"))
+    val ord = Window.orderBy("d")
+    val acc = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(adds.withColumnRenamed("u", "d"), Seq("d"), "left")
+      .select(col("d"), col("x"),
+        coalesce(col("n_add"), lit(0L)).as("n_add"),
+        coalesce(col("n_odd"), lit(0L)).as("n_odd"))
+      .withColumn("p_add", coalesce(lag(col("n_add"), 1).over(ord), lit(0L)))
+      .withColumn("p_odd", coalesce(lag(col("n_odd"), 1).over(ord), lit(0L)))
+      .withColumn("is_x", col("d") === col("x"))
+      .withColumn("is_x1", col("d") === date_add(col("x"), 1))
+      .withColumn("n_window",
+        col("n_add") + when(col("is_x1"), col("p_add")).otherwise(0L))
+      .withColumn("n_skipped",
+        when(col("is_x1"), col("p_add") - col("p_odd")).otherwise(0L))
+      .withColumn("n_processed", col("n_window") - col("n_skipped"))
+      .withColumn("n_reprocessed",
+        when(col("is_x1"), col("p_odd")).otherwise(0L))
+      .withColumn("n_committed",
+        when(col("is_x"), col("n_add") - col("n_odd"))
+          .otherwise(col("n_processed")))
+      .withColumn("ledger_size", sum(col("n_committed")).over(acc))
+      .withColumn("wm", when(col("is_x"), date_sub(col("d"), 1))
+        .otherwise(col("d")))
+      .select(dateS(col("d")).as("d"), col("n_window"), col("n_skipped"),
+        col("n_processed"), col("n_reprocessed"), col("n_committed"),
+        col("ledger_size"), dateS(col("wm")).as("watermark"))
+      .orderBy("d")
+  }
+
+  private lazy val zipRoot: java.io.File = processTempRoot("graft_zips_")
+  private val zipScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write-once zip corpus for [[zipEntryStats]]: every document becomes
+    * an entry `d<doc_id lpad 9>.txt` in its source's archive
+    * `<source>.zip` — the A8/A9 fetch+decompress surface, built the way
+    * a 100 TB pipeline writes shard archives: DISTRIBUTED (repartition
+    * by source, each task streams its sources' entries through one
+    * ZipOutputStream at a time — never a driver-side loop over the
+    * corpus), deterministic entry order (sortWithinPartitions), content
+    * keyed so a regenerated fixture rebuilds. */
+  private def zipTable(spark: SparkSession, dir: String): String =
+    zipScratch.computeIfAbsent(
+      "zip|" + dirContentKey(dir, "documents.parquet"), { _ =>
+        val out = new java.io.File(zipRoot, "z" + dirKey(dir))
+        out.mkdirs()
+        val outPath = out.getAbsolutePath
+        table(spark, dir, "documents")
+          .select(col("source"), col("doc_id"), col("text"))
+          .repartition(col("source"))
+          .sortWithinPartitions("source", "doc_id")
+          .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+            import java.util.zip.{ZipEntry, ZipOutputStream}
+            var zos: ZipOutputStream = null
+            var cur: String = null
+            try rows.foreach { r =>
+              val src = r.getString(0)
+              if (src != cur) {
+                if (zos != null) zos.close()
+                zos = new ZipOutputStream(
+                  new java.io.FileOutputStream(s"$outPath/$src.zip"))
+                cur = src
+              }
+              zos.putNextEntry(new ZipEntry(
+                "d" + "%09d".format(r.getLong(1)) + ".txt"))
+              zos.write(r.getString(2).getBytes("UTF-8"))
+              zos.closeEntry()
+            } finally if (zos != null) zos.close()
+          }
+        outPath
+      })
+
+  /** The A8 fetch + A9 decompress path as a DECLARED differential query
+    * (VERDICT r12 ask #7 — this surface was unit-tested only): documents
+    * round-trip through real zip archives and come back through the
+    * [[graft.sources.ZipEntriesSource]] DSv2 connector; the oracle
+    * recomputes every number straight from the documents parquet, so
+    * entry naming, byte counts, and content fidelity across the
+    * compress→decompress hop are all hash-gated. Two scans by design:
+    * the per-archive manifest aggregate projects only
+    * (archive, entry, n_bytes) — the connector's column pruning serves
+    * it from zip central directories, ZERO bytes decompressed (the
+    * plan-locked A10 manifest discipline) — while the content checksum
+    * probe decompresses only the 1/16 doc_id sample, md5-reduced to one
+    * order-independent sum per archive. */
+  def zipEntryStats(spark: SparkSession, dir: String): DataFrame = {
+    val zdir = zipTable(spark, dir)
+    val entries = spark.read
+      .format("graft.sources.ZipEntriesSource").load(zdir)
+    val meta = entries.select("archive", "entry", "n_bytes")
+      .groupBy("archive").agg(
+        count(lit(1)).as("n_entries"),
+        sum(col("n_bytes")).as("bytes_total"),
+        min(col("entry")).as("entry_min"),
+        max(col("entry")).as("entry_max"))
+    val chk = entries
+      .withColumn("doc_id", expr("CAST(substring(entry, 2, 9) AS BIGINT)"))
+      .filter(pmod(col("doc_id"), lit(16L)) === 0)
+      .select(col("archive"),
+        conv(substring(md5(col("content")), 1, 12), 16, 10)
+          .cast("long").as("h"))
+      .groupBy("archive").agg(count(lit(1)).as("n_checked"),
+        sum(col("h")).as("content_check"))
+    meta.join(chk, Seq("archive"), "left")
+      .select(col("archive"), col("n_entries"), col("bytes_total"),
+        col("entry_min"), col("entry_max"),
+        coalesce(col("n_checked"), lit(0L)).as("n_checked"),
+        coalesce(col("content_check"), lit(0L)).as("content_check"))
+      .orderBy("archive")
+  }
+
   /** One Derby snapshot DB per corpus, write-once: the value is the JDBC
     * url whose snapshot table is already loaded. Content-keyed so a
     * regenerated fixture reloads instead of serving a stale snapshot. */
@@ -1596,6 +1835,10 @@ object PipelineOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_jdbc_roundtrip" -> (jdbcRoundtrip _),
+    "pipe_zip_entry_stats" -> (zipEntryStats _),
+    "pipe_psi_drift" -> (psiDrift _),
+    "pipe_zone_map_audit" -> (zoneMapAudit _),
+    "pipe_ledger_replay" -> (ledgerReplay _),
     "pipe_manifest_history" -> (manifestHistory _),
     "pipe_manifest_pick" -> (manifestPick _),
     "pipe_seen_ledger" -> (seenLedger _),
@@ -1672,6 +1915,125 @@ object PipelineOps {
          FROM m)"""
 
   val oracleSql: Map[String, String] = Map(
+    // The Spark side went parquet → zip archives → DSv2 zip scan; the
+    // oracle recomputes manifest and checksum numbers from the documents
+    // parquet alone, gating the compress→decompress hop end-to-end.
+    "pipe_zip_entry_stats" ->
+      """WITH m AS (SELECT source || '.zip' AS archive, doc_id,
+           CAST(strlen(text) AS BIGINT) AS nb,
+           'd' || lpad(CAST(doc_id AS VARCHAR), 9, '0') || '.txt' AS entry,
+           text
+           FROM documents),
+         meta AS (SELECT archive, CAST(count(*) AS BIGINT) AS n_entries,
+             CAST(sum(nb) AS BIGINT) AS bytes_total,
+             min(entry) AS entry_min, max(entry) AS entry_max
+           FROM m GROUP BY archive),
+         chk AS (SELECT archive, CAST(count(*) AS BIGINT) AS n_checked,
+             CAST(sum(CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT))
+               AS BIGINT) AS content_check
+           FROM m WHERE doc_id % 16 = 0 GROUP BY archive)
+         SELECT archive, n_entries, bytes_total, entry_min, entry_max,
+           coalesce(n_checked, 0) AS n_checked,
+           coalesce(content_check, 0) AS content_check
+         FROM meta LEFT JOIN chk USING (archive)
+         ORDER BY archive""",
+    "pipe_psi_drift" ->
+      s"""WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+           FROM orders),
+         m AS (SELECT CAST(min(d) + (date_diff('day', min(d), max(d)) // 2)
+             * INTERVAL 1 DAY AS DATE) AS mid FROM o),
+         tagged AS (SELECT cents, d > mid AS cur FROM o, m),
+         rmm AS (SELECT min(cents) AS lo, max(cents) AS hi
+           FROM tagged WHERE NOT cur),
+         counts AS (SELECT
+             ((greatest(lo, least(hi, cents)) - lo) * 10) // (hi - lo + 1)
+               AS bin,
+             CAST(count(*) FILTER (NOT cur) AS BIGINT) AS n_ref,
+             CAST(count(*) FILTER (cur) AS BIGINT) AS n_cur
+           FROM tagged, rmm GROUP BY 1),
+         grid AS (SELECT CAST(unnest(range(10)) AS BIGINT) AS bin),
+         g AS (SELECT grid.bin, coalesce(n_ref, 0) AS n_ref,
+             coalesce(n_cur, 0) AS n_cur
+           FROM grid LEFT JOIN counts ON counts.bin = grid.bin),
+         t AS (SELECT *, CAST(sum(n_ref) OVER () AS BIGINT) AS tr,
+             CAST(sum(n_cur) OVER () AS BIGINT) AS tc FROM g),
+         p AS (SELECT bin, n_ref, n_cur,
+             (CAST(n_ref AS DOUBLE) + 0.5) / (CAST(tr AS DOUBLE) + 5.0) AS pr,
+             (CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + 5.0) AS pc
+           FROM t),
+         terms AS (SELECT bin, n_ref, n_cur, pr, pc,
+             CAST(${r6Sql("(pc - pr) * CAST(CAST(" + r6Sql("ln(pc / pr)") + " AS DECIMAL(16,6)) AS DOUBLE)")}
+               AS DECIMAL(16,6)) AS term
+           FROM p)
+         SELECT bin, n_ref, n_cur, ${r6Sql("pr")} AS p_ref,
+           ${r6Sql("pc")} AS p_cur, CAST(term AS DOUBLE) AS psi_term,
+           ${r6Sql("CAST(sum(term) OVER () AS DOUBLE)")} AS psi_total
+         FROM terms ORDER BY bin""",
+    "pipe_zone_map_audit" ->
+      s"""WITH li AS (SELECT l_orderkey // 256 AS file_id,
+           CAST(l_shipdate AS DATE) AS sd FROM lineitem),
+         d0f AS (SELECT min(sd) AS d0 FROM li),
+         files AS (SELECT file_id, min(sd) AS lo, max(sd) AS hi,
+             count(*) AS nr, max(d0) AS d0,
+             ${Seq(12, 24, 36).map(k =>
+               s"""CAST(count(*) FILTER (
+                  sd >= CAST(date_trunc('month', d0) + $k * INTERVAL 1 MONTH AS DATE)
+                  AND sd < CAST(date_trunc('month', d0) + ${k + 1} * INTERVAL 1 MONTH AS DATE))
+                  AS BIGINT) AS hit$k""").mkString(", ")}
+           FROM li, d0f GROUP BY file_id),
+         probes AS (${Seq(12, 24, 36).map(k =>
+             s"""SELECT lo, hi, nr, CAST($k AS BIGINT) AS k, hit$k AS hits,
+                CAST(date_trunc('month', d0) + $k * INTERVAL 1 MONTH AS DATE) AS ms,
+                CAST(date_trunc('month', d0) + ${k + 1} * INTERVAL 1 MONTH AS DATE) AS me
+                FROM files""").mkString(" UNION ALL ")})
+         SELECT k, strftime(ms, '%Y-%m-%d') AS month,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(count(*) FILTER (lo < me AND hi >= ms) AS BIGINT) AS n_overlap,
+           CAST(count(*) FILTER (hits > 0) AS BIGINT) AS n_files_hit,
+           CAST(sum(hits) AS BIGINT) AS rows_match,
+           CAST((sum(hits) * count(*) + sum(nr) - 1) // sum(nr) AS BIGINT) AS ideal_files,
+           ${r6Sql("1.0 - CAST(count(*) FILTER (lo < me AND hi >= ms) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+             AS skip_frac
+         FROM probes GROUP BY k, ms ORDER BY k""",
+    "pipe_ledger_replay" ->
+      s"""WITH adds AS (SELECT CAST(o_orderdate AS DATE) AS u,
+           CAST(count(*) AS BIGINT) AS n_add,
+           CAST(sum(o_orderkey % 2) AS BIGINT) AS n_odd
+           FROM orders GROUP BY 1),
+         span AS (SELECT min(u) AS d0, max(u) AS d1 FROM adds),
+         grid AS (SELECT CAST(unnest(generate_series(d0, d1,
+             INTERVAL 1 DAY)) AS DATE) AS d,
+             CAST(d0 + (date_diff('day', d0, d1) // 2) * INTERVAL 1 DAY
+               AS DATE) AS x
+           FROM span),
+         g AS (SELECT g.d, g.x, coalesce(a.n_add, 0) AS n_add,
+             coalesce(a.n_odd, 0) AS n_odd
+           FROM grid g LEFT JOIN adds a ON a.u = g.d),
+         l AS (SELECT *,
+             coalesce(lag(n_add, 1) OVER (ORDER BY d), 0) AS p_add,
+             coalesce(lag(n_odd, 1) OVER (ORDER BY d), 0) AS p_odd,
+             d = x AS is_x, d = x + INTERVAL 1 DAY AS is_x1
+           FROM g),
+         s AS (SELECT d,
+             n_add + CASE WHEN is_x1 THEN p_add ELSE 0 END AS n_window,
+             CASE WHEN is_x1 THEN p_add - p_odd ELSE 0 END AS n_skipped,
+             CASE WHEN is_x1 THEN p_odd ELSE 0 END AS n_reprocessed,
+             CASE WHEN is_x THEN n_add - n_odd
+               WHEN is_x1 THEN n_add + p_odd
+               ELSE n_add END AS n_committed,
+             CASE WHEN is_x THEN d - INTERVAL 1 DAY ELSE d END AS wm
+           FROM l)
+         SELECT strftime(d, '%Y-%m-%d') AS d,
+           CAST(n_window AS BIGINT) AS n_window,
+           CAST(n_skipped AS BIGINT) AS n_skipped,
+           CAST(n_window - n_skipped AS BIGINT) AS n_processed,
+           CAST(n_reprocessed AS BIGINT) AS n_reprocessed,
+           CAST(n_committed AS BIGINT) AS n_committed,
+           CAST(sum(n_committed) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW) AS BIGINT) AS ledger_size,
+           strftime(wm, '%Y-%m-%d') AS watermark
+         FROM s ORDER BY d""",
     // The Spark side went parquet → Derby → Spark agg; the oracle runs the
     // identical aggregate on the BASE parquet, so a pass proves the JDBC
     // write→read hop is value-faithful end-to-end.

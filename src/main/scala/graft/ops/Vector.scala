@@ -1010,6 +1010,45 @@ object Vector {
     * ⌊n/4⌋ bytes; payloads shorter than 4 bytes yield only frame 0.
     * The fixture payload is ASCII text, so char offsets = byte offsets
     * in both engines. */
+  /** Scene-cut detection over the sampled frame stream — the video-
+    * curation pass that decides WHICH frames are worth embedding (one
+    * per scene, not one per stride): consecutive frame features that
+    * jump by more than half the feature range mark a cut. The decode is
+    * the stubbed step (graft.multimodal discipline): the "frame
+    * feature" is the md5-derived 32-bit integer of the frame slice —
+    * deterministic in both engines — while the eight-frame fan-out, the
+    * per-video lag window, and the cut aggregate are the real Spark
+    * plumbing a true decoder would ride unchanged. Shape at scale:
+    * bounded 8-way explode, ONE window partitioned by doc (every
+    * video's frame stream is its own partition — embarrassingly
+    * parallel), then a per-doc hash agg. All integer arithmetic. */
+  def multimodalSceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n"))
+    val frames = d
+      .select(col("doc_id"), col("text"), col("n"),
+        explode(sequence(lit(0L), lit(7L))).as("frame_no"))
+      .withColumn("step", floor(col("n") / 8).cast("long"))
+      .filter(col("frame_no") === 0 || col("step") > 0)
+      .withColumn("off", col("frame_no") * col("step") + 1)
+      .filter(col("off") <= col("n"))
+      .withColumn("feat",
+        conv(substring(md5(col("text").substr(col("off").cast("int"),
+          lit(12)).cast("binary")), 1, 8), 16, 10).cast("long"))
+    val w = Window.partitionBy("doc_id").orderBy("frame_no")
+    frames
+      .withColumn("delta", abs(col("feat") - lag(col("feat"), 1).over(w)))
+      .withColumn("is_cut",
+        col("delta").isNotNull && col("delta") > lit(2147483648L))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_frames"),
+        sum(col("is_cut").cast("long")).as("n_cuts"),
+        max(col("delta")).as("max_delta"),
+        min(when(col("is_cut"), col("frame_no"))).as("first_cut"))
+      .orderBy("doc_id")
+  }
+
   def multimodalFrameSample(spark: SparkSession, dir: String): DataFrame = {
     val d = table(spark, dir, "documents")
       .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("n"))
@@ -2131,7 +2170,8 @@ object Vector {
     "dedup_embedding" -> (dedupEmbedding _),
     "multimodal_join_stats" -> (multimodalJoinStats _),
     "multimodal_binary_meta" -> (multimodalBinaryMeta _),
-    "multimodal_frame_sample" -> (multimodalFrameSample _))
+    "multimodal_frame_sample" -> (multimodalFrameSample _),
+    "multimodal_scene_cuts" -> (multimodalSceneCuts _))
 
   // Mirrors the Spark-side PQ exactly: same seeds, same PqIters Lloyd
   // iterations per subspace, same r6-decimal means and ADC sums —
@@ -2978,5 +3018,35 @@ object Vector {
            CAST(length(frame) AS BIGINT) AS frame_len,
            md5(frame) AS frame_md5,
            to_base64(encode(frame)) AS frame_b64
-         FROM h ORDER BY doc_id, frame_no""")
+         FROM h ORDER BY doc_id, frame_no""",
+    "multimodal_scene_cuts" ->
+      """WITH d AS (
+           SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+           FROM documents),
+         f AS (
+           SELECT doc_id, text, n, CAST(unnest(range(8)) AS BIGINT) AS frame_no
+           FROM d),
+         g AS (
+           SELECT doc_id, text, n, frame_no, n // 8 AS step,
+             frame_no * (n // 8) + 1 AS off
+           FROM f WHERE frame_no = 0 OR n // 8 > 0),
+         h AS (
+           SELECT doc_id, frame_no,
+             CAST(('0x' || substr(md5(substring(text, off, 12)), 1, 8))
+               AS BIGINT) AS feat
+           FROM g WHERE off <= n),
+         l AS (
+           SELECT doc_id, frame_no, feat,
+             abs(feat - lag(feat, 1) OVER (PARTITION BY doc_id
+               ORDER BY frame_no)) AS delta
+           FROM h),
+         c AS (
+           SELECT doc_id, frame_no, delta,
+             delta IS NOT NULL AND delta > 2147483648 AS is_cut
+           FROM l)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(CASE WHEN is_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+           max(delta) AS max_delta,
+           min(CASE WHEN is_cut THEN frame_no END) AS first_cut
+         FROM c GROUP BY doc_id ORDER BY doc_id""")
 }
