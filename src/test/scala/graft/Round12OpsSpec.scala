@@ -43,10 +43,10 @@ class Round12OpsSpec extends AnyFunSuite with SparkFixture {
   test("manifest_pick: lexicographic pick, regression on expiry, empty window") {
     val rows = PipelineOps.manifestPick(spark, manifestOrders).collect()
       .map(r => r.getAs[String]("d") -> r).toMap
-    assert(rows("2024-01-01").getAs[String]("pick") == "backup_20240101_000002.zip")
-    assert(rows("2024-01-02").getAs[String]("pick") == "backup_20240102_000003.zip")
+    assert(rows("2024-01-01").getAs[String]("pick") == "backup_20240101_000000002.zip")
+    assert(rows("2024-01-02").getAs[String]("pick") == "backup_20240102_000000003.zip")
     // day 90: day0 expired, day1 still the latest live file (age 89)
-    assert(rows("2024-03-31").getAs[String]("pick") == "backup_20240102_000003.zip")
+    assert(rows("2024-03-31").getAs[String]("pick") == "backup_20240102_000000003.zip")
     assert(rows("2024-03-31").getAs[Long]("pick_age_days") == 89)
     assert(rows("2024-03-31").getAs[Boolean]("is_stale"))
     // days 91-94: nothing live -> null pick, stale=false (nothing to be stale)
