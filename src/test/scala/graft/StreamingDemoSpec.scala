@@ -449,4 +449,58 @@ class StreamingDemoSpec extends AnyFunSuite with SparkFixture {
         s"negative half-cent must round HALF_UP like the batch: ${streamed(50L)}")
     } finally q.stop()
   }
+
+  test("streaming backlog state matches the batch stream_backlog_model rows") {
+    import graft.streaming.BacklogState
+    import graft.streaming.BacklogState.TimedEvent
+    implicit val sqlCtx = spark.sqlContext
+    // hour 10: 5 events, hour 11: 0 (gap), hour 12: 1, hour 13: 2 —
+    // tot 8 over 4 grid hours → batch capacity ceil(8/4) = 2.
+    // Lindley: h10 b=3, h11 b=1, h12 b=0, h13 b=0 (drains by the end, so
+    // post-corpus flush hours are all zeros).
+    val base = Seq(
+      (10, 5), (12, 1), (13, 2)).flatMap { case (h, k) =>
+      (0 until k).map(i =>
+        TimedEvent(h * 100L + i, ts(f"2024-01-01 $h%02d:${i * 7}%02d:00")))
+    }
+    val ms = MemoryStream[TimedEvent]
+    val q = BacklogState.backlog(ms.toDS(), capacityPerHour = 2L)
+      .writeStream.format("memory").queryName("backlog_test")
+      .outputMode("append").start()
+    try {
+      // feed hour-by-hour (the open recursion crosses micro-batches),
+      // then flush with a far-future row to advance the watermark
+      ms.addData(base.filter(_.event_id < 1100): _*); q.processAllAvailable()
+      ms.addData(base.filter(_.event_id >= 1100): _*); q.processAllAvailable()
+      ms.addData(TimedEvent(9999L, ts("2024-01-01 20:00:00")))
+      q.processAllAvailable()
+      ms.addData(TimedEvent(10000L, ts("2024-01-01 23:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("backlog_test").collect()
+        .map(r => r.getAs[String]("win_start") ->
+          ((r.getAs[Long]("n_in"), r.getAs[Long]("capacity"),
+            r.getAs[Long]("backlog"), r.getAs[Double]("utilization"),
+            r.getAs[Boolean]("is_congested"))))
+        .toMap
+      val dir = fixtureDir("events" -> base.map(e =>
+        EventRow(e.event_id, e.ts, 1L, "view", 1.0, "{}")).toDF)
+      val batch = graft.ops.StreamingModel.backlogModel(spark, dir).collect()
+        .map(r => r.getAs[String]("win_start") ->
+          ((r.getAs[Long]("n_in"), r.getAs[Long]("capacity"),
+            r.getAs[Long]("backlog"), r.getAs[Double]("utilization"),
+            r.getAs[Boolean]("is_congested"))))
+        .toMap
+      assert(batch.nonEmpty)
+      batch.foreach { case (h, row) =>
+        assert(streamed.get(h).contains(row),
+          s"$h stream=${streamed.get(h)} batch=$row")
+      }
+      // hours finalized past the corpus grid must be drained (the flush
+      // rows themselves may carry n_in=1, but never a backlog)
+      streamed.filterNot { case (h, _) => batch.contains(h) }.foreach {
+        case (h, (_, _, b, _, c)) =>
+          assert(b == 0L && !c, s"post-grid hour $h not drained")
+      }
+    } finally q.stop()
+  }
 }
