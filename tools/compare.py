@@ -92,8 +92,11 @@ def canon_arrow_type(t) -> str:
         return "struct"
     return "!" + str(t)
 
-def schema_mismatches(spark_dir: str, duck_rel) -> list:
-    """Columns whose DuckDB result type doesn't match the Spark parquet type."""
+def schema_mismatches(spark_dir: str, duck_tags) -> list:
+    """Columns whose DuckDB result type doesn't match the Spark parquet type.
+
+    duck_tags: [(column, canonical_type_tag)] — derived from a live DuckDB
+    relation or replayed from the oracle cache."""
     parts = [f for f in sorted(os.listdir(spark_dir)) if f.endswith(".parquet")]
     if not parts:
         # explicit: a bare next() would raise StopIteration, which the
@@ -103,14 +106,35 @@ def schema_mismatches(spark_dir: str, duck_rel) -> list:
     arrow_schema = pq.read_schema(os.path.join(spark_dir, parts[0]))
     spark_types = {f.name: canon_arrow_type(f.type) for f in arrow_schema}
     bad = []
-    for col, dt in zip(duck_rel.columns, duck_rel.types):
-        dtag = canon_duck_type(str(dt))
+    for col, dtag in duck_tags:
         stag = spark_types.get(col)
         if stag is None:
             bad.append((col, dtag, "<absent in spark result>"))
         elif dtag != stag:
             bad.append((col, dtag, stag))
     return bad
+
+# ---- oracle result cache (opt-in) ------------------------------------------
+# GRAFT_ORACLE_CACHE=<dir> caches each oracle's (normalized df, duck type
+# tags) pickled under md5(name | sql | corpus fingerprint). Two sf1 oracles
+# (graph_adamic_adar 24 min, dedup_cc_incremental 45 min in DuckDB) made the
+# standing 10x sweep hostile as a per-round gate; the fingerprint (per-table
+# file size+mtime) invalidates on any fixture regen and the SQL hash on any
+# oracle edit, so a hit can only replay a result that the same engine would
+# recompute bit-identically. Driver behavior is unchanged (env unset).
+
+def corpus_fingerprint(sf_dir: str) -> str:
+    parts = []
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            for f in sorted(os.listdir(p)):
+                st = os.stat(os.path.join(p, f))
+                parts.append(f"{t}/{f}:{st.st_size}:{int(st.st_mtime)}")
+        elif os.path.exists(p):
+            st = os.stat(p)
+            parts.append(f"{t}:{st.st_size}:{int(st.st_mtime)}")
+    return "|".join(parts)
 
 # ---- value strictness ------------------------------------------------------
 
@@ -171,6 +195,10 @@ def main():
         elif os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    cache_dir = os.environ.get("GRAFT_ORACLE_CACHE")
+    fp = corpus_fingerprint(sf_dir) if cache_dir else ""
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     if only:
@@ -188,9 +216,20 @@ def main():
             print(f"SKIP {name}: no oracle (rows={len(got)})")
             continue
         try:
-            rel = con.sql(oracle[name])
-            type_bad = schema_mismatches(spark_dir, rel)
-            exp = norm(rel.df())
+            import hashlib
+            ck = (os.path.join(cache_dir, hashlib.md5(
+                f"{name}|{oracle[name]}|{fp}".encode()).hexdigest() + ".pkl")
+                if cache_dir else None)
+            if ck and os.path.exists(ck):
+                exp, tags = pd.read_pickle(ck)
+            else:
+                rel = con.sql(oracle[name])
+                tags = [(c, canon_duck_type(str(t)))
+                        for c, t in zip(rel.columns, rel.types)]
+                exp = norm(rel.df())
+                if ck:
+                    pd.to_pickle((exp, tags), ck)
+            type_bad = schema_mismatches(spark_dir, tags)
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
