@@ -60,9 +60,11 @@ object Bench {
       // build, later ones serve from the checkpointed edges
       "graph_triangles", "graph_kcore", "graph_common_neighbors",
       "graph_adamic_adar", "graph_assortativity", "graph_local_clustering",
+      "graph_closeness_sample",
       "graph_pagerank", "graph_label_propagation",
       "graph_modularity", "graph_bfs_layers", "graph_degree_stats",
-      "dedup_threshold_sweep", "dedup_source_overlap", "dedup_rate_report")
+      "dedup_threshold_sweep", "dedup_source_overlap", "dedup_rate_report",
+      "dedup_cascade_audit")
     // Fixed single-thread CPU calibration, measured OUTSIDE any Spark
     // machinery: round-to-round totals have been distorted by VM speed
     // twice (r4's contended driver run; r8's VM measuring ~3× slower

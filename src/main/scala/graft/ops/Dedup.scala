@@ -1821,6 +1821,121 @@ object Dedup {
       .orderBy("dist")
   }
 
+  /** SAMPLED harmonic-closeness centrality — the centrality rung between
+    * `graph_degree_stats` (purely local) and `graph_pagerank` (global
+    * fixpoint): per-seed bounded BFS from the 3 highest-degree nodes
+    * (ties by id, the `graph_bfs_layers` seed rule) to depth 3 over the
+    * shared cached candidate graph, then harmonic closeness
+    * Σ_reached 1/dist. Exact to the last bit: the per-distance weights
+    * are integer MICRO-weights (1e6, 5e5, 333333 — shared literals, the
+    * [[HawkesW]]/trig-table discipline), so the centrality order is
+    * decided in long arithmetic and only the final normalized value is
+    * one r6-rounded double division chain. Scale: each BFS round is a
+    * frontier hash-join + anti-join keyed (seed, node) — 3 seeds × 3
+    * rounds of linear passes, never an all-pairs distance matrix; the
+    * exact-closeness alternative (BFS from EVERY node) is the quadratic
+    * path this sampled spelling exists to avoid. Sampled-seed closeness
+    * is the production discipline (Eppstein-Wang estimation). */
+  def graphClosenessSample(spark: SparkSession, dir: String): DataFrame = {
+    val e = candGraphCached(spark, dir)
+    val und = e.select(col("d1").as("u"), col("d2").as("v"))
+      .unionByName(e.select(col("d2").as("u"), col("d1").as("v")))
+    val deg = und.groupBy("u").agg(count(lit(1)).as("degree"))
+    val seeds = deg.orderBy(desc("degree"), col("u")).limit(3)
+      .select(col("u").as("seed"))
+    var labels = seeds
+      .select(col("seed"), col("seed").as("doc_id"), lit(0L).as("dist"))
+      .transform(iterCheckpoint)
+    for (t <- 1 to 3) {
+      val frontier = und
+        .join(labels.filter(col("dist") === t - 1)
+          .select(col("seed"), col("doc_id").as("u")), "u")
+        .select(col("seed"), col("v").as("doc_id")).distinct()
+        .join(labels, Seq("seed", "doc_id"), "left_anti")
+        .select(col("seed"), col("doc_id"), lit(t.toLong).as("dist"))
+      labels = labels.unionByName(frontier).transform(iterCheckpoint)
+    }
+    val nn = und.select("u").distinct().agg(count(lit(1)).as("n_nodes"))
+    labels.filter(col("dist") > 0)
+      .groupBy("seed")
+      .agg(sum(when(col("dist") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("dist") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("dist") === 3, 1L).otherwise(0L)).as("n3"))
+      .withColumn("harmonic_micro",
+        col("n1") * lit(1000000L) + col("n2") * lit(500000L)
+          + col("n3") * lit(333333L))
+      .crossJoin(broadcast(nn))
+      .withColumn("closeness",
+        r6(col("harmonic_micro").cast("double") / lit(1e6)
+          / (col("n_nodes") - 1).cast("double")))
+      .select("seed", "n1", "n2", "n3", "harmonic_micro", "closeness")
+      .orderBy("seed")
+  }
+
+  /** DEDUP CASCADE accounting — the marginal yield of each rung of the
+    * production dedup ladder (the FineWeb/Dolma discipline: exact →
+    * near-textual → semantic, cheapest first), measured on this corpus
+    * as one table: per stage, how many docs entered, how many THIS stage
+    * dropped that the cheaper stages missed, and the drop fraction. The
+    * stages are the engine's own declared rungs, not re-derivations:
+    * exact = `dedup_exact`'s min-id-per-content-hash; near =
+    * the shared cached LSH candidate graph ([[candGraphCached]])
+    * verified at token-Jaccard ≥ 0.5; semantic = SemDedup's capped
+    * within-cluster cosine pairs ([[Vector.semPairFrame]], τ = 0.30).
+    * Drop rule per stage: a doc is dropped when a verified pair links it
+    * to a SMALLER doc_id that survived every earlier stage (keep-lowest,
+    * non-recursive — the pair rule, not the CC rule, so each stage's
+    * accounting is independent of drop order). Scale: stage 1 is one
+    * content-hash agg; stage 2 rides the already-capped candidate graph;
+    * stage 3 the already-capped cluster pairs — the audit adds only
+    * doc-keyed semi/anti joins to rungs the engine already bounds. */
+  def dedupCascadeAudit(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    val s1 = d.groupBy(md5(lower(trim(col("text"))).cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val base = d.select(col("doc_id"),
+      array_distinct(split(Text.normTextExpr, " ")).as("toks"))
+    val verified = candGraphCached(spark, dir)
+      .join(base.select(col("doc_id").as("d1"), col("toks").as("t1")), "d1")
+      .join(base.select(col("doc_id").as("d2"), col("toks").as("t2")), "d2")
+      .withColumn("inter", size(array_intersect(col("t1"), col("t2"))))
+      .withColumn("jac", col("inter").cast("double")
+        / (size(col("t1")) + size(col("t2")) - col("inter")).cast("double"))
+      .filter(col("jac") >= 0.5)
+      .select("d1", "d2")
+    val s2drop = verified
+      .join(s1.select(col("doc_id").as("d1")), "d1")
+      .join(s1.select(col("doc_id").as("d2")), "d2")
+      .select(col("d2").as("doc_id")).distinct()
+    val s2 = s1.join(s2drop, Seq("doc_id"), "left_anti")
+    val s3drop = Vector.semPairFrame(spark, dir).filter(col("cos") >= 0.30)
+      .join(s2.select(col("doc_id").as("v1")), "v1")
+      .join(s2.select(col("doc_id").as("v2")), "v2")
+      .select(col("v2").as("doc_id")).distinct()
+    def cnt(df: DataFrame, as: String) = df.agg(count(lit(1)).as(as))
+    cnt(d, "n0")
+      .crossJoin(cnt(s1, "k1")).crossJoin(cnt(s2drop, "x2"))
+      .crossJoin(cnt(s3drop, "x3"))
+      .select(explode(array(
+        struct(lit(1L).as("stage"), lit("exact").as("method"),
+          col("n0").as("n_in"), (col("n0") - col("k1")).as("n_dropped")),
+        struct(lit(2L).as("stage"), lit("near_minhash").as("method"),
+          col("k1").as("n_in"), col("x2").as("n_dropped")),
+        struct(lit(3L).as("stage"), lit("semantic").as("method"),
+          (col("k1") - col("x2")).as("n_in"), col("x3").as("n_dropped"))))
+        .as("r"))
+      .select(col("r").getField("stage").as("stage"),
+        col("r").getField("method").as("method"),
+        col("r").getField("n_in").as("n_in"),
+        col("r").getField("n_dropped").as("n_dropped"),
+        (col("r").getField("n_in") - col("r").getField("n_dropped")).as("n_out"),
+        r6(when(col("r").getField("n_in") > 0,
+          col("r").getField("n_dropped").cast("double")
+            / col("r").getField("n_in").cast("double"))
+          .otherwise(lit(0.0))).as("drop_frac"))
+      .orderBy("stage")
+  }
+
   private val BbitK = 24 // 1-bit permutations; 3 bytes/doc of signature
 
   /** b-bit minhash calibration (Li & König, b = 1): keep only the LOW
@@ -1885,6 +2000,8 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_bbit" -> (dedupMinhashBbit _),
     "graph_bfs_layers" -> (graphBfsLayers _),
+    "graph_closeness_sample" -> (graphClosenessSample _),
+    "dedup_cascade_audit" -> (dedupCascadeAudit _),
     "dedup_cdc_chunks" -> (dedupCdcChunks _),
     "graph_modularity" -> (graphModularity _),
     "graph_kcore" -> (graphKcore _),
@@ -2110,6 +2227,84 @@ object Dedup {
 
   val oracleSql: Map[String, String] = Map(
     "dedup_minhash_bbit" -> bbitOracleSql,
+    "dedup_cascade_audit" ->
+      s"""WITH $graphBandPreambleSql,
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           FROM band a JOIN band b
+             ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         s1 AS MATERIALIZED (
+           SELECT min(doc_id) AS doc_id FROM documents
+           GROUP BY md5(lower(trim(text)))),
+         tk AS (SELECT doc_id, list_distinct(string_split(ntext, ' ')) AS toks
+           FROM nd),
+         ver AS (SELECT p.d1, p.d2
+           FROM pairs p
+           JOIN tk t1 ON t1.doc_id = p.d1
+           JOIN tk t2 ON t2.doc_id = p.d2
+           WHERE CAST(len(list_intersect(t1.toks, t2.toks)) AS DOUBLE)
+               / CAST(len(t1.toks) + len(t2.toks)
+                   - len(list_intersect(t1.toks, t2.toks)) AS DOUBLE) >= 0.5),
+         x2 AS (SELECT DISTINCT v.d2 AS doc_id FROM ver v
+           WHERE v.d1 IN (SELECT doc_id FROM s1)
+             AND v.d2 IN (SELECT doc_id FROM s1)),
+         s2 AS (SELECT doc_id FROM s1
+           WHERE doc_id NOT IN (SELECT doc_id FROM x2)),
+         ${Vector.semPairCtesSql},
+         sd AS (SELECT DISTINCT p.v2 AS doc_id FROM p
+           WHERE p.cos >= 0.30
+             AND p.v1 IN (SELECT doc_id FROM s2)
+             AND p.v2 IN (SELECT doc_id FROM s2)),
+         sel AS (SELECT
+             (SELECT count(*) FROM documents) AS n0,
+             (SELECT count(*) FROM s1) AS k1,
+             (SELECT count(*) FROM x2) AS x2n,
+             (SELECT count(*) FROM sd) AS x3n)
+         SELECT stage, method, n_in, n_dropped, n_in - n_dropped AS n_out,
+           ${r6Sql("""CASE WHEN n_in > 0
+             THEN CAST(n_dropped AS DOUBLE) / CAST(n_in AS DOUBLE)
+             ELSE 0.0 END""")} AS drop_frac
+         FROM (
+           SELECT CAST(1 AS BIGINT) AS stage, 'exact' AS method,
+             n0 AS n_in, n0 - k1 AS n_dropped FROM sel
+           UNION ALL SELECT 2, 'near_minhash', k1, x2n FROM sel
+           UNION ALL SELECT 3, 'semantic', k1 - x2n, x3n FROM sel) u
+         ORDER BY stage""",
+    "graph_closeness_sample" -> {
+      // per-round frontier CTEs carrying the seed key, the l0..l3
+      // unrolling of the engine's (seed, doc_id)-keyed BFS loop
+      val rounds = (1 to 3).map { t =>
+        s"""f$t AS (SELECT DISTINCT l.seed, und.v AS doc_id
+           FROM und JOIN l${t - 1} l
+             ON und.u = l.doc_id AND l.dist = ${t - 1}
+           WHERE NOT EXISTS (SELECT 1 FROM l${t - 1} x
+             WHERE x.seed = l.seed AND x.doc_id = und.v)),
+         l$t AS MATERIALIZED (SELECT seed, doc_id, dist FROM l${t - 1}
+           UNION ALL SELECT seed, doc_id, $t FROM f$t)"""
+      }.mkString(",\n         ")
+      s"""WITH $graphBandPreambleSql,
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           FROM band a JOIN band b
+             ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         und AS (SELECT d1 AS u, d2 AS v FROM pairs
+           UNION ALL SELECT d2 AS u, d1 AS v FROM pairs),
+         deg AS (SELECT u, count(*) AS degree FROM und GROUP BY u),
+         sd AS (SELECT u AS seed FROM deg ORDER BY degree DESC, u LIMIT 3),
+         l0 AS (SELECT seed, seed AS doc_id, 0 AS dist FROM sd),
+         $rounds,
+         nn AS (SELECT count(DISTINCT u) AS n_nodes FROM und),
+         agg AS (SELECT seed,
+             CAST(sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN dist = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+           FROM l3 WHERE dist > 0 GROUP BY seed)
+         SELECT seed, n1, n2, n3,
+           n1 * 1000000 + n2 * 500000 + n3 * 333333 AS harmonic_micro,
+           ${r6Sql("""CAST(n1 * 1000000 + n2 * 500000 + n3 * 333333
+             AS DOUBLE) / 1e6 / CAST(n_nodes - 1 AS DOUBLE)""")} AS closeness
+         FROM agg, nn ORDER BY seed"""
+    },
     "graph_bfs_layers" ->
       s"""WITH $graphBandPreambleSql,
          pairs AS MATERIALIZED (

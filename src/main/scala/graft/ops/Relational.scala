@@ -5027,7 +5027,169 @@ object Relational {
       r6(when(over, mean / vr)).as("nb_p"))
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch AUDIT — the third
+    * cardinality rung next to HLL (`agg_approx_distinct`, opaque
+    * estimator) and exact `countDistinct`: KMV is the sketch whose
+    * estimate is REPLAYABLE in plain SQL, so unlike HLL it can sit
+    * under the differential gate. Per key column: hash every value
+    * (md5 → first 12 hex = 48 bits, the one hash both engines spell
+    * identically), keep the k=64 smallest DISTINCT hash values, and
+    * estimate distinct = (k−1) · 2^48 / h_(k) (Bar-Yossef et al. 2002).
+    * Fewer than k distinct values → the sketch IS the exact count.
+    * Scale: the sketch side is a distinct-shuffle + TakeOrdered(k) per
+    * column — mergeable map-side (each partition's top-k carries up),
+    * 64 longs of state at any width; the exact countDistinct exists
+    * only because this query's JOB is to measure the sketch's error
+    * against truth. One IEEE division per row, r4-rounded. */
+  def aggKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val li = table(spark, dir, "lineitem")
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey")
+    def h(c: String) = conv(substring(
+      md5(col(c).cast("string").cast("binary")), 1, 12), 16, 10).cast("long")
+    // ONE pass for all three sketches: 3-way per-row fan-out, then the
+    // native bounded MinKLongs aggregate (distinct + sorted + k-capped in
+    // O(k) state, map-side partials) — the mergeable sketch itself, not
+    // a distinct-shuffle + sort per column.
+    val sketch = li
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), h(c).as("hv"))): _*)).as("r"))
+      .groupBy(col("r").getField("col_name").as("col_name"))
+      .agg(graft.functions.MinKLongsAgg
+        .minKLongs(col("r").getField("hv"), k).as("mins"))
+      .select(col("col_name"),
+        size(col("mins")).cast("long").as("k_seen"),
+        element_at(col("mins"), -1).as("hk"))
+    // ONE pass for the ground truth (the audit target): a single
+    // multi-countDistinct agg (Expand), joined back by column name.
+    val truth = table(spark, dir, "lineitem")
+      .agg(countDistinct(col(cols.head)).as(s"t0"),
+        countDistinct(col(cols(1))).as("t1"),
+        countDistinct(col(cols(2))).as("t2"))
+      .select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+        struct(lit(c).as("col_name"), col(s"t$i").as("true_n")) }: _*)).as("r"))
+      .select(col("r").getField("col_name").as("col_name"),
+        col("r").getField("true_n").as("true_n"))
+    sketch.join(broadcast(truth), "col_name")
+      .withColumn("est_n",
+        r4(when(col("k_seen") < k, col("k_seen").cast("double"))
+          .otherwise((col("k_seen") - 1).cast("double")
+            * lit(281474976710656.0) / col("hk").cast("double"))))
+      .withColumn("rel_err",
+        r6(abs(col("est_n") - col("true_n").cast("double"))
+          / col("true_n").cast("double")))
+      .select("col_name", "k_seen", "true_n", "est_n", "rel_err")
+      .orderBy("col_name")
+  }
+
+  /** Per-type daily-mean series for [[eventsKalmanFilter]]: the day mean
+    * is an exact decimal sum over an exact long count, r6-pinned BEFORE
+    * the recursion so both engines fold identical inputs. */
+  private def kalmanSeries(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(col("event_type"), dateS(col("ts")).as("d"))
+      .agg(dsum(col("value"), Qty).as("s"), count(lit(1)).as("n"))
+      .withColumn("y", r6(col("s") / col("n").cast("double")))
+      .groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("d"), col("y")))).as("seq"))
+      .select(col("event_type"),
+        transform(col("seq"), s => s.getField("y")).as("vals"))
+
+  /** The q=0.1 / r=1 random-walk Kalman fold (state [x, p, gain], all
+    * steps r6-quantized): predict p⁺ = p + q, gain K = p⁺/(p⁺ + r),
+    * update x' = x + K(z − x), p' = (1 − K)p⁺. Seeds x₁ = y₁, p₁ = 1.
+    * Unlike the fixed-gain Holt/EWMA folds, the gain TRAJECTORY is part
+    * of the state — early observations move the level harder, and the
+    * gain converges to the steady-state Riccati value; the final gain in
+    * the output is the convergence witness. */
+  private def kalmanFoldCol(vals: Column): Column =
+    aggregate(
+      slice(vals, lit(2), greatest(size(vals) - 1, lit(0))),
+      struct(element_at(vals, 1).as("x"), lit(1.0).as("p"), lit(0.0).as("kg")),
+      (acc, z) => {
+        val pp = r6(acc.getField("p") + lit(0.1))
+        val kg = r6(pp / (pp + lit(1.0)))
+        val xn = r6(acc.getField("x") + kg * (z - acc.getField("x")))
+        struct(xn.as("x"), r6((lit(1.0) - kg) * pp).as("p"), kg.as("kg"))
+      })
+
+  /** STATE-SPACE filter over the per-type daily mean — the evolving-gain
+    * sibling of the fixed-gain smoothers (`events_ewma` α-fixed,
+    * `events_holt_forecast` α/β-fixed): a 1-D random-walk Kalman filter
+    * whose gain is recomputed from the error covariance every step.
+    * Same single-gathered-row fold shape as Holt (the series is
+    * calendar-bounded, ~10³ days regardless of corpus width), so the
+    * recursion costs one row per event_type, not a pass per day.
+    * Output per type: final level, posterior variance, converged gain,
+    * and the last-day residual z_n − x_n (the filter's innovation
+    * witness). */
+  def eventsKalmanFilter(spark: SparkSession, dir: String): DataFrame =
+    kalmanSeries(spark, dir)
+      .filter(size(col("vals")) >= 2)
+      .select(col("event_type"), size(col("vals")).cast("long").as("n_days"),
+        kalmanFoldCol(col("vals")).as("st"),
+        element_at(col("vals"), -1).as("z_last"))
+      .select(col("event_type"), col("n_days"),
+        r6(col("st").getField("x")).as("level"),
+        r6(col("st").getField("p")).as("p_post"),
+        r6(col("st").getField("kg")).as("gain"),
+        r6(col("z_last") - col("st").getField("x")).as("resid_last"))
+      .orderBy("event_type")
+
+  /** exp(−0.5k)·1e6 rounded, k = 0..14 — the Hawkes kernel as integer
+    * micro-weights, shared as literals by both engines (no libm in
+    * either row path, the `events_periodogram` discipline). */
+  private val HawkesW = Seq(1000000L, 606531L, 367879L, 223130L, 135335L,
+    82085L, 49787L, 30197L, 18316L, 11109L, 6738L, 4087L, 2479L, 1503L, 912L)
+
+  /** SELF-EXCITING intensity (Hawkes process, exponential kernel, day
+    * granularity): at each day a user is active, λ = Σ_{k=0..14}
+    * c[d−k] · exp(−k/2), evaluated in EXACT integer micro-units via the
+    * shared [[HawkesW]] literal kernel — every product and sum is a
+    * long, so cross-engine agreement is exact, and the one division
+    * (the per-user mean) is a single r6-rounded IEEE op. Shape: the
+    * (user, day) activity grid × 15 kernel offsets → hash re-group on
+    * (user, day) — linear in active days, kernel-bounded fan-out, no
+    * self-join over raw events; the peak pick is a partitioned
+    * row_number window (per-user frames, never a global sort). The
+    * burst-detection spelling of streaming triage: who spiked, when,
+    * how hard relative to their own baseline. */
+  def eventsHawkesIntensity(spark: SparkSession, dir: String): DataFrame = {
+    val grid = table(spark, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("di", datediff(col("d"), to_date(lit("1970-01-01")))
+        .cast("long"))
+    val offs = HawkesW.zipWithIndex.map { case (w, kk) =>
+      struct(lit(kk.toLong).as("k"), lit(w).as("w")) }
+    val inten = grid
+      .select(col("user_id"), col("di"), col("c"),
+        explode(array(offs: _*)).as("o"))
+      .select(col("user_id"),
+        (col("di") + col("o").getField("k")).as("ti"),
+        (col("c") * col("o").getField("w")).as("part"))
+      .groupBy("user_id", "ti")
+      .agg(sum(col("part")).as("inten"))
+    val at = inten
+      .join(grid.select(col("user_id"), col("di").as("ti")), Seq("user_id", "ti"))
+    val w = Window.partitionBy("user_id")
+    val ord = Window.partitionBy("user_id")
+      .orderBy(desc("inten"), col("ti"))
+    at.withColumn("rn", row_number().over(ord))
+      .withColumn("n_days", count(lit(1)).over(w))
+      .withColumn("tot", sum(col("inten")).over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n_days"),
+        col("ti").as("peak_di"), col("inten").as("peak_intensity"),
+        r6(col("tot").cast("double") / col("n_days").cast("double")
+          / lit(1e6)).as("mean_intensity"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_kmv_distinct" -> (aggKmvDistinct _),
+    "events_kalman_filter" -> (eventsKalmanFilter _),
+    "events_hawkes_intensity" -> (eventsHawkesIntensity _),
     "agg_overdispersion_nb" -> (aggOverdispersionNb _),
     "agg_cuped_adjustment" -> (aggCupedAdjustment _),
     "agg_markov_attribution" -> (aggMarkovAttribution _),
@@ -5365,6 +5527,76 @@ object Relational {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "agg_kmv_distinct" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, kk AS k_seen, true_n,
+           ${r4Sql(s"""CASE WHEN kk < 64 THEN CAST(kk AS DOUBLE)
+             ELSE CAST(kk - 1 AS DOUBLE) * 281474976710656.0
+               / CAST(hk AS DOUBLE) END""")} AS est_n
+         FROM
+           (SELECT max(h) AS hk, count(*) AS kk FROM
+             (SELECT DISTINCT
+                CAST(('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 12))
+                  AS BIGINT) AS h
+              FROM lineitem ORDER BY h LIMIT 64) mh) kq,
+           (SELECT count(DISTINCT $c) AS true_n FROM lineitem) tq"""
+      s"""SELECT col_name, k_seen, true_n, est_n,
+         ${r6Sql("abs(est_n - CAST(true_n AS DOUBLE)) / CAST(true_n AS DOUBLE)")}
+           AS rel_err
+       FROM (${one("l_orderkey")} UNION ALL ${one("l_partkey")}
+         UNION ALL ${one("l_suppkey")})
+       ORDER BY col_name"""
+    },
+    "events_kalman_filter" -> {
+      val pp = r6Sql("acc[2] + 0.1")
+      val kg = r6Sql(s"($pp) / (($pp) + 1.0)")
+      val xn = r6Sql(s"acc[1] + ($kg) * (v[1] - acc[1])")
+      val pn = r6Sql(s"(1.0 - ($kg)) * ($pp)")
+      s"""WITH daily AS (
+           SELECT event_type, strftime(ts, '%Y-%m-%d') AS d,
+             ${r6Sql("""CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE)""")} AS y
+           FROM ${evSql()} GROUP BY event_type, d),
+         s AS (SELECT event_type, list(y ORDER BY d) AS vals
+               FROM daily GROUP BY event_type),
+         f AS (SELECT event_type, CAST(len(vals) AS BIGINT) AS n_days,
+             vals[-1] AS z_last,
+             list_reduce(
+               [[vals[1], 1.0, 0.0]]
+                 || list_transform(vals[2:len(vals)], x -> [x, 0.0, 0.0]),
+               (acc, v) -> [$xn, $pn, $kg]) AS st
+           FROM s WHERE len(vals) >= 2)
+         SELECT event_type, n_days,
+           ${r6Sql("st[1]")} AS level, ${r6Sql("st[2]")} AS p_post,
+           ${r6Sql("st[3]")} AS gain, ${r6Sql("z_last - st[1]")} AS resid_last
+         FROM f ORDER BY event_type"""
+    },
+    "events_hawkes_intensity" ->
+      s"""WITH grid AS (
+           SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS c
+           FROM ${evSql()} GROUP BY user_id, d),
+         g2 AS (SELECT user_id,
+             date_diff('day', DATE '1970-01-01', d) AS di, c
+           FROM grid),
+         x AS (SELECT user_id, di + k AS ti,
+             c * ([1000000, 606531, 367879, 223130, 135335, 82085, 49787,
+                   30197, 18316, 11109, 6738, 4087, 2479, 1503, 912])[k + 1]
+               AS part
+           FROM g2, range(0, 15) t(k)),
+         s AS (SELECT user_id, ti, CAST(sum(part) AS BIGINT) AS inten
+           FROM x GROUP BY user_id, ti),
+         a AS (SELECT s.user_id, s.ti, s.inten
+           FROM s JOIN g2 ON s.user_id = g2.user_id AND s.ti = g2.di),
+         r AS (SELECT user_id, ti, inten,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY inten DESC, ti) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_days,
+             CAST(sum(inten) OVER (PARTITION BY user_id) AS BIGINT) AS tot
+           FROM a)
+         SELECT user_id, n_days, ti AS peak_di, inten AS peak_intensity,
+           ${r6Sql("CAST(tot AS DOUBLE) / CAST(n_days AS DOUBLE) / 1e6")}
+             AS mean_intensity
+         FROM r WHERE rn = 1 ORDER BY user_id""",
     "agg_overdispersion_nb" ->
       s"""WITH pu AS (SELECT user_id, count(*) AS k
            FROM ${evSql()} GROUP BY user_id),

@@ -1212,6 +1212,28 @@ object Vector {
     * clusters stay near the cap, the SemDedup paper's own regime). */
   private[ops] val SemdedupCap = 256
 
+  /** Oracle twin of [[semPairFrame]]: the c/a/k/p CTE chunk ending in
+    * `p(cl, v1, v2, cos)` — shared by the `cluster_semdedup` and
+    * `pipe_dedup_cascade_audit` oracles. */
+  private[ops] lazy val semPairCtesSql: String =
+    s"""c AS (SELECT vec_id AS centroid_id, embedding AS ce
+             FROM embeddings ORDER BY vec_id LIMIT 8),
+         a AS (SELECT vec_id, embedding, cl FROM (
+             SELECT e.vec_id, e.embedding, c.centroid_id AS cl,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(e.embedding)+1),
+                   i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                      * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)))),
+                 c.centroid_id) AS rn
+             FROM embeddings e, c) WHERE rn = 1),
+         k AS (SELECT cl, vec_id, embedding FROM (
+             SELECT cl, vec_id, embedding,
+               row_number() OVER (PARTITION BY cl ORDER BY vec_id) AS rn
+             FROM a) WHERE rn <= $SemdedupCap),
+         p AS (SELECT a1.cl, a1.vec_id AS v1, a2.vec_id AS v2,
+             ${r4Sql(cosSql("a1.embedding", "a2.embedding"))} AS cos
+           FROM k a1 JOIN k a2 ON a1.cl = a2.cl AND a1.vec_id < a2.vec_id)"""
+
   /** SemDedup — cluster-then-prune semantic deduplication (Abbas et al.
     * 2023, public): k-means clusters the corpus, then near-duplicate
     * PAIRS are sought only within a cluster (cross-cluster pairs are by
@@ -1225,29 +1247,45 @@ object Vector {
     * p99 intra-cluster cosine so the prune is selective, and applies to
     * the r4-ROUNDED cosine so both engines cut identically. Output is
     * one bounded accounting row per cluster. */
-  def clusterSemdedup(spark: SparkSession, dir: String): DataFrame = {
+  /** The k-means assignment step of SemDedup, shared with the cascade
+    * audit (`pipe_dedup_cascade_audit`): (vec_id, embedding, cl). */
+  private[ops] def semAssigned(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).select(col("vec_id"), col("embedding"),
       col("embedding").cast("array<double>").as("xd"))
     val cents = e.orderBy("vec_id").limit(8)
       .select(col("vec_id").as("centroid_id"), col("xd").as("cd"))
-    val assigned = e.crossJoin(broadcast(cents))
+    e.crossJoin(broadcast(cents))
       .withColumn("sqd", sqdist(col("xd"), col("cd")))
       .groupBy("vec_id")
       .agg(first(col("embedding")).as("embedding"),
         min(struct(col("sqd"), col("centroid_id"))).as("b"))
       .select(col("vec_id"), col("embedding"),
         col("b.centroid_id").cast("long").as("cl"))
-    val memb = assigned.groupBy("cl").agg(count(lit(1)).as("n_members"))
+  }
+
+  /** The capped within-cluster pair frame of SemDedup — (cl, v1, v2,
+    * cos) with v1 < v2 and the r4-rounded cosine — ONE definition shared
+    * by [[clusterSemdedup]] and the cascade audit so the pair rule
+    * cannot drift between them. */
+  private[ops] def semPairFrame(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = semAssigned(spark, dir)
     val w = Window.partitionBy("cl").orderBy("vec_id")
     val capped = assigned.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= SemdedupCap)
       .withColumn("nrm", l2(col("embedding")))
-    val pairs = capped.select(col("cl"), col("vec_id").as("v1"),
+    capped.select(col("cl"), col("vec_id").as("v1"),
         col("embedding").as("e1"), col("nrm").as("n1"))
       .join(capped.select(col("cl"), col("vec_id").as("v2"),
         col("embedding").as("e2"), col("nrm").as("n2")), Seq("cl"))
       .filter(col("v1") < col("v2"))
       .withColumn("cos", r4(cosinePre(col("e1"), col("e2"), col("n1"), col("n2"))))
+      .select("cl", "v1", "v2", "cos")
+  }
+
+  def clusterSemdedup(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = semAssigned(spark, dir)
+    val memb = assigned.groupBy("cl").agg(count(lit(1)).as("n_members"))
+    val pairs = semPairFrame(spark, dir)
       .withColumn("dup", col("cos") >= 0.30)
     val stats = pairs.groupBy("cl").agg(
       count(lit(1)).as("n_pairs"),
@@ -2786,24 +2824,8 @@ object Vector {
            cos
          FROM pr ORDER BY cos DESC, v1, v2 LIMIT 10""",
     "cluster_semdedup" ->
-      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce
-             FROM embeddings ORDER BY vec_id LIMIT 8),
-         a AS (SELECT vec_id, embedding, cl FROM (
-             SELECT e.vec_id, e.embedding, c.centroid_id AS cl,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_sum(list_transform(range(1, len(e.embedding)+1),
-                   i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
-                      * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)))),
-                 c.centroid_id) AS rn
-             FROM embeddings e, c) WHERE rn = 1),
+      s"""WITH $semPairCtesSql,
          m AS (SELECT cl, count(*) AS n_members FROM a GROUP BY 1),
-         k AS (SELECT cl, vec_id, embedding FROM (
-             SELECT cl, vec_id, embedding,
-               row_number() OVER (PARTITION BY cl ORDER BY vec_id) AS rn
-             FROM a) WHERE rn <= $SemdedupCap),
-         p AS (SELECT a1.cl, a1.vec_id AS v1, a2.vec_id AS v2,
-             ${r4Sql(cosSql("a1.embedding", "a2.embedding"))} AS cos
-           FROM k a1 JOIN k a2 ON a1.cl = a2.cl AND a1.vec_id < a2.vec_id),
          g AS (SELECT cl, count(*) AS n_pairs,
              CAST(sum(CASE WHEN cos >= 0.30 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pairs,
              count(DISTINCT CASE WHEN cos >= 0.30 THEN v2 END) AS n_removed,

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.{PipelineOps, Relational, Text, Vector}
+import graft.ops.{Dedup, PipelineOps, Relational, Text, Vector}
 
 case class SuppRow13(s_suppkey: Long, s_name: String, s_nationkey: Int,
     s_acctbal: Double)
@@ -237,4 +237,119 @@ class Round13OpsSpec extends AnyFunSuite with SparkFixture {
     assert(r(0).getAs[Long]("n_cuts") == cuts.toLong)
     assert(r(0).getAs[Long]("max_delta") == deltas.max)
   }
+
+  test("kmv_distinct: sketch is exact under k, estimator sane over k") {
+    // 5/3/2 distinct values per column, all < k=64 -> the sketch IS the
+    // exact count (k_seen == true_n, est == true, rel_err == 0)
+    val small = fixtureDir("lineitem" -> spark.createDataset(
+      (0 until 30).map(i => LineKmv13(
+        (i % 5 + 1).toLong, (i % 3 + 1).toLong, (i % 2 + 1).toLong))).toDF)
+    val rs = Relational.aggKmvDistinct(spark, small).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(rs("l_orderkey").getAs[Long]("true_n") == 5)
+    assert(rs("l_orderkey").getAs[Long]("k_seen") == 5)
+    assert(rs("l_orderkey").getAs[Double]("est_n") == 5.0)
+    assert(rs("l_partkey").getAs[Double]("rel_err") == 0.0)
+    assert(rs("l_suppkey").getAs[Double]("est_n") == 2.0)
+    // 500 distinct orderkeys > k -> estimator branch: k_seen pinned at
+    // 64 and the (k-1)/u_k estimate lands within KMV's ~4-sigma band
+    // (sigma ~= true/sqrt(k-2) ~= 12.6%)
+    val big = fixtureDir("lineitem" -> spark.createDataset(
+      (0 until 500).map(i => LineKmv13(i.toLong, 1L, 1L))).toDF)
+    val rb = Relational.aggKmvDistinct(spark, big).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(rb("l_orderkey").getAs[Long]("k_seen") == 64)
+    assert(rb("l_orderkey").getAs[Long]("true_n") == 500)
+    assert(rb("l_orderkey").getAs[Double]("rel_err") < 0.5)
+  }
+
+  test("kalman_filter: one planted step reproduces the hand gain/level") {
+    // vals = [10, 20]: pp = 1.1, K = r6(1.1/2.1) = 0.52381,
+    // x = r6(10 + 0.52381*10) = 15.2381, p = r6(0.47619*1.1) = 0.523809
+    val ev = Seq(
+      EventRow(1L, ts("2024-03-01 10:00:00"), 1L, "click", 10.0, "{}"),
+      EventRow(2L, ts("2024-03-02 10:00:00"), 1L, "click", 20.0, "{}"))
+    val dir = fixtureDir("events" -> spark.createDataset(ev).toDF)
+    val r = Relational.eventsKalmanFilter(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_days") == 2)
+    assert(math.abs(r(0).getAs[Double]("gain") - 0.52381) < 1e-9)
+    assert(math.abs(r(0).getAs[Double]("level") - 15.2381) < 1e-9)
+    assert(math.abs(r(0).getAs[Double]("p_post") - 0.523809) < 1e-9)
+    assert(math.abs(r(0).getAs[Double]("resid_last") - 4.7619) < 1e-9)
+  }
+
+  test("hawkes_intensity: kernel sums in exact micro-units") {
+    // user 1: 2 events day0, 1 event day1.
+    // inten(d0) = 2e6; inten(d1) = 1e6 + 2*606531 = 2213062 (peak)
+    val ev = Seq(
+      EventRow(1L, ts("2024-03-01 08:00:00"), 1L, "click", 1.0, "{}"),
+      EventRow(2L, ts("2024-03-01 09:00:00"), 1L, "click", 1.0, "{}"),
+      EventRow(3L, ts("2024-03-02 08:00:00"), 1L, "click", 1.0, "{}"))
+    val dir = fixtureDir("events" -> spark.createDataset(ev).toDF)
+    val r = Relational.eventsHawkesIntensity(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_days") == 2)
+    assert(r(0).getAs[Long]("peak_intensity") == 2213062L)
+    // peak_di = day1 = 2024-03-02's epoch-day index
+    assert(r(0).getAs[Long]("peak_di") ==
+      java.time.LocalDate.parse("2024-03-02").toEpochDay)
+    assert(math.abs(r(0).getAs[Double]("mean_intensity")
+      - ((2000000L + 2213062L) / 2.0 / 1e6)) < 1e-6)
+  }
+
+  test("closeness_sample: planted triangle gives harmonic 2.0, closeness 1") {
+    // 3 identical docs form a candidate-graph triangle; 2 unrelated docs
+    // share no tokens -> graph = K3, seeds = the three members (deg 2),
+    // each with n1 = 2, n2 = n3 = 0, n_nodes = 3 -> closeness = 1.0
+    val same = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      DocRow(1L, same, "en", "s", same.length.toLong),
+      DocRow(2L, same, "en", "s", same.length.toLong),
+      DocRow(3L, same, "en", "s", same.length.toLong),
+      DocRow(4L, "uno dos tres quatro cinco seis", "en", "s", 30L),
+      DocRow(5L, "moon star cloud rain snow wind", "en", "s", 30L))
+    val dir = fixtureDir("documents" -> spark.createDataset(docs).toDF)
+    val r = Dedup.graphClosenessSample(spark, dir).collect()
+    assert(r.length == 3)
+    r.foreach { row =>
+      assert(Set(1L, 2L, 3L).contains(row.getAs[Long]("seed")))
+      assert(row.getAs[Long]("n1") == 2)
+      assert(row.getAs[Long]("n2") == 0 && row.getAs[Long]("n3") == 0)
+      assert(row.getAs[Long]("harmonic_micro") == 2000000L)
+      assert(row.getAs[Double]("closeness") == 1.0)
+    }
+  }
+
+  test("cascade_audit: each rung drops exactly its planted duplicate") {
+    // docs 3/4: same token SET, different text -> identical minhash
+    // signature (candidate in every band, deterministically) with
+    // verified Jaccard 1.0, yet NOT an exact dup (md5 differs)
+    val docs = Seq(
+      DocRow(1L, "same text twin one copy here now", "en", "s", 32L),
+      DocRow(2L, "same text twin one copy here now", "en", "s", 32L), // exact dup of 1
+      DocRow(3L, "red orange yellow green blue indigo", "en", "s", 36L),
+      DocRow(4L, "orange red yellow green indigo blue", "en", "s", 36L), // near dup of 3
+      DocRow(5L, "lion tiger bear wolf fox deer", "en", "s", 30L),
+      DocRow(6L, "ocean river lake pond creek bay", "en", "s", 30L))
+    val embs = Seq(
+      EmbRow(1L, Array(1f, 0f, 0f, 0f), 0),
+      EmbRow(2L, Array(0f, 1f, 0f, 0f), 0),
+      EmbRow(3L, Array(0f, 0f, 1f, 0f), 0),
+      EmbRow(4L, Array(0f, 0f, 0f, 1f), 0),
+      EmbRow(5L, Array(0.6f, 0.8f, 0f, 0f), 0),
+      EmbRow(6L, Array(0.6f, 0.8f, 0f, 0f), 0)) // semantic dup of 5
+    val dir = fixtureDir(
+      "documents" -> spark.createDataset(docs).toDF,
+      "embeddings" -> spark.createDataset(embs).toDF)
+    val r = Dedup.dedupCascadeAudit(spark, dir).collect()
+      .map(x => x.getAs[Long]("stage") -> x).toMap
+    assert(r(1L).getAs[Long]("n_in") == 6 && r(1L).getAs[Long]("n_dropped") == 1)
+    assert(r(2L).getAs[Long]("n_in") == 5 && r(2L).getAs[Long]("n_dropped") == 1)
+    assert(r(3L).getAs[Long]("n_in") == 4 && r(3L).getAs[Long]("n_dropped") == 1)
+    assert(r(3L).getAs[Long]("n_out") == 3)
+    assert(math.abs(r(3L).getAs[Double]("drop_frac") - 0.25) < 1e-9)
+  }
 }
+
+case class LineKmv13(l_orderkey: Long, l_partkey: Long, l_suppkey: Long)
