@@ -1891,8 +1891,14 @@ object Dedup {
     * doc-keyed semi/anti joins to rungs the engine already bounds. */
   def dedupCascadeAudit(spark: SparkSession, dir: String): DataFrame = {
     val d = table(spark, dir, "documents")
-    val s1 = d.groupBy(md5(lower(trim(col("text"))).cast("binary")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    // checkpointed: the content-hash survivor frame feeds THREE count
+    // branches (its own count, the stage-2 drop join, the stage-3
+    // survivor anti-join) — without the cut the corpus-wide md5 agg
+    // re-runs per branch (measured 3.1 s serve → the checkpoint is the
+    // doc_id-only frame, tiny at any scale)
+    val s1 = iterCheckpoint(
+      d.groupBy(md5(lower(trim(col("text"))).cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id"))
     val base = d.select(col("doc_id"),
       array_distinct(split(Text.normTextExpr, " ")).as("toks"))
     val verified = candGraphCached(spark, dir)
@@ -1903,10 +1909,10 @@ object Dedup {
         / (size(col("t1")) + size(col("t2")) - col("inter")).cast("double"))
       .filter(col("jac") >= 0.5)
       .select("d1", "d2")
-    val s2drop = verified
+    val s2drop = iterCheckpoint(verified
       .join(s1.select(col("doc_id").as("d1")), "d1")
       .join(s1.select(col("doc_id").as("d2")), "d2")
-      .select(col("d2").as("doc_id")).distinct()
+      .select(col("d2").as("doc_id")).distinct())
     val s2 = s1.join(s2drop, Seq("doc_id"), "left_anti")
     val s3drop = Vector.semPairFrame(spark, dir).filter(col("cos") >= 0.30)
       .join(s2.select(col("doc_id").as("v1")), "v1")
