@@ -124,8 +124,18 @@ object Bench {
     val moveLast: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_LAST")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
     val ordered = selected.toSeq.sortBy(_._1)
-    val results = (ordered.filterNot(kv => moveLast(kv._1)) ++
-        ordered.filter(kv => moveLast(kv._1))).map { case (name, fn) =>
+    val runOrder = ordered.filterNot(kv => moveLast(kv._1)) ++
+      ordered.filter(kv => moveLast(kv._1))
+    // Mid-suite calibration sample (round 13): the r13 session measured
+    // the host's parallel throughput swinging ±35% WITHIN an hour
+    // (samples 0.25 → 0.18 across consecutive runs of identical code),
+    // so two endpoint samples can both miss a mid-run phase. A third
+    // sample halfway through costs ~0.2 s and makes the median robust
+    // to one contended endpoint.
+    var calibMtMid = -1.0
+    val half = runOrder.size / 2
+    val results = runOrder.zipWithIndex.map { case ((name, fn), idx) =>
+      if (idx == half && runOrder.size > 3) calibMtMid = calibMtOnce()
       val best = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -135,7 +145,8 @@ object Bench {
     }.toMap
     // Post-suite parallel calibration + median-of-samples normalizer.
     val calibMtAfter = calibMtOnce()
-    val calibMtSamples = Seq(calibMtBefore, calibMtAfter)
+    val calibMtSamples =
+      Seq(calibMtBefore, calibMtMid, calibMtAfter).filter(_ > 0)
     val calibMtSec = {
       val s = calibMtSamples.sorted
       (s(s.size / 2) + s((s.size - 1) / 2)) / 2.0
