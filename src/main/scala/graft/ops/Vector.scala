@@ -266,6 +266,42 @@ object Vector {
   def simsearchIvf(spark: SparkSession, dir: String): DataFrame =
     ivfSearch(spark, dir, NProbe)
 
+  /** IVF nprobe RECALL SWEEP — the tuning table every IVF deployment is
+    * configured from (`simsearch_recall_eval`'s discipline applied to the
+    * IVF knob itself): recall@3 vs the exact brute-force baseline at
+    * nprobe = 1..4, next to the scan fraction each setting pays
+    * (nprobe/16 of the corpus per probe). The production question it
+    * answers: the smallest nprobe whose recall clears the target — at
+    * 100 TB each +1 nprobe is another 1/16th of the corpus scanned per
+    * query, so this curve IS the serving-cost dial. Shape: train/assign
+    * runs ONCE ([[ivfTrainAssign]], checkpointed) and all four serves
+    * reuse it; the exact baseline is one brute-force pass (checkpointed,
+    * consumed by four semi joins); each serve is the standard bounded
+    * probe-broadcast join. Recall is micro-averaged over probes; the
+    * one division is r4-rounded. */
+  def simsearchNprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val exact = iterCheckpoint(
+      simsearchTopk(spark, dir).filter(col("rk") <= 3)
+        .select(col("probe_id"), col("neighbor_id")))
+    val nEx = exact.groupBy("probe_id").agg(count(lit(1)).as("n_exact"))
+    val (assigned, cents) = ivfTrainAssign(spark, dir)
+    val probes = ivfProbes(assigned)
+    (1 to 4).map { np =>
+      val ann = ivfServe(assigned, probes, cents, np, prune = false)
+        .select(col("probe_id"), col("neighbor_id"))
+      val hits = exact.join(ann, Seq("probe_id", "neighbor_id"), "left_semi")
+        .groupBy("probe_id").agg(count(lit(1)).as("n_hit"))
+      nEx.join(hits, Seq("probe_id"), "left")
+        .agg(sum(col("n_exact")).as("n_exact"),
+          sum(coalesce(col("n_hit"), lit(0L))).as("n_hit"))
+        .select(lit(np.toLong).as("nprobe"),
+          r4(lit(np.toDouble) / lit(16.0)).as("scan_frac"),
+          col("n_exact"), col("n_hit"),
+          r4(col("n_hit").cast("double") / col("n_exact").cast("double"))
+            .as("recall"))
+    }.reduce(_.unionByName(_)).orderBy("nprobe")
+  }
+
   private[graft] def ivfSearch(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val (assigned, cents) = ivfTrainAssign(spark, dir)
     ivfServe(assigned, ivfProbes(assigned), cents, nprobe, prune = false)
@@ -2197,6 +2233,7 @@ object Vector {
     "simsearch_lsh" -> (simsearchLsh _),
     "simsearch_lsh_multiprobe" -> (simsearchLshMultiprobe _),
     "simsearch_recall_eval" -> (simsearchRecallEval _),
+    "simsearch_nprobe_sweep" -> (simsearchNprobeSweep _),
     "embedding_avg_pool" -> (embeddingAvgPool _),
     "multimodal_decode_features" -> (multimodalDecodeFeatures _),
     "simsearch_ivf" -> (simsearchIvf _),
@@ -2229,40 +2266,53 @@ object Vector {
     * final assignment over the FULL corpus against those frozen
     * centroids, probes from the full corpus. Same generated SQL
     * everywhere else, so the three declared variants cannot drift. */
-  private def ivfOracleSqlGen(standingTrained: Boolean): String = {
-    def dotFF(a: String, b: String) = dotFFSql(a, b)
-    def dotFD(a: String, b: String) =
-      s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
-    def normD(b: String) = s"sqrt(list_sum(list_transform($b, y -> y * y)))"
-    val trainE = if (standingTrained) "et" else "e"
-    def assignSql(cn: String, src: String) =
-      s"""(SELECT vec_id, embedding, nrm, cell FROM (
+  /** DuckDB float×double dot — shared by the IVF oracle chain and the
+    * nprobe sweep oracle (one spelling, no drift). */
+  private def dotFDSqlStr(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
+  private def normDSqlStr(b: String): String =
+    s"sqrt(list_sum(list_transform($b, y -> y * y)))"
+  private def ivfAssignSqlStr(cn: String, src: String): String =
+    s"""(SELECT vec_id, embedding, nrm, cell FROM (
            SELECT e.vec_id, e.embedding, e.nrm, c.c_id AS cell,
              row_number() OVER (PARTITION BY e.vec_id
-               ORDER BY ${dotFD("e.embedding", "c.c_emb")} / (e.nrm * c.c_nrm) DESC, c.c_id) AS rn
+               ORDER BY ${dotFDSqlStr("e.embedding", "c.c_emb")} / (e.nrm * c.c_nrm) DESC, c.c_id) AS rn
            FROM $src e, $cn c) WHERE rn = 1)"""
+
+  /** The shared IVF oracle PREAMBLE: `e` (normalized corpus), optional
+    * standing slice, Lloyd chain cn0..cn[[KmeansIters]], and the final
+    * corpus assignment `asg`. Shared by [[ivfOracleSqlGen]] and the
+    * nprobe sweep so the training replay cannot drift between them. */
+  private def ivfChainCtesSql(standingTrained: Boolean): String = {
+    val trainE = if (standingTrained) "et" else "e"
     val iterCtes = (0 until KmeansIters).map { k =>
-      s"""a$k AS ${assignSql(s"cn$k", trainE)},
+      s"""a$k AS ${ivfAssignSqlStr(s"cn$k", trainE)},
          x$k AS (SELECT cell, generate_subscripts(embedding, 1) AS i,
              unnest(embedding) AS x FROM a$k),
          m$k AS (SELECT cell, i,
              CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
                AS DECIMAL(28,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu
            FROM x$k GROUP BY cell, i),
-         cn${k + 1} AS (SELECT c_id, c_emb, ${normD("c_emb")} AS c_nrm FROM (
+         cn${k + 1} AS (SELECT c_id, c_emb, ${normDSqlStr("c_emb")} AS c_nrm FROM (
              SELECT cell AS c_id, list(mu ORDER BY i) AS c_emb
              FROM m$k GROUP BY cell))"""
     }.mkString(",\n         ")
     val standingCte = if (standingTrained)
       "et AS (SELECT * FROM e WHERE vec_id % 6 <> 0),\n         " else ""
-    s"""WITH e AS (SELECT vec_id, embedding,
-             sqrt(${dotFF("embedding", "embedding")}) AS nrm FROM embeddings),
-         ${standingCte}cn0 AS (SELECT c_id, c_emb, ${normD("c_emb")} AS c_nrm FROM (
+    s"""e AS (SELECT vec_id, embedding,
+             sqrt(${dotFFSql("embedding", "embedding")}) AS nrm FROM embeddings),
+         ${standingCte}cn0 AS (SELECT c_id, c_emb, ${normDSqlStr("c_emb")} AS c_nrm FROM (
              SELECT vec_id AS c_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb
              FROM $trainE ORDER BY vec_id LIMIT 16)),
          $iterCtes,
-         asg AS ${assignSql(s"cn$KmeansIters", "e")},
+         asg AS ${ivfAssignSqlStr(s"cn$KmeansIters", "e")}"""
+  }
+
+  private def ivfOracleSqlGen(standingTrained: Boolean): String = {
+    def dotFF(a: String, b: String) = dotFFSql(a, b)
+    def dotFD(a: String, b: String) = dotFDSqlStr(a, b)
+    s"""WITH ${ivfChainCtesSql(standingTrained)},
          p AS (SELECT vec_id AS probe_id, embedding AS p_emb, nrm AS p_nrm
              FROM asg ORDER BY vec_id LIMIT 10),
          pc AS (SELECT probe_id, p_emb, p_nrm, cell FROM (
@@ -2281,6 +2331,47 @@ object Vector {
 
   private lazy val ivfOracleSqlStr: String = ivfOracleSqlGen(standingTrained = false)
   private lazy val ivfUpsertOracleSqlStr: String = ivfOracleSqlGen(standingTrained = true)
+
+  /** Oracle twin of [[simsearchNprobeSweep]]: the shared IVF chain, one
+    * exact-baseline CTE, and four per-nprobe serve replays unioned. */
+  private lazy val nprobeSweepOracleSql: String = {
+    val perNp = (1 to 4).map { np =>
+      s"""pc$np AS (SELECT probe_id, p_emb, p_nrm, cell FROM (
+             SELECT p.probe_id, p.p_emb, p.p_nrm, c.c_id AS cell,
+               row_number() OVER (PARTITION BY p.probe_id
+                 ORDER BY ${dotFDSqlStr("p.p_emb", "c.c_emb")} / (p.p_nrm * c.c_nrm) DESC, c.c_id) AS pr
+             FROM p, cn$KmeansIters c) WHERE pr <= $np),
+         t$np AS (SELECT probe_id, vec_id FROM (
+             SELECT pc.probe_id, a.vec_id,
+               ${r4Sql(dotFFSql("a.embedding", "pc.p_emb") + " / (a.nrm * pc.p_nrm)")} AS cos
+             FROM asg a JOIN pc$np pc
+               ON a.cell = pc.cell AND a.vec_id != pc.probe_id) z
+           QUALIFY row_number() OVER (PARTITION BY probe_id
+             ORDER BY cos DESC, vec_id) <= 3),
+         h$np AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+           FROM t$np t JOIN ex
+             ON t.probe_id = ex.probe_id AND t.vec_id = ex.neighbor_id)"""
+    }.mkString(",\n         ")
+    val rows = (1 to 4).map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe,
+           ${r4Sql(s"CAST($np AS DOUBLE) / 16.0")} AS scan_frac,
+           nx.n_exact, h$np.n_hit,
+           ${r4Sql(s"CAST(h$np.n_hit AS DOUBLE) / CAST(nx.n_exact AS DOUBLE)")} AS recall
+         FROM nx, h$np"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH ${ivfChainCtesSql(standingTrained = false)},
+         p AS (SELECT vec_id AS probe_id, embedding AS p_emb, nrm AS p_nrm
+             FROM asg ORDER BY vec_id LIMIT 10),
+         ex AS (SELECT probe_id, vec_id AS neighbor_id FROM (
+             SELECT p.probe_id, c.vec_id,
+               ${r4Sql(dotFFSql("c.embedding", "p.p_emb") + " / (c.nrm * p.p_nrm)")} AS cos
+             FROM e c, p WHERE c.vec_id != p.probe_id) z
+           QUALIFY row_number() OVER (PARTITION BY probe_id
+             ORDER BY cos DESC, vec_id) <= 3),
+         nx AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
+         $perNp
+         SELECT * FROM ($rows) u ORDER BY nprobe"""
+  }
 
   /** The PQ oracle, parameterized by the TRAINING source: `trainSv = "sv"`
     * replays [[simsearchPq]] (codebooks trained on the full corpus);
@@ -2945,6 +3036,7 @@ object Vector {
          FROM x GROUP BY label, pos ORDER BY label, pos""",
     // Composes the exact-top-3 and multiprobe CTEs (same spellings as
     // their own oracles) and counts the per-probe overlap.
+    "simsearch_nprobe_sweep" -> nprobeSweepOracleSql,
     "simsearch_recall_eval" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
              FROM embeddings ORDER BY vec_id LIMIT 10),

@@ -321,6 +321,22 @@ class Round13OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("nprobe_sweep: recall is monotone in nprobe, baseline size fixed") {
+    val rows = Vector.simsearchNprobeSweep(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 3L, 4L))
+    // 10 probes x exact top-3 = a fixed 30-pair baseline at every nprobe
+    assert(rows.forall(_.getAs[Long]("n_exact") == 30L))
+    val recalls = rows.map(_.getAs[Double]("recall")).toSeq
+    recalls.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a, s"recall not monotone in nprobe: $recalls")
+    }
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
+    assert(rows.map(_.getAs[Double]("scan_frac")).toSeq ==
+      Seq(0.0625, 0.125, 0.1875, 0.25))
+  }
+
   test("cascade_audit: each rung drops exactly its planted duplicate") {
     // docs 3/4: same token SET, different text -> identical minhash
     // signature (candidate in every band, deterministically) with
