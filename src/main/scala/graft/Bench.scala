@@ -64,7 +64,10 @@ object Bench {
       "graph_pagerank", "graph_label_propagation",
       "graph_modularity", "graph_bfs_layers", "graph_degree_stats",
       "dedup_threshold_sweep", "dedup_source_overlap", "dedup_rate_report",
-      "dedup_cascade_audit")
+      "dedup_cascade_audit",
+      // IVF training is corpus-cached (ivfTrainAssignCached): iteration 1
+      // pays the Lloyd chain, later ones serve from the cached assignment
+      "simsearch_ivf", "simsearch_nprobe_sweep")
     // Fixed single-thread CPU calibration, measured OUTSIDE any Spark
     // machinery: round-to-round totals have been distorted by VM speed
     // twice (r4's contended driver run; r8's VM measuring ~3× slower

@@ -284,7 +284,7 @@ object Vector {
       simsearchTopk(spark, dir).filter(col("rk") <= 3)
         .select(col("probe_id"), col("neighbor_id")))
     val nEx = exact.groupBy("probe_id").agg(count(lit(1)).as("n_exact"))
-    val (assigned, cents) = ivfTrainAssign(spark, dir)
+    val (assigned, cents) = ivfTrainAssignCached(spark, dir)
     val probes = ivfProbes(assigned)
     (1 to 4).map { np =>
       val ann = ivfServe(assigned, probes, cents, np, prune = false)
@@ -303,7 +303,7 @@ object Vector {
   }
 
   private[graft] def ivfSearch(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
-    val (assigned, cents) = ivfTrainAssign(spark, dir)
+    val (assigned, cents) = ivfTrainAssignCached(spark, dir)
     ivfServe(assigned, ivfProbes(assigned), cents, nprobe, prune = false)
   }
 
@@ -368,6 +368,22 @@ object Vector {
         .collect().toSeq)
     }
     cents
+  }
+
+  /** Per-corpus write-once cache of the IVF training + assignment —
+    * the [[graft.ops.Dedup.candGraphCached]] discipline applied to the
+    * coarse quantizer: three declared queries (`simsearch_ivf`, the
+    * nprobe sweep, the persisted-index build) consume the identical
+    * artifacts, so the Lloyd chain runs once per corpus per JVM instead
+    * of once per call. Keyed on corpus CONTENT, so test-fixture churn
+    * and regenerated corpora re-train. */
+  private val ivfTrainCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+  private def ivfTrainAssignCached(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val key = dirContentKey(dir, "embeddings.parquet")
+    if (ivfTrainCache.size > 64) ivfTrainCache.clear() // test-fixture churn
+    ivfTrainCache.computeIfAbsent(key, _ => ivfTrainAssign(spark, dir))
   }
 
   private def ivfTrainAssign(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -904,7 +920,7 @@ object Vector {
       val corpusPath = new java.io.File(ivfIndexRoot, s"cells_$key").getPath
       val centPath = new java.io.File(ivfIndexRoot, s"cent_$key").getPath
       val probePath = new java.io.File(ivfIndexRoot, s"probes_$key").getPath
-      val (assigned, cents) = ivfTrainAssign(spark, d)
+      val (assigned, cents) = ivfTrainAssignCached(spark, d)
       assigned.write.mode("overwrite").partitionBy("cell").parquet(corpusPath)
       cents.write.mode("overwrite").parquet(centPath)
       ivfProbes(assigned).write.mode("overwrite").parquet(probePath)
