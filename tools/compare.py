@@ -17,7 +17,7 @@ this harness must reject type drift the way the driver does:
   * doubles compare bit-exactly (struct.pack), so -0.0 != 0.0 and no
     float()-coercion can mask an int-vs-decimal drift.
 """
-import json, sys, math, os, re, struct
+import hashlib, json, sys, math, os, re, struct
 import duckdb
 import pandas as pd
 import pyarrow.parquet as pq
@@ -123,17 +123,33 @@ def schema_mismatches(spark_dir: str, duck_tags) -> list:
 # oracle edit, so a hit can only replay a result that the same engine would
 # recompute bit-identically. Driver behavior is unchanged (env unset).
 
+def _file_md5(path: str) -> str:
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
 def corpus_fingerprint(sf_dir: str) -> str:
+    # CONTENT-hashed, not mtime-stamped: mtime misses the cache on a
+    # touched/copied corpus whose bytes are unchanged (the common case
+    # when a corpus dir survives across sessions). Note the limit,
+    # measured r13: a REGENERATED soak corpus is value-identical but NOT
+    # byte-identical (parquet part names and footers embed the write
+    # job's UUID), so regeneration re-keys the cache either way — warm
+    # hits require the corpus FILES to survive, not just the generator
+    # params. Full-file md5 keeps the gate's integrity (any byte change
+    # re-keys) at a few seconds per sweep.
     parts = []
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):
             for f in sorted(os.listdir(p)):
-                st = os.stat(os.path.join(p, f))
-                parts.append(f"{t}/{f}:{st.st_size}:{int(st.st_mtime)}")
+                fp = os.path.join(p, f)
+                parts.append(f"{t}/{f}:{os.path.getsize(fp)}:{_file_md5(fp)}")
         elif os.path.exists(p):
-            st = os.stat(p)
-            parts.append(f"{t}:{st.st_size}:{int(st.st_mtime)}")
+            parts.append(f"{t}:{os.path.getsize(p)}:{_file_md5(p)}")
     return "|".join(parts)
 
 # ---- value strictness ------------------------------------------------------
