@@ -1666,42 +1666,69 @@ object Vector {
     * walk the identical v sequence. Output: top-20 docs by first-PC
     * score + the Rayleigh eigenvalue estimate. */
   def embeddingPcaPower(spark: SparkSession, dir: String): DataFrame = {
-    val d26 = org.apache.spark.sql.types.DecimalType(26, 12)
-    def r12(c: Column): Column = floor(c * lit(1e12) + lit(0.5)) / lit(1e12)
     val corpus = emb(spark, dir).select(col("vec_id"), col("embedding"))
-    val dims = 1 to 64
-    // v enters each round as DATA (a broadcast one-row LocalRelation),
-    // not as 64 inlined literals: literals change every round, so the
-    // inlined spelling forced a fresh whole-stage codegen compile per
-    // iteration (~2 s × 8 — measured compile-dominated at sf0.1). With v
-    // as a column the 8 rounds share ONE compiled plan via the codegen
-    // cache. x·v is the zip_with+aggregate left fold — IEEE-identical to
-    // the unrolled sum and to the oracle's list_sum(list_transform(...)).
-    def vDf(v: Array[Double]) = {
-      import spark.implicits._
-      Seq(Tuple1(v.toSeq)).toDF("v")
+    // ONE corpus pass (round 13 — the rewrite's whole point: the old
+    // spelling ran 8 power iterations as 8 full-corpus aggregates, i.e.
+    // 8 corpus READS at 100 TB; the Gram matrix makes the data pass a
+    // constant): the upper-triangle d×d Gram G_ij = Σ_rows x_i·x_j,
+    // each product quantized IN DOUBLE to exact 1e-6 integer units
+    // (|q| ≤ 1e6, so the long sum is exact to ~9e12 rows) and
+    // accumulated by the native element-wise [[graft.functions
+    // .LongVecSumAgg]] — one mutable long[2080] per group, map-side
+    // partials, one blob per partition on the shuffle. (The explode +
+    // groupBy(cell) spelling was measured 2.9 s at sf0.1 — 2080
+    // generator rows and a hash-agg probe PER INPUT ROW; the vector
+    // accumulator does the identical math at ~0.5 s.) The 2080-cell
+    // result is a one-row driver collect (the MLlib centroid pattern).
+    val gramArr = corpus
+      .select(expr(
+        """flatten(transform(sequence(1, 64), i ->
+             transform(sequence(i, 64), j ->
+               CAST(floor(CAST(element_at(embedding, i) AS DOUBLE)
+                 * CAST(element_at(embedding, j) AS DOUBLE)
+                 * 1e6 + 0.5) AS BIGINT))))""").as("qs"))
+      .agg(graft.functions.LongVecSumAgg.longVecSum(col("qs")).as("g"))
+      .collect()(0).getAs[scala.collection.Seq[Long]]("g")
+    // Full symmetric G as doubles: long → double is one correctly
+    // rounded conversion and /1e6 one IEEE division, both
+    // engine-identical (the oracle casts its BIGINT sums the same way).
+    val G = Array.ofDim[Double](64, 64)
+    var ki = 0
+    for (i <- 0 until 64; j <- i until 64) {
+      val gd = gramArr(ki).toDouble / 1e6
+      G(i)(j) = gd; G(j)(i) = gd
+      ki += 1
     }
-    def dp: Column = aggregate(
-      zip_with(col("embedding"), col("v"), (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, x) => acc + x)
+    // 8 driver-side power iterations over the 64×64 matrix — microseconds
+    // where the old spelling paid 8 distributed jobs. Matvec terms are
+    // quantized to exact 1e-6 integer units and summed as longs (64
+    // terms, overflow-free to ~1e9 rows), so every step is
+    // engine-identical; v re-quantizes at 1e-12 per round as before.
     var v = Array.fill(64)(0.125) // 1/sqrt(64), exact
     var eig = 0.0
     for (_ <- 1 to 8) {
-      val sums = corpus.crossJoin(broadcast(vDf(v)))
-        .withColumn("dp", dp)
-        .agg(
-          sum(r12(element_at(col("embedding"), 1).cast("double") * col("dp"))
-            .cast(d26)).as("s1"),
-          dims.tail.map(i =>
-            sum(r12(element_at(col("embedding"), i).cast("double") * col("dp"))
-              .cast(d26)).as(s"s$i")): _*)
-        .collect()(0)
-      val s = dims.map(i =>
-        sums.getAs[java.math.BigDecimal](s"s${i}").doubleValue).toArray
+      val s = (0 until 64).map { i =>
+        var acc = 0L
+        var j = 0
+        while (j < 64) {
+          acc += math.floor(G(i)(j) * v(j) * 1e6 + 0.5).toLong; j += 1
+        }
+        acc.toDouble / 1e6
+      }.toArray
       val norm = math.sqrt(s.foldLeft(0.0)((acc, x) => acc + x * x))
       eig = norm
       v = s.map(x => math.floor(x / norm * 1e12 + 0.5) / 1e12)
     }
+    // Scoring pass (the second and last corpus read): v as DATA, the
+    // zip_with+aggregate left fold — IEEE-identical to the oracle's
+    // list_sum(list_transform(...)).
+    def vDf(vv: Array[Double]) = {
+      import spark.implicits._
+      Seq(Tuple1(vv.toSeq)).toDF("v")
+    }
+    def dp: Column = aggregate(
+      zip_with(col("embedding"), col("v"), (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, x) => acc + x)
     corpus.crossJoin(broadcast(vDf(v)))
       .select(col("vec_id"), r6(dp).as("pc1_score"),
         lit(math.floor(eig * 1e6 + 0.5) / 1e6).as("eigval"))
@@ -2470,21 +2497,35 @@ object Vector {
   // the 8 power-iteration rounds unrolled as CTEs, each CTE-for-CTE the
   // engine's loop body: per-row dot with v_{k-1}, per-dim DECIMAL term
   // sums, then the floor-rounded normalized update
-  private val pcaIterCtes = (1 to 8).map { k =>
-    s"""d$k AS MATERIALIZED (
-           SELECT e.embedding AS x,
-             list_sum(list_transform(range(1, 65),
-               j -> CAST(e.embedding[j] AS DOUBLE) * v${k - 1}.v[j])) AS dp
-           FROM embeddings e, v${k - 1}),
-         s$k AS (SELECT t.i AS i,
-           sum(CAST(floor(CAST(d.x[t.i] AS DOUBLE) * d.dp * 1e12 + 0.5) / 1e12
-             AS DECIMAL(26,12))) AS s
-           FROM d$k d, range(1, 65) t(i) GROUP BY t.i),
-         sv$k AS (SELECT list(CAST(s AS DOUBLE) ORDER BY i) AS sv FROM s$k),
+  // Oracle twin of the Gram-matrix power iteration (round 13): the
+  // 2080-cell upper-triangle Gram in exact 1e-12 integer units, the
+  // symmetric expansion, then 8 unrolled 64×64 matvec CTEs whose terms
+  // are exact 1e-6 integer units summed as BIGINT — CTE-for-CTE the
+  // engine's driver-side loop body.
+  private val pcaGramCtes: String = {
+    val iters = (1 to 8).map { k =>
+      s"""s$k AS (SELECT gf.i AS i,
+           CAST(sum(CAST(floor(gf.g * v${k - 1}.v[gf.j] * 1e6 + 0.5)
+             AS BIGINT)) AS BIGINT) AS si
+           FROM gf, v${k - 1} GROUP BY gf.i),
+         sv$k AS (SELECT list(CAST(si AS DOUBLE) / 1e6 ORDER BY i) AS sv
+           FROM s$k),
          v$k AS (SELECT list_transform(sv, x ->
            floor(x / sqrt(list_sum(list_transform(sv, y -> y * y)))
              * 1e12 + 0.5) / 1e12) AS v FROM sv$k)"""
-  }.mkString(",\n         ")
+    }.mkString(",\n         ")
+    s"""g0 AS MATERIALIZED (SELECT t.i AS i, u.j AS j,
+           CAST(sum(CAST(floor(CAST(e.embedding[t.i] AS DOUBLE)
+             * CAST(e.embedding[u.j] AS DOUBLE) * 1e6 + 0.5)
+             AS BIGINT)) AS BIGINT) AS gs
+           FROM embeddings e, range(1, 65) t(i), range(1, 65) u(j)
+           WHERE u.j >= t.i GROUP BY t.i, u.j),
+         gf AS (SELECT i, j, CAST(gs AS DOUBLE) / 1e6 AS g FROM g0
+           UNION ALL
+           SELECT j AS i, i AS j, CAST(gs AS DOUBLE) / 1e6 AS g FROM g0
+           WHERE i != j),
+         $iters"""
+  }
 
   val oracleSql: Map[String, String] = Map(
     "cluster_centroid_classify" ->
@@ -2731,7 +2772,7 @@ object Vector {
     "embedding_pca_power" ->
       s"""WITH v0 AS (SELECT list_transform(range(1, 65),
              i -> CAST(0.125 AS DOUBLE)) AS v),
-         $pcaIterCtes,
+         $pcaGramCtes,
          eig AS (SELECT floor(sqrt(list_sum(list_transform(sv, y -> y * y)))
              * 1000000.0 + 0.5) / 1000000.0 AS eigval FROM sv8)
          SELECT e.vec_id,

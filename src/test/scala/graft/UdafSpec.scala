@@ -135,6 +135,26 @@ class UdafSpec extends AnyFunSuite with SparkFixture {
     assert(native == viaUdaf)
   }
 
+  test("LongVecSumAgg equals the explode/groupBy element-wise sum, any partitioning") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 1000)
+      .select(expr(
+        "transform(sequence(0, 4), k -> (id * 31 + k * 7) % 1000 - 500) AS v"))
+      .repartition(7)
+    val native = df
+      .agg(graft.functions.LongVecSumAgg.longVecSum(col("v")).as("s"))
+      .collect()(0).getSeq[Long](0).toList
+    val model = df.select(posexplode(col("v")).as(Seq("k", "x")))
+      .groupBy("k").agg(sum(col("x")).as("s")).orderBy("k")
+      .collect().map(_.getLong(1)).toList
+    assert(native == model)
+    // empty input -> null (no width fixed)
+    val empty = spark.range(0).select(expr("array(id) AS v"))
+      .agg(graft.functions.LongVecSumAgg.longVecSum(col("v")).as("s"))
+      .collect()(0)
+    assert(empty.isNullAt(0))
+  }
+
   test("SortedPairs expression equals the flatten/transform lambda spelling") {
     import org.apache.spark.sql.functions._
     val df = Seq(
