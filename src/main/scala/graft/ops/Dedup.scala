@@ -269,9 +269,10 @@ object Dedup {
     * pair expansion from the raw corpus. This is the same build/serve
     * separation the persisted indexes already follow: at 100 TB the
     * candidate graph IS a dedup-index artifact you materialize once
-    * and serve many analytics from. Keyed by the documents file's
-    * (path, size, mtime) stamp ([[Util.dirContentKey]]) so a
-    * regenerated corpus rebuilds; materialized via
+    * and serve many analytics from. Keyed by the documents table's
+    * per-part (name, size, mtime) stamp ([[Util.dirContentKey]], which
+    * as of r14 stamps directory-shaped tables too) so a regenerated
+    * corpus rebuilds; materialized via
     * [[Util.iterCheckpoint]] so the reliable-checkpoint conf mode
     * applies; consumers replan from the materialized edges (their own
     * `iterCheckpoint` calls were dropped — the cache IS the lineage

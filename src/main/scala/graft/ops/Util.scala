@@ -201,11 +201,26 @@ object Util {
     * results if the file at that path is regenerated within one JVM's
     * lifetime. File metadata catches regeneration without a data scan;
     * a same-size same-mtime in-place rewrite is out of scope (parquet
-    * writers land new files). Falls back to the path key when the file
-    * isn't local (e.g. a directory-backed table). */
+    * writers land new files). Directory-shaped tables (the usual shape
+    * a parquet write produces) are stamped by folding every part
+    * file's (name, size, mtime) into the key — a regenerated corpus
+    * lands new part names/mtimes, so the key rolls (the r13 ADVICE
+    * gap: a directory previously degraded to the path-only key and a
+    * regenerated corpus silently served stale cache entries). Falls
+    * back to the path key only when the path doesn't exist locally. */
   def dirContentKey(dir: String, tableFile: String): String = {
     val f = new java.io.File(dir, tableFile)
-    val stamp = if (f.isFile) s"|${f.length}|${f.lastModified}" else ""
+    def fileStamp(ff: java.io.File) = s"|${ff.getName}|${ff.length}|${ff.lastModified}"
+    val stamp =
+      if (f.isFile) fileStamp(f)
+      else if (f.isDirectory)
+        f.listFiles().sortBy(_.getName).map { ff =>
+          // One level is enough: parquet part files are flat; a
+          // partitioned layout's subdirs still roll the key via their
+          // own mtime (updated when children change on local FS writes).
+          if (ff.isFile) fileStamp(ff) else s"|${ff.getName}|dir|${ff.lastModified}"
+        }.mkString
+      else ""
     java.security.MessageDigest.getInstance("MD5")
       .digest((dir + stamp).getBytes("UTF-8")).map("%02x".format(_)).mkString
   }

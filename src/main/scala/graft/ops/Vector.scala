@@ -1266,7 +1266,7 @@ object Vector {
 
   /** Oracle twin of [[semPairFrame]]: the c/a/k/p CTE chunk ending in
     * `p(cl, v1, v2, cos)` — shared by the `cluster_semdedup` and
-    * `pipe_dedup_cascade_audit` oracles. */
+    * `dedup_cascade_audit` oracles. */
   private[ops] lazy val semPairCtesSql: String =
     s"""c AS (SELECT vec_id AS centroid_id, embedding AS ce
              FROM embeddings ORDER BY vec_id LIMIT 8),
@@ -1300,7 +1300,7 @@ object Vector {
     * the r4-ROUNDED cosine so both engines cut identically. Output is
     * one bounded accounting row per cluster. */
   /** The k-means assignment step of SemDedup, shared with the cascade
-    * audit (`pipe_dedup_cascade_audit`): (vec_id, embedding, cl). */
+    * audit (`dedup_cascade_audit`): (vec_id, embedding, cl). */
   private[ops] def semAssigned(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).select(col("vec_id"), col("embedding"),
       col("embedding").cast("array<double>").as("xd"))
@@ -1702,8 +1702,17 @@ object Vector {
     // 8 driver-side power iterations over the 64×64 matrix — microseconds
     // where the old spelling paid 8 distributed jobs. Matvec terms are
     // quantized to exact 1e-6 integer units and summed as longs (64
-    // terms, overflow-free to ~1e9 rows), so every step is
-    // engine-identical; v re-quantizes at 1e-12 per round as before.
+    // terms), so every step is engine-identical; v re-quantizes at
+    // 1e-12 per round as before. The long accumulator is exact only
+    // while every |G(i)(j)·v(j)·1e6| stays < Long.Max/64 — G entries
+    // grow linearly with row count, so past ~1e9 rows the sum would
+    // wrap SILENTLY. Assert the bound loudly instead (r13 ADVICE): the
+    // fix at that scale is a wider quantization unit, not BigInt in
+    // the hot loop.
+    val gMax = G.iterator.flatMap(_.iterator.map(math.abs)).max
+    require(gMax * 1e6 < Long.MaxValue / 64.0,
+      s"pca_power matvec long accumulator would overflow: max|G|=$gMax " +
+        "(corpus too large for the 1e-6 integer-unit matvec; widen the unit)")
     var v = Array.fill(64)(0.125) // 1/sqrt(64), exact
     var eig = 0.0
     for (_ <- 1 to 8) {

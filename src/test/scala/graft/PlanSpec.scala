@@ -175,13 +175,19 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(ordersScans <= 3, s"orders scanned more than 3 times ($ordersScans):\n$p")
   }
 
-  test("sweep: no declared query plans a CartesianProduct or an unpartitioned window over raw input") {
+  test("sweep: no declared query plans a CartesianProduct, an unpartitioned window over raw input, or a ScalaUDF") {
     // The two 100 TB-killers, checked across the ENTIRE declared surface
     // so no future query reintroduces them: a true cartesian join
     // (broadcast nested-loop against a bounded side is fine and excluded
     // by name), and a Window with no partitioning whose input is not an
     // aggregated (already tiny) frame — the round-1 stream_late_filter
-    // regression, generalized.
+    // regression, generalized. Third check (r14): no per-row ScalaUDF
+    // anywhere in a declared plan — the engine eliminated the class
+    // (last survivor: agg_countmin_heavy's CMS serve, now the native
+    // CmsEstimateLong expression); a ScalaUDF is a codegen/pushdown
+    // black box and this locks the door behind it. The declared UDAF
+    // surface (udaf(), a ScalaAggregator) is a different node and
+    // intentionally not matched.
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.sparkPlan
       val cartesian = plan.collect {
@@ -199,8 +205,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
         case l: org.apache.spark.sql.execution.GlobalLimitExec => l
       }.nonEmpty)
+      val scalaUdfs = plan.flatMap(_.expressions.flatMap(_.collect {
+        case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+      }))
       (if (cartesian.nonEmpty) Seq(s"$name: CartesianProduct") else Nil) ++
-        (if (rawWindow.nonEmpty) Seq(s"$name: unpartitioned window over raw input") else Nil)
+        (if (rawWindow.nonEmpty) Seq(s"$name: unpartitioned window over raw input") else Nil) ++
+        (if (scalaUdfs.nonEmpty)
+          Seq(s"$name: per-row ScalaUDF (${scalaUdfs.map(_.udfName.getOrElse("?")).mkString(",")})")
+         else Nil)
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }

@@ -145,9 +145,15 @@ def corpus_fingerprint(sf_dir: str) -> str:
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):
-            for f in sorted(os.listdir(p)):
-                fp = os.path.join(p, f)
-                parts.append(f"{t}/{f}:{os.path.getsize(fp)}:{_file_md5(fp)}")
+            # os.walk, not listdir: a partitioned write nests part files
+            # under key=value subdirs, and _file_md5(open) on a directory
+            # entry raises IsADirectoryError (r13 ADVICE).
+            for root, _dirs, files in sorted(os.walk(p)):
+                rel = os.path.relpath(root, p)
+                pre = f"{t}/{rel}" if rel != "." else t  # keep flat-dir keys stable
+                for f in sorted(files):
+                    fp = os.path.join(root, f)
+                    parts.append(f"{pre}/{f}:{os.path.getsize(fp)}:{_file_md5(fp)}")
         elif os.path.exists(p):
             parts.append(f"{t}:{os.path.getsize(p)}:{_file_md5(p)}")
     return "|".join(parts)
