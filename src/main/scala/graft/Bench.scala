@@ -141,7 +141,13 @@ object Bench {
       if (idx == half && runOrder.size > 3) calibMtMid = calibMtOnce()
       val best = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // Force via the plan's own RDD, not count(): count() lets the
+        // optimizer collapse a pure projection to a row-count scan and
+        // under-times it (the Soak forcing, unified here r14 — the
+        // VERDICT-r13 #4 carried caveat; A/B on switch day showed the
+        // per-query delta inside run-to-run noise, SOAK_r14 §2).
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.min
       name -> best
@@ -182,7 +188,7 @@ object Bench {
     // pre-warms its OS page cache / parquet footers — runs with different
     // warm_dir values are not comparable, and the record makes that visible.
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","iters":$iters,"calib_sec":${num(calibSec)},"calib_mt_sec":${num(calibMtSec)},"calib_mt_samples":${calibMtSamples.map(num).mkString("[", ",", "]")},"calib_mt_spread":${num(calibMtSpread)},"total_norm_sec":${num(totalNorm)},"build_once":${buildOnce.map("\"" + _ + "\"").mkString("[", ",", "]")},"total_sec":${num(total)}}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm_dir":"$warmDir","iters":$iters,"forcing":"toRdd","calib_sec":${num(calibSec)},"calib_mt_sec":${num(calibMtSec)},"calib_mt_samples":${calibMtSamples.map(num).mkString("[", ",", "]")},"calib_mt_spread":${num(calibMtSpread)},"total_norm_sec":${num(totalNorm)},"build_once":${buildOnce.map("\"" + _ + "\"").mkString("[", ",", "]")},"total_sec":${num(total)}}"""
     try {
       val w = new java.io.PrintWriter("bench_last.json")
       try w.println(line) finally w.close()
@@ -207,7 +213,7 @@ object Bench {
     val qsCompact = kept.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","iters":$iters,"n_queries":${results.size},"n_reported":${kept.size},"queries_full":"bench_last.json","calib_sec":${num(calibSec)},"calib_mt_sec":${num(calibMtSec)},"calib_mt_samples":${calibMtSamples.map(num).mkString("[", ",", "]")},"calib_mt_spread":${num(calibMtSpread)},"total_norm_sec":${num(totalNorm)},"total_sec":${num(total)}}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","iters":$iters,"forcing":"toRdd","n_queries":${results.size},"n_reported":${kept.size},"queries_full":"bench_last.json","calib_sec":${num(calibSec)},"calib_mt_sec":${num(calibMtSec)},"calib_mt_samples":${calibMtSamples.map(num).mkString("[", ",", "]")},"calib_mt_spread":${num(calibMtSpread)},"total_norm_sec":${num(totalNorm)},"total_sec":${num(total)}}"""
     println(compact)
     spark.stop()
   }

@@ -45,6 +45,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Per-corpus cache registry receipt (current/peak per family) — the
+    // SOAK evidence that in-JVM artifact caches stay bounded across a
+    // full gate run. stderr: the driver consumes stdout/[verify] lines.
+    System.err.println(s"[scope] ${graft.ops.CorpusScope.statsString}")
     spark.stop()
   }
 }

@@ -257,10 +257,6 @@ object Dedup {
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
 
-  private val candGraphCache =
-    new java.util.concurrent.ConcurrentHashMap[String,
-      org.apache.spark.sql.DataFrame]()
-
   /** Write-once per-corpus candidate-PAIR graph over the standard
     * normalized-token base — NINE graph/dedup consumers (triangles,
     * k-core, common neighbors, modularity, BFS layers, degree stats,
@@ -280,13 +276,12 @@ object Dedup {
   private[ops] def candGraphCached(
       spark: SparkSession, dir: String): DataFrame = {
     val key = dirContentKey(dir, "documents.parquet")
-    if (candGraphCache.size > 64) candGraphCache.clear() // test-fixture churn
-    candGraphCache.computeIfAbsent(key, _ => {
+    CorpusScope.cached("candGraph", key) {
       val base = table(spark, dir, "documents")
         .select(col("doc_id"), col("source"),
           array_distinct(split(Text.normTextExpr, " ")).as("toks"))
       iterCheckpoint(candidatePairsGlobal(base, "s"))
-    })
+    }
   }
 
   /** STAR-edge twin of [[candGraphCached]] for the component-structure
@@ -295,13 +290,12 @@ object Dedup {
   private[ops] def starGraphCached(
       spark: SparkSession, dir: String): DataFrame = {
     val key = "star|" + dirContentKey(dir, "documents.parquet")
-    if (candGraphCache.size > 64) candGraphCache.clear()
-    candGraphCache.computeIfAbsent(key, _ => {
+    CorpusScope.cached("candGraph", key) {
       val base = table(spark, dir, "documents")
         .select(col("doc_id"), col("source"),
           array_distinct(split(Text.normTextExpr, " ")).as("toks"))
       iterCheckpoint(candidateStarEdgesGlobal(base, "s").distinct())
-    })
+    }
   }
 
   /** Write-once undirected-edge + degree frames over [[candGraphCached]]
@@ -318,10 +312,10 @@ object Dedup {
       spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = candGraphCached(spark, dir)
     val key = dirContentKey(dir, "documents.parquet")
-    val und = candGraphCache.computeIfAbsent("und|" + key, _ =>
+    val und = CorpusScope.cached("candGraph", "und|" + key)(
       iterCheckpoint(e.select(col("d1").as("u"), col("d2").as("v"))
         .unionByName(e.select(col("d2").as("u"), col("d1").as("v")))))
-    val deg = candGraphCache.computeIfAbsent("deg|" + key, _ =>
+    val deg = CorpusScope.cached("candGraph", "deg|" + key)(
       iterCheckpoint(und.groupBy("u").agg(count(lit(1)).as("deg"))))
     (und, deg)
   }
@@ -791,14 +785,14 @@ object Dedup {
       spark: SparkSession, dir: String): DataFrame = {
     val e = candGraphCached(spark, dir)
     val key = "tri|" + dirContentKey(dir, "documents.parquet")
-    candGraphCache.computeIfAbsent(key, _ => {
+    CorpusScope.cached("candGraph", key) {
       val ab = e.select(col("d1").as("a"), col("d2").as("b"))
       val bc = e.select(col("d1").as("b"), col("d2").as("c"))
       val ac = e.select(col("d1").as("a"), col("d2").as("c"))
       iterCheckpoint(ab.join(bc, "b").join(ac, Seq("a", "c"))
         .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_tri")))
-    })
+    }
   }
 
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
@@ -913,8 +907,6 @@ object Dedup {
     * zero rebuilds on the probe path (the PQ/IVF index discipline). */
   private[graft] val dedupIndexBuilds = new java.util.concurrent.atomic.AtomicInteger
 
-  private val dedupIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
   private lazy val dedupIndexRoot: java.io.File = processTempRoot("graft_dedupidx_")
 
   /** Ensure the persisted standing-corpus dedup index for `dir`: the
@@ -925,7 +917,8 @@ object Dedup {
     * without touching standing documents, and the engine never re-signs
     * the standing corpus. Write-once per input dir per JVM. */
   private def ensureDedupIndex(spark: SparkSession, dir: String): (String, String, String) =
-    dedupIndexCache.computeIfAbsent(dir, { d =>
+    CorpusScope.cached("dedupIndex", dir) {
+      val d = dir
       dedupIndexBuilds.incrementAndGet()
       val key = dirKey(d).take(12)
       val hashPath = new java.io.File(dedupIndexRoot, s"shash_$key").getPath
@@ -938,7 +931,7 @@ object Dedup {
       sBuckets.write.mode("overwrite").parquet(bktPath)
       sSets.write.mode("overwrite").parquet(setPath)
       (hashPath, bktPath, setPath)
-    })
+    }
 
   /** Incremental dedup served from the PERSISTED standing index —
     * [[incremental]]'s build/search separation: signatures are built and
@@ -962,8 +955,14 @@ object Dedup {
     * one build across repeated incremental calls. */
   private[graft] val ccIndexBuilds = new java.util.concurrent.atomic.AtomicInteger
 
+  // Stays OUTSIDE CorpusScope: this is a replay ledger, not a pure
+  // cache — every call re-checks the catalog/FS artifacts (a later
+  // SparkSession has a fresh catalog) and the map records what was
+  // last verified. Registered as an external size probe so the
+  // registry's SOAK stats still cover it.
   private val ccIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  CorpusScope.registerExternal("ccIndex", () => ccIndexCache.size)
   private lazy val ccIndexRoot: java.io.File = processTempRoot("graft_ccidx_")
 
   /** Persisted standing-corpus CC artifacts, written once per input dir
@@ -1570,24 +1569,12 @@ object Dedup {
   private[ops] def wedgePairsCached(
       spark: SparkSession, dir: String): DataFrame = {
     val key = "wedge|" + dirContentKey(dir, "documents.parquet")
-    // get/putIfAbsent, NOT computeIfAbsent: the build path calls
-    // undDegCached → computeIfAbsent on this same map, and a nested
-    // compute can block on a shared bin lock
-    val hit = candGraphCache.get(key)
-    if (hit != null) hit
-    else key.intern.synchronized {
-      // per-key lock (interned string = one canonical monitor per key):
-      // without it two concurrent first callers both pay the full
-      // iterCheckpoint wedge build and the loser's checkpoint files are
-      // orphaned until JVM exit (ADVICE r12). Re-check under the lock.
-      val again = candGraphCache.get(key)
-      if (again != null) again
-      else {
-        val built = iterCheckpoint(wedgePairsBuild(spark, dir))
-        val prev = candGraphCache.putIfAbsent(key, built)
-        if (prev != null) prev else built
-      }
-    }
+    // CorpusScope builds outside the map lock under a per-key monitor,
+    // so the nested undDegCached call inside this build (same family,
+    // different keys) is safe — the hazard that forced the old
+    // get/putIfAbsent spelling on the shared ConcurrentHashMap.
+    CorpusScope.cached("candGraph", key)(
+      iterCheckpoint(wedgePairsBuild(spark, dir)))
   }
 
   def graphAdamicAdar(spark: SparkSession, dir: String): DataFrame = {

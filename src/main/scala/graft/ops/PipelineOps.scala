@@ -91,20 +91,18 @@ object PipelineOps {
     * the input parquet is immutable, so write-once is sound. The root is
     * removed on JVM exit. */
   private lazy val pruneRoot: java.io.File = processTempRoot("graft_prune_")
-  private val pruneScratch =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Write-once date-partitioned scratch layout of `events`, shared by
     * the static ([[partitionPrune]]) and dynamic ([[joinPruneDynamic]])
     * pruning queries. computeIfAbsent makes the build atomic per input
     * dir even under concurrent callers within this JVM. */
   private def pruneLayout(spark: SparkSession, dir: String): String =
-    pruneScratch.computeIfAbsent(dir, { d =>
-      val out = new java.io.File(pruneRoot, "d" + dirKey(d))
+    CorpusScope.cached("pruneScratch", dir) {
+      val out = new java.io.File(pruneRoot, "d" + dirKey(dir))
       graft.sources.TableSinks.writeDatePartitioned(
-        table(spark, d, "events"), "ts", out.getPath, Seq("event_id"))
+        table(spark, dir, "events"), "ts", out.getPath, Seq("event_id"))
       out.getPath
-    })
+    }
 
   def partitionPrune(spark: SparkSession, dir: String): DataFrame = {
     val scratch = pruneLayout(spark, dir)
@@ -693,8 +691,6 @@ object PipelineOps {
   }
 
   private lazy val evoRoot: java.io.File = processTempRoot("graft_evo_")
-  private val evoScratch =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** SCHEMA EVOLUTION read — the lakehouse reality that a long-lived
     * table's old files lack columns added later: the even-event_id half
@@ -709,7 +705,8 @@ object PipelineOps {
     * is written once per input dir (process-temp, crash-cleaned), the
     * [[partitionPrune]] discipline. */
   def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
-    val scratch = evoScratch.computeIfAbsent(dir, { d =>
+    val scratch = CorpusScope.cached("evoScratch", dir) {
+      val d = dir
       val out = new java.io.File(evoRoot, "d" + dirKey(d))
       val e = table(spark, d, "events")
       e.filter(col("event_id") % 2 === 0)
@@ -719,7 +716,7 @@ object PipelineOps {
         .select(col("event_id"), col("event_type"), col("value"), col("user_id"))
         .write.mode("overwrite").parquet(s"$out/v2")
       out.getPath
-    })
+    }
     spark.read.option("mergeSchema", "true")
       .parquet(s"$scratch/v1", s"$scratch/v2")
       .groupBy("event_type")
@@ -732,8 +729,6 @@ object PipelineOps {
   }
 
   private lazy val fmtRoot: java.io.File = processTempRoot("graft_fmt_")
-  private val fmtScratch =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** CSV source/sink round-trip — the third interchange format after
     * parquet and JDBC (every real ingest estate has CSV drops): write
@@ -748,7 +743,7 @@ object PipelineOps {
     * oracle recomputes the same projection straight from the parquet
     * table — identity modulo one write→read round trip. */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val scratch = fmtScratch.computeIfAbsent(dir + "#csv", { _ =>
+    val scratch = CorpusScope.cached("fmtScratch", dir + "#csv") {
       val out = new java.io.File(fmtRoot, "csv_" + dirKey(dir)).getPath
       graft.sources.TextFormats.writeCsv(
         table(spark, dir, "documents")
@@ -758,7 +753,7 @@ object PipelineOps {
               .as("tricky")),
         out)
       out
-    })
+    }
     graft.sources.TextFormats.readCsv(spark, scratch,
       org.apache.spark.sql.types.StructType.fromDDL(
         "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
@@ -775,7 +770,7 @@ object PipelineOps {
     * parallel-read story holds; nested access after the read is a
     * per-row projection, no shuffle anywhere. */
   def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val scratch = fmtScratch.computeIfAbsent(dir + "#json", { _ =>
+    val scratch = CorpusScope.cached("fmtScratch", dir + "#json") {
       val out = new java.io.File(fmtRoot, "json_" + dirKey(dir)).getPath
       table(spark, dir, "documents")
         .select(col("doc_id"),
@@ -784,7 +779,7 @@ object PipelineOps {
           col("source"))
         .write.mode("overwrite").json(out)
       out
-    })
+    }
     graft.sources.TextFormats.readJsonLines(spark, scratch,
       org.apache.spark.sql.types.StructType.fromDDL(
         "doc_id BIGINT, meta STRUCT<lang: STRING, n_chars: BIGINT>, " +
@@ -802,7 +797,7 @@ object PipelineOps {
     * do. Written once per input dir; oracle recomputes the projection
     * from the parquet table. */
   def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val scratch = fmtScratch.computeIfAbsent(dir + "#orc", { _ =>
+    val scratch = CorpusScope.cached("fmtScratch", dir + "#orc") {
       val out = new java.io.File(fmtRoot, "orc_" + dirKey(dir)).getPath
       graft.sources.TextFormats.writeOrc(
         table(spark, dir, "documents")
@@ -810,7 +805,7 @@ object PipelineOps {
             col("n_chars")),
         out)
       out
-    })
+    }
     graft.sources.TextFormats.readOrc(spark, scratch)
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
@@ -843,8 +838,6 @@ object PipelineOps {
   }
 
   private lazy val deltaRoot: java.io.File = processTempRoot("graft_delta_")
-  private val deltaScratch =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
   /** Build-count diagnostic — spec-asserts the table builds once. */
   private[graft] val deltaBuilds = new java.util.concurrent.atomic.AtomicInteger
 
@@ -856,7 +849,8 @@ object PipelineOps {
     * move); v4 compacts C into c2.parquet. Row-count stats are recorded
     * on each add action, so vacuum planning stays a metadata query. */
   private def deltaTable(spark: SparkSession, dir: String): String =
-    deltaScratch.computeIfAbsent(dir, { d =>
+    CorpusScope.cached("deltaScratch", dir) {
+      val d = dir
       deltaBuilds.incrementAndGet()
       import graft.sources.DeltaLite
       import graft.sources.DeltaLite.Action
@@ -891,7 +885,7 @@ object PipelineOps {
         Action(4, "remove", "c.parquet", -1L),
         Action(4, "add", "c2.parquet", nc)))
       out.getPath
-    })
+    }
 
   /** Transaction-log table format end to end ([[graft.sources.DeltaLite]]
     * — the Delta/Iceberg commit pattern): the same aggregate read at
@@ -1095,21 +1089,20 @@ object PipelineOps {
   }
 
   private lazy val mvRoot: java.io.File = processTempRoot("graft_mv_")
-  private val mvScratch =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Write-once persisted materialized view: per-(type, day) count +
     * revenue over the STANDING slice (user_id % 7 ≠ 0 — the same
     * standing/batch split convention as `dedup_incremental`). */
   private def mvLayout(spark: SparkSession, dir: String): String =
-    mvScratch.computeIfAbsent(dir, { d =>
+    CorpusScope.cached("mvScratch", dir) {
+      val d = dir
       val out = new java.io.File(mvRoot, "d" + dirKey(d))
       table(spark, d, "events").filter(col("user_id") % 7 =!= 0)
         .groupBy(col("event_type").as("et"), to_date(col("ts")).as("d"))
         .agg(count(lit(1)).as("n"), sum(col("value").cast(Qty)).as("rev_d"))
         .write.mode("overwrite").parquet(out.getPath)
       out.getPath
-    })
+    }
 
   /** Incremental MATERIALIZED-VIEW maintenance — the aggregation twin of
     * `dedup_index_probe`'s A7 contract: a persisted daily-revenue MV
@@ -1697,8 +1690,6 @@ object PipelineOps {
   }
 
   private lazy val zipRoot: java.io.File = processTempRoot("graft_zips_")
-  private val zipScratch =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Write-once zip corpus for [[zipEntryStats]]: every document becomes
     * an entry `d<doc_id lpad 9>.txt` in its source's archive
@@ -1709,8 +1700,8 @@ object PipelineOps {
     * corpus), deterministic entry order (sortWithinPartitions), content
     * keyed so a regenerated fixture rebuilds. */
   private def zipTable(spark: SparkSession, dir: String): String =
-    zipScratch.computeIfAbsent(
-      "zip|" + dirContentKey(dir, "documents.parquet"), { _ =>
+    CorpusScope.cached("zipScratch",
+      "zip|" + dirContentKey(dir, "documents.parquet")) {
         val out = new java.io.File(zipRoot, "z" + dirKey(dir))
         out.mkdirs()
         val outPath = out.getAbsolutePath
@@ -1737,7 +1728,7 @@ object PipelineOps {
             } finally if (zos != null) zos.close()
           }
         outPath
-      })
+      }
 
   /** The A8 fetch + A9 decompress path as a DECLARED differential query
     * (VERDICT r12 ask #7 — this surface was unit-tested only): documents
@@ -1781,8 +1772,6 @@ object PipelineOps {
   /** One Derby snapshot DB per corpus, write-once: the value is the JDBC
     * url whose snapshot table is already loaded. Content-keyed so a
     * regenerated fixture reloads instead of serving a stale snapshot. */
-  private val jdbcSnapCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** End-to-end differential gate for the reference's load path (A11
     * DROP-before-load / A12 RESTORE / A14 commit, ref
@@ -1804,22 +1793,13 @@ object PipelineOps {
   def jdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.JdbcSnapshot
     val key = "jdbcrt|" + dirContentKey(dir, "supplier.parquet")
-    val url = {
-      val hit = jdbcSnapCache.get(key)
-      if (hit != null) hit
-      else key.intern.synchronized {
-        val again = jdbcSnapCache.get(key)
-        if (again != null) again
-        else {
-          val u = s"jdbc:derby:memory:graftrt_${key.take(12)};create=true"
-          JdbcSnapshot.snapshotOverwrite(
-            table(spark, dir, "supplier")
-              .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
-            u, "supplier_snap")
-          jdbcSnapCache.putIfAbsent(key, u)
-          u
-        }
-      }
+    val url = CorpusScope.cached("jdbcSnap", key) {
+      val u = s"jdbc:derby:memory:graftrt_${key.take(12)};create=true"
+      JdbcSnapshot.snapshotOverwrite(
+        table(spark, dir, "supplier")
+          .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+        u, "supplier_snap")
+      u
     }
     val maxKey = table(spark, dir, "supplier")
       .agg(max(col("s_suppkey"))).head.getLong(0)

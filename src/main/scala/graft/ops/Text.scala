@@ -489,8 +489,11 @@ object Text {
   /** Build-count diagnostic for the persisted BM25 postings index —
     * spec-asserted one build across repeated serves. */
   private[graft] val bm25IndexBuilds = new java.util.concurrent.atomic.AtomicInteger
+  // Replay ledger (per-call FS existence re-check), outside CorpusScope
+  // like the CC index; size visible via the registry's external probe.
   private val bm25IndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  CorpusScope.registerExternal("bm25Index", () => bm25IndexCache.size)
 
   private lazy val bm25IndexRoot: java.io.File = processTempRoot("graft_bm25_")
 
@@ -603,6 +606,7 @@ object Text {
   private[graft] val bm25UpsertEncodes = new java.util.concurrent.atomic.AtomicInteger
   private val bm25UpsertCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  CorpusScope.registerExternal("bm25Upsert", () => bm25UpsertCache.size)
   private lazy val bm25UpsertRoot: java.io.File = processTempRoot("graft_bm25u_")
 
   /** INCREMENTAL BM25 index maintenance — ref A7's contract applied to
@@ -1399,8 +1403,6 @@ object Text {
     * rounds and reads the final tok CTE — any drift in ANY round's merge
     * shows up in the encoded text. */
   private lazy val bpeRoot: java.io.File = Util.processTempRoot("graft_bpe_")
-  private val bpeScratch =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Write-once persisted BPE-encoded corpus per input dir — tokenizer
     * BUILD/SERVE separation, same pattern as the persisted PQ/IVF
@@ -1414,15 +1416,14 @@ object Text {
     // the encoded corpus depends on FULL corpus content, so a regenerated
     // fixture at the same path must invalidate this cache (the
     // pruneScratch layouts tolerate the path-only key; this one doesn't).
-    bpeScratch.computeIfAbsent(
-      Util.dirContentKey(dir, "documents.parquet"), { _ =>
+    CorpusScope.cached("bpe", Util.dirContentKey(dir, "documents.parquet")) {
       val d = dir
       val out = new java.io.File(bpeRoot, "d" + Util.dirContentKey(d, "documents.parquet"))
       val (_, corpus) = bpeTrainLoop(spark, d)
       corpus.select(col("doc_id"), col("toks"))
         .write.mode("overwrite").parquet(out.getPath)
       out.getPath
-    })
+    }
 
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val corpus = spark.read.parquet(bpeEncodedLayout(spark, dir))

@@ -377,13 +377,10 @@ object Vector {
     * artifacts, so the Lloyd chain runs once per corpus per JVM instead
     * of once per call. Keyed on corpus CONTENT, so test-fixture churn
     * and regenerated corpora re-train. */
-  private val ivfTrainCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
   private def ivfTrainAssignCached(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val key = dirContentKey(dir, "embeddings.parquet")
-    if (ivfTrainCache.size > 64) ivfTrainCache.clear() // test-fixture churn
-    ivfTrainCache.computeIfAbsent(key, _ => ivfTrainAssign(spark, dir))
+    CorpusScope.cached("ivfTrain", key)(ivfTrainAssign(spark, dir))
   }
 
   private def ivfTrainAssign(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -758,8 +755,6 @@ object Vector {
     * assert the search side retrains NOTHING once the index exists. */
   private[graft] val pqIndexBuilds = new java.util.concurrent.atomic.AtomicInteger
 
-  private val pqIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
   private lazy val pqIndexRoot: java.io.File = processTempRoot("graft_pqidx_")
 
   /** Ensure the persisted PQ index for `dir` exists; returns
@@ -771,7 +766,8 @@ object Vector {
     * already satisfies that clustering, so the scan-side aggregation runs
     * with NO exchange; codebooks (128 rows) land as plain parquet. */
   private def ensurePqIndex(spark: SparkSession, dir: String): (String, String) =
-    pqIndexCache.computeIfAbsent(dir, { d =>
+    CorpusScope.cached("pqIndex", dir) {
+      val d = dir
       pqIndexBuilds.incrementAndGet()
       val key = dirKey(d).take(12)
       val codesTable = s"g_pq_codes_$key"
@@ -786,7 +782,7 @@ object Vector {
       graft.sources.TableSinks.writeBucketed(codes, codesTable, "vec_id", 8)
       cents.write.mode("overwrite").parquet(cbPath)
       (codesTable, cbPath)
-    })
+    }
 
   /** PQ ANN with BUILD/SEARCH SEPARATION — the missing piece between
     * [[simsearchPq]] and a production vector-serving path: at 100 TB the
@@ -809,9 +805,6 @@ object Vector {
     * across repeated serves (zero retraining, zero re-appends). */
   private[graft] val pqUpsertBuilds = new java.util.concurrent.atomic.AtomicInteger
   private[graft] val pqUpsertEncodes = new java.util.concurrent.atomic.AtomicInteger
-
-  private val pqUpsertCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   /** The "new arrivals" slice for the incremental-index demonstration:
     * vec_id % 5 == 0 (~20%) is the batch, the rest is the standing
@@ -844,7 +837,8 @@ object Vector {
     * vec_id-hash layout, so the serve-side ADC aggregation still runs
     * with no exchange. */
   private def ensurePqUpsertIndex(spark: SparkSession, dir: String): (String, String) =
-    pqUpsertCache.computeIfAbsent(dir, { d =>
+    CorpusScope.cached("pqUpsert", dir) {
+      val d = dir
       pqUpsertBuilds.incrementAndGet()
       val key = dirKey(d).take(12)
       val codesTable = s"g_pqu_codes_$key"
@@ -868,7 +862,7 @@ object Vector {
         .bucketBy(8, "vec_id").sortBy("vec_id")
         .saveAsTable(codesTable)
       (codesTable, cbPath)
-    })
+    }
 
   /** INCREMENTAL ANN index maintenance — the reference's A7 incremental
     * contract (`src/bak_unload.ps1:57-66`: new arrivals are processed
@@ -895,14 +889,12 @@ object Vector {
     * [[simsearchIndexUpsert]] call) — spec hook for plan-shape assertions
     * on the batch-encode path. */
   private[graft] def pqUpsertCodebookPath(dir: String): Option[String] =
-    Option(pqUpsertCache.get(dir)).map(_._2)
+    CorpusScope.peek[(String, String)]("pqUpsert", dir).map(_._2)
 
   /** Build-count diagnostic for the persisted IVF index — spec-asserted
     * zero rebuilds on the serve path, as with [[pqIndexBuilds]]. */
   private[graft] val ivfIndexBuilds = new java.util.concurrent.atomic.AtomicInteger
 
-  private val ivfIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
   private lazy val ivfIndexRoot: java.io.File = processTempRoot("graft_ivfidx_")
 
   /** Ensure the persisted IVF index for `dir`: the Lloyd-trained corpus
@@ -914,7 +906,8 @@ object Vector {
     * plan is the partition-pruned scoring scan.
     * Write-once per input dir per JVM. */
   private def ensureIvfIndex(spark: SparkSession, dir: String): (String, String, String) =
-    ivfIndexCache.computeIfAbsent(dir, { d =>
+    CorpusScope.cached("ivfIndex", dir) {
+      val d = dir
       ivfIndexBuilds.incrementAndGet()
       val key = dirKey(d).take(12)
       val corpusPath = new java.io.File(ivfIndexRoot, s"cells_$key").getPath
@@ -925,7 +918,7 @@ object Vector {
       cents.write.mode("overwrite").parquet(centPath)
       ivfProbes(assigned).write.mode("overwrite").parquet(probePath)
       (corpusPath, centPath, probePath)
-    })
+    }
 
   /** IVF ANN with BUILD/SEARCH SEPARATION — [[simsearchIvf]]'s quantizer
     * trained ONCE and persisted ([[ensureIvfIndex]]), then served from
@@ -952,9 +945,6 @@ object Vector {
     * retraining, zero re-assignment of the batch). */
   private[graft] val ivfUpsertBuilds = new java.util.concurrent.atomic.AtomicInteger
   private[graft] val ivfUpsertAssigns = new java.util.concurrent.atomic.AtomicInteger
-
-  private val ivfUpsertCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
 
   /** The "new arrivals" slice for the IVF incremental index — a modulus
     * distinct from the PQ upsert's %5 and dedup's %7 so the three
@@ -985,7 +975,8 @@ object Vector {
     * probe table is refreshed from (standing probes ∪ batch) — a 10-row
     * merge that never rescans standing vectors. Write-once per dir. */
   private def ensureIvfUpsertIndex(spark: SparkSession, dir: String): (String, String, String) =
-    ivfUpsertCache.computeIfAbsent(dir, { d =>
+    CorpusScope.cached("ivfUpsert", dir) {
+      val d = dir
       ivfUpsertBuilds.incrementAndGet()
       val key = dirKey(d).take(12)
       val corpusPath = new java.io.File(ivfIndexRoot, s"cells_u_$key").getPath
@@ -1021,7 +1012,7 @@ object Vector {
       spark.createDataFrame(collected.asJava, pSchema)
         .write.mode("overwrite").parquet(probePath)
       (corpusPath, centPath, probePath)
-    })
+    }
 
   /** INCREMENTAL IVF index maintenance — the IVF twin of
     * [[simsearchIndexUpsert]], completing the incremental-arrival story
@@ -1050,7 +1041,7 @@ object Vector {
     * least one [[simsearchIvfUpsert]] call) — spec hook for plan-shape
     * assertions on the batch-assign path. */
   private[graft] def ivfUpsertCentPath(dir: String): Option[String] =
-    Option(ivfUpsertCache.get(dir)).map(_._2)
+    CorpusScope.peek[(String, String, String)]("ivfUpsert", dir).map(_._2)
 
   /** Multimodal frame sampling — the video/audio access pattern over an
     * opaque binary payload: k evenly-spaced fixed-length "frames" per
