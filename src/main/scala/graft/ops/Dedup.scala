@@ -1824,6 +1824,74 @@ object Dedup {
     * exact-closeness alternative (BFS from EVERY node) is the quadratic
     * path this sampled spelling exists to avoid. Sampled-seed closeness
     * is the production discipline (Eppstein-Wang estimation). */
+  /** Sampled BRANDES betweenness over the candidate graph — the
+    * bridge-detection companion of [[graphClosenessSample]]: from the
+    * same 3 highest-degree seeds, a forward BFS carries shortest-path
+    * COUNTS σ (summed over predecessors per layer — the Brandes DAG),
+    * then the backward pass accumulates dependencies
+    * δ(u) = Σ_child σu/σw·(1 + δw) layer by layer. Depth-capped at 3
+    * (k-bounded betweenness — the standard sampled/truncated variant;
+    * exact Brandes is O(V·E) and exists nowhere at 100 TB), so nodes AT
+    * the cap contribute 0 onward. Exactness: σ are exact longs; each
+    * dependency term is the integer round-half-up
+    * (2σu(1e6+δw) + σw) div 2σw in 1e-6 units, summed exactly — the
+    * [[graphClosenessSample]] harmonic-micro discipline, so the
+    * backward pass is order-independent and engine-identical. Shape at
+    * scale: per-layer joins over the cached edge frame keyed on
+    * (seed, node); every frame is ≤ 3·|reach| rows. */
+  def graphBetweennessSample(spark: SparkSession, dir: String): DataFrame =
+    betweennessFromEdges(spark, candGraphCached(spark, dir))
+
+  /** Algorithm body on an explicit (d1, d2) edge frame — the spec feeds
+    * a hand-built path graph and asserts hand-computed Brandes values. */
+  private[graft] def betweennessFromEdges(
+      spark: SparkSession, e: DataFrame): DataFrame = {
+    val und = e.select(col("d1").as("u"), col("d2").as("v"))
+      .unionByName(e.select(col("d2").as("u"), col("d1").as("v")))
+    val deg = und.groupBy("u").agg(count(lit(1)).as("degree"))
+    val seeds = deg.orderBy(desc("degree"), col("u")).limit(3)
+      .select(col("u").as("seed"))
+    var lab = seeds
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"),
+        lit(1L).as("sigma"))
+      .transform(iterCheckpoint)
+    for (t <- 1 to 3) {
+      val par = lab.filter(col("dist") === t - 1)
+        .select(col("seed"), col("node").as("u"), col("sigma"))
+      val next = und.join(par, "u")
+        .groupBy(col("seed"), col("v").as("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(lab, Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(t.toLong).as("dist"),
+          col("sigma"))
+      lab = lab.unionByName(next).transform(iterCheckpoint)
+    }
+    // backward accumulation, dist 2 then 1 (dist-3 nodes: δ = 0 by cap)
+    def layerDelta(parentDist: Int, childDeltas: DataFrame): DataFrame = {
+      val parents = lab.filter(col("dist") === parentDist)
+        .select(col("seed"), col("node").as("u"), col("sigma").as("su"))
+      val children = lab.filter(col("dist") === parentDist + 1)
+        .join(childDeltas, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node").as("v"), col("sigma").as("sw"),
+          coalesce(col("delta"), lit(0L)).as("dw"))
+      parents.join(und, "u").join(children, Seq("seed", "v"))
+        .withColumn("term",
+          expr("(2 * su * (1000000 + dw) + sw) div (2 * sw)"))
+        .groupBy(col("seed"), col("u").as("node"))
+        .agg(sum(col("term")).as("delta"))
+    }
+    val d3 = lab.filter(col("dist") === 3)
+      .select(col("seed"), col("node"), lit(0L).as("delta"))
+    val d2 = layerDelta(2, d3).transform(iterCheckpoint)
+    val d1 = layerDelta(1, d2)
+    d1.unionByName(d2)
+      .groupBy(col("node").as("doc_id"))
+      .agg(count(lit(1)).as("n_seeds"), sum(col("delta")).as("bc_micro"))
+      .orderBy(desc("bc_micro"), col("doc_id")).limit(15)
+      .select(col("doc_id"), col("n_seeds"), col("bc_micro"),
+        r6(col("bc_micro").cast("double") / lit(1e6)).as("betweenness"))
+  }
+
   def graphClosenessSample(spark: SparkSession, dir: String): DataFrame = {
     val e = candGraphCached(spark, dir)
     val und = e.select(col("d1").as("u"), col("d2").as("v"))
@@ -1995,6 +2063,7 @@ object Dedup {
     "dedup_minhash_bbit" -> (dedupMinhashBbit _),
     "graph_bfs_layers" -> (graphBfsLayers _),
     "graph_closeness_sample" -> (graphClosenessSample _),
+    "graph_betweenness_sample" -> (graphBetweennessSample _),
     "dedup_cascade_audit" -> (dedupCascadeAudit _),
     "dedup_cdc_chunks" -> (dedupCdcChunks _),
     "graph_modularity" -> (graphModularity _),
@@ -2264,6 +2333,54 @@ object Dedup {
            UNION ALL SELECT 2, 'near_minhash', k1, x2n FROM sel
            UNION ALL SELECT 3, 'semantic', k1 - x2n, x3n FROM sel) u
          ORDER BY stage""",
+    "graph_betweenness_sample" -> {
+      // forward rounds carry σ (sum over predecessors); the backward
+      // pass replays the engine's integer-micro dependency terms
+      val rounds = (1 to 3).map { t =>
+        s"""f$t AS (SELECT l.seed, und.v AS node,
+           CAST(sum(l.sigma) AS BIGINT) AS sigma
+           FROM und JOIN s${t - 1} l
+             ON und.u = l.node AND l.dist = ${t - 1}
+           WHERE NOT EXISTS (SELECT 1 FROM s${t - 1} x
+             WHERE x.seed = l.seed AND x.node = und.v)
+           GROUP BY 1, 2),
+         s$t AS MATERIALIZED (SELECT seed, node, dist, sigma FROM s${t - 1}
+           UNION ALL SELECT seed, node, $t, sigma FROM f$t)"""
+      }.mkString(",\n         ")
+      s"""WITH $graphBandPreambleSql,
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           FROM band a JOIN band b
+             ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         und AS (SELECT d1 AS u, d2 AS v FROM pairs
+           UNION ALL SELECT d2 AS u, d1 AS v FROM pairs),
+         deg AS (SELECT u, count(*) AS degree FROM und GROUP BY u),
+         sd AS (SELECT u AS seed FROM deg ORDER BY degree DESC, u LIMIT 3),
+         s0 AS (SELECT seed, seed AS node, 0 AS dist,
+           CAST(1 AS BIGINT) AS sigma FROM sd),
+         $rounds,
+         d2 AS (SELECT p.seed, p.node,
+             CAST(sum((2 * p.sigma * (1000000 + 0) + c.sigma)
+               // (2 * c.sigma)) AS BIGINT) AS delta
+           FROM s3 p JOIN und ON und.u = p.node
+           JOIN s3 c ON c.seed = p.seed AND c.node = und.v AND c.dist = 3
+           WHERE p.dist = 2 GROUP BY 1, 2),
+         d1 AS (SELECT p.seed, p.node,
+             CAST(sum((2 * p.sigma * (1000000 + coalesce(dd.delta, 0))
+               + c.sigma) // (2 * c.sigma)) AS BIGINT) AS delta
+           FROM s3 p JOIN und ON und.u = p.node
+           JOIN s3 c ON c.seed = p.seed AND c.node = und.v AND c.dist = 2
+           LEFT JOIN d2 dd ON dd.seed = c.seed AND dd.node = c.node
+           WHERE p.dist = 1 GROUP BY 1, 2),
+         bc AS (SELECT node AS doc_id,
+             CAST(count(*) AS BIGINT) AS n_seeds,
+             CAST(sum(delta) AS BIGINT) AS bc_micro
+           FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+           GROUP BY 1)
+         SELECT doc_id, n_seeds, bc_micro,
+           ${r6Sql("CAST(bc_micro AS DOUBLE) / 1e6")} AS betweenness
+         FROM bc ORDER BY bc_micro DESC, doc_id LIMIT 15"""
+    },
     "graph_closeness_sample" -> {
       // per-round frontier CTEs carrying the seed key, the l0..l3
       // unrolling of the engine's (seed, doc_id)-keyed BFS loop

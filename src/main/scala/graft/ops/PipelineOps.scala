@@ -1689,6 +1689,50 @@ object PipelineOps {
       .orderBy("d")
   }
 
+  /** Seen-ledger COMPACTION under a retention horizon — the lifecycle
+    * half [[seenLedger]] is missing (VERDICT r13 #3): the reference's A7
+    * state file (`src/bak_unload.ps1:57-66`) only ever APPENDS imported
+    * names, so its state grows forever. A production ledger compacts: a
+    * daily job keeps the last [[LedgerRetentionDays]] days of entries
+    * verbatim (they can still collide with late re-deliveries) and folds
+    * everything older into ONE checkpoint row (count + watermark) —
+    * dedup correctness needs only "was this seen since the horizon",
+    * because the at-least-once replayer ([[ledgerReplay]]) never re-offers
+    * items older than its own watermark. Per day: total entries ever,
+    * live rows, the fold count, the checkpoint watermark, and the
+    * compaction ratio a capacity planner alerts on. Shape at scale: the
+    * corpus collapses to the ≤|days| daily frame first; the windows run
+    * on the calendar-bounded grid (the ledgerReplay discipline), never
+    * raw rows. */
+  def stateCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val adds = table(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("u"))
+      .agg(count(lit(1)).as("n_add"))
+    val grid = adds.agg(min(col("u")).as("d0"), max(col("u")).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    val ord = Window.orderBy("d")
+    val acc = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val live = ord.rowsBetween(-(LedgerRetentionDays - 1), 0)
+    grid.join(adds.withColumnRenamed("u", "d"), Seq("d"), "left")
+      .select(col("d"), coalesce(col("n_add"), lit(0L)).as("n_add"))
+      .withColumn("entries_total", sum(col("n_add")).over(acc))
+      .withColumn("live_entries", sum(col("n_add")).over(live))
+      .withColumn("folded_entries", col("entries_total") - col("live_entries"))
+      .withColumn("state_rows", col("live_entries") +
+        when(col("folded_entries") > 0, 1L).otherwise(0L))
+      .select(dateS(col("d")).as("d"), col("n_add"), col("entries_total"),
+        col("live_entries"), col("folded_entries"), col("state_rows"),
+        when(col("folded_entries") > 0,
+          dateS(date_sub(col("d"), LedgerRetentionDays)))
+          .as("checkpoint_watermark"),
+        when(col("entries_total") > 0,
+          r6(col("state_rows").cast("double") /
+            col("entries_total").cast("double"))).as("state_ratio"))
+      .orderBy("d")
+  }
+
+  private val LedgerRetentionDays = 30
+
   private lazy val zipRoot: java.io.File = processTempRoot("graft_zips_")
 
   /** Write-once zip corpus for [[zipEntryStats]]: every document becomes
@@ -1819,6 +1863,7 @@ object PipelineOps {
     "pipe_psi_drift" -> (psiDrift _),
     "pipe_zone_map_audit" -> (zoneMapAudit _),
     "pipe_ledger_replay" -> (ledgerReplay _),
+    "pipe_state_compaction" -> (stateCompaction _),
     "pipe_manifest_history" -> (manifestHistory _),
     "pipe_manifest_pick" -> (manifestPick _),
     "pipe_seen_ledger" -> (seenLedger _),
@@ -1976,6 +2021,34 @@ object PipelineOps {
            ${r6Sql("1.0 - CAST(count(*) FILTER (lo < me AND hi >= ms) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
              AS skip_frac
          FROM probes GROUP BY k, ms ORDER BY k""",
+    "pipe_state_compaction" ->
+      s"""WITH adds AS (SELECT CAST(o_orderdate AS DATE) AS u,
+           CAST(count(*) AS BIGINT) AS n_add FROM orders GROUP BY 1),
+         span AS (SELECT min(u) AS d0, max(u) AS d1 FROM adds),
+         grid AS (SELECT CAST(unnest(generate_series(d0, d1,
+             INTERVAL 1 DAY)) AS DATE) AS d FROM span),
+         g AS (SELECT g.d, coalesce(a.n_add, 0) AS n_add
+           FROM grid g LEFT JOIN adds a ON a.u = g.d),
+         w AS (SELECT d, CAST(n_add AS BIGINT) AS n_add,
+             CAST(sum(n_add) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS entries_total,
+             CAST(sum(n_add) OVER (ORDER BY d ROWS BETWEEN 29 PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS live_entries
+           FROM g),
+         s AS (SELECT *, entries_total - live_entries AS folded_entries
+           FROM w)
+         SELECT strftime(d, '%Y-%m-%d') AS d, n_add, entries_total,
+           live_entries, CAST(folded_entries AS BIGINT) AS folded_entries,
+           CAST(live_entries + CASE WHEN folded_entries > 0 THEN 1 ELSE 0
+             END AS BIGINT) AS state_rows,
+           CASE WHEN folded_entries > 0 THEN
+             strftime(d - INTERVAL 30 DAY, '%Y-%m-%d') END
+             AS checkpoint_watermark,
+           CASE WHEN entries_total > 0 THEN
+             ${r6Sql("""CAST(live_entries + CASE WHEN folded_entries > 0
+               THEN 1 ELSE 0 END AS DOUBLE) / CAST(entries_total AS DOUBLE)""")}
+             END AS state_ratio
+         FROM s ORDER BY d""",
     "pipe_ledger_replay" ->
       s"""WITH adds AS (SELECT CAST(o_orderdate AS DATE) AS u,
            CAST(count(*) AS BIGINT) AS n_add,

@@ -5190,7 +5190,200 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Delete-one-block JACKKNIFE variance of a ratio metric — the
+    * standard error an experimentation platform quotes for revenue-per-
+    * event, where the naive per-row variance is WRONG because rows
+    * within a day are correlated: days are the jackknife blocks, each
+    * leave-one-day-out replicate re-computes the ratio from the
+    * complement's exact totals, and the jackknife variance is
+    * (n−1)/n · Σ(θᵢ − θ̄)². Complements come from the group totals by
+    * SUBTRACTION — one daily hash agg + one broadcast of the one-row
+    * total, never n re-aggregations of the corpus (the delete-1 algebra
+    * every block-resampling method rides at scale; bootstrap pays B
+    * replicates, jackknife pays one pass). Exactness discipline: value
+    * cents sum as exact longs; each θᵢ quantizes to 1e-6 integer units
+    * BEFORE the mean, each squared deviation to 1e-12 units before the
+    * variance sum (order-independent integer sums; the lone sqrt is
+    * IEEE-correctly-rounded in both engines). */
+  def aggJackknifeVariance(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n_d"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("s_d"))
+    val tot = daily.agg(count(lit(1)).as("n_days"),
+      sum(col("n_d")).as("n_tot"), sum(col("s_d")).as("s_tot"))
+    val thetas = daily.crossJoin(broadcast(tot))
+      .withColumn("k_i", floor(
+        (col("s_tot") - col("s_d")).cast("double") / lit(100.0) /
+          (col("n_tot") - col("n_d")).cast("double") * lit(1e6) + 0.5)
+        .cast("long"))
+    val kbar = thetas.agg(sum(col("k_i")).as("sum_k"))
+    val terms = thetas.crossJoin(broadcast(kbar))
+      .withColumn("theta_bar",
+        col("sum_k").cast("double") / lit(1e6) / col("n_days").cast("double"))
+      .withColumn("dev",
+        col("k_i").cast("double") / lit(1e6) - col("theta_bar"))
+      .withColumn("t_i",
+        floor(col("dev") * col("dev") * lit(1e12) + 0.5).cast("long"))
+    terms
+      .agg(max(col("n_days")).as("n_blocks"), max(col("n_tot")).as("n_rows"),
+        max(col("s_tot")).as("s_tot"), sum(col("t_i")).as("sum_t"))
+      .select(col("n_blocks"), col("n_rows"),
+        r6(col("s_tot").cast("double") / lit(100.0) /
+          col("n_rows").cast("double")).as("theta_hat"),
+        r6(sqrt((col("n_blocks") - 1).cast("double") /
+          col("n_blocks").cast("double") *
+          (col("sum_t").cast("double") / lit(1e12)))).as("jk_se"),
+        r6(col("s_tot").cast("double") / lit(100.0) /
+          col("n_rows").cast("double") -
+          lit(1.96) * sqrt((col("n_blocks") - 1).cast("double") /
+            col("n_blocks").cast("double") *
+            (col("sum_t").cast("double") / lit(1e12)))).as("ci_lo"),
+        r6(col("s_tot").cast("double") / lit(100.0) /
+          col("n_rows").cast("double") +
+          lit(1.96) * sqrt((col("n_blocks") - 1).cast("double") /
+            col("n_blocks").cast("double") *
+            (col("sum_t").cast("double") / lit(1e12)))).as("ci_hi"))
+  }
+
+  /** BASS DIFFUSION fit over the adoption curve — the product-growth
+    * model behind "innovators vs imitators" forecasts: users adopt on
+    * their first event day, daily adoptions N_t regress on cumulative
+    * prior adopters via the discrete Bass identity
+    * N_t = a + b·Y_{t−1} + c·Y²_{t−1}, and (p, q, M) come from the
+    * closed-form root M = (−b − √(b²−4ac)) / 2c, p = a/M, q = b + p.
+    * Shape at scale: one hash agg to first-event days, one to the
+    * ≤|days| daily frame; the quadratic OLS is the [[aggOlsMulti]]
+    * one-pass moment pattern (exact decimal sums → [[Util.dec2d]]
+    * limb-bridged doubles → Cramer with oracle-identical
+    * parenthesization — the quartic moment Σ Y⁴ passes 2⁵³ unscaled, so
+    * the plain double cast would already diverge). The peak day is the
+    * argmax of the FITTED curve over the observed grid (arithmetic
+    * only — no logs, libm stays out of the parity surface). */
+  def eventsBassDiffusion(spark: SparkSession, dir: String): DataFrame = {
+    val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = table(spark, dir, "events")
+      .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("v"))
+    val ord = Window.orderBy("d")
+    val base = daily
+      .withColumn("y", coalesce(
+        sum(col("v")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("y2", col("y") * col("y"))
+    val s = base.agg(
+      count(lit(1)).as("n"),
+      sum(col("y").cast(d380)).as("s1"),
+      sum(col("y2").cast(d380)).as("s2"),
+      sum(col("y2").cast(d380) * col("y").cast(d380)).as("s3"),
+      sum(col("y2").cast(d380) * col("y2").cast(d380)).as("s4"),
+      sum(col("v").cast(d380)).as("r0"),
+      sum(col("y").cast(d380) * col("v").cast(d380)).as("r1"),
+      sum(col("y2").cast(d380) * col("v").cast(d380)).as("r2"))
+    val dbl = s.select(col("n").cast("double").as("nd") +:
+      Seq("s1", "s2", "s3", "s4", "r0", "r1", "r2")
+        .map(c => dec2d(col(c), 0).as(c)): _*)
+    def c(n: String) = col(n)
+    val det = c("nd") * (c("s2") * c("s4") - c("s3") * c("s3")) -
+      c("s1") * (c("s1") * c("s4") - c("s3") * c("s2")) +
+      c("s2") * (c("s1") * c("s3") - c("s2") * c("s2"))
+    val det0 = c("r0") * (c("s2") * c("s4") - c("s3") * c("s3")) -
+      c("s1") * (c("r1") * c("s4") - c("s3") * c("r2")) +
+      c("s2") * (c("r1") * c("s3") - c("s2") * c("r2"))
+    val det1 = c("nd") * (c("r1") * c("s4") - c("s3") * c("r2")) -
+      c("r0") * (c("s1") * c("s4") - c("s3") * c("s2")) +
+      c("s2") * (c("s1") * c("r2") - c("r1") * c("s2"))
+    val det2 = c("nd") * (c("s2") * c("r2") - c("r1") * c("s3")) -
+      c("s1") * (c("s1") * c("r2") - c("r1") * c("s2")) +
+      c("r0") * (c("s1") * c("s3") - c("s2") * c("s2"))
+    // every division guarded by when(): a degenerate corpus (single
+    // adoption day ⇒ det = 0) must yield NULL fits, not an ANSI
+    // divide-by-zero (Spark 4 errors on double /0 too)
+    val sol = s.select(col("n")).crossJoin(broadcast(
+      dbl.select(det.as("det"),
+        when(abs(det) > 0, det0 / det).as("ba"),
+        when(abs(det) > 0, det1 / det).as("bb"),
+        when(abs(det) > 0, det2 / det).as("bc"))))
+      .withColumn("disc", greatest(
+        col("bb") * col("bb") - lit(4.0) * col("ba") * col("bc"), lit(0.0)))
+      .withColumn("m_hat", when(abs(col("det")) > 0 && col("bc") =!= 0.0,
+        (-col("bb") - sqrt(col("disc"))) / (lit(2.0) * col("bc"))))
+      .withColumn("p", when(col("m_hat") =!= 0.0, col("ba") / col("m_hat")))
+      .withColumn("q", when(col("m_hat").isNotNull, col("bb") + col("p")))
+    val peak = base.crossJoin(broadcast(
+        sol.select(col("ba").as("pa"), col("bb").as("pb"), col("bc").as("pc"))))
+      .select(col("d"),
+        r6(col("pa") + col("pb") * col("y").cast("double") +
+          col("pc") * col("y2").cast("double")).as("fitted"))
+      .orderBy(desc("fitted"), col("d")).limit(1)
+      .select(dateS(col("d")).as("peak_day"), col("fitted").as("peak_fitted"))
+    sol.crossJoin(broadcast(peak))
+      .select(col("n").as("n_days"), r4(col("m_hat")).as("m_hat"),
+        r6(col("p")).as("p_innov"), r6(col("q")).as("q_imit"),
+        col("peak_day"), col("peak_fitted"))
+  }
+
+  /** T-DIGEST quantile estimation with a Spark-verified rank-error
+    * contract — the mergeable quantile sketch next to the engine's
+    * HLL/CMS/KMV family (the one sketch class that was missing): each
+    * split digests into O(δ) centroids ([[graft.functions.TDigestAgg]]),
+    * partials merge at shuffle boundaries, and rank statistics come out
+    * of KBs of state instead of a global sort — the only shape that
+    * gets a p75 out of 100 TB cheaply. The estimate depends on
+    * partition order (inherent to merging digests), so the declared
+    * output is the [[aggApproxDistinct]] FLAG pattern: the EXACT
+    * quantile (dyadic q over integer cents — the interpolation
+    * arithmetic is exact in both engines) plus `within_bound`, the
+    * empirical rank error of the digest's estimate checked against a
+    * 0.02 tolerance (δ=100 bounds it near 2/δ·q(1−q) ≤ 0.005 — wide
+    * margin). The rank check itself is ONE conditional pass over the
+    * corpus against the broadcast 3-estimate row — never a sort. */
+  def aggTdigestQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("grp"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+    val est = li.groupBy("grp")
+      .agg(graft.functions.TDigestAgg.tdigestQuantiles(
+          col("cents").cast("double"), 100.0, Seq(0.25, 0.5, 0.75)).as("est"),
+        count(lit(1)).as("n"),
+        expr("percentile(cents, array(0.25D, 0.5D, 0.75D))").as("exact"))
+      .select(col("grp"), col("n"),
+        element_at(col("est"), 1).as("e1"),
+        element_at(col("est"), 2).as("e2"),
+        element_at(col("est"), 3).as("e3"),
+        element_at(col("exact"), 1).as("x1"),
+        element_at(col("exact"), 2).as("x2"),
+        element_at(col("exact"), 3).as("x3"))
+    val ranks = li.join(broadcast(est), "grp")
+      .groupBy("grp")
+      .agg(max(col("n")).as("n"),
+        max(col("x1")).as("x1"), max(col("x2")).as("x2"),
+        max(col("x3")).as("x3"),
+        sum(when(col("cents").cast("double") <= col("e1"), 1L)
+          .otherwise(0L)).as("r1"),
+        sum(when(col("cents").cast("double") <= col("e2"), 1L)
+          .otherwise(0L)).as("r2"),
+        sum(when(col("cents").cast("double") <= col("e3"), 1L)
+          .otherwise(0L)).as("r3"))
+    def bound(r: Column, q: Double): Column =
+      abs(r.cast("double") / col("n").cast("double") - lit(q)) <= lit(0.02)
+    ranks
+      .select(col("grp"), col("n"), explode(array(
+        struct(lit(0.25).as("q"), col("x1").as("exact_cents"),
+          bound(col("r1"), 0.25).as("within_bound")),
+        struct(lit(0.5).as("q"), col("x2").as("exact_cents"),
+          bound(col("r2"), 0.5).as("within_bound")),
+        struct(lit(0.75).as("q"), col("x3").as("exact_cents"),
+          bound(col("r3"), 0.75).as("within_bound")))).as("z"))
+      .select(col("grp"), col("z.q"), col("n"), col("z.exact_cents"),
+        col("z.within_bound"))
+      .orderBy("grp", "q")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_tdigest_quantiles" -> (aggTdigestQuantiles _),
+    "events_bass_diffusion" -> (eventsBassDiffusion _),
+    "agg_jackknife_variance" -> (aggJackknifeVariance _),
     "agg_kmv_distinct" -> (aggKmvDistinct _),
     "events_kalman_filter" -> (eventsKalmanFilter _),
     "events_hawkes_intensity" -> (eventsHawkesIntensity _),
@@ -5531,6 +5724,116 @@ object Relational {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // the digest's rank-bound flag is Spark-verified (the oracle can't
+    // see partition order); the oracle pins it TRUE and recomputes the
+    // exact quantiles independently — the agg_approx_distinct pattern
+    "agg_tdigest_quantiles" ->
+      """WITH li AS (SELECT l_returnflag AS grp,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM lineitem),
+         g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+           quantile_cont(cents, 0.25) AS x1,
+           quantile_cont(cents, 0.50) AS x2,
+           quantile_cont(cents, 0.75) AS x3
+           FROM li GROUP BY 1)
+         SELECT grp, q, n, exact_cents, true AS within_bound FROM (
+           SELECT grp, CAST(0.25 AS DOUBLE) AS q, n, x1 AS exact_cents FROM g
+           UNION ALL
+           SELECT grp, CAST(0.5 AS DOUBLE) AS q, n, x2 FROM g
+           UNION ALL
+           SELECT grp, CAST(0.75 AS DOUBLE) AS q, n, x3 FROM g)
+         ORDER BY grp, q""",
+    "events_bass_diffusion" -> {
+      def d2(c: String) = dec2dSql(c, 0)
+      s"""WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS d
+           FROM ${evSql()} GROUP BY 1),
+         daily AS (SELECT d, CAST(count(*) AS BIGINT) AS v
+           FROM fd GROUP BY 1),
+         base AS (SELECT d, v,
+           CAST(coalesce(sum(v) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+             PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS y
+           FROM daily),
+         b2 AS (SELECT d, v, y, y * y AS y2 FROM base),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(y AS HUGEINT)) AS s1,
+           sum(CAST(y2 AS HUGEINT)) AS s2,
+           sum(CAST(y2 AS HUGEINT) * y) AS s3,
+           sum(CAST(y2 AS HUGEINT) * y2) AS s4,
+           sum(CAST(v AS HUGEINT)) AS r0,
+           sum(CAST(y AS HUGEINT) * v) AS r1,
+           sum(CAST(y2 AS HUGEINT) * v) AS r2
+           FROM b2),
+         dd AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+           ${d2("s1")} AS s1, ${d2("s2")} AS s2, ${d2("s3")} AS s3,
+           ${d2("s4")} AS s4, ${d2("r0")} AS r0, ${d2("r1")} AS r1,
+           ${d2("r2")} AS r2
+           FROM s),
+         dets AS (SELECT n,
+           nd * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2)
+             + s2 * (s1 * s3 - s2 * s2) AS det,
+           r0 * (s2 * s4 - s3 * s3) - s1 * (r1 * s4 - s3 * r2)
+             + s2 * (r1 * s3 - s2 * r2) AS det0,
+           nd * (r1 * s4 - s3 * r2) - r0 * (s1 * s4 - s3 * s2)
+             + s2 * (s1 * r2 - r1 * s2) AS det1,
+           nd * (s2 * r2 - r1 * s3) - s1 * (s1 * r2 - r1 * s2)
+             + r0 * (s1 * s3 - s2 * s2) AS det2
+           FROM dd),
+         sol0 AS (SELECT n, det,
+           CASE WHEN abs(det) > 0 THEN det0 / det END AS ba,
+           CASE WHEN abs(det) > 0 THEN det1 / det END AS bb,
+           CASE WHEN abs(det) > 0 THEN det2 / det END AS bc FROM dets),
+         sol1 AS (SELECT *,
+           greatest(bb * bb - 4.0 * ba * bc, 0.0) AS disc FROM sol0),
+         sol2 AS (SELECT *, CASE WHEN abs(det) > 0 AND bc <> 0.0
+           THEN (-bb - sqrt(disc)) / (2.0 * bc) END AS m_hat FROM sol1),
+         sol AS (SELECT *, CASE WHEN m_hat <> 0.0 THEN ba / m_hat END AS p,
+           CASE WHEN m_hat IS NOT NULL THEN
+             bb + (CASE WHEN m_hat <> 0.0 THEN ba / m_hat END) END AS q
+           FROM sol2),
+         peak AS (SELECT strftime(b2.d, '%Y-%m-%d') AS peak_day,
+           ${r6Sql("""sol.ba + sol.bb * CAST(b2.y AS DOUBLE)
+             + sol.bc * CAST(b2.y2 AS DOUBLE)""")} AS peak_fitted
+           FROM b2, sol
+           ORDER BY peak_fitted DESC, b2.d LIMIT 1)
+         SELECT sol.n AS n_days, ${r4Sql("sol.m_hat")} AS m_hat,
+           ${r6Sql("sol.p")} AS p_innov, ${r6Sql("sol.q")} AS q_imit,
+           peak.peak_day, peak.peak_fitted
+         FROM sol, peak"""
+    },
+    "agg_jackknife_variance" -> {
+      val jkVar = """CAST(n_blocks - 1 AS DOUBLE) / CAST(n_blocks AS DOUBLE)
+        * (CAST(sum_t AS DOUBLE) / 1e12)"""
+      val thetaHat = "CAST(s_tot AS DOUBLE) / 100.0 / CAST(n_rows AS DOUBLE)"
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+           CAST(count(*) AS BIGINT) AS n_d,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS s_d
+           FROM ${evSql()} GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(n_d) AS BIGINT) AS n_tot,
+           CAST(sum(s_d) AS BIGINT) AS s_tot FROM daily),
+         th AS (SELECT t.n_days, t.n_tot, t.s_tot,
+             CAST(floor(CAST(t.s_tot - dd.s_d AS DOUBLE) / 100.0 /
+               CAST(t.n_tot - dd.n_d AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+               AS k_i
+           FROM daily dd, tot t),
+         kb AS (SELECT CAST(sum(k_i) AS BIGINT) AS sum_k FROM th),
+         tm AS (SELECT th.n_days, th.n_tot, th.s_tot,
+             CAST(floor((CAST(th.k_i AS DOUBLE) / 1e6 -
+               CAST(kb.sum_k AS DOUBLE) / 1e6 / CAST(th.n_days AS DOUBLE))
+               * (CAST(th.k_i AS DOUBLE) / 1e6 -
+               CAST(kb.sum_k AS DOUBLE) / 1e6 / CAST(th.n_days AS DOUBLE))
+               * 1e12 + 0.5) AS BIGINT) AS t_i
+           FROM th, kb),
+         f AS (SELECT max(n_days) AS n_blocks, max(n_tot) AS n_rows,
+           max(s_tot) AS s_tot, CAST(sum(t_i) AS BIGINT) AS sum_t FROM tm)
+         SELECT n_blocks, n_rows,
+           ${r6Sql(thetaHat)} AS theta_hat,
+           ${r6Sql(s"sqrt($jkVar)")} AS jk_se,
+           ${r6Sql(s"$thetaHat - 1.96 * sqrt($jkVar)")} AS ci_lo,
+           ${r6Sql(s"$thetaHat + 1.96 * sqrt($jkVar)")} AS ci_hi
+         FROM f"""
+    },
     "agg_kmv_distinct" -> {
       def one(c: String) =
         s"""SELECT '$c' AS col_name, kk AS k_seen, true_n,

@@ -364,7 +364,121 @@ object StreamingModel {
       .orderBy("hour")
   }
 
+  /** EXACTLY-ONCE SINK accounting — the idempotent-sink half of the A14
+    * delivery contract ([[graft.ops.PipelineOps.ledgerReplay]] models the
+    * at-least-once SOURCE half: reprocessed-but-not-double-committed).
+    * Micro-batches are the arrival epochs (event_id div 5000, the
+    * [[watermarkAdvance]] batch model); the mid-stream epoch x crashes
+    * AFTER the sink's transactional commit but BEFORE the source
+    * checkpoint advances, so on restart the source re-delivers batch x —
+    * and the commit-log-gated sink recognizes the epoch and SKIPS it
+    * (one row per delivery attempt: 'commit' vs 'skip_duplicate').
+    * The committed ledger must therefore equal the plain per-batch
+    * truth, values included — chk_cents carries content, not just
+    * counts, so the gate verifies value-faithfulness of the committed
+    * output. The live twin is [[graft.streaming.IdempotentSink]]
+    * (foreachBatch + commit-log rename), spec-asserted to suppress a
+    * re-delivered batchId end-to-end. Shape at scale: one hash agg to
+    * the ≤|epochs| batch frame, then grid-bounded windows. */
+  def exactlyOnceSink(spark: SparkSession, dir: String): DataFrame = {
+    val b = table(spark, dir, "events")
+      .select(expr("event_id div 5000").as("batch_id"), col("value"))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("chk_cents"))
+    val span = b.agg(expr("(min(batch_id) + max(batch_id)) div 2").as("x"))
+    val ord = Window.orderBy("batch_id", "attempt")
+    val acc = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.crossJoin(broadcast(span))
+      .select(col("batch_id"), col("n_rows"), col("chk_cents"),
+        explode(when(col("batch_id") === col("x"),
+          array(lit(1), lit(2))).otherwise(array(lit(1)))).as("attempt"))
+      .withColumn("log_hit", col("attempt") === 2)
+      .withColumn("action",
+        when(col("log_hit"), lit("skip_duplicate")).otherwise(lit("commit")))
+      .withColumn("rows_offered", col("n_rows"))
+      .withColumn("rows_committed",
+        when(col("log_hit"), 0L).otherwise(col("n_rows")))
+      .withColumn("cents_committed",
+        when(col("log_hit"), 0L).otherwise(col("chk_cents")))
+      .withColumn("committed_todate", sum(col("rows_committed")).over(acc))
+      .withColumn("dup_suppressed_todate",
+        sum(col("rows_offered") - col("rows_committed")).over(acc))
+      .select(col("batch_id"), col("attempt"), col("action"),
+        col("rows_offered"), col("rows_committed"), col("cents_committed"),
+        col("committed_todate"), col("dup_suppressed_todate"))
+      .orderBy("batch_id", "attempt")
+  }
+
+  /** Per-batch STATE accounting of the fMGWS sessionizer — what
+    * [[graft.streaming.Sessionize]]'s state store does between epochs,
+    * made batch-checkable: sessions OPEN at their first event's arrival
+    * epoch, and CLOSE at the first epoch whose event-time watermark
+    * (running batch max − the 30 min delay) passes last_event + gap —
+    * exactly the `setTimeoutTimestamp(lastUs + gap)` /
+    * `EventTimeTimeout` eviction rule. The per-epoch close counts come
+    * from a MERGED-ORDER scan instead of a session × batch range join:
+    * watermark marks and session-timeout thresholds union into one
+    * ordered stream (marks sort before thresholds at ties — the strict
+    * `wm > timeout` contract), and the running threshold count AT each
+    * mark is F(wm_b); closes_b = F_b − F_{b−1}. That turns an
+    * |S|·|B| join into an O(S+B) sort — the only global sort is over
+    * the SESSION frame (aggregated; a production deployment shards
+    * this accounting by key range like the state store itself).
+    * state_rows_b = opens through b − F_b is the number the state-store
+    * capacity alert watches. */
+  def sessionStateModel(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 1800000000L // 30 min, the Sessionize gap AND wm delay
+    val ev = table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t_us"),
+        expr("event_id div 5000").as("batch_id"))
+    val uw = Window.partitionBy("user_id").orderBy(col("t_us"), col("event_id"))
+    val sess = ev
+      .withColumn("gap", col("t_us") - lag(col("t_us"), 1).over(uw))
+      .withColumn("new_sess",
+        when(col("gap").isNull || col("gap") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess"))
+        .over(uw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_id")
+      .agg(min(col("batch_id")).as("open_batch"),
+        max(col("t_us")).as("last_us"))
+    val bw = Window.orderBy("batch_id")
+    val wm = ev.groupBy("batch_id")
+      .agg(count(lit(1)).as("n_rows"), max(col("t_us")).as("b_max"))
+      .withColumn("wm_us", max(col("b_max"))
+        .over(bw.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - gapUs)
+    val marks = wm.select(col("wm_us").as("v"), lit(1L).as("is_mark"),
+      col("batch_id"), col("n_rows"))
+    val ths = sess.select((col("last_us") + gapUs).as("v"),
+      lit(0L).as("is_mark"), lit(null).cast("long").as("batch_id"),
+      lit(null).cast("long").as("n_rows"))
+    // strict wm > timeout: at equal v the MARK sorts first (is_mark
+    // desc), so an exactly-equal threshold is not yet closed; mark-mark
+    // ties break on batch_id — no tie is ever decided by a null order
+    val mo = Window.orderBy(col("v"), desc("is_mark"), col("batch_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val f = marks.unionByName(ths)
+      .withColumn("f", sum(lit(1L) - col("is_mark")).over(mo))
+      .filter(col("is_mark") === 1L)
+    val opens = sess.groupBy(col("open_batch").as("batch_id"))
+      .agg(count(lit(1)).as("n_opened"))
+    f.join(opens, Seq("batch_id"), "left")
+      .withColumn("n_opened", coalesce(col("n_opened"), lit(0L)))
+      .withColumn("n_closed",
+        col("f") - coalesce(lag(col("f"), 1).over(bw), lit(0L)))
+      .withColumn("opens_cum", sum(col("n_opened"))
+        .over(bw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("batch_id"), col("n_rows"), col("n_opened"),
+        col("n_closed"), (col("opens_cum") - col("f")).as("state_rows"),
+        tsS(timestamp_micros(col("v"))).as("wm_s"))
+      .orderBy("batch_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_session_state" -> (sessionStateModel _),
+    "stream_exactly_once_sink" -> (exactlyOnceSink _),
     "stream_watermark_advance" -> (watermarkAdvance _),
     "stream_state_size" -> (stateSize _),
     "stream_backlog_model" -> (backlogModel _),
@@ -378,6 +492,75 @@ object StreamingModel {
     "stream_late_filter" -> (lateFilter _))
 
   val oracleSql: Map[String, String] = Map(
+    "stream_session_state" ->
+      s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
+           event_id // 5000 AS batch_id FROM ${evSql()}),
+         sraw AS (SELECT *, t_us - lag(t_us, 1) OVER (PARTITION BY user_id
+           ORDER BY t_us, event_id) AS gap FROM ev),
+         sns AS (SELECT *, CASE WHEN gap IS NULL OR gap > 1800000000
+           THEN 1 ELSE 0 END AS new_sess FROM sraw),
+         sid AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+           ORDER BY t_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+           CURRENT ROW) AS sess_id FROM sns),
+         sess AS (SELECT user_id, sess_id, min(batch_id) AS open_batch,
+           max(t_us) AS last_us FROM sid GROUP BY 1, 2),
+         b AS (SELECT batch_id, CAST(count(*) AS BIGINT) AS n_rows,
+           max(t_us) AS b_max FROM ev GROUP BY 1),
+         wm AS (SELECT batch_id, n_rows, max(b_max) OVER (ORDER BY
+           batch_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - 1800000000 AS wm_us FROM b),
+         u AS (
+           SELECT wm_us AS v, 1 AS is_mark, batch_id, n_rows FROM wm
+           UNION ALL
+           SELECT last_us + 1800000000 AS v, 0 AS is_mark,
+             NULL AS batch_id, NULL AS n_rows FROM sess),
+         ff AS (SELECT *, CAST(sum(1 - is_mark) OVER (ORDER BY v,
+           is_mark DESC, batch_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+           CURRENT ROW) AS BIGINT) AS f FROM u),
+         fm AS (SELECT batch_id, n_rows, v, f FROM ff WHERE is_mark = 1),
+         op AS (SELECT open_batch AS batch_id,
+           CAST(count(*) AS BIGINT) AS n_opened FROM sess GROUP BY 1),
+         j AS (SELECT fm.batch_id, fm.n_rows,
+           coalesce(op.n_opened, 0) AS n_opened, fm.f, fm.v
+           FROM fm LEFT JOIN op ON op.batch_id = fm.batch_id)
+         SELECT batch_id, n_rows, CAST(n_opened AS BIGINT) AS n_opened,
+           CAST(f - coalesce(lag(f, 1) OVER (ORDER BY batch_id), 0)
+             AS BIGINT) AS n_closed,
+           CAST(sum(n_opened) OVER (ORDER BY batch_id ROWS BETWEEN
+             UNBOUNDED PRECEDING AND CURRENT ROW) - f AS BIGINT)
+             AS state_rows,
+           strftime(make_timestamp(v), '%Y-%m-%d %H:%M:%S.%f') AS wm_s
+         FROM j ORDER BY batch_id""",
+    "stream_exactly_once_sink" ->
+      s"""WITH b AS (SELECT event_id // 5000 AS batch_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS chk_cents
+           FROM ${evSql()} GROUP BY 1),
+         span AS (SELECT (min(batch_id) + max(batch_id)) // 2 AS x FROM b),
+         att AS (SELECT b.batch_id, b.n_rows, b.chk_cents,
+             CAST(unnest(CASE WHEN b.batch_id = s.x THEN [1, 2]
+               ELSE [1] END) AS INT) AS attempt
+           FROM b, span s),
+         a AS (SELECT batch_id, attempt,
+             CASE WHEN attempt = 2 THEN 'skip_duplicate'
+               ELSE 'commit' END AS action,
+             n_rows AS rows_offered,
+             CASE WHEN attempt = 2 THEN 0 ELSE n_rows END AS rows_committed,
+             CAST(CASE WHEN attempt = 2 THEN 0 ELSE chk_cents END
+               AS BIGINT) AS cents_committed
+           FROM att)
+         SELECT batch_id, attempt, action,
+           CAST(rows_offered AS BIGINT) AS rows_offered,
+           CAST(rows_committed AS BIGINT) AS rows_committed,
+           cents_committed,
+           CAST(sum(rows_committed) OVER (ORDER BY batch_id, attempt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS committed_todate,
+           CAST(sum(rows_offered - rows_committed) OVER (ORDER BY
+             batch_id, attempt ROWS BETWEEN UNBOUNDED PRECEDING AND
+             CURRENT ROW) AS BIGINT) AS dup_suppressed_todate
+         FROM a ORDER BY batch_id, attempt""",
     "stream_watermark_advance" ->
       s"""WITH ev AS (SELECT event_id // 5000 AS batch_id,
            epoch_us(ts) AS t_us FROM ${evSql()}),

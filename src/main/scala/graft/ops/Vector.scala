@@ -1092,6 +1092,62 @@ object Vector {
       .orderBy("doc_id")
   }
 
+  /** Voice-activity segmentation over the sampled frame stream — the
+    * audio-curation pass that decides WHICH spans of a recording carry
+    * speech worth transcribing/embedding (silence trimming is the first
+    * stage of every audio training pipeline). Sixteen frames per
+    * payload; the decode is the stubbed step (graft.multimodal
+    * discipline: the "frame energy" is the md5-derived feature mod
+    * 1000, deterministic in both engines), while the fan-out, the
+    * per-payload run-length window (active run = consecutive frames at
+    * energy ≥ 500), the min-duration filter (runs shorter than 2 frames
+    * are blips, not speech), and the per-payload segment aggregate are
+    * the real Spark plumbing a true VAD model would ride unchanged.
+    * Shape at scale: bounded 16-way explode, windows partitioned by
+    * doc (each recording's frame stream is its own partition), two
+    * model-sized hash aggs. All integer arithmetic. */
+  def multimodalAudioVad(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n"))
+    val frames = d
+      .select(col("doc_id"), col("text"), col("n"),
+        explode(sequence(lit(0L), lit(15L))).as("frame_no"))
+      .withColumn("step", floor(col("n") / 16).cast("long"))
+      .filter(col("frame_no") === 0 || col("step") > 0)
+      .withColumn("off", col("frame_no") * col("step") + 1)
+      .filter(col("off") <= col("n"))
+      .withColumn("energy", pmod(
+        conv(substring(md5(col("text").substr(col("off").cast("int"),
+          lit(12)).cast("binary")), 1, 8), 16, 10).cast("long"), lit(1000L)))
+      .withColumn("active", col("energy") >= 500)
+    val w = Window.partitionBy("doc_id").orderBy("frame_no")
+    val runs = frames
+      .withColumn("new_run", (col("active") &&
+        !coalesce(lag(col("active"), 1).over(w), lit(false))).cast("long"))
+      .withColumn("run_id", sum(col("new_run"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val segs = runs.filter(col("active"))
+      .groupBy("doc_id", "run_id")
+      .agg(count(lit(1)).as("len"), min(col("frame_no")).as("seg_start"))
+      .filter(col("len") >= 2)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"), max(col("len")).as("longest_seg"),
+        min(col("seg_start")).as("first_seg_frame"),
+        sum(col("len")).as("n_voiced"))
+    frames.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("active").cast("long")).as("n_active"))
+      .join(segs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"), col("n_active"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        col("longest_seg"), col("first_seg_frame"),
+        coalesce(col("n_voiced"), lit(0L)).as("n_voiced"),
+        r4(coalesce(col("n_voiced"), lit(0L)).cast("double") /
+          col("n_frames").cast("double")).as("voiced_ratio"))
+      .orderBy("doc_id")
+  }
+
   def multimodalFrameSample(spark: SparkSession, dir: String): DataFrame = {
     val d = table(spark, dir, "documents")
       .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("n"))
@@ -2289,7 +2345,8 @@ object Vector {
     "multimodal_join_stats" -> (multimodalJoinStats _),
     "multimodal_binary_meta" -> (multimodalBinaryMeta _),
     "multimodal_frame_sample" -> (multimodalFrameSample _),
-    "multimodal_scene_cuts" -> (multimodalSceneCuts _))
+    "multimodal_scene_cuts" -> (multimodalSceneCuts _),
+    "multimodal_audio_vad" -> (multimodalAudioVad _))
 
   // Mirrors the Spark-side PQ exactly: same seeds, same PqIters Lloyd
   // iterations per subspace, same r6-decimal means and ADC sums —
@@ -3190,6 +3247,59 @@ object Vector {
            md5(frame) AS frame_md5,
            to_base64(encode(frame)) AS frame_b64
          FROM h ORDER BY doc_id, frame_no""",
+    "multimodal_audio_vad" ->
+      s"""WITH d AS (
+           SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+           FROM documents),
+         f AS (
+           SELECT doc_id, text, n,
+             CAST(unnest(range(16)) AS BIGINT) AS frame_no
+           FROM d),
+         g AS (
+           SELECT doc_id, text, n, frame_no, n // 16 AS step,
+             frame_no * (n // 16) + 1 AS off
+           FROM f WHERE frame_no = 0 OR n // 16 > 0),
+         h AS (
+           SELECT doc_id, frame_no,
+             CAST(('0x' || substr(md5(substring(text, off, 12)), 1, 8))
+               AS BIGINT) % 1000 AS energy
+           FROM g WHERE off <= n),
+         a AS (
+           SELECT doc_id, frame_no, energy >= 500 AS active FROM h),
+         r AS (
+           SELECT doc_id, frame_no, active,
+             CASE WHEN active AND NOT coalesce(lag(active, 1)
+               OVER (PARTITION BY doc_id ORDER BY frame_no), false)
+               THEN 1 ELSE 0 END AS new_run
+           FROM a),
+         ri AS (
+           SELECT doc_id, frame_no, active,
+             CAST(sum(new_run) OVER (PARTITION BY doc_id ORDER BY frame_no
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS run_id
+           FROM r),
+         seg0 AS (
+           SELECT doc_id, run_id, CAST(count(*) AS BIGINT) AS len,
+             min(frame_no) AS seg_start
+           FROM ri WHERE active GROUP BY doc_id, run_id),
+         seg AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+             max(len) AS longest_seg, min(seg_start) AS first_seg_frame,
+             CAST(sum(len) AS BIGINT) AS n_voiced
+           FROM seg0 WHERE len >= 2 GROUP BY doc_id),
+         tot AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+             CAST(sum(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_active
+           FROM a GROUP BY doc_id)
+         SELECT t.doc_id, t.n_frames, t.n_active,
+           coalesce(s.n_segments, 0) AS n_segments,
+           s.longest_seg, s.first_seg_frame,
+           coalesce(s.n_voiced, 0) AS n_voiced,
+           ${r4Sql("""CAST(coalesce(s.n_voiced, 0) AS DOUBLE) /
+             CAST(t.n_frames AS DOUBLE)""")} AS voiced_ratio
+         FROM tot t LEFT JOIN seg s ON s.doc_id = t.doc_id
+         ORDER BY t.doc_id""",
     "multimodal_scene_cuts" ->
       """WITH d AS (
            SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
