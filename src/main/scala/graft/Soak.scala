@@ -24,6 +24,28 @@ import org.apache.spark.sql.functions._
   * SOAK_r9.md, and the generated data never feeds the oracle gate (the
   * driver's fixtures stay the only correctness inputs). */
 object Soak {
+  /** Hot-key regime (VERDICT r13 #2): SPARK_GRAFT_SOAK_SKEW=zipf makes
+    * the partitioning keys power-law instead of uniform — events
+    * user_id, lineitem l_orderkey, and the documents source all draw
+    * from floor(m^u) (rank-frequency ∝ 1/k, the classic Zipf-1 inverse
+    * CDF), so the hottest user/order/source carries ~ln2/ln(m) of ALL
+    * rows (≈6% at m=150k). This is the regime the salted join, the
+    * per-user window frames, sessionization, and the graph family must
+    * survive; combined with SPARK_GRAFT_SOAK_VOCAB it also yields
+    * power-law token frequencies → power-law LSH bucket densities. */
+  private lazy val skewMode =
+    sys.env.getOrElse("SPARK_GRAFT_SOAK_SKEW", "uniform")
+
+  /** Uniform or Zipf key in [0, m): same xxhash64 seed stream, so the
+    * two regimes differ ONLY in the key marginal. */
+  private def genKey(tag: String, m: Long): org.apache.spark.sql.Column = {
+    val h = pmod(xxhash64(col("id"), lit(tag)), lit(1000000L))
+    if (skewMode == "zipf") {
+      val u = (h.cast("double") + 0.5) / 1000000.0
+      (floor(pow(lit(m.toDouble), u)) - 1).cast("long")
+    } else pmod(xxhash64(col("id"), lit(tag)), lit(m))
+  }
+
   private val Vocab = Seq(
     "spark", "window", "merge", "table", "column", "vector", "stream",
     "value", "data", "small", "join", "filter", "big", "group", "hash",
@@ -64,7 +86,9 @@ object Soak {
           .when(u < 86, "fr").otherwise("de")
       })
       .select(col("id").as("doc_id"), col("text"), col("lang"),
-        concat(lit("src"), pmod(col("id"), lit(20))).as("source"),
+        concat(lit("src"),
+          if (skewMode == "zipf") genKey("srcz", 20)
+          else pmod(col("id"), lit(20))).as("source"),
         // int64 like the driver fixture: Spark length() is int32, and a
         // type drift here fails the type-strict gate (sf1 sweep find)
         length(col("text")).cast("long").as("n_chars"))
@@ -108,7 +132,7 @@ object Soak {
       .select(
         col("id").as("event_id"),
         timestamp_micros(col("t_us")).as("ts"),
-        pmod(xxhash64(col("id"), lit("user")), lit(nUsers)).as("user_id"),
+        genKey("user", nUsers).as("user_id"),
         element_at(
           array(lit("click"), lit("view"), lit("purchase"), lit("signup"), lit("error")),
           (pmod(xxhash64(col("id"), lit("type")), lit(5)) + 1).cast("int"))
@@ -153,7 +177,7 @@ object Soak {
     def u(tag: String, m: Long) = pmod(xxhash64(col("id"), lit(tag)), lit(m))
     val df = spark.range(0, n, 1, 32)
       .select(
-        u("ok", nOrders).as("l_orderkey"),
+        genKey("ok", nOrders).as("l_orderkey"),
         u("pk", nParts).as("l_partkey"),
         u("sk", nSupps).as("l_suppkey"),
         (u("ln", 7) + 1).cast("int").as("l_linenumber"),
@@ -241,7 +265,10 @@ object Soak {
     // "tpch" marks the round-12 star-schema tables: a pre-r12 soak dir
     // (valid documents/events, no orders) regenerates rather than
     // silently serving a corpus without the new tables.
-    val params = s"scale=$scale vocab=$vocab tpch3"
+    // uniform keeps the pre-skew marker string so an existing uniform
+    // corpus (and its content-keyed oracle cache) stays valid
+    val params = s"scale=$scale vocab=$vocab tpch3" +
+      (if (skewMode == "uniform") "" else s" skew=$skewMode")
     val marker = new java.io.File(soakDir, "_gen_params")
     val upToDate = marker.exists() &&
       new java.io.File(s"$soakDir/documents.parquet").exists() &&
