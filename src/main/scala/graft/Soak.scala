@@ -68,7 +68,15 @@ object Soak {
       if (vocabSize <= 30)
         element_at(vocabCol,
           (pmod(xxhash64(col("seed"), i, lit("tok")), lit(30)) + 1).cast("int"))
-      else
+      else if (skewMode == "zipf") {
+        // power-law TOKEN frequencies (hub tokens) → power-law LSH
+        // bucket densities → power-law candidate-graph degrees: the
+        // regime the capped banding + graph family must survive
+        val u = (pmod(xxhash64(col("seed"), i, lit("tok")), lit(1000000L))
+          .cast("double") + 0.5) / 1000000.0
+        concat(lit("t"),
+          (floor(pow(lit(vocabSize.toDouble), u)) - 1).cast("long"))
+      } else
         concat(lit("t"),
           pmod(xxhash64(col("seed"), i, lit("tok")), lit(vocabSize.toLong)))
     val df = spark.range(0, n, 1, 32)
