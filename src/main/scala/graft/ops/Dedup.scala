@@ -1147,9 +1147,18 @@ object Dedup {
       .drop("rn")
       .join(txt.select(col("doc_id").as("d1"), col("text").as("x1")), "d1")
       .join(txt.select(col("doc_id").as("d2"), col("text").as("x2")), "d2")
-      .select(col("source"), col("d1"), col("d2"),
-        levenshtein(col("x1"), col("x2")).cast("long").as("lev"),
-        (lit(1.0) - levenshtein(col("x1"), col("x2")).cast("double")
+      // spread the budgeted pair set across all cores BEFORE the DP:
+      // the O(|x1|·|x2|) Levenshtein dominates this query (the r14
+      // toRdd re-baseline exposed it — count() had pruned the DP
+      // entirely), and the post-join layout leaves it on however many
+      // partitions the small pair frame happened to land on
+      .repartition(spark.sparkContext.defaultParallelism, col("d1"), col("d2"))
+      // ONE DP per pair: lev as a materialized column, sim derived from
+      // it (two levenshtein() calls relied on codegen subexpression
+      // elimination across a projection boundary — make it structural)
+      .withColumn("lev", levenshtein(col("x1"), col("x2")).cast("long"))
+      .select(col("source"), col("d1"), col("d2"), col("lev"),
+        (lit(1.0) - col("lev").cast("double")
           / greatest(length(col("x1")), length(col("x2"))).cast("double")).as("sim"))
       .orderBy("source", "d1", "d2")
   }
