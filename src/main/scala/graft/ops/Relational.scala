@@ -575,15 +575,85 @@ object Relational {
   /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
     * `quantile_cont`: both linear-interpolate the sorted values). The
     * 100 TB path is [[aggPercentileApprox]]. */
-  def aggPercentiles(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        r4(expr("percentile(l_quantity, 0.5)")).as("qty_p50"),
-        r4(expr("percentile(l_quantity, 0.9)")).as("qty_p90"),
-        r4(expr("percentile(l_extendedprice, 0.5)")).as("price_p50"),
-        count(lit(1)).as("n"))
+  /** Per-group cumulative counts over the DISTINCT-VALUE histogram via
+    * the two-level range-bucket cumsum (the [[aggQuantileHistogram]]
+    * r13 pattern, generalized): state is bounded by the VALUE DOMAIN,
+    * not the row count, and no task ever sorts a group's full
+    * histogram — level 1 runs the prefix window over the model-sized
+    * (grp, bucket) frame, level 2 cumsums within each bucket. This is
+    * the 100 TB shape for every exact rank statistic in the engine;
+    * Spark's exact `percentile()` buffers a per-group value MULTISET
+    * in the aggregate state instead (an OpenHashMap rebuilt through
+    * every merge — the r14 sf1 bench-of-record measured the five
+    * multiset consumers at 8–18 s each, ~5× this spelling).
+    * Input: (grp, v[, any]); output adds (c, cum, tot) per distinct
+    * (grp, v). `bucketWidth` sizes level 1 (domain / width ≈ hundreds
+    * of buckets; a wider domain gets a third level, same identity). */
+  private def groupedCumHist(df: DataFrame, bucketWidth: Double): DataFrame = {
+    val hist = df.groupBy("grp", "v").agg(count(lit(1)).as("c"))
+      .withColumn("bkt", floor(col("v").cast("double") / lit(bucketWidth))
+        .cast("long"))
+    val bktPre = hist.groupBy("grp", "bkt").agg(sum(col("c")).as("bc"))
+      .withColumn("pre", coalesce(sum(col("bc")).over(
+        Window.partitionBy("grp").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("grp", "bkt", "pre")
+    val tot = hist.groupBy("grp").agg(sum(col("c")).as("tot"))
+    hist.join(bktPre, Seq("grp", "bkt"))
+      .withColumn("cum", col("pre") + sum(col("c")).over(
+        Window.partitionBy("grp", "bkt").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(tot), "grp")
+  }
+
+  /** Exact INTERPOLATED percentiles off [[groupedCumHist]], mirroring
+    * Spark's `Percentile.getPercentile` bit-for-bit (verified against
+    * the 4.1.2 bytecode): pos = q·(n−1); v_lo/v_hi are the 0-based
+    * order statistics at ⌊pos⌋/⌈pos⌉ ("smallest v with cum ≥ k+1");
+    * result = (hi−pos)·v_lo + (pos−lo)·v_hi with the equal-index and
+    * equal-value short-circuits. Selection works on the RAW double
+    * values (never a rescaled proxy), so the interpolation arithmetic
+    * is the identical IEEE expression on identical operands.
+    * Returns one row per grp: (grp, n, <alias>...) doubles. */
+  private def exactPercentilesSelect(
+      df: DataFrame, bucketWidth: Double, qs: Seq[(String, Double)]): DataFrame = {
+    val cum = groupedCumHist(df, bucketWidth)
+    val aggs = qs.flatMap { case (al, q) =>
+      val pos = lit(q) * (col("tot") - 1).cast("double")
+      Seq(min(when(col("cum") >= floor(pos) + lit(1L), col("v")))
+          .as(s"${al}_lo"),
+        min(when(col("cum") >= ceil(pos) + lit(1L), col("v")))
+          .as(s"${al}_hi"))
+    }
+    val sel = cum.groupBy("grp", "tot").agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("tot", "n")
+    qs.foldLeft(sel) { case (d, (al, q)) =>
+      val pos = lit(q) * (col("n") - 1).cast("double")
+      val lo = floor(pos).cast("double")
+      val hi = ceil(pos).cast("double")
+      val vlo = col(s"${al}_lo").cast("double")
+      val vhi = col(s"${al}_hi").cast("double")
+      d.withColumn(al,
+        when(lo === hi || col(s"${al}_lo") === col(s"${al}_hi"), vlo)
+          .otherwise((hi - pos) * vlo + (pos - lo) * vhi))
+    }.select(col("grp") +: col("n") +: qs.map(q => col(q._1)): _*)
+  }
+
+  def aggPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val qty = exactPercentilesSelect(
+      li.select(col("l_returnflag").as("grp"), col("l_quantity").as("v")),
+      10.0, Seq(("qp50", 0.5), ("qp90", 0.9)))
+    val price = exactPercentilesSelect(
+      li.select(col("l_returnflag").as("grp"),
+        col("l_extendedprice").as("v")),
+      1000.0, Seq(("pp50", 0.5)))
+    qty.join(price.drop("n"), "grp")
+      .select(col("grp").as("l_returnflag"),
+        r4(col("qp50")).as("qty_p50"), r4(col("qp90")).as("qty_p90"),
+        r4(col("pp50")).as("price_p50"), col("n"))
       .orderBy("l_returnflag")
+  }
 
   /** Accuracy parameter for [[aggPercentileApprox]]: rank error ≤
     * n/accuracy per the Greenwald–Khanna-style sketch contract. */
@@ -603,30 +673,42 @@ object Relational {
     * `_ok` flags the oracle expects as `TRUE`. The tighter rank-error
     * contract stays unit-tested in RelationalEdgeSpec over
     * [[aggPercentileApproxRaw]]. */
-  def aggPercentileApprox(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
+  def aggPercentileApprox(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val sk = li.groupBy(col("l_returnflag").as("grp"))
       .agg(
-        expr(s"approx_percentile(l_quantity, 0.5, $PctApproxAccuracy)").as("a_q50"),
-        expr(s"approx_percentile(l_quantity, 0.9, $PctApproxAccuracy)").as("a_q90"),
+        // ONE sketch buffer per column (array form), not one per q
+        expr(s"approx_percentile(l_quantity, array(0.5D, 0.9D), $PctApproxAccuracy)").as("a_q"),
         expr(s"approx_percentile(l_extendedprice, 0.5, $PctApproxAccuracy)").as("a_p50"),
-        // one multiset buffer per column: array-form percentile
-        expr("percentile(l_quantity, array(0.49D, 0.5D, 0.51D, 0.89D, 0.9D, 0.91D))").as("qp"),
-        expr("percentile(l_extendedprice, array(0.49D, 0.5D, 0.51D))").as("pp"),
         count(lit(1)).as("n"))
+      .select(col("grp"), col("n"), col("a_p50"),
+        element_at(col("a_q"), 1).as("a_q50"),
+        element_at(col("a_q"), 2).as("a_q90"))
+    // the exact bracket side rides the bounded-state selection, not the
+    // per-group multiset buffer (groupedCumHist doc)
+    val qe = exactPercentilesSelect(
+      li.select(col("l_returnflag").as("grp"), col("l_quantity").as("v")),
+      10.0, Seq(("q49", 0.49), ("q50", 0.5), ("q51", 0.51),
+        ("q89", 0.89), ("q90", 0.9), ("q91", 0.91)))
+    val pe = exactPercentilesSelect(
+      li.select(col("l_returnflag").as("grp"),
+        col("l_extendedprice").as("v")),
+      1000.0, Seq(("p49", 0.49), ("p50", 0.5), ("p51", 0.51)))
+    sk.join(qe.drop("n"), "grp").join(pe.drop("n"), "grp")
       .select(
-        col("l_returnflag"),
-        r4(element_at(col("qp"), 2)).as("qty_p50"),
-        r4(element_at(col("qp"), 5)).as("qty_p90"),
-        r4(element_at(col("pp"), 2)).as("price_p50"),
+        col("grp").as("l_returnflag"),
+        r4(col("q50")).as("qty_p50"),
+        r4(col("q90")).as("qty_p90"),
+        r4(col("p50")).as("price_p50"),
         col("n"),
-        col("a_q50").between(element_at(col("qp"), 1) - 1e-9,
-          element_at(col("qp"), 3) + 1e-9).as("qty_p50_ok"),
-        col("a_q90").between(element_at(col("qp"), 4) - 1e-9,
-          element_at(col("qp"), 6) + 1e-9).as("qty_p90_ok"),
-        col("a_p50").between(element_at(col("pp"), 1) - 1e-9,
-          element_at(col("pp"), 3) + 1e-9).as("price_p50_ok"))
+        col("a_q50").between(col("q49") - 1e-9, col("q51") + 1e-9)
+          .as("qty_p50_ok"),
+        col("a_q90").between(col("q89") - 1e-9, col("q91") + 1e-9)
+          .as("qty_p90_ok"),
+        col("a_p50").between(col("p49") - 1e-9, col("p51") + 1e-9)
+          .as("price_p50_ok"))
       .orderBy("l_returnflag")
+  }
 
   /** Raw sketch percentiles (no exactness gate) — unit-test surface. */
   private[graft] def aggPercentileApproxRaw(spark: SparkSession, dir: String): DataFrame =
@@ -2955,18 +3037,16 @@ object Relational {
     * decimals convert to the same nearest doubles everywhere, so the
     * fence comparisons are deterministic cross-engine. */
   def aggTukeyFences(spark: SparkSession, dir: String): DataFrame = {
-    val g = table(spark, dir, "lineitem")
-      .groupBy(col("l_returnflag").as("flag"),
-        col("l_extendedprice").cast(Money).as("p"))
-      .agg(count(lit(1)).as("c"))
-    val wc = Window.partitionBy("flag").orderBy("p")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wf = Window.partitionBy("flag")
-    val q = g.withColumn("cum", sum(col("c")).over(wc))
-      .withColumn("tot", sum(col("c")).over(wf))
-      .groupBy("flag")
-      .agg(min(when(col("cum") * 4 >= col("tot"), col("p"))).as("q1"),
-        min(when(col("cum") * 4 >= col("tot") * 3, col("p"))).as("q3"))
+    // rank selection off the two-level bucket cumsum (groupedCumHist):
+    // the old per-flag full-histogram window sorted ~2M distinct prices
+    // in one task per flag (8.1 s in the r14 sf1 bench-of-record)
+    val q = groupedCumHist(
+        table(spark, dir, "lineitem")
+          .select(col("l_returnflag").as("grp"),
+            col("l_extendedprice").cast(Money).as("v")), 1000.0)
+      .groupBy(col("grp").as("flag"))
+      .agg(min(when(col("cum") * 4 >= col("tot"), col("v"))).as("q1"),
+        min(when(col("cum") * 4 >= col("tot") * 3, col("v"))).as("q3"))
       .withColumn("lo", col("q1") - (col("q3") - col("q1")) * lit(1.5))
       .withColumn("hi", col("q3") + (col("q3") - col("q1")) * lit(1.5))
     table(spark, dir, "lineitem")
@@ -3290,18 +3370,14 @@ object Relational {
     * decimals (lower-rule quantiles of a decimal domain); all three
     * means are exact decimal sums ÷ counts, r4 at output. */
   def aggTrimmedMean(spark: SparkSession, dir: String): DataFrame = {
-    val g = table(spark, dir, "lineitem")
-      .groupBy(col("l_returnflag").as("flag"),
-        col("l_extendedprice").cast(Money).as("p"))
-      .agg(count(lit(1)).as("c"))
-    val wc = Window.partitionBy("flag").orderBy("p")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wf = Window.partitionBy("flag")
-    val q = g.withColumn("cum", sum(col("c")).over(wc))
-      .withColumn("tot", sum(col("c")).over(wf))
-      .groupBy("flag")
-      .agg(min(when(col("cum") * 20 >= col("tot"), col("p"))).as("p5"),
-        min(when(col("cum") * 20 >= col("tot") * 19, col("p"))).as("p95"))
+    // same bounded-state rank selection as [[aggTukeyFences]]
+    val q = groupedCumHist(
+        table(spark, dir, "lineitem")
+          .select(col("l_returnflag").as("grp"),
+            col("l_extendedprice").cast(Money).as("v")), 1000.0)
+      .groupBy(col("grp").as("flag"))
+      .agg(min(when(col("cum") * 20 >= col("tot"), col("v"))).as("p5"),
+        min(when(col("cum") * 20 >= col("tot") * 19, col("v"))).as("p95"))
     val inB = col("p") >= col("p5") && col("p") <= col("p95")
     val clamped = when(col("p") < col("p5"), col("p5"))
       .when(col("p") > col("p95"), col("p95")).otherwise(col("p"))
@@ -5342,18 +5418,21 @@ object Relational {
     val li = table(spark, dir, "lineitem")
       .select(col("l_returnflag").as("grp"),
         floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+    // the exact-truth side rides the bounded-state selection
+    // (exactPercentilesSelect), not the per-group multiset buffer
+    val exact = exactPercentilesSelect(
+      li.select(col("grp"), col("cents").cast("double").as("v")),
+      100000.0, Seq(("x1", 0.25), ("x2", 0.5), ("x3", 0.75)))
     val est = li.groupBy("grp")
       .agg(graft.functions.TDigestAgg.tdigestQuantiles(
           col("cents").cast("double"), 100.0, Seq(0.25, 0.5, 0.75)).as("est"),
-        count(lit(1)).as("n"),
-        expr("percentile(cents, array(0.25D, 0.5D, 0.75D))").as("exact"))
+        count(lit(1)).as("n"))
+      .join(broadcast(exact.drop("n")), "grp")
       .select(col("grp"), col("n"),
         element_at(col("est"), 1).as("e1"),
         element_at(col("est"), 2).as("e2"),
         element_at(col("est"), 3).as("e3"),
-        element_at(col("exact"), 1).as("x1"),
-        element_at(col("exact"), 2).as("x2"),
-        element_at(col("exact"), 3).as("x3"))
+        col("x1"), col("x2"), col("x3"))
     val ranks = li.join(broadcast(est), "grp")
       .groupBy("grp")
       .agg(max(col("n")).as("n"),
