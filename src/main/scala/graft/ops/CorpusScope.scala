@@ -69,6 +69,15 @@ object CorpusScope {
         // resident peak (post-trim): "how many corpora were live at once"
         fam.peak = math.max(fam.peak, fam.map.size)
       }
+      // Prune the build lock once the value is published: without this,
+      // every distinct content-stamped key retained a lock Object + key
+      // string FOREVER (the registry bounded the values but not the
+      // locks — a regenerating soak corpus rolls keys every run and the
+      // lock map grew without bound). A racer that already holds this
+      // lock object finds the value in the map; a late arrival creates
+      // a fresh lock, then finds the value — either way at most one
+      // build per residency still holds.
+      fam.locks.remove(key)
       built
     }
   }
@@ -85,11 +94,17 @@ object CorpusScope {
     * retire a corpus deliberately rather than waiting for LRU. */
   def drop(family: String): Unit = {
     val fam = families.get(family)
-    if (fam != null) fam.map.synchronized(fam.map.clear())
+    if (fam != null) {
+      fam.map.synchronized(fam.map.clear())
+      fam.locks.clear()
+    }
   }
 
   def dropAll(): Unit = {
-    families.forEach((_, fam) => fam.map.synchronized(fam.map.clear()))
+    families.forEach { (_, fam) =>
+      fam.map.synchronized(fam.map.clear())
+      fam.locks.clear()
+    }
   }
 
   /** `family=current/peak` per family, sorted — the SOAK receipt. */

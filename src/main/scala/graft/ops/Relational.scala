@@ -5288,11 +5288,16 @@ object Relational {
         sum(floor(col("value") * 100 + 0.5).cast("long")).as("s_d"))
     val tot = daily.agg(count(lit(1)).as("n_days"),
       sum(col("n_d")).as("n_tot"), sum(col("s_d")).as("s_tot"))
+    // Degenerate-corpus guard (the eventsBassDiffusion discipline): a
+    // single-day corpus makes the complement empty (n_tot − n_d = 0),
+    // and an unguarded division would emit floor(NaN·…) — engine-
+    // divergent (or an ANSI error) instead of NULL. Guarded, every
+    // downstream sum/sqrt propagates NULL identically in both engines.
     val thetas = daily.crossJoin(broadcast(tot))
-      .withColumn("k_i", floor(
+      .withColumn("k_i", when(col("n_tot") - col("n_d") > 0, floor(
         (col("s_tot") - col("s_d")).cast("double") / lit(100.0) /
           (col("n_tot") - col("n_d")).cast("double") * lit(1e6) + 0.5)
-        .cast("long"))
+        .cast("long")).otherwise(lit(null).cast("long")))
     val kbar = thetas.agg(sum(col("k_i")).as("sum_k"))
     val terms = thetas.crossJoin(broadcast(kbar))
       .withColumn("theta_bar",
@@ -5307,19 +5312,25 @@ object Relational {
       .select(col("n_blocks"), col("n_rows"),
         r6(col("s_tot").cast("double") / lit(100.0) /
           col("n_rows").cast("double")).as("theta_hat"),
-        r6(sqrt((col("n_blocks") - 1).cast("double") /
-          col("n_blocks").cast("double") *
-          (col("sum_t").cast("double") / lit(1e12)))).as("jk_se"),
-        r6(col("s_tot").cast("double") / lit(100.0) /
-          col("n_rows").cast("double") -
-          lit(1.96) * sqrt((col("n_blocks") - 1).cast("double") /
+        when(col("n_blocks") > 1,
+          r6(sqrt((col("n_blocks") - 1).cast("double") /
             col("n_blocks").cast("double") *
-            (col("sum_t").cast("double") / lit(1e12)))).as("ci_lo"),
-        r6(col("s_tot").cast("double") / lit(100.0) /
-          col("n_rows").cast("double") +
-          lit(1.96) * sqrt((col("n_blocks") - 1).cast("double") /
-            col("n_blocks").cast("double") *
-            (col("sum_t").cast("double") / lit(1e12)))).as("ci_hi"))
+            (col("sum_t").cast("double") / lit(1e12)))))
+          .otherwise(lit(null).cast("double")).as("jk_se"),
+        when(col("n_blocks") > 1,
+          r6(col("s_tot").cast("double") / lit(100.0) /
+            col("n_rows").cast("double") -
+            lit(1.96) * sqrt((col("n_blocks") - 1).cast("double") /
+              col("n_blocks").cast("double") *
+              (col("sum_t").cast("double") / lit(1e12)))))
+          .otherwise(lit(null).cast("double")).as("ci_lo"),
+        when(col("n_blocks") > 1,
+          r6(col("s_tot").cast("double") / lit(100.0) /
+            col("n_rows").cast("double") +
+            lit(1.96) * sqrt((col("n_blocks") - 1).cast("double") /
+              col("n_blocks").cast("double") *
+              (col("sum_t").cast("double") / lit(1e12)))))
+          .otherwise(lit(null).cast("double")).as("ci_hi"))
   }
 
   /** BASS DIFFUSION fit over the adoption curve — the product-growth
@@ -5880,6 +5891,8 @@ object Relational {
          FROM sol, peak"""
     },
     "agg_jackknife_variance" -> {
+      // n_blocks > 1 CASE guards mirror the Spark side's degenerate-
+      // corpus when() (single-day corpus → NULL, not NaN/error).
       val jkVar = """CAST(n_blocks - 1 AS DOUBLE) / CAST(n_blocks AS DOUBLE)
         * (CAST(sum_t AS DOUBLE) / 1e12)"""
       val thetaHat = "CAST(s_tot AS DOUBLE) / 100.0 / CAST(n_rows AS DOUBLE)"
@@ -5892,9 +5905,10 @@ object Relational {
            CAST(sum(n_d) AS BIGINT) AS n_tot,
            CAST(sum(s_d) AS BIGINT) AS s_tot FROM daily),
          th AS (SELECT t.n_days, t.n_tot, t.s_tot,
-             CAST(floor(CAST(t.s_tot - dd.s_d AS DOUBLE) / 100.0 /
-               CAST(t.n_tot - dd.n_d AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
-               AS k_i
+             CASE WHEN t.n_tot - dd.n_d > 0 THEN
+               CAST(floor(CAST(t.s_tot - dd.s_d AS DOUBLE) / 100.0 /
+                 CAST(t.n_tot - dd.n_d AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+             ELSE NULL END AS k_i
            FROM daily dd, tot t),
          kb AS (SELECT CAST(sum(k_i) AS BIGINT) AS sum_k FROM th),
          tm AS (SELECT th.n_days, th.n_tot, th.s_tot,
@@ -5908,9 +5922,14 @@ object Relational {
            max(s_tot) AS s_tot, CAST(sum(t_i) AS BIGINT) AS sum_t FROM tm)
          SELECT n_blocks, n_rows,
            ${r6Sql(thetaHat)} AS theta_hat,
-           ${r6Sql(s"sqrt($jkVar)")} AS jk_se,
-           ${r6Sql(s"$thetaHat - 1.96 * sqrt($jkVar)")} AS ci_lo,
-           ${r6Sql(s"$thetaHat + 1.96 * sqrt($jkVar)")} AS ci_hi
+           CASE WHEN n_blocks > 1 THEN ${r6Sql(s"sqrt($jkVar)")}
+             ELSE NULL END AS jk_se,
+           CASE WHEN n_blocks > 1 THEN
+             ${r6Sql(s"$thetaHat - 1.96 * sqrt($jkVar)")}
+             ELSE NULL END AS ci_lo,
+           CASE WHEN n_blocks > 1 THEN
+             ${r6Sql(s"$thetaHat + 1.96 * sqrt($jkVar)")}
+             ELSE NULL END AS ci_hi
          FROM f"""
     },
     "agg_kmv_distinct" -> {

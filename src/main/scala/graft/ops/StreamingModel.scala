@@ -422,9 +422,12 @@ object StreamingModel {
     * ordered stream (marks sort before thresholds at ties — the strict
     * `wm > timeout` contract), and the running threshold count AT each
     * mark is F(wm_b); closes_b = F_b − F_{b−1}. That turns an
-    * |S|·|B| join into an O(S+B) sort — the only global sort is over
-    * the SESSION frame (aggregated; a production deployment shards
-    * this accounting by key range like the state store itself).
+    * |S|·|B| join into an O(S+B) scan, and the scan itself is SHARDED
+    * by calendar day (two-level bucket cumsum — level 1 prefix-sums
+    * per-day threshold counts over the day-bounded bucket frame,
+    * level 2 windows within each day partition), so no task ever sorts
+    * the full session frame: per-task input is one day's volume, the
+    * same sharding the production state store applies by key range.
     * state_rows_b = opens through b − F_b is the number the state-store
     * capacity alert watches. */
   def sessionStateModel(spark: SparkSession, dir: String): DataFrame = {
@@ -454,14 +457,37 @@ object StreamingModel {
     val ths = sess.select((col("last_us") + gapUs).as("v"),
       lit(0L).as("is_mark"), lit(null).cast("long").as("batch_id"),
       lit(null).cast("long").as("n_rows"))
-    // strict wm > timeout: at equal v the MARK sorts first (is_mark
-    // desc), so an exactly-equal threshold is not yet closed; mark-mark
-    // ties break on batch_id — no tie is ever decided by a null order
-    val mo = Window.orderBy(col("v"), desc("is_mark"), col("batch_id"))
+    // F(wm_b) = #{session-timeout thresholds strictly below mark b} via
+    // the TWO-LEVEL range-bucket cumsum (the groupedCumHist identity,
+    // Relational.scala) instead of one global merged-order window: the
+    // merged stream is |S|+|B| rows and |S| grows with the corpus, so a
+    // single unpartitioned window was a one-task sort over billions of
+    // rows at 100 TB (the r14 perf-weak mark). Bucketed by calendar
+    // DAY: level 1 prefix-sums per-day threshold counts over the
+    // day-bounded bucket frame (state bounded by the time domain, like
+    // every other calendar window in the engine); level 2 runs the
+    // merged-order scan WITHIN each day partition — per-task input is
+    // one day's marks+thresholds, never the corpus.
+    // Strictness carries over unchanged: at equal v the MARK sorts
+    // first (is_mark desc) so an exactly-equal threshold is not yet
+    // closed, mark-mark ties break on batch_id, and a tie can never
+    // straddle a bucket boundary (equal v ⇒ equal bucket).
+    val merged = marks.unionByName(ths)
+      .withColumn("bkt", expr("v div 86400000000"))
+    val bktPre = merged
+      .groupBy("bkt").agg(sum(lit(1L) - col("is_mark")).as("bc"))
+      .withColumn("pre", coalesce(sum(col("bc")).over(
+        Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bkt", "pre")
+    val inb = Window.partitionBy("bkt")
+      .orderBy(col("v"), desc("is_mark"), col("batch_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val f = marks.unionByName(ths)
-      .withColumn("f", sum(lit(1L) - col("is_mark")).over(mo))
+    val f = merged
+      .withColumn("inc", sum(lit(1L) - col("is_mark")).over(inb))
       .filter(col("is_mark") === 1L)
+      .join(broadcast(bktPre), Seq("bkt"))
+      .withColumn("f", col("pre") + col("inc"))
     val opens = sess.groupBy(col("open_batch").as("batch_id"))
       .agg(count(lit(1)).as("n_opened"))
     f.join(opens, Seq("batch_id"), "left")

@@ -214,7 +214,12 @@ object Util {
     val stamp =
       if (f.isFile) fileStamp(f)
       else if (f.isDirectory)
-        f.listFiles().sortBy(_.getName).map { ff =>
+        // listFiles() returns NULL (not empty) on an IO error or when
+        // the directory vanishes between the isDirectory check and the
+        // call (a soak-regeneration race) — degrade to the path-only
+        // key instead of NPE-ing the cache-key computation.
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName).map { ff =>
           // One level is enough: parquet part files are flat; a
           // partitioned layout's subdirs still roll the key via their
           // own mtime (updated when children change on local FS writes).

@@ -18,6 +18,12 @@ import org.apache.spark.sql.DataFrame
   * At scale: the data write is the normal distributed parquet write;
   * only the one-file marker rename is driver-side — O(1) per epoch,
   * the same cost profile as Spark's own file-sink metadata log.
+  *
+  * Filesystem caveat: the marker protocol relies on `ATOMIC_MOVE`,
+  * which is a real rename only on a real filesystem (local disk, HDFS,
+  * NFS). Object stores (S3/ABFS/GCS) implement rename as copy+delete —
+  * non-atomic — so a deployment there must swap the marker step for the
+  * store's conditional-put (if-none-match) primitive instead.
   */
 object IdempotentSink {
 
@@ -33,12 +39,34 @@ object IdempotentSink {
     df.write.mode("overwrite").parquet(dataDir.getPath)
     // temp + atomic rename: a crash mid-write leaves no marker, so the
     // NEXT delivery rewrites the (possibly partial) data dir and then
-    // commits — at-least-once upstream, exactly-once downstream
+    // commits — at-least-once upstream, exactly-once downstream.
+    // The rows= stamp comes from the WRITTEN files' parquet footers,
+    // not a second df.count() execution: counting the dataframe again
+    // would re-run the whole epoch (~2× sink cost), and a
+    // nondeterministic source could stamp a count that differs from
+    // the data actually on disk — the footer total is by construction
+    // the committed row count. Footer reads are metadata-only (no row
+    // scan) and driver-side O(#part-files).
     val tmp = new java.io.File(commits, s".${batchId}_tmp")
-    java.nio.file.Files.writeString(tmp.toPath, s"rows=${df.count()}")
+    java.nio.file.Files.writeString(tmp.toPath, s"rows=${writtenRows(dataDir)}")
     java.nio.file.Files.move(tmp.toPath, marker.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     true
+  }
+
+  /** Row count of a written parquet directory from its part files'
+    * footer metadata — the committed count, read without re-executing
+    * (or even re-scanning) anything. */
+  private[streaming] def writtenRows(dataDir: java.io.File): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    Option(dataDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getPath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
   }
 
   /** Committed epochs, in order — what a downstream reader trusts. */

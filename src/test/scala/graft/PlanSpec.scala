@@ -84,6 +84,28 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("stream_session_state: no unpartitioned window over a frame that grows with the session count") {
+    // The r14 perf-weak mark: the merged-order close scan (watermark
+    // marks ∪ session-timeout thresholds) ran as ONE unpartitioned
+    // window — |S|+|B| rows through a single task, and |S| grows with
+    // the corpus. The de-weak shards it by calendar day (two-level
+    // bucket cumsum), so the only legal unpartitioned windows left are
+    // the batch-frame scans (order key `batch_id`, |epochs| rows) and
+    // the day-bucket prefix sum (order key `bkt`, calendar-bounded).
+    // Any unpartitioned window ordering on the merged time value `v`
+    // (or anything else session-sized) is the regression this locks out.
+    val sp = StreamingModel.sessionStateModel(spark, dir)
+      .queryExecution.sparkPlan
+    val offenders = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty &&
+            w.orderSpec.flatMap(_.references.map(_.name.toLowerCase))
+              .exists(n => n != "batch_id" && n != "bkt") => w
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned window over a session-sized frame:\n${offenders.mkString("\n")}")
+  }
+
   test("wedge-pair build: the wedge-join probe rows stay two columns (weight rides the key)") {
     // The 53.7 s → 9.6 s win (SOAK_r11 §4) hinges on the wedge probe row
     // staying exactly (node, wk): every A/B'd spelling that carried the
