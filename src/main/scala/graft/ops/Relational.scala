@@ -5333,6 +5333,90 @@ object Relational {
           .otherwise(lit(null).cast("double")).as("ci_hi"))
   }
 
+  /** Deterministic keyed RESERVOIR sample (k = 32 per event_type) as a
+    * MERGEABLE SKETCH, not a window: selection priority is the md5 hash
+    * of the row key (uniform-random yet identical on every engine,
+    * retry, and partitioning — the hash-priority discipline of
+    * `pipe_sample_hash`/`pipe_token_budget_sample`), and the k smallest
+    * (priority, id) pairs per group are kept by the bounded min-k
+    * aggregate ([[graft.functions.MinKLongsAgg]]): per-group state is
+    * ≤ k packed longs regardless of group size, merges are associative
+    * (map-side partials combine at shuffle boundaries), so this is the
+    * one-pass Algorithm-R-equivalent that works at 100 TB where the
+    * row_number-over-window spelling of `pipe_sample_topk_hash` must
+    * sort each group. Pack: 14 priority bits · 2⁴⁸ + event_id (ids are
+    * < 2⁴⁸ by generation; 14 bits keeps packed < 2⁶³) — packed order ≡
+    * (priority asc, id asc), ties impossible. Retrieval is the second
+    * half of the sketch-select pattern: the G·k selected ids broadcast
+    * back against the corpus to fetch values, and the output compares
+    * the sample mean against the exact population mean per group. */
+  def aggReservoirSample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val ev = table(spark, dir, "events")
+    val h48 = conv(substring(
+      md5(col("event_id").cast("string").cast("binary")), 1, 12), 16, 10)
+      .cast("long")
+    val packed = shiftright(h48, 34) * lit(281474976710656L) + col("event_id")
+    val sel = ev.groupBy("event_type")
+      .agg(graft.functions.MinKLongsAgg.minKLongs(packed, k).as("sel"),
+        count(lit(1)).as("n_total"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents_total"))
+    val ids = sel
+      .select(col("event_type"), explode(col("sel")).as("p"))
+      .select(col("event_type"),
+        (col("p") % lit(281474976710656L)).as("event_id"))
+    val samp = ev.join(broadcast(ids), Seq("event_type", "event_id"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_sample"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents_sample"),
+        min(col("event_id")).as("min_sample_id"),
+        max(col("event_id")).as("max_sample_id"))
+    samp.join(broadcast(sel.drop("sel")), "event_type")
+      .select(col("event_type"), col("n_total"), col("n_sample"),
+        col("min_sample_id"), col("max_sample_id"),
+        r6(col("cents_sample").cast("double") / lit(100.0) /
+          col("n_sample").cast("double")).as("sample_mean"),
+        r6(col("cents_total").cast("double") / lit(100.0) /
+          col("n_total").cast("double")).as("pop_mean"))
+      .orderBy("event_type")
+  }
+
+  /** WINSORIZED mean — the robust location estimate that CLAMPS tails
+    * instead of dropping them (`agg_trimmed_mean`'s sibling; trimming
+    * changes n, winsorizing preserves it): per group, values below the
+    * exact interpolated p05 (above p95) are replaced by that percentile,
+    * then averaged. The percentile selection rides the bounded-state
+    * two-level bucket cumsum ([[exactPercentilesSelect]] — state bounded
+    * by the value DOMAIN, no per-group value multiset, the r14 rank-
+    * statistic respell), the group-sized (grp, lo, hi) frame broadcasts
+    * back, and the clamped mean sums exact 1e-6 integer units so the
+    * result is summation-order-independent in both engines. */
+  def aggWinsorizedMean(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val qb = exactPercentilesSelect(
+      li.select(col("l_returnflag").as("grp"), col("l_quantity").as("v")),
+      10.0, Seq(("lo", 0.05), ("hi", 0.95)))
+    li.select(col("l_returnflag").as("grp"), col("l_quantity").as("v"))
+      .join(broadcast(qb.select("grp", "lo", "hi")), "grp")
+      .withColumn("cw",
+        when(col("v") < col("lo"), col("lo"))
+          .when(col("v") > col("hi"), col("hi"))
+          .otherwise(col("v").cast("double")))
+      .withColumn("cu", floor(col("cw") * lit(1e6) + 0.5).cast("long"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+        max(col("lo")).as("p05"), max(col("hi")).as("p95"),
+        sum(col("cu")).as("su"))
+      .select(col("grp").as("l_returnflag"), col("n"),
+        col("n_lo"), col("n_hi"),
+        r4(col("p05")).as("p05"), r4(col("p95")).as("p95"),
+        r6(col("su").cast("double") / lit(1e6) / col("n").cast("double"))
+          .as("win_mean_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** BASS DIFFUSION fit over the adoption curve — the product-growth
     * model behind "innovators vs imitators" forecasts: users adopt on
     * their first event day, daily adoptions N_t regress on cumulative
@@ -5474,6 +5558,8 @@ object Relational {
     "agg_tdigest_quantiles" -> (aggTdigestQuantiles _),
     "events_bass_diffusion" -> (eventsBassDiffusion _),
     "agg_jackknife_variance" -> (aggJackknifeVariance _),
+    "agg_reservoir_sample" -> (aggReservoirSample _),
+    "agg_winsorized_mean" -> (aggWinsorizedMean _),
     "agg_kmv_distinct" -> (aggKmvDistinct _),
     "events_kalman_filter" -> (eventsKalmanFilter _),
     "events_hawkes_intensity" -> (eventsHawkesIntensity _),
@@ -5890,6 +5976,47 @@ object Relational {
            peak.peak_day, peak.peak_fitted
          FROM sol, peak"""
     },
+    "agg_reservoir_sample" ->
+      s"""WITH ev AS (SELECT event_id, event_type, value FROM ${evSql()}),
+         h AS (SELECT event_type, event_id, value,
+           CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))
+             AS BIGINT) // 17179869184 AS prio
+           FROM ev),
+         r AS (SELECT event_type, event_id, value,
+           row_number() OVER (PARTITION BY event_type
+             ORDER BY prio, event_id) AS rn FROM h),
+         t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents_total FROM ev GROUP BY 1),
+         s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents_sample,
+           min(event_id) AS min_sample_id, max(event_id) AS max_sample_id
+           FROM r WHERE rn <= 32 GROUP BY 1)
+         SELECT t.event_type, t.n_total, s.n_sample,
+           s.min_sample_id, s.max_sample_id,
+           ${r6Sql("CAST(s.cents_sample AS DOUBLE) / 100.0 / CAST(s.n_sample AS DOUBLE)")}
+             AS sample_mean,
+           ${r6Sql("CAST(t.cents_total AS DOUBLE) / 100.0 / CAST(t.n_total AS DOUBLE)")}
+             AS pop_mean
+         FROM t JOIN s USING (event_type) ORDER BY event_type""",
+    "agg_winsorized_mean" ->
+      s"""WITH q AS (SELECT l_returnflag AS grp,
+           quantile_cont(l_quantity, 0.05) AS lo,
+           quantile_cont(l_quantity, 0.95) AS hi
+           FROM lineitem GROUP BY 1),
+         c AS (SELECT q.grp, q.lo, q.hi, l.l_quantity AS v,
+           CASE WHEN l.l_quantity < q.lo THEN q.lo
+                WHEN l.l_quantity > q.hi THEN q.hi
+                ELSE l.l_quantity END AS cw
+           FROM lineitem l JOIN q ON l.l_returnflag = q.grp)
+         SELECT grp AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+           CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+           ${r4Sql("max(lo)")} AS p05, ${r4Sql("max(hi)")} AS p95,
+           ${r6Sql("CAST(CAST(sum(CAST(floor(cw * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6 / CAST(count(*) AS DOUBLE)")}
+             AS win_mean_qty
+         FROM c GROUP BY grp ORDER BY l_returnflag""",
     "agg_jackknife_variance" -> {
       // n_blocks > 1 CASE guards mirror the Spark side's degenerate-
       // corpus when() (single-day corpus → NULL, not NaN/error).

@@ -502,7 +502,50 @@ object StreamingModel {
       .orderBy("batch_id")
   }
 
+  /** Per-batch OUT-OF-ORDER profile — the lateness telemetry that TUNES
+    * the watermark delay every other streaming op here assumes (30 min):
+    * for each arrival epoch, how many events arrived behind the
+    * watermark the PREVIOUS epochs had already advanced to, how far
+    * behind (bucketed ≤5 min / ≤30 min / beyond, plus the max), and the
+    * late ratio. `stream_late_filter` answers "which rows were late"
+    * under an arrival-order watermark; this is the operational
+    * aggregate an SRE watches to decide whether the delay budget is too
+    * tight (late_gt30m > 0 ⇒ the 30-min delay is dropping data) or too
+    * loose. Shape: one batch-frame agg (|epochs| rows; its prefix-max
+    * window is batch-bounded), one equi join back on batch_id (AQE
+    * broadcasts the batch frame while small), one counting agg —
+    * linear, no corpus-sized window anywhere. */
+  def outOfOrderRatio(spark: SparkSession, dir: String): DataFrame = {
+    val delayUs = 1800000000L // 30 min, the engine-wide watermark delay
+    val ev = table(spark, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("t_us"),
+        expr("event_id div 5000").as("batch_id"))
+    val bw = Window.orderBy("batch_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wm = ev.groupBy("batch_id")
+      .agg(max(col("t_us")).as("b_max"))
+      .withColumn("wm_prev", max(col("b_max")).over(bw) - delayUs)
+      .select("batch_id", "wm_prev")
+    ev.join(wm, "batch_id")
+      .withColumn("late_us",
+        when(col("t_us") < col("wm_prev"), col("wm_prev") - col("t_us")))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("late_us")).as("n_late"),
+        sum(when(col("late_us") <= 300000000L, 1L).otherwise(0L))
+          .as("n_late_5m"),
+        sum(when(col("late_us") > 300000000L &&
+          col("late_us") <= 1800000000L, 1L).otherwise(0L)).as("n_late_30m"),
+        sum(when(col("late_us") > 1800000000L, 1L).otherwise(0L))
+          .as("n_late_gt30m"),
+        coalesce(max(col("late_us")), lit(0L)).as("max_late_us"))
+      .withColumn("late_ratio",
+        r6(col("n_late").cast("double") / col("n_rows").cast("double")))
+      .orderBy("batch_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_outoforder_ratio" -> (outOfOrderRatio _),
     "stream_session_state" -> (sessionStateModel _),
     "stream_exactly_once_sink" -> (exactlyOnceSink _),
     "stream_watermark_advance" -> (watermarkAdvance _),
@@ -518,6 +561,29 @@ object StreamingModel {
     "stream_late_filter" -> (lateFilter _))
 
   val oracleSql: Map[String, String] = Map(
+    "stream_outoforder_ratio" ->
+      s"""WITH ev AS (SELECT event_id, epoch_us(ts) AS t_us,
+           event_id // 5000 AS batch_id FROM ${evSql()}),
+         w AS (SELECT batch_id, max(t_us) AS b_max FROM ev GROUP BY 1),
+         w2 AS (SELECT batch_id, max(b_max) OVER (ORDER BY batch_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 1800000000
+           AS wm_prev FROM w),
+         j AS (SELECT e.batch_id, e.t_us,
+           CASE WHEN e.t_us < w2.wm_prev THEN w2.wm_prev - e.t_us
+             ELSE NULL END AS late_us
+           FROM ev e JOIN w2 USING (batch_id))
+         SELECT batch_id, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(late_us) AS BIGINT) AS n_late,
+           CAST(sum(CASE WHEN late_us <= 300000000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_late_5m,
+           CAST(sum(CASE WHEN late_us > 300000000 AND late_us <= 1800000000
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_late_30m,
+           CAST(sum(CASE WHEN late_us > 1800000000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_late_gt30m,
+           CAST(coalesce(max(late_us), 0) AS BIGINT) AS max_late_us,
+           ${r6Sql("CAST(count(late_us) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+             AS late_ratio
+         FROM j GROUP BY 1 ORDER BY batch_id""",
     "stream_session_state" ->
       s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
            event_id // 5000 AS batch_id FROM ${evSql()}),

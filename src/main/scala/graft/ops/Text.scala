@@ -2250,6 +2250,131 @@ object Text {
       .orderBy("a", "b")
   }
 
+  /** Top-P profile depth for [[langidNgram]] (language side) and top-D
+    * document signature depth — the Cavnar–Trenkle "out-of-place"
+    * constants, small because rank agreement concentrates at the head. */
+  private val LangProfTop = 20
+  private val LangDocTop = 10
+
+  /** Character-n-gram LANGUAGE IDENTIFICATION (Cavnar–Trenkle 1994
+    * rank-profile method, the public-domain classic behind most n-gram
+    * langid tools): unlike `text_langid` (which buckets a vowel-ratio
+    * heuristic) this INFERS a language per document by comparing the
+    * document's top bigram ranks against per-language profiles via the
+    * out-of-place distance Σ|rank_doc − rank_lang| (missing bigram pays
+    * the max penalty P) — all INTEGER arithmetic, so cross-engine
+    * agreement is exact with no libm anywhere. Shape at 100 TB: the
+    * bigram explode is linear and map-side-combines into (lang, bigram)
+    * / (doc, bigram) counts; profiles are L·P rows (broadcast); doc
+    * ranks come from a doc-partitioned window; scoring is a broadcast
+    * left join — one corpus shuffle on the (doc, bigram) key, never a
+    * global sort. Output: the lang × predicted confusion matrix a
+    * curation run reviews before trusting the inferred labels. */
+  def langidNgram(spark: SparkSession, dir: String): DataFrame = {
+    val big = docs(spark, dir)
+      .filter(length(col("text")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+          .as("bg"))
+    val prof = big.groupBy("lang", "bg").agg(count(lit(1)).as("c"))
+      .withColumn("r_l", row_number().over(
+        Window.partitionBy("lang").orderBy(desc("c"), col("bg"))))
+      .filter(col("r_l") <= LangProfTop)
+      .select(col("lang").as("cand"), col("bg"), col("r_l"))
+    val sig = big.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .withColumn("r_d", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("c"), col("bg"))))
+      .filter(col("r_d") <= LangDocTop)
+      .select(col("doc_id"), col("bg"), col("r_d"))
+    val langs = prof.select("cand").distinct()
+    val scored = sig.crossJoin(broadcast(langs))
+      .join(broadcast(prof), Seq("cand", "bg"), "left")
+      .groupBy("doc_id", "cand")
+      .agg(sum(coalesce(abs(col("r_d") - col("r_l")).cast("long"),
+        lit(LangProfTop.toLong))).as("oop"))
+    val best = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("oop"), col("cand"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand").as("predicted"), col("oop"))
+    docs(spark, dir).select(col("doc_id"), col("lang"))
+      .join(best, "doc_id")
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n_docs"),
+        r4(sum(col("oop")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_oop"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** PII SCRUB accounting — the corpus-curation half of `text_pii_mask`
+    * (which emits per-doc masked text): per (source, action) how many
+    * documents a scrub pass keeps vs quarantines, spans found by type,
+    * and characters redacted. The fixture corpus carries no PII by
+    * construction, so a deterministic per-doc injection (counts keyed
+    * off doc_id, VARIABLE per doc so the quarantine branch is
+    * exercised: 0–2 emails, 1 ip, 0–1 phones) plants the spans both
+    * engines then detect independently via the same regex set.
+    * chars_redacted is measured as length(text) − length(text with
+    * every span deleted) — the span-length accounting a privacy review
+    * reports. Policy: ≥ 3 spans ⇒ quarantine, else scrub-and-keep.
+    * Shape: pure per-row regex projection (codegen'd, no shuffle) + one
+    * hash agg on the tiny (source, action) key. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9._%-]+@[a-z0-9.-]+"
+    val ipRe = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+    val phoneRe = "[+]1-[0-9]{3}-[0-9]{4}"
+    val pii = concat(col("text"),
+      expr("repeat(' u' || CAST(doc_id AS STRING) || '@mail.ex', CAST(doc_id % 3 AS INT))"),
+      lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+      lit(".0."), (col("doc_id") % 7).cast("string"),
+      expr("repeat(' +1-555-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), CAST(doc_id % 2 AS INT))"))
+    val scrubbed = regexp_replace(regexp_replace(regexp_replace(
+      col("pt"), emailRe, ""), ipRe, ""), phoneRe, "")
+    docs(spark, dir)
+      .withColumn("pt", pii)
+      .select(col("source"),
+        regexp_count(col("pt"), lit(emailRe)).cast("long").as("n_email"),
+        regexp_count(col("pt"), lit(ipRe)).cast("long").as("n_ip"),
+        regexp_count(col("pt"), lit(phoneRe)).cast("long").as("n_phone"),
+        (length(col("pt")) - length(scrubbed)).cast("long").as("redacted"))
+      .withColumn("n_spans", col("n_email") + col("n_ip") + col("n_phone"))
+      .withColumn("action",
+        when(col("n_spans") >= 3, lit("quarantine")).otherwise(lit("scrub")))
+      .groupBy("source", "action")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_email")).as("n_email"),
+        sum(col("n_ip")).as("n_ip"),
+        sum(col("n_phone")).as("n_phone"),
+        sum(col("redacted")).as("chars_redacted"),
+        r4(sum(col("n_spans")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_spans"))
+      .orderBy("source", "action")
+  }
+
+  /** BAG-OF-WORDS fingerprint dedup — the token-MULTISET exact rung
+    * between `dedup_exact` (byte-identical) and minhash (approximate
+    * set overlap): the fingerprint is md5 over the SORTED token list,
+    * so token-permuted boilerplate (shuffled navigation, reordered
+    * lists) collapses into one group that byte-exact dedup misses,
+    * while remaining exact (no banding, no false positives at any
+    * scale). n_exact_variants counts distinct byte-level texts inside
+    * each bow group — > 1 is precisely the permuted-duplicate mass this
+    * rung exists to find. Shape: one projection (sort each doc's own
+    * tokens — per-row work, no shuffle) + one hash agg on the
+    * fingerprint key with map-side partials. */
+  def dedupBowFingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(split(col("text"), " ")))).as("bow_h"),
+        md5(col("text").cast("binary")).as("xh"))
+      .groupBy("bow_h")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"),
+        countDistinct(col("xh")).as("n_exact_variants"))
+      .select(col("doc_id"), col("bow_h"), col("n_copies"),
+        col("n_exact_variants"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_sorted_neighborhood" -> (dedupSortedNeighborhood _),
     "text_dsir_weights" -> (dsirWeights _),
@@ -2288,6 +2413,9 @@ object Text {
     "text_bm25_upsert" -> (bm25Upsert _),
     "text_normalize" -> (normalize _),
     "dedup_exact" -> (dedupExact _),
+    "text_langid_ngram" -> (langidNgram _),
+    "text_pii_scrub" -> (piiScrub _),
+    "dedup_bow_fingerprint" -> (dedupBowFingerprint _),
     "dedup_prefix_boilerplate" -> (dedupPrefixBoilerplate _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_near_jaccard" -> (dedupNearJaccard _),
@@ -3303,6 +3431,85 @@ object Text {
       """SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS h,
          count(*) AS n_copies
          FROM documents GROUP BY h ORDER BY doc_id""",
+    "text_langid_ngram" ->
+      s"""WITH b AS (
+           SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, length(text) - 1),
+               i -> substr(text, CAST(i AS INT), 2))) AS bg
+           FROM documents WHERE length(text) >= 2),
+         pc AS (SELECT lang, bg, count(*) AS c FROM b GROUP BY 1, 2),
+         prof AS (SELECT lang AS cand, bg, r_l FROM (
+           SELECT lang, bg,
+             row_number() OVER (PARTITION BY lang ORDER BY c DESC, bg) AS r_l
+           FROM pc) WHERE r_l <= $LangProfTop),
+         dc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+         sig AS (SELECT doc_id, bg, r_d FROM (
+           SELECT doc_id, bg,
+             row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg) AS r_d
+           FROM dc) WHERE r_d <= $LangDocTop),
+         langs AS (SELECT DISTINCT cand FROM prof),
+         sc AS (SELECT s.doc_id, l.cand,
+             CAST(sum(coalesce(abs(s.r_d - p.r_l), $LangProfTop)) AS BIGINT)
+               AS oop
+           FROM sig s CROSS JOIN langs l
+           LEFT JOIN prof p ON p.cand = l.cand AND p.bg = s.bg
+           GROUP BY 1, 2),
+         best AS (SELECT doc_id, cand, oop FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY oop, cand) AS rn FROM sc) WHERE rn = 1)
+         SELECT d.lang, b2.cand AS predicted,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           ${r4Sql("CAST(CAST(sum(b2.oop) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+             AS avg_oop
+         FROM documents d JOIN best b2 USING (doc_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "text_pii_scrub" ->
+      s"""WITH p AS (
+           SELECT source,
+             text || repeat(' u' || CAST(doc_id AS VARCHAR) || '@mail.ex',
+               CAST(doc_id % 3 AS INT))
+             || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+             || '.0.' || CAST(doc_id % 7 AS VARCHAR)
+             || repeat(' +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+               CAST(doc_id % 2 AS INT)) AS pt
+           FROM documents),
+         d AS (
+           SELECT source,
+             CAST(len(regexp_extract_all(pt, '[a-z0-9._%-]+@[a-z0-9.-]+'))
+               AS BIGINT) AS n_email,
+             CAST(len(regexp_extract_all(pt,
+               '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}'))
+               AS BIGINT) AS n_ip,
+             CAST(len(regexp_extract_all(pt, '[+]1-[0-9]{3}-[0-9]{4}'))
+               AS BIGINT) AS n_phone,
+             CAST(length(pt) - length(
+               regexp_replace(regexp_replace(regexp_replace(pt,
+                 '[a-z0-9._%-]+@[a-z0-9.-]+', '', 'g'),
+                 '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '', 'g'),
+                 '[+]1-[0-9]{3}-[0-9]{4}', '', 'g')) AS BIGINT) AS redacted
+           FROM p),
+         e AS (SELECT *, n_email + n_ip + n_phone AS n_spans,
+           CASE WHEN n_email + n_ip + n_phone >= 3 THEN 'quarantine'
+             ELSE 'scrub' END AS action FROM d)
+         SELECT source, action, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_email) AS BIGINT) AS n_email,
+           CAST(sum(n_ip) AS BIGINT) AS n_ip,
+           CAST(sum(n_phone) AS BIGINT) AS n_phone,
+           CAST(sum(redacted) AS BIGINT) AS chars_redacted,
+           ${r4Sql("CAST(CAST(sum(n_spans) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+             AS avg_spans
+         FROM e GROUP BY 1, 2 ORDER BY source, action""",
+    "dedup_bow_fingerprint" ->
+      """WITH d AS (
+           SELECT doc_id,
+             md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+               AS bow_h,
+             md5(text) AS xh
+           FROM documents)
+         SELECT min(doc_id) AS doc_id, bow_h,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(count(DISTINCT xh) AS BIGINT) AS n_exact_variants
+         FROM d GROUP BY bow_h ORDER BY doc_id""",
     "dedup_prefix_boilerplate" ->
       """WITH p AS (
            SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len,

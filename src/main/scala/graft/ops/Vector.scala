@@ -2304,6 +2304,87 @@ object Vector {
     }.mkString(",\n         ")
   }
 
+  /** VIDEO-level near-dup via KEYFRAME-set overlap — the rung above
+    * [[multimodalPhashDedup]] (which matches whole payloads by one
+    * perceptual hash): re-encoded or trimmed copies of a video keep
+    * most of their KEYFRAMES, so two payloads sharing a large fraction
+    * of per-frame hash keys are near-dups even when no single whole-file
+    * hash matches. Decode is stubbed per the multimodal convention
+    * (frames sample the payload at K=8 deterministic offsets; the
+    * per-frame hash is md5-derived from the sampled bytes) — the
+    * dataflow is the real one: a BOUNDED K-way explode per video, frame
+    * keys folded to a 16-bit space, candidate pairs from an equi join
+    * on the frame key with the standard per-bucket membership cap
+    * (row_number ≤ 64 — never all-pairs), overlap verified as the
+    * keyframe-set Jaccard against each video's true key count. */
+  def multimodalKeyframeNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val frames = (0 until 8).map(j => substring(col("text"), 1 + j * 14, 16))
+    val fk = table(spark, dir, "documents")
+      .select(col("doc_id"), explode(array(frames: _*)).as("chunk"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("chunk").cast("binary")), 1, 12), 16, 10)
+          .cast("long") % lit(65536L)).as("fkey"))
+      .distinct()
+    val kc = fk.groupBy("doc_id").agg(count(lit(1)).as("kc"))
+    val w = Window.partitionBy("fkey").orderBy("doc_id")
+    val capped = fk.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 64).select("doc_id", "fkey")
+    val cand = capped.alias("a")
+      .join(capped.alias("x"),
+        col("a.fkey") === col("x.fkey") && col("a.doc_id") < col("x.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("x.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+    cand
+      .join(kc.select(col("doc_id").as("d1"), col("kc").as("k1")), "d1")
+      .join(kc.select(col("doc_id").as("d2"), col("kc").as("k2")), "d2")
+      .withColumn("kf_jaccard", r6(col("n_shared").cast("double") /
+        (col("k1") + col("k2") - col("n_shared")).cast("double")))
+      .select(col("d1"), col("d2"), col("n_shared"), col("k1"), col("k2"),
+        col("kf_jaccard"), (col("kf_jaccard") >= 0.5).as("within_threshold"))
+      .orderBy(desc("kf_jaccard"), col("d1"), col("d2")).limit(20)
+  }
+
+  /** Embedding NORM-profile outlier audit — the cheap curation filter
+    * that runs before any ANN work: per label, the L2-norm distribution
+    * (a collapsed or exploded norm is the classic symptom of a bad
+    * encoder batch) and how many vectors sit beyond 2σ. Norms quantize
+    * to exact 1e-3 integer units so the per-label moment sums are exact
+    * integers in both engines (Σm² stays far under 2⁶³ for milli-unit
+    * norms ≲ 10⁶ across ≲ 10⁶ rows per label; a wider deployment
+    * rescales the unit); the only IEEE ops are the final mean/variance
+    * divisions and one sqrt, spelled identically in the oracle. Shape:
+    * one linear norm projection, one tiny per-label agg broadcast back,
+    * one counting agg — no shuffle beyond the label key. */
+  def embeddingNormOutlier(spark: SparkSession, dir: String): DataFrame = {
+    val asD = transform(col("embedding"), x => x.cast("double"))
+    val nm = floor(sqrt(aggregate(asD, lit(0.0), (a, x) => a + x * x))
+      * lit(1000.0) + 0.5).cast("long")
+    val rows = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"), nm.as("m"))
+    val stats = rows.groupBy("label")
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("s1"),
+        sum(col("m") * col("m")).as("s2"))
+      .withColumn("mean_m", col("s1").cast("double") / col("n").cast("double"))
+      .withColumn("var_m", when(col("n") > 1,
+        (col("s2").cast("double") - col("s1").cast("double") *
+          col("s1").cast("double") / col("n").cast("double")) /
+          (col("n") - 1).cast("double"))
+        .otherwise(lit(null).cast("double")))
+      .select("label", "n", "mean_m", "var_m")
+    rows.join(broadcast(stats), "label")
+      .withColumn("is_out", when(col("n") > 1,
+        abs(col("m").cast("double") - col("mean_m")) >
+          lit(2.0) * sqrt(col("var_m"))).otherwise(lit(false)))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"),
+        min(when(col("is_out"), col("vec_id"))).as("first_outlier_id"),
+        min(col("m")).as("min_norm_milli"), max(col("m")).as("max_norm_milli"),
+        r6(max(col("mean_m")) / lit(1000.0)).as("mean_norm"),
+        r6(sqrt(max(col("var_m"))) / lit(1000.0)).as("sd_norm"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cluster_centroid_classify" -> (clusterCentroidClassify _),
     "embedding_label_drift" -> (embeddingLabelDrift _),
@@ -2315,6 +2396,8 @@ object Vector {
     "embedding_jl_project" -> (embeddingJlProject _),
     "cluster_silhouette" -> (clusterSilhouette _),
     "multimodal_phash_dedup" -> (multimodalPhashDedup _),
+    "multimodal_keyframe_neardup" -> (multimodalKeyframeNeardup _),
+    "embedding_norm_outlier" -> (embeddingNormOutlier _),
     "embedding_pca_power" -> (embeddingPcaPower _),
     "join_spatial_grid" -> (joinSpatialGrid _),
     "simsearch_rrf_hybrid" -> (simsearchRrfHybrid _),
@@ -2809,6 +2892,58 @@ object Vector {
            ${r6Sql("CAST(count(CASE WHEN s < 0 THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
              AS share_neg
          FROM sil GROUP BY 1 ORDER BY 1""",
+    "multimodal_keyframe_neardup" ->
+      s"""WITH fr AS (SELECT doc_id,
+           substr(text, 1 + 14 * CAST(t.j AS INTEGER), 16) AS chunk
+           FROM documents, range(0, 8) t(j)),
+         fk AS (SELECT DISTINCT doc_id,
+           CAST(('0x' || substr(md5(chunk), 1, 12)) AS BIGINT) % 65536 AS fkey
+           FROM fr),
+         kc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kc
+           FROM fk GROUP BY 1),
+         capped AS (SELECT doc_id, fkey FROM fk
+           QUALIFY row_number() OVER (PARTITION BY fkey ORDER BY doc_id) <= 64),
+         cand AS (SELECT a.doc_id AS d1, x.doc_id AS d2,
+             CAST(count(*) AS BIGINT) AS n_shared
+           FROM capped a JOIN capped x
+             ON a.fkey = x.fkey AND a.doc_id < x.doc_id
+           GROUP BY 1, 2),
+         j AS (SELECT d1, d2, n_shared, k1.kc AS k1, k2.kc AS k2,
+             ${r6Sql("CAST(n_shared AS DOUBLE) / CAST(k1.kc + k2.kc - n_shared AS DOUBLE)")}
+               AS kf_jaccard
+           FROM cand JOIN kc k1 ON k1.doc_id = d1
+             JOIN kc k2 ON k2.doc_id = d2)
+         SELECT d1, d2, n_shared, k1, k2, kf_jaccard,
+           kf_jaccard >= 0.5 AS within_threshold
+         FROM j ORDER BY kf_jaccard DESC, d1, d2 LIMIT 20""",
+    "embedding_norm_outlier" ->
+      s"""WITH r AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+           CAST(floor(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1000.0 + 0.5)
+             AS BIGINT) AS m
+           FROM embeddings),
+         st AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(m) AS BIGINT) AS s1, CAST(sum(m * m) AS BIGINT) AS s2
+           FROM r GROUP BY 1),
+         st2 AS (SELECT label, n,
+           CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_m,
+           CASE WHEN n > 1 THEN
+             (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+               / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)
+           ELSE NULL END AS var_m FROM st),
+         f AS (SELECT r.vec_id, r.label, r.m, st2.n, st2.mean_m, st2.var_m,
+           CASE WHEN st2.n > 1 THEN
+             abs(CAST(r.m AS DOUBLE) - st2.mean_m) > 2.0 * sqrt(st2.var_m)
+           ELSE false END AS is_out
+           FROM r JOIN st2 USING (label))
+         SELECT label, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           min(CASE WHEN is_out THEN vec_id ELSE NULL END) AS first_outlier_id,
+           min(m) AS min_norm_milli, max(m) AS max_norm_milli,
+           ${r6Sql("max(mean_m) / 1000.0")} AS mean_norm,
+           ${r6Sql("sqrt(max(var_m)) / 1000.0")} AS sd_norm
+         FROM f GROUP BY label ORDER BY label""",
     "multimodal_phash_dedup" ->
       s"""WITH d AS (SELECT doc_id,
            CAST(('0x' || substr(sha256(text), 1, 15)) AS BIGINT) AS ph

@@ -260,14 +260,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // columns (`source` ~20 values, `label` 10 values, semdedup's
     // cluster id `cl` 8 values) emits |block|²
     // rows per block — fine at sf0.1, a never-finishing task at a 100 TB
-    // block. Such a join is allowed only when BOTH inputs are bounded:
-    // either through the deterministic block-size-cap discipline, which
-    // materializes as a Filter on a row_number attribute named `rn`
-    // below the join (NearJacBlockCap / LevBudgetPerSource), or as an
-    // AGGREGATE grouped on the join keys — an aggregated side carries at
-    // most one row per key value, so the join output is bounded by the
-    // key's cardinality, not |block|² (semdedup's per-cluster accounting
-    // join of two per-cl aggregates is this shape). Joins with any
+    // block. Such a join is allowed only when (a) ONE side is an
+    // AGGREGATE grouped on the join keys — at most one row per key
+    // value, so the join output is bounded by the OTHER side's row
+    // count, linear at any scale (semdedup's per-cluster accounting,
+    // the norm-outlier stats broadcast-back, every dimension-enrich
+    // join) — or (b) BOTH inputs are block-bounded through the
+    // deterministic block-size-cap discipline, which materializes as a
+    // Filter on a row_number attribute named `rn` below the join
+    // (NearJacBlockCap / LevBudgetPerSource). Joins with any
     // high-cardinality key (bucket, bsig, shingle, doc_id…) are exempt —
     // their output is bounded by the signature collision structure.
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -276,6 +277,19 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         case j: org.apache.spark.sql.execution.joins.BaseJoinExec
             if j.leftKeys.nonEmpty =>
           val keys = j.leftKeys.flatMap(_.references.map(_.name.toLowerCase)).toSet
+          // one row per key value at the join input: an aggregate grouped
+          // on (a superset of) the join keys. A side like this bounds the
+          // join output by the OTHER side's row count — linear regardless
+          // of block sizes — so ONE such side legalizes the join on its
+          // own (the embedding_norm_outlier shape: corpus ⋈ broadcast
+          // per-label stats; also the classic dimension-enrich join).
+          def aggKeyed(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+            p.collectFirst {
+              case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+                  if a.groupingExpressions.nonEmpty && keys.subsetOf(
+                    a.groupingExpressions
+                      .flatMap(_.references.map(_.name.toLowerCase)).toSet) => a
+            }.nonEmpty
           def bounded(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
             p.collectFirst {
               case f: org.apache.spark.sql.execution.FilterExec
@@ -284,13 +298,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
               // row_number-cap Filter with the heap exec — same bound,
               // different node
               case t: graft.plans.TopKPerKeyExec => t
-              case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-                  if a.groupingExpressions.nonEmpty && keys.subsetOf(
-                    a.groupingExpressions
-                      .flatMap(_.references.map(_.name.toLowerCase)).toSet) => a
-            }.nonEmpty
+            }.nonEmpty || aggKeyed(p)
           if (keys.subsetOf(Set("source", "label", "cl")) &&
-              !(bounded(j.left) && bounded(j.right)))
+              !(bounded(j.left) && bounded(j.right)) &&
+              !aggKeyed(j.left) && !aggKeyed(j.right))
             Some(s"$name: uncapped join keyed only on ${keys.mkString(",")}")
           else None
       }.flatten
