@@ -49,37 +49,48 @@ object CorpusScope {
     * once per key per residency (an LRU-evicted key rebuilds). */
   def cached[T <: AnyRef](family: String, key: String)(build: => T): T = {
     val fam = families.computeIfAbsent(family, _ => new Family)
-    fam.map.synchronized {
-      val v = fam.map.get(key)
-      if (v != null) return v.asInstanceOf[T]
-    }
-    val lock = fam.locks.computeIfAbsent(key, _ => new Object)
-    lock.synchronized {
+    while (true) {
       fam.map.synchronized {
         val v = fam.map.get(key)
         if (v != null) return v.asInstanceOf[T]
       }
-      val built = build
-      fam.map.synchronized {
-        fam.map.put(key, built)
-        while (fam.map.size > MaxPerFamily) {
-          val it = fam.map.entrySet().iterator()
-          it.next(); it.remove()
+      val lock = fam.locks.computeIfAbsent(key, _ => new Object)
+      lock.synchronized {
+        // Identity re-check (ADVICE r15 #2): if the lock we hold is no
+        // longer the one registered for this key, a completed build
+        // pruned it (and the value may ALREADY have been LRU-evicted
+        // again) — building here could run concurrently with a
+        // fresh-lock builder. Retry from the top instead: re-read the
+        // map, then join whatever lock is current. This makes "at most
+        // one build per residency" hold exactly, not just usually.
+        if (fam.locks.get(key) eq lock) {
+          fam.map.synchronized {
+            val v = fam.map.get(key)
+            if (v != null) return v.asInstanceOf[T]
+          }
+          val built = build
+          fam.map.synchronized {
+            fam.map.put(key, built)
+            while (fam.map.size > MaxPerFamily) {
+              val it = fam.map.entrySet().iterator()
+              it.next(); it.remove()
+            }
+            // resident peak (post-trim): "how many corpora were live at once"
+            fam.peak = math.max(fam.peak, fam.map.size)
+          }
+          // Prune the build lock once the value is published: without this,
+          // every distinct content-stamped key retained a lock Object + key
+          // string FOREVER (the registry bounded the values but not the
+          // locks — a regenerating soak corpus rolls keys every run and the
+          // lock map grew without bound). A racer that already holds this
+          // lock object re-checks identity above and retries; a late
+          // arrival creates a fresh lock, then finds the value.
+          fam.locks.remove(key)
+          return built
         }
-        // resident peak (post-trim): "how many corpora were live at once"
-        fam.peak = math.max(fam.peak, fam.map.size)
       }
-      // Prune the build lock once the value is published: without this,
-      // every distinct content-stamped key retained a lock Object + key
-      // string FOREVER (the registry bounded the values but not the
-      // locks — a regenerating soak corpus rolls keys every run and the
-      // lock map grew without bound). A racer that already holds this
-      // lock object finds the value in the map; a late arrival creates
-      // a fresh lock, then finds the value — either way at most one
-      // build per residency still holds.
-      fam.locks.remove(key)
-      built
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Non-building lookup — spec hooks that ask "was this built yet?". */

@@ -5346,17 +5346,32 @@ object Relational {
     * row_number-over-window spelling of `pipe_sample_topk_hash` must
     * sort each group. Pack: 14 priority bits · 2⁴⁸ + event_id (ids are
     * < 2⁴⁸ by generation; 14 bits keeps packed < 2⁶³) — packed order ≡
-    * (priority asc, id asc), ties impossible. Retrieval is the second
-    * half of the sketch-select pattern: the G·k selected ids broadcast
-    * back against the corpus to fetch values, and the output compares
-    * the sample mean against the exact population mean per group. */
+    * (priority asc, id asc), ties impossible. Both packing assumptions
+    * are ASSERTED, not trusted: the row path raises on any event_id
+    * outside [0, 2⁴⁸), and the retrieval join — which requires
+    * event_id unique within event_type — raises if n_sample drifts
+    * from the selected-id count (a duplicate would over-count the
+    * sample silently otherwise). Retrieval is the second half of the
+    * sketch-select pattern: the G·k selected ids broadcast back
+    * against the corpus to fetch values, and the output compares the
+    * sample mean against the exact population mean per group. */
   def aggReservoirSample(spark: SparkSession, dir: String): DataFrame = {
     val k = 32
     val ev = table(spark, dir, "events")
     val h48 = conv(substring(
       md5(col("event_id").cast("string").cast("binary")), 1, 12), 16, 10)
       .cast("long")
-    val packed = shiftright(h48, 34) * lit(281474976710656L) + col("event_id")
+    // Loud invariant (ADVICE r15 #3): the pack is only order-preserving
+    // while event_id < 2⁴⁸ — a future corpus with wider ids would
+    // silently corrupt both selection order and id extraction, so the
+    // row path asserts it (assert_true is NULL on pass, throws on fail;
+    // the coalesce keeps the packed value un-nulled).
+    val idFits = coalesce(assert_true(col("event_id") >= 0 &&
+      col("event_id") < lit(281474976710656L),
+      lit("agg_reservoir_sample: event_id outside [0, 2^48) breaks the " +
+        "priority pack")).cast("long"), lit(0L))
+    val packed = shiftright(h48, 34) * lit(281474976710656L) +
+      col("event_id") + idFits
     val sel = ev.groupBy("event_type")
       .agg(graft.functions.MinKLongsAgg.minKLongs(packed, k).as("sel"),
         count(lit(1)).as("n_total"),
@@ -5371,7 +5386,16 @@ object Relational {
         sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents_sample"),
         min(col("event_id")).as("min_sample_id"),
         max(col("event_id")).as("max_sample_id"))
-    samp.join(broadcast(sel.drop("sel")), "event_type")
+    // Second loud invariant: the retrieval join REQUIRES event_id unique
+    // within event_type (the fixture generates it unique globally) — a
+    // duplicate would over-count n_sample vs the selected-id count, so
+    // the guard compares them and fails the query instead of skewing
+    // the sample silently.
+    samp.join(broadcast(sel.withColumn("n_sel", size(col("sel")).cast("long"))
+        .drop("sel")), "event_type")
+      .where(coalesce(assert_true(col("n_sample") === col("n_sel"),
+        lit("agg_reservoir_sample: duplicate event_id within event_type " +
+          "over-counted the sample")), lit(true)))
       .select(col("event_type"), col("n_total"), col("n_sample"),
         col("min_sample_id"), col("max_sample_id"),
         r6(col("cents_sample").cast("double") / lit(100.0) /
@@ -5393,11 +5417,18 @@ object Relational {
     * result is summation-order-independent in both engines. */
   def aggWinsorizedMean(spark: SparkSession, dir: String): DataFrame = {
     val li = table(spark, dir, "lineitem")
+    // The interpolated percentile feeds a BRANCH here (the clamp compare),
+    // and Spark's (hi−pos)·vlo+(pos−lo)·vhi vs DuckDB's
+    // vlo+frac·(vhi−vlo) are algebraically equal but not IEEE-identical —
+    // so the bounds are r6-quantized (the shared floor spelling) BEFORE
+    // any comparison, keeping the engine rule that only identically-
+    // spelled IEEE ops cross a branch (ADVICE r15 #4).
     val qb = exactPercentilesSelect(
       li.select(col("l_returnflag").as("grp"), col("l_quantity").as("v")),
       10.0, Seq(("lo", 0.05), ("hi", 0.95)))
+      .select(col("grp"), r6(col("lo")).as("lo"), r6(col("hi")).as("hi"))
     li.select(col("l_returnflag").as("grp"), col("l_quantity").as("v"))
-      .join(broadcast(qb.select("grp", "lo", "hi")), "grp")
+      .join(broadcast(qb), "grp")
       .withColumn("cw",
         when(col("v") < col("lo"), col("lo"))
           .when(col("v") > col("hi"), col("hi"))
@@ -6002,8 +6033,8 @@ object Relational {
          FROM t JOIN s USING (event_type) ORDER BY event_type""",
     "agg_winsorized_mean" ->
       s"""WITH q AS (SELECT l_returnflag AS grp,
-           quantile_cont(l_quantity, 0.05) AS lo,
-           quantile_cont(l_quantity, 0.95) AS hi
+           ${r6Sql("quantile_cont(l_quantity, 0.05)")} AS lo,
+           ${r6Sql("quantile_cont(l_quantity, 0.95)")} AS hi
            FROM lineitem GROUP BY 1),
          c AS (SELECT q.grp, q.lo, q.hi, l.l_quantity AS v,
            CASE WHEN l.l_quantity < q.lo THEN q.lo

@@ -277,18 +277,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         case j: org.apache.spark.sql.execution.joins.BaseJoinExec
             if j.leftKeys.nonEmpty =>
           val keys = j.leftKeys.flatMap(_.references.map(_.name.toLowerCase)).toSet
-          // one row per key value at the join input: an aggregate grouped
-          // on (a superset of) the join keys. A side like this bounds the
-          // join output by the OTHER side's row count — linear regardless
-          // of block sizes — so ONE such side legalizes the join on its
-          // own (the embedding_norm_outlier shape: corpus ⋈ broadcast
-          // per-label stats; also the classic dimension-enrich join).
-          def aggKeyed(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+          // One-row-per-key-value at the join input. Two strengths
+          // (ADVICE r15 #1): single-side legalization needs the
+          // aggregate grouped EXACTLY on the join keys — grouping on a
+          // strict superset (e.g. (label, day) joined on label) emits
+          // MANY rows per join-key value and bounds nothing. The
+          // superset form stays acceptable only inside the both-sides-
+          // bounded path, where each side is independently capped.
+          def aggKeyed(p: org.apache.spark.sql.execution.SparkPlan,
+              exact: Boolean): Boolean =
             p.collectFirst {
               case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-                  if a.groupingExpressions.nonEmpty && keys.subsetOf(
-                    a.groupingExpressions
-                      .flatMap(_.references.map(_.name.toLowerCase)).toSet) => a
+                  if a.groupingExpressions.nonEmpty && {
+                    val g = a.groupingExpressions
+                      .flatMap(_.references.map(_.name.toLowerCase)).toSet
+                    if (exact) g == keys else keys.subsetOf(g)
+                  } => a
             }.nonEmpty
           def bounded(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
             p.collectFirst {
@@ -298,10 +302,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
               // row_number-cap Filter with the heap exec — same bound,
               // different node
               case t: graft.plans.TopKPerKeyExec => t
-            }.nonEmpty || aggKeyed(p)
+            }.nonEmpty || aggKeyed(p, exact = false)
           if (keys.subsetOf(Set("source", "label", "cl")) &&
               !(bounded(j.left) && bounded(j.right)) &&
-              !aggKeyed(j.left) && !aggKeyed(j.right))
+              !aggKeyed(j.left, exact = true) && !aggKeyed(j.right, exact = true))
             Some(s"$name: uncapped join keyed only on ${keys.mkString(",")}")
           else None
       }.flatten
