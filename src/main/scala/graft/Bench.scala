@@ -109,7 +109,10 @@ object Bench {
       "dedup_index_probe", "pipe_partition_prune", "pipe_schema_evolution",
       "pipe_delta_log", "pipe_vacuum_plan", "pipe_delta_history",
       "join_bucketed_colocated", "pipe_csv_roundtrip", "pipe_json_roundtrip",
-      "pipe_orc_roundtrip", "join_prune_dynamic", "text_bpe_encode",
+      "pipe_orc_roundtrip", "pipe_avro_roundtrip", "join_prune_dynamic",
+      "text_bpe_encode",
+      // rides the same persisted BPE layout as text_bpe_encode
+      "text_tokenizer_fertility",
       "dedup_cc_incremental", "text_bm25_index", "text_bm25_upsert",
       "simsearch_rrf_hybrid", "pipe_jdbc_roundtrip", "pipe_zip_entry_stats",
       // candidate-graph consumers: the per-corpus edge set materializes

@@ -813,6 +813,39 @@ object PipelineOps {
       .orderBy("source", "lang")
   }
 
+  /** Avro round-trip — the row-major interchange format every
+    * Kafka/ingest estate emits, closing the format matrix (parquet,
+    * CSV, JSON-lines, ORC, JDBC, zip, Avro). The write is the
+    * distributed one-container-per-task sink
+    * ([[graft.sources.AvroFiles.writeAvro]], public Avro Java API with
+    * deflate blocks); the read is the DSv2 connector
+    * ([[graft.sources.AvroFilesSource]]) with header schema INFERENCE
+    * (self-describing container — no schema passed here, the read
+    * proves the inferred one) and reader-schema column pruning. The
+    * value column rides as exact integer cents so the roundtrip
+    * compare is bit-exact, and ts as the engine's formatted string
+    * (Avro long timestamps would re-open the µs-precision parity
+    * trap). Scratch layout is written once per input dir. */
+  def avroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = CorpusScope.cached("fmtScratch", dir + "#avro") {
+      val out = new java.io.File(fmtRoot, "avro_" + dirKey(dir)).getPath
+      graft.sources.AvroFiles.writeAvro(
+        table(spark, dir, "events").select(
+          col("event_id"), col("event_type"), col("user_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+          tsS(col("ts")).as("ts_s")),
+        out)
+      out
+    }
+    spark.read.format("graft.sources.AvroFilesSource").load(scratch)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("cents_sum"),
+        min(col("ts_s")).as("first_ts"), max(col("ts_s")).as("last_ts"))
+      .orderBy("event_type")
+  }
+
   /** Deterministic train/val/test split — the dataset-construction op
     * every training run needs: membership is a pure function of the row
     * key (first 4 md5 hex digits vs fixed thresholds → ~80/10/10), so the
@@ -1887,6 +1920,7 @@ object PipelineOps {
     "pipe_csv_roundtrip" -> (csvRoundtrip _),
     "pipe_json_roundtrip" -> (jsonRoundtrip _),
     "pipe_orc_roundtrip" -> (orcRoundtrip _),
+    "pipe_avro_roundtrip" -> (avroRoundtrip _),
     "pipe_schema_evolution" -> (schemaEvolution _),
     "pipe_compaction_bins" -> (compactionBins _),
     "pipe_zorder_layout" -> (zorderLayout _),
@@ -2369,6 +2403,14 @@ object PipelineOps {
            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            min(doc_id) AS min_doc, max(doc_id) AS max_doc
          FROM documents GROUP BY source, lang ORDER BY source, lang""",
+    "pipe_avro_roundtrip" ->
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents_sum,
+           min(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS first_ts,
+           max(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS last_ts
+         FROM ${evSql()} GROUP BY event_type ORDER BY event_type""",
     // models the merged read directly over events: even event_ids are the
     // v1 files where user_id did not exist yet (NULL after the merge)
     "pipe_schema_evolution" ->

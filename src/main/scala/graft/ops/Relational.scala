@@ -5448,6 +5448,123 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** SPLIT-CONFORMAL prediction interval — the distribution-free
+    * uncertainty wrapper every model-quality gate can use without
+    * assuming a residual distribution: fit on the train split (here the
+    * per-group mean — the simplest exchangeable predictor), take the
+    * ⌈(n+1)(1−α)⌉-th smallest absolute residual on the CALIBRATION
+    * split as the half-width q, and the interval μ ± q then covers a
+    * fresh point with probability ≥ 1−α by the exchangeability
+    * argument alone (Vovk et al.; Lei et al. 2018 split-conformal).
+    * α = 0.1; the three splits come from the shared md5 row-hash mod 4
+    * (2 train : 1 calib : 1 test), so membership is deterministic on
+    * every engine and retry. EXACTLY REPLAYABLE: the predictor is
+    * integer milli-cents via integer division, residuals are integers,
+    * the calibration quantile is an exact ORDER STATISTIC selected on
+    * the bounded two-level bucket cumsum ([[groupedCumHist]] — no
+    * per-group value multiset at any scale), and the coverage compare
+    * is integer-vs-integer, so no IEEE op crosses a branch anywhere.
+    * Shape at 100 TB: three linear scans with map-side-combinable
+    * aggs, group-sized frames broadcast back — the norm-outlier
+    * stats-broadcast shape; integer sums pass 2⁵³ only beyond ~10⁹
+    * rows per group (switch sum_c to DECIMAL + dec2d there). */
+  def aggConformalInterval(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("grp"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"),
+        pmod(conv(substring(md5(concat(col("l_orderkey").cast("string"),
+          lit("_"), col("l_linenumber").cast("string")).cast("binary")),
+          1, 12), 16, 10).cast("long"), lit(4L)).as("split"))
+    val train = li.filter(col("split") <= 1).groupBy("grp")
+      .agg(count(lit(1)).as("n_train"), sum(col("cents")).as("sum_c"))
+      .select(col("grp"), col("n_train"),
+        expr("(10 * sum_c) div n_train").as("mu10"))
+    val cal = li.filter(col("split") === 2)
+      .join(broadcast(train.select("grp", "mu10")), "grp")
+      .select(col("grp"), abs(col("cents") * 10 - col("mu10")).as("v"))
+    val calN = cal.groupBy("grp").agg(count(lit(1)).as("n_cal"))
+      .select(col("grp"), col("n_cal"),
+        least(expr("(9 * (n_cal + 1) + 9) div 10"), col("n_cal")).as("k"))
+    val qSel = groupedCumHist(cal, 1e6)
+      .join(broadcast(calN), "grp")
+      .groupBy("grp", "n_cal", "k")
+      .agg(min(when(col("cum") >= col("k"), col("v"))).as("q10"))
+    li.filter(col("split") === 3)
+      .join(broadcast(train), "grp")
+      .join(broadcast(qSel.select("grp", "n_cal", "q10")), "grp")
+      .groupBy(col("grp"), col("n_train"), col("mu10"), col("n_cal"),
+        col("q10"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs(col("cents") * 10 - col("mu10")) <= col("q10"), 1L)
+          .otherwise(0L)).as("n_covered"))
+      .select(col("grp").as("l_returnflag"),
+        col("n_train"), col("n_cal"), col("n_test"),
+        r6(col("mu10").cast("double") / lit(1000.0)).as("mu"),
+        r6(col("q10").cast("double") / lit(1000.0)).as("q_width"),
+        r6((col("mu10") - col("q10")).cast("double") / lit(1000.0)).as("lo"),
+        r6((col("mu10") + col("q10")).cast("double") / lit(1000.0)).as("hi"),
+        r6(col("n_covered").cast("double") / col("n_test").cast("double"))
+          .as("coverage"))
+      .orderBy("l_returnflag")
+  }
+
+  /** AS-OF join against an SCD2 dimension with GROUPED BACKFILL — the
+    * feature-store pattern one rung past [[joinPitFeatures]]: the
+    * dimension is a slowly-changing attribute with validity intervals
+    * (each order day versions the customer's tier to that day's
+    * highest-orderkey priority — the [[graft.ops.PipelineOps.scd2Intervals]]
+    * interval model), each fact resolves the version valid AT its
+    * timestamp (≥ semantics: a same-instant version IS visible —
+    * [[joinPitFeatures]] is the strict-< sibling), and facts EARLIER
+    * than the entity's first version BACKFILL to that first version
+    * (flagged, never silently) — entities with no versions at all
+    * resolve to the 'NONE' sentinel. Shape at scale: the whole
+    * resolution is ONE union-tag pass — three frames (as-of last,
+    * global first for the backfill) over the same (uid)-partitioned
+    * ordering, so Spark plans a single Window exec on a single
+    * shuffle+sort; no dimension row ever fans out per fact. Ties:
+    * versions sort BEFORE facts at an equal instant (is_fact asc), and
+    * event_id breaks fact-fact ties; two versions can never tie (one
+    * per (uid, day)). */
+  def joinAsofGroupedBackfill(spark: SparkSession, dir: String): DataFrame = {
+    val dim = table(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("uid"),
+        to_date(col("o_orderdate")).as("vfrom"))
+      .agg(max(struct(col("o_orderkey"), col("o_orderpriority")))
+        .getField("o_orderpriority").as("tier"))
+    val dimRows = dim.select(col("uid"),
+      unix_micros(col("vfrom").cast("timestamp")).as("t_us"),
+      lit(0).as("is_fact"), lit(null).cast("long").as("event_id"),
+      lit(null).cast("string").as("ts_s"),
+      col("tier"), dateS(col("vfrom")).as("vfrom_s"))
+    val facts = table(spark, dir, "events")
+      .select(col("user_id").as("uid"), unix_micros(col("ts")).as("t_us"),
+        lit(1).as("is_fact"), col("event_id"), tsS(col("ts")).as("ts_s"),
+        lit(null).cast("string").as("tier"),
+        lit(null).cast("string").as("vfrom_s"))
+    val ord = Window.partitionBy("uid")
+      .orderBy(col("t_us"), col("is_fact"), col("event_id"))
+    val asofW = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fullW = ord.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    dimRows.unionByName(facts)
+      .withColumn("asof_tier", last(col("tier"), ignoreNulls = true).over(asofW))
+      .withColumn("asof_from",
+        last(col("vfrom_s"), ignoreNulls = true).over(asofW))
+      .withColumn("first_tier",
+        first(col("tier"), ignoreNulls = true).over(fullW))
+      .withColumn("first_from",
+        first(col("vfrom_s"), ignoreNulls = true).over(fullW))
+      .filter(col("is_fact") === 1)
+      .select(col("event_id"), col("uid").as("user_id"), col("ts_s"),
+        coalesce(col("asof_tier"), col("first_tier"), lit("NONE")).as("tier"),
+        coalesce(col("asof_from"), col("first_from")).as("tier_from_s"),
+        when(col("asof_tier").isNotNull, "asof")
+          .when(col("first_tier").isNotNull, "backfill")
+          .otherwise("none").as("src"))
+      .orderBy("event_id")
+  }
+
   /** BASS DIFFUSION fit over the adoption curve — the product-growth
     * model behind "innovators vs imitators" forecasts: users adopt on
     * their first event day, daily adoptions N_t regress on cumulative
@@ -5590,6 +5707,8 @@ object Relational {
     "events_bass_diffusion" -> (eventsBassDiffusion _),
     "agg_jackknife_variance" -> (aggJackknifeVariance _),
     "agg_reservoir_sample" -> (aggReservoirSample _),
+    "agg_conformal_interval" -> (aggConformalInterval _),
+    "join_asof_grouped_backfill" -> (joinAsofGroupedBackfill _),
     "agg_winsorized_mean" -> (aggWinsorizedMean _),
     "agg_kmv_distinct" -> (aggKmvDistinct _),
     "events_kalman_filter" -> (eventsKalmanFilter _),
@@ -6031,6 +6150,74 @@ object Relational {
            ${r6Sql("CAST(t.cents_total AS DOUBLE) / 100.0 / CAST(t.n_total AS DOUBLE)")}
              AS pop_mean
          FROM t JOIN s USING (event_type) ORDER BY event_type""",
+    "agg_conformal_interval" ->
+      s"""WITH li AS (SELECT l_returnflag AS grp,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+           CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+             CAST(l_linenumber AS VARCHAR)), 1, 12)) AS BIGINT) % 4 AS split
+           FROM lineitem),
+         tr AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_train,
+           (10 * CAST(sum(cents) AS BIGINT)) // CAST(count(*) AS BIGINT)
+             AS mu10
+           FROM li WHERE split <= 1 GROUP BY 1),
+         cal AS (SELECT li.grp, abs(li.cents * 10 - tr.mu10) AS v
+           FROM li JOIN tr ON li.grp = tr.grp WHERE li.split = 2),
+         cn AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_cal,
+           least((9 * (count(*) + 1) + 9) // 10, count(*)) AS k
+           FROM cal GROUP BY 1),
+         -- independent rank spelling of the Spark side's bucket-cumsum
+         -- order-statistic selection: v at row_number k = k-th smallest
+         rk AS (SELECT grp, v,
+           row_number() OVER (PARTITION BY grp ORDER BY v) AS rn FROM cal),
+         q AS (SELECT rk.grp, cn.n_cal, min(rk.v) AS q10
+           FROM rk JOIN cn ON rk.grp = cn.grp AND rk.rn >= cn.k
+           GROUP BY 1, 2),
+         te AS (SELECT li.grp, tr.n_train, tr.mu10, q.n_cal, q.q10,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN abs(li.cents * 10 - tr.mu10) <= q.q10
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+           FROM li JOIN tr ON li.grp = tr.grp JOIN q ON li.grp = q.grp
+           WHERE li.split = 3 GROUP BY 1, 2, 3, 4, 5)
+         SELECT grp AS l_returnflag, n_train, n_cal, n_test,
+           ${r6Sql("CAST(mu10 AS DOUBLE) / 1000.0")} AS mu,
+           ${r6Sql("CAST(q10 AS DOUBLE) / 1000.0")} AS q_width,
+           ${r6Sql("CAST(mu10 - q10 AS DOUBLE) / 1000.0")} AS lo,
+           ${r6Sql("CAST(mu10 + q10 AS DOUBLE) / 1000.0")} AS hi,
+           ${r6Sql("CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE)")}
+             AS coverage
+         FROM te ORDER BY l_returnflag""",
+    "join_asof_grouped_backfill" ->
+      s"""WITH dim AS (SELECT o_custkey AS uid, CAST(o_orderdate AS DATE)
+             AS vfrom, arg_max(o_orderpriority, o_orderkey) AS tier
+           FROM orders GROUP BY 1, 2),
+         d2 AS (SELECT uid, epoch_us(CAST(vfrom AS TIMESTAMP)) AS t_us,
+           0 AS is_fact, CAST(NULL AS BIGINT) AS event_id,
+           CAST(NULL AS VARCHAR) AS ts_s, tier,
+           strftime(vfrom, '%Y-%m-%d') AS vfrom_s FROM dim),
+         f AS (SELECT user_id AS uid, epoch_us(ts) AS t_us, 1 AS is_fact,
+           event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           CAST(NULL AS VARCHAR) AS tier, CAST(NULL AS VARCHAR) AS vfrom_s
+           FROM ${evSql()}),
+         u AS (SELECT * FROM d2 UNION ALL SELECT * FROM f),
+         w AS (SELECT *,
+           last_value(tier IGNORE NULLS) OVER win1 AS asof_tier,
+           last_value(vfrom_s IGNORE NULLS) OVER win1 AS asof_from,
+           first_value(tier IGNORE NULLS) OVER win2 AS first_tier,
+           first_value(vfrom_s IGNORE NULLS) OVER win2 AS first_from
+           FROM u WINDOW
+             win1 AS (PARTITION BY uid
+               ORDER BY t_us, is_fact, event_id NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             win2 AS (PARTITION BY uid
+               ORDER BY t_us, is_fact, event_id NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+         SELECT event_id, uid AS user_id, ts_s,
+           coalesce(asof_tier, first_tier, 'NONE') AS tier,
+           coalesce(asof_from, first_from) AS tier_from_s,
+           CASE WHEN asof_tier IS NOT NULL THEN 'asof'
+             WHEN first_tier IS NOT NULL THEN 'backfill'
+             ELSE 'none' END AS src
+         FROM w WHERE is_fact = 1 ORDER BY event_id""",
     "agg_winsorized_mean" ->
       s"""WITH q AS (SELECT l_returnflag AS grp,
            ${r6Sql("quantile_cont(l_quantity, 0.05)")} AS lo,

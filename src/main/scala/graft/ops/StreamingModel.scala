@@ -16,8 +16,36 @@ import Util._
   *
   * This family replaces the reference's scheduler-driven re-run model
   * (`README.md:63-68` — Task Scheduler daily) with event-time semantics.
+  *
+  * ==The epoch-frame invariant (family-level, stated once)==
+  * Several queries here run an UNPARTITIONED prefix window ordered by
+  * `batch_id` (`stream_outoforder_ratio`, `stream_watermark_advance`,
+  * `stream_session_state`'s level-1 scan). That is legal in THIS family
+  * and only under this argument: an epoch (micro-batch) is minted by
+  * the STREAM RUNTIME, one per trigger interval — more data makes
+  * FATTER batches, never more of them — so #epochs is bounded by
+  * wall-clock runtime (~10⁵/year at 5-minute triggers), not by corpus
+  * size. A frame keyed by batch_id is runtime-sized at ANY data scale,
+  * and a single-task prefix scan over it stays bounded where the same
+  * scan over a row-, user-, or session-keyed frame would not. The
+  * batch model mints epochs with [[epochCol]] (`event_id div
+  * EpochRows` — the fixture's arrival order chunked into deliveries),
+  * which is the ONE canonical derivation: PlanSpec's whitelist admits
+  * `batch_id`-ordered unpartitioned windows on this argument and its
+  * epoch-frame guard verifies every `batch_id` definition in every
+  * declared stream plan IS this derivation (or a rename/null-pad of
+  * it), so a future op cannot ride the exemption by naming a
+  * data-derived key `batch_id`. The day-bucket key `bkt` carries its
+  * own bound (calendar days — see `sessionStateModel`) and is
+  * whitelisted separately.
   */
 object StreamingModel {
+
+  /** Rows per modeled delivery epoch — see the epoch-frame invariant
+    * in the object doc. All batch_id minting goes through [[epochCol]]
+    * so the canonical derivation exists in exactly one spelling. */
+  private[graft] val EpochRows = 5000L
+  private[graft] def epochCol = expr(s"event_id div $EpochRows")
 
   /** Tumbling 1-hour windows: `window($"ts", "1 hour")` — identical in
     * batch and streaming. Aligned window start ≡ date_trunc('hour'). */
@@ -300,7 +328,7 @@ object StreamingModel {
     * to the corpus on batch_id (AQE-broadcast while small). */
   def watermarkAdvance(spark: SparkSession, dir: String): DataFrame = {
     val ev = table(spark, dir, "events")
-      .select(expr("event_id div 5000").as("batch_id"),
+      .select(epochCol.as("batch_id"),
         unix_micros(col("ts")).as("t_us"))
     val b = ev.groupBy("batch_id")
       .agg(count(lit(1)).as("n_rows"), max(col("t_us")).as("b_max"))
@@ -382,7 +410,7 @@ object StreamingModel {
     * the ≤|epochs| batch frame, then grid-bounded windows. */
   def exactlyOnceSink(spark: SparkSession, dir: String): DataFrame = {
     val b = table(spark, dir, "events")
-      .select(expr("event_id div 5000").as("batch_id"), col("value"))
+      .select(epochCol.as("batch_id"), col("value"))
       .groupBy("batch_id")
       .agg(count(lit(1)).as("n_rows"),
         sum(floor(col("value") * 100 + 0.5).cast("long")).as("chk_cents"))
@@ -435,7 +463,7 @@ object StreamingModel {
     val ev = table(spark, dir, "events")
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("t_us"),
-        expr("event_id div 5000").as("batch_id"))
+        epochCol.as("batch_id"))
     val uw = Window.partitionBy("user_id").orderBy(col("t_us"), col("event_id"))
     val sess = ev
       .withColumn("gap", col("t_us") - lag(col("t_us"), 1).over(uw))
@@ -519,7 +547,7 @@ object StreamingModel {
     val delayUs = 1800000000L // 30 min, the engine-wide watermark delay
     val ev = table(spark, dir, "events")
       .select(col("event_id"), unix_micros(col("ts")).as("t_us"),
-        expr("event_id div 5000").as("batch_id"))
+        epochCol.as("batch_id"))
     val bw = Window.orderBy("batch_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wm = ev.groupBy("batch_id")
@@ -544,7 +572,76 @@ object StreamingModel {
       .orderBy("batch_id")
   }
 
+  /** STATE-STORE TTL eviction accounting — the capacity model for the
+    * `StateTtlConfig`-style keyed-state timeout every long-running
+    * streaming job needs ([[sessionStateModel]] watches event-time
+    * session closes; this watches PROCESSING-time key expiry): state
+    * key = (user_id, event_type), an entry is created on its key's
+    * first event, refreshed by any event while live, and EVICTED at
+    * the start of epoch `last_touch + TTL + 1` if untouched — the
+    * standard "expired at first tick after ttl" rule. A touch after
+    * expiry RE-CREATES the entry (counted as an insert, not a
+    * refresh), so the churn columns expose exactly what a TTL that is
+    * too short costs: re-insert work and lost state. Per epoch:
+    * touched/insert/refresh/evict counts and the live state_rows a
+    * capacity alert watches. Shape at scale: all key-level work rides
+    * windows PARTITIONED by the state key; evictions aggregate to the
+    * epoch frame BEFORE the only unpartitioned windows, which order by
+    * `batch_id` (legal by the family's epoch-frame invariant — see
+    * the object doc). TTL = 2 epochs. */
+  def stateTtl(spark: SparkSession, dir: String): DataFrame = {
+    val ttl = 2L
+    val touch = table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), epochCol.as("batch_id"))
+      .groupBy("user_id", "event_type", "batch_id")
+      .agg(count(lit(1)).as("n_ev"))
+    val kw = Window.partitionBy("user_id", "event_type").orderBy("batch_id")
+    val t2 = touch
+      .withColumn("prev_b", lag(col("batch_id"), 1).over(kw))
+      .withColumn("is_insert",
+        (col("prev_b").isNull || col("batch_id") - col("prev_b") > ttl)
+          .cast("long"))
+      // a gap past the TTL fired an eviction at prev_b + ttl + 1
+      .withColumn("evict_b",
+        when(col("prev_b").isNotNull && col("batch_id") - col("prev_b") > ttl,
+          col("prev_b") + ttl + 1))
+    val bMax = touch.agg(max(col("batch_id")).as("b_max"))
+    // the key's final touch expires too, if the stream outlives the TTL
+    val lastTouch = touch.groupBy("user_id", "event_type")
+      .agg(max(col("batch_id")).as("last_b"))
+      .crossJoin(broadcast(bMax))
+      .select(when(col("last_b") + ttl + 1 <= col("b_max"),
+        col("last_b") + ttl + 1).as("evict_b"))
+      .filter(col("evict_b").isNotNull)
+    val evictions = t2.select(col("evict_b")).filter(col("evict_b").isNotNull)
+      .unionByName(lastTouch)
+      .groupBy(col("evict_b").as("batch_id"))
+      .agg(count(lit(1)).as("n_evicted"))
+    val perEpoch = t2.groupBy("batch_id")
+      .agg(count(lit(1)).as("n_keys_touched"),
+        sum(col("n_ev")).as("n_events"),
+        sum(col("is_insert")).as("n_inserts"),
+        sum(lit(1L) - col("is_insert")).as("n_refresh"))
+    val bw = Window.orderBy("batch_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // FULL outer: with a dense event_id fixture every epoch has touches,
+    // but the accounting must stay correct for sparse streams where an
+    // eviction tick lands on an epoch nothing touched — dropping it
+    // would overstate state_rows forever after.
+    perEpoch.join(evictions, Seq("batch_id"), "full_outer")
+      .select(col("batch_id"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("n_keys_touched"), lit(0L)).as("n_keys_touched"),
+        coalesce(col("n_inserts"), lit(0L)).as("n_inserts"),
+        coalesce(col("n_refresh"), lit(0L)).as("n_refresh"),
+        coalesce(col("n_evicted"), lit(0L)).as("n_evicted"))
+      .withColumn("state_rows",
+        sum(col("n_inserts")).over(bw) - sum(col("n_evicted")).over(bw))
+      .orderBy("batch_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_state_ttl" -> (stateTtl _),
     "stream_outoforder_ratio" -> (outOfOrderRatio _),
     "stream_session_state" -> (sessionStateModel _),
     "stream_exactly_once_sink" -> (exactlyOnceSink _),
@@ -561,6 +658,44 @@ object StreamingModel {
     "stream_late_filter" -> (lateFilter _))
 
   val oracleSql: Map[String, String] = Map(
+    "stream_state_ttl" ->
+      s"""WITH touch AS (SELECT user_id, event_type,
+           event_id // 5000 AS batch_id, CAST(count(*) AS BIGINT) AS n_ev
+           FROM ${evSql()} GROUP BY 1, 2, 3),
+         t2 AS (SELECT *, lag(batch_id, 1) OVER (PARTITION BY user_id,
+           event_type ORDER BY batch_id) AS prev_b FROM touch),
+         t3 AS (SELECT *,
+           CASE WHEN prev_b IS NULL OR batch_id - prev_b > 2
+             THEN 1 ELSE 0 END AS is_insert,
+           CASE WHEN prev_b IS NOT NULL AND batch_id - prev_b > 2
+             THEN prev_b + 3 END AS evict_b FROM t2),
+         bm AS (SELECT max(batch_id) AS b_max FROM touch),
+         lastt AS (SELECT CASE WHEN last_b + 3 <= b_max
+             THEN last_b + 3 END AS evict_b
+           FROM (SELECT user_id, event_type, max(batch_id) AS last_b
+             FROM touch GROUP BY 1, 2), bm),
+         ev AS (SELECT evict_b AS batch_id,
+             CAST(count(*) AS BIGINT) AS n_evicted
+           FROM (SELECT evict_b FROM t3 WHERE evict_b IS NOT NULL
+             UNION ALL SELECT evict_b FROM lastt WHERE evict_b IS NOT NULL)
+           GROUP BY 1),
+         pe AS (SELECT batch_id, CAST(count(*) AS BIGINT) AS n_keys_touched,
+           CAST(sum(n_ev) AS BIGINT) AS n_events,
+           CAST(sum(is_insert) AS BIGINT) AS n_inserts,
+           CAST(sum(1 - is_insert) AS BIGINT) AS n_refresh
+           FROM t3 GROUP BY 1)
+         SELECT batch_id,
+           CAST(coalesce(pe.n_events, 0) AS BIGINT) AS n_events,
+           CAST(coalesce(pe.n_keys_touched, 0) AS BIGINT) AS n_keys_touched,
+           CAST(coalesce(pe.n_inserts, 0) AS BIGINT) AS n_inserts,
+           CAST(coalesce(pe.n_refresh, 0) AS BIGINT) AS n_refresh,
+           CAST(coalesce(ev.n_evicted, 0) AS BIGINT) AS n_evicted,
+           CAST(sum(coalesce(pe.n_inserts, 0)) OVER w
+             - sum(coalesce(ev.n_evicted, 0)) OVER w AS BIGINT) AS state_rows
+         FROM pe FULL JOIN ev USING (batch_id)
+         WINDOW w AS (ORDER BY batch_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY batch_id""",
     "stream_outoforder_ratio" ->
       s"""WITH ev AS (SELECT event_id, epoch_us(ts) AS t_us,
            event_id // 5000 AS batch_id FROM ${evSql()}),

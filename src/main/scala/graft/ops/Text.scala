@@ -2375,7 +2375,105 @@ object Text {
         col("n_exact_variants"))
       .orderBy("doc_id")
 
+  /** TOKENIZER FERTILITY by language — the tokenizer-quality metric a
+    * multilingual pipeline reads next to [[bpeEncode]]'s per-doc
+    * compression: tokens-per-word (fertility; a tokenizer trained on a
+    * skewed mix encodes the under-represented language into MORE
+    * pieces per word) and bytes-per-token (the cost metric context
+    * windows are budgeted in), under the SAME persisted BPE encoding
+    * [[bpeEncodedLayout]] serves everywhere (build once, serve here —
+    * no retraining in this plan). Shape at scale: one scan of the
+    * persisted encoded corpus + one documents scan, joined on doc_id,
+    * collapsed to a ≤|langs| frame with map-side partials. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val enc = spark.read.parquet(bpeEncodedLayout(spark, dir))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("w"),
+        octet_length(col("text")).cast("long").as("bts"))
+      .join(enc, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_words"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("bts")).as("n_bytes"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        col("n_bytes"),
+        r6(col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        r6(col("n_bytes").cast("double") / col("n_tokens").cast("double"))
+          .as("bytes_per_token"))
+      .orderBy("lang")
+  }
+
+  /** Gram width for [[dedupExactSubstring]] — 24 chars ≈ the 50-token
+    * threshold of corpus-level exact-substring dedup scaled to the
+    * fixture's short documents. */
+  private[ops] val SubstrGram = 24
+
+  /** EXACT SUBSTRING dedup at gram granularity — the corpus-scale rung
+    * above [[dedupChunkExact]]/`dedup_span_merge` and the engine's
+    * re-expression of suffix-array substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): any
+    * substring of length ≥ k that occurs ≥ 2 times ANYWHERE in the
+    * corpus is duplicated text, found here as runs of stride-1 k-gram
+    * hashes with corpus-wide occurrence ≥ 2, merged per doc into
+    * maximal duplicated char intervals (runs chain while gram starts
+    * are ≤ k apart, so the interval union is exact — no double-counted
+    * chars). Where the reference suffix-array build is one giant sort,
+    * this is the shuffle-parallel spelling: ONE corpus-linear gram
+    * explode, ONE map-side-combinable count on the 48-bit gram hash,
+    * one hash join back (the corpus's single shuffle), then
+    * doc-partitioned windows — every stage linear in corpus bytes and
+    * partition-parallel at any scale. Hash width: 48-bit md5 prefix
+    * (the engine-shared hash recipe); a production 100 TB run widens
+    * to the full 128-bit digest — same plan, wider key. */
+  def dedupExactSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val k = SubstrGram
+    val d = docs(spark, dir).select(col("doc_id"), col("text"),
+      length(col("text")).cast("long").as("n"))
+    val g = d.filter(col("n") >= k)
+      .select(col("doc_id"), col("text"), col("n"),
+        explode(sequence(lit(1L), col("n") - lit(k - 1L))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("text").substr(col("pos").cast("int"),
+          lit(k)).cast("binary")), 1, 12), 16, 10).cast("long").as("h"))
+    val dupH = g.groupBy("h").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2).select("h")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = g.join(dupH, "h")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("gap", col("pos") - lag(col("pos"), 1).over(w))
+      // chain while gram starts are <= k apart: overlapping (< k) and
+      // exactly-adjacent (= k) char spans union into one interval
+      .withColumn("new_run",
+        (col("gap").isNull || col("gap") > k).cast("long"))
+      .withColumn("run_id", sum(col("new_run"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "run_id")
+      .agg(count(lit(1)).as("ng"),
+        (max(col("pos")) - min(col("pos")) + k).as("chars"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_runs"), sum(col("ng")).as("n_dup_grams"),
+        sum(col("chars")).as("dup_chars"),
+        max(col("chars")).as("longest_run_chars"))
+    d.select(col("doc_id"), col("n").as("n_chars"),
+        greatest(col("n") - lit(k - 1L), lit(0L)).as("n_grams_total"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"), col("n_grams_total"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        coalesce(col("longest_run_chars"), lit(0L)).as("longest_run_chars"),
+        r6(coalesce(col("dup_chars"), lit(0L)).cast("double")
+          / col("n_chars").cast("double")).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokenizer_fertility" -> (tokenizerFertility _),
+    "dedup_exact_substring" -> (dedupExactSubstring _),
     "dedup_sorted_neighborhood" -> (dedupSortedNeighborhood _),
     "text_dsir_weights" -> (dsirWeights _),
     "text_wordlen_kl" -> (wordlenKl _),
@@ -2488,6 +2586,63 @@ object Text {
     .map(k => s"SELECT * FROM sum$k").mkString("\n           UNION ALL ")
 
   val oracleSql: Map[String, String] = Map(
+    "text_tokenizer_fertility" ->
+      s"""WITH tok1 AS (
+           SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             unnest(range(len(string_split(text, ' ')))) AS pos
+           FROM documents),
+         $bpeRoundsChainSql,
+         enc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+           FROM tok${BpeTrainRounds + 1} GROUP BY doc_id),
+         d AS (SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+           CAST(strlen(text) AS BIGINT) AS bts FROM documents)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS n_words,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(bts) AS BIGINT) AS n_bytes,
+           ${r6Sql("CAST(CAST(sum(n_tok) AS BIGINT) AS DOUBLE) / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE)")}
+             AS fertility,
+           ${r6Sql("CAST(CAST(sum(bts) AS BIGINT) AS DOUBLE) / CAST(CAST(sum(n_tok) AS BIGINT) AS DOUBLE)")}
+             AS bytes_per_token
+         FROM d JOIN enc USING (doc_id) GROUP BY lang ORDER BY lang""",
+    "dedup_exact_substring" ->
+      s"""WITH d AS (SELECT doc_id, text,
+           CAST(length(text) AS BIGINT) AS n FROM documents),
+         g AS (SELECT doc_id, text, n,
+           CAST(unnest(range(1, n - ${SubstrGram - 2})) AS BIGINT) AS pos
+           FROM d WHERE n >= $SubstrGram),
+         h AS (SELECT doc_id, pos,
+           CAST(('0x' || substr(md5(substring(text, pos, $SubstrGram)),
+             1, 12)) AS BIGINT) AS h
+           FROM g),
+         dh AS (SELECT h FROM h GROUP BY h HAVING count(*) >= 2),
+         r1 AS (SELECT doc_id, pos, pos - lag(pos, 1) OVER (PARTITION BY
+           doc_id ORDER BY pos) AS gap FROM h JOIN dh USING (h)),
+         r2 AS (SELECT doc_id, pos, CASE WHEN gap IS NULL OR
+           gap > $SubstrGram THEN 1 ELSE 0 END AS new_run FROM r1),
+         r3 AS (SELECT doc_id, pos, sum(new_run) OVER (PARTITION BY doc_id
+           ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run_id FROM r2),
+         runs AS (SELECT doc_id, run_id, CAST(count(*) AS BIGINT) AS ng,
+           CAST(max(pos) - min(pos) + $SubstrGram AS BIGINT) AS chars
+           FROM r3 GROUP BY 1, 2),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(sum(ng) AS BIGINT) AS n_dup_grams,
+           CAST(sum(chars) AS BIGINT) AS dup_chars,
+           CAST(max(chars) AS BIGINT) AS longest_run_chars
+           FROM runs GROUP BY 1)
+         SELECT d.doc_id, d.n AS n_chars,
+           CAST(greatest(d.n - ${SubstrGram - 1}, 0) AS BIGINT)
+             AS n_grams_total,
+           CAST(coalesce(a.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(coalesce(a.n_runs, 0) AS BIGINT) AS n_runs,
+           CAST(coalesce(a.dup_chars, 0) AS BIGINT) AS dup_chars,
+           CAST(coalesce(a.longest_run_chars, 0) AS BIGINT)
+             AS longest_run_chars,
+           ${r6Sql("CAST(coalesce(a.dup_chars, 0) AS DOUBLE) / CAST(d.n AS DOUBLE)")}
+             AS dup_ratio
+         FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""",
     "dedup_sorted_neighborhood" ->
       """WITH base AS (SELECT doc_id, n_chars,
            substring(replace(text, ' ', ''), 1, 48) AS sk

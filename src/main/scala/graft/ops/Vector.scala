@@ -1148,6 +1148,94 @@ object Vector {
       .orderBy("doc_id")
   }
 
+  /** A/V SYNC-DRIFT audit over the sampled frame stream — the ingest
+    * check a video-training pipeline runs before trusting any
+    * audio-text or audio-frame alignment downstream: the video track's
+    * per-frame presentation timestamps carry bounded JITTER while the
+    * audio track's clock runs at a slightly wrong RATE, so the
+    * audio−video offset grows linearly and the asset drifts out of
+    * sync. The decode is the stubbed step (graft.multimodal
+    * discipline): video PTS = frame_no·40 ms + jitter where jitter is
+    * the md5-derived frame feature mod 1001 − 500 (±0.5 ms), audio PTS
+    * = frame_no·40 ms + frame_no·skew where skew is the md5-derived
+    * per-asset constant mod 41 − 20 (±20 µs/frame clock error) —
+    * deterministic on both engines, while the eight-frame fan-out, the
+    * per-asset first/last/extreme selection, and the out-of-sync gate
+    * are the real Spark plumbing a true demuxer would ride unchanged.
+    * Shape at scale: bounded 8-way explode, one per-asset hash agg,
+    * all integer arithmetic (the only division is the final
+    * drift-per-frame display ratio). */
+  def multimodalAvSyncDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n"),
+        (pmod(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+          .cast("long"), lit(41L)) - 20L).as("skew"))
+    val frames = d
+      .select(col("doc_id"), col("text"), col("n"), col("skew"),
+        explode(sequence(lit(0L), lit(7L))).as("frame_no"))
+      .withColumn("step", floor(col("n") / 8).cast("long"))
+      .filter(col("frame_no") === 0 || col("step") > 0)
+      .withColumn("off", col("frame_no") * col("step") + 1)
+      .filter(col("off") <= col("n"))
+      .withColumn("jitter", pmod(
+        conv(substring(md5(col("text").substr(col("off").cast("int"),
+          lit(12)).cast("binary")), 1, 8), 16, 10).cast("long"),
+        lit(1001L)) - 500L)
+      .withColumn("drift", col("frame_no") * col("skew") - col("jitter"))
+    frames.groupBy("doc_id", "skew")
+      .agg(count(lit(1)).as("n_frames"),
+        min(struct(col("frame_no"), col("drift"))).getField("drift")
+          .as("first_drift"),
+        max(struct(col("frame_no"), col("drift"))).getField("drift")
+          .as("end_drift"),
+        max(abs(col("drift"))).as("max_abs_drift"),
+        max(col("frame_no")).as("last_f"))
+      .select(col("doc_id"), col("n_frames"), col("skew"),
+        col("first_drift"), col("end_drift"), col("max_abs_drift"),
+        when(col("last_f") > 0,
+          r6((col("end_drift") - col("first_drift")).cast("double")
+            / col("last_f").cast("double"))).as("drift_per_frame"),
+        (col("max_abs_drift") > 20000L).as("out_of_sync"))
+      .orderBy("doc_id")
+  }
+
+  /** SRP BUCKET-DENSITY audit — the capacity telemetry for every
+    * LSH-bucketed path in this module ([[simsearchLsh]] 8-bit,
+    * [[dedupEmbeddingGlobal]] 16-bit): bucket population distribution,
+    * the hottest bucket's skew vs the uniform expectation
+    * (max·2^bits/n — 1.0 = perfectly balanced), and how much mass the
+    * [[graft.ops.Dedup.LshBucketCap]] discipline would shed
+    * (over-cap bucket count + excess rows). This is the query the
+    * zipf-skew soak regime reads: under hot-label skew the 8-bit
+    * buckets saturate first, and a skew_x that grows with corpus size
+    * says "widen the key" before any pair join melts. Shape at scale:
+    * two linear scans, each one map-side-combinable hash agg to a
+    * ≤2^bits frame, then a one-row summary — no joins at all. */
+  def simsearchBucketAudit(spark: SparkSession, dir: String): DataFrame = {
+    def audit(bits: Int): DataFrame = {
+      val bkt = concat_ws("", transform(slice(col("embedding"), 1, bits),
+        x => when(x >= 0f, "1").otherwise("0")))
+      val cap = graft.ops.Dedup.LshBucketCap.toLong
+      emb(spark, dir).select(bkt.as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("sz")).as("n_vecs"),
+          max(col("sz")).as("max_bucket"),
+          sum((col("sz") > cap).cast("long")).as("n_over_cap"),
+          sum(when(col("sz") > cap, col("sz") - cap).otherwise(0L))
+            .as("capped_excess"))
+        .select(lit(bits.toLong).as("srp_bits"), col("n_vecs"),
+          col("n_buckets"), col("max_bucket"),
+          r6(col("n_vecs").cast("double") / col("n_buckets").cast("double"))
+            .as("avg_bucket"),
+          r6(col("max_bucket").cast("double") * lit(math.pow(2.0, bits))
+            / col("n_vecs").cast("double")).as("skew_x"),
+          col("n_over_cap"), col("capped_excess"))
+    }
+    audit(8).unionByName(audit(16)).orderBy("srp_bits")
+  }
+
   def multimodalFrameSample(spark: SparkSession, dir: String): DataFrame = {
     val d = table(spark, dir, "documents")
       .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("n"))
@@ -2386,6 +2474,8 @@ object Vector {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_av_sync_drift" -> (multimodalAvSyncDrift _),
+    "simsearch_bucket_audit" -> (simsearchBucketAudit _),
     "cluster_centroid_classify" -> (clusterCentroidClassify _),
     "embedding_label_drift" -> (embeddingLabelDrift _),
     "embedding_matryoshka_eval" -> (embeddingMatryoshkaEval _),
@@ -2668,6 +2758,54 @@ object Vector {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "multimodal_av_sync_drift" ->
+      s"""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+           CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 41 - 20
+             AS skew
+           FROM documents),
+         f AS (SELECT doc_id, text, n, skew,
+           CAST(unnest(range(8)) AS BIGINT) AS frame_no FROM d),
+         g AS (SELECT doc_id, text, n, skew, frame_no, n // 8 AS step,
+           frame_no * (n // 8) + 1 AS off
+           FROM f WHERE frame_no = 0 OR n // 8 > 0),
+         h AS (SELECT doc_id, skew, frame_no,
+           CAST(('0x' || substr(md5(substring(text, off, 12)), 1, 8))
+             AS BIGINT) % 1001 - 500 AS jitter
+           FROM g WHERE off <= n),
+         dr AS (SELECT doc_id, skew, frame_no,
+           frame_no * skew - jitter AS drift FROM h)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames, skew,
+           arg_min(drift, frame_no) AS first_drift,
+           arg_max(drift, frame_no) AS end_drift,
+           max(abs(drift)) AS max_abs_drift,
+           CASE WHEN max(frame_no) > 0 THEN
+             ${r6Sql("CAST(arg_max(drift, frame_no) - arg_min(drift, frame_no) AS DOUBLE) / CAST(max(frame_no) AS DOUBLE)")}
+             ELSE NULL END AS drift_per_frame,
+           max(abs(drift)) > 20000 AS out_of_sync
+         FROM dr GROUP BY doc_id, skew ORDER BY doc_id""",
+    "simsearch_bucket_audit" -> {
+      def one(bits: Int): String = {
+        val mult = if (bits == 8) "256.0" else "65536.0"
+        s"""SELECT CAST($bits AS BIGINT) AS srp_bits,
+           CAST(sum(sz) AS BIGINT) AS n_vecs,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(sz) AS BIGINT) AS max_bucket,
+           ${r6Sql("CAST(sum(sz) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+             AS avg_bucket,
+           ${r6Sql(s"CAST(max(sz) AS DOUBLE) * $mult / CAST(sum(sz) AS DOUBLE)")}
+             AS skew_x,
+           CAST(sum(CASE WHEN sz > 256 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_over_cap,
+           CAST(sum(CASE WHEN sz > 256 THEN sz - 256 ELSE 0 END) AS BIGINT)
+             AS capped_excess
+         FROM (SELECT bucket, CAST(count(*) AS BIGINT) AS sz
+           FROM (SELECT array_to_string(list_transform(embedding[1:$bits],
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+             FROM embeddings) GROUP BY 1)"""
+      }
+      s"""SELECT * FROM (${one(8)} UNION ALL ${one(16)})
+         ORDER BY srp_bits"""
+    },
     "cluster_centroid_classify" ->
       s"""WITH ed AS (SELECT label, t.i AS pos,
              CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE) AS v

@@ -19,27 +19,34 @@ import org.apache.spark.sql.DataFrame
   * only the one-file marker rename is driver-side — O(1) per epoch,
   * the same cost profile as Spark's own file-sink metadata log.
   *
-  * Filesystem caveat: the marker protocol relies on `ATOMIC_MOVE`,
-  * which is a real rename only on a real filesystem (local disk, HDFS,
-  * NFS). Object stores (S3/ABFS/GCS) implement rename as copy+delete —
-  * non-atomic — so a deployment there must swap the marker step for the
-  * store's conditional-put (if-none-match) primitive instead.
+  * Filesystem caveat: the default marker strategy relies on
+  * `ATOMIC_MOVE`, which is a real rename only on a real filesystem
+  * (local disk, HDFS, NFS). Object stores (S3/ABFS/GCS) implement
+  * rename as copy+delete — non-atomic — so a deployment there injects
+  * the conditional-put strategy through the [[MarkerCommit]] seam
+  * instead (`ConditionalPutCommit`; protocol spec-witnessed over the
+  * mock store the way `SnapshotDialect` witnesses T-SQL).
   */
 object IdempotentSink {
 
   /** Process one delivered epoch. Returns true iff this call committed
-    * the batch (false = duplicate delivery, suppressed). */
-  def processBatch(df: DataFrame, batchId: Long, root: String): Boolean = {
+    * the batch (false = duplicate delivery, suppressed — or a lost
+    * marker-creation race under a multi-writer store, in which case
+    * the OTHER writer committed the identical epoch). The marker
+    * strategy is injectable ([[MarkerCommit]]): ATOMIC_MOVE rename by
+    * default, conditional-put for object stores. */
+  def processBatch(df: DataFrame, batchId: Long, root: String,
+      markers: MarkerCommit = AtomicRenameCommit): Boolean = {
     val rootDir = new java.io.File(root)
     val commits = new java.io.File(rootDir, "_commits")
     commits.mkdirs()
-    val marker = new java.io.File(commits, batchId.toString)
-    if (marker.exists()) return false // re-delivery: already committed
+    if (markers.exists(commits, batchId.toString))
+      return false // re-delivery: already committed
     val dataDir = new java.io.File(rootDir, s"batch=$batchId")
     df.write.mode("overwrite").parquet(dataDir.getPath)
-    // temp + atomic rename: a crash mid-write leaves no marker, so the
-    // NEXT delivery rewrites the (possibly partial) data dir and then
-    // commits — at-least-once upstream, exactly-once downstream.
+    // Create-once marker commit: a crash mid-write leaves no marker, so
+    // the NEXT delivery rewrites the (possibly partial) data dir and
+    // then commits — at-least-once upstream, exactly-once downstream.
     // The rows= stamp comes from the WRITTEN files' parquet footers,
     // not a second df.count() execution: counting the dataframe again
     // would re-run the whole epoch (~2× sink cost), and a
@@ -47,11 +54,7 @@ object IdempotentSink {
     // the data actually on disk — the footer total is by construction
     // the committed row count. Footer reads are metadata-only (no row
     // scan) and driver-side O(#part-files).
-    val tmp = new java.io.File(commits, s".${batchId}_tmp")
-    java.nio.file.Files.writeString(tmp.toPath, s"rows=${writtenRows(dataDir)}")
-    java.nio.file.Files.move(tmp.toPath, marker.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    true
+    markers.commit(commits, batchId.toString, s"rows=${writtenRows(dataDir)}")
   }
 
   /** Row count of a written parquet directory from its part files'
@@ -70,11 +73,11 @@ object IdempotentSink {
   }
 
   /** Committed epochs, in order — what a downstream reader trusts. */
-  def committedBatches(root: String): Seq[Long] = {
+  def committedBatches(root: String,
+      markers: MarkerCommit = AtomicRenameCommit): Seq[Long] = {
     val commits = new java.io.File(root, "_commits")
-    if (!commits.isDirectory) Seq.empty
-    else commits.listFiles().filter(_.getName.forall(_.isDigit))
-      .map(_.getName.toLong).sorted.toSeq
+    markers.list(commits).filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toLong).sorted
   }
 
   /** Attach as a foreachBatch sink on a streaming DataFrame. */

@@ -239,6 +239,74 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("epoch-frame invariant: every unpartitioned batch_id window rides the canonical epoch derivation") {
+    // Family-level invariant (StreamingModel object doc, r16): an
+    // unpartitioned prefix window ordered by `batch_id` is legal ONLY
+    // because epochs are minted by the stream runtime — bounded by
+    // wall-clock, not data. This guard closes the naming loophole: in
+    // every declared stream plan that uses such a window, every Alias
+    // DEFINING batch_id must be (a) the canonical epoch derivation
+    // `event_id div EpochRows`, (b) a plain rename of an existing
+    // column, or (c) a null/literal pad (the session-state mark rows).
+    // A future op deriving "batch_id" from row content (doc count,
+    // user bucket, value range…) fails here instead of silently riding
+    // the whitelist.
+    import org.apache.spark.sql.catalyst.expressions.{
+      Alias, AttributeReference, Cast, Coalesce, IntegralDivide, Literal}
+    def isCanonicalEpoch(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      e match {
+        case d: IntegralDivide =>
+          d.left.references.map(_.name.toLowerCase).toSet == Set("event_id") &&
+            d.right.foldable &&
+            String.valueOf(d.right.eval()) ==
+              graft.ops.StreamingModel.EpochRows.toString
+        case c: Cast => isCanonicalEpoch(c.child)
+        case _ => false
+      }
+    def isLiteralPad(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      e.foldable
+    val offenders = graft.ops.StreamingModel.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.sparkPlan
+        val epochWindows = plan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty &&
+                w.orderSpec.flatMap(_.references.map(_.name.toLowerCase))
+                  .contains("batch_id") => w
+        }
+        if (epochWindows.isEmpty) Nil
+        else {
+          val defs = plan.flatMap(_.expressions.flatMap(_.collect {
+            case a: Alias if a.name.toLowerCase == "batch_id" => a
+          }))
+          // pass-through forms: a plain rename, a full-outer join's key
+          // merge (coalesce over attributes that are themselves named
+          // batch_id), or a literal pad
+          def passThrough(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+            e match {
+              case _: AttributeReference => true
+              case c: Coalesce => c.children.forall {
+                case a: AttributeReference => a.name.toLowerCase == "batch_id"
+                case ch => ch.foldable
+              }
+              case _ => false
+            }
+          val bad = defs.filterNot(a => isCanonicalEpoch(a.child) ||
+            passThrough(a.child) || isLiteralPad(a.child))
+          val hasCanonical = defs.exists(a => isCanonicalEpoch(a.child))
+          (if (bad.nonEmpty)
+            Seq(s"$name: batch_id defined by a non-canonical expression: " +
+              bad.map(_.child.sql).mkString("; "))
+           else Nil) ++
+            (if (!hasCanonical)
+              Seq(s"$name: unpartitioned batch_id window but no canonical " +
+                "epoch derivation (event_id div EpochRows) in the plan")
+             else Nil)
+        }
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("join_bucketed_colocated: neither side shuffles (bucket layout satisfies the join)") {
     // With broadcast disabled the join must still plan with NO exchange
     // on either key — the bucket metadata provides the distribution.
