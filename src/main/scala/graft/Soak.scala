@@ -104,20 +104,44 @@ object Soak {
   }
 
   /** Embeddings: 64 iid Box–Muller gaussians from xxhash64 uniforms,
-    * L2-normalized (the sf0.1 vectors are exactly unit-norm). */
+    * L2-normalized (the sf0.1 vectors are exactly unit-norm).
+    *
+    * Zipf regime (r16, VERDICT r15 #4 — the vector-side skew the
+    * document-source test never exercised): labels go power-law (the
+    * hottest label carries ~30% of vectors at m=10 — the hot-block
+    * stress for every label-blocked pair path), and a 20% "hub" mass
+    * gets a shared +2.0 boost on the first 8 dims BEFORE normalization
+    * — hub vectors agree on the leading signs, so SRP bucket densities
+    * go power-law the way a real clustered corpus's do (isotropic
+    * vectors spread ~uniformly over sign buckets and can never stress
+    * the caps). Uniform regime is unchanged — the `_gen_params` marker
+    * carries the skew mode, so corpora never cross-serve. */
   private def genEmbeddings(spark: SparkSession, outDir: String, n: Long): Unit = {
     def u(seed: org.apache.spark.sql.Column, tag: String) =
       (pmod(xxhash64(seed, lit(tag)), lit(1000000)).cast("double") + 1.0) / 1000001.0
-    val df = spark.range(0, n, 1, 32)
+    val base = spark.range(0, n, 1, 32)
       .withColumn("raw", transform(sequence(lit(0), lit(63)), d => {
         val s = concat(col("id").cast("string"), lit("_"), d.cast("string"))
         sqrt(lit(-2.0) * log(u(xxhash64(s), "u1"))) *
           cos(lit(2.0 * math.Pi) * u(xxhash64(s), "u2"))
       }))
+    val shaped =
+      if (skewMode == "zipf") {
+        base
+          .withColumn("hub",
+            pmod(xxhash64(col("id"), lit("hub")), lit(5)) === 0)
+          .withColumn("raw", zip_with(col("raw"),
+            sequence(lit(0), lit(63)), (x, d) =>
+              when(col("hub") && d < 8, x + lit(2.0)).otherwise(x)))
+      } else base
+    val labelCol =
+      if (skewMode == "zipf") genKey("label", 10).cast("int")
+      else pmod(xxhash64(col("id"), lit("label")), lit(10)).cast("int")
+    val df = shaped
       .withColumn("nrm", sqrt(aggregate(col("raw"), lit(0.0d), (acc, x) => acc + x * x)))
       .select(col("id").as("vec_id"),
         transform(col("raw"), x => (x / col("nrm")).cast("float")).as("embedding"),
-        pmod(xxhash64(col("id"), lit("label")), lit(10)).cast("int").as("label"))
+        labelCol.as("label"))
     df.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
@@ -275,8 +299,11 @@ object Soak {
     // silently serving a corpus without the new tables.
     // uniform keeps the pre-skew marker string so an existing uniform
     // corpus (and its content-keyed oracle cache) stays valid
+    // zvec1: the r16 vector-side zipf regime (hot labels + hub
+    // direction) — a pre-r16 zipf corpus must regenerate, while a
+    // uniform corpus (whose generation is unchanged) stays valid.
     val params = s"scale=$scale vocab=$vocab tpch3" +
-      (if (skewMode == "uniform") "" else s" skew=$skewMode")
+      (if (skewMode == "uniform") "" else s" skew=$skewMode zvec1")
     val marker = new java.io.File(soakDir, "_gen_params")
     val upToDate = marker.exists() &&
       new java.io.File(s"$soakDir/documents.parquet").exists() &&
@@ -358,6 +385,10 @@ object Soak {
     }
     rows.foreach(println)
     println(s"""{"metric":"soak","scale":$scale,"total_sf01":${num(base.values.sum)},"total_sf1":${num(big.values.sum)},"total_ratio":${num(big.values.sum / base.values.sum)}}""")
+    // per-corpus cache residency receipt (current/peak per family) — the
+    // SOAK table reads this to prove the JVM caches stay bounded as the
+    // regime matrix widens
+    println(s"[scope] ${graft.ops.CorpusScope.statsString}")
     spark.stop()
   }
 }
