@@ -5482,11 +5482,13 @@ object Relational {
     val cal = li.filter(col("split") === 2)
       .join(broadcast(train.select("grp", "mu10")), "grp")
       .select(col("grp"), abs(col("cents") * 10 - col("mu10")).as("v"))
-    val calN = cal.groupBy("grp").agg(count(lit(1)).as("n_cal"))
-      .select(col("grp"), col("n_cal"),
-        least(expr("(9 * (n_cal + 1) + 9) div 10"), col("n_cal")).as("k"))
+    // n_cal rides the hist's own per-group total (`tot`), so the
+    // calibration split is scanned only by the hist build — no separate
+    // counting pass over the split (r16: one fewer lineitem scan+md5).
     val qSel = groupedCumHist(cal, 1e6)
-      .join(broadcast(calN), "grp")
+      .withColumn("n_cal", col("tot"))
+      .withColumn("k",
+        least(expr("(9 * (n_cal + 1) + 9) div 10"), col("n_cal")))
       .groupBy("grp", "n_cal", "k")
       .agg(min(when(col("cum") >= col("k"), col("v"))).as("q10"))
     li.filter(col("split") === 3)
