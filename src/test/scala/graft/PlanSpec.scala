@@ -919,4 +919,75 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       s"per-type totals not broadcast into the daily frame:\n$p")
   }
+
+  // ---- round-16 locks: the 100 TB claims the new ops' docs make -------
+
+  test("dedup_exact_substring: map-side-combinable gram count, every window doc-partitioned") {
+    // The corpus-wide occurrence count must carry the partial+final
+    // HashAggregate pair (a gram count without map-side combine ships
+    // every gram occurrence through the shuffle raw), and the run-merge
+    // windows must all be doc_id-partitioned — an unpartitioned window
+    // over the gram frame is the single-task sort that kills this plan
+    // at corpus scale.
+    // sparkPlan, not executedPlan: collect() does not descend into an
+    // un-finalized AdaptiveSparkPlanExec (the stream_late_filter lock
+    // learned the same lesson).
+    val exec = graft.ops.Text.dedupExactSubstring(spark, dir)
+      .queryExecution.sparkPlan
+    val p = exec.toString
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"gram count lost its partial/final pair:\n$p")
+    val windows = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned window in the gram-run merge:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"gram join degraded to a product:\n$p")
+  }
+
+  test("agg_conformal_interval: group-sized frames broadcast back, never sort-merge") {
+    // train / k-selection / q10 are all <= |groups| rows; each joins the
+    // split scans via broadcast (the norm-outlier stats-broadcast shape).
+    // A SortMergeJoin here means a full lineitem shuffle per split pass.
+    val p = plan(Relational.aggConformalInterval(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"stats frames not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a group-sized join degraded to SMJ:\n$p")
+  }
+
+  test("join_asof_grouped_backfill: one window exec over one uid shuffle") {
+    // The doc's claim verbatim: the as-of resolution is ONE union-tag
+    // pass — all four window functions (asof last x2, global first x2)
+    // share a single uid-partitioned WindowExec over a single
+    // shuffle+sort, and no dimension row fans out per fact (no join at
+    // all in the resolution).
+    val exec = Relational.joinAsofGroupedBackfill(spark, dir)
+      .queryExecution.sparkPlan
+    val p = exec.toString
+    val windows = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.size == 1,
+      s"expected ONE shared WindowExec, got ${windows.size}:\n$p")
+    assert(windows.head.partitionSpec.nonEmpty,
+      s"as-of window lost its uid partitioning:\n$p")
+    val shuffles = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    // exactly three exchanges may exist: the dim pre-aggregation's
+    // partial→final shuffle (before the union), ONE uid shuffle feeding
+    // the shared window, and the final orderBy's range partitioning —
+    // anything more means the resolution itself started shuffling per
+    // fact.
+    assert(shuffles.size <= 3,
+      s"union-tag pass shuffles beyond dim-agg + window + sort:\n$p")
+    assert(!p.contains("Join"), s"resolution must not join dim rows per fact:\n$p")
+  }
+
+  test("simsearch_bucket_audit: pure two-level hash aggs, zero joins") {
+    val exec = Vector.simsearchBucketAudit(spark, dir)
+      .queryExecution.sparkPlan
+    val p = exec.toString
+    assert(!p.contains("Join"), s"bucket audit must not join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial+final pairs for both agg levels:\n$p")
+  }
 }
