@@ -198,10 +198,11 @@ object Bench {
     val calibMtAfter = calibMtSample()
     val calibMtSamples =
       (Seq(calibMtBefore) ++ calibMtMids ++ Seq(calibMtAfter)).filter(_ > 0)
-    val calibMtSec = {
-      val s = calibMtSamples.sorted
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
       (s(s.size / 2) + s((s.size - 1) / 2)) / 2.0
     }
+    val calibMtSec = median(calibMtSamples)
     // Spread = max/min of the samples (kept in the FULL line only, for
     // artifact continuity with r12-r14, whose runs carried THREE
     // samples). With the r15 dense sampling (~10 points) max/min exceeds
@@ -237,10 +238,7 @@ object Bench {
         calibMtMids.zipWithIndex.map { case (s, i) =>
           (s"mid${i + 1}", s, true) }.toSeq) :+ (("after", calibMtAfter, true))
     val inSuite = windows.filter(_._3).map(_._2).filter(_ > 0)
-    val inSuiteMedian = if (inSuite.nonEmpty) {
-      val s = inSuite.sorted
-      (s(s.size / 2) + s((s.size - 1) / 2)) / 2.0
-    } else 0.0
+    val inSuiteMedian = if (inSuite.nonEmpty) median(inSuite) else 0.0
     val TrustThreshold = 1.15
     val gateRatio =
       if (inSuite.nonEmpty && inSuiteMedian > 0) inSuite.max / inSuiteMedian

@@ -134,9 +134,10 @@ object Soak {
             sequence(lit(0), lit(63)), (x, d) =>
               when(col("hub") && d < 8, x + lit(2.0)).otherwise(x)))
       } else base
-    val labelCol =
-      if (skewMode == "zipf") genKey("label", 10).cast("int")
-      else pmod(xxhash64(col("id"), lit("label")), lit(10)).cast("int")
+    // genKey's uniform branch IS pmod(xxhash64(id,"label"),10) — one
+    // spelling for both regimes keeps the "regimes differ ONLY in the
+    // key marginal" invariant in one place.
+    val labelCol = genKey("label", 10).cast("int")
     val df = shaped
       .withColumn("nrm", sqrt(aggregate(col("raw"), lit(0.0d), (acc, x) => acc + x * x)))
       .select(col("id").as("vec_id"),

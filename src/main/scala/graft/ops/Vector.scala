@@ -1162,8 +1162,13 @@ object Vector {
     * deterministic on both engines, while the eight-frame fan-out, the
     * per-asset first/last/extreme selection, and the out-of-sync gate
     * are the real Spark plumbing a true demuxer would ride unchanged.
-    * Shape at scale: bounded 8-way explode, one per-asset hash agg,
-    * all integer arithmetic (the only division is the final
+    * The gate fires at max|drift| > 520 µs — strictly beyond the
+    * ±500 µs jitter envelope, so jitter alone can NEVER flag an asset;
+    * crossing requires genuinely compounding clock skew (|skew| ≥ 3
+    * µs/frame reinforcing an extreme jitter excursion), which keeps
+    * the column informative at fixture scale (~5% of assets) instead
+    * of constant. Shape at scale: bounded 8-way explode, one per-asset
+    * hash agg, all integer arithmetic (the only division is the final
     * drift-per-frame display ratio). */
   def multimodalAvSyncDrift(spark: SparkSession, dir: String): DataFrame = {
     val d = table(spark, dir, "documents")
@@ -1196,7 +1201,7 @@ object Vector {
         when(col("last_f") > 0,
           r6((col("end_drift") - col("first_drift")).cast("double")
             / col("last_f").cast("double"))).as("drift_per_frame"),
-        (col("max_abs_drift") > 20000L).as("out_of_sync"))
+        (col("max_abs_drift") > 520L).as("out_of_sync"))
       .orderBy("doc_id")
   }
 
@@ -2781,7 +2786,7 @@ object Vector {
            CASE WHEN max(frame_no) > 0 THEN
              ${r6Sql("CAST(arg_max(drift, frame_no) - arg_min(drift, frame_no) AS DOUBLE) / CAST(max(frame_no) AS DOUBLE)")}
              ELSE NULL END AS drift_per_frame,
-           max(abs(drift)) > 20000 AS out_of_sync
+           max(abs(drift)) > 520 AS out_of_sync
          FROM dr GROUP BY doc_id, skew ORDER BY doc_id""",
     "simsearch_bucket_audit" -> {
       def one(bits: Int): String = {
@@ -2794,9 +2799,10 @@ object Vector {
              AS avg_bucket,
            ${r6Sql(s"CAST(max(sz) AS DOUBLE) * $mult / CAST(sum(sz) AS DOUBLE)")}
              AS skew_x,
-           CAST(sum(CASE WHEN sz > 256 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_over_cap,
-           CAST(sum(CASE WHEN sz > 256 THEN sz - 256 ELSE 0 END) AS BIGINT)
+           CAST(sum(CASE WHEN sz > ${graft.ops.Dedup.LshBucketCap} THEN 1
+             ELSE 0 END) AS BIGINT) AS n_over_cap,
+           CAST(sum(CASE WHEN sz > ${graft.ops.Dedup.LshBucketCap}
+             THEN sz - ${graft.ops.Dedup.LshBucketCap} ELSE 0 END) AS BIGINT)
              AS capped_excess
          FROM (SELECT bucket, CAST(count(*) AS BIGINT) AS sz
            FROM (SELECT array_to_string(list_transform(embedding[1:$bits],

@@ -136,18 +136,34 @@ object AvroFiles {
     * partition under `out` (local/shared FS). Executor-side work rides
     * the plan's own InternalRow iterator — no Row conversion, no
     * collect; the schema travels as its JSON (Avro Schema objects are
-    * not serializable pre-1.9-style across closures). */
+    * not serializable pre-1.9-style across closures).
+    *
+    * Overwrite semantics match every sibling format writer
+    * (`SaveMode.Overwrite`): stale `*.avro` containers are cleared
+    * first, so a rewrite with fewer partitions — or a crashed partial
+    * write — can never leave extra part files for [[listAvro]]'s glob
+    * to serve on top of fresh rows. Each task writes to an
+    * attempt-unique temp name and ATOMIC_MOVEs onto the final part
+    * name, so a speculative second attempt of the same partition can
+    * only replace a byte-complete container with an identical one,
+    * never interleave with it. */
   def writeAvro(df: DataFrame, out: String): Unit = {
     val st = df.schema
     val avroJson = toAvroSchema(st, "GraftRecord").toString
-    new java.io.File(out).mkdirs()
+    val outDir = new java.io.File(out)
+    outDir.mkdirs()
+    Option(outDir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.endsWith(".avro") || f.getName.contains(".avro_tmp"))
+      .foreach(f => f.delete())
     val fields = st.fields.map(f => (f.name, f.dataType)).toIndexedSeq
     df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       val schema = new Schema.Parser().parse(avroJson)
       val w = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema))
       w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
-      val f = new java.io.File(out, f"part-$pid%05d.avro")
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId).getOrElse(0L)
+      val f = new java.io.File(out, f"part-$pid%05d.avro_tmp$attempt")
       w.create(schema, f)
       var n = 0L
       try rows.foreach { row =>
@@ -172,6 +188,9 @@ object AvroFiles {
         }
         w.append(rec); n += 1
       } finally w.close()
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(out, f"part-$pid%05d.avro").toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       Iterator.single(n)
     }.count() // force the distributed write
     ()

@@ -5,9 +5,12 @@ package graft.streaming
   * strategies exist because the atomicity primitive differs by store:
   *
   *  - **Real filesystems** (local disk, HDFS, NFS): write-temp-then-
-  *    `ATOMIC_MOVE` — [[AtomicRenameCommit]], the default. Correct
-  *    under the single-active-driver guarantee Structured Streaming
-  *    already provides (one active query per checkpoint).
+  *    atomic-link — [[AtomicRenameCommit]], the default. `createLink`
+  *    (POSIX link(2)) FAILS if the target exists, where rename would
+  *    silently replace it — so the create-once contract holds even
+  *    for two same-name racers, not just under the
+  *    single-active-driver guarantee Structured Streaming already
+  *    provides (one active query per checkpoint).
   *  - **Object stores** (S3/ABFS/GCS): rename is copy+delete, NOT
   *    atomic — the deployment there swaps in a conditional-put
   *    (HTTP `If-None-Match: *` / blob lease) strategy, which is
@@ -32,18 +35,28 @@ trait MarkerCommit {
   def list(commitsDir: java.io.File): Seq[String]
 }
 
-/** Write-temp-then-atomic-rename on a real filesystem (the default). */
+/** Write-temp-then-atomic-link on a real filesystem (the default).
+  * The temp is racer-unique (pid + thread id — a shared temp name lets
+  * a second racer truncate the first's bytes mid-write), and the
+  * publish step is `createLink`, whose fail-if-exists semantics make
+  * `commit`'s "true iff THIS call created it" contract hold under a
+  * same-name race — `ATOMIC_MOVE` would silently replace the winner's
+  * marker and report both racers as creators. */
 object AtomicRenameCommit extends MarkerCommit {
   def exists(commitsDir: java.io.File, name: String): Boolean =
     new java.io.File(commitsDir, name).exists()
   def commit(commitsDir: java.io.File, name: String, content: String): Boolean = {
     val marker = new java.io.File(commitsDir, name)
     if (marker.exists()) return false
-    val tmp = new java.io.File(commitsDir, s".${name}_tmp")
+    val tmp = new java.io.File(commitsDir,
+      s".${name}_tmp${ProcessHandle.current().pid()}_${Thread.currentThread().getId}")
     java.nio.file.Files.writeString(tmp.toPath, content)
-    java.nio.file.Files.move(tmp.toPath, marker.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    true
+    try {
+      java.nio.file.Files.createLink(marker.toPath, tmp.toPath)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally java.nio.file.Files.deleteIfExists(tmp.toPath)
   }
   def list(commitsDir: java.io.File): Seq[String] =
     if (!commitsDir.isDirectory) Seq.empty

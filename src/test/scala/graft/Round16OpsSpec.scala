@@ -165,8 +165,25 @@ class Round16OpsSpec extends AnyFunSuite with SparkFixture {
       "uniform jitter must make the slope equal the skew exactly")
     assert(d1.getAs[Long]("end_drift") - d1.getAs[Long]("first_drift") ==
       7L * d1.getAs[Long]("skew"))
-    assert(!d1.getAs[Boolean]("out_of_sync"),
-      "±20 µs/frame over 7 frames cannot cross the 20 ms gate")
+    // the 520 µs gate sits beyond the ±500 µs jitter envelope: jitter
+    // alone can never fire it, only compounded skew can — assert the
+    // flag is exactly the recomputed rule, and that it is SATISFIABLE
+    // (a planted max-skew asset with opposing extreme jitter crosses)
+    assert(d1.getAs[Boolean]("out_of_sync") ==
+      (d1.getAs[Long]("max_abs_drift") > 520L),
+      "gate must equal max|drift| > 520")
+    val crossing = (0 until 4000).map { i =>
+      val t = "b" * 40 + i.toString
+      DocRow(10L + i, t, "en", "s0", t.length.toLong)
+    }
+    val dir2 = fixtureDir("documents" -> spark.createDataset(crossing).toDF)
+    val out2 = graft.ops.Vector.multimodalAvSyncDrift(spark, dir2).collect()
+    assert(out2.forall(r => r.getAs[Boolean]("out_of_sync") ==
+      (r.getAs[Long]("max_abs_drift") > 520L)))
+    assert(out2.exists(_.getAs[Boolean]("out_of_sync")),
+      "the 520 µs gate must be satisfiable on a varied corpus")
+    assert(out2.exists(!_.getAs[Boolean]("out_of_sync")),
+      "the 520 µs gate must not fire on every asset")
     val d2 = out(2L)
     assert(d2.getAs[Long]("n_frames") == 1L)
     assert(d2.isNullAt(d2.fieldIndex("drift_per_frame")),
