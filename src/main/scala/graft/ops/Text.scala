@@ -1989,8 +1989,17 @@ object Text {
              i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"""))
           .as("shingle"))
       .distinct()
-    val owner = sh.groupBy("shingle").agg(min(col("doc_id")).as("first_doc"))
-    val perDoc = sh.join(owner, "shingle")
+    // r16 optimization round: the global min-owner is a
+    // shingle-partitioned WINDOW min over the distinct (doc, shingle)
+    // frame — the old groupBy(shingle) + join-back spelling duplicated
+    // the scan+explode+distinct subtree (one copy per join side; no
+    // exchange reuse once column pruning diverged the copies). One
+    // explode pass, one shuffle on the shingle key, same per-shingle
+    // min(doc_id) ownership (the owner frame was distinct per shingle,
+    // so the inner join was multiplicity 1 per row).
+    val perDoc = sh
+      .withColumn("first_doc",
+        min(col("doc_id")).over(Window.partitionBy("shingle")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
@@ -2431,9 +2440,11 @@ object Text {
     * zero collision false-positives, and per-gram work is a substring
     * copy instead of a digest (the r16 A/B at sf0.1: md5-prefix 12.1 s
     * → raw-gram 8.0 s — the digest was 2×25M md5 calls, one per gram
-    * per branch; what remains is the irreducible two-shuffle cost of
-    * the exact count + join-back). At larger gram widths a 128-bit
-    * digest narrows the shuffle row — same plan, swap the key
+    * per branch). The occurrence count is a gram-partitioned WINDOW
+    * count (r16 optimization round): the groupBy+join-back spelling ran
+    * the gram explode twice and broadcast the duplicated-gram set,
+    * which is unbounded at corpus scale. At larger gram widths a
+    * 128-bit digest narrows the shuffle row — same plan, swap the key
     * expression. */
   def dedupExactSubstring(spark: SparkSession, dir: String): DataFrame = {
     val k = SubstrGram
@@ -2444,10 +2455,21 @@ object Text {
         explode(sequence(lit(1L), col("n") - lit(k - 1L))).as("pos"))
       .select(col("doc_id"), col("pos"),
         col("text").substr(col("pos").cast("int"), lit(k)).as("h"))
-    val dupH = g.groupBy("h").agg(count(lit(1)).as("n_occ"))
-      .filter(col("n_occ") >= 2).select("h")
+    // r16 optimization round: the corpus occurrence count is a WINDOW
+    // count over the gram key, not a groupBy + join-back. The old
+    // spelling computed the gram explode TWICE (the count branch and
+    // the join probe side each re-ran Generate+substr over the corpus —
+    // the r16 final-plan audit showed two Generate nodes) and BROADCAST
+    // the duplicated-gram set (unbounded at corpus scale: billions of
+    // duplicated grams do not fit a broadcast relation). One gram pass,
+    // one shuffle on h, no broadcast whose size grows with the corpus;
+    // the count and the n_occ >= 2 filter are exactly the old join
+    // semantics (dupH was distinct, so the inner join was multiplicity
+    // 1 per gram row).
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val runs = g.join(dupH, "h")
+    val runs = g
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("n_occ") >= 2)
       .select(col("doc_id"), col("pos"))
       .withColumn("gap", col("pos") - lag(col("pos"), 1).over(w))
       // chain while gram starts are <= k apart: overlapping (< k) and

@@ -922,11 +922,13 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
 
   // ---- round-16 locks: the 100 TB claims the new ops' docs make -------
 
-  test("dedup_exact_substring: map-side-combinable gram count, every window doc-partitioned") {
-    // The corpus-wide occurrence count must carry the partial+final
-    // HashAggregate pair (a gram count without map-side combine ships
-    // every gram occurrence through the shuffle raw), and the run-merge
-    // windows must all be doc_id-partitioned — an unpartitioned window
+  test("dedup_exact_substring: one gram pass, every window partitioned") {
+    // r16 optimization round: the corpus occurrence count rides a
+    // gram-partitioned window, so the gram explode (Generate) must
+    // appear exactly ONCE — the old groupBy+join-back shape ran it
+    // twice and broadcast the unbounded duplicated-gram set. The
+    // run-merge HashAggregates keep their partial+final pair, every
+    // window stays partitioned (h or doc_id) — an unpartitioned window
     // over the gram frame is the single-task sort that kills this plan
     // at corpus scale.
     // sparkPlan, not executedPlan: collect() does not descend into an
@@ -936,7 +938,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       .queryExecution.sparkPlan
     val p = exec.toString
     assert("HashAggregate".r.findAllIn(p).size >= 2,
-      s"gram count lost its partial/final pair:\n$p")
+      s"run-merge aggs lost their partial/final pair:\n$p")
+    assert(exec.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g }.size == 1,
+      s"gram explode must run exactly once (the r16 respell):\n$p")
     val windows = exec.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w }
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
