@@ -83,6 +83,10 @@ object Dedup {
     * exact: est = k/6 and jac are identical doubles cross-engine, so the
     * 0.5-cutoff booleans cannot diverge. */
   def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    // (r16 optimization round: materializing base + sigs via
+    // iterCheckpoint was A/B'd at 2.9 s vs 2.5 s — writing the wide
+    // toks+sig arrays cost more than the re-derived md5 passes it
+    // saved; the lazy spelling stays.)
     val base = table(spark, dir, "documents").select(
       col("doc_id"), col("source"),
       array_distinct(split(col("text"), " ")).as("toks"))
@@ -129,6 +133,12 @@ object Dedup {
     * aggregation state cost more than the HOFs.) */
   private def minhashLshOver(
       base: DataFrame, saltPrefix: String, verifyThreshold: Double): DataFrame = {
+    // (r16 optimization round: materializing base via iterCheckpoint
+    // was A/B'd flat — 2.12 s vs 2.04 s on dedup_minhash_lsh — writing
+    // the wide token arrays costs what the saved re-tokenizations
+    // saved; the lazy spelling stays. dedupChunkMinhash differs: its
+    // checkpoint materializes POST-slice 8-token rows, far narrower
+    // than the pre-slice blowup it avoids re-deriving.)
     val cand = candidatePairs(base, saltPrefix)
     // Verify candidates against per-doc token SETS (array_intersect per
     // pair) instead of a candidate×token join. (Band-signature equality
@@ -1317,11 +1327,16 @@ object Dedup {
   private[ops] val ChunkBucketCap = 64
 
   def dedupChunkMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val chunks = Text.chunkRows(spark, dir)
+    // r16 optimization round: the chunk frame is referenced THREE times
+    // (candidate generation + both verification join sides); the lazy
+    // spelling re-ran tokenize+explode+slice per reference, each chunk
+    // row carrying the full doc token array before the slice.
+    // Materialize the compact 8-token chunk rows once.
+    val chunks = iterCheckpoint(Text.chunkRows(spark, dir)
       .select((col("doc_id") * 1000000L + col("ci")).as("doc_id"),
         lit("all").as("source"),
         array_distinct(slice(col("toks"),
-          (col("ci") * 6 + 1).cast("int"), lit(8))).as("toks"))
+          (col("ci") * 6 + 1).cast("int"), lit(8))).as("toks")))
     val cand = candidatePairs(chunks, "s", ChunkBucketCap)
     val sets = chunks.select(col("doc_id"), col("toks"))
     val jac = cand

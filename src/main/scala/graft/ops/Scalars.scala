@@ -190,7 +190,17 @@ object Scalars {
       .select(
         col("o_orderkey"),
         r4(expr("try_divide(o_totalprice, o_orderkey % 3)")).as("div_or_null"),
-        expr("CAST(try_cast(o_orderstatus AS INT) AS BIGINT)").as("stat_int"),
+        // r16 optimization round: a TRY-mode cast that FAILS pays a
+        // per-row exception (ANSI error construction + fill-in stack
+        // trace) — measured 2.5 s of this query's 2.8 s, on a column
+        // that never parses. The digit guard is EXACTLY equivalent for
+        // every input: an accepted integer literal contains at least
+        // one ASCII digit, so digit-free strings are NULL under
+        // try_cast too; digit-bearing strings still go through the real
+        // try_cast (overflow, whitespace, sign semantics unchanged).
+        expr("""CAST(CASE WHEN o_orderstatus RLIKE '[0-9]'
+                 THEN try_cast(o_orderstatus AS INT) END AS BIGINT)""")
+          .as("stat_int"),
         expr("CAST(try_cast(substr(o_orderpriority, 1, 1) AS INT) AS BIGINT)")
           .as("prio_int"),
         least(col("o_totalprice"), lit(100000.0)).as("capped_lo"),

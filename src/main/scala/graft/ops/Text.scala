@@ -2280,6 +2280,10 @@ object Text {
     * global sort. Output: the lang × predicted confusion matrix a
     * curation run reviews before trusting the inferred labels. */
   def langidNgram(spark: SparkSession, dir: String): DataFrame = {
+    // (r16 optimization round: a single-explode variant materializing
+    // the per-(doc, bg) count frame via iterCheckpoint was A/B'd at
+    // 3.5 s vs 2.8 s — the ~3M-row checkpoint write cost more than the
+    // second explode pass it saved; the two-pass spelling stays.)
     val big = docs(spark, dir)
       .filter(length(col("text")) >= 2)
       .select(col("doc_id"), col("lang"),
