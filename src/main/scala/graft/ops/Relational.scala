@@ -4475,21 +4475,30 @@ object Relational {
   def aggQuantileHistogram(spark: SparkSession, dir: String): DataFrame = {
     val qs = Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p75", 3L, 4L),
       ("p90", 9L, 10L), ("p99", 99L, 100L))
-    val hist = table(spark, dir, "lineitem")
+    // r16 optimization round: same treatment as [[bucketedHist]] — the
+    // distinct-cents histogram is materialized ONCE (the lazy spelling
+    // re-derived it per reference: its own branch, the bucket frame,
+    // plus a THIRD lineitem scan just for count(*)), repartitioned on
+    // bkt so the bucket aggregate and the level-2 cumsum window run
+    // exchange-free; the bucket frame broadcasts explicitly and now
+    // carries n = Σbc (≡ count(*): every row lands in exactly one
+    // histogram cell), dropping the count-only scan.
+    val hist = iterCheckpoint(table(spark, dir, "lineitem")
       .select((col("l_extendedprice").cast(Money) * 100).cast("long")
         .as("cents"))
       .groupBy("cents").agg(count(lit(1)).as("c"))
       .withColumn("bkt", expr("cents div 100000"))
+      .repartition(col("bkt")))
     val bktPre = hist.groupBy("bkt").agg(sum(col("c")).as("bc"))
       .withColumn("pre", coalesce(sum(col("bc")).over(Window.orderBy("bkt")
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("bkt", "pre")
-    val nRow = table(spark, dir, "lineitem").agg(count(lit(1)).as("n"))
-    val cum = hist.join(bktPre, "bkt")
+      .withColumn("n", sum(col("bc")).over(Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("bkt", "pre", "n")
+    val cum = hist.join(broadcast(bktPre), "bkt")
       .withColumn("cum", col("pre") +
         sum(col("c")).over(Window.partitionBy("bkt").orderBy("cents")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .crossJoin(broadcast(nRow))
     val sel = qs.map { case (q, num, den) =>
       min(when(col("cum") >= expr(s"(n * $num + $den - 1) div $den"),
         col("cents"))).as(q)

@@ -1934,6 +1934,11 @@ object Text {
     * chars < 2^60. Exposed for the winnowing-guarantee property spec. */
   private[graft] def winnowGramHashes(toks: Column): Column = {
     val n = size(toks)
+    // (r16 optimization round: an element_at×3 + concat respell of the
+    // gram string — avoiding the per-gram slice() copy — was A/B'd
+    // SLOWER, 6.9 s vs 3.7 s for the query: HOF lambdas evaluate
+    // interpreted, where several boxed element_at evals cost more than
+    // one slice+concat_ws. The slice spelling stays.)
     when(n >= 3, transform(sequence(lit(1), greatest(n - 2, lit(0))), i =>
       conv(substring(md5(concat_ws(" ",
         slice(toks, i, lit(3))).cast("binary")), 1, 15), 16, 10).cast("long")))
@@ -1945,6 +1950,9 @@ object Text {
     * window). */
   private[graft] def winnowSelect(hs: Column): Column = {
     val nh = size(hs)
+    // (r16 optimization round: a least-of-four-element_at respell of
+    // the window min was A/B'd slower together with the gram-hash
+    // respell above — same interpreted-HOF lesson; slice stays.)
     when(nh >= 1, array_distinct(transform(
       sequence(lit(1), greatest(nh - 3, lit(1))), j =>
         array_min(slice(hs, j, least(lit(4), nh))))))

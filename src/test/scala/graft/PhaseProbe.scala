@@ -15,19 +15,26 @@ object PhaseProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    args.foreach { name =>
+    val iters = sys.env.getOrElse("SPARK_GRAFT_PHASE_ITERS", "3").toInt
+    val names =
+      if (args.sameElements(Array("ALL"))) graft.SparkEntry.queries.keys.toSeq.sorted
+      else args.toSeq
+    names.foreach { name =>
       graft.SparkEntry.queries.get(name).foreach { fn =>
-        (1 to 3).foreach { i =>
+        val runs = (1 to iters).map { _ =>
           val t0 = System.nanoTime()
           val df = fn(spark, sfDir)
           val qe = df.queryExecution
           val t1 = System.nanoTime()
-          qe.executedPlan // forces analysis + optimization + physical planning
+          try qe.executedPlan // analysis + optimization + physical planning
+          catch { case _: Throwable => () }
           val t2 = System.nanoTime()
-          qe.toRdd.count()
+          try qe.toRdd.count() catch { case _: Throwable => () }
           val t3 = System.nanoTime()
-          println(f"[phase] $name run$i build=${(t1 - t0) / 1e9}%6.3f plan=${(t2 - t1) / 1e9}%6.3f exec=${(t3 - t2) / 1e9}%6.3f")
+          ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
         }
+        val best = runs.minBy(r => r._1 + r._2 + r._3)
+        println(f"[phase] $name%-32s build=${best._1}%6.3f plan=${best._2}%6.3f exec=${best._3}%6.3f")
       }
     }
     spark.stop()
