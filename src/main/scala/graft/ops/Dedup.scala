@@ -1327,16 +1327,17 @@ object Dedup {
   private[ops] val ChunkBucketCap = 64
 
   def dedupChunkMinhash(spark: SparkSession, dir: String): DataFrame = {
-    // r16 optimization round: the chunk frame is referenced THREE times
-    // (candidate generation + both verification join sides); the lazy
-    // spelling re-ran tokenize+explode+slice per reference, each chunk
-    // row carrying the full doc token array before the slice.
-    // Materialize the compact 8-token chunk rows once.
-    val chunks = iterCheckpoint(Text.chunkRows(spark, dir)
+    // (r16 optimization round: iterCheckpoint of the post-slice chunk
+    // rows — the frame is referenced three times — was A/B'd and
+    // REJECTED on two trusted full-bench runs: 2.83/2.90 s vs the
+    // 2.70 s baseline; materializing even the narrow 8-token rows
+    // costs more per run than the saved tokenize+explode re-derives.
+    // Same lesson as the minhashLshOver/minhashEstimate rejects.)
+    val chunks = Text.chunkRows(spark, dir)
       .select((col("doc_id") * 1000000L + col("ci")).as("doc_id"),
         lit("all").as("source"),
         array_distinct(slice(col("toks"),
-          (col("ci") * 6 + 1).cast("int"), lit(8))).as("toks")))
+          (col("ci") * 6 + 1).cast("int"), lit(8))).as("toks"))
     val cand = candidatePairs(chunks, "s", ChunkBucketCap)
     val sets = chunks.select(col("doc_id"), col("toks"))
     val jac = cand
