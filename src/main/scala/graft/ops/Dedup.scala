@@ -136,9 +136,9 @@ object Dedup {
     // (r16 optimization round: materializing base via iterCheckpoint
     // was A/B'd flat — 2.12 s vs 2.04 s on dedup_minhash_lsh — writing
     // the wide token arrays costs what the saved re-tokenizations
-    // saved; the lazy spelling stays. dedupChunkMinhash differs: its
-    // checkpoint materializes POST-slice 8-token rows, far narrower
-    // than the pre-slice blowup it avoids re-deriving.)
+    // saved; the lazy spelling stays. The same reject held even for
+    // dedupChunkMinhash's narrower post-slice rows on trusted
+    // full-bench evidence — see its in-method receipt.)
     val cand = candidatePairs(base, saltPrefix)
     // Verify candidates against per-doc token SETS (array_intersect per
     // pair) instead of a candidate×token join. (Band-signature equality
