@@ -1981,37 +1981,44 @@ object Text {
     * deciles; template/boilerplate saturation shows as early collapse —
     * the aggregate view behind [[textDecontaminate]]'s pairwise checks.
     * Shape at scale: one shingle explode feeding TWO map-side-combined
-    * hash aggs keyed on the shingle (global min-owner) and on
-    * (doc, shingle) (per-doc distinct), joined on the high-cardinality
-    * shingle key, then collapsed per doc and per decile; decile bounds
-    * come from a broadcast one-row min/max — exact integer math, no
-    * global rank window. */
+    * hash aggs — the global min-owner per shingle and the per-doc
+    * distinct count — with per-doc novelty read off by COUNTING OWNERS
+    * BY DOC (each shingle has exactly one min owner), so nothing is
+    * ever joined or windowed on the high-cardinality shingle key; the
+    * only join is doc-keyed. Decile bounds come from a broadcast
+    * one-row min/max — exact integer math, no global rank window. */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     // the n>=3 filter (not greatest(n-2, 0)) guards Spark's sequence():
     // stop < start generates a DESCENDING sequence, not an empty one
-    val sh = d.filter(size(split(col("text"), " ")) >= 3)
+    val shRaw = d.filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"),
         explode(expr(
           """transform(sequence(1, size(split(text, ' ')) - 2),
              i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"""))
           .as("shingle"))
-      .distinct()
-    // r16 optimization round: the global min-owner is a
-    // shingle-partitioned WINDOW min over the distinct (doc, shingle)
-    // frame — the old groupBy(shingle) + join-back spelling duplicated
-    // the scan+explode+distinct subtree (one copy per join side; no
-    // exchange reuse once column pruning diverged the copies). One
-    // explode pass, one shuffle on the shingle key, same per-shingle
-    // min(doc_id) ownership (the owner frame was distinct per shingle,
-    // so the inner join was multiplicity 1 per row).
-    val perDoc = sh
-      .withColumn("first_doc",
-        min(col("doc_id")).over(Window.partitionBy("shingle")))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_sh"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
+    // r17 optimization round (VERDICT-r16 #1 companion): the r16
+    // shingle-partitioned WINDOW min put every holder of a hot shingle
+    // into one task with no map-side combine. Respelled as two
+    // map-side-combinable aggregates with NO shingle-keyed window or
+    // join: the owner side is a partial-agg min per shingle over the
+    // RAW exploded rows (min over duplicate (doc, shingle) rows is
+    // identical, so the distinct is dropped there — only the per-doc
+    // distinct count still pays the full (doc, shingle) exchange), and
+    // per-doc novel counts fall out of COUNTING OWNERS BY DOC (each
+    // shingle has exactly one min owner, so novelty never needs to be
+    // attached back to shingle rows at all). The only join left is
+    // doc-keyed at doc-count cardinality. Measured flat at sf0.1
+    // (2.0-2.1 s both spellings, R17Probe novelty) with the hot-shingle
+    // single-task risk gone — partial aggregation bounds every task.
+    val perDocTotal = shRaw.distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val novel = shRaw.groupBy("shingle").agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    val perDoc = perDocTotal.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
     val bounds = d.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
     perDoc.crossJoin(broadcast(bounds))
       .withColumn("decile", least(lit(9L),
@@ -2444,20 +2451,17 @@ object Text {
     * are ≤ k apart, so the interval union is exact — no double-counted
     * chars). Where the reference suffix-array build is one giant sort,
     * this is the shuffle-parallel spelling: ONE corpus-linear gram
-    * explode, ONE map-side-combinable count on the 48-bit gram hash,
-    * one hash join back (the corpus's single shuffle), then
-    * doc-partitioned windows — every stage linear in corpus bytes and
-    * partition-parallel at any scale. Key width: the RAW k-gram itself
+    * explode, then a SALTED TWO-LEVEL window count on the gram key
+    * (r17 — every window partition is bounded even under a mega-hot
+    * boilerplate gram; see the inline receipt), then doc-partitioned
+    * windows — every stage linear in corpus bytes and partition-
+    * parallel at any scale. Key width: the RAW k-gram itself
     * (24 chars) — no hash at all, so the occurrence count is EXACT with
     * zero collision false-positives, and per-gram work is a substring
     * copy instead of a digest (the r16 A/B at sf0.1: md5-prefix 12.1 s
     * → raw-gram 8.0 s — the digest was 2×25M md5 calls, one per gram
-    * per branch). The occurrence count is a gram-partitioned WINDOW
-    * count (r16 optimization round): the groupBy+join-back spelling ran
-    * the gram explode twice and broadcast the duplicated-gram set,
-    * which is unbounded at corpus scale. At larger gram widths a
-    * 128-bit digest narrows the shuffle row — same plan, swap the key
-    * expression. */
+    * per branch). At larger gram widths a 128-bit digest narrows the
+    * shuffle row — same plan, swap the key expression. */
   def dedupExactSubstring(spark: SparkSession, dir: String): DataFrame = {
     val k = SubstrGram
     val d = docs(spark, dir).select(col("doc_id"), col("text"),
@@ -2467,21 +2471,47 @@ object Text {
         explode(sequence(lit(1L), col("n") - lit(k - 1L))).as("pos"))
       .select(col("doc_id"), col("pos"),
         col("text").substr(col("pos").cast("int"), lit(k)).as("h"))
-    // r16 optimization round: the corpus occurrence count is a WINDOW
-    // count over the gram key, not a groupBy + join-back. The old
-    // spelling computed the gram explode TWICE (the count branch and
-    // the join probe side each re-ran Generate+substr over the corpus —
-    // the r16 final-plan audit showed two Generate nodes) and BROADCAST
-    // the duplicated-gram set (unbounded at corpus scale: billions of
-    // duplicated grams do not fit a broadcast relation). One gram pass,
-    // one shuffle on h, no broadcast whose size grows with the corpus;
-    // the count and the n_occ >= 2 filter are exactly the old join
-    // semantics (dupH was distinct, so the inner join was multiplicity
-    // 1 per gram row).
+    // r17 optimization round (VERDICT-r16 #1): the r16 single-level
+    // window count (count(1) OVER (PARTITION BY h)) put EVERY occurrence
+    // of one gram into one task — and a mega-hot 24-gram is this op's
+    // expected case (boilerplate), so at corpus scale one task buffered
+    // the whole hot key with no map-side combine. This is the SALTED
+    // TWO-LEVEL spelling (guide §2.5): level 1 counts per (h, salt) —
+    // any window partition holds at most 1/64 of a hot gram — and level
+    // 2 totals per gram over a BOUNDED set of carrier rows: the c1 = 1
+    // singletons plus ONE representative per multi-occupancy bucket
+    // (the bucket min), i.e. <= 2·64 rows per gram, keyed (h, -1);
+    // rows already decided by c1 >= 2 keep their (h, salt) key so the
+    // level-2 group they sit in stays bucket-bounded too. Exactness:
+    // tot over the (h, -1) group = Σ_salt c1 = the exact corpus
+    // occurrence count; a row is duplicated iff c1 >= 2 (its own bucket
+    // proves it) or tot >= 2 (its gram exists beyond itself — c1 = 1
+    // rows are always carriers, so their tot is the real total).
+    // Alternatives measured and rejected at sf0.1 (receipts in
+    // OPTIMIZATION_r17.md): groupBy(h)+semi-join-back re-ran the gram
+    // Generate (5.3 s) or paid a corpus-wide checkpoint (4.3 s); the
+    // union-shaped two-level (sure ∪ singles) duplicated the post-
+    // exchange sort+window (3.3-4.6 s). This single-lineage spelling is
+    // the cheapest skew-safe one (3.2-3.5 s vs 2.7-2.9 s for the skewed
+    // window at sf0.1 — the +0.5 s is the de-skew premium, bought back
+    // 1.55× on a hot-gram soak where the single-level window straggles:
+    // 9.1-9.3 s vs 5.9 s, R17Probe skewgen/skewtime).
+    val salts = 64
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val runs = g
-      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("n_occ") >= 2)
+    val gs = g.withColumn("salt",
+      pmod(xxhash64(col("doc_id"), col("pos")), lit(salts)))
+    val wS = Window.partitionBy("h", "salt")
+    val lvl1 = gs.select(col("doc_id"), col("pos"), col("h"), col("salt"),
+      count(lit(1)).over(wS).as("c1"),
+      min(struct(col("doc_id"), col("pos"))).over(wS).as("mn"))
+    val carrier = col("c1") === 1 ||
+      (col("mn.doc_id") === col("doc_id") && col("mn.pos") === col("pos"))
+    val w2 = Window.partitionBy(col("h"),
+      when(carrier, lit(-1L)).otherwise(col("salt")))
+    val runs = lvl1
+      .withColumn("tot",
+        sum(when(carrier, col("c1")).otherwise(lit(0L))).over(w2))
+      .filter(col("c1") >= 2 || col("tot") >= 2)
       .select(col("doc_id"), col("pos"))
       .withColumn("gap", col("pos") - lag(col("pos"), 1).over(w))
       // chain while gram starts are <= k apart: overlapping (< k) and

@@ -923,14 +923,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
   // ---- round-16 locks: the 100 TB claims the new ops' docs make -------
 
   test("dedup_exact_substring: one gram pass, every window partitioned") {
-    // r16 optimization round: the corpus occurrence count rides a
-    // gram-partitioned window, so the gram explode (Generate) must
-    // appear exactly ONCE — the old groupBy+join-back shape ran it
-    // twice and broadcast the unbounded duplicated-gram set. The
+    // r16: the gram explode (Generate) must appear exactly ONCE — the
+    // old groupBy+join-back shape ran it twice and broadcast the
+    // unbounded duplicated-gram set. r17: the occurrence count is the
+    // SALTED two-level window (every partition bounded by (h, salt)
+    // bucketing — the single-level window put a whole hot gram in one
+    // task), still one Generate, still no corpus-scaled broadcast. The
     // run-merge HashAggregates keep their partial+final pair, every
-    // window stays partitioned (h or doc_id) — an unpartitioned window
-    // over the gram frame is the single-task sort that kills this plan
-    // at corpus scale.
+    // window stays partitioned — an unpartitioned window over the gram
+    // frame is the single-task sort that kills this plan at corpus
+    // scale.
     // sparkPlan, not executedPlan: collect() does not descend into an
     // un-finalized AdaptiveSparkPlanExec (the stream_late_filter lock
     // learned the same lesson).
@@ -948,6 +950,25 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"unpartitioned window in the gram-run merge:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"gram join degraded to a product:\n$p")
+  }
+
+  test("text_ngram_novelty: no shingle-keyed window, owner aggs keep partials") {
+    // r17: shingle ownership is two map-side-combinable hash aggs (min
+    // owner per shingle, owners counted by doc) — a Window here would
+    // mean the hot-shingle single-task shape came back, and the only
+    // join must be doc-keyed (never on the high-cardinality shingle).
+    val exec = graft.ops.Text.ngramNovelty(spark, dir)
+      .queryExecution.sparkPlan
+    val p = exec.toString
+    assert(exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+      s"novelty must not window the shingle frame:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"owner/count aggs lost their partial/final pairs:\n$p")
+    // (the one-row decile-bounds crossJoin is a broadcast nested loop
+    // by design — only an unbroadcast product is a degradation here)
+    assert(!p.contains("CartesianProduct"),
+      s"novelty join degraded to a product:\n$p")
   }
 
   test("agg_conformal_interval: group-sized frames broadcast back, never sort-merge") {
