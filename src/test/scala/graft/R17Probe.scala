@@ -295,7 +295,105 @@ object R17Probe {
       substrOut(d, dup)
     }
 
+    // ---- dedup_cascade_audit cost attribution --------------------------
+    def cascadeParts(): Unit = {
+      val d = Util.table(spark, dir, "documents")
+      def timeN(label: String)(df: => DataFrame): Unit = {
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          df.queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[r17] $label%-28s min=${times.min}%6.2f s  all=${times.map(t => f"$t%.2f").mkString(",")}")
+      }
+      // warm the corpus caches the bench's build_once label assumes
+      graft.SparkEntry.queries("dedup_cascade_audit")(spark, dir)
+        .queryExecution.toRdd.count()
+      timeN("cascade_full")(graft.SparkEntry.queries("dedup_cascade_audit")(spark, dir))
+      timeN("cascade_s1_md5agg")(
+        d.groupBy(md5(lower(trim(col("text"))).cast("binary")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id")).select("doc_id"))
+      val base = d.select(col("doc_id"),
+        array_distinct(split(Text.normTextExpr, " ")).as("toks"))
+      timeN("cascade_base_tokenize")(base)
+      timeN("cascade_verified")({
+        val cg = Dedup.candGraphCached(spark, dir)
+        cg.join(base.select(col("doc_id").as("d1"), col("toks").as("t1")), "d1")
+          .join(base.select(col("doc_id").as("d2"), col("toks").as("t2")), "d2")
+          .withColumn("inter", size(array_intersect(col("t1"), col("t2"))))
+          .withColumn("jac", col("inter").cast("double")
+            / (size(col("t1")) + size(col("t2")) - col("inter")).cast("double"))
+          .filter(col("jac") >= 0.5)
+          .select("d1", "d2")
+      })
+      timeN("cascade_sempairs")(Vector.semPairFrame(spark, dir))
+    }
+
     group match {
+      case "cascade2" =>
+        val d = Util.table(spark, dir, "documents")
+        graft.SparkEntry.queries("dedup_cascade_audit")(spark, dir)
+          .queryExecution.toRdd.count()  // warm caches
+        val cg = Dedup.candGraphCached(spark, dir)
+        println(s"[r17] candGraph rows = ${cg.count()}")
+        val base = d.select(col("doc_id"),
+          array_distinct(split(Text.normTextExpr, " ")).as("toks"))
+        def timeN(label: String)(df: => DataFrame): Unit = {
+          val times = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            df.queryExecution.toRdd.count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"[r17] $label%-28s min=${times.min}%6.2f s  all=${times.map(t => f"$t%.2f").mkString(",")}")
+        }
+        timeN("join1_only")(
+          cg.join(base.select(col("doc_id").as("d1"), col("toks").as("t1")), "d1"))
+        timeN("join2_no_jac")(
+          cg.join(base.select(col("doc_id").as("d1"), col("toks").as("t1")), "d1")
+            .join(base.select(col("doc_id").as("d2"), col("toks").as("t2")), "d2")
+            .select("d1", "d2"))
+        timeN("join2_jac")(
+          cg.join(base.select(col("doc_id").as("d1"), col("toks").as("t1")), "d1")
+            .join(base.select(col("doc_id").as("d2"), col("toks").as("t2")), "d2")
+            .withColumn("inter", size(array_intersect(col("t1"), col("t2"))))
+            .withColumn("jac", col("inter").cast("double")
+              / (size(col("t1")) + size(col("t2")) - col("inter")).cast("double"))
+            .filter(col("jac") >= 0.5)
+            .select("d1", "d2"))
+      case "cascade3" =>
+        val d3 = Util.table(spark, dir, "documents")
+        graft.SparkEntry.queries("dedup_cascade_audit")(spark, dir)
+          .queryExecution.toRdd.count()  // warm caches
+        val cg3 = Dedup.candGraphCached(spark, dir)
+        val baseU = d3.select(col("doc_id"),
+          array_distinct(split(Text.normTextExpr, " ")).as("toks"))
+        val baseS = d3.select(col("doc_id"),
+          array_sort(array_distinct(split(Text.normTextExpr, " "))).as("toks"))
+        def verifiedOf(b: DataFrame, inter: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): DataFrame =
+          cg3.join(b.select(col("doc_id").as("d1"), col("toks").as("t1")), "d1")
+            .join(b.select(col("doc_id").as("d2"), col("toks").as("t2")), "d2")
+            .withColumn("inter", inter(col("t1"), col("t2")))
+            .withColumn("jac", col("inter").cast("double")
+              / (size(col("t1")) + size(col("t2")) - col("inter")).cast("double"))
+            .filter(col("jac") >= 0.5)
+            .select("d1", "d2")
+        if (mode == "check") {
+          check("verified_sorted",
+            verifiedOf(baseU, (x, y) => size(array_intersect(x, y)).cast("long")),
+            verifiedOf(baseS, (x, y) =>
+              graft.functions.SortedIntersectCount.sortedIntersect(x, y)))
+        } else {
+          time("verified_cur")(verifiedOf(baseU,
+            (x, y) => size(array_intersect(x, y)).cast("long")))
+          time("verified_sorted")(verifiedOf(baseS, (x, y) =>
+            graft.functions.SortedIntersectCount.sortedIntersect(x, y)))
+          time("verified_curb")(verifiedOf(baseU,
+            (x, y) => size(array_intersect(x, y)).cast("long")))
+          time("verified_sortedb")(verifiedOf(baseS, (x, y) =>
+            graft.functions.SortedIntersectCount.sortedIntersect(x, y)))
+        }
+      case "cascade" =>
+        cascadeParts()
       case "skewgen" =>
         // boilerplate-pathology corpus: one 24-char gram owns ~83% of all
         // gram rows (4k docs x 1000-char single-char run), the rest is
