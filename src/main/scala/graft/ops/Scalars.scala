@@ -117,13 +117,20 @@ object Scalars {
     val m = from_json(col("props"),
       org.apache.spark.sql.types.MapType(
         org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
-    val sortedKeys = array_sort(map_keys(m))
+    // r17 optimization round: ONE sort of the entry structs replaces
+    // sort(map_keys) + a per-key element_at scan of the map (O(k²)
+    // lookups and a second map traversal). Keys are unique, so sorting
+    // (key, value) structs orders exactly like sorting the keys, and
+    // values ride along for free. The map-parse schema itself is not
+    // prunable: every key and every value lands in the output.
+    // Measured 2.4-2.5 s -> 1.9-2.0 s at sf0.1 (R17Probe mapops).
+    val entries = array_sort(map_entries(m))
     table(spark, dir, "events")
       .select(
         col("event_id"),
-        array_join(sortedKeys, ",").as("keys_s"),
-        array_join(transform(sortedKeys, k => element_at(m, k)), ",").as("vals_s"),
-        size(map_keys(m)).cast("long").as("n_keys"))
+        array_join(transform(entries, e => e.getField("key")), ",").as("keys_s"),
+        array_join(transform(entries, e => e.getField("value")), ",").as("vals_s"),
+        size(entries).cast("long").as("n_keys"))
       .orderBy("event_id")
   }
 

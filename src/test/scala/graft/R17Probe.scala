@@ -329,7 +329,31 @@ object R17Probe {
       timeN("cascade_sempairs")(Vector.semPairFrame(spark, dir))
     }
 
+    def mapOpsV1(): DataFrame = {
+      val m = from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+      val entries = array_sort(map_entries(m))
+      Util.table(spark, dir, "events")
+        .select(
+          col("event_id"),
+          array_join(transform(entries, e => e.getField("key")), ",").as("keys_s"),
+          array_join(transform(entries, e => e.getField("value")), ",").as("vals_s"),
+          size(entries).cast("long").as("n_keys"))
+        .orderBy("event_id")
+    }
+
     group match {
+      case "mapops" =>
+        def curM() = graft.SparkEntry.queries("scalar_map_ops")(spark, dir)
+        if (mode == "check") {
+          check("mapops_v1", curM(), mapOpsV1())
+        } else {
+          time("mapops_cur")(curM())
+          time("mapops_v1")(mapOpsV1())
+          time("mapops_curb")(curM())
+          time("mapops_v1b")(mapOpsV1())
+        }
       case "cascade2" =>
         val d = Util.table(spark, dir, "documents")
         graft.SparkEntry.queries("dedup_cascade_audit")(spark, dir)
