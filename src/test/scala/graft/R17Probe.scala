@@ -343,7 +343,213 @@ object R17Probe {
         .orderBy("event_id")
     }
 
+    // graph_betweenness_sample with fused forward layers (1+2 in one
+    // checkpoint) and no d2 checkpoint — 4 eager jobs instead of 6.
+    def betweennessV1(): DataFrame = {
+      val e = Dedup.candGraphCached(spark, dir)
+      val und = e.select(col("d1").as("u"), col("d2").as("v"))
+        .unionByName(e.select(col("d2").as("u"), col("d1").as("v")))
+      val deg = und.groupBy("u").agg(count(lit(1)).as("degree"))
+      val seeds = deg.orderBy(desc("degree"), col("u")).limit(3)
+        .select(col("u").as("seed"))
+      val lab0 = Util.iterCheckpoint(seeds
+        .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"),
+          lit(1L).as("sigma")))
+      def next(lab: DataFrame, t: Int): DataFrame = {
+        val par = lab.filter(col("dist") === t - 1)
+          .select(col("seed"), col("node").as("u"), col("sigma"))
+        und.join(par, "u")
+          .groupBy(col("seed"), col("v").as("node"))
+          .agg(sum(col("sigma")).as("sigma"))
+          .join(lab, Seq("seed", "node"), "left_anti")
+          .select(col("seed"), col("node"), lit(t.toLong).as("dist"),
+            col("sigma"))
+      }
+      val lab1 = lab0.unionByName(next(lab0, 1))
+      val lab2 = Util.iterCheckpoint(lab1.unionByName(next(lab1, 2)))
+      val lab = Util.iterCheckpoint(lab2.unionByName(next(lab2, 3)))
+      def layerDelta(parentDist: Int, childDeltas: DataFrame): DataFrame = {
+        val parents = lab.filter(col("dist") === parentDist)
+          .select(col("seed"), col("node").as("u"), col("sigma").as("su"))
+        val children = lab.filter(col("dist") === parentDist + 1)
+          .join(childDeltas, Seq("seed", "node"), "left")
+          .select(col("seed"), col("node").as("v"), col("sigma").as("sw"),
+            coalesce(col("delta"), lit(0L)).as("dw"))
+        parents.join(und, "u").join(children, Seq("seed", "v"))
+          .withColumn("term",
+            expr("(2 * su * (1000000 + dw) + sw) div (2 * sw)"))
+          .groupBy(col("seed"), col("u").as("node"))
+          .agg(sum(col("term")).as("delta"))
+      }
+      val d3 = lab.filter(col("dist") === 3)
+        .select(col("seed"), col("node"), lit(0L).as("delta"))
+      val d2 = layerDelta(2, d3)
+      val d1 = layerDelta(1, d2)
+      d1.unionByName(d2)
+        .groupBy(col("node").as("doc_id"))
+        .agg(count(lit(1)).as("n_seeds"), sum(col("delta")).as("bc_micro"))
+        .orderBy(desc("bc_micro"), col("doc_id")).limit(15)
+        .select(col("doc_id"), col("n_seeds"), col("bc_micro"),
+          Util.r6(col("bc_micro").cast("double") / lit(1e6)).as("betweenness"))
+    }
+
+    // text_bpe_train with checkpoints only every 2nd round (observation
+    // reads deferred to the end so non-checkpoint rounds need no action
+    // of their own — the next round's pair-count collect evaluates the
+    // observed merge).
+    def bpeStride2(): DataFrame = {
+      val chain = new Util.ChainCheckpoint
+      var corpus = chain(Util.table(spark, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks")))
+      def pairCounts(c: DataFrame): DataFrame =
+        c.select(explode(expr(
+          """zip_with(toks, slice(toks, 2, greatest(size(toks) - 1, 0)),
+             (a, b) -> struct(a AS t1, b AS t2))""")).as("p"))
+          .filter(col("p.t2").isNotNull)
+          .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+          .agg(count(lit(1)).as("cnt"))
+      val rounds = 8
+      val metas = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long, org.apache.spark.sql.Observation)]()
+      var r = 1
+      var done = false
+      while (r <= rounds && !done) {
+        val bestRows = pairCounts(corpus)
+          .orderBy(desc("cnt"), col("t1"), col("t2"))
+          .limit(1).collect()
+        if (bestRows.isEmpty) done = true
+        else {
+          val (t1, t2, cnt) =
+            (bestRows(0).getString(0), bestRows(0).getString(1), bestRows(0).getLong(2))
+          val obs = org.apache.spark.sql.Observation()
+          val next = corpus.select(col("doc_id"),
+              graft.functions.BpeMergeOnce.mergeOnce(col("toks"), lit(t1), lit(t2)).as("m"))
+            .observe(obs, coalesce(sum(col("m.nm")), lit(0L)).as("nm"))
+            .select(col("doc_id"), col("m.toks").as("toks"))
+          corpus = if (r % 2 == 0 || r == rounds) chain(next) else next
+          metas += ((r.toLong, t1, t2, cnt, obs))
+          r += 1
+        }
+      }
+      import spark.implicits._
+      metas.map { case (rr, t1, t2, cnt, obs) =>
+        (rr, t1, t2, cnt, obs.get("nm").asInstanceOf[Long])
+      }.toSeq.toDF("round", "t1", "t2", "cnt", "n_merges").orderBy("round")
+    }
+
+    // ---- percentile union-hist (VERDICT #6 sf1 re-attempt) -------------
+    def pBucketedHist(df: DataFrame, widthOf: org.apache.spark.sql.Column): DataFrame =
+      Util.iterCheckpoint(
+        df.groupBy("grp", "v").agg(count(lit(1)).as("c"))
+          .withColumn("bkt", floor(col("v").cast("double") / widthOf)
+            .cast("long"))
+          .repartition(col("grp"), col("bkt")))
+    def pGroupedCumHistOver(hist: DataFrame): DataFrame = {
+      val bktPre = hist.groupBy("grp", "bkt").agg(sum(col("c")).as("bc"))
+        .withColumn("pre", coalesce(sum(col("bc")).over(
+          Window.partitionBy("grp").orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("tot", sum(col("bc")).over(Window.partitionBy("grp")))
+        .select("grp", "bkt", "pre", "tot")
+      hist.join(broadcast(bktPre), Seq("grp", "bkt"))
+        .withColumn("cum", col("pre") + sum(col("c")).over(
+          Window.partitionBy("grp", "bkt").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }
+    def pSelectOver(hist: DataFrame, qs: Seq[(String, Double)]): DataFrame = {
+      val cum = pGroupedCumHistOver(hist)
+      val aggs = qs.flatMap { case (al, q) =>
+        val pos = lit(q) * (col("tot") - 1).cast("double")
+        Seq(min(when(col("cum") >= floor(pos) + lit(1L), col("v")))
+            .as(s"${al}_lo"),
+          min(when(col("cum") >= ceil(pos) + lit(1L), col("v")))
+            .as(s"${al}_hi"))
+      }
+      val sel = cum.groupBy("grp", "tot").agg(aggs.head, aggs.tail: _*)
+        .withColumnRenamed("tot", "n")
+      qs.foldLeft(sel) { case (d, (al, q)) =>
+        val pos = lit(q) * (col("n") - 1).cast("double")
+        val lo = floor(pos).cast("double")
+        val hi = ceil(pos).cast("double")
+        val vlo = col(s"${al}_lo").cast("double")
+        val vhi = col(s"${al}_hi").cast("double")
+        d.withColumn(al,
+          when(lo === hi || col(s"${al}_lo") === col(s"${al}_hi"), vlo)
+            .otherwise((hi - pos) * vlo + (pos - lo) * vhi))
+      }.select(col("grp") +: col("n") +: qs.map(q => col(q._1)): _*)
+    }
+    // union-hist: ONE lineitem scan + ONE checkpointed composite hist
+    // for both measures (2-way explode), vs two scans + two checkpoints.
+    def pctlUnion(): DataFrame = {
+      val li = Util.table(spark, dir, "lineitem")
+      val ex = li.select(col("l_returnflag").as("rf"),
+          explode(array(
+            struct(lit("q").as("m"), col("l_quantity").cast("double").as("v")),
+            struct(lit("p").as("m"), col("l_extendedprice").cast("double").as("v"))))
+            .as("e"))
+        .select(concat(col("e.m"), col("rf")).as("grp"), col("e.m").as("m"),
+          col("e.v").as("v"))
+      val hist = pBucketedHist(
+        ex.select(col("grp"), col("v")),
+        when(substring(col("grp"), 1, 1) === "q", lit(10.0)).otherwise(lit(1000.0)))
+      val qty = pSelectOver(hist.filter(substring(col("grp"), 1, 1) === "q"),
+        Seq(("qp50", 0.5), ("qp90", 0.9)))
+        .withColumn("rf", substring(col("grp"), 2, 10)).drop("grp")
+      val price = pSelectOver(hist.filter(substring(col("grp"), 1, 1) === "p"),
+        Seq(("pp50", 0.5)))
+        .withColumn("rf", substring(col("grp"), 2, 10)).drop("grp", "n")
+      qty.join(price, "rf")
+        .select(col("rf").as("l_returnflag"),
+          Util.r4(col("qp50")).as("qty_p50"), Util.r4(col("qp90")).as("qty_p90"),
+          Util.r4(col("pp50")).as("price_p50"), col("n"))
+        .orderBy("l_returnflag")
+    }
+
     group match {
+      case "readcost" =>
+        val t0 = System.nanoTime()
+        (1 to 50).foreach { _ =>
+          Util.table(spark, dir, "lineitem")
+          Util.table(spark, dir, "documents")
+          Util.table(spark, dir, "orders")
+          Util.table(spark, dir, "events")
+        }
+        println(f"[r17] 200 table() constructions: ${(System.nanoTime()-t0)/1e9}%.2f s")
+        val t1 = System.nanoTime()
+        (1 to 50).foreach { _ =>
+          graft.SparkEntry.queries("agg_pricing_summary")(spark, dir)
+        }
+        println(f"[r17] 50 query constructions (no exec): ${(System.nanoTime()-t1)/1e9}%.2f s")
+      case "pctl" =>
+        def curPc() = graft.SparkEntry.queries("agg_percentiles")(spark, dir)
+        if (mode == "check") {
+          check("pctl_union", curPc(), pctlUnion())
+        } else {
+          time("pctl_cur")(curPc())
+          time("pctl_union")(pctlUnion())
+          time("pctl_curb")(curPc())
+          time("pctl_unionb")(pctlUnion())
+        }
+      case "bpe" =>
+        def curP() = graft.SparkEntry.queries("text_bpe_train")(spark, dir)
+        if (mode == "check") {
+          check("bpe_stride2", curP(), bpeStride2())
+        } else {
+          time("bpe_cur")(curP())
+          time("bpe_stride2")(bpeStride2())
+          time("bpe_curb")(curP())
+          time("bpe_stride2b")(bpeStride2())
+        }
+      case "btwn" =>
+        def curB() = graft.SparkEntry.queries("graph_betweenness_sample")(spark, dir)
+        curB().queryExecution.toRdd.count()  // warm candGraph cache
+        if (mode == "check") {
+          check("btwn_v1", curB(), betweennessV1())
+        } else {
+          time("btwn_cur")(curB())
+          time("btwn_v1")(betweennessV1())
+          time("btwn_curb")(curB())
+          time("btwn_v1b")(betweennessV1())
+        }
       case "mapops" =>
         def curM() = graft.SparkEntry.queries("scalar_map_ops")(spark, dir)
         if (mode == "check") {
